@@ -1,0 +1,203 @@
+"""The function factory: compile a CREATE FUNCTION body and register it
+as a Spark UDF.
+
+This is the PySpark-native rebuild of the reference's ``JvmFunctionFactory``
+(src/fusion.rs:22-80 + src/jvm.rs:111-167):
+
+- reference compiles inline Java with an in-memory javac at DDL time
+  (java/.../Compiler.java:34-59); we compile inline Python with
+  ``compile()``/``exec()`` into a fresh, collision-free namespace
+  (the analog of the random package-name mangling in src/util.rs:5-36).
+- reference registers a ``ScalarUDF`` with ``Volatility::Volatile`` and an
+  exact signature (src/fusion.rs:69-78); we register via
+  ``spark.udf.register`` with ``asNondeterministic()`` by default.
+- reference ships batches zero-copy over the Arrow C Data Interface
+  (src/jvm.rs:183-219); Spark's Arrow-optimized Python UDF path
+  (``useArrow=True``) is the same architecture over the executor↔worker
+  Arrow IPC channel.
+- reference constructs ONE instance per CREATE and reuses it for every
+  batch (src/jvm.rs:93-102); our compiled function object is captured once
+  at registration and shipped to each worker (per-worker copy — a
+  documented semantic difference, SURVEY §7 risk 3).
+
+Languages:
+
+- ``PYTHON`` (default): body is the source of a function body whose
+  positional parameters are the DDL argument names (``arg0…argN`` when the
+  positional type-only form is used). A single expression is auto-wrapped
+  in ``return (…)``. Row-at-a-time semantics = the reference's
+  ``compute(Row)`` kernel (java/.../Adhesive.java:68-70), transported in
+  Arrow batches.
+- ``PANDAS``: vectorized upgrade — body sees ``pandas.Series`` args and
+  must return a Series (or scalar broadcastable); registered as a
+  ``pandas_udf``.
+- ``MODULE``: body is a dotted import path ``pkg.mod.fn`` — the Python
+  analog of ``LANGUAGE CLASS`` (src/fusion.rs:45-50).
+- ``CLASS`` / ``JAVA`` with a class-path body: delegates to
+  ``spark.udf.registerJavaFunction`` (requires the class on the Spark
+  classpath, as the reference requires its fat jar, src/jvm.rs:52).
+- ``SQL``: body is a SQL expression over the named args — registered by
+  wrapping in a Catalyst-native way (no Python at execution time; the
+  fastest path of all, whole-stage codegen applies).
+"""
+
+from __future__ import annotations
+
+import importlib
+import textwrap
+import uuid
+from dataclasses import dataclass
+from typing import Any, Callable
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from adhesive_spark.errors import (
+    CompileError,
+    DdlParseError,
+    UnknownFunctionError,
+)
+from adhesive_spark.functions.ddl import FunctionDefinition, parse_create_function
+from adhesive_spark.functions.typemap import sql_type_to_spark
+
+
+@dataclass
+class RegisteredFunction:
+    definition: FunctionDefinition
+    fn: Callable | None  # None for JVM-class / SQL-expression registrations
+
+
+def compile_python_body(
+    name: str, arg_names: list[str], body: str
+) -> Callable[..., Any]:
+    """Compile an inline Python body into a callable.
+
+    The namespace is fresh per call — the analog of the reference's random
+    package prefix ``com.github.milenkovicm.generated.p<random>``
+    (src/util.rs:7-11) that makes re-CREATE never collide.
+    """
+    params = ", ".join(arg_names)
+    src_body = textwrap.dedent(body)
+    # A bare expression (the common one-liner case) is wrapped in a return.
+    try:
+        compile(src_body.strip(), "<adhesive-expr>", "eval")
+        src_body = f"return ({src_body.strip()})"
+    except SyntaxError:
+        pass
+    fn_name = f"_adhesive_{name}_{uuid.uuid4().hex[:6]}"
+    if not src_body.strip():
+        src_body = "pass"
+    src = f"def {fn_name}({params}):\n" + textwrap.indent(src_body, "    ")
+    try:
+        code = compile(src, f"<adhesive:{name}>", "exec")
+    except SyntaxError as e:
+        # Mirrors InstantiationException("Can't compile function") with
+        # diagnostics (java/.../Compiler.java:46-52).
+        raise CompileError(f"Can't compile function {name!r}: {e}") from e
+    # Exec into an isolated dict; cloudpickle then serializes the function
+    # BY VALUE to the executors (no importable module), which is exactly the
+    # ship-the-compiled-object semantic of the reference (src/jvm.rs:155-164).
+    ns: dict[str, Any] = {"__builtins__": __builtins__}
+    exec(code, ns)
+    return ns[fn_name]
+
+
+def resolve_module_function(path: str) -> Callable[..., Any]:
+    """Import ``pkg.mod.fn`` — the LANGUAGE CLASS lookup path analog
+    (src/jvm.rs:63-109; unknown class tested at src/jvm.rs:303-314)."""
+    if "." not in path:
+        raise UnknownFunctionError(f"not a dotted path: {path!r}")
+    mod_path, fn_name = path.rsplit(".", 1)
+    try:
+        mod = importlib.import_module(mod_path)
+    except ImportError as e:
+        raise UnknownFunctionError(f"cannot import module {mod_path!r}: {e}") from e
+    try:
+        fn = getattr(mod, fn_name)
+    except AttributeError as e:
+        raise UnknownFunctionError(
+            f"module {mod_path!r} has no attribute {fn_name!r}"
+        ) from e
+    if not callable(fn):
+        raise UnknownFunctionError(f"{path!r} is not callable")
+    return fn
+
+
+class FunctionFactory:
+    """Session-scoped factory — the ``FunctionFactory`` hook analog
+    (src/fusion.rs:23-27 ``FunctionFactory::create``)."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self.registry: dict[str, RegisteredFunction] = {}
+
+    def create_function(self, sql: str) -> None:
+        d = parse_create_function(sql)
+        if d.name in self.registry and not d.or_replace:
+            raise DdlParseError(
+                f"function {d.name!r} already exists (use CREATE OR REPLACE)"
+            )
+        lang = d.language
+        ret_type = sql_type_to_spark(d.return_type)
+        # Validate arg types eagerly — exact-signature spirit (src/fusion.rs:72).
+        for t in d.arg_types:
+            sql_type_to_spark(t)
+
+        fn: Callable | None = None
+        if lang == "PYTHON":
+            fn = compile_python_body(d.name, d.arg_names, d.body)
+            self._register_python(d, fn, ret_type, vectorized=False)
+        elif lang == "PANDAS":
+            fn = compile_python_body(d.name, d.arg_names, d.body)
+            self._register_python(d, fn, ret_type, vectorized=True)
+        elif lang == "MODULE":
+            fn = resolve_module_function(d.body.strip())
+            self._register_python(d, fn, ret_type, vectorized=False)
+        elif lang in ("CLASS", "JAVA"):
+            try:
+                self.spark.udf.registerJavaFunction(d.name, d.body.strip(), ret_type)
+            except Exception as e:  # Py4J wraps ClassNotFound etc.
+                raise UnknownFunctionError(
+                    f"cannot register JVM class {d.body.strip()!r}: {e}"
+                ) from e
+        elif lang == "SQL":
+            self._register_sql_macro(d)
+        else:
+            raise DdlParseError(f"unsupported LANGUAGE {lang!r}")
+        self.registry[d.name] = RegisteredFunction(definition=d, fn=fn)
+
+    def _register_python(
+        self,
+        d: FunctionDefinition,
+        fn: Callable,
+        ret_type,
+        *,
+        vectorized: bool,
+    ) -> None:
+        if vectorized:
+            udf = F.pandas_udf(fn, returnType=ret_type)
+        else:
+            # useArrow → Arrow-batched transport, the analog of the
+            # reference's zero-copy C-FFI batches (src/jvm.rs:183-219).
+            udf = F.udf(fn, returnType=ret_type, useArrow=True)
+        if not d.deterministic:
+            # Volatility::Volatile parity (src/fusion.rs:72): Catalyst must
+            # not constant-fold or CSE calls.
+            udf = udf.asNondeterministic()
+        self.spark.udf.register(d.name, udf)
+
+    def _register_sql_macro(self, d: FunctionDefinition) -> None:
+        """LANGUAGE SQL — registered through Spark's own CREATE FUNCTION
+        (SQL-body UDFs are Catalyst-native in Spark 3.5+/4.x: inlined into
+        the plan, fully codegen'd)."""
+        args = ", ".join(
+            f"{n} {t}" for n, t in zip(d.arg_names, d.arg_types)
+        )
+        stmt = (
+            f"CREATE OR REPLACE TEMPORARY FUNCTION {d.name}({args}) "
+            f"RETURNS {d.return_type} RETURN {d.body}"
+        )
+        try:
+            self.spark.sql(stmt)
+        except Exception as e:
+            raise CompileError(f"Can't compile SQL function {d.name!r}: {e}") from e

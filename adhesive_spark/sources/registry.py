@@ -1,0 +1,42 @@
+"""Table sources.
+
+The reference's only source is an in-memory Arrow batch registered as a
+named table (``ctx.register_batch``, examples/adhesive.rs:17-19); file
+formats are delegated to the embedded engine. Here both are Spark-native:
+``spark.createDataFrame(...).createOrReplaceTempView`` for in-memory, and
+``spark.read.parquet/csv/json/orc`` for files (SURVEY §2.2 scans row).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: The driver-generated TPC-H-ish star schema (TESTDATA.md).
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def register_tables(
+    spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES
+) -> dict[str, DataFrame]:
+    """Register every parquet table as a temp view; returns the DataFrames."""
+    out = {}
+    for t in tables:
+        df = load_table(spark, sf_dir, t)
+        df.createOrReplaceTempView(t)
+        out[t] = df
+    return out

@@ -1,0 +1,208 @@
+"""Golden tests ported 1:1 from the reference fixtures (FIXTURES.md F1-F7;
+reference tests/factory.rs:11-78, src/jvm.rs:275-367, CompilerTest.java).
+"""
+
+import pytest
+from pyspark.errors.exceptions.captured import AnalysisException
+
+from adhesive_spark.errors import (
+    CompileError,
+    DdlParseError,
+    UnknownFunctionError,
+    UnsupportedTypeError,
+)
+
+
+@pytest.fixture(scope="module", autouse=True)
+def table_t(sess):
+    # F1: t(a BIGINT, b BIGINT) = [1..4] x [10..40]  (tests/factory.rs:17-21)
+    df = sess.createDataFrame(
+        [(1, 10), (2, 20), (3, 30), (4, 40)], "a long, b long"
+    )
+    df.createOrReplaceTempView("t")
+    # F2: 6-row variant (examples/adhesive.rs:15-19)
+    df6 = sess.createDataFrame(
+        [(i, i * 10) for i in range(1, 7)], "a long, b long"
+    )
+    df6.createOrReplaceTempView("t6")
+    yield
+
+
+def test_f1_inline_multiply(sess):
+    """tests/factory.rs:23-51 — inline body, golden [10,40,90,160]."""
+    sess.sql(
+        "CREATE OR REPLACE FUNCTION f1(BIGINT, BIGINT) RETURNS BIGINT "
+        "LANGUAGE PYTHON AS 'return arg0 * arg1'"
+    )
+    rows = sess.sql("SELECT f1(a, b) AS r FROM t ORDER BY r").collect()
+    assert [r.r for r in rows] == [10, 40, 90, 160]
+
+
+def test_f2_module_add(sess):
+    """tests/factory.rs:53-75 — LANGUAGE CLASS analog via MODULE path;
+    golden [11,22,33,44]. Module fn = operator.add (stdlib)."""
+    sess.sql(
+        'CREATE OR REPLACE FUNCTION f2(BIGINT, BIGINT) RETURNS BIGINT '
+        'LANGUAGE MODULE AS "operator.add"'
+    )
+    rows = sess.sql("SELECT f2(a, b) AS r FROM t ORDER BY r").collect()
+    assert [r.r for r in rows] == [11, 22, 33, 44]
+
+
+def test_f2_projection_keeps_inputs(sess):
+    """examples/adhesive.rs:37 — SELECT a, b, f(a,b) keeps input cols."""
+    sess.sql(
+        "CREATE OR REPLACE FUNCTION fmul(BIGINT, BIGINT) RETURNS BIGINT "
+        "LANGUAGE PYTHON AS 'return arg0 * arg1'"
+    )
+    rows = sess.sql("SELECT a, b, fmul(a, b) AS m FROM t6 ORDER BY a").collect()
+    assert [(r.a, r.b, r.m) for r in rows] == [
+        (i, i * 10, i * i * 10) for i in range(1, 7)
+    ]
+
+
+def test_f4_null_return(sess):
+    """F4 (src/jvm.rs:332-356): body returning None → SQL NULLs, never 0."""
+    sess.sql(
+        "CREATE OR REPLACE FUNCTION fnull(BIGINT, BIGINT) RETURNS BIGINT "
+        "LANGUAGE PYTHON AS 'return None'"
+    )
+    rows = sess.sql("SELECT fnull(a, b) AS r FROM t").collect()
+    assert len(rows) == 3 + 1
+    assert all(r.r is None for r in rows)
+
+
+def test_f5_runtime_exception_fails_query(sess):
+    """F5 (FreaksOutExample.java:10-12): runtime raise → query-level failure,
+    not NULLs (src/jvm.rs:316-330)."""
+    sess.sql(
+        "CREATE OR REPLACE FUNCTION freaks(BIGINT, BIGINT) RETURNS BIGINT "
+        "LANGUAGE PYTHON AS $$raise RuntimeError("
+        '"Its ok to freak out sometimes")$$'
+    )
+    with pytest.raises(Exception, match="freak out"):
+        sess.sql("SELECT freaks(a, b) FROM t").collect()
+
+
+def test_f6_compile_failure(sess):
+    """F6 (CompilerTest.java:34-45): syntax error fails at DDL time with
+    diagnostics; nothing is registered."""
+    with pytest.raises(CompileError, match="Can't compile"):
+        sess.sql(
+            "CREATE OR REPLACE FUNCTION broken(BIGINT) RETURNS BIGINT "
+            "LANGUAGE PYTHON AS 'return ((('"
+        )
+    with pytest.raises(AnalysisException):
+        sess.sql("SELECT broken(a) FROM t").collect()
+
+
+def test_f7_unknown_module(sess):
+    """F7 (src/jvm.rs:303-314): unknown class/module path errors at CREATE."""
+    with pytest.raises(UnknownFunctionError):
+        sess.sql(
+            "CREATE OR REPLACE FUNCTION fake(BIGINT) RETURNS BIGINT "
+            'LANGUAGE MODULE AS "adhesive_spark.example.FakeExample"'
+        )
+
+
+def test_unsupported_type(sess):
+    """src/fusion.rs:83-90 — unsupported RETURNS type errors at DDL time."""
+    with pytest.raises(UnsupportedTypeError):
+        sess.sql(
+            "CREATE OR REPLACE FUNCTION badtype(BIGINT) RETURNS FROG "
+            "LANGUAGE PYTHON AS 'return 1'"
+        )
+
+
+def test_duplicate_without_replace(sess):
+    sess.sql(
+        "CREATE OR REPLACE FUNCTION dup1(BIGINT) RETURNS BIGINT "
+        "LANGUAGE PYTHON AS 'return arg0'"
+    )
+    with pytest.raises(DdlParseError, match="already exists"):
+        sess.sql(
+            "CREATE FUNCTION dup1(BIGINT) RETURNS BIGINT "
+            "LANGUAGE PYTHON AS 'return arg0'"
+        )
+
+
+def test_type_matrix(sess):
+    """M1: the wider RETURNS matrix implied by Adhesive.java:79-199."""
+    cases = [
+        ("INT", "return int(arg0) + 1", "SELECT tm(CAST(2 AS INT)) AS r", 3),
+        ("DOUBLE", "return float(arg0) * 0.5", "SELECT tm(4.0) AS r", 2.0),
+        ("STRING", "return str(arg0) + chr(33)", "SELECT tm('hi') AS r", "hi!"),
+        ("BOOLEAN", "return arg0 > 1", "SELECT tm(2) AS r", True),
+    ]
+    for rt, body, q, expected in cases:
+        sess.sql(
+            f"CREATE OR REPLACE FUNCTION tm({rt if rt != 'STRING' else 'STRING'}) "
+            f"RETURNS {rt} LANGUAGE PYTHON AS '{body}'"
+        )
+        assert sess.sql(q).collect()[0].r == expected
+
+
+def test_pandas_vectorized(sess):
+    """M1 VECTORIZED variant: LANGUAGE PANDAS, Series-in/Series-out."""
+    sess.sql(
+        "CREATE OR REPLACE FUNCTION vmul(BIGINT, BIGINT) RETURNS BIGINT "
+        "LANGUAGE PANDAS AS 'return arg0 * arg1'"
+    )
+    rows = sess.sql("SELECT vmul(a, b) AS r FROM t ORDER BY r").collect()
+    assert [r.r for r in rows] == [10, 40, 90, 160]
+
+
+def test_sql_language_codegen_path(sess):
+    """LANGUAGE SQL: Catalyst-native body, no Python at execution time."""
+    sess.sql(
+        "CREATE OR REPLACE FUNCTION smul(a BIGINT, b BIGINT) RETURNS BIGINT "
+        "LANGUAGE SQL AS 'a * b'"
+    )
+    rows = sess.sql("SELECT smul(a, b) AS r FROM t ORDER BY r").collect()
+    assert [r.r for r in rows] == [10, 40, 90, 160]
+
+
+def test_multiline_dollar_body(sess):
+    """$$ bodies with statements (the reference's dead $$ path,
+    src/fusion.rs:52-56, revived here)."""
+    sess.sql(
+        """CREATE OR REPLACE FUNCTION fizz(BIGINT) RETURNS STRING
+        LANGUAGE PYTHON AS $$
+if arg0 % 15 == 0:
+    return "fizzbuzz"
+if arg0 % 3 == 0:
+    return "fizz"
+if arg0 % 5 == 0:
+    return "buzz"
+return str(arg0)
+$$"""
+    )
+    rows = sess.sql(
+        "SELECT fizz(id) AS r FROM range(1, 16) ORDER BY id"
+    ).collect()
+    assert [r.r for r in rows] == [
+        "1", "2", "fizz", "4", "buzz", "fizz", "7", "8", "fizz", "buzz",
+        "11", "fizz", "13", "14", "fizzbuzz",
+    ]
+
+
+def test_named_args(sess):
+    sess.sql(
+        "CREATE OR REPLACE FUNCTION named(x BIGINT, y BIGINT) RETURNS BIGINT "
+        "LANGUAGE PYTHON AS 'return x - y'"
+    )
+    assert sess.sql("SELECT named(10, 3) AS r").collect()[0].r == 7
+
+
+def test_nondeterministic_default_plan(sess, spark):
+    """§4.1 volatility parity: default registration must be nondeterministic
+    so Catalyst cannot fold/collapse UDF calls (src/fusion.rs:72)."""
+    sess.sql(
+        "CREATE OR REPLACE FUNCTION vol(BIGINT) RETURNS BIGINT "
+        "LANGUAGE PYTHON AS 'return arg0'"
+    )
+    df = sess.sql("SELECT vol(5) AS r")
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    # A deterministic UDF over a literal would be constant-folded away;
+    # the volatile one must survive in the plan.
+    assert "vol" in plan
