@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship query smoke at sf0.001.
+``queries()`` — every implemented operator (SURVEY §2.2 + extensions).
+``oracle_sql()`` — DuckDB-equivalent SQL per query (omitted only for
+ops whose semantics aren't SQL-expressible; driver then records a
+rows-only check).
 """
 
 from __future__ import annotations
@@ -15,24 +15,40 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: TPC-H-Q1-style pricing summary + factory UDF end-to-end
+    on /root/testdata/sf0.001."""
+    from adhesive_spark.queries.udf_queries import q23_udf_python_agg
+
+    return q23_udf_python_agg(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from adhesive_spark.queries.relational import RELATIONAL_QUERIES
+    from adhesive_spark.queries.udf_queries import UDF_QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable] = {}
+    out.update(RELATIONAL_QUERIES)
+    out.update(UDF_QUERIES)
+    try:
+        from adhesive_spark.queries.pipeline_queries import PIPELINE_QUERIES
+
+        out.update(PIPELINE_QUERIES)
+    except ImportError:
+        pass
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from adhesive_spark.queries.relational import RELATIONAL_ORACLES
+    from adhesive_spark.queries.udf_queries import UDF_ORACLES
+
+    out: dict[str, str] = {}
+    out.update(RELATIONAL_ORACLES)
+    out.update(UDF_ORACLES)
+    try:
+        from adhesive_spark.queries.pipeline_queries import PIPELINE_ORACLES
+
+        out.update(PIPELINE_ORACLES)
+    except ImportError:
+        pass
+    return out

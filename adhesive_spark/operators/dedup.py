@@ -1,0 +1,346 @@
+"""Deduplication operators for training-data pipelines (SURVEY §2.3).
+
+Five strategies, all shuffle-conscious:
+
+- :func:`dedup_exact` — hash-groupBy on a deterministic fingerprint; one
+  shuffle, map-side combine, deterministic survivor choice.
+- :func:`minhash_lsh_pairs` / :func:`dedup_minhash` — shingle → minhash
+  signature → banded LSH → bucket self-join → exact-Jaccard verify.
+  Candidate generation touches only same-band buckets (no O(n²) pair
+  space); all signature math is built-in expressions (JVM-side).
+- :func:`simhash_signatures` / :func:`simhash_pairs` — 64-bit SimHash
+  with chunk-banding for candidate generation and ``bit_count`` Hamming
+  verify. Token hashing JVM-side; bit-vote aggregation via a vectorized
+  Arrow-batched pandas UDF (64 per-bit array passes in SQL would scan
+  the token array 64×; one numpy pass is the scale-sane choice).
+- :func:`ngram_jaccard_pairs` — exact n-gram Jaccard via explode +
+  equi-join on shingle (the fully SQL-expressible fuzzy-dup baseline —
+  used as the correctness oracle for the approximate methods).
+- :func:`embedding_neardup_pairs` (in similarity.py) — cosine near-dup.
+
+The reference has no dedup operators; this follows the project
+north-star (BASELINE.json) using the same Spark-first design rule as the
+factory: built-ins first, Arrow-vectorized Python only where built-ins
+genuinely can't express the op.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+from pyspark.sql.window import Window
+
+from adhesive_spark.operators.text import fingerprint, normalize_text
+
+# Mersenne prime used by the affine minhash permutations.
+_MERSENNE = (1 << 61) - 1
+
+
+def dedup_exact(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact dedup on the normalized-text fingerprint. Keeps the lowest id
+    per group (deterministic, unlike ``dropDuplicates``).
+
+    Scale shape: single hash shuffle on the 128-bit fingerprint with
+    map-side partial ``min``; survivor join is a self-semi-join avoided
+    entirely by re-aggregating (no second shuffle of the full corpus).
+    """
+    fp = fingerprint(F.col(text_col)).alias("doc_fp")
+    keep = (
+        df.select(F.col(id_col), fp)
+        .groupBy("doc_fp")
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("dup_count"))
+    )
+    return df.join(keep, on=id_col, how="inner").drop("doc_fp")
+
+
+def word_shingles(col, n: int = 3):
+    """Distinct word n-gram shingles of the normalized text (built-in
+    array ops; empty/short docs yield the whole-doc shingle)."""
+    toks = F.split(normalize_text(col), " ")
+    k = F.size(toks) - (n - 1)
+    grams = F.when(
+        k >= 1,
+        F.transform(
+            F.sequence(F.lit(0), k - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array(normalize_text(col)))
+    return F.array_distinct(grams)
+
+
+def _perm_coeffs(num_perm: int, seed: int = 42) -> list[tuple[int, int]]:
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, _MERSENNE), rng.randrange(0, _MERSENNE))
+        for _ in range(num_perm)
+    ]
+
+
+def minhash_signature(
+    col,
+    num_perm: int = 64,
+    shingle_n: int = 3,
+    seed: int = 42,
+):
+    """Array<long> MinHash signature, entirely in built-in expressions.
+
+    The shingle set is hashed ONCE with xxhash64; each permutation is an
+    affine transform (a*h+b) mod M₆₁ over the base hashes — so the cost
+    is one array scan per permutation over already-hashed longs, not a
+    re-hash of the strings.
+    """
+    shingles = word_shingles(col, shingle_n)
+    base = F.transform(shingles, lambda s: F.abs(F.xxhash64(s)) % _MERSENNE)
+    sig = []
+    for a, b in _perm_coeffs(num_perm, seed):
+        sig.append(
+            F.array_min(
+                F.transform(
+                    base,
+                    lambda h: (h * F.lit(a) % _MERSENNE + F.lit(b)) % _MERSENNE,
+                )
+            )
+        )
+    return F.array(*sig)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """Candidate pairs whose exact shingle-Jaccard ≥ threshold, found via
+    banded MinHash-LSH.
+
+    Pipeline (per 100 TB reasoning):
+      1. one scan computing (id, shingles, signature);
+      2. explode to (band_idx, band_hash, id) — bands·n rows, narrow;
+      3. self-join on the band key = shuffle on band_hash only.
+         Identical-doc floods make hot buckets; AQE skew-join splits
+         them, and `distinct` collapses multi-band duplicates before the
+         expensive verify;
+      4. exact Jaccard verify joins shingle sets back by id (two hash
+         joins on id) — only for candidates, not the full pair space.
+    """
+    rows_per_band = num_perm // bands
+    assert rows_per_band * bands == num_perm, "bands must divide num_perm"
+
+    base = df.select(
+        F.col(id_col).alias("id"),
+        word_shingles(F.col(text_col), shingle_n).alias("shingles"),
+        minhash_signature(F.col(text_col), num_perm, shingle_n, seed).alias("sig"),
+    ).cache()
+
+    band_rows = base.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band_idx"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            "_",
+                            F.transform(
+                                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                                lambda x: x.cast("string"),
+                            ),
+                        )
+                    ).alias("band_hash"),
+                ),
+            )
+        ).alias("band"),
+    ).select("id", "band.band_idx", "band.band_hash")
+
+    l = band_rows.alias("l")
+    r = band_rows.alias("r")
+    candidates = (
+        l.join(
+            r,
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+
+    sh = base.select("id", "shingles")
+    verified = (
+        candidates.join(sh.withColumnsRenamed({"id": "id_a", "shingles": "sh_a"}), "id_a")
+        .join(sh.withColumnsRenamed({"id": "id_b", "shingles": "sh_b"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                4,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return verified
+
+
+def dedup_minhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **kwargs,
+) -> DataFrame:
+    """Fuzzy dedup: drop every doc that near-duplicates a lower-id doc.
+
+    Connected-component-lite: a doc survives unless it pairs (as the
+    higher id) with any other doc — single-linkage one level deep, the
+    standard large-corpus compromise (full transitive closure needs
+    iterative joins; see GraphFrames-style CC for the exact variant).
+    """
+    pairs = minhash_lsh_pairs(df, text_col, id_col, **kwargs)
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, on=id_col, how="left_anti")
+
+
+# --- SimHash -----------------------------------------------------------------
+
+@F.pandas_udf(LongType())
+def _simhash_from_hashes(hashes: pd.Series) -> pd.Series:
+    """64-bit SimHash from an array<long> of token hashes (Arrow-batched;
+    one numpy pass per batch instead of 64 SQL array scans)."""
+    import numpy as np
+
+    out = np.zeros(len(hashes), dtype=np.int64)
+    bit_idx = np.arange(64, dtype=np.uint64)
+    for i, hs in enumerate(hashes):
+        if hs is None or len(hs) == 0:
+            continue
+        arr = np.asarray(hs, dtype=np.int64).astype(np.uint64)
+        bits = (arr[:, None] >> bit_idx) & np.uint64(1)
+        votes = bits.sum(axis=0) * 2 - len(arr)  # +1/-1 vote per token
+        sim = np.uint64(0)
+        for b in np.nonzero(votes > 0)[0]:
+            sim |= np.uint64(1) << np.uint64(b)
+        out[i] = np.int64(sim)
+    return pd.Series(out)
+
+
+def simhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, simhash) — token hashing stays JVM-side (xxhash64); only the
+    bit-vote fold crosses to Python, Arrow-batched."""
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    return df.select(
+        F.col(id_col).alias("id"),
+        _simhash_from_hashes(hashes).alias("simhash"),
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    max_hamming: int = 8,
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) ≤ max_hamming.
+
+    Candidates via 4×16-bit chunk banding (pigeonhole: any pair within
+    Hamming 3·chunk bits shares ≥1 exact chunk; for max_hamming ≤ 48
+    this is exact candidate cover with 4 chunks... practically, ≤15 with
+    4 chunks guarantees a shared chunk only for ≤3 differing chunks —
+    standard SimHash banding recall).
+    """
+    sigs = simhash_signatures(df, text_col, id_col).cache()
+    chunks = sigs.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(3)),
+                lambda i: F.struct(
+                    i.alias("chunk_idx"),
+                    F.shiftright("simhash", i * 16)
+                    .bitwiseAND(F.lit(0xFFFF))
+                    .alias("chunk_val"),
+                ),
+            )
+        ).alias("c"),
+    ).select("id", "simhash", "c.chunk_idx", "c.chunk_val")
+
+    l, r = chunks.alias("l"), chunks.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.chunk_idx") == F.col("r.chunk_idx"))
+            & (F.col("l.chunk_val") == F.col("r.chunk_val"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.bit_count(
+                F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+# --- exact n-gram Jaccard (SQL-expressible oracle baseline) ------------------
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """All pairs with exact word-n-gram Jaccard ≥ threshold via explode +
+    equi-join on the shingle (shuffles on shingle hash — the exact
+    baseline that LSH approximates with bounded shuffle width)."""
+    sh = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
+        )
+    )
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    l, r = sh.alias("l"), sh.alias("r")
+    common = (
+        l.join(r, (F.col("l.shingle") == F.col("r.shingle")) & (F.col("l.id") < F.col("r.id")))
+        .groupBy(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        common.join(sizes.withColumnsRenamed({"id": "id_a", "n_sh": "n_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"id": "id_b", "n_sh": "n_b"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                4,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

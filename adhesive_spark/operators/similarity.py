@@ -1,0 +1,180 @@
+"""Similarity search over embedding columns (SURVEY §2.3 north-star).
+
+Embeddings are ``array<float>`` columns. Two paths:
+
+- :func:`knn_bruteforce` — exact cosine top-k. The query set is
+  broadcast (it is small by construction); the corpus streams through a
+  single projection + per-query top-k window. No corpus shuffle except
+  the final top-k aggregation, which moves only k rows per query per
+  partition (TakeOrdered-style).
+- :func:`knn_lsh` / :func:`embedding_neardup_pairs` — random-hyperplane
+  (sign) LSH: bucket on sign-bit bands, search within buckets. This is
+  the 100 TB path: candidate generation is an equi-join on band keys.
+
+Dot products use built-in higher-order functions (``zip_with`` +
+``aggregate`` — JVM-side, no Python in the loop).
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a):
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+
+
+def cosine(a, b):
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def knn_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k by cosine for each query vector.
+
+    ``queries``: (query_id, embedding). Broadcast-joined against the
+    corpus; ranking window partitioned by query id. Ties broken by
+    corpus id for determinism.
+    """
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("__qvec")
+    )
+    scored = corpus.select(
+        F.col(id_col), F.col(vec_col).alias("__cvec")
+    ).crossJoin(F.broadcast(q)).select(
+        query_id_col,
+        id_col,
+        F.round(cosine(F.col("__cvec"), F.col("__qvec")), 6).alias("sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("sim").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, "sim", "rank")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    rng = random.Random(seed)
+    return [
+        [rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)
+    ]
+
+
+def lsh_bucket(vec_col, dim: int, *, n_planes: int = 16, seed: int = 42):
+    """Random-hyperplane sign signature packed into a long bucket key."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        p = F.array(*[F.lit(float(v)) for v in plane])
+        bit = F.when(dot(vec_col, p) >= 0, F.lit(1)).otherwise(F.lit(0))
+        bucket = bucket + (bit.cast("long") * F.lit(1 << i))
+    return bucket
+
+
+def knn_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: compare only within the query's LSH bucket.
+    Recall depends on n_planes (fewer planes → bigger buckets → higher
+    recall & cost). At 100 TB the bucket join replaces the cross join —
+    shuffle on bucket key instead of full scan per query."""
+    cb = corpus.select(
+        F.col(id_col),
+        F.col(vec_col).alias("__cvec"),
+        lsh_bucket(F.col(vec_col), dim, n_planes=n_planes, seed=seed).alias("__bucket"),
+    )
+    qb = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("__qvec"),
+        lsh_bucket(F.col(vec_col), dim, n_planes=n_planes, seed=seed).alias("__bucket"),
+    )
+    scored = cb.join(F.broadcast(qb), "__bucket").select(
+        query_id_col,
+        id_col,
+        F.round(cosine(F.col("__cvec"), F.col("__qvec")), 6).alias("sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("sim").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, "sim", "rank")
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    *,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    use_lsh: bool = False,
+    n_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Pairs with cosine ≥ threshold.
+
+    Exact mode self-joins the full corpus (O(n²) scores — fine for
+    modest n, and the oracle-checkable baseline). LSH mode joins only
+    within sign-signature buckets: near-identical vectors collide with
+    high probability; shuffle is bucket-sized, the 100 TB path.
+    """
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    if use_lsh:
+        if dim is None:
+            raise ValueError("dim required for LSH mode")
+        base = base.withColumn(
+            "__bucket", lsh_bucket(F.col("vec"), dim, n_planes=n_planes, seed=seed)
+        )
+        cond_cols = ["__bucket"]
+        l, r = base.alias("l"), base.alias("r")
+        joined = l.join(
+            r,
+            (F.col("l.__bucket") == F.col("r.__bucket"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+    else:
+        l, r = base.alias("l"), base.alias("r")
+        joined = l.join(r, F.col("l.id") < F.col("r.id"))
+    return (
+        joined.select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.round(cosine(F.col("l.vec"), F.col("r.vec")), 6).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+    )

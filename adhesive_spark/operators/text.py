@@ -1,0 +1,145 @@
+"""Text-analysis operators for training-data pipelines.
+
+All hot-path computation is built-in ``pyspark.sql.functions`` (JVM-side,
+whole-stage codegen) — no Python UDFs. Each operator returns Column
+expressions so they compose into a single projection over the corpus
+(one scan, no shuffles at 100 TB).
+
+Extends the reference's delegated scalar-function surface (SURVEY §2.3)
+with: tokenization, token counting, quality scoring, language-ID
+(n-gram/stopword heuristic), and document fingerprinting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Tiny per-language marker lexicons for the heuristic language scorer.
+#: Deliberately small and SQL-expressible so the same scoring is
+#: reproducible in any ANSI engine (the correctness oracle).
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is", "that", "with"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "mit"),
+    "fr": ("le", "la", "les", "et", "est", "que", "pour"),
+    "es": ("el", "los", "las", "es", "que", "para", "una"),
+}
+
+STOPWORDS_EN = (
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "this", "for", "on", "with", "as", "was", "at", "by",
+)
+
+
+def normalize_text(col) -> Column:
+    """Lowercase + whitespace-collapse + trim — the canonical form used
+    by fingerprinting and dedup shingling."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def tokens(col) -> Column:
+    """Whitespace tokens of the normalized text."""
+    return F.split(normalize_text(col), " ")
+
+
+def token_count(col) -> Column:
+    return F.size(tokens(col))
+
+
+def char_count(col) -> Column:
+    return F.length(col)
+
+
+def token_estimate_bpe(col) -> Column:
+    """BPE-ish token-count estimate: ~4 chars/token heuristic, floored
+    by the whitespace token count."""
+    return F.greatest(
+        F.ceil(F.length(normalize_text(col)) / F.lit(4.0)).cast("long"),
+        token_count(col).cast("long"),
+    )
+
+
+def stopword_ratio(col, stopwords: tuple[str, ...] = STOPWORDS_EN) -> Column:
+    toks = tokens(col)
+    stops = F.array(*[F.lit(s) for s in stopwords])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stops, t)))
+    return F.round(n_stop / F.greatest(F.size(toks), F.lit(1)), 4)
+
+
+def uppercase_ratio(col) -> Column:
+    n_upper = F.length(F.regexp_replace(col, "[^A-Z]", ""))
+    return F.round(n_upper / F.greatest(F.length(col), F.lit(1)), 4)
+
+
+def punct_ratio(col) -> Column:
+    n_punct = F.length(F.regexp_replace(col, r"[^.,!?;:]", ""))
+    return F.round(n_punct / F.greatest(F.length(col), F.lit(1)), 4)
+
+
+def mean_word_length(col) -> Column:
+    toks = tokens(col)
+    total = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    return F.round(total / F.greatest(F.size(toks), F.lit(1)), 2)
+
+
+def quality_score(col) -> Column:
+    """Composite [0,1] quality heuristic: length band + stopword presence
+    - punctuation/uppercase noise. Deterministic, SQL-expressible."""
+    n_chars = F.length(col)
+    length_ok = F.when((n_chars >= 100) & (n_chars <= 20000), 1.0).otherwise(0.3)
+    stop_component = F.least(stopword_ratio(col) * 4, F.lit(1.0))
+    noise = F.least(punct_ratio(col) * 5 + uppercase_ratio(col) * 2, F.lit(1.0))
+    return F.round(0.4 * length_ok + 0.4 * stop_component + 0.2 * (1 - noise), 4)
+
+
+def lang_scores(col) -> dict[str, Column]:
+    """Marker-hit count per language over the token set."""
+    toks = tokens(col)
+    out = {}
+    for lang, markers in LANG_MARKERS.items():
+        marks = F.array(*[F.lit(m) for m in markers])
+        out[lang] = F.size(F.filter(toks, lambda t: F.array_contains(marks, t)))
+    return out
+
+
+def lang_id(col, min_hits: int = 1) -> Column:
+    """Argmax language by marker hits; ties broken by the fixed language
+    order in LANG_MARKERS; 'und' (undetermined) below ``min_hits``."""
+    scores = lang_scores(col)
+    langs = list(scores)
+    best = None
+    # Build a strictly-greater chain so the FIRST language wins ties.
+    expr = F.lit("und")
+    best_score = F.lit(-1)
+    for lang in reversed(langs):
+        s = scores[lang]
+        cond = (s >= min_hits) & (s >= best_score)
+        expr = F.when(cond, F.lit(lang)).otherwise(expr)
+        best_score = F.greatest(s, best_score)
+    return expr
+
+
+def fingerprint(col) -> Column:
+    """Deterministic document fingerprint: md5 of the normalized text
+    (exact-dedup key; portable to any engine)."""
+    return F.md5(normalize_text(col))
+
+
+def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-scan projection computing the full text-analysis profile."""
+    c = F.col(text_col)
+    return df.select(
+        "*",
+        char_count(c).alias("n_chars_computed"),
+        token_count(c).alias("n_tokens"),
+        token_estimate_bpe(c).alias("n_tokens_bpe"),
+        stopword_ratio(c).alias("stop_ratio"),
+        punct_ratio(c).alias("p_punct"),
+        uppercase_ratio(c).alias("p_upper"),
+        mean_word_length(c).alias("mean_wlen"),
+        quality_score(c).alias("quality"),
+        lang_id(c).alias("lang_pred"),
+        fingerprint(c).alias("doc_fp"),
+    )

@@ -1,0 +1,658 @@
+"""Relational-surface query suite (SURVEY §2.2).
+
+The reference inherits its whole relational surface from the embedded
+DataFusion engine (Cargo.toml:17; only projection+UDF is exercised by its
+tests, tests/factory.rs:39). We inherit the same surface from Spark SQL /
+Catalyst, and verify each delegated operator category with one
+oracle-checked query over the driver testdata.
+
+Design rules for 100 TB survivability:
+
+- Declarative DataFrame/SQL only — Catalyst gets full freedom (pushdown,
+  pruning, join selection, partial aggregation).
+- Small dimensions (region/nation/supplier/part at these ratios) are
+  explicitly ``broadcast()`` where Catalyst's size estimate might not see
+  it (e.g. after filters).
+- Every aggregate/computed column is aliased identically in the Spark
+  plan and the DuckDB oracle (driver compares by column name).
+- Double aggregates are ROUNDed (2-4 decimals) in both engines: partial
+  aggregation order differs, IEEE error ~1e-9 relative, far below the
+  rounding grain.
+- Timestamps cross the Spark/DuckDB boundary as epoch microseconds
+  (``unix_micros`` / ``epoch_us``) — exact integers, no tz or rounding
+  ambiguity.
+- LIMIT/top-k queries carry a full deterministic tiebreak ordering.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from adhesive_spark.sources.registry import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def _us(col) -> F.Column:
+    """Epoch microseconds of a timestamp column — the canonical
+    cross-engine representation (matches DuckDB ``epoch_us``). The table
+    timestamps read as TIMESTAMP_NTZ; with the session fixed to UTC the
+    cast to TIMESTAMP is instant-preserving."""
+    if isinstance(col, str):
+        col = F.col(col)
+    return F.unix_micros(col.cast("timestamp"))
+
+
+# --- scans / projection / filter -------------------------------------------
+
+def q02_filter_project(spark, sf_dir):
+    """Filter + projection — both must reach the parquet scan
+    (PushedFilters / pruned ReadSchema in .explain)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1996-04-01")
+            & (F.col("l_quantity") >= 45)
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round("l_quantity", 1).alias("qty"),
+            _us("l_shipdate").alias("ship_us"),
+        )
+    )
+
+
+# --- aggregation -------------------------------------------------------------
+
+def q01_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 analog: the flagship hash aggregate (partial+final)."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.where(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 1).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 1).alias("sum_base_price"),
+            F.round(F.sum(disc), 1).alias("sum_disc_price"),
+            F.round(F.sum(disc * (1 + F.col("l_tax"))), 1).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q06_revenue_forecast(spark, sf_dir):
+    """Selective filter + global agg (TPC-H Q6 analog) — single row."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 1).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def q15_distinct_agg(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct("l_partkey").alias("n_part"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+# --- joins -------------------------------------------------------------------
+
+def q07_broadcast_dims(spark, sf_dir):
+    """Star join with explicitly broadcast dimensions — at 100 TB the fact
+    side never shuffles for this plan (BroadcastHashJoin)."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_cust"),
+            F.round(F.avg("c_acctbal"), 2).alias("avg_bal"),
+        )
+    )
+
+
+def q03_top_unshipped_orders(spark, sf_dir):
+    """3-way join + agg + deterministic top-k (TPC-H Q3 analog)."""
+    c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderdate") < "1998-01-01")
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > "1998-01-01")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 1
+            ).alias("revenue"),
+            _us(F.min("o_orderdate")).alias("orderdate_us"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+def q05_regional_revenue(spark, sf_dir):
+    """6-way join with broadcast dims (TPC-H Q5 analog)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .where(c.c_nationkey == s.s_nationkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 1
+            ).alias("revenue")
+        )
+    )
+
+
+def q04_semi_join(spark, sf_dir):
+    """EXISTS → left-semi join (TPC-H Q4 analog)."""
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-07-01")
+    )
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_quantity") > 48)
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+def q08_anti_join(spark, sf_dir):
+    """NOT EXISTS → left-anti join: customers with no 2001 orders."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderdate") >= "2001-01-01")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_cust"),
+            F.round(F.sum("c_acctbal"), 2).alias("bal_sum"),
+        )
+    )
+
+
+def q09_theta_join(spark, sf_dir):
+    """Equi + theta (non-equi residual) join condition."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    return (
+        li.join(
+            F.broadcast(p),
+            (li.l_partkey == p.p_partkey)
+            & (li.l_extendedprice > p.p_retailprice * 30),
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum("l_extendedprice"), 1).alias("price_sum"),
+        )
+    )
+
+
+def q19_scalar_subquery(spark, sf_dir):
+    """Scalar subquery in predicate (delegated to Catalyst)."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               COUNT(*) AS n_above,
+               ROUND(AVG(o_totalprice), 2) AS avg_above
+        FROM orders
+        WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
+        GROUP BY o_orderstatus
+        """
+    )
+
+
+# --- windows -----------------------------------------------------------------
+
+def q10_window_rank(spark, sf_dir):
+    """Ranking window: top-3 orders per customer."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "rn",
+            F.round("o_totalprice", 2).alias("price"),
+        )
+    )
+
+
+def q11_window_running(spark, sf_dir):
+    """Analytic window: running aggregates + lag over event time."""
+    e = _t(spark, sf_dir, "events").where(F.col("user_id") < 20)
+    order = [F.col("ts"), F.col("event_id")]
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wlag = Window.partitionBy("user_id").orderBy(*order)
+    return e.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).alias("running_cnt"),
+        F.round(F.sum("value").over(w), 2).alias("running_sum"),
+        F.round(F.col("value") - F.lag("value").over(wlag), 2).alias("delta"),
+    )
+
+
+# --- grouping sets / rollup / cube ------------------------------------------
+
+def q12_rollup(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("o_totalprice"), 1).alias("price_sum"),
+    )
+
+
+def q13_cube(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("l_quantity"), 1).alias("qty_sum"),
+    )
+
+
+def q14_grouping_sets(spark, sf_dir):
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+# --- set operations ----------------------------------------------------------
+
+def q16_set_ops(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    building = c.where(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    big = o.where(F.col("o_totalprice") > 300000).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    negbal = c.where(F.col("c_acctbal") < 0).select(
+        F.col("c_custkey").alias("custkey")
+    )
+    fstatus = o.where(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return building.intersect(big).union(negbal.exceptAll(fstatus).distinct()).distinct()
+
+
+# --- sorts / limits ----------------------------------------------------------
+
+def q20_topk(spark, sf_dir):
+    """Top-k: Catalyst compiles orderBy+limit to TakeOrderedAndProject —
+    no global sort at scale."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.orderBy(
+            F.col("l_extendedprice").desc(), F.col("l_orderkey"), F.col("l_linenumber")
+        )
+        .limit(20)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round("l_extendedprice", 2).alias("price"),
+            F.round("l_quantity", 1).alias("qty"),
+        )
+    )
+
+
+# --- scalar function library -------------------------------------------------
+
+def q17_scalar_functions(spark, sf_dir):
+    """String/math scalar function sample (delegated library)."""
+    p = _t(spark, sf_dir, "part").where(F.col("p_partkey") % 37 == 0)
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("uname"),
+        F.substring("p_type", 1, 6).alias("type6"),
+        F.length("p_name").alias("name_len"),
+        F.concat_ws("#", "p_brand", "p_type").alias("brand_type"),
+        F.round(F.col("p_retailprice") * 1.1, 2).alias("price_infl"),
+        F.abs(F.col("p_size") - 25).alias("size_dist"),
+        (F.col("p_size") % 7).alias("size_mod"),
+    )
+
+
+def q18_datetime_json(spark, sf_dir):
+    """Date/time + JSON extraction sample."""
+    e = _t(spark, sf_dir, "events").where(F.col("event_id") % 101 == 0)
+    return e.select(
+        "event_id",
+        F.year("ts").alias("y"),
+        F.month("ts").alias("m"),
+        F.dayofmonth("ts").alias("d"),
+        F.hour("ts").alias("h"),
+        _us(F.date_trunc("hour", F.col("ts"))).alias("hour_us"),
+        F.get_json_object("props", "$.k").cast("int").alias("prop_k"),
+    )
+
+
+def q21_case_expr(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    bucket = (
+        F.when(F.col("l_quantity") < 10, "small")
+        .when(F.col("l_quantity") < 30, "medium")
+        .otherwise("large")
+    )
+    return (
+        li.groupBy(bucket.alias("qty_bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+        )
+    )
+
+
+# --- time-bucketed aggregation ----------------------------------------------
+
+def q22_tumbling_window(spark, sf_dir):
+    """Tumbling 1-hour windows over event time (batch analog of the
+    streaming window operator; same F.window is used in streaming)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("value_sum"),
+        )
+        .select(
+            _us(F.col("w.start")).alias("bucket_us"),
+            "event_type",
+            "n",
+            "value_sum",
+        )
+    )
+
+
+RELATIONAL_QUERIES = {
+    "q01_pricing_summary": q01_pricing_summary,
+    "q02_filter_project": q02_filter_project,
+    "q03_top_unshipped_orders": q03_top_unshipped_orders,
+    "q04_semi_join": q04_semi_join,
+    "q05_regional_revenue": q05_regional_revenue,
+    "q06_revenue_forecast": q06_revenue_forecast,
+    "q07_broadcast_dims": q07_broadcast_dims,
+    "q08_anti_join": q08_anti_join,
+    "q09_theta_join": q09_theta_join,
+    "q10_window_rank": q10_window_rank,
+    "q11_window_running": q11_window_running,
+    "q12_rollup": q12_rollup,
+    "q13_cube": q13_cube,
+    "q14_grouping_sets": q14_grouping_sets,
+    "q15_distinct_agg": q15_distinct_agg,
+    "q16_set_ops": q16_set_ops,
+    "q17_scalar_functions": q17_scalar_functions,
+    "q18_datetime_json": q18_datetime_json,
+    "q19_scalar_subquery": q19_scalar_subquery,
+    "q20_topk": q20_topk,
+    "q21_case_expr": q21_case_expr,
+    "q22_tumbling_window": q22_tumbling_window,
+}
+
+
+RELATIONAL_ORACLES = {
+    "q01_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               ROUND(SUM(l_quantity), 1) AS sum_qty,
+               ROUND(SUM(l_extendedprice), 1) AS sum_base_price,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 1) AS sum_disc_price,
+               ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 1) AS sum_charge,
+               ROUND(AVG(l_quantity), 2) AS avg_qty,
+               ROUND(AVG(l_extendedprice), 2) AS avg_price,
+               ROUND(AVG(l_discount), 4) AS avg_disc,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "q02_filter_project": """
+        SELECT l_orderkey, l_linenumber,
+               ROUND(l_quantity, 1) AS qty,
+               epoch_us(l_shipdate) AS ship_us
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1996-04-01'
+          AND l_quantity >= 45
+    """,
+    "q03_top_unshipped_orders": """
+        SELECT l_orderkey,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 1) AS revenue,
+               epoch_us(MIN(o_orderdate)) AS orderdate_us
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+          AND l_shipdate > TIMESTAMP '1998-01-01'
+        GROUP BY l_orderkey
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10
+    """,
+    "q04_semi_join": """
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1996-07-01'
+          AND EXISTS (
+            SELECT 1 FROM lineitem
+            WHERE l_orderkey = o_orderkey AND l_quantity > 48
+          )
+        GROUP BY o_orderpriority
+    """,
+    "q05_regional_revenue": """
+        SELECT n_name,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 1) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND c_nationkey = s_nationkey
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY n_name
+    """,
+    "q06_revenue_forecast": """
+        SELECT ROUND(SUM(l_extendedprice * l_discount), 1) AS revenue,
+               COUNT(*) AS n_items
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+          AND l_discount >= 0.05 AND l_discount <= 0.07
+          AND l_quantity < 24
+    """,
+    "q07_broadcast_dims": """
+        SELECT r_name, n_name, COUNT(*) AS n_cust,
+               ROUND(AVG(c_acctbal), 2) AS avg_bal
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name
+    """,
+    "q08_anti_join": """
+        SELECT c_mktsegment, COUNT(*) AS n_cust,
+               ROUND(SUM(c_acctbal), 2) AS bal_sum
+        FROM customer
+        WHERE NOT EXISTS (
+          SELECT 1 FROM orders
+          WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2001-01-01'
+        )
+        GROUP BY c_mktsegment
+    """,
+    "q09_theta_join": """
+        SELECT p_brand, COUNT(*) AS n_items,
+               ROUND(SUM(l_extendedprice), 1) AS price_sum
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+                 AND l_extendedprice > p_retailprice * 30
+        GROUP BY p_brand
+    """,
+    "q10_window_rank": """
+        SELECT o_custkey, o_orderkey, rn, price FROM (
+          SELECT o_custkey, o_orderkey,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+                 ROUND(o_totalprice, 2) AS price
+          FROM orders
+        ) WHERE rn <= 3
+    """,
+    "q11_window_running": """
+        SELECT event_id, user_id,
+               COUNT(*) OVER w_run AS running_cnt,
+               ROUND(SUM(value) OVER w_run, 2) AS running_sum,
+               ROUND(value - LAG(value) OVER w_ord, 2) AS delta
+        FROM events
+        WHERE user_id < 20
+        WINDOW
+          w_run AS (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+          w_ord AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    "q12_rollup": """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+               ROUND(SUM(o_totalprice), 1) AS price_sum
+        FROM orders
+        GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    "q13_cube": """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+               ROUND(SUM(l_quantity), 1) AS qty_sum
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    "q14_grouping_sets": """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    "q15_distinct_agg": """
+        SELECT l_returnflag,
+               COUNT(DISTINCT l_suppkey) AS n_supp,
+               COUNT(DISTINCT l_partkey) AS n_part,
+               COUNT(*) AS n_rows
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    "q16_set_ops": """
+        SELECT DISTINCT custkey FROM (
+          SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+          INTERSECT
+          SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 300000
+          UNION
+          SELECT DISTINCT custkey FROM (
+            SELECT c_custkey AS custkey FROM customer WHERE c_acctbal < 0
+            EXCEPT ALL
+            SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+          )
+        )
+    """,
+    "q17_scalar_functions": """
+        SELECT p_partkey,
+               UPPER(p_name) AS uname,
+               SUBSTRING(p_type, 1, 6) AS type6,
+               LENGTH(p_name) AS name_len,
+               CONCAT_WS('#', p_brand, p_type) AS brand_type,
+               ROUND(p_retailprice * 1.1, 2) AS price_infl,
+               ABS(p_size - 25) AS size_dist,
+               p_size % 7 AS size_mod
+        FROM part WHERE p_partkey % 37 = 0
+    """,
+    "q18_datetime_json": """
+        SELECT event_id,
+               YEAR(ts) AS y, MONTH(ts) AS m, DAY(ts) AS d, HOUR(ts) AS h,
+               epoch_us(date_trunc('hour', ts)) AS hour_us,
+               CAST(json_extract_string(props, '$.k') AS INTEGER) AS prop_k
+        FROM events WHERE event_id % 101 = 0
+    """,
+    "q19_scalar_subquery": """
+        SELECT o_orderstatus,
+               COUNT(*) AS n_above,
+               ROUND(AVG(o_totalprice), 2) AS avg_above
+        FROM orders
+        WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
+        GROUP BY o_orderstatus
+    """,
+    "q20_topk": """
+        SELECT l_orderkey, l_linenumber,
+               ROUND(l_extendedprice, 2) AS price,
+               ROUND(l_quantity, 1) AS qty
+        FROM lineitem
+        ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+        LIMIT 20
+    """,
+    "q21_case_expr": """
+        SELECT CASE WHEN l_quantity < 10 THEN 'small'
+                    WHEN l_quantity < 30 THEN 'medium'
+                    ELSE 'large' END AS qty_bucket,
+               COUNT(*) AS n,
+               ROUND(AVG(l_extendedprice), 2) AS avg_price
+        FROM lineitem
+        GROUP BY 1
+    """,
+    "q22_tumbling_window": """
+        SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS bucket_us,
+               event_type, COUNT(*) AS n,
+               ROUND(SUM(value), 2) AS value_sum
+        FROM events
+        GROUP BY 1, 2
+    """,
+}

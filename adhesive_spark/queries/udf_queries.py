@@ -1,0 +1,111 @@
+"""Queries exercising the CREATE FUNCTION factory end-to-end on real data
+(the reference's flagship shape: projection/aggregation over a registered
+UDF, tests/factory.rs:39 scaled up to the driver tables).
+
+Functions are declared DETERMINISTIC where they are (Spark, unlike
+DataFusion, rejects nondeterministic expressions inside aggregate
+arguments — found during verification; reference semantics default to
+volatile per src/fusion.rs:72 and stay available for projection).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from adhesive_spark.session import AdhesiveSession
+from adhesive_spark.sources.registry import load_table
+
+
+def _sess(spark: SparkSession) -> AdhesiveSession:
+    # AdhesiveSession is a thin stateless wrapper; the UDF registry lives
+    # in the SparkSession, so re-wrapping per query is free.
+    return AdhesiveSession(spark)
+
+
+def q23_udf_python_agg(spark, sf_dir):
+    """Row-at-a-time Python UDF (Arrow transport) inside an aggregate."""
+    sess = _sess(spark)
+    sess.sql(
+        "CREATE OR REPLACE FUNCTION q23_disc(DOUBLE, DOUBLE) RETURNS DOUBLE "
+        "DETERMINISTIC LANGUAGE PYTHON AS 'return arg0 * (1.0 - arg1)'"
+    )
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               ROUND(SUM(q23_disc(l_extendedprice, l_discount)), 1) AS disc_rev,
+               COUNT(*) AS n
+        FROM lineitem GROUP BY l_returnflag
+        """
+    )
+
+
+def q24_udf_vectorized(spark, sf_dir):
+    """Vectorized pandas UDF (LANGUAGE PANDAS) — the scale path for
+    Python compute: Arrow batches, columnar numpy ops."""
+    sess = _sess(spark)
+    sess.sql(
+        "CREATE OR REPLACE FUNCTION q24_charge(DOUBLE, DOUBLE, DOUBLE) "
+        "RETURNS DOUBLE DETERMINISTIC LANGUAGE PANDAS AS "
+        "'return arg0 * (1.0 - arg1) * (1.0 + arg2)'"
+    )
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_linestatus,
+               ROUND(AVG(q24_charge(l_extendedprice, l_discount, l_tax)), 2) AS avg_charge
+        FROM lineitem GROUP BY l_linestatus
+        """
+    )
+
+
+def q25_udf_sql_macro(spark, sf_dir):
+    """LANGUAGE SQL function: inlined by Catalyst, zero Python at runtime —
+    the fastest factory path (whole-stage codegen applies)."""
+    sess = _sess(spark)
+    sess.sql(
+        "CREATE OR REPLACE FUNCTION q25_margin(price DOUBLE, disc DOUBLE, qty DOUBLE) "
+        "RETURNS DOUBLE DETERMINISTIC LANGUAGE SQL AS "
+        "'price * (1.0 - disc) - qty * 100.0'"
+    )
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_linestatus,
+               COUNT(*) AS n_profitable,
+               ROUND(SUM(q25_margin(l_extendedprice, l_discount, l_quantity)), 1) AS margin_sum
+        FROM lineitem
+        WHERE q25_margin(l_extendedprice, l_discount, l_quantity) > 0
+        GROUP BY l_linestatus
+        """
+    )
+
+
+UDF_QUERIES = {
+    "q23_udf_python_agg": q23_udf_python_agg,
+    "q24_udf_vectorized": q24_udf_vectorized,
+    "q25_udf_sql_macro": q25_udf_sql_macro,
+}
+
+UDF_ORACLES = {
+    "q23_udf_python_agg": """
+        SELECT l_returnflag,
+               ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 1) AS disc_rev,
+               COUNT(*) AS n
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "q24_udf_vectorized": """
+        SELECT l_linestatus,
+               ROUND(AVG(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 2) AS avg_charge
+        FROM lineitem GROUP BY l_linestatus
+    """,
+    "q25_udf_sql_macro": """
+        SELECT l_linestatus,
+               COUNT(*) AS n_profitable,
+               ROUND(SUM(l_extendedprice * (1.0 - l_discount) - l_quantity * 100.0), 1) AS margin_sum
+        FROM lineitem
+        WHERE l_extendedprice * (1.0 - l_discount) - l_quantity * 100.0 > 0
+        GROUP BY l_linestatus
+    """,
+}

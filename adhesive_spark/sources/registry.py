@@ -10,6 +10,7 @@ formats are delegated to the embedded engine. Here both are Spark-native:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 #: The driver-generated TPC-H-ish star schema (TESTDATA.md).
 TABLES = (
@@ -27,7 +28,16 @@ TABLES = (
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # events.parquet carries nanosecond timestamps, which Spark's parquet
+    # reader rejects; read them as raw INT64 nanos and truncate to
+    # microsecond TIMESTAMP (identical to what DuckDB's ns→us cast does,
+    # so oracles agree). The conf is dynamic, safe to set per-load.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for field in df.schema.fields:
+        if field.name == "ts" and field.dataType.typeName() == "long":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def register_tables(
