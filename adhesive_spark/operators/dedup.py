@@ -37,8 +37,9 @@ from pyspark.sql.window import Window
 
 from adhesive_spark.operators.text import fingerprint, normalize_text
 
-# Mersenne prime used by the affine minhash permutations.
-_MERSENNE = (1 << 61) - 1
+# Mersenne prime 2^31-1: affine minhash permutations stay in 31-bit
+# space so a*h+b (< 2^61) never overflows ANSI-mode BIGINT arithmetic.
+_MERSENNE = (1 << 31) - 1
 
 
 def dedup_exact(
@@ -80,7 +81,7 @@ def word_shingles(col, n: int = 3):
 def _perm_coeffs(num_perm: int, seed: int = 42) -> list[tuple[int, int]]:
     rng = random.Random(seed)
     return [
-        (rng.randrange(1, _MERSENNE), rng.randrange(0, _MERSENNE))
+        (rng.randrange(1, 1 << 30), rng.randrange(0, _MERSENNE))
         for _ in range(num_perm)
     ]
 
@@ -94,19 +95,19 @@ def minhash_signature(
     """Array<long> MinHash signature, entirely in built-in expressions.
 
     The shingle set is hashed ONCE with xxhash64; each permutation is an
-    affine transform (a*h+b) mod M₆₁ over the base hashes — so the cost
+    affine transform (a*h+b) mod M₃₁ over the base hashes — so the cost
     is one array scan per permutation over already-hashed longs, not a
     re-hash of the strings.
     """
     shingles = word_shingles(col, shingle_n)
-    base = F.transform(shingles, lambda s: F.abs(F.xxhash64(s)) % _MERSENNE)
+    base = F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE)))
     sig = []
     for a, b in _perm_coeffs(num_perm, seed):
         sig.append(
             F.array_min(
                 F.transform(
                     base,
-                    lambda h: (h * F.lit(a) % _MERSENNE + F.lit(b)) % _MERSENNE,
+                    lambda h: (h * F.lit(a) + F.lit(b)) % _MERSENNE,
                 )
             )
         )
@@ -140,11 +141,27 @@ def minhash_lsh_pairs(
     rows_per_band = num_perm // bands
     assert rows_per_band * bands == num_perm, "bands must divide num_perm"
 
-    base = df.select(
+    # Materialization boundary BEFORE the 64 permutation expressions:
+    # without it, CollapseProject inlines the whole shingle+xxhash subtree
+    # into every one of the num_perm array_min expressions (observed 30s+
+    # of codegen at 500 docs). Caching (id, shingles, base-hashes) makes
+    # each permutation a small affine scan over an InMemoryRelation column.
+    hashed = df.select(
         F.col(id_col).alias("id"),
         word_shingles(F.col(text_col), shingle_n).alias("shingles"),
-        minhash_signature(F.col(text_col), num_perm, shingle_n, seed).alias("sig"),
+    ).withColumn(
+        "base", F.transform("shingles", lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE)))
     ).cache()
+
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform("base", lambda h: (h * F.lit(a) + F.lit(b)) % _MERSENNE)
+            )
+            for a, b in _perm_coeffs(num_perm, seed)
+        ]
+    )
+    base = hashed.select("id", "shingles", sig.alias("sig"))
 
     band_rows = base.select(
         "id",
@@ -231,7 +248,8 @@ def _simhash_from_hashes(hashes: pd.Series) -> pd.Series:
             continue
         arr = np.asarray(hs, dtype=np.int64).astype(np.uint64)
         bits = (arr[:, None] >> bit_idx) & np.uint64(1)
-        votes = bits.sum(axis=0) * 2 - len(arr)  # +1/-1 vote per token
+        # signed accumulator: uint64 would underflow when ones < n/2
+        votes = bits.sum(axis=0).astype(np.int64) * 2 - len(arr)
         sim = np.uint64(0)
         for b in np.nonzero(votes > 0)[0]:
             sim |= np.uint64(1) << np.uint64(b)
@@ -272,14 +290,16 @@ def simhash_pairs(
         "id",
         "simhash",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(3)),
-                lambda i: F.struct(
-                    i.alias("chunk_idx"),
-                    F.shiftright("simhash", i * 16)
-                    .bitwiseAND(F.lit(0xFFFF))
-                    .alias("chunk_val"),
-                ),
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk_idx"),
+                        F.shiftright("simhash", i * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("chunk_val"),
+                    )
+                    for i in range(4)
+                ]
             )
         ).alias("c"),
     ).select("id", "simhash", "c.chunk_idx", "c.chunk_val")

@@ -59,21 +59,33 @@ def token_estimate_bpe(col) -> Column:
     )
 
 
+def fround(expr, k: int) -> Column:
+    """Floor-based fixed-point rounding: floor(x·10^k)/10^k.
+
+    Used instead of ROUND for exact-ratio columns because engines
+    disagree on half-boundary doubles (Spark rounds the shortest decimal
+    repr HALF_UP; DuckDB rounds the exact binary value) — floor of an
+    identical double is identical everywhere. Non-negative inputs only.
+    """
+    scale = float(10**k)
+    return F.floor(expr * scale) / F.lit(scale)
+
+
 def stopword_ratio(col, stopwords: tuple[str, ...] = STOPWORDS_EN) -> Column:
     toks = tokens(col)
     stops = F.array(*[F.lit(s) for s in stopwords])
     n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stops, t)))
-    return F.round(n_stop / F.greatest(F.size(toks), F.lit(1)), 4)
+    return fround(n_stop / F.greatest(F.size(toks), F.lit(1)), 4)
 
 
 def uppercase_ratio(col) -> Column:
     n_upper = F.length(F.regexp_replace(col, "[^A-Z]", ""))
-    return F.round(n_upper / F.greatest(F.length(col), F.lit(1)), 4)
+    return fround(n_upper / F.greatest(F.length(col), F.lit(1)), 4)
 
 
 def punct_ratio(col) -> Column:
     n_punct = F.length(F.regexp_replace(col, r"[^.,!?;:]", ""))
-    return F.round(n_punct / F.greatest(F.length(col), F.lit(1)), 4)
+    return fround(n_punct / F.greatest(F.length(col), F.lit(1)), 4)
 
 
 def mean_word_length(col) -> Column:
@@ -81,7 +93,7 @@ def mean_word_length(col) -> Column:
     total = F.aggregate(
         toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
     )
-    return F.round(total / F.greatest(F.size(toks), F.lit(1)), 2)
+    return fround(total / F.greatest(F.size(toks), F.lit(1)), 2)
 
 
 def quality_score(col) -> Column:
@@ -91,7 +103,7 @@ def quality_score(col) -> Column:
     length_ok = F.when((n_chars >= 100) & (n_chars <= 20000), 1.0).otherwise(0.3)
     stop_component = F.least(stopword_ratio(col) * 4, F.lit(1.0))
     noise = F.least(punct_ratio(col) * 5 + uppercase_ratio(col) * 2, F.lit(1.0))
-    return F.round(0.4 * length_ok + 0.4 * stop_component + 0.2 * (1 - noise), 4)
+    return fround(0.4 * length_ok + 0.4 * stop_component + 0.2 * (1 - noise), 4)
 
 
 def lang_scores(col) -> dict[str, Column]:

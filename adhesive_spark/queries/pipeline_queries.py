@@ -1,0 +1,344 @@
+"""Training-data-pipeline queries (SURVEY §2.3 north-star operators),
+each exposed through the driver contract with a DuckDB oracle wherever
+the semantics are SQL-expressible; hash-based LSH internals
+(minhash/simhash/hyperplane buckets) use engine-specific hash functions,
+so those get rows-only checks while their EXACT counterparts
+(ngram-Jaccard, brute-force cosine) are fully oracle-verified.
+
+The oracle SQL mirrors the Spark expressions constant-for-constant;
+shared lexicons are interpolated from the same Python tuples so the two
+can't drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from adhesive_spark.operators.asof import asof_join
+from adhesive_spark.operators.dedup import (
+    dedup_exact,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from adhesive_spark.operators.multimodal import (
+    decode_media,
+    frame_sample_plan,
+    synthesize_media,
+)
+from adhesive_spark.operators.similarity import (
+    embedding_neardup_pairs,
+    knn_bruteforce,
+    knn_lsh,
+)
+from adhesive_spark.operators.text import LANG_MARKERS, STOPWORDS_EN, text_profile
+from adhesive_spark.sources.registry import load_table
+
+# --- shared SQL fragments (DuckDB dialect) -----------------------------------
+
+_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_TOKS = f"string_split({_NORM}, ' ')"
+
+
+def _sql_in_list(words) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+def _sql_lang_score(lang: str) -> str:
+    markers = _sql_in_list(LANG_MARKERS[lang])
+    return f"len(list_filter(toks, t -> t IN ({markers})))"
+
+
+# --- queries -----------------------------------------------------------------
+
+def q30_dedup_exact(spark, sf_dir):
+    """Exact dedup via fingerprint groupBy (deterministic survivor =
+    min doc_id)."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = dedup_exact(docs, "text", "doc_id")
+    return out.select("doc_id", "dup_count")
+
+
+def q31_text_profile(spark, sf_dir):
+    """Full text-analysis profile, one scan, all built-ins."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text_profile(docs, "text").select(
+        "doc_id",
+        "n_tokens",
+        "n_tokens_bpe",
+        "stop_ratio",
+        "p_punct",
+        "p_upper",
+        "mean_wlen",
+        "quality",
+        "lang_pred",
+        "doc_fp",
+    )
+
+
+def q33_ngram_jaccard(spark, sf_dir):
+    """Exact n-gram Jaccard near-dup pairs (the SQL-expressible fuzzy
+    baseline that LSH approximates)."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    return ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.2)
+
+
+def q34_embedding_neardup(spark, sf_dir):
+    """Exact cosine near-dup pairs over the embeddings table."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    emb = emb.withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    return embedding_neardup_pairs(emb, threshold=0.4, id_col="vec_id")
+
+
+def q35_knn_bruteforce(spark, sf_dir):
+    """Exact cosine top-5 neighbors for the first 10 vectors as queries."""
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.where(F.col("vec_id") >= 10)
+    return knn_bruteforce(corpus, queries, k=5, id_col="vec_id")
+
+
+def q36_asof_join(spark, sf_dir):
+    """As-of join: for each purchase event, the user's most recent
+    prior-or-equal click."""
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = events.where(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("click_event_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    joined = asof_join(
+        purchases, clicks, on="ts", by="user_id",
+        right_cols=["click_event_id", "click_ts"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "click_event_id",
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.col("click_ts").cast("timestamp"))
+        ).alias("wait_us"),
+    )
+
+
+def q37_minhash_pairs(spark, sf_dir):
+    """MinHash-LSH near-dup candidates, exact-Jaccard verified.
+    Hash permutations are Spark-specific (xxhash64) → rows-only check;
+    q33 is the oracle-checked exact twin."""
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        docs, "text", "doc_id", num_perm=64, bands=16, threshold=0.2
+    ).orderBy("id_a", "id_b")
+
+
+def q38_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs (Hamming ≤ 3 over 64-bit signatures) —
+    rows-only check (xxhash64-based bit votes)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_pairs(docs, "text", "doc_id", max_hamming=3).orderBy(
+        "id_a", "id_b"
+    )
+
+
+def q39_knn_lsh(spark, sf_dir):
+    """Sign-LSH approximate top-5 — rows-only (bucket boundaries are
+    hyperplane-seed-specific); exact recall twin is q35."""
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.where(F.col("vec_id") >= 10)
+    return knn_lsh(corpus, queries, dim=64, k=5, n_planes=8, id_col="vec_id")
+
+
+def q40_multimodal_decode(spark, sf_dir):
+    """Multimodal plumbing end-to-end: synthesize media rows → Arrow
+    mapInPandas decode (stub codec, deterministic sha-derived dims)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_media(synthesize_media(docs))
+
+
+def q41_frame_sample(spark, sf_dir):
+    """Video frame-sampling plan: one row per sampled frame index."""
+    docs = load_table(spark, sf_dir, "documents")
+    decoded = decode_media(synthesize_media(docs))
+    plan = frame_sample_plan(decoded, every_n=10)
+    return plan.groupBy("media_id", "n_frames").agg(
+        F.count("*").alias("n_sampled")
+    )
+
+
+PIPELINE_QUERIES = {
+    "q30_dedup_exact": q30_dedup_exact,
+    "q31_text_profile": q31_text_profile,
+    "q33_ngram_jaccard": q33_ngram_jaccard,
+    "q34_embedding_neardup": q34_embedding_neardup,
+    "q35_knn_bruteforce": q35_knn_bruteforce,
+    "q36_asof_join": q36_asof_join,
+    "q37_minhash_pairs": q37_minhash_pairs,
+    "q38_simhash_pairs": q38_simhash_pairs,
+    "q39_knn_lsh": q39_knn_lsh,
+    "q40_multimodal_decode": q40_multimodal_decode,
+    "q41_frame_sample": q41_frame_sample,
+}
+
+
+def _byte_from_hex(hexpr: str, pos: int) -> str:
+    """DuckDB int value of the byte at 1-based hex-pair position."""
+    c1 = f"substr({hexpr}, {2 * pos - 1}, 1)"
+    c2 = f"substr({hexpr}, {2 * pos}, 1)"
+    return (
+        f"((strpos('0123456789abcdef', {c1}) - 1) * 16 "
+        f"+ (strpos('0123456789abcdef', {c2}) - 1))"
+    )
+
+
+# DuckDB 1.0's sha256 takes VARCHAR only; the corpus is ASCII so hashing
+# the substring directly equals hashing its utf-8 payload bytes.
+_SHA = "sha256(substring(text, 1, 256))"
+_MTYPE = "(['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1]"
+
+PIPELINE_ORACLES = {
+    "q30_dedup_exact": f"""
+        SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_count
+        FROM documents
+        GROUP BY md5({_NORM})
+    """,
+    "q31_text_profile": f"""
+        WITH t AS (
+          SELECT doc_id, text, {_NORM} AS norm, {_TOKS} AS toks
+          FROM documents
+        ),
+        r AS (
+          SELECT doc_id, text, norm, toks,
+                 floor(len(list_filter(toks, t -> t IN ({_sql_in_list(STOPWORDS_EN)})))
+                       / greatest(len(toks), 1) * 10000) / 10000 AS stop_ratio,
+                 floor(length(regexp_replace(text, '[^.,!?;:]', '', 'g'))
+                       / greatest(length(text), 1) * 10000) / 10000 AS p_punct,
+                 floor(length(regexp_replace(text, '[^A-Z]', '', 'g'))
+                       / greatest(length(text), 1) * 10000) / 10000 AS p_upper,
+                 floor(list_sum(list_transform(toks, t -> length(t)))
+                       / greatest(len(toks), 1) * 100) / 100 AS mean_wlen
+          FROM t
+        )
+        SELECT doc_id,
+               len(toks) AS n_tokens,
+               greatest(CAST(ceil(length(norm) / 4.0) AS BIGINT),
+                        CAST(len(toks) AS BIGINT)) AS n_tokens_bpe,
+               stop_ratio, p_punct, p_upper, mean_wlen,
+               floor((0.4 * (CASE WHEN length(text) BETWEEN 100 AND 20000
+                                  THEN 1.0 ELSE 0.3 END)
+                      + 0.4 * least(stop_ratio * 4, 1.0)
+                      + 0.2 * (1 - least(p_punct * 5 + p_upper * 2, 1.0)))
+                     * 10000) / 10000 AS quality,
+               CASE WHEN {_sql_lang_score('en')} >= 1
+                         AND {_sql_lang_score('en')} >= greatest({_sql_lang_score('de')}, {_sql_lang_score('fr')}, {_sql_lang_score('es')})
+                    THEN 'en'
+                    WHEN {_sql_lang_score('de')} >= 1
+                         AND {_sql_lang_score('de')} >= greatest({_sql_lang_score('fr')}, {_sql_lang_score('es')})
+                    THEN 'de'
+                    WHEN {_sql_lang_score('fr')} >= 1
+                         AND {_sql_lang_score('fr')} >= {_sql_lang_score('es')}
+                    THEN 'fr'
+                    WHEN {_sql_lang_score('es')} >= 1 THEN 'es'
+                    ELSE 'und' END AS lang_pred,
+               md5(norm) AS doc_fp
+        FROM r
+    """,
+    "q33_ngram_jaccard": f"""
+        WITH t AS (
+          SELECT doc_id, {_NORM} AS norm, {_TOKS} AS toks
+          FROM documents WHERE doc_id < 200
+        ),
+        g AS (
+          SELECT doc_id,
+                 CASE WHEN len(toks) - 2 >= 1
+                      THEN list_distinct(list_transform(
+                             range(1, len(toks) - 2 + 1),
+                             i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))
+                      ELSE [norm] END AS grams
+          FROM t
+        ),
+        x AS (SELECT doc_id, unnest(grams) AS shingle FROM g),
+        sz AS (SELECT doc_id, len(grams) AS n_sh FROM g),
+        c AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+          FROM x a JOIN x b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT id_a, id_b,
+               round(n_common / (sa.n_sh + sb.n_sh - n_common), 4) AS jaccard
+        FROM c
+        JOIN sz sa ON c.id_a = sa.doc_id
+        JOIN sz sb ON c.id_b = sb.doc_id
+        WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.2
+    """,
+    "q34_embedding_neardup": """
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                            b.embedding::DOUBLE[]), 6) AS cos_sim
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                           b.embedding::DOUBLE[]), 6) >= 0.4
+    """,
+    "q35_knn_bruteforce": """
+        SELECT query_id, vec_id, sim, rank FROM (
+          SELECT q.vec_id AS query_id, c.vec_id,
+                 round(list_cosine_similarity(c.embedding::DOUBLE[],
+                                              q.embedding::DOUBLE[]), 6) AS sim,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY round(list_cosine_similarity(c.embedding::DOUBLE[],
+                                                         q.embedding::DOUBLE[]), 6) DESC,
+                            c.vec_id) AS rank
+          FROM embeddings q JOIN embeddings c ON c.vec_id >= 10
+          WHERE q.vec_id < 10
+        ) WHERE rank <= 5
+    """,
+    "q36_asof_join": """
+        SELECT p.event_id, p.user_id,
+               epoch_us(p.ts) AS ts_us,
+               c.click_event_id,
+               epoch_us(p.ts) - epoch_us(c.ts) AS wait_us
+        FROM (SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN (SELECT event_id AS click_event_id, user_id, ts
+                        FROM events WHERE event_type = 'click') c
+          ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+    "q40_multimodal_decode": f"""
+        SELECT doc_id AS media_id,
+               {_MTYPE} AS media_type,
+               octet_length(encode(substring(text, 1, 256))) AS n_bytes,
+               substr({_SHA}, 1, 16) AS content_sha,
+               CASE WHEN {_MTYPE} IN ('image', 'video')
+                    THEN 64 + {_byte_from_hex(_SHA, 1)} % 192 END AS width,
+               CASE WHEN {_MTYPE} IN ('image', 'video')
+                    THEN 64 + {_byte_from_hex(_SHA, 2)} % 192 END AS height,
+               CASE WHEN {_MTYPE} = 'video'
+                    THEN 1 + {_byte_from_hex(_SHA, 3)} % 120 END AS n_frames
+        FROM documents
+    """,
+    "q41_frame_sample": f"""
+        SELECT doc_id AS media_id,
+               1 + {_byte_from_hex(_SHA, 3)} % 120 AS n_frames,
+               CAST(floor((1 + {_byte_from_hex(_SHA, 3)} % 120 - 1) / 10) + 1
+                    AS BIGINT) AS n_sampled
+        FROM documents
+        WHERE {_MTYPE} = 'video'
+    """,
+}

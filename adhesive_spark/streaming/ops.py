@@ -1,0 +1,85 @@
+"""Structured Streaming operators.
+
+The reference has no streaming surface (SURVEY §2.2 marks it absent);
+these are the Spark-first extensions a large-scale event pipeline needs,
+built on the same event schema as the batch `events` table so every
+streaming op has a batch twin (q22 is the batch twin of
+:func:`tumbling_counts`).
+
+All operators take/return streaming DataFrames and are tested with the
+file source + ``availableNow`` trigger + memory sink (tests/test_streaming.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def tumbling_counts(
+    events: DataFrame,
+    *,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Tumbling event-time window counts with late-data watermark.
+
+    State size is bounded by the watermark: windows older than
+    (max event time - watermark) are finalized and evicted — the knob
+    that keeps 100 TB/day streams in bounded executor memory.
+    """
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("value_sum"),
+        )
+        .select(
+            F.col("w.start").alias("bucket_start"),
+            "event_type",
+            "n",
+            "value_sum",
+        )
+    )
+
+
+def sessionized_counts(
+    events: DataFrame,
+    *,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Session windows per user (gap-based), the streaming-native
+    sessionization operator."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap).alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("value_sum"),
+        )
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "value_sum",
+        )
+    )
+
+
+def stream_dedup(
+    events: DataFrame,
+    *,
+    keys: list[str] | None = None,
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming exact dedup with bounded state:
+    ``dropDuplicatesWithinWatermark`` keeps each key only until the
+    watermark passes — the streaming twin of :func:`dedup_exact`."""
+    keys = keys or ["event_id"]
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)

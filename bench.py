@@ -1,0 +1,83 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is fully materialized via a count-style action (collect) so
+wall time includes the whole plan. Session build and first-query JVM
+warmup are excluded from per-query numbers via a warmup run of a tiny
+query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from adhesive_spark.session import build_spark  # noqa: E402
+
+#: Headline set: the flagship aggregate, the heavy joins, windows,
+#: the UDF paths, and one of each pipeline-operator family.
+HEADLINE = [
+    "q01_pricing_summary",
+    "q03_top_unshipped_orders",
+    "q05_regional_revenue",
+    "q09_theta_join",
+    "q10_window_rank",
+    "q13_cube",
+    "q22_tumbling_window",
+    "q23_udf_python_agg",
+    "q24_udf_vectorized",
+    "q25_udf_sql_macro",
+    "q30_dedup_exact",
+    "q31_text_profile",
+    "q35_knn_bruteforce",
+    "q36_asof_join",
+    "q37_minhash_pairs",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = -1.0
+    spark = build_spark(app_name="adhesive-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from __spark_entry__ import queries
+
+    qs = queries()
+    # JVM/Python-worker warmup outside the timed region.
+    spark.sql("SELECT COUNT(*) FROM RANGE(100000)").collect()
+    spark.udf.register("___warm", lambda x: x, "long")
+    spark.sql("SELECT ___warm(id) FROM RANGE(10)").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        rows = fn(spark, sf_dir).collect()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        assert rows is not None
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

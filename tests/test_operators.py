@@ -1,0 +1,209 @@
+"""Unit tests for the pipeline operators (dedup / similarity / text /
+as-of / multimodal) on small in-memory data with hand-computed goldens.
+"""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from adhesive_spark.operators.asof import asof_join
+from adhesive_spark.operators.dedup import (
+    dedup_exact,
+    dedup_minhash,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+    simhash_signatures,
+)
+from adhesive_spark.operators.multimodal import (
+    decode_media,
+    frame_sample_plan,
+    synthesize_media,
+)
+from adhesive_spark.operators.similarity import (
+    cosine,
+    embedding_neardup_pairs,
+    knn_bruteforce,
+    knn_lsh,
+)
+from adhesive_spark.operators.text import text_profile
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (0, base),
+        (1, base),  # exact dup of 0
+        (2, base.replace("today", "tomorrow")),  # near dup of 0
+        (3, "completely different text about spark query engines and joins"),
+        (4, "der hund ist nicht mit der katze und das ist gut"),
+        (5, "le chat est sur la table et le chien est pour moi"),
+        (6, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_dedup_exact_keeps_min_id(docs):
+    out = dedup_exact(docs, "text", "doc_id")
+    ids = {r.doc_id for r in out.collect()}
+    assert 0 in ids and 1 not in ids  # doc 1 is the exact dup, doc 0 survives
+    assert {2, 3, 4, 5, 6} <= ids
+    dup = {r.doc_id: r.dup_count for r in out.collect()}
+    assert dup[0] == 2 and dup[3] == 1
+
+
+def test_ngram_jaccard_finds_near_dups(docs):
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, threshold=0.3).collect()
+    }
+    assert pairs[(0, 1)] == 1.0  # identical
+    assert (0, 2) in pairs and 0.5 < pairs[(0, 2)] < 1.0  # near dup
+    assert not any(3 in p or 4 in p or 5 in p for p in pairs)
+
+
+def test_minhash_lsh_matches_exact_on_clear_cases(docs):
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(docs, threshold=0.3, num_perm=64, bands=16).collect()
+    }
+    assert (0, 1) in pairs and (0, 2) in pairs
+    assert not any(3 in p for p in pairs)
+
+
+def test_dedup_minhash_drops_higher_ids(docs):
+    ids = {r.doc_id for r in dedup_minhash(docs, threshold=0.3).collect()}
+    assert 0 in ids and 1 not in ids and 2 not in ids
+    assert {3, 4, 5, 6} <= ids
+
+
+def test_simhash_identical_and_near(docs):
+    sigs = {r.id: r.simhash for r in simhash_signatures(docs).collect()}
+    assert sigs[0] == sigs[1]
+    # near-dup differs in few bits
+    ham02 = bin(sigs[0] ^ sigs[2]).count("1")
+    ham03 = bin(sigs[0] ^ sigs[3]).count("1")
+    assert ham02 < ham03
+    pairs = {(r.id_a, r.id_b): r.hamming for r in simhash_pairs(docs, max_hamming=10).collect()}
+    assert pairs[(0, 1)] == 0
+
+
+def test_text_profile_golden(spark):
+    df = spark.createDataFrame(
+        [(1, "The cat and the dog! THE END.")], "doc_id long, text string"
+    )
+    row = text_profile(df).collect()[0]
+    # norm: "the cat and the dog! the end." → 7 tokens
+    assert row.n_tokens == 7
+    assert row.n_chars_computed == 29
+    # stopwords: the, and, the, the → 4/7 floored to 4 decimals
+    assert row.stop_ratio == math.floor(4 / 7 * 10000) / 10000
+    assert row.p_punct == math.floor(2 / 29 * 10000) / 10000  # "!" and "."
+    assert row.lang_pred == "en"
+    assert len(row.doc_fp) == 32
+
+
+def test_knn_bruteforce_golden(spark):
+    corpus = spark.createDataFrame(
+        [
+            (10, [1.0, 0.0]),
+            (11, [0.0, 1.0]),
+            (12, [1.0, 1.0]),
+            (13, [-1.0, 0.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "query_id long, embedding array<double>"
+    )
+    out = knn_bruteforce(corpus, queries, k=3).collect()
+    assert [r.vec_id for r in out] == [10, 12, 11]
+    assert out[0].sim == 1.0
+    assert abs(out[1].sim - 1 / math.sqrt(2)) < 1e-6
+
+
+def test_knn_lsh_recalls_identical(spark):
+    corpus = spark.createDataFrame(
+        [(i, [float(i % 7), float((i * 3) % 5), 1.0]) for i in range(10, 60)],
+        "vec_id long, embedding array<double>",
+    )
+    queries = corpus.where(F.col("vec_id") == 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = knn_lsh(corpus, queries, dim=3, k=3, n_planes=4).collect()
+    # the identical vector must be rank 1 (same bucket by construction)
+    assert out[0].vec_id in (10, 17, 24)  # i%7, (i*3)%5 collide every 35
+
+
+def test_embedding_neardup_exact_vs_lsh(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.999, 0.001, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    exact = embedding_neardup_pairs(df, threshold=0.99).collect()
+    assert {(r.id_a, r.id_b) for r in exact} == {(0, 1)}
+    lsh = embedding_neardup_pairs(
+        df, threshold=0.99, use_lsh=True, dim=3, n_planes=4
+    ).collect()
+    assert {(r.id_a, r.id_b) for r in lsh} == {(0, 1)}
+
+
+def test_asof_join_golden(spark):
+    left = spark.createDataFrame(
+        [(1, 100, 10.0), (1, 200, 20.0), (2, 150, 15.0), (3, 50, 5.0)],
+        "k long, t long, lv double",
+    )
+    right = spark.createDataFrame(
+        [(1, 90, "a"), (1, 150, "b"), (1, 200, "c"), (2, 150, "d")],
+        "k long, t long, rv string",
+    )
+    out = {
+        (r.k, r.t): r.rv
+        for r in asof_join(left, right, on="t", by="k").collect()
+    }
+    assert out[(1, 100)] == "a"
+    assert out[(1, 200)] == "c"  # <= semantics: equal timestamp matches
+    assert out[(2, 150)] == "d"
+    assert out[(3, 50)] is None  # no prior right row → NULL (left join)
+    strict = {
+        (r.k, r.t): r.rv
+        for r in asof_join(left, right, on="t", by="k", strict=True).collect()
+    }
+    assert strict[(1, 200)] == "b"  # strict <: equal ts excluded
+    assert strict[(2, 150)] is None
+
+
+def test_multimodal_decode_plumbing(docs):
+    media = synthesize_media(docs.where(F.col("text") != ""))
+    assert media.schema["payload"].dataType.typeName() == "binary"
+    decoded = decode_media(media)
+    rows = decoded.collect()
+    assert len(rows) == 6
+    for r in rows:
+        assert r.content_sha is not None and len(r.content_sha) == 16
+        if r.media_type == "image":
+            assert 64 <= r.width <= 255 and r.n_frames is None
+        if r.media_type == "video":
+            assert r.n_frames is not None
+        if r.media_type == "audio":
+            assert r.width is None
+    # determinism across runs
+    assert decoded.collect() == rows
+
+
+def test_multimodal_real_codec_is_stubbed(docs):
+    with pytest.raises(NotImplementedError):
+        decode_media(synthesize_media(docs), codec="real")
+
+
+def test_frame_sample_counts(docs):
+    decoded = decode_media(synthesize_media(docs))
+    plan = frame_sample_plan(decoded, every_n=10)
+    got = {r.media_id: r["cnt"] for r in plan.groupBy("media_id").agg(F.count("*").alias("cnt")).collect()}
+    vids = {r.media_id: r.n_frames for r in decoded.where(F.col("media_type") == "video").collect()}
+    for mid, nf in vids.items():
+        assert got[mid] == (nf - 1) // 10 + 1

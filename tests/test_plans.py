@@ -1,0 +1,80 @@
+"""Plan-shape tests: the 100 TB design contract.
+
+These lock the physical properties that make the queries survive a
+1000-executor scale-up: broadcast joins where a dimension is small,
+parquet filter pushdown, top-k without global sort, no cartesian
+products, and codegen coverage.
+"""
+
+import pytest
+
+from adhesive_spark.plans.explain import (
+    assert_broadcast_join,
+    assert_no_cartesian,
+    assert_pushed_filters,
+    codegen_stage_count,
+    physical_plan,
+)
+from adhesive_spark.queries.relational import (
+    q02_filter_project,
+    q03_top_unshipped_orders,
+    q05_regional_revenue,
+    q07_broadcast_dims,
+    q09_theta_join,
+    q20_topk,
+)
+
+
+@pytest.fixture(scope="module")
+def sf(sf_dir):
+    return sf_dir
+
+
+def test_filter_projection_pushdown(spark, sf):
+    df = q02_filter_project(spark, sf)
+    assert_pushed_filters(df)
+    # column pruning: scan must not read the full 11-column lineitem
+    from adhesive_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(df)
+    assert "l_extendedprice" not in plan.split("ReadSchema")[1].splitlines()[0]
+
+
+def test_broadcast_dims_plan(spark, sf):
+    df = q07_broadcast_dims(spark, sf)
+    assert_broadcast_join(df, min_count=2)
+    assert_no_cartesian(df)
+
+
+def test_q05_broadcasts_small_dims(spark, sf):
+    df = q05_regional_revenue(spark, sf)
+    assert_broadcast_join(df, min_count=3)
+    assert_no_cartesian(df)
+
+
+def test_q03_semi_structure(spark, sf):
+    df = q03_top_unshipped_orders(spark, sf)
+    plan = physical_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan  # top-k, not global sort
+    assert_no_cartesian(df)
+
+
+def test_q09_theta_is_hash_join_with_residual(spark, sf):
+    df = q09_theta_join(spark, sf)
+    plan = physical_plan(df)
+    # equi-part drives a hash join; theta part is the residual condition —
+    # must NOT degenerate to nested-loop over the full fact table.
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan, plan
+
+
+def test_topk_no_global_sort(spark, sf):
+    df = q20_topk(spark, sf)
+    assert "TakeOrderedAndProject" in physical_plan(df)
+
+
+def test_codegen_coverage(spark, sf):
+    # The flagship aggregate should run fully inside whole-stage codegen.
+    from adhesive_spark.queries.relational import q01_pricing_summary
+
+    df = q01_pricing_summary(spark, sf)
+    assert codegen_stage_count(df) >= 2

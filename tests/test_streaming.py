@@ -1,0 +1,86 @@
+"""Structured Streaming tests: file source → availableNow trigger →
+memory sink, asserting streaming results equal the batch twin.
+"""
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from adhesive_spark.sources.registry import load_table
+from adhesive_spark.streaming.ops import (
+    sessionized_counts,
+    stream_dedup,
+    tumbling_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def event_stream_dir(spark, sf_dir):
+    """Re-write the events table (µs timestamps) as a streamable dir."""
+    tmp = tempfile.mkdtemp(prefix="adhesive_stream_")
+    load_table(spark, sf_dir, "events").write.mode("overwrite").parquet(tmp)
+    yield tmp
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _run_to_memory(stream_df, name, mode="complete"):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_tumbling_counts_matches_batch(spark, sf_dir, event_stream_dir):
+    batch_events = spark.read.parquet(event_stream_dir)
+    stream_events = spark.readStream.schema(batch_events.schema).parquet(
+        event_stream_dir
+    )
+    _run_to_memory(tumbling_counts(stream_events), "t_tumble")
+    got = {
+        (r.bucket_start, r.event_type): (r.n, r.value_sum)
+        for r in spark.table("t_tumble").collect()
+    }
+    expected = {
+        (r.bucket_start, r.event_type): (r.n, r.value_sum)
+        for r in tumbling_counts(batch_events).collect()
+    }
+    # availableNow + watermark finalizes all but the trailing windows;
+    # every emitted window must match the batch result exactly.
+    assert got
+    for k, v in got.items():
+        assert expected[k] == v
+
+
+def test_sessionized_counts_runs(spark, event_stream_dir):
+    batch_events = spark.read.parquet(event_stream_dir)
+    stream_events = spark.readStream.schema(batch_events.schema).parquet(
+        event_stream_dir
+    )
+    small = stream_events.where(F.col("user_id") < 5)
+    _run_to_memory(sessionized_counts(small, gap="10 minutes"), "t_sess")
+    rows = spark.table("t_sess").collect()
+    assert rows
+    assert all(r.session_end > r.session_start for r in rows)
+    assert all(r.n_events >= 1 for r in rows)
+
+
+def test_stream_dedup_drops_dupes(spark, event_stream_dir):
+    batch_events = spark.read.parquet(event_stream_dir)
+    stream_events = spark.readStream.schema(batch_events.schema).parquet(
+        event_stream_dir
+    )
+    deduped = stream_dedup(stream_events, keys=["user_id", "event_type"])
+    _run_to_memory(deduped, "t_dedup", mode="append")
+    n = spark.table("t_dedup").count()
+    n_keys = batch_events.select("user_id", "event_type").distinct().count()
+    # dropDuplicatesWithinWatermark keeps ≥1 per key within the watermark
+    # horizon; with 30 days of events vs a 1h watermark, duplicates beyond
+    # the horizon legitimately reappear — but far fewer than the raw count.
+    assert n_keys <= n < batch_events.count()
