@@ -35,6 +35,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out.update(PIPELINE_QUERIES)
     except ImportError:
         pass
+    try:
+        from adhesive_spark.queries.advanced_queries import ADVANCED_QUERIES
+
+        out.update(ADVANCED_QUERIES)
+    except ImportError:
+        pass
     return out
 
 
@@ -49,6 +55,12 @@ def oracle_sql() -> dict[str, str]:
         from adhesive_spark.queries.pipeline_queries import PIPELINE_ORACLES
 
         out.update(PIPELINE_ORACLES)
+    except ImportError:
+        pass
+    try:
+        from adhesive_spark.queries.advanced_queries import ADVANCED_ORACLES
+
+        out.update(ADVANCED_ORACLES)
     except ImportError:
         pass
     return out
