@@ -1,0 +1,99 @@
+"""Iterative graph operators: connected components for transitive
+dedup closure.
+
+``dedup_minhash`` (operators/dedup.py) is single-linkage one level deep;
+the exact variant needs the transitive closure of the near-dup pair
+graph. This is the classic iterative min-label propagation:
+
+- each node starts labeled with its own id;
+- every round, a node takes the min label among itself and its
+  neighbors (one shuffle per round: join on neighbor + groupBy node);
+- converges in O(component diameter) rounds — near-dup clusters are
+  shallow (dup rings around a source doc), so 3-5 rounds in practice.
+
+Scale notes: lineage is cut with ``localCheckpoint`` every round —
+without it the plan doubles per iteration and the driver dies planning
+round ~15 long before data size matters. For graphs with whale
+components (diameter ≫ 10) the two-phase large-star/small-star
+algorithm halves the round count; this min-propagation loop is the
+right shape for dedup graphs, which are wide and flat.
+
+The reference has no iterative operators (its only loop is the per-row
+UDF kernel, java/.../Adhesive.java:68-70); this is north-star surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    *,
+    max_iter: int = 25,
+) -> DataFrame:
+    """(node, component) for every node appearing in ``edges``; the
+    component id is the minimum node id reachable from the node."""
+    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    sym = sym.union(
+        sym.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
+    sym = sym.localCheckpoint(eager=True)
+
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+    )
+    for _ in range(max_iter):
+        nb = (
+            sym.join(
+                labels.select(
+                    F.col("node").alias("b"), F.col("component").alias("nb_comp")
+                ),
+                "b",
+            )
+            .groupBy("a")
+            .agg(F.min("nb_comp").alias("nb_min"))
+        )
+        new_labels = (
+            labels.join(nb.withColumnRenamed("a", "node"), "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce("nb_min", "component")
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_transitive(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    *,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Exact fuzzy dedup: keep one doc (the min id) per connected
+    component of the near-dup pair graph; docs in no pair survive."""
+    comp = connected_components(pairs, src, dst)
+    losers = comp.where(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(losers, on=id_col, how="left_anti")

@@ -173,6 +173,30 @@ def q45_hash_sample(spark, sf_dir):
     ).select("doc_id", "source", "n_chars")
 
 
+def q46_connected_components(spark, sf_dir):
+    """Transitive closure of the near-dup graph via iterative min-label
+    propagation (one shuffle per round, lineage cut per round). Edges are
+    the exact n-gram-Jaccard pairs so the oracle (recursive CTE) sees the
+    identical graph."""
+    from adhesive_spark.operators.dedup import ngram_jaccard_pairs
+    from adhesive_spark.operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.1)
+    return connected_components(pairs)
+
+
+def q47_dedup_transitive(spark, sf_dir):
+    """Exact fuzzy dedup: survivors after dropping every doc whose
+    component representative (min id) is another doc."""
+    from adhesive_spark.operators.dedup import ngram_jaccard_pairs
+    from adhesive_spark.operators.graph import dedup_transitive
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.1)
+    return dedup_transitive(docs, pairs, "doc_id").select("doc_id", "n_chars")
+
+
 ADVANCED_QUERIES = {
     "q26_grouped_zscore": q26_grouped_zscore,
     "q27_udaf_weighted_mean": q27_udaf_weighted_mean,
@@ -180,6 +204,8 @@ ADVANCED_QUERIES = {
     "q29_range_join": q29_range_join,
     "q32_lang_quality_rollup": q32_lang_quality_rollup,
     "q42_sketch_distinct": q42_sketch_distinct,
+    "q46_connected_components": q46_connected_components,
+    "q47_dedup_transitive": q47_dedup_transitive,
     "q43_percentiles": q43_percentiles,
     "q44_histogram": q44_histogram,
     "q45_hash_sample": q45_hash_sample,
@@ -228,6 +254,52 @@ def _quality_sql() -> str:
               * 10000) / 10000
     """
 
+
+# n-gram-Jaccard pair edges (mirrors operators.dedup.ngram_jaccard_pairs
+# and the q33 oracle, parameterized) — input CTEs for the recursive
+# closure oracles.
+_PAIR_CTES = f"""
+        t AS (
+          SELECT doc_id, {_NORM} AS norm, {_TOKS} AS toks
+          FROM documents WHERE doc_id < 300
+        ),
+        g AS (
+          SELECT doc_id,
+                 CASE WHEN len(toks) - 2 >= 1
+                      THEN list_distinct(list_transform(
+                             range(1, len(toks) - 2 + 1),
+                             i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))
+                      ELSE [norm] END AS grams
+          FROM t
+        ),
+        x AS (SELECT doc_id, unnest(grams) AS shingle FROM g),
+        sz AS (SELECT doc_id, len(grams) AS n_sh FROM g),
+        c AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+          FROM x a JOIN x b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ),
+        pairs AS (
+          SELECT id_a, id_b
+          FROM c
+          JOIN sz sa ON c.id_a = sa.doc_id
+          JOIN sz sb ON c.id_b = sb.doc_id
+          WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.1
+        ),
+        e AS (
+          SELECT id_a AS a, id_b AS b FROM pairs
+          UNION ALL
+          SELECT id_b AS a, id_a AS b FROM pairs
+        ),
+        reach(node, r) AS (
+          SELECT a, a FROM e
+          UNION
+          SELECT e.a, reach.r FROM e JOIN reach ON reach.node = e.b
+        ),
+        comp AS (
+          SELECT node, MIN(r) AS component FROM reach GROUP BY node
+        )
+"""
 
 ADVANCED_ORACLES = {
     "q26_grouped_zscore": """
@@ -315,6 +387,16 @@ ADVANCED_ORACLES = {
         SELECT doc_id, source, n_chars
         FROM documents
         WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')
+    """,
+    "q46_connected_components": f"""
+        WITH RECURSIVE {_PAIR_CTES}
+        SELECT node, component FROM comp
+    """,
+    "q47_dedup_transitive": f"""
+        WITH RECURSIVE {_PAIR_CTES}
+        SELECT doc_id, n_chars FROM documents
+        WHERE doc_id < 300
+          AND doc_id NOT IN (SELECT node FROM comp WHERE component <> node)
     """,
     # q42_sketch_distinct: intentionally no oracle — HLL++ estimates are
     # engine-specific; exact_users column carries the ground truth.

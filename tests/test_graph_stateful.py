@@ -1,0 +1,101 @@
+"""Connected-components closure and arbitrary-stateful streaming tests."""
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from adhesive_spark.operators.graph import connected_components, dedup_transitive
+
+
+def test_connected_components_basic(spark):
+    # components: {1,2,3,4} (chain), {10,11}, singleton 20 not in edges
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long"
+    )
+    got = {
+        r.node: r.component for r in connected_components(edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_long_chain(spark):
+    # diameter 9 chain → needs several propagation rounds
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], "id_a long, id_b long"
+    )
+    got = {r.node: r.component for r in connected_components(edges).collect()}
+    assert set(got.values()) == {0}
+    assert len(got) == 10
+
+
+def test_dedup_transitive(spark):
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(6)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (4, 5)], "id_a long, id_b long"
+    )
+    kept = sorted(
+        r.doc_id for r in dedup_transitive(docs, pairs).collect()
+    )
+    # 1,2 fold into 0; 5 folds into 4; 3 untouched
+    assert kept == [0, 3, 4]
+
+
+@pytest.fixture(scope="module")
+def event_stream_dir(spark, sf_dir):
+    from adhesive_spark.sources.registry import load_table
+
+    tmp = tempfile.mkdtemp(prefix="adhesive_stateful_")
+    # two files → with maxFilesPerTrigger=1, two micro-batches, so state
+    # must carry across batches for totals to match the batch twin
+    load_table(spark, sf_dir, "events").repartition(2).write.mode(
+        "overwrite"
+    ).parquet(tmp)
+    yield tmp
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_running_user_totals_matches_batch(spark, event_stream_dir):
+    from adhesive_spark.streaming.stateful import running_user_totals
+
+    batch = spark.read.parquet(event_stream_dir)
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(event_stream_dir)
+    )
+    q = (
+        running_user_totals(stream)
+        .writeStream.format("memory")
+        .queryName("t_state")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert q.lastProgress is not None
+
+    # update mode emits one row per touched user per batch; n_events is a
+    # monotone running counter, so max-per-user is the final total.
+    final = {}
+    for r in spark.table("t_state").collect():
+        if r.user_id not in final or r.n_events > final[r.user_id][0]:
+            final[r.user_id] = (r.n_events, r.value_sum)
+    expected = {
+        r.user_id: (r.n, r.s)
+        for r in batch.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("s")
+        )
+        .collect()
+    }
+    assert len(final) == len(expected)
+    mismatches = {
+        u: (final[u], expected[u])
+        for u in expected
+        if final[u][0] != expected[u][0]
+    }
+    assert not mismatches, mismatches
