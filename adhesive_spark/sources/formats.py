@@ -1,0 +1,94 @@
+"""File-format sources and sinks beyond parquet.
+
+The reference delegates all file I/O to its embedded engine
+(``register_csv/parquet/...`` — unused in its own code, SURVEY §2.2
+"Scans: files"); here each format maps to the Spark reader/writer with
+scale-relevant defaults:
+
+- Parquet is the canonical interchange format (columnar, predicate
+  pushdown, column pruning) — everything else round-trips through it.
+- Writes support ``partition_by`` (hive-style directory partitioning →
+  partition pruning on read: the coarse-grained index at 100 TB) and
+  bucketing via ``bucket_by`` (pre-shuffled layout → shuffle-free joins
+  on the bucket key; requires ``saveAsTable``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+_READERS = ("parquet", "csv", "json", "orc")
+
+
+def read_any(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    schema=None,
+    **options,
+) -> DataFrame:
+    if fmt not in _READERS:
+        raise ValueError(f"unsupported format {fmt!r}; one of {_READERS}")
+    reader = spark.read.format(fmt)
+    if fmt == "csv":
+        # header+schema, never inferSchema on big data (it double-scans)
+        reader = reader.option("header", "true")
+    if schema is not None:
+        reader = reader.schema(schema)
+    elif fmt in ("csv", "json"):
+        # schema-less text formats need explicit schema at scale; allow
+        # inference only as an explicit small-data convenience
+        reader = reader.option("inferSchema", "true")
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load(path)
+
+
+def write_any(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    *,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    compression: str | None = None,
+    **options,
+) -> None:
+    writer = df.write.format(fmt).mode(mode)
+    if fmt == "csv":
+        writer = writer.option("header", "true")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if compression:
+        writer = writer.option("compression", compression)
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    writer.save(path)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    *,
+    bucket_cols: list[str],
+    n_buckets: int,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+    path: str | None = None,
+) -> None:
+    """Persist with a bucketed layout: joins/aggregations on the bucket
+    columns read co-located data and skip the shuffle entirely — the
+    pre-partitioned-join primitive for repeated big-big joins.
+
+    ``path`` makes it an external table (data at the given location);
+    otherwise it lands in the session warehouse dir."""
+    writer = (
+        df.write.mode(mode)
+        .bucketBy(n_buckets, *bucket_cols)
+        .format("parquet")
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    if path:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)

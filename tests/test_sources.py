@@ -1,0 +1,80 @@
+"""Source/sink round-trips: every supported format preserves the data;
+partitioned writes prune; bucketed tables join without a shuffle."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from adhesive_spark.plans.explain import formatted_plan, physical_plan
+from adhesive_spark.sources.formats import (
+    read_any,
+    write_any,
+    write_bucketed_table,
+)
+from adhesive_spark.sources.registry import load_table
+
+
+@pytest.fixture(scope="module")
+def nation(spark, sf_dir):
+    return load_table(spark, sf_dir, "nation")
+
+
+@pytest.mark.parametrize("fmt", ["parquet", "csv", "json", "orc"])
+def test_roundtrip(spark, nation, fmt, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp(f"rt_{fmt}") / "data")
+    write_any(nation, path, fmt)
+    back = read_any(spark, path, fmt, schema=nation.schema)
+    assert sorted(r.n_nationkey for r in back.collect()) == sorted(
+        r.n_nationkey for r in nation.collect()
+    )
+    assert back.schema == nation.schema
+
+
+def test_partitioned_write_prunes(spark, sf_dir, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("part") / "orders")
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    write_any(orders, path, partition_by=["o_orderpriority"])
+    back = read_any(spark, path).where(F.col("o_orderpriority") == "1-URGENT")
+    plan = formatted_plan(back)
+    # partition filter must land in the scan, not a post-filter
+    assert "PartitionFilters" in plan
+    assert "1-URGENT" in plan
+    assert back.count() == orders.where(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).count()
+
+
+def test_bucketed_join_no_shuffle(spark, sf_dir, tmp_path_factory):
+    wh = tmp_path_factory.mktemp("wh")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    write_bucketed_table(
+        orders,
+        "b_orders",
+        bucket_cols=["o_orderkey"],
+        n_buckets=8,
+        path=str(wh / "b_orders"),
+    )
+    write_bucketed_table(
+        lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+        "b_lineitem",
+        bucket_cols=["o_orderkey"],
+        n_buckets=8,
+        path=str(wh / "b_lineitem"),
+    )
+    joined = (
+        spark.table("b_orders")
+        .hint("merge")  # force SMJ so the bucket layout is what avoids exchange
+        .join(spark.table("b_lineitem"), "o_orderkey")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"))
+    )
+    plan = physical_plan(joined)
+    # the join itself must not re-shuffle the two bucketed sides:
+    # no Exchange below the SortMergeJoin for the join keys
+    assert "SortMergeJoin" in plan
+    n_exchanges = plan.count("Exchange hashpartitioning(o_orderkey")
+    assert n_exchanges == 0, plan
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
