@@ -36,6 +36,7 @@ from pyspark.sql.types import LongType
 from pyspark.sql.window import Window
 
 from adhesive_spark.operators.text import fingerprint, normalize_text
+from adhesive_spark.sources.registry import ensure_parallelism
 
 # Mersenne prime 2^31-1: affine minhash permutations stay in 31-bit
 # space so a*h+b (< 2^61) never overflows ANSI-mode BIGINT arithmetic.
@@ -86,6 +87,39 @@ def _perm_coeffs(num_perm: int, seed: int = 42) -> list[tuple[int, int]]:
     ]
 
 
+def _coeff_array(num_perm: int, seed: int = 42):
+    """The permutation coefficients as ONE literal array<struct<a,b>>
+    column, so the whole signature is a single nested higher-order
+    expression — NOT num_perm copies of the transform. 64 unrolled
+    copies were observed to produce a codegen unit whose first-run
+    Janino+JIT compile cost tens of seconds; the HOF form is a loop in
+    one tiny compiled class with identical per-row work."""
+    return F.array(
+        *[
+            F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
+            for a, b in _perm_coeffs(num_perm, seed)
+        ]
+    )
+
+
+def minhash_signature_from_base(base_col, num_perm: int = 64, seed: int = 42):
+    """Array<long> MinHash signature over an already-materialized column
+    of base hashes (array<long>).
+
+    ``base_col`` MUST be a plain column reference (cached/projected), not
+    a subtree: it is referenced inside the per-coefficient lambda, so an
+    inline expression would be re-evaluated num_perm times.
+    """
+    return F.transform(
+        _coeff_array(num_perm, seed),
+        lambda c: F.array_min(
+            F.transform(
+                base_col, lambda h: (h * c["a"] + c["b"]) % _MERSENNE
+            )
+        ),
+    )
+
+
 def minhash_signature(
     col,
     num_perm: int = 64,
@@ -94,24 +128,21 @@ def minhash_signature(
 ):
     """Array<long> MinHash signature, entirely in built-in expressions.
 
-    The shingle set is hashed ONCE with xxhash64; each permutation is an
-    affine transform (a*h+b) mod M₃₁ over the base hashes — so the cost
-    is one array scan per permutation over already-hashed longs, not a
-    re-hash of the strings.
-    """
+    The shingle set is hashed ONCE with xxhash64 into a named lambda
+    variable (so it is NOT recomputed per permutation); each permutation
+    is an affine transform (a*h+b) mod M₃₁ over the base hashes."""
     shingles = word_shingles(col, shingle_n)
     base = F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE)))
-    sig = []
-    for a, b in _perm_coeffs(num_perm, seed):
-        sig.append(
-            F.array_min(
-                F.transform(
-                    base,
-                    lambda h: (h * F.lit(a) + F.lit(b)) % _MERSENNE,
-                )
-            )
-        )
-    return F.array(*sig)
+    # Bind base once via a single-element transform scope: the outer
+    # lambda variable `bs` is evaluated once per row, then reused by all
+    # num_perm inner scans.
+    return F.element_at(
+        F.transform(
+            F.array(base),
+            lambda bs: minhash_signature_from_base(bs, num_perm, seed),
+        ),
+        1,
+    )
 
 
 def minhash_lsh_pairs(
@@ -141,26 +172,25 @@ def minhash_lsh_pairs(
     rows_per_band = num_perm // bands
     assert rows_per_band * bands == num_perm, "bands must divide num_perm"
 
-    # Materialization boundary BEFORE the 64 permutation expressions:
-    # without it, CollapseProject inlines the whole shingle+xxhash subtree
-    # into every one of the num_perm array_min expressions (observed 30s+
-    # of codegen at 500 docs). Caching (id, shingles, base-hashes) makes
-    # each permutation a small affine scan over an InMemoryRelation column.
+    # Shingle hashing is the CPU-dense stage — never leave it at
+    # input-split parallelism (single compacted files scan serially).
+    df = ensure_parallelism(df, id_col)
+
+    # Materialization boundary BEFORE the permutation pass: without it,
+    # CollapseProject inlines the whole shingle+xxhash subtree into the
+    # signature expression and the verify join recomputes shingling.
+    # localCheckpoint (eager) instead of cache(): same physical boundary,
+    # but the blocks are owned by the RDD and reclaimed by the
+    # ContextCleaner when this call's plan is dropped — repeated calls
+    # don't accumulate entries in the session cache manager.
     hashed = df.select(
         F.col(id_col).alias("id"),
         word_shingles(F.col(text_col), shingle_n).alias("shingles"),
     ).withColumn(
         "base", F.transform("shingles", lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE)))
-    ).cache()
+    ).localCheckpoint(eager=True)
 
-    sig = F.array(
-        *[
-            F.array_min(
-                F.transform("base", lambda h: (h * F.lit(a) + F.lit(b)) % _MERSENNE)
-            )
-            for a, b in _perm_coeffs(num_perm, seed)
-        ]
-    )
+    sig = minhash_signature_from_base(F.col("base"), num_perm, seed)
     base = hashed.select("id", "shingles", sig.alias("sig"))
 
     band_rows = base.select(
@@ -262,6 +292,7 @@ def simhash_signatures(
 ) -> DataFrame:
     """(id, simhash) — token hashing stays JVM-side (xxhash64); only the
     bit-vote fold crosses to Python, Arrow-batched."""
+    df = ensure_parallelism(df, id_col)
     toks = F.split(normalize_text(F.col(text_col)), " ")
     hashes = F.transform(toks, lambda t: F.xxhash64(t))
     return df.select(
@@ -285,7 +316,7 @@ def simhash_pairs(
     4 chunks guarantees a shared chunk only for ≤3 differing chunks —
     standard SimHash banding recall).
     """
-    sigs = simhash_signatures(df, text_col, id_col).cache()
+    sigs = simhash_signatures(df, text_col, id_col).localCheckpoint(eager=True)
     chunks = sigs.select(
         "id",
         "simhash",
@@ -338,7 +369,7 @@ def ngram_jaccard_pairs(
     equi-join on the shingle (shuffles on shingle hash — the exact
     baseline that LSH approximates with bounded shuffle width)."""
     sh = (
-        df.select(
+        ensure_parallelism(df, id_col).select(
             F.col(id_col).alias("id"),
             F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
         )

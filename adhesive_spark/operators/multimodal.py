@@ -100,6 +100,11 @@ def decode_media(df: DataFrame, *, codec: str = "stub") -> DataFrame:
             "environment; use codec='stub' for the plumbing path"
         )
 
+    # Per-item Python decode is the CPU-dense stage: fan out before it.
+    from adhesive_spark.sources.registry import ensure_parallelism
+
+    df = ensure_parallelism(df)
+
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             shas, widths, heights, frames, sizes = [], [], [], [], []

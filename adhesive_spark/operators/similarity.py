@@ -24,6 +24,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from adhesive_spark.sources.registry import ensure_parallelism
+
 
 def dot(a, b):
     return F.aggregate(
@@ -61,7 +63,7 @@ def knn_bruteforce(
     q = queries.select(
         F.col(query_id_col), F.col(vec_col).alias("__qvec")
     )
-    scored = corpus.select(
+    scored = ensure_parallelism(corpus, id_col).select(
         F.col(id_col), F.col(vec_col).alias("__cvec")
     ).crossJoin(F.broadcast(q)).select(
         query_id_col,
@@ -112,7 +114,7 @@ def knn_lsh(
     Recall depends on n_planes (fewer planes → bigger buckets → higher
     recall & cost). At 100 TB the bucket join replaces the cross join —
     shuffle on bucket key instead of full scan per query."""
-    cb = corpus.select(
+    cb = ensure_parallelism(corpus, id_col).select(
         F.col(id_col),
         F.col(vec_col).alias("__cvec"),
         lsh_bucket(F.col(vec_col), dim, n_planes=n_planes, seed=seed).alias("__bucket"),
@@ -153,7 +155,9 @@ def embedding_neardup_pairs(
     within sign-signature buckets: near-identical vectors collide with
     high probability; shuffle is bucket-sized, the 100 TB path.
     """
-    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    base = ensure_parallelism(df, id_col).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+    )
     if use_lsh:
         if dim is None:
             raise ValueError("dim required for LSH mode")

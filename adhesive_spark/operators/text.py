@@ -140,7 +140,11 @@ def fingerprint(col) -> Column:
 
 
 def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """One-scan projection computing the full text-analysis profile."""
+    """One-scan projection computing the full text-analysis profile.
+    Regex/array compute per row is heavy → decouple from input splits."""
+    from adhesive_spark.sources.registry import ensure_parallelism
+
+    df = ensure_parallelism(df)
     c = F.col(text_col)
     return df.select(
         "*",

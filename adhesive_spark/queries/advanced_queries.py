@@ -197,6 +197,30 @@ def q47_dedup_transitive(spark, sf_dir):
     return dedup_transitive(docs, pairs, "doc_id").select("doc_id", "n_chars")
 
 
+def q48_salted_join(spark, sf_dir):
+    """Skew-safe salted join of events (hot user keys) to per-user
+    aggregates — identical results to the plain join by construction;
+    the salt spreads each hot key over 16 shuffle partitions."""
+    from adhesive_spark.operators.skew import salted_join
+
+    events = load_table(spark, sf_dir, "events")
+    user_stats = events.groupBy("user_id").agg(
+        F.count("*").alias("user_events"),
+        F.round(F.sum("value"), 2).alias("user_value"),
+    )
+    j = salted_join(
+        events.select("event_id", "user_id", "event_type"),
+        user_stats,
+        "user_id",
+        n_salts=16,
+    )
+    return j.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("user_events").alias("sum_user_events"),
+        F.round(F.sum("user_value"), 0).alias("sum_user_value"),
+    )
+
+
 ADVANCED_QUERIES = {
     "q26_grouped_zscore": q26_grouped_zscore,
     "q27_udaf_weighted_mean": q27_udaf_weighted_mean,
@@ -206,6 +230,7 @@ ADVANCED_QUERIES = {
     "q42_sketch_distinct": q42_sketch_distinct,
     "q46_connected_components": q46_connected_components,
     "q47_dedup_transitive": q47_dedup_transitive,
+    "q48_salted_join": q48_salted_join,
     "q43_percentiles": q43_percentiles,
     "q44_histogram": q44_histogram,
     "q45_hash_sample": q45_hash_sample,
@@ -397,6 +422,18 @@ ADVANCED_ORACLES = {
         SELECT doc_id, n_chars FROM documents
         WHERE doc_id < 300
           AND doc_id NOT IN (SELECT node FROM comp WHERE component <> node)
+    """,
+    "q48_salted_join": """
+        WITH user_stats AS (
+          SELECT user_id, COUNT(*) AS user_events,
+                 ROUND(SUM(value), 2) AS user_value
+          FROM events GROUP BY user_id
+        )
+        SELECT e.event_type, COUNT(*) AS n,
+               SUM(u.user_events) AS sum_user_events,
+               ROUND(SUM(u.user_value), 0) AS sum_user_value
+        FROM events e JOIN user_stats u ON e.user_id = u.user_id
+        GROUP BY e.event_type
     """,
     # q42_sketch_distinct: intentionally no oracle — HLL++ estimates are
     # engine-specific; exact_users column carries the ground truth.

@@ -14,7 +14,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from adhesive_spark.session import AdhesiveSession
-from adhesive_spark.sources.registry import load_table
+from adhesive_spark.sources.registry import ensure_parallelism, load_table
+
+
+def _lineitem_view(spark, sf_dir) -> None:
+    # Deliberately NOT repartitioned: the Arrow-pipelined Python UDF over
+    # one 600k-row scan keeps the worker saturated; a round-robin
+    # repartition (which also forces a local sort) costs more than the
+    # fan-out buys at this row width. At cluster scale the input arrives
+    # in many splits and parallelism is native.
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
 
 
 def _sess(spark: SparkSession) -> AdhesiveSession:
@@ -30,7 +39,7 @@ def q23_udf_python_agg(spark, sf_dir):
         "CREATE OR REPLACE FUNCTION q23_disc(DOUBLE, DOUBLE) RETURNS DOUBLE "
         "DETERMINISTIC LANGUAGE PYTHON AS 'return arg0 * (1.0 - arg1)'"
     )
-    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    _lineitem_view(spark, sf_dir)
     return spark.sql(
         """
         SELECT l_returnflag,
@@ -50,7 +59,7 @@ def q24_udf_vectorized(spark, sf_dir):
         "RETURNS DOUBLE DETERMINISTIC LANGUAGE PANDAS AS "
         "'return arg0 * (1.0 - arg1) * (1.0 + arg2)'"
     )
-    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    _lineitem_view(spark, sf_dir)
     return spark.sql(
         """
         SELECT l_linestatus,
@@ -69,7 +78,7 @@ def q25_udf_sql_macro(spark, sf_dir):
         "RETURNS DOUBLE DETERMINISTIC LANGUAGE SQL AS "
         "'price * (1.0 - disc) - qty * 100.0'"
     )
-    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    _lineitem_view(spark, sf_dir)
     return spark.sql(
         """
         SELECT l_linestatus,

@@ -40,6 +40,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def ensure_parallelism(df: DataFrame, *cols: str, min_parts: int | None = None) -> DataFrame:
+    """Repartition iff the plan has fewer partitions than the cluster has
+    cores — decouples CPU-dense stage parallelism from input-split count.
+
+    At 100 TB inputs arrive in thousands of splits and this is a no-op;
+    on small/compacted inputs (single-row-group files — the local
+    testdata; or post-coalesce stages on a cluster) a serial scan stage
+    would otherwise bottleneck hash/UDF/vector compute on ONE core. The
+    repartition shuffle moves only the (small) input, and hash-bucketing
+    by ``cols`` keeps downstream same-key joins co-partitioned.
+    """
+    sc = df.sparkSession.sparkContext
+    target = min_parts or sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target, *cols) if cols else df.repartition(target)
+
+
 def register_tables(
     spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES
 ) -> dict[str, DataFrame]:
