@@ -137,6 +137,102 @@ def knn_lsh(
     )
 
 
+def build_ivf_index(
+    corpus: DataFrame,
+    *,
+    n_lists: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """(centroids, assigned) for an IVF (inverted-file) ANN index.
+
+    Centroids are the ``n_lists`` lowest-id corpus vectors — a
+    deterministic seeding that keeps the whole index SQL-expressible for
+    the correctness oracle; production would k-means-refine them (same
+    assignment operator iterated). ``assigned`` maps every corpus vector
+    to its nearest centroid: one broadcast of the centroids, one scan of
+    the corpus, rank-1 window per vector — at 100 TB this is the
+    bulk-index build with no corpus shuffle except the tiny top-1 window.
+    """
+    centroids = (
+        corpus.orderBy(id_col)
+        .limit(n_lists)
+        .select(
+            F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cvec")
+        )
+    )
+    scored = ensure_parallelism(corpus, id_col).select(
+        F.col(id_col), F.col(vec_col).alias("__vec")
+    ).crossJoin(F.broadcast(centroids)).select(
+        id_col,
+        "__vec",
+        "centroid_id",
+        F.round(cosine(F.col("__vec"), F.col("cvec")), 6).alias("__csim"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("__csim").desc(), F.col("centroid_id")
+    )
+    assigned = (
+        scored.withColumn("__r", F.row_number().over(w))
+        .where(F.col("__r") == 1)
+        .select(id_col, F.col("__vec").alias(vec_col), "centroid_id")
+    )
+    return centroids, assigned
+
+
+def knn_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF approximate top-k: each query probes only its ``n_probe``
+    nearest inverted lists instead of the whole corpus — the
+    partition-pruned ANN path (probe fraction = n_probe/n_lists).
+
+    Scale shape: queries×centroids is broadcast-sized; the candidate
+    join hits only probed lists (equi-join on centroid_id), so the
+    corpus-side shuffle is bounded by the probe fraction.
+    """
+    centroids, assigned = build_ivf_index(
+        corpus, n_lists=n_lists, id_col=id_col, vec_col=vec_col
+    )
+    qscored = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("__qvec")
+    ).crossJoin(F.broadcast(centroids)).select(
+        query_id_col,
+        "__qvec",
+        "centroid_id",
+        F.round(cosine(F.col("__qvec"), F.col("cvec")), 6).alias("__csim"),
+    )
+    wq = Window.partitionBy(query_id_col).orderBy(
+        F.col("__csim").desc(), F.col("centroid_id")
+    )
+    probes = (
+        qscored.withColumn("__r", F.row_number().over(wq))
+        .where(F.col("__r") <= n_probe)
+        .select(query_id_col, "__qvec", "centroid_id")
+    )
+    cand = assigned.join(F.broadcast(probes), "centroid_id").select(
+        query_id_col,
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), F.col("__qvec")), 6).alias("sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("sim").desc(), F.col(id_col)
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, "sim", "rank")
+    )
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     *,

@@ -139,6 +139,75 @@ def fingerprint(col) -> Column:
     return F.md5(normalize_text(col))
 
 
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    top_n: int = 3,
+    min_token_len: int = 3,
+) -> DataFrame:
+    """Top-N tokens per document by smoothed TF-IDF
+    (tf · ln((N+1)/(df+1))), entirely in built-in expressions.
+
+    Two shuffles at any scale: token doc-frequency (groupBy token, with
+    map-side partial counts) and the per-doc top-N window. Ranking uses
+    the score ROUNDED to 6 decimals with token tie-break so the order is
+    reproducible across engines (raw float ordering is not).
+    """
+    from pyspark.sql.window import Window
+
+    toks = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(
+                F.array_distinct(
+                    F.filter(
+                        tokens(F.col(text_col)),
+                        lambda t: F.length(t) >= min_token_len,
+                    )
+                )
+            ).alias("token"),
+        )
+    )
+    # tf within doc needs non-distinct counts: recompute from raw tokens
+    raw = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.filter(
+                tokens(F.col(text_col)), lambda t: F.length(t) >= min_token_len
+            )
+        ).alias("token"),
+    )
+    tf = raw.groupBy("id", "token").agg(F.count("*").alias("tf"))
+    # corpus size as a broadcast scalar relation — keeps the operator
+    # fully lazy (no driver-side count() action in the plan build)
+    n_docs = df.select(F.count("*").cast("double").alias("__n"))
+    dfreq = toks.groupBy("token").agg(F.count("*").alias("df"))
+    scored = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            fround(
+                F.col("tf")
+                * F.log((F.col("__n") + 1.0) / (F.col("df") + 1.0)),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("id").orderBy(
+        F.col("score").desc(), F.col("token")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_n)
+        .select(
+            F.col("id").alias(id_col), "token", "tf", "df", "score", "rank"
+        )
+    )
+
+
 def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
     """One-scan projection computing the full text-analysis profile.
     Regex/array compute per row is heavy → decouple from input splits."""

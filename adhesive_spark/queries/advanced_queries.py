@@ -221,6 +221,31 @@ def q48_salted_join(spark, sf_dir):
     )
 
 
+def q49_knn_ivf(spark, sf_dir):
+    """IVF ANN: 16 deterministic inverted lists, 4-probe search —
+    partition-pruned candidate generation (vs q35's full scan), fully
+    oracle-checkable because the centroid seeding is deterministic."""
+    from adhesive_spark.operators.similarity import knn_ivf
+
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.where(F.col("vec_id") >= 10)
+    return knn_ivf(corpus, queries, k=5, n_lists=16, n_probe=4)
+
+
+def q50_tfidf_top_terms(spark, sf_dir):
+    """Corpus TF-IDF: top-3 terms per doc, smoothed idf, reproducible
+    rounded-score ranking."""
+    from adhesive_spark.operators.text import tfidf_top_terms
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    return tfidf_top_terms(docs, "text", "doc_id", top_n=3)
+
+
 ADVANCED_QUERIES = {
     "q26_grouped_zscore": q26_grouped_zscore,
     "q27_udaf_weighted_mean": q27_udaf_weighted_mean,
@@ -234,6 +259,8 @@ ADVANCED_QUERIES = {
     "q43_percentiles": q43_percentiles,
     "q44_histogram": q44_histogram,
     "q45_hash_sample": q45_hash_sample,
+    "q49_knn_ivf": q49_knn_ivf,
+    "q50_tfidf_top_terms": q50_tfidf_top_terms,
 }
 
 # Shared DuckDB fragments (mirror operators.text constant-for-constant).
@@ -434,6 +461,65 @@ ADVANCED_ORACLES = {
                ROUND(SUM(u.user_value), 0) AS sum_user_value
         FROM events e JOIN user_stats u ON e.user_id = u.user_id
         GROUP BY e.event_type
+    """,
+    "q49_knn_ivf": """
+        WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        corpus AS (SELECT vec_id, v FROM emb WHERE vec_id >= 10),
+        queries AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id < 10),
+        centroids AS (
+          SELECT vec_id AS centroid_id, v AS cv FROM corpus
+          ORDER BY vec_id LIMIT 16
+        ),
+        assigned AS (
+          SELECT vec_id, v, centroid_id FROM (
+            SELECT c.vec_id, c.v, t.centroid_id,
+                   ROW_NUMBER() OVER (PARTITION BY c.vec_id
+                     ORDER BY round(list_cosine_similarity(c.v, t.cv), 6) DESC,
+                              t.centroid_id) AS r
+            FROM corpus c CROSS JOIN centroids t
+          ) WHERE r = 1
+        ),
+        probes AS (
+          SELECT query_id, qv, centroid_id FROM (
+            SELECT q.query_id, q.qv, t.centroid_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.query_id
+                     ORDER BY round(list_cosine_similarity(q.qv, t.cv), 6) DESC,
+                              t.centroid_id) AS r
+            FROM queries q CROSS JOIN centroids t
+          ) WHERE r <= 4
+        )
+        SELECT query_id, vec_id, sim, rank FROM (
+          SELECT p.query_id, a.vec_id,
+                 round(list_cosine_similarity(a.v, p.qv), 6) AS sim,
+                 ROW_NUMBER() OVER (PARTITION BY p.query_id
+                   ORDER BY round(list_cosine_similarity(a.v, p.qv), 6) DESC,
+                            a.vec_id) AS rank
+          FROM assigned a JOIN probes p USING (centroid_id)
+        ) WHERE rank <= 5
+    """,
+    "q50_tfidf_top_terms": f"""
+        WITH d AS (
+          SELECT doc_id, list_filter({_TOKS}, t -> length(t) >= 3) AS toks
+          FROM documents WHERE doc_id < 200
+        ),
+        raw AS (SELECT doc_id, unnest(toks) AS token FROM d),
+        tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM raw GROUP BY 1, 2),
+        dfreq AS (
+          SELECT token, COUNT(DISTINCT doc_id) AS df FROM raw GROUP BY 1
+        ),
+        n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM d),
+        scored AS (
+          SELECT tf.doc_id, tf.token, tf.tf, dfreq.df,
+                 floor(tf.tf * ln((n.n + 1.0) / (dfreq.df + 1.0)) * 1000000)
+                   / 1000000 AS score
+          FROM tf, dfreq, n WHERE tf.token = dfreq.token
+        )
+        SELECT doc_id, token, tf, df, score, rank FROM (
+          SELECT scored.*,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id
+                   ORDER BY score DESC, token) AS rank
+          FROM scored
+        ) WHERE rank <= 3
     """,
     # q42_sketch_distinct: intentionally no oracle — HLL++ estimates are
     # engine-specific; exact_users column carries the ground truth.
