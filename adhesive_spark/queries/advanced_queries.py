@@ -246,6 +246,60 @@ def q50_tfidf_top_terms(spark, sf_dir):
     return tfidf_top_terms(docs, "text", "doc_id", top_n=3)
 
 
+def q51_pivot(spark, sf_dir):
+    """Pivot: event counts per user-decile × event_type as columns —
+    Spark's groupBy().pivot() with an explicit value list (never let
+    pivot infer values at scale: that's an extra distinct scan)."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.withColumn("user_decile", (F.col("user_id") % 10))
+        .groupBy("user_decile")
+        .pivot("event_type", ["click", "view", "purchase", "signup"])
+        .agg(F.count(F.lit(1)))
+    )
+
+
+def q52_unpivot(spark, sf_dir):
+    """Unpivot/melt: wide per-priority aggregates back to long form via
+    the stack-style unpivot (ids=priority, values=metric columns)."""
+    orders = load_table(spark, sf_dir, "orders")
+    wide = orders.groupBy("o_orderpriority").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        F.round(F.avg("o_totalprice"), 2).alias("mean"),
+        F.round(F.min("o_totalprice"), 2).alias("min"),
+        F.round(F.max("o_totalprice"), 2).alias("max"),
+    )
+    return wide.unpivot(
+        "o_orderpriority",
+        ["total", "mean", "min", "max"],
+        "metric",
+        "value",
+    )
+
+
+def q53_sessionize(spark, sf_dir):
+    """Batch sessionization: gap-based sessions per user (30-minute
+    inactivity gap) via session_window — the batch twin of the
+    streaming sessionized_counts operator; the oracle reproduces it with
+    gaps-and-islands SQL (lag + cumulative gap counter)."""
+    events = load_table(spark, sf_dir, "events").where(F.col("user_id") < 50)
+    return (
+        events.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("value_sum"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            "n_events",
+            "value_sum",
+        )
+    )
+
+
 ADVANCED_QUERIES = {
     "q26_grouped_zscore": q26_grouped_zscore,
     "q27_udaf_weighted_mean": q27_udaf_weighted_mean,
@@ -261,6 +315,9 @@ ADVANCED_QUERIES = {
     "q45_hash_sample": q45_hash_sample,
     "q49_knn_ivf": q49_knn_ivf,
     "q50_tfidf_top_terms": q50_tfidf_top_terms,
+    "q51_pivot": q51_pivot,
+    "q52_unpivot": q52_unpivot,
+    "q53_sessionize": q53_sessionize,
 }
 
 # Shared DuckDB fragments (mirror operators.text constant-for-constant).
@@ -520,6 +577,52 @@ ADVANCED_ORACLES = {
                    ORDER BY score DESC, token) AS rank
           FROM scored
         ) WHERE rank <= 3
+    """,
+    # Spark pivot leaves combinations with zero input rows NULL (they are
+    # absent groups, not empty ones) — NULLIF reproduces that.
+    "q51_pivot": """
+        SELECT user_id % 10 AS user_decile,
+               NULLIF(COUNT(*) FILTER (event_type = 'click'), 0) AS click,
+               NULLIF(COUNT(*) FILTER (event_type = 'view'), 0) AS view,
+               NULLIF(COUNT(*) FILTER (event_type = 'purchase'), 0) AS purchase,
+               NULLIF(COUNT(*) FILTER (event_type = 'signup'), 0) AS signup
+        FROM events GROUP BY 1
+    """,
+    "q52_unpivot": """
+        SELECT o_orderpriority, metric, value FROM (
+          SELECT o_orderpriority,
+                 ROUND(SUM(o_totalprice), 2) AS total,
+                 ROUND(AVG(o_totalprice), 2) AS mean,
+                 ROUND(MIN(o_totalprice), 2) AS min,
+                 ROUND(MAX(o_totalprice), 2) AS max
+          FROM orders GROUP BY 1
+        ) UNPIVOT (value FOR metric IN (total, mean, min, max))
+    """,
+    # Session semantics: Spark merges an event into the session iff its
+    # ts < previous ts + gap (half-open windows) → a NEW session starts
+    # when the inactivity gap is >= 30 minutes.
+    "q53_sessionize": """
+        WITH e AS (
+          SELECT user_id, ts, value FROM events WHERE user_id < 50
+        ),
+        m AS (
+          SELECT user_id, ts, value,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END AS new_sess
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ),
+        s AS (
+          SELECT user_id, ts, value,
+                 SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                     ROWS UNBOUNDED PRECEDING) AS sess_id
+          FROM m
+        )
+        SELECT user_id,
+               epoch_us(MIN(ts)) AS session_start_us,
+               COUNT(*) AS n_events,
+               ROUND(SUM(value), 2) AS value_sum
+        FROM s GROUP BY user_id, sess_id
     """,
     # q42_sketch_distinct: intentionally no oracle — HLL++ estimates are
     # engine-specific; exact_users column carries the ground truth.

@@ -78,3 +78,28 @@ def test_codegen_coverage(spark, sf):
 
     df = q01_pricing_summary(spark, sf)
     assert codegen_stage_count(df) >= 2
+
+
+def test_range_join_uses_equi_hash(spark, sf):
+    # equi key (user) must drive a hash/merge join; the time-range
+    # predicate is a residual — NOT a nested loop over the full stream.
+    from adhesive_spark.queries.advanced_queries import q29_range_join
+
+    df = q29_range_join(spark, sf)
+    plan = physical_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_knn_ivf_broadcasts_centroids_and_probes(spark, sf):
+    from adhesive_spark.queries.advanced_queries import q49_knn_ivf
+
+    df = q49_knn_ivf(spark, sf)
+    assert_broadcast_join(df, min_count=2)
+
+
+def test_salted_join_no_cartesian(spark, sf):
+    from adhesive_spark.queries.advanced_queries import q48_salted_join
+
+    df = q48_salted_join(spark, sf)
+    assert_no_cartesian(df)

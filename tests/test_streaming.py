@@ -84,3 +84,35 @@ def test_stream_dedup_drops_dupes(spark, event_stream_dir):
     # horizon; with 30 days of events vs a 1h watermark, duplicates beyond
     # the horizon legitimately reappear — but far fewer than the raw count.
     assert n_keys <= n < batch_events.count()
+
+
+def test_stream_stream_attribution_matches_batch(spark, event_stream_dir):
+    from adhesive_spark.streaming.ops import stream_stream_attribution
+
+    batch_events = spark.read.parquet(event_stream_dir)
+    stream_events = spark.readStream.schema(batch_events.schema).parquet(
+        event_stream_dir
+    )
+
+    def split(df):
+        return (
+            df.where(F.col("event_type") == "click"),
+            df.where(F.col("event_type") == "purchase"),
+        )
+
+    sc, sp = split(stream_events)
+    _run_to_memory(
+        stream_stream_attribution(sc, sp), "t_attr", mode="append"
+    )
+    got = {
+        (r.purchase_id, r.click_id) for r in spark.table("t_attr").collect()
+    }
+    bc, bp = split(batch_events)
+    expected = {
+        (r.purchase_id, r.click_id)
+        for r in stream_stream_attribution(bc, bp).collect()
+    }
+    # availableNow processes everything; inner interval join results on a
+    # finite input must match the batch twin exactly.
+    assert got == expected
+    assert got, "expected at least one attributed purchase"
