@@ -139,6 +139,37 @@ def fingerprint(col) -> Column:
     return F.md5(normalize_text(col))
 
 
+def winnow_fingerprints(col, *, k: int = 8, w: int = 4) -> Column:
+    """Winnowing document fingerprints (rolling-hash selection):
+    character k-gram hashes → min hash per sliding window of w grams →
+    distinct selected hashes. Any two documents sharing a sufficiently
+    long substring share a fingerprint (the winnowing guarantee), which
+    makes the selected set a compact near-dup/plagiarism signature.
+
+    The k-gram "rolling hash" is the first 8 hex chars of md5 — portable
+    across engines (the correctness oracle reproduces it verbatim in
+    DuckDB), computed per gram inside one higher-order expression: no
+    Python, no shuffle, one projection.
+    """
+    norm = normalize_text(col)
+    n_grams = F.length(norm) - (k - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n_grams, F.lit(1))),
+        # Column.substr (unlike F.substring pre-4.x) accepts Column
+        # positions, which the lambda variable requires.
+        lambda i: F.md5(norm.substr(i, F.lit(k))).substr(F.lit(1), F.lit(8)),
+    )
+    n_windows = F.size(grams) - (w - 1)
+    mins = F.when(
+        n_windows >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_windows),
+            lambda j: F.array_min(F.slice(grams, j, w)),
+        ),
+    ).otherwise(F.array(F.array_min(grams)))
+    return F.array_distinct(mins)
+
+
 def tfidf_top_terms(
     df: DataFrame,
     text_col: str = "text",

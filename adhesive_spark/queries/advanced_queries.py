@@ -300,6 +300,18 @@ def q53_sessionize(spark, sf_dir):
     )
 
 
+def q54_winnow_fingerprints(spark, sf_dir):
+    """Winnowing rolling-hash fingerprints: (doc_id, fingerprint) pairs
+    — the substring-overlap near-dup signature, one projection."""
+    from adhesive_spark.operators.text import winnow_fingerprints
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    return docs.select(
+        "doc_id",
+        F.explode(winnow_fingerprints(F.col("text"), k=8, w=4)).alias("fp"),
+    )
+
+
 ADVANCED_QUERIES = {
     "q26_grouped_zscore": q26_grouped_zscore,
     "q27_udaf_weighted_mean": q27_udaf_weighted_mean,
@@ -318,6 +330,7 @@ ADVANCED_QUERIES = {
     "q51_pivot": q51_pivot,
     "q52_unpivot": q52_unpivot,
     "q53_sessionize": q53_sessionize,
+    "q54_winnow_fingerprints": q54_winnow_fingerprints,
 }
 
 # Shared DuckDB fragments (mirror operators.text constant-for-constant).
@@ -623,6 +636,29 @@ ADVANCED_ORACLES = {
                COUNT(*) AS n_events,
                ROUND(SUM(value), 2) AS value_sum
         FROM s GROUP BY user_id, sess_id
+    """,
+    "q54_winnow_fingerprints": f"""
+        WITH d AS (
+          SELECT doc_id, {_NORM} AS norm FROM documents WHERE doc_id < 100
+        ),
+        g AS (
+          SELECT doc_id,
+                 list_transform(
+                   range(1, greatest(length(norm) - 7, 1) + 1),
+                   i -> substr(md5(substr(norm, CAST(i AS INT), 8)), 1, 8)
+                 ) AS grams
+          FROM d
+        ),
+        m AS (
+          SELECT doc_id,
+                 CASE WHEN len(grams) - 3 >= 1
+                      THEN list_distinct(list_transform(
+                             range(1, len(grams) - 3 + 1),
+                             j -> list_min(grams[j:j+3])))
+                      ELSE [list_min(grams)] END AS fps
+          FROM g
+        )
+        SELECT doc_id, unnest(fps) AS fp FROM m
     """,
     # q42_sketch_distinct: intentionally no oracle — HLL++ estimates are
     # engine-specific; exact_users column carries the ground truth.

@@ -1,0 +1,118 @@
+"""Property-based tests (hypothesis): the as-of join against pandas
+merge_asof as an independent reference implementation, and DDL-parser
+robustness over generated CREATE FUNCTION statements."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from adhesive_spark.functions.ddl import parse_create_function
+from adhesive_spark.operators.asof import asof_join
+
+# --- as-of join vs pandas.merge_asof ----------------------------------------
+
+_times = st.lists(
+    st.integers(min_value=0, max_value=1000), min_size=1, max_size=12
+)
+_keys = st.lists(
+    st.sampled_from(["a", "b", "c"]), min_size=1, max_size=12
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(lt=_times, lk=_keys, rt=_times, rk=_keys)
+def test_asof_matches_pandas_merge_asof(spark, lt, lk, rt, rk):
+    left_rows = [
+        (i, k, t) for i, (k, t) in enumerate(zip(lk, lt))
+    ]
+    # dedup right to one row per (key, time): merge_asof picks the LAST
+    # duplicate, our window picks storage order — dedup removes the
+    # only documented nondeterminism (asof.py:60-62)
+    right_rows = list(
+        {(k, t): (k, t, t * 10) for k, t in zip(rk, rt)}.values()
+    )
+    left = spark.createDataFrame(left_rows, "row_id long, k string, t long")
+    right = spark.createDataFrame(right_rows, "k string, t long, payload long")
+
+    got = {
+        r.row_id: r.payload
+        for r in asof_join(left, right, on="t", by="k").collect()
+    }
+
+    lpdf = pd.DataFrame(left_rows, columns=["row_id", "k", "t"]).sort_values(
+        ["t", "row_id"]
+    )
+    rpdf = pd.DataFrame(
+        right_rows, columns=["k", "t", "payload"]
+    ).sort_values("t")
+    merged = pd.merge_asof(
+        lpdf, rpdf, on="t", by="k", direction="backward"
+    )
+    want = {
+        int(r.row_id): (None if pd.isna(r.payload) else int(r.payload))
+        for r in merged.itertuples()
+    }
+    assert got == want
+
+
+# --- DDL parser properties ---------------------------------------------------
+
+_ident = st.from_regex(r"[A-Za-z_][A-Za-z0-9_]{0,20}", fullmatch=True)
+_types = st.sampled_from(["BIGINT", "INT", "DOUBLE", "FLOAT", "STRING"])
+_body = st.text(
+    alphabet=st.characters(
+        blacklist_characters="'", blacklist_categories=("Cs",)
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@settings(max_examples=50, deadline=None)
+@given(name=_ident, args=st.lists(_types, max_size=4), ret=_types, body=_body)
+def test_ddl_parse_roundtrip(name, args, ret, body):
+    arglist = ", ".join(args)
+    sql = (
+        f"CREATE FUNCTION {name}({arglist}) RETURNS {ret} "
+        f"LANGUAGE PYTHON AS '{body}'"
+    )
+    d = parse_create_function(sql)
+    assert d.name.lower() == name.lower()
+    assert [t.upper() for t in d.arg_types] == args
+    assert d.return_type.upper() == ret
+    assert d.body == body
+    assert d.language == "PYTHON"
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    name=_ident,
+    body=_body.filter(lambda s: "$$" not in s),
+)
+def test_ddl_dollar_quoted_body(name, body):
+    sql = (
+        f"CREATE OR REPLACE FUNCTION {name}(BIGINT) RETURNS BIGINT "
+        f"LANGUAGE PYTHON AS $${body}$$"
+    )
+    d = parse_create_function(sql)
+    assert d.or_replace
+    assert d.body == body
+
+
+def test_ddl_rejects_garbage():
+    from adhesive_spark.errors import DdlParseError
+
+    for bad in [
+        "CREATE FUNCTION f() RETURNS BIGINT LANGUAGE PYTHON",  # no body
+        "CREATE FUNCTION RETURNS BIGINT AS 'x'",  # no name/args
+        "CREATE FUNCTION f(BIGINT) LANGUAGE PYTHON AS 'x'",  # no return
+    ]:
+        with pytest.raises(DdlParseError):
+            parse_create_function(bad)
