@@ -312,6 +312,49 @@ def q54_winnow_fingerprints(spark, sf_dir):
     )
 
 
+def q55_correlated_exists(spark, sf_dir):
+    """Correlated EXISTS / NOT EXISTS: customers with an urgent order
+    but no open ('O') one — Catalyst rewrites both to semi/anti joins."""
+    from adhesive_spark.sources.registry import register_tables
+
+    register_tables(spark, sf_dir, ("customer", "orders"))
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_name
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderstatus = 'O')
+        """
+    )
+
+
+def q57_rolling_window(spark, sf_dir):
+    """Event-time RANGE-frame rolling aggregate: per event, the same
+    user's event count and value sum over the trailing hour. Spark's
+    rangeBetween needs a numeric ordering key → unix microseconds; the
+    oracle uses a native RANGE INTERVAL frame — same semantics."""
+    events = load_table(spark, sf_dir, "events").where(F.col("user_id") < 100)
+    from pyspark.sql.window import Window
+
+    us = F.unix_micros(F.col("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        us.alias("ts_us"),
+        F.count("*").over(w).alias("n_1h"),
+        F.round(F.sum("value").over(w), 2).alias("value_1h"),
+    )
+
+
 ADVANCED_QUERIES = {
     "q26_grouped_zscore": q26_grouped_zscore,
     "q27_udaf_weighted_mean": q27_udaf_weighted_mean,
@@ -331,6 +374,8 @@ ADVANCED_QUERIES = {
     "q52_unpivot": q52_unpivot,
     "q53_sessionize": q53_sessionize,
     "q54_winnow_fingerprints": q54_winnow_fingerprints,
+    "q55_correlated_exists": q55_correlated_exists,
+    "q57_rolling_window": q57_rolling_window,
 }
 
 # Shared DuckDB fragments (mirror operators.text constant-for-constant).
@@ -659,6 +704,26 @@ ADVANCED_ORACLES = {
           FROM g
         )
         SELECT doc_id, unnest(fps) AS fp FROM m
+    """,
+    "q55_correlated_exists": """
+        SELECT c.c_custkey, c.c_name
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderstatus = 'O')
+    """,
+    "q57_rolling_window": """
+        SELECT event_id, user_id,
+               epoch_us(ts) AS ts_us,
+               COUNT(*) OVER w AS n_1h,
+               ROUND(SUM(value) OVER w, 2) AS value_1h
+        FROM events
+        WHERE user_id < 100
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
     """,
     # q42_sketch_distinct: intentionally no oracle — HLL++ estimates are
     # engine-specific; exact_users column carries the ground truth.

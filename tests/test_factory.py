@@ -206,3 +206,18 @@ def test_nondeterministic_default_plan(sess, spark):
     # A deterministic UDF over a literal would be constant-folded away;
     # the volatile one must survive in the plan.
     assert "vol" in plan
+
+
+def test_array_and_map_return_types(sess):
+    sess.sql(
+        "CREATE OR REPLACE FUNCTION trange(BIGINT) RETURNS ARRAY<BIGINT> "
+        "DETERMINISTIC LANGUAGE PYTHON AS 'return list(range(arg0))'"
+    )
+    rows = sess.sql("SELECT trange(3) AS r").collect()
+    assert rows[0].r == [0, 1, 2]
+    sess.sql(
+        "CREATE OR REPLACE FUNCTION tmap(STRING) RETURNS MAP<STRING, BIGINT> "
+        "DETERMINISTIC LANGUAGE PYTHON AS 'return {arg0: len(arg0)}'"
+    )
+    rows = sess.sql("SELECT tmap('abc') AS r").collect()
+    assert rows[0].r == {"abc": 3}
