@@ -355,6 +355,48 @@ def q57_rolling_window(spark, sf_dir):
     )
 
 
+def q58_column_profile(spark, sf_dir):
+    """Single-pass data-quality profile of orders: nulls, distincts,
+    numeric min/max per column, long form."""
+    from adhesive_spark.operators.quality import column_profile
+
+    orders = load_table(spark, sf_dir, "orders")
+    return column_profile(
+        orders, ["o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"]
+    )
+
+
+def q59_fk_integrity(spark, sf_dir):
+    """Referential-integrity audit: orphaned foreign keys across the
+    star schema (anti-join per edge, union of violation counts)."""
+    from adhesive_spark.operators.quality import fk_orphans
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    e1 = fk_orphans(lineitem, orders, "l_orderkey", "o_orderkey").select(
+        F.lit("lineitem->orders").alias("edge"),
+        F.col("l_orderkey").alias("fk"),
+        "n_rows",
+    )
+    e2 = fk_orphans(orders, customer, "o_custkey", "c_custkey").select(
+        F.lit("orders->customer").alias("edge"),
+        F.col("o_custkey").alias("fk"),
+        "n_rows",
+    )
+    # The generated schema is referentially intact, so the first two
+    # edges prove absence of violations; the third simulates parent loss
+    # (orders with key % 100 == 0 dropped) to exercise the anti-join's
+    # positive path with deterministic, oracle-checkable orphans.
+    damaged = orders.where(F.col("o_orderkey") % 100 != 0)
+    e3 = fk_orphans(lineitem, damaged, "l_orderkey", "o_orderkey").select(
+        F.lit("lineitem->damaged_orders").alias("edge"),
+        F.col("l_orderkey").alias("fk"),
+        "n_rows",
+    )
+    return e1.unionByName(e2).unionByName(e3)
+
+
 ADVANCED_QUERIES = {
     "q26_grouped_zscore": q26_grouped_zscore,
     "q27_udaf_weighted_mean": q27_udaf_weighted_mean,
@@ -376,6 +418,8 @@ ADVANCED_QUERIES = {
     "q54_winnow_fingerprints": q54_winnow_fingerprints,
     "q55_correlated_exists": q55_correlated_exists,
     "q57_rolling_window": q57_rolling_window,
+    "q58_column_profile": q58_column_profile,
+    "q59_fk_integrity": q59_fk_integrity,
 }
 
 # Shared DuckDB fragments (mirror operators.text constant-for-constant).
@@ -724,6 +768,58 @@ ADVANCED_ORACLES = {
         WHERE user_id < 100
         WINDOW w AS (PARTITION BY user_id ORDER BY ts
                      RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    """,
+    "q58_column_profile": """
+        WITH w AS (
+          SELECT COUNT(*) AS n,
+                 SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS null1,
+                 COUNT(DISTINCT o_orderkey) AS dist1,
+                 MIN(CAST(o_orderkey AS DOUBLE)) AS min1,
+                 MAX(CAST(o_orderkey AS DOUBLE)) AS max1,
+                 SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS null2,
+                 COUNT(DISTINCT o_custkey) AS dist2,
+                 MIN(CAST(o_custkey AS DOUBLE)) AS min2,
+                 MAX(CAST(o_custkey AS DOUBLE)) AS max2,
+                 SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS null3,
+                 COUNT(DISTINCT o_totalprice) AS dist3,
+                 MIN(o_totalprice) AS min3,
+                 MAX(o_totalprice) AS max3,
+                 SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS null4,
+                 COUNT(DISTINCT o_orderpriority) AS dist4
+          FROM orders
+        )
+        SELECT 'o_orderkey' AS column, n AS n_rows, null1 AS n_null,
+               dist1 AS n_distinct, min1 AS vmin, max1 AS vmax FROM w
+        UNION ALL
+        SELECT 'o_custkey', n, null2, dist2, min2, max2 FROM w
+        UNION ALL
+        SELECT 'o_totalprice', n, null3, dist3, min3, max3 FROM w
+        UNION ALL
+        SELECT 'o_orderpriority', n, null4, dist4, NULL, NULL FROM w
+    """,
+    "q59_fk_integrity": """
+        SELECT 'lineitem->orders' AS edge, l_orderkey AS fk,
+               COUNT(*) AS n_rows
+        FROM lineitem
+        WHERE l_orderkey IS NOT NULL
+          AND l_orderkey NOT IN (SELECT o_orderkey FROM orders
+                                 WHERE o_orderkey IS NOT NULL)
+        GROUP BY l_orderkey
+        UNION ALL
+        SELECT 'orders->customer', o_custkey, COUNT(*)
+        FROM orders
+        WHERE o_custkey IS NOT NULL
+          AND o_custkey NOT IN (SELECT c_custkey FROM customer
+                                WHERE c_custkey IS NOT NULL)
+        GROUP BY o_custkey
+        UNION ALL
+        SELECT 'lineitem->damaged_orders', l_orderkey, COUNT(*)
+        FROM lineitem
+        WHERE l_orderkey IS NOT NULL
+          AND l_orderkey NOT IN (SELECT o_orderkey FROM orders
+                                 WHERE o_orderkey IS NOT NULL
+                                   AND o_orderkey % 100 != 0)
+        GROUP BY l_orderkey
     """,
     # q42_sketch_distinct: intentionally no oracle — HLL++ estimates are
     # engine-specific; exact_users column carries the ground truth.

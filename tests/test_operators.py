@@ -207,3 +207,30 @@ def test_frame_sample_counts(docs):
     vids = {r.media_id: r.n_frames for r in decoded.where(F.col("media_type") == "video").collect()}
     for mid, nf in vids.items():
         assert got[mid] == (nf - 1) // 10 + 1
+
+
+def test_column_profile(spark):
+    from adhesive_spark.operators.quality import column_profile
+
+    df = spark.createDataFrame(
+        [(1, 2.0, "x"), (2, None, "y"), (3, 8.5, None), (3, 1.0, "x")],
+        "k long, v double, s string",
+    )
+    prof = {r.column: r for r in column_profile(df).collect()}
+    assert prof["k"].n_rows == 4
+    assert prof["k"].n_null == 0 and prof["k"].n_distinct == 3
+    assert prof["k"].vmin == 1.0 and prof["k"].vmax == 3.0
+    assert prof["v"].n_null == 1 and prof["v"].vmax == 8.5
+    assert prof["s"].n_null == 1 and prof["s"].n_distinct == 2
+    assert prof["s"].vmin is None  # non-numeric: no min/max by design
+
+
+def test_fk_orphans(spark):
+    from adhesive_spark.operators.quality import fk_orphans
+
+    child = spark.createDataFrame(
+        [(1,), (2,), (2,), (99,), (None,)], "fk long"
+    )
+    parent = spark.createDataFrame([(1,), (2,)], "pk long")
+    got = {r.fk: r.n_rows for r in fk_orphans(child, parent, "fk", "pk").collect()}
+    assert got == {99: 1}  # NULL excluded, 1/2 matched
