@@ -1,0 +1,112 @@
+"""Embedding clustering as pure DataFrame algebra.
+
+- :func:`label_centroids` — element-wise mean vector per label:
+  posexplode → groupBy (label, dim) → avg. ONE shuffle keyed on
+  (label, dim); no vector ever passes through Python. Long-form output
+  (label, pos, val) is the scale-native layout — rebuilding arrays is a
+  presentation step.
+- :func:`kmeans` — spherical k-means (cosine), deterministic seeding
+  (the k lowest-id vectors), fixed iteration count. Each iteration is
+  the IVF assignment step (broadcast centroids, rank-1 window) plus the
+  centroid recomputation above — i.e. the operator composes from the
+  same primitives the similarity/IVF stack uses. Determinism contract:
+  similarities are rounded to 6 decimals before argmin ranking and
+  centroid coordinates to 9 decimals between iterations, so the
+  trajectory is bit-reproducible across engines (raw float ordering is
+  not) — this is what makes an ITERATIVE algorithm oracle-checkable.
+
+The reference has no iterative or ML operators; north-star surface
+(BASELINE.json), built on Catalyst-only primitives.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from adhesive_spark.operators.similarity import cosine
+from adhesive_spark.operators.text import fround
+
+
+def label_centroids(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    *,
+    ndigits: int = 6,
+) -> DataFrame:
+    """(label, pos, val): element-wise mean embedding per label."""
+    pos = df.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(vec_col)).alias("pos", "val"),
+    )
+    return pos.groupBy("label", "pos").agg(
+        fround(F.avg("val"), ndigits).alias("val")
+    )
+
+
+def _assign(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment: broadcast centroids, rank-1 window.
+    vectors: (vec_id, v); centroids: (cid, cv) → (vec_id, v, cid)."""
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("__sim").desc(), F.col("cid")
+    )
+    return (
+        vectors.crossJoin(F.broadcast(centroids))
+        .select(
+            "vec_id",
+            "v",
+            "cid",
+            F.round(cosine(F.col("v"), F.col("cv")), 6).alias("__sim"),
+        )
+        .withColumn("__r", F.row_number().over(w))
+        .where(F.col("__r") == 1)
+        .select("vec_id", "v", "cid")
+    )
+
+
+def _recompute(assigned: DataFrame) -> DataFrame:
+    """(cid, cv): element-wise mean of each cluster, rounded for
+    cross-engine trajectory stability, rebuilt into ordered arrays."""
+    long = assigned.select(
+        "cid", F.posexplode("v").alias("pos", "val")
+    ).groupBy("cid", "pos").agg(fround(F.avg("val"), 9).alias("val"))
+    return long.groupBy("cid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "val"))),
+            lambda s: s["val"],
+        ).alias("cv")
+    )
+
+
+def kmeans(
+    df: DataFrame,
+    *,
+    k: int = 4,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Run ``n_iter`` spherical k-means iterations; returns the final
+    centroids long-form: (cid, pos, val) with val rounded to 6.
+
+    Per-iteration plan cost is two shuffles (top-1 window by vec;
+    centroid groupBy); the centroid relation is tiny and broadcast.
+    Lineage is cut per iteration — mandatory for any iterative
+    DataFrame algorithm (plan growth is exponential otherwise).
+    """
+    vectors = df.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")
+    ).localCheckpoint(eager=True)
+    centroids = (
+        vectors.orderBy("vec_id")
+        .limit(k)
+        .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
+    )
+    for _ in range(n_iter):
+        assigned = _assign(vectors, centroids)
+        centroids = _recompute(assigned).localCheckpoint(eager=True)
+    return centroids.select(
+        "cid", F.posexplode("cv").alias("pos", "val")
+    ).select("cid", "pos", fround(F.col("val"), 6).alias("val"))

@@ -397,6 +397,29 @@ def q59_fk_integrity(spark, sf_dir):
     return e1.unionByName(e2).unionByName(e3)
 
 
+def q60_label_centroids(spark, sf_dir):
+    """Element-wise mean embedding per label, long form — the vector
+    aggregation primitive (posexplode → one keyed shuffle, no Python)."""
+    from adhesive_spark.operators.clustering import label_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    return label_centroids(emb)
+
+
+def q61_kmeans(spark, sf_dir):
+    """Two iterations of spherical k-means (k=4, deterministic seed
+    vectors) — an iterative DataFrame algorithm whose full trajectory is
+    reproduced by the oracle's unrolled SQL."""
+    from adhesive_spark.operators.clustering import kmeans
+
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    return kmeans(emb, k=4, n_iter=2)
+
+
 ADVANCED_QUERIES = {
     "q26_grouped_zscore": q26_grouped_zscore,
     "q27_udaf_weighted_mean": q27_udaf_weighted_mean,
@@ -420,6 +443,8 @@ ADVANCED_QUERIES = {
     "q57_rolling_window": q57_rolling_window,
     "q58_column_profile": q58_column_profile,
     "q59_fk_integrity": q59_fk_integrity,
+    "q60_label_centroids": q60_label_centroids,
+    "q61_kmeans": q61_kmeans,
 }
 
 # Shared DuckDB fragments (mirror operators.text constant-for-constant).
@@ -820,6 +845,65 @@ ADVANCED_ORACLES = {
                                  WHERE o_orderkey IS NOT NULL
                                    AND o_orderkey % 100 != 0)
         GROUP BY l_orderkey
+    """,
+    "q60_label_centroids": """
+        SELECT label, pos, floor(avg(val) * 1000000) / 1000000 AS val
+        FROM (
+          SELECT label,
+                 CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos,
+                 unnest(embedding::DOUBLE[]) AS val
+          FROM embeddings
+        )
+        GROUP BY label, pos
+    """,
+    # Unrolled two-iteration spherical k-means mirroring
+    # operators/clustering.py step for step (same rounding at every
+    # boundary: sims to 6, inter-iteration centroids to 9, output to 6).
+    "q61_kmeans": """
+        WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        c0 AS (
+          SELECT vec_id AS cid, v AS cv FROM emb ORDER BY vec_id LIMIT 4
+        ),
+        a1 AS (
+          SELECT vec_id, v, cid FROM (
+            SELECT e.vec_id, e.v, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                     ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC,
+                              c.cid) AS r
+            FROM emb e CROSS JOIN c0 c
+          ) WHERE r = 1
+        ),
+        a1x AS (
+          SELECT cid, generate_subscripts(v, 1) AS pos, unnest(v) AS val
+          FROM a1
+        ),
+        c1l AS (
+          SELECT cid, pos, floor(avg(val) * 1e9) / 1e9 AS val
+          FROM a1x GROUP BY cid, pos
+        ),
+        c1 AS (
+          SELECT cid, list(val ORDER BY pos) AS cv FROM c1l GROUP BY cid
+        ),
+        a2 AS (
+          SELECT vec_id, v, cid FROM (
+            SELECT e.vec_id, e.v, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                     ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC,
+                              c.cid) AS r
+            FROM emb e CROSS JOIN c1 c
+          ) WHERE r = 1
+        ),
+        a2x AS (
+          SELECT cid, generate_subscripts(v, 1) AS pos, unnest(v) AS val
+          FROM a2
+        ),
+        c2l AS (
+          SELECT cid, pos, floor(avg(val) * 1e9) / 1e9 AS val
+          FROM a2x GROUP BY cid, pos
+        )
+        SELECT cid, CAST(pos - 1 AS INT) AS pos,
+               floor(val * 1000000) / 1000000 AS val
+        FROM c2l
     """,
     # q42_sketch_distinct: intentionally no oracle — HLL++ estimates are
     # engine-specific; exact_users column carries the ground truth.

@@ -234,3 +234,23 @@ def test_fk_orphans(spark):
     parent = spark.createDataFrame([(1,), (2,)], "pk long")
     got = {r.fk: r.n_rows for r in fk_orphans(child, parent, "fk", "pk").collect()}
     assert got == {99: 1}  # NULL excluded, 1/2 matched
+
+
+def test_kmeans_separates_clusters(spark):
+    from adhesive_spark.operators.clustering import kmeans
+
+    # two tight clusters along orthogonal axes; seeds 0 and 1 fall one
+    # in each, so 2-means must converge to the cluster means
+    rows = [
+        (0, [1.0, 0.0, 0.1]), (2, [0.9, 0.1, 0.0]), (4, [1.1, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.1]), (3, [0.1, 0.9, 0.0]), (5, [0.0, 1.1, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cent = kmeans(df, k=2, n_iter=3)
+    got = {}
+    for r in cent.collect():
+        got.setdefault(r.cid, {})[r.pos] = r.val
+    assert set(got) == {0, 1}
+    # cluster 0 ≈ x-axis heavy, cluster 1 ≈ y-axis heavy
+    assert got[0][0] > 0.9 and got[0][1] < 0.1
+    assert got[1][1] > 0.9 and got[1][0] < 0.1
