@@ -420,6 +420,46 @@ def q61_kmeans(spark, sf_dir):
     return kmeans(emb, k=4, n_iter=2)
 
 
+def q62_hopping_window(spark, sf_dir):
+    """Hopping (sliding) event-time windows: 1-hour windows every 15
+    minutes — each event lands in 4 overlapping buckets (the batch twin
+    of streaming sliding windows; the oracle replicates via an explicit
+    offset unnest)."""
+    events = load_table(spark, sf_dir, "events").where(F.col("user_id") < 200)
+    return (
+        events.groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("v"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("w_start_us"),
+            "event_type",
+            "n",
+            "v",
+        )
+    )
+
+
+def q63_analytic_functions(spark, sf_dir):
+    """The analytic window set over order history per customer:
+    lag/lead/first/last/nth + ntile in one pass (one shuffle, one sort)."""
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders").where(F.col("o_custkey") < 100)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.lag("o_totalprice", 1).over(w).alias("prev_price"),
+        F.lead("o_totalprice", 1).over(w).alias("next_price"),
+        F.first("o_orderkey").over(wf).alias("first_key"),
+        F.last("o_orderkey").over(wf).alias("last_key"),
+        F.nth_value("o_orderkey", 2).over(wf).alias("second_key"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
 ADVANCED_QUERIES = {
     "q26_grouped_zscore": q26_grouped_zscore,
     "q27_udaf_weighted_mean": q27_udaf_weighted_mean,
@@ -445,6 +485,8 @@ ADVANCED_QUERIES = {
     "q59_fk_integrity": q59_fk_integrity,
     "q60_label_centroids": q60_label_centroids,
     "q61_kmeans": q61_kmeans,
+    "q62_hopping_window": q62_hopping_window,
+    "q63_analytic_functions": q63_analytic_functions,
 }
 
 # Shared DuckDB fragments (mirror operators.text constant-for-constant).
@@ -904,6 +946,35 @@ ADVANCED_ORACLES = {
         SELECT cid, CAST(pos - 1 AS INT) AS pos,
                floor(val * 1000000) / 1000000 AS val
         FROM c2l
+    """,
+    # Spark aligns tumbling/hopping windows to the unix epoch; DuckDB's
+    # time_bucket origin (2000-01-01) is also on the 900 s grid, so the
+    # buckets coincide. Each event expands to window/slide = 4 buckets.
+    "q62_hopping_window": """
+        SELECT w_start_us, event_type, COUNT(*) AS n,
+               ROUND(SUM(value), 2) AS v
+        FROM (
+          SELECT epoch_us(time_bucket(INTERVAL 15 MINUTE, ts))
+                   - CAST(k AS BIGINT) * 900000000 AS w_start_us,
+                 event_type, value
+          FROM events CROSS JOIN unnest([0, 1, 2, 3]) AS t(k)
+          WHERE user_id < 200
+        )
+        GROUP BY 1, 2
+    """,
+    "q63_analytic_functions": """
+        SELECT o_custkey, o_orderkey,
+               lag(o_totalprice, 1) OVER w AS prev_price,
+               lead(o_totalprice, 1) OVER w AS next_price,
+               first_value(o_orderkey) OVER wf AS first_key,
+               last_value(o_orderkey) OVER wf AS last_key,
+               nth_value(o_orderkey, 2) OVER wf AS second_key,
+               CAST(ntile(4) OVER w AS INT) AS quartile
+        FROM orders WHERE o_custkey < 100
+        WINDOW
+          w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+          wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
     """,
     # q42_sketch_distinct: intentionally no oracle — HLL++ estimates are
     # engine-specific; exact_users column carries the ground truth.
