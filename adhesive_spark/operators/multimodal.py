@@ -140,6 +140,26 @@ def decode_media(df: DataFrame, *, codec: str = "stub") -> DataFrame:
     return df.mapInPandas(_decode, schema=DECODED_SCHEMA)
 
 
+def media_embedding(decoded: DataFrame, dim: int = 8) -> DataFrame:
+    """Attach a deterministic feature vector derived from the decoded
+    content hash — the stub stand-in for a real image/audio encoder
+    (the seam where a CLIP-style model would run as a pandas UDF). One
+    byte of the sha per dimension, scaled to [0,1]; pure built-ins so
+    the downstream similarity stack stays oracle-checkable."""
+    vec = F.array(
+        *[
+            (
+                F.conv(
+                    F.substring(F.col("content_sha"), 2 * i + 1, 2), 16, 10
+                ).cast("double")
+                / 255.0
+            )
+            for i in range(dim)
+        ]
+    )
+    return decoded.withColumn("embedding", vec)
+
+
 def frame_sample_plan(decoded: DataFrame, every_n: int = 10) -> DataFrame:
     """Frame-sampling plan for videos: one row per sampled frame index —
     pure built-ins (sequence + explode), no Python."""

@@ -198,6 +198,13 @@ def knn_ivf(
     Scale shape: queries×centroids is broadcast-sized; the candidate
     join hits only probed lists (equi-join on centroid_id), so the
     corpus-side shuffle is bounded by the probe fraction.
+
+    Cost note: this one-shot call pays the index BUILD (a full corpus
+    pass) plus the probe; one-off searches on modest corpora are faster
+    brute-force. IVF wins when the ``assigned`` index is persisted
+    (write_bucketed_table on centroid_id) and amortized across many
+    query batches — then each search touches n_probe/n_lists of the
+    data with no corpus scan at all.
     """
     centroids, assigned = build_ivf_index(
         corpus, n_lists=n_lists, id_col=id_col, vec_col=vec_col

@@ -460,6 +460,31 @@ def q63_analytic_functions(spark, sf_dir):
     )
 
 
+def q64_media_knn(spark, sf_dir):
+    """End-to-end multimodal pipeline: synthesize media → mapInPandas
+    decode → content-hash feature vectors → cosine top-3 among images —
+    the decode→embed→search composition a multimodal corpus needs,
+    with every stage oracle-reproducible (stub encoder)."""
+    from adhesive_spark.operators.multimodal import (
+        decode_media,
+        media_embedding,
+        synthesize_media,
+    )
+    from adhesive_spark.operators.similarity import knn_bruteforce
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    emb = media_embedding(decode_media(synthesize_media(docs))).where(
+        F.col("media_type") == "image"
+    )
+    queries = emb.where(F.col("media_id") < 30).select(
+        F.col("media_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.where(F.col("media_id") >= 30)
+    return knn_bruteforce(
+        corpus, queries, k=3, id_col="media_id", vec_col="embedding"
+    )
+
+
 ADVANCED_QUERIES = {
     "q26_grouped_zscore": q26_grouped_zscore,
     "q27_udaf_weighted_mean": q27_udaf_weighted_mean,
@@ -487,6 +512,7 @@ ADVANCED_QUERIES = {
     "q61_kmeans": q61_kmeans,
     "q62_hopping_window": q62_hopping_window,
     "q63_analytic_functions": q63_analytic_functions,
+    "q64_media_knn": q64_media_knn,
 }
 
 # Shared DuckDB fragments (mirror operators.text constant-for-constant).
@@ -530,6 +556,25 @@ def _quality_sql() -> str:
                                           / greatest(length(text), 1) * 10000) / 10000 * 2,
                                   1.0)))
               * 10000) / 10000
+    """
+
+
+def _media_embed_sql() -> str:
+    """8-dim content-hash embedding over image media rows (mirrors
+    multimodal.synthesize_media + decode_media + media_embedding)."""
+    from adhesive_spark.queries.pipeline_queries import _byte_from_hex
+
+    dims = ", ".join(
+        f"{_byte_from_hex('sha', i + 1)} / 255.0" for i in range(8)
+    )
+    return f"""
+        m AS (
+          SELECT doc_id AS media_id,
+                 substr(sha256(substring(text, 1, 256)), 1, 16) AS sha
+          FROM documents
+          WHERE doc_id < 200 AND CAST(doc_id % 3 AS INT) = 0
+        ),
+        e AS (SELECT media_id, [{dims}] AS v FROM m)
     """
 
 
@@ -975,6 +1020,17 @@ ADVANCED_ORACLES = {
           w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
           wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    "q64_media_knn": f"""
+        WITH {_media_embed_sql()}
+        SELECT query_id, media_id, sim, rank FROM (
+          SELECT q.media_id AS query_id, c.media_id,
+                 round(list_cosine_similarity(c.v, q.v), 6) AS sim,
+                 ROW_NUMBER() OVER (PARTITION BY q.media_id
+                   ORDER BY round(list_cosine_similarity(c.v, q.v), 6) DESC,
+                            c.media_id) AS rank
+          FROM e q JOIN e c ON q.media_id < 30 AND c.media_id >= 30
+        ) WHERE rank <= 3
     """,
     # q42_sketch_distinct: intentionally no oracle — HLL++ estimates are
     # engine-specific; exact_users column carries the ground truth.

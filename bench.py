@@ -41,6 +41,7 @@ HEADLINE = [
     "q36_asof_join",
     "q37_minhash_pairs",
     "q48_salted_join",
+    "q61_kmeans",
 ]
 
 
