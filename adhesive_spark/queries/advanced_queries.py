@@ -485,6 +485,62 @@ def q64_media_knn(spark, sf_dir):
     )
 
 
+def q65_null_semantics(spark, sf_dir):
+    """NULL semantics matrix over a derived nullable column: COUNT vs
+    COUNT(col), null-safe equality (<=>) join, NULL grouping — the
+    subtle SQL corners a query engine must honor exactly."""
+    events = load_table(spark, sf_dir, "events")
+    # value -> NULL for error events: a realistic nullable measure
+    e = events.select(
+        "event_id",
+        "event_type",
+        F.when(F.col("event_type") != "error", F.col("value")).alias("v"),
+        F.when(F.col("user_id") % 7 == 0, None)
+        .otherwise(F.col("user_id") % 5)
+        .alias("bucket"),
+    )
+    sides = e.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("v").alias("n_nonnull_v"),
+        F.round(F.sum("v"), 2).alias("sum_v"),
+    )
+    l, r = sides.alias("l"), sides.alias("r")
+    # null-safe self-join: the NULL bucket must match itself
+    return (
+        l.join(r, F.col("l.bucket").eqNullSafe(F.col("r.bucket")))
+        .select(
+            F.col("l.bucket").alias("bucket"),
+            F.col("l.n_rows").alias("n_rows"),
+            F.col("l.n_nonnull_v").alias("n_nonnull_v"),
+            F.col("l.sum_v").alias("sum_v"),
+            F.col("r.n_rows").alias("n_rows_matched"),
+        )
+    )
+
+
+def q66_decimal_exact(spark, sf_dir):
+    """Exact DECIMAL(14,2) money arithmetic: casting the double prices
+    to decimals makes SUM exact and engine-identical (no fp rounding in
+    the compare at all — byte-exact aggregation semantics)."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    d = lineitem.select(
+        "l_returnflag",
+        F.col("l_extendedprice").cast("decimal(14,2)").alias("price"),
+        F.col("l_discount").cast("decimal(5,2)").alias("disc"),
+    )
+    # Aggregation is exact decimal; only the OUTPUT is cast to double
+    # (both engines convert the identical decimal, so the compare stays
+    # byte-exact while the result hashes as a plain float).
+    return d.groupBy("l_returnflag").agg(
+        F.sum("price").cast("double").alias("sum_price"),
+        F.sum(
+            (F.col("price") * (F.lit(1).cast("decimal(3,0)") - F.col("disc")))
+            .cast("decimal(16,4)")
+        ).cast("double").alias("sum_disc_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 ADVANCED_QUERIES = {
     "q26_grouped_zscore": q26_grouped_zscore,
     "q27_udaf_weighted_mean": q27_udaf_weighted_mean,
@@ -513,6 +569,8 @@ ADVANCED_QUERIES = {
     "q62_hopping_window": q62_hopping_window,
     "q63_analytic_functions": q63_analytic_functions,
     "q64_media_knn": q64_media_knn,
+    "q65_null_semantics": q65_null_semantics,
+    "q66_decimal_exact": q66_decimal_exact,
 }
 
 # Shared DuckDB fragments (mirror operators.text constant-for-constant).
@@ -1031,6 +1089,34 @@ ADVANCED_ORACLES = {
                             c.media_id) AS rank
           FROM e q JOIN e c ON q.media_id < 30 AND c.media_id >= 30
         ) WHERE rank <= 3
+    """,
+    "q65_null_semantics": """
+        WITH e AS (
+          SELECT event_id, event_type,
+                 CASE WHEN event_type != 'error' THEN value END AS v,
+                 CASE WHEN user_id % 7 = 0 THEN NULL
+                      ELSE user_id % 5 END AS bucket
+          FROM events
+        ),
+        s AS (
+          SELECT bucket, COUNT(*) AS n_rows, COUNT(v) AS n_nonnull_v,
+                 ROUND(SUM(v), 2) AS sum_v
+          FROM e GROUP BY bucket
+        )
+        SELECT l.bucket, l.n_rows, l.n_nonnull_v, l.sum_v,
+               r.n_rows AS n_rows_matched
+        FROM s l JOIN s r ON l.bucket IS NOT DISTINCT FROM r.bucket
+    """,
+    "q66_decimal_exact": """
+        SELECT l_returnflag,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)))
+                    AS DOUBLE) AS sum_price,
+               CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(14,2))
+                             * (CAST(1 AS DECIMAL(3,0))
+                                - CAST(l_discount AS DECIMAL(5,2)))
+                             AS DECIMAL(16,4))) AS DOUBLE) AS sum_disc_price,
+               COUNT(*) AS n
+        FROM lineitem GROUP BY l_returnflag
     """,
     # q42_sketch_distinct: intentionally no oracle — HLL++ estimates are
     # engine-specific; exact_users column carries the ground truth.
