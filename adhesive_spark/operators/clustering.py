@@ -47,22 +47,25 @@ def label_centroids(
 
 
 def _assign(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
-    """Nearest-centroid assignment: broadcast centroids, rank-1 window.
-    vectors: (vec_id, v); centroids: (cid, cv) → (vec_id, v, cid)."""
-    w = Window.partitionBy("vec_id").orderBy(
-        F.col("__sim").desc(), F.col("cid")
+    """Nearest-centroid assignment: broadcast centroids, then argmax as
+    an AGGREGATE — max(struct(sim, -cid)) — rather than a rank-1 window.
+    The aggregate gets map-side partial combining (each task reduces its
+    k candidate rows locally before any shuffle); a window would sort
+    the full corpus×k expansion. Ties resolve to the lowest cid, same
+    contract as ORDER BY sim DESC, cid. vectors: (vec_id, v);
+    centroids: (cid, cv) → (vec_id, v, cid)."""
+    scored = vectors.crossJoin(F.broadcast(centroids)).select(
+        "vec_id",
+        "v",
+        F.struct(
+            F.round(cosine(F.col("v"), F.col("cv")), 6).alias("sim"),
+            (-F.col("cid")).alias("neg_cid"),
+        ).alias("__cand"),
     )
     return (
-        vectors.crossJoin(F.broadcast(centroids))
-        .select(
-            "vec_id",
-            "v",
-            "cid",
-            F.round(cosine(F.col("v"), F.col("cv")), 6).alias("__sim"),
-        )
-        .withColumn("__r", F.row_number().over(w))
-        .where(F.col("__r") == 1)
-        .select("vec_id", "v", "cid")
+        scored.groupBy("vec_id")
+        .agg(F.first("v").alias("v"), F.max("__cand").alias("__best"))
+        .select("vec_id", "v", (-F.col("__best.neg_cid")).alias("cid"))
     )
 
 

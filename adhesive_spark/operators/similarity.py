@@ -161,21 +161,22 @@ def build_ivf_index(
             F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cvec")
         )
     )
+    # Argmax-as-aggregate (max over struct(sim, -cid)): map-side partial
+    # combining beats a rank-1 window's full sort of the corpus×k rows.
     scored = ensure_parallelism(corpus, id_col).select(
         F.col(id_col), F.col(vec_col).alias("__vec")
     ).crossJoin(F.broadcast(centroids)).select(
         id_col,
         "__vec",
-        "centroid_id",
-        F.round(cosine(F.col("__vec"), F.col("cvec")), 6).alias("__csim"),
-    )
-    w = Window.partitionBy(id_col).orderBy(
-        F.col("__csim").desc(), F.col("centroid_id")
+        F.struct(
+            F.round(cosine(F.col("__vec"), F.col("cvec")), 6).alias("sim"),
+            (-F.col("centroid_id")).alias("neg_cid"),
+        ).alias("__cand"),
     )
     assigned = (
-        scored.withColumn("__r", F.row_number().over(w))
-        .where(F.col("__r") == 1)
-        .select(id_col, F.col("__vec").alias(vec_col), "centroid_id")
+        scored.groupBy(id_col)
+        .agg(F.first("__vec").alias(vec_col), F.max("__cand").alias("__best"))
+        .select(id_col, vec_col, (-F.col("__best.neg_cid")).alias("centroid_id"))
     )
     return centroids, assigned
 
