@@ -23,7 +23,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from adhesive_spark.operators.similarity import cosine
 from adhesive_spark.operators.text import fround

@@ -33,7 +33,6 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
-from pyspark.sql.window import Window
 
 from adhesive_spark.operators.text import fingerprint, normalize_text
 from adhesive_spark.sources.registry import ensure_parallelism

@@ -17,7 +17,6 @@ Dot products use built-in higher-order functions (``zip_with`` +
 
 from __future__ import annotations
 
-import math
 import random
 
 from pyspark.sql import DataFrame

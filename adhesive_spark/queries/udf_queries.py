@@ -10,11 +10,10 @@ volatile per src/fusion.rs:72 and stay available for projection).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
+from pyspark.sql import SparkSession
 
 from adhesive_spark.session import AdhesiveSession
-from adhesive_spark.sources.registry import ensure_parallelism, load_table
+from adhesive_spark.sources.registry import load_table
 
 
 def _lineitem_view(spark, sf_dir) -> None:
