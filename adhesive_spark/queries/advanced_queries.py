@@ -541,6 +541,28 @@ def q66_decimal_exact(spark, sf_dir):
     )
 
 
+def q67_dataset_split(spark, sf_dir):
+    """Deterministic train/val/test split: md5-bucket each doc (stable
+    across runs, engines, and partitionings — never rand()), 80/10/10;
+    verify per-source balance in the same pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        % 100
+    )
+    split = (
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "val")
+        .otherwise("test")
+    )
+    return (
+        docs.select("source", split.alias("split"))
+        .groupBy("source", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
 ADVANCED_QUERIES = {
     "q26_grouped_zscore": q26_grouped_zscore,
     "q27_udaf_weighted_mean": q27_udaf_weighted_mean,
@@ -571,6 +593,7 @@ ADVANCED_QUERIES = {
     "q64_media_knn": q64_media_knn,
     "q65_null_semantics": q65_null_semantics,
     "q66_decimal_exact": q66_decimal_exact,
+    "q67_dataset_split": q67_dataset_split,
 }
 
 # Shared DuckDB fragments (mirror operators.text constant-for-constant).
@@ -615,6 +638,17 @@ def _quality_sql() -> str:
                                   1.0)))
               * 10000) / 10000
     """
+
+
+def _md5_byte(hexpr: str, pos: int) -> str:
+    """DuckDB int value of hex pair ``pos`` (1-based) of md5(expr)."""
+    from adhesive_spark.queries.pipeline_queries import _byte_from_hex
+
+    return _byte_from_hex(f"md5(CAST({hexpr} AS VARCHAR))", pos)
+
+
+_PH_B1 = _md5_byte("doc_id", 1)
+_PH_B2 = _md5_byte("doc_id", 2)
 
 
 def _media_embed_sql() -> str:
@@ -1117,6 +1151,21 @@ ADVANCED_ORACLES = {
                              AS DECIMAL(16,4))) AS DOUBLE) AS sum_disc_price,
                COUNT(*) AS n
         FROM lineitem GROUP BY l_returnflag
+    """,
+    # 16-bit md5 prefix as integer: byte1*256 + byte2 (DuckDB has no
+    # base-16 conv; reconstruct from hex-pair bytes).
+    "q67_dataset_split": f"""
+        WITH d AS (
+          SELECT source,
+                 ({_PH_B1} * 256 + {_PH_B2}) % 100 AS bucket
+          FROM documents
+        )
+        SELECT source,
+               CASE WHEN bucket < 80 THEN 'train'
+                    WHEN bucket < 90 THEN 'val'
+                    ELSE 'test' END AS split,
+               COUNT(*) AS n_docs
+        FROM d GROUP BY 1, 2
     """,
     # q42_sketch_distinct: intentionally no oracle — HLL++ estimates are
     # engine-specific; exact_users column carries the ground truth.

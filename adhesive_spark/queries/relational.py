@@ -133,7 +133,10 @@ def q07_broadcast_dims(spark, sf_dir):
         .groupBy("r_name", "n_name")
         .agg(
             F.count("*").alias("n_cust"),
-            F.round(F.avg("c_acctbal"), 2).alias("avg_bal"),
+            # floor-based rounding: ROUND on a double AVG disagrees
+            # between engines when the mean lands on a half boundary
+            # (seen at sf0.001: 4201.315 → .32 vs .31)
+            (F.floor(F.avg("c_acctbal") * 100) / 100.0).alias("avg_bal"),
         )
     )
 
@@ -521,7 +524,7 @@ RELATIONAL_ORACLES = {
     """,
     "q07_broadcast_dims": """
         SELECT r_name, n_name, COUNT(*) AS n_cust,
-               ROUND(AVG(c_acctbal), 2) AS avg_bal
+               floor(AVG(c_acctbal) * 100) / 100 AS avg_bal
         FROM customer
         JOIN nation ON c_nationkey = n_nationkey
         JOIN region ON n_regionkey = r_regionkey
