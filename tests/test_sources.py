@@ -78,3 +78,25 @@ def test_bucketed_join_no_shuffle(spark, sf_dir, tmp_path_factory):
     assert n_exchanges == 0, plan
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_dynamic_partition_pruning(spark, sf_dir, tmp_path_factory):
+    """A join against a filtered dim must prune fact partitions at
+    RUNTIME (DPP): the scan carries a dynamicpruning subquery instead of
+    reading all partitions."""
+    path = str(tmp_path_factory.mktemp("dpp") / "orders")
+    orders = load_table(spark, sf_dir, "orders")
+    write_any(orders, path, partition_by=["o_orderpriority"])
+    fact = read_any(spark, path)
+    dim = (
+        orders.select("o_orderpriority")
+        .distinct()
+        .where(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+    )
+    joined = fact.join(dim, "o_orderpriority").groupBy(
+        "o_orderpriority"
+    ).agg(F.count("*").alias("n"))
+    plan = joined._jdf.queryExecution().optimizedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan
+    got = {r.o_orderpriority for r in joined.collect()}
+    assert got == {"1-URGENT", "2-HIGH"}
