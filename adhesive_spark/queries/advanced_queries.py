@@ -563,6 +563,29 @@ def q67_dataset_split(spark, sf_dir):
     )
 
 
+def q68_incremental_rollup(spark, sf_dir):
+    """Incremental aggregate maintenance: state(old) ⊕ state(delta) must
+    equal a full recompute — the invariant that lets a 100 TB rollup
+    absorb each new batch without touching history. The oracle IS the
+    full recompute; floats are summed in a deterministic two-group
+    split, rounded at the read boundary."""
+    from adhesive_spark.operators.incremental import merge_rollup, rollup_events
+
+    events = load_table(spark, sf_dir, "events")
+    cutoff = F.expr("timestamp'2024-02-01 00:00:00'")
+    old = rollup_events(events.where(F.col("ts") < cutoff), ["event_type"])
+    delta = rollup_events(events.where(F.col("ts") >= cutoff), ["event_type"])
+    merged = merge_rollup(old, delta, ["event_type"])
+    return merged.select(
+        "event_type",
+        "n",
+        F.round("value_sum", 2).alias("value_sum"),
+        F.round("value_min", 4).alias("value_min"),
+        F.round("value_max", 4).alias("value_max"),
+        F.round(F.col("value_sum") / F.col("n"), 4).alias("value_avg"),
+    )
+
+
 ADVANCED_QUERIES = {
     "q26_grouped_zscore": q26_grouped_zscore,
     "q27_udaf_weighted_mean": q27_udaf_weighted_mean,
@@ -594,6 +617,7 @@ ADVANCED_QUERIES = {
     "q65_null_semantics": q65_null_semantics,
     "q66_decimal_exact": q66_decimal_exact,
     "q67_dataset_split": q67_dataset_split,
+    "q68_incremental_rollup": q68_incremental_rollup,
 }
 
 # Shared DuckDB fragments (mirror operators.text constant-for-constant).
@@ -1166,6 +1190,16 @@ ADVANCED_ORACLES = {
                     ELSE 'test' END AS split,
                COUNT(*) AS n_docs
         FROM d GROUP BY 1, 2
+    """,
+    # The oracle is the FULL recompute — checking the incremental merge
+    # invariant state(old) ⊕ state(delta) == state(all).
+    "q68_incremental_rollup": """
+        SELECT event_type, COUNT(*) AS n,
+               ROUND(SUM(value), 2) AS value_sum,
+               ROUND(MIN(value), 4) AS value_min,
+               ROUND(MAX(value), 4) AS value_max,
+               ROUND(SUM(value) / COUNT(*), 4) AS value_avg
+        FROM events GROUP BY event_type
     """,
     # q42_sketch_distinct: intentionally no oracle — HLL++ estimates are
     # engine-specific; exact_users column carries the ground truth.

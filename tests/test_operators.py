@@ -254,3 +254,26 @@ def test_kmeans_separates_clusters(spark):
     # cluster 0 ≈ x-axis heavy, cluster 1 ≈ y-axis heavy
     assert got[0][0] > 0.9 and got[0][1] < 0.1
     assert got[1][1] > 0.9 and got[1][0] < 0.1
+
+
+def test_merge_rollup_invariant(spark):
+    from adhesive_spark.operators.incremental import merge_rollup, rollup_events
+
+    events = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("b", -2.0), ("c", 5.0)],
+        "event_type string, value double",
+    )
+    old = rollup_events(events.limit(2), ["event_type"])
+    delta = rollup_events(
+        events.subtract(events.limit(2)), ["event_type"]
+    )
+    # keys only in one side must survive with that side's state
+    merged = {
+        r.event_type: (r.n, r.value_sum, r.value_min, r.value_max)
+        for r in merge_rollup(old, delta, ["event_type"]).collect()
+    }
+    full = {
+        r.event_type: (r.n, r.value_sum, r.value_min, r.value_max)
+        for r in rollup_events(events, ["event_type"]).collect()
+    }
+    assert merged == full
