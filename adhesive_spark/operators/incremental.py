@@ -21,10 +21,20 @@ from pyspark.sql import functions as F
 
 
 def rollup_events(events: DataFrame, keys: list[str]) -> DataFrame:
-    """Aggregate state for the events rollup: algebraic partials only."""
+    """Aggregate state for the events rollup: algebraic partials only.
+
+    The sum partial is kept as exact integer cents (``value_sum_c``,
+    see :func:`adhesive_spark.operators.text.scaled_long`): float sums
+    are order-dependent, so an incrementally merged state would drift
+    ulps away from a full recompute — the exact invariant
+    ``merge(state(A), state(B)) == state(A ∪ B)`` only holds bit-for-bit
+    in integer arithmetic. Derive ``value_sum_c / 100.0`` at read time.
+    """
+    from adhesive_spark.operators.text import scaled_long
+
     return events.groupBy(*keys).agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("value").alias("value_sum"),
+        F.sum(scaled_long(F.col("value"), 2)).alias("value_sum_c"),
         F.min("value").alias("value_min"),
         F.max("value").alias("value_max"),
     )
@@ -47,9 +57,8 @@ def merge_rollup(state: DataFrame, delta: DataFrame, keys: list[str]) -> DataFra
         *keys,
         (F.coalesce("__s_n", z) + F.coalesce("__d_n", z)).alias("n"),
         (
-            F.coalesce("__s_value_sum", F.lit(0.0))
-            + F.coalesce("__d_value_sum", F.lit(0.0))
-        ).alias("value_sum"),
+            F.coalesce("__s_value_sum_c", z) + F.coalesce("__d_value_sum_c", z)
+        ).alias("value_sum_c"),
         F.least(
             F.coalesce("__s_value_min", F.col("__d_value_min")),
             F.coalesce("__d_value_min", F.col("__s_value_min")),

@@ -71,6 +71,31 @@ def fround(expr, k: int) -> Column:
     return F.floor(expr * scale) / F.lit(scale)
 
 
+def scaled_long(expr, k: int = 2) -> Column:
+    """Per-row fixed-point quantization: round(x·10^k) cast to long.
+
+    The deterministic-aggregation primitive: when the data's true grain
+    divides 10^-k (e.g. 2-decimal money, 4-decimal quality scores), this
+    recovers the exact integer count of 10^-k units per row, so SUM over
+    it is exact integer arithmetic — independent of partial-aggregation
+    order, hence identical across engines. SUM over the raw doubles is
+    NOT: Spark and DuckDB accumulate in different orders, and when the
+    true total sits exactly on a rounding boundary (common for grained
+    data — a cents total ending in .50 under ROUND(…,0)), the ulp-level
+    order difference flips the rounded output (the q32/q48 failure
+    class). Divide the long sum back by 10^k once at the output
+    boundary: a single correctly-rounded fp op on identical operands.
+
+    ROUND (not floor) on the row value: x·10^k lands within 1 ulp of the
+    true integer, never near .5, so nearest-integer is exact and
+    engine-agnostic where floor would be off by one when the product
+    falls an ulp below the integer.
+
+    DuckDB oracle twin: ``CAST(ROUND((x) * 10^k, 0) AS BIGINT)``.
+    """
+    return F.round(expr * F.lit(float(10**k)), 0).cast("long")
+
+
 def stopword_ratio(col, stopwords: tuple[str, ...] = STOPWORDS_EN) -> Column:
     toks = tokens(col)
     stops = F.array(*[F.lit(s) for s in stopwords])

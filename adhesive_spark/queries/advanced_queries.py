@@ -17,7 +17,7 @@ from adhesive_spark.operators.grouped import (
     register_weighted_mean,
     zscore_by_group,
 )
-from adhesive_spark.operators.text import fround, lang_id, quality_score
+from adhesive_spark.operators.text import fround, lang_id, quality_score, scaled_long
 from adhesive_spark.sources.registry import load_table
 
 
@@ -97,20 +97,27 @@ def q29_range_join(spark, sf_dir):
 
 def q32_lang_quality_rollup(spark, sf_dir):
     """Corpus health dashboard: language-ID × source rollup with mean
-    quality — the one-scan aggregate over the text-analysis kit."""
+    quality — the one-scan aggregate over the text-analysis kit.
+
+    The quality score has 1e-4 grain, so its mean frequently sits
+    EXACTLY on the fround(·,3) floor boundary; averaging the doubles is
+    then order-dependent across engines. Quantize per row to an exact
+    integer (scaled_long), sum exactly, divide once at the output."""
     docs = load_table(spark, sf_dir, "documents")
     c = F.col("text")
     return (
         docs.select(
             F.col("source"),
             lang_id(c).alias("lang_pred"),
-            quality_score(c).alias("q"),
+            scaled_long(quality_score(c), 4).alias("q_s"),
             F.length(c).alias("n"),
         )
         .groupBy("source", "lang_pred")
         .agg(
             F.count("*").alias("n_docs"),
-            fround(F.avg("q"), 3).alias("avg_quality"),
+            fround(
+                F.sum("q_s") / (F.count("*") * F.lit(10000.0)), 3
+            ).alias("avg_quality"),
             F.sum("n").alias("total_chars"),
         )
     )
@@ -119,12 +126,25 @@ def q32_lang_quality_rollup(spark, sf_dir):
 def q42_sketch_distinct(spark, sf_dir):
     """Sketch aggregates: approx_count_distinct (HLL++) next to the
     exact count — the 100 TB cardinality path (no exact-distinct
-    shuffle). Approximate by construction → rows-only check."""
+    shuffle). The HLL estimate itself is engine-specific, so the oracle
+    checks the sketch's CONTRACT instead of its value: the estimate must
+    land within 10% of the exact count (5× the 2% target rsd), emitted
+    as a boolean the oracle asserts TRUE. exact_users/n are exact and
+    fully hash-checked."""
     events = load_table(spark, sf_dir, "events")
-    return events.groupBy("event_type").agg(
+    g = events.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
         F.countDistinct("user_id").alias("exact_users"),
         F.count("*").alias("n"),
+    )
+    return g.select(
+        "event_type",
+        "exact_users",
+        "n",
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            <= F.col("exact_users") * F.lit(0.10)
+        ).alias("approx_within_10pct"),
     )
 
 
@@ -204,9 +224,13 @@ def q48_salted_join(spark, sf_dir):
     from adhesive_spark.operators.skew import salted_join
 
     events = load_table(spark, sf_dir, "events")
+    # value is 2-decimal grained → carry exact integer cents through both
+    # aggregation levels (order-independent) and divide once at output;
+    # ROUND(SUM(double), 0) here was a coin flip whenever a cents total
+    # ended in .50 (the r01 hash failure).
     user_stats = events.groupBy("user_id").agg(
         F.count("*").alias("user_events"),
-        F.round(F.sum("value"), 2).alias("user_value"),
+        F.sum(scaled_long(F.col("value"), 2)).alias("user_value_c"),
     )
     j = salted_join(
         events.select("event_id", "user_id", "event_type"),
@@ -217,7 +241,7 @@ def q48_salted_join(spark, sf_dir):
     return j.groupBy("event_type").agg(
         F.count("*").alias("n"),
         F.sum("user_events").alias("sum_user_events"),
-        F.round(F.sum("user_value"), 0).alias("sum_user_value"),
+        fround(F.sum("user_value_c") / F.lit(100.0), 0).alias("sum_user_value"),
     )
 
 
@@ -289,7 +313,9 @@ def q53_sessionize(spark, sf_dir):
         )
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("value_sum"),
+            (F.sum(scaled_long(F.col("value"), 2)) / F.lit(100.0)).alias(
+                "value_sum"
+            ),
         )
         .select(
             "user_id",
@@ -351,7 +377,9 @@ def q57_rolling_window(spark, sf_dir):
         "user_id",
         us.alias("ts_us"),
         F.count("*").over(w).alias("n_1h"),
-        F.round(F.sum("value").over(w), 2).alias("value_1h"),
+        (F.sum(scaled_long(F.col("value"), 2)).over(w) / F.lit(100.0)).alias(
+            "value_1h"
+        ),
     )
 
 
@@ -430,7 +458,10 @@ def q62_hopping_window(spark, sf_dir):
         events.groupBy(
             F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type"
         )
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("v"))
+        .agg(
+            F.count("*").alias("n"),
+            (F.sum(scaled_long(F.col("value"), 2)) / F.lit(100.0)).alias("v"),
+        )
         .select(
             F.unix_micros(F.col("w.start")).alias("w_start_us"),
             "event_type",
@@ -502,7 +533,7 @@ def q65_null_semantics(spark, sf_dir):
     sides = e.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.count("v").alias("n_nonnull_v"),
-        F.round(F.sum("v"), 2).alias("sum_v"),
+        (F.sum(scaled_long(F.col("v"), 2)) / F.lit(100.0)).alias("sum_v"),
     )
     l, r = sides.alias("l"), sides.alias("r")
     # null-safe self-join: the NULL bucket must match itself
@@ -579,10 +610,12 @@ def q68_incremental_rollup(spark, sf_dir):
     return merged.select(
         "event_type",
         "n",
-        F.round("value_sum", 2).alias("value_sum"),
+        (F.col("value_sum_c") / F.lit(100.0)).alias("value_sum"),
         F.round("value_min", 4).alias("value_min"),
         F.round("value_max", 4).alias("value_max"),
-        F.round(F.col("value_sum") / F.col("n"), 4).alias("value_avg"),
+        fround(F.col("value_sum_c") / (F.col("n") * F.lit(100.0)), 4).alias(
+            "value_avg"
+        ),
     )
 
 
@@ -794,12 +827,13 @@ ADVANCED_ORACLES = {
         r AS (
           SELECT source,
                  {_lang_sql()} AS lang_pred,
-                 {_quality_sql()} AS q,
+                 CAST(ROUND(({_quality_sql()}) * 10000, 0) AS BIGINT) AS q_s,
                  length(text) AS n
           FROM t
         )
         SELECT source, lang_pred, COUNT(*) AS n_docs,
-               floor(avg(q) * 1000) / 1000 AS avg_quality,
+               floor(SUM(q_s) / (COUNT(*) * 10000.0) * 1000.0) / 1000.0
+                 AS avg_quality,
                SUM(n) AS total_chars
         FROM r GROUP BY source, lang_pred
     """,
@@ -840,12 +874,13 @@ ADVANCED_ORACLES = {
     "q48_salted_join": """
         WITH user_stats AS (
           SELECT user_id, COUNT(*) AS user_events,
-                 ROUND(SUM(value), 2) AS user_value
+                 SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS user_value_c
           FROM events GROUP BY user_id
         )
         SELECT e.event_type, COUNT(*) AS n,
                SUM(u.user_events) AS sum_user_events,
-               ROUND(SUM(u.user_value), 0) AS sum_user_value
+               floor(SUM(u.user_value_c) / 100.0 * 1.0) / 1.0
+                 AS sum_user_value
         FROM events e JOIN user_stats u ON e.user_id = u.user_id
         GROUP BY e.event_type
     """,
@@ -951,7 +986,7 @@ ADVANCED_ORACLES = {
         SELECT user_id,
                epoch_us(MIN(ts)) AS session_start_us,
                COUNT(*) AS n_events,
-               ROUND(SUM(value), 2) AS value_sum
+               SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) / 100.0 AS value_sum
         FROM s GROUP BY user_id, sess_id
     """,
     "q54_winnow_fingerprints": f"""
@@ -991,7 +1026,8 @@ ADVANCED_ORACLES = {
         SELECT event_id, user_id,
                epoch_us(ts) AS ts_us,
                COUNT(*) OVER w AS n_1h,
-               ROUND(SUM(value) OVER w, 2) AS value_1h
+               SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) OVER w / 100.0
+                 AS value_1h
         FROM events
         WHERE user_id < 100
         WINDOW w AS (PARTITION BY user_id ORDER BY ts
@@ -1113,7 +1149,7 @@ ADVANCED_ORACLES = {
     # buckets coincide. Each event expands to window/slide = 4 buckets.
     "q62_hopping_window": """
         SELECT w_start_us, event_type, COUNT(*) AS n,
-               ROUND(SUM(value), 2) AS v
+               SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) / 100.0 AS v
         FROM (
           SELECT epoch_us(time_bucket(INTERVAL 15 MINUTE, ts))
                    - CAST(k AS BIGINT) * 900000000 AS w_start_us,
@@ -1158,7 +1194,7 @@ ADVANCED_ORACLES = {
         ),
         s AS (
           SELECT bucket, COUNT(*) AS n_rows, COUNT(v) AS n_nonnull_v,
-                 ROUND(SUM(v), 2) AS sum_v
+                 SUM(CAST(ROUND(v * 100, 0) AS BIGINT)) / 100.0 AS sum_v
           FROM e GROUP BY bucket
         )
         SELECT l.bucket, l.n_rows, l.n_nonnull_v, l.sum_v,
@@ -1195,12 +1231,21 @@ ADVANCED_ORACLES = {
     # invariant state(old) ⊕ state(delta) == state(all).
     "q68_incremental_rollup": """
         SELECT event_type, COUNT(*) AS n,
-               ROUND(SUM(value), 2) AS value_sum,
+               SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) / 100.0 AS value_sum,
                ROUND(MIN(value), 4) AS value_min,
                ROUND(MAX(value), 4) AS value_max,
-               ROUND(SUM(value) / COUNT(*), 4) AS value_avg
+               floor(SUM(CAST(ROUND(value * 100, 0) AS BIGINT))
+                     / (COUNT(*) * 100.0) * 10000.0) / 10000.0 AS value_avg
         FROM events GROUP BY event_type
     """,
-    # q42_sketch_distinct: intentionally no oracle — HLL++ estimates are
-    # engine-specific; exact_users column carries the ground truth.
+    # q42: the HLL++ estimate is engine-specific, so the oracle pins the
+    # exact columns and asserts the sketch's error CONTRACT (TRUE must
+    # match Spark's computed within-10% boolean) instead of its value.
+    "q42_sketch_distinct": """
+        SELECT event_type,
+               COUNT(DISTINCT user_id) AS exact_users,
+               COUNT(*) AS n,
+               TRUE AS approx_within_10pct
+        FROM events GROUP BY event_type
+    """,
 }

@@ -269,11 +269,11 @@ def test_merge_rollup_invariant(spark):
     )
     # keys only in one side must survive with that side's state
     merged = {
-        r.event_type: (r.n, r.value_sum, r.value_min, r.value_max)
+        r.event_type: (r.n, r.value_sum_c, r.value_min, r.value_max)
         for r in merge_rollup(old, delta, ["event_type"]).collect()
     }
     full = {
-        r.event_type: (r.n, r.value_sum, r.value_min, r.value_max)
+        r.event_type: (r.n, r.value_sum_c, r.value_min, r.value_max)
         for r in rollup_events(events, ["event_type"]).collect()
     }
     assert merged == full
