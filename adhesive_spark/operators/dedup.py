@@ -363,10 +363,22 @@ def ngram_jaccard_pairs(
     *,
     n: int = 3,
     threshold: float = 0.5,
+    max_shingle_df: int | None = 1000,
 ) -> DataFrame:
     """All pairs with exact word-n-gram Jaccard ≥ threshold via explode +
     equi-join on the shingle (shuffles on shingle hash — the exact
-    baseline that LSH approximates with bounded shuffle width)."""
+    baseline that LSH approximates with bounded shuffle width).
+
+    ``max_shingle_df`` bounds the hot-shingle blowup: a shingle shared
+    by d documents produces a d² candidate bucket in the self-join, so
+    one ubiquitous trigram ("one of the") makes the plan quadratic in
+    corpus size. Shingles with document frequency > K are dropped from
+    the CANDIDATE join only (the standard df-cap trick; per-shingle
+    cost is then ≤ K²) while Jaccard denominators still use the full
+    shingle-set sizes — intersections are undercounted by at most the
+    capped shingles, a one-sided error that vanishes when no shingle
+    exceeds K. ``None`` disables the cap (exact, unbounded).
+    """
     sh = (
         ensure_parallelism(df, id_col).select(
             F.col(id_col).alias("id"),
@@ -374,7 +386,18 @@ def ngram_jaccard_pairs(
         )
     )
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
-    l, r = sh.alias("l"), sh.alias("r")
+    joinable = sh
+    if max_shingle_df is not None:
+        # one extra keyed agg (map-side combined) — cheap insurance
+        # against the quadratic bucket; broadcast-joined back.
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("__df"))
+            .where(F.col("__df") <= max_shingle_df)
+            .select("shingle")
+        )
+        joinable = sh.join(rare, "shingle")
+    l, r = joinable.alias("l"), joinable.alias("r")
     common = (
         l.join(r, (F.col("l.shingle") == F.col("r.shingle")) & (F.col("l.id") < F.col("r.id")))
         .groupBy(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))

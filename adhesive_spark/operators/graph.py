@@ -48,6 +48,7 @@ def connected_components(
         .distinct()
         .withColumn("component", F.col("node"))
     )
+    converged = False
     for _ in range(max_iter):
         nb = (
             sym.join(
@@ -78,7 +79,18 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # Silently returning partial labels would make downstream dedup
+        # KEEP duplicates with no signal at all — fail loudly instead;
+        # component diameter > max_iter means the caller should raise it
+        # (or switch to large-star/small-star for whale components).
+        raise RuntimeError(
+            f"connected_components did not converge within max_iter="
+            f"{max_iter} rounds; the graph has a component with diameter "
+            f"> {max_iter} — raise max_iter"
+        )
     return labels
 
 

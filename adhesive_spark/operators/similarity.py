@@ -250,31 +250,57 @@ def embedding_neardup_pairs(
     use_lsh: bool = False,
     n_planes: int = 8,
     seed: int = 42,
+    block_col: str | None = None,
+    allow_full_cross: bool = False,
 ) -> DataFrame:
     """Pairs with cosine ≥ threshold.
 
-    Exact mode self-joins the full corpus (O(n²) scores — fine for
-    modest n, and the oracle-checkable baseline). LSH mode joins only
-    within sign-signature buckets: near-identical vectors collide with
-    high probability; shuffle is bucket-sized, the 100 TB path.
+    Three candidate-generation modes, because exact all-pairs cosine has
+    no subquadratic blocking that preserves completeness:
+
+    - ``block_col``: exact WITHIN blocks (label/shard/source) via an
+      equi-join on the block key — a shuffled hash/sort-merge join, one
+      shuffle on the block key, no nested loop. The 100 TB exact path:
+      block size bounds the quadratic term.
+    - ``use_lsh``: sign-signature buckets — near-identical vectors
+      collide w.h.p.; recall is probabilistic, shuffle is bucket-sized.
+    - neither: a full O(n²) nested-loop self-join. REFUSED unless
+      ``allow_full_cross=True`` — at any real corpus size this plan is a
+      BroadcastNestedLoopJoin that never finishes, so the quadratic
+      escape hatch must be spelled out at the call site.
     """
-    base = ensure_parallelism(df, id_col).select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
-    )
+    cols = [F.col(id_col).alias("id"), F.col(vec_col).alias("vec")]
+    if block_col is not None:
+        cols.append(F.col(block_col).alias("__blk"))
+    base = ensure_parallelism(df, id_col).select(*cols)
     if use_lsh:
         if dim is None:
             raise ValueError("dim required for LSH mode")
         base = base.withColumn(
             "__bucket", lsh_bucket(F.col("vec"), dim, n_planes=n_planes, seed=seed)
         )
-        cond_cols = ["__bucket"]
+        l, r = base.alias("l"), base.alias("r")
+        cond = (F.col("l.__bucket") == F.col("r.__bucket")) & (
+            F.col("l.id") < F.col("r.id")
+        )
+        if block_col is not None:
+            cond = (F.col("l.__blk") == F.col("r.__blk")) & cond
+        joined = l.join(r, cond)
+    elif block_col is not None:
         l, r = base.alias("l"), base.alias("r")
         joined = l.join(
             r,
-            (F.col("l.__bucket") == F.col("r.__bucket"))
+            (F.col("l.__blk") == F.col("r.__blk"))
             & (F.col("l.id") < F.col("r.id")),
         )
     else:
+        if not allow_full_cross:
+            raise ValueError(
+                "exact all-pairs cosine with no blocking is an O(n²) "
+                "nested-loop join; pass block_col= (exact within blocks), "
+                "use_lsh=True (approximate), or allow_full_cross=True to "
+                "accept the quadratic plan on a provably small input"
+            )
         l, r = base.alias("l"), base.alias("r")
         joined = l.join(r, F.col("l.id") < F.col("r.id"))
     return (

@@ -1,6 +1,7 @@
 from adhesive_spark.plans.explain import (
     assert_broadcast_join,
     assert_no_cartesian,
+    assert_no_nested_loop,
     assert_pushed_filters,
     physical_plan,
 )
@@ -10,4 +11,5 @@ __all__ = [
     "assert_broadcast_join",
     "assert_pushed_filters",
     "assert_no_cartesian",
+    "assert_no_nested_loop",
 ]

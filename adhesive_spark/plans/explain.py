@@ -42,6 +42,17 @@ def assert_no_cartesian(df: DataFrame) -> None:
     assert "CartesianProduct" not in plan, f"unexpected cartesian product:\n{plan}"
 
 
+def assert_no_nested_loop(df: DataFrame) -> None:
+    """Stricter than :func:`assert_no_cartesian`: also rejects
+    BroadcastNestedLoopJoin — an O(n·m) comparison loop that merely
+    hides the cartesian behind a broadcast (the q34-class scale
+    killer)."""
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, (
+        f"unexpected nested-loop join:\n{plan}"
+    )
+
+
 def codegen_stage_count(df: DataFrame) -> int:
     """Count WholeStageCodegen spans in the FINAL plan. Under AQE the
     executed plan only shows codegen nodes after materialization, so this

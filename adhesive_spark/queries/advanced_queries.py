@@ -746,9 +746,11 @@ _PAIR_CTES = f"""
         ),
         x AS (SELECT doc_id, unnest(grams) AS shingle FROM g),
         sz AS (SELECT doc_id, len(grams) AS n_sh FROM g),
+        rare AS (SELECT shingle FROM x GROUP BY shingle HAVING COUNT(*) <= 1000),
+        xf AS (SELECT x.doc_id, x.shingle FROM x JOIN rare USING (shingle)),
         c AS (
           SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
-          FROM x a JOIN x b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          FROM xf a JOIN xf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
           GROUP BY 1, 2
         ),
         pairs AS (

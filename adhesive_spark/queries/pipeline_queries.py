@@ -84,12 +84,17 @@ def q33_ngram_jaccard(spark, sf_dir):
 
 
 def q34_embedding_neardup(spark, sf_dir):
-    """Exact cosine near-dup pairs over the embeddings table."""
+    """Exact cosine near-dup pairs WITHIN each label block — the
+    shuffle-joined exact mode (equi-join on label, no nested loop; the
+    block size bounds the quadratic term at scale). The unblocked
+    variant is refused by the operator unless explicitly forced."""
     emb = load_table(spark, sf_dir, "embeddings")
     emb = emb.withColumn(
         "embedding", F.transform("embedding", lambda x: x.cast("double"))
     )
-    return embedding_neardup_pairs(emb, threshold=0.4, id_col="vec_id")
+    return embedding_neardup_pairs(
+        emb, threshold=0.4, id_col="vec_id", block_col="label"
+    )
 
 
 def q35_knn_bruteforce(spark, sf_dir):
@@ -275,9 +280,13 @@ PIPELINE_ORACLES = {
         ),
         x AS (SELECT doc_id, unnest(grams) AS shingle FROM g),
         sz AS (SELECT doc_id, len(grams) AS n_sh FROM g),
+        -- mirror of max_shingle_df=1000: hot shingles leave the
+        -- candidate join only; denominators keep full sizes
+        rare AS (SELECT shingle FROM x GROUP BY shingle HAVING COUNT(*) <= 1000),
+        xf AS (SELECT x.doc_id, x.shingle FROM x JOIN rare USING (shingle)),
         c AS (
           SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
-          FROM x a JOIN x b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          FROM xf a JOIN xf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
           GROUP BY 1, 2
         )
         SELECT id_a, id_b,
@@ -291,7 +300,8 @@ PIPELINE_ORACLES = {
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                round(list_cosine_similarity(a.embedding::DOUBLE[],
                                             b.embedding::DOUBLE[]), 6) AS cos_sim
-        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        FROM embeddings a
+        JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
         WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
                                            b.embedding::DOUBLE[]), 6) >= 0.4
     """,

@@ -64,6 +64,39 @@ def test_ngram_jaccard_finds_near_dups(docs):
     assert not any(3 in p or 4 in p or 5 in p for p in pairs)
 
 
+def test_ngram_jaccard_hot_shingle_cap(spark):
+    # pathological corpus: every doc shares one ubiquitous shingle.
+    # Uncapped, that shingle alone makes all docs pairwise candidates
+    # (the quadratic bucket); with the df cap it leaves the candidate
+    # join and the intersection undercounts by exactly that shingle.
+    rows = [(i, f"a x{i}") for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(
+            df, n=1, threshold=0.3, max_shingle_df=None
+        ).collect()
+    }
+    assert len(uncapped) == 6  # all pairs share 'a': jaccard = 1/3
+    capped = ngram_jaccard_pairs(df, n=1, threshold=0.3, max_shingle_df=2).collect()
+    assert capped == []  # 'a' (df=4 > 2) no longer generates candidates
+
+
+def test_connected_components_raises_when_unconverged(spark):
+    import pytest
+    from adhesive_spark.operators.graph import connected_components
+
+    # a path graph 0-1-2-...-9 needs ~diameter rounds; max_iter=1 must
+    # fail loudly instead of returning partial labels
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iter=1)
+    full = connected_components(edges, max_iter=25)
+    assert {r.component for r in full.collect()} == {0}
+
+
 def test_minhash_lsh_matches_exact_on_clear_cases(docs):
     pairs = {
         (r.id_a, r.id_b)
@@ -144,12 +177,44 @@ def test_embedding_neardup_exact_vs_lsh(spark):
         (2, [0.0, 1.0, 0.0]),
     ]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
-    exact = embedding_neardup_pairs(df, threshold=0.99).collect()
+    exact = embedding_neardup_pairs(
+        df, threshold=0.99, allow_full_cross=True
+    ).collect()
     assert {(r.id_a, r.id_b) for r in exact} == {(0, 1)}
     lsh = embedding_neardup_pairs(
         df, threshold=0.99, use_lsh=True, dim=3, n_planes=4
     ).collect()
     assert {(r.id_a, r.id_b) for r in lsh} == {(0, 1)}
+
+
+def test_embedding_neardup_refuses_unblocked_cross(spark):
+    import pytest
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="nested-loop"):
+        embedding_neardup_pairs(df, threshold=0.9)
+
+
+def test_embedding_neardup_blocked_matches_full_within_blocks(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0], 0),
+        (1, [0.999, 0.001, 0.0], 0),
+        (2, [0.998, 0.002, 0.0], 1),  # near 0/1 but in another block
+        (3, [0.0, 1.0, 0.0], 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    got = {
+        (r.id_a, r.id_b)
+        for r in embedding_neardup_pairs(
+            df, threshold=0.99, block_col="label"
+        ).collect()
+    }
+    # only the intra-block near-dup pair; cross-block (0,2)/(1,2) excluded
+    assert got == {(0, 1)}
 
 
 def test_asof_join_golden(spark):

@@ -103,3 +103,15 @@ def test_salted_join_no_cartesian(spark, sf):
 
     df = q48_salted_join(spark, sf)
     assert_no_cartesian(df)
+
+
+def test_embedding_neardup_blocked_no_nested_loop(spark, sf):
+    # the exact near-dup pair query must be an equi-join on the block
+    # key, not a nested loop over all pairs (the r01 scale killer)
+    from adhesive_spark.plans.explain import assert_no_nested_loop
+    from adhesive_spark.queries.pipeline_queries import q34_embedding_neardup
+
+    df = q34_embedding_neardup(spark, sf)
+    assert_no_nested_loop(df)
+    plan = physical_plan(df)
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan, plan
