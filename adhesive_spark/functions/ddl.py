@@ -5,6 +5,7 @@ Grammar (superset of the reference's, src/fusion.rs:22-58)::
     CREATE [OR REPLACE] FUNCTION <name> ( [<arg> [, <arg>]*] )
         RETURNS <type>
         [DETERMINISTIC]
+        [STRICT]
         [LANGUAGE PYTHON | PANDAS | MODULE | CLASS | JAVA | SQL]
         AS '<body>' | $$<body>$$
 
@@ -18,6 +19,12 @@ Notes on parity:
 - The reference marks every function ``Volatility::Volatile``
   (src/fusion.rs:72): no constant folding / CSE. We preserve that default;
   ``DETERMINISTIC`` opts out.
+- The reference registers ``Signature::exact`` (src/fusion.rs:72): calls
+  whose argument types don't match the DDL are rejected at resolution.
+  Spark resolves Python UDFs untyped, so by default calls are coerced —
+  the documented relaxation (SURVEY §4.1). ``STRICT`` opts back into
+  exact-signature enforcement (checked per batch at call time, the
+  earliest hook Spark gives a Python UDF).
 - Bodies are single-quoted literals with ``''`` escaping, or dollar-quoted
   ``$$ … $$`` (the reference's ``$$`` path is declared dead at
   src/fusion.rs:52-56 — we support it since we own the pre-parser).
@@ -39,6 +46,7 @@ _HEAD_RE = re.compile(
         \((?P<args>.*?)\)\s*
         RETURNS\s+(?P<ret>.+?)\s*
         (?P<det>DETERMINISTIC\s+)?
+        (?P<strict>STRICT\s+)?
         (?:LANGUAGE\s+(?P<lang>[A-Za-z_]+)\s*)?
         AS\s+(?P<body>.+)\s*$""",
     re.I | re.X | re.S,
@@ -71,6 +79,7 @@ class FunctionDefinition:
     language: str = "PYTHON"
     body: str = ""
     deterministic: bool = False
+    strict: bool = False
     or_replace: bool = False
     raw: str = field(default="", repr=False)
 
@@ -155,6 +164,7 @@ def parse_create_function(sql: str) -> FunctionDefinition:
         language=lang,
         body=body,
         deterministic=bool(m.group("det")),
+        strict=bool(m.group("strict")),
         or_replace=bool(m.group("replace")),
         raw=sql,
     )

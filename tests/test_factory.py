@@ -105,6 +105,58 @@ def test_f7_unknown_module(sess):
         )
 
 
+def test_inline_java_source_rejected_clearly(sess):
+    """The reference's flagship path is LANGUAGE JAVA with inline source
+    compiled at DDL time (tests/factory.rs:23-51, Compiler.java:34-59).
+    The rebuild cannot compile Java; a user porting that test must get a
+    precise capability error at CREATE — never a ClassNotFoundException
+    for their source text."""
+    inline_java = (
+        "CREATE FUNCTION jsrc(BIGINT, BIGINT) RETURNS BIGINT LANGUAGE JAVA "
+        "AS $$ public class F { long compute(long a, long b) "
+        "{ return a * b; } } $$"
+    )
+    with pytest.raises(CompileError, match="inline Java source .* not supported"):
+        sess.sql(inline_java)
+    # a class-path body still routes to the classpath lookup (and fails
+    # there with the lookup error, since no such class is deployed)
+    with pytest.raises(UnknownFunctionError):
+        sess.sql(
+            "CREATE FUNCTION jcls(BIGINT) RETURNS BIGINT LANGUAGE JAVA "
+            "AS 'com.example.NoSuchUdf'"
+        )
+
+
+def test_strict_exact_signature(sess):
+    """Signature::exact parity (src/fusion.rs:72): the reference rejects
+    f1('a','b') at resolution. Spark resolves Python UDFs untyped, so
+    STRICT enforces the declared signature at call time: matching calls
+    succeed, implicitly-cast calls fail with a signature error."""
+    sess.sql(
+        "CREATE OR REPLACE FUNCTION fstrict(BIGINT, BIGINT) RETURNS BIGINT "
+        "DETERMINISTIC STRICT LANGUAGE PYTHON AS 'return arg0 + arg1'"
+    )
+    rows = sess.sql("SELECT fstrict(a, b) AS r FROM t ORDER BY r").collect()
+    assert [r.r for r in rows] == [11, 22, 33, 44]
+    with pytest.raises(Exception, match="exact signature"):
+        sess.sql("SELECT fstrict('2', '3')").collect()
+    # default (non-STRICT) keeps the documented relaxation: same call
+    # runs on the raw values Spark hands over
+    sess.sql(
+        "CREATE OR REPLACE FUNCTION floose(BIGINT, BIGINT) RETURNS STRING "
+        "DETERMINISTIC LANGUAGE PYTHON AS 'return str(arg0) + str(arg1)'"
+    )
+    assert sess.sql("SELECT floose('2', '3') AS r").collect()[0].r == "23"
+
+
+def test_strict_rejected_for_jvm_languages(sess):
+    with pytest.raises(DdlParseError, match="STRICT"):
+        sess.sql(
+            "CREATE FUNCTION fsj(BIGINT) RETURNS BIGINT STRICT "
+            "LANGUAGE CLASS AS 'com.example.X'"
+        )
+
+
 def test_unsupported_type(sess):
     """src/fusion.rs:83-90 — unsupported RETURNS type errors at DDL time."""
     with pytest.raises(UnsupportedTypeError):
