@@ -41,6 +41,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out.update(ADVANCED_QUERIES)
     except ImportError:
         pass
+    try:
+        from adhesive_spark.queries.curation_queries import CURATION_QUERIES
+
+        out.update(CURATION_QUERIES)
+    except ImportError:
+        pass
     return out
 
 
@@ -61,6 +67,12 @@ def oracle_sql() -> dict[str, str]:
         from adhesive_spark.queries.advanced_queries import ADVANCED_ORACLES
 
         out.update(ADVANCED_ORACLES)
+    except ImportError:
+        pass
+    try:
+        from adhesive_spark.queries.curation_queries import CURATION_ORACLES
+
+        out.update(CURATION_ORACLES)
     except ImportError:
         pass
     return out

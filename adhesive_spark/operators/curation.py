@@ -1,0 +1,172 @@
+"""Corpus-curation operators for training-data pipelines: PII
+redaction, stratified/deterministic sampling, per-domain caps, and
+benchmark-contamination detection.
+
+These extend the north-star pipeline surface (SURVEY §2.3) past dedup
+and similarity: the steps between "raw crawl" and "training corpus"
+that a 100 TB pipeline runs after dedup. All hot paths are built-in
+expressions (JVM-side, codegen); shuffles are keyed and bounded; the
+only joins are equi-joins.
+
+The reference engine has no relational operators at all (it is a
+function-factory demo, src/fusion.rs:22-80); this module is pure
+extension surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: PII patterns deliberately restricted to syntax shared verbatim by
+#: Java regex (Spark) and RE2 (DuckDB) so the redaction is
+#: engine-reproducible: no backrefs, no lookaround.
+PII_PATTERNS: dict[str, str] = {
+    # local@domain.tld
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    # US-style 3-3-4 phone with -/. separators
+    "phone": r"\d{3}[-.]\d{3}[-.]\d{4}",
+    # SSN-style 3-2-4 (disjoint from the 3-3-4 phone shape)
+    "ssn": r"\d{3}-\d{2}-\d{4}",
+    # dotted-quad IP
+    "ip": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+
+#: Application order is part of the contract: earlier patterns consume
+#: their text before later ones see it (an email's digits can't later
+#: match as a phone).
+PII_ORDER = ("email", "phone", "ssn", "ip")
+
+
+def pii_counts(col) -> dict[str, Column]:
+    """Occurrence count per PII class (regexp_count — one scan, no
+    Python)."""
+    return {
+        name: F.regexp_count(col, F.lit(PII_PATTERNS[name]))
+        for name in PII_ORDER
+    }
+
+
+def redact_pii(col) -> Column:
+    """Text with every PII match replaced by its ``<CLASS>`` tag, applied
+    in :data:`PII_ORDER`."""
+    out = col
+    for name in PII_ORDER:
+        out = F.regexp_replace(out, PII_PATTERNS[name], f"<{name.upper()}>")
+    return out
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    rates: dict[str, float],
+    *,
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Deterministic stratified sampling: keep a row iff its key's
+    md5-derived bucket (16-bit prefix mod 10000) falls under the
+    stratum's rate×10000 threshold.
+
+    Unlike ``sampleBy`` (seeded RNG over partition order), the kept set
+    is a pure function of the KEY — stable across runs, engines,
+    repartitionings, and incremental reruns, which is what makes a
+    training-data sample reproducible and resumable. One scan, no
+    shuffle; the rate map is a literal CASE chain (strata counts are
+    small by definition).
+    """
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        % 10000
+    )
+    threshold = F.lit(int(default_rate * 10000))
+    for stratum, rate in sorted(rates.items()):
+        threshold = F.when(
+            F.col(strata_col) == stratum, F.lit(int(rate * 10000))
+        ).otherwise(threshold)
+    return df.where(bucket < threshold)
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    order_cols: list,
+    k: int,
+) -> DataFrame:
+    """Keep at most ``k`` rows per group by a deterministic ranking
+    (the per-domain cap every crawl-derived corpus applies so one hub
+    domain can't dominate training). One keyed shuffle + in-partition
+    top-k; ``order_cols`` must be a total order for reproducibility.
+    Adds the 1-based ``rank`` column."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(group_col).orderBy(*order_cols)
+    return (
+        df.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def contamination_pairs(
+    train: DataFrame,
+    bench: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    n: int = 8,
+    min_overlap: int = 1,
+    max_shingle_df: int | None = 1000,
+) -> DataFrame:
+    """Benchmark-contamination detection: (train_id, bench_id) pairs
+    sharing ≥ ``min_overlap`` word ``n``-grams, with the overlap count
+    and the fraction of the benchmark doc's shingles found in the train
+    doc (``containment`` — the decontamination decision metric; Jaccard
+    is wrong here because train docs are much longer).
+
+    Plan shape: explode both sides to (id, shingle), df-cap the train
+    side's hot shingles (same trick as
+    :func:`adhesive_spark.operators.dedup.ngram_jaccard_pairs`), then
+    ONE equi-join on the shingle — shuffle is bounded by shingle
+    frequency, never all-pairs. The benchmark side is small by nature;
+    Spark broadcasts it under AQE when it fits.
+    """
+    from adhesive_spark.operators.dedup import word_shingles
+    from adhesive_spark.sources.registry import ensure_parallelism
+
+    t = ensure_parallelism(train, id_col).select(
+        F.col(id_col).alias("train_id"),
+        F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
+    )
+    b = bench.select(
+        F.col(id_col).alias("bench_id"),
+        F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
+    )
+    if max_shingle_df is not None:
+        rare = (
+            t.groupBy("shingle")
+            .agg(F.count("*").alias("__df"))
+            .where(F.col("__df") <= max_shingle_df)
+            .select("shingle")
+        )
+        t = t.join(rare, "shingle")
+    bench_sizes = b.groupBy("bench_id").agg(F.count("*").alias("bench_n_sh"))
+    overlap = (
+        t.join(b, "shingle")
+        .groupBy("train_id", "bench_id")
+        .agg(F.count("*").alias("n_common"))
+        .where(F.col("n_common") >= min_overlap)
+    )
+    from adhesive_spark.operators.text import fround
+
+    return (
+        overlap.join(bench_sizes, "bench_id")
+        .select(
+            "train_id",
+            "bench_id",
+            "n_common",
+            fround(F.col("n_common") / F.col("bench_n_sh"), 4).alias(
+                "containment"
+            ),
+        )
+    )

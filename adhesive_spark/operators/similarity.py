@@ -240,6 +240,57 @@ def knn_ivf(
     )
 
 
+def quantize_embeddings(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    bits: int = 8,
+) -> DataFrame:
+    """Symmetric per-vector integer quantization (the int8 storage/ANN
+    compression step of an embedding pipeline): scale each vector by
+    qmax/max|x| and round to integers in [-qmax, qmax].
+
+    One projection, no shuffle, all built-in higher-order functions.
+    Returns scalar summaries per vector — n_dims, the scale, exact
+    integer checksums of the quantized codes (q_sum/q_min/q_max), and
+    the reconstruction RMSE — rather than the code array itself, so the
+    result is oracle-hashable; the codes are recomputable from (vec,
+    scale) by construction.
+    """
+    from adhesive_spark.operators.text import fround
+
+    qmax = float(2 ** (bits - 1) - 1)
+    v = F.col("__v")
+    s = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    q = F.transform(v, lambda x: F.round(x / s * qmax, 0).cast("int"))
+    err2 = F.aggregate(
+        F.zip_with(
+            v,
+            F.col("__q"),
+            lambda x, c: (x - c * s / qmax) * (x - c * s / qmax),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        df.select(F.col(id_col), F.col(vec_col).alias("__v"))
+        .where(s > 0)
+        .withColumn("__q", q)
+        .select(
+            id_col,
+            F.size("__v").alias("n_dims"),
+            fround(s, 6).alias("scale"),
+            F.aggregate(
+                "__q", F.lit(0).cast("long"), lambda acc, x: acc + x
+            ).alias("q_sum"),
+            F.array_min("__q").alias("q_min"),
+            F.array_max("__q").alias("q_max"),
+            fround(F.sqrt(err2 / F.size("__v")), 6).alias("rmse"),
+        )
+    )
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     *,

@@ -1,0 +1,341 @@
+"""Corpus-curation queries: the post-dedup steps of a training-data
+pipeline (PII redaction, contamination checks, stratified sampling,
+per-domain caps, embedding quantization, and the end-to-end corpus
+filter). Every query is fully DuckDB-oracle-checked; PII patterns are
+restricted to Java-regex ∩ RE2 syntax so both engines see identical
+matches.
+
+Extension surface beyond the reference (its only operator is the scalar
+UDF projection, src/fusion.rs:22-80); numbering continues the SURVEY
+§2.4 table (q56 fills the gap left by the r01 numbering).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from adhesive_spark.operators.curation import (
+    PII_ORDER,
+    PII_PATTERNS,
+    cap_per_group,
+    contamination_pairs,
+    pii_counts,
+    redact_pii,
+    stratified_hash_sample,
+)
+from adhesive_spark.operators.similarity import quantize_embeddings
+from adhesive_spark.operators.text import (
+    fingerprint,
+    fround,
+    lang_id,
+    quality_score,
+    scaled_long,
+    token_count,
+)
+from adhesive_spark.sources.registry import load_table
+
+def _injected_text():
+    """Deterministic PII injection: the synthetic corpus carries no PII,
+    so q56 plants one instance of each class per document (keyed off
+    doc_id) before redacting — exercising every pattern with
+    oracle-reproducible inputs."""
+    return F.concat(
+        F.col("text"),
+        F.lit(" Contact: user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or call 321-654-0987, SSN 123-45-6789, host 10.0.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit("."),
+    )
+
+
+def q56_pii_redact(spark, sf_dir):
+    """PII scrubbing over the corpus: per-class occurrence counts and
+    the redacted text's fingerprint/length — one scan, four
+    regexp passes, no shuffle beyond the final projection."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    t = _injected_text()
+    counts = pii_counts(t)
+    red = redact_pii(t)
+    return docs.select(
+        "doc_id",
+        counts["email"].alias("n_email"),
+        counts["phone"].alias("n_phone"),
+        counts["ssn"].alias("n_ssn"),
+        counts["ip"].alias("n_ip"),
+        F.length(t).alias("n_chars_before"),
+        F.length(red).alias("n_chars_after"),
+        F.md5(red).alias("redacted_fp"),
+    )
+
+
+def q69_contamination_check(spark, sf_dir):
+    """Benchmark-contamination sweep: the benchmark set is a 30-token
+    excerpt of every 50th document (contamination by construction —
+    benchmark items verbatim inside training text, the scenario the
+    check exists for); the sweep must find each excerpt's source doc
+    (containment ≈ 1) plus any near-dups of it. One equi-join on the
+    8-gram shingle, df-capped hot shingles."""
+    from adhesive_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 50 == 0).select(
+        "doc_id",
+        F.concat_ws(" ", F.slice(tokens(F.col("text")), 5, 30)).alias("text"),
+    )
+    return contamination_pairs(
+        docs, bench, "text", "doc_id", n=8, min_overlap=3
+    )
+
+
+def q70_stratified_sample(spark, sf_dir):
+    """Deterministic stratified sampling: per-source keep rates applied
+    via md5-key buckets — reproducible across runs/engines/partitioning,
+    unlike seeded RNG sampling."""
+    docs = load_table(spark, sf_dir, "documents")
+    kept = stratified_hash_sample(
+        docs,
+        "doc_id",
+        "source",
+        rates={"src0": 1.0, "src1": 0.5, "src2": 0.25},
+        default_rate=0.1,
+    )
+    return kept.select("doc_id", "source", "n_chars")
+
+
+def q71_domain_cap(spark, sf_dir):
+    """Per-domain document cap (top-10 by size, deterministic
+    tie-break): the anti-hub-domain step of crawl curation. One keyed
+    shuffle + in-partition top-k."""
+    docs = load_table(spark, sf_dir, "documents")
+    capped = cap_per_group(
+        docs.select("doc_id", "source", "n_chars"),
+        "source",
+        [F.col("n_chars").desc(), F.col("doc_id")],
+        k=10,
+    )
+    return capped.select("doc_id", "source", "n_chars", "rank")
+
+
+def q72_embedding_quantize(spark, sf_dir):
+    """Symmetric int8 embedding quantization with per-vector scale and
+    reconstruction RMSE — scalar summaries keep the result
+    oracle-hashable."""
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    return quantize_embeddings(emb, "vec_id", "embedding", bits=8)
+
+
+def q73_corpus_filter(spark, sf_dir):
+    """The end-to-end curation composition: language filter (en) +
+    quality floor + exact dedup (min-id survivor per fingerprint), then
+    per-source corpus stats. Everything integer-exact at the aggregate
+    boundary (scaled quality, token counts)."""
+    docs = load_table(spark, sf_dir, "documents")
+    c = F.col("text")
+    d = docs.select(
+        "doc_id",
+        "source",
+        lang_id(c).alias("lang_pred"),
+        scaled_long(quality_score(c), 4).alias("q_s"),
+        fingerprint(c).alias("fp"),
+        token_count(c).alias("n_tokens"),
+    ).where((F.col("lang_pred") == "en") & (F.col("q_s") >= 5000))
+    survivors = d.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    kept = d.join(survivors, ["fp", "doc_id"])
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        fround(F.sum("q_s") / (F.count("*") * F.lit(10000.0)), 3).alias(
+            "avg_quality"
+        ),
+    )
+
+
+CURATION_QUERIES = {
+    "q56_pii_redact": q56_pii_redact,
+    "q69_contamination_check": q69_contamination_check,
+    "q70_stratified_sample": q70_stratified_sample,
+    "q71_domain_cap": q71_domain_cap,
+    "q72_embedding_quantize": q72_embedding_quantize,
+    "q73_corpus_filter": q73_corpus_filter,
+}
+
+# --- oracles -----------------------------------------------------------------
+
+from adhesive_spark.queries.advanced_queries import (  # noqa: E402
+    _lang_sql,
+    _quality_sql,
+    _NORM,
+    _TOKS,
+)
+from adhesive_spark.queries.pipeline_queries import _byte_from_hex  # noqa: E402
+
+_PII_SQL = {name: PII_PATTERNS[name].replace("'", "''") for name in PII_ORDER}
+
+_INJECTED_SQL = (
+    "text || ' Contact: user' || CAST(doc_id AS VARCHAR) || "
+    "'@example.com or call 321-654-0987, SSN 123-45-6789, host 10.0.0.' || "
+    "CAST(doc_id % 256 AS VARCHAR) || '.'"
+)
+
+
+def _redact_sql(expr: str) -> str:
+    out = expr
+    for name in PII_ORDER:
+        out = f"regexp_replace({out}, '{_PII_SQL[name]}', '<{name.upper()}>', 'g')"
+    return out
+
+
+def _shingle8_cte(pred: str, alias: str) -> str:
+    """8-gram shingle CTE mirroring word_shingles(n=8) for docs matching
+    ``pred``."""
+    grams = ", ".join(f"toks[i+{j}]" for j in range(8))
+    return f"""
+        {alias}_t AS (
+          SELECT doc_id, {_NORM} AS norm, {_TOKS} AS toks
+          FROM documents WHERE {pred}
+        ),
+        {alias}_g AS (
+          SELECT doc_id,
+                 CASE WHEN len(toks) - 7 >= 1
+                      THEN list_distinct(list_transform(
+                             range(1, len(toks) - 7 + 1),
+                             i -> concat_ws(' ', {grams})))
+                      ELSE [norm] END AS grams
+          FROM {alias}_t
+        ),
+        {alias}_x AS (SELECT doc_id, unnest(grams) AS shingle FROM {alias}_g)
+    """
+
+
+_B1 = _byte_from_hex("md5(CAST(doc_id AS VARCHAR))", 1)
+_B2 = _byte_from_hex("md5(CAST(doc_id AS VARCHAR))", 2)
+
+CURATION_ORACLES = {
+    "q56_pii_redact": f"""
+        WITH t AS (
+          SELECT doc_id, {_INJECTED_SQL} AS it
+          FROM documents WHERE doc_id < 300
+        )
+        SELECT doc_id,
+               len(regexp_extract_all(it, '{_PII_SQL["email"]}')) AS n_email,
+               len(regexp_extract_all(it, '{_PII_SQL["phone"]}')) AS n_phone,
+               len(regexp_extract_all(it, '{_PII_SQL["ssn"]}')) AS n_ssn,
+               len(regexp_extract_all(it, '{_PII_SQL["ip"]}')) AS n_ip,
+               length(it) AS n_chars_before,
+               length({_redact_sql("it")}) AS n_chars_after,
+               md5({_redact_sql("it")}) AS redacted_fp
+        FROM t
+    """,
+    "q69_contamination_check": f"""
+        WITH {_shingle8_cte("TRUE", "tr")},
+        be_n AS (
+          -- excerpt of the already-normalized token stream: norm is the
+          -- excerpt itself (normalization is idempotent on it)
+          SELECT doc_id,
+                 array_to_string(({_TOKS})[5:34], ' ') AS norm,
+                 ({_TOKS})[5:34] AS toks
+          FROM documents WHERE doc_id % 50 = 0
+        ),
+        be_g AS (
+          SELECT doc_id,
+                 CASE WHEN len(toks) - 7 >= 1
+                      THEN list_distinct(list_transform(
+                             range(1, len(toks) - 7 + 1),
+                             i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2],
+                                            toks[i+3], toks[i+4], toks[i+5],
+                                            toks[i+6], toks[i+7])))
+                      ELSE [norm] END AS grams
+          FROM be_n
+        ),
+        be_x AS (SELECT doc_id, unnest(grams) AS shingle FROM be_g),
+        rare AS (
+          SELECT shingle FROM tr_x GROUP BY shingle HAVING COUNT(*) <= 1000
+        ),
+        trf AS (SELECT tr_x.doc_id, tr_x.shingle
+                FROM tr_x JOIN rare USING (shingle)),
+        bsz AS (SELECT doc_id, len(grams) AS bench_n_sh FROM be_g),
+        ov AS (
+          SELECT t.doc_id AS train_id, b.doc_id AS bench_id,
+                 COUNT(*) AS n_common
+          FROM trf t JOIN be_x b USING (shingle)
+          GROUP BY 1, 2
+          HAVING COUNT(*) >= 3
+        )
+        SELECT train_id, bench_id, n_common,
+               floor(n_common / bench_n_sh * 10000) / 10000 AS containment
+        FROM ov JOIN bsz ON ov.bench_id = bsz.doc_id
+    """,
+    "q70_stratified_sample": f"""
+        SELECT doc_id, source, n_chars
+        FROM documents
+        WHERE ({_B1} * 256 + {_B2}) % 10000 <
+              CASE source WHEN 'src0' THEN 10000
+                          WHEN 'src1' THEN 5000
+                          WHEN 'src2' THEN 2500
+                          ELSE 1000 END
+    """,
+    "q71_domain_cap": """
+        SELECT doc_id, source, n_chars, rank FROM (
+          SELECT doc_id, source, n_chars,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY source
+                        ORDER BY n_chars DESC, doc_id) AS INT) AS rank
+          FROM documents
+        ) WHERE rank <= 10
+    """,
+    "q72_embedding_quantize": """
+        WITH e AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ),
+        s AS (
+          SELECT vec_id, v,
+                 list_max(list_transform(v, x -> abs(x))) AS sc
+          FROM e
+        ),
+        q AS (
+          SELECT vec_id, v, sc,
+                 list_transform(v, x -> CAST(round(x / sc * 127, 0) AS INT))
+                   AS qc
+          FROM s WHERE sc > 0
+        )
+        SELECT vec_id,
+               len(v) AS n_dims,
+               floor(sc * 1000000.0) / 1000000.0 AS scale,
+               list_sum(qc) AS q_sum,
+               list_min(qc) AS q_min,
+               list_max(qc) AS q_max,
+               floor(sqrt(list_sum(list_transform(range(1, len(v) + 1),
+                            i -> (v[i] - qc[i] * sc / 127)
+                                 * (v[i] - qc[i] * sc / 127)))
+                          / len(v)) * 1000000.0) / 1000000.0 AS rmse
+        FROM q
+    """,
+    "q73_corpus_filter": f"""
+        WITH t AS (
+          SELECT doc_id, source, text, {_TOKS} AS toks FROM documents
+        ),
+        d AS (
+          SELECT doc_id, source,
+                 {_lang_sql()} AS lang_pred,
+                 CAST(ROUND(({_quality_sql()}) * 10000, 0) AS BIGINT) AS q_s,
+                 md5({_NORM}) AS fp,
+                 len(toks) AS n_tokens
+          FROM t
+        ),
+        k AS (
+          SELECT * FROM d
+          WHERE lang_pred = 'en' AND q_s >= 5000
+        ),
+        kept AS (
+          SELECT * FROM k
+          QUALIFY ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) = 1
+        )
+        SELECT source, COUNT(*) AS n_docs,
+               SUM(n_tokens) AS total_tokens,
+               floor(SUM(q_s) / (COUNT(*) * 10000.0) * 1000.0) / 1000.0
+                 AS avg_quality
+        FROM kept GROUP BY source
+    """,
+}
