@@ -17,7 +17,21 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-_READERS = ("parquet", "csv", "json", "orc")
+_READERS = ("parquet", "csv", "json", "orc", "avro")
+
+
+def _avro_available(spark: SparkSession) -> bool:
+    """The Avro datasource lives in the separate ``spark-avro`` artifact
+    (not in pyspark's bundled jars — only avro-core is, for Spark's own
+    shuffle use). Gate on its presence instead of failing with Spark's
+    generic FAILED_FIND_DATA_SOURCE."""
+    try:
+        spark._jvm.org.apache.spark.sql.execution.datasources.DataSource.lookupDataSource(
+            "avro", spark._jsparkSession.sessionState().conf()
+        )
+        return True
+    except Exception:
+        return False
 
 
 def read_any(
@@ -29,6 +43,12 @@ def read_any(
 ) -> DataFrame:
     if fmt not in _READERS:
         raise ValueError(f"unsupported format {fmt!r}; one of {_READERS}")
+    if fmt == "avro" and not _avro_available(spark):
+        raise ValueError(
+            "avro requires the spark-avro package on the classpath "
+            "(--packages org.apache.spark:spark-avro_2.13:<spark version>); "
+            "it is not bundled with pyspark and not vendored here"
+        )
     reader = spark.read.format(fmt)
     if fmt == "csv":
         # header+schema, never inferSchema on big data (it double-scans)
@@ -54,6 +74,12 @@ def write_any(
     compression: str | None = None,
     **options,
 ) -> None:
+    if fmt == "avro" and not _avro_available(df.sparkSession):
+        raise ValueError(
+            "avro requires the spark-avro package on the classpath "
+            "(--packages org.apache.spark:spark-avro_2.13:<spark version>); "
+            "it is not bundled with pyspark and not vendored here"
+        )
     writer = df.write.format(fmt).mode(mode)
     if fmt == "csv":
         writer = writer.option("header", "true")

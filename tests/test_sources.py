@@ -100,3 +100,22 @@ def test_dynamic_partition_pruning(spark, sf_dir, tmp_path_factory):
     assert "dynamicpruning" in plan.lower(), plan
     got = {r.o_orderpriority for r in joined.collect()}
     assert got == {"1-URGENT", "2-HIGH"}
+
+
+def test_avro_gated_on_package_presence(spark, tmp_path_factory):
+    """Avro is a separate spark-avro artifact: when absent the reader
+    must fail with the actionable package hint, never Spark's generic
+    FAILED_FIND_DATA_SOURCE; when present it must round-trip."""
+    import pytest
+
+    from adhesive_spark.sources.formats import _avro_available
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string")
+    path = str(tmp_path_factory.mktemp("avro") / "t")
+    if _avro_available(spark):
+        write_any(df, path, fmt="avro")
+        back = read_any(spark, path, fmt="avro")
+        assert sorted((r.id, r.s) for r in back.collect()) == [(1, "a"), (2, "b")]
+    else:
+        with pytest.raises(ValueError, match="spark-avro"):
+            read_any(spark, path, fmt="avro")
