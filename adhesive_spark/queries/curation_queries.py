@@ -153,6 +153,35 @@ def q73_corpus_filter(spark, sf_dir):
     )
 
 
+def q74_heavy_hitters(spark, sf_dir):
+    """Corpus-wide token heavy hitters (vocabulary head): top-50 tokens
+    by total occurrences with df alongside — two keyed aggregations
+    (both map-side combined) + a driver-size top-k; the vocab-building
+    primitive. Deterministic tie-break on the token itself."""
+    from adhesive_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(tokens(F.col("text")), lambda t: F.length(t) >= 2)
+        ).alias("token"),
+    )
+    counts = tok.groupBy("token").agg(
+        F.count("*").alias("tf"),
+        F.countDistinct("doc_id").alias("df"),
+    )
+    # TakeOrdered top-k first (no global sort of the whole vocabulary);
+    # the rank window then runs over just the k survivors.
+    from pyspark.sql.window import Window
+
+    top = counts.orderBy(F.col("tf").desc(), F.col("token")).limit(50)
+    return top.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.col("tf").desc(), F.col("token"))),
+    )
+
+
 CURATION_QUERIES = {
     "q56_pii_redact": q56_pii_redact,
     "q69_contamination_check": q69_contamination_check,
@@ -160,6 +189,7 @@ CURATION_QUERIES = {
     "q71_domain_cap": q71_domain_cap,
     "q72_embedding_quantize": q72_embedding_quantize,
     "q73_corpus_filter": q73_corpus_filter,
+    "q74_heavy_hitters": q74_heavy_hitters,
 }
 
 # --- oracles -----------------------------------------------------------------
@@ -311,6 +341,23 @@ CURATION_ORACLES = {
                                  * (v[i] - qc[i] * sc / 127)))
                           / len(v)) * 1000000.0) / 1000000.0 AS rmse
         FROM q
+    """,
+    "q74_heavy_hitters": f"""
+        WITH tok AS (
+          SELECT doc_id, unnest(list_filter({_TOKS}, t -> length(t) >= 2))
+                   AS token
+          FROM documents
+        ),
+        c AS (
+          SELECT token, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+          FROM tok GROUP BY token
+        )
+        SELECT token, tf, df,
+               CAST(ROW_NUMBER() OVER (ORDER BY tf DESC, token) AS INT)
+                 AS rank
+        FROM c
+        ORDER BY tf DESC, token
+        LIMIT 50
     """,
     "q73_corpus_filter": f"""
         WITH t AS (

@@ -105,6 +105,16 @@ def test_salted_join_no_cartesian(spark, sf):
     assert_no_cartesian(df)
 
 
+def test_contamination_is_equi_join(spark, sf):
+    # candidate generation must be an equi-join on the shingle — never a
+    # text-pair nested loop
+    from adhesive_spark.plans.explain import assert_no_nested_loop
+    from adhesive_spark.queries.curation_queries import q69_contamination_check
+
+    df = q69_contamination_check(spark, sf)
+    assert_no_nested_loop(df)
+
+
 def test_embedding_neardup_blocked_no_nested_loop(spark, sf):
     # the exact near-dup pair query must be an equi-join on the block
     # key, not a nested loop over all pairs (the r01 scale killer)
