@@ -182,6 +182,33 @@ def q74_heavy_hitters(spark, sf_dir):
     )
 
 
+def q75_approx_quantile_contract(spark, sf_dir):
+    """Sketch quantiles (approx_percentile, the Greenwald-Khanna path
+    that replaces the full sort at 100 TB) next to their contract: with
+    accuracy=1000 the returned element's rank error is ≤ 1/1000, so the
+    estimate must lie within the exact percentile envelope p ± 0.005.
+    The envelope is computed Spark-side from the exact sort-based
+    percentile; the oracle asserts the booleans — the q42 pattern for
+    engine-specific sketch values."""
+    events = load_table(spark, sf_dir, "events")
+    g = events.groupBy("event_type").agg(
+        F.expr("approx_percentile(value, array(0.5, 0.95), 1000)").alias("ap"),
+        F.expr("percentile(value, 0.495)").alias("lo50"),
+        F.expr("percentile(value, 0.505)").alias("hi50"),
+        F.expr("percentile(value, 0.945)").alias("lo95"),
+        F.expr("percentile(value, 0.955)").alias("hi95"),
+        F.count("*").alias("n"),
+    )
+    return g.select(
+        "event_type",
+        "n",
+        ((F.col("ap")[0] >= F.col("lo50")) & (F.col("ap")[0] <= F.col("hi50")))
+        .alias("p50_within_bound"),
+        ((F.col("ap")[1] >= F.col("lo95")) & (F.col("ap")[1] <= F.col("hi95")))
+        .alias("p95_within_bound"),
+    )
+
+
 CURATION_QUERIES = {
     "q56_pii_redact": q56_pii_redact,
     "q69_contamination_check": q69_contamination_check,
@@ -190,6 +217,7 @@ CURATION_QUERIES = {
     "q72_embedding_quantize": q72_embedding_quantize,
     "q73_corpus_filter": q73_corpus_filter,
     "q74_heavy_hitters": q74_heavy_hitters,
+    "q75_approx_quantile_contract": q75_approx_quantile_contract,
 }
 
 # --- oracles -----------------------------------------------------------------
@@ -341,6 +369,12 @@ CURATION_ORACLES = {
                                  * (v[i] - qc[i] * sc / 127)))
                           / len(v)) * 1000000.0) / 1000000.0 AS rmse
         FROM q
+    """,
+    "q75_approx_quantile_contract": """
+        SELECT event_type, COUNT(*) AS n,
+               TRUE AS p50_within_bound,
+               TRUE AS p95_within_bound
+        FROM events GROUP BY event_type
     """,
     "q74_heavy_hitters": f"""
         WITH tok AS (
