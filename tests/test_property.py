@@ -116,3 +116,53 @@ def test_ddl_rejects_garbage():
     ]:
         with pytest.raises(DdlParseError):
             parse_create_function(bad)
+
+
+# --- cross-engine aggregation determinism ------------------------------------
+# The scaled_long convention (operators/text.py) claims: for k-decimal
+# grained doubles, SUM over round(x*10^k) longs is bit-identical between
+# Spark and DuckDB even when the true total sits exactly on a rounding
+# boundary — the case where ROUND(SUM(double)) flips with summation
+# order. Adversarial inputs: cent values whose totals end in .50.
+
+_cents = st.lists(
+    st.integers(min_value=1, max_value=99_999),  # 0.01 .. 999.99
+    min_size=1,
+    max_size=60,
+)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(cents=_cents)
+def test_scaled_long_sum_matches_duckdb_exactly(spark, cents):
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from adhesive_spark.operators.text import scaled_long
+
+    # force an adversarial .50-ending total half the time
+    if sum(cents) % 100 != 50:
+        cents = cents + [50 - (sum(cents) % 100) + 100]
+    values = [c / 100.0 for c in cents]
+    df = spark.createDataFrame([(v,) for v in values], "value double")
+    got = df.agg(
+        (F.sum(scaled_long(F.col("value"), 2)) / F.lit(100.0)).alias("s"),
+        F.floor(
+            F.sum(scaled_long(F.col("value"), 2)) / F.lit(100.0)
+        ).alias("s0"),
+    ).collect()[0]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(value DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?)", [(v,) for v in values])
+    want = con.execute(
+        "SELECT SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) / 100.0,"
+        "       floor(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) / 100.0)"
+        " FROM t"
+    ).fetchone()
+    # bit-exact equality — no tolerance — including the floored variant
+    # that sits exactly on the boundary by construction
+    assert got.s == want[0]
+    assert got.s0 == want[1]
+    # and the recovered total is the true cent total, not a drifted one
+    assert got.s == sum(cents) / 100.0
