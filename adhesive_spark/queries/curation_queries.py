@@ -209,6 +209,36 @@ def q75_approx_quantile_contract(spark, sf_dir):
     )
 
 
+def q76_token_shards(spark, sf_dir):
+    """Training-shard assignment (sequence packing's outer loop): within
+    each source, documents in deterministic doc_id order are packed into
+    ~2000-token shards by cumulative token count. One keyed shuffle +
+    per-source window — NOT a global sort; at 100 TB the source (or any
+    finer partition key) bounds each window's data. Shard boundaries are
+    a pure function of the ordered token counts, so incremental reruns
+    reproduce them."""
+    from pyspark.sql.window import Window
+
+    from adhesive_spark.operators.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    d = docs.select(
+        "doc_id", "source", token_count(F.col("text")).alias("n_tokens")
+    ).withColumn(
+        "shard_id",
+        F.floor(
+            (F.sum("n_tokens").over(w) - F.col("n_tokens")) / F.lit(2000)
+        ).cast("int"),
+    )
+    return d.groupBy("source", "shard_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("shard_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
 CURATION_QUERIES = {
     "q56_pii_redact": q56_pii_redact,
     "q69_contamination_check": q69_contamination_check,
@@ -218,6 +248,7 @@ CURATION_QUERIES = {
     "q73_corpus_filter": q73_corpus_filter,
     "q74_heavy_hitters": q74_heavy_hitters,
     "q75_approx_quantile_contract": q75_approx_quantile_contract,
+    "q76_token_shards": q76_token_shards,
 }
 
 # --- oracles -----------------------------------------------------------------
@@ -369,6 +400,24 @@ CURATION_ORACLES = {
                                  * (v[i] - qc[i] * sc / 127)))
                           / len(v)) * 1000000.0) / 1000000.0 AS rmse
         FROM q
+    """,
+    "q76_token_shards": f"""
+        WITH d AS (
+          SELECT doc_id, source, len({_TOKS}) AS n_tokens
+          FROM documents
+        ),
+        s AS (
+          SELECT doc_id, source, n_tokens,
+                 CAST(floor((SUM(n_tokens) OVER (PARTITION BY source
+                               ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                             - n_tokens) / 2000) AS INT) AS shard_id
+          FROM d
+        )
+        SELECT source, shard_id, COUNT(*) AS n_docs,
+               SUM(n_tokens) AS shard_tokens,
+               MIN(doc_id) AS first_doc,
+               MAX(doc_id) AS last_doc
+        FROM s GROUP BY source, shard_id
     """,
     "q75_approx_quantile_contract": """
         SELECT event_type, COUNT(*) AS n,
