@@ -86,6 +86,17 @@ def _perm_coeffs(num_perm: int, seed: int = 42) -> list[tuple[int, int]]:
     ]
 
 
+def portable_hash32(s):
+    """32-bit hash = first 8 hex chars of md5, parsed as an integer.
+
+    Engine-portable by construction (DuckDB reconstructs it from the
+    same hex pairs), which is what lets the banded-LSH pipeline be
+    oracle-checked end-to-end instead of rows-only; xxhash64 would be
+    faster per shingle but exists only in Spark.
+    """
+    return F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+
+
 def _coeff_array(num_perm: int, seed: int = 42):
     """The permutation coefficients as ONE literal array<struct<a,b>>
     column, so the whole signature is a single nested higher-order
@@ -127,11 +138,12 @@ def minhash_signature(
 ):
     """Array<long> MinHash signature, entirely in built-in expressions.
 
-    The shingle set is hashed ONCE with xxhash64 into a named lambda
-    variable (so it is NOT recomputed per permutation); each permutation
-    is an affine transform (a*h+b) mod M₃₁ over the base hashes."""
+    The shingle set is hashed ONCE (portable md5-prefix hash) into a
+    named lambda variable (so it is NOT recomputed per permutation);
+    each permutation is an affine transform (a*h+b) mod M₃₁ over the
+    base hashes."""
     shingles = word_shingles(col, shingle_n)
-    base = F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE)))
+    base = F.transform(shingles, lambda s: F.pmod(portable_hash32(s), F.lit(_MERSENNE)))
     # Bind base once via a single-element transform scope: the outer
     # lambda variable `bs` is evaluated once per row, then reused by all
     # num_perm inner scans.
@@ -176,7 +188,7 @@ def minhash_lsh_pairs(
     df = ensure_parallelism(df, id_col)
 
     # Materialization boundary BEFORE the permutation pass: without it,
-    # CollapseProject inlines the whole shingle+xxhash subtree into the
+    # CollapseProject inlines the whole shingle+hash subtree into the
     # signature expression and the verify join recomputes shingling.
     # localCheckpoint (eager) instead of cache(): same physical boundary,
     # but the blocks are owned by the RDD and reclaimed by the
@@ -186,7 +198,10 @@ def minhash_lsh_pairs(
         F.col(id_col).alias("id"),
         word_shingles(F.col(text_col), shingle_n).alias("shingles"),
     ).withColumn(
-        "base", F.transform("shingles", lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE)))
+        "base",
+        F.transform(
+            "shingles", lambda s: F.pmod(portable_hash32(s), F.lit(_MERSENNE))
+        ),
     ).localCheckpoint(eager=True)
 
     sig = minhash_signature_from_base(F.col("base"), num_perm, seed)
@@ -199,7 +214,10 @@ def minhash_lsh_pairs(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
                 lambda b: F.struct(
                     b.alias("band_idx"),
-                    F.xxhash64(
+                    # md5 of the joined band values: a fixed-width,
+                    # engine-portable join key (equality ⟺ equality of
+                    # the band's signature slice)
+                    F.md5(
                         F.concat_ws(
                             "_",
                             F.transform(

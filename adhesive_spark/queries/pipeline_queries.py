@@ -139,9 +139,11 @@ def q36_asof_join(spark, sf_dir):
 
 
 def q37_minhash_pairs(spark, sf_dir):
-    """MinHash-LSH near-dup candidates, exact-Jaccard verified.
-    Hash permutations are Spark-specific (xxhash64) → rows-only check;
-    q33 is the oracle-checked exact twin."""
+    """MinHash-LSH near-dup candidates, exact-Jaccard verified — FULLY
+    oracle-checked: the base hash is the md5-prefix portable hash and
+    the permutation coefficients are Python-generated literals shared
+    with the oracle SQL, so DuckDB reproduces signatures, bands,
+    candidates, and the verify bit-for-bit."""
     docs = load_table(spark, sf_dir, "documents")
     return minhash_lsh_pairs(
         docs, "text", "doc_id", num_perm=64, bands=16, threshold=0.2
@@ -216,6 +218,90 @@ def _byte_from_hex(hexpr: str, pos: int) -> str:
 # the substring directly equals hashing its utf-8 payload bytes.
 _SHA = "sha256(substring(text, 1, 256))"
 _MTYPE = "(['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1]"
+
+
+def _minhash_oracle_sql(
+    *,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.2,
+    seed: int = 42,
+) -> str:
+    """Full DuckDB mirror of minhash_lsh_pairs: same md5-prefix base
+    hash, the SAME permutation coefficients (interpolated from the one
+    Python generator both sides share), same band keys, same exact
+    verify — signatures and candidates match bit-for-bit."""
+    from adhesive_spark.operators.dedup import _MERSENNE, _perm_coeffs
+
+    coeffs = _perm_coeffs(num_perm, seed)
+    a_lit = "[" + ", ".join(str(a) for a, _ in coeffs) + "]"
+    b_lit = "[" + ", ".join(str(b) for _, b in coeffs) + "]"
+    rows = num_perm // bands
+    # 32-bit value from the first 4 hex pairs of an md5 hex string `h`
+    h32 = (
+        f"({_byte_from_hex('h', 1)} * 16777216 "
+        f"+ {_byte_from_hex('h', 2)} * 65536 "
+        f"+ {_byte_from_hex('h', 3)} * 256 "
+        f"+ {_byte_from_hex('h', 4)})"
+    )
+    return f"""
+        WITH t AS (
+          SELECT doc_id, {_NORM} AS norm, {_TOKS} AS toks FROM documents
+        ),
+        g AS (
+          SELECT doc_id,
+                 CASE WHEN len(toks) - 2 >= 1
+                      THEN list_distinct(list_transform(
+                             range(1, len(toks) - 2 + 1),
+                             i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))
+                      ELSE [norm] END AS grams
+          FROM t
+        ),
+        bh AS (
+          SELECT doc_id, grams,
+                 list_transform(list_transform(grams, s -> md5(s)),
+                                h -> {h32} % {_MERSENNE}) AS base
+          FROM g
+        ),
+        sig AS (
+          SELECT doc_id,
+                 list_transform(range(1, {num_perm} + 1),
+                   i -> list_min(list_transform(base,
+                          h -> (h * ({a_lit})[i] + ({b_lit})[i])
+                               % {_MERSENNE}))) AS sig
+          FROM bh
+        ),
+        bk AS (
+          SELECT doc_id,
+                 list_transform(range(0, {bands}),
+                   b -> md5(array_to_string(
+                          list_transform(
+                            list_slice(sig, b * {rows} + 1, b * {rows} + {rows}),
+                            x -> CAST(x AS VARCHAR)), '_'))) AS keys
+          FROM sig
+        ),
+        bx AS (
+          SELECT doc_id, unnest(keys) AS key,
+                 generate_subscripts(keys, 1) AS band_idx
+          FROM bk
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bx a JOIN bx b
+            ON a.band_idx = b.band_idx AND a.key = b.key
+           AND a.doc_id < b.doc_id
+        ),
+        v AS (
+          SELECT id_a, id_b,
+                 round(len(list_intersect(sa.grams, sb.grams))
+                       / len(list_distinct(sa.grams || sb.grams)), 4)
+                   AS jaccard
+          FROM cand
+          JOIN g sa ON cand.id_a = sa.doc_id
+          JOIN g sb ON cand.id_b = sb.doc_id
+        )
+        SELECT id_a, id_b, jaccard FROM v WHERE jaccard >= {threshold}
+    """
 
 PIPELINE_ORACLES = {
     "q30_dedup_exact": f"""
@@ -330,6 +416,9 @@ PIPELINE_ORACLES = {
                         FROM events WHERE event_type = 'click') c
           ON p.user_id = c.user_id AND p.ts >= c.ts
     """,
+    "q37_minhash_pairs": _minhash_oracle_sql(
+        num_perm=64, bands=16, threshold=0.2, seed=42
+    ),
     "q40_multimodal_decode": f"""
         SELECT doc_id AS media_id,
                {_MTYPE} AS media_type,
