@@ -1,13 +1,15 @@
 """Training-data-pipeline queries (SURVEY §2.3 north-star operators),
-each exposed through the driver contract with a DuckDB oracle wherever
-the semantics are SQL-expressible; hash-based LSH internals
-(minhash/simhash/hyperplane buckets) use engine-specific hash functions,
-so those get rows-only checks while their EXACT counterparts
-(ngram-Jaccard, brute-force cosine) are fully oracle-verified.
+each exposed through the driver contract with a DuckDB oracle. The LSH
+pipelines are oracle-checked END-TO-END: MinHash uses the portable
+md5-prefix base hash and sign-LSH embeds Python-generated hyperplane
+literals, so DuckDB reproduces signatures/buckets/candidates exactly.
+The one remaining rows-only check is SimHash (q38), whose bit-vote
+kernel is a vectorized pandas UDF over xxhash64 — its exact twin (q33
+n-gram Jaccard) carries the oracle.
 
 The oracle SQL mirrors the Spark expressions constant-for-constant;
-shared lexicons are interpolated from the same Python tuples so the two
-can't drift.
+shared lexicons/coefficients are interpolated from the same Python
+generators so the two can't drift.
 """
 
 from __future__ import annotations
@@ -160,8 +162,10 @@ def q38_simhash_pairs(spark, sf_dir):
 
 
 def q39_knn_lsh(spark, sf_dir):
-    """Sign-LSH approximate top-5 — rows-only (bucket boundaries are
-    hyperplane-seed-specific); exact recall twin is q35."""
+    """Sign-LSH approximate top-5 — fully oracle-checked: the random
+    hyperplanes are Python-generated literals shared with the oracle
+    SQL, so DuckDB reproduces buckets, candidates, and ranking; exact
+    recall twin is q35."""
     emb = load_table(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.transform("embedding", lambda x: x.cast("double"))
     )
@@ -441,3 +445,45 @@ PIPELINE_ORACLES = {
         WHERE {_MTYPE} = 'video'
     """,
 }
+
+
+def _knn_lsh_oracle_sql(*, dim: int = 64, k: int = 5, n_planes: int = 8,
+                        seed: int = 42) -> str:
+    """DuckDB mirror of knn_lsh: the hyperplanes are the SAME Python
+    literals the Spark operator embeds (similarity._hyperplanes), and
+    the dot product is a left fold over the element products —
+    bit-identical to Spark's F.aggregate fold — so bucket keys match
+    exactly."""
+    from adhesive_spark.operators.similarity import _hyperplanes
+
+    def bucket(vexpr: str) -> str:
+        terms = []
+        for i, plane in enumerate(_hyperplanes(dim, n_planes, seed)):
+            plit = "[" + ", ".join(repr(float(x)) for x in plane) + "]"
+            dot = (
+                f"list_reduce(list_transform(range(1, {dim} + 1), "
+                f"j -> ({vexpr})[j] * ({plit})[j]), (x, y) -> x + y)"
+            )
+            terms.append(f"(CASE WHEN {dot} >= 0 THEN {1 << i} ELSE 0 END)")
+        return " + ".join(terms)
+
+    return f"""
+        WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        b AS (SELECT vec_id, v, {bucket('v')} AS bucket FROM emb),
+        c AS (SELECT vec_id, v, bucket FROM b WHERE vec_id >= 10),
+        q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b
+              WHERE vec_id < 10)
+        SELECT query_id, vec_id, sim, rank FROM (
+          SELECT q.query_id, c.vec_id,
+                 round(list_cosine_similarity(c.v, q.qv), 6) AS sim,
+                 ROW_NUMBER() OVER (PARTITION BY q.query_id
+                   ORDER BY round(list_cosine_similarity(c.v, q.qv), 6) DESC,
+                            c.vec_id) AS rank
+          FROM c JOIN q ON c.bucket = q.bucket
+        ) WHERE rank <= {k}
+    """
+
+
+PIPELINE_ORACLES["q39_knn_lsh"] = _knn_lsh_oracle_sql(
+    dim=64, k=5, n_planes=8, seed=42
+)
