@@ -97,6 +97,21 @@ def portable_hash32(s):
     return F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
 
 
+def portable_hash63(s):
+    """63-bit hash from the first 16 hex chars of md5: hi 31 bits ·2³² +
+    lo 32 bits. Stays below 2⁶³ so it survives signed BIGINT arithmetic
+    identically in every engine (bit 63 is always 0 — SimHash votes over
+    it are a constant no-vote in both)."""
+    hx = F.md5(s)
+    hi = (
+        F.conv(F.substring(hx, 1, 8), 16, 10)
+        .cast("long")
+        .bitwiseAND(F.lit(0x7FFFFFFF))
+    )
+    lo = F.conv(F.substring(hx, 9, 8), 16, 10).cast("long")
+    return hi * F.lit(4294967296) + lo
+
+
 def _coeff_array(num_perm: int, seed: int = 42):
     """The permutation coefficients as ONE literal array<struct<a,b>>
     column, so the whole signature is a single nested higher-order
@@ -307,11 +322,12 @@ def _simhash_from_hashes(hashes: pd.Series) -> pd.Series:
 def simhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """(id, simhash) — token hashing stays JVM-side (xxhash64); only the
+    """(id, simhash) — token hashing stays JVM-side (portable md5-prefix
+    hash, so the full pipeline is oracle-reproducible); only the
     bit-vote fold crosses to Python, Arrow-batched."""
     df = ensure_parallelism(df, id_col)
     toks = F.split(normalize_text(F.col(text_col)), " ")
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    hashes = F.transform(toks, lambda t: portable_hash63(t))
     return df.select(
         F.col(id_col).alias("id"),
         _simhash_from_hashes(hashes).alias("simhash"),

@@ -1,11 +1,10 @@
 """Training-data-pipeline queries (SURVEY §2.3 north-star operators),
-each exposed through the driver contract with a DuckDB oracle. The LSH
-pipelines are oracle-checked END-TO-END: MinHash uses the portable
-md5-prefix base hash and sign-LSH embeds Python-generated hyperplane
-literals, so DuckDB reproduces signatures/buckets/candidates exactly.
-The one remaining rows-only check is SimHash (q38), whose bit-vote
-kernel is a vectorized pandas UDF over xxhash64 — its exact twin (q33
-n-gram Jaccard) carries the oracle.
+each exposed through the driver contract with a DuckDB oracle — ALL of
+them, including every LSH pipeline: MinHash and SimHash use the
+portable md5-prefix hashes, sign-LSH embeds Python-generated hyperplane
+literals, so DuckDB reproduces signatures, buckets, bit votes,
+candidates, and rankings exactly. No rows-only checks remain in this
+module.
 
 The oracle SQL mirrors the Spark expressions constant-for-constant;
 shared lexicons/coefficients are interpolated from the same Python
@@ -153,8 +152,9 @@ def q37_minhash_pairs(spark, sf_dir):
 
 
 def q38_simhash_pairs(spark, sf_dir):
-    """SimHash near-dup pairs (Hamming ≤ 3 over 64-bit signatures) —
-    rows-only check (xxhash64-based bit votes)."""
+    """SimHash near-dup pairs (Hamming ≤ 3) — fully oracle-checked: the
+    portable token hash plus integer (order-independent) bit votes let
+    DuckDB reproduce the pandas-UDF kernel's signatures exactly."""
     docs = load_table(spark, sf_dir, "documents")
     return simhash_pairs(docs, "text", "doc_id", max_hamming=3).orderBy(
         "id_a", "id_b"
@@ -487,3 +487,57 @@ def _knn_lsh_oracle_sql(*, dim: int = 64, k: int = 5, n_planes: int = 8,
 PIPELINE_ORACLES["q39_knn_lsh"] = _knn_lsh_oracle_sql(
     dim=64, k=5, n_planes=8, seed=42
 )
+
+
+def _simhash_oracle_sql(*, max_hamming: int = 3) -> str:
+    """DuckDB mirror of simhash_pairs: the portable 63-bit token hash is
+    reconstructed from md5 hex pairs, the bit votes are integer sums
+    (order-independent → engine-identical), and candidates come from the
+    same 4x16-bit chunk banding. Reproduces the pandas-UDF bit-vote
+    kernel exactly because every step is integer arithmetic."""
+    hi = (
+        f"(({_byte_from_hex('m', 1)} * 16777216 + {_byte_from_hex('m', 2)} * 65536"
+        f" + {_byte_from_hex('m', 3)} * 256 + {_byte_from_hex('m', 4)}) & 2147483647)"
+    )
+    lo = (
+        f"({_byte_from_hex('m', 5)} * 16777216 + {_byte_from_hex('m', 6)} * 65536"
+        f" + {_byte_from_hex('m', 7)} * 256 + {_byte_from_hex('m', 8)})"
+    )
+    return f"""
+        WITH t AS (
+          SELECT doc_id, {_TOKS} AS toks FROM documents
+        ),
+        h AS (
+          SELECT doc_id,
+                 list_transform(list_transform(toks, s -> md5(s)),
+                                m -> {hi} * 4294967296 + {lo}) AS hashes
+          FROM t
+        ),
+        sim AS (
+          -- bit k set iff strictly more one-votes than zero-votes
+          -- (2*ones - n > 0), bits 0..62 (bit 63 of the 63-bit hash is
+          -- always 0 -> never voted in either engine)
+          SELECT doc_id,
+                 list_sum(list_transform(range(0, 63), k ->
+                   CASE WHEN 2 * list_sum(list_transform(hashes,
+                                  x -> (x >> k) & 1)) - len(hashes) > 0
+                        THEN (CAST(1 AS BIGINT) << k) ELSE 0 END)) AS simhash
+          FROM h
+        ),
+        chunks AS (
+          SELECT doc_id, simhash, k AS chunk_idx,
+                 (simhash >> (k * 16)) & 65535 AS chunk_val
+          FROM sim CROSS JOIN unnest([0, 1, 2, 3]) AS u(k)
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                 bit_count(xor(a.simhash, b.simhash)) AS hamming
+          FROM chunks a JOIN chunks b
+            ON a.chunk_idx = b.chunk_idx AND a.chunk_val = b.chunk_val
+           AND a.doc_id < b.doc_id
+        )
+        SELECT id_a, id_b, hamming FROM cand WHERE hamming <= {max_hamming}
+    """
+
+
+PIPELINE_ORACLES["q38_simhash_pairs"] = _simhash_oracle_sql(max_hamming=3)
