@@ -423,6 +423,89 @@ def q22_tumbling_window(spark, sf_dir):
     )
 
 
+
+
+# --- TPC-H hard shapes (decorrelation stress) --------------------------------
+
+def q77_small_qty_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: per-part correlated aggregate subquery
+    (quantity below 20% of the part's own average). Catalyst must
+    decorrelate into an aggregate + join — never a per-row re-scan. The
+    0.2·avg threshold is computed from exact scaled-integer sums, so the
+    comparison operand is a single deterministic division in both
+    engines (no order-dependent AVG at the boundary)."""
+    for t in ("lineitem", "part"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(
+        """
+        SELECT p.p_brand,
+               COUNT(*) AS n_small,
+               SUM(CAST(ROUND(l.l_extendedprice * 100, 0) AS BIGINT)) / CAST(100 AS DOUBLE)
+                 AS small_rev
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_size < 10
+          AND l.l_quantity <
+              (SELECT 2 * SUM(CAST(ROUND(l2.l_quantity * 10, 0) AS BIGINT))
+                      / CAST(100 * COUNT(*) AS DOUBLE)
+               FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+        GROUP BY p.p_brand
+        """
+    )
+
+
+def q78_large_volume_orders(spark, sf_dir):
+    """TPC-H Q18 shape: IN over a grouped HAVING subquery (orders whose
+    total quantity clears a threshold) re-joined to the same fact —
+    Catalyst plans the IN as a semi-join against the aggregate.
+    Quantities aggregate as exact scaled integers so the HAVING
+    threshold can't flip with summation order."""
+    for t in ("customer", "orders", "lineitem"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(
+        """
+        SELECT c.c_custkey, o.o_orderkey, o.o_totalprice,
+               SUM(CAST(ROUND(l.l_quantity * 10, 0) AS BIGINT)) / CAST(10 AS DOUBLE)
+                 AS sum_qty
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_orderkey IN (
+          SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+          HAVING SUM(CAST(ROUND(l_quantity * 10, 0) AS BIGINT)) > 1500)
+        GROUP BY c.c_custkey, o.o_orderkey, o.o_totalprice
+        """
+    )
+
+
+def q79_waiting_suppliers(spark, sf_dir):
+    """TPC-H Q21 shape: EXISTS + correlated NOT EXISTS over the same
+    fact (the only supplier who shipped late on a finished multi-
+    supplier order). Both subqueries decorrelate to semi/anti joins on
+    l_orderkey; 'late' is shipdate more than 60 days after the order
+    date — pure timestamp arithmetic, engine-exact."""
+    for t in ("supplier", "orders", "lineitem"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(
+        """
+        SELECT s.s_name, COUNT(*) AS numwait
+        FROM supplier s
+        JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+        JOIN orders o ON o.o_orderkey = l1.l_orderkey
+        WHERE o.o_orderstatus = 'F'
+          AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+          AND EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_shipdate >
+                                o.o_orderdate + INTERVAL 60 DAY)
+        GROUP BY s.s_name
+        """
+    )
+
+
 RELATIONAL_QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -446,6 +529,9 @@ RELATIONAL_QUERIES = {
     "q20_topk": q20_topk,
     "q21_case_expr": q21_case_expr,
     "q22_tumbling_window": q22_tumbling_window,
+    "q77_small_qty_revenue": q77_small_qty_revenue,
+    "q78_large_volume_orders": q78_large_volume_orders,
+    "q79_waiting_suppliers": q79_waiting_suppliers,
 }
 
 
@@ -659,3 +745,46 @@ RELATIONAL_ORACLES = {
         GROUP BY 1, 2
     """,
 }
+
+RELATIONAL_ORACLES["q77_small_qty_revenue"] = """
+    SELECT p.p_brand,
+           COUNT(*) AS n_small,
+           SUM(CAST(ROUND(l.l_extendedprice * 100, 0) AS BIGINT)) / CAST(100 AS DOUBLE)
+             AS small_rev
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_size < 10
+      AND l.l_quantity <
+          (SELECT 2 * SUM(CAST(ROUND(l2.l_quantity * 10, 0) AS BIGINT))
+                  / CAST(100 * COUNT(*) AS DOUBLE)
+           FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+    GROUP BY p.p_brand
+"""
+
+RELATIONAL_ORACLES["q78_large_volume_orders"] = """
+    SELECT c.c_custkey, o.o_orderkey, o.o_totalprice,
+           SUM(CAST(ROUND(l.l_quantity * 10, 0) AS BIGINT)) / CAST(10 AS DOUBLE) AS sum_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(ROUND(l_quantity * 10, 0) AS BIGINT)) > 1500)
+    GROUP BY c.c_custkey, o.o_orderkey, o.o_totalprice
+"""
+
+RELATIONAL_ORACLES["q79_waiting_suppliers"] = """
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY s.s_name
+"""

@@ -105,6 +105,23 @@ def test_salted_join_no_cartesian(spark, sf):
     assert_no_cartesian(df)
 
 
+def test_correlated_subqueries_decorrelate(spark, sf):
+    # Q17/Q21 shapes: the correlated aggregate and the EXISTS/NOT EXISTS
+    # must decorrelate into aggregate+join / semi+anti joins — never a
+    # per-outer-row rescan (nested loop) of the fact table
+    from adhesive_spark.plans.explain import assert_no_nested_loop
+    from adhesive_spark.queries.relational import (
+        q77_small_qty_revenue,
+        q79_waiting_suppliers,
+    )
+
+    for q in (q77_small_qty_revenue, q79_waiting_suppliers):
+        df = q(spark, sf)
+        assert_no_nested_loop(df)
+        plan = physical_plan(df)
+        assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan, plan
+
+
 def test_contamination_is_equi_join(spark, sf):
     # candidate generation must be an equi-join on the shingle — never a
     # text-pair nested loop
