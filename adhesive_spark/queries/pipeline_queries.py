@@ -541,3 +541,53 @@ def _simhash_oracle_sql(*, max_hamming: int = 3) -> str:
 
 
 PIPELINE_ORACLES["q38_simhash_pairs"] = _simhash_oracle_sql(max_hamming=3)
+
+
+def q80_embedding_neardup_lsh(spark, sf_dir):
+    """GLOBAL cosine near-dup pairs via sign-LSH buckets — the scale
+    path q34's label-blocked exact mode doesn't cover (cross-label
+    pairs): candidates only within hyperplane-sign buckets, one
+    equi-join on the bucket key. Fully oracle-checked because the
+    hyperplanes are shared Python literals (q39 pattern)."""
+    from adhesive_spark.operators.similarity import embedding_neardup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    return embedding_neardup_pairs(
+        emb, threshold=0.4, id_col="vec_id", use_lsh=True, dim=64, n_planes=8
+    )
+
+
+PIPELINE_QUERIES["q80_embedding_neardup_lsh"] = q80_embedding_neardup_lsh
+
+
+def _neardup_lsh_oracle_sql(*, dim: int = 64, n_planes: int = 8,
+                            seed: int = 42, threshold: float = 0.4) -> str:
+    from adhesive_spark.operators.similarity import _hyperplanes
+
+    def bucket(vexpr: str) -> str:
+        terms = []
+        for i, plane in enumerate(_hyperplanes(dim, n_planes, seed)):
+            plit = "[" + ", ".join(repr(float(x)) for x in plane) + "]"
+            dot = (
+                f"list_reduce(list_transform(range(1, {dim} + 1), "
+                f"j -> ({vexpr})[j] * ({plit})[j]), (x, y) -> x + y)"
+            )
+            terms.append(f"(CASE WHEN {dot} >= 0 THEN {1 << i} ELSE 0 END)")
+        return " + ".join(terms)
+
+    return f"""
+        WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        b AS (SELECT vec_id, v, {bucket('v')} AS bucket FROM emb)
+        SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+               round(list_cosine_similarity(a.v, b2.v), 6) AS cos_sim
+        FROM b a JOIN b b2
+          ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+        WHERE round(list_cosine_similarity(a.v, b2.v), 6) >= {threshold}
+    """
+
+
+PIPELINE_ORACLES["q80_embedding_neardup_lsh"] = _neardup_lsh_oracle_sql(
+    dim=64, n_planes=8, seed=42, threshold=0.4
+)
