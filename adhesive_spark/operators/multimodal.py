@@ -60,6 +60,7 @@ DECODED_SCHEMA = T.StructType(
         T.StructField("width", T.IntegerType(), True),
         T.StructField("height", T.IntegerType(), True),
         T.StructField("n_frames", T.IntegerType(), True),
+        T.StructField("duration_ms", T.IntegerType(), True),
     ]
 )
 
@@ -107,7 +108,7 @@ def decode_media(df: DataFrame, *, codec: str = "stub") -> DataFrame:
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            shas, widths, heights, frames, sizes = [], [], [], [], []
+            shas, widths, heights, frames, sizes, durs = [], [], [], [], [], []
             for payload, mtype in zip(pdf["payload"], pdf["media_type"]):
                 if payload is None:
                     shas.append(None)
@@ -115,6 +116,7 @@ def decode_media(df: DataFrame, *, codec: str = "stub") -> DataFrame:
                     heights.append(None)
                     frames.append(None)
                     sizes.append(None)
+                    durs.append(None)
                     continue
                 b = bytes(payload)
                 h = hashlib.sha256(b).digest()
@@ -125,6 +127,9 @@ def decode_media(df: DataFrame, *, codec: str = "stub") -> DataFrame:
                 widths.append(64 + h[0] % 192 if mtype in ("image", "video") else None)
                 heights.append(64 + h[1] % 192 if mtype in ("image", "video") else None)
                 frames.append(1 + h[2] % 120 if mtype == "video" else None)
+                durs.append(
+                    1000 + (h[3] * 256 + h[4]) % 60000 if mtype == "audio" else None
+                )
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -134,6 +139,7 @@ def decode_media(df: DataFrame, *, codec: str = "stub") -> DataFrame:
                     "width": pd.array(widths, dtype="Int32"),
                     "height": pd.array(heights, dtype="Int32"),
                     "n_frames": pd.array(frames, dtype="Int32"),
+                    "duration_ms": pd.array(durs, dtype="Int32"),
                 }
             )
 
@@ -158,6 +164,31 @@ def media_embedding(decoded: DataFrame, dim: int = 8) -> DataFrame:
         ]
     )
     return decoded.withColumn("embedding", vec)
+
+
+def audio_chunk_plan(decoded: DataFrame, chunk_ms: int = 5000) -> DataFrame:
+    """Audio segmentation plan: one row per fixed-length chunk with its
+    [start, end) millisecond bounds — the windowing step before a
+    speech/audio encoder. Pure built-ins (sequence + explode), the audio
+    twin of :func:`frame_sample_plan`; the last chunk is truncated to
+    the clip duration."""
+    auds = decoded.where(
+        (F.col("media_type") == "audio") & F.col("duration_ms").isNotNull()
+    )
+    return auds.select(
+        "media_id",
+        "duration_ms",
+        F.explode(
+            F.sequence(
+                F.lit(0), F.col("duration_ms") - 1, F.lit(chunk_ms)
+            )
+        ).alias("chunk_start_ms"),
+    ).withColumn(
+        "chunk_end_ms",
+        F.least(
+            F.col("chunk_start_ms") + F.lit(chunk_ms), F.col("duration_ms")
+        ),
+    )
 
 
 def frame_sample_plan(decoded: DataFrame, every_n: int = 10) -> DataFrame:

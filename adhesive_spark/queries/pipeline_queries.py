@@ -433,7 +433,11 @@ PIPELINE_ORACLES = {
                CASE WHEN {_MTYPE} IN ('image', 'video')
                     THEN 64 + {_byte_from_hex(_SHA, 2)} % 192 END AS height,
                CASE WHEN {_MTYPE} = 'video'
-                    THEN 1 + {_byte_from_hex(_SHA, 3)} % 120 END AS n_frames
+                    THEN 1 + {_byte_from_hex(_SHA, 3)} % 120 END AS n_frames,
+               CASE WHEN {_MTYPE} = 'audio'
+                    THEN 1000 + ({_byte_from_hex(_SHA, 4)} * 256
+                                 + {_byte_from_hex(_SHA, 5)}) % 60000
+               END AS duration_ms
         FROM documents
     """,
     "q41_frame_sample": f"""
@@ -591,3 +595,31 @@ def _neardup_lsh_oracle_sql(*, dim: int = 64, n_planes: int = 8,
 PIPELINE_ORACLES["q80_embedding_neardup_lsh"] = _neardup_lsh_oracle_sql(
     dim=64, n_planes=8, seed=42, threshold=0.4
 )
+
+
+def q81_audio_chunks(spark, sf_dir):
+    """Audio chunking plan: 5-second segments per audio clip with
+    [start, end) bounds — the windowing step before a speech encoder;
+    sequence+explode built-ins, the audio twin of q41."""
+    from adhesive_spark.operators.multimodal import audio_chunk_plan
+
+    docs = load_table(spark, sf_dir, "documents")
+    decoded = decode_media(synthesize_media(docs))
+    return audio_chunk_plan(decoded, chunk_ms=5000)
+
+
+PIPELINE_QUERIES["q81_audio_chunks"] = q81_audio_chunks
+
+PIPELINE_ORACLES["q81_audio_chunks"] = f"""
+    WITH a AS (
+      SELECT doc_id AS media_id,
+             1000 + ({_byte_from_hex(_SHA, 4)} * 256
+                     + {_byte_from_hex(_SHA, 5)}) % 60000 AS duration_ms
+      FROM documents
+      WHERE {_MTYPE} = 'audio'
+    )
+    SELECT media_id, duration_ms,
+           CAST(s AS INT) AS chunk_start_ms,
+           CAST(least(s + 5000, duration_ms) AS INT) AS chunk_end_ms
+    FROM a CROSS JOIN unnest(range(0, duration_ms, 5000)) AS t(s)
+"""

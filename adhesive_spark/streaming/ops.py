@@ -128,3 +128,19 @@ def stream_dedup(
     watermark passes — the streaming twin of :func:`dedup_exact`."""
     keys = keys or ["event_id"]
     return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def enrich_with_static(
+    events: DataFrame,
+    dim: DataFrame,
+    *,
+    key: str = "user_id",
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment join: each micro-batch joins against the
+    (broadcastable) static dimension — the lookup-table pattern of every
+    event pipeline. No state is kept for the static side; Spark re-plans
+    it per micro-batch, so a dim refreshed in place (e.g. a Delta/parquet
+    overwrite) is picked up without restarting the query. The stream side
+    carries no watermark requirement because the join adds no state."""
+    return events.join(F.broadcast(dim), on=key, how=how)

@@ -116,3 +116,30 @@ def test_stream_stream_attribution_matches_batch(spark, event_stream_dir):
     # finite input must match the batch twin exactly.
     assert got == expected
     assert got, "expected at least one attributed purchase"
+
+
+def test_stream_static_enrichment_matches_batch(spark, sf_dir, event_stream_dir):
+    from adhesive_spark.streaming.ops import enrich_with_static
+
+    batch_events = spark.read.parquet(event_stream_dir)
+    dim = batch_events.groupBy("user_id").agg(
+        F.count("*").alias("user_total_events")
+    )
+    stream_events = spark.readStream.schema(batch_events.schema).parquet(
+        event_stream_dir
+    )
+    enriched = enrich_with_static(stream_events, dim).select(
+        "event_id", "user_id", "user_total_events"
+    )
+    _run_to_memory(enriched, "t_enrich", mode="append")
+    got = {
+        r.event_id: (r.user_id, r.user_total_events)
+        for r in spark.table("t_enrich").collect()
+    }
+    expected = {
+        r.event_id: (r.user_id, r.user_total_events)
+        for r in enrich_with_static(batch_events, dim)
+        .select("event_id", "user_id", "user_total_events")
+        .collect()
+    }
+    assert got == expected
