@@ -4,8 +4,7 @@ Grammar (superset of the reference's, src/fusion.rs:22-58)::
 
     CREATE [OR REPLACE] FUNCTION <name> ( [<arg> [, <arg>]*] )
         RETURNS <type>
-        [DETERMINISTIC]
-        [STRICT]
+        [DETERMINISTIC] [STRICT]        -- order-independent modifiers
         [LANGUAGE PYTHON | PANDAS | MODULE | CLASS | JAVA | SQL]
         AS '<body>' | $$<body>$$
 
@@ -45,8 +44,7 @@ _HEAD_RE = re.compile(
         (?P<name>[A-Za-z_][A-Za-z0-9_]*)\s*
         \((?P<args>.*?)\)\s*
         RETURNS\s+(?P<ret>.+?)\s*
-        (?P<det>DETERMINISTIC\s+)?
-        (?P<strict>STRICT\s+)?
+        (?P<mods>(?:(?:DETERMINISTIC|STRICT)\s+)*)
         (?:LANGUAGE\s+(?P<lang>[A-Za-z_]+)\s*)?
         AS\s+(?P<body>.+)\s*$""",
     re.I | re.X | re.S,
@@ -156,6 +154,8 @@ def parse_create_function(sql: str) -> FunctionDefinition:
     # strip a trailing DETERMINISTIC that the non-greedy group may have left.
     lang = (m.group("lang") or "PYTHON").upper()
     body = _extract_body(m.group("body"))
+    # DETERMINISTIC and STRICT are order-independent modifiers.
+    mods = (m.group("mods") or "").upper().split()
     return FunctionDefinition(
         name=name,
         arg_names=arg_names,
@@ -163,8 +163,8 @@ def parse_create_function(sql: str) -> FunctionDefinition:
         return_type=ret,
         language=lang,
         body=body,
-        deterministic=bool(m.group("det")),
-        strict=bool(m.group("strict")),
+        deterministic="DETERMINISTIC" in mods,
+        strict="STRICT" in mods,
         or_replace=bool(m.group("replace")),
         raw=sql,
     )

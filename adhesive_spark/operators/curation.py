@@ -39,12 +39,17 @@ PII_ORDER = ("email", "phone", "ssn", "ip")
 
 
 def pii_counts(col) -> dict[str, Column]:
-    """Occurrence count per PII class (regexp_count — one scan, no
-    Python)."""
-    return {
-        name: F.regexp_count(col, F.lit(PII_PATTERNS[name]))
-        for name in PII_ORDER
-    }
+    """Occurrence count per PII class, counted SEQUENTIALLY in
+    :data:`PII_ORDER` — each class is counted on the text with earlier
+    classes already redacted, so the counts reconcile exactly with the
+    tags :func:`redact_pii` substitutes (a phone-shaped substring inside
+    an email is part of the email, not a phantom phone)."""
+    out: dict[str, Column] = {}
+    cur = col
+    for name in PII_ORDER:
+        out[name] = F.regexp_count(cur, F.lit(PII_PATTERNS[name]))
+        cur = F.regexp_replace(cur, PII_PATTERNS[name], f"<{name.upper()}>")
+    return out
 
 
 def redact_pii(col) -> Column:

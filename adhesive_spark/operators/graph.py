@@ -48,8 +48,14 @@ def connected_components(
         .distinct()
         .withColumn("component", F.col("node"))
     )
+    # ``max_iter`` bounds CHANGING rounds; convergence is detected by a
+    # quiescent round, so up to max_iter+1 joins run. Counting changing
+    # rounds (not loop trips) avoids a spurious failure when the final
+    # allowed round makes the last change and the next one merely
+    # confirms quiescence.
     converged = False
-    for _ in range(max_iter):
+    changing_rounds = 0
+    for _ in range(max_iter + 1):
         nb = (
             sym.join(
                 labels.select(
@@ -80,6 +86,9 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             converged = True
+            break
+        changing_rounds += 1
+        if changing_rounds > max_iter:
             break
     if not converged:
         # Silently returning partial labels would make downstream dedup

@@ -262,31 +262,61 @@ def quantize_embeddings(
 
     qmax = float(2 ** (bits - 1) - 1)
     v = F.col("__v")
-    s = F.array_max(F.transform(v, lambda x: F.abs(x)))
-    q = F.transform(v, lambda x: F.round(x / s * qmax, 0).cast("int"))
-    err2 = F.aggregate(
-        F.zip_with(
-            v,
-            F.col("__q"),
-            lambda x, c: (x - c * s / qmax) * (x - c * s / qmax),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    s_expr = F.array_max(F.transform(v, lambda x: F.abs(x)))
+
+    # Bind scale (and then the code array) ONCE per row via the
+    # single-element-transform scope (the minhash_signature pattern):
+    # a projected column would be re-inlined into the lambdas by
+    # CollapseProject and the array_max scan would run per element —
+    # O(d²) per row (verified in the optimized plan).
+    def _with_s(sv):
+        # NULL (not 0) divisor for zero vectors: the filter on s > 0
+        # runs ABOVE this projection, so the expression itself must
+        # never produce NaN/Infinity (ANSI mode turns the int cast of
+        # those into a runtime error); NULL just propagates and the
+        # row is dropped by the filter.
+        sd = F.when(sv > 0, sv)
+        q_expr = F.transform(
+            v, lambda x: F.round(x / sd * qmax, 0).cast("int")
+        )
+
+        def _with_q(qv):
+            err2 = F.aggregate(
+                F.zip_with(
+                    v,
+                    qv,
+                    lambda x, c: (x - c * sd / qmax) * (x - c * sd / qmax),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            return F.struct(
+                sv.alias("s"),
+                F.aggregate(
+                    qv, F.lit(0).cast("long"), lambda acc, x: acc + x
+                ).alias("q_sum"),
+                F.array_min(qv).alias("q_min"),
+                F.array_max(qv).alias("q_max"),
+                err2.alias("err2"),
+            )
+
+        return F.element_at(F.transform(F.array(q_expr), _with_q), 1)
+
+    packed = F.element_at(F.transform(F.array(s_expr), _with_s), 1)
     return (
         df.select(F.col(id_col), F.col(vec_col).alias("__v"))
-        .where(s > 0)
-        .withColumn("__q", q)
+        # filter on a standalone O(d) scan so the packed struct is
+        # evaluated once, in the projection, for surviving rows only
+        .where(s_expr > 0)
+        .withColumn("__p", packed)
         .select(
             id_col,
             F.size("__v").alias("n_dims"),
-            fround(s, 6).alias("scale"),
-            F.aggregate(
-                "__q", F.lit(0).cast("long"), lambda acc, x: acc + x
-            ).alias("q_sum"),
-            F.array_min("__q").alias("q_min"),
-            F.array_max("__q").alias("q_max"),
-            fround(F.sqrt(err2 / F.size("__v")), 6).alias("rmse"),
+            fround(F.col("__p.s"), 6).alias("scale"),
+            F.col("__p.q_sum").alias("q_sum"),
+            F.col("__p.q_min").alias("q_min"),
+            F.col("__p.q_max").alias("q_max"),
+            fround(F.sqrt(F.col("__p.err2") / F.size("__v")), 6).alias("rmse"),
         )
     )
 

@@ -270,11 +270,18 @@ _INJECTED_SQL = (
 )
 
 
-def _redact_sql(expr: str) -> str:
+def _redact_sql(expr: str, upto: int | None = None) -> str:
     out = expr
-    for name in PII_ORDER:
+    for name in PII_ORDER[:upto]:
         out = f"regexp_replace({out}, '{_PII_SQL[name]}', '<{name.upper()}>', 'g')"
     return out
+
+
+# progressively-redacted inputs for the sequential per-class counts
+# (mirrors operators.curation.pii_counts exactly)
+_redact_email = _redact_sql("it", 1)
+_redact_phone = _redact_sql("it", 2)
+_redact_ssn = _redact_sql("it", 3)
 
 
 def _shingle8_cte(pred: str, alias: str) -> str:
@@ -310,9 +317,12 @@ CURATION_ORACLES = {
         )
         SELECT doc_id,
                len(regexp_extract_all(it, '{_PII_SQL["email"]}')) AS n_email,
-               len(regexp_extract_all(it, '{_PII_SQL["phone"]}')) AS n_phone,
-               len(regexp_extract_all(it, '{_PII_SQL["ssn"]}')) AS n_ssn,
-               len(regexp_extract_all(it, '{_PII_SQL["ip"]}')) AS n_ip,
+               len(regexp_extract_all({_redact_email}, '{_PII_SQL["phone"]}'))
+                 AS n_phone,
+               len(regexp_extract_all({_redact_phone}, '{_PII_SQL["ssn"]}'))
+                 AS n_ssn,
+               len(regexp_extract_all({_redact_ssn}, '{_PII_SQL["ip"]}'))
+                 AS n_ip,
                length(it) AS n_chars_before,
                length({_redact_sql("it")}) AS n_chars_after,
                md5({_redact_sql("it")}) AS redacted_fp

@@ -24,13 +24,26 @@ def _avro_available(spark: SparkSession) -> bool:
     """The Avro datasource lives in the separate ``spark-avro`` artifact
     (not in pyspark's bundled jars — only avro-core is, for Spark's own
     shuffle use). Gate on its presence instead of failing with Spark's
-    generic FAILED_FIND_DATA_SOURCE."""
+    generic FAILED_FIND_DATA_SOURCE.
+
+    A control probe against the always-present parquet source guards the
+    probe itself: if even parquet fails to resolve, the reflective API
+    has changed and we must NOT report "avro absent" (the real operation
+    will produce the accurate error instead)."""
+    lookup = (
+        spark._jvm.org.apache.spark.sql.execution.datasources.DataSource.lookupDataSource
+    )
+    conf = spark._jsparkSession.sessionState().conf()
     try:
-        spark._jvm.org.apache.spark.sql.execution.datasources.DataSource.lookupDataSource(
-            "avro", spark._jsparkSession.sessionState().conf()
-        )
+        lookup("avro", conf)
         return True
     except Exception:
+        try:
+            lookup("parquet", conf)
+        except Exception:
+            # probe API broken, not avro missing — assume available and
+            # let the actual read/write surface the real error
+            return True
         return False
 
 

@@ -136,11 +136,18 @@ def enrich_with_static(
     *,
     key: str = "user_id",
     how: str = "left",
+    broadcast_dim: bool = True,
 ) -> DataFrame:
     """Stream-static enrichment join: each micro-batch joins against the
-    (broadcastable) static dimension — the lookup-table pattern of every
-    event pipeline. No state is kept for the static side; Spark re-plans
-    it per micro-batch, so a dim refreshed in place (e.g. a Delta/parquet
-    overwrite) is picked up without restarting the query. The stream side
-    carries no watermark requirement because the join adds no state."""
-    return events.join(F.broadcast(dim), on=key, how=how)
+    static dimension — the lookup-table pattern of every event pipeline.
+    No state is kept for the static side; Spark re-plans it per
+    micro-batch, so a dim refreshed in place (e.g. a parquet overwrite)
+    is picked up without restarting the query. The stream side carries
+    no watermark requirement because the join adds no state.
+
+    ``broadcast_dim=True`` hints the lookup-table case (dim fits on
+    executors); pass False for a large dimension so Spark's size-based
+    planner can pick a shuffled join instead of failing the broadcast.
+    """
+    d = F.broadcast(dim) if broadcast_dim else dim
+    return events.join(d, on=key, how=how)

@@ -149,6 +149,17 @@ def test_strict_exact_signature(sess):
     assert sess.sql("SELECT floose('2', '3') AS r").collect()[0].r == "23"
 
 
+def test_strict_deterministic_order_independent(sess):
+    # both modifier orders must parse identically
+    sess.sql(
+        "CREATE OR REPLACE FUNCTION ford(BIGINT) RETURNS BIGINT "
+        "STRICT DETERMINISTIC LANGUAGE PYTHON AS 'return arg0 + 1'"
+    )
+    assert sess.sql("SELECT ford(1) AS r").collect()[0].r == 2
+    with pytest.raises(Exception, match="exact signature"):
+        sess.sql("SELECT ford('x')").collect()
+
+
 def test_strict_rejected_for_jvm_languages(sess):
     with pytest.raises(DdlParseError, match="STRICT"):
         sess.sql(
