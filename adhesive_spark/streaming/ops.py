@@ -151,3 +151,49 @@ def enrich_with_static(
     """
     d = F.broadcast(dim) if broadcast_dim else dim
     return events.join(d, on=key, how=how)
+
+
+def streaming_rollup_maintenance(
+    events: DataFrame,
+    keys: list[str],
+    state_path: str,
+    *,
+    checkpoint_path: str,
+):
+    """Streaming materialized view: maintain the algebraic rollup state
+    (operators/incremental.py) by merging EACH micro-batch's partial
+    aggregate into a parquet state table via ``foreachBatch`` — the
+    streaming twin of q68's batch merge.
+
+    Per micro-batch cost is `state ⊕ batch-partial`, never a rescan of
+    history, so a 100 TB/day stream maintains a dashboard-size rollup
+    with bounded work. foreachBatch gives at-least-once sink semantics;
+    the merge is idempotent-per-epoch when the sink write is atomic
+    (overwrite of the state dir per batch — a table format with
+    transactional MERGE hardens this in production).
+
+    Returns the started StreamingQuery; read the state with
+    ``spark.read.parquet(state_path)`` after (or during) the run.
+    """
+    from adhesive_spark.operators.incremental import merge_rollup, rollup_events
+
+    def _merge(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        delta = rollup_events(batch_df, keys)
+        try:
+            state = spark.read.parquet(state_path)
+            merged = merge_rollup(state, delta, keys)
+        except Exception:  # first epoch: no state yet
+            merged = delta
+        # materialize BEFORE overwriting the dir being read
+        out = merged.collect()
+        spark.createDataFrame(out, merged.schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(state_path)
+
+    return (
+        events.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )

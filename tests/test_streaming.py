@@ -143,3 +143,35 @@ def test_stream_static_enrichment_matches_batch(spark, sf_dir, event_stream_dir)
         .collect()
     }
     assert got == expected
+
+
+def test_streaming_rollup_maintenance_matches_batch(
+    spark, sf_dir, event_stream_dir, tmp_path_factory
+):
+    from adhesive_spark.operators.incremental import rollup_events
+    from adhesive_spark.streaming.ops import streaming_rollup_maintenance
+
+    batch_events = spark.read.parquet(event_stream_dir)
+    stream_events = (
+        spark.readStream.schema(batch_events.schema)
+        # several micro-batches so the merge path actually iterates
+        .option("maxFilesPerTrigger", 1)
+        .parquet(event_stream_dir)
+    )
+    state = str(tmp_path_factory.mktemp("roll") / "state")
+    ckpt = str(tmp_path_factory.mktemp("roll") / "ckpt")
+    q = streaming_rollup_maintenance(
+        stream_events, ["event_type"], state, checkpoint_path=ckpt
+    )
+    q.awaitTermination(180)
+    got = {
+        r.event_type: (r.n, r.value_sum_c, r.value_min, r.value_max)
+        for r in spark.read.parquet(state).collect()
+    }
+    expected = {
+        r.event_type: (r.n, r.value_sum_c, r.value_min, r.value_max)
+        for r in rollup_events(batch_events, ["event_type"]).collect()
+    }
+    # incremental maintenance must equal the full recompute bit-for-bit
+    # (exact integer sum state)
+    assert got == expected
