@@ -150,8 +150,6 @@ def parse_create_function(sql: str) -> FunctionDefinition:
             arg_names.append(aname or f"arg{i}")
             arg_types.append(atype)
     ret = m.group("ret").strip()
-    # RETURNS consumes greedily up to DETERMINISTIC/LANGUAGE/AS via the regex;
-    # strip a trailing DETERMINISTIC that the non-greedy group may have left.
     lang = (m.group("lang") or "PYTHON").upper()
     body = _extract_body(m.group("body"))
     # DETERMINISTIC and STRICT are order-independent modifiers.

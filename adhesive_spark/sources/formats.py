@@ -30,10 +30,15 @@ def _avro_available(spark: SparkSession) -> bool:
     probe itself: if even parquet fails to resolve, the reflective API
     has changed and we must NOT report "avro absent" (the real operation
     will produce the accurate error instead)."""
-    lookup = (
-        spark._jvm.org.apache.spark.sql.execution.datasources.DataSource.lookupDataSource
-    )
-    conf = spark._jsparkSession.sessionState().conf()
+    try:
+        lookup = (
+            spark._jvm.org.apache.spark.sql.execution.datasources.DataSource.lookupDataSource
+        )
+        conf = spark._jsparkSession.sessionState().conf()
+    except Exception:
+        # probe API itself unavailable — assume present and let the
+        # actual read/write surface the accurate error
+        return True
     try:
         lookup("avro", conf)
         return True

@@ -140,10 +140,13 @@ def enrich_with_static(
 ) -> DataFrame:
     """Stream-static enrichment join: each micro-batch joins against the
     static dimension — the lookup-table pattern of every event pipeline.
-    No state is kept for the static side; Spark re-plans it per
-    micro-batch, so a dim refreshed in place (e.g. a parquet overwrite)
-    is picked up without restarting the query. The stream side carries
-    no watermark requirement because the join adds no state.
+    No state is kept for the static side. Note the static DataFrame's
+    file listing is snapshotted at creation: an in-place parquet
+    overwrite of its path is NOT picked up (and may fail reads when old
+    files vanish); refreshing mid-query needs a transactional table
+    format or an explicit re-created DataFrame on restart. The stream
+    side carries no watermark requirement because the join adds no
+    state.
 
     ``broadcast_dim=True`` hints the lookup-table case (dim fits on
     executors); pass False for a large dimension so Spark's size-based
@@ -167,13 +170,14 @@ def streaming_rollup_maintenance(
 
     Per micro-batch cost is `state ⊕ batch-partial`, never a rescan of
     history, so a 100 TB/day stream maintains a dashboard-size rollup
-    with bounded work. foreachBatch gives at-least-once sink semantics;
-    the merge is idempotent-per-epoch when the sink write is atomic
-    (overwrite of the state dir per batch — a table format with
-    transactional MERGE hardens this in production).
+    with bounded work. foreachBatch is at-least-once, so the state
+    carries the last-applied epoch id and a replayed micro-batch is
+    skipped instead of double-merged (a table format with transactional
+    MERGE hardens the write itself in production).
 
     Returns the started StreamingQuery; read the state with
-    ``spark.read.parquet(state_path)`` after (or during) the run.
+    ``spark.read.parquet(state_path)`` after (or during) the run and
+    drop the bookkeeping ``__epoch`` column.
     """
     from adhesive_spark.operators.incremental import merge_rollup, rollup_events
 
@@ -182,9 +186,23 @@ def streaming_rollup_maintenance(
         delta = rollup_events(batch_df, keys)
         try:
             state = spark.read.parquet(state_path)
-            merged = merge_rollup(state, delta, keys)
-        except Exception:  # first epoch: no state yet
+        except Exception as e:
+            # ONLY a missing path means "first epoch"; anything else
+            # (corrupt state, schema drift) must fail the query loudly —
+            # swallowing it would silently reset accumulated history to
+            # this batch's delta.
+            msg = str(e)
+            if "PATH_NOT_FOUND" not in msg and "Path does not exist" not in msg:
+                raise
+            state = None
+        if state is not None:
+            applied = state.agg(F.max("__epoch").alias("e")).collect()[0].e
+            if applied is not None and applied >= epoch_id:
+                return  # replayed micro-batch: already merged
+            merged = merge_rollup(state.drop("__epoch"), delta, keys)
+        else:
             merged = delta
+        merged = merged.withColumn("__epoch", F.lit(epoch_id))
         # materialize BEFORE overwriting the dir being read
         out = merged.collect()
         spark.createDataFrame(out, merged.schema).coalesce(1).write.mode(

@@ -33,7 +33,9 @@ def _run_to_memory(stream_df, name, mode="complete"):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    # a False return means the query is STILL RUNNING — reading the sink
+    # now would race a partial result into a confusing value mismatch
+    assert q.awaitTermination(120), "streaming query did not drain in 120s"
     return q
 
 
@@ -163,10 +165,10 @@ def test_streaming_rollup_maintenance_matches_batch(
     q = streaming_rollup_maintenance(
         stream_events, ["event_type"], state, checkpoint_path=ckpt
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(180), "maintenance query did not drain in 180s"
     got = {
         r.event_type: (r.n, r.value_sum_c, r.value_min, r.value_max)
-        for r in spark.read.parquet(state).collect()
+        for r in spark.read.parquet(state).drop("__epoch").collect()
     }
     expected = {
         r.event_type: (r.n, r.value_sum_c, r.value_min, r.value_max)
