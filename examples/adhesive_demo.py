@@ -1,0 +1,56 @@
+"""The reference's example program, re-expressed Spark-first — what a
+user of milenkovicm/adhesive runs after switching engines
+(examples/adhesive.rs:1-56, step for step).
+
+The reference registers an in-memory Arrow batch and creates two
+functions: an inline-source one (LANGUAGE JAVA there → LANGUAGE PYTHON
+here, the idiomatic inline-body path; inline Java raises a clear
+capability error, see tests/test_factory.py) and a precompiled lookup
+(LANGUAGE CLASS there → LANGUAGE MODULE here).
+
+Run: ``python examples/adhesive_demo.py``
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from adhesive_spark import AdhesiveSession, build_spark  # noqa: E402
+
+
+def main() -> None:
+    sess = AdhesiveSession(build_spark(app_name="adhesive-demo"))
+
+    # examples/adhesive.rs:15-19 — in-memory table t(a BIGINT, b BIGINT)
+    sess.createDataFrame(
+        [(i, i * 10) for i in range(1, 7)], "a long, b long"
+    ).createOrReplaceTempView("t")
+
+    # examples/adhesive.rs:22-35 — inline-body function (their flagship
+    # LANGUAGE JAVA multiply kernel; PYTHON is this engine's inline path)
+    sess.sql(
+        """
+        CREATE FUNCTION f1(BIGINT, BIGINT)
+        RETURNS BIGINT
+        LANGUAGE PYTHON
+        AS 'return arg0 * arg1'
+        """
+    )
+    sess.sql("SELECT a, b, f1(a, b) FROM t").show()
+
+    # examples/adhesive.rs:40-49 — precompiled-function lookup
+    # (LANGUAGE CLASS "com...BasicExample" → MODULE "operator.mul")
+    sess.sql(
+        """
+        CREATE FUNCTION f2(BIGINT, BIGINT)
+        RETURNS BIGINT
+        LANGUAGE MODULE
+        AS "operator.mul"
+        """
+    )
+    sess.sql("SELECT a, b, f2(a, b) FROM t").show()
+
+
+if __name__ == "__main__":
+    main()
