@@ -93,6 +93,55 @@ def stratified_hash_sample(
     return df.where(bucket < threshold)
 
 
+def mixture_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    target_fracs: dict[str, float],
+    *,
+    target_total: int,
+) -> DataFrame:
+    """Curriculum-mixing sampler: downsample each stratum so the output
+    approximates ``target_total`` rows mixed in ``target_fracs``
+    proportions (e.g. 60% web / 30% books / 10% code), regardless of the
+    strata's raw sizes.
+
+    The per-stratum keep rate is ``min(1, target_frac·target_total /
+    stratum_count)``, computed IN-QUERY from one aggregate joined back
+    (broadcast — strata counts are tiny by definition), then applied
+    with the md5-key bucket of :func:`stratified_hash_sample` — fully
+    deterministic and engine-reproducible; no driver-side collect.
+    A stratum smaller than its target keeps everything (rate clamps to
+    1; the mixer cannot invent data)."""
+    counts = df.groupBy(strata_col).agg(F.count("*").alias("__n"))
+    targets = F.create_map(
+        *[
+            x
+            for s, frac in sorted(target_fracs.items())
+            for x in (F.lit(s), F.lit(float(frac)))
+        ]
+    )
+    rates = counts.select(
+        F.col(strata_col),
+        F.least(
+            F.lit(1.0),
+            F.coalesce(targets[F.col(strata_col)], F.lit(0.0))
+            * F.lit(float(target_total))
+            / F.col("__n"),
+        ).alias("__rate"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        % 10000
+    )
+    return (
+        df.join(F.broadcast(rates), strata_col)
+        .where(bucket < F.floor(F.col("__rate") * 10000))
+        .drop("__rate")
+    )
+
+
 def cap_per_group(
     df: DataFrame,
     group_col: str,

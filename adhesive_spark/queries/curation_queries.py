@@ -19,6 +19,7 @@ from adhesive_spark.operators.curation import (
     PII_PATTERNS,
     cap_per_group,
     contamination_pairs,
+    mixture_sample,
     pii_counts,
     redact_pii,
     stratified_hash_sample,
@@ -209,6 +210,23 @@ def q75_approx_quantile_contract(spark, sf_dir):
     )
 
 
+def q82_mixture_sample(spark, sf_dir):
+    """Curriculum mixing: resample sources toward a 50/30/20 target mix
+    (src0/src1/src2, everything else excluded) at ~120 docs total —
+    per-stratum rates computed in-query from the stratum counts, applied
+    via deterministic md5 buckets. Verified by per-source output
+    counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    kept = mixture_sample(
+        docs,
+        "doc_id",
+        "source",
+        {"src0": 0.5, "src1": 0.3, "src2": 0.2},
+        target_total=120,
+    )
+    return kept.groupBy("source").agg(F.count("*").alias("n_kept"))
+
+
 def q76_token_shards(spark, sf_dir):
     """Training-shard assignment (sequence packing's outer loop): within
     each source, documents in deterministic doc_id order are packed into
@@ -249,6 +267,7 @@ CURATION_QUERIES = {
     "q74_heavy_hitters": q74_heavy_hitters,
     "q75_approx_quantile_contract": q75_approx_quantile_contract,
     "q76_token_shards": q76_token_shards,
+    "q82_mixture_sample": q82_mixture_sample,
 }
 
 # --- oracles -----------------------------------------------------------------
@@ -410,6 +429,23 @@ CURATION_ORACLES = {
                                  * (v[i] - qc[i] * sc / 127)))
                           / len(v)) * 1000000.0) / 1000000.0 AS rmse
         FROM q
+    """,
+    "q82_mixture_sample": f"""
+        WITH counts AS (
+          SELECT source, COUNT(*) AS n FROM documents GROUP BY source
+        ),
+        rates AS (
+          SELECT source,
+                 least(1.0, CASE source WHEN 'src0' THEN 0.5
+                                        WHEN 'src1' THEN 0.3
+                                        WHEN 'src2' THEN 0.2
+                                        ELSE 0.0 END * 120.0 / n) AS rate
+          FROM counts
+        )
+        SELECT d.source, COUNT(*) AS n_kept
+        FROM documents d JOIN rates r ON d.source = r.source
+        WHERE ({_B1} * 256 + {_B2}) % 10000 < floor(r.rate * 10000)
+        GROUP BY d.source
     """,
     "q76_token_shards": f"""
         WITH d AS (

@@ -112,6 +112,27 @@ def test_quantize_embeddings_golden(spark):
     assert 0 <= r.rmse < 0.005  # < half a quantization step
 
 
+def test_mixture_sample_hits_target_proportions(spark):
+    from adhesive_spark.operators.curation import mixture_sample
+
+    # 1000 'a' rows, 100 'b' rows; target 50/50 at 160 total →
+    # a-rate 0.08 (~80 rows), b-rate clamps to min(1, 80/100)=0.8 (~80)
+    rows = [(i, "a") for i in range(1000)] + [(1000 + i, "b") for i in range(100)]
+    df = spark.createDataFrame(rows, "k long, s string")
+    kept = mixture_sample(
+        df, "k", "s", {"a": 0.5, "b": 0.5}, target_total=160
+    )
+    by = {r.s: r.n for r in kept.groupBy("s").agg(F.count("*").alias("n")).collect()}
+    assert 50 <= by["a"] <= 110  # ~80 expected, md5-bucket variance
+    assert 60 <= by["b"] <= 100  # ~80 expected
+    # determinism: identical on rerun
+    by2 = {r.s: r.n for r in kept.groupBy("s").agg(F.count("*").alias("n")).collect()}
+    assert by == by2
+    # a stratum cannot be upsampled past its size
+    tiny = mixture_sample(df, "k", "s", {"b": 1.0}, target_total=10000)
+    assert tiny.count() == 100  # all of b, none of a
+
+
 def test_stratified_sample_unknown_stratum_uses_default(spark):
     df = spark.createDataFrame([(i, "z") for i in range(50)], "k long, s string")
     none_kept = stratified_hash_sample(df, "k", "s", {"a": 1.0})
