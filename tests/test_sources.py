@@ -119,3 +119,21 @@ def test_avro_gated_on_package_presence(spark, tmp_path_factory):
     else:
         with pytest.raises(ValueError, match="spark-avro"):
             read_any(spark, path, fmt="avro")
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path_factory):
+    """Schema evolution: parts written with different (compatible)
+    schemas must union under mergeSchema, with the missing column NULL
+    for old parts — the append-only-pipeline upgrade path."""
+    base = str(tmp_path_factory.mktemp("evolve") / "t")
+    spark.createDataFrame([(1, "a")], "id long, s string").write.parquet(
+        f"{base}/part=old"
+    )
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, s string, score double"
+    ).write.parquet(f"{base}/part=new")
+    merged = read_any(spark, base, mergeSchema="true")
+    assert set(merged.columns) == {"id", "s", "score", "part"}
+    rows = {r.id: (r.s, r.score) for r in merged.collect()}
+    assert rows[1] == ("a", None)  # old part: evolved column is NULL
+    assert rows[2] == ("b", 9.5)
