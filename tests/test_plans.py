@@ -105,6 +105,17 @@ def test_salted_join_no_cartesian(spark, sf):
     assert_no_cartesian(df)
 
 
+def test_mixture_sample_broadcasts_rates(spark, sf):
+    # the per-stratum rate table is tiny by definition — it must join
+    # back by broadcast, never shuffle the corpus on the stratum key
+    from adhesive_spark.plans.explain import assert_no_nested_loop
+    from adhesive_spark.queries.curation_queries import q82_mixture_sample
+
+    df = q82_mixture_sample(spark, sf)
+    assert_broadcast_join(df, min_count=1)
+    assert_no_nested_loop(df)
+
+
 def test_correlated_subqueries_decorrelate(spark, sf):
     # Q17/Q21 shapes: the correlated aggregate and the EXISTS/NOT EXISTS
     # must decorrelate into aggregate+join / semi+anti joins — never a
