@@ -59,3 +59,32 @@ def test_minhash_signature_matches_pure_python(spark):
         minhash_signature(F.col("text"), num_perm=8).alias("sig")
     ).collect()[0].sig
     assert list(got) == expected
+
+
+def test_lsh_bucket_matches_pure_python(spark):
+    from adhesive_spark.operators.similarity import _hyperplanes, lsh_bucket
+
+    vecs = [
+        [1.0, 0.0, -0.5, 2.0],
+        [-1.0, 3.0, 0.25, -0.75],
+        [0.0, 0.0, 0.0, 0.0],  # all-zero: every dot is 0 -> all bits set
+    ]
+    planes = _hyperplanes(4, 6, seed=42)
+    expected = [
+        sum(
+            (1 << i)
+            for i, p in enumerate(planes)
+            if sum(x * w for x, w in zip(v, p)) >= 0
+        )
+        for v in vecs
+    ]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "i long, v array<double>"
+    )
+    got = [
+        r.b
+        for r in df.orderBy("i")
+        .select(lsh_bucket(F.col("v"), 4, n_planes=6, seed=42).alias("b"))
+        .collect()
+    ]
+    assert got == expected
