@@ -836,7 +836,7 @@ ADVANCED_ORACLES = {
         SELECT source, lang_pred, COUNT(*) AS n_docs,
                floor(SUM(q_s) / (COUNT(*) * 10000.0) * 1000.0) / 1000.0
                  AS avg_quality,
-               SUM(n) AS total_chars
+               CAST(SUM(n) AS BIGINT) AS total_chars
         FROM r GROUP BY source, lang_pred
     """,
     "q43_percentiles": """
@@ -880,7 +880,7 @@ ADVANCED_ORACLES = {
           FROM events GROUP BY user_id
         )
         SELECT e.event_type, COUNT(*) AS n,
-               SUM(u.user_events) AS sum_user_events,
+               CAST(SUM(u.user_events) AS BIGINT) AS sum_user_events,
                floor(SUM(u.user_value_c) / 100.0 * 1.0) / 1.0
                  AS sum_user_value
         FROM events e JOIN user_stats u ON e.user_id = u.user_id
@@ -1038,19 +1038,19 @@ ADVANCED_ORACLES = {
     "q58_column_profile": """
         WITH w AS (
           SELECT COUNT(*) AS n,
-                 SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS null1,
+                 CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null1,
                  COUNT(DISTINCT o_orderkey) AS dist1,
                  MIN(CAST(o_orderkey AS DOUBLE)) AS min1,
                  MAX(CAST(o_orderkey AS DOUBLE)) AS max1,
-                 SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS null2,
+                 CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null2,
                  COUNT(DISTINCT o_custkey) AS dist2,
                  MIN(CAST(o_custkey AS DOUBLE)) AS min2,
                  MAX(CAST(o_custkey AS DOUBLE)) AS max2,
-                 SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS null3,
+                 CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null3,
                  COUNT(DISTINCT o_totalprice) AS dist3,
                  MIN(o_totalprice) AS min3,
                  MAX(o_totalprice) AS max3,
-                 SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS null4,
+                 CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null4,
                  COUNT(DISTINCT o_orderpriority) AS dist4
           FROM orders
         )

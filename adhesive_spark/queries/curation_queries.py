@@ -421,7 +421,7 @@ CURATION_ORACLES = {
         SELECT vec_id,
                len(v) AS n_dims,
                floor(sc * 1000000.0) / 1000000.0 AS scale,
-               list_sum(qc) AS q_sum,
+               CAST(list_sum(qc) AS BIGINT) AS q_sum,
                list_min(qc) AS q_min,
                list_max(qc) AS q_max,
                floor(sqrt(list_sum(list_transform(range(1, len(v) + 1),
@@ -460,7 +460,7 @@ CURATION_ORACLES = {
           FROM d
         )
         SELECT source, shard_id, COUNT(*) AS n_docs,
-               SUM(n_tokens) AS shard_tokens,
+               CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens,
                MIN(doc_id) AS first_doc,
                MAX(doc_id) AS last_doc
         FROM s GROUP BY source, shard_id
@@ -509,7 +509,7 @@ CURATION_ORACLES = {
           QUALIFY ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) = 1
         )
         SELECT source, COUNT(*) AS n_docs,
-               SUM(n_tokens) AS total_tokens,
+               CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
                floor(SUM(q_s) / (COUNT(*) * 10000.0) * 1000.0) / 1000.0
                  AS avg_quality
         FROM kept GROUP BY source
