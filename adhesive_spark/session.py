@@ -35,6 +35,10 @@ DEFAULT_CONFIGS: dict[str, str] = {
     "spark.sql.execution.pythonUDF.arrow.enabled": "true",
     "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
     "spark.sql.session.timeZone": "UTC",
+    # testdata parquet stores tz-naive us timestamps; read them as plain
+    # TIMESTAMP at the scan (UTC session => instant-preserving) so ts
+    # predicates stay pushdown-eligible and watermarks/windows are legal
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     "spark.python.worker.reuse": "true",
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),

@@ -28,11 +28,18 @@ TABLES = (
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    # events.parquet carries nanosecond timestamps, which Spark's parquet
-    # reader rejects; read them as raw INT64 nanos and truncate to
-    # microsecond TIMESTAMP (identical to what DuckDB's ns→us cast does,
-    # so oracles agree). The conf is dynamic, safe to set per-load.
+    # Timestamp normalization, robust to either testdata vintage:
+    #  - ns-unit parquet (old generator): Spark's reader rejects ns; read
+    #    as raw INT64 nanos and truncate to microsecond TIMESTAMP
+    #    (identical to DuckDB's ns→us cast, so oracles agree).
+    #  - us-unit parquet without timezone (current generator): would read
+    #    as TIMESTAMP_NTZ; turning off NTZ inference reads it as plain
+    #    TIMESTAMP at the SCAN (session TZ is UTC, instant-preserving),
+    #    keeping ts predicates pushdown-eligible — a post-scan cast would
+    #    strip PushedFilters — and keeping watermarks/windows legal.
+    # Both confs are dynamic, safe to set per-load.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for field in df.schema.fields:
         if field.name == "ts" and field.dataType.typeName() == "long":

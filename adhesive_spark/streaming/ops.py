@@ -156,6 +156,47 @@ def enrich_with_static(
     return events.join(d, on=key, how=how)
 
 
+def _state_fs(spark, path_str: str):
+    """Hadoop FileSystem handle for ``path_str`` — works on any
+    Hadoop-compatible FS (local, HDFS, S3A), so epoch bookkeeping is the
+    same on a laptop and a 1000-executor cluster."""
+    sc = spark.sparkContext
+    jvm = sc._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path_str)
+    fs = hpath.getFileSystem(sc._jsc.hadoopConfiguration())
+    return fs, hpath, jvm
+
+
+def _committed_epochs(spark, state_path: str) -> list[int]:
+    """Epoch ids under ``state_path`` whose write COMPLETED (has the
+    committer's _SUCCESS marker). A crash mid-write leaves a dir without
+    the marker; it is invisible here and safely overwritten on replay."""
+    fs, root, jvm = _state_fs(spark, state_path)
+    if not fs.exists(root):
+        return []
+    out = []
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if not name.startswith("__epoch="):
+            continue
+        if fs.exists(jvm.org.apache.hadoop.fs.Path(st.getPath(), "_SUCCESS")):
+            out.append(int(name.split("=", 1)[1]))
+    return sorted(out)
+
+
+def read_rollup_state(spark, state_path: str) -> DataFrame:
+    """Read the LATEST committed rollup state (one epoch directory).
+
+    Readers never race the writer: each epoch is a fresh directory, the
+    previous epoch is retained until the next merge, and only
+    _SUCCESS-marked epochs are visible.
+    """
+    epochs = _committed_epochs(spark, state_path)
+    if not epochs:
+        raise FileNotFoundError(f"no committed rollup state under {state_path}")
+    return spark.read.parquet(f"{state_path}/__epoch={epochs[-1]}")
+
+
 def streaming_rollup_maintenance(
     events: DataFrame,
     keys: list[str],
@@ -169,45 +210,42 @@ def streaming_rollup_maintenance(
     streaming twin of q68's batch merge.
 
     Per micro-batch cost is `state ⊕ batch-partial`, never a rescan of
-    history, so a 100 TB/day stream maintains a dashboard-size rollup
-    with bounded work. foreachBatch is at-least-once, so the state
-    carries the last-applied epoch id and a replayed micro-batch is
-    skipped instead of double-merged (a table format with transactional
-    MERGE hardens the write itself in production).
+    history, so a 100 TB/day stream maintains a rollup with bounded
+    work. The state is VERSIONED: each epoch writes a fresh
+    ``state_path/__epoch=<id>`` directory (distributed write, nothing is
+    ever collected on the driver — key cardinality is unbounded), the
+    previous epoch is kept for in-flight readers, older epochs are
+    deleted. foreachBatch is at-least-once: a replayed micro-batch is
+    detected by its epoch id being <= the latest COMMITTED (_SUCCESS)
+    epoch and skipped; a crash mid-write leaves no _SUCCESS, so the
+    replay overwrites the torn directory. (A table format with
+    transactional MERGE is the production hardening of the same shape.)
 
     Returns the started StreamingQuery; read the state with
-    ``spark.read.parquet(state_path)`` after (or during) the run and
-    drop the bookkeeping ``__epoch`` column.
+    :func:`read_rollup_state` after (or during) the run.
     """
     from adhesive_spark.operators.incremental import merge_rollup, rollup_events
 
     def _merge(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
+        epochs = _committed_epochs(spark, state_path)
+        if epochs and epochs[-1] >= epoch_id:
+            return  # replayed micro-batch: already merged
         delta = rollup_events(batch_df, keys)
-        try:
-            state = spark.read.parquet(state_path)
-        except Exception as e:
-            # ONLY a missing path means "first epoch"; anything else
-            # (corrupt state, schema drift) must fail the query loudly —
-            # swallowing it would silently reset accumulated history to
-            # this batch's delta.
-            msg = str(e)
-            if "PATH_NOT_FOUND" not in msg and "Path does not exist" not in msg:
-                raise
-            state = None
-        if state is not None:
-            applied = state.agg(F.max("__epoch").alias("e")).collect()[0].e
-            if applied is not None and applied >= epoch_id:
-                return  # replayed micro-batch: already merged
-            merged = merge_rollup(state.drop("__epoch"), delta, keys)
+        if epochs:
+            state = spark.read.parquet(f"{state_path}/__epoch={epochs[-1]}")
+            merged = merge_rollup(state, delta, keys)
         else:
             merged = delta
-        merged = merged.withColumn("__epoch", F.lit(epoch_id))
-        # materialize BEFORE overwriting the dir being read
-        out = merged.collect()
-        spark.createDataFrame(out, merged.schema).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(state_path)
+        # fresh directory per epoch: the write never touches the dir a
+        # reader (or this merge's own input) is scanning
+        merged.write.mode("overwrite").parquet(f"{state_path}/__epoch={epoch_id}")
+        # retain the previous epoch for in-flight readers; drop older
+        fs, _, jvm = _state_fs(spark, state_path)
+        for old in epochs[:-1]:
+            fs.delete(
+                jvm.org.apache.hadoop.fs.Path(f"{state_path}/__epoch={old}"), True
+            )
 
     return (
         events.writeStream.foreachBatch(_merge)

@@ -1,0 +1,60 @@
+"""Regression tests for the local correctness checker's type strictness.
+
+The round-2 driver gate failed q32/q48 on an int64-vs-HUGEINT typing
+artifact that the old ``tools/check_correctness.py`` canonicalized away
+(it cast every integer column to float64 before comparing).  These tests
+pin the fixed behavior: the checker must reproduce the driver's
+type-sensitive hash semantics and FAIL on a dtype-kind mismatch even when
+every value is numerically equal.  No Spark session needed — pure pandas.
+"""
+
+from __future__ import annotations
+
+import decimal
+import sys
+from pathlib import Path
+
+import pandas as pd
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
+
+from check_correctness import compare, dtype_kind  # noqa: E402
+
+
+def test_hugeint_artifact_is_caught():
+    # Exactly the old q48 shape: Spark returns int64, DuckDB SUM(BIGINT)
+    # surfaces as float64 (HUGEINT through pandas).  Values identical.
+    sdf = pd.DataFrame({"k": ["a", "b"], "sum_user_events": pd.array([6047, 12], "int64")})
+    odf = pd.DataFrame({"k": ["a", "b"], "sum_user_events": pd.array([6047.0, 12.0], "float64")})
+    problems = compare("q48_regression", sdf, odf)
+    assert any("dtype-kind mismatch" in p for p in problems), problems
+
+
+def test_matching_int_kinds_pass():
+    sdf = pd.DataFrame({"k": ["a"], "n": pd.array([7], "int64")})
+    odf = pd.DataFrame({"k": ["a"], "n": pd.array([7], "int32")})  # width differs, kind same
+    assert compare("ok_int", sdf, odf) == []
+
+
+def test_decimal_vs_float_is_caught():
+    sdf = pd.DataFrame({"v": pd.array([1.5], "float64")})
+    odf = pd.DataFrame({"v": [decimal.Decimal("1.5")]})
+    problems = compare("decimal_drift", sdf, odf)
+    assert any("dtype-kind mismatch" in p for p in problems), problems
+
+
+def test_value_mismatch_still_caught_after_kind_check():
+    sdf = pd.DataFrame({"n": pd.array([1, 2], "int64")})
+    odf = pd.DataFrame({"n": pd.array([1, 3], "int64")})
+    problems = compare("bad_values", sdf, odf)
+    assert problems and "mismatch" in problems[0]
+
+
+def test_dtype_kind_classification():
+    assert dtype_kind(pd.Series([1, 2], dtype="int64")) == "int"
+    assert dtype_kind(pd.Series([1.0], dtype="float64")) == "float"
+    assert dtype_kind(pd.Series(["x"])) == "str"
+    assert dtype_kind(pd.Series([True])) == "bool"
+    assert dtype_kind(pd.Series([[1, 2]])) == "array"
+    assert dtype_kind(pd.Series([decimal.Decimal("1")])) == "decimal"
+    assert dtype_kind(pd.Series(pd.to_datetime(["2026-01-01"]))) == "datetime"

@@ -23,6 +23,40 @@ from adhesive_spark.sources.registry import TABLES  # noqa: E402
 import __spark_entry__ as entry_mod  # noqa: E402
 
 
+def dtype_kind(col: pd.Series) -> str:
+    """Coarse dtype kind, used to reproduce the driver's TYPE-SENSITIVE value
+    hash.  The round-2 driver failures (q32/q48) were int64-vs-HUGEINT typing
+    artifacts that the old checker canonicalized away by casting every integer
+    column to float64; comparing kinds strictly makes the local gate at least
+    as strict as the driver's."""
+    if pd.api.types.is_bool_dtype(col):
+        return "bool"
+    if pd.api.types.is_integer_dtype(col):
+        return "int"
+    if pd.api.types.is_float_dtype(col):
+        return "float"
+    if pd.api.types.is_datetime64_any_dtype(col):
+        return "datetime"
+    # object columns: inspect the first non-null value
+    vals = col.dropna()
+    if len(vals) == 0:
+        return "empty"
+    v = vals.iloc[0]
+    import decimal
+
+    if isinstance(v, decimal.Decimal):
+        return "decimal"
+    if isinstance(v, str):
+        return "str"
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return "array"
+    if isinstance(v, (int, np.integer)):
+        return "int"
+    if isinstance(v, float):
+        return "float"
+    return type(v).__name__
+
+
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
@@ -42,6 +76,20 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
         problems.append(f"rowcount spark={len(sdf)} oracle={len(odf)}")
     if sorted(sdf.columns) != sorted(odf.columns):
         problems.append(f"columns spark={sorted(sdf.columns)} oracle={sorted(odf.columns)}")
+        return problems
+    # Type strictness BEFORE canonicalization: the driver's value hash is
+    # type-sensitive (int64 6047 != float64 6047.0), so a kind mismatch is a
+    # failure even when every value is numerically equal.
+    for c in sorted(sdf.columns):
+        ks, ko = dtype_kind(sdf[c]), dtype_kind(odf[c])
+        if "empty" in (ks, ko):
+            continue
+        if ks != ko:
+            problems.append(
+                f"col {c}: dtype-kind mismatch spark={ks}({sdf[c].dtype}) "
+                f"oracle={ko}({odf[c].dtype}) — driver hash WILL differ"
+            )
+    if problems:
         return problems
     s, o = canon(sdf), canon(odf)
     if len(s) != len(o):
