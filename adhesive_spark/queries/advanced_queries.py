@@ -619,6 +619,27 @@ def q68_incremental_rollup(spark, sf_dir):
     )
 
 
+def q83_ivf_persisted_probe(spark, sf_dir):
+    """Amortized IVF: persist the index ONCE (bucketed by centroid_id),
+    then probe with no corpus scan — bucket pruning reads only the
+    n_probe lists. Same deterministic index as q49, so results (and the
+    oracle) are identical; what differs is the per-search plan."""
+    from adhesive_spark.operators.similarity import (
+        knn_ivf_probe,
+        persist_ivf_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.where(F.col("vec_id") >= 10)
+    persist_ivf_index(corpus, "ivf_q83", n_lists=16)
+    return knn_ivf_probe(spark, queries, "ivf_q83", k=5, n_probe=4)
+
+
 ADVANCED_QUERIES = {
     "q26_grouped_zscore": q26_grouped_zscore,
     "q27_udaf_weighted_mean": q27_udaf_weighted_mean,
@@ -651,6 +672,7 @@ ADVANCED_QUERIES = {
     "q66_decimal_exact": q66_decimal_exact,
     "q67_dataset_split": q67_dataset_split,
     "q68_incremental_rollup": q68_incremental_rollup,
+    "q83_ivf_persisted_probe": q83_ivf_persisted_probe,
 }
 
 # Shared DuckDB fragments (mirror operators.text constant-for-constant).
@@ -1251,3 +1273,7 @@ ADVANCED_ORACLES = {
         FROM events GROUP BY event_type
     """,
 }
+
+# q83 probes the SAME deterministic index as q49 (persisted vs inline is a
+# physical-plan difference only), so the oracle is identical by construction.
+ADVANCED_ORACLES["q83_ivf_persisted_probe"] = ADVANCED_ORACLES["q49_knn_ivf"]

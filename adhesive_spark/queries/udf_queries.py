@@ -90,10 +90,38 @@ def q25_udf_sql_macro(spark, sf_dir):
     )
 
 
+def q84_udf_inline_java(spark, sf_dir):
+    """Inline LANGUAGE JAVA (the reference's flagship runtime-compilation
+    path, src/fusion.rs:39-44): body implements Spark's UDF1, compiled by
+    javac at CREATE, loaded via ADD JAR; execution is wholly JVM-side.
+    Integer-cents quantization keeps the SUM order-independent and the
+    oracle exact."""
+    sess = _sess(spark)
+    sess.sql(
+        "CREATE OR REPLACE FUNCTION q84_cents(DOUBLE) RETURNS BIGINT "
+        "DETERMINISTIC LANGUAGE JAVA AS $$ "
+        "public class Q84Cents implements "
+        "org.apache.spark.sql.api.java.UDF1<Double, Long> { "
+        "  public Long call(Double p) { "
+        "    return p == null ? null : Math.round(p * 100.0); } "
+        "} $$"
+    )
+    _lineitem_view(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               SUM(q84_cents(l_extendedprice)) AS price_cents,
+               COUNT(*) AS n
+        FROM lineitem GROUP BY l_returnflag
+        """
+    )
+
+
 UDF_QUERIES = {
     "q23_udf_python_agg": q23_udf_python_agg,
     "q24_udf_vectorized": q24_udf_vectorized,
     "q25_udf_sql_macro": q25_udf_sql_macro,
+    "q84_udf_inline_java": q84_udf_inline_java,
 }
 
 UDF_ORACLES = {
@@ -115,5 +143,14 @@ UDF_ORACLES = {
         FROM lineitem
         WHERE l_extendedprice * (1.0 - l_discount) - l_quantity * 100.0 > 0
         GROUP BY l_linestatus
+    """,
+    # Math.round(p*100) == ROUND(p*100, 0) for positive prices (both round
+    # half up); CASTs keep the SUM BIGINT (not HUGEINT) for the value hash.
+    "q84_udf_inline_java": """
+        SELECT l_returnflag,
+               CAST(SUM(CAST(ROUND(l_extendedprice * 100.0, 0) AS BIGINT))
+                    AS BIGINT) AS price_cents,
+               COUNT(*) AS n
+        FROM lineitem GROUP BY l_returnflag
     """,
 }

@@ -98,6 +98,11 @@ def main() -> None:
                 "queries_single_rep": {
                     name: round(ts[0], 3) for name, ts in runs.items()
                 },
+                # per-query max-min across reps: how much of any apparent
+                # regression is box noise rather than plan change
+                "spread": {
+                    name: round(max(ts) - min(ts), 3) for name, ts in runs.items()
+                },
             }
         )
     )

@@ -105,19 +105,68 @@ def test_f7_unknown_module(sess):
         )
 
 
-def test_inline_java_source_rejected_clearly(sess):
-    """The reference's flagship path is LANGUAGE JAVA with inline source
+def test_inline_java_compiled_end_to_end(sess):
+    """The reference's flagship path: LANGUAGE JAVA with inline source
     compiled at DDL time (tests/factory.rs:23-51, Compiler.java:34-59).
-    The rebuild cannot compile Java; a user porting that test must get a
-    precise capability error at CREATE — never a ClassNotFoundException
-    for their source text."""
-    inline_java = (
+    Here the body implements Spark's UDF2 interface (the Spark-idiomatic
+    ``extends Adhesive``+``compute(Row)``, example/BasicExample.java:6-18),
+    javac-compiled and ADD JAR-loaded at CREATE; calls run wholly in the
+    JVM — no Python worker in the execution path."""
+    sess.sql(
         "CREATE FUNCTION jsrc(BIGINT, BIGINT) RETURNS BIGINT LANGUAGE JAVA "
-        "AS $$ public class F { long compute(long a, long b) "
-        "{ return a * b; } } $$"
+        "AS $$ public class JMul implements "
+        "org.apache.spark.sql.api.java.UDF2<Long, Long, Long> { "
+        "  public Long call(Long a, Long b) { "
+        "    return (a == null || b == null) ? null : a * b; } "
+        "} $$"
     )
-    with pytest.raises(CompileError, match="inline Java source .* not supported"):
-        sess.sql(inline_java)
+    # golden pin of the reference's basicCompileTest-style invocation
+    got = [
+        r.v
+        for r in sess.sql(
+            "SELECT jsrc(id, id + 1) AS v FROM RANGE(4) ORDER BY id"
+        ).collect()
+    ]
+    assert got == [0, 2, 6, 12]
+
+
+def test_language_class_resolves_compiled_class(sess):
+    """LANGUAGE CLASS with a bare FQN (src/fusion.rs:45-50): register a
+    class that IS loadable in the session — the jar a prior inline-JAVA
+    CREATE injected — proving the classpath lookup path end-to-end (the
+    reference's tests/factory.rs:53-75)."""
+    from adhesive_spark.functions.factory import compile_java_body
+
+    fqn = compile_java_body(
+        sess.spark,
+        "jneg",
+        "public class JNeg implements "
+        "org.apache.spark.sql.api.java.UDF1<Long, Long> { "
+        "  public Long call(Long a) { return a == null ? null : -a; } }",
+    )
+    sess.sql(
+        f"CREATE FUNCTION jneg(BIGINT) RETURNS BIGINT LANGUAGE CLASS AS '{fqn}'"
+    )
+    got = [r.v for r in sess.sql("SELECT jneg(id) AS v FROM RANGE(3)").collect()]
+    assert sorted(got) == [-2, -1, 0]
+
+
+def test_inline_java_compile_error_diagnostics(sess):
+    """Broken Java fails the CREATE with javac's diagnostics — the
+    InstantiationException('Can't compile function') analog with logged
+    errors (Compiler.java:46-52, basicFailCompileTest)."""
+    with pytest.raises(CompileError, match="Can't compile function"):
+        sess.sql(
+            "CREATE FUNCTION jbad(BIGINT) RETURNS BIGINT LANGUAGE JAVA "
+            "AS $$ public class JBad implements NoSuchInterface { } $$"
+        )
+    # no class keyword at all → the class-name extraction error
+    # (src/util.rs:25-27 JavaCodeError parity)
+    with pytest.raises(CompileError, match="class name"):
+        sess.sql(
+            "CREATE FUNCTION jbad2(BIGINT) RETURNS BIGINT LANGUAGE JAVA "
+            "AS $$ int x = 1; $$"
+        )
     # a class-path body still routes to the classpath lookup (and fails
     # there with the lookup error, since no such class is deployed)
     with pytest.raises(UnknownFunctionError):

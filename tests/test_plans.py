@@ -98,6 +98,33 @@ def test_knn_ivf_broadcasts_centroids_and_probes(spark, sf):
     assert_broadcast_join(df, min_count=2)
 
 
+def test_ivf_persisted_probe_prunes_buckets(spark, sf):
+    """The amortized IVF path: the probe must (a) bucket-prune the
+    persisted index scan (read only probed lists, not the corpus),
+    (b) shuffle nothing on the index side (broadcast probes), and
+    (c) return exactly the inline knn_ivf result."""
+    import re
+
+    from adhesive_spark.plans.explain import formatted_plan
+    from adhesive_spark.queries.advanced_queries import (
+        q49_knn_ivf,
+        q83_ivf_persisted_probe,
+    )
+
+    df = q83_ivf_persisted_probe(spark, sf)
+    plan = formatted_plan(df)
+    m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+    assert m, f"no bucket pruning in probe plan:\n{plan}"
+    assert int(m.group(1)) < int(m.group(2)), plan
+    assert_broadcast_join(df, min_count=1)
+    got = {(r.query_id, r.rank): (r.vec_id, r.sim) for r in df.collect()}
+    want = {
+        (r.query_id, r.rank): (r.vec_id, r.sim)
+        for r in q49_knn_ivf(spark, sf).collect()
+    }
+    assert got == want
+
+
 def test_salted_join_no_cartesian(spark, sf):
     from adhesive_spark.queries.advanced_queries import q48_salted_join
 
