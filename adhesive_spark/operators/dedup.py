@@ -451,3 +451,34 @@ def ngram_jaccard_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def dedup_incremental(
+    batch: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental exact dedup: drop batch docs whose fingerprint is
+    already in a persisted index, then min-id-survivor dedup WITHIN the
+    batch — the daily-ingest twin of :func:`dedup_exact`.
+
+    ``index`` needs only a ``doc_fp`` column (the persisted fingerprint
+    store — at 100 TB corpus scale history is consulted through this
+    narrow table, never rescanned as text). Scale shape: one anti
+    equi-join on the 128-bit fingerprint (AQE broadcasts it when a day's
+    index fits) + one hash agg; both shuffles carry (fp, id) pairs only.
+    """
+    fp = fingerprint(F.col(text_col)).alias("__fp")
+    fresh = (
+        batch.select(F.col(id_col), fp)
+        .join(
+            index.select(F.col("doc_fp").alias("__fp")).distinct(),
+            "__fp",
+            "left_anti",
+        )
+    )
+    keep = fresh.groupBy("__fp").agg(
+        F.min(id_col).alias(id_col), F.count("*").alias("dup_count")
+    )
+    return batch.join(keep.select(id_col, "dup_count"), on=id_col, how="inner")

@@ -284,3 +284,45 @@ def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
         lang_id(c).alias("lang_pred"),
         fingerprint(c).alias("doc_fp"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    chunk_size: int = 128,
+    stride: int = 96,
+) -> DataFrame:
+    """Overlapping token-window chunking — the context-window prep step
+    of a training/embedding pipeline (chunk_size-token windows every
+    stride tokens, so consecutive chunks overlap by chunk_size-stride).
+
+    Scale shape: pure built-ins (split → sequence → posexplode → slice),
+    zero Python and ZERO shuffle — chunks stream straight out of the
+    scan stage, and output size is rows × n_tokens/stride. The chunk id
+    is the window ordinal, so (id, chunk_id) is a stable key for
+    downstream embedding/packing joins.
+    """
+    if stride <= 0 or chunk_size <= 0:
+        raise ValueError("chunk_size and stride must be positive")
+    base = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.size(F.col("__toks")) - 1, F.lit(0)),
+        F.lit(stride),
+    )
+    return (
+        base.select(id_col, "__toks", F.posexplode(starts).alias("chunk_id", "__start"))
+        .select(
+            id_col,
+            "chunk_id",
+            F.slice("__toks", F.col("__start") + 1, chunk_size).alias("__chunk"),
+        )
+        .select(
+            id_col,
+            "chunk_id",
+            F.size("__chunk").alias("n_tokens"),
+            F.array_join("__chunk", " ").alias("chunk_text"),
+        )
+    )

@@ -257,6 +257,33 @@ def q76_token_shards(spark, sf_dir):
     )
 
 
+def q85_doc_chunking(spark, sf_dir):
+    """Overlapping token-window chunking (64-token windows, stride 48):
+    the context-window prep stage. Pure built-ins, no shuffle — chunks
+    stream out of the scan."""
+    from adhesive_spark.operators.text import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    return chunk_documents(docs, "text", "doc_id", chunk_size=64, stride=48)
+
+
+def q86_incremental_dedup(spark, sf_dir):
+    """Incremental dedup of a new batch (doc_id >= 250) against the
+    fingerprint index of already-ingested history (doc_id < 250):
+    anti-join on the fingerprint store, then min-id survivor within the
+    batch."""
+    from adhesive_spark.operators.dedup import dedup_incremental
+    from adhesive_spark.operators.text import fingerprint
+
+    docs = load_table(spark, sf_dir, "documents")
+    index = docs.where(F.col("doc_id") < 250).select(
+        fingerprint(F.col("text")).alias("doc_fp")
+    )
+    batch = docs.where(F.col("doc_id") >= 250)
+    out = dedup_incremental(batch, index, "text", "doc_id")
+    return out.select("doc_id", "dup_count")
+
+
 CURATION_QUERIES = {
     "q56_pii_redact": q56_pii_redact,
     "q69_contamination_check": q69_contamination_check,
@@ -268,6 +295,8 @@ CURATION_QUERIES = {
     "q75_approx_quantile_contract": q75_approx_quantile_contract,
     "q76_token_shards": q76_token_shards,
     "q82_mixture_sample": q82_mixture_sample,
+    "q85_doc_chunking": q85_doc_chunking,
+    "q86_incremental_dedup": q86_incremental_dedup,
 }
 
 # --- oracles -----------------------------------------------------------------
@@ -513,5 +542,40 @@ CURATION_ORACLES = {
                floor(SUM(q_s) / (COUNT(*) * 10000.0) * 1000.0) / 1000.0
                  AS avg_quality
         FROM kept GROUP BY source
+    """,
+    # Same normalization/tokenization as the Spark side; chunk_id is the
+    # window ordinal (start/stride); INTs match Spark's 32-bit size/pos.
+    "q85_doc_chunking": """
+        WITH d AS (
+          SELECT doc_id,
+                 string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+          FROM documents WHERE doc_id < 300
+        ),
+        s AS (SELECT doc_id, toks, len(toks) AS n FROM d),
+        st AS (
+          SELECT doc_id, toks, n,
+                 unnest(generate_series(0, CAST(n - 1 AS BIGINT), 48)) AS start
+          FROM s
+        )
+        SELECT doc_id,
+               CAST(start / 48 AS INT) AS chunk_id,
+               CAST(len(toks[start + 1 : start + 64]) AS INT) AS n_tokens,
+               array_to_string(toks[start + 1 : start + 64], ' ') AS chunk_text
+        FROM st
+    """,
+    "q86_incremental_dedup": """
+        WITH fp AS (
+          SELECT doc_id,
+                 md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS doc_fp
+          FROM documents
+        ),
+        index_fp AS (SELECT DISTINCT doc_fp FROM fp WHERE doc_id < 250),
+        fresh AS (
+          SELECT f.doc_id, f.doc_fp FROM fp f
+          WHERE f.doc_id >= 250
+            AND NOT EXISTS (SELECT 1 FROM index_fp i WHERE i.doc_fp = f.doc_fp)
+        )
+        SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_count
+        FROM fresh GROUP BY doc_fp
     """,
 }

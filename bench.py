@@ -33,6 +33,9 @@ HEADLINE = [
     "q23_udf_python_agg",
     "q24_udf_vectorized",
     "q25_udf_sql_macro",
+    # q23/q24/q25/q84 = the UDF perf ladder: row-Python / vectorized
+    # pandas / Catalyst SQL macro / compiled JVM class over the same scan
+    "q84_udf_inline_java",
     "q26_grouped_zscore",
     "q29_range_join",
     "q30_dedup_exact",
