@@ -138,6 +138,14 @@ _CLASS_PATH_RE = re.compile(r"^[A-Za-z_$][\w$]*(\.[A-Za-z_$][\w$]*)*$")
 #: Same class-name extraction contract as the reference (src/util.rs:13-18).
 _JAVA_CLASS_NAME_RE = re.compile(r"class\s+(\w+)")
 
+#: Compiled-body cache: body text -> (fqn, jar_path). Identical source
+#: compiles to identical bytecode, so re-CREATE (or a re-run of the same
+#: DDL in a benchmark loop) skips javac entirely; the random package
+#: mangling still isolates DIFFERENT bodies from each other. The
+#: reference holds one compiled instance per definition the same way
+#: (src/jvm.rs:93-102).
+_JAVA_BODY_CACHE: dict[str, tuple[str, str]] = {}
+
 
 def compile_java_body(spark: SparkSession, name: str, body: str) -> str:
     """Compile an inline Java class body at DDL time and load it into the
@@ -167,6 +175,12 @@ def compile_java_body(spark: SparkSession, name: str, body: str) -> str:
 
     import pyspark
 
+    cached = _JAVA_BODY_CACHE.get(body)
+    if cached is not None:
+        fqn, jar_path = cached
+        # ADD JAR is idempotent per session and re-arms a fresh session
+        spark.sql(f"ADD JAR '{jar_path}'")
+        return fqn
     javac = shutil.which("javac")
     if javac is None:
         raise CompileError(
@@ -204,6 +218,7 @@ def compile_java_body(spark: SparkSession, name: str, body: str) -> str:
         for f in classes.rglob("*.class"):
             zf.write(f, f.relative_to(classes))
     spark.sql(f"ADD JAR '{jar_path}'")
+    _JAVA_BODY_CACHE[body] = (fqn, str(jar_path))
     return fqn
 
 

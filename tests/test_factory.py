@@ -333,3 +333,19 @@ def test_array_and_map_return_types(sess):
     )
     rows = sess.sql("SELECT tmap('abc') AS r").collect()
     assert rows[0].r == {"abc": 3}
+
+
+def test_inline_java_body_cache(sess):
+    """Identical inline bodies compile once: the second CREATE reuses the
+    cached jar/FQN (the reference's one-compiled-instance-per-definition,
+    src/jvm.rs:93-102) — re-running DDL in a loop must not pay javac."""
+    from adhesive_spark.functions.factory import compile_java_body
+
+    body = (
+        "public class JCached implements "
+        "org.apache.spark.sql.api.java.UDF1<Long, Long> { "
+        "  public Long call(Long a) { return a; } }"
+    )
+    f1 = compile_java_body(sess.spark, "c1", body)
+    f2 = compile_java_body(sess.spark, "c2", body)
+    assert f1 == f2
