@@ -7,6 +7,7 @@ products, and codegen coverage.
 """
 
 import pytest
+from pyspark.sql import functions as F
 
 from adhesive_spark.plans.explain import (
     assert_broadcast_join,
@@ -180,3 +181,44 @@ def test_embedding_neardup_blocked_no_nested_loop(spark, sf):
     assert_no_nested_loop(df)
     plan = physical_plan(df)
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan, plan
+
+
+def test_runtime_bloom_filter_join_reduction(spark, sf):
+    """Runtime bloom-filter injection: with a selective dimension filter,
+    Catalyst builds a bloom filter on the creation side and pushes a
+    might_contain prefilter into the fact scan — at 100 TB this is the
+    shuffle-join scan reducer (rows failing the filter never leave the
+    map side). Local thresholds are tiny, so the test lowers the
+    application-side gate to prove the plan shape is available."""
+    from adhesive_spark.plans.explain import physical_plan
+    from adhesive_spark.sources.registry import load_table
+
+    overrides = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        # force a shuffle join: broadcast joins don't need the bloom
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in overrides}
+    try:
+        for k, v in overrides.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, sf, "lineitem")
+        orders = load_table(spark, sf, "orders").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = physical_plan(j)
+        assert "might_contain" in plan, f"no runtime bloom filter:\n{plan}"
+        assert "bloom_filter_agg" in plan, plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
