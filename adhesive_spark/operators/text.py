@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 #: Tiny per-language marker lexicons for the heuristic language scorer.
 #: Deliberately small and SQL-expressible so the same scoring is
@@ -325,4 +326,33 @@ def chunk_documents(
             F.size("__chunk").alias("n_tokens"),
             F.array_join("__chunk", " ").alias("chunk_text"),
         )
+    )
+
+
+def pack_sequences(
+    chunks: DataFrame,
+    group_col: str,
+    order_cols: list[str],
+    *,
+    seq_tokens: int = 512,
+    token_col: str = "n_tokens",
+) -> DataFrame:
+    """Assign chunks to fixed-size training sequences by running token
+    offset — the concatenate-and-cut packing of LM pretraining: within
+    each group, chunks are laid end-to-end in a deterministic order and
+    a chunk belongs to sequence ``floor(start_offset / seq_tokens)``.
+
+    Scale shape: one shuffle on the group key + an in-partition sort for
+    the running sum — no global sort. A whale group serializes its own
+    window; production packs per (group, shard) exactly like q76's
+    shard assignment to bound that.
+    """
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = F.sum(token_col).over(w) - F.col(token_col)
+    return chunks.withColumn(
+        "seq_idx", F.floor(start / F.lit(seq_tokens)).cast("int")
     )

@@ -284,6 +284,29 @@ def q86_incremental_dedup(spark, sf_dir):
     return out.select("doc_id", "dup_count")
 
 
+def q87_sequence_packing(spark, sf_dir):
+    """Concatenate-and-cut sequence packing: q85's chunks laid end-to-end
+    per source in (doc_id, chunk_id) order, each chunk assigned to the
+    512-token training sequence its start offset falls in; per-sequence
+    chunk/token totals. One shuffle on source + in-partition running
+    sum."""
+    from adhesive_spark.operators.text import chunk_documents, pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    chunks = chunk_documents(docs, "text", "doc_id", chunk_size=64, stride=64)
+    chunks = chunks.join(
+        F.broadcast(docs.select("doc_id", "source")), "doc_id"
+    )
+    packed = pack_sequences(
+        chunks, "source", ["doc_id", "chunk_id"], seq_tokens=512
+    )
+    return packed.groupBy("source", "seq_idx").agg(
+        F.count("*").alias("n_chunks"),
+        F.sum("n_tokens").cast("bigint").alias("seq_tokens_total"),
+        F.min("doc_id").alias("first_doc"),
+    )
+
+
 CURATION_QUERIES = {
     "q56_pii_redact": q56_pii_redact,
     "q69_contamination_check": q69_contamination_check,
@@ -297,6 +320,7 @@ CURATION_QUERIES = {
     "q82_mixture_sample": q82_mixture_sample,
     "q85_doc_chunking": q85_doc_chunking,
     "q86_incremental_dedup": q86_incremental_dedup,
+    "q87_sequence_packing": q87_sequence_packing,
 }
 
 # --- oracles -----------------------------------------------------------------
@@ -577,5 +601,37 @@ CURATION_ORACLES = {
         )
         SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_count
         FROM fresh GROUP BY doc_fp
+    """,
+    "q87_sequence_packing": """
+        WITH d AS (
+          SELECT doc_id, source,
+                 string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+          FROM documents WHERE doc_id < 300
+        ),
+        s AS (SELECT doc_id, source, toks, len(toks) AS n FROM d),
+        st AS (
+          SELECT doc_id, source, toks, n,
+                 unnest(generate_series(0, CAST(n - 1 AS BIGINT), 64)) AS start
+          FROM s
+        ),
+        chunks AS (
+          SELECT doc_id, source,
+                 CAST(start / 64 AS INT) AS chunk_id,
+                 CAST(len(toks[start + 1 : start + 64]) AS INT) AS n_tokens
+          FROM st
+        ),
+        packed AS (
+          SELECT *,
+                 CAST(floor((SUM(n_tokens) OVER (PARTITION BY source
+                        ORDER BY doc_id, chunk_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        - n_tokens) / 512) AS INT) AS seq_idx
+          FROM chunks
+        )
+        SELECT source, seq_idx,
+               COUNT(*) AS n_chunks,
+               CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens_total,
+               MIN(doc_id) AS first_doc
+        FROM packed GROUP BY source, seq_idx
     """,
 }
