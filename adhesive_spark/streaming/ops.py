@@ -253,3 +253,77 @@ def streaming_rollup_maintenance(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_incremental_dedup(
+    docs,
+    state_path: str,
+    output_path: str,
+    *,
+    checkpoint_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Continuously-deduplicating ingest: per micro-batch, exact-dedup
+    WITHIN the batch (min-id survivor) and against the fingerprints of
+    everything already accepted, then append the survivors and their
+    fingerprints — the streaming twin of operators.dedup.dedup_incremental.
+
+    State is the epoch-directory pattern of
+    :func:`streaming_rollup_maintenance`, but append-only: every epoch's
+    accepted fingerprints land in ``state_path/__epoch=<id>`` and the
+    store is the UNION of all committed epochs (partition discovery);
+    accepted documents land in ``output_path/__epoch=<id>``. Replayed
+    micro-batches are skipped via the committed-epoch high-water mark, so
+    at-least-once delivery never double-accepts. Nothing is collected on
+    the driver; the per-batch cost is one anti equi-join of the batch
+    against the narrow (fingerprint) store — production buckets the store
+    on the fingerprint to keep that join co-located.
+    """
+    from adhesive_spark.operators.text import fingerprint
+
+    def _apply(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        epochs = _committed_epochs(spark, state_path)
+        if epochs and epochs[-1] >= epoch_id:
+            return  # replayed micro-batch
+        b = batch_df.withColumn("__fp", fingerprint(F.col(text_col)))
+        if epochs:
+            # ONLY committed epoch dirs: blind partition discovery would
+            # also read a torn (no-_SUCCESS) dir from a crashed attempt
+            # of THIS epoch and anti-join the replay's own docs away
+            store = spark.read.parquet(
+                *[f"{state_path}/__epoch={e}" for e in epochs]
+            ).select("doc_fp")
+            b = b.join(
+                store.withColumnRenamed("doc_fp", "__fp"), "__fp", "left_anti"
+            )
+        keep = b.groupBy("__fp").agg(F.min(id_col).alias(id_col))
+        survivors = b.join(keep, [id_col, "__fp"]).localCheckpoint(eager=True)
+        survivors.drop("__fp").write.mode("overwrite").parquet(
+            f"{output_path}/__epoch={epoch_id}"
+        )
+        # fingerprints LAST: their _SUCCESS is the commit marker, so a
+        # crash between the two writes replays into an overwrite
+        survivors.select(F.col("__fp").alias("doc_fp")).write.mode(
+            "overwrite"
+        ).parquet(f"{state_path}/__epoch={epoch_id}")
+
+    return (
+        docs.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_accepted_docs(spark, output_path: str, state_path: str) -> DataFrame:
+    """All documents accepted by :func:`streaming_incremental_dedup` —
+    output epochs whose state commit (the _SUCCESS of the fingerprint
+    write, which happens LAST in the epoch) landed; a crash between the
+    two writes leaves an output dir that is invisible here and
+    overwritten on replay."""
+    epochs = _committed_epochs(spark, state_path)
+    if not epochs:
+        raise FileNotFoundError(f"no committed output under {output_path}")
+    return spark.read.parquet(*[f"{output_path}/__epoch={e}" for e in epochs])

@@ -234,3 +234,62 @@ def test_streaming_rollup_high_cardinality_state(spark, tmp_path_factory):
     assert got == expected
     # retention: at most the latest + one previous epoch remain on disk
     assert len(_committed_epochs(spark, state)) <= 2
+
+
+def test_streaming_incremental_dedup_matches_batch(spark, sf_dir, tmp_path_factory):
+    """The continuously-deduplicating ingest must accept exactly the
+    batch dedup_exact survivors: earlier micro-batches win on duplicate
+    text, min-id wins within a batch. Duplicates are planted by writing
+    the same documents into several stream files."""
+    from adhesive_spark.operators.dedup import dedup_exact
+    from adhesive_spark.streaming.ops import (
+        read_accepted_docs,
+        streaming_incremental_dedup,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    src = tmp_path_factory.mktemp("inc") / "docs"
+    # file 0: docs 0-99; file 1: docs 100-199 PLUS dupes of 0-49 under
+    # shifted ids; file 2: dupes of 100-119 under shifted ids
+    docs.where("doc_id < 100").coalesce(1).write.mode("append").parquet(str(src))
+    import pyspark.sql.functions as SF
+
+    (
+        docs.where("doc_id >= 100 AND doc_id < 200")
+        .unionByName(
+            docs.where("doc_id < 50").select(
+                (SF.col("doc_id") + 1000).alias("doc_id"), "text"
+            )
+        )
+        .coalesce(1)
+        .write.mode("append")
+        .parquet(str(src))
+    )
+    (
+        docs.where("doc_id >= 100 AND doc_id < 120")
+        .select((SF.col("doc_id") + 2000).alias("doc_id"), "text")
+        .coalesce(1)
+        .write.mode("append")
+        .parquet(str(src))
+    )
+    all_docs = spark.read.parquet(str(src))
+    stream = (
+        spark.readStream.schema(all_docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    root = tmp_path_factory.mktemp("inc")
+    state, out, ckpt = str(root / "state"), str(root / "out"), str(root / "ckpt")
+    q = streaming_incremental_dedup(
+        stream, state, out, checkpoint_path=ckpt, text_col="text", id_col="doc_id"
+    )
+    assert q.awaitTermination(180), "dedup stream did not drain in 180s"
+    got = {r.doc_id for r in read_accepted_docs(spark, out, state).collect()}
+    # batch twin over the SAME composite input. File order == ascending
+    # doc_id blocks here, so min-id survivor equals earliest-batch winner.
+    want = {
+        r.doc_id for r in dedup_exact(all_docs, "text", "doc_id").collect()
+    }
+    assert got == want
+    # the planted duplicates must all be gone
+    assert not any(i >= 1000 for i in got)
