@@ -177,22 +177,36 @@ def winnow_fingerprints(col, *, k: int = 8, w: int = 4) -> Column:
     DuckDB), computed per gram inside one higher-order expression: no
     Python, no shuffle, one projection.
     """
-    norm = normalize_text(col)
-    n_grams = F.length(norm) - (k - 1)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(n_grams, F.lit(1))),
-        # Column.substr (unlike F.substring pre-4.x) accepts Column
-        # positions, which the lambda variable requires.
-        lambda i: F.md5(norm.substr(i, F.lit(k))).substr(F.lit(1), F.lit(8)),
+    # Every multiply-referenced subexpression is BOUND ONCE per row via
+    # the single-element transform scope: referencing `grams` directly
+    # from the sliding-window lambda lets CollapseProject re-inline the
+    # whole md5-per-gram subtree into EVERY window, turning O(L) gram
+    # hashing into O(L²) per document (measured 600× slower at sf0.01).
+    def _grams(norm_bound):
+        n_grams = F.length(norm_bound) - (k - 1)
+        return F.transform(
+            F.sequence(F.lit(1), F.greatest(n_grams, F.lit(1))),
+            # Column.substr (unlike F.substring pre-4.x) accepts Column
+            # positions, which the lambda variable requires.
+            lambda i: F.md5(norm_bound.substr(i, F.lit(k))).substr(
+                F.lit(1), F.lit(8)
+            ),
+        )
+
+    def _mins(grams_bound):
+        n_windows = F.size(grams_bound) - (w - 1)
+        return F.when(
+            n_windows >= 1,
+            F.transform(
+                F.sequence(F.lit(1), n_windows),
+                lambda j: F.array_min(F.slice(grams_bound, j, w)),
+            ),
+        ).otherwise(F.array(F.array_min(grams_bound)))
+
+    grams = F.element_at(
+        F.transform(F.array(normalize_text(col)), _grams), 1
     )
-    n_windows = F.size(grams) - (w - 1)
-    mins = F.when(
-        n_windows >= 1,
-        F.transform(
-            F.sequence(F.lit(1), n_windows),
-            lambda j: F.array_min(F.slice(grams, j, w)),
-        ),
-    ).otherwise(F.array(F.array_min(grams)))
+    mins = F.element_at(F.transform(F.array(grams), _mins), 1)
     return F.array_distinct(mins)
 
 

@@ -330,8 +330,12 @@ def q54_winnow_fingerprints(spark, sf_dir):
     """Winnowing rolling-hash fingerprints: (doc_id, fingerprint) pairs
     — the substring-overlap near-dup signature, one projection."""
     from adhesive_spark.operators.text import winnow_fingerprints
+    from adhesive_spark.sources.registry import ensure_parallelism
 
-    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    docs = ensure_parallelism(
+        load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100),
+        "doc_id",
+    )
     return docs.select(
         "doc_id",
         F.explode(winnow_fingerprints(F.col("text"), k=8, w=4)).alias("fp"),

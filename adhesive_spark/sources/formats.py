@@ -136,3 +136,44 @@ def write_bucketed_table(
     if path:
         writer = writer.option("path", path)
     writer.saveAsTable(table)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src_path: str,
+    dest_path: str,
+    *,
+    target_file_mb: int = 128,
+    sort_within_by: list[str] | None = None,
+) -> int:
+    """Rewrite a small-files parquet directory into ~target_file_mb
+    files — the compaction pass every long-running ingest needs: a
+    streaming sink or over-parallel writer leaves thousands of KB-scale
+    files whose per-file open/footer cost dominates later scans.
+
+    Output file count = ceil(input bytes / target), derived from the
+    source's actual FS size (Hadoop ContentSummary — works on any
+    Hadoop FS). The rewrite is one round-robin repartition shuffle of
+    the data being compacted; ``sort_within_by`` additionally sorts
+    within each output file (run-length/dictionary-friendly layout and
+    per-file min/max pruning on those columns — the poor man's
+    clustering). Returns the output file count.
+
+    Writes to a NEW directory: compact-then-swap is the caller's atomic
+    publish step (the epoch-dir pattern of streaming/ops.py), never an
+    in-place overwrite of a directory readers may be scanning.
+    """
+    import math
+
+    sc = spark.sparkContext
+    jvm = sc._jvm
+    src = jvm.org.apache.hadoop.fs.Path(src_path)
+    fs = src.getFileSystem(sc._jsc.hadoopConfiguration())
+    total_bytes = fs.getContentSummary(src).getLength()
+    n_out = max(1, math.ceil(total_bytes / (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(src_path)
+    out = df.repartition(n_out)
+    if sort_within_by:
+        out = out.sortWithinPartitions(*sort_within_by)
+    out.write.mode("overwrite").parquet(dest_path)
+    return n_out

@@ -137,3 +137,26 @@ def test_parquet_schema_evolution_merge(spark, tmp_path_factory):
     rows = {r.id: (r.s, r.score) for r in merged.collect()}
     assert rows[1] == ("a", None)  # old part: evolved column is NULL
     assert rows[2] == ("b", 9.5)
+
+
+def test_compact_parquet_reduces_files(spark, tmp_path_factory):
+    from adhesive_spark.sources.formats import compact_parquet
+
+    src = str(tmp_path_factory.mktemp("cp") / "small")
+    dest = str(tmp_path_factory.mktemp("cp") / "compact")
+    # 40 tiny files
+    spark.range(40000).withColumn("k", F.col("id") % 7).repartition(
+        40
+    ).write.parquet(src)
+    import glob
+
+    assert len(glob.glob(f"{src}/part-*.parquet")) == 40
+    n_out = compact_parquet(
+        spark, src, dest, target_file_mb=128, sort_within_by=["k"]
+    )
+    files = glob.glob(f"{dest}/part-*.parquet")
+    assert len(files) == n_out == 1
+    # same data, byte-identical multiset
+    a = {(r.id, r.k) for r in spark.read.parquet(dest).collect()}
+    b = {(r.id, r.k) for r in spark.read.parquet(src).collect()}
+    assert a == b
