@@ -65,16 +65,27 @@ def dedup_exact(
 
 def word_shingles(col, n: int = 3):
     """Distinct word n-gram shingles of the normalized text (built-in
-    array ops; empty/short docs yield the whole-doc shingle)."""
-    toks = F.split(normalize_text(col), " ")
-    k = F.size(toks) - (n - 1)
-    grams = F.when(
-        k >= 1,
-        F.transform(
-            F.sequence(F.lit(0), k - 1),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-        ),
-    ).otherwise(F.array(normalize_text(col)))
+    array ops; empty/short docs yield the whole-doc shingle).
+
+    The token array is BOUND ONCE per row (single-element transform
+    scope): referenced directly from the per-gram lambda, the
+    split+regex subtree would be re-evaluated for every gram —
+    O(len·n_grams) per document (the q54 winnowing failure class)."""
+
+    def _grams(toks):
+        k = F.size(toks) - (n - 1)
+        return F.when(
+            k >= 1,
+            F.transform(
+                F.sequence(F.lit(0), k - 1),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+            ),
+            # concat_ws(" ", toks) == the normalized text (single spaces)
+        ).otherwise(F.array(F.concat_ws(" ", toks)))
+
+    grams = F.element_at(
+        F.transform(F.array(F.split(normalize_text(col), " ")), _grams), 1
+    )
     return F.array_distinct(grams)
 
 
