@@ -498,3 +498,47 @@ def embedding_neardup_pairs(
         )
         .where(F.col("cos_sim") >= threshold)
     )
+
+
+def semantic_dedup_representatives(
+    corpus: DataFrame,
+    *,
+    n_clusters: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Semantic (cluster-level) dedup: assign every vector to its nearest
+    deterministic centroid (the :func:`build_ivf_index` assignment) and
+    keep ONE representative per cluster — the member most similar to the
+    centroid, lowest id on ties. The diversity-sampling complement of
+    pairwise near-dup removal: instead of dropping close PAIRS, it thins
+    dense semantic regions to one exemplar each.
+
+    Scale shape: one broadcast of the centroids + one corpus scan for
+    assignment (argmax-as-aggregate, map-side combined), then a single
+    per-cluster max-struct aggregation — shuffle width is n rows of
+    (cluster, sim, id), never pairs.
+    """
+    centroids, assigned = build_ivf_index(
+        corpus, n_lists=n_clusters, id_col=id_col, vec_col=vec_col
+    )
+    scored = assigned.join(F.broadcast(centroids), "centroid_id").select(
+        "centroid_id",
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), F.col("cvec")), 6).alias("centroid_sim"),
+    )
+    best = scored.groupBy("centroid_id").agg(
+        F.max(
+            F.struct(
+                F.col("centroid_sim").alias("sim"),
+                (-F.col(id_col)).alias("neg_id"),
+            )
+        ).alias("__best"),
+        F.count("*").alias("cluster_size"),
+    )
+    return best.select(
+        "centroid_id",
+        (-F.col("__best.neg_id")).alias(id_col),
+        F.col("__best.sim").alias("centroid_sim"),
+        "cluster_size",
+    )

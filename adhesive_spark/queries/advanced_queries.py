@@ -644,6 +644,20 @@ def q83_ivf_persisted_probe(spark, sf_dir):
     return knn_ivf_probe(spark, queries, "ivf_q83", k=5, n_probe=4)
 
 
+def q88_semantic_dedup(spark, sf_dir):
+    """Semantic dedup: one representative per embedding cluster (nearest
+    member to its deterministic centroid, min-id ties) — thins dense
+    semantic regions instead of dropping pairs."""
+    from adhesive_spark.operators.similarity import (
+        semantic_dedup_representatives,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    return semantic_dedup_representatives(emb, n_clusters=16)
+
+
 ADVANCED_QUERIES = {
     "q26_grouped_zscore": q26_grouped_zscore,
     "q27_udaf_weighted_mean": q27_udaf_weighted_mean,
@@ -677,6 +691,7 @@ ADVANCED_QUERIES = {
     "q67_dataset_split": q67_dataset_split,
     "q68_incremental_rollup": q68_incremental_rollup,
     "q83_ivf_persisted_probe": q83_ivf_persisted_probe,
+    "q88_semantic_dedup": q88_semantic_dedup,
 }
 
 # Shared DuckDB fragments (mirror operators.text constant-for-constant).
@@ -1281,3 +1296,34 @@ ADVANCED_ORACLES = {
 # q83 probes the SAME deterministic index as q49 (persisted vs inline is a
 # physical-plan difference only), so the oracle is identical by construction.
 ADVANCED_ORACLES["q83_ivf_persisted_probe"] = ADVANCED_ORACLES["q49_knn_ivf"]
+
+# q88: the q49 assignment CTE over the FULL table, then one representative
+# per cluster (max centroid-similarity, min vec_id on ties).
+ADVANCED_ORACLES["q88_semantic_dedup"] = """
+    WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    centroids AS (
+      SELECT vec_id AS centroid_id, v AS cv FROM emb
+      ORDER BY vec_id LIMIT 16
+    ),
+    assigned AS (
+      SELECT vec_id, v, centroid_id FROM (
+        SELECT e.vec_id, e.v, t.centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY round(list_cosine_similarity(e.v, t.cv), 6) DESC,
+                          t.centroid_id) AS r
+        FROM emb e CROSS JOIN centroids t
+      ) WHERE r = 1
+    ),
+    scored AS (
+      SELECT a.centroid_id, a.vec_id,
+             round(list_cosine_similarity(a.v, t.cv), 6) AS centroid_sim
+      FROM assigned a JOIN centroids t USING (centroid_id)
+    )
+    SELECT centroid_id, vec_id, centroid_sim, cluster_size FROM (
+      SELECT scored.*,
+             ROW_NUMBER() OVER (PARTITION BY centroid_id
+               ORDER BY centroid_sim DESC, vec_id) AS r,
+             COUNT(*) OVER (PARTITION BY centroid_id) AS cluster_size
+      FROM scored
+    ) WHERE r = 1
+"""
