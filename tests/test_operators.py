@@ -342,3 +342,47 @@ def test_merge_rollup_invariant(spark):
         for r in rollup_events(events, ["event_type"]).collect()
     }
     assert merged == full
+
+
+def test_chunking_reconstructs_and_packs(spark, sf_dir):
+    """Invariants tying q85/q87 together: with stride == chunk_size the
+    chunks partition the token stream exactly (joining them rebuilds the
+    normalized text), chunk_ids are dense from 0, and sequence packing
+    assigns non-decreasing seq_idx along each group's pack order."""
+    from adhesive_spark.operators.text import (
+        chunk_documents,
+        normalize_text,
+        pack_sequences,
+    )
+    from adhesive_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
+    chunks = chunk_documents(docs, "text", "doc_id", chunk_size=32, stride=32)
+    rebuilt = (
+        chunks.groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                " ", F.array_sort(F.collect_list(F.struct("chunk_id", "chunk_text")))
+                .getField("chunk_text")
+            ).alias("rebuilt"),
+            F.count("*").alias("n_chunks"),
+            F.max("chunk_id").alias("max_chunk"),
+        )
+    )
+    joined = rebuilt.join(
+        docs.select("doc_id", normalize_text(F.col("text")).alias("norm")),
+        "doc_id",
+    )
+    bad = joined.where(F.col("rebuilt") != F.col("norm")).count()
+    assert bad == 0
+    # dense chunk ids
+    assert joined.where(F.col("max_chunk") != F.col("n_chunks") - 1).count() == 0
+    # packing: seq_idx non-decreasing in pack order, starts at 0 per group
+    packed = pack_sequences(
+        chunks.withColumn("grp", F.lit("all")), "grp", ["doc_id", "chunk_id"],
+        seq_tokens=128,
+    )
+    rows = packed.orderBy("doc_id", "chunk_id").select("seq_idx").collect()
+    seqs = [r.seq_idx for r in rows]
+    assert seqs[0] == 0
+    assert all(a <= b for a, b in zip(seqs, seqs[1:]))
