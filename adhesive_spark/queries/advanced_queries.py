@@ -148,6 +148,42 @@ def q42_sketch_distinct(spark, sf_dir):
     )
 
 
+def q89_hll_merge(spark, sf_dir):
+    """MERGEABLE sketches (Apache DataSketches HLL): per-group sketches
+    union into the global cardinality WITHOUT rescanning rows — the
+    two-level rollup every 100 TB distinct-count pipeline uses (partial
+    sketches per partition/day, union at read). The naive alternative —
+    summing per-group distinct counts — overcounts shared users (emitted
+    alongside to prove the overlap is real). Engine-specific estimate →
+    q42-style contract boolean; the exact columns are fully
+    hash-checked."""
+    events = load_table(spark, sf_dir, "events")
+    per = events.groupBy("event_type").agg(
+        F.expr("hll_sketch_agg(user_id, 14)").alias("sk"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+    g = per.agg(
+        F.count("*").alias("n_groups"),
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("__est"),
+        F.sum("exact_users").alias("naive_sum_distinct"),
+    )
+    exact = events.agg(
+        F.countDistinct("user_id").alias("exact_global")
+    )
+    return g.crossJoin(exact).select(
+        "n_groups",
+        "exact_global",
+        "naive_sum_distinct",
+        (
+            F.abs(F.col("__est") - F.col("exact_global"))
+            <= F.col("exact_global") * F.lit(0.05)
+        ).alias("union_within_5pct"),
+        (F.col("naive_sum_distinct") > F.col("exact_global")).alias(
+            "naive_overcounts"
+        ),
+    )
+
+
 def q43_percentiles(spark, sf_dir):
     """Exact interpolated percentiles (sort-based, engine-portable) per
     priority bucket; Spark `percentile` ≡ DuckDB `quantile_cont`."""
@@ -692,6 +728,7 @@ ADVANCED_QUERIES = {
     "q68_incremental_rollup": q68_incremental_rollup,
     "q83_ivf_persisted_probe": q83_ivf_persisted_probe,
     "q88_semantic_dedup": q88_semantic_dedup,
+    "q89_hll_merge": q89_hll_merge,
 }
 
 # Shared DuckDB fragments (mirror operators.text constant-for-constant).
@@ -1326,4 +1363,20 @@ ADVANCED_ORACLES["q88_semantic_dedup"] = """
              COUNT(*) OVER (PARTITION BY centroid_id) AS cluster_size
       FROM scored
     ) WHERE r = 1
+"""
+
+# q89: the union ESTIMATE is engine-specific (DataSketches HLL) — the
+# oracle asserts its 5%-of-exact contract as a boolean (q42 pattern); the
+# exact/naive columns are fully value-checked.
+ADVANCED_ORACLES["q89_hll_merge"] = """
+    WITH per AS (
+      SELECT event_type, COUNT(DISTINCT user_id) AS exact_users
+      FROM events GROUP BY event_type
+    )
+    SELECT (SELECT COUNT(*) FROM per) AS n_groups,
+           (SELECT COUNT(DISTINCT user_id) FROM events) AS exact_global,
+           (SELECT CAST(SUM(exact_users) AS BIGINT) FROM per) AS naive_sum_distinct,
+           TRUE AS union_within_5pct,
+           (SELECT CAST(SUM(exact_users) AS BIGINT) FROM per)
+             > (SELECT COUNT(DISTINCT user_id) FROM events) AS naive_overcounts
 """

@@ -160,3 +160,37 @@ def test_compact_parquet_reduces_files(spark, tmp_path_factory):
     a = {(r.id, r.k) for r in spark.read.parquet(dest).collect()}
     b = {(r.id, r.k) for r in spark.read.parquet(src).collect()}
     assert a == b
+
+
+def test_json_corrupt_record_modes(spark, tmp_path_factory):
+    """Dirty-ingest contract at scale: PERMISSIVE quarantines malformed
+    rows into _corrupt_record (the pipeline default — one bad crawl line
+    must not kill a 100 TB load), DROPMALFORMED silently keeps only the
+    clean rows, FAILFAST surfaces the error for strict loads."""
+    import pyspark.sql.utils  # noqa: F401
+
+    from adhesive_spark.sources.formats import read_any
+
+    d = tmp_path_factory.mktemp("dirty")
+    p = d / "data.json"
+    p.write_text(
+        '{"id": 1, "v": "ok"}\n'
+        "{this is not json}\n"
+        '{"id": 3, "v": "also ok"}\n'
+    )
+    schema = "id bigint, v string, _corrupt_record string"
+    df = read_any(spark, str(p), "json", schema=schema, mode="PERMISSIVE")
+    rows = df.collect()
+    assert len(rows) == 3
+    bad = [r for r in rows if r._corrupt_record is not None]
+    assert len(bad) == 1 and "not json" in bad[0]._corrupt_record
+    dropped = read_any(
+        spark, str(p), "json", schema="id bigint, v string", mode="DROPMALFORMED"
+    )
+    assert {r.id for r in dropped.collect()} == {1, 3}
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="FAILFAST|Malformed"):
+        read_any(
+            spark, str(p), "json", schema="id bigint, v string", mode="FAILFAST"
+        ).collect()
