@@ -184,6 +184,52 @@ def q89_hll_merge(spark, sf_dir):
     )
 
 
+def q90_theta_overlap(spark, sf_dir):
+    """Theta sketches: SET OPERATIONS on sketched audiences — the
+    intersection/union cardinality of click vs purchase users from two
+    mergeable sketches, no distinct-join of the raw ids (HLL can union
+    but never intersect; theta is the 100 TB audience-overlap tool).
+    Estimates are engine-specific → contract booleans vs the exact
+    counterparts computed alongside (q42/q89 pattern)."""
+    events = load_table(spark, sf_dir, "events")
+    per = (
+        events.where(F.col("event_type").isin("click", "purchase"))
+        .groupBy("event_type")
+        .agg(F.expr("theta_sketch_agg(user_id)").alias("sk"))
+    )
+    est = per.agg(
+        F.expr("theta_sketch_estimate(theta_intersection_agg(sk))").alias(
+            "__inter"
+        ),
+        F.expr("theta_sketch_estimate(theta_union_agg(sk))").alias("__union"),
+    )
+    clicks = events.where(F.col("event_type") == "click").select("user_id").distinct()
+    purch = (
+        events.where(F.col("event_type") == "purchase").select("user_id").distinct()
+    )
+    exact = (
+        clicks.join(purch, "user_id")
+        .agg(F.count("*").alias("exact_inter"))
+        .crossJoin(
+            clicks.unionByName(purch)
+            .distinct()
+            .agg(F.count("*").alias("exact_union"))
+        )
+    )
+    return est.crossJoin(exact).select(
+        "exact_inter",
+        "exact_union",
+        (
+            F.abs(F.col("__inter") - F.col("exact_inter"))
+            <= F.greatest(F.col("exact_inter") * F.lit(0.05), F.lit(2.0))
+        ).alias("inter_within_5pct"),
+        (
+            F.abs(F.col("__union") - F.col("exact_union"))
+            <= F.greatest(F.col("exact_union") * F.lit(0.05), F.lit(2.0))
+        ).alias("union_within_5pct"),
+    )
+
+
 def q43_percentiles(spark, sf_dir):
     """Exact interpolated percentiles (sort-based, engine-portable) per
     priority bucket; Spark `percentile` ≡ DuckDB `quantile_cont`."""
@@ -729,6 +775,7 @@ ADVANCED_QUERIES = {
     "q83_ivf_persisted_probe": q83_ivf_persisted_probe,
     "q88_semantic_dedup": q88_semantic_dedup,
     "q89_hll_merge": q89_hll_merge,
+    "q90_theta_overlap": q90_theta_overlap,
 }
 
 # Shared DuckDB fragments (mirror operators.text constant-for-constant).
@@ -1379,4 +1426,13 @@ ADVANCED_ORACLES["q89_hll_merge"] = """
            TRUE AS union_within_5pct,
            (SELECT CAST(SUM(exact_users) AS BIGINT) FROM per)
              > (SELECT COUNT(DISTINCT user_id) FROM events) AS naive_overcounts
+"""
+
+ADVANCED_ORACLES["q90_theta_overlap"] = """
+    WITH c AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+    p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+    SELECT (SELECT COUNT(*) FROM (SELECT user_id FROM c INTERSECT SELECT user_id FROM p)) AS exact_inter,
+           (SELECT COUNT(*) FROM (SELECT user_id FROM c UNION SELECT user_id FROM p)) AS exact_union,
+           TRUE AS inter_within_5pct,
+           TRUE AS union_within_5pct
 """
