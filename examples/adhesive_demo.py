@@ -27,17 +27,33 @@ def main() -> None:
         [(i, i * 10) for i in range(1, 7)], "a long, b long"
     ).createOrReplaceTempView("t")
 
-    # examples/adhesive.rs:22-35 — inline-body function (their flagship
-    # LANGUAGE JAVA multiply kernel; PYTHON is this engine's inline path)
+    # examples/adhesive.rs:22-35 — the flagship inline-body function,
+    # SAME path as the reference: Java source compiled at CREATE time
     sess.sql(
         """
         CREATE FUNCTION f1(BIGINT, BIGINT)
+        RETURNS BIGINT
+        LANGUAGE JAVA
+        AS $$ public class Mul implements
+              org.apache.spark.sql.api.java.UDF2<Long, Long, Long> {
+                public Long call(Long a, Long b) {
+                  return (a == null || b == null) ? null : a * b;
+                }
+              } $$
+        """
+    )
+    sess.sql("SELECT a, b, f1(a, b) FROM t").show()
+
+    # the idiomatic inline-body twin (no JVM compile round-trip)
+    sess.sql(
+        """
+        CREATE FUNCTION f1py(BIGINT, BIGINT)
         RETURNS BIGINT
         LANGUAGE PYTHON
         AS 'return arg0 * arg1'
         """
     )
-    sess.sql("SELECT a, b, f1(a, b) FROM t").show()
+    sess.sql("SELECT a, b, f1py(a, b) FROM t").show()
 
     # examples/adhesive.rs:40-49 — precompiled-function lookup
     # (LANGUAGE CLASS "com...BasicExample" → MODULE "operator.mul")
