@@ -230,6 +230,43 @@ def q90_theta_overlap(spark, sf_dir):
     )
 
 
+def q91_recursive_month_spine(spark, sf_dir):
+    """Recursive CTE (new in Spark 4): generate the complete month spine
+    of the orders date range and gap-fill monthly revenue — the
+    dense-time-series idiom (months with zero orders must appear with
+    zeros, which no GROUP BY over the facts alone can produce). The
+    spine bounds are two driver scalars (one tiny agg); the spine itself
+    is ~80 rows, so the recursion is planner-side, never data-scale.
+    Cents quantization keeps the monthly sums exact across engines."""
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("orders")
+    b = orders.agg(
+        F.date_format(F.min("o_orderdate"), "yyyy-MM-01").alias("lo"),
+        F.date_format(F.max("o_orderdate"), "yyyy-MM-01").alias("hi"),
+    ).first()
+    return spark.sql(
+        f"""
+        WITH RECURSIVE m(month_start) AS (
+          SELECT DATE'{b.lo}'
+          UNION ALL
+          SELECT add_months(month_start, 1) FROM m
+          WHERE month_start < DATE'{b.hi}'
+        ),
+        c AS (
+          SELECT date_format(o_orderdate, 'yyyy-MM') AS ym,
+                 COUNT(*) AS n_orders,
+                 CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                      AS BIGINT) AS total_cents
+          FROM orders GROUP BY 1
+        )
+        SELECT date_format(m.month_start, 'yyyy-MM') AS month,
+               COALESCE(c.n_orders, CAST(0 AS BIGINT)) AS n_orders,
+               COALESCE(c.total_cents, CAST(0 AS BIGINT)) AS total_cents
+        FROM m LEFT JOIN c ON date_format(m.month_start, 'yyyy-MM') = c.ym
+        """
+    )
+
+
 def q43_percentiles(spark, sf_dir):
     """Exact interpolated percentiles (sort-based, engine-portable) per
     priority bucket; Spark `percentile` ≡ DuckDB `quantile_cont`."""
@@ -776,6 +813,7 @@ ADVANCED_QUERIES = {
     "q88_semantic_dedup": q88_semantic_dedup,
     "q89_hll_merge": q89_hll_merge,
     "q90_theta_overlap": q90_theta_overlap,
+    "q91_recursive_month_spine": q91_recursive_month_spine,
 }
 
 # Shared DuckDB fragments (mirror operators.text constant-for-constant).
@@ -1435,4 +1473,24 @@ ADVANCED_ORACLES["q90_theta_overlap"] = """
            (SELECT COUNT(*) FROM (SELECT user_id FROM c UNION SELECT user_id FROM p)) AS exact_union,
            TRUE AS inter_within_5pct,
            TRUE AS union_within_5pct
+"""
+
+ADVANCED_ORACLES["q91_recursive_month_spine"] = """
+    WITH RECURSIVE m(month_start) AS (
+      SELECT date_trunc('month', (SELECT MIN(o_orderdate) FROM orders))
+      UNION ALL
+      SELECT month_start + INTERVAL 1 MONTH FROM m
+      WHERE month_start < date_trunc('month', (SELECT MAX(o_orderdate) FROM orders))
+    ),
+    c AS (
+      SELECT strftime(o_orderdate, '%Y-%m') AS ym,
+             COUNT(*) AS n_orders,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+               AS total_cents
+      FROM orders GROUP BY 1
+    )
+    SELECT strftime(m.month_start, '%Y-%m') AS month,
+           COALESCE(c.n_orders, 0) AS n_orders,
+           COALESCE(c.total_cents, 0) AS total_cents
+    FROM m LEFT JOIN c ON strftime(m.month_start, '%Y-%m') = c.ym
 """
