@@ -267,6 +267,35 @@ def q91_recursive_month_spine(spark, sf_dir):
     )
 
 
+def q92_variant_shred(spark, sf_dir):
+    """VARIANT (Spark 4's semi-structured type): parse the raw JSON props
+    ONCE into a variant, then extract typed paths — the
+    shred-once/extract-many pattern that replaces per-path get_json_object
+    re-parsing at scale. Aggregates the extracted field per event type
+    with exact integer sums."""
+    events = load_table(spark, sf_dir, "events")
+    events.createOrReplaceTempView("events")
+    return spark.sql(
+        """
+        WITH v AS (
+          SELECT event_type, parse_json(props) AS pv FROM events
+        ),
+        x AS (
+          SELECT event_type,
+                 variant_get(pv, '$.k', 'int') AS k
+          FROM v
+        )
+        SELECT event_type,
+               COUNT(*) AS n,
+               COUNT(k) AS n_with_k,
+               CAST(SUM(k) AS BIGINT) AS k_sum,
+               MIN(k) AS k_min,
+               MAX(k) AS k_max
+        FROM x GROUP BY event_type
+        """
+    )
+
+
 def q43_percentiles(spark, sf_dir):
     """Exact interpolated percentiles (sort-based, engine-portable) per
     priority bucket; Spark `percentile` ≡ DuckDB `quantile_cont`."""
@@ -814,6 +843,7 @@ ADVANCED_QUERIES = {
     "q89_hll_merge": q89_hll_merge,
     "q90_theta_overlap": q90_theta_overlap,
     "q91_recursive_month_spine": q91_recursive_month_spine,
+    "q92_variant_shred": q92_variant_shred,
 }
 
 # Shared DuckDB fragments (mirror operators.text constant-for-constant).
@@ -1493,4 +1523,19 @@ ADVANCED_ORACLES["q91_recursive_month_spine"] = """
            COALESCE(c.n_orders, 0) AS n_orders,
            COALESCE(c.total_cents, 0) AS total_cents
     FROM m LEFT JOIN c ON strftime(m.month_start, '%Y-%m') = c.ym
+"""
+
+ADVANCED_ORACLES["q92_variant_shred"] = """
+    WITH x AS (
+      SELECT event_type,
+             CAST(json_extract(props, '$.k') AS INT) AS k
+      FROM events
+    )
+    SELECT event_type,
+           COUNT(*) AS n,
+           COUNT(k) AS n_with_k,
+           CAST(SUM(k) AS BIGINT) AS k_sum,
+           MIN(k) AS k_min,
+           MAX(k) AS k_max
+    FROM x GROUP BY event_type
 """

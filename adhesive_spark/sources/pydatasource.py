@@ -1,0 +1,74 @@
+"""Custom Python DataSource (Spark 4 ``pyspark.sql.datasource`` API):
+a deterministic synthetic document corpus generated partition-parallel
+on the executors.
+
+The reference's only source is an in-memory Arrow batch registered as a
+table (examples/adhesive.rs:17-19); this is the Spark-4-native way to
+own a SOURCE end to end — schema, partition planning, and per-partition
+generation all in Python, while Spark handles distribution, pruning and
+the Arrow transport. The corpus is seeded per document (not per
+partition), so the SAME rows come back for any partition count — the
+property that makes a generated source usable in reproducible tests and
+benchmarks.
+
+Usage::
+
+    from adhesive_spark.sources.pydatasource import register_synthetic_docs
+    register_synthetic_docs(spark)
+    df = (spark.read.format("synthetic_docs")
+          .option("n_docs", 10_000).option("partitions", 32).load())
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+_WORDS = (
+    "the data spark engine corpus token stream shuffle partition scan "
+    "join filter window batch vector column row group file format "
+    "quality language model training sample shard merge sketch"
+).split()
+
+
+class SyntheticDocsDataSource(DataSource):
+    """``format("synthetic_docs")`` — options: n_docs, partitions, seed."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_docs"
+
+    def schema(self) -> str:
+        return "doc_id bigint, source string, n_words int, text string"
+
+    def reader(self, schema) -> "SyntheticDocsReader":
+        return SyntheticDocsReader(self.options)
+
+
+class SyntheticDocsReader(DataSourceReader):
+    def __init__(self, options):
+        self.n_docs = int(options.get("n_docs", 1000))
+        self.n_parts = max(1, int(options.get("partitions", 8)))
+        self.seed = int(options.get("seed", 42))
+
+    def partitions(self):
+        # contiguous doc-id ranges: planning is pure metadata, each
+        # executor generates only its slice
+        return [InputPartition(i) for i in range(self.n_parts)]
+
+    def read(self, partition):
+        i = partition.value
+        lo = self.n_docs * i // self.n_parts
+        hi = self.n_docs * (i + 1) // self.n_parts
+        for doc_id in range(lo, hi):
+            # per-DOCUMENT seeding (never per-partition): the corpus is
+            # identical under any repartitioning of the generation
+            rng = random.Random(self.seed * 1_000_003 + doc_id)
+            n = rng.randint(20, 120)
+            text = " ".join(rng.choice(_WORDS) for _ in range(n))
+            yield (doc_id, f"src{doc_id % 4}", n, text)
+
+
+def register_synthetic_docs(spark) -> None:
+    spark.dataSource.register(SyntheticDocsDataSource)

@@ -194,3 +194,43 @@ def test_json_corrupt_record_modes(spark, tmp_path_factory):
         read_any(
             spark, str(p), "json", schema="id bigint, v string", mode="FAILFAST"
         ).collect()
+
+
+def test_python_datasource_synthetic_docs(spark):
+    """Spark-4 Python DataSource: schema/partition-planning/generation
+    owned in Python, distribution owned by Spark. Pinned properties:
+    row count, partition parallelism, and per-document seeding (the same
+    corpus under a different partition count)."""
+    from adhesive_spark.sources.pydatasource import register_synthetic_docs
+
+    register_synthetic_docs(spark)
+    df = (
+        spark.read.format("synthetic_docs")
+        .option("n_docs", 500)
+        .option("partitions", 8)
+        .load()
+    )
+    assert df.count() == 500
+    assert df.rdd.getNumPartitions() == 8
+    assert [f.name for f in df.schema.fields] == [
+        "doc_id",
+        "source",
+        "n_words",
+        "text",
+    ]
+    # deterministic across partition layouts: same rows, any parallelism
+    df2 = (
+        spark.read.format("synthetic_docs")
+        .option("n_docs", 500)
+        .option("partitions", 3)
+        .load()
+    )
+    a = {(r.doc_id, r.text) for r in df.collect()}
+    b = {(r.doc_id, r.text) for r in df2.collect()}
+    assert a == b
+    # the generated corpus feeds the real operators
+    from adhesive_spark.operators.text import token_count
+
+    got = df.select(F.sum(token_count(F.col("text"))).alias("t")).first().t
+    want = df.select(F.sum("n_words").alias("t")).first().t
+    assert got == want
