@@ -23,7 +23,12 @@ from __future__ import annotations
 
 import random
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 
 _WORDS = (
     "the data spark engine corpus token stream shuffle partition scan "
@@ -44,6 +49,9 @@ class SyntheticDocsDataSource(DataSource):
 
     def reader(self, schema) -> "SyntheticDocsReader":
         return SyntheticDocsReader(self.options)
+
+    def streamReader(self, schema) -> "SyntheticDocsStreamReader":
+        return SyntheticDocsStreamReader(self.options)
 
 
 class SyntheticDocsReader(DataSourceReader):
@@ -72,3 +80,51 @@ class SyntheticDocsReader(DataSourceReader):
 
 def register_synthetic_docs(spark) -> None:
     spark.dataSource.register(SyntheticDocsDataSource)
+
+
+class _DocRangePartition(InputPartition):
+    def __init__(self, lo: int, hi: int, seed: int):
+        self.lo, self.hi, self.seed = lo, hi, seed
+
+
+class SyntheticDocsStreamReader(DataSourceStreamReader):
+    """Micro-batched twin of :class:`SyntheticDocsReader`: the offset is
+    simply the next doc_id, each poll exposes up to ``batch_docs`` more
+    documents until ``n_docs`` — the replayable-offset contract every
+    real stream source (Kafka, files) implements. Rows for a given
+    offset range are deterministic, so checkpoint recovery replays
+    identical data."""
+
+    def __init__(self, options):
+        self.n_docs = int(options.get("n_docs", 1000))
+        self.batch_docs = max(1, int(options.get("batch_docs", 100)))
+        self.n_parts = max(1, int(options.get("partitions", 4)))
+        self.seed = int(options.get("seed", 42))
+        self._pos = 0
+
+    def initialOffset(self) -> dict:
+        return {"next_doc": 0}
+
+    def latestOffset(self) -> dict:
+        self._pos = min(self._pos + self.batch_docs, self.n_docs)
+        return {"next_doc": self._pos}
+
+    def partitions(self, start: dict, end: dict):
+        lo, hi = start["next_doc"], end["next_doc"]
+        if hi <= lo:
+            return [_DocRangePartition(lo, lo, self.seed)]
+        step = max(1, (hi - lo + self.n_parts - 1) // self.n_parts)
+        return [
+            _DocRangePartition(i, min(i + step, hi), self.seed)
+            for i in range(lo, hi, step)
+        ]
+
+    def read(self, partition):
+        for doc_id in range(partition.lo, partition.hi):
+            rng = random.Random(partition.seed * 1_000_003 + doc_id)
+            n = rng.randint(20, 120)
+            text = " ".join(rng.choice(_WORDS) for _ in range(n))
+            yield (doc_id, f"src{doc_id % 4}", n, text)
+
+    def commit(self, end: dict) -> None:
+        pass  # nothing to clean up: generation is stateless

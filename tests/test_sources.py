@@ -234,3 +234,49 @@ def test_python_datasource_synthetic_docs(spark):
     got = df.select(F.sum(token_count(F.col("text"))).alias("t")).first().t
     want = df.select(F.sum("n_words").alias("t")).first().t
     assert got == want
+
+
+def test_python_datasource_streaming(spark, tmp_path_factory):
+    """The streaming side of the custom source: offset-tracked
+    micro-batches (next_doc high-water mark) draining to exactly the
+    batch reader's corpus — replayable-offset determinism."""
+    from adhesive_spark.sources.pydatasource import register_synthetic_docs
+
+    register_synthetic_docs(spark)
+    ckpt = str(tmp_path_factory.mktemp("pds") / "ckpt")
+    stream = (
+        spark.readStream.format("synthetic_docs")
+        .option("n_docs", 300)
+        .option("batch_docs", 80)
+        .option("partitions", 4)
+        .load()
+    )
+    # NOT availableNow: that trigger snapshots latestOffset once, but this
+    # source exposes work batch_docs at a time (real micro-batch offset
+    # advancement) — run continuous micro-batches and stop when drained
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("t_pds")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    import time
+
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        if spark.table("t_pds").count() >= 300:
+            break
+        time.sleep(1)
+    q.stop()
+    got = {(r.doc_id, r.text) for r in spark.table("t_pds").collect()}
+    batch = (
+        spark.read.format("synthetic_docs")
+        .option("n_docs", 300)
+        .option("partitions", 2)
+        .load()
+    )
+    want = {(r.doc_id, r.text) for r in batch.collect()}
+    assert got == want
+    assert len(got) == 300
