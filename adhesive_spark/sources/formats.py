@@ -177,3 +177,66 @@ def compact_parquet(
         out = out.sortWithinPartitions(*sort_within_by)
     out.write.mode("overwrite").parquet(dest_path)
     return n_out
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    *,
+    n_files: int = 16,
+    bits: int = 8,
+) -> None:
+    """Z-order (Morton-curve) file layout for MULTI-column data skipping
+    — the lakehouse OPTIMIZE ZORDER technique as plain Spark: linear
+    sorting gives tight per-file min/max on ONE column; interleaving the
+    bit representations of several columns clusters rows so every
+    z-ordered column gets usefully tight per-file ranges, and a reader's
+    min/max (row-group / file footer) pruning skips most files for
+    predicates on ANY of them.
+
+    Mechanics: each column is scaled to a ``bits``-bit bucket id between
+    its min and max (two driver scalars per column — one tiny agg, the
+    same bounded-metadata pattern as the IVF probe), bucket bits are
+    interleaved JVM-side into the Morton rank, and the data is
+    range-partitioned + sorted by that rank. Cost: the same single
+    shuffle a plain sorted write pays.
+    """
+    from pyspark.sql import functions as F
+
+    stats = df.agg(
+        *[F.min(c).alias(f"__lo_{c}") for c in cols],
+        *[F.max(c).alias(f"__hi_{c}") for c in cols],
+    ).first()
+    scale = (1 << bits) - 1
+    bucket_cols = []
+    for c in cols:
+        lo = float(stats[f"__lo_{c}"])
+        hi = float(stats[f"__hi_{c}"])
+        span = (hi - lo) or 1.0
+        b = F.least(
+            F.lit(scale),
+            F.greatest(
+                F.lit(0),
+                F.floor((F.col(c).cast("double") - F.lit(lo)) / F.lit(span) * scale).cast(
+                    "long"
+                ),
+            ),
+        )
+        bucket_cols.append(b)
+    # Morton rank: interleave bit i of every bucket id
+    rank = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, b in enumerate(bucket_cols):
+            bit = F.shiftright(b, i).bitwiseAND(F.lit(1))
+            rank = rank.bitwiseOR(
+                F.shiftleft(bit, i * len(bucket_cols) + j).cast("long")
+            )
+    (
+        df.withColumn("__z", rank)
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -280,3 +280,61 @@ def test_python_datasource_streaming(spark, tmp_path_factory):
     want = {(r.doc_id, r.text) for r in batch.collect()}
     assert got == want
     assert len(got) == 300
+
+
+def test_zorder_layout_skips_on_both_dimensions(spark, sf_dir, tmp_path_factory):
+    """Z-order vs linear sort: per-file min/max ranges must enable
+    pruning on BOTH z-ordered columns, where the linear layout prunes on
+    its sort column only. Measured directly from parquet footer stats —
+    exactly what a reader's row-group pruning consults."""
+    import pyarrow.parquet as pq
+
+    from adhesive_spark.sources.formats import write_zordered
+    from adhesive_spark.sources.registry import load_table
+
+    events = load_table(spark, sf_dir, "events").select("user_id", "value")
+    d = tmp_path_factory.mktemp("zo")
+    linear, zo = str(d / "linear"), str(d / "zorder")
+    (
+        events.repartitionByRange(8, "user_id")
+        .sortWithinPartitions("user_id")
+        .write.parquet(linear)
+    )
+    write_zordered(events, zo, ["user_id", "value"], n_files=8, bits=8)
+
+    def match_fraction(path, col, point):
+        import glob
+
+        files = glob.glob(f"{path}/part-*.parquet")
+        assert len(files) >= 4, files
+        hit = 0
+        for f in files:
+            md = pq.read_metadata(f)
+            names = [
+                md.row_group(0).column(j).path_in_schema
+                for j in range(md.num_columns)
+            ]
+            k = names.index(col)
+            lo = min(
+                md.row_group(i).column(k).statistics.min
+                for i in range(md.num_row_groups)
+            )
+            hi = max(
+                md.row_group(i).column(k).statistics.max
+                for i in range(md.num_row_groups)
+            )
+            if lo <= point <= hi:
+                hit += 1
+        return hit / len(files)
+
+    mid_user, mid_value = 75, 50.0
+    # linear layout: prunes on its sort column, useless on the other
+    assert match_fraction(linear, "user_id", mid_user) <= 0.5
+    assert match_fraction(linear, "value", mid_value) >= 0.9
+    # z-order: BOTH columns prune
+    zu = match_fraction(zo, "user_id", mid_user)
+    zv = match_fraction(zo, "value", mid_value)
+    assert zu <= 0.75, zu
+    assert zv <= 0.75, zv
+    # same data either way
+    assert spark.read.parquet(zo).count() == events.count()
