@@ -370,3 +370,72 @@ def pack_sequences(
     return chunks.withColumn(
         "seq_idx", F.floor(start / F.lit(seq_tokens)).cast("int")
     )
+
+
+def repetition_metrics(col) -> dict[str, Column]:
+    """Within-document repetition signals (the Gopher/RefinedWeb-style
+    quality rules): the fraction of duplicated word trigrams and the
+    share of the most frequent token. High values mark boilerplate,
+    keyword stuffing, and generation loops — the docs a curation pass
+    drops before training.
+
+    All built-ins over ONE bound token array (no Python, no shuffle);
+    fround keeps the ratios engine-exact for the oracle.
+    """
+
+    def _metrics(toks):
+        n_tok = F.size(toks)
+        tri = F.when(
+            n_tok - 2 >= 1,
+            F.transform(
+                F.sequence(F.lit(1), n_tok - 2),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(toks, i),
+                    F.element_at(toks, i + 1),
+                    F.element_at(toks, i + 2),
+                ),
+            ),
+        ).otherwise(F.array())
+        n_tri = F.size(tri)
+        dup_tri = F.when(
+            n_tri >= 1,
+            fround(
+                (n_tri - F.size(F.array_distinct(tri))) / n_tri, 4
+            ),
+        ).otherwise(F.lit(0.0))
+        # top-token share via longest run in the SORTED array — O(n log n)
+        # (counting each distinct token against the array would be O(n²))
+        run0 = F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).cast("int").alias("run"),
+            F.lit(0).cast("int").alias("best"),
+        )
+        top = F.aggregate(
+            F.array_sort(toks),
+            run0,
+            lambda acc, t: F.struct(
+                t.alias("prev"),
+                F.when(t == acc["prev"], acc["run"] + 1)
+                .otherwise(F.lit(1))
+                .alias("run"),
+                F.greatest(
+                    acc["best"],
+                    F.when(t == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+                ).alias("best"),
+            ),
+            lambda acc: acc["best"],
+        )
+        top_frac = fround(top / F.greatest(n_tok, F.lit(1)), 4)
+        return F.struct(
+            n_tok.alias("n_tokens"),
+            dup_tri.alias("dup_trigram_frac"),
+            top_frac.alias("top_token_frac"),
+        )
+
+    m = F.element_at(F.transform(F.array(tokens(col)), _metrics), 1)
+    return {
+        "n_tokens": m["n_tokens"],
+        "dup_trigram_frac": m["dup_trigram_frac"],
+        "top_token_frac": m["top_token_frac"],
+    }

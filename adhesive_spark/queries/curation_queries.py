@@ -307,6 +307,27 @@ def q87_sequence_packing(spark, sf_dir):
     )
 
 
+def q93_repetition_quality(spark, sf_dir):
+    """Gopher-style repetition filters: duplicate-trigram fraction and
+    top-token share per document, with the keep decision — the
+    boilerplate/loop detector of a curation pass. One scan, all
+    built-ins (longest-sorted-run trick for the top token, O(n log n)
+    per doc)."""
+    from adhesive_spark.operators.text import repetition_metrics
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    m = repetition_metrics(F.col("text"))
+    return docs.select(
+        "doc_id",
+        m["n_tokens"].alias("n_tokens"),
+        m["dup_trigram_frac"].alias("dup_trigram_frac"),
+        m["top_token_frac"].alias("top_token_frac"),
+        (
+            (m["dup_trigram_frac"] < 0.3) & (m["top_token_frac"] < 0.2)
+        ).alias("keep"),
+    )
+
+
 CURATION_QUERIES = {
     "q56_pii_redact": q56_pii_redact,
     "q69_contamination_check": q69_contamination_check,
@@ -321,6 +342,7 @@ CURATION_QUERIES = {
     "q85_doc_chunking": q85_doc_chunking,
     "q86_incremental_dedup": q86_incremental_dedup,
     "q87_sequence_packing": q87_sequence_packing,
+    "q93_repetition_quality": q93_repetition_quality,
 }
 
 # --- oracles -----------------------------------------------------------------
@@ -635,3 +657,36 @@ CURATION_ORACLES = {
         FROM packed GROUP BY source, seq_idx
     """,
 }
+
+CURATION_ORACLES["q93_repetition_quality"] = """
+    WITH d AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+      FROM documents WHERE doc_id < 300
+    ),
+    m AS (
+      SELECT doc_id,
+             len(toks) AS n_tokens,
+             CASE WHEN len(toks) - 2 >= 1 THEN
+               list_transform(range(1, len(toks) - 2 + 1),
+                              i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+             ELSE [] END AS tri,
+             toks
+      FROM d
+    ),
+    r AS (
+      SELECT doc_id, n_tokens,
+             CASE WHEN len(tri) >= 1 THEN
+               floor((len(tri) - len(list_distinct(tri))) * 1.0 / len(tri) * 10000) / 10000
+             ELSE 0.0 END AS dup_trigram_frac,
+             (SELECT MAX(c) FROM (
+                SELECT COUNT(*) AS c FROM unnest(toks) AS u(t) GROUP BY t
+             )) AS top_cnt
+      FROM m
+    )
+    SELECT doc_id, n_tokens, dup_trigram_frac,
+           floor(top_cnt * 1.0 / greatest(n_tokens, 1) * 10000) / 10000 AS top_token_frac,
+           (dup_trigram_frac < 0.3
+            AND floor(top_cnt * 1.0 / greatest(n_tokens, 1) * 10000) / 10000 < 0.2) AS keep
+    FROM r
+"""
