@@ -788,3 +788,254 @@ RELATIONAL_ORACLES["q79_waiting_suppliers"] = """
                         AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
     GROUP BY s.s_name
 """
+
+
+def q94_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 analog: bilateral shipping volume between two nations by
+    ship year. Six-way join — dims broadcast, the fact tables joined on
+    their keys; revenue quantized to 1e-4 units per row so the sums are
+    exact integers in any engine/order."""
+    from adhesive_spark.operators.text import scaled_long
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    vol = scaled_long(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+    )
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), s.s_nationkey == F.col("s_nkey"))
+        .join(F.broadcast(n2), c.c_nationkey == F.col("c_nkey"))
+        .where(
+            (
+                (F.col("supp_nation") == "NATION_1")
+                & (F.col("cust_nation") == "NATION_2")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_2")
+                & (F.col("cust_nation") == "NATION_1")
+            )
+        )
+    )
+    return (
+        j.select(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+            vol.alias("v"),
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg((F.sum("v") / F.lit(10000.0)).alias("revenue"))
+    )
+
+
+def q95_market_share(spark, sf_dir):
+    """TPC-H Q8 analog: NATION_3's share of STANDARD-part revenue inside
+    region ASIA by order year — a ratio of two exact quantized sums."""
+    from adhesive_spark.operators.text import fround, scaled_long
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    p = _t(spark, sf_dir, "part").where(F.col("p_type") == "STANDARD")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    cn = n.select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_regionkey").alias("c_rkey")
+    )
+    sn = n.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    vol = scaled_long(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+    )
+    j = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cn), c.c_nationkey == F.col("c_nkey"))
+        .join(F.broadcast(r), F.col("c_rkey") == r.r_regionkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), s.s_nationkey == F.col("s_nkey"))
+    )
+    g = (
+        j.select(
+            F.year("o_orderdate").alias("o_year"),
+            vol.alias("v"),
+            F.when(F.col("supp_nation") == "NATION_3", 1).otherwise(0).alias("is_n3"),
+        )
+        .groupBy("o_year")
+        .agg(
+            F.sum(F.when(F.col("is_n3") == 1, F.col("v")).otherwise(0)).alias(
+                "n3_c"
+            ),
+            F.sum("v").alias("all_c"),
+        )
+    )
+    return g.select(
+        "o_year",
+        fround(F.col("n3_c") / F.greatest(F.col("all_c"), F.lit(1)), 4).alias(
+            "mkt_share"
+        ),
+        (F.col("all_c") / F.lit(10000.0)).alias("total_volume"),
+    )
+
+
+def q96_returned_items(spark, sf_dir):
+    """TPC-H Q10 analog: top-20 customers by revenue lost to returns in
+    one quarter. Exact quantized revenue + id tie-break makes the LIMIT
+    boundary deterministic; TakeOrdered top-k, no global sort."""
+    from adhesive_spark.operators.text import scaled_long
+
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
+    )
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    rev = scaled_long(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+    )
+    g = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select("c_custkey", "c_name", "c_acctbal", "n_name", rev.alias("r"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum("r").alias("rev_c"))
+    )
+    return (
+        g.orderBy(F.col("rev_c").desc(), F.col("c_custkey"))
+        .limit(20)
+        .select(
+            "c_custkey",
+            "c_name",
+            (F.col("rev_c") / F.lit(10000.0)).alias("revenue"),
+            F.round("c_acctbal", 2).alias("c_acctbal"),
+            "n_name",
+        )
+    )
+
+
+def q97_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 analog: PROMO parts' share of revenue per ship year —
+    conditional aggregation over one join, exact quantized numerator and
+    denominator."""
+    from adhesive_spark.operators.text import fround, scaled_long
+
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    rev = scaled_long(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+    )
+    g = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select(
+            F.year("l_shipdate").alias("l_year"),
+            rev.alias("r"),
+            F.when(F.col("p_type") == "PROMO", 1).otherwise(0).alias("is_promo"),
+        )
+        .groupBy("l_year")
+        .agg(
+            F.sum(F.when(F.col("is_promo") == 1, F.col("r")).otherwise(0)).alias(
+                "promo_c"
+            ),
+            F.sum("r").alias("all_c"),
+        )
+    )
+    return g.select(
+        "l_year",
+        fround(
+            F.lit(100.0) * F.col("promo_c") / F.greatest(F.col("all_c"), F.lit(1)),
+            4,
+        ).alias("promo_pct"),
+        (F.col("all_c") / F.lit(10000.0)).alias("total_revenue"),
+    )
+
+_V4 = "CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)"
+
+RELATIONAL_ORACLES["q94_volume_shipping"] = f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS BIGINT) AS l_year,
+           SUM({_V4}) / 10000.0 AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+    WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+       OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    GROUP BY 1, 2, 3
+"""
+
+RELATIONAL_ORACLES["q95_market_share"] = f"""
+    WITH g AS (
+      SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             CAST(SUM(CASE WHEN ns.n_name = 'NATION_3' THEN {_V4} ELSE 0 END)
+                  AS BIGINT) AS n3_c,
+             CAST(SUM({_V4}) AS BIGINT) AS all_c
+      FROM lineitem l
+      JOIN part p ON l.l_partkey = p.p_partkey AND p.p_type = 'STANDARD'
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+      JOIN region r ON nc.n_regionkey = r.r_regionkey AND r.r_name = 'ASIA'
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+      GROUP BY 1
+    )
+    SELECT o_year,
+           floor(n3_c * 1.0 / greatest(all_c, 1) * 10000) / 10000 AS mkt_share,
+           all_c / 10000.0 AS total_volume
+    FROM g
+"""
+
+RELATIONAL_ORACLES["q96_returned_items"] = f"""
+    SELECT c_custkey, c_name, rev_c / 10000.0 AS revenue,
+           ROUND(c_acctbal, 2) AS c_acctbal, n_name
+    FROM (
+      SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name,
+             CAST(SUM({_V4}) AS BIGINT) AS rev_c
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      WHERE l.l_returnflag = 'R'
+        AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o.o_orderdate < TIMESTAMP '1996-04-01'
+      GROUP BY 1, 2, 3, 4
+    )
+    ORDER BY rev_c DESC, c_custkey LIMIT 20
+"""
+
+RELATIONAL_ORACLES["q97_promo_revenue"] = f"""
+    WITH g AS (
+      SELECT CAST(year(l_shipdate) AS BIGINT) AS l_year,
+             CAST(SUM(CASE WHEN p.p_type = 'PROMO' THEN {_V4} ELSE 0 END)
+                  AS BIGINT) AS promo_c,
+             CAST(SUM({_V4}) AS BIGINT) AS all_c
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY 1
+    )
+    SELECT l_year,
+           floor(100.0 * promo_c / greatest(all_c, 1) * 10000) / 10000 AS promo_pct,
+           all_c / 10000.0 AS total_revenue
+    FROM g
+"""
+
+RELATIONAL_QUERIES["q94_volume_shipping"] = q94_volume_shipping
+RELATIONAL_QUERIES["q95_market_share"] = q95_market_share
+RELATIONAL_QUERIES["q96_returned_items"] = q96_returned_items
+RELATIONAL_QUERIES["q97_promo_revenue"] = q97_promo_revenue
