@@ -113,3 +113,48 @@ def register_sentences_udtf(spark: SparkSession, name: str = "sentences_udtf") -
                     idx += 1
 
     spark.udtf.register(name, Sentences)
+
+
+def register_column_nulls_udtf(spark, name: str = "column_nulls") -> None:
+    """POLYMORPHIC Python UDTF (Spark 4): takes a TABLE argument of ANY
+    schema — ``analyze()`` runs at plan time against the actual input
+    schema, so one registration profiles every table. Each partition's
+    instance accumulates per-column (n_rows, n_null) partials in
+    O(n_columns) memory and emits them at ``terminate()``; callers roll
+    the partials up with a GROUP BY — exactly the map-side-partial /
+    reduce shape a distributed profiler needs (never a single-instance
+    global pass).
+    """
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    @udtf
+    class ColumnNulls:
+        @staticmethod
+        def analyze(t: AnalyzeArgument) -> AnalyzeResult:
+            return AnalyzeResult(
+                StructType()
+                .add("col_name", "string")
+                .add("n_rows", "long")
+                .add("n_null", "long")
+            )
+
+        def __init__(self):
+            self.counts = None
+
+        def eval(self, row):
+            if self.counts is None:
+                self.counts = {k: [0, 0] for k in row.asDict()}
+            for k, v in row.asDict().items():
+                c = self.counts[k]
+                c[0] += 1
+                if v is None:
+                    c[1] += 1
+
+        def terminate(self):
+            if self.counts:
+                for k, (n, nn) in self.counts.items():
+                    yield (k, n, nn)
+
+    spark.udtf.register(name, ColumnNulls)

@@ -296,6 +296,33 @@ def q92_variant_shred(spark, sf_dir):
     )
 
 
+def q98_udtf_table_profile(spark, sf_dir):
+    """Polymorphic TABLE-argument UDTF (Spark 4): one registration
+    profiles any table — per-partition partial (n_rows, n_null) per
+    column from the UDTF, rolled up with a GROUP BY. A doc_id-keyed
+    nullable column is synthesized so n_null is non-trivial."""
+    from adhesive_spark.operators.grouped import register_column_nulls_udtf
+
+    register_column_nulls_udtf(spark, "q98_column_nulls")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.when(F.col("doc_id") % 7 == 0, None)
+        .otherwise(F.col("n_chars"))
+        .alias("n_chars_sparse"),
+    )
+    docs.createOrReplaceTempView("q98_input")
+    return spark.sql(
+        """
+        SELECT col_name,
+               CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+               CAST(SUM(n_null) AS BIGINT) AS n_null
+        FROM q98_column_nulls(TABLE(q98_input))
+        GROUP BY col_name
+        """
+    )
+
+
 def q43_percentiles(spark, sf_dir):
     """Exact interpolated percentiles (sort-based, engine-portable) per
     priority bucket; Spark `percentile` ≡ DuckDB `quantile_cont`."""
@@ -844,6 +871,7 @@ ADVANCED_QUERIES = {
     "q90_theta_overlap": q90_theta_overlap,
     "q91_recursive_month_spine": q91_recursive_month_spine,
     "q92_variant_shred": q92_variant_shred,
+    "q98_udtf_table_profile": q98_udtf_table_profile,
 }
 
 # Shared DuckDB fragments (mirror operators.text constant-for-constant).
@@ -1538,4 +1566,18 @@ ADVANCED_ORACLES["q92_variant_shred"] = """
            MIN(k) AS k_min,
            MAX(k) AS k_max
     FROM x GROUP BY event_type
+"""
+
+ADVANCED_ORACLES["q98_udtf_table_profile"] = """
+    WITH inp AS (
+      SELECT doc_id, source,
+             CASE WHEN doc_id % 7 = 0 THEN NULL ELSE n_chars END AS n_chars_sparse
+      FROM documents
+    )
+    SELECT 'doc_id' AS col_name, COUNT(*) AS n_rows,
+           COUNT(*) - COUNT(doc_id) AS n_null FROM inp
+    UNION ALL
+    SELECT 'source', COUNT(*), COUNT(*) - COUNT(source) FROM inp
+    UNION ALL
+    SELECT 'n_chars_sparse', COUNT(*), COUNT(*) - COUNT(n_chars_sparse) FROM inp
 """
