@@ -184,3 +184,23 @@ def _split_top_level(text: str) -> list[str]:
     if cur:
         parts.append("".join(cur))
     return [p for p in (s.strip() for s in parts) if p]
+
+
+_DROP_FN_PROBE = re.compile(
+    r"^\s*DROP\s+FUNCTION\s+(?P<if_exists>IF\s+EXISTS\s+)?"
+    r"(?P<name>[A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$",
+    re.I,
+)
+
+
+def is_drop_function(sql: str) -> bool:
+    """Cheap probe used by the session interceptor."""
+    return bool(_DROP_FN_PROBE.match(sql))
+
+
+def parse_drop_function(sql: str) -> tuple[str, bool]:
+    """(function_name, if_exists) from a DROP FUNCTION statement."""
+    m = _DROP_FN_PROBE.match(sql)
+    if m is None:
+        raise DdlParseError(f"not a DROP FUNCTION statement: {sql!r}")
+    return m.group("name"), bool(m.group("if_exists"))

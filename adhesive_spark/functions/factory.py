@@ -349,6 +349,24 @@ class FunctionFactory:
             raise DdlParseError(f"unsupported LANGUAGE {lang!r}")
         self.registry[d.name] = RegisteredFunction(definition=d, fn=fn)
 
+    def drop_function(self, name: str, *, if_exists: bool = False) -> None:
+        """DROP FUNCTION [IF EXISTS] name — the lifecycle complement of
+        the CREATE path: removes the registry entry and Spark's temporary
+        function registration, so a later call fails resolution and a
+        plain re-CREATE (no OR REPLACE) succeeds again."""
+        if name not in self.registry:
+            if if_exists:
+                return
+            raise UnknownFunctionError(f"function {name!r} does not exist")
+        del self.registry[name]
+        try:
+            self.spark.sql(f"DROP TEMPORARY FUNCTION IF EXISTS {name}")
+        except Exception:
+            # SQL-macro registrations drop via the same statement; UDF
+            # registrations may predate Spark's temp-function catalog —
+            # the registry removal above is the source of truth
+            pass
+
     def _register_python(
         self,
         d: FunctionDefinition,

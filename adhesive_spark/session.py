@@ -20,7 +20,11 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
-from adhesive_spark.functions.ddl import is_create_function
+from adhesive_spark.functions.ddl import (
+    is_create_function,
+    is_drop_function,
+    parse_drop_function,
+)
 from adhesive_spark.functions.factory import FunctionFactory
 
 #: Defaults chosen for the 100 TB design point, applied at build time.
@@ -86,6 +90,10 @@ class AdhesiveSession:
         if is_create_function(query):
             self.factory.create_function(query)
             # DDL returns an empty OK relation, like DataFusion's DDL result.
+            return self.spark.sql("SELECT 1 AS ok WHERE 1 = 0")
+        if is_drop_function(query):
+            name, if_exists = parse_drop_function(query)
+            self.factory.drop_function(name, if_exists=if_exists)
             return self.spark.sql("SELECT 1 AS ok WHERE 1 = 0")
         return self.spark.sql(query, **kwargs)
 

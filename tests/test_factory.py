@@ -349,3 +349,28 @@ def test_inline_java_body_cache(sess):
     f1 = compile_java_body(sess.spark, "c1", body)
     f2 = compile_java_body(sess.spark, "c2", body)
     assert f1 == f2
+
+
+def test_drop_function_lifecycle(sess):
+    """DROP FUNCTION completes the DDL lifecycle: dropped functions fail
+    resolution, re-CREATE without OR REPLACE succeeds after a drop,
+    IF EXISTS swallows the missing case, and a bare drop of a missing
+    function errors."""
+    sess.sql(
+        "CREATE FUNCTION fdrop(BIGINT) RETURNS BIGINT "
+        "DETERMINISTIC LANGUAGE PYTHON AS 'return arg0 + 1'"
+    )
+    assert [r.v for r in sess.sql("SELECT fdrop(1) AS v").collect()] == [2]
+    sess.sql("DROP FUNCTION fdrop")
+    with pytest.raises(Exception):
+        sess.sql("SELECT fdrop(1)").collect()
+    # re-CREATE without OR REPLACE must not hit the duplicate guard
+    sess.sql(
+        "CREATE FUNCTION fdrop(BIGINT) RETURNS BIGINT "
+        "DETERMINISTIC LANGUAGE PYTHON AS 'return arg0 + 10'"
+    )
+    assert [r.v for r in sess.sql("SELECT fdrop(1) AS v").collect()] == [11]
+    sess.sql("DROP FUNCTION IF EXISTS fdrop")
+    sess.sql("DROP FUNCTION IF EXISTS fdrop")  # second is a no-op
+    with pytest.raises(UnknownFunctionError):
+        sess.sql("DROP FUNCTION fdrop")
