@@ -386,3 +386,30 @@ def test_chunking_reconstructs_and_packs(spark, sf_dir):
     seqs = [r.seq_idx for r in rows]
     assert seqs[0] == 0
     assert all(a <= b for a, b in zip(seqs, seqs[1:]))
+
+
+def test_pandas_api_on_spark_interop(spark, sf_dir):
+    """pandas API on Spark: the dataframe-library surface compiles to the
+    same Catalyst plans — a pandas-style groupby over the real table must
+    equal the SQL/DataFrame result exactly (ecosystem parity: a pandas
+    user switches API, not engine)."""
+    import pyspark.pandas as ps
+
+    from adhesive_spark.sources.registry import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    pdf = orders.pandas_api()
+    got = (
+        pdf.groupby("o_orderpriority")["o_totalprice"]
+        .count()
+        .sort_index()
+        .to_pandas()
+    )
+    want = {
+        r.o_orderpriority: r.n
+        for r in orders.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got.to_dict() == want
+    assert isinstance(pdf, ps.DataFrame)
