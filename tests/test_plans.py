@@ -222,3 +222,29 @@ def test_runtime_bloom_filter_join_reduction(spark, sf):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_tpch_analogs_broadcast_dims(spark, sf):
+    """The Q7/Q8/Q10/Q14 analogs must broadcast their dimension sides and
+    never degenerate to nested loops — six-way joins are where a bad plan
+    costs the most at scale."""
+    from adhesive_spark.plans.explain import assert_no_nested_loop
+    from adhesive_spark.queries.relational import (
+        q94_volume_shipping,
+        q95_market_share,
+        q96_returned_items,
+        q97_promo_revenue,
+    )
+
+    for q, min_bcast in [
+        (q94_volume_shipping, 3),
+        (q95_market_share, 4),
+        (q96_returned_items, 1),
+        (q97_promo_revenue, 1),
+    ]:
+        df = q(spark, sf)
+        assert_broadcast_join(df, min_count=min_bcast)
+        assert_no_nested_loop(df)
+    # Q10's top-20 must be TakeOrdered, not a global sort
+    plan = physical_plan(q96_returned_items(spark, sf))
+    assert "TakeOrderedAndProject" in plan, plan
