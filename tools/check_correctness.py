@@ -15,7 +15,11 @@ import duckdb
 import numpy as np
 import pandas as pd
 
-sys.path.insert(0, ".")
+from pathlib import Path
+
+# repo root, CWD-independent: the tool must behave the same when invoked
+# from anywhere (the driver may not run from the repo root)
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 from adhesive_spark.session import build_spark  # noqa: E402
 from adhesive_spark.sources.registry import TABLES  # noqa: E402
