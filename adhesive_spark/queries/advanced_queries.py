@@ -323,6 +323,46 @@ def q98_udtf_table_profile(spark, sf_dir):
     )
 
 
+def q99_array_analytics(spark, sf_dir):
+    """Complex-type analytics with higher-order functions: per order,
+    the SORTED array of its line quantities, then JVM-side HOFs —
+    filter (count of >25-qty lines), aggregate (exact cents total of
+    discounted lines), and a zip_with positional delta against the
+    sorted-price array. One groupBy builds the arrays; everything after
+    is per-row expression work inside the scan stage."""
+    li = load_table(spark, sf_dir, "lineitem")
+    g = (
+        li.where(F.col("l_orderkey") % 31 == 0)
+        .groupBy("l_orderkey")
+        .agg(
+            F.array_sort(F.collect_list("l_quantity")).alias("qtys"),
+            F.array_sort(F.collect_list("l_extendedprice")).alias("prices"),
+        )
+    )
+    big = F.size(F.filter(F.col("qtys"), lambda q: q > 25))
+    total_c = F.aggregate(
+        F.col("prices"),
+        F.lit(0).cast("long"),
+        lambda acc, p: acc + F.round(p * 100, 0).cast("long"),
+    )
+    # positional price-per-unit of the sorted pairs, summed exactly at
+    # 1e-2 grain (both arrays sorted: deterministic pairing)
+    ppu_c = F.aggregate(
+        F.zip_with(
+            F.col("prices"), F.col("qtys"), lambda p, q: F.round(p / q * 100, 0)
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x.cast("long"),
+    )
+    return g.select(
+        "l_orderkey",
+        F.size("qtys").alias("n_lines"),
+        big.alias("n_big"),
+        (total_c / F.lit(100.0)).alias("price_total"),
+        (ppu_c / F.lit(100.0)).alias("ppu_total"),
+    )
+
+
 def q43_percentiles(spark, sf_dir):
     """Exact interpolated percentiles (sort-based, engine-portable) per
     priority bucket; Spark `percentile` ≡ DuckDB `quantile_cont`."""
@@ -872,6 +912,7 @@ ADVANCED_QUERIES = {
     "q91_recursive_month_spine": q91_recursive_month_spine,
     "q92_variant_shred": q92_variant_shred,
     "q98_udtf_table_profile": q98_udtf_table_profile,
+    "q99_array_analytics": q99_array_analytics,
 }
 
 # Shared DuckDB fragments (mirror operators.text constant-for-constant).
@@ -1580,4 +1621,24 @@ ADVANCED_ORACLES["q98_udtf_table_profile"] = """
     SELECT 'source', COUNT(*), COUNT(*) - COUNT(source) FROM inp
     UNION ALL
     SELECT 'n_chars_sparse', COUNT(*), COUNT(*) - COUNT(n_chars_sparse) FROM inp
+"""
+
+ADVANCED_ORACLES["q99_array_analytics"] = """
+    WITH g AS (
+      SELECT l_orderkey,
+             list_sort(list(l_quantity)) AS qtys,
+             list_sort(list(l_extendedprice)) AS prices
+      FROM lineitem WHERE l_orderkey % 31 = 0
+      GROUP BY l_orderkey
+    )
+    SELECT l_orderkey,
+           CAST(len(qtys) AS INT) AS n_lines,
+           CAST(len(list_filter(qtys, q -> q > 25)) AS INT) AS n_big,
+           list_sum(list_transform(prices,
+                    p -> CAST(ROUND(p * 100, 0) AS BIGINT))) / 100.0
+             AS price_total,
+           list_sum(list_transform(range(1, len(prices) + 1),
+                    i -> CAST(ROUND(prices[i] / qtys[i] * 100, 0) AS BIGINT))) / 100.0
+             AS ppu_total
+    FROM g
 """
