@@ -328,6 +328,41 @@ def q93_repetition_quality(spark, sf_dir):
     )
 
 
+
+def q100_corpus_report(spark, sf_dir):
+    """One-row corpus health snapshot — the dashboard composition over
+    the text kit: volume, source spread, exact-dup rate, language mix,
+    quality, and token budget, all exact/quantized so the single output
+    row hashes identically everywhere."""
+    from adhesive_spark.operators.text import (
+        fingerprint,
+        fround,
+        lang_id,
+        quality_score,
+        scaled_long,
+        token_count,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    c = F.col("text")
+    d = docs.select(
+        "doc_id",
+        "source",
+        fingerprint(c).alias("fp"),
+        lang_id(c).alias("lang"),
+        scaled_long(quality_score(c), 4).alias("q_s"),
+        token_count(c).alias("n_tok"),
+    )
+    return d.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+        (F.count("*") - F.countDistinct("fp")).alias("n_exact_dups"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).cast("bigint").alias("n_en"),
+        fround(F.sum("q_s") / (F.count("*") * F.lit(10000.0)), 4).alias("mean_quality"),
+        F.sum("n_tok").cast("bigint").alias("total_tokens"),
+    )
+
+
 CURATION_QUERIES = {
     "q56_pii_redact": q56_pii_redact,
     "q69_contamination_check": q69_contamination_check,
@@ -343,6 +378,7 @@ CURATION_QUERIES = {
     "q86_incremental_dedup": q86_incremental_dedup,
     "q87_sequence_packing": q87_sequence_packing,
     "q93_repetition_quality": q93_repetition_quality,
+    "q100_corpus_report": q100_corpus_report,
 }
 
 # --- oracles -----------------------------------------------------------------
@@ -689,4 +725,26 @@ CURATION_ORACLES["q93_repetition_quality"] = """
            (dup_trigram_frac < 0.3
             AND floor(top_cnt * 1.0 / greatest(n_tokens, 1) * 10000) / 10000 < 0.2) AS keep
     FROM r
+"""
+
+
+CURATION_ORACLES["q100_corpus_report"] = f"""
+    WITH t AS (
+      SELECT doc_id, source, text, {_TOKS} AS toks FROM documents
+    ),
+    d AS (
+      SELECT doc_id, source,
+             {_lang_sql()} AS lang_pred,
+             CAST(ROUND(({_quality_sql()}) * 10000, 0) AS BIGINT) AS q_s,
+             md5({_NORM}) AS fp,
+             len(toks) AS n_tok
+      FROM t
+    )
+    SELECT COUNT(*) AS n_docs,
+           COUNT(DISTINCT source) AS n_sources,
+           COUNT(*) - COUNT(DISTINCT fp) AS n_exact_dups,
+           CAST(SUM(CASE WHEN lang_pred = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+           floor(SUM(q_s) * 1.0 / (COUNT(*) * 10000.0) * 10000) / 10000 AS mean_quality,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens
+    FROM d
 """
