@@ -45,6 +45,10 @@ HEADLINE = [
     "q37_minhash_pairs",
     "q48_salted_join",
     "q61_kmeans",
+    # round-4 pipeline additions: zero-shuffle chunking and the corpus
+    # health composition
+    "q85_doc_chunking",
+    "q100_corpus_report",
 ]
 
 
