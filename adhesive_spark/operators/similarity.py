@@ -150,8 +150,9 @@ def build_ivf_index(
     the correctness oracle; production would k-means-refine them (same
     assignment operator iterated). ``assigned`` maps every corpus vector
     to its nearest centroid: one broadcast of the centroids, one scan of
-    the corpus, rank-1 window per vector — at 100 TB this is the
-    bulk-index build with no corpus shuffle except the tiny top-1 window.
+    the corpus, argmax-as-aggregate per vector (map-side combined) — at
+    100 TB this is the bulk-index build whose only corpus shuffle is the
+    per-id aggregation.
     """
     centroids = (
         corpus.orderBy(id_col)

@@ -3,10 +3,10 @@ user of milenkovicm/adhesive runs after switching engines
 (examples/adhesive.rs:1-56, step for step).
 
 The reference registers an in-memory Arrow batch and creates two
-functions: an inline-source one (LANGUAGE JAVA there → LANGUAGE PYTHON
-here, the idiomatic inline-body path; inline Java raises a clear
-capability error, see tests/test_factory.py) and a precompiled lookup
-(LANGUAGE CLASS there → LANGUAGE MODULE here).
+functions: an inline-source one (LANGUAGE JAVA — compiled at CREATE by
+javac exactly like the reference's in-memory javax.tools path, with a
+LANGUAGE PYTHON twin showing the idiomatic inline body) and a
+precompiled lookup (LANGUAGE CLASS there → LANGUAGE MODULE here).
 
 Run: ``python examples/adhesive_demo.py``
 """
