@@ -264,12 +264,12 @@ def persist_ivf_index(
     # With the default in-memory catalog a rebuilt session forgets the
     # table but NOT its warehouse directory; saveAsTable then refuses the
     # "new" name. Drop both so rebuild-the-index is idempotent.
+    from adhesive_spark.sources.fsutil import hadoop_fs
+
+    wh = spark.conf.get("spark.sql.warehouse.dir")
     for t in (table, f"{table}__centroids"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
-        wh = spark.conf.get("spark.sql.warehouse.dir")
-        sc = spark.sparkContext
-        loc = sc._jvm.org.apache.hadoop.fs.Path(f"{wh}/{t}")
-        fs = loc.getFileSystem(sc._jsc.hadoopConfiguration())
+        fs, loc, _ = hadoop_fs(spark, f"{wh}/{t}")
         if fs.exists(loc):
             fs.delete(loc, True)
     centroids, assigned = build_ivf_index(

@@ -283,9 +283,9 @@ def _minhash_oracle_sql(
           GROUP BY bhr.doc_id, co.i
         ),
         bk AS (
-          SELECT doc_id, CAST(i / {rows} AS INT) AS band_idx,
+          SELECT doc_id, CAST(i // {rows} AS INT) AS band_idx,
                  md5(string_agg(CAST(s AS VARCHAR), '_' ORDER BY i)) AS key
-          FROM sig GROUP BY doc_id, CAST(i / {rows} AS INT)
+          FROM sig GROUP BY doc_id, CAST(i // {rows} AS INT)
         ),
         cand AS (
           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b

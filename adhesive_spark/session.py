@@ -93,8 +93,13 @@ class AdhesiveSession:
             return self.spark.sql("SELECT 1 AS ok WHERE 1 = 0")
         if is_drop_function(query):
             name, if_exists = parse_drop_function(query)
-            self.factory.drop_function(name, if_exists=if_exists)
-            return self.spark.sql("SELECT 1 AS ok WHERE 1 = 0")
+            if name in self.factory.registry:
+                self.factory.drop_function(name, if_exists=if_exists)
+                return self.spark.sql("SELECT 1 AS ok WHERE 1 = 0")
+            # not a factory function: pass through so catalog/temp
+            # functions created outside the factory keep Spark's native
+            # DROP semantics (pre-interceptor behavior)
+            return self.spark.sql(query, **kwargs)
         return self.spark.sql(query, **kwargs)
 
     # Convenience passthroughs so the wrapper is a drop-in for common use.

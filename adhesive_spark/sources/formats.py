@@ -165,10 +165,9 @@ def compact_parquet(
     """
     import math
 
-    sc = spark.sparkContext
-    jvm = sc._jvm
-    src = jvm.org.apache.hadoop.fs.Path(src_path)
-    fs = src.getFileSystem(sc._jsc.hadoopConfiguration())
+    from adhesive_spark.sources.fsutil import hadoop_fs
+
+    fs, src, _ = hadoop_fs(spark, src_path)
     total_bytes = fs.getContentSummary(src).getLength()
     n_out = max(1, math.ceil(total_bytes / (target_file_mb * 1024 * 1024)))
     df = spark.read.parquet(src_path)
@@ -204,6 +203,14 @@ def write_zordered(
     """
     from pyspark.sql import functions as F
 
+    if bits * len(cols) > 63:
+        # JVM shiftleft wraps the shift amount mod 64: positions past 63
+        # would silently collide bits across columns and destroy the
+        # clustering with no error — refuse instead
+        raise ValueError(
+            f"bits*len(cols) = {bits * len(cols)} exceeds the 63-bit "
+            "Morton rank budget; lower bits or z-order fewer columns"
+        )
     stats = df.agg(
         *[F.min(c).alias(f"__lo_{c}") for c in cols],
         *[F.max(c).alias(f"__hi_{c}") for c in cols],
@@ -211,6 +218,8 @@ def write_zordered(
     scale = (1 << bits) - 1
     bucket_cols = []
     for c in cols:
+        if stats[f"__lo_{c}"] is None:
+            raise ValueError(f"z-order column {c!r} is all NULL")
         lo = float(stats[f"__lo_{c}"])
         hi = float(stats[f"__hi_{c}"])
         span = (hi - lo) or 1.0

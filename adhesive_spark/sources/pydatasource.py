@@ -37,6 +37,17 @@ _WORDS = (
 ).split()
 
 
+def _gen_doc(seed: int, doc_id: int) -> tuple:
+    """One deterministic document row. Shared by the batch and streaming
+    readers — the equality contract between them (tested) is exactly
+    'both call this with the same (seed, doc_id)'. Per-DOCUMENT seeding,
+    never per-partition: the corpus is identical under any partitioning."""
+    rng = random.Random(seed * 1_000_003 + doc_id)
+    n = rng.randint(20, 120)
+    text = " ".join(rng.choice(_WORDS) for _ in range(n))
+    return (doc_id, f"src{doc_id % 4}", n, text)
+
+
 class SyntheticDocsDataSource(DataSource):
     """``format("synthetic_docs")`` — options: n_docs, partitions, seed."""
 
@@ -70,12 +81,7 @@ class SyntheticDocsReader(DataSourceReader):
         lo = self.n_docs * i // self.n_parts
         hi = self.n_docs * (i + 1) // self.n_parts
         for doc_id in range(lo, hi):
-            # per-DOCUMENT seeding (never per-partition): the corpus is
-            # identical under any repartitioning of the generation
-            rng = random.Random(self.seed * 1_000_003 + doc_id)
-            n = rng.randint(20, 120)
-            text = " ".join(rng.choice(_WORDS) for _ in range(n))
-            yield (doc_id, f"src{doc_id % 4}", n, text)
+            yield _gen_doc(self.seed, doc_id)
 
 
 def register_synthetic_docs(spark) -> None:
@@ -89,42 +95,41 @@ class _DocRangePartition(InputPartition):
 
 class SyntheticDocsStreamReader(DataSourceStreamReader):
     """Micro-batched twin of :class:`SyntheticDocsReader`: the offset is
-    simply the next doc_id, each poll exposes up to ``batch_docs`` more
-    documents until ``n_docs`` — the replayable-offset contract every
-    real stream source (Kafka, files) implements. Rows for a given
-    offset range are deterministic, so checkpoint recovery replays
-    identical data."""
+    simply the next doc_id. ``latestOffset`` is derived ONLY from the
+    source's own bound (``n_docs``), never from reader instance state —
+    a restarted reader loses its fields but the checkpointed start
+    offset must still be <= every future latest, or Spark sees an offset
+    regression and recovery re-emits committed ranges. Rows for a given
+    offset range are deterministic (per-document seeding), so replaying
+    a batch after a crash produces identical data. ``batch_docs`` bounds
+    the rows per planned partition, not per micro-batch (per-batch
+    admission control is not part of this API)."""
 
     def __init__(self, options):
         self.n_docs = int(options.get("n_docs", 1000))
         self.batch_docs = max(1, int(options.get("batch_docs", 100)))
-        self.n_parts = max(1, int(options.get("partitions", 4)))
         self.seed = int(options.get("seed", 42))
-        self._pos = 0
 
     def initialOffset(self) -> dict:
         return {"next_doc": 0}
 
     def latestOffset(self) -> dict:
-        self._pos = min(self._pos + self.batch_docs, self.n_docs)
-        return {"next_doc": self._pos}
+        # everything up to the corpus bound is available; MONOTONE by
+        # construction across restarts (state-free)
+        return {"next_doc": self.n_docs}
 
     def partitions(self, start: dict, end: dict):
         lo, hi = start["next_doc"], end["next_doc"]
         if hi <= lo:
             return [_DocRangePartition(lo, lo, self.seed)]
-        step = max(1, (hi - lo + self.n_parts - 1) // self.n_parts)
         return [
-            _DocRangePartition(i, min(i + step, hi), self.seed)
-            for i in range(lo, hi, step)
+            _DocRangePartition(i, min(i + self.batch_docs, hi), self.seed)
+            for i in range(lo, hi, self.batch_docs)
         ]
 
     def read(self, partition):
         for doc_id in range(partition.lo, partition.hi):
-            rng = random.Random(partition.seed * 1_000_003 + doc_id)
-            n = rng.randint(20, 120)
-            text = " ".join(rng.choice(_WORDS) for _ in range(n))
-            yield (doc_id, f"src{doc_id % 4}", n, text)
+            yield _gen_doc(partition.seed, doc_id)
 
     def commit(self, end: dict) -> None:
         pass  # nothing to clean up: generation is stateless

@@ -157,14 +157,10 @@ def enrich_with_static(
 
 
 def _state_fs(spark, path_str: str):
-    """Hadoop FileSystem handle for ``path_str`` — works on any
-    Hadoop-compatible FS (local, HDFS, S3A), so epoch bookkeeping is the
-    same on a laptop and a 1000-executor cluster."""
-    sc = spark.sparkContext
-    jvm = sc._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(path_str)
-    fs = hpath.getFileSystem(sc._jsc.hadoopConfiguration())
-    return fs, hpath, jvm
+    """Hadoop FileSystem handle for ``path_str`` (shared incantation)."""
+    from adhesive_spark.sources.fsutil import hadoop_fs
+
+    return hadoop_fs(spark, path_str)
 
 
 def _committed_epochs(spark, state_path: str) -> list[int]:

@@ -58,3 +58,13 @@ def test_dtype_kind_classification():
     assert dtype_kind(pd.Series([[1, 2]])) == "array"
     assert dtype_kind(pd.Series([decimal.Decimal("1")])) == "decimal"
     assert dtype_kind(pd.Series(pd.to_datetime(["2026-01-01"]))) == "datetime"
+
+
+def test_nullable_bool_object_column_is_bool():
+    # bool subclasses int: a {True, None} object column must classify as
+    # bool, and must NOT mismatch against a non-null bool column
+    sdf = pd.DataFrame({"ok": pd.Series([True, None], dtype="object")})
+    odf = pd.DataFrame({"ok": pd.Series([True, False])})
+    assert dtype_kind(sdf["ok"]) == "bool"
+    problems = compare("bool_nullable", sdf, odf)
+    assert not any("dtype-kind" in p for p in problems), problems

@@ -372,5 +372,12 @@ def test_drop_function_lifecycle(sess):
     assert [r.v for r in sess.sql("SELECT fdrop(1) AS v").collect()] == [11]
     sess.sql("DROP FUNCTION IF EXISTS fdrop")
     sess.sql("DROP FUNCTION IF EXISTS fdrop")  # second is a no-op
-    with pytest.raises(UnknownFunctionError):
+    # unknown name falls through to Spark, which raises its own error
+    with pytest.raises(Exception):
         sess.sql("DROP FUNCTION fdrop")
+    # non-factory temp functions keep Spark's native DROP semantics
+    sess.spark.udf.register("fdrop_native", lambda x: x, "long")
+    assert sess.sql("SELECT fdrop_native(5) AS v").collect()[0].v == 5
+    sess.sql("DROP TEMPORARY FUNCTION fdrop_native")
+    with pytest.raises(Exception):
+        sess.sql("SELECT fdrop_native(5)").collect()

@@ -251,25 +251,18 @@ def test_python_datasource_streaming(spark, tmp_path_factory):
         .option("partitions", 4)
         .load()
     )
-    # NOT availableNow: that trigger snapshots latestOffset once, but this
-    # source exposes work batch_docs at a time (real micro-batch offset
-    # advancement) — run continuous micro-batches and stop when drained
+    # latestOffset is state-free (always the corpus bound), so recovery
+    # can never regress offsets and availableNow drains in one trigger;
+    # batch_docs governs the per-partition slice size instead
     q = (
         stream.writeStream.format("memory")
         .queryName("t_pds")
         .outputMode("append")
         .option("checkpointLocation", ckpt)
-        .trigger(processingTime="1 second")
+        .trigger(availableNow=True)
         .start()
     )
-    import time
-
-    deadline = time.time() + 120
-    while time.time() < deadline:
-        if spark.table("t_pds").count() >= 300:
-            break
-        time.sleep(1)
-    q.stop()
+    assert q.awaitTermination(120), "stream did not drain in 120s"
     got = {(r.doc_id, r.text) for r in spark.table("t_pds").collect()}
     batch = (
         spark.read.format("synthetic_docs")

@@ -54,6 +54,10 @@ def dtype_kind(col: pd.Series) -> str:
         return "str"
     if isinstance(v, (list, tuple, np.ndarray)):
         return "array"
+    # bool BEFORE int: Python bool subclasses int, and a nullable boolean
+    # column surfaces as object dtype of {True, False, None}
+    if isinstance(v, (bool, np.bool_)):
+        return "bool"
     if isinstance(v, (int, np.integer)):
         return "int"
     if isinstance(v, float):
