@@ -640,7 +640,7 @@ CURATION_ORACLES = {
           FROM s
         )
         SELECT doc_id,
-               CAST(start / 48 AS INT) AS chunk_id,
+               CAST(start // 48 AS INT) AS chunk_id,
                CAST(len(toks[start + 1 : start + 64]) AS INT) AS n_tokens,
                array_to_string(toks[start + 1 : start + 64], ' ') AS chunk_text
         FROM st
@@ -674,7 +674,7 @@ CURATION_ORACLES = {
         ),
         chunks AS (
           SELECT doc_id, source,
-                 CAST(start / 64 AS INT) AS chunk_id,
+                 CAST(start // 64 AS INT) AS chunk_id,
                  CAST(len(toks[start + 1 : start + 64]) AS INT) AS n_tokens
           FROM st
         ),
