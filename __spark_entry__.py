@@ -13,6 +13,61 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+# The driver's correctness gate hashes the FIRST 50 entries of queries()
+# in dict-insertion order.  Rounds 1-4 verified q01-q50, q77-q81, q84,
+# q94-q97 (all green); the 40 queries below have never had a
+# driver-verified row, so they are rotated to the front of the window
+# for round 5 (plus the queries newly added this round).
+_GRADE_FIRST = [
+    "q51_pivot",
+    "q52_unpivot",
+    "q53_sessionize",
+    "q54_winnow_fingerprints",
+    "q55_correlated_exists",
+    "q56_pii_redact",
+    "q57_rolling_window",
+    "q58_column_profile",
+    "q59_fk_integrity",
+    "q60_label_centroids",
+    "q61_kmeans",
+    "q62_hopping_window",
+    "q63_analytic_functions",
+    "q64_media_knn",
+    "q65_null_semantics",
+    "q66_decimal_exact",
+    "q67_dataset_split",
+    "q68_incremental_rollup",
+    "q69_contamination_check",
+    "q70_stratified_sample",
+    "q71_domain_cap",
+    "q72_embedding_quantize",
+    "q73_corpus_filter",
+    "q74_heavy_hitters",
+    "q75_approx_quantile_contract",
+    "q76_token_shards",
+    "q82_mixture_sample",
+    "q83_ivf_persisted_probe",
+    "q85_doc_chunking",
+    "q86_incremental_dedup",
+    "q87_sequence_packing",
+    "q88_semantic_dedup",
+    "q89_hll_merge",
+    "q90_theta_overlap",
+    "q91_recursive_month_spine",
+    "q92_variant_shred",
+    "q93_repetition_quality",
+    "q98_udtf_table_profile",
+    "q99_array_analytics",
+    "q100_corpus_report",
+]
+
+
+def _reorder(d: dict) -> dict:
+    """Rotate never-driver-verified queries into the graded first-50 window."""
+    out = {k: d[k] for k in _GRADE_FIRST if k in d}
+    out.update({k: v for k, v in d.items() if k not in out})
+    return out
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: TPC-H-Q1-style pricing summary + factory UDF end-to-end
@@ -47,7 +102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out.update(CURATION_QUERIES)
     except ImportError:
         pass
-    return out
+    return _reorder(out)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -75,4 +130,4 @@ def oracle_sql() -> dict[str, str]:
         out.update(CURATION_ORACLES)
     except ImportError:
         pass
-    return out
+    return _reorder(out)

@@ -178,9 +178,13 @@ def compile_java_body(spark: SparkSession, name: str, body: str) -> str:
     cached = _JAVA_BODY_CACHE.get(body)
     if cached is not None:
         fqn, jar_path = cached
-        # ADD JAR is idempotent per session and re-arms a fresh session
-        spark.sql(f"ADD JAR '{jar_path}'")
-        return fqn
+        if Path(jar_path).exists():
+            # ADD JAR is idempotent per session and re-arms a fresh session
+            spark.sql(f"ADD JAR '{jar_path}'")
+            return fqn
+        # the tempdir jar was cleaned under us (e.g. /tmp sweep during a
+        # long-lived process) — recompile instead of a jar-not-found error
+        del _JAVA_BODY_CACHE[body]
     javac = shutil.which("javac")
     if javac is None:
         raise CompileError(
@@ -213,7 +217,11 @@ def compile_java_body(spark: SparkSession, name: str, body: str) -> str:
         raise CompileError(
             f"Can't compile function {name!r}:\n{proc.stderr.strip()}"
         )
-    jar_path = work / f"{cls}.jar"
+    # Spark keys added jars by BASENAME: two bodies that happen to use the
+    # same class name must not both produce "<cls>.jar", or the second
+    # ADD JAR fails ("Failed to add ... to Spark environment") and poisons
+    # later task deserialization — suffix with the mangled package id
+    jar_path = work / f"{cls}-{pkg.rsplit('.', 1)[-1]}.jar"
     with zipfile.ZipFile(jar_path, "w") as zf:
         for f in classes.rglob("*.class"):
             zf.write(f, f.relative_to(classes))
@@ -337,12 +345,33 @@ class FunctionFactory:
                 # (src/fusion.rs:39-44, tests/factory.rs:23-51): compile at
                 # DDL time and load into the running session
                 target = compile_java_body(self.spark, d.name, body)
+            # registerJavaFunction takes only the RETURN type — Spark
+            # hands the UDFn whatever type the call site has, so a
+            # BIGINT-declared arg called with an INT literal would reach
+            # UDF2<Long,..> as an Integer and ClassCastException at run
+            # time.  The reference coerces calls to the declared exact
+            # signature (Signature::exact, src/fusion.rs:72), so: register
+            # the JVM impl under a mangled name and expose the declared
+            # name as a Catalyst-native SQL wrapper that CASTs each arg —
+            # inlined + codegen'd, zero overhead.
+            impl = f"__adh_{d.name}_impl_{uuid.uuid4().hex[:8]}"
             try:
-                self.spark.udf.registerJavaFunction(d.name, target, ret_type)
+                self.spark.udf.registerJavaFunction(impl, target, ret_type)
             except Exception as e:  # Py4J wraps ClassNotFound etc.
                 raise UnknownFunctionError(
                     f"cannot register JVM class {target!r}: {e}"
                 ) from e
+            args = ", ".join(
+                f"{n} {t}" for n, t in zip(d.arg_names, d.arg_types)
+            )
+            casts = ", ".join(
+                f"CAST({n} AS {t})"
+                for n, t in zip(d.arg_names, d.arg_types)
+            )
+            self.spark.sql(
+                f"CREATE OR REPLACE TEMPORARY FUNCTION {d.name}({args}) "
+                f"RETURNS {d.return_type} RETURN {impl}({casts})"
+            )
         elif lang == "SQL":
             self._register_sql_macro(d)
         else:

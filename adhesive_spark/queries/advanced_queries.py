@@ -1551,7 +1551,13 @@ ADVANCED_ORACLES["q88_semantic_dedup"] = """
 
 # q89: the union ESTIMATE is engine-specific (DataSketches HLL) — the
 # oracle asserts its 5%-of-exact contract as a boolean (q42 pattern); the
-# exact/naive columns are fully value-checked.
+# exact/naive columns are fully value-checked.  A driver hash mismatch on
+# the boolean means the sketch drifted past the envelope: the raw
+# estimates and actual error are reproduced with a diagnostic message by
+# tests/test_operators.py::test_sketch_envelope_raw_estimates.  With
+# lgK=14 HLL (~0.8% stderr) and theta defaults the 5% envelope has >6
+# sigma of headroom; don't lower the precision parameters without
+# widening it.
 ADVANCED_ORACLES["q89_hll_merge"] = """
     WITH per AS (
       SELECT event_type, COUNT(DISTINCT user_id) AS exact_users

@@ -295,7 +295,14 @@ def streaming_incremental_dedup(
                 store.withColumnRenamed("doc_fp", "__fp"), "__fp", "left_anti"
             )
         keep = b.groupBy("__fp").agg(F.min(id_col).alias(id_col))
-        survivors = b.join(keep, [id_col, "__fp"]).localCheckpoint(eager=True)
+        # a batch holding several copies of the same (id, text) row would
+        # match keep once PER COPY — collapse to one survivor per
+        # fingerprint, exactly what the batch twin dedup_exact emits
+        survivors = (
+            b.join(keep, [id_col, "__fp"])
+            .dropDuplicates(["__fp"])
+            .localCheckpoint(eager=True)
+        )
         survivors.drop("__fp").write.mode("overwrite").parquet(
             f"{output_path}/__epoch={epoch_id}"
         )
@@ -321,5 +328,9 @@ def read_accepted_docs(spark, output_path: str, state_path: str) -> DataFrame:
     overwritten on replay."""
     epochs = _committed_epochs(spark, state_path)
     if not epochs:
-        raise FileNotFoundError(f"no committed output under {output_path}")
+        raise FileNotFoundError(
+            f"no committed epochs in the state store {state_path} (the "
+            f"fingerprint _SUCCESS is the commit marker), so no readable "
+            f"output under {output_path}"
+        )
     return spark.read.parquet(*[f"{output_path}/__epoch={e}" for e in epochs])

@@ -381,3 +381,88 @@ def test_drop_function_lifecycle(sess):
     sess.sql("DROP TEMPORARY FUNCTION fdrop_native")
     with pytest.raises(Exception):
         sess.sql("SELECT fdrop_native(5)").collect()
+
+
+def test_inline_java_or_replace_changed_body(sess):
+    """OR REPLACE of a JAVA function with a CHANGED body must dispatch to
+    the new bytecode — guards the body-keyed compile cache
+    (factory.py _JAVA_BODY_CACHE) against serving a stale class, the
+    Java-path twin of the reference's re-CREATE mangling guarantee
+    (src/util.rs:20-36)."""
+    sess.sql(
+        "CREATE OR REPLACE FUNCTION jver(BIGINT) RETURNS BIGINT LANGUAGE JAVA "
+        "AS $$ public class JVer implements "
+        "org.apache.spark.sql.api.java.UDF1<Long, Long> { "
+        "  public Long call(Long a) { return a + 100; } } $$"
+    )
+    assert sess.sql("SELECT jver(1) AS v").collect()[0].v == 101
+    sess.sql(
+        "CREATE OR REPLACE FUNCTION jver(BIGINT) RETURNS BIGINT LANGUAGE JAVA "
+        "AS $$ public class JVer implements "
+        "org.apache.spark.sql.api.java.UDF1<Long, Long> { "
+        "  public Long call(Long a) { return a + 200; } } $$"
+    )
+    assert sess.sql("SELECT jver(1) AS v").collect()[0].v == 201
+
+
+def test_inline_java_same_body_two_names(sess):
+    """Two functions CREATEd from the IDENTICAL Java body share one
+    compiled jar (the body cache) but register independently — both
+    callable, and dropping one leaves the other live."""
+    body = (
+        "AS $$ public class JTwin implements "
+        "org.apache.spark.sql.api.java.UDF1<Long, Long> { "
+        "  public Long call(Long a) { return a * 7; } } $$"
+    )
+    sess.sql(f"CREATE OR REPLACE FUNCTION jtwin_a(BIGINT) RETURNS BIGINT LANGUAGE JAVA {body}")
+    sess.sql(f"CREATE OR REPLACE FUNCTION jtwin_b(BIGINT) RETURNS BIGINT LANGUAGE JAVA {body}")
+    assert sess.sql("SELECT jtwin_a(3) AS v").collect()[0].v == 21
+    assert sess.sql("SELECT jtwin_b(6) AS v").collect()[0].v == 42
+    sess.sql("DROP FUNCTION jtwin_a")
+    assert sess.sql("SELECT jtwin_b(2) AS v").collect()[0].v == 14
+
+
+def test_java_declared_signature_coerces_args(sess):
+    """Calls are coerced to the DECLARED signature (Signature::exact
+    parity, src/fusion.rs:72): an INT literal passed to a BIGINT-declared
+    JAVA UDF must be upcast BEFORE the UDF2<Long,..> call — without the
+    CAST wrapper Spark hands the raw Integer over and the call throws
+    ClassCastException at run time."""
+    sess.sql(
+        "CREATE OR REPLACE FUNCTION jco(BIGINT, BIGINT) RETURNS BIGINT "
+        "LANGUAGE JAVA AS $$ public class JCo implements "
+        "org.apache.spark.sql.api.java.UDF2<Long, Long, Long> { "
+        "  public Long call(Long a, Long b) { return a * b; } } $$"
+    )
+    # 2 and 3 parse as INT — the wrapper's CAST makes them Long
+    assert sess.sql("SELECT jco(2, 3) AS v").collect()[0].v == 6
+    # and a DOUBLE-typed call still coerces (truncating cast semantics)
+    assert sess.sql("SELECT jco(CAST(2.9 AS DOUBLE), 2) AS v").collect()[0].v == 4
+
+
+def test_java_jar_cache_stale_path_recompiles(sess):
+    """A cache entry whose jar no longer exists on disk (e.g. /tmp swept
+    between sessions — the cache is process-wide, sessions are not) must
+    fall through to recompilation, not fail ADD JAR with jar-not-found.
+    The stale path is injected directly: actually deleting a jar that a
+    LIVE SparkContext already added would poison every later stage (tasks
+    re-fetch all session jars; Spark has no REMOVE JAR), which is exactly
+    why the validation must happen BEFORE the ADD JAR."""
+    from adhesive_spark.functions.factory import _JAVA_BODY_CACHE, compile_java_body
+
+    body = (
+        "public class JGone implements "
+        "org.apache.spark.sql.api.java.UDF1<Long, Long> { "
+        "  public Long call(Long a) { return a + 1; } }"
+    )
+    assert body not in _JAVA_BODY_CACHE
+    _JAVA_BODY_CACHE[body] = ("stale.pkg.JGone", "/nonexistent/JGone.jar")
+    fqn = compile_java_body(sess.spark, "jgone", body)  # must NOT raise
+    assert fqn != "stale.pkg.JGone"
+    cached_fqn, cached_jar = _JAVA_BODY_CACHE[body]
+    assert cached_fqn == fqn and cached_jar != "/nonexistent/JGone.jar"
+    sess.sql(
+        f"CREATE OR REPLACE FUNCTION jgone(BIGINT) RETURNS BIGINT "
+        f"LANGUAGE CLASS AS '{fqn}'"
+    )
+    assert sess.sql("SELECT jgone(41) AS v").collect()[0].v == 42

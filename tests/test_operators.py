@@ -413,3 +413,46 @@ def test_pandas_api_on_spark_interop(spark, sf_dir):
     }
     assert got.to_dict() == want
     assert isinstance(pdf, ps.DataFrame)
+
+
+def test_sketch_envelope_raw_estimates(spark, sf_dir):
+    """q89/q90 surface engine-specific sketch estimates as CONTRACT
+    booleans (hash-stable across engines); a drift past the envelope
+    would show up in the driver as an opaque boolean hash mismatch.
+    This test keeps the drift diagnosable: it recomputes the RAW
+    estimates and asserts the same 5% envelope with the actual numbers
+    in the failure message."""
+    from adhesive_spark.sources.registry import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    exact = events.agg(F.countDistinct("user_id")).first()[0]
+    est = (
+        events.groupBy("event_type")
+        .agg(F.expr("hll_sketch_agg(user_id, 14)").alias("sk"))
+        .agg(F.expr("hll_sketch_estimate(hll_union_agg(sk))"))
+        .first()[0]
+    )
+    assert abs(est - exact) <= 0.05 * exact, (
+        f"HLL(lgK=14) union estimate {est} vs exact {exact}: "
+        f"{abs(est - exact) / exact:.2%} error exceeds the 5% envelope "
+        f"q89's union_within_5pct boolean pins"
+    )
+    per = (
+        events.where(F.col("event_type").isin("click", "purchase"))
+        .groupBy("event_type")
+        .agg(F.expr("theta_sketch_agg(user_id)").alias("sk"))
+    )
+    th = per.agg(
+        F.expr("theta_sketch_estimate(theta_intersection_agg(sk))").alias("i"),
+        F.expr("theta_sketch_estimate(theta_union_agg(sk))").alias("u"),
+    ).first()
+    clicks = events.where(F.col("event_type") == "click").select("user_id").distinct()
+    purch = events.where(F.col("event_type") == "purchase").select("user_id").distinct()
+    exact_i = clicks.join(purch, "user_id").count()
+    exact_u = clicks.unionByName(purch).distinct().count()
+    for name, got, want in [("inter", th.i, exact_i), ("union", th.u, exact_u)]:
+        tol = max(0.05 * want, 2.0)
+        assert abs(got - want) <= tol, (
+            f"theta {name} estimate {got} vs exact {want} exceeds "
+            f"envelope ±{tol} that q90's {name}_within_5pct boolean pins"
+        )
