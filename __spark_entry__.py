@@ -59,6 +59,9 @@ _GRADE_FIRST = [
     "q98_udtf_table_profile",
     "q99_array_analytics",
     "q100_corpus_report",
+    # new this round — never driver-verified yet
+    "q101_knn_ivf_refined",
+    "q102_curation_pipeline",
 ]
 
 

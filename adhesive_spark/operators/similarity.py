@@ -142,25 +142,54 @@ def build_ivf_index(
     n_lists: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    refine_iters: int = 0,
 ) -> tuple[DataFrame, DataFrame]:
     """(centroids, assigned) for an IVF (inverted-file) ANN index.
 
-    Centroids are the ``n_lists`` lowest-id corpus vectors — a
+    Centroids seed as the ``n_lists`` lowest-id corpus vectors — a
     deterministic seeding that keeps the whole index SQL-expressible for
-    the correctness oracle; production would k-means-refine them (same
-    assignment operator iterated). ``assigned`` maps every corpus vector
-    to its nearest centroid: one broadcast of the centroids, one scan of
-    the corpus, argmax-as-aggregate per vector (map-side combined) — at
-    100 TB this is the bulk-index build whose only corpus shuffle is the
-    per-id aggregation.
+    the correctness oracle.  ``refine_iters`` > 0 runs that many
+    spherical k-means iterations over the seeds (the production path:
+    refined centroids distribute the inverted lists by the corpus's real
+    density, which is what keeps recall stable as the corpus grows) —
+    iterations reuse the clustering operators' deterministic contract
+    (sim rounded to 6, centroid coords floor-rounded to 9 between
+    iterations), so the refined index stays fully oracle-checkable; a
+    centroid whose cluster empties drops out, identically in both
+    engines.  ``assigned`` maps every corpus vector to its nearest
+    centroid: one broadcast of the centroids, one scan of the corpus,
+    argmax-as-aggregate per vector (map-side combined) — at 100 TB this
+    is the bulk-index build whose only corpus shuffle is the per-id
+    aggregation (plus two narrow pos-keyed shuffles per refinement
+    iteration, each over (cid, pos, val) rows, never the corpus width).
     """
-    centroids = (
-        corpus.orderBy(id_col)
-        .limit(n_lists)
-        .select(
-            F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cvec")
+    if refine_iters > 0:
+        from adhesive_spark.operators.clustering import _assign, _recompute
+
+        vectors = corpus.select(
+            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")
+        ).localCheckpoint(eager=True)
+        cents = (
+            vectors.orderBy("vec_id")
+            .limit(n_lists)
+            .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
         )
-    )
+        for _ in range(refine_iters):
+            cents = _recompute(_assign(vectors, cents)).localCheckpoint(
+                eager=True
+            )
+        centroids = cents.select(
+            F.col("cid").alias("centroid_id"), F.col("cv").alias("cvec")
+        )
+    else:
+        centroids = (
+            corpus.orderBy(id_col)
+            .limit(n_lists)
+            .select(
+                F.col(id_col).alias("centroid_id"),
+                F.col(vec_col).alias("cvec"),
+            )
+        )
     # Argmax-as-aggregate (max over struct(sim, -cid)): map-side partial
     # combining beats a rank-1 window's full sort of the corpus×k rows.
     scored = ensure_parallelism(corpus, id_col).select(
@@ -191,10 +220,13 @@ def knn_ivf(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    refine_iters: int = 0,
 ) -> DataFrame:
     """IVF approximate top-k: each query probes only its ``n_probe``
     nearest inverted lists instead of the whole corpus — the
     partition-pruned ANN path (probe fraction = n_probe/n_lists).
+    ``refine_iters`` k-means-refines the centroids before indexing
+    (see :func:`build_ivf_index`).
 
     Scale shape: queries×centroids is broadcast-sized; the candidate
     join hits only probed lists (equi-join on centroid_id), so the
@@ -208,7 +240,11 @@ def knn_ivf(
     data with no corpus scan at all.
     """
     centroids, assigned = build_ivf_index(
-        corpus, n_lists=n_lists, id_col=id_col, vec_col=vec_col
+        corpus,
+        n_lists=n_lists,
+        id_col=id_col,
+        vec_col=vec_col,
+        refine_iters=refine_iters,
     )
     qscored = queries.select(
         F.col(query_id_col), F.col(vec_col).alias("__qvec")

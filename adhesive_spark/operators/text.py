@@ -308,6 +308,7 @@ def chunk_documents(
     *,
     chunk_size: int = 128,
     stride: int = 96,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Overlapping token-window chunking — the context-window prep step
     of a training/embedding pipeline (chunk_size-token windows every
@@ -317,25 +318,38 @@ def chunk_documents(
     zero Python and ZERO shuffle — chunks stream straight out of the
     scan stage, and output size is rows × n_tokens/stride. The chunk id
     is the window ordinal, so (id, chunk_id) is a stable key for
-    downstream embedding/packing joins.
+    downstream embedding/packing joins.  ``carry_cols`` ride through the
+    explode unchanged — the scale-honest alternative to joining metadata
+    back onto the chunks afterwards (at 100 TB that join-back is a
+    corpus-wide shuffle or an unbroadcastable build side).
     """
     if stride <= 0 or chunk_size <= 0:
         raise ValueError("chunk_size and stride must be positive")
-    base = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+    carry = list(carry_cols)
+    base = df.select(
+        F.col(id_col), *carry, tokens(F.col(text_col)).alias("__toks")
+    )
     starts = F.sequence(
         F.lit(0),
         F.greatest(F.size(F.col("__toks")) - 1, F.lit(0)),
         F.lit(stride),
     )
     return (
-        base.select(id_col, "__toks", F.posexplode(starts).alias("chunk_id", "__start"))
+        base.select(
+            id_col,
+            *carry,
+            "__toks",
+            F.posexplode(starts).alias("chunk_id", "__start"),
+        )
         .select(
             id_col,
+            *carry,
             "chunk_id",
             F.slice("__toks", F.col("__start") + 1, chunk_size).alias("__chunk"),
         )
         .select(
             id_col,
+            *carry,
             "chunk_id",
             F.size("__chunk").alias("n_tokens"),
             F.array_join("__chunk", " ").alias("chunk_text"),

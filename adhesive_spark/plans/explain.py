@@ -64,3 +64,17 @@ def codegen_stage_count(df: DataFrame) -> int:
     # Spark renders codegen'd operators with a "*(<stage id>)" prefix.
     ids = set(re.findall(r"\*\((\d+)\)", plan))
     return max(len(ids), plan.count("WholeStageCodegen"))
+
+
+def shuffle_exchange_count(df: DataFrame) -> int:
+    """Number of SHUFFLE Exchange nodes in the analyzed physical plan.
+    BroadcastExchange is excluded (the \\bExchange\\b boundary cannot
+    match inside it): broadcasts replicate a small side, they do not
+    repartition the data. This is the per-query shuffle budget that
+    PLANS.md reports and tests/test_plans.py pins for the most expensive
+    queries — at 100 TB each extra exchange is a full rewrite of the
+    stream through the cluster fabric."""
+    import re
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return len(re.findall(r"\bExchange\b", plan))

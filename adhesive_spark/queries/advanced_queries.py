@@ -873,6 +873,29 @@ def q88_semantic_dedup(spark, sf_dir):
     return semantic_dedup_representatives(emb, n_clusters=16)
 
 
+def q101_knn_ivf_refined(spark, sf_dir):
+    """IVF ANN with K-MEANS-REFINED centroids: the q49 probe path, but
+    the 8 inverted lists are first refined by 2 spherical k-means
+    iterations over the corpus (composition of similarity.build_ivf_index
+    and clustering's assignment/recompute step).  This is the production
+    index build — refined centroids track corpus density, which is what
+    holds recall as the corpus scales; the deterministic rounding
+    contract (sim→6, coords floor→9 per iteration) keeps the whole
+    trajectory oracle-expressible."""
+    from adhesive_spark.operators.similarity import knn_ivf
+
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.where(F.col("vec_id") >= 10)
+    return knn_ivf(
+        corpus, queries, k=5, n_lists=8, n_probe=2, refine_iters=2
+    )
+
+
 ADVANCED_QUERIES = {
     "q26_grouped_zscore": q26_grouped_zscore,
     "q27_udaf_weighted_mean": q27_udaf_weighted_mean,
@@ -913,6 +936,7 @@ ADVANCED_QUERIES = {
     "q92_variant_shred": q92_variant_shred,
     "q98_udtf_table_profile": q98_udtf_table_profile,
     "q99_array_analytics": q99_array_analytics,
+    "q101_knn_ivf_refined": q101_knn_ivf_refined,
 }
 
 # Shared DuckDB fragments (mirror operators.text constant-for-constant).
@@ -1547,6 +1571,75 @@ ADVANCED_ORACLES["q88_semantic_dedup"] = """
              COUNT(*) OVER (PARTITION BY centroid_id) AS cluster_size
       FROM scored
     ) WHERE r = 1
+"""
+
+# q101: the q61 unrolled-kmeans trajectory (2 iterations, floor-9 coords,
+# round-6 sims, ties to lowest cid) seeded with the 8 lowest corpus ids,
+# composed with the q49 probe/top-k structure over the REFINED centroids.
+ADVANCED_ORACLES["q101_knn_ivf_refined"] = """
+    WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    corpus AS (SELECT vec_id, v FROM emb WHERE vec_id >= 10),
+    queries AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id < 10),
+    c0 AS (SELECT vec_id AS cid, v AS cv FROM corpus ORDER BY vec_id LIMIT 8),
+    a1 AS (
+      SELECT vec_id, v, cid FROM (
+        SELECT e.vec_id, e.v, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC,
+                          c.cid) AS r
+        FROM corpus e CROSS JOIN c0 c
+      ) WHERE r = 1
+    ),
+    c1l AS (
+      SELECT cid, pos, floor(avg(val) * 1e9) / 1e9 AS val FROM (
+        SELECT cid, generate_subscripts(v, 1) AS pos, unnest(v) AS val
+        FROM a1
+      ) GROUP BY cid, pos
+    ),
+    c1 AS (SELECT cid, list(val ORDER BY pos) AS cv FROM c1l GROUP BY cid),
+    a2 AS (
+      SELECT vec_id, v, cid FROM (
+        SELECT e.vec_id, e.v, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC,
+                          c.cid) AS r
+        FROM corpus e CROSS JOIN c1 c
+      ) WHERE r = 1
+    ),
+    c2l AS (
+      SELECT cid, pos, floor(avg(val) * 1e9) / 1e9 AS val FROM (
+        SELECT cid, generate_subscripts(v, 1) AS pos, unnest(v) AS val
+        FROM a2
+      ) GROUP BY cid, pos
+    ),
+    c2 AS (SELECT cid AS centroid_id, list(val ORDER BY pos) AS cv
+           FROM c2l GROUP BY cid),
+    assigned AS (
+      SELECT vec_id, v, centroid_id FROM (
+        SELECT e.vec_id, e.v, c.centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC,
+                          c.centroid_id) AS r
+        FROM corpus e CROSS JOIN c2 c
+      ) WHERE r = 1
+    ),
+    probes AS (
+      SELECT query_id, qv, centroid_id FROM (
+        SELECT q.query_id, q.qv, c.centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                 ORDER BY round(list_cosine_similarity(q.qv, c.cv), 6) DESC,
+                          c.centroid_id) AS r
+        FROM queries q CROSS JOIN c2 c
+      ) WHERE r <= 2
+    )
+    SELECT query_id, vec_id, sim, rank FROM (
+      SELECT p.query_id, a.vec_id,
+             round(list_cosine_similarity(a.v, p.qv), 6) AS sim,
+             ROW_NUMBER() OVER (PARTITION BY p.query_id
+               ORDER BY round(list_cosine_similarity(a.v, p.qv), 6) DESC,
+                        a.vec_id) AS rank
+      FROM assigned a JOIN probes p USING (centroid_id)
+    ) WHERE rank <= 5
 """
 
 # q89: the union ESTIMATE is engine-specific (DataSketches HLL) — the

@@ -329,6 +329,68 @@ def q93_repetition_quality(spark, sf_dir):
 
 
 
+def q102_curation_pipeline(spark, sf_dir):
+    """The consolidated 100 TB-shape curation pipeline as ONE composed
+    query — documents → exact dedup (min-id survivor per fingerprint,
+    argmin-as-aggregate so there is no join-back) → Gopher-style
+    repetition + length filter → non-overlapping 64-token chunking
+    (metadata carried through the explode, no join) → 512-token sequence
+    packing per source → per-sequence shard summary.
+
+    The point is that the operators COMPOSE without a materialization
+    wall: the whole pipeline is 2 shuffles total — one hash shuffle on
+    the text fingerprint (dedup) and one on source (packing window); the
+    filter and chunking fuse into the scan-side stages between them, and
+    the final (source, seq_idx) aggregate reuses the window's
+    hash(source) partitioning (it clusters the grouping key) rather than
+    adding a third exchange.  tests/test_plans.py pins that budget.
+    """
+    from adhesive_spark.operators.text import (
+        chunk_documents,
+        fingerprint,
+        pack_sequences,
+        repetition_metrics,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    surv = (
+        docs.select(
+            fingerprint(F.col("text")).alias("__fp"),
+            F.struct("doc_id", "source", "text").alias("__row"),
+        )
+        .groupBy("__fp")
+        .agg(F.min("__row").alias("__row"))
+        .select("__row.doc_id", "__row.source", "__row.text")
+    )
+    m = repetition_metrics(F.col("text"))
+    filt = surv.select(
+        "doc_id",
+        "source",
+        "text",
+        m["n_tokens"].alias("__nt"),
+        m["dup_trigram_frac"].alias("__dtf"),
+        m["top_token_frac"].alias("__ttf"),
+    ).where(
+        (F.col("__dtf") < 0.3)
+        & (F.col("__ttf") < 0.2)
+        & (F.col("__nt") >= 10)
+    )
+    chunks = chunk_documents(
+        filt, "text", "doc_id", chunk_size=64, stride=64,
+        carry_cols=("source",),
+    )
+    packed = pack_sequences(
+        chunks, "source", ["doc_id", "chunk_id"], seq_tokens=512
+    )
+    return packed.groupBy("source", "seq_idx").agg(
+        F.count("*").alias("n_chunks"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("seq_tokens_total"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
 def q100_corpus_report(spark, sf_dir):
     """One-row corpus health snapshot — the dashboard composition over
     the text kit: volume, source spread, exact-dup rate, language mix,
@@ -379,6 +441,7 @@ CURATION_QUERIES = {
     "q87_sequence_packing": q87_sequence_packing,
     "q93_repetition_quality": q93_repetition_quality,
     "q100_corpus_report": q100_corpus_report,
+    "q102_curation_pipeline": q102_curation_pipeline,
 }
 
 # --- oracles -----------------------------------------------------------------
@@ -747,4 +810,78 @@ CURATION_ORACLES["q100_corpus_report"] = f"""
            floor(SUM(q_s) * 1.0 / (COUNT(*) * 10000.0) * 10000) / 10000 AS mean_quality,
            CAST(SUM(n_tok) AS BIGINT) AS total_tokens
     FROM d
+"""
+
+# q102: the composed pipeline — exact dedup (min-id survivor), the q93
+# repetition filter, q85-style chunking (stride = size, no overlap), the
+# q87 packing window, and the shard summary, all unrolled in one SQL.
+CURATION_ORACLES["q102_curation_pipeline"] = """
+    WITH f AS (
+      SELECT doc_id, source, text,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS doc_fp
+      FROM documents
+    ),
+    surv AS (
+      SELECT doc_id, source, text FROM (
+        SELECT f.*, ROW_NUMBER() OVER (PARTITION BY doc_fp
+                                       ORDER BY doc_id) AS rr
+        FROM f
+      ) WHERE rr = 1
+    ),
+    d AS (
+      SELECT doc_id, source,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+      FROM surv
+    ),
+    m AS (
+      SELECT doc_id, source, toks,
+             len(toks) AS n_tokens,
+             CASE WHEN len(toks) - 2 >= 1 THEN
+               list_transform(range(1, len(toks) - 2 + 1),
+                              i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+             ELSE [] END AS tri
+      FROM d
+    ),
+    r AS (
+      SELECT doc_id, source, toks, n_tokens,
+             CASE WHEN len(tri) >= 1 THEN
+               floor((len(tri) - len(list_distinct(tri))) * 1.0 / len(tri) * 10000) / 10000
+             ELSE 0.0 END AS dup_trigram_frac,
+             (SELECT MAX(c) FROM (
+                SELECT COUNT(*) AS c FROM unnest(toks) AS u(t) GROUP BY t
+             )) AS top_cnt
+      FROM m
+    ),
+    filt AS (
+      SELECT doc_id, source, toks, n_tokens FROM r
+      WHERE dup_trigram_frac < 0.3
+        AND floor(top_cnt * 1.0 / greatest(n_tokens, 1) * 10000) / 10000 < 0.2
+        AND n_tokens >= 10
+    ),
+    st AS (
+      SELECT doc_id, source, toks,
+             unnest(generate_series(0, CAST(n_tokens - 1 AS BIGINT), 64)) AS start
+      FROM filt
+    ),
+    chunks AS (
+      SELECT doc_id, source,
+             CAST(start // 64 AS INT) AS chunk_id,
+             CAST(len(toks[start + 1 : start + 64]) AS INT) AS n_tokens
+      FROM st
+    ),
+    packed AS (
+      SELECT *,
+             CAST(floor((SUM(n_tokens) OVER (PARTITION BY source
+                    ORDER BY doc_id, chunk_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    - n_tokens) / 512) AS INT) AS seq_idx
+      FROM chunks
+    )
+    SELECT source, seq_idx,
+           COUNT(*) AS n_chunks,
+           COUNT(DISTINCT doc_id) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens_total,
+           MIN(doc_id) AS first_doc,
+           MAX(doc_id) AS last_doc
+    FROM packed GROUP BY source, seq_idx
 """

@@ -10,6 +10,15 @@ state at 100 TB/day.
 and emits the updated row each time a micro-batch touches the user —
 the streaming twin of ``SELECT user_id, COUNT(*), SUM(value) GROUP BY
 user_id`` with incremental output.
+
+``applyInPandasWithState`` is the SUPPORTED arbitrary-state surface of
+this repo.  Spark 4 also ships a v2 API (``transformWithStateInPandas``:
+typed state variables, TTL, timers); its Python runner imports
+``google.protobuf``, which this environment does not provide, so the v2
+path is exercised only by the importorskip-guarded test
+(tests/test_streaming.py::test_transform_with_state_v2_when_available)
+and activates automatically wherever protobuf exists.  Both APIs sit on
+the same state store; nothing here depends on v2.
 """
 
 from __future__ import annotations

@@ -49,6 +49,13 @@ HEADLINE = [
     # health composition
     "q85_doc_chunking",
     "q100_corpus_report",
+    # round-5 additions: the two most production-relevant dedup paths
+    # (batch-vs-index incremental, cluster-representative semantic), the
+    # k-means-refined IVF build+probe, and the composed curation pipeline
+    "q86_incremental_dedup",
+    "q88_semantic_dedup",
+    "q101_knn_ivf_refined",
+    "q102_curation_pipeline",
 ]
 
 

@@ -248,3 +248,36 @@ def test_tpch_analogs_broadcast_dims(spark, sf):
     # Q10's top-20 must be TakeOrdered, not a global sort
     plan = physical_plan(q96_returned_items(spark, sf))
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_shuffle_budgets_most_expensive(spark, sf):
+    """Pin the exchange budget of the most expensive bench queries (and
+    the new composed pipeline): a regression that adds a shuffle should
+    fail here, not surface as a silent bench slowdown.  Budgets are the
+    r4-audited counts (PLANS.md)."""
+    from adhesive_spark.plans.explain import shuffle_exchange_count
+    from adhesive_spark.queries.advanced_queries import q101_knn_ivf_refined
+    from adhesive_spark.queries.curation_queries import (
+        q69_contamination_check,
+        q100_corpus_report,
+        q102_curation_pipeline,
+    )
+    from adhesive_spark.queries.pipeline_queries import (
+        q30_dedup_exact,
+        q37_minhash_pairs,
+    )
+
+    budgets = {
+        q37_minhash_pairs: 2,   # band shuffle + pair agg; 3 BHJ, no BNL
+        q69_contamination_check: 4,
+        q102_curation_pipeline: 2,  # fp dedup + source window; agg reuses
+        q100_corpus_report: 2,
+        q30_dedup_exact: 1,
+        q101_knn_ivf_refined: 3,  # per-iter pos-agg + probe-side agg
+    }
+    for fn, budget in budgets.items():
+        got = shuffle_exchange_count(fn(spark, sf))
+        assert got <= budget, (
+            f"{fn.__name__}: {got} shuffle exchanges, budget {budget} — "
+            f"a new Exchange crept into the plan"
+        )

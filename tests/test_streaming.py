@@ -293,3 +293,87 @@ def test_streaming_incremental_dedup_matches_batch(spark, sf_dir, tmp_path_facto
     assert got == want
     # the planted duplicates must all be gone
     assert not any(i >= 1000 for i in got)
+
+
+def test_transform_with_state_v2_when_available(spark, sf_dir, event_stream_dir):
+    """Stateful v2 (transformWithStateInPandas, Spark 4): typed state
+    variables + TTL/timers. Its Python runner imports google.protobuf,
+    which this environment does not ship (and pip install is not
+    available), so the test activates automatically wherever protobuf
+    exists and skips here — applyInPandasWithState is the supported
+    arbitrary-state surface (see streaming/stateful.py).  The v2 body
+    mirrors running_user_totals so the two APIs stay comparable."""
+    pytest.importorskip("google.protobuf")
+    import pandas as pd
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("value_sum", DoubleType()),
+        ]
+    )
+
+    class Totals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "totals",
+                StructType(
+                    [
+                        StructField("n", LongType()),
+                        StructField("s", DoubleType()),
+                    ]
+                ),
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, s = (self._state.get() or (0, 0.0)) if self._state.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                s += float(pdf["value"].sum())
+            self._state.update((n, s))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "value_sum": [s]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    events = spark.readStream.schema(
+        load_table(spark, sf_dir, "events").schema
+    ).parquet(event_stream_dir)
+    result = (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            Totals(), outputStructType=out_schema, outputMode="Update",
+            timeMode="None",
+        )
+    )
+    q = _run_to_memory(result, "v2_totals", mode="update")
+    got = {
+        r.user_id: (r.n_events, round(r.value_sum, 2))
+        for r in spark.sql(
+            "SELECT user_id, max(n_events) AS n_events, max(value_sum) AS value_sum "
+            "FROM v2_totals GROUP BY user_id"
+        ).collect()
+    }
+    want = {
+        r.user_id: (r.n, round(r.s, 2))
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert got == want
