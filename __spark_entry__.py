@@ -62,6 +62,7 @@ _GRADE_FIRST = [
     # new this round — never driver-verified yet
     "q101_knn_ivf_refined",
     "q102_curation_pipeline",
+    "q103_bloom_incremental_dedup",
 ]
 
 

@@ -493,3 +493,131 @@ def dedup_incremental(
         F.min(id_col).alias(id_col), F.count("*").alias("dup_count")
     )
     return batch.join(keep.select(id_col, "dup_count"), on=id_col, how="inner")
+
+
+def _bloom_positions(fp_col, n_bits: int, k: int = 4):
+    """``k`` probe positions carved from ONE md5 of the fingerprint —
+    8 hex chars (32 bits) per probe, so k<=4 costs a single hash and
+    both engines carve identical substrings."""
+    if not 1 <= k <= 4:
+        raise ValueError("k must be 1..4 (one md5 yields four 32-bit probes)")
+    hx = F.md5(fp_col)
+    return [
+        F.conv(F.substring(hx, 1 + 8 * i, 8), 16, 10).cast("long")
+        % F.lit(n_bits)
+        for i in range(k)
+    ]
+
+
+def bloom_build(
+    index: DataFrame,
+    fp_col: str = "doc_fp",
+    *,
+    n_words: int = 4096,
+    k: int = 4,
+) -> DataFrame:
+    """(word_idx, bits): a Bloom filter of the fingerprint set as 32-bit
+    words held in BIGINTs — Spark's native ``bloom_filter_agg`` is not
+    SQL-exposed, and this relational formulation is engine-portable
+    (bit 31 is the highest used, so signed arithmetic never differs).
+
+    Build cost is one explode (k rows per fingerprint) + one ``bit_or``
+    hash aggregate on word_idx — map-side combined, and the result is at
+    most ``n_words`` rows no matter how many billions of fingerprints
+    went in: the broadcastable membership summary of an arbitrarily
+    large index.
+    """
+    n_bits = 32 * n_words
+    pos = index.select(
+        F.explode(
+            F.array(*_bloom_positions(F.col(fp_col), n_bits, k))
+        ).alias("pos")
+    )
+    return (
+        pos.select(
+            F.expr("pos DIV 32").alias("word_idx"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))"
+            ).alias("bit"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("bit").alias("bits"))
+    )
+
+
+def bloom_membership_dedup(
+    batch: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    n_words: int = 4096,
+    k: int = 4,
+) -> DataFrame:
+    """Bloom-accelerated incremental dedup: per batch document, whether
+    the Bloom filter of the index fingerprints flags it as a possible
+    dup (``bloom_candidate``) and whether the exact verify confirms it
+    (``is_dup``).
+
+    This is the 100 TB shape of :func:`dedup_incremental` when the
+    fingerprint index no longer fits a broadcast: the bloom words table
+    is ≤ ``n_words`` rows REGARDLESS of index size and broadcasts to
+    every executor, so the definitely-new majority of the batch is
+    cleared scan-side with zero shuffle; only the candidate minority
+    pays the exact equi-join against the index. Bloom filters have no
+    false negatives (every true dup probes only set bits), so the exact
+    join on the full batch — done here so the output also witnesses that
+    property per row — can in production be restricted to candidates.
+    """
+    words = bloom_build(index, n_words=n_words, k=k)
+    n_bits = 32 * n_words
+    b = batch.select(
+        F.col(id_col), fingerprint(F.col(text_col)).alias("__fp")
+    )
+    probes = b.select(
+        id_col,
+        "__fp",
+        F.explode(
+            F.array(*_bloom_positions(F.col("__fp"), n_bits, k))
+        ).alias("pos"),
+    )
+    hits = probes.join(
+        F.broadcast(words),
+        F.expr("pos DIV 32") == F.col("word_idx"),
+        "left",
+    ).select(
+        id_col,
+        "__fp",
+        F.when(
+            F.col("bits").isNotNull()
+            & (
+                F.col("bits").bitwiseAND(
+                    F.expr(
+                        "shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))"
+                    )
+                )
+                != 0
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("hit"),
+    )
+    cand = hits.groupBy(id_col, "__fp").agg(
+        (F.sum("hit") == k).alias("bloom_candidate")
+    )
+    idx = (
+        index.select(F.col("doc_fp").alias("__fp"))
+        .distinct()
+        .withColumn("__in_idx", F.lit(True))
+    )
+    return (
+        cand.join(idx, "__fp", "left")
+        .select(
+            id_col,
+            "bloom_candidate",
+            (
+                F.col("bloom_candidate") & F.col("__in_idx").isNotNull()
+            ).alias("is_dup"),
+        )
+    )

@@ -622,3 +622,82 @@ PIPELINE_ORACLES["q81_audio_chunks"] = f"""
            CAST(least(s + 5000, duration_ms) AS INT) AS chunk_end_ms
     FROM a CROSS JOIN unnest(range(0, duration_ms, 5000)) AS t(s)
 """
+
+
+def q103_bloom_incremental_dedup(spark, sf_dir):
+    """Bloom-accelerated incremental dedup: the fingerprint index
+    (doc_id < 250, the ingested history) is summarized into a ≤256-word
+    broadcastable Bloom filter; every batch doc (doc_id >= 250) reports
+    its bloom verdict and the exact-verify outcome. The scale point vs
+    q86: the membership summary is O(n_words) regardless of index size,
+    so the definitely-new majority never shuffles — and the per-row
+    output witnesses the no-false-negative contract (is_dup ⇒
+    bloom_candidate)."""
+    from adhesive_spark.operators.dedup import bloom_membership_dedup
+    from adhesive_spark.operators.text import fingerprint
+
+    docs = load_table(spark, sf_dir, "documents")
+    index = docs.where(F.col("doc_id") < 250).select(
+        fingerprint(F.col("text")).alias("doc_fp")
+    )
+    batch = docs.where(F.col("doc_id") >= 250)
+    return bloom_membership_dedup(
+        batch, index, "text", "doc_id", n_words=256, k=4
+    )
+
+
+PIPELINE_QUERIES["q103_bloom_incremental_dedup"] = q103_bloom_incremental_dedup
+
+# Same md5-carving as the Spark side: one md5 of the fingerprint yields
+# four 32-bit probe positions; 32-bit words in BIGINTs keep every bit op
+# inside positive signed range in both engines.
+_BLOOM_BITS = 256 * 32
+
+
+def _bloom_pos_sql(i: int) -> str:
+    """DuckDB 32-bit probe value i (0-based) from md5 hex `m`."""
+    return (
+        f"(({_byte_from_hex('m', 4 * i + 1)} * 16777216 "
+        f"+ {_byte_from_hex('m', 4 * i + 2)} * 65536 "
+        f"+ {_byte_from_hex('m', 4 * i + 3)} * 256 "
+        f"+ {_byte_from_hex('m', 4 * i + 4)}) % {_BLOOM_BITS})"
+    )
+
+
+PIPELINE_ORACLES["q103_bloom_incremental_dedup"] = f"""
+    WITH f AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS doc_fp
+      FROM documents
+    ),
+    idx AS (SELECT DISTINCT doc_fp FROM f WHERE doc_id < 250),
+    ipos AS (
+      SELECT unnest([{", ".join(_bloom_pos_sql(i) for i in range(4))}]) AS pos
+      FROM (SELECT md5(doc_fp) AS m FROM idx)
+    ),
+    words AS (
+      SELECT pos // 32 AS word_idx,
+             bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)) AS bits
+      FROM ipos GROUP BY 1
+    ),
+    batch AS (SELECT doc_id, doc_fp FROM f WHERE doc_id >= 250),
+    bpos AS (
+      SELECT doc_id, doc_fp,
+             unnest([{", ".join(_bloom_pos_sql(i) for i in range(4))}]) AS pos
+      FROM (SELECT doc_id, doc_fp, md5(doc_fp) AS m FROM batch)
+    ),
+    hits AS (
+      SELECT b.doc_id, b.doc_fp,
+             CASE WHEN w.bits IS NOT NULL
+                   AND (w.bits & (CAST(1 AS BIGINT) << CAST(b.pos % 32 AS INT))) != 0
+                  THEN 1 ELSE 0 END AS hit
+      FROM bpos b LEFT JOIN words w ON b.pos // 32 = w.word_idx
+    ),
+    cand AS (
+      SELECT doc_id, doc_fp, SUM(hit) = 4 AS bloom_candidate
+      FROM hits GROUP BY doc_id, doc_fp
+    )
+    SELECT c.doc_id, c.bloom_candidate,
+           (c.bloom_candidate AND i.doc_fp IS NOT NULL) AS is_dup
+    FROM cand c LEFT JOIN idx i ON c.doc_fp = i.doc_fp
+"""

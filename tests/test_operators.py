@@ -456,3 +456,36 @@ def test_sketch_envelope_raw_estimates(spark, sf_dir):
             f"theta {name} estimate {got} vs exact {want} exceeds "
             f"envelope ±{tol} that q90's {name}_within_5pct boolean pins"
         )
+
+
+def test_bloom_membership_no_false_negatives(spark):
+    """Bloom dedup contract: every batch doc whose text IS in the index
+    must come back bloom_candidate=true and is_dup=true (a Bloom filter
+    has no false negatives); docs not in the index must never be is_dup
+    (the exact verify kills bloom false positives)."""
+    from adhesive_spark.operators.dedup import bloom_membership_dedup
+
+    idx_docs = spark.createDataFrame(
+        [(i, f"indexed document number {i}") for i in range(50)],
+        "doc_id long, text string",
+    )
+    from adhesive_spark.operators.text import fingerprint
+
+    index = idx_docs.select(fingerprint(F.col("text")).alias("doc_fp"))
+    batch = spark.createDataFrame(
+        # 10 exact copies of indexed docs + 20 fresh ones
+        [(100 + i, f"indexed document number {i}") for i in range(10)]
+        + [(200 + i, f"fresh document number {i}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    rows = {
+        r.doc_id: (r.bloom_candidate, r.is_dup)
+        for r in bloom_membership_dedup(
+            batch, index, "text", "doc_id", n_words=8, k=4
+        ).collect()
+    }
+    assert len(rows) == 30
+    for i in range(10):  # true dups: candidate AND confirmed
+        assert rows[100 + i] == (True, True), rows[100 + i]
+    for i in range(20):  # fresh: never is_dup (candidate may be a bloom FP
+        assert rows[200 + i][1] is False  # -- n_words=8 makes FPs likely)
