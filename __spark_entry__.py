@@ -63,6 +63,9 @@ _GRADE_FIRST = [
     "q101_knn_ivf_refined",
     "q102_curation_pipeline",
     "q103_bloom_incremental_dedup",
+    "q104_cohort_retention",
+    "q105_funnel",
+    "q106_pagerank",
 ]
 
 

@@ -118,3 +118,76 @@ def dedup_transitive(
         F.col("node").alias(id_col)
     )
     return df.join(losers, on=id_col, how="left_anti")
+
+
+def pagerank_integer(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    n_iter: int = 2,
+    scale: int = 10**9,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """(node, rank_scaled): PageRank in PURE INTEGER arithmetic — ranks
+    are BIGINTs scaled by ``scale``, each contribution is
+    ``rank DIV out_degree`` and the damping step is ``(sum * 85) DIV
+    100``, so every intermediate is exact and the whole trajectory
+    hashes identically in any engine (float PageRank is not
+    reproducible: neighbor-sum order varies run to run).  The truncation
+    bias of integer division is bounded by out_degree · scale⁻¹ per node
+    per round — noise at scale=1e9, and the SAME noise everywhere.
+
+    Every node must appear as a src at least once (symmetrize beforehand
+    for undirected graphs — a dangling node would leak its rank).
+
+    Per iteration: one equi-join of ranks onto edges (both sides hash on
+    the node key) + one sum aggregate on dst — the same two keyed
+    shuffles as :func:`connected_components`, with lineage cut per round.
+    The teleport term and N come from a 1-row count relation
+    cross-joined in (broadcast), not a driver collect.
+    """
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    e = e.localCheckpoint(eager=True)
+    deg = e.groupBy("s").agg(F.count("*").alias("deg"))
+    ed = e.join(deg, "s").localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("s").alias("node"))
+        .union(e.select("d"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_rel = nodes.agg(F.count("*").alias("n"))
+    # init: 1/N, scaled; teleport base: (1-d)/N, scaled
+    ranks = nodes.crossJoin(F.broadcast(n_rel)).select(
+        "node", F.expr(f"CAST({scale} AS BIGINT) DIV n").alias("rank_scaled")
+    )
+    base = F.expr(
+        f"CAST({scale * (100 - damping_pct)} AS BIGINT) DIV (100 * n)"
+    )
+    for _ in range(n_iter):
+        contribs = ranks.join(
+            ed, ranks["node"] == ed["s"]
+        ).select(
+            F.col("d").alias("node"),
+            F.expr("rank_scaled DIV deg").alias("contrib"),
+        )
+        sums = contribs.groupBy("node").agg(
+            F.sum("contrib").alias("in_sum")
+        )
+        ranks = (
+            nodes.join(sums, "node", "left")
+            .crossJoin(F.broadcast(n_rel))
+            .select(
+                "node",
+                (
+                    base
+                    + F.expr(
+                        f"(coalesce(in_sum, CAST(0 AS BIGINT)) "
+                        f"* {damping_pct}) DIV 100"
+                    )
+                ).alias("rank_scaled"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks

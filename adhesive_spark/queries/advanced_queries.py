@@ -896,6 +896,111 @@ def q101_knn_ivf_refined(spark, sf_dir):
     )
 
 
+def q104_cohort_retention(spark, sf_dir):
+    """Cohort retention: users grouped by first-seen week, activity
+    counted per (cohort, weeks-since-cohort) cell with the cohort size
+    alongside — the classic triangular retention matrix.  Three keyed
+    shuffles, all on user_id or the tiny cohort key: first-seen agg,
+    the distinct (user, week) activity set, and the final cell count
+    (the cohort-size side is broadcast back)."""
+    events = load_table(spark, sf_dir, "events")
+    firsts = events.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cw")
+    )
+    sizes = firsts.groupBy("cw").agg(
+        F.count("*").alias("cohort_size")
+    )
+    active = events.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("aw")
+    ).distinct()
+    cells = (
+        active.join(firsts, "user_id")
+        .groupBy("cw", "aw")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+    return (
+        cells.join(F.broadcast(sizes), "cw")
+        .select(
+            F.date_format("cw", "yyyy-MM-dd").alias("cohort_week"),
+            F.floor(F.datediff(F.col("aw"), F.col("cw")) / 7)
+            .cast("int")
+            .alias("week_offset"),
+            "n_active",
+            "cohort_size",
+        )
+    )
+
+
+def q105_funnel(spark, sf_dir):
+    """Ordered-funnel analysis: how many users did view → click →
+    purchase IN TIME ORDER (each stage strictly after the user's first
+    event of the previous stage) — sequence analytics that plain
+    conditional aggregation cannot express.  Three stage aggregations,
+    all keyed on user_id: with hash(user_id) partitioning established by
+    the first, the later joins/aggs reuse it."""
+    events = load_table(spark, sf_dir, "events")
+    ev = events.select("user_id", "event_type", "ts")
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts") > F.col("v_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") > F.col("c_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    return (
+        v.agg(F.count("*").alias("n_view"))
+        .crossJoin(c.agg(F.count("*").alias("n_view_click")))
+        .crossJoin(p.agg(F.count("*").alias("n_full_funnel")))
+    )
+
+
+def q106_pagerank(spark, sf_dir):
+    """Integer-arithmetic PageRank (2 iterations, damping 0.85) over the
+    customer↔supplier trade graph (distinct pairs from orders⋈lineitem,
+    symmetrized) — the iterative-graph family beyond connected
+    components.  All-BIGINT ranks make an inherently float-unstable
+    algorithm bit-reproducible, which is what lets an iterative graph
+    trajectory be value-hash-checked across engines."""
+    from adhesive_spark.operators.graph import pagerank_integer
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    pairs = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias(
+                "cu"
+            ),
+            F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias(
+                "su"
+            ),
+        )
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("cu").alias("src"), F.col("su").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("su").alias("src"), F.col("cu").alias("dst"))
+    )
+    return pagerank_integer(edges, n_iter=2)
+
+
 ADVANCED_QUERIES = {
     "q26_grouped_zscore": q26_grouped_zscore,
     "q27_udaf_weighted_mean": q27_udaf_weighted_mean,
@@ -937,6 +1042,9 @@ ADVANCED_QUERIES = {
     "q98_udtf_table_profile": q98_udtf_table_profile,
     "q99_array_analytics": q99_array_analytics,
     "q101_knn_ivf_refined": q101_knn_ivf_refined,
+    "q104_cohort_retention": q104_cohort_retention,
+    "q105_funnel": q105_funnel,
+    "q106_pagerank": q106_pagerank,
 }
 
 # Shared DuckDB fragments (mirror operators.text constant-for-constant).
@@ -1640,6 +1748,105 @@ ADVANCED_ORACLES["q101_knn_ivf_refined"] = """
                         a.vec_id) AS rank
       FROM assigned a JOIN probes p USING (centroid_id)
     ) WHERE rank <= 5
+"""
+
+# q104/q105: both engines truncate to Monday via date_trunc('week'); the
+# funnel's strict ts ordering needs no tie-break because each stage keys
+# on the MIN of a different event_type.
+ADVANCED_ORACLES["q104_cohort_retention"] = """
+    WITH firsts AS (
+      SELECT user_id, date_trunc('week', MIN(ts)) AS cw
+      FROM events GROUP BY user_id
+    ),
+    sizes AS (SELECT cw, COUNT(*) AS cohort_size FROM firsts GROUP BY cw),
+    active AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS aw FROM events
+    ),
+    cells AS (
+      SELECT f.cw, a.aw, COUNT(DISTINCT a.user_id) AS n_active
+      FROM active a JOIN firsts f USING (user_id)
+      GROUP BY f.cw, a.aw
+    )
+    SELECT strftime(c.cw, '%Y-%m-%d') AS cohort_week,
+           CAST(floor(date_diff('day', c.cw, c.aw) / 7) AS INT) AS week_offset,
+           c.n_active, s.cohort_size
+    FROM cells c JOIN sizes s USING (cw)
+"""
+
+ADVANCED_ORACLES["q105_funnel"] = """
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS v_ts FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS c_ts
+      FROM events e JOIN v USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > v.v_ts
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS p_ts
+      FROM events e JOIN c USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > c.c_ts
+      GROUP BY e.user_id
+    )
+    SELECT (SELECT COUNT(*) FROM v) AS n_view,
+           (SELECT COUNT(*) FROM c) AS n_view_click,
+           (SELECT COUNT(*) FROM p) AS n_full_funnel
+"""
+
+# q106: the integer-PageRank trajectory unrolled — DuckDB's // is floor
+# division, identical to Spark's DIV on the all-nonnegative scaled ranks;
+# SUMs are cast back to BIGINT (DuckDB SUM(BIGINT) widens to HUGEINT).
+ADVANCED_ORACLES["q106_pagerank"] = """
+    WITH pairs AS (
+      SELECT DISTINCT 'c:' || CAST(o.o_custkey AS VARCHAR) AS cu,
+                      's:' || CAST(l.l_suppkey AS VARCHAR) AS su
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ),
+    e AS (
+      SELECT cu AS s, su AS d FROM pairs
+      UNION ALL
+      SELECT su AS s, cu AS d FROM pairs
+    ),
+    deg AS (SELECT s, COUNT(*) AS deg FROM e GROUP BY s),
+    nodes AS (
+      SELECT DISTINCT node FROM (
+        SELECT s AS node FROM e UNION ALL SELECT d AS node FROM e
+      )
+    ),
+    nn AS (SELECT COUNT(*) AS n FROM nodes),
+    r0 AS (
+      SELECT node, CAST(1000000000 AS BIGINT) // nn.n AS rank_scaled
+      FROM nodes, nn
+    ),
+    i1 AS (
+      SELECT e.d AS node,
+             CAST(SUM(r0.rank_scaled // deg.deg) AS BIGINT) AS in_sum
+      FROM r0 JOIN e ON r0.node = e.s JOIN deg ON e.s = deg.s
+      GROUP BY e.d
+    ),
+    r1 AS (
+      SELECT nodes.node,
+             CAST(15000000000 AS BIGINT) // (100 * nn.n)
+               + (COALESCE(i1.in_sum, CAST(0 AS BIGINT)) * 85) // 100
+               AS rank_scaled
+      FROM nodes LEFT JOIN i1 ON nodes.node = i1.node, nn
+    ),
+    i2 AS (
+      SELECT e.d AS node,
+             CAST(SUM(r1.rank_scaled // deg.deg) AS BIGINT) AS in_sum
+      FROM r1 JOIN e ON r1.node = e.s JOIN deg ON e.s = deg.s
+      GROUP BY e.d
+    ),
+    r2 AS (
+      SELECT nodes.node,
+             CAST(15000000000 AS BIGINT) // (100 * nn.n)
+               + (COALESCE(i2.in_sum, CAST(0 AS BIGINT)) * 85) // 100
+               AS rank_scaled
+      FROM nodes LEFT JOIN i2 ON nodes.node = i2.node, nn
+    )
+    SELECT node, CAST(rank_scaled AS BIGINT) AS rank_scaled FROM r2
 """
 
 # q89: the union ESTIMATE is engine-specific (DataSketches HLL) — the

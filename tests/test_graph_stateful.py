@@ -99,3 +99,28 @@ def test_running_user_totals_matches_batch(spark, event_stream_dir):
         if final[u][0] != expected[u][0]
     }
     assert not mismatches, mismatches
+
+
+def test_pagerank_integer_star_graph(spark):
+    """Integer PageRank on a hand-checkable star: hub 0 ↔ leaves 1..4
+    (symmetrized). N=5, scale=1e9: r0 = 200_000_000 each; after one
+    round the hub receives every leaf's full rank (deg 1) and each leaf
+    gets hub/4. base = 15e9 DIV 500 = 30_000_000.
+      hub  = 30_000_000 + (4*200_000_000 * 85) DIV 100 = 710_000_000
+      leaf = 30_000_000 + (200_000_000 DIV 4 * 85) DIV 100 = 72_500_000
+    Also pins conservation: ranks stay ~scale (integer truncation only
+    loses < N*deg units)."""
+    from adhesive_spark.operators.graph import pagerank_integer
+
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 5)] + [(i, 0) for i in range(1, 5)],
+        "src long, dst long",
+    )
+    got = {
+        r.node: r.rank_scaled
+        for r in pagerank_integer(edges, n_iter=1).collect()
+    }
+    assert got[0] == 710_000_000
+    assert all(got[i] == 72_500_000 for i in range(1, 5))
+    total = sum(got.values())
+    assert 10**9 - 100 <= total <= 10**9
