@@ -66,6 +66,8 @@ _GRADE_FIRST = [
     "q104_cohort_retention",
     "q105_funnel",
     "q106_pagerank",
+    "q107_min_cost_supplier",
+    "q108_excess_share_suppliers",
 ]
 
 

@@ -1039,3 +1039,113 @@ RELATIONAL_QUERIES["q94_volume_shipping"] = q94_volume_shipping
 RELATIONAL_QUERIES["q95_market_share"] = q95_market_share
 RELATIONAL_QUERIES["q96_returned_items"] = q96_returned_items
 RELATIONAL_QUERIES["q97_promo_revenue"] = q97_promo_revenue
+
+
+def q107_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape: for each SMALL-type part, the EUROPE supplier(s)
+    whose unit price equals the part's minimum among EUROPE suppliers —
+    a correlated scalar MIN subquery over an aggregate that itself
+    filters through a dim chain (supplier→nation→region).  Catalyst must
+    decorrelate the per-part MIN into an aggregate + join; the unit
+    price is rounded to exact cents per row (single IEEE divide + the
+    shared half-up rounding) so the MIN comparison is integer-exact."""
+    for t in ("lineitem", "part", "supplier", "nation", "region"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(
+        """
+        WITH cost AS (
+          SELECT l.l_partkey, l.l_suppkey,
+                 MIN(CAST(ROUND(l.l_extendedprice / l.l_quantity * 100, 0)
+                          AS BIGINT)) AS unit_cents
+          FROM lineitem l
+          JOIN supplier s ON s.s_suppkey = l.l_suppkey
+          JOIN nation n ON n.n_nationkey = s.s_nationkey
+          JOIN region r ON r.r_regionkey = n.n_regionkey
+          WHERE r.r_name = 'EUROPE'
+          GROUP BY l.l_partkey, l.l_suppkey
+        )
+        SELECT p.p_partkey, p.p_name, s.s_name, c.unit_cents
+        FROM part p
+        JOIN cost c ON c.l_partkey = p.p_partkey
+        JOIN supplier s ON s.s_suppkey = c.l_suppkey
+        WHERE p.p_type = 'SMALL'
+          AND c.unit_cents = (SELECT MIN(c2.unit_cents) FROM cost c2
+                              WHERE c2.l_partkey = p.p_partkey)
+        """
+    )
+
+
+def q108_excess_share_suppliers(spark, sf_dir):
+    """TPC-H Q20 shape: suppliers holding an outsized share of any red
+    part's flow — nested IN over a name-filtered part list plus a
+    correlated aggregate threshold (supplier's shipped quantity of the
+    part > 20% of the part's TOTAL shipped quantity).  Quantities sum as
+    exact scaled integers; the 20% comparison multiplies through so both
+    operands stay BIGINT (no float threshold at the boundary)."""
+    for t in ("lineitem", "part", "supplier", "nation"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(
+        """
+        WITH flow AS (
+          SELECT l_partkey, l_suppkey,
+                 SUM(CAST(ROUND(l_quantity * 10, 0) AS BIGINT)) AS qty10
+          FROM lineitem
+          WHERE l_partkey IN (SELECT p_partkey FROM part
+                              WHERE p_name LIKE 'red%')
+          GROUP BY l_partkey, l_suppkey
+        )
+        SELECT DISTINCT s.s_suppkey, s.s_name, n.n_name
+        FROM supplier s
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        WHERE s.s_suppkey IN (
+          SELECT f.l_suppkey FROM flow f
+          WHERE f.qty10 * 5 > (SELECT SUM(f2.qty10) FROM flow f2
+                               WHERE f2.l_partkey = f.l_partkey)
+        )
+        """
+    )
+
+
+RELATIONAL_QUERIES["q107_min_cost_supplier"] = q107_min_cost_supplier
+RELATIONAL_QUERIES["q108_excess_share_suppliers"] = q108_excess_share_suppliers
+
+RELATIONAL_ORACLES["q107_min_cost_supplier"] = """
+    WITH cost AS (
+      SELECT l.l_partkey, l.l_suppkey,
+             MIN(CAST(ROUND(l.l_extendedprice / l.l_quantity * 100, 0)
+                      AS BIGINT)) AS unit_cents
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = 'EUROPE'
+      GROUP BY l.l_partkey, l.l_suppkey
+    )
+    SELECT p.p_partkey, p.p_name, s.s_name, c.unit_cents
+    FROM part p
+    JOIN cost c ON c.l_partkey = p.p_partkey
+    JOIN supplier s ON s.s_suppkey = c.l_suppkey
+    WHERE p.p_type = 'SMALL'
+      AND c.unit_cents = (SELECT MIN(c2.unit_cents) FROM cost c2
+                          WHERE c2.l_partkey = p.p_partkey)
+"""
+
+RELATIONAL_ORACLES["q108_excess_share_suppliers"] = """
+    WITH flow AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(SUM(CAST(ROUND(l_quantity * 10, 0) AS BIGINT)) AS BIGINT)
+               AS qty10
+      FROM lineitem
+      WHERE l_partkey IN (SELECT p_partkey FROM part
+                          WHERE p_name LIKE 'red%')
+      GROUP BY l_partkey, l_suppkey
+    )
+    SELECT DISTINCT s.s_suppkey, s.s_name, n.n_name
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE s.s_suppkey IN (
+      SELECT f.l_suppkey FROM flow f
+      WHERE f.qty10 * 5 > (SELECT CAST(SUM(f2.qty10) AS BIGINT) FROM flow f2
+                           WHERE f2.l_partkey = f.l_partkey)
+    )
+"""

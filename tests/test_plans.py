@@ -152,9 +152,18 @@ def test_correlated_subqueries_decorrelate(spark, sf):
     from adhesive_spark.queries.relational import (
         q77_small_qty_revenue,
         q79_waiting_suppliers,
+        q107_min_cost_supplier,
+        q108_excess_share_suppliers,
     )
 
-    for q in (q77_small_qty_revenue, q79_waiting_suppliers):
+    for q in (
+        q77_small_qty_revenue,
+        q79_waiting_suppliers,
+        # Q2/Q20 shapes: correlated scalar MIN over an aggregate; nested
+        # IN + correlated SUM threshold
+        q107_min_cost_supplier,
+        q108_excess_share_suppliers,
+    ):
         df = q(spark, sf)
         assert_no_nested_loop(df)
         plan = physical_plan(df)
