@@ -68,6 +68,8 @@ _GRADE_FIRST = [
     "q106_pagerank",
     "q107_min_cost_supplier",
     "q108_excess_share_suppliers",
+    "q109_canonical_dedup",
+    "q110_scd2_history",
 ]
 
 

@@ -1001,6 +1001,90 @@ def q106_pagerank(spark, sf_dir):
     return pagerank_integer(edges, n_iter=2)
 
 
+def q109_canonical_dedup(spark, sf_dir):
+    """Production near-dup CANONICALIZATION: pair graph → connected
+    components → keep the BEST-QUALITY document per cluster (argmax
+    quality, ties to min doc_id) — vs q47, which keeps the min-id
+    survivor regardless of quality.  This is the flow an LLM-corpus
+    dedup actually ships: among near-identical pages, keep the cleanest
+    copy, not an arbitrary one.
+
+    Scale shape: the pair graph and min-label propagation are the q46
+    machinery (shuffles on shingle then node, never all-pairs); the
+    representative choice is ONE argmax-as-aggregate on the component
+    key via a (quality, -doc_id) struct max — no join-back of docs
+    against winners, so adding "pick the best" costs a single hash agg
+    over n rows."""
+    from adhesive_spark.operators.dedup import ngram_jaccard_pairs
+    from adhesive_spark.operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.1)
+    comp = connected_components(pairs).withColumnRenamed("node", "doc_id")
+    labeled = docs.join(comp, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("component", F.col("doc_id")).alias("component"),
+        scaled_long(quality_score(F.col("text")), 4).alias("q_s"),
+    )
+    best = (
+        labeled.select(
+            "component",
+            F.struct(
+                F.col("q_s"), (-F.col("doc_id")).alias("neg_id")
+            ).alias("__k"),
+        )
+        .groupBy("component")
+        .agg(F.max("__k").alias("__k"), F.count("*").alias("cluster_size"))
+    )
+    return best.select(
+        "component",
+        (-F.col("__k.neg_id")).alias("rep_doc"),
+        "cluster_size",
+        (F.col("__k.q_s") / F.lit(10000.0)).alias("rep_quality"),
+    )
+
+
+def q110_scd2_history(spark, sf_dir):
+    """SCD2 (slowly-changing-dimension type 2) history build from a CDC
+    event stream: orders are per-customer attribute observations in time
+    order; emit one validity interval per VALUE CHANGE — lag() to drop
+    unchanged observations, lead() over the survivors for valid_to,
+    row_number() for the version — with NULL valid_to marking the
+    current row.  The warehouse upsert-history primitive.
+
+    Scale shape: one hash shuffle on the natural key (o_custkey); both
+    window passes and the change filter run inside that partitioning
+    (the lead/row_number sort reuses the lag sort — no second
+    exchange), so history rebuild cost is one shuffle of the CDC batch
+    no matter how many columns are tracked."""
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_custkey") < 500
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    changes = (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.col("o_orderpriority").alias("attr"),
+        )
+        .withColumn("__prev", F.lag("attr").over(w))
+        .where(F.col("__prev").isNull() | (F.col("__prev") != F.col("attr")))
+    )
+    return changes.select(
+        "o_custkey",
+        "attr",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("valid_from"),
+        F.date_format(F.lead("o_orderdate").over(w), "yyyy-MM-dd").alias(
+            "valid_to"
+        ),
+        F.row_number().over(w).cast("int").alias("version"),
+        F.lead("o_orderdate").over(w).isNull().alias("is_current"),
+    )
+
+
 ADVANCED_QUERIES = {
     "q26_grouped_zscore": q26_grouped_zscore,
     "q27_udaf_weighted_mean": q27_udaf_weighted_mean,
@@ -1045,6 +1129,8 @@ ADVANCED_QUERIES = {
     "q104_cohort_retention": q104_cohort_retention,
     "q105_funnel": q105_funnel,
     "q106_pagerank": q106_pagerank,
+    "q109_canonical_dedup": q109_canonical_dedup,
+    "q110_scd2_history": q110_scd2_history,
 }
 
 # Shared DuckDB fragments (mirror operators.text constant-for-constant).
@@ -1947,4 +2033,51 @@ ADVANCED_ORACLES["q99_array_analytics"] = """
                     i -> CAST(ROUND(prices[i] / qtys[i] * 100, 0) AS BIGINT))) / 100.0
              AS ppu_total
     FROM g
+"""
+
+# q109: identical pair graph + components as q46 (_PAIR_CTES), then the
+# representative is chosen by the same rounded quality contract as q32
+# (_quality_sql): ORDER BY q_s DESC, doc_id breaks ties exactly like the
+# Spark (q_s, -doc_id) struct max.
+ADVANCED_ORACLES["q109_canonical_dedup"] = f"""
+    WITH RECURSIVE {_PAIR_CTES},
+    lab AS (
+      SELECT t.doc_id,
+             COALESCE(c.component, t.doc_id) AS component,
+             CAST(ROUND(({_quality_sql()}) * 10000, 0) AS BIGINT) AS q_s
+      FROM t
+      JOIN documents d ON t.doc_id = d.doc_id
+      LEFT JOIN comp c ON t.doc_id = c.node
+    ),
+    r AS (
+      SELECT component, doc_id, q_s,
+             ROW_NUMBER() OVER (PARTITION BY component
+                                ORDER BY q_s DESC, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY component) AS cluster_size
+      FROM lab
+    )
+    SELECT component, doc_id AS rep_doc, cluster_size,
+           q_s / 10000.0 AS rep_quality
+    FROM r WHERE rn = 1
+"""
+
+ADVANCED_ORACLES["q110_scd2_history"] = """
+    WITH changes AS (
+      SELECT o_custkey, o_orderkey, o_orderdate, attr
+      FROM (
+        SELECT o_custkey, o_orderkey, o_orderdate,
+               o_orderpriority AS attr,
+               lag(o_orderpriority) OVER w AS prev
+        FROM orders WHERE o_custkey < 500
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey)
+      ) WHERE prev IS NULL OR prev <> attr
+    )
+    SELECT o_custkey, attr,
+           strftime(o_orderdate, '%Y-%m-%d') AS valid_from,
+           strftime(lead(o_orderdate) OVER w, '%Y-%m-%d') AS valid_to,
+           CAST(ROW_NUMBER() OVER w AS INT) AS version,
+           (lead(o_orderdate) OVER w) IS NULL AS is_current
+    FROM changes
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 """
