@@ -2081,3 +2081,143 @@ ADVANCED_ORACLES["q110_scd2_history"] = """
     FROM changes
     WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 """
+
+
+def q113_equidepth_histogram(spark, sf_dir):
+    """EQUI-DEPTH histogram (q44 is equi-width): NTILE(10) assigns
+    equal-population buckets over the full price ordering, then one agg
+    emits each bucket's population and [lo, hi] fence — the optimizer
+    -statistics primitive (selectivity estimation wants equal-depth
+    fences, not equal-width).  Ties are broken by o_orderkey so the
+    bucket boundaries are deterministic across engines.
+
+    Scale note: a global NTILE is a single-partition sort — fine for the
+    statistics use (it runs over a sampled or pre-aggregated input at
+    100 TB, like q43's exact percentiles); the production variant feeds
+    this from a 1-in-N hash sample (q45)."""
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    b = orders.select(
+        scaled_long(F.col("o_totalprice"), 2).alias("price_c"),
+        F.ntile(10).over(w).alias("bucket"),
+    )
+    return b.groupBy("bucket").agg(
+        F.count("*").alias("n"),
+        (F.min("price_c") / F.lit(100.0)).alias("lo"),
+        (F.max("price_c") / F.lit(100.0)).alias("hi"),
+    )
+
+
+def q115_gap_fill_interpolate(spark, sf_dir):
+    """Time-series GAP FILL with linear interpolation: per-user hourly
+    totals, a generated hour spine (sequence + explode) between each
+    user's first and last active hour, and masked last/first
+    IGNORE-NULLS window scans to carry (prev, next) observations into
+    the gaps — interpolated as prev + (next-prev) · gap-fraction.  The
+    sensor/metrics regularization primitive.
+
+    Scale shape: one shuffle on user_id for the hourly agg; the spine
+    explode and both window passes run inside that partitioning (the
+    two scans share one sort).  Cents stay exact integers; the
+    interpolation is the only float step and both engines evaluate the
+    identical expression, so output cents floor deterministically."""
+    from pyspark.sql.window import Window
+
+    events = load_table(spark, sf_dir, "events").where(F.col("user_id") < 20)
+    hourly = events.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.sum(scaled_long(F.col("value"), 2)).alias("v_c"))
+    span = hourly.groupBy("user_id").agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    spine = span.select(
+        "user_id",
+        F.explode(
+            F.sequence("h0", "h1", F.expr("interval 1 hour"))
+        ).alias("h"),
+    )
+    g = spine.join(hourly, ["user_id", "h"], "left")
+    w = Window.partitionBy("user_id").orderBy("h")
+    idx = F.row_number().over(w)
+    g = g.select("user_id", "h", "v_c", idx.alias("idx"))
+    w_prev = w.rowsBetween(Window.unboundedPreceding, 0)
+    w_next = w.rowsBetween(0, Window.unboundedFollowing)
+    obs_idx = F.when(F.col("v_c").isNotNull(), F.col("idx"))
+    prev_v = F.last("v_c", ignorenulls=True).over(w_prev)
+    next_v = F.first("v_c", ignorenulls=True).over(w_next)
+    prev_i = F.last(obs_idx, ignorenulls=True).over(w_prev)
+    next_i = F.first(obs_idx, ignorenulls=True).over(w_next)
+    filled_c = F.when(F.col("v_c").isNotNull(), F.col("v_c").cast("double")).otherwise(
+        prev_v
+        + (next_v - prev_v)
+        * (F.col("idx") - prev_i)
+        / (next_i - prev_i)
+    )
+    return g.select(
+        "user_id",
+        F.date_format("h", "yyyy-MM-dd HH").alias("hour"),
+        (F.floor(filled_c) / F.lit(100.0)).alias("value_filled"),
+        F.col("v_c").isNull().alias("is_interpolated"),
+    )
+
+
+ADVANCED_QUERIES["q113_equidepth_histogram"] = q113_equidepth_histogram
+ADVANCED_QUERIES["q115_gap_fill_interpolate"] = q115_gap_fill_interpolate
+
+ADVANCED_ORACLES["q113_equidepth_histogram"] = """
+    WITH b AS (
+      SELECT CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS price_c,
+             CAST(NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey)
+                  AS INT) AS bucket
+      FROM orders
+    )
+    SELECT bucket, COUNT(*) AS n,
+           MIN(price_c) / 100.0 AS lo,
+           MAX(price_c) / 100.0 AS hi
+    FROM b GROUP BY bucket
+"""
+
+ADVANCED_ORACLES["q115_gap_fill_interpolate"] = """
+    WITH hourly AS (
+      SELECT user_id, date_trunc('hour', ts) AS h,
+             SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS v_c
+      FROM events WHERE user_id < 20
+      GROUP BY 1, 2
+    ),
+    spine AS (
+      SELECT user_id,
+             unnest(generate_series(MIN(h), MAX(h), INTERVAL 1 HOUR)) AS h
+      FROM hourly GROUP BY user_id
+    ),
+    g AS (
+      SELECT s.user_id, s.h, hr.v_c,
+             ROW_NUMBER() OVER w AS idx
+      FROM spine s LEFT JOIN hourly hr
+        ON s.user_id = hr.user_id AND s.h = hr.h
+      WINDOW w AS (PARTITION BY s.user_id ORDER BY s.h)
+    ),
+    f AS (
+      SELECT user_id, h, v_c, idx,
+             last_value(v_c IGNORE NULLS) OVER wp AS prev_v,
+             first_value(v_c IGNORE NULLS) OVER wn AS next_v,
+             last_value(CASE WHEN v_c IS NOT NULL THEN idx END IGNORE NULLS)
+               OVER wp AS prev_i,
+             first_value(CASE WHEN v_c IS NOT NULL THEN idx END IGNORE NULLS)
+               OVER wn AS next_i
+      FROM g
+      WINDOW
+        wp AS (PARTITION BY user_id ORDER BY idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        wn AS (PARTITION BY user_id ORDER BY idx
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, strftime(h, '%Y-%m-%d %H') AS hour,
+           floor(CASE WHEN v_c IS NOT NULL THEN CAST(v_c AS DOUBLE)
+                      ELSE prev_v + (next_v - prev_v) * (idx - prev_i)
+                           / (next_i - prev_i) END) / 100.0
+             AS value_filled,
+           v_c IS NULL AS is_interpolated
+    FROM f
+"""

@@ -885,3 +885,43 @@ CURATION_ORACLES["q102_curation_pipeline"] = """
            MAX(doc_id) AS last_doc
     FROM packed GROUP BY source, seq_idx
 """
+
+
+def q114_group_exact_sample(spark, sf_dir):
+    """Deterministic EXACT-K per-group sample: within each source, rank
+    documents by a portable content-independent hash (md5 of the id)
+    and keep the first 8 — the "give me exactly k examples per stratum"
+    primitive (q70's rate sampler gives a BINOMIAL count per stratum;
+    dashboards and eval-set builders need exactly k).  The hash
+    ordering makes the sample stable across engines, partitionings, and
+    runs.
+
+    Scale shape: rank ≤ k over a window is rewritten by Spark into
+    WindowGroupLimit — each map task keeps only its local top-k per
+    group BEFORE the shuffle, so the exchange carries O(groups · k)
+    rows, not the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.select(
+            "source", "doc_id", F.row_number().over(w).alias("pick")
+        )
+        .where(F.col("pick") <= 8)
+        .select("source", "doc_id", F.col("pick").cast("int").alias("pick"))
+    )
+
+
+CURATION_QUERIES["q114_group_exact_sample"] = q114_group_exact_sample
+
+CURATION_ORACLES["q114_group_exact_sample"] = """
+    SELECT source, doc_id, CAST(pick AS INT) AS pick FROM (
+      SELECT source, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS pick
+      FROM documents
+    ) WHERE pick <= 8
+"""

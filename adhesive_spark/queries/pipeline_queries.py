@@ -701,3 +701,57 @@ PIPELINE_ORACLES["q103_bloom_incremental_dedup"] = f"""
            (c.bloom_candidate AND i.doc_fp IS NOT NULL) AS is_dup
     FROM cand c LEFT JOIN idx i ON c.doc_fp = i.doc_fp
 """
+
+
+def q111_fuzzy_name_join(spark, sf_dir):
+    """BLOCKED edit-distance self-join — the entity-resolution / fuzzy
+    dedup primitive: candidate pairs come from a cheap equi-join on a
+    BLOCKING KEY (here the shared noun of the two-word part name;
+    in production a phonetic key, length band, or q-gram signature), and the expensive Levenshtein verify runs ONLY inside
+    blocks.  All-pairs edit distance is O(n²·L²) and never shippable;
+    blocking makes the shuffle an equi-join on the block key with
+    per-block quadratic cost bounded by the block size (standard
+    blocking recall tradeoff: cross-block matches are missed by
+    design).
+
+    JVM-side end to end: split/levenshtein are Catalyst built-ins, so
+    the verify stays inside whole-stage codegen."""
+    part = load_table(spark, sf_dir, "part")
+    names = (
+        part.select(F.split(F.col("p_name"), " ").alias("w"))
+        .select(
+            F.col("w").getItem(1).alias("block"),
+            F.col("w").getItem(0).alias("word"),
+        )
+        .distinct()
+    )
+    a = names.alias("a")
+    b = names.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.block") == F.col("b.block"))
+        & (F.col("a.word") < F.col("b.word")),
+    )
+    return pairs.select(
+        F.col("a.block").alias("block"),
+        F.col("a.word").alias("word_a"),
+        F.col("b.word").alias("word_b"),
+        F.levenshtein(F.col("a.word"), F.col("b.word")).alias("dist"),
+    ).where(F.col("dist") <= 2)
+
+
+PIPELINE_QUERIES["q111_fuzzy_name_join"] = q111_fuzzy_name_join
+
+PIPELINE_ORACLES["q111_fuzzy_name_join"] = """
+    WITH names AS (
+      SELECT DISTINCT
+             split_part(p_name, ' ', 2) AS block,
+             split_part(p_name, ' ', 1) AS word
+      FROM part
+    )
+    SELECT a.block, a.word AS word_a, b.word AS word_b,
+           CAST(levenshtein(a.word, b.word) AS INT) AS dist
+    FROM names a JOIN names b
+      ON a.block = b.block AND a.word < b.word
+    WHERE levenshtein(a.word, b.word) <= 2
+"""

@@ -1149,3 +1149,66 @@ RELATIONAL_ORACLES["q108_excess_share_suppliers"] = """
                            WHERE f2.l_partkey = f.l_partkey)
     )
 """
+
+
+def q112_global_sales_opportunity(spark, sf_dir):
+    """TPC-H Q22 shape: per phone-country-code count and balance of
+    RICH, CHURNED customers — acctbal above the average positive
+    balance (uncorrelated scalar subquery → broadcast one-row join) and
+    no orders since 2000-01-01 (anti join against the date-filtered
+    orders scan; this data has no order-less customers, so recency
+    stands in for Q22's "no orders").  The two classic decorrelation
+    primitives in one query; balances sum as exact cents (scaled_long)
+    with one divide at output.
+
+    Scale shape: the scalar average is a map-side partial agg to a
+    1-row broadcast; the anti join shuffles on o_custkey/c_custkey — at
+    100 TB the orders side is the big one and AQE picks SMJ vs BHJ from
+    the filtered customer cardinality."""
+    from adhesive_spark.operators.text import scaled_long
+
+    # TPC-H proper keys on phone-prefix country codes; this testdata
+    # vintage has no c_phone, so the nation key plays the country code
+    codes = (13, 31, 23, 29, 30, 18, 17)
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .select(
+            "c_custkey",
+            F.col("c_nationkey").alias("cc"),
+            scaled_long(F.col("c_acctbal"), 2).alias("bal_c"),
+        )
+        .where(F.col("cc").isin(*codes))
+    )
+    avg_bal = cust.where(F.col("bal_c") > 0).agg(F.avg("bal_c").alias("ab"))
+    rich = cust.join(F.broadcast(avg_bal)).where(F.col("bal_c") > F.col("ab"))
+    inactive = rich.join(
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= F.lit("2000-01-01").cast("date"))
+        .select(F.col("o_custkey").alias("c_custkey")),
+        "c_custkey",
+        "left_anti",
+    )
+    return inactive.groupBy("cc").agg(
+        F.count("*").alias("numcust"),
+        (F.sum("bal_c") / F.lit(100.0)).alias("totacctbal"),
+    )
+
+
+RELATIONAL_QUERIES["q112_global_sales_opportunity"] = q112_global_sales_opportunity
+
+RELATIONAL_ORACLES["q112_global_sales_opportunity"] = """
+    WITH cust AS (
+      SELECT c_custkey, c_nationkey AS cc,
+             CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) AS bal_c
+      FROM customer
+      WHERE c_nationkey IN (13, 31, 23, 29, 30, 18, 17)
+    ),
+    ab AS (SELECT AVG(bal_c) AS ab FROM cust WHERE bal_c > 0)
+    SELECT cc, COUNT(*) AS numcust, SUM(bal_c) / 100.0 AS totacctbal
+    FROM cust, ab
+    WHERE bal_c > ab
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = cust.c_custkey
+                        AND o.o_orderdate >= DATE '2000-01-01')
+    GROUP BY cc
+"""

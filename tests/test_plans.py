@@ -290,3 +290,25 @@ def test_shuffle_budgets_most_expensive(spark, sf):
             f"{fn.__name__}: {got} shuffle exchanges, budget {budget} — "
             f"a new Exchange crept into the plan"
         )
+
+
+def test_group_exact_sample_window_group_limit(spark, sf):
+    """q114's rank<=k must compile to WindowGroupLimit (map-side local
+    top-k before the shuffle) — without it the exchange carries the
+    whole corpus instead of O(groups*k) rows."""
+    from adhesive_spark.queries.curation_queries import q114_group_exact_sample
+
+    plan = physical_plan(q114_group_exact_sample(spark, sf))
+    assert "WindowGroupLimit" in plan
+
+
+def test_fuzzy_name_join_is_blocked_hash_join(spark, sf):
+    """q111's blocked Levenshtein join must be an equi hash join on the
+    block key with the distance as residual — never a nested-loop over
+    all name pairs."""
+    from adhesive_spark.queries.pipeline_queries import q111_fuzzy_name_join
+
+    df = q111_fuzzy_name_join(spark, sf)
+    assert_no_cartesian(df)
+    plan = physical_plan(df)
+    assert "BroadcastNestedLoop" not in plan
