@@ -56,6 +56,11 @@ HEADLINE = [
     "q88_semantic_dedup",
     "q101_knn_ivf_refined",
     "q102_curation_pipeline",
+    # round-5 additions: SCD2 history build (one-shuffle double-window)
+    # and time-series gap fill + interpolation (spine explode + masked
+    # ignore-nulls scans)
+    "q110_scd2_history",
+    "q115_gap_fill_interpolate",
 ]
 
 
