@@ -755,3 +755,50 @@ PIPELINE_ORACLES["q111_fuzzy_name_join"] = """
       ON a.block = b.block AND a.word < b.word
     WHERE levenshtein(a.word, b.word) <= 2
 """
+
+
+def q116_ppjoin_pairs(spark, sf_dir):
+    """PPJoin prefix-filtered EXACT similarity join (dedup.ppjoin_pairs)
+    — the oracle is the plain all-pairs Jaccard WITHOUT any filtering,
+    so a green hash is a machine-checked proof of the prefix filter's
+    no-false-negative guarantee (LSH variants like q37 can only be
+    checked against their own banding; this one is checked against
+    ground truth)."""
+    from adhesive_spark.operators.dedup import ppjoin_pairs
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 600)
+    return ppjoin_pairs(docs, "text", "doc_id", n=3, threshold=0.3)
+
+
+PIPELINE_QUERIES["q116_ppjoin_pairs"] = q116_ppjoin_pairs
+
+# ground truth: unfiltered exact all-pairs Jaccard — deliberately NOT a
+# mirror of the prefix filter (see q116 docstring)
+PIPELINE_ORACLES["q116_ppjoin_pairs"] = f"""
+    WITH t AS (
+      SELECT doc_id, {_NORM} AS norm, {_TOKS} AS toks
+      FROM documents WHERE doc_id < 600
+    ),
+    g AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) - 2 >= 1
+                  THEN list_distinct(list_transform(
+                         range(1, len(toks) - 2 + 1),
+                         i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))
+                  ELSE [norm] END AS grams
+      FROM t
+    ),
+    x AS (SELECT doc_id, unnest(grams) AS shingle FROM g),
+    sz AS (SELECT doc_id, len(grams) AS n_sh FROM g),
+    c AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+      FROM x a JOIN x b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(n_common / (sa.n_sh + sb.n_sh - n_common), 4) AS jaccard
+    FROM c
+    JOIN sz sa ON c.id_a = sa.doc_id
+    JOIN sz sb ON c.id_b = sb.doc_id
+    WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.3
+"""

@@ -489,3 +489,62 @@ def test_bloom_membership_no_false_negatives(spark):
         assert rows[100 + i] == (True, True), rows[100 + i]
     for i in range(20):  # fresh: never is_dup (candidate may be a bloom FP
         assert rows[200 + i][1] is False  # -- n_words=8 makes FPs likely)
+
+
+def test_observed_write_one_pass_metrics(spark, tmp_path):
+    """monitoring.observed_write: the audit counters must come back from
+    the SAME action as the write (Observation accumulators), and match
+    hand-computed values."""
+    from adhesive_spark.operators.monitoring import (
+        attach_metrics,
+        corpus_metrics,
+        observed_write,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a" * 150 + " the of and is"), (2, ""), (3, None), (4, "short")],
+        "doc_id long, text string",
+    )
+    out = str(tmp_path / "obs_out")
+    got = observed_write(df, out, metrics=corpus_metrics("text"))
+    assert got["n_rows"] == 4
+    assert got["n_null_text"] == 2
+    assert got["total_chars"] == 164 + 0 + 5
+    # written data is intact alongside the metrics
+    assert spark.read.parquet(out).count() == 4
+
+    # attach_metrics also rides a plain collect
+    observed, obs = attach_metrics(
+        df.where(F.col("text").isNotNull()), {"n": F.count(F.lit(1))}
+    )
+    observed.collect()
+    assert dict(obs.get)["n"] == 3
+
+
+def test_ppjoin_lossless_vs_dfcap(spark):
+    """ppjoin_pairs must find pairs whose overlap lives in FREQUENT
+    shingles — exactly what ngram_jaccard_pairs' df-cap drops.  Docs A/B
+    are near-identical using a shingle shared by every doc; with
+    max_shingle_df=1 the capped join loses the pair, the prefix filter
+    keeps it."""
+    from adhesive_spark.operators.dedup import ngram_jaccard_pairs, ppjoin_pairs
+
+    common = "alpha beta gamma delta epsilon"
+    rows = [
+        (1, common + " one"),
+        (2, common + " two"),
+        (3, "totally different words here entirely " + common),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pp = {
+        (r.id_a, r.id_b)
+        for r in ppjoin_pairs(df, threshold=0.5).collect()
+    }
+    assert (1, 2) in pp
+    capped = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(
+            df, threshold=0.5, max_shingle_df=1
+        ).collect()
+    }
+    assert (1, 2) not in capped  # the documented one-sided undercount

@@ -1,0 +1,138 @@
+"""Scale-up stress harness: replicate the corpus N× IN the cluster
+(no driver materialization) and run the headline pipeline operators at
+the inflated size, reporting wall time and rows/sec per operator.
+
+This is the "would it hold at 1000×?" experiment the plan audit
+(PLANS.md) argues on paper: replication multiplies exactly the hazards
+that break naive implementations —
+
+- exact dedup: N× rows shuffle into the same fingerprint groups;
+- MinHash LSH: every document becomes an N-copy near-dup cluster, so
+  candidate generation must stay O(cluster²·docs/cluster), not
+  O(corpus²) — a banding bug shows up as a cliff here, not at 1×;
+- quality filter + chunk + pack (the q102 composition): stays
+  2 shuffles regardless of N or the operator count between them;
+- brute kNN: scoring scan scales linearly in the corpus, queries stay
+  broadcast.
+
+Replication happens with ``explode(sequence(...))`` map-side — the
+input parquet is read once and fanned out inside the scan stage, so a
+rep=100 run really pushes 100× rows through every shuffle boundary.
+
+Usage: python tools/stress.py [reps] [sf_dir]
+Prints one JSON line: {"reps": N, "ops": {name: {rows_out, sec,
+rows_in_per_sec}}, "total_sec": ...}.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from adhesive_spark.session import build_spark  # noqa: E402
+from adhesive_spark.sources.registry import load_table  # noqa: E402
+
+
+def replicate(df, id_col: str, reps: int):
+    """Fan each row out ``reps``× with a remapped unique id; copy 0
+    keeps the original id so every original row is an exact duplicate
+    of its clones (dedup sees N-copy groups, ANN sees N-copy
+    clusters)."""
+    return (
+        df.withColumn("__rep", F.explode(F.sequence(F.lit(0), F.lit(reps - 1))))
+        .withColumn(
+            id_col, F.col(id_col) * F.lit(reps) + F.col("__rep")
+        )
+        .drop("__rep")
+    )
+
+
+def main() -> None:
+    reps = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    spark = build_spark(app_name="adhesive-stress")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    big_docs = replicate(docs, "doc_id", reps)
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    big_emb = replicate(emb, "vec_id", reps)
+    rows_in = n_docs * reps
+
+    ops: dict[str, dict] = {}
+
+    def run(name: str, build, n_in: int) -> None:
+        t0 = time.perf_counter()
+        out = build()
+        n_out = out.count() if hasattr(out, "count") else int(out)
+        sec = time.perf_counter() - t0
+        ops[name] = {
+            "rows_out": n_out,
+            "sec": round(sec, 2),
+            "rows_in_per_sec": int(n_in / sec) if sec > 0 else None,
+        }
+        print(f"{name:24s} {n_out:>10} rows out  {sec:7.2f}s", file=sys.stderr)
+
+    from adhesive_spark.operators.dedup import dedup_exact, minhash_lsh_pairs
+    from adhesive_spark.operators.text import (
+        chunk_documents,
+        pack_sequences,
+        quality_score,
+    )
+    from adhesive_spark.operators.similarity import knn_bruteforce
+
+    run("dedup_exact", lambda: dedup_exact(big_docs, "text", "doc_id"), rows_in)
+
+    # LSH candidate generation + verify over N-copy clusters: the pair
+    # count is reps²-driven, the shuffle stays banded.  Cap the base
+    # corpus so pair output stays printable, not to protect the plan.
+    lsh_base = big_docs.where((F.col("doc_id") % F.lit(reps * 5)) < reps)
+    run(
+        "minhash_lsh_pairs",
+        lambda: minhash_lsh_pairs(
+            lsh_base, "text", "doc_id", threshold=0.7
+        ),
+        rows_in // 5,
+    )
+
+    def _pipeline():
+        filt = big_docs.where(quality_score(F.col("text")) >= 0.3)
+        chunks = chunk_documents(
+            filt, "text", "doc_id", chunk_size=64, stride=64,
+            carry_cols=("source",),
+        )
+        return pack_sequences(
+            chunks, "source", ["doc_id", "chunk_id"], seq_tokens=512
+        )
+
+    run("filter_chunk_pack", _pipeline, rows_in)
+
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    run(
+        "knn_bruteforce",
+        lambda: knn_bruteforce(big_emb, queries, k=10),
+        2000 * reps,
+    )
+
+    total = round(sum(o["sec"] for o in ops.values()), 2)
+    print(
+        json.dumps(
+            {"reps": reps, "rows_in": rows_in, "ops": ops, "total_sec": total}
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
