@@ -1212,3 +1212,220 @@ RELATIONAL_ORACLES["q112_global_sales_opportunity"] = """
                         AND o.o_orderdate >= DATE '2000-01-01')
     GROUP BY cc
 """
+
+
+def q117_late_shipment_check(spark, sf_dir):
+    """TPC-H Q4 shape: per-priority count of orders that had at least
+    one LATE line (shipped > 90 days after the order date; this schema
+    has no commit/receipt dates, so ship-lag plays Q4's late-delivery
+    predicate).  The EXISTS decorrelates to a left-semi hash join on
+    the order key with the date window pushed to both scans."""
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("date"))
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 90)),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count("*").alias("order_count")
+    )
+
+
+def q118_customer_distribution(spark, sf_dir):
+    """TPC-H Q13 shape: the distribution of customers by how many
+    orders they placed, INCLUDING the zero bucket — the left outer
+    join + two-level aggregate that exercises null-preserving
+    aggregation (count of a null-producing side) and the tiny final
+    rollup."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count("*").alias("custdist")
+    )
+
+
+def q119_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: the supplier(s) whose revenue in a 3-month
+    window equals the GLOBAL maximum — aggregate once, take the max as
+    an uncorrelated scalar (1-row broadcast), join back on exact
+    cents so ties surface instead of being argmax'd away."""
+    from adhesive_spark.operators.text import scaled_long
+
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("date"))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(
+            scaled_long(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2)
+        ).alias("rev_c")
+    )
+    top = rev.agg(F.max("rev_c").alias("max_c"))
+    return (
+        rev.join(F.broadcast(top))
+        .where(F.col("rev_c") == F.col("max_c"))
+        .join(
+            _t(spark, sf_dir, "supplier"),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("rev_c") / F.lit(100.0)).alias("total_revenue"),
+        )
+    )
+
+
+def q120_discounted_revenue(spark, sf_dir):
+    """TPC-H Q19 shape: revenue under an OR of three (brand,
+    size-range, quantity-range) conjunctions — the disjunctive-
+    predicate pushdown case: Catalyst must push the whole OR below the
+    join and prune part columns, and the join stays a plain equi hash
+    join with the residual OR evaluated post-probe."""
+    from adhesive_spark.operators.text import scaled_long
+
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    j = li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & (F.col("p_size").between(1, 15))
+            & (F.col("l_quantity").between(1, 11))
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & (F.col("p_size").between(1, 25))
+            & (F.col("l_quantity").between(10, 20))
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & (F.col("p_size").between(1, 35))
+            & (F.col("l_quantity").between(20, 30))
+        )
+    )
+    return j.where(cond).agg(
+        F.count("*").alias("n_lines"),
+        (
+            F.sum(
+                scaled_long(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")), 2
+                )
+            )
+            / F.lit(100.0)
+        ).alias("revenue"),
+    )
+
+
+def q121_nation_profit(spark, sf_dir):
+    """TPC-H Q9 shape: yearly profit per supplier nation for green
+    parts — the 5-table star (two fact-scale inputs) grouped by
+    (nation, year).  No partsupp table in this schema, so cost is the
+    Q9-style formula re-based on the part's retail price (8% of
+    retailprice per unit); the exact-cents contract holds through the
+    revenue−cost subtraction because both terms quantize per row."""
+    from adhesive_spark.operators.text import scaled_long
+
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").where(
+        F.split(F.col("p_name"), " ").getItem(0) == "blue"
+    )
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    amount_c = scaled_long(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")), 2
+    ) - scaled_long(
+        F.col("p_retailprice") * F.lit(0.08) * F.col("l_quantity"), 2
+    )
+    return (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(nat, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg((F.sum(amount_c) / F.lit(100.0)).alias("sum_profit"))
+    )
+
+
+RELATIONAL_QUERIES["q117_late_shipment_check"] = q117_late_shipment_check
+RELATIONAL_QUERIES["q118_customer_distribution"] = q118_customer_distribution
+RELATIONAL_QUERIES["q119_top_supplier"] = q119_top_supplier
+RELATIONAL_QUERIES["q120_discounted_revenue"] = q120_discounted_revenue
+RELATIONAL_QUERIES["q121_nation_profit"] = q121_nation_profit
+
+RELATIONAL_ORACLES["q117_late_shipment_check"] = """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= DATE '1996-01-01'
+      AND o_orderdate < DATE '1996-07-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+    GROUP BY o_orderpriority
+"""
+
+RELATIONAL_ORACLES["q118_customer_distribution"] = """
+    SELECT c_count, COUNT(*) AS custdist FROM (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_custkey
+    ) GROUP BY c_count
+"""
+
+RELATIONAL_ORACLES["q119_top_supplier"] = """
+    WITH rev AS (
+      SELECT l_suppkey,
+             SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0)
+                      AS BIGINT)) AS rev_c
+      FROM lineitem
+      WHERE l_shipdate >= DATE '1996-01-01'
+        AND l_shipdate < DATE '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.rev_c / 100.0 AS total_revenue
+    FROM rev r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+    WHERE r.rev_c = (SELECT MAX(rev_c) FROM rev)
+"""
+
+RELATIONAL_ORACLES["q120_discounted_revenue"] = """
+    SELECT COUNT(*) AS n_lines,
+           SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0)
+                    AS BIGINT)) / 100.0 AS revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity BETWEEN 20 AND 30)
+"""
+
+RELATIONAL_ORACLES["q121_nation_profit"] = """
+    SELECT n.n_name AS nation,
+           CAST(year(o.o_orderdate) AS INT) AS o_year,
+           SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100, 0)
+                    AS BIGINT)
+               - CAST(ROUND(p.p_retailprice * 0.08 * l.l_quantity * 100, 0)
+                      AS BIGINT)) / 100.0 AS sum_profit
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE split_part(p.p_name, ' ', 1) = 'blue'
+    GROUP BY 1, 2
+"""
