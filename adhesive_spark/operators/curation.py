@@ -224,3 +224,62 @@ def contamination_pairs(
             ),
         )
     )
+
+
+def systematic_pps_sample(
+    df: DataFrame,
+    weight_col: str,
+    group_col: str,
+    id_col: str,
+    *,
+    k: int = 10,
+) -> DataFrame:
+    """Systematic PPS (probability-proportional-to-size) sampling: per
+    group, pick ~``k`` rows with inclusion probability proportional to
+    ``weight_col`` — the survey-statistics workhorse for building
+    weighted training mixtures ("sample documents proportional to token
+    count") without any floating point.
+
+    Rows are laid on a line in a deterministic hash order, each
+    occupying a segment of its weight; a pick lands wherever the
+    cumulative weight crosses one of k evenly spaced boundaries:
+    ``(cum·k) div W  >  ((cum−w)·k) div W``.  All BIGINT — exact on
+    every engine, no pow/log/libm in sight, so the sample is
+    bit-reproducible (the float alternative, A-ES u^(1/w) priorities,
+    rank-flips on last-ulp libm differences across engines).  A row
+    heavier than W/k is picked once (certainty unit); total picks per
+    group are ≤ k and = k when no such whale exists.
+
+    Shuffle shape: ONE hash shuffle on the group key; both window
+    passes (cumulative weight, group total) and the boundary filter
+    run inside that partitioning.
+    """
+    from pyspark.sql.window import Window
+
+    w_ord = Window.partitionBy(group_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), id_col
+    )
+    w_all = Window.partitionBy(group_col)
+    wv = F.col(weight_col).cast("long")
+    cum = F.sum(wv).over(
+        w_ord.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    total = F.sum(wv).over(w_all)
+    out = df.select(
+        group_col,
+        id_col,
+        wv.alias("weight"),
+        cum.alias("__cum"),
+        total.alias("__w"),
+    )
+    lo = F.expr(f"((__cum - weight) * {k}) div __w")
+    hi = F.expr(f"(__cum * {k}) div __w")
+    return (
+        out.where(hi > lo)
+        .select(
+            group_col,
+            id_col,
+            "weight",
+            hi.cast("int").alias("pick_slot"),
+        )
+    )

@@ -925,3 +925,37 @@ CURATION_ORACLES["q114_group_exact_sample"] = """
       FROM documents
     ) WHERE pick <= 8
 """
+
+
+def q122_weighted_sample(spark, sf_dir):
+    """Per-source systematic PPS sample, weights = document length —
+    the integer-exact weighted mixture sampler (see
+    curation.systematic_pps_sample); long documents are
+    proportionally more likely picks, and the whole draw is
+    bit-reproducible across engines."""
+    from adhesive_spark.operators.curation import systematic_pps_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return systematic_pps_sample(
+        docs, "n_chars", "source", "doc_id", k=12
+    )
+
+
+CURATION_QUERIES["q122_weighted_sample"] = q122_weighted_sample
+
+CURATION_ORACLES["q122_weighted_sample"] = """
+    WITH o AS (
+      SELECT source, doc_id, CAST(n_chars AS BIGINT) AS weight,
+             SUM(CAST(n_chars AS BIGINT)) OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum,
+             SUM(CAST(n_chars AS BIGINT)) OVER (PARTITION BY source) AS w
+      FROM documents
+    )
+    SELECT source, doc_id, weight,
+           CAST((cum * 12) // w AS INT) AS pick_slot
+    FROM o
+    WHERE (cum * 12) // w > ((cum - weight) * 12) // w
+"""
