@@ -671,6 +671,10 @@ def ppjoin_pairs(
             "id",
             F.transform("__s", lambda s: s["shingle"]).alias("sh_arr"),
         )
+        # used three times (prefix generation + both verify sides):
+        # materialize once or the scan→freq-join→collect subtree runs
+        # 3× and triples the exchange count
+        .localCheckpoint(eager=True)
     )
     prefix_len = (
         F.size("sh_arr")
