@@ -2221,3 +2221,132 @@ ADVANCED_ORACLES["q115_gap_fill_interpolate"] = """
            v_c IS NULL AS is_interpolated
     FROM f
 """
+
+
+def q123_mad_outliers(spark, sf_dir):
+    """Robust outlier detection: flag events whose value deviates from
+    the per-type MEDIAN by more than 3 scaled MADs (median absolute
+    deviation × 1.4826 ≈ σ under normality) — the outlier screen that,
+    unlike q26's z-score, is itself immune to the outliers it hunts
+    (mean/stddev move with the contamination; median/MAD don't).
+
+    Exact percentiles over integer cents; the two tiny per-type stat
+    rows broadcast back onto the scan, so the cost is two map-side
+    aggregations and zero wide joins."""
+    events = load_table(spark, sf_dir, "events")
+    ev = events.select(
+        "event_id", "event_type", scaled_long(F.col("value"), 2).alias("v_c")
+    )
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(v_c, 0.5)").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "dev", F.abs(F.col("v_c") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(dev, 0.5)").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .where(F.col("dev") > F.col("mad") * F.lit(1.4826) * F.lit(3.0))
+        .select(
+            "event_id",
+            "event_type",
+            (F.col("v_c") / F.lit(100.0)).alias("value"),
+            (F.col("dev") / F.lit(100.0)).alias("abs_dev"),
+        )
+    )
+
+
+def q124_top_p_sources(spark, sf_dir):
+    """Nucleus (top-p) coverage cut: the smallest set of sources whose
+    token mass covers ≥ 90 % of the corpus — "which domains do we
+    actually need to negotiate licenses for".  Sources rank by mass;
+    a source survives while the share BEFORE it is still under the
+    cut, so the crossing source is included — all in BIGINT cross-
+    multiplication (cum·10 vs total·9), no float shares in the
+    predicate."""
+    from pyspark.sql.window import Window
+
+    from adhesive_spark.operators.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.sum(token_count(F.col("text"))).alias("tokens")
+    )
+    w = Window.orderBy(F.col("tokens").desc(), "source")
+    ranked = per.select(
+        "source",
+        "tokens",
+        F.row_number().over(w).cast("int").alias("rank"),
+        (
+            F.sum("tokens").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            )
+            - F.col("tokens")
+        ).alias("__cum_before"),
+    )
+    total = per.agg(F.sum("tokens").alias("__total"))
+    return (
+        ranked.join(F.broadcast(total))
+        .where(F.col("__cum_before") * 10 < F.col("__total") * 9)
+        .select(
+            "source",
+            "tokens",
+            "rank",
+            fround(F.col("tokens") / F.col("__total"), 6).alias("share"),
+        )
+    )
+
+
+ADVANCED_QUERIES["q123_mad_outliers"] = q123_mad_outliers
+ADVANCED_QUERIES["q124_top_p_sources"] = q124_top_p_sources
+
+ADVANCED_ORACLES["q123_mad_outliers"] = """
+    WITH ev AS (
+      SELECT event_id, event_type,
+             CAST(ROUND(value * 100, 0) AS BIGINT) AS v_c
+      FROM events
+    ),
+    med AS (
+      SELECT event_type, quantile_cont(v_c, 0.5) AS med
+      FROM ev GROUP BY event_type
+    ),
+    dev AS (
+      SELECT ev.event_id, ev.event_type, ev.v_c,
+             abs(ev.v_c - med.med) AS dev
+      FROM ev JOIN med USING (event_type)
+    ),
+    mad AS (
+      SELECT event_type, quantile_cont(dev, 0.5) AS mad
+      FROM dev GROUP BY event_type
+    )
+    SELECT d.event_id, d.event_type,
+           d.v_c / 100.0 AS value,
+           d.dev / 100.0 AS abs_dev
+    FROM dev d JOIN mad USING (event_type)
+    WHERE d.dev > mad.mad * 1.4826 * 3.0
+"""
+
+ADVANCED_ORACLES["q124_top_p_sources"] = """
+    WITH per AS (
+      SELECT source,
+             CAST(SUM(len(string_split(
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')))
+               AS BIGINT) AS tokens
+      FROM documents GROUP BY source
+    ),
+    ranked AS (
+      SELECT source, tokens,
+             CAST(ROW_NUMBER() OVER w AS INT) AS rank,
+             SUM(tokens) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) - tokens AS cum_before,
+             SUM(tokens) OVER () AS total
+      FROM per
+      WINDOW w AS (ORDER BY tokens DESC, source)
+    )
+    SELECT source, tokens, rank,
+           floor(tokens / total * 1000000) / 1000000 AS share
+    FROM ranked
+    WHERE cum_before * 10 < total * 9
+"""

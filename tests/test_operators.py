@@ -548,3 +548,45 @@ def test_ppjoin_lossless_vs_dfcap(spark):
         ).collect()
     }
     assert (1, 2) not in capped  # the documented one-sided undercount
+
+
+def test_batch_infer_init_once_per_task(spark):
+    """inference.batch_infer: the model factory must run once per TASK
+    (not per batch/row), outputs align to carried columns, and the
+    id_col fan-out spreads a 1-partition input."""
+    import pandas as pd
+
+    from adhesive_spark.operators.inference import batch_infer
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(64)], "doc_id long, text string"
+    ).coalesce(1)
+
+    init_marker = spark.sparkContext.accumulator(0)
+
+    def factory():
+        init_marker.add(1)
+
+        def model(texts: pd.Series) -> pd.DataFrame:
+            return pd.DataFrame(
+                {"n_chars": texts.str.len().astype("int64")}
+            )
+
+        return model
+
+    out = batch_infer(
+        df,
+        factory,
+        "text",
+        "doc_id long, text string, n_chars long",
+        id_col="doc_id",
+        min_parts=8,
+    )
+    rows = {r.doc_id: r.n_chars for r in out.collect()}
+    assert rows[7] == len("doc 7")
+    assert len(rows) == 64
+    # one init per non-empty task: > 1 proves the fan-out, <= 8 proves
+    # per-task (64 rows in >=2 Arrow batches per task would double it
+    # if init ran per batch — pin the upper bound)
+    assert 1 < init_marker.value <= 8
+    assert out.rdd.getNumPartitions() == 8
