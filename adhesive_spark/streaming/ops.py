@@ -334,3 +334,87 @@ def read_accepted_docs(spark, output_path: str, state_path: str) -> DataFrame:
             f"output under {output_path}"
         )
     return spark.read.parquet(*[f"{output_path}/__epoch={e}" for e in epochs])
+
+
+def streaming_index_ingest(
+    embeddings: DataFrame,
+    centroids_table: str,
+    output_path: str,
+    checkpoint_path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> object:
+    """Continuously maintain an IVF ANN index from a stream of new
+    embeddings: each micro-batch is assigned to its nearest centroid
+    (argmax-as-aggregate against the broadcast ``centroids_table``, the
+    same math as the batch ``build_ivf_index``) and appended under
+    ``output_path/__epoch=<id>`` PARTITIONED BY centroid_id — directory
+    partitioning plays the bucket role for appended data, so a probe
+    that filters ``centroid_id IN (<probes>)`` reads only the probed
+    lists of every epoch (partition pruning at the scan).
+
+    Epoch-committed exactly like :func:`streaming_incremental_dedup`:
+    a replayed micro-batch (at-least-once delivery) overwrites its own
+    epoch dir instead of double-appending, and readers only union dirs
+    whose ``_SUCCESS`` landed.  At 100 TB this is the index
+    freshness path — the bulk build is paid once, new vectors flow in
+    per epoch, and a periodic compaction folds epochs into the bucketed
+    base table.
+    """
+    from adhesive_spark.operators.similarity import cosine
+
+    def _apply(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        epochs = _committed_epochs(spark, output_path)
+        if epochs and epochs[-1] >= epoch_id:
+            return  # replayed micro-batch: epoch dir already committed
+        cents = spark.table(centroids_table)
+        scored = batch_df.select(
+            F.col(id_col), F.col(vec_col).alias("__vec")
+        ).crossJoin(F.broadcast(cents)).select(
+            id_col,
+            "__vec",
+            F.struct(
+                F.round(cosine(F.col("__vec"), F.col("cvec")), 6).alias(
+                    "sim"
+                ),
+                (-F.col("centroid_id")).alias("neg_cid"),
+            ).alias("__cand"),
+        )
+        assigned = (
+            scored.groupBy(id_col)
+            .agg(
+                F.first("__vec").alias(vec_col),
+                F.max("__cand").alias("__best"),
+            )
+            .select(
+                id_col,
+                vec_col,
+                (-F.col("__best.neg_cid")).alias("centroid_id"),
+            )
+        )
+        assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(
+            f"{output_path}/__epoch={epoch_id}"
+        )
+
+    return (
+        embeddings.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_streamed_index(spark, output_path: str) -> DataFrame:
+    """Union of all committed epoch dirs of
+    :func:`streaming_index_ingest` — filter ``centroid_id`` before an
+    action and partition pruning skips every non-probed list."""
+    epochs = _committed_epochs(spark, output_path)
+    if not epochs:
+        raise FileNotFoundError(
+            f"no committed index epochs under {output_path}"
+        )
+    return spark.read.option("basePath", output_path).parquet(
+        *[f"{output_path}/__epoch={e}" for e in epochs]
+    )

@@ -166,3 +166,86 @@ def test_scaled_long_sum_matches_duckdb_exactly(spark, cents):
     assert got.s0 == want[1]
     # and the recovered total is the true cent total, not a drifted one
     assert got.s == sum(cents) / 100.0
+
+
+# --- PPJoin vs brute-force Jaccard (python reference) ------------------------
+
+_words = st.lists(
+    st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff"]),
+    min_size=1,
+    max_size=10,
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(texts=st.lists(_words, min_size=2, max_size=6))
+def test_ppjoin_matches_bruteforce(spark, texts):
+    """ppjoin_pairs must return EXACTLY the brute-force Jaccard ≥ t
+    pairs (lossless prefix filter) on arbitrary tiny corpora —
+    including all-identical, all-disjoint, and single-shingle docs."""
+    from adhesive_spark.operators.dedup import ppjoin_pairs
+
+    t = 0.5
+    docs = [(i, " ".join(ws)) for i, ws in enumerate(texts)]
+
+    def shingles(s: str) -> frozenset:
+        toks = s.split()
+        if len(toks) < 3:
+            return frozenset([s])
+        return frozenset(
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        )
+
+    want = set()
+    for i, (ia, ta) in enumerate(docs):
+        for ib, tb in docs[i + 1 :]:
+            sa, sb = shingles(ta), shingles(tb)
+            if len(sa | sb) and len(sa & sb) / len(sa | sb) >= t:
+                want.add((ia, ib))
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b)
+        for r in ppjoin_pairs(df, threshold=t).collect()
+    }
+    assert got == want
+
+
+# --- systematic PPS invariants ----------------------------------------------
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    weights=st.lists(
+        st.integers(min_value=1, max_value=1000), min_size=1, max_size=20
+    )
+)
+def test_systematic_pps_invariants(spark, weights):
+    """Per group: ≤ k picks, exactly k when no weight exceeds W/k, every
+    pick_slot distinct, and any single row holding ≥ 2/k of the mass is
+    ALWAYS picked (certainty unit)."""
+    from adhesive_spark.operators.curation import systematic_pps_sample
+
+    k = 4
+    rows = [(i, "g", w) for i, w in enumerate(weights)]
+    df = spark.createDataFrame(rows, "id long, grp string, w long")
+    picks = systematic_pps_sample(df, "w", "grp", "id", k=k).collect()
+
+    W = sum(weights)
+    assert len(picks) <= k
+    if max(weights) * k <= W:
+        assert len(picks) == k
+    slots = [r.pick_slot for r in picks]
+    assert len(slots) == len(set(slots))
+    picked_ids = {r.id for r in picks}
+    for i, w in enumerate(weights):
+        if w * k >= 2 * W:
+            assert i in picked_ids

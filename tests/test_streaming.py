@@ -377,3 +377,64 @@ def test_transform_with_state_v2_when_available(spark, sf_dir, event_stream_dir)
         .collect()
     }
     assert got == want
+
+
+def test_streaming_index_ingest_matches_batch(spark, sf_dir, tmp_path_factory):
+    """streaming_index_ingest: the streamed, epoch-committed IVF index
+    must equal the batch build's assignment over the same vectors, and
+    a probe filter must hit partition pruning on centroid_id."""
+    from adhesive_spark.operators.similarity import build_ivf_index
+    from adhesive_spark.sources.formats import write_bucketed_table
+    from adhesive_spark.sources.fsutil import hadoop_fs
+    from adhesive_spark.streaming.ops import (
+        read_streamed_index,
+        streaming_index_ingest,
+    )
+
+    tmp = tmp_path_factory.mktemp("stream_ivf")
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .withColumn(
+            "embedding", F.transform("embedding", lambda x: x.cast("double"))
+        )
+        .where(F.col("vec_id") < 200)
+    )
+    # persist centroids from the first 8 vectors (batch seed)
+    centroids, batch_assigned = build_ivf_index(emb, n_lists=8)
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    spark.sql("DROP TABLE IF EXISTS t_stream_cents")
+    fs, loc, _ = hadoop_fs(spark, f"{wh}/t_stream_cents")
+    if fs.exists(loc):
+        fs.delete(loc, True)
+    centroids.write.format("parquet").saveAsTable("t_stream_cents")
+
+    src = str(tmp / "src")
+    emb.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).parquet(src)
+    q = streaming_index_ingest(
+        stream,
+        "t_stream_cents",
+        str(tmp / "index"),
+        str(tmp / "ckpt"),
+    )
+    assert q.awaitTermination(120), "ingest did not drain in 120s"
+
+    streamed = read_streamed_index(spark, str(tmp / "index"))
+    got = {
+        (r.vec_id, r.centroid_id) for r in streamed.collect()
+    }
+    want = {
+        (r.vec_id, r.centroid_id) for r in batch_assigned.collect()
+    }
+    assert got == want
+
+    # probe filter prunes non-probed lists at the scan
+    plan = (
+        streamed.where(F.col("centroid_id").isin(10, 11))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan and "centroid_id" in plan
