@@ -1429,3 +1429,37 @@ RELATIONAL_ORACLES["q121_nation_profit"] = """
     WHERE split_part(p.p_name, ' ', 1) = 'blue'
     GROUP BY 1, 2
 """
+
+
+def q125_lateral_topk(spark, sf_dir):
+    """LATERAL correlated subquery with LIMIT — "each customer's top-2
+    orders by value" written the way an analyst writes it.  Catalyst
+    decorrelates the per-row ORDER BY…LIMIT into a rank window with
+    WindowGroupLimit (map-side partial top-k per key, asserted in
+    tests/test_plans.py) joined broadcast against the filtered outer —
+    i.e. the hand-optimized q20-style plan, derived automatically from
+    the naive correlated form."""
+    for t in ("customer", "orders"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM customer c,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+                 WHERE o.o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        WHERE c.c_custkey < 200
+        """
+    )
+
+
+RELATIONAL_QUERIES["q125_lateral_topk"] = q125_lateral_topk
+
+RELATIONAL_ORACLES["q125_lateral_topk"] = """
+    SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+    FROM customer c,
+    LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+             WHERE o.o_custkey = c.c_custkey
+             ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+    WHERE c.c_custkey < 200
+"""

@@ -312,3 +312,15 @@ def test_fuzzy_name_join_is_blocked_hash_join(spark, sf):
     assert_no_cartesian(df)
     plan = physical_plan(df)
     assert "BroadcastNestedLoop" not in plan
+
+
+def test_lateral_topk_decorrelates_to_window_group_limit(spark, sf):
+    """q125's correlated LATERAL LIMIT must decorrelate to a
+    WindowGroupLimit (map-side per-key top-k) — never a per-outer-row
+    re-execution or a nested loop."""
+    from adhesive_spark.queries.relational import q125_lateral_topk
+
+    df = q125_lateral_topk(spark, sf)
+    plan = physical_plan(df)
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastNestedLoop" not in plan
