@@ -14,10 +14,11 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 # The driver's correctness gate hashes the FIRST 50 entries of queries()
-# in dict-insertion order.  Rounds 1-4 verified q01-q50, q77-q81, q84,
-# q94-q97 (all green); the 40 queries below have never had a
-# driver-verified row, so they are rotated to the front of the window
-# for round 5 (plus the queries newly added this round).
+# in dict-insertion order.  _reorder therefore fronts the queries with
+# no fully-green row in any committed CORRECTNESS_r*.json (oldest query
+# number first), so each round's window automatically rotates through
+# the never-yet-verified backlog; _GRADE_FIRST is the static fallback
+# (the round-5 window) used only if the history files are unreadable.
 _GRADE_FIRST = [
     "q51_pivot",
     "q52_unpivot",
@@ -73,10 +74,57 @@ _GRADE_FIRST = [
 ]
 
 
+def _verified_queries() -> set[str]:
+    """Names with a fully-green row (rows+schema+hash) in any committed
+    round history file."""
+    import glob
+    import json
+    import os
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    seen: set[str] = set()
+    for p in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        try:
+            with open(p) as f:
+                d = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(d, dict):
+            continue
+        for name, row in d.items():
+            if (
+                isinstance(row, dict)
+                and row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match")
+            ):
+                seen.add(name)
+    return seen
+
+
 def _reorder(d: dict) -> dict:
-    """Rotate never-driver-verified queries into the graded first-50 window."""
-    out = {k: d[k] for k in _GRADE_FIRST if k in d}
-    out.update({k: v for k, v in d.items() if k not in out})
+    """Rotate never-driver-verified queries into the graded first-50
+    window, oldest query number first; verified queries follow in their
+    registration order."""
+    import re
+
+    verified = _verified_queries()
+    if not verified:  # history unreadable — static round-5 fallback
+        out = {k: d[k] for k in _GRADE_FIRST if k in d}
+        out.update({k: v for k, v in d.items() if k not in out})
+        return out
+
+    def qnum(name: str) -> int:
+        m = re.match(r"q(\d+)", name)
+        return int(m.group(1)) if m else 10**9
+
+    backlog = sorted((k for k in d if k not in verified), key=qnum)
+    out = {k: d[k] for k in backlog}
+    # verified tail in query-number order too: queries() and
+    # oracle_sql() then agree positionally regardless of each module
+    # dict's registration order
+    for k in sorted((k for k in d if k not in out), key=qnum):
+        out[k] = d[k]
     return out
 
 
