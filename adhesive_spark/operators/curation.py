@@ -283,3 +283,45 @@ def systematic_pps_sample(
             hi.cast("int").alias("pick_slot"),
         )
     )
+
+
+def temperature_mixture(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    *,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Temperature-0.5 mixture flattening (the multilingual/LLM data-
+    mixing rule: sampled mass ∝ raw mass^T): each stratum keeps rate
+    ``sqrt(smallest_mass / own_mass)`` — the smallest source keeps
+    everything, a 100× larger one keeps 10%, so the sampled corpus's
+    source shares are the square roots of the raw shares
+    (renormalized), boosting the tail without upsampling.
+
+    T is fixed at 0.5 deliberately: sqrt is IEEE-correctly-rounded on
+    every engine, so the rates — and with the md5-key bucket, the kept
+    SET — are bit-reproducible; a general ``pow(m, T)`` rides libm and
+    can differ in the last ulp across engines (the same reason
+    :func:`systematic_pps_sample` avoids A-ES priorities).
+
+    One aggregate (strata masses, broadcast back with the broadcast
+    1-row minimum), one scan-side filter — no shuffle of the corpus.
+    """
+    w = F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
+    mass = df.groupBy(strata_col).agg(F.sum(w).alias("__m"))
+    mmin = mass.agg(F.min("__m").alias("__mmin"))
+    rates = mass.join(F.broadcast(mmin)).select(
+        strata_col,
+        F.sqrt(F.col("__mmin") / F.col("__m")).alias("__rate"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        % 10000
+    )
+    return (
+        df.join(F.broadcast(rates), strata_col)
+        .where(bucket < F.floor(F.col("__rate") * 10000))
+        .drop("__rate")
+    )

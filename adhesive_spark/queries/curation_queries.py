@@ -959,3 +959,41 @@ CURATION_ORACLES["q122_weighted_sample"] = """
     FROM o
     WHERE (cum * 12) // w > ((cum - weight) * 12) // w
 """
+
+
+def q126_temperature_mixture(spark, sf_dir):
+    """Per-source summary of a temperature-0.5 mixture draw over the
+    corpus (curation.temperature_mixture, weights = characters): the
+    kept counts realize sqrt-flattened source shares, and both the
+    rates and the kept sets are bit-reproducible across engines."""
+    from adhesive_spark.operators.curation import temperature_mixture
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = temperature_mixture(
+        docs, "doc_id", "source", weight_col="n_chars"
+    )
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n_kept"),
+        F.sum(F.col("n_chars").cast("long")).alias("chars_kept"),
+        F.min("doc_id").alias("first_doc"),
+    )
+
+
+CURATION_QUERIES["q126_temperature_mixture"] = q126_temperature_mixture
+
+CURATION_ORACLES["q126_temperature_mixture"] = """
+    WITH mass AS (
+      SELECT source, SUM(CAST(n_chars AS BIGINT)) AS m
+      FROM documents GROUP BY source
+    ),
+    rates AS (
+      SELECT source, sqrt((SELECT MIN(m) FROM mass) / (m * 1.0)) AS rate
+      FROM mass
+    )
+    SELECT d.source, COUNT(*) AS n_kept,
+           CAST(SUM(CAST(d.n_chars AS BIGINT)) AS BIGINT) AS chars_kept,
+           MIN(d.doc_id) AS first_doc
+    FROM documents d JOIN rates r ON d.source = r.source
+    WHERE (((strpos('0123456789abcdef', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(md5(CAST(d.doc_id AS VARCHAR)), 2, 1)) - 1)) * 256 + ((strpos('0123456789abcdef', substr(md5(CAST(d.doc_id AS VARCHAR)), 3, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(md5(CAST(d.doc_id AS VARCHAR)), 4, 1)) - 1))) % 10000 < floor(r.rate * 10000)
+    GROUP BY d.source
+"""
