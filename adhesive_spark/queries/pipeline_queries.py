@@ -802,3 +802,52 @@ PIPELINE_ORACLES["q116_ppjoin_pairs"] = f"""
     JOIN sz sb ON c.id_b = sb.doc_id
     WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.3
 """
+
+
+def q127_cluster_blocked_neardup(spark, sf_dir):
+    """SEMANTIC blocking for exact near-dup pairs: assign every vector
+    to its IVF centroid (build_ivf_index — one broadcast + argmax
+    aggregate) and run the exact cosine join WITHIN clusters
+    (embedding_neardup_pairs block mode).  Complements q34 (blocks on a
+    GIVEN label) and q80 (probabilistic LSH buckets): here the blocks
+    are LEARNED from the data, which is the blocking a production
+    near-dup pass uses when no label exists — similar vectors land in
+    the same inverted list, so the quadratic term is bounded by cluster
+    size while cross-cluster misses are the (documented) recall
+    tradeoff of any blocked exact join."""
+    from adhesive_spark.operators.similarity import (
+        build_ivf_index,
+        embedding_neardup_pairs,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    _, assigned = build_ivf_index(emb, n_lists=8)
+    return embedding_neardup_pairs(
+        assigned, threshold=0.4, id_col="vec_id", block_col="centroid_id"
+    )
+
+
+PIPELINE_QUERIES["q127_cluster_blocked_neardup"] = q127_cluster_blocked_neardup
+
+PIPELINE_ORACLES["q127_cluster_blocked_neardup"] = """
+    WITH emb AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    cents AS (SELECT vec_id AS cid, v AS cv FROM emb ORDER BY vec_id LIMIT 8),
+    assigned AS (
+      SELECT vec_id, v, cid FROM (
+        SELECT e.vec_id, e.v, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC,
+                          c.cid) AS r
+        FROM emb e CROSS JOIN cents c
+      ) WHERE r = 1
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+    FROM assigned a JOIN assigned b
+      ON a.cid = b.cid AND a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4
+"""
