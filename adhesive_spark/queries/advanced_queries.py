@@ -2350,3 +2350,132 @@ ADVANCED_ORACLES["q124_top_p_sources"] = """
     FROM ranked
     WHERE cum_before * 10 < total * 9
 """
+
+
+def q128_winsorize(spark, sf_dir):
+    """Per-group WINSORIZATION (clamp to the [p05, p95] fences): the
+    standard heavy-tail taming step before statistics or training on a
+    noisy metric.  Exact interpolated percentiles over integer cents
+    (one tiny per-type stat row, broadcast back), clamp via
+    least/greatest — one scan, no second shuffle; the output keeps
+    both raw and clamped values plus a was_clamped audit flag."""
+    events = load_table(spark, sf_dir, "events")
+    ev = events.select(
+        "event_id", "event_type", scaled_long(F.col("value"), 2).alias("v_c")
+    )
+    fences = ev.groupBy("event_type").agg(
+        F.expr("percentile(v_c, 0.05)").alias("p05"),
+        F.expr("percentile(v_c, 0.95)").alias("p95"),
+    )
+    return (
+        ev.join(F.broadcast(fences), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            (F.col("v_c") / F.lit(100.0)).alias("value"),
+            (
+                F.least(
+                    F.greatest(F.col("v_c").cast("double"), F.col("p05")),
+                    F.col("p95"),
+                )
+                / F.lit(100.0)
+            ).alias("value_winsorized"),
+            (
+                (F.col("v_c") < F.col("p05")) | (F.col("v_c") > F.col("p95"))
+            ).alias("was_clamped"),
+        )
+        .where(F.col("event_id") % 7 == 0)
+    )
+
+
+def q129_corpus_diff(spark, sf_dir):
+    """Snapshot DIFF between two corpus states ("what changed between
+    crawls"): full outer join of the old and new snapshots on doc_id,
+    classifying every document as added / removed / changed / unchanged
+    by comparing content fingerprints — the ingest-audit primitive that
+    gates incremental reprocessing (only added+changed flow downstream).
+    The two snapshots here are deterministic slices of the documents
+    table (old = ids ≡ 0,1 mod 3 with the text as-is; new = ids ≡ 1,2
+    mod 3 with every 5th text rewritten), so the oracle sees the same
+    synthetic change stream.  One full-outer hash join on doc_id; the
+    classification is a null-pattern CASE, and the summary is a tiny
+    follow-up aggregate."""
+    from adhesive_spark.operators.text import fingerprint
+
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.where(F.col("doc_id") % 3 != 2).select(
+        "doc_id", fingerprint(F.col("text")).alias("fp_old")
+    )
+    new = docs.where(F.col("doc_id") % 3 != 0).select(
+        "doc_id",
+        fingerprint(
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(F.col("text"), F.lit(" [rev2]")),
+            ).otherwise(F.col("text"))
+        ).alias("fp_new"),
+    )
+    j = old.join(new, "doc_id", "full_outer").select(
+        "doc_id",
+        F.when(F.col("fp_old").isNull(), "added")
+        .when(F.col("fp_new").isNull(), "removed")
+        .when(F.col("fp_old") != F.col("fp_new"), "changed")
+        .otherwise("unchanged")
+        .alias("status"),
+    )
+    return j.groupBy("status").agg(
+        F.count("*").alias("n_docs"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+ADVANCED_QUERIES["q128_winsorize"] = q128_winsorize
+ADVANCED_QUERIES["q129_corpus_diff"] = q129_corpus_diff
+
+ADVANCED_ORACLES["q128_winsorize"] = """
+    WITH ev AS (
+      SELECT event_id, event_type,
+             CAST(ROUND(value * 100, 0) AS BIGINT) AS v_c
+      FROM events
+    ),
+    fences AS (
+      SELECT event_type,
+             quantile_cont(v_c, 0.05) AS p05,
+             quantile_cont(v_c, 0.95) AS p95
+      FROM ev GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type,
+           e.v_c / 100.0 AS value,
+           least(greatest(CAST(e.v_c AS DOUBLE), f.p05), f.p95) / 100.0
+             AS value_winsorized,
+           (e.v_c < f.p05 OR e.v_c > f.p95) AS was_clamped
+    FROM ev e JOIN fences f USING (event_type)
+    WHERE e.event_id % 7 = 0
+"""
+
+ADVANCED_ORACLES["q129_corpus_diff"] = """
+    WITH o AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp_old
+      FROM documents WHERE doc_id % 3 != 2
+    ),
+    n AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(lower(
+               CASE WHEN doc_id % 5 = 0 THEN text || ' [rev2]'
+                    ELSE text END), '\\s+', ' ', 'g'))) AS fp_new
+      FROM documents WHERE doc_id % 3 != 0
+    ),
+    j AS (
+      SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+             CASE WHEN o.fp_old IS NULL THEN 'added'
+                  WHEN n.fp_new IS NULL THEN 'removed'
+                  WHEN o.fp_old != n.fp_new THEN 'changed'
+                  ELSE 'unchanged' END AS status
+      FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+    )
+    SELECT status, COUNT(*) AS n_docs,
+           MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+    FROM j GROUP BY status
+"""
