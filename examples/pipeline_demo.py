@@ -1,8 +1,9 @@
 """End-to-end training-data curation walkthrough on the test corpus:
 
 scan → text profile (quality/language) → exact dedup → near-dup removal
-(MinHash-LSH) → PII redaction → chunk into token windows → pack into
-fixed-token training sequences → shard stats.
+(MinHash-LSH) → PII redaction → temperature-flattened source mixing →
+chunk into token windows → pack into fixed-token training sequences →
+shard stats, with one-pass observe metrics riding the final write.
 
 Every stage is the library operator the oracle-checked queries use; this
 script is the "switching user's" view of how they compose. Runs on
@@ -16,7 +17,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F  # noqa: E402
 
-from adhesive_spark.operators.curation import redact_pii  # noqa: E402
+from adhesive_spark.operators.curation import (  # noqa: E402
+    redact_pii,
+    temperature_mixture,
+)
+from adhesive_spark.operators.monitoring import (  # noqa: E402
+    corpus_metrics,
+    observed_write,
+)
 from adhesive_spark.operators.dedup import dedup_minhash  # noqa: E402
 from adhesive_spark.operators.text import (  # noqa: E402
     chunk_documents,
@@ -49,10 +57,15 @@ def main() -> None:
     )
     print(f"after near-dup removal: {deduped.count()}")
 
-    # 3. PII scrub
-    clean = deduped.select(
-        "doc_id", redact_pii(F.col("text")).alias("text")
+    # 3. PII scrub (keep source for the mixing step)
+    clean = deduped.join(docs.select("doc_id", "source"), "doc_id").select(
+        "doc_id", "source", redact_pii(F.col("text")).alias("text")
     )
+
+    # 3b. temperature-0.5 mixture: flatten source skew (sqrt shares)
+    mixed = temperature_mixture(clean, "doc_id", "source")
+    print(f"after temperature mixing: {mixed.count()}")
+    clean = mixed
 
     # 4. chunk into 128-token windows (stride 96 → 32-token overlap)
     chunks = chunk_documents(clean, "text", "doc_id", chunk_size=128, stride=96)
@@ -71,6 +84,18 @@ def main() -> None:
         F.sum("n_tokens").alias("tokens"),
     )
     stats.orderBy("shard").show()
+
+    # 6. write the packed set with audit counters gathered DURING the
+    #    write (df.observe — no second scan)
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="adhesive_demo_out_")
+    audit = observed_write(
+        packed.join(clean, "doc_id").select("doc_id", "shard", "text"),
+        out,
+        metrics=corpus_metrics("text"),
+    )
+    print(f"written to {out}; audit: {audit}")
 
 
 if __name__ == "__main__":
