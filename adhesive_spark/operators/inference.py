@@ -55,7 +55,7 @@ def batch_infer(
     if id_col is not None:
         df = ensure_parallelism(df, id_col, min_parts=min_parts)
 
-    carried = [f for f in df.columns]
+    carried = df.columns
 
     def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         model = model_factory()  # once per task, NOT per batch

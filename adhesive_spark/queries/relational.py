@@ -1155,7 +1155,7 @@ def q112_global_sales_opportunity(spark, sf_dir):
     """TPC-H Q22 shape: per phone-country-code count and balance of
     RICH, CHURNED customers — acctbal above the average positive
     balance (uncorrelated scalar subquery → broadcast one-row join) and
-    no orders since 2000-01-01 (anti join against the date-filtered
+    no orders since 2001-01-01 (anti join against the date-filtered
     orders scan; this data has no order-less customers, so recency
     stands in for Q22's "no orders").  The two classic decorrelation
     primitives in one query; balances sum as exact cents (scaled_long)
@@ -1183,7 +1183,7 @@ def q112_global_sales_opportunity(spark, sf_dir):
     rich = cust.join(F.broadcast(avg_bal)).where(F.col("bal_c") > F.col("ab"))
     inactive = rich.join(
         _t(spark, sf_dir, "orders")
-        .where(F.col("o_orderdate") >= F.lit("2000-01-01").cast("date"))
+        .where(F.col("o_orderdate") >= F.lit("2001-01-01").cast("date"))
         .select(F.col("o_custkey").alias("c_custkey")),
         "c_custkey",
         "left_anti",
@@ -1209,7 +1209,7 @@ RELATIONAL_ORACLES["q112_global_sales_opportunity"] = """
     WHERE bal_c > ab
       AND NOT EXISTS (SELECT 1 FROM orders o
                       WHERE o.o_custkey = cust.c_custkey
-                        AND o.o_orderdate >= DATE '2000-01-01')
+                        AND o.o_orderdate >= DATE '2001-01-01')
     GROUP BY cc
 """
 
@@ -1328,7 +1328,7 @@ def q120_discounted_revenue(spark, sf_dir):
 
 
 def q121_nation_profit(spark, sf_dir):
-    """TPC-H Q9 shape: yearly profit per supplier nation for green
+    """TPC-H Q9 shape: yearly profit per supplier nation for blue
     parts — the 5-table star (two fact-scale inputs) grouped by
     (nation, year).  No partsupp table in this schema, so cost is the
     Q9-style formula re-based on the part's retail price (8% of

@@ -41,10 +41,11 @@ from adhesive_spark.sources.registry import load_table  # noqa: E402
 
 
 def replicate(df, id_col: str, reps: int):
-    """Fan each row out ``reps``× with a remapped unique id; copy 0
-    keeps the original id so every original row is an exact duplicate
-    of its clones (dedup sees N-copy groups, ANN sees N-copy
-    clusters)."""
+    """Fan each row out ``reps``× with remapped unique ids
+    (``id·reps + copy``): the N copies of a row are exact duplicates of
+    each other, so dedup sees N-copy fingerprint groups and ANN sees
+    N-copy clusters.  Original ids do NOT survive the remap — join
+    stress output to the base corpus via ``id div reps``, not ``id``."""
     return (
         df.withColumn("__rep", F.explode(F.sequence(F.lit(0), F.lit(reps - 1))))
         .withColumn(
