@@ -324,3 +324,41 @@ def test_lateral_topk_decorrelates_to_window_group_limit(spark, sf):
     plan = physical_plan(df)
     assert "WindowGroupLimit" in plan
     assert "BroadcastNestedLoop" not in plan
+
+
+def test_plans_md_shuffle_ratchet(spark):
+    """PLANS.md is a RATCHET, not just documentation: recompute the
+    shuffle-exchange count of every audited query at the scale factor
+    the table records and fail if any query now shuffles MORE than its
+    committed number — any intentional plan change must regenerate
+    PLANS.md (tools/plan_report.py) to move the ratchet."""
+    import re
+    from pathlib import Path
+
+    from adhesive_spark.plans.explain import shuffle_exchange_count
+    from tools.plan_report import AUDITED
+
+    import __spark_entry__ as entry_mod
+
+    plans_md = Path(__file__).resolve().parents[1] / "PLANS.md"
+    text = plans_md.read_text()
+    m = re.search(r"Scale factor dir: `([^`]+)`", text)
+    assert m, "PLANS.md missing scale-factor header"
+    sf_dir = m.group(1)
+    recorded = {
+        row.group(1): int(row.group(2))
+        for row in re.finditer(r"^\| (q\w+) \| (\d+) \|", text, re.M)
+    }
+    missing = [q for q in AUDITED if q not in recorded]
+    assert not missing, f"PLANS.md is stale — audited but unrecorded: {missing}"
+
+    qs = entry_mod.queries()
+    worse = {}
+    for name in AUDITED:
+        got = shuffle_exchange_count(qs[name](spark, sf_dir))
+        if got > recorded[name]:
+            worse[name] = (recorded[name], got)
+    assert not worse, (
+        f"shuffle regressions vs PLANS.md (recorded, now): {worse} — "
+        "fix the plan or regenerate PLANS.md if intentional"
+    )
