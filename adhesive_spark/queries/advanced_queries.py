@@ -2479,3 +2479,172 @@ ADVANCED_ORACLES["q129_corpus_diff"] = """
            MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
     FROM j GROUP BY status
 """
+
+
+def q131_triangle_count(spark, sf_dir):
+    """TRIANGLE COUNT + global clustering coefficient of the co-supply
+    graph (suppliers connected when they serve the same order) — the
+    third graph-analytics family next to components (q46) and PageRank
+    (q106).  Edges are ORIENTED low-id → high-id, so each triangle is
+    enumerated exactly once as (a<b<c) and the wedge join fans out only
+    along one direction (the production variant orients by DEGREE,
+    which provably bounds the join by m^1.5; id-orientation keeps the
+    trajectory oracle-identical).  Wedge count comes from degrees
+    (Σ d·(d−1)/2 — integers), so the closure ratio 3Δ/wedges needs no
+    float until the final division."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .select(
+            F.col("a.l_suppkey").alias("u"), F.col("b.l_suppkey").alias("v")
+        )
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    stats = deg.agg(
+        F.count("*").alias("n_nodes"),
+        (F.sum(F.col("d") * (F.col("d") - 1)) / 2)
+        .cast("bigint")
+        .alias("n_wedges"),
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.v") == F.col("e2.u"))
+        .join(
+            e3,
+            (F.col("e1.u") == F.col("e3.u"))
+            & (F.col("e2.v") == F.col("e3.v")),
+        )
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    ecount = edges.agg(F.count("*").alias("n_edges"))
+    return (
+        stats.crossJoin(tri)
+        .crossJoin(ecount)
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            fround(
+                F.col("n_triangles") * 3 / F.greatest("n_wedges", F.lit(1)), 6
+            ).alias("closure"),
+        )
+    )
+
+
+def q132_char_diversity(spark, sf_dir):
+    """Character-diversity quality signal WITHOUT libm: the inverse
+    Simpson index n²/Σcᵢ² (effective alphabet size) per document —
+    garbage like "aaaa…" scores ~1, normal prose ~15-20 — computed
+    entirely in exact integers (Σcᵢ² is a BIGINT; one double division
+    per doc at the end, then cents-quantized before the per-source
+    mean so the aggregate is order-independent).  The entropy
+    alternative needs ln() whose last-ulp varies per libm; Simpson is
+    the bit-reproducible screen.  One explode + two keyed aggs."""
+    docs = load_table(spark, sf_dir, "documents")
+    chars = docs.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.split(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""), "")
+        ).alias("ch"),
+    ).where(F.col("ch") != "")
+    counts = chars.groupBy("doc_id", "source", "ch").agg(
+        F.count("*").alias("c")
+    )
+    per_doc = counts.groupBy("doc_id", "source").agg(
+        F.sum("c").alias("n"),
+        F.sum(F.col("c") * F.col("c")).alias("sum_sq"),
+    )
+    eff = per_doc.select(
+        "doc_id",
+        "source",
+        scaled_long(
+            F.col("n") * F.col("n") / F.col("sum_sq"), 4
+        ).alias("eff_alpha_s"),
+    )
+    return eff.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        fround(
+            F.sum("eff_alpha_s") / (F.count("*") * F.lit(10000.0)), 4
+        ).alias("avg_eff_alphabet"),
+        F.count_if(F.col("eff_alpha_s") < 80000).alias("n_low_diversity"),
+    )
+
+
+ADVANCED_QUERIES["q131_triangle_count"] = q131_triangle_count
+ADVANCED_QUERIES["q132_char_diversity"] = q132_char_diversity
+
+ADVANCED_ORACLES["q131_triangle_count"] = """
+    WITH li AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+    edges AS (
+      SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+    ),
+    deg AS (
+      SELECT node, COUNT(*) AS d FROM (
+        SELECT u AS node FROM edges UNION ALL SELECT v FROM edges
+      ) GROUP BY node
+    ),
+    stats AS (
+      SELECT COUNT(*) AS n_nodes,
+             CAST(SUM(d * (d - 1)) / 2 AS BIGINT) AS n_wedges
+      FROM deg
+    ),
+    tri AS (
+      SELECT COUNT(*) AS n_triangles
+      FROM edges e1
+      JOIN edges e2 ON e1.v = e2.u
+      JOIN edges e3 ON e1.u = e3.u AND e2.v = e3.v
+    )
+    SELECT s.n_nodes, (SELECT COUNT(*) FROM edges) AS n_edges,
+           s.n_wedges, t.n_triangles,
+           floor(t.n_triangles * 3.0 / greatest(s.n_wedges, 1) * 1000000) / 1000000 AS closure
+    FROM stats s, tri t
+"""
+
+ADVANCED_ORACLES["q132_char_diversity"] = """
+    WITH chars AS (
+      SELECT doc_id, source,
+             unnest(string_split(
+               regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), '')) AS ch
+      FROM documents
+    ),
+    counts AS (
+      SELECT doc_id, source, ch, COUNT(*) AS c
+      FROM chars WHERE ch != '' GROUP BY doc_id, source, ch
+    ),
+    per_doc AS (
+      SELECT doc_id, source,
+             CAST(SUM(c) AS BIGINT) AS n,
+             CAST(SUM(c * c) AS BIGINT) AS sum_sq
+      FROM counts GROUP BY doc_id, source
+    ),
+    eff AS (
+      SELECT doc_id, source,
+             CAST(ROUND(n * n * 1.0 / sum_sq * 10000, 0) AS BIGINT)
+               AS eff_alpha_s
+      FROM per_doc
+    )
+    SELECT source, COUNT(*) AS n_docs,
+           floor(SUM(eff_alpha_s) / (COUNT(*) * 10000.0) * 10000) / 10000
+             AS avg_eff_alphabet,
+           COUNT(*) FILTER (WHERE eff_alpha_s < 80000) AS n_low_diversity
+    FROM eff GROUP BY source
+"""

@@ -997,3 +997,84 @@ CURATION_ORACLES["q126_temperature_mixture"] = """
     WHERE (((strpos('0123456789abcdef', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(md5(CAST(d.doc_id AS VARCHAR)), 2, 1)) - 1)) * 256 + ((strpos('0123456789abcdef', substr(md5(CAST(d.doc_id AS VARCHAR)), 3, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(md5(CAST(d.doc_id AS VARCHAR)), 4, 1)) - 1))) % 10000 < floor(r.rate * 10000)
     GROUP BY d.source
 """
+
+
+def q130_boilerplate_spans(spark, sf_dir):
+    """Cross-document BOILERPLATE detection (ExactSubstr-lite, Lee et
+    al. 2021 "Deduplicating Training Data Makes Language Models
+    Better"): every 5-token window of every document is hashed; windows
+    occurring in ≥ 2 DISTINCT documents are boilerplate (headers,
+    footers, license blocks), and each document reports its boilerplate
+    fraction — the signal that drives span-level (not whole-doc)
+    dedup.  Unlike q33/q37 (per-PAIR similarity) this is a GLOBAL
+    property: one explode, one (gram → distinct-doc count) aggregate,
+    one join back on the gram hash — no pair enumeration anywhere, so
+    it scales as the corpus, not corpus².  Rolled up per source to keep
+    the answer small."""
+    from adhesive_spark.operators.dedup import word_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id",
+        "source",
+        F.explode(word_shingles(F.col("text"), 5)).alias("gram"),
+    )
+    df_counts = grams.groupBy("gram").agg(
+        F.countDistinct("doc_id").alias("gram_docs")
+    )
+    per_doc = (
+        grams.join(df_counts, "gram")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count("*").alias("n_windows"),
+            F.count_if(F.col("gram_docs") >= 2).alias("n_boiler"),
+        )
+    )
+    return per_doc.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_boiler").alias("boiler_windows"),
+        F.sum("n_windows").alias("total_windows"),
+        F.count_if(
+            F.col("n_boiler") * 2 > F.col("n_windows")
+        ).alias("n_mostly_boilerplate"),
+    )
+
+
+CURATION_QUERIES["q130_boilerplate_spans"] = q130_boilerplate_spans
+
+CURATION_ORACLES["q130_boilerplate_spans"] = """
+    WITH t AS (
+      SELECT doc_id, source,
+             trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, source,
+             CASE WHEN len(toks) - 4 >= 1
+                  THEN list_distinct(list_transform(
+                         range(1, len(toks) - 4 + 1),
+                         i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2],
+                                        toks[i+3], toks[i+4])))
+                  ELSE [norm] END AS grams
+      FROM t
+    ),
+    x AS (SELECT doc_id, source, unnest(grams) AS gram FROM g),
+    dfc AS (
+      SELECT gram, COUNT(DISTINCT doc_id) AS gram_docs
+      FROM x GROUP BY gram
+    ),
+    per_doc AS (
+      SELECT x.doc_id, x.source,
+             COUNT(*) AS n_windows,
+             COUNT(*) FILTER (WHERE d.gram_docs >= 2) AS n_boiler
+      FROM x JOIN dfc d USING (gram)
+      GROUP BY x.doc_id, x.source
+    )
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(n_boiler) AS BIGINT) AS boiler_windows,
+           CAST(SUM(n_windows) AS BIGINT) AS total_windows,
+           COUNT(*) FILTER (WHERE n_boiler * 2 > n_windows)
+             AS n_mostly_boilerplate
+    FROM per_doc GROUP BY source
+"""
