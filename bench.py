@@ -61,6 +61,16 @@ HEADLINE = [
     # ignore-nulls scans)
     "q110_scd2_history",
     "q115_gap_fill_interpolate",
+    # round-5 batch 2: canonical near-dup flow (pairs → components →
+    # best-quality rep), PPJoin exact similarity join, systematic PPS
+    # sampling, temperature mixing, corpus snapshot diff, and global
+    # boilerplate detection
+    "q109_canonical_dedup",
+    "q116_ppjoin_pairs",
+    "q122_weighted_sample",
+    "q126_temperature_mixture",
+    "q129_corpus_diff",
+    "q130_boilerplate_spans",
 ]
 
 
