@@ -27,7 +27,9 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 
 _WORDS = (
@@ -133,3 +135,94 @@ class SyntheticDocsStreamReader(DataSourceStreamReader):
 
     def commit(self, end: dict) -> None:
         pass  # nothing to clean up: generation is stateless
+
+
+class _ShardCommit(WriterCommitMessage):
+    def __init__(self, path: str, n_rows: int, n_tokens: int):
+        self.path = path
+        self.n_rows = n_rows
+        self.n_tokens = n_tokens
+
+
+class ShardedJsonlDataSource(DataSource):
+    """Write-side Python DataSource: the TRAINING-SHARD EXPORT sink —
+    each task streams its partition to one ``shard-<uuid>.jsonl`` file
+    and reports (path, rows, tokens) as its commit message; the DRIVER
+    commit writes ``manifest.json`` listing every committed shard with
+    its row/token counts.  The manifest is the atomicity boundary: a
+    failed/speculative task's orphan file is never listed, so readers
+    that honor the manifest (the loader side of every LLM data pipeline)
+    see exactly-once output without any rename dance.  ``abort``
+    removes the written files best-effort.
+
+    Usage::
+
+        df.write.format("sharded_jsonl").mode("append")
+          .option("path", "/out/dir").option("text_col", "text").save()
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "sharded_jsonl"
+
+    def writer(self, schema, overwrite: bool):
+        return ShardedJsonlWriter(self.options, schema, overwrite)
+
+
+class ShardedJsonlWriter(DataSourceWriter):
+    def __init__(self, options, schema, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("sharded_jsonl requires .option('path', ...)")
+        self.text_col = options.get("text_col", "text")
+        self.schema = schema
+        self.overwrite = overwrite
+
+    def write(self, iterator):
+        import json
+        import os
+        import uuid
+
+        os.makedirs(self.path, exist_ok=True)
+        shard = os.path.join(self.path, f"shard-{uuid.uuid4().hex}.jsonl")
+        n_rows = 0
+        n_tokens = 0
+        with open(shard, "w") as f:
+            for row in iterator:
+                d = row.asDict()
+                n_rows += 1
+                text = d.get(self.text_col)
+                if isinstance(text, str):
+                    n_tokens += len(text.split())
+                f.write(json.dumps(d, default=str) + "\n")
+        return _ShardCommit(shard, n_rows, n_tokens)
+
+    def commit(self, messages):
+        import json
+        import os
+
+        manifest = {
+            "shards": [
+                {"path": m.path, "rows": m.n_rows, "tokens": m.n_tokens}
+                for m in messages
+                if m is not None
+            ],
+        }
+        manifest["total_rows"] = sum(s["rows"] for s in manifest["shards"])
+        manifest["total_tokens"] = sum(s["tokens"] for s in manifest["shards"])
+        with open(os.path.join(self.path, "manifest.json"), "w") as f:
+            json.dump(manifest, f, indent=1)
+
+    def abort(self, messages):
+        import os
+
+        for m in messages:
+            if m is not None:
+                try:
+                    os.remove(m.path)
+                except OSError:
+                    pass
+
+
+def register_sharded_jsonl(spark) -> None:
+    spark.dataSource.register(ShardedJsonlDataSource)

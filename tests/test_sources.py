@@ -331,3 +331,34 @@ def test_zorder_layout_skips_on_both_dimensions(spark, sf_dir, tmp_path_factory)
     assert zv <= 0.75, zv
     # same data either way
     assert spark.read.parquet(zo).count() == events.count()
+
+
+def test_sharded_jsonl_writer_manifest(spark, sf_dir, tmp_path):
+    """sharded_jsonl write sink: one shard per task, manifest lists
+    every committed shard with row/token counts, and reading back the
+    manifest's shards reproduces the input exactly."""
+    import json
+
+    from adhesive_spark.sources.pydatasource import register_sharded_jsonl
+
+    register_sharded_jsonl(spark)
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .where(F.col("doc_id") < 100)
+        .repartition(4)
+    )
+    out = str(tmp_path / "shards")
+    docs.write.format("sharded_jsonl").mode("append").option(
+        "path", out
+    ).option("text_col", "text").save()
+
+    manifest = json.load(open(f"{out}/manifest.json"))
+    assert len(manifest["shards"]) == 4
+    assert manifest["total_rows"] == docs.count()
+    assert manifest["total_tokens"] > 0
+
+    back = spark.read.json([s["path"] for s in manifest["shards"]])
+    assert back.count() == manifest["total_rows"]
+    got = {r.doc_id for r in back.select("doc_id").collect()}
+    assert got == {r.doc_id for r in docs.select("doc_id").collect()}
