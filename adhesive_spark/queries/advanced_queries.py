@@ -2515,8 +2515,11 @@ def q131_triangle_count(spark, sf_dir):
         .groupBy("node")
         .agg(F.count("*").alias("d"))
     )
+    # n_edges = Σd/2 — derived from the degree table, no second
+    # aggregation over the expensive edges self-join
     stats = deg.agg(
         F.count("*").alias("n_nodes"),
+        (F.sum("d") / 2).cast("bigint").alias("n_edges"),
         (F.sum(F.col("d") * (F.col("d") - 1)) / 2)
         .cast("bigint")
         .alias("n_wedges"),
@@ -2531,10 +2534,8 @@ def q131_triangle_count(spark, sf_dir):
         )
         .agg(F.count("*").alias("n_triangles"))
     )
-    ecount = edges.agg(F.count("*").alias("n_edges"))
     return (
         stats.crossJoin(tri)
-        .crossJoin(ecount)
         .select(
             "n_nodes",
             "n_edges",
@@ -2604,6 +2605,7 @@ ADVANCED_ORACLES["q131_triangle_count"] = """
     ),
     stats AS (
       SELECT COUNT(*) AS n_nodes,
+             CAST(SUM(d) / 2 AS BIGINT) AS n_edges,
              CAST(SUM(d * (d - 1)) / 2 AS BIGINT) AS n_wedges
       FROM deg
     ),
@@ -2613,8 +2615,7 @@ ADVANCED_ORACLES["q131_triangle_count"] = """
       JOIN edges e2 ON e1.v = e2.u
       JOIN edges e3 ON e1.u = e3.u AND e2.v = e3.v
     )
-    SELECT s.n_nodes, (SELECT COUNT(*) FROM edges) AS n_edges,
-           s.n_wedges, t.n_triangles,
+    SELECT s.n_nodes, s.n_edges, s.n_wedges, t.n_triangles,
            floor(t.n_triangles * 3.0 / greatest(s.n_wedges, 1) * 1000000) / 1000000 AS closure
     FROM stats s, tri t
 """

@@ -148,12 +148,15 @@ class ShardedJsonlDataSource(DataSource):
     """Write-side Python DataSource: the TRAINING-SHARD EXPORT sink —
     each task streams its partition to one ``shard-<uuid>.jsonl`` file
     and reports (path, rows, tokens) as its commit message; the DRIVER
-    commit writes ``manifest.json`` listing every committed shard with
-    its row/token counts.  The manifest is the atomicity boundary: a
-    failed/speculative task's orphan file is never listed, so readers
-    that honor the manifest (the loader side of every LLM data pipeline)
-    see exactly-once output without any rename dance.  ``abort``
-    removes the written files best-effort.
+    commit writes ``manifest.json`` (atomically, temp + os.replace)
+    listing every committed shard with its row/token counts.  The
+    manifest is the atomicity boundary: a failed/speculative task's
+    orphan file is never listed, so readers that honor the manifest
+    (the loader side of every LLM data pipeline) see exactly-once
+    output.  ``append`` MERGES the new shards into the existing
+    manifest; ``overwrite`` publishes only the new shards and then
+    deletes the previously listed files.  ``abort`` removes the
+    written files best-effort.
 
     Usage::
 
@@ -189,7 +192,8 @@ class ShardedJsonlWriter(DataSourceWriter):
         n_tokens = 0
         with open(shard, "w") as f:
             for row in iterator:
-                d = row.asDict()
+                # recursive: nested Rows become dicts, not repr strings
+                d = row.asDict(recursive=True)
                 n_rows += 1
                 text = d.get(self.text_col)
                 if isinstance(text, str):
@@ -201,17 +205,40 @@ class ShardedJsonlWriter(DataSourceWriter):
         import json
         import os
 
+        new = [
+            {"path": m.path, "rows": m.n_rows, "tokens": m.n_tokens}
+            for m in messages
+            if m is not None
+        ]
+        mpath = os.path.join(self.path, "manifest.json")
+        prior = []
+        if os.path.exists(mpath):
+            try:
+                with open(mpath) as f:
+                    prior = json.load(f).get("shards", [])
+            except (OSError, ValueError):
+                prior = []
+        shards = (prior + new) if not self.overwrite else new
         manifest = {
-            "shards": [
-                {"path": m.path, "rows": m.n_rows, "tokens": m.n_tokens}
-                for m in messages
-                if m is not None
-            ],
+            "shards": shards,
+            "total_rows": sum(s["rows"] for s in shards),
+            "total_tokens": sum(s["tokens"] for s in shards),
         }
-        manifest["total_rows"] = sum(s["rows"] for s in manifest["shards"])
-        manifest["total_tokens"] = sum(s["tokens"] for s in manifest["shards"])
-        with open(os.path.join(self.path, "manifest.json"), "w") as f:
+        # atomic publish: readers see the old or the new manifest,
+        # never a torn one
+        tmp = mpath + ".tmp"
+        with open(tmp, "w") as f:
             json.dump(manifest, f, indent=1)
+        os.replace(tmp, mpath)
+        if self.overwrite:
+            # old shards vanish only AFTER the new manifest is live
+            keep = {s["path"] for s in shards}
+            for p in prior:
+                if p["path"] not in keep:
+                    try:
+                        os.remove(p["path"])
+                    except OSError:
+                        pass
 
     def abort(self, messages):
         import os

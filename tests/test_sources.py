@@ -362,3 +362,39 @@ def test_sharded_jsonl_writer_manifest(spark, sf_dir, tmp_path):
     assert back.count() == manifest["total_rows"]
     got = {r.doc_id for r in back.select("doc_id").collect()}
     assert got == {r.doc_id for r in docs.select("doc_id").collect()}
+
+
+def test_sharded_jsonl_append_merges_overwrite_cleans(spark, sf_dir, tmp_path):
+    """append must MERGE into the existing manifest (no data loss);
+    overwrite must publish only the new shards and remove the old
+    files."""
+    import json
+    import os
+
+    from adhesive_spark.sources.pydatasource import register_sharded_jsonl
+
+    register_sharded_jsonl(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = str(tmp_path / "shards")
+
+    a = docs.where(F.col("doc_id") < 50).repartition(2)
+    b = docs.where((F.col("doc_id") >= 50) & (F.col("doc_id") < 80)).repartition(2)
+    for part in (a, b):
+        part.write.format("sharded_jsonl").mode("append").option(
+            "path", out
+        ).save()
+    m = json.load(open(f"{out}/manifest.json"))
+    assert len(m["shards"]) == 4
+    assert m["total_rows"] == a.count() + b.count()
+
+    c = docs.where(F.col("doc_id") >= 90).repartition(1)
+    c.write.format("sharded_jsonl").mode("overwrite").option(
+        "path", out
+    ).save()
+    m2 = json.load(open(f"{out}/manifest.json"))
+    assert len(m2["shards"]) == 1
+    assert m2["total_rows"] == c.count()
+    on_disk = {
+        f"{out}/{f}" for f in os.listdir(out) if f.startswith("shard-")
+    }
+    assert on_disk == {s["path"] for s in m2["shards"]}
