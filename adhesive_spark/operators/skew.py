@@ -46,3 +46,55 @@ def salted_join(
     )
     out = salted.join(replicated, keys + ["__salt"], how)
     return out.drop("__salt")
+
+
+def skew_profile(
+    df: DataFrame,
+    key,
+    *,
+    target_rows: int = 1_000_000,
+    label: str | None = None,
+) -> DataFrame:
+    """Pre-flight skew diagnostic for a join/aggregation key: one row
+    with the exact key-count distribution facts a planner needs BEFORE
+    shuffling 100 TB on that key — total rows, distinct keys, the
+    heaviest key's row count, the median key's row count (median-low,
+    deterministic on ties), ``skew_x100`` (max/median, ×100, integer)
+    and ``suggested_salts`` = ceil(max_key_rows / target_rows), the salt
+    fan-out that bounds the worst post-salt partition at ``target_rows``
+    (feed it straight to :func:`salted_join`).
+
+    Scale shape: the per-key count is a map-side-combined hash agg (one
+    shuffle, linear); the summary then funnels the DISTINCT-KEY counts
+    — not the rows — through one window partition. That is exact and
+    fine up to ~10^8 keys; beyond that production swaps the median for
+    an approx-quantile sketch, which changes no output column names.
+    All arithmetic is integer (``div``), so the result is engine-exact
+    for the DuckDB oracle.
+    """
+    from pyspark.sql import Window
+
+    keys = [key] if isinstance(key, str) else list(key)
+    name = label or ",".join(keys)
+    cnts = df.groupBy(*keys).agg(F.count("*").alias("cnt"))
+    one = Window.partitionBy(F.lit(1))
+    ranked = cnts.select(
+        "cnt",
+        F.row_number()
+        .over(Window.partitionBy(F.lit(1)).orderBy("cnt", *keys))
+        .alias("rn"),
+        F.count("*").over(one).alias("n_keys"),
+        F.sum("cnt").over(one).alias("n_rows"),
+        F.max("cnt").over(one).alias("max_key_rows"),
+    )
+    return ranked.where(F.col("rn") == F.expr("(n_keys + 1) div 2")).select(
+        F.lit(name).alias("key_name"),
+        F.col("n_rows"),
+        F.col("n_keys"),
+        F.col("max_key_rows"),
+        F.col("cnt").alias("median_key_rows"),
+        F.expr("(max_key_rows * 100) div cnt").alias("skew_x100"),
+        F.expr(f"(max_key_rows + {target_rows - 1}) div {target_rows}").alias(
+            "suggested_salts"
+        ),
+    )

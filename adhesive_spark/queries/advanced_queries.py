@@ -2649,3 +2649,46 @@ ADVANCED_ORACLES["q132_char_diversity"] = """
            COUNT(*) FILTER (WHERE eff_alpha_s < 80000) AS n_low_diversity
     FROM eff GROUP BY source
 """
+
+
+def q135_skew_profile(spark, sf_dir):
+    """Join-key skew pre-flight (operators/skew.skew_profile) for the
+    two lineitem join keys a TPC-H-shaped workload shuffles on most:
+    exact per-key distribution facts (max key, median-low key,
+    skew ratio, suggested salt fan-out for salted_join) computed
+    BEFORE committing a 100 TB shuffle to that key. target_rows=1000
+    here so the suggestion is visible at test scale; production passes
+    its real partition budget."""
+    from adhesive_spark.operators.skew import skew_profile
+
+    li = load_table(spark, sf_dir, "lineitem")
+    a = skew_profile(li, "l_suppkey", target_rows=1000)
+    b = skew_profile(li, "l_partkey", target_rows=1000)
+    return a.unionByName(b)
+
+
+ADVANCED_QUERIES["q135_skew_profile"] = q135_skew_profile
+
+ADVANCED_ORACLES["q135_skew_profile"] = """
+    WITH p AS (
+      SELECT 'l_suppkey' AS key_name, l_suppkey AS k, COUNT(*) AS cnt
+      FROM lineitem GROUP BY 1, 2
+      UNION ALL
+      SELECT 'l_partkey', l_partkey, COUNT(*) FROM lineitem GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT key_name, cnt,
+             ROW_NUMBER() OVER (PARTITION BY key_name
+                                ORDER BY cnt, k) AS rn,
+             COUNT(*) OVER (PARTITION BY key_name) AS n_keys,
+             CAST(SUM(cnt) OVER (PARTITION BY key_name) AS BIGINT)
+               AS n_rows,
+             MAX(cnt) OVER (PARTITION BY key_name) AS max_key_rows
+      FROM p
+    )
+    SELECT key_name, n_rows, n_keys, max_key_rows,
+           cnt AS median_key_rows,
+           (max_key_rows * 100) // cnt AS skew_x100,
+           (max_key_rows + 999) // 1000 AS suggested_salts
+    FROM r WHERE rn = (n_keys + 1) // 2
+"""

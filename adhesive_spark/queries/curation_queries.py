@@ -1078,3 +1078,114 @@ CURATION_ORACLES["q130_boilerplate_spans"] = """
              AS n_mostly_boilerplate
     FROM per_doc GROUP BY source
 """
+
+
+def q133_paragraph_dedup(spark, sf_dir):
+    """Span-granular dedup with REASSEMBLY (RefinedWeb "remove the
+    duplicated span, keep the document"): 20-token spans, global
+    first-occurrence survivor rule, documents rebuilt from surviving
+    spans in order (operators/dedup.span_dedup). Unlike q30 (drops
+    whole docs) and q130 (only scores boilerplate), this emits the
+    cleaned corpus itself — the op a curation pipeline actually ships.
+    Dedup runs over the FULL corpus; output is trimmed to doc_id < 120
+    to keep the checked result small."""
+    from adhesive_spark.operators.dedup import span_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = span_dedup(docs, "text", "doc_id", span_tokens=20)
+    return out.where(F.col("doc_id") < 120).select(
+        "doc_id", "n_spans", "n_kept", "clean_text"
+    )
+
+
+CURATION_QUERIES["q133_paragraph_dedup"] = q133_paragraph_dedup
+
+CURATION_ORACLES["q133_paragraph_dedup"] = """
+    WITH t AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                          ' ') AS toks
+      FROM documents
+    ),
+    spans AS (
+      SELECT doc_id, i AS chunk_id,
+             array_to_string(list_slice(toks, i * 20 + 1, i * 20 + 20),
+                             ' ') AS span
+      FROM t, LATERAL (
+        SELECT unnest(range(0, ((len(toks) - 1) // 20) + 1)) AS i)
+    ),
+    ranked AS (
+      SELECT doc_id, chunk_id, span,
+             ROW_NUMBER() OVER (PARTITION BY span
+                                ORDER BY doc_id, chunk_id) AS rn
+      FROM spans
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_spans,
+           COUNT(*) FILTER (WHERE rn = 1) AS n_kept,
+           COALESCE(string_agg(span, ' ' ORDER BY chunk_id)
+                      FILTER (WHERE rn = 1), '') AS clean_text
+    FROM ranked
+    WHERE doc_id < 120
+    GROUP BY doc_id
+"""
+
+
+def q134_vocab_growth(spark, sf_dir):
+    """Per-source vocabulary statistics (the Heaps-law corpus-health
+    panel): total tokens, distinct words, hapax legomena (words seen
+    once — the long-tail mass new data keeps adding), the heaviest
+    word's count, and an integer type-token ratio. A shrinking TTR or
+    hapax share across snapshots signals the corpus is saturating —
+    the curve LLM data teams watch when deciding whether more crawl
+    buys new information.
+
+    Scale shape: two hash aggregations, both map-side combined —
+    (source, word) then source. No windows, no Python, no collects;
+    the wide explode never leaves the scan stage before the first
+    partial agg."""
+    from adhesive_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    wc = (
+        docs.select(
+            "source", F.explode(tokens(F.col("text"))).alias("word")
+        )
+        .groupBy("source", "word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return (
+        wc.groupBy("source")
+        .agg(
+            F.sum("cnt").alias("total_tokens"),
+            F.count("*").alias("distinct_words"),
+            F.count_if(F.col("cnt") == 1).alias("hapax_words"),
+            F.max("cnt").alias("max_word_count"),
+        )
+        .withColumn(
+            "ttr_x10000",
+            F.expr("(distinct_words * 10000) div total_tokens"),
+        )
+    )
+
+
+CURATION_QUERIES["q134_vocab_growth"] = q134_vocab_growth
+
+CURATION_ORACLES["q134_vocab_growth"] = """
+    WITH w AS (
+      SELECT source, unnest(string_split(
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+               ' ')) AS word
+      FROM documents
+    ),
+    wc AS (
+      SELECT source, word, COUNT(*) AS cnt FROM w GROUP BY source, word
+    )
+    SELECT source,
+           CAST(SUM(cnt) AS BIGINT) AS total_tokens,
+           COUNT(*) AS distinct_words,
+           COUNT(*) FILTER (WHERE cnt = 1) AS hapax_words,
+           MAX(cnt) AS max_word_count,
+           (COUNT(*) * 10000) // CAST(SUM(cnt) AS BIGINT) AS ttr_x10000
+    FROM wc GROUP BY source
+"""

@@ -590,3 +590,42 @@ def test_batch_infer_init_once_per_task(spark):
     # if init ran per batch — pin the upper bound)
     assert 1 < init_marker.value <= 8
     assert out.rdd.getNumPartitions() == 8
+
+
+def test_span_dedup_reassembles(spark):
+    from adhesive_spark.operators.dedup import span_dedup
+
+    df = spark.createDataFrame(
+        [
+            (0, "a b c d e f"),  # both spans novel
+            (1, "a b c x y z"),  # first span dups doc 0
+            (2, "d e f d e f"),  # every span seen before -> empty doc
+            (3, "p q r p q r"),  # within-doc dup: second span dropped
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in span_dedup(df, span_tokens=3).collect()
+    }
+    assert (out[0]["n_spans"], out[0]["n_kept"]) == (2, 2)
+    assert out[0]["clean_text"] == "a b c d e f"
+    assert out[1]["clean_text"] == "x y z"
+    assert (out[2]["n_kept"], out[2]["clean_text"]) == (0, "")
+    assert out[3]["clean_text"] == "p q r"
+    assert out[3]["n_spans"] == 2
+
+
+def test_skew_profile_golden(spark):
+    from adhesive_spark.operators.skew import skew_profile
+
+    rows = [(1,)] * 5 + [(2,)] * 2 + [(3,)]
+    df = spark.createDataFrame(rows, ["k"])
+    r = skew_profile(df, "k", target_rows=2).collect()[0]
+    assert r["key_name"] == "k"
+    assert r["n_rows"] == 8
+    assert r["n_keys"] == 3
+    assert r["max_key_rows"] == 5
+    assert r["median_key_rows"] == 2  # median-low of [1, 2, 5]
+    assert r["skew_x100"] == 250
+    assert r["suggested_salts"] == 3  # ceil(5 / 2)
