@@ -2508,6 +2508,13 @@ def q131_triangle_count(spark, sf_dir):
             F.col("a.l_suppkey").alias("u"), F.col("b.l_suppkey").alias("v")
         )
         .distinct()
+        # The oriented edge list feeds FOUR consumers (degrees + the
+        # three-way wedge join): materialize it once (eager, cleaner-
+        # owned blocks — same pattern as minhash_lsh_pairs) or Catalyst
+        # re-derives the orderkey self-join per consumer (~21 shuffles
+        # vs 7 with the boundary). At 100 TB this materialized edge
+        # list IS the production artifact every graph pass starts from.
+        .localCheckpoint(eager=True)
     )
     deg = (
         edges.select(F.col("u").alias("node"))
