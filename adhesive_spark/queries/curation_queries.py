@@ -1189,3 +1189,92 @@ CURATION_ORACLES["q134_vocab_growth"] = """
            (COUNT(*) * 10000) // CAST(SUM(cnt) AS BIGINT) AS ttr_x10000
     FROM wc GROUP BY source
 """
+
+
+def q136_length_bucketing(spark, sf_dir):
+    """Length-bucketed batching efficiency — the padding-waste ledger
+    that justifies sorted/bucketed batching in LLM training and
+    inference: batches of 32 docs are formed (a) in arrival (doc_id)
+    order and (b) in token-length order, and each strategy reports how
+    many PAD tokens a max-length-padded batch layout burns
+    (Σ_batches n·max_len − Σ len). The length-sorted layout typically
+    cuts padding by 5-10×; this query makes that number exact.
+
+    Scale shape: one narrow projection (id, n_tok) feeds two
+    row_number windows + per-batch aggs. The global order here keeps
+    the result engine-exact for the oracle; at 100 TB batching is done
+    per training shard, so the window partitions by shard and never
+    funnels the corpus (q76/q87 show that exact pattern)."""
+    from pyspark.sql import Window
+
+    from adhesive_spark.operators.text import token_count
+
+    B = 32
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", token_count(F.col("text")).alias("n_tok")
+    )
+
+    def plan(order_cols, label):
+        w = Window.orderBy(*order_cols)
+        b = toks.withColumn("rn", F.row_number().over(w)).withColumn(
+            "batch", F.expr(f"(rn - 1) div {B}")
+        )
+        per_batch = b.groupBy("batch").agg(
+            F.count("*").alias("n"),
+            F.max("n_tok").alias("mx"),
+            F.sum("n_tok").alias("s"),
+        )
+        return per_batch.agg(
+            F.count("*").alias("n_batches"),
+            F.sum("s").alias("total_tokens"),
+            F.sum(F.col("n") * F.col("mx") - F.col("s")).alias(
+                "padded_tokens"
+            ),
+        ).select(
+            F.lit(label).alias("strategy"),
+            "n_batches",
+            "total_tokens",
+            "padded_tokens",
+            F.expr(
+                "(padded_tokens * 10000) div (total_tokens + padded_tokens)"
+            ).alias("waste_x10000"),
+        )
+
+    naive = plan([F.col("doc_id")], "arrival_order")
+    bucketed = plan([F.col("n_tok"), F.col("doc_id")], "length_sorted")
+    return naive.unionByName(bucketed)
+
+
+CURATION_QUERIES["q136_length_bucketing"] = q136_length_bucketing
+
+CURATION_ORACLES["q136_length_bucketing"] = """
+    WITH t AS (
+      SELECT doc_id,
+             len(string_split(
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+               ' ')) AS n_tok
+      FROM documents
+    ),
+    lay AS (
+      SELECT 'arrival_order' AS strategy, n_tok,
+             (ROW_NUMBER() OVER (ORDER BY doc_id) - 1) // 32 AS batch
+      FROM t
+      UNION ALL
+      SELECT 'length_sorted', n_tok,
+             (ROW_NUMBER() OVER (ORDER BY n_tok, doc_id) - 1) // 32
+      FROM t
+    ),
+    pb AS (
+      SELECT strategy, batch, COUNT(*) AS n, MAX(n_tok) AS mx,
+             CAST(SUM(n_tok) AS BIGINT) AS s
+      FROM lay GROUP BY strategy, batch
+    )
+    SELECT strategy, COUNT(*) AS n_batches,
+           CAST(SUM(s) AS BIGINT) AS total_tokens,
+           CAST(SUM(n * mx - s) AS BIGINT) AS padded_tokens,
+           (CAST(SUM(n * mx - s) AS BIGINT) * 10000)
+             // (CAST(SUM(s) AS BIGINT) + CAST(SUM(n * mx - s) AS BIGINT))
+             AS waste_x10000
+    FROM pb GROUP BY strategy
+"""
