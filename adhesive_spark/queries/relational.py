@@ -1463,3 +1463,130 @@ RELATIONAL_ORACLES["q125_lateral_topk"] = """
              ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
     WHERE c.c_custkey < 200
 """
+
+
+def q137_important_parts(spark, sf_dir):
+    """TPC-H Q11 shape: per-group value HAVING > a global-scalar
+    threshold — "parts carrying at least 1.5x the mean inventory
+    value".  The global total/count is a one-row broadcast against the
+    per-part aggregate (never a shuffle), and the HAVING predicate is
+    integer cross-multiplied (value·n·2 > total·3) so no division ever
+    enters the comparison: engine-exact at every scale factor, unlike
+    Q11's literal FRACTION which empties as SF grows.  Money is
+    cents-quantized per row BEFORE the sum (scaled_long) — the
+    verify-skill ROUND(SUM(double)) hazard."""
+    from adhesive_spark.operators.text import scaled_long
+
+    li = _t(spark, sf_dir, "lineitem")
+    val = li.groupBy("l_partkey").agg(
+        F.sum(
+            scaled_long(F.col("l_extendedprice"), 2)
+            * F.col("l_quantity").cast("long")
+        ).alias("value_c")
+    )
+    total = val.agg(
+        F.sum("value_c").alias("total_c"), F.count("*").alias("n_parts")
+    )
+    return (
+        val.join(F.broadcast(total))
+        .where(
+            F.col("value_c") * F.col("n_parts") * 2 > F.col("total_c") * 3
+        )
+        .select("l_partkey", "value_c")
+    )
+
+
+RELATIONAL_QUERIES["q137_important_parts"] = q137_important_parts
+
+RELATIONAL_ORACLES["q137_important_parts"] = """
+    WITH v AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+                      * CAST(l_quantity AS BIGINT)) AS BIGINT) AS value_c
+      FROM lineitem GROUP BY l_partkey
+    ),
+    t AS (
+      SELECT CAST(SUM(value_c) AS BIGINT) AS total_c,
+             COUNT(*) AS n_parts
+      FROM v
+    )
+    SELECT l_partkey, value_c
+    FROM v, t
+    WHERE value_c * n_parts * 2 > total_c * 3
+"""
+
+
+def q138_priority_shipping(spark, sf_dir):
+    """TPC-H Q12 shape: two-class CASE counts after an orders⋈lineitem
+    join under a one-year shipdate window — high-priority
+    (URGENT/HIGH) vs low-priority line counts per return flag (the
+    shipmode column does not exist in this vintage; returnflag carries
+    the same 3-value role).  The date filter pushes to the lineitem
+    scan; the join is a plain equi hash join; counts are integers."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+    )
+    o = _t(spark, sf_dir, "orders")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count_if(hi).alias("high_line_count"),
+            F.count_if(~hi).alias("low_line_count"),
+        )
+    )
+
+
+RELATIONAL_QUERIES["q138_priority_shipping"] = q138_priority_shipping
+
+RELATIONAL_ORACLES["q138_priority_shipping"] = """
+    SELECT l_returnflag,
+           COUNT(*) FILTER (WHERE o_orderpriority IN ('1-URGENT', '2-HIGH'))
+             AS high_line_count,
+           COUNT(*) FILTER (WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH'))
+             AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+    GROUP BY l_returnflag
+"""
+
+
+def q139_supplier_part_counts(spark, sf_dir):
+    """TPC-H Q16 shape: distinct-supplier counts per part attribute
+    group, EXCLUDING an anti-joined supplier denylist (negative
+    account balance stands in for Q16's complaint-comment suppliers —
+    NOT IN over a subquery becomes a broadcast left-anti join).  The
+    attribute filters (brand <>, bounded size) prune the broadcast
+    part dim; the countDistinct is the only shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#9") & (F.col("p_size") < 10)
+    )
+    bad = _t(spark, sf_dir, "supplier").where(F.col("s_acctbal") < 0)
+    return (
+        li.join(
+            F.broadcast(bad),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+RELATIONAL_QUERIES["q139_supplier_part_counts"] = q139_supplier_part_counts
+
+RELATIONAL_ORACLES["q139_supplier_part_counts"] = """
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#9' AND p_size < 10
+      AND l_suppkey NOT IN
+          (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+"""
