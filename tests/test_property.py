@@ -249,3 +249,51 @@ def test_systematic_pps_invariants(spark, weights):
     for i, w in enumerate(weights):
         if w * k >= 2 * W:
             assert i in picked_ids
+
+
+# --- span dedup vs a sequential reference -----------------------------------
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "d"]), min_size=1, max_size=9
+        ),
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_span_dedup_matches_sequential_reference(spark, texts):
+    """span_dedup must agree with a sequential first-occurrence scan on
+    arbitrary tiny corpora — including all-identical docs, within-doc
+    repeats, and docs shorter than one span."""
+    from adhesive_spark.operators.dedup import span_dedup
+
+    k = 3
+    docs = [(i, " ".join(ws)) for i, ws in enumerate(texts)]
+    seen: set = set()
+    want = {}
+    for i, t in docs:
+        toks = t.split()
+        spans = [
+            " ".join(toks[s : s + k])
+            for s in range(0, max(len(toks) - 1, 0) + 1, k)
+        ]
+        kept = []
+        for sp in spans:
+            if sp not in seen:
+                seen.add(sp)
+                kept.append(sp)
+        want[i] = (len(spans), len(kept), " ".join(kept))
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_spans"], r["n_kept"], r["clean_text"])
+        for r in span_dedup(df, span_tokens=k).collect()
+    }
+    assert got == want

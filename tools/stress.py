@@ -94,6 +94,18 @@ def main() -> None:
 
     run("dedup_exact", lambda: dedup_exact(big_docs, "text", "doc_id"), rows_in)
 
+    # Span-level dedup over N-copy clusters: every replica's spans
+    # collapse onto the first copy's, so the first-occurrence window
+    # sees reps-sized partitions per span — the hazard class — while
+    # output stays corpus-sized (reassembled docs, most of them empty).
+    from adhesive_spark.operators.dedup import span_dedup
+
+    run(
+        "span_dedup",
+        lambda: span_dedup(big_docs, "text", "doc_id", span_tokens=20),
+        rows_in,
+    )
+
     # LSH candidate generation + verify over N-copy clusters: the pair
     # count is reps²-driven, the shuffle stays banded.  Cap the base
     # corpus so pair output stays printable, not to protect the plan.
