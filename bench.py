@@ -71,6 +71,10 @@ HEADLINE = [
     "q126_temperature_mixture",
     "q129_corpus_diff",
     "q130_boilerplate_spans",
+    # round-5 batch 3: span-level dedup with document reassembly (the
+    # RefinedWeb curation op) and the length-bucketed batching ledger
+    "q133_paragraph_dedup",
+    "q136_length_bucketing",
 ]
 
 
