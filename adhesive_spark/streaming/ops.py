@@ -418,3 +418,75 @@ def read_streamed_index(spark, output_path: str) -> DataFrame:
     return spark.read.option("basePath", output_path).parquet(
         *[f"{output_path}/__epoch={e}" for e in epochs]
     )
+
+
+def streaming_quality_router(
+    docs: DataFrame,
+    accept_path: str,
+    reject_path: str,
+    *,
+    checkpoint_path: str,
+    text_col: str = "text",
+    min_quality: float = 0.3,
+) -> object:
+    """Quality-gate a document stream and ROUTE it: per micro-batch,
+    score every document (operators.text.quality_score — pure column
+    expressions, no Python) and fan the batch out to an accepted sink
+    and a quarantine sink carrying the score and a reject reason — the
+    standard ingest topology where rejects stay inspectable instead of
+    vanishing in a filter.
+
+    Epoch-committed like :func:`streaming_incremental_dedup`: both
+    sides land under ``<path>/__epoch=<id>``; the ACCEPT write happens
+    LAST so its ``_SUCCESS`` is the epoch's commit marker (readers of
+    either side trust only accept-committed epochs; a crash between
+    the two writes replays into an overwrite). The batch is
+    localCheckpoint'ed once so scoring runs once, not once per sink.
+    At 100 TB each side is a straight partitioned append — no
+    shuffle, no state store, and back-pressure is per-epoch file IO.
+    """
+    from adhesive_spark.operators.text import quality_score
+
+    def _apply(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        epochs = _committed_epochs(spark, accept_path)
+        if epochs and epochs[-1] >= epoch_id:
+            return  # replayed micro-batch: epoch already committed
+        scored = batch_df.withColumn(
+            "quality", quality_score(F.col(text_col))
+        ).localCheckpoint(eager=True)
+        ok = F.col("quality") >= min_quality
+        scored.where(~ok).withColumn(
+            "reject_reason", F.lit("low_quality")
+        ).write.mode("overwrite").parquet(
+            f"{reject_path}/__epoch={epoch_id}"
+        )
+        # accept side LAST: its _SUCCESS commits the epoch for BOTH sides
+        scored.where(ok).write.mode("overwrite").parquet(
+            f"{accept_path}/__epoch={epoch_id}"
+        )
+
+    return (
+        docs.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_routed(
+    spark, side_path: str, accept_path: str
+) -> DataFrame:
+    """Rows landed by :func:`streaming_quality_router` on one side
+    (pass ``accept_path`` twice to read the accepted side) — unions
+    only epochs whose accept-side ``_SUCCESS`` (the commit marker)
+    landed, so a torn epoch from a crashed attempt is invisible."""
+    epochs = _committed_epochs(spark, accept_path)
+    if not epochs:
+        raise FileNotFoundError(
+            f"no committed router epochs under {accept_path} (the accept-"
+            f"side _SUCCESS is the commit marker for both sides)"
+        )
+    return spark.read.parquet(
+        *[f"{side_path}/__epoch={e}" for e in epochs]
+    )

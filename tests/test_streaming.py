@@ -438,3 +438,59 @@ def test_streaming_index_ingest_matches_batch(spark, sf_dir, tmp_path_factory):
         .toString()
     )
     assert "PartitionFilters" in plan and "centroid_id" in plan
+
+
+def test_streaming_quality_router_matches_batch(spark, sf_dir, tmp_path_factory):
+    """The router must land every input row on exactly one side, with
+    the accepted set equal to the batch quality filter, and a replay
+    with the same checkpoint must not duplicate epochs."""
+    from adhesive_spark.operators.text import quality_score
+    from adhesive_spark.streaming.ops import (
+        read_routed,
+        streaming_quality_router,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    src = tmp_path_factory.mktemp("router") / "docs"
+    docs.where("doc_id < 120").coalesce(1).write.mode("append").parquet(str(src))
+    docs.where("doc_id >= 120 AND doc_id < 240").coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+    all_docs = spark.read.parquet(str(src))
+    threshold = 0.5
+
+    def start():
+        stream = (
+            spark.readStream.schema(all_docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        return streaming_quality_router(
+            stream,
+            acc,
+            rej,
+            checkpoint_path=ckpt,
+            min_quality=threshold,
+        )
+
+    root = tmp_path_factory.mktemp("router")
+    acc, rej, ckpt = str(root / "acc"), str(root / "rej"), str(root / "ckpt")
+    assert start().awaitTermination(180), "router did not drain in 180s"
+
+    got_acc = read_routed(spark, acc, acc)
+    got_rej = read_routed(spark, rej, acc)
+    scored = all_docs.withColumn("q", quality_score(F.col("text")))
+    want_acc = {r.doc_id for r in scored.where(F.col("q") >= threshold).collect()}
+    want_rej = {r.doc_id for r in scored.where(F.col("q") < threshold).collect()}
+    assert {r.doc_id for r in got_acc.collect()} == want_acc
+    assert {r.doc_id for r in got_rej.collect()} == want_rej
+    assert want_acc and want_rej, "test data must exercise both sides"
+    # every reject is annotated and scored
+    for r in got_rej.limit(5).collect():
+        assert r.reject_reason == "low_quality"
+        assert r.quality < threshold
+    # replay with the same checkpoint: no new files are picked up, no
+    # epoch is double-written
+    n_acc = got_acc.count()
+    assert start().awaitTermination(120)
+    assert read_routed(spark, acc, acc).count() == n_acc
