@@ -2699,3 +2699,66 @@ ADVANCED_ORACLES["q135_skew_profile"] = """
            (max_key_rows + 999) // 1000 AS suggested_salts
     FROM r WHERE rn = (n_keys + 1) // 2
 """
+
+
+def q140_latency_bands(spark, sf_dir):
+    """Operational percentile rollup: EXACT p50/p95 value bands per
+    (event_type × hour-of-day) — the SLO panel every event pipeline
+    ships.  Exactness without interpolation: values are cents-quantized
+    per row, and the percentiles are nearest-rank picks via per-group
+    ROW_NUMBER (median-low at (n+1)/2, p95 at ceil(.95n)) — identical
+    integer semantics in any engine, no percentile() libm/interpolation
+    drift.  Scale shape: one shuffle on the (type, hour) group key;
+    each window partition is one group, never the corpus (cf. q135's
+    documented single-partition funnel — here the key is real)."""
+    from pyspark.sql import Window
+
+    from adhesive_spark.operators.text import scaled_long
+
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        F.hour("ts").alias("hr"),
+        scaled_long(F.col("value"), 2).alias("v_c"),
+        "event_id",
+    )
+    w = Window.partitionBy("event_type", "hr").orderBy("v_c", "event_id")
+    ww = Window.partitionBy("event_type", "hr")
+    r = base.select(
+        "event_type",
+        "hr",
+        "v_c",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(ww).alias("n"),
+    )
+    return r.groupBy("event_type", "hr").agg(
+        F.max("n").alias("n_events"),
+        F.max(F.when(F.expr("rn = (n + 1) div 2"), F.col("v_c"))).alias(
+            "p50_c"
+        ),
+        F.max(
+            F.when(F.expr("rn = (n * 95 + 99) div 100"), F.col("v_c"))
+        ).alias("p95_c"),
+    )
+
+
+ADVANCED_QUERIES["q140_latency_bands"] = q140_latency_bands
+
+ADVANCED_ORACLES["q140_latency_bands"] = """
+    WITH b AS (
+      SELECT event_type, EXTRACT(hour FROM ts) AS hr,
+             CAST(ROUND(value * 100, 0) AS BIGINT) AS v_c, event_id
+      FROM events
+    ),
+    r AS (
+      SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY event_type, hr
+                                ORDER BY v_c, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type, hr) AS n
+      FROM b
+    )
+    SELECT event_type, hr, MAX(n) AS n_events,
+           MAX(CASE WHEN rn = (n + 1) // 2 THEN v_c END) AS p50_c,
+           MAX(CASE WHEN rn = (n * 95 + 99) // 100 THEN v_c END) AS p95_c
+    FROM r GROUP BY event_type, hr
+"""

@@ -1278,3 +1278,105 @@ CURATION_ORACLES["q136_length_bucketing"] = """
              AS waste_x10000
     FROM pb GROUP BY strategy
 """
+
+
+def q141_inverted_index(spark, sf_dir):
+    """Inverted-index build + probe: token → (document frequency,
+    total occurrences, first-20 posting list) for three probe tokens —
+    the search-side primitive of corpus tooling (contamination lookups,
+    targeted exclusion lists, span provenance).  Posting lists are
+    sorted doc_id arrays, truncated AFTER the sort so the probe result
+    is deterministic.
+
+    Scale shape: explode → one (token, doc) pre-aggregate (map-side
+    combined) → one token aggregate; the probe filter pushes into the
+    explode side before either shuffle.  At 100 TB the full index is
+    written bucketed by token instead of collected — this query is the
+    probe path over three postings."""
+    from adhesive_spark.operators.text import tokens
+
+    probes = ["table", "spark", "window"]
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("token")
+    ).where(F.col("token").isin(probes))
+    per_doc = tok.groupBy("token", "doc_id").agg(
+        F.count("*").alias("cnt")
+    )
+    return per_doc.groupBy("token").agg(
+        F.count("*").alias("doc_freq"),
+        F.sum("cnt").alias("total_occurrences"),
+        F.slice(F.sort_array(F.collect_list("doc_id")), 1, 20).alias(
+            "posting_head"
+        ),
+    )
+
+
+CURATION_QUERIES["q141_inverted_index"] = q141_inverted_index
+
+CURATION_ORACLES["q141_inverted_index"] = """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+               ' ')) AS token
+      FROM documents
+    ),
+    per_doc AS (
+      SELECT token, doc_id, COUNT(*) AS cnt
+      FROM tok
+      WHERE token IN ('table', 'spark', 'window')
+      GROUP BY token, doc_id
+    )
+    SELECT token, COUNT(*) AS doc_freq,
+           CAST(SUM(cnt) AS BIGINT) AS total_occurrences,
+           list_sort(list(doc_id))[1:20] AS posting_head
+    FROM per_doc GROUP BY token
+"""
+
+
+def q142_freq_spectrum(spark, sf_dir):
+    """Within-document frequency-of-frequencies spectrum (the
+    Good-Turing / burstiness input): how many (document, word) pairs
+    have the word occurring exactly k times in that document,
+    k = 1..10 plus an 11+ tail bucket.  The shape of this curve is the
+    statistical fingerprint curation teams watch for crawl anomalies
+    (a boilerplate flood dents the k=1 mass overnight; generation
+    loops fatten the tail).  Two keyed aggregations, all integers —
+    the first is map-side combined on (doc, word), the second on the
+    11-value bucket key."""
+    from adhesive_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    wc = (
+        docs.select(
+            "doc_id", F.explode(tokens(F.col("text"))).alias("word")
+        )
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return (
+        wc.select(
+            F.when(F.col("cnt") <= 10, F.col("cnt"))
+            .otherwise(F.lit(11))
+            .alias("k")
+        )
+        .groupBy("k")
+        .agg(F.count("*").alias("n_words"))
+    )
+
+
+CURATION_QUERIES["q142_freq_spectrum"] = q142_freq_spectrum
+
+CURATION_ORACLES["q142_freq_spectrum"] = """
+    WITH wc AS (
+      SELECT doc_id, word, COUNT(*) AS cnt FROM (
+        SELECT doc_id, unnest(string_split(
+                 trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                 ' ')) AS word
+        FROM documents
+      ) GROUP BY doc_id, word
+    )
+    SELECT CASE WHEN cnt <= 10 THEN cnt ELSE 11 END AS k,
+           COUNT(*) AS n_words
+    FROM wc GROUP BY 1
+"""
