@@ -851,3 +851,80 @@ PIPELINE_ORACLES["q127_cluster_blocked_neardup"] = """
       ON a.cid = b.cid AND a.vec_id < b.vec_id
     WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4
 """
+
+
+def q143_media_batch_plan(spark, sf_dir):
+    """GPU batch planning for decoded media: image/video items are laid
+    into fixed pixel-budget batches per media_type (cost = width ×
+    height × frames; batch = floor(running-start / budget), exactly
+    pack_sequences' packing rule with pixels as the token currency) —
+    the decode-stage twin of q136's text-length bucketing: the batch
+    shape drives accelerator utilization, so the plan is computed on
+    the cluster BEFORE any payload moves.
+
+    Scale shape: synthesize → Arrow decode (stub codec) → one window
+    shuffle keyed on media_type + the per-batch aggregate; no payload
+    bytes enter the shuffle (only ids and integer costs)."""
+    from adhesive_spark.operators.multimodal import (
+        decode_media,
+        synthesize_media,
+    )
+    from adhesive_spark.operators.text import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    decoded = decode_media(synthesize_media(docs)).where(
+        F.col("media_type").isin("image", "video")
+    )
+    cost = decoded.select(
+        "media_id",
+        "media_type",
+        (
+            F.col("width").cast("long")
+            * F.col("height").cast("long")
+            * F.coalesce(F.col("n_frames"), F.lit(1)).cast("long")
+        ).alias("px"),
+    )
+    packed = pack_sequences(
+        cost,
+        "media_type",
+        ["media_id"],
+        seq_tokens=10_000_000,
+        token_col="px",
+    )
+    return packed.groupBy("media_type", "seq_idx").agg(
+        F.count("*").alias("n_items"),
+        F.sum("px").alias("total_px"),
+        F.max("px").alias("max_item_px"),
+    )
+
+
+PIPELINE_QUERIES["q143_media_batch_plan"] = q143_media_batch_plan
+
+PIPELINE_ORACLES["q143_media_batch_plan"] = f"""
+    WITH d AS (
+      SELECT doc_id AS media_id, {_MTYPE} AS media_type,
+             64 + {_byte_from_hex(_SHA, 1)} % 192 AS width,
+             64 + {_byte_from_hex(_SHA, 2)} % 192 AS height,
+             CASE WHEN {_MTYPE} = 'video'
+                  THEN 1 + {_byte_from_hex(_SHA, 3)} % 120 END AS n_frames
+      FROM documents
+      WHERE {_MTYPE} IN ('image', 'video')
+    ),
+    c AS (
+      SELECT media_id, media_type,
+             CAST(width AS BIGINT) * CAST(height AS BIGINT)
+               * CAST(COALESCE(n_frames, 1) AS BIGINT) AS px
+      FROM d
+    ),
+    r AS (
+      SELECT media_type, px,
+             CAST((SUM(px) OVER (PARTITION BY media_type ORDER BY media_id
+                                 ROWS UNBOUNDED PRECEDING) - px)
+                  // 10000000 AS INT) AS seq_idx
+      FROM c
+    )
+    SELECT media_type, seq_idx, COUNT(*) AS n_items,
+           CAST(SUM(px) AS BIGINT) AS total_px,
+           MAX(px) AS max_item_px
+    FROM r GROUP BY media_type, seq_idx
+"""
