@@ -44,6 +44,9 @@ DEFAULT_CONFIGS: dict[str, str] = {
     # predicates stay pushdown-eligible and watermarks/windows are legal
     "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     "spark.python.worker.reuse": "true",
+    # sources/pydatasource.SyntheticDocsReader implements pushFilters();
+    # Spark 4.1 REFUSES such a reader unless pushdown is enabled
+    "spark.sql.python.filterPushdown.enabled": "true",
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
 }

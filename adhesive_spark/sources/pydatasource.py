@@ -61,6 +61,13 @@ class SyntheticDocsDataSource(DataSource):
         return "doc_id bigint, source string, n_words int, text string"
 
     def reader(self, schema) -> "SyntheticDocsReader":
+        # pushdown is OPT-IN per load(): Spark caches one planned read
+        # per relation, and a pushdown-planned partition set would be
+        # (incorrectly) reused by a later FILTERLESS scan of the same
+        # load() — so only a load that promises single-scan usage gets
+        # the pushdown-capable reader (see PushdownSyntheticDocsReader).
+        if str(self.options.get("pushdown", "false")).lower() == "true":
+            return PushdownSyntheticDocsReader(self.options)
         return SyntheticDocsReader(self.options)
 
     def streamReader(self, schema) -> "SyntheticDocsStreamReader":
@@ -72,18 +79,81 @@ class SyntheticDocsReader(DataSourceReader):
         self.n_docs = int(options.get("n_docs", 1000))
         self.n_parts = max(1, int(options.get("partitions", 8)))
         self.seed = int(options.get("seed", 42))
-
+        # generated doc_id range [lo, hi); pushdown subclass clamps it
+        self.lo, self.hi = 0, self.n_docs
     def partitions(self):
-        # contiguous doc-id ranges: planning is pure metadata, each
-        # executor generates only its slice
-        return [InputPartition(i) for i in range(self.n_parts)]
+        # contiguous doc-id ranges over the (possibly clamped) [lo, hi):
+        # planning is pure metadata, each executor generates only its
+        # slice, and a fully-filtered range plans ZERO work.  Bounds
+        # ride IN the partition (the reader instance that runs read()
+        # on the executor is a pre-planning pickle, so planning state
+        # must travel through the partition object).
+        span = max(0, self.hi - self.lo)
+        n_parts = min(self.n_parts, span) or 1
+        return [
+            _DocRangePartition(
+                self.lo + span * i // n_parts,
+                self.lo + span * (i + 1) // n_parts,
+                self.seed,
+            )
+            for i in range(n_parts)
+        ]
 
     def read(self, partition):
-        i = partition.value
-        lo = self.n_docs * i // self.n_parts
-        hi = self.n_docs * (i + 1) // self.n_parts
-        for doc_id in range(lo, hi):
-            yield _gen_doc(self.seed, doc_id)
+        for doc_id in range(partition.lo, partition.hi):
+            yield _gen_doc(partition.seed, doc_id)
+
+
+class PushdownSyntheticDocsReader(SyntheticDocsReader):
+    """Spark-4.1 filter-pushdown variant, selected by
+    ``.option("pushdown", "true")`` (needs the session conf
+    ``spark.sql.python.filterPushdown.enabled=true``, set by
+    build_spark): doc_id comparisons clamp the GENERATED [lo, hi)
+    range, so planning prunes whole partitions before any row exists —
+    the Python-source analog of parquet min/max pruning.  Handled
+    filters are consumed (range semantics are exact, no re-check
+    needed); anything else is returned for Spark to evaluate
+    post-scan.
+
+    Opt-in because of a Spark relation-cache sharp edge: the planned
+    (clamped) partition set is cached per load(), so a later scan of
+    the SAME load() with different/absent doc_id filters can reuse the
+    wrong plan.  Use one load() per query when pushdown is on; the
+    default reader (no pushFilters) is immune."""
+
+    def pushFilters(self, filters):
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        # rebuild the clamp from THIS scan's filters only
+        self.lo, self.hi = 0, self.n_docs
+        remaining = []
+        for f in filters:
+            if getattr(f, "attribute", None) != ("doc_id",) or not isinstance(
+                getattr(f, "value", None), int
+            ):
+                remaining.append(f)
+                continue
+            v = f.value
+            if isinstance(f, EqualTo):
+                self.lo = max(self.lo, v)
+                self.hi = min(self.hi, v + 1)
+            elif isinstance(f, GreaterThan):
+                self.lo = max(self.lo, v + 1)
+            elif isinstance(f, GreaterThanOrEqual):
+                self.lo = max(self.lo, v)
+            elif isinstance(f, LessThan):
+                self.hi = min(self.hi, v)
+            elif isinstance(f, LessThanOrEqual):
+                self.hi = min(self.hi, v + 1)
+            else:
+                remaining.append(f)
+        return remaining
 
 
 def register_synthetic_docs(spark) -> None:

@@ -398,3 +398,52 @@ def test_sharded_jsonl_append_merges_overwrite_cleans(spark, sf_dir, tmp_path):
         f"{out}/{f}" for f in os.listdir(out) if f.startswith("shard-")
     }
     assert on_disk == {s["path"] for s in m2["shards"]}
+
+
+def test_python_datasource_filter_pushdown(spark):
+    """The opt-in pushdown reader must (1) return exactly the requested
+    doc_id slice, (2) PLAN only the partitions the clamp needs — scan
+    pruning, not post-filtering — and (3) leave the default reader's
+    sibling scans untouched (the Spark relation-cache sharp edge the
+    opt-in exists to dodge)."""
+    from adhesive_spark.sources.pydatasource import (
+        _gen_doc,
+        register_synthetic_docs,
+    )
+
+    register_synthetic_docs(spark)
+
+    def load(push: bool):
+        r = (
+            spark.read.format("synthetic_docs")
+            .option("n_docs", 1000)
+            .option("partitions", 8)
+        )
+        if push:
+            r = r.option("pushdown", "true")
+        return r.load()
+
+    df = load(True).filter("doc_id >= 100 AND doc_id < 102")
+    assert sorted(map(tuple, df.collect())) == [
+        _gen_doc(42, 100),
+        _gen_doc(42, 101),
+    ]
+    # 2-doc clamp → 2 planned partitions (down from 8): the pruning
+    # happened at partition PLANNING, before any row was generated
+    assert df.rdd.getNumPartitions() == 2
+
+    # mixed predicate: the non-doc_id part must be returned to Spark
+    # and still applied post-scan
+    mixed = load(True).filter(
+        "doc_id >= 100 AND doc_id < 120 AND source = 'src1'"
+    )
+    want = [
+        _gen_doc(42, i) for i in range(100, 120) if i % 4 == 1
+    ]
+    assert sorted(map(tuple, mixed.collect())) == want
+
+    # default reader: filtered scan then a FULL scan of the same load()
+    # — the full scan must not inherit the filtered plan
+    b = load(False)
+    assert b.filter("doc_id < 10").count() == 10
+    assert b.count() == 1000
