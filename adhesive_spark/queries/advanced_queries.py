@@ -2485,13 +2485,15 @@ def q131_triangle_count(spark, sf_dir):
     """TRIANGLE COUNT + global clustering coefficient of the co-supply
     graph (suppliers connected when they serve the same order) — the
     third graph-analytics family next to components (q46) and PageRank
-    (q106).  Edges are ORIENTED low-id → high-id, so each triangle is
-    enumerated exactly once as (a<b<c) and the wedge join fans out only
-    along one direction (the production variant orients by DEGREE,
-    which provably bounds the join by m^1.5; id-orientation keeps the
-    trajectory oracle-identical).  Wedge count comes from degrees
-    (Σ d·(d−1)/2 — integers), so the closure ratio 3Δ/wedges needs no
-    float until the final division."""
+    (q106).  The triangle count runs operators/graph.triangle_count
+    with DEGREE orientation — the production path whose wedge join is
+    provably bounded by m^1.5 — while the oracle counts via simple
+    id-orientation: any total vertex order counts each triangle exactly
+    once (orientation invariance, property-tested in
+    tests/test_graph_stateful.py), so the two must agree.  Wedge count
+    comes from degrees (Σ d·(d−1)/2 — integers), so the closure ratio
+    3Δ/wedges needs no float until the final division."""
+    from adhesive_spark.operators.graph import triangle_count
     li = (
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_suppkey")
@@ -2531,16 +2533,7 @@ def q131_triangle_count(spark, sf_dir):
         .cast("bigint")
         .alias("n_wedges"),
     )
-    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
-    tri = (
-        e1.join(e2, F.col("e1.v") == F.col("e2.u"))
-        .join(
-            e3,
-            (F.col("e1.u") == F.col("e3.u"))
-            & (F.col("e2.v") == F.col("e3.v")),
-        )
-        .agg(F.count("*").alias("n_triangles"))
-    )
+    tri = triangle_count(edges, orient="degree")
     return (
         stats.crossJoin(tri)
         .select(

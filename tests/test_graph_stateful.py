@@ -124,3 +124,58 @@ def test_pagerank_integer_star_graph(spark):
     assert all(got[i] == 72_500_000 for i in range(1, 5))
     total = sum(got.values())
     assert 10**9 - 100 <= total <= 10**9
+
+
+def test_triangle_count_orientation_invariant(spark):
+    """id- and degree-orientation must count the same triangles; golden
+    values on a known graph (two triangles sharing an edge + a star hub
+    whose wedges close nothing)."""
+    from adhesive_spark.operators.graph import triangle_count
+
+    # triangle 1: 1-2-3; triangle 2: 2-3-4 (shares edge 2-3);
+    # star: hub 9 to 5,6,7,8 (no closing edges) — and edges are given
+    # in MIXED direction order to prove direction-insensitivity
+    edges = spark.createDataFrame(
+        [
+            (1, 2), (3, 2), (1, 3),
+            (2, 4), (4, 3),
+            (9, 5), (6, 9), (9, 7), (8, 9),
+        ],
+        ["u", "v"],
+    )
+    for orient in ("id", "degree"):
+        got = triangle_count(edges, orient=orient).collect()[0]
+        assert got["n_triangles"] == 2, orient
+
+    # duplicate/reversed edges must not change the count
+    doubled = edges.unionAll(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    assert triangle_count(doubled, orient="degree").collect()[0][
+        "n_triangles"
+    ] == 2
+
+    import random
+
+    rng = random.Random(7)
+    rand_edges = list({
+        (min(a, b), max(a, b))
+        for a, b in (
+            (rng.randrange(12), rng.randrange(12)) for _ in range(40)
+        )
+        if a != b
+    })
+    df = spark.createDataFrame(rand_edges, ["u", "v"])
+    n_id = triangle_count(df, orient="id").collect()[0]["n_triangles"]
+    n_deg = triangle_count(df, orient="degree").collect()[0]["n_triangles"]
+    adj = {}
+    for a, b in rand_edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    brute = sum(
+        1
+        for a, b in rand_edges
+        for c in adj[a] & adj[b]
+        if c > b
+    )
+    assert n_id == n_deg == brute
