@@ -2,7 +2,7 @@
 
 Grammar (superset of the reference's, src/fusion.rs:22-58)::
 
-    CREATE [OR REPLACE] FUNCTION <name> ( [<arg> [, <arg>]*] )
+    CREATE [OR REPLACE] [AGGREGATE] FUNCTION <name> ( [<arg> [, <arg>]*] )
         RETURNS <type>
         [DETERMINISTIC] [STRICT]        -- order-independent modifiers
         [LANGUAGE PYTHON | PANDAS | MODULE | CLASS | JAVA | SQL]
@@ -40,7 +40,7 @@ from dataclasses import dataclass, field
 from adhesive_spark.errors import DdlParseError
 
 _HEAD_RE = re.compile(
-    r"""^\s*CREATE\s+(?P<replace>OR\s+REPLACE\s+)?FUNCTION\s+
+    r"""^\s*CREATE\s+(?P<replace>OR\s+REPLACE\s+)?(?P<agg>AGGREGATE\s+)?FUNCTION\s+
         (?P<name>[A-Za-z_][A-Za-z0-9_]*)\s*
         \((?P<args>.*?)\)\s*
         RETURNS\s+(?P<ret>.+?)\s*
@@ -50,7 +50,9 @@ _HEAD_RE = re.compile(
     re.I | re.X | re.S,
 )
 
-_CREATE_FN_PROBE = re.compile(r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?FUNCTION\b", re.I)
+_CREATE_FN_PROBE = re.compile(
+    r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?:AGGREGATE\s+)?FUNCTION\b", re.I
+)
 
 _ARG_RE = re.compile(r"^(?:(?P<name>[A-Za-z_][A-Za-z0-9_]*)\s+)?(?P<type>.+)$", re.S)
 
@@ -78,6 +80,7 @@ class FunctionDefinition:
     body: str = ""
     deterministic: bool = False
     strict: bool = False
+    aggregate: bool = False
     or_replace: bool = False
     raw: str = field(default="", repr=False)
 
@@ -163,6 +166,7 @@ def parse_create_function(sql: str) -> FunctionDefinition:
         body=body,
         deterministic="DETERMINISTIC" in mods,
         strict="STRICT" in mods,
+        aggregate=bool(m.group("agg")),
         or_replace=bool(m.group("replace")),
         raw=sql,
     )

@@ -325,7 +325,22 @@ class FunctionFactory:
                 "registrations resolve inside Catalyst, which applies its "
                 "own coercion rules"
             )
-        if lang == "PYTHON":
+        if d.aggregate:
+            # CREATE AGGREGATE FUNCTION — factory-surface extension
+            # beyond the reference (whose factory is scalar-only,
+            # src/fusion.rs:78): the body sees pandas.Series per group
+            # and returns one scalar, registered as a GROUPED_AGG
+            # pandas UDF (a real Catalyst aggregate with partial
+            # application over Arrow batches).
+            if lang != "PANDAS":
+                raise DdlParseError(
+                    "CREATE AGGREGATE FUNCTION requires LANGUAGE PANDAS "
+                    "(the body receives pandas.Series per group and "
+                    "returns one scalar)"
+                )
+            fn = compile_python_body(d.name, d.arg_names, d.body)
+            self._register_pandas_agg(d, fn, ret_type)
+        elif lang == "PYTHON":
             fn = compile_python_body(d.name, d.arg_names, d.body)
             self._register_python(d, fn, ret_type, vectorized=False)
         elif lang == "PANDAS":
@@ -420,6 +435,18 @@ class FunctionFactory:
             # Volatility::Volatile parity (src/fusion.rs:72): Catalyst must
             # not constant-fold or CSE calls.
             udf = udf.asNondeterministic()
+        self.spark.udf.register(d.name, udf)
+
+    def _register_pandas_agg(
+        self, d: FunctionDefinition, fn: Callable, ret_type
+    ) -> None:
+        if d.strict:
+            fn = _strict_wrap_series(d.name, fn, d.arg_types)
+        udf = F.pandas_udf(fn, ret_type, F.PandasUDFType.GROUPED_AGG)
+        # No volatile default here: Catalyst REJECTS nondeterministic
+        # expressions inside Aggregate nodes — the only place an
+        # aggregate can appear — so AGGREGATE definitions are always
+        # deterministic (documented deviation from the scalar default).
         self.spark.udf.register(d.name, udf)
 
     def _register_sql_macro(self, d: FunctionDefinition) -> None:

@@ -117,14 +117,53 @@ def q84_udf_inline_java(spark, sf_dir):
     )
 
 
+def q144_udf_pandas_aggregate(spark, sf_dir):
+    """CREATE AGGREGATE FUNCTION … LANGUAGE PANDAS end-to-end: a
+    user-defined GROUPED_AGG (cents-exact revenue total — the body sums
+    a pre-quantized BIGINT Series, so the result is order-independent
+    and engine-exact) running as a real Catalyst aggregate with partial
+    application, grouped by return flag.  Factory-surface extension
+    beyond the reference's scalar-only factory (src/fusion.rs:78)."""
+    sess = _sess(spark)
+    sess.sql(
+        "CREATE OR REPLACE AGGREGATE FUNCTION q144_revsum(BIGINT) "
+        "RETURNS BIGINT LANGUAGE PANDAS AS 'return int(arg0.sum())'"
+    )
+    # Spark forbids mixing a GROUPED_AGG pandas UDF with built-in
+    # aggregates in one Aggregate node — so the row count is a second
+    # user-defined aggregate from the same factory
+    sess.sql(
+        "CREATE OR REPLACE AGGREGATE FUNCTION q144_rowcount(BIGINT) "
+        "RETURNS BIGINT LANGUAGE PANDAS AS 'return int(arg0.count())'"
+    )
+    _lineitem_view(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               q144_revsum(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT))
+                 AS rev_cents,
+               q144_rowcount(l_orderkey) AS n
+        FROM lineitem GROUP BY l_returnflag
+        """
+    )
+
+
 UDF_QUERIES = {
     "q23_udf_python_agg": q23_udf_python_agg,
     "q24_udf_vectorized": q24_udf_vectorized,
     "q25_udf_sql_macro": q25_udf_sql_macro,
     "q84_udf_inline_java": q84_udf_inline_java,
+    "q144_udf_pandas_aggregate": q144_udf_pandas_aggregate,
 }
 
 UDF_ORACLES = {
+    "q144_udf_pandas_aggregate": """
+        SELECT l_returnflag,
+               CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT))
+                    AS BIGINT) AS rev_cents,
+               COUNT(*) AS n
+        FROM lineitem GROUP BY l_returnflag
+    """,
     "q23_udf_python_agg": """
         SELECT l_returnflag,
                ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 1) AS disc_rev,

@@ -466,3 +466,48 @@ def test_java_jar_cache_stale_path_recompiles(sess):
         f"LANGUAGE CLASS AS '{fqn}'"
     )
     assert sess.sql("SELECT jgone(41) AS v").collect()[0].v == 42
+
+
+def test_create_aggregate_function(sess):
+    """CREATE AGGREGATE FUNCTION … LANGUAGE PANDAS: the body runs as a
+    real Catalyst GROUPED_AGG aggregate (pandas.Series per group → one
+    scalar) and must match the native-expression twin exactly on
+    integer-valued inputs."""
+    sess.sql(
+        "CREATE AGGREGATE FUNCTION aspan(BIGINT) RETURNS BIGINT "
+        "LANGUAGE PANDAS AS 'return int(arg0.max() - arg0.min())'"
+    )
+    got = sess.sql(
+        "SELECT a % 2 AS g, aspan(b) AS s FROM t6 GROUP BY a % 2 ORDER BY g"
+    ).collect()
+    want = sess.sql(
+        "SELECT a % 2 AS g, MAX(b) - MIN(b) AS s FROM t6 "
+        "GROUP BY a % 2 ORDER BY g"
+    ).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    # usable as a plain whole-table aggregate too
+    assert sess.sql("SELECT aspan(b) AS s FROM t6").collect()[0]["s"] == 50
+
+
+def test_aggregate_function_requires_pandas(sess):
+    """AGGREGATE bodies see per-group Series — the scalar PYTHON row
+    kernel cannot express that, so the DDL must reject it."""
+    with pytest.raises(DdlParseError, match="LANGUAGE PANDAS"):
+        sess.sql(
+            "CREATE AGGREGATE FUNCTION aggbad(BIGINT) RETURNS BIGINT "
+            "LANGUAGE PYTHON AS 'return 1'"
+        )
+
+
+def test_aggregate_function_or_replace(sess):
+    """OR REPLACE must re-point the aggregate at the new body."""
+    sess.sql(
+        "CREATE OR REPLACE AGGREGATE FUNCTION atot(BIGINT) RETURNS BIGINT "
+        "LANGUAGE PANDAS AS 'return int(arg0.sum())'"
+    )
+    assert sess.sql("SELECT atot(b) AS s FROM t6").collect()[0]["s"] == 210
+    sess.sql(
+        "CREATE OR REPLACE AGGREGATE FUNCTION atot(BIGINT) RETURNS BIGINT "
+        "LANGUAGE PANDAS AS 'return int(arg0.count())'"
+    )
+    assert sess.sql("SELECT atot(b) AS s FROM t6").collect()[0]["s"] == 6
