@@ -3,7 +3,7 @@
 Grammar (superset of the reference's, src/fusion.rs:22-58)::
 
     CREATE [OR REPLACE] [AGGREGATE] FUNCTION <name> ( [<arg> [, <arg>]*] )
-        RETURNS <type>
+        RETURNS <type> | TABLE ( <col> <type> [, <col> <type>]* )
         [DETERMINISTIC] [STRICT]        -- order-independent modifiers
         [LANGUAGE PYTHON | PANDAS | MODULE | CLASS | JAVA | SQL]
         AS '<body>' | $$<body>$$
@@ -81,6 +81,7 @@ class FunctionDefinition:
     deterministic: bool = False
     strict: bool = False
     aggregate: bool = False
+    returns_table: bool = False
     or_replace: bool = False
     raw: str = field(default="", repr=False)
 
@@ -153,6 +154,13 @@ def parse_create_function(sql: str) -> FunctionDefinition:
             arg_names.append(aname or f"arg{i}")
             arg_types.append(atype)
     ret = m.group("ret").strip()
+    # RETURNS TABLE (col TYPE, ...) — table-function form; return_type
+    # then carries the OUTPUT COLUMN LIST (the udtf returnType string)
+    returns_table = False
+    tm = re.match(r"^TABLE\s*\((?P<cols>.+)\)$", ret, re.I | re.S)
+    if tm:
+        returns_table = True
+        ret = tm.group("cols").strip()
     lang = (m.group("lang") or "PYTHON").upper()
     body = _extract_body(m.group("body"))
     # DETERMINISTIC and STRICT are order-independent modifiers.
@@ -167,6 +175,7 @@ def parse_create_function(sql: str) -> FunctionDefinition:
         deterministic="DETERMINISTIC" in mods,
         strict="STRICT" in mods,
         aggregate=bool(m.group("agg")),
+        returns_table=returns_table,
         or_replace=bool(m.group("replace")),
         raw=sql,
     )

@@ -64,7 +64,11 @@ from adhesive_spark.errors import (
     DdlParseError,
     UnknownFunctionError,
 )
-from adhesive_spark.functions.ddl import FunctionDefinition, parse_create_function
+from adhesive_spark.functions.ddl import (
+    FunctionDefinition,
+    _split_top_level as _split_cols,
+    parse_create_function,
+)
 from adhesive_spark.functions.typemap import sql_type_to_spark
 
 
@@ -312,10 +316,31 @@ class FunctionFactory:
                 f"function {d.name!r} already exists (use CREATE OR REPLACE)"
             )
         lang = d.language
-        ret_type = sql_type_to_spark(d.return_type)
+        if d.returns_table:
+            # RETURNS TABLE — the return "type" is an output column
+            # list; validate each column's type instead of the whole
+            for piece in _split_cols(d.return_type):
+                sql_type_to_spark(piece.strip().split(None, 1)[-1])
+            ret_type = None
+        else:
+            ret_type = sql_type_to_spark(d.return_type)
         # Validate arg types eagerly — exact-signature spirit (src/fusion.rs:72).
         for t in d.arg_types:
             sql_type_to_spark(t)
+        if d.returns_table:
+            if d.aggregate:
+                raise DdlParseError(
+                    "a function cannot be both AGGREGATE and RETURNS TABLE"
+                )
+            if lang != "PYTHON":
+                raise DdlParseError(
+                    "RETURNS TABLE requires LANGUAGE PYTHON (the body "
+                    "yields output rows as tuples)"
+                )
+            fn = compile_python_body(d.name, d.arg_names, d.body)
+            self._register_udtf(d, fn)
+            self.registry[d.name] = RegisteredFunction(definition=d, fn=fn)
+            return
 
         fn: Callable | None = None
         if d.strict and lang not in ("PYTHON", "PANDAS", "MODULE"):
@@ -436,6 +461,26 @@ class FunctionFactory:
             # not constant-fold or CSE calls.
             udf = udf.asNondeterministic()
         self.spark.udf.register(d.name, udf)
+
+    def _register_udtf(self, d: FunctionDefinition, fn: Callable) -> None:
+        """CREATE FUNCTION … RETURNS TABLE (…) — table-function DDL
+        (factory extension: the reference factory is scalar-only,
+        src/fusion.rs:78).  The compiled body runs per input row and
+        yields (or returns an iterable of) output-row tuples; it is
+        wrapped in a generated UDTF class and registered for SQL
+        ``LATERAL`` use, completing the factory triad scalar (R1-R17) /
+        AGGREGATE (q144) / TABLE."""
+        from pyspark.sql.functions import udtf
+
+        def _eval(_self, *args):
+            out = fn(*args)
+            if out is None:
+                return
+            yield from out
+
+        cls = type(f"_Adhesive_{d.name}_udtf", (), {"eval": _eval})
+        u = udtf(cls, returnType=d.return_type)
+        self.spark.udtf.register(d.name, u)
 
     def _register_pandas_agg(
         self, d: FunctionDefinition, fn: Callable, ret_type

@@ -148,15 +148,66 @@ def q144_udf_pandas_aggregate(spark, sf_dir):
     )
 
 
+def q145_udf_table_function(spark, sf_dir):
+    """CREATE FUNCTION … RETURNS TABLE end-to-end: a DDL-defined Python
+    UDTF tokenizes documents via SQL LATERAL and the outer query
+    aggregates its rows — the table leg of the factory triad.  Python
+    row-at-a-time is the point here (parity with the UDTF execution
+    model), so the input is a bounded doc slice; the vectorized twin of
+    this op is q85's zero-shuffle chunker."""
+    sess = _sess(spark)
+    sess.sql(
+        """
+        CREATE OR REPLACE FUNCTION q145_words(doc_id BIGINT, txt STRING)
+        RETURNS TABLE (doc_id BIGINT, idx INT, word STRING)
+        LANGUAGE PYTHON AS $$
+for i, w in enumerate((txt or "").split()):
+    yield (doc_id, i, w)
+$$
+        """
+    )
+    from adhesive_spark.sources.registry import load_table
+
+    load_table(spark, sf_dir, "documents").where(
+        "doc_id < 150"
+    ).createOrReplaceTempView("q145_docs")
+    return spark.sql(
+        """
+        SELECT t.doc_id,
+               COUNT(*) AS n_words,
+               MIN(CASE WHEN t.idx = 0 THEN t.word END) AS first_word,
+               COUNT(DISTINCT t.word) AS n_distinct
+        FROM q145_docs d, LATERAL q145_words(d.doc_id, d.text) t
+        GROUP BY t.doc_id
+        """
+    )
+
+
 UDF_QUERIES = {
     "q23_udf_python_agg": q23_udf_python_agg,
     "q24_udf_vectorized": q24_udf_vectorized,
     "q25_udf_sql_macro": q25_udf_sql_macro,
     "q84_udf_inline_java": q84_udf_inline_java,
     "q144_udf_pandas_aggregate": q144_udf_pandas_aggregate,
+    "q145_udf_table_function": q145_udf_table_function,
 }
 
 UDF_ORACLES = {
+    "q145_udf_table_function": """
+        WITH t AS (
+          SELECT doc_id, string_split(text, ' ') AS toks
+          FROM documents WHERE doc_id < 150
+        ),
+        w AS (
+          SELECT doc_id, i - 1 AS idx, toks[i] AS word
+          FROM t, LATERAL (
+            SELECT unnest(range(1, len(toks) + 1)) AS i)
+        )
+        SELECT doc_id, COUNT(*) AS n_words,
+               MIN(CASE WHEN idx = 0 THEN word END) AS first_word,
+               COUNT(DISTINCT word) AS n_distinct
+        FROM w GROUP BY doc_id
+    """,
     "q144_udf_pandas_aggregate": """
         SELECT l_returnflag,
                CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT))

@@ -511,3 +511,42 @@ def test_aggregate_function_or_replace(sess):
         "LANGUAGE PANDAS AS 'return int(arg0.count())'"
     )
     assert sess.sql("SELECT atot(b) AS s FROM t6").collect()[0]["s"] == 6
+
+
+def test_create_table_function(sess):
+    """CREATE FUNCTION … RETURNS TABLE (…): the body yields output-row
+    tuples; the registration is a real Python UDTF usable in SQL
+    LATERAL — the factory triad's table leg (scalar R1-R17 / AGGREGATE
+    / TABLE)."""
+    sess.sql(
+        """
+        CREATE OR REPLACE FUNCTION seq_to(n BIGINT)
+        RETURNS TABLE (i BIGINT, sq BIGINT)
+        LANGUAGE PYTHON AS $$
+for i in range(int(n)):
+    yield (i, i * i)
+$$
+        """
+    )
+    got = sess.sql(
+        "SELECT t.* FROM t6, LATERAL seq_to(a) t WHERE a = 3 ORDER BY i"
+    ).collect()
+    assert [tuple(r) for r in got] == [(0, 0), (1, 1), (2, 4)]
+
+
+def test_table_function_rejects_bad_forms(sess):
+    with pytest.raises(DdlParseError, match="LANGUAGE PYTHON"):
+        sess.sql(
+            "CREATE FUNCTION tf_bad(BIGINT) RETURNS TABLE (x INT) "
+            "LANGUAGE PANDAS AS 'return []'"
+        )
+    with pytest.raises(DdlParseError, match="AGGREGATE and RETURNS TABLE"):
+        sess.sql(
+            "CREATE AGGREGATE FUNCTION tf_bad2(BIGINT) RETURNS TABLE (x INT) "
+            "LANGUAGE PYTHON AS 'return []'"
+        )
+    with pytest.raises(UnsupportedTypeError):
+        sess.sql(
+            "CREATE FUNCTION tf_bad3(BIGINT) RETURNS TABLE (x WIDGET) "
+            "LANGUAGE PYTHON AS 'return []'"
+        )
