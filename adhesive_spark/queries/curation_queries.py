@@ -1380,3 +1380,92 @@ CURATION_ORACLES["q142_freq_spectrum"] = """
            COUNT(*) AS n_words
     FROM wc GROUP BY 1
 """
+
+
+def q146_rarity_score(spark, sf_dir):
+    """Lexical-rarity scoring — the libm-free perplexity proxy: every
+    word gets its corpus frequency RANK (1 = most common; ties broken
+    by word for engine determinism), and each document scores the mean
+    rank of its tokens ×100 (integer div, exact).  Rare-vocabulary docs
+    (jargon, other languages, noise) float to the top exactly like a
+    high-perplexity screen, with zero ln() — the trick that keeps the
+    score bit-identical across engines and hardware.  Rolled up per
+    source with the max-scoring doc pinned for auditability.
+
+    Scale shape: one (word) aggregate + rank window over the VOCABULARY
+    (not the corpus — 10^5-ish rows through one partition; at 100 TB
+    the rank table is built once and broadcast), then a broadcast join
+    back onto the exploded tokens and one (doc), one (source)
+    aggregate."""
+    from pyspark.sql import Window
+
+    from adhesive_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "source", F.explode(tokens(F.col("text"))).alias("word")
+    )
+    vocab = tok.groupBy("word").agg(F.count("*").alias("cnt"))
+    ranked = vocab.select(
+        "word",
+        F.row_number()
+        .over(Window.orderBy(F.col("cnt").desc(), "word"))
+        .alias("rank"),
+    )
+    per_doc = (
+        tok.join(F.broadcast(ranked), "word")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count("*").alias("n_tok"),
+            F.sum("rank").alias("rank_sum"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.expr("(rank_sum * 100) div n_tok").alias("rarity_x100"),
+        )
+    )
+    return per_doc.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.expr("(sum(rarity_x100)) div count(*)").alias("mean_rarity_x100"),
+        F.max("rarity_x100").alias("max_rarity_x100"),
+        # argmax via packed integer key (rarity, doc_id) — DuckDB's
+        # arg_max lacks composite keys in this vintage, and the packed
+        # max is engine-exact on both sides
+        (
+            F.max(
+                F.col("rarity_x100") * F.lit(100_000_000)
+                + F.col("doc_id")
+            )
+            % F.lit(100_000_000)
+        ).alias("most_rare_doc"),
+    )
+
+
+CURATION_QUERIES["q146_rarity_score"] = q146_rarity_score
+
+CURATION_ORACLES["q146_rarity_score"] = """
+    WITH tok AS (
+      SELECT doc_id, source, unnest(string_split(
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+               ' ')) AS word
+      FROM documents
+    ),
+    vocab AS (SELECT word, COUNT(*) AS cnt FROM tok GROUP BY word),
+    ranked AS (
+      SELECT word,
+             ROW_NUMBER() OVER (ORDER BY cnt DESC, word) AS rank
+      FROM vocab
+    ),
+    per_doc AS (
+      SELECT t.doc_id, t.source,
+             (CAST(SUM(r.rank) AS BIGINT) * 100) // COUNT(*) AS rarity_x100
+      FROM tok t JOIN ranked r USING (word)
+      GROUP BY t.doc_id, t.source
+    )
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(rarity_x100) AS BIGINT) // COUNT(*) AS mean_rarity_x100,
+           MAX(rarity_x100) AS max_rarity_x100,
+           MAX(rarity_x100 * 100000000 + doc_id) % 100000000 AS most_rare_doc
+    FROM per_doc GROUP BY source
+"""
