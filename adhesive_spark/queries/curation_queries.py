@@ -1469,3 +1469,81 @@ CURATION_ORACLES["q146_rarity_score"] = """
            MAX(rarity_x100 * 100000000 + doc_id) % 100000000 AS most_rare_doc
     FROM per_doc GROUP BY source
 """
+
+
+def q147_leakage_safe_split(spark, sf_dir):
+    """Leakage-safe train/test split — the evaluation-hygiene op: docs
+    are hash-split 90/10 (q67's stable md5 bucket), then any text
+    FINGERPRINT with copies on BOTH sides is wholly reassigned to
+    train, so no test document has an exact duplicate in the training
+    set (the classic benchmark-inflation bug).  Output: per (source,
+    final split) doc counts plus how many docs the guard moved —
+    the audit number a dataset card publishes.
+
+    Scale shape: one (fingerprint) aggregate to find leaking groups +
+    one broadcast-able semi-join back; at 100 TB the leak set is tiny
+    (only dup groups that straddle the 90/10 cut), so the repair join
+    broadcasts."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        % 100
+    )
+    tagged = docs.select(
+        "doc_id",
+        "source",
+        fingerprint(F.col("text")).alias("fp"),
+        F.when(bucket < 90, "train").otherwise("test").alias("split"),
+    )
+    leaks = (
+        tagged.groupBy("fp")
+        .agg(F.count_if(F.col("split") == "train").alias("n_train"),
+             F.count_if(F.col("split") == "test").alias("n_test"))
+        .where((F.col("n_train") > 0) & (F.col("n_test") > 0))
+        .select("fp")
+    )
+    fixed = tagged.join(
+        F.broadcast(leaks.withColumn("leaked", F.lit(True))), "fp", "left"
+    ).select(
+        "source",
+        F.when(F.col("leaked"), "train").otherwise(F.col("split")).alias(
+            "final_split"
+        ),
+        (F.col("leaked").isNotNull() & (F.col("split") == "test")).alias(
+            "moved"
+        ),
+    )
+    return fixed.groupBy("source", "final_split").agg(
+        F.count("*").alias("n_docs"),
+        F.count_if(F.col("moved")).alias("n_moved_by_guard"),
+    )
+
+
+CURATION_QUERIES["q147_leakage_safe_split"] = q147_leakage_safe_split
+
+CURATION_ORACLES["q147_leakage_safe_split"] = """
+    WITH tagged AS (
+      SELECT doc_id, source,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+             CASE WHEN CAST(
+                    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                    AS BIGINT) % 100 < 90
+                  THEN 'train' ELSE 'test' END AS split
+      FROM documents
+    ),
+    leaks AS (
+      SELECT fp FROM tagged
+      GROUP BY fp
+      HAVING COUNT(*) FILTER (WHERE split = 'train') > 0
+         AND COUNT(*) FILTER (WHERE split = 'test') > 0
+    )
+    SELECT source,
+           CASE WHEN l.fp IS NOT NULL THEN 'train' ELSE t.split END
+             AS final_split,
+           COUNT(*) AS n_docs,
+           COUNT(*) FILTER (WHERE l.fp IS NOT NULL AND t.split = 'test')
+             AS n_moved_by_guard
+    FROM tagged t LEFT JOIN leaks l USING (fp)
+    GROUP BY 1, 2
+"""
