@@ -1547,3 +1547,83 @@ CURATION_ORACLES["q147_leakage_safe_split"] = """
     FROM tagged t LEFT JOIN leaks l USING (fp)
     GROUP BY 1, 2
 """
+
+
+def q148_deletion_propagation(spark, sf_dir):
+    """Deletion-propagation sweep (the right-to-be-forgotten / takedown
+    op): a deterministic denylist of documents (md5-sampled ~1/16 of
+    the corpus — stands in for the legal removal list) is propagated to
+    every DERIVED asset — the embeddings table (shared id space) and
+    EXACT-DUPLICATE copies of the denylisted texts that live under
+    other doc_ids (takedowns bind to content, not ids).  One row per
+    asset class with rows-before / rows-removed / rows-after — the
+    audit triple a compliance report needs.
+
+    Scale shape: the denylist and its fingerprint closure are tiny →
+    both joins broadcast; each table is one anti-join scan, no
+    shuffle of the big side."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    deny = docs.where(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) == "a"
+    ).select("doc_id", fingerprint(F.col("text")).alias("fp"))
+    deny_fp = deny.select("fp").distinct()
+    docs_fp = docs.select(
+        "doc_id", fingerprint(F.col("text")).alias("fp")
+    )
+    removed_docs = docs_fp.join(F.broadcast(deny_fp), "fp", "left_semi")
+    removed_emb = emb.join(
+        F.broadcast(deny.select(F.col("doc_id").alias("vec_id"))),
+        "vec_id",
+        "left_semi",
+    )
+    def audit(label, total_df, removed_df, key):
+        t = total_df.agg(F.count("*").alias("rows_before"))
+        r = removed_df.agg(F.count("*").alias("rows_removed"))
+        return t.join(r).select(
+            F.lit(label).alias("asset"),
+            "rows_before",
+            "rows_removed",
+            (F.col("rows_before") - F.col("rows_removed")).alias(
+                "rows_after"
+            ),
+        )
+    return audit("documents", docs, removed_docs, "doc_id").unionByName(
+        audit("embeddings", emb, removed_emb, "vec_id")
+    )
+
+
+CURATION_QUERIES["q148_deletion_propagation"] = q148_deletion_propagation
+
+CURATION_ORACLES["q148_deletion_propagation"] = """
+    WITH deny AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+      FROM documents
+      WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = 'a'
+    ),
+    docs_fp AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+      FROM documents
+    ),
+    removed_docs AS (
+      SELECT doc_id FROM docs_fp
+      WHERE fp IN (SELECT fp FROM deny)
+    ),
+    removed_emb AS (
+      SELECT vec_id FROM embeddings
+      WHERE vec_id IN (SELECT doc_id FROM deny)
+    )
+    SELECT 'documents' AS asset,
+           (SELECT COUNT(*) FROM documents) AS rows_before,
+           (SELECT COUNT(*) FROM removed_docs) AS rows_removed,
+           (SELECT COUNT(*) FROM documents)
+             - (SELECT COUNT(*) FROM removed_docs) AS rows_after
+    UNION ALL
+    SELECT 'embeddings',
+           (SELECT COUNT(*) FROM embeddings),
+           (SELECT COUNT(*) FROM removed_emb),
+           (SELECT COUNT(*) FROM embeddings)
+             - (SELECT COUNT(*) FROM removed_emb)
+"""
