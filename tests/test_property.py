@@ -297,3 +297,39 @@ def test_span_dedup_matches_sequential_reference(spark, texts):
         for r in span_dedup(df, span_tokens=k).collect()
     }
     assert got == want
+
+
+# --- DDL roundtrip for the AGGREGATE / RETURNS TABLE forms ------------------
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    name=_ident,
+    args=st.lists(_types, min_size=1, max_size=3),
+    ret=_types,
+    body=_body,
+    agg=st.booleans(),
+)
+def test_ddl_parse_aggregate_and_table(name, args, ret, body, agg):
+    arglist = ", ".join(args)
+    if agg:
+        sql = (
+            f"CREATE AGGREGATE FUNCTION {name}({arglist}) RETURNS {ret} "
+            f"LANGUAGE PANDAS AS '{body}'"
+        )
+        d = parse_create_function(sql)
+        assert d.aggregate and not d.returns_table
+        assert d.return_type.upper() == ret
+        assert d.language == "PANDAS"
+    else:
+        cols = ", ".join(f"c{i} {t}" for i, t in enumerate(args))
+        sql = (
+            f"CREATE FUNCTION {name}({arglist}) RETURNS TABLE ({cols}) "
+            f"LANGUAGE PYTHON AS '{body}'"
+        )
+        d = parse_create_function(sql)
+        assert d.returns_table and not d.aggregate
+        assert d.return_type == cols
+    assert d.name.lower() == name.lower()
+    assert [t.upper() for t in d.arg_types] == args
+    assert d.body == body
