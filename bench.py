@@ -75,6 +75,11 @@ HEADLINE = [
     # RefinedWeb curation op) and the length-bucketed batching ledger
     "q133_paragraph_dedup",
     "q136_length_bucketing",
+    # round-5 batch 4: exact SLO percentile bands, lexical rarity
+    # (perplexity proxy), and the leakage-safe split guard
+    "q140_latency_bands",
+    "q146_rarity_score",
+    "q147_leakage_safe_split",
 ]
 
 

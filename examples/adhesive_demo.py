@@ -67,6 +67,35 @@ def main() -> None:
     )
     sess.sql("SELECT a, b, f2(a, b) FROM t").show()
 
+    # Beyond the reference's scalar-only factory: the same DDL grammar
+    # also creates AGGREGATE functions (GROUPED_AGG pandas UDF)...
+    sess.sql(
+        """
+        CREATE AGGREGATE FUNCTION span(BIGINT)
+        RETURNS BIGINT
+        LANGUAGE PANDAS
+        AS 'return int(arg0.max() - arg0.min())'
+        """
+    )
+    sess.sql("SELECT a % 2 AS g, span(b) FROM t GROUP BY a % 2").show()
+
+    # ...and TABLE functions (Python UDTF, SQL LATERAL)
+    sess.sql(
+        """
+        CREATE FUNCTION divisors(n BIGINT)
+        RETURNS TABLE (n BIGINT, d BIGINT)
+        LANGUAGE PYTHON
+        AS $$
+for d in range(1, int(n) + 1):
+    if n % d == 0:
+        yield (n, d)
+$$
+        """
+    )
+    sess.sql(
+        "SELECT v.* FROM t, LATERAL divisors(a) v WHERE a = 6"
+    ).show()
+
 
 if __name__ == "__main__":
     main()
