@@ -1014,11 +1014,14 @@ def q130_boilerplate_spans(spark, sf_dir):
     from adhesive_spark.operators.dedup import word_shingles
 
     docs = load_table(spark, sf_dir, "documents")
+    # grams feeds TWO consumers (the doc-frequency aggregate and the
+    # join back): materialize the explode once or the shingle subtree
+    # is recomputed per consumer — the q131 edge-list pattern
     grams = docs.select(
         "doc_id",
         "source",
         F.explode(word_shingles(F.col("text"), 5)).alias("gram"),
-    )
+    ).localCheckpoint(eager=True)
     df_counts = grams.groupBy("gram").agg(
         F.countDistinct("doc_id").alias("gram_docs")
     )
