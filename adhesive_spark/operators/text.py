@@ -453,3 +453,59 @@ def repetition_metrics(col) -> dict[str, Column]:
         "dup_trigram_frac": m["dup_trigram_frac"],
         "top_token_frac": m["top_token_frac"],
     }
+
+
+def persist_inverted_index(
+    docs: DataFrame,
+    table: str,
+    *,
+    n_buckets: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Persist the full inverted index BUCKETED BY TOKEN — the write
+    path q141's probe promises: postings are (token, doc, tf) rows laid
+    out so a term lookup reads only the term's bucket (bucket pruning,
+    plan-asserted in tests/test_plans.py), never the corpus.  The
+    amortization twin of similarity.persist_ivf_index: the corpus pass
+    is paid ONCE; every probe afterwards is bucket-pruned IO with no
+    shuffle and no rebuild."""
+    from adhesive_spark.sources.formats import write_bucketed_table
+    from adhesive_spark.sources.fsutil import hadoop_fs
+
+    spark = docs.sparkSession
+    # in-memory catalog: drop the table AND its leftover warehouse dir
+    # so rebuild-the-index is idempotent (persist_ivf_index pattern)
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    fs, loc, _ = hadoop_fs(spark, f"{wh}/{table}")
+    if fs.exists(loc):
+        fs.delete(loc, True)
+    postings = (
+        docs.select(
+            F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token")
+        )
+        .groupBy("token", id_col)
+        .agg(F.count("*").alias("tf"))
+    )
+    write_bucketed_table(
+        postings, table, bucket_cols=["token"], n_buckets=n_buckets
+    )
+
+
+def probe_inverted_index(
+    spark, table: str, terms: list[str], *, head: int = 20
+) -> DataFrame:
+    """Term lookup against a :func:`persist_inverted_index` table: the
+    IN filter on the bucket column prunes every non-matching bucket at
+    the scan, so per-probe IO is the probed postings, not the index.
+    Output per term: document frequency, total occurrences, and the
+    sorted head of the posting list."""
+    p = spark.table(table).where(F.col("token").isin(list(terms)))
+    return p.groupBy("token").agg(
+        F.count("*").alias("doc_freq"),
+        F.sum("tf").alias("total_occurrences"),
+        F.slice(F.sort_array(F.collect_list("doc_id")), 1, head).alias(
+            "posting_head"
+        ),
+    )

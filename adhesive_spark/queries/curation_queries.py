@@ -1630,3 +1630,32 @@ CURATION_ORACLES["q148_deletion_propagation"] = """
            (SELECT COUNT(*) FROM embeddings)
              - (SELECT COUNT(*) FROM removed_emb)
 """
+
+
+def q149_inverted_index_persisted(spark, sf_dir):
+    """Persisted inverted index build + bucket-pruned probe
+    (operators/text.persist_inverted_index): q141's amortized path made
+    concrete — the index is written ONCE bucketed by token, and the
+    probe's IN filter reads only the probed buckets
+    (SelectedBucketsCount in the scan, plan-asserted) with zero
+    shuffle on the index side.  Same three probe terms and output
+    contract as q141, so the oracle is the identical full-scan SQL."""
+    from adhesive_spark.operators.text import (
+        persist_inverted_index,
+        probe_inverted_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    persist_inverted_index(docs, "q149_inv_idx", n_buckets=16)
+    return probe_inverted_index(
+        spark, "q149_inv_idx", ["table", "spark", "window"]
+    )
+
+
+CURATION_QUERIES["q149_inverted_index_persisted"] = (
+    q149_inverted_index_persisted
+)
+
+CURATION_ORACLES["q149_inverted_index_persisted"] = CURATION_ORACLES[
+    "q141_inverted_index"
+]

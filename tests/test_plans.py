@@ -362,3 +362,30 @@ def test_plans_md_shuffle_ratchet(spark):
         f"shuffle regressions vs PLANS.md (recorded, now): {worse} — "
         "fix the plan or regenerate PLANS.md if intentional"
     )
+
+
+def test_inverted_index_probe_bucket_pruned(spark, sf):
+    """The persisted inverted-index probe must bucket-prune: the term
+    IN filter selects a strict subset of buckets at the scan, and the
+    result matches the full-scan q141 contract."""
+    import re
+
+    from adhesive_spark.queries.curation_queries import (
+        q141_inverted_index,
+        q149_inverted_index_persisted,
+    )
+
+    df = q149_inverted_index_persisted(spark, sf)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+    assert m, f"no bucket pruning in probe plan:\n{plan}"
+    assert int(m.group(1)) < int(m.group(2)), plan
+    got = {
+        r.token: (r.doc_freq, r.total_occurrences, tuple(r.posting_head))
+        for r in df.collect()
+    }
+    want = {
+        r.token: (r.doc_freq, r.total_occurrences, tuple(r.posting_head))
+        for r in q141_inverted_index(spark, sf).collect()
+    }
+    assert got == want
