@@ -1659,3 +1659,81 @@ CURATION_QUERIES["q149_inverted_index_persisted"] = (
 CURATION_ORACLES["q149_inverted_index_persisted"] = CURATION_ORACLES[
     "q141_inverted_index"
 ]
+
+
+def q150_drift_monitor(spark, sf_dir):
+    """Corpus drift monitor — the between-snapshot alarm: per source,
+    the L1 distance between the word distributions of two interleaved
+    snapshot halves (doc_id parity stands in for crawl N vs crawl N+1),
+    in integer ppm (each frequency floored to parts-per-million before
+    the difference, so the score is engine-exact with no float sums).
+    A healthy stable source scores low; a source whose pipeline changed
+    (new boilerplate, encoding bug, topic shift) jumps — this is the
+    number a crawl-ops dashboard alerts on.
+
+    Scale shape: one (source, word, parity) aggregate (map-side
+    combined), a pivot-by-parity via conditional sums in a second
+    (source, word) agg, then the per-source rollup; no windows, no
+    joins, no Python."""
+    from adhesive_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source",
+        (F.col("doc_id") % 2 == 0).alias("even"),
+        F.explode(tokens(F.col("text"))).alias("word"),
+    )
+    wc = tok.groupBy("source", "word").agg(
+        F.count_if(F.col("even")).alias("n_even"),
+        F.count_if(~F.col("even")).alias("n_odd"),
+    )
+    per_source_tot = wc.groupBy("source").agg(
+        F.sum("n_even").alias("t_even"), F.sum("n_odd").alias("t_odd")
+    )
+    joined = wc.join(F.broadcast(per_source_tot), "source").select(
+        "source",
+        "word",
+        # greatest(t,1): a snapshot half can be empty for a small
+        # source; the guard is identical in the oracle so the floored
+        # ppm stays engine-exact
+        F.abs(
+            F.expr("(n_even * 1000000) div greatest(t_even, 1)")
+            - F.expr("(n_odd * 1000000) div greatest(t_odd, 1)")
+        ).alias("d_ppm"),
+    )
+    return joined.groupBy("source").agg(
+        F.count("*").alias("n_words"),
+        F.sum("d_ppm").alias("drift_ppm"),
+        F.max("d_ppm").alias("max_word_drift_ppm"),
+    )
+
+
+CURATION_QUERIES["q150_drift_monitor"] = q150_drift_monitor
+
+CURATION_ORACLES["q150_drift_monitor"] = """
+    WITH tok AS (
+      SELECT source, doc_id % 2 = 0 AS even, unnest(string_split(
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+               ' ')) AS word
+      FROM documents
+    ),
+    wc AS (
+      SELECT source, word,
+             COUNT(*) FILTER (WHERE even) AS n_even,
+             COUNT(*) FILTER (WHERE NOT even) AS n_odd
+      FROM tok GROUP BY source, word
+    ),
+    tot AS (
+      SELECT source, CAST(SUM(n_even) AS BIGINT) AS t_even,
+             CAST(SUM(n_odd) AS BIGINT) AS t_odd
+      FROM wc GROUP BY source
+    )
+    SELECT w.source, COUNT(*) AS n_words,
+           CAST(SUM(ABS((n_even * 1000000) // GREATEST(t_even, 1)
+                        - (n_odd * 1000000) // GREATEST(t_odd, 1))) AS BIGINT)
+             AS drift_ppm,
+           MAX(ABS((n_even * 1000000) // GREATEST(t_even, 1)
+                   - (n_odd * 1000000) // GREATEST(t_odd, 1))) AS max_word_drift_ppm
+    FROM wc w JOIN tot t USING (source)
+    GROUP BY w.source
+"""
