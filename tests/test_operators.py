@@ -629,3 +629,13 @@ def test_skew_profile_golden(spark):
     assert r["median_key_rows"] == 2  # median-low of [1, 2, 5]
     assert r["skew_x100"] == 250
     assert r["suggested_salts"] == 3  # ceil(5 / 2)
+
+    # composite keys: counts group on the tuple, label joins the names
+    df2 = spark.createDataFrame(
+        [(1, "x")] * 3 + [(1, "y"), (2, "x")], ["k", "s"]
+    )
+    r2 = skew_profile(df2, ["k", "s"], target_rows=2).collect()[0]
+    assert r2["key_name"] == "k,s"
+    assert r2["n_keys"] == 3
+    assert r2["max_key_rows"] == 3
+    assert r2["suggested_salts"] == 2
