@@ -490,3 +490,61 @@ def read_routed(
     return spark.read.parquet(
         *[f"{side_path}/__epoch={e}" for e in epochs]
     )
+
+
+def compact_streamed_index(
+    spark,
+    output_path: str,
+    table: str,
+    *,
+    n_buckets: int = 16,
+) -> int:
+    """Fold every committed ingest epoch into the persisted BUCKETED
+    base table — the periodic compaction the streaming_index_ingest
+    docstring promises: epoch directories are cheap to append but each
+    probe pays one file-listing per epoch, so a compactor periodically
+    rewrites base ∪ epochs as one bucketed-by-centroid table (probes
+    then bucket-prune like knn_ivf_probe) and retires the epoch dirs.
+
+    Returns the number of epochs folded.  Crash-safe in the same spirit
+    as the ingest: the base table swap is a single saveAsTable commit,
+    and epoch dirs are deleted only AFTER it succeeds — a crash in
+    between leaves duplicates visible to ``read_streamed_index`` but
+    nothing lost, and the next compaction converges.
+    """
+    from adhesive_spark.sources.formats import write_bucketed_table
+    from adhesive_spark.sources.fsutil import hadoop_fs
+
+    epochs = _committed_epochs(spark, output_path)
+    if not epochs:
+        return 0
+    fresh = (
+        spark.read.option("basePath", output_path)
+        .parquet(*[f"{output_path}/__epoch={e}" for e in epochs])
+        # the epoch id is commit bookkeeping, not index data — folding
+        # it into the base would fragment the schema per compaction
+        .drop("__epoch")
+    )
+    base = None
+    if spark.catalog.tableExists(table):
+        # materialize the current base OUT of the table before the
+        # overwrite (reading the table while overwriting it is illegal)
+        base = spark.table(table).localCheckpoint(eager=True)
+        merged = base.unionByName(fresh)
+    else:
+        merged = fresh
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    fs, loc, _ = hadoop_fs(spark, f"{wh}/{table}")
+    if fs.exists(loc):
+        fs.delete(loc, True)
+    write_bucketed_table(
+        merged, table, bucket_cols=["centroid_id"], n_buckets=n_buckets
+    )
+    fs, root, _ = _state_fs(spark, output_path)
+    for e in epochs:
+        p = spark._jvm.org.apache.hadoop.fs.Path(
+            f"{output_path}/__epoch={e}"
+        )
+        fs.delete(p, True)
+    return len(epochs)

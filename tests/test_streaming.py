@@ -494,3 +494,85 @@ def test_streaming_quality_router_matches_batch(spark, sf_dir, tmp_path_factory)
     n_acc = got_acc.count()
     assert start().awaitTermination(120)
     assert read_routed(spark, acc, acc).count() == n_acc
+
+
+def test_compact_streamed_index_folds_epochs(spark, sf_dir, tmp_path_factory):
+    """Compaction must fold the committed epoch dirs into the bucketed
+    base table without losing or duplicating a vector, retire the epoch
+    dirs, and leave probes bucket-prunable; a second compaction with
+    fresh epochs merges INTO the existing base."""
+    import re
+
+    from adhesive_spark.operators.similarity import build_ivf_index
+    from adhesive_spark.sources.fsutil import hadoop_fs
+    from adhesive_spark.streaming.ops import (
+        compact_streamed_index,
+        streaming_index_ingest,
+    )
+
+    tmp = tmp_path_factory.mktemp("compact_ivf")
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .withColumn(
+            "embedding", F.transform("embedding", lambda x: x.cast("double"))
+        )
+        .where(F.col("vec_id") < 160)
+    )
+    centroids, batch_assigned = build_ivf_index(emb, n_lists=8)
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    for t in ("t_comp_cents", "t_comp_base"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        fs, loc, _ = hadoop_fs(spark, f"{wh}/{t}")
+        if fs.exists(loc):
+            fs.delete(loc, True)
+    centroids.write.format("parquet").saveAsTable("t_comp_cents")
+
+    def ingest(pred):
+        src = str(tmp / f"src_{pred.replace(' ', '')}")
+        emb.where(pred).write.mode("overwrite").parquet(src)
+        stream = spark.readStream.schema(
+            spark.read.parquet(src).schema
+        ).parquet(src)
+        q = streaming_index_ingest(
+            stream,
+            "t_comp_cents",
+            str(tmp / "index"),
+            str(tmp / f"ckpt_{pred.replace(' ', '')}"),
+        )
+        assert q.awaitTermination(120)
+
+    ingest("vec_id < 80")
+    n1 = compact_streamed_index(
+        spark, str(tmp / "index"), "t_comp_base", n_buckets=8
+    )
+    assert n1 >= 1
+    # epoch dirs retired
+    fs, root, _ = hadoop_fs(spark, str(tmp / "index"))
+    listed = fs.exists(root) and [
+        f.getPath().getName() for f in fs.listStatus(root)
+    ] or []
+    assert not any(n.startswith("__epoch=") for n in listed), listed
+
+    ingest("vec_id >= 80")
+    n2 = compact_streamed_index(
+        spark, str(tmp / "index"), "t_comp_base", n_buckets=8
+    )
+    assert n2 >= 1
+
+    base = spark.table("t_comp_base")
+    got = {(r.vec_id, r.centroid_id) for r in base.collect()}
+    want = {(r.vec_id, r.centroid_id) for r in batch_assigned.collect()}
+    assert got == want
+    # probes bucket-prune against the compacted base (through an agg,
+    # like a real probe — a bare filter gets auto-bucketed-scan
+    # disabled and loses the SelectedBucketsCount marker)
+    plan = (
+        base.where(F.col("centroid_id").isin(0, 1))
+        .groupBy("centroid_id")
+        .count()
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+    assert m and int(m.group(1)) < int(m.group(2)), plan
