@@ -928,3 +928,63 @@ PIPELINE_ORACLES["q143_media_batch_plan"] = f"""
            MAX(px) AS max_item_px
     FROM r GROUP BY media_type, seq_idx
 """
+
+
+def q151_hard_negatives(spark, sf_dir):
+    """Hard-negative mining for contrastive training: for each query
+    vector, the top-3 most-similar corpus vectors with a DIFFERENT
+    label — the "close but wrong" examples a metric-learning run pairs
+    against its positives.  Same bounded broadcast scoring scan as q35
+    (queries tiny, corpus streams once; the label-mismatch predicate
+    rides the join, so same-label candidates never materialize) with a
+    per-query rank window on the scored rows only."""
+    from pyspark.sql import Window
+
+    from adhesive_spark.operators.similarity import cosine
+
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("query_label"),
+        F.col("embedding").alias("__qvec"),
+    )
+    corpus = emb.where(F.col("vec_id") >= 10)
+    scored = corpus.join(
+        F.broadcast(queries), F.col("label") != F.col("query_label")
+    ).select(
+        "query_id",
+        "query_label",
+        "vec_id",
+        F.col("label").alias("neg_label"),
+        F.round(cosine(F.col("embedding"), F.col("__qvec")), 6).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), "vec_id"
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("query_id", "query_label", "vec_id", "neg_label", "sim", "rank")
+    )
+
+
+PIPELINE_QUERIES["q151_hard_negatives"] = q151_hard_negatives
+
+PIPELINE_ORACLES["q151_hard_negatives"] = """
+    SELECT query_id, query_label, vec_id, neg_label, sim, rank FROM (
+      SELECT q.vec_id AS query_id, q.label AS query_label,
+             c.vec_id, c.label AS neg_label,
+             round(list_cosine_similarity(c.embedding::DOUBLE[],
+                                          q.embedding::DOUBLE[]), 6) AS sim,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY round(list_cosine_similarity(c.embedding::DOUBLE[],
+                                                     q.embedding::DOUBLE[]), 6) DESC,
+                        c.vec_id) AS rank
+      FROM embeddings q
+      JOIN embeddings c ON c.vec_id >= 10 AND c.label <> q.label
+      WHERE q.vec_id < 10
+    ) WHERE rank <= 3
+"""
