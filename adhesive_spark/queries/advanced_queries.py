@@ -2755,3 +2755,100 @@ ADVANCED_ORACLES["q140_latency_bands"] = """
            MAX(CASE WHEN rn = (n * 95 + 99) // 100 THEN v_c END) AS p95_c
     FROM r GROUP BY event_type, hr
 """
+
+
+def q152_ann_recall(spark, sf_dir):
+    """ANN index EVALUATION — recall@5 of the 4-probe IVF search
+    against the exact brute-force ground truth, per query: the number
+    an index operator watches when tuning n_probe/n_lists (recall vs
+    IO), measured entirely on-cluster.  Composes q49's IVF search and
+    q35's exact scan; the overlap count is a semi-join on (query,
+    neighbor) and the score is integer (hits × 20 = percent for k=5).
+    """
+    from adhesive_spark.operators.similarity import knn_bruteforce, knn_ivf
+
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.where(F.col("vec_id") >= 10)
+    ivf = knn_ivf(corpus, queries, k=5, n_lists=16, n_probe=4).select(
+        "query_id", "vec_id"
+    )
+    brute = knn_bruteforce(corpus, queries, k=5).select(
+        "query_id", "vec_id"
+    )
+    hits = (
+        brute.join(ivf, ["query_id", "vec_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        brute.groupBy("query_id")
+        .agg(F.count("*").alias("k"))
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+            (F.coalesce(F.col("n_hits"), F.lit(0)) * 20).alias(
+                "recall_x100"
+            ),
+        )
+    )
+
+
+ADVANCED_QUERIES["q152_ann_recall"] = q152_ann_recall
+
+ADVANCED_ORACLES["q152_ann_recall"] = """
+    WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    corpus AS (SELECT vec_id, v FROM emb WHERE vec_id >= 10),
+    queries AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id < 10),
+    centroids AS (
+      SELECT vec_id AS centroid_id, v AS cv FROM corpus
+      ORDER BY vec_id LIMIT 16
+    ),
+    assigned AS (
+      SELECT vec_id, v, centroid_id FROM (
+        SELECT c.vec_id, c.v, t.centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY c.vec_id
+                 ORDER BY round(list_cosine_similarity(c.v, t.cv), 6) DESC,
+                          t.centroid_id) AS r
+        FROM corpus c CROSS JOIN centroids t
+      ) WHERE r = 1
+    ),
+    probes AS (
+      SELECT query_id, qv, centroid_id FROM (
+        SELECT q.query_id, q.qv, t.centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                 ORDER BY round(list_cosine_similarity(q.qv, t.cv), 6) DESC,
+                          t.centroid_id) AS r
+        FROM queries q CROSS JOIN centroids t
+      ) WHERE r <= 4
+    ),
+    ivf AS (
+      SELECT query_id, vec_id FROM (
+        SELECT p.query_id, a.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY p.query_id
+                 ORDER BY round(list_cosine_similarity(a.v, p.qv), 6) DESC,
+                          a.vec_id) AS rank
+        FROM assigned a JOIN probes p USING (centroid_id)
+      ) WHERE rank <= 5
+    ),
+    brute AS (
+      SELECT query_id, vec_id FROM (
+        SELECT q.query_id, c.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                 ORDER BY round(list_cosine_similarity(c.v, q.qv), 6) DESC,
+                          c.vec_id) AS rank
+        FROM queries q CROSS JOIN corpus c
+      ) WHERE rank <= 5
+    )
+    SELECT b.query_id,
+           COUNT(i.vec_id) AS n_hits,
+           COUNT(i.vec_id) * 20 AS recall_x100
+    FROM brute b
+    LEFT JOIN ivf i ON b.query_id = i.query_id AND b.vec_id = i.vec_id
+    GROUP BY b.query_id
+"""
