@@ -2852,3 +2852,89 @@ ADVANCED_ORACLES["q152_ann_recall"] = """
     LEFT JOIN ivf i ON b.query_id = i.query_id AND b.vec_id = i.vec_id
     GROUP BY b.query_id
 """
+
+
+def q153_retrieval_mrr(spark, sf_dir):
+    """Embedding-quality retrieval eval: mean reciprocal rank of the
+    first SAME-label neighbor in the exact top-10 — the
+    label-as-relevance metric that tells you whether the embedding
+    space clusters semantically BEFORE any index tuning (q152 then
+    measures what the index loses).  Integer-exact: per query
+    mrr_x10000 = 10000 div rank-of-first-hit (0 when no hit in the
+    top-10); one row per query keeps the driver hash windowed over
+    every rank."""
+    from pyspark.sql import Window
+
+    from adhesive_spark.operators.similarity import cosine
+
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("query_label"),
+        F.col("embedding").alias("__qvec"),
+    )
+    corpus = emb.where(F.col("vec_id") >= 10)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), "vec_id"
+    )
+    top = (
+        corpus.join(F.broadcast(queries))
+        .select(
+            "query_id",
+            "query_label",
+            "vec_id",
+            "label",
+            F.round(cosine(F.col("embedding"), F.col("__qvec")), 6).alias(
+                "sim"
+            ),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 10)
+    )
+    return top.groupBy("query_id", "query_label").agg(
+        F.min(
+            F.when(F.col("label") == F.col("query_label"), F.col("rank"))
+        ).alias("first_hit_rank"),
+        F.count_if(F.col("label") == F.col("query_label")).alias(
+            "n_hits_at_10"
+        ),
+    ).select(
+        "query_id",
+        "query_label",
+        "first_hit_rank",
+        "n_hits_at_10",
+        F.coalesce(
+            F.expr("10000 div first_hit_rank"), F.lit(0)
+        ).alias("mrr_x10000"),
+    )
+
+
+ADVANCED_QUERIES["q153_retrieval_mrr"] = q153_retrieval_mrr
+
+ADVANCED_ORACLES["q153_retrieval_mrr"] = """
+    WITH emb AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    queries AS (
+      SELECT vec_id AS query_id, label AS query_label, v AS qv
+      FROM emb WHERE vec_id < 10
+    ),
+    top AS (
+      SELECT * FROM (
+        SELECT q.query_id, q.query_label, c.vec_id, c.label,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                 ORDER BY round(list_cosine_similarity(c.v, q.qv), 6) DESC,
+                          c.vec_id) AS rank
+        FROM queries q CROSS JOIN (SELECT * FROM emb WHERE vec_id >= 10) c
+      ) WHERE rank <= 10
+    )
+    SELECT query_id, query_label,
+           MIN(CASE WHEN label = query_label THEN rank END)
+             AS first_hit_rank,
+           COUNT(*) FILTER (WHERE label = query_label) AS n_hits_at_10,
+           COALESCE(10000 // MIN(CASE WHEN label = query_label THEN rank END),
+                    0) AS mrr_x10000
+    FROM top GROUP BY query_id, query_label
+"""
