@@ -550,3 +550,34 @@ def test_table_function_rejects_bad_forms(sess):
             "CREATE FUNCTION tf_bad3(BIGINT) RETURNS TABLE (x WIDGET) "
             "LANGUAGE PYTHON AS 'return []'"
         )
+
+
+def test_drop_aggregate_and_table_functions(sess):
+    """DROP FUNCTION must fully retire AGGREGATE and TABLE
+    registrations (resolution fails afterwards) and a plain re-CREATE
+    must then succeed — the same lifecycle contract the scalar path
+    guarantees."""
+    sess.sql(
+        "CREATE AGGREGATE FUNCTION dlife_a(BIGINT) RETURNS BIGINT "
+        "LANGUAGE PANDAS AS 'return int(arg0.sum())'"
+    )
+    sess.sql(
+        "CREATE FUNCTION dlife_t(n BIGINT) RETURNS TABLE (i BIGINT) "
+        "LANGUAGE PYTHON AS 'for i in range(int(n)):\n    yield (i,)'"
+    )
+    assert sess.sql("SELECT dlife_a(b) AS s FROM t6").collect()[0]["s"] == 210
+    assert len(
+        sess.sql("SELECT v.i FROM t6, LATERAL dlife_t(a) v").collect()
+    ) == 21
+    sess.sql("DROP FUNCTION dlife_a")
+    sess.sql("DROP FUNCTION dlife_t")
+    with pytest.raises(AnalysisException):
+        sess.sql("SELECT dlife_a(b) FROM t6").collect()
+    with pytest.raises(AnalysisException):
+        sess.sql("SELECT v.i FROM t6, LATERAL dlife_t(a) v").collect()
+    # plain re-CREATE (no OR REPLACE) succeeds after the drop
+    sess.sql(
+        "CREATE AGGREGATE FUNCTION dlife_a(BIGINT) RETURNS BIGINT "
+        "LANGUAGE PANDAS AS 'return int(arg0.count())'"
+    )
+    assert sess.sql("SELECT dlife_a(b) AS s FROM t6").collect()[0]["s"] == 6
