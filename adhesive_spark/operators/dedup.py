@@ -182,7 +182,7 @@ def minhash_signature(
     )
 
 
-def minhash_lsh_pairs(
+def minhash_base_and_bands(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -190,22 +190,13 @@ def minhash_lsh_pairs(
     num_perm: int = 64,
     bands: int = 16,
     shingle_n: int = 3,
-    threshold: float = 0.5,
     seed: int = 42,
-) -> DataFrame:
-    """Candidate pairs whose exact shingle-Jaccard ≥ threshold, found via
-    banded MinHash-LSH.
-
-    Pipeline (per 100 TB reasoning):
-      1. one scan computing (id, shingles, signature);
-      2. explode to (band_idx, band_hash, id) — bands·n rows, narrow;
-      3. self-join on the band key = shuffle on band_hash only.
-         Identical-doc floods make hot buckets; AQE skew-join splits
-         them, and `distinct` collapses multi-band duplicates before the
-         expensive verify;
-      4. exact Jaccard verify joins shingle sets back by id (two hash
-         joins on id) — only for candidates, not the full pair space.
-    """
+) -> tuple[DataFrame, DataFrame]:
+    """Shared signature stage of the LSH pipeline: returns
+    ``(base, band_rows)`` where base = (id, shingles, sig) and
+    band_rows = (id, band_idx, band_hash) — consumed by the one-shot
+    :func:`minhash_lsh_pairs` and by the persisted-index pair
+    (:func:`persist_minhash_index` / :func:`probe_minhash_index`)."""
     rows_per_band = num_perm // bands
     assert rows_per_band * bands == num_perm, "bands must divide num_perm"
 
@@ -256,6 +247,42 @@ def minhash_lsh_pairs(
             )
         ).alias("band"),
     ).select("id", "band.band_idx", "band.band_hash")
+    return base, band_rows
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """Candidate pairs whose exact shingle-Jaccard ≥ threshold, found via
+    banded MinHash-LSH.
+
+    Pipeline (per 100 TB reasoning):
+      1. one scan computing (id, shingles, signature);
+      2. explode to (band_idx, band_hash, id) — bands·n rows, narrow;
+      3. self-join on the band key = shuffle on band_hash only.
+         Identical-doc floods make hot buckets; AQE skew-join splits
+         them, and `distinct` collapses multi-band duplicates before the
+         expensive verify;
+      4. exact Jaccard verify joins shingle sets back by id (two hash
+         joins on id) — only for candidates, not the full pair space.
+    """
+    base, band_rows = minhash_base_and_bands(
+        df,
+        text_col,
+        id_col,
+        num_perm=num_perm,
+        bands=bands,
+        shingle_n=shingle_n,
+        seed=seed,
+    )
 
     l = band_rows.alias("l")
     r = band_rows.alias("r")
@@ -774,4 +801,122 @@ def span_dedup(
             ),
             " ",
         ).alias("clean_text"),
+    )
+
+
+def persist_minhash_index(
+    docs: DataFrame,
+    table: str,
+    *,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    seed: int = 42,
+    n_buckets: int = 32,
+) -> None:
+    """Persist the LSH near-dup index: band rows BUCKETED BY band_hash
+    (collision lookups co-locate) plus a ``<table>__shingles`` side
+    table bucketed by id (the exact-Jaccard verify payload).  The #1
+    recurring cost of production near-dup — re-computing every
+    signature per batch — is paid ONCE here; each
+    :func:`probe_minhash_index` batch then signatures only ITSELF and
+    joins the persisted bands."""
+    from adhesive_spark.sources.formats import write_bucketed_table
+    from adhesive_spark.sources.fsutil import hadoop_fs
+
+    spark = docs.sparkSession
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    for t in (table, f"{table}__shingles"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        fs, loc, _ = hadoop_fs(spark, f"{wh}/{t}")
+        if fs.exists(loc):
+            fs.delete(loc, True)
+    base, band_rows = minhash_base_and_bands(
+        docs,
+        num_perm=num_perm,
+        bands=bands,
+        shingle_n=shingle_n,
+        seed=seed,
+    )
+    write_bucketed_table(
+        band_rows, table, bucket_cols=["band_hash"], n_buckets=n_buckets
+    )
+    write_bucketed_table(
+        base.select("id", "shingles"),
+        f"{table}__shingles",
+        bucket_cols=["id"],
+        n_buckets=n_buckets,
+    )
+
+
+def probe_minhash_index(
+    docs: DataFrame,
+    table: str,
+    *,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    seed: int = 42,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup pairs between ``docs`` (signatured fresh) and a
+    :func:`persist_minhash_index` table (never re-signatured): band
+    collisions generate candidates, the persisted shingle table powers
+    the exact-Jaccard verify, and only ``probe_id < index_id`` pairs
+    are emitted (self-probing the indexed corpus therefore reproduces
+    :func:`minhash_lsh_pairs` exactly — the oracle contract of q154).
+
+    Scale shape: probe-side cost is proportional to the BATCH, not the
+    corpus; the index side ships only the colliding bands/shingles
+    through two hash joins."""
+    spark = docs.sparkSession
+    probe_base, probe_bands = minhash_base_and_bands(
+        docs,
+        num_perm=num_perm,
+        bands=bands,
+        shingle_n=shingle_n,
+        seed=seed,
+    )
+    idx = spark.table(table)
+    # id-normalized pairs: a NEW batch usually carries HIGHER ids than
+    # the index, so the pair is ordered with least/greatest rather than
+    # probe<index (which would silently drop every new-vs-indexed hit);
+    # self-probing still emits each pair once, matching q37
+    candidates = (
+        probe_bands.alias("p")
+        .join(
+            idx.alias("i"),
+            (F.col("p.band_idx") == F.col("i.band_idx"))
+            & (F.col("p.band_hash") == F.col("i.band_hash"))
+            & (F.col("p.id") != F.col("i.id")),
+        )
+        .select(
+            F.least("p.id", "i.id").alias("id_a"),
+            F.greatest("p.id", "i.id").alias("id_b"),
+        )
+        .distinct()
+    )
+    # verify shingles can come from EITHER side of a normalized pair:
+    # union probe-fresh and persisted, deduped by id (identical rows
+    # when self-probing)
+    sh_all = (
+        probe_base.select("id", "shingles")
+        .unionByName(spark.table(f"{table}__shingles"))
+        .dropDuplicates(["id"])
+    )
+    psh = sh_all.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    ish = sh_all.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    return (
+        candidates.join(psh, "id_a")
+        .join(ish, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                4,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
     )

@@ -988,3 +988,32 @@ PIPELINE_ORACLES["q151_hard_negatives"] = """
       WHERE q.vec_id < 10
     ) WHERE rank <= 3
 """
+
+
+def q154_minhash_persisted_probe(spark, sf_dir):
+    """Persisted LSH index build + self-probe
+    (operators/dedup.persist_minhash_index): the signature pass is paid
+    once into a band table bucketed by band_hash (+ a shingle side
+    table for the verify), and probing the indexed corpus with itself
+    must reproduce q37's one-shot pairs exactly — so the oracle IS
+    q37's.  In production the probe side is each day's new batch: its
+    cost scales with the batch, never the corpus."""
+    from adhesive_spark.operators.dedup import (
+        persist_minhash_index,
+        probe_minhash_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    persist_minhash_index(
+        docs, "q154_lsh_idx", num_perm=64, bands=16, n_buckets=16
+    )
+    return probe_minhash_index(
+        docs, "q154_lsh_idx", num_perm=64, bands=16, threshold=0.2
+    ).orderBy("id_a", "id_b")
+
+
+PIPELINE_QUERIES["q154_minhash_persisted_probe"] = q154_minhash_persisted_probe
+
+PIPELINE_ORACLES["q154_minhash_persisted_probe"] = PIPELINE_ORACLES[
+    "q37_minhash_pairs"
+]

@@ -639,3 +639,62 @@ def test_skew_profile_golden(spark):
     assert r2["n_keys"] == 3
     assert r2["max_key_rows"] == 3
     assert r2["suggested_salts"] == 2
+
+
+def test_minhash_persisted_probe_new_batch(spark):
+    """Probing a persisted LSH index with a DISJOINT new batch (higher
+    ids than everything indexed) must surface new-vs-indexed near-dup
+    pairs — the incremental production path — and nothing else."""
+    from adhesive_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        persist_minhash_index,
+        probe_minhash_index,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    idx_docs = spark.createDataFrame(
+        [
+            (0, base),
+            (1, "completely different text about spark query engines"),
+            (2, "a third unrelated document mentioning shuffles and joins"),
+        ],
+        ["doc_id", "text"],
+    )
+    persist_minhash_index(
+        idx_docs, "t_lsh_newbatch", num_perm=64, bands=16, n_buckets=4
+    )
+    new_docs = spark.createDataFrame(
+        [
+            (100, base.replace("today", "tomorrow")),  # near-dup of 0
+            (101, "fresh unseen content with no indexed counterpart"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        (r.id_a, r.id_b)
+        for r in probe_minhash_index(
+            new_docs, "t_lsh_newbatch", num_perm=64, bands=16, threshold=0.2
+        ).collect()
+    }
+    assert got == {(0, 100)}
+    # and the self-probe contract: probing the index with its own
+    # corpus reproduces the one-shot pairs exactly
+    persist_minhash_index(
+        idx_docs.unionByName(new_docs), "t_lsh_self", num_perm=64,
+        bands=16, n_buckets=4,
+    )
+    self_probe = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in probe_minhash_index(
+            idx_docs.unionByName(new_docs), "t_lsh_self",
+            num_perm=64, bands=16, threshold=0.2,
+        ).collect()
+    }
+    one_shot = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in minhash_lsh_pairs(
+            idx_docs.unionByName(new_docs), "text", "doc_id",
+            num_perm=64, bands=16, threshold=0.2,
+        ).collect()
+    }
+    assert self_probe == one_shot
