@@ -1017,3 +1017,52 @@ PIPELINE_QUERIES["q154_minhash_persisted_probe"] = q154_minhash_persisted_probe
 PIPELINE_ORACLES["q154_minhash_persisted_probe"] = PIPELINE_ORACLES[
     "q37_minhash_pairs"
 ]
+
+
+def q155_media_dedup(spark, sf_dir):
+    """Multimodal exact dedup: media payloads deduped by decoded
+    content hash — the byte-identical-asset collapse every multimodal
+    crawl runs before any expensive perceptual pass (the same
+    fingerprint-groupBy shape as q30, but the key comes out of the
+    Arrow decode stage and the survivor rule is min media_id).  Per
+    media_type: total items, distinct payloads, duplicate count, and
+    the survivor-id checksum (sum of kept ids — order-free audit)."""
+    from adhesive_spark.operators.multimodal import (
+        decode_media,
+        synthesize_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    decoded = decode_media(synthesize_media(docs))
+    per_sha = decoded.groupBy("media_type", "content_sha").agg(
+        F.count("*").alias("n_copies"),
+        F.min("media_id").alias("survivor_id"),
+    )
+    return per_sha.groupBy("media_type").agg(
+        F.sum("n_copies").alias("n_items"),
+        F.count("*").alias("n_distinct"),
+        (F.sum("n_copies") - F.count("*")).alias("n_duplicates"),
+        F.sum("survivor_id").alias("survivor_id_sum"),
+    )
+
+
+PIPELINE_QUERIES["q155_media_dedup"] = q155_media_dedup
+
+PIPELINE_ORACLES["q155_media_dedup"] = f"""
+    WITH d AS (
+      SELECT doc_id AS media_id, {_MTYPE} AS media_type,
+             substr({_SHA}, 1, 16) AS content_sha
+      FROM documents
+    ),
+    per_sha AS (
+      SELECT media_type, content_sha, COUNT(*) AS n_copies,
+             MIN(media_id) AS survivor_id
+      FROM d GROUP BY media_type, content_sha
+    )
+    SELECT media_type,
+           CAST(SUM(n_copies) AS BIGINT) AS n_items,
+           COUNT(*) AS n_distinct,
+           CAST(SUM(n_copies) - COUNT(*) AS BIGINT) AS n_duplicates,
+           CAST(SUM(survivor_id) AS BIGINT) AS survivor_id_sum
+    FROM per_sha GROUP BY media_type
+"""
