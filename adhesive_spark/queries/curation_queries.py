@@ -1580,7 +1580,7 @@ def q148_deletion_propagation(spark, sf_dir):
         "vec_id",
         "left_semi",
     )
-    def audit(label, total_df, removed_df, key):
+    def audit(label, total_df, removed_df):
         t = total_df.agg(F.count("*").alias("rows_before"))
         r = removed_df.agg(F.count("*").alias("rows_removed"))
         return t.join(r).select(
@@ -1591,8 +1591,8 @@ def q148_deletion_propagation(spark, sf_dir):
                 "rows_after"
             ),
         )
-    return audit("documents", docs, removed_docs, "doc_id").unionByName(
-        audit("embeddings", emb, removed_emb, "vec_id")
+    return audit("documents", docs, removed_docs).unionByName(
+        audit("embeddings", emb, removed_emb)
     )
 
 
