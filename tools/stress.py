@@ -118,6 +118,33 @@ def main() -> None:
         rows_in // 5,
     )
 
+    # Persisted-LSH amortization: index the inflated corpus ONCE, then
+    # probe with a 1%-of-corpus batch — the per-batch production cost.
+    # rows_in for the probe is the BATCH size: the point of the index
+    # is that probe cost scales with it, not with the corpus.
+    from adhesive_spark.operators.dedup import (
+        persist_minhash_index,
+        probe_minhash_index,
+    )
+
+    lsh_corpus = big_docs.where((F.col("doc_id") % F.lit(reps * 20)) < reps)
+    t0 = time.perf_counter()
+    persist_minhash_index(
+        lsh_corpus, "t_stress_lsh", num_perm=64, bands=16, n_buckets=32
+    )
+    build_sec = round(time.perf_counter() - t0, 2)
+    batch = big_docs.where(
+        ((F.col("doc_id") % F.lit(reps * 20)) >= F.lit(reps))
+        & ((F.col("doc_id") % F.lit(reps * 20)) < F.lit(2 * reps))
+    ).withColumn("doc_id", F.col("doc_id") + F.lit(10_000_000_000))
+    run(
+        f"lsh_probe_batch(build={build_sec}s)",
+        lambda: probe_minhash_index(
+            batch, "t_stress_lsh", num_perm=64, bands=16, threshold=0.7
+        ),
+        rows_in // 20,
+    )
+
     def _pipeline():
         filt = big_docs.where(quality_score(F.col("text")) >= 0.3)
         chunks = chunk_documents(
