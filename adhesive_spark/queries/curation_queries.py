@@ -1737,3 +1737,75 @@ CURATION_ORACLES["q150_drift_monitor"] = """
     FROM wc w JOIN tot t USING (source)
     GROUP BY w.source
 """
+
+
+def q156_oov_rate(spark, sf_dir):
+    """Tokenizer-coverage check: out-of-vocabulary rate per source
+    against a fixed vocabulary (here: the corpus's top-30 words by
+    global count, rank ties broken by word — standing in for the
+    tokenizer's vocab file).  The number a data team checks before
+    pointing a NEW source at an EXISTING tokenizer: a high OOV ppm
+    means byte-fallback blowup and longer sequences at train time.
+
+    Scale shape: the vocabulary is tiny by construction → broadcast
+    left-anti-style membership via a broadcast join; one (source)
+    aggregate after; the only corpus-wide shuffle is the word count
+    that builds the vocab (in production the vocab ships as a file —
+    zero shuffles)."""
+    from pyspark.sql import Window
+
+    from adhesive_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.explode(tokens(F.col("text"))).alias("word")
+    )
+    vocab = (
+        tok.groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.col("cnt").desc(), "word")
+            ),
+        )
+        .where(F.col("rank") <= 30)
+        .select("word", F.lit(True).alias("in_vocab"))
+    )
+    return (
+        tok.join(F.broadcast(vocab), "word", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("total_tokens"),
+            F.count_if(F.col("in_vocab").isNull()).alias("oov_tokens"),
+        )
+        .withColumn(
+            "oov_ppm",
+            F.expr("(oov_tokens * 1000000) div total_tokens"),
+        )
+    )
+
+
+CURATION_QUERIES["q156_oov_rate"] = q156_oov_rate
+
+CURATION_ORACLES["q156_oov_rate"] = """
+    WITH tok AS (
+      SELECT source, unnest(string_split(
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+               ' ')) AS word
+      FROM documents
+    ),
+    vocab AS (
+      SELECT word FROM (
+        SELECT word, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, word) AS r
+        FROM tok GROUP BY word
+      ) WHERE r <= 30
+    )
+    SELECT t.source,
+           COUNT(*) AS total_tokens,
+           COUNT(*) FILTER (WHERE v.word IS NULL) AS oov_tokens,
+           (COUNT(*) FILTER (WHERE v.word IS NULL) * 1000000) // COUNT(*)
+             AS oov_ppm
+    FROM tok t LEFT JOIN vocab v USING (word)
+    GROUP BY t.source
+"""
