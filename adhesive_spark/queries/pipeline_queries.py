@@ -1066,3 +1066,110 @@ PIPELINE_ORACLES["q155_media_dedup"] = f"""
            CAST(SUM(survivor_id) AS BIGINT) AS survivor_id_sum
     FROM per_sha GROUP BY media_type
 """
+
+
+def q157_semantic_drift(spark, sf_dir):
+    """Semantic drift monitor — the embedding-space twin of q150's
+    lexical drift: per label, the cosine between the centroids of two
+    interleaved snapshot halves (vec_id parity).  A healthy stable
+    class scores ~1.0; an embedding-model change or upstream content
+    shift drops it.  Order-independence trick: every component is
+    quantized to integer micros BEFORE the per-half sum (exact BIGINT
+    sums, any partitioning), and cosine is scale-invariant so the
+    SUM vectors stand in for the means with no division; the final
+    cosine is one left-fold over 64 exact-integer-valued doubles —
+    bit-identical in any engine.
+
+    Scale shape: one posexplode → (label, half, pos) SUM (map-side
+    combined, 64·labels·2 output rows) → per-label assembly; no row
+    ever carries more than one component through the shuffle."""
+    from adhesive_spark.operators.similarity import cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        "label",
+        (F.col("vec_id") % 2 == 0).alias("even"),
+        F.posexplode(
+            F.transform(
+                "embedding",
+                lambda x: F.round(x.cast("double") * 1000000, 0).cast(
+                    "long"
+                ),
+            )
+        ).alias("pos", "val"),
+    )
+    sums = comp.groupBy("label", "even", "pos").agg(
+        F.sum("val").alias("s")
+    )
+    vecs = sums.groupBy("label", "even").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "s"))),
+            lambda t: t.s.cast("double"),
+        ).alias("vec")
+    )
+    e = vecs.where(F.col("even")).select("label", F.col("vec").alias("ve"))
+    o = vecs.where(~F.col("even")).select("label", F.col("vec").alias("vo"))
+    counts = emb.groupBy("label").agg(
+        F.count_if(F.col("vec_id") % 2 == 0).alias("n_even"),
+        F.count_if(F.col("vec_id") % 2 == 1).alias("n_odd"),
+    )
+    return (
+        e.join(o, "label")
+        .join(counts, "label")
+        .select(
+            "label",
+            "n_even",
+            "n_odd",
+            F.round(cosine(F.col("ve"), F.col("vo")), 6).alias(
+                "centroid_cos"
+            ),
+        )
+    )
+
+
+PIPELINE_QUERIES["q157_semantic_drift"] = q157_semantic_drift
+
+_DRIFT_DOT = (
+    "list_reduce(list_transform(range(1, 65), "
+    "j -> ve[j] * vo[j]), (x, y) -> x + y)"
+)
+
+PIPELINE_ORACLES["q157_semantic_drift"] = f"""
+    WITH comp AS (
+      SELECT label, vec_id % 2 = 0 AS even, i AS pos,
+             CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000, 0)
+                  AS BIGINT) AS val
+      FROM embeddings, LATERAL (SELECT unnest(range(1, 65)) AS i)
+    ),
+    sums AS (
+      SELECT label, even, pos, CAST(SUM(val) AS BIGINT) AS s
+      FROM comp GROUP BY label, even, pos
+    ),
+    vecs AS (
+      SELECT label, even,
+             list_transform(
+               list_sort(list(ROW(pos, s))),
+               t -> CAST(t[2] AS DOUBLE)
+             ) AS vec
+      FROM sums GROUP BY label, even
+    ),
+    pairs AS (
+      SELECT e.label, e.vec AS ve, o.vec AS vo
+      FROM (SELECT label, vec FROM vecs WHERE even) e
+      JOIN (SELECT label, vec FROM vecs WHERE NOT even) o USING (label)
+    ),
+    counts AS (
+      SELECT label,
+             COUNT(*) FILTER (WHERE vec_id % 2 = 0) AS n_even,
+             COUNT(*) FILTER (WHERE vec_id % 2 = 1) AS n_odd
+      FROM embeddings GROUP BY label
+    )
+    SELECT p.label, c.n_even, c.n_odd,
+           round({_DRIFT_DOT}
+             / (sqrt(list_reduce(list_transform(range(1, 65),
+                       j -> ve[j] * ve[j]), (x, y) -> x + y))
+                * sqrt(list_reduce(list_transform(range(1, 65),
+                         j -> vo[j] * vo[j]), (x, y) -> x + y))), 6)
+             AS centroid_cos
+    FROM pairs p JOIN counts c USING (label)
+"""
