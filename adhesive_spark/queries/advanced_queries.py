@@ -2938,3 +2938,45 @@ ADVANCED_ORACLES["q153_retrieval_mrr"] = """
                     0) AS mrr_x10000
     FROM top GROUP BY query_id, query_label
 """
+
+
+def q159_event_transitions(spark, sf_dir):
+    """Per-user event-type TRANSITION MATRIX (first-order Markov
+    counts): for each user's time-ordered event stream, count every
+    (previous type → next type) step — the sequence statistic behind
+    journey modeling, session-intent features, and anomaly detection
+    (a sudden spike in error→error transitions is an incident, not a
+    behavior change).  Ties on ts break by event_id so the order is
+    total and the oracle agrees.  One (user) window partition + one
+    (from, to) aggregate — both map-side combinable, no corpus-wide
+    sort."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = ev.select(
+        "user_id",
+        F.lag("event_type").over(w).alias("from_type"),
+        F.col("event_type").alias("to_type"),
+    ).where(F.col("from_type").isNotNull())
+    return steps.groupBy("from_type", "to_type").agg(
+        F.count("*").alias("n_steps"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+ADVANCED_QUERIES["q159_event_transitions"] = q159_event_transitions
+
+ADVANCED_ORACLES["q159_event_transitions"] = """
+    WITH steps AS (
+      SELECT user_id,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS from_type,
+             event_type AS to_type
+      FROM events
+    )
+    SELECT from_type, to_type, COUNT(*) AS n_steps,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM steps WHERE from_type IS NOT NULL
+    GROUP BY from_type, to_type
+"""

@@ -1173,3 +1173,64 @@ PIPELINE_ORACLES["q157_semantic_drift"] = f"""
              AS centroid_cos
     FROM pairs p JOIN counts c USING (label)
 """
+
+
+def q158_embedding_qa(spark, sf_dir):
+    """Embedding-table ingestion QA: per label, the dead/degenerate
+    vector counts that silently poison cosine math downstream —
+    all-zero vectors, abnormally short and abnormally long norms —
+    computed on EXACT integers (components micro-quantized, norm² as a
+    BIGINT sum; thresholds compare integer to integer, so the screen
+    is engine- and partitioning-exact).  One projection + one keyed
+    aggregate; nothing wide shuffles."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = F.transform(
+        "embedding",
+        lambda x: F.round(x.cast("double") * 1000000, 0).cast("long"),
+    )
+    norm2 = F.aggregate(
+        F.transform(qv, lambda v: v * v),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    scored = emb.select(
+        "label",
+        norm2.alias("n2"),
+    )
+    # thresholds in micro² units: norm < 0.5 → n2 < 0.25e12; norm > 2.0
+    # → n2 > 4e12 (the synthetic vectors are ~unit-norm)
+    return scored.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        F.count_if(F.col("n2") == 0).alias("n_zero"),
+        F.count_if(
+            (F.col("n2") > 0) & (F.col("n2") < 250_000_000_000)
+        ).alias("n_short"),
+        F.count_if(F.col("n2") > 4_000_000_000_000).alias("n_long"),
+        F.min("n2").alias("min_norm2_u"),
+        F.max("n2").alias("max_norm2_u"),
+    )
+
+
+PIPELINE_QUERIES["q158_embedding_qa"] = q158_embedding_qa
+
+PIPELINE_ORACLES["q158_embedding_qa"] = """
+    WITH s AS (
+      SELECT label,
+             list_reduce(
+               list_transform(range(1, 65),
+                 j -> CAST(ROUND(CAST(embedding[j] AS DOUBLE) * 1000000, 0)
+                           AS BIGINT)
+                      * CAST(ROUND(CAST(embedding[j] AS DOUBLE) * 1000000, 0)
+                             AS BIGINT)),
+               (x, y) -> x + y) AS n2
+      FROM embeddings
+    )
+    SELECT label, COUNT(*) AS n_vecs,
+           COUNT(*) FILTER (WHERE n2 = 0) AS n_zero,
+           COUNT(*) FILTER (WHERE n2 > 0 AND n2 < 250000000000)
+             AS n_short,
+           COUNT(*) FILTER (WHERE n2 > 4000000000000) AS n_long,
+           MIN(n2) AS min_norm2_u,
+           MAX(n2) AS max_norm2_u
+    FROM s GROUP BY label
+"""
