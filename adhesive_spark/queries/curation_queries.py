@@ -1809,3 +1809,35 @@ CURATION_ORACLES["q156_oov_rate"] = """
     FROM tok t LEFT JOIN vocab v USING (word)
     GROUP BY t.source
 """
+
+
+def q160_dup_cluster_sizes(spark, sf_dir):
+    """Duplicate-cluster size distribution: how many exact-duplicate
+    clusters exist of each size — THE statistic that prices every
+    downstream dedup pass (q30's survivor count, the LSH verify
+    join's per-cluster quadratic, STRESS.md's cluster² cost model all
+    derive from this histogram).  A crawl where the tail of this
+    histogram grows is about to make near-dup verification expensive —
+    watch it per snapshot.  Two keyed aggregates on narrow rows
+    (fingerprint → cluster size → histogram)."""
+    docs = load_table(spark, sf_dir, "documents")
+    clusters = docs.groupBy(
+        fingerprint(F.col("text")).alias("fp")
+    ).agg(F.count("*").alias("k"))
+    return clusters.groupBy("k").agg(
+        F.count("*").alias("n_clusters"),
+        F.sum("k").alias("n_docs"),
+    )
+
+
+CURATION_QUERIES["q160_dup_cluster_sizes"] = q160_dup_cluster_sizes
+
+CURATION_ORACLES["q160_dup_cluster_sizes"] = """
+    WITH c AS (
+      SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+             COUNT(*) AS k
+      FROM documents GROUP BY fp
+    )
+    SELECT k, COUNT(*) AS n_clusters, CAST(SUM(k) AS BIGINT) AS n_docs
+    FROM c GROUP BY k
+"""
