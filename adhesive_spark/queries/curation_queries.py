@@ -1841,3 +1841,51 @@ CURATION_ORACLES["q160_dup_cluster_sizes"] = """
     SELECT k, COUNT(*) AS n_clusters, CAST(SUM(k) AS BIGINT) AS n_docs
     FROM c GROUP BY k
 """
+
+
+def q161_langid_confusion(spark, sf_dir):
+    """Language-ID CONFUSION MATRIX — the classifier eval for the
+    heuristic lang_id against the corpus's ground-truth ``lang``
+    column: per (truth, prediction) cell counts plus the per-truth
+    recall in ppm.  This is the number that justifies (or indicts) a
+    fast marker-based LID before paying for a model-based one — and
+    the 'zh' row shows the honest failure mode (no zh markers → 'und').
+    One projection + one tiny keyed aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    pred = docs.select("lang", lang_id(F.col("text")).alias("lang_pred"))
+    cells = pred.groupBy("lang", "lang_pred").agg(
+        F.count("*").alias("n")
+    )
+    from pyspark.sql import Window
+
+    tot = Window.partitionBy("lang")
+    return cells.select(
+        "lang",
+        "lang_pred",
+        "n",
+        F.expr("(n * 1000000)").alias("__num"),
+        F.sum("n").over(tot).alias("__den"),
+    ).select(
+        "lang",
+        "lang_pred",
+        "n",
+        F.expr("__num div __den").alias("share_ppm"),
+    )
+
+
+CURATION_QUERIES["q161_langid_confusion"] = q161_langid_confusion
+
+CURATION_ORACLES["q161_langid_confusion"] = f"""
+    WITH t AS (
+      SELECT lang, {_TOKS} AS toks, text FROM documents
+    ),
+    p AS (SELECT lang, {_lang_sql()} AS lang_pred FROM t),
+    cells AS (
+      SELECT lang, lang_pred, COUNT(*) AS n
+      FROM p GROUP BY lang, lang_pred
+    )
+    SELECT lang, lang_pred, n,
+           (n * 1000000) // CAST(SUM(n) OVER (PARTITION BY lang) AS BIGINT)
+             AS share_ppm
+    FROM cells
+"""
