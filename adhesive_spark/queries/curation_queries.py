@@ -1889,3 +1889,88 @@ CURATION_ORACLES["q161_langid_confusion"] = f"""
              AS share_ppm
     FROM cells
 """
+
+
+def q162_cdc_chunking(spark, sf_dir):
+    """Content-defined chunking (CDC): chunk boundaries fall where the
+    word's portable hash ≡ 0 (mod 16) — boundaries are a function of
+    CONTENT, not position, so an insertion reshuffles ONE chunk instead
+    of every downstream fixed-size window (the property that makes CDC
+    the storage/transfer dedup standard, and the variable-size
+    complement of q85's fixed windows).  Expected chunk length = the
+    modulus (16 words).  Per source: docs, chunks, integer mean/max
+    chunk length — the layout stats a CDC store capacity-plans with.
+
+    Scale shape: posexplode → per-doc prefix-sum window (one shuffle on
+    doc_id) → two keyed aggregates; boundary flags are pure JVM hash
+    expressions."""
+    from pyspark.sql import Window
+
+    from adhesive_spark.operators.dedup import portable_hash32
+    from adhesive_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        "source",
+        F.posexplode(tokens(F.col("text"))).alias("pos", "word"),
+    ).withColumn(
+        "is_boundary",
+        (portable_hash32(F.col("word")) % 16 == 0).cast("int"),
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    chunks = tok.withColumn(
+        "chunk_id", F.coalesce(F.sum("is_boundary").over(w), F.lit(0))
+    )
+    per_chunk = chunks.groupBy("doc_id", "source", "chunk_id").agg(
+        F.count("*").alias("chunk_len")
+    )
+    return per_chunk.groupBy("source").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count("*").alias("n_chunks"),
+        F.expr("(sum(chunk_len) * 100) div count(*)").alias(
+            "mean_chunk_len_x100"
+        ),
+        F.max("chunk_len").alias("max_chunk_len"),
+    )
+
+
+CURATION_QUERIES["q162_cdc_chunking"] = q162_cdc_chunking
+
+CURATION_ORACLES["q162_cdc_chunking"] = """
+    WITH t AS (
+      SELECT doc_id, source,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                          ' ') AS toks
+      FROM documents
+    ),
+    tok AS (
+      SELECT doc_id, source, i - 1 AS pos,
+             CASE WHEN CAST(('0x' || substr(md5(toks[i]), 1, 8)) AS BIGINT)
+                       % 16 = 0
+                  THEN 1 ELSE 0 END AS is_boundary
+      FROM t, LATERAL (SELECT unnest(range(1, len(toks) + 1)) AS i)
+    ),
+    chunks AS (
+      SELECT doc_id, source,
+             COALESCE(SUM(is_boundary) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS chunk_id
+      FROM tok
+    ),
+    per_chunk AS (
+      SELECT doc_id, source, chunk_id, COUNT(*) AS chunk_len
+      FROM chunks GROUP BY doc_id, source, chunk_id
+    )
+    SELECT source, COUNT(DISTINCT doc_id) AS n_docs,
+           COUNT(*) AS n_chunks,
+           (CAST(SUM(chunk_len) AS BIGINT) * 100) // COUNT(*)
+             AS mean_chunk_len_x100,
+           MAX(chunk_len) AS max_chunk_len
+    FROM per_chunk GROUP BY source
+"""
