@@ -230,6 +230,7 @@ def _minhash_oracle_sql(
     bands: int = 16,
     threshold: float = 0.2,
     seed: int = 42,
+    final_select: str | None = None,
 ) -> str:
     """Full DuckDB mirror of minhash_lsh_pairs: same md5-prefix base
     hash, the SAME permutation coefficients (interpolated from the one
@@ -302,7 +303,8 @@ def _minhash_oracle_sql(
           JOIN g sa ON cand.id_a = sa.doc_id
           JOIN g sb ON cand.id_b = sb.doc_id
         )
-        SELECT id_a, id_b, jaccard FROM v WHERE jaccard >= {threshold}
+        {final_select or
+         f"SELECT id_a, id_b, jaccard FROM v WHERE jaccard >= {threshold}"}
     """
 
 
@@ -1234,3 +1236,86 @@ PIPELINE_ORACLES["q158_embedding_qa"] = """
            MAX(n2) AS max_norm2_u
     FROM s GROUP BY label
 """
+
+
+def q163_lsh_banding_eval(spark, sf_dir):
+    """LSH banding-quality eval — the tuning measurement for the
+    (bands, rows) tradeoff, the text-side twin of q152's ANN recall:
+    candidate count from the 16-band self-join, verified-pair count,
+    and the EXACT ground truth from the lossless PPJoin prefix filter
+    (q116's no-false-negative theorem makes it the fair referee) —
+    with integer recall (verified/truth: what banding MISSED) and
+    precision (verified/candidates: what the verify join threw away,
+    i.e. wasted verify work) in ppm.  One driver-free row."""
+    from adhesive_spark.operators.dedup import (
+        minhash_base_and_bands,
+        minhash_lsh_pairs,
+        ppjoin_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    _, band_rows = minhash_base_and_bands(docs, num_perm=64, bands=16)
+    l, r = band_rows.alias("l"), band_rows.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+        .agg(F.count("*").alias("n_candidates"))
+    )
+    ver = minhash_lsh_pairs(
+        docs, "text", "doc_id", num_perm=64, bands=16, threshold=0.2
+    ).agg(F.count("*").alias("n_verified"))
+    truth = ppjoin_pairs(docs, threshold=0.2).agg(
+        F.count("*").alias("n_truth")
+    )
+    return (
+        cand.join(ver)
+        .join(truth)
+        .select(
+            "n_candidates",
+            "n_truth",
+            "n_verified",
+            F.expr(
+                "(n_verified * 1000000) div greatest(n_truth, 1)"
+            ).alias("recall_ppm"),
+            F.expr(
+                "(n_verified * 1000000) div greatest(n_candidates, 1)"
+            ).alias("precision_ppm"),
+        )
+    )
+
+
+PIPELINE_QUERIES["q163_lsh_banding_eval"] = q163_lsh_banding_eval
+
+PIPELINE_ORACLES["q163_lsh_banding_eval"] = _minhash_oracle_sql(
+    threshold=0.2,
+    final_select="""
+        , xg AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+        tp AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM xg a JOIN xg b
+            ON a.gram = b.gram AND a.doc_id < b.doc_id
+        ),
+        tj AS (
+          SELECT tp.id_a, tp.id_b
+          FROM tp
+          JOIN g sa ON tp.id_a = sa.doc_id
+          JOIN g sb ON tp.id_b = sb.doc_id
+          WHERE round(len(list_intersect(sa.grams, sb.grams))
+                      / len(list_distinct(sa.grams || sb.grams)), 4) >= 0.2
+        )
+        SELECT (SELECT COUNT(*) FROM cand) AS n_candidates,
+               (SELECT COUNT(*) FROM tj) AS n_truth,
+               (SELECT COUNT(*) FROM v WHERE jaccard >= 0.2) AS n_verified,
+               ((SELECT COUNT(*) FROM v WHERE jaccard >= 0.2) * 1000000)
+                 // GREATEST((SELECT COUNT(*) FROM tj), 1) AS recall_ppm,
+               ((SELECT COUNT(*) FROM v WHERE jaccard >= 0.2) * 1000000)
+                 // GREATEST((SELECT COUNT(*) FROM cand), 1)
+                 AS precision_ppm
+    """,
+)
