@@ -1974,3 +1974,69 @@ CURATION_ORACLES["q162_cdc_chunking"] = """
            MAX(chunk_len) AS max_chunk_len
     FROM per_chunk GROUP BY source
 """
+
+
+def q164_quality_dup_deciles(spark, sf_dir):
+    """Does the quality score PREDICT duplication?  Docs are cut into
+    quality deciles (NTILE over the engine-exact scaled score, ties
+    broken by doc_id) and each decile reports its exact-duplicate rate
+    — the cross-signal audit that tells a curation team whether one
+    cheap score can stand in for an expensive dedup pass at triage
+    time (it usually can for the bottom decile, never for the top).
+    Integer-exact: quality is the q73-style scaled long, dup membership
+    is a fingerprint-cluster size test, rates in ppm."""
+    from pyspark.sql import Window
+
+    from adhesive_spark.operators.text import quality_score, scaled_long
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        scaled_long(quality_score(F.col("text")), 4).alias("q_s"),
+        fingerprint(F.col("text")).alias("fp"),
+    )
+    sizes = scored.groupBy("fp").agg(F.count("*").alias("k"))
+    flagged = scored.join(sizes, "fp").select(
+        "doc_id", "q_s", (F.col("k") > 1).alias("is_dup")
+    )
+    decile = F.ntile(10).over(Window.orderBy("q_s", "doc_id"))
+    return (
+        flagged.withColumn("decile", decile)
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count_if(F.col("is_dup")).alias("n_dups"),
+            F.min("q_s").alias("q_min"),
+            F.max("q_s").alias("q_max"),
+        )
+        .withColumn(
+            "dup_ppm", F.expr("(n_dups * 1000000) div n_docs")
+        )
+    )
+
+
+CURATION_QUERIES["q164_quality_dup_deciles"] = q164_quality_dup_deciles
+
+CURATION_ORACLES["q164_quality_dup_deciles"] = f"""
+    WITH t AS (
+      SELECT doc_id, text, {_TOKS} AS toks FROM documents
+    ),
+    s AS (
+      SELECT doc_id,
+             CAST(ROUND(({_quality_sql()}) * 10000, 0) AS BIGINT) AS q_s,
+             md5({_NORM}) AS fp
+      FROM t
+    ),
+    k AS (SELECT fp, COUNT(*) AS k FROM s GROUP BY fp),
+    f AS (
+      SELECT s.doc_id, s.q_s, k.k > 1 AS is_dup,
+             NTILE(10) OVER (ORDER BY s.q_s, s.doc_id) AS decile
+      FROM s JOIN k USING (fp)
+    )
+    SELECT decile, COUNT(*) AS n_docs,
+           COUNT(*) FILTER (WHERE is_dup) AS n_dups,
+           MIN(q_s) AS q_min, MAX(q_s) AS q_max,
+           (COUNT(*) FILTER (WHERE is_dup) * 1000000) // COUNT(*)
+             AS dup_ppm
+    FROM f GROUP BY decile
+"""
