@@ -2040,3 +2040,65 @@ CURATION_ORACLES["q164_quality_dup_deciles"] = f"""
              AS dup_ppm
     FROM f GROUP BY decile
 """
+
+
+def q165_span_savings(spark, sf_dir):
+    """Span-dedup savings ledger: per source, how much of the corpus
+    the RefinedWeb span pass (q133's operator) actually removes —
+    spans before/after, fully-emptied docs, and the saved fraction in
+    ppm.  This is the number that decides whether the span pass earns
+    its two shuffles in a given pipeline (a corpus with near-zero
+    savings skips it; a crawl with heavy boilerplate pays for itself
+    immediately)."""
+    from adhesive_spark.operators.dedup import span_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = span_dedup(
+        docs, "text", "doc_id", span_tokens=20, carry_cols=("source",)
+    )
+    return out.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_spans").alias("spans_before"),
+        F.sum("n_kept").alias("spans_after"),
+        F.count_if(F.col("n_kept") == 0).alias("n_emptied_docs"),
+        F.expr(
+            "((sum(n_spans) - sum(n_kept)) * 1000000) div sum(n_spans)"
+        ).alias("saved_ppm"),
+    )
+
+
+CURATION_QUERIES["q165_span_savings"] = q165_span_savings
+
+CURATION_ORACLES["q165_span_savings"] = """
+    WITH t AS (
+      SELECT doc_id, source,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                          ' ') AS toks
+      FROM documents
+    ),
+    spans AS (
+      SELECT doc_id, source, i AS chunk_id,
+             array_to_string(list_slice(toks, i * 20 + 1, i * 20 + 20),
+                             ' ') AS span
+      FROM t, LATERAL (
+        SELECT unnest(range(0, ((len(toks) - 1) // 20) + 1)) AS i)
+    ),
+    ranked AS (
+      SELECT doc_id, source, span,
+             ROW_NUMBER() OVER (PARTITION BY span
+                                ORDER BY doc_id, chunk_id) AS rn
+      FROM spans
+    ),
+    per_doc AS (
+      SELECT doc_id, source, COUNT(*) AS n_spans,
+             COUNT(*) FILTER (WHERE rn = 1) AS n_kept
+      FROM ranked GROUP BY doc_id, source
+    )
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(n_spans) AS BIGINT) AS spans_before,
+           CAST(SUM(n_kept) AS BIGINT) AS spans_after,
+           COUNT(*) FILTER (WHERE n_kept = 0) AS n_emptied_docs,
+           ((CAST(SUM(n_spans) AS BIGINT) - CAST(SUM(n_kept) AS BIGINT))
+              * 1000000) // CAST(SUM(n_spans) AS BIGINT) AS saved_ppm
+    FROM per_doc GROUP BY source
+"""
