@@ -98,3 +98,34 @@ def skew_profile(
             "suggested_salts"
         ),
     )
+
+
+def join_cardinality_profile(
+    left: DataFrame,
+    right: DataFrame,
+    key,
+    *,
+    label: str | None = None,
+) -> DataFrame:
+    """Pre-flight for the OTHER join disaster (skew_profile covers the
+    hot-key wait; this covers the many-to-many BLOWUP): the EXACT
+    output cardinality of ``left ⋈ right ON key`` — Σ_k n_left(k) ·
+    n_right(k) — computed from two per-key counts and one narrow join,
+    long before anyone shuffles the real rows.  One output row with the
+    predicted rows, the worst single key's fan-out, and how many keys
+    fan out past 1 000 — the numbers that veto an accidental
+    non-key equi-join at 100 TB while it is still a metadata query."""
+    keys = [key] if isinstance(key, str) else list(key)
+    name = label or ",".join(keys)
+    lc = left.groupBy(*keys).agg(F.count("*").alias("nl"))
+    rc = right.groupBy(*keys).agg(F.count("*").alias("nr"))
+    per_key = lc.join(rc, keys).select(
+        (F.col("nl") * F.col("nr")).alias("fanout")
+    )
+    return per_key.agg(
+        F.lit(name).alias("key_name"),
+        F.count("*").alias("n_matching_keys"),
+        F.sum("fanout").alias("predicted_join_rows"),
+        F.max("fanout").alias("max_key_fanout"),
+        F.count_if(F.col("fanout") > 1000).alias("keys_over_1000"),
+    )

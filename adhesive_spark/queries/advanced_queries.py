@@ -2980,3 +2980,56 @@ ADVANCED_ORACLES["q159_event_transitions"] = """
     FROM steps WHERE from_type IS NOT NULL
     GROUP BY from_type, to_type
 """
+
+
+def q166_join_blowup_preflight(spark, sf_dir):
+    """Join-cardinality pre-flight (operators/skew
+    .join_cardinality_profile) on two joins a reviewer should price
+    differently: the SAFE FK join orders⋈lineitem on orderkey
+    (fan-out = lineitems per order) vs the HAZARD self-join
+    lineitem⋈lineitem on l_suppkey (Σ n(k)² — the accidental
+    many-to-many that melts clusters).  Both priced exactly from
+    per-key counts, no wide rows shuffled."""
+    from adhesive_spark.operators.skew import join_cardinality_profile
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    safe = join_cardinality_profile(
+        o.select(F.col("o_orderkey").alias("k")),
+        li.select(F.col("l_orderkey").alias("k")),
+        "k",
+        label="orders x lineitem ON orderkey",
+    )
+    hazard = join_cardinality_profile(
+        li.select(F.col("l_suppkey").alias("k")),
+        li.select(F.col("l_suppkey").alias("k")),
+        "k",
+        label="lineitem x lineitem ON suppkey",
+    )
+    return safe.unionByName(hazard)
+
+
+ADVANCED_QUERIES["q166_join_blowup_preflight"] = q166_join_blowup_preflight
+
+ADVANCED_ORACLES["q166_join_blowup_preflight"] = """
+    WITH oc AS (SELECT o_orderkey AS k, COUNT(*) AS n FROM orders GROUP BY 1),
+    lc AS (SELECT l_orderkey AS k, COUNT(*) AS n FROM lineitem GROUP BY 1),
+    sc AS (SELECT l_suppkey AS k, COUNT(*) AS n FROM lineitem GROUP BY 1),
+    safe AS (
+      SELECT 'orders x lineitem ON orderkey' AS key_name,
+             COUNT(*) AS n_matching_keys,
+             CAST(SUM(oc.n * lc.n) AS BIGINT) AS predicted_join_rows,
+             MAX(oc.n * lc.n) AS max_key_fanout,
+             COUNT(*) FILTER (WHERE oc.n * lc.n > 1000) AS keys_over_1000
+      FROM oc JOIN lc USING (k)
+    ),
+    hazard AS (
+      SELECT 'lineitem x lineitem ON suppkey',
+             COUNT(*),
+             CAST(SUM(n * n) AS BIGINT),
+             MAX(n * n),
+             COUNT(*) FILTER (WHERE n * n > 1000)
+      FROM sc
+    )
+    SELECT * FROM safe UNION ALL SELECT * FROM hazard
+"""
