@@ -2102,3 +2102,102 @@ CURATION_ORACLES["q165_span_savings"] = """
               * 1000000) // CAST(SUM(n_spans) AS BIGINT) AS saved_ppm
     FROM per_doc GROUP BY source
 """
+
+
+def q167_boilerplate_position(spark, sf_dir):
+    """WHERE does the boilerplate live?  q130 counts cross-document
+    repeated 5-token windows; this query buckets each window by its
+    POSITION in the document (leading / middle / trailing third) and
+    reports the repetition rate per bucket — the evidence that decides
+    between header-trimming, footer-trimming, and whole-doc dedup for
+    a given crawl.  Window ordinals come from an indexed gram build
+    (struct(idx, gram) → posexplode keeps the slot), the position
+    bucket is integer ((idx·3) div n_windows), and rates are ppm.
+    Unlike q130, windows are NOT de-duplicated within a document —
+    position semantics count every slot (and DuckDB's list_distinct
+    gives no order guarantee to mirror anyway)."""
+    from adhesive_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def _windows(toks):
+        k = F.size(toks) - 4
+        return F.when(
+            k >= 1,
+            F.transform(
+                F.sequence(F.lit(0), k - 1),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 5)),
+            ),
+        ).otherwise(F.array(F.concat_ws(" ", toks)))
+
+    grams = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.element_at(
+                F.transform(
+                    F.array(tokens(F.col("text"))), _windows
+                ),
+                1,
+            )
+        ).alias("idx", "gram"),
+    )
+    n_win = grams.groupBy("doc_id").agg(F.count("*").alias("n_windows"))
+    df_counts = grams.groupBy("gram").agg(
+        F.countDistinct("doc_id").alias("gram_docs")
+    )
+    placed = (
+        grams.join(n_win, "doc_id")
+        .join(df_counts, "gram")
+        .select(
+            F.expr("(idx * 3) div n_windows").alias("pos_bucket"),
+            (F.col("gram_docs") >= 2).alias("is_boiler"),
+        )
+    )
+    return placed.groupBy("pos_bucket").agg(
+        F.count("*").alias("n_windows"),
+        F.count_if(F.col("is_boiler")).alias("n_boiler"),
+        F.expr(
+            "(count_if(is_boiler) * 1000000) div count(*)"
+        ).alias("boiler_ppm"),
+    )
+
+
+CURATION_QUERIES["q167_boilerplate_position"] = q167_boilerplate_position
+
+CURATION_ORACLES["q167_boilerplate_position"] = """
+    WITH t AS (
+      SELECT doc_id,
+             trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                          ' ') AS toks
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) - 4 >= 1
+                  THEN list_transform(
+                         range(1, len(toks) - 4 + 1),
+                         i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2],
+                                        toks[i+3], toks[i+4]))
+                  ELSE [norm] END AS grams
+      FROM t
+    ),
+    x AS (
+      SELECT doc_id, i - 1 AS idx, grams[i] AS gram,
+             len(grams) AS n_windows
+      FROM g, LATERAL (SELECT unnest(range(1, len(grams) + 1)) AS i)
+    ),
+    dfc AS (
+      SELECT gram, COUNT(DISTINCT doc_id) AS gram_docs FROM x GROUP BY gram
+    ),
+    placed AS (
+      SELECT (x.idx * 3) // x.n_windows AS pos_bucket,
+             d.gram_docs >= 2 AS is_boiler
+      FROM x JOIN dfc d USING (gram)
+    )
+    SELECT pos_bucket, COUNT(*) AS n_windows,
+           COUNT(*) FILTER (WHERE is_boiler) AS n_boiler,
+           (COUNT(*) FILTER (WHERE is_boiler) * 1000000) // COUNT(*)
+             AS boiler_ppm
+    FROM placed GROUP BY pos_bucket
+"""
