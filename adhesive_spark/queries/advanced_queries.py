@@ -3033,3 +3033,123 @@ ADVANCED_ORACLES["q166_join_blowup_preflight"] = """
     )
     SELECT * FROM safe UNION ALL SELECT * FROM hazard
 """
+
+
+def q168_rfm_segments(spark, sf_dir):
+    """RFM behavioral segmentation over the event stream: per user,
+    Recency (days from last event to the corpus horizon), Frequency
+    (event count) and Monetary (cents-exact value sum) are each cut
+    into quintiles (NTILE, ties broken by user_id) and the 125-cell
+    segment space is rolled up to its occupied cells — the classic
+    lifecycle segmentation (champions / at-risk / hibernating) as one
+    exact integer pipeline.  The horizon is MAX(ts) so the query is
+    reproducible from the data alone."""
+    from pyspark.sql import Window
+
+    from adhesive_spark.operators.text import scaled_long
+
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.max("ts").alias("last_ts"),
+        F.count("*").alias("freq"),
+        F.sum(scaled_long(F.col("value"), 2)).alias("monetary_c"),
+    )
+    horizon = per_user.agg(F.max("last_ts").alias("h"))
+    scored = per_user.join(F.broadcast(horizon)).select(
+        "user_id",
+        F.datediff(F.col("h"), F.col("last_ts")).alias("recency_days"),
+        "freq",
+        "monetary_c",
+    )
+    q = lambda c: F.ntile(5).over(Window.orderBy(F.col(c), "user_id"))
+    seg = scored.select(
+        "user_id",
+        # recency: LOWER days = better, so invert the quintile
+        (F.lit(6) - q("recency_days")).alias("r"),
+        q("freq").alias("f"),
+        q("monetary_c").alias("m"),
+    )
+    return seg.groupBy("r", "f", "m").agg(
+        F.count("*").alias("n_users")
+    )
+
+
+ADVANCED_QUERIES["q168_rfm_segments"] = q168_rfm_segments
+
+ADVANCED_ORACLES["q168_rfm_segments"] = """
+    WITH per_user AS (
+      SELECT user_id, MAX(ts) AS last_ts, COUNT(*) AS freq,
+             CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+               AS monetary_c
+      FROM events GROUP BY user_id
+    ),
+    h AS (SELECT MAX(last_ts) AS h FROM per_user),
+    scored AS (
+      SELECT user_id,
+             date_diff('day', CAST(last_ts AS DATE), CAST(h.h AS DATE))
+               AS recency_days,
+             freq, monetary_c
+      FROM per_user, h
+    ),
+    seg AS (
+      SELECT user_id,
+             6 - NTILE(5) OVER (ORDER BY recency_days, user_id) AS r,
+             NTILE(5) OVER (ORDER BY freq, user_id) AS f,
+             NTILE(5) OVER (ORDER BY monetary_c, user_id) AS m
+      FROM scored
+    )
+    SELECT r, f, m, COUNT(*) AS n_users FROM seg GROUP BY r, f, m
+"""
+
+
+def q169_error_bursts(spark, sf_dir):
+    """Error-burst detection: the max number of 'error' events any
+    user fires inside one 5-minute tumbling window, plus how many
+    users ever burst ≥ 3 — the alerting primitive that separates a
+    background error rate from an incident (or an abusive client).
+    Tumbling windows are exact integer epoch buckets (floor(epoch/300))
+    so the oracle agrees bucket-for-bucket; per-(user, bucket) counts
+    then one global rollup."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type") == "error"
+    )
+    b = ev.select(
+        "user_id",
+        F.expr("CAST(unix_timestamp(ts) AS BIGINT) div 300").alias(
+            "bucket"
+        ),
+    )
+    per = b.groupBy("user_id", "bucket").agg(
+        F.count("*").alias("n_errors")
+    )
+    per_user = per.groupBy("user_id").agg(
+        F.max("n_errors").alias("max_burst")
+    )
+    return per_user.agg(
+        F.count("*").alias("n_users_with_errors"),
+        F.max("max_burst").alias("worst_burst"),
+        F.count_if(F.col("max_burst") >= 3).alias("n_users_bursting"),
+        F.sum("max_burst").alias("sum_max_bursts"),
+    )
+
+
+ADVANCED_QUERIES["q169_error_bursts"] = q169_error_bursts
+
+ADVANCED_ORACLES["q169_error_bursts"] = """
+    WITH b AS (
+      SELECT user_id, CAST(epoch(ts) AS BIGINT) // 300 AS bucket
+      FROM events WHERE event_type = 'error'
+    ),
+    per AS (
+      SELECT user_id, bucket, COUNT(*) AS n_errors
+      FROM b GROUP BY user_id, bucket
+    ),
+    per_user AS (
+      SELECT user_id, MAX(n_errors) AS max_burst FROM per GROUP BY user_id
+    )
+    SELECT COUNT(*) AS n_users_with_errors,
+           MAX(max_burst) AS worst_burst,
+           COUNT(*) FILTER (WHERE max_burst >= 3) AS n_users_bursting,
+           CAST(SUM(max_burst) AS BIGINT) AS sum_max_bursts
+    FROM per_user
+"""
