@@ -1590,3 +1590,76 @@ RELATIONAL_ORACLES["q139_supplier_part_counts"] = """
           (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
     GROUP BY p_brand, p_type, p_size
 """
+
+
+def q170_ship_latency(spark, sf_dir):
+    """Order-to-ship latency SLO bands per order priority: exact
+    nearest-rank p50/p90 of (first ship date − order date) in days —
+    the fulfilment-ops panel, built with the same integer
+    ROW_NUMBER percentile machinery as q140 (no interpolation, no
+    float sums).  The latency joins order header to its EARLIEST
+    lineitem shipment (min per order), so each order contributes one
+    exact integer."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    first_ship = li.groupBy("l_orderkey").agg(
+        F.min("l_shipdate").alias("first_ship")
+    )
+    lat = o.join(
+        first_ship, F.col("o_orderkey") == F.col("l_orderkey")
+    ).select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.datediff(F.col("first_ship"), F.col("o_orderdate")).alias(
+            "days"
+        ),
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("days", "o_orderkey")
+    ww = Window.partitionBy("o_orderpriority")
+    r = lat.select(
+        "o_orderpriority",
+        "days",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(ww).alias("n"),
+    )
+    return r.groupBy("o_orderpriority").agg(
+        F.max("n").alias("n_orders"),
+        F.max(F.when(F.expr("rn = (n + 1) div 2"), F.col("days"))).alias(
+            "p50_days"
+        ),
+        F.max(
+            F.when(F.expr("rn = (n * 90 + 99) div 100"), F.col("days"))
+        ).alias("p90_days"),
+        F.max("days").alias("max_days"),
+    )
+
+
+RELATIONAL_QUERIES["q170_ship_latency"] = q170_ship_latency
+
+RELATIONAL_ORACLES["q170_ship_latency"] = """
+    WITH fs AS (
+      SELECT l_orderkey, MIN(l_shipdate) AS first_ship
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    lat AS (
+      SELECT o_orderpriority, o_orderkey,
+             date_diff('day', CAST(o_orderdate AS DATE),
+                       CAST(first_ship AS DATE)) AS days
+      FROM orders JOIN fs ON o_orderkey = l_orderkey
+    ),
+    r AS (
+      SELECT o_orderpriority, days,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY days, o_orderkey) AS rn,
+             COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+      FROM lat
+    )
+    SELECT o_orderpriority, MAX(n) AS n_orders,
+           MAX(CASE WHEN rn = (n + 1) // 2 THEN days END) AS p50_days,
+           MAX(CASE WHEN rn = (n * 90 + 99) // 100 THEN days END)
+             AS p90_days,
+           MAX(days) AS max_days
+    FROM r GROUP BY o_orderpriority
+"""
