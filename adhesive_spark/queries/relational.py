@@ -1663,3 +1663,153 @@ RELATIONAL_ORACLES["q170_ship_latency"] = """
            MAX(days) AS max_days
     FROM r GROUP BY o_orderpriority
 """
+
+
+def q171_revenue_momentum(spark, sf_dir):
+    """Month-over-month revenue momentum per order priority: monthly
+    cents-exact revenue, the previous month's (LAG over the month
+    series), and the signed delta in ppm — the growth-rate time series
+    every revenue dashboard draws, built without floats (cents in,
+    integer ppm out; month key = y*100+m so the lag order is a plain
+    integer sort).  Output trimmed to 1996 to keep the checked result
+    small while still crossing a year of lag boundaries."""
+    from pyspark.sql import Window
+
+    from adhesive_spark.operators.text import scaled_long
+
+    o = _t(spark, sf_dir, "orders")
+    monthly = (
+        o.select(
+            "o_orderpriority",
+            (F.year("o_orderdate") * 100 + F.month("o_orderdate")).alias(
+                "ym"
+            ),
+            scaled_long(F.col("o_totalprice"), 2).alias("rev_c"),
+        )
+        .groupBy("o_orderpriority", "ym")
+        .agg(F.sum("rev_c").alias("rev_c"))
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("ym")
+    return (
+        monthly.withColumn("prev_c", F.lag("rev_c").over(w))
+        .where(
+            (F.col("ym") >= 199601)
+            & (F.col("ym") <= 199612)
+            & F.col("prev_c").isNotNull()
+        )
+        .select(
+            "o_orderpriority",
+            "ym",
+            "rev_c",
+            "prev_c",
+            F.expr(
+                "((rev_c - prev_c) * 1000000) div greatest(prev_c, 1)"
+            ).alias("mom_ppm"),
+        )
+    )
+
+
+RELATIONAL_QUERIES["q171_revenue_momentum"] = q171_revenue_momentum
+
+RELATIONAL_ORACLES["q171_revenue_momentum"] = """
+    WITH monthly AS (
+      SELECT o_orderpriority,
+             EXTRACT(year FROM o_orderdate) * 100
+               + EXTRACT(month FROM o_orderdate) AS ym,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                  AS BIGINT) AS rev_c
+      FROM orders GROUP BY 1, 2
+    ),
+    lagged AS (
+      SELECT o_orderpriority, ym, rev_c,
+             LAG(rev_c) OVER (PARTITION BY o_orderpriority
+                              ORDER BY ym) AS prev_c
+      FROM monthly
+    )
+    SELECT o_orderpriority, ym, rev_c, prev_c,
+           ((rev_c - prev_c) * 1000000) // GREATEST(prev_c, 1) AS mom_ppm
+    FROM lagged
+    WHERE ym BETWEEN 199601 AND 199612 AND prev_c IS NOT NULL
+"""
+
+
+def q172_basket_lift(spark, sf_dir):
+    """Market-basket affinity: part PAIRS co-bought in the same order
+    with LIFT > 2, association-rule mining's core statistic, filtered
+    with an integer cross-multiplied predicate (lift = N·n_ab /
+    (n_a·n_b) > 2 ⇔ N·n_ab > 2·n_a·n_b — no division, engine-exact).
+    The pair space is bounded by per-order basket size (the q131
+    wedge-join argument), never by the catalog²; support floor ≥ 3
+    co-occurrences prunes noise pairs before the lift join.  Output:
+    qualifying pairs with their support counts."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n_orders = li.select("l_orderkey").distinct().agg(
+        F.count("*").alias("n_orders")
+    )
+    part_counts = li.groupBy("l_partkey").agg(
+        F.count("*").alias("n_part")
+    )
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").alias("n_ab"))
+        .where(F.col("n_ab") >= 3)
+    )
+    return (
+        pairs.join(
+            part_counts.withColumnsRenamed(
+                {"l_partkey": "part_a", "n_part": "n_a"}
+            ),
+            "part_a",
+        )
+        .join(
+            part_counts.withColumnsRenamed(
+                {"l_partkey": "part_b", "n_part": "n_b"}
+            ),
+            "part_b",
+        )
+        .join(F.broadcast(n_orders))
+        .where(
+            F.col("n_orders") * F.col("n_ab")
+            > 2 * F.col("n_a") * F.col("n_b")
+        )
+        .select("part_a", "part_b", "n_ab", "n_a", "n_b")
+    )
+
+
+RELATIONAL_QUERIES["q172_basket_lift"] = q172_basket_lift
+
+RELATIONAL_ORACLES["q172_basket_lift"] = """
+    WITH li AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM li),
+    pc AS (SELECT l_partkey, COUNT(*) AS n_part FROM li GROUP BY 1),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             COUNT(*) AS n_ab
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey
+       AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= 3
+    )
+    SELECT part_a, part_b, n_ab, pa.n_part AS n_a, pb.n_part AS n_b
+    FROM pairs
+    JOIN pc pa ON pairs.part_a = pa.l_partkey
+    JOIN pc pb ON pairs.part_b = pb.l_partkey
+    CROSS JOIN n
+    WHERE n.n_orders * n_ab > 2 * pa.n_part * pb.n_part
+"""
