@@ -1813,3 +1813,59 @@ RELATIONAL_ORACLES["q172_basket_lift"] = """
     CROSS JOIN n
     WHERE n.n_orders * n_ab > 2 * pa.n_part * pb.n_part
 """
+
+
+def q173_supplier_hhi(spark, sf_dir):
+    """Supplier-concentration HHI per part brand: the Herfindahl index
+    Σ share² over each supplier's revenue share of the brand, in
+    integer basis points (shares floored to bp before squaring, so the
+    index is engine-exact) — the supply-chain risk metric that flags a
+    brand one supplier outage can halt (HHI → 10000 = monopoly).
+    Cents-exact revenue in, two keyed aggregates + one broadcast join,
+    no floats anywhere."""
+    from adhesive_spark.operators.text import scaled_long
+
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    rev = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "l_suppkey")
+        .agg(
+            F.sum(scaled_long(F.col("l_extendedprice"), 2)).alias("rev_c")
+        )
+    )
+    tot = rev.groupBy("p_brand").agg(F.sum("rev_c").alias("tot_c"))
+    shares = rev.join(F.broadcast(tot), "p_brand").select(
+        "p_brand",
+        F.expr("(rev_c * 10000) div tot_c").alias("share_bp"),
+    )
+    return shares.groupBy("p_brand").agg(
+        F.count("*").alias("n_suppliers"),
+        F.expr("sum(share_bp * share_bp) div 10000").alias("hhi_bp"),
+        F.max("share_bp").alias("top_share_bp"),
+    )
+
+
+RELATIONAL_QUERIES["q173_supplier_hhi"] = q173_supplier_hhi
+
+RELATIONAL_ORACLES["q173_supplier_hhi"] = """
+    WITH rev AS (
+      SELECT p_brand, l_suppkey,
+             CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT))
+                  AS BIGINT) AS rev_c
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY p_brand, l_suppkey
+    ),
+    tot AS (
+      SELECT p_brand, CAST(SUM(rev_c) AS BIGINT) AS tot_c
+      FROM rev GROUP BY p_brand
+    ),
+    shares AS (
+      SELECT rev.p_brand, (rev_c * 10000) // tot_c AS share_bp
+      FROM rev JOIN tot USING (p_brand)
+    )
+    SELECT p_brand, COUNT(*) AS n_suppliers,
+           CAST(SUM(share_bp * share_bp) // 10000 AS BIGINT) AS hhi_bp,
+           MAX(share_bp) AS top_share_bp
+    FROM shares GROUP BY p_brand
+"""
