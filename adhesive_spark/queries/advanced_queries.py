@@ -3153,3 +3153,59 @@ ADVANCED_ORACLES["q169_error_bursts"] = """
            CAST(SUM(max_burst) AS BIGINT) AS sum_max_bursts
     FROM per_user
 """
+
+
+def q174_rolling_wau(spark, sf_dir):
+    """Rolling 7-day active users — the exact WAU curve: for every day
+    in January 2024, the count of DISTINCT users active in the 7-day
+    window ending that day.  Rolling DISTINCT cannot ride a window
+    frame (count_distinct over RANGE is unsupported in every engine),
+    so the exact formulation is the day-spine join: (user, active-day)
+    pairs join the spine on a 7-day band — fan-out bounded at 7× the
+    distinct-day pairs, never the event count.  The rollout decision
+    metric for any activation experiment, exactly computed."""
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.to_date("ts").alias("d")
+    ).distinct()
+    spine = spark.range(0, 31).select(
+        F.date_add(F.lit("2024-01-01").cast("date"), F.col("id").cast("int")).alias(
+            "day"
+        )
+    )
+    joined = spine.join(
+        days,
+        (F.col("d") <= F.col("day"))
+        & (F.col("d") >= F.date_sub(F.col("day"), 6)),
+    )
+    # dates cross the driver-hash boundary as ISO strings: pandas maps
+    # Spark DATE to object but DuckDB DATE to datetime64 — strings are
+    # the portable wire form (same convention as the SCD2 outputs)
+    return joined.groupBy("day").agg(
+        F.countDistinct("user_id").alias("wau"),
+        F.countDistinct("d").alias("n_active_days_in_window"),
+    ).select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "wau",
+        "n_active_days_in_window",
+    )
+
+
+ADVANCED_QUERIES["q174_rolling_wau"] = q174_rolling_wau
+
+ADVANCED_ORACLES["q174_rolling_wau"] = """
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    spine AS (
+      SELECT CAST('2024-01-01' AS DATE) + INTERVAL (i) DAY AS day
+      FROM (SELECT unnest(range(0, 31)) AS i)
+    )
+    SELECT strftime(CAST(s.day AS DATE), '%Y-%m-%d') AS day,
+           COUNT(DISTINCT d.user_id) AS wau,
+           COUNT(DISTINCT d.d) AS n_active_days_in_window
+    FROM spine s JOIN days d
+      ON d.d <= CAST(s.day AS DATE)
+     AND d.d >= CAST(s.day AS DATE) - INTERVAL 6 DAY
+    GROUP BY 1
+"""
