@@ -1869,3 +1869,77 @@ RELATIONAL_ORACLES["q173_supplier_hhi"] = """
            MAX(share_bp) AS top_share_bp
     FROM shares GROUP BY p_brand
 """
+
+
+def q175_discount_elasticity(spark, sf_dir):
+    """Discount-band elasticity panel: per 1%-discount band, the mean
+    quantity (×100, integer) and mean extended price in cents — the
+    what-if table behind every TPC-H-Q6-style promotion decision
+    ("does a deeper discount actually move volume?").  Bands are exact
+    integer percent buckets; means are integer div over exact sums, so
+    the panel is engine-exact."""
+    li = _t(spark, sf_dir, "lineitem")
+    from adhesive_spark.operators.text import scaled_long
+
+    banded = li.select(
+        F.expr(
+            "CAST(ROUND(l_discount * 100, 0) AS BIGINT)"
+        ).alias("disc_pct"),
+        F.col("l_quantity").cast("long").alias("qty"),
+        scaled_long(F.col("l_extendedprice"), 2).alias("price_c"),
+    )
+    return banded.groupBy("disc_pct").agg(
+        F.count("*").alias("n_lines"),
+        F.expr("(sum(qty) * 100) div count(*)").alias("mean_qty_x100"),
+        F.expr("sum(price_c) div count(*)").alias("mean_price_c"),
+    )
+
+
+RELATIONAL_QUERIES["q175_discount_elasticity"] = q175_discount_elasticity
+
+RELATIONAL_ORACLES["q175_discount_elasticity"] = """
+    WITH b AS (
+      SELECT CAST(ROUND(l_discount * 100, 0) AS BIGINT) AS disc_pct,
+             CAST(l_quantity AS BIGINT) AS qty,
+             CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS price_c
+      FROM lineitem
+    )
+    SELECT disc_pct, COUNT(*) AS n_lines,
+           (CAST(SUM(qty) AS BIGINT) * 100) // COUNT(*) AS mean_qty_x100,
+           CAST(SUM(price_c) AS BIGINT) // COUNT(*) AS mean_price_c
+    FROM b GROUP BY disc_pct
+"""
+
+
+def q176_return_rates(spark, sf_dir):
+    """Return-rate league table per brand: the share of lineitems
+    flagged 'R' in ppm, with an integer binomial sanity band (brands
+    below 30 lines are marked low-sample instead of ranked) — the
+    quality-complaint proxy a merchandising team reviews weekly.
+    One broadcast dim join + one keyed aggregate."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    j = li.join(
+        F.broadcast(p), F.col("l_partkey") == F.col("p_partkey")
+    ).select("p_brand", (F.col("l_returnflag") == "R").alias("is_ret"))
+    return j.groupBy("p_brand").agg(
+        F.count("*").alias("n_lines"),
+        F.count_if(F.col("is_ret")).alias("n_returned"),
+        F.expr("(count_if(is_ret) * 1000000) div count(*)").alias(
+            "return_ppm"
+        ),
+        (F.count("*") < 30).alias("low_sample"),
+    )
+
+
+RELATIONAL_QUERIES["q176_return_rates"] = q176_return_rates
+
+RELATIONAL_ORACLES["q176_return_rates"] = """
+    SELECT p_brand, COUNT(*) AS n_lines,
+           COUNT(*) FILTER (WHERE l_returnflag = 'R') AS n_returned,
+           (COUNT(*) FILTER (WHERE l_returnflag = 'R') * 1000000)
+             // COUNT(*) AS return_ppm,
+           COUNT(*) < 30 AS low_sample
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+"""
