@@ -18,59 +18,58 @@ from pyspark.sql import DataFrame, SparkSession
 # no fully-green row in any committed CORRECTNESS_r*.json (oldest query
 # number first), so each round's window automatically rotates through
 # the never-yet-verified backlog; _GRADE_FIRST is the static fallback
-# (the round-5 window) used only if the history files are unreadable.
+# (the round-6 window) used only if the history files are unreadable.
 _GRADE_FIRST = [
-    "q51_pivot",
-    "q52_unpivot",
-    "q53_sessionize",
-    "q54_winnow_fingerprints",
-    "q55_correlated_exists",
-    "q56_pii_redact",
-    "q57_rolling_window",
-    "q58_column_profile",
-    "q59_fk_integrity",
-    "q60_label_centroids",
-    "q61_kmeans",
-    "q62_hopping_window",
-    "q63_analytic_functions",
-    "q64_media_knn",
-    "q65_null_semantics",
-    "q66_decimal_exact",
-    "q67_dataset_split",
-    "q68_incremental_rollup",
-    "q69_contamination_check",
-    "q70_stratified_sample",
-    "q71_domain_cap",
-    "q72_embedding_quantize",
-    "q73_corpus_filter",
-    "q74_heavy_hitters",
-    "q75_approx_quantile_contract",
-    "q76_token_shards",
-    "q82_mixture_sample",
-    "q83_ivf_persisted_probe",
-    "q85_doc_chunking",
-    "q86_incremental_dedup",
-    "q87_sequence_packing",
-    "q88_semantic_dedup",
-    "q89_hll_merge",
-    "q90_theta_overlap",
-    "q91_recursive_month_spine",
-    "q92_variant_shred",
-    "q93_repetition_quality",
-    "q98_udtf_table_profile",
-    "q99_array_analytics",
-    "q100_corpus_report",
-    # new this round — never driver-verified yet
-    "q101_knn_ivf_refined",
-    "q102_curation_pipeline",
-    "q103_bloom_incremental_dedup",
-    "q104_cohort_retention",
-    "q105_funnel",
-    "q106_pagerank",
-    "q107_min_cost_supplier",
-    "q108_excess_share_suppliers",
-    "q109_canonical_dedup",
-    "q110_scd2_history",
+    "q111_fuzzy_name_join",
+    "q112_global_sales_opportunity",
+    "q113_equidepth_histogram",
+    "q114_group_exact_sample",
+    "q115_gap_fill_interpolate",
+    "q116_ppjoin_pairs",
+    "q117_late_shipment_check",
+    "q118_customer_distribution",
+    "q119_top_supplier",
+    "q120_discounted_revenue",
+    "q121_nation_profit",
+    "q122_weighted_sample",
+    "q123_mad_outliers",
+    "q124_top_p_sources",
+    "q125_lateral_topk",
+    "q126_temperature_mixture",
+    "q127_cluster_blocked_neardup",
+    "q128_winsorize",
+    "q129_corpus_diff",
+    "q130_boilerplate_spans",
+    "q131_triangle_count",
+    "q132_char_diversity",
+    "q133_paragraph_dedup",
+    "q134_vocab_growth",
+    "q135_skew_profile",
+    "q136_length_bucketing",
+    "q137_important_parts",
+    "q138_priority_shipping",
+    "q139_supplier_part_counts",
+    "q140_latency_bands",
+    "q141_inverted_index",
+    "q142_freq_spectrum",
+    "q143_media_batch_plan",
+    "q144_udf_pandas_aggregate",
+    "q145_udf_table_function",
+    "q146_rarity_score",
+    "q147_leakage_safe_split",
+    "q148_deletion_propagation",
+    "q149_inverted_index_persisted",
+    "q150_drift_monitor",
+    "q151_hard_negatives",
+    "q152_ann_recall",
+    "q153_retrieval_mrr",
+    "q154_minhash_persisted_probe",
+    "q155_media_dedup",
+    "q156_oov_rate",
+    "q157_semantic_drift",
+    "q158_embedding_qa",
+    "q159_event_transitions",
+    "q160_dup_cluster_sizes",
 ]
 
 
