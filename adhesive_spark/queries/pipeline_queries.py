@@ -1319,3 +1319,62 @@ PIPELINE_ORACLES["q163_lsh_banding_eval"] = _minhash_oracle_sql(
                  AS precision_ppm
     """,
 )
+
+
+def q177_embedding_coverage(spark, sf_dir):
+    """Cross-modal coverage audit: how much of the document corpus has
+    an embedding (join on the shared id space), how many embeddings
+    are orphaned (no source doc — stale index entries), and the
+    coverage rate per source in ppm — the referential-integrity check
+    between a text corpus and its derived vector table that q59 does
+    for relational FKs.  Run BEFORE any retrieval eval: a low-coverage
+    source silently vanishes from semantic search.  Two broadcast-able
+    anti/semi joins + one keyed aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    emb_ids = emb.select(F.col("vec_id").alias("doc_id")).distinct()
+    cov = docs.join(
+        emb_ids.withColumn("has_emb", F.lit(True)), "doc_id", "left"
+    )
+    per_source = cov.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.count_if(F.col("has_emb")).alias("n_embedded"),
+        F.expr(
+            "(count_if(has_emb) * 1000000) div count(*)"
+        ).alias("coverage_ppm"),
+    )
+    orphans = emb_ids.join(
+        docs.select("doc_id"), "doc_id", "left_anti"
+    ).agg(F.count("*").alias("n"))
+    return per_source.join(F.broadcast(orphans)).select(
+        "source",
+        "n_docs",
+        "n_embedded",
+        "coverage_ppm",
+        F.col("n").alias("n_orphan_embeddings"),
+    )
+
+
+PIPELINE_QUERIES["q177_embedding_coverage"] = q177_embedding_coverage
+
+PIPELINE_ORACLES["q177_embedding_coverage"] = """
+    WITH e AS (SELECT DISTINCT vec_id AS doc_id FROM embeddings),
+    cov AS (
+      SELECT d.source, d.doc_id, e.doc_id IS NOT NULL AS has_emb
+      FROM documents d LEFT JOIN e USING (doc_id)
+    ),
+    per_source AS (
+      SELECT source, COUNT(*) AS n_docs,
+             COUNT(*) FILTER (WHERE has_emb) AS n_embedded,
+             (COUNT(*) FILTER (WHERE has_emb) * 1000000) // COUNT(*)
+               AS coverage_ppm
+      FROM cov GROUP BY source
+    ),
+    orphans AS (
+      SELECT COUNT(*) AS n FROM e
+      WHERE doc_id NOT IN (SELECT doc_id FROM documents)
+    )
+    SELECT source, n_docs, n_embedded, coverage_ppm,
+           orphans.n AS n_orphan_embeddings
+    FROM per_source, orphans
+"""
