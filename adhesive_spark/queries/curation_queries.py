@@ -2201,3 +2201,57 @@ CURATION_ORACLES["q167_boilerplate_position"] = """
              AS boiler_ppm
     FROM placed GROUP BY pos_bucket
 """
+
+
+def q178_syndication(spark, sf_dir):
+    """Cross-source syndication detection: exact-duplicate texts that
+    appear under TWO OR MORE distinct sources (wire stories, mirrored
+    pages, scraped re-posts) — the provenance signal that decides which
+    source "owns" a duplicate during per-source capping, and the one
+    dedup statistic source-level mixture math silently depends on.
+    Per source: docs whose fingerprint also lives elsewhere, in ppm.
+    Narrow (fp, source) rows through two keyed aggregates + one
+    broadcast-able semi-join."""
+    docs = load_table(spark, sf_dir, "documents")
+    fps = docs.select(
+        "source", fingerprint(F.col("text")).alias("fp")
+    )
+    multi = (
+        fps.select("fp", "source")
+        .distinct()
+        .groupBy("fp")
+        .agg(F.countDistinct("source").alias("n_sources"))
+        .where(F.col("n_sources") >= 2)
+        .select("fp")
+    )
+    flagged = fps.join(
+        F.broadcast(multi.withColumn("syn", F.lit(True))), "fp", "left"
+    )
+    return flagged.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.count_if(F.col("syn")).alias("n_syndicated"),
+        F.expr("(count_if(syn) * 1000000) div count(*)").alias(
+            "syndication_ppm"
+        ),
+    )
+
+
+CURATION_QUERIES["q178_syndication"] = q178_syndication
+
+CURATION_ORACLES["q178_syndication"] = """
+    WITH fps AS (
+      SELECT source,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+      FROM documents
+    ),
+    multi AS (
+      SELECT fp FROM (SELECT DISTINCT fp, source FROM fps)
+      GROUP BY fp HAVING COUNT(DISTINCT source) >= 2
+    )
+    SELECT f.source, COUNT(*) AS n_docs,
+           COUNT(*) FILTER (WHERE m.fp IS NOT NULL) AS n_syndicated,
+           (COUNT(*) FILTER (WHERE m.fp IS NOT NULL) * 1000000)
+             // COUNT(*) AS syndication_ppm
+    FROM fps f LEFT JOIN multi m USING (fp)
+    GROUP BY f.source
+"""
