@@ -325,3 +325,31 @@ def temperature_mixture(
         .where(bucket < F.floor(F.col("__rate") * 10000))
         .drop("__rate")
     )
+
+
+def k_anonymity_screen(
+    df: DataFrame, quasi_cols: list, k: int = 10
+) -> DataFrame:
+    """Privacy release gate: group the table by its quasi-identifier
+    combination and flag equivalence classes smaller than ``k`` — the
+    k-anonymity criterion (Sweeney 2002, public formulation): a row in
+    a class of size < k is re-identifiable by joining the quasi-
+    identifiers against an external dataset, so a corpus slice is only
+    releasable once every class reaches k (suppress or generalize the
+    rest).
+
+    ``quasi_cols`` may contain column names or derived Columns (e.g.
+    a bucketed length — generalization IS the standard fix, so the
+    screen accepts the generalized expressions directly).
+
+    Output: one row per equivalence class — the quasi values,
+    ``class_n`` and ``at_risk`` — so the caller can either gate
+    (``at_risk`` count must be 0) or route risky classes to
+    suppression.  ONE hash aggregate on the quasi key; at 100 TB that
+    is the same shuffle a groupBy-count costs, and the skew profile is
+    the corpus's own (AQE handles hot classes).
+    """
+    return df.groupBy(*quasi_cols).agg(
+        F.count(F.lit(1)).alias("class_n"),
+        (F.count(F.lit(1)) < F.lit(k)).alias("at_risk"),
+    )

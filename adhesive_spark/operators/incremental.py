@@ -16,7 +16,7 @@ oracle checks (q68).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -69,3 +69,53 @@ def merge_rollup(state: DataFrame, delta: DataFrame, keys: list[str]) -> DataFra
         ).alias("value_max"),
     )
     return merged
+
+
+def apply_cdc(
+    log: DataFrame,
+    key_cols: list[str],
+    seq_cols: list[str],
+    op_col: str = "op",
+    *,
+    base: DataFrame | None = None,
+    delete_op: str = "delete",
+) -> DataFrame:
+    """MERGE-INTO semantics over a CDC log: latest-op-per-key wins,
+    surviving deletes drop the key.  The reconciliation step every
+    CDC-fed lakehouse table needs (Debezium/DMS-style logs → current
+    snapshot), expressed as ONE key-partitioned window — shuffle width
+    is the log, never history × log:
+
+    - rank ops per key by ``seq_cols`` DESCENDING (the log's total
+      order: e.g. [ts, event_id] — the tie-break column must be unique
+      per key or "latest" is undefined);
+    - keep row_number() == 1, then drop keys whose winning op is
+      ``delete_op``.
+
+    With ``base`` given, base rows join in as lowest-priority upserts
+    (a log entry for the key always supersedes), implemented by a
+    left-anti of base against the log's keys + union — the base is
+    touched once, no per-row comparison against history.
+
+    At 100 TB: the window shuffles the LOG on the key; the base path is
+    an anti join on distinct log keys (broadcastable when the batch is
+    small).  Compare q110 (SCD2) which keeps every version; this
+    operator materializes only the current snapshot.
+    """
+    w = F.row_number().over(
+        Window.partitionBy(*key_cols).orderBy(
+            *[F.col(c).desc() for c in seq_cols]
+        )
+    )
+    latest = (
+        log.withColumn("__rn", w)
+        .where(F.col("__rn") == 1)
+        .where(F.col(op_col) != F.lit(delete_op))
+        .drop("__rn")
+    )
+    if base is None:
+        return latest
+    untouched = base.join(
+        log.select(*key_cols).distinct(), key_cols, "left_anti"
+    )
+    return untouched.unionByName(latest.select(*base.columns))

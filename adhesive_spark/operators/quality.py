@@ -76,3 +76,103 @@ def fk_orphans(
         .groupBy(child_key)
         .agg(F.count(F.lit(1)).alias("n_rows"))
     )
+
+
+def expectation_report(
+    df: DataFrame,
+    rules: list[tuple],
+    *,
+    parents: dict[str, DataFrame] | None = None,
+) -> DataFrame:
+    """Declarative expectation suite (dbt-test / Great-Expectations
+    style): evaluate a list of rules and return one row per rule —
+    ``(rule, n_violations, passed)`` — so ingest can gate on
+    ``passed = false`` rows.
+
+    Rule forms (tuples, first element is the kind):
+
+    - ``("not_null", col)``
+    - ``("accepted_values", col, [v, ...])`` — NULL passes (pair with
+      not_null to forbid it), matching dbt semantics
+    - ``("in_range", col, lo, hi)`` — inclusive bounds, NULL passes
+    - ``("matches", col, regex)`` — NULL passes
+    - ``("unique", col)`` — violations = non-null rows beyond the first
+      per value (``count(col) - count(distinct col)``)
+    - ``("fk", col, parent_name, parent_key)`` — parent looked up in
+      ``parents``; violations = non-null child keys with no parent
+
+    Scale shape: every row-level rule AND every unique rule folds into
+    ONE wide aggregate over a single scan (distinct partials ride
+    Catalyst's Expand); each fk rule adds one anti-join aggregate whose
+    build side is the DISTINCT parent key (broadcastable for dimension
+    tables).  The union of one-row results is driver-free.
+    """
+    parents = parents or {}
+    aggs: list = []
+    labels: list[str] = []
+    fk_reports: list[DataFrame] = []
+    for rule in rules:
+        kind, col = rule[0], rule[1]
+        if kind == "not_null":
+            pred = F.col(col).isNull()
+        elif kind == "accepted_values":
+            pred = F.col(col).isNotNull() & ~F.col(col).isin(*rule[2])
+        elif kind == "in_range":
+            lo, hi = rule[2], rule[3]
+            pred = F.col(col).isNotNull() & (
+                (F.col(col) < F.lit(lo)) | (F.col(col) > F.lit(hi))
+            )
+        elif kind == "matches":
+            pred = F.col(col).isNotNull() & ~F.col(col).rlike(rule[2])
+        elif kind == "unique":
+            labels.append(f"unique({col})")
+            aggs.append(
+                (F.count(F.col(col)) - F.count_distinct(F.col(col))).alias(
+                    f"__v{len(labels) - 1}"
+                )
+            )
+            continue
+        elif kind == "fk":
+            parent_name, parent_key = rule[2], rule[3]
+            orphans = fk_orphans(
+                df, parents[parent_name], col, parent_key
+            ).agg(F.coalesce(F.sum("n_rows"), F.lit(0)).alias("n_violations"))
+            fk_reports.append(
+                orphans.select(
+                    F.lit(f"fk({col}->{parent_name}.{parent_key})").alias(
+                        "rule"
+                    ),
+                    F.col("n_violations").cast("long"),
+                    (F.col("n_violations") == 0).alias("passed"),
+                )
+            )
+            continue
+        else:
+            raise ValueError(f"unknown expectation kind: {kind}")
+        labels.append(f"{kind}({col})")
+        aggs.append(
+            F.sum(pred.cast("long")).alias(f"__v{len(labels) - 1}")
+        )
+    out: DataFrame | None = None
+    if aggs:
+        wide = df.agg(*aggs)
+        rows = F.array(
+            *[
+                F.struct(
+                    F.lit(lbl).alias("rule"),
+                    F.coalesce(F.col(f"__v{i}"), F.lit(0))
+                    .cast("long")
+                    .alias("n_violations"),
+                    (F.coalesce(F.col(f"__v{i}"), F.lit(0)) == 0).alias(
+                        "passed"
+                    ),
+                )
+                for i, lbl in enumerate(labels)
+            ]
+        )
+        out = wide.select(F.explode(rows).alias("r")).select("r.*")
+    for rep in fk_reports:
+        out = rep if out is None else out.unionByName(rep)
+    if out is None:
+        raise ValueError("no rules given")
+    return out

@@ -3209,3 +3209,225 @@ ADVANCED_ORACLES["q174_rolling_wau"] = """
      AND d.d >= CAST(s.day AS DATE) - INTERVAL 6 DAY
     GROUP BY 1
 """
+
+
+def q180_cdc_merge_apply(spark, sf_dir):
+    """MERGE-INTO / CDC reconciliation: treat the events stream as a
+    change log keyed by user_id — 'error' events are tombstones
+    (deletes), everything else upserts the user's current state — and
+    materialize the CURRENT snapshot with latest-op-per-key-wins
+    semantics (:func:`adhesive_spark.operators.incremental.apply_cdc`).
+    The Debezium/DMS apply step every CDC-fed lakehouse table needs;
+    q110 (SCD2) keeps all versions, this keeps only the live row.
+
+    ONE window shuffle on the key (the log's width, never history ×
+    log); the op rank order [ts, event_id] is the log's total order, so
+    replays reconcile identically."""
+    from adhesive_spark.operators.incremental import apply_cdc
+
+    events = load_table(spark, sf_dir, "events")
+    log = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "error", F.lit("delete"))
+        .otherwise(F.lit("upsert"))
+        .alias("op"),
+        scaled_long(F.col("value"), 2).alias("value_c"),
+    )
+    live = apply_cdc(
+        log, ["user_id"], ["ts", "event_id"], "op", delete_op="delete"
+    )
+    return live.select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("value_c").alias("last_value_cents"),
+    )
+
+
+ADVANCED_QUERIES["q180_cdc_merge_apply"] = q180_cdc_merge_apply
+
+ADVANCED_ORACLES["q180_cdc_merge_apply"] = """
+    WITH ranked AS (
+      SELECT user_id, event_id,
+             CAST(ROUND(value * 100, 0) AS BIGINT) AS value_c,
+             CASE WHEN event_type = 'error' THEN 'delete'
+                  ELSE 'upsert' END AS op,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    SELECT user_id, event_id AS last_event_id,
+           value_c AS last_value_cents
+    FROM ranked WHERE rn = 1 AND op <> 'delete'
+"""
+
+
+def q182_attribution(spark, sf_dir):
+    """Last-touch marketing attribution: each purchase is credited to
+    the user's most recent preceding click or view within a 7-day
+    lookback (ties at identical timestamps break toward click,
+    deterministically in both engines), else 'none' — the channel
+    revenue report behind every ads pipeline. Two all-preceding MAX
+    windows (one per channel) replace an event-to-event as-of self-join:
+    ONE shuffle on user_id, no join at all, then a tiny channel
+    aggregate. The 100 TB shape: window width = the event log once.
+    """
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touched = ev.select(
+        "user_id",
+        "ts",
+        "event_type",
+        scaled_long(F.col("value"), 2).alias("value_c"),
+        F.max(
+            F.when(F.col("event_type") == "click", F.col("ts"))
+        ).over(w).alias("click_ts"),
+        F.max(
+            F.when(F.col("event_type") == "view", F.col("ts"))
+        ).over(w).alias("view_ts"),
+    ).where(F.col("event_type") == "purchase")
+    lookback = F.lit(7 * 86400)
+    age_ok = lambda c: (  # noqa: E731
+        F.col("ts").cast("long") - F.col(c).cast("long")
+    ) <= lookback
+    channel = (
+        F.when(
+            F.col("click_ts").isNotNull()
+            & (
+                F.col("view_ts").isNull()
+                | (F.col("click_ts") >= F.col("view_ts"))
+            )
+            & age_ok("click_ts"),
+            F.lit("click"),
+        )
+        .when(F.col("view_ts").isNotNull() & age_ok("view_ts"), F.lit("view"))
+        .otherwise(F.lit("none"))
+    )
+    return (
+        touched.select(channel.alias("channel"), "value_c")
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum("value_c").alias("revenue_cents"),
+        )
+    )
+
+
+ADVANCED_QUERIES["q182_attribution"] = q182_attribution
+
+ADVANCED_ORACLES["q182_attribution"] = """
+    WITH touched AS (
+      SELECT user_id, ts, event_type,
+             CAST(ROUND(value * 100, 0) AS BIGINT) AS value_c,
+             MAX(CASE WHEN event_type = 'click' THEN ts END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS click_ts,
+             MAX(CASE WHEN event_type = 'view' THEN ts END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS view_ts
+      FROM events
+    ),
+    p AS (
+      SELECT CASE
+               WHEN click_ts IS NOT NULL
+                    AND (view_ts IS NULL OR click_ts >= view_ts)
+                    AND date_diff('second', click_ts, ts) <= 604800
+                 THEN 'click'
+               WHEN view_ts IS NOT NULL
+                    AND date_diff('second', view_ts, ts) <= 604800
+                 THEN 'view'
+               ELSE 'none' END AS channel,
+             value_c
+      FROM touched WHERE event_type = 'purchase'
+    )
+    SELECT channel, COUNT(*) AS n_purchases,
+           CAST(SUM(value_c) AS BIGINT) AS revenue_cents
+    FROM p GROUP BY channel
+"""
+
+
+def q183_expectation_suite(spark, sf_dir):
+    """Declarative data-quality expectation suite (dbt-test style) over
+    the orders table: not-null, accepted-values, range, regex, unique,
+    and FK-to-customer rules evaluated via
+    :func:`adhesive_spark.operators.quality.expectation_report` — all
+    row-level + unique rules fold into ONE wide aggregate over a single
+    scan; the FK rule adds one anti-join against the distinct parent
+    key. The in_range ceiling is set BELOW the true max on purpose so
+    the suite demonstrably reports a failing rule with its violation
+    count (an all-green suite proves nothing about the reporter).
+    """
+    from adhesive_spark.operators.quality import expectation_report
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return expectation_report(
+        orders,
+        [
+            ("not_null", "o_custkey"),
+            ("accepted_values", "o_orderstatus", ["F", "O", "P"]),
+            ("in_range", "o_totalprice", 0.0, 100000.0),
+            ("matches", "o_orderpriority", "^[1-5]-"),
+            ("unique", "o_orderkey"),
+            ("fk", "o_custkey", "customer", "c_custkey"),
+        ],
+        parents={"customer": customer},
+    )
+
+
+ADVANCED_QUERIES["q183_expectation_suite"] = q183_expectation_suite
+
+ADVANCED_ORACLES["q183_expectation_suite"] = """
+    SELECT 'not_null(o_custkey)' AS rule,
+           (SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL)
+             AS n_violations,
+           (SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL) = 0
+             AS passed
+    UNION ALL
+    SELECT 'accepted_values(o_orderstatus)',
+           (SELECT COUNT(*) FROM orders
+             WHERE o_orderstatus IS NOT NULL
+               AND o_orderstatus NOT IN ('F', 'O', 'P')),
+           (SELECT COUNT(*) FROM orders
+             WHERE o_orderstatus IS NOT NULL
+               AND o_orderstatus NOT IN ('F', 'O', 'P')) = 0
+    UNION ALL
+    SELECT 'in_range(o_totalprice)',
+           (SELECT COUNT(*) FROM orders
+             WHERE o_totalprice < 0 OR o_totalprice > 100000),
+           (SELECT COUNT(*) FROM orders
+             WHERE o_totalprice < 0 OR o_totalprice > 100000) = 0
+    UNION ALL
+    SELECT 'matches(o_orderpriority)',
+           (SELECT COUNT(*) FROM orders
+             WHERE o_orderpriority IS NOT NULL
+               AND NOT regexp_matches(o_orderpriority, '^[1-5]-')),
+           (SELECT COUNT(*) FROM orders
+             WHERE o_orderpriority IS NOT NULL
+               AND NOT regexp_matches(o_orderpriority, '^[1-5]-')) = 0
+    UNION ALL
+    SELECT 'unique(o_orderkey)',
+           (SELECT COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey)
+              FROM orders),
+           (SELECT COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey)
+              FROM orders) = 0
+    UNION ALL
+    SELECT 'fk(o_custkey->customer.c_custkey)',
+           (SELECT COUNT(*) FROM orders o
+             WHERE o.o_custkey IS NOT NULL
+               AND NOT EXISTS (SELECT 1 FROM customer c
+                               WHERE c.c_custkey = o.o_custkey)),
+           (SELECT COUNT(*) FROM orders o
+             WHERE o.o_custkey IS NOT NULL
+               AND NOT EXISTS (SELECT 1 FROM customer c
+                               WHERE c.c_custkey = o.o_custkey)) = 0
+"""

@@ -32,6 +32,7 @@ from adhesive_spark.operators.text import (
     quality_score,
     scaled_long,
     token_count,
+    tokens,
 )
 from adhesive_spark.sources.registry import load_table
 
@@ -2254,4 +2255,118 @@ CURATION_ORACLES["q178_syndication"] = """
              // COUNT(*) AS syndication_ppm
     FROM fps f LEFT JOIN multi m USING (fp)
     GROUP BY f.source
+"""
+
+
+def q179_k_anonymity(spark, sf_dir):
+    """k-anonymity release screen over the corpus: equivalence classes
+    of the quasi-identifier combination (lang, source, 500-char length
+    bucket) with class sizes and the at-risk flag for classes below
+    k=10 (:func:`adhesive_spark.operators.curation.k_anonymity_screen`).
+    A row in a sub-k class is re-identifiable by joining the quasi
+    identifiers against an external dataset — the release gate is
+    "no at_risk classes", and the generalization fix (coarser buckets)
+    plugs straight into the same screen. ONE hash aggregate on the
+    quasi key."""
+    from adhesive_spark.operators.curation import k_anonymity_screen
+
+    docs = load_table(spark, sf_dir, "documents")
+    return k_anonymity_screen(
+        docs.select(
+            "lang",
+            "source",
+            (F.col("n_chars") / F.lit(500))
+            .cast("long")
+            .alias("len_bucket"),
+        ),
+        ["lang", "source", "len_bucket"],
+        k=10,
+    )
+
+
+CURATION_QUERIES["q179_k_anonymity"] = q179_k_anonymity
+
+CURATION_ORACLES["q179_k_anonymity"] = """
+    SELECT lang, source, n_chars // 500 AS len_bucket,
+           COUNT(*) AS class_n,
+           COUNT(*) < 10 AS at_risk
+    FROM documents
+    GROUP BY 1, 2, 3
+"""
+
+
+def q181_bigram_lm(spark, sf_dir):
+    """Per-source bigram language-model counts: the top-20 bigrams per
+    source with their conditional probability P(w2 | w1) in ppm — the
+    count-collection pass of every n-gram LM build (and the feature
+    behind contamination/memorization screens). Bigrams materialize
+    INSIDE the row via one higher-order transform over the token array
+    (no positional self-join), so the only shuffles are the count
+    aggregate and the per-source top-k window — at 100 TB the bigram
+    aggregate is the cost, and it is the minimal one."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    pairs = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("w1"),
+                F.element_at(toks, i + F.lit(1)).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    b = docs.select("source", F.explode(pairs).alias("bg")).select(
+        "source", "bg.w1", "bg.w2"
+    )
+    counts = b.groupBy("source", "w1", "w2").agg(
+        F.count(F.lit(1)).alias("c_bigram")
+    )
+    from pyspark.sql.window import Window
+
+    w1_tot = Window.partitionBy("source", "w1")
+    rank_w = Window.partitionBy("source").orderBy(
+        F.col("c_bigram").desc(), "w1", "w2"
+    )
+    return (
+        counts.withColumn("c_w1", F.sum("c_bigram").over(w1_tot))
+        .withColumn("rn", F.row_number().over(rank_w))
+        .where(F.col("rn") <= 20)
+        .select(
+            "source",
+            "w1",
+            "w2",
+            "c_bigram",
+            "c_w1",
+            F.expr("(c_bigram * 1000000) div c_w1").alias("p_ppm"),
+        )
+    )
+
+
+CURATION_QUERIES["q181_bigram_lm"] = q181_bigram_lm
+
+CURATION_ORACLES["q181_bigram_lm"] = """
+    WITH t AS (
+      SELECT source,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ',
+                               'g')), ' ') AS l
+      FROM documents
+    ),
+    b AS (
+      SELECT source, l[i] AS w1, l[i + 1] AS w2
+      FROM t, UNNEST(generate_series(1, len(l) - 1)) AS u(i)
+    ),
+    counts AS (
+      SELECT source, w1, w2, COUNT(*) AS c_bigram
+      FROM b GROUP BY 1, 2, 3
+    )
+    SELECT source, w1, w2, c_bigram,
+           CAST(SUM(c_bigram) OVER (PARTITION BY source, w1) AS BIGINT)
+             AS c_w1,
+           CAST((c_bigram * 1000000)
+             // CAST(SUM(c_bigram) OVER (PARTITION BY source, w1)
+                     AS BIGINT) AS BIGINT) AS p_ppm
+    FROM counts
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY source
+                               ORDER BY c_bigram DESC, w1, w2) <= 20
 """

@@ -698,3 +698,116 @@ def test_minhash_persisted_probe_new_batch(spark):
         ).collect()
     }
     assert self_probe == one_shot
+
+
+# ---------------------------------------------------------------- new ops
+
+
+def test_apply_cdc_latest_wins_and_deletes(spark):
+    from adhesive_spark.operators.incremental import apply_cdc
+
+    log = spark.createDataFrame(
+        [
+            # key 1: upsert v=10 then v=20 — latest wins
+            (1, 100, 1, "upsert", 10),
+            (1, 200, 2, "upsert", 20),
+            # key 2: upsert then delete — key disappears
+            (2, 100, 3, "upsert", 30),
+            (2, 200, 4, "delete", 0),
+            # key 3: delete then upsert (out-of-order arrival, later
+            # seq wins) — key survives
+            (3, 200, 5, "upsert", 40),
+            (3, 100, 6, "delete", 0),
+            # key 4: same ts tie broken by the second seq column
+            (4, 100, 7, "upsert", 50),
+            (4, 100, 8, "upsert", 60),
+        ],
+        "k int, ts int, eid int, op string, v int",
+    )
+    got = {
+        r["k"]: r["v"]
+        for r in apply_cdc(log, ["k"], ["ts", "eid"], "op").collect()
+    }
+    assert got == {1: 20, 3: 40, 4: 60}
+
+
+def test_apply_cdc_with_base_snapshot(spark):
+    from adhesive_spark.operators.incremental import apply_cdc
+
+    base = spark.createDataFrame(
+        [(1, 100, 0, "upsert", 1), (9, 100, 0, "upsert", 99)],
+        "k int, ts int, eid int, op string, v int",
+    )
+    log = spark.createDataFrame(
+        [(1, 200, 1, "upsert", 2), (9, 200, 2, "delete", 0)],
+        "k int, ts int, eid int, op string, v int",
+    )
+    got = {
+        r["k"]: r["v"]
+        for r in apply_cdc(
+            log, ["k"], ["ts", "eid"], "op", base=base
+        ).collect()
+    }
+    # 1 superseded by the log, 9 deleted; base rows with no log entry
+    # would pass through untouched (none here beyond 1/9)
+    assert got == {1: 2}
+
+
+def test_expectation_report_goldens(spark):
+    from adhesive_spark.operators.quality import expectation_report
+
+    df = spark.createDataFrame(
+        [
+            (1, "A", 5.0, "ok"),
+            (2, "A", -1.0, "ok"),     # in_range violation
+            (2, "B", 7.0, "bad!"),    # duplicate id + regex violation
+            (None, "Z", 8.0, "ok"),   # null id + bad status
+        ],
+        "id int, status string, amount double, note string",
+    )
+    parent = spark.createDataFrame([(1,), (2,)], "pid int")
+    rep = {
+        r["rule"]: (r["n_violations"], r["passed"])
+        for r in expectation_report(
+            df,
+            [
+                ("not_null", "id"),
+                ("accepted_values", "status", ["A", "B"]),
+                ("in_range", "amount", 0.0, 10.0),
+                ("matches", "note", "^[a-z]+$"),
+                ("unique", "id"),
+                ("fk", "id", "parent", "pid"),
+            ],
+            parents={"parent": parent},
+        ).collect()
+    }
+    assert rep["not_null(id)"] == (1, False)
+    assert rep["accepted_values(status)"] == (1, False)
+    assert rep["in_range(amount)"] == (1, False)
+    assert rep["matches(note)"] == (1, False)
+    assert rep["unique(id)"] == (1, False)  # id=2 twice -> 1 extra row
+    assert rep["fk(id->parent.pid)"] == (0, True)  # NULL id exempt
+
+
+def test_expectation_report_all_green(spark):
+    from adhesive_spark.operators.quality import expectation_report
+
+    df = spark.createDataFrame([(1, 5.0), (2, 6.0)], "id int, amount double")
+    rep = expectation_report(
+        df, [("not_null", "id"), ("unique", "id")]
+    ).collect()
+    assert all(r["passed"] and r["n_violations"] == 0 for r in rep)
+
+
+def test_k_anonymity_screen(spark):
+    from adhesive_spark.operators.curation import k_anonymity_screen
+
+    df = spark.createDataFrame(
+        [("en", 1)] * 5 + [("de", 1)] * 2,
+        "lang string, b int",
+    )
+    got = {
+        (r["lang"], r["b"]): (r["class_n"], r["at_risk"])
+        for r in k_anonymity_screen(df, ["lang", "b"], k=3).collect()
+    }
+    assert got == {("en", 1): (5, False), ("de", 1): (2, True)}
