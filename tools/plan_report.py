@@ -119,6 +119,90 @@ AUDITED = [
     "q176_return_rates",
     "q177_embedding_coverage",
     "q178_syndication",
+    "q02_filter_project",
+    "q04_semi_join",
+    "q06_revenue_forecast",
+    "q07_broadcast_dims",
+    "q08_anti_join",
+    "q11_window_running",
+    "q12_rollup",
+    "q14_grouping_sets",
+    "q15_distinct_agg",
+    "q16_set_ops",
+    "q17_scalar_functions",
+    "q18_datetime_json",
+    "q19_scalar_subquery",
+    "q20_topk",
+    "q21_case_expr",
+    "q23_udf_python_agg",
+    "q24_udf_vectorized",
+    "q25_udf_sql_macro",
+    "q27_udaf_weighted_mean",
+    "q28_udtf_sentences",
+    "q32_lang_quality_rollup",
+    "q33_ngram_jaccard",
+    "q34_embedding_neardup",
+    "q38_simhash_pairs",
+    "q39_knn_lsh",
+    "q40_multimodal_decode",
+    "q41_frame_sample",
+    "q42_sketch_distinct",
+    "q43_percentiles",
+    "q44_histogram",
+    "q45_hash_sample",
+    "q46_connected_components",
+    "q47_dedup_transitive",
+    "q50_tfidf_top_terms",
+    "q51_pivot",
+    "q52_unpivot",
+    "q53_sessionize",
+    "q54_winnow_fingerprints",
+    "q55_correlated_exists",
+    "q56_pii_redact",
+    "q57_rolling_window",
+    "q58_column_profile",
+    "q59_fk_integrity",
+    "q60_label_centroids",
+    "q62_hopping_window",
+    "q63_analytic_functions",
+    "q64_media_knn",
+    "q65_null_semantics",
+    "q66_decimal_exact",
+    "q67_dataset_split",
+    "q68_incremental_rollup",
+    "q70_stratified_sample",
+    "q71_domain_cap",
+    "q72_embedding_quantize",
+    "q73_corpus_filter",
+    "q74_heavy_hitters",
+    "q75_approx_quantile_contract",
+    "q76_token_shards",
+    "q77_small_qty_revenue",
+    "q78_large_volume_orders",
+    "q79_waiting_suppliers",
+    "q81_audio_chunks",
+    "q82_mixture_sample",
+    "q84_udf_inline_java",
+    "q89_hll_merge",
+    "q90_theta_overlap",
+    "q91_recursive_month_spine",
+    "q92_variant_shred",
+    "q93_repetition_quality",
+    "q95_market_share",
+    "q97_promo_revenue",
+    "q98_udtf_table_profile",
+    "q99_array_analytics",
+    "q103_bloom_incremental_dedup",
+    "q104_cohort_retention",
+    "q105_funnel",
+    "q106_pagerank",
+    "q107_min_cost_supplier",
+    "q108_excess_share_suppliers",
+    "q179_k_anonymity",
+    "q180_cdc_merge_apply",
+    "q181_bigram_lm",
+    "q182_attribution",
+    "q183_expectation_suite",
 ]
 
 
@@ -139,11 +223,14 @@ def main() -> None:
     print("nodes; BHJ/SMJ = broadcast-hash / sort-merge joins; pushed = parquet")
     print("PushedFilters present; BNL = broadcast-nested-loop present.")
     print()
-    print("BNL appears ONLY in the kNN/centroid scoring scans (q35/q49/q88/q101),")
-    print("where it is the")
-    print("intended shape: the corpus streams once against a BROADCAST side that")
-    print("is bounded tiny by construction (<=10 query vectors / 16 centroids) —")
-    print("a per-row scoring loop, not an O(n*m) pair blowup; the near-dup pair")
+    print("BNL appears ONLY in two intended bounded shapes, never as an")
+    print("unbounded pair blowup: (a) kNN/centroid scoring scans")
+    print("(q35/q49/q88/q101/q64/q152/q153 and kin) — the corpus streams once")
+    print("against a BROADCAST side bounded tiny by construction (<=10 query")
+    print("vectors / 16 centroids); (b) scalar/audit cross joins — a 1-row (or")
+    print("few-row literal spine) aggregate crossJoin-broadcast back into the")
+    print("result (q89/q90/q105/q112/q148/q174 and kin), the standard way to")
+    print("attach a global denominator without a shuffle. The near-dup pair")
     print("queries (q34/q80) are plan-asserted to NEVER use it.")
     print()
     print("| query | shuffles | BHJ | SMJ | pushed | BNL |")
