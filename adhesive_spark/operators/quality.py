@@ -176,3 +176,39 @@ def expectation_report(
     if out is None:
         raise ValueError("no rules given")
     return out
+
+
+def fd_violations(df: DataFrame, lhs: str, rhs: str) -> DataFrame:
+    """Approximate-functional-dependency audit for ``lhs → rhs``
+    (public g3 error measure: the minimum rows to delete so the FD
+    holds exactly): one row —
+
+    - ``n_lhs`` distinct determinant values,
+    - ``n_violating_groups`` lhs values mapping to >1 rhs value,
+    - ``n_violating_rows`` rows outside the per-lhs majority rhs
+      (= the g3 numerator; ties resolve to any majority, the COUNT is
+      tie-invariant),
+    - ``holds`` — exact-FD boolean.
+
+    The schema-drift / dirty-dimension detector: run over each claimed
+    dimension hierarchy per ingest.  Two keyed aggregates — (lhs, rhs)
+    counts then a per-lhs fold — shuffle width is the distinct pair
+    set, never the table."""
+    pairs = df.where(F.col(lhs).isNotNull()).groupBy(lhs, rhs).agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    per = pairs.groupBy(lhs).agg(
+        F.sum("__n").alias("__total"),
+        F.max("__n").alias("__majority"),
+        F.count(F.lit(1)).alias("__n_rhs"),
+    )
+    return per.agg(
+        F.count(F.lit(1)).alias("n_lhs"),
+        F.sum((F.col("__n_rhs") > 1).cast("long")).alias(
+            "n_violating_groups"
+        ),
+        F.sum(F.col("__total") - F.col("__majority")).alias(
+            "n_violating_rows"
+        ),
+        (F.sum((F.col("__n_rhs") > 1).cast("long")) == 0).alias("holds"),
+    )

@@ -3431,3 +3431,150 @@ ADVANCED_ORACLES["q183_expectation_suite"] = """
                AND NOT EXISTS (SELECT 1 FROM customer c
                                WHERE c.c_custkey = o.o_custkey)) = 0
 """
+
+
+def q185_weighted_median(spark, sf_dir):
+    """EXACT weighted median (quantity-weighted unit price per return
+    flag): the robust "typical traded price" statistic — an unweighted
+    median over line items overweights small lots; percentile_approx
+    has no weighted form, so this is the RANGE-frame formulation every
+    engine can run exactly: cum weight over values ordered ascending
+    (RANGE frame ⇒ ties accumulate together, tie-order-invariant),
+    median = smallest value whose 2·cumw ≥ total. One shuffle on the
+    group key; prices quantized to cents so both engines pick the
+    identical boundary row."""
+    from pyspark.sql.window import Window
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        scaled_long(F.col("l_extendedprice") / F.col("l_quantity"), 2).alias(
+            "unit_c"
+        ),
+        F.col("l_quantity").cast("long").alias("w"),
+    )
+    wt = Window.partitionBy("l_returnflag")
+    wr = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("unit_c")
+        .rangeBetween(Window.unboundedPreceding, 0)
+    )
+    x = li.select(
+        "l_returnflag",
+        "unit_c",
+        F.sum("w").over(wt).alias("total_w"),
+        F.sum("w").over(wr).alias("cum_w"),
+    )
+    return (
+        x.where(F.lit(2) * F.col("cum_w") >= F.col("total_w"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("unit_c").alias("weighted_median_cents"),
+            F.max("total_w").alias("total_weight"),
+        )
+    )
+
+
+ADVANCED_QUERIES["q185_weighted_median"] = q185_weighted_median
+
+ADVANCED_ORACLES["q185_weighted_median"] = """
+    WITH li AS (
+      SELECT l_returnflag,
+             CAST(ROUND(l_extendedprice / l_quantity * 100, 0) AS BIGINT)
+               AS unit_c,
+             CAST(l_quantity AS BIGINT) AS w
+      FROM lineitem
+    ),
+    x AS (
+      SELECT l_returnflag, unit_c,
+             SUM(w) OVER (PARTITION BY l_returnflag) AS total_w,
+             SUM(w) OVER (PARTITION BY l_returnflag ORDER BY unit_c
+                          RANGE BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cum_w
+      FROM li
+    )
+    SELECT l_returnflag,
+           CAST(MIN(unit_c) AS BIGINT) AS weighted_median_cents,
+           CAST(MAX(total_w) AS BIGINT) AS total_weight
+    FROM x WHERE 2 * cum_w >= total_w
+    GROUP BY l_returnflag
+"""
+
+
+def q187_fd_suite(spark, sf_dir):
+    """Functional-dependency audit suite over the claimed dimension
+    hierarchies (:func:`adhesive_spark.operators.quality.fd_violations`,
+    the public g3 error measure — minimum row deletions for the FD to
+    hold): nation→region MUST hold (star-schema integrity), while
+    p_name→p_brand and c_nationkey→c_mktsegment are measured as the
+    dirty-dimension detectors they are. One row per FD with determinant
+    count, violating groups, violating rows, and the holds gate —
+    schema-drift monitoring per ingest in three tiny keyed aggregates."""
+    from adhesive_spark.operators.quality import fd_violations
+
+    nation = load_table(spark, sf_dir, "nation")
+    part = load_table(spark, sf_dir, "part")
+    customer = load_table(spark, sf_dir, "customer")
+    out = None
+    for label, df, lhs, rhs in [
+        ("n_nationkey->n_regionkey", nation, "n_nationkey", "n_regionkey"),
+        ("p_name->p_brand", part, "p_name", "p_brand"),
+        ("c_nationkey->c_mktsegment", customer, "c_nationkey", "c_mktsegment"),
+    ]:
+        rep = fd_violations(df, lhs, rhs).select(
+            F.lit(label).alias("fd"),
+            "n_lhs",
+            "n_violating_groups",
+            "n_violating_rows",
+            "holds",
+        )
+        out = rep if out is None else out.unionByName(rep)
+    return out
+
+
+ADVANCED_QUERIES["q187_fd_suite"] = q187_fd_suite
+
+ADVANCED_ORACLES["q187_fd_suite"] = """
+    WITH fd1p AS (
+      SELECT n_nationkey AS l, n_regionkey AS r, COUNT(*) AS n
+      FROM nation WHERE n_nationkey IS NOT NULL GROUP BY 1, 2
+    ),
+    fd1 AS (
+      SELECT l, SUM(n) AS total, MAX(n) AS majority, COUNT(*) AS n_rhs
+      FROM fd1p GROUP BY l
+    ),
+    fd2p AS (
+      SELECT p_name AS l, p_brand AS r, COUNT(*) AS n
+      FROM part WHERE p_name IS NOT NULL GROUP BY 1, 2
+    ),
+    fd2 AS (
+      SELECT l, SUM(n) AS total, MAX(n) AS majority, COUNT(*) AS n_rhs
+      FROM fd2p GROUP BY l
+    ),
+    fd3p AS (
+      SELECT c_nationkey AS l, c_mktsegment AS r, COUNT(*) AS n
+      FROM customer WHERE c_nationkey IS NOT NULL GROUP BY 1, 2
+    ),
+    fd3 AS (
+      SELECT l, SUM(n) AS total, MAX(n) AS majority, COUNT(*) AS n_rhs
+      FROM fd3p GROUP BY l
+    )
+    SELECT 'n_nationkey->n_regionkey' AS fd,
+           COUNT(*) AS n_lhs,
+           CAST(SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violating_groups,
+           CAST(SUM(total - majority) AS BIGINT) AS n_violating_rows,
+           SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) = 0 AS holds
+    FROM fd1
+    UNION ALL
+    SELECT 'p_name->p_brand', COUNT(*),
+           CAST(SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(SUM(total - majority) AS BIGINT),
+           SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) = 0
+    FROM fd2
+    UNION ALL
+    SELECT 'c_nationkey->c_mktsegment', COUNT(*),
+           CAST(SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(SUM(total - majority) AS BIGINT),
+           SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) = 0
+    FROM fd3
+"""

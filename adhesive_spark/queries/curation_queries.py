@@ -2370,3 +2370,65 @@ CURATION_ORACLES["q181_bigram_lm"] = """
     QUALIFY ROW_NUMBER() OVER (PARTITION BY source
                                ORDER BY c_bigram DESC, w1, w2) <= 20
 """
+
+
+def q186_bigram_familiarity(spark, sf_dir):
+    """Per-document FAMILIARITY score against the corpus bigram
+    distribution (the q181 counts turned into a document signal): mean
+    corpus frequency of the document's bigrams, ×1000 integer-scaled —
+    boilerplate and template text scores high (its bigrams are
+    everywhere), novel prose scores low. The cheap novelty/memorization
+    proxy that needs no model: used to route high-familiarity docs into
+    dedup review and low-familiarity docs into quality review.
+    Shuffles: the corpus bigram count aggregate, the count-back join on
+    the bigram key, and the per-doc fold — all narrow (bigram, count)
+    rows. Corpus counts include the doc's own occurrences (n≥1 always;
+    the score is a rank signal, not a probability)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    pairs = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("w1"),
+                F.element_at(toks, i + F.lit(1)).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    b = docs.select("doc_id", F.explode(pairs).alias("bg")).select(
+        "doc_id", "bg.w1", "bg.w2"
+    )
+    corpus = b.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        b.join(corpus, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.expr("(sum(c) * 1000) div count(*)").alias("familiarity_m"),
+        )
+    )
+
+
+CURATION_QUERIES["q186_bigram_familiarity"] = q186_bigram_familiarity
+
+CURATION_ORACLES["q186_bigram_familiarity"] = """
+    WITH t AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ',
+                               'g')), ' ') AS l
+      FROM documents
+    ),
+    b AS (
+      SELECT doc_id, l[i] AS w1, l[i + 1] AS w2
+      FROM t, UNNEST(generate_series(1, len(l) - 1)) AS u(i)
+    ),
+    corpus AS (
+      SELECT w1, w2, COUNT(*) AS c FROM b GROUP BY 1, 2
+    )
+    SELECT b.doc_id, COUNT(*) AS n_bigrams,
+           CAST((SUM(c) * 1000) // CAST(COUNT(*) AS BIGINT) AS BIGINT)
+             AS familiarity_m
+    FROM b JOIN corpus USING (w1, w2)
+    GROUP BY b.doc_id
+"""

@@ -1378,3 +1378,91 @@ PIPELINE_ORACLES["q177_embedding_coverage"] = """
            orphans.n AS n_orphan_embeddings
     FROM per_source, orphans
 """
+
+
+def q184_entity_resolution(spark, sf_dir):
+    """END-TO-END entity resolution, composed from the primitives the
+    pipeline already ships: blocked fuzzy candidate generation (q111's
+    block + Levenshtein<=2 verify) → transitive closure over the match
+    graph (operators/graph.connected_components — fuzzy matching is
+    not transitive, closure makes it an equivalence) → one canonical
+    entity per cluster (min member) with the sorted member list.
+    Singleton words with no fuzzy match stay their own entity (left
+    join + coalesce), so the output partitions the full vocabulary.
+
+    Scale shape: candidates are an equi-join on the block key, closure
+    is iterative min-label propagation over the (tiny) match edges, and
+    the final grouping shuffles one row per word — nothing quadratic,
+    nothing driver-side."""
+    from adhesive_spark.operators.graph import connected_components
+
+    part = load_table(spark, sf_dir, "part")
+    names = (
+        part.select(F.split(F.col("p_name"), " ").alias("w"))
+        .select(
+            F.col("w").getItem(1).alias("block"),
+            F.col("w").getItem(0).alias("word"),
+        )
+        .distinct()
+    )
+    a, b = names.alias("a"), names.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.word") < F.col("b.word")),
+        )
+        .where(F.levenshtein(F.col("a.word"), F.col("b.word")) <= 2)
+        .select(
+            F.col("a.word").alias("word_a"), F.col("b.word").alias("word_b")
+        )
+        .distinct()
+    )
+    comp = connected_components(pairs, "word_a", "word_b")
+    words = names.select("word").distinct()
+    labeled = words.join(
+        comp.withColumnRenamed("node", "word"), "word", "left"
+    ).select(
+        "word", F.coalesce("component", "word").alias("entity_id")
+    )
+    return labeled.groupBy("entity_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.array_sort(F.collect_list("word")).alias("members"),
+    )
+
+
+PIPELINE_QUERIES["q184_entity_resolution"] = q184_entity_resolution
+
+PIPELINE_ORACLES["q184_entity_resolution"] = """
+    WITH RECURSIVE names AS (
+      SELECT DISTINCT
+             split_part(p_name, ' ', 2) AS block,
+             split_part(p_name, ' ', 1) AS word
+      FROM part
+    ),
+    pairs AS (
+      SELECT DISTINCT a.word AS wa, b.word AS wb
+      FROM names a JOIN names b
+        ON a.block = b.block AND a.word < b.word
+      WHERE levenshtein(a.word, b.word) <= 2
+    ),
+    e AS (
+      SELECT wa AS a, wb AS b FROM pairs
+      UNION ALL
+      SELECT wb AS a, wa AS b FROM pairs
+    ),
+    reach(node, r) AS (
+      SELECT a, a FROM e
+      UNION
+      SELECT e.a, reach.r FROM e JOIN reach ON reach.node = e.b
+    ),
+    comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node),
+    words AS (SELECT DISTINCT word FROM names),
+    lab AS (
+      SELECT w.word, COALESCE(c.component, w.word) AS entity_id
+      FROM words w LEFT JOIN comp c ON w.word = c.node
+    )
+    SELECT entity_id, COUNT(*) AS n_members,
+           list_sort(list(word)) AS members
+    FROM lab GROUP BY 1
+"""

@@ -811,3 +811,25 @@ def test_k_anonymity_screen(spark):
         for r in k_anonymity_screen(df, ["lang", "b"], k=3).collect()
     }
     assert got == {("en", 1): (5, False), ("de", 1): (2, True)}
+
+
+def test_fd_violations_goldens(spark):
+    from adhesive_spark.operators.quality import fd_violations
+
+    df = spark.createDataFrame(
+        [
+            ("a", 1), ("a", 1), ("a", 2),   # majority 1, one violating row
+            ("b", 3), ("b", 3),             # clean group
+            (None, 9),                      # null lhs excluded
+        ],
+        "l string, r int",
+    )
+    row = fd_violations(df, "l", "r").collect()[0]
+    assert (
+        row["n_lhs"],
+        row["n_violating_groups"],
+        row["n_violating_rows"],
+        row["holds"],
+    ) == (2, 1, 1, False)
+    clean = fd_violations(df.where(F.col("r") != 2), "l", "r").collect()[0]
+    assert clean["holds"] and clean["n_violating_rows"] == 0

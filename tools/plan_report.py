@@ -203,6 +203,10 @@ AUDITED = [
     "q181_bigram_lm",
     "q182_attribution",
     "q183_expectation_suite",
+    "q184_entity_resolution",
+    "q185_weighted_median",
+    "q186_bigram_familiarity",
+    "q187_fd_suite",
 ]
 
 
