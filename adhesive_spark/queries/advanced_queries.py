@@ -3578,3 +3578,94 @@ ADVANCED_ORACLES["q187_fd_suite"] = """
            SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) = 0
     FROM fd3
 """
+
+
+def q189_top_paths(spark, sf_dir):
+    """Clickstream PATH MINING: the most common within-session
+    event-type sequences (30-minute gap sessions, first 8 events per
+    session, '>'-joined) with session counts — the product-analytics
+    "what do users actually do" table, and the Markov-chain input the
+    q159 transition matrix summarizes pairwise. Ordered reassembly uses
+    sort_array over (ts, event_id)-keyed structs (shuffle-stable, the
+    q165 span-reassembly pattern); sessionization is the lag+cumsum
+    gaps-and-islands shape — two windows over the same user partition,
+    ONE shuffle. Top-20 paths, count/path tie-broken."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sess = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.sum(
+            (
+                F.col("ts").cast("long")
+                - F.coalesce(
+                    F.lag(F.col("ts")).over(wu).cast("long"),
+                    F.col("ts").cast("long"),
+                )
+                > 1800
+            ).cast("long")
+        ).over(wu).alias("session_no"),
+    )
+    paths = (
+        sess.groupBy("user_id", "session_no")
+        .agg(
+            F.concat_ws(
+                ">",
+                F.slice(
+                    F.transform(
+                        F.sort_array(
+                            F.collect_list(
+                                F.struct("ts", "event_id", "event_type")
+                            )
+                        ),
+                        lambda s: s["event_type"],
+                    ),
+                    1,
+                    8,
+                ),
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(20)
+    )
+
+
+ADVANCED_QUERIES["q189_top_paths"] = q189_top_paths
+
+ADVANCED_ORACLES["q189_top_paths"] = """
+    WITH marked AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN epoch(ts) - epoch(COALESCE(
+                    lag(ts) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id), ts)) > 1800
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+    ),
+    sess AS (
+      SELECT user_id, ts, event_id, event_type,
+             SUM(new_sess) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM marked
+    ),
+    paths AS (
+      SELECT user_id, session_no,
+             array_to_string(
+               (list(event_type ORDER BY ts, event_id))[1:8], '>') AS path
+      FROM sess GROUP BY user_id, session_no
+    )
+    SELECT path, COUNT(*) AS n_sessions
+    FROM paths GROUP BY path
+    ORDER BY n_sessions DESC, path
+    LIMIT 20
+"""

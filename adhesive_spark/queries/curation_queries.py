@@ -2432,3 +2432,74 @@ CURATION_ORACLES["q186_bigram_familiarity"] = """
     FROM b JOIN corpus USING (w1, w2)
     GROUP BY b.doc_id
 """
+
+
+def q190_bpe_merge_step(spark, sf_dir):
+    """Tokenizer-training primitive: ONE BPE merge iteration's
+    statistics (Sennrich et al., public algorithm) — corpus word
+    frequencies → adjacent character-pair counts weighted by word
+    frequency, with the end-of-word marker, ranked: row 1 is exactly
+    the first merge a BPE trainer would perform on this corpus, rows
+    2..20 the runners-up. The expensive part of tokenizer training IS
+    this count (the merge loop re-runs it); expressing it as
+    word-distinct pair explosion means the heavy text scan happens
+    once, then each row is a (short word, count) pair — the 100 TB
+    shape: distinct-word agg (Zipf-bounded output), in-row char-pair
+    transform, pair-count agg.
+
+    Symbols: single characters, '_' as the end-of-word marker (appended
+    pair (last_char, '_') included — merge candidates at word ends are
+    where suffixes come from)."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("word"))
+        .where(F.length("word") >= 1)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    marked = words.select(
+        F.concat(F.col("word"), F.lit("_")).alias("w"), "freq"
+    )
+    pairs = marked.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.concat(
+                    F.col("w").substr(i, F.lit(1)),
+                    F.lit("+"),
+                    F.col("w").substr(i + F.lit(1), F.lit(1)),
+                ),
+            )
+        ).alias("pair"),
+        "freq",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").alias("pair_count"))
+        .orderBy(F.col("pair_count").desc(), "pair")
+        .limit(20)
+    )
+
+
+CURATION_QUERIES["q190_bpe_merge_step"] = q190_bpe_merge_step
+
+CURATION_ORACLES["q190_bpe_merge_step"] = """
+    WITH words AS (
+      SELECT unnest(string_split(trim(regexp_replace(lower(text),
+               '\\s+', ' ', 'g')), ' ')) AS word
+      FROM documents
+    ),
+    freqs AS (
+      SELECT word || '_' AS w, COUNT(*) AS freq
+      FROM words WHERE length(word) >= 1
+      GROUP BY 1
+    ),
+    pairs AS (
+      SELECT w[i] || '+' || w[i + 1] AS pair, freq
+      FROM freqs, UNNEST(generate_series(1, length(w) - 1)) AS u(i)
+    )
+    SELECT pair, CAST(SUM(freq) AS BIGINT) AS pair_count
+    FROM pairs GROUP BY pair
+    ORDER BY pair_count DESC, pair
+    LIMIT 20
+"""

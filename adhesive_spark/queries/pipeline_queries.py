@@ -1466,3 +1466,138 @@ PIPELINE_ORACLES["q184_entity_resolution"] = """
            list_sort(list(word)) AS members
     FROM lab GROUP BY 1
 """
+
+
+def q188_rrf_fusion(spark, sf_dir):
+    """Reciprocal-rank fusion of two retrieval systems (the public RRF
+    formula, Cormack et al.: score = Σ 1/(60+rank)) — the standard
+    hybrid-search combiner: a DENSE ranking (exact cosine over the
+    embedding column) and a LEXICAL ranking (distinct-token overlap
+    with the query document) each produce a top-50 list per query over
+    the same candidate pool; a full-outer join on (query, candidate)
+    fuses them, integer-scaled (1e6 div (60+rank)) so both engines sum
+    identical integers. Top-10 fused per query.
+
+    Scale shape: dense side is the bounded broadcast scoring scan
+    (q35); lexical side is an inverted-index style token equi-join —
+    both produce (query, cand, rank) slivers, and fusion touches only
+    top-k rows. At 100 TB the candidate generation would come from the
+    IVF probe (q83) and the posting-list join (q149); the fusion
+    arithmetic is unchanged."""
+    from adhesive_spark.operators.similarity import knn_bruteforce
+    from adhesive_spark.operators.text import tokens
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    n_queries, lo = 3, 10
+    hi = 500  # candidate pool: ids with BOTH an embedding and a text
+    dense_q = emb.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    dense_c = emb.where((F.col("vec_id") >= lo) & (F.col("vec_id") < hi))
+    dense = knn_bruteforce(dense_c, dense_q, k=50, id_col="vec_id").select(
+        "query_id", F.col("vec_id").alias("cand_id"),
+        F.col("rank").alias("rank_dense"),
+    )
+    toks = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("tok")
+    )
+    qt = toks.where(F.col("doc_id") < n_queries).select(
+        F.col("doc_id").alias("query_id"), "tok"
+    )
+    ct = toks.where((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)).select(
+        F.col("doc_id").alias("cand_id"), "tok"
+    )
+    overlap = (
+        ct.join(F.broadcast(qt), "tok")
+        .groupBy("query_id", "cand_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    wl = Window.partitionBy("query_id").orderBy(
+        F.col("n_common").desc(), F.col("cand_id")
+    )
+    lexical = (
+        overlap.withColumn("rank_lex", F.row_number().over(wl))
+        .where(F.col("rank_lex") <= 50)
+        .select("query_id", "cand_id", "rank_lex")
+    )
+    fused = dense.join(lexical, ["query_id", "cand_id"], "full_outer").select(
+        "query_id",
+        "cand_id",
+        (
+            F.coalesce(
+                F.expr("1000000 div (60 + rank_dense)"), F.lit(0).cast("long")
+            )
+            + F.coalesce(
+                F.expr("1000000 div (60 + rank_lex)"), F.lit(0).cast("long")
+            )
+        ).alias("rrf_u"),
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_u").desc(), F.col("cand_id")
+    )
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(wf))
+        .where(F.col("fused_rank") <= 10)
+        .select("query_id", "cand_id", "rrf_u", "fused_rank")
+    )
+
+
+PIPELINE_QUERIES["q188_rrf_fusion"] = q188_rrf_fusion
+
+PIPELINE_ORACLES["q188_rrf_fusion"] = """
+    WITH dense AS (
+      SELECT query_id, cand_id, rnk AS rank_dense FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY round(list_cosine_similarity(
+                            c.embedding::DOUBLE[],
+                            q.embedding::DOUBLE[]), 6) DESC,
+                          c.vec_id) AS rnk
+        FROM embeddings q
+        JOIN embeddings c ON c.vec_id >= 10 AND c.vec_id < 500
+        WHERE q.vec_id < 3
+      ) WHERE rnk <= 50
+    ),
+    tok AS (
+      SELECT doc_id, unnest(list_distinct(string_split(
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+               ' '))) AS tok
+      FROM documents
+    ),
+    overlap AS (
+      SELECT q.doc_id AS query_id, c.doc_id AS cand_id,
+             COUNT(*) AS n_common
+      FROM tok c JOIN tok q USING (tok)
+      WHERE q.doc_id < 3 AND c.doc_id >= 10 AND c.doc_id < 500
+      GROUP BY 1, 2
+    ),
+    lexical AS (
+      SELECT query_id, cand_id, rnk AS rank_lex FROM (
+        SELECT query_id, cand_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY n_common DESC, cand_id) AS rnk
+        FROM overlap
+      ) WHERE rnk <= 50
+    ),
+    fused AS (
+      SELECT COALESCE(d.query_id, l.query_id) AS query_id,
+             COALESCE(d.cand_id, l.cand_id) AS cand_id,
+             COALESCE(1000000 // (60 + d.rank_dense), 0)
+               + COALESCE(1000000 // (60 + l.rank_lex), 0) AS rrf_u
+      FROM dense d FULL OUTER JOIN lexical l
+        ON d.query_id = l.query_id AND d.cand_id = l.cand_id
+    )
+    SELECT query_id, cand_id, CAST(rrf_u AS BIGINT) AS rrf_u,
+           CAST(fused_rank AS INT) AS fused_rank
+    FROM (
+      SELECT query_id, cand_id, rrf_u,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY rrf_u DESC, cand_id) AS fused_rank
+      FROM fused
+    ) WHERE fused_rank <= 10
+"""

@@ -548,3 +548,71 @@ def compact_streamed_index(
         )
         fs.delete(p, True)
     return len(epochs)
+
+
+def streaming_cdc_apply(
+    log: DataFrame,
+    key_cols: list[str],
+    seq_cols: list[str],
+    state_path: str,
+    *,
+    checkpoint_path: str,
+    op_col: str = "op",
+    delete_op: str = "delete",
+):
+    """Streaming MERGE INTO: maintain a current-snapshot table from a
+    CDC stream by applying each micro-batch through
+    :func:`adhesive_spark.operators.incremental.apply_cdc` — latest op
+    per key wins within the batch, the batch supersedes the snapshot,
+    surviving deletes drop their key. The streaming twin of q180, and
+    the third member of the epoch-committed foreachBatch family
+    (rollup maintenance ⊕, dedup ingest, CDC apply).
+
+    State layout and crash semantics are identical to
+    :func:`streaming_rollup_maintenance`: each epoch writes a fresh
+    ``state_path/__epoch=<id>`` snapshot (distributed write, driver
+    never sees a row), ``_SUCCESS`` is the commit marker, replayed
+    micro-batches (epoch <= last committed) are skipped, the previous
+    epoch is retained for in-flight readers. Per-batch cost is one
+    window over the BATCH plus one anti-join against the snapshot —
+    history is touched once per epoch, never per row. A table format
+    with transactional MERGE (Delta/Iceberg) is the production
+    hardening of this exact shape.
+
+    Returns the started StreamingQuery; read the snapshot with
+    :func:`read_rollup_state` (same epoch-dir layout).
+    """
+    from adhesive_spark.operators.incremental import apply_cdc
+
+    def _apply(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        epochs = _committed_epochs(spark, state_path)
+        if epochs and epochs[-1] >= epoch_id:
+            return  # replayed micro-batch: already applied
+        base = None
+        if epochs:
+            base = spark.read.parquet(f"{state_path}/__epoch={epochs[-1]}")
+        merged = apply_cdc(
+            batch_df,
+            key_cols,
+            seq_cols,
+            op_col,
+            base=base,
+            delete_op=delete_op,
+        )
+        merged.write.mode("overwrite").parquet(
+            f"{state_path}/__epoch={epoch_id}"
+        )
+        fs, _, jvm = _state_fs(spark, state_path)
+        for old in epochs[:-1]:
+            fs.delete(
+                jvm.org.apache.hadoop.fs.Path(f"{state_path}/__epoch={old}"),
+                True,
+            )
+
+    return (
+        log.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -576,3 +576,53 @@ def test_compact_streamed_index_folds_epochs(spark, sf_dir, tmp_path_factory):
     )
     m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
     assert m and int(m.group(1)) < int(m.group(2)), plan
+
+
+def test_streaming_cdc_apply_matches_batch(spark, tmp_path_factory):
+    """The streaming MERGE INTO must converge to exactly the batch
+    apply_cdc snapshot over the same composite log, regardless of how
+    the log is split into micro-batches: later files carry later seqs
+    that update and delete keys from earlier files."""
+    from adhesive_spark.operators.incremental import apply_cdc
+    from adhesive_spark.streaming.ops import (
+        read_rollup_state,
+        streaming_cdc_apply,
+    )
+
+    src = tmp_path_factory.mktemp("cdc") / "log"
+    rows1 = [(k, 1, k, "upsert", k * 10) for k in range(20)]
+    # file 2: update keys 0-4, delete keys 5-9, insert 20-24
+    rows2 = (
+        [(k, 2, 100 + k, "upsert", k * 10 + 1) for k in range(5)]
+        + [(k, 2, 200 + k, "delete", 0) for k in range(5, 10)]
+        + [(k, 2, 300 + k, "upsert", k * 10) for k in range(20, 25)]
+    )
+    # file 3: re-insert a deleted key, delete an updated key
+    rows3 = [(5, 3, 400, "upsert", 555), (0, 3, 401, "delete", 0)]
+    schema = "k int, ts int, eid int, op string, v int"
+    for rows in (rows1, rows2, rows3):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+    all_log = spark.read.parquet(str(src))
+    stream = (
+        spark.readStream.schema(all_log.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    root = tmp_path_factory.mktemp("cdc")
+    state, ckpt = str(root / "state"), str(root / "ckpt")
+    q = streaming_cdc_apply(
+        stream, ["k"], ["ts", "eid"], state, checkpoint_path=ckpt
+    )
+    assert q.awaitTermination(180), "cdc stream did not drain in 180s"
+    got = {
+        r["k"]: r["v"]
+        for r in read_rollup_state(spark, state).collect()
+    }
+    want = {
+        r["k"]: r["v"]
+        for r in apply_cdc(all_log, ["k"], ["ts", "eid"], "op").collect()
+    }
+    assert got == want
+    assert got[5] == 555 and 0 not in got and got[1] == 11

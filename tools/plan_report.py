@@ -207,6 +207,9 @@ AUDITED = [
     "q185_weighted_median",
     "q186_bigram_familiarity",
     "q187_fd_suite",
+    "q188_rrf_fusion",
+    "q189_top_paths",
+    "q190_bpe_merge_step",
 ]
 
 
