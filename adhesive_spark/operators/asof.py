@@ -5,14 +5,17 @@ The reference delegates range/as-of joins to its embedded engine
 as-of join, so this is a composition of existing DataFrame ops.
 
 Implementation: the union-sort trick — tag both sides, union by name,
-and carry the most recent right-side row forward with
-``last(..., ignorenulls=True)`` over a (keys, time)-ordered window.
+and carry the most recent (or next, for ``direction="forward"``)
+right-side row across with ``last(..., ignorenulls=True)`` over a
+(keys, time)-ordered window.
 
 Scale characteristics (the reason this shape is chosen over a range
 self-join): exactly ONE shuffle on the join keys, no range-explosion
-cross product, no broadcast requirement on either side. Skewed keys
-behave like any window partition (AQE does not split windows — salt
-the key upstream if one entity dominates).
+cross product, no broadcast requirement on either side
+(``direction="nearest"`` adds a second window SORT over the same
+partitioning, still one Exchange). Skewed keys behave like any window
+partition (AQE does not split windows — salt the key upstream if one
+entity dominates).
 """
 
 from __future__ import annotations
@@ -31,54 +34,101 @@ def asof_join(
     right_cols: list[str] | None = None,
     suffix: str = "_right",
     strict: bool = False,
+    direction: str = "backward",
+    tolerance=None,
 ) -> DataFrame:
-    """For each left row, attach the most recent right row with
-    ``right.on <= left.on`` (or ``<`` when ``strict``), matching on the
-    ``by`` keys. Left rows with no prior right row keep NULLs
-    (LEFT ASOF JOIN semantics, matching DuckDB's ``ASOF LEFT JOIN``).
+    """For each left row, attach one right row matching on the ``by``
+    keys, selected by ``direction`` (pandas ``merge_asof`` parity):
+
+    - ``"backward"`` (default): most recent right row with
+      ``right.on <= left.on`` (``<`` when ``strict`` — pandas
+      ``allow_exact_matches=False``);
+    - ``"forward"``: next right row with ``right.on >= left.on``
+      (``>`` when ``strict``);
+    - ``"nearest"``: whichever of the two is closer in ``on``; exact
+      ties go backward (pandas tie rule).
+
+    ``tolerance`` (same units as ``on``; e.g. seconds when ``on`` is
+    cast appropriately) null-outs matches farther than the bound.
+    Left rows with no admissible right row keep NULLs (LEFT ASOF JOIN
+    semantics, matching DuckDB's ``ASOF LEFT JOIN``).
 
     ``on`` must be an identically-named ordering column on both sides;
     ``right_cols`` selects which right columns to attach (default: all
     non-key, non-time columns).
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown direction: {direction!r}")
     by = [by] if isinstance(by, str) else list(by or [])
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in by and c != on]
     out_cols = [c + suffix if c in left.columns else c for c in right_cols]
 
     lhs = left.withColumn("__is_left", F.lit(1))
-    rhs = right.select(
-        *by,
-        F.col(on),
-        *[F.col(c).alias(a) for c, a in zip(right_cols, out_cols)],
-    ).withColumn("__is_left", F.lit(0))
+    rhs = (
+        right.select(
+            *by,
+            F.col(on),
+            *[F.col(c).alias(a) for c, a in zip(right_cols, out_cols)],
+        )
+        # the right row's own time rides along so tolerance / nearest
+        # can measure the match distance after the fill
+        .withColumn("__rt", F.col(on))
+        .withColumn("__is_left", F.lit(0))
+    )
     # allowMissingColumns fills each side's missing columns with NULLs.
     unioned = lhs.unionByName(rhs, allowMissingColumns=True)
 
-    # Right rows sort before left rows at equal time (<= semantics);
-    # flip for strict (<) semantics. Ties among right rows resolve by
-    # their storage order within the partition sort — callers needing a
-    # total order should include a tiebreak column in `on`'s resolution
-    # upstream (e.g. pre-dedup right to one row per (by, on)).
-    tie = F.col("__is_left").desc() if strict else F.col("__is_left").asc()
-    w = (
-        Window.partitionBy(*by)
-        .orderBy(F.col(on).asc(), tie)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    directions = (
+        ["backward", "forward"] if direction == "nearest" else [direction]
     )
-    filled = unioned.select(
-        "*",
-        *[
-            F.last(a, ignorenulls=True).over(w).alias(a + "__filled")
-            for a in out_cols
-        ],
-    )
-    result = (
-        filled.where(F.col("__is_left") == 1)
-        .drop("__is_left", *out_cols)
-        .select(
-            *left.columns,
-            *[F.col(a + "__filled").alias(a) for a in out_cols],
+    filled = unioned
+    for d in directions:
+        # At equal time the right row must be admissible for non-strict
+        # semantics (sort before the left row) and inadmissible for
+        # strict — regardless of scan direction.
+        tie = F.col("__is_left").desc() if strict else F.col("__is_left").asc()
+        order = F.col(on).asc() if d == "backward" else F.col(on).desc()
+        w = (
+            Window.partitionBy(*by)
+            .orderBy(order, tie)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
-    )
-    return result
+        filled = filled.select(
+            "*",
+            *[
+                F.last(a, ignorenulls=True).over(w).alias(f"__{d}_{a}")
+                for a in [*out_cols, "__rt"]
+            ],
+        )
+
+    rows = filled.where(F.col("__is_left") == 1)
+
+    def _valid(d):
+        rt = F.col(f"__{d}_{'__rt'}")
+        ok = rt.isNotNull()
+        if tolerance is not None:
+            dist = (
+                F.col(on) - rt if d == "backward" else rt - F.col(on)
+            )
+            ok = ok & (dist <= F.lit(tolerance))
+        return ok
+
+    if direction == "nearest":
+        vb, vf = _valid("backward"), _valid("forward")
+        b_dist = F.col(on) - F.col("__backward___rt")
+        f_dist = F.col("__forward___rt") - F.col(on)
+        use_b = vb & (~F.coalesce(vf, F.lit(False)) | (b_dist <= f_dist))
+        picked = [
+            F.when(use_b, F.col(f"__backward_{a}"))
+            .when(vf, F.col(f"__forward_{a}"))
+            .alias(a)
+            for a in out_cols
+        ]
+    else:
+        v = _valid(direction)
+        picked = [
+            F.when(v, F.col(f"__{direction}_{a}")).alias(a)
+            for a in out_cols
+        ]
+    return rows.select(*left.columns, *picked)

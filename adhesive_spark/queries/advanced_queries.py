@@ -3669,3 +3669,61 @@ ADVANCED_ORACLES["q189_top_paths"] = """
     ORDER BY n_sessions DESC, path
     LIMIT 20
 """
+
+
+def q191_asof_nearest(spark, sf_dir):
+    """NEAREST-direction as-of join with a tolerance band — the full
+    pandas merge_asof surface (q36 is backward-only): each purchase
+    attaches its closest click within ±10 minutes, exact-tie toward
+    the earlier click (pandas tie rule), else NULL. The sensor/trade
+    alignment shape: one shuffle on the key, the nearest pick is two
+    in-partition window scans (no second Exchange), property-tested
+    against pandas across directions × strict × tolerance
+    (tests/test_property.py::test_asof_directions_match_pandas).
+    Clicks pre-deduped to one per (user, second) — the operator's
+    documented determinism contract."""
+    from adhesive_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("t")
+    )
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .select("user_id", F.unix_micros("ts").alias("t"), "event_id")
+        .groupBy("user_id", "t")
+        .agg(F.min("event_id").alias("click_event_id"))
+    )
+    joined = asof_join(
+        purchases,
+        clicks,
+        on="t",
+        by="user_id",
+        direction="nearest",
+        tolerance=600_000_000,  # ±10 minutes in microseconds
+    )
+    return joined.select("event_id", "user_id", "click_event_id")
+
+
+ADVANCED_QUERIES["q191_asof_nearest"] = q191_asof_nearest
+
+ADVANCED_ORACLES["q191_asof_nearest"] = """
+    WITH p AS (
+      SELECT event_id, user_id, epoch_us(ts) AS t
+      FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+      SELECT user_id, epoch_us(ts) AS t, MIN(event_id) AS click_event_id
+      FROM events WHERE event_type = 'click'
+      GROUP BY 1, 2
+    )
+    SELECT p.event_id, p.user_id, n.click_event_id
+    FROM p LEFT JOIN LATERAL (
+      SELECT c.click_event_id
+      FROM c
+      WHERE c.user_id = p.user_id AND abs(c.t - p.t) <= 600000000
+      ORDER BY abs(c.t - p.t),
+               CASE WHEN c.t <= p.t THEN 0 ELSE 1 END
+      LIMIT 1
+    ) n ON TRUE
+"""

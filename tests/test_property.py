@@ -333,3 +333,66 @@ def test_ddl_parse_aggregate_and_table(name, args, ret, body, agg):
     assert d.name.lower() == name.lower()
     assert [t.upper() for t in d.arg_types] == args
     assert d.body == body
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    lt=_times,
+    lk=_keys,
+    rt=_times,
+    rk=_keys,
+    direction=st.sampled_from(["backward", "forward", "nearest"]),
+    strict=st.booleans(),
+    tol=st.one_of(st.none(), st.integers(min_value=1, max_value=200)),
+)
+def test_asof_directions_match_pandas(
+    spark, lt, lk, rt, rk, direction, strict, tol
+):
+    """Full merge_asof parity surface: every direction × strict
+    (allow_exact_matches=False) × tolerance against pandas as the
+    independent reference. Right side deduped to one row per (key,
+    time) — the only documented nondeterminism."""
+    left_rows = [(i, k, t) for i, (k, t) in enumerate(zip(lk, lt))]
+    right_rows = list(
+        {(k, t): (k, t, t * 10 + 1) for k, t in zip(rk, rt)}.values()
+    )
+    left = spark.createDataFrame(left_rows, "row_id long, k string, t long")
+    right = spark.createDataFrame(right_rows, "k string, t long, payload long")
+
+    got = {
+        r.row_id: r.payload
+        for r in asof_join(
+            left,
+            right,
+            on="t",
+            by="k",
+            strict=strict,
+            direction=direction,
+            tolerance=tol,
+        ).collect()
+    }
+
+    lpdf = pd.DataFrame(left_rows, columns=["row_id", "k", "t"]).sort_values(
+        ["t", "row_id"]
+    )
+    rpdf = pd.DataFrame(
+        right_rows, columns=["k", "t", "payload"]
+    ).sort_values("t")
+    merged = pd.merge_asof(
+        lpdf,
+        rpdf,
+        on="t",
+        by="k",
+        direction=direction,
+        allow_exact_matches=not strict,
+        tolerance=tol,
+    )
+    want = {
+        int(r.row_id): (None if pd.isna(r.payload) else int(r.payload))
+        for r in merged.itertuples()
+    }
+    assert got == want

@@ -210,6 +210,7 @@ AUDITED = [
     "q188_rrf_fusion",
     "q189_top_paths",
     "q190_bpe_merge_step",
+    "q191_asof_nearest",
 ]
 
 
