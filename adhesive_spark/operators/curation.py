@@ -353,3 +353,55 @@ def k_anonymity_screen(
         F.count(F.lit(1)).alias("class_n"),
         (F.count(F.lit(1)) < F.lit(k)).alias("at_risk"),
     )
+
+
+def apply_masking_policy(df: DataFrame, policies: dict) -> DataFrame:
+    """Column-level masking policies (governance layer: what a
+    row/column access policy engine applies before data leaves the
+    platform). ``policies`` maps column → kind; unlisted columns pass
+    through unchanged, so the call site reads as the policy document:
+
+    - ``"hash"`` — md5-prefix pseudonym (8 hex chars): referentially
+      stable (joins/groupBys on the masked column still work — the
+      point of pseudonymization) but irreversible; portable across
+      engines, unlike xxhash.
+    - ``"partial"`` — keep first and last character, star the middle
+      (the call-center display form);
+    - ``"null"`` — full redaction to NULL of the same type;
+    - ``("bucket", width)`` — numeric generalization to the lower
+      bucket edge (the k-anonymity fix applied as a mask).
+
+    Pure projection: zero shuffles, pushdown-transparent, safe to
+    compose under any query."""
+    cols = []
+    for c in df.columns:
+        pol = policies.get(c)
+        if pol is None:
+            cols.append(F.col(c))
+        elif pol == "hash":
+            cols.append(
+                F.substring(F.md5(F.col(c).cast("string")), 1, 8).alias(c)
+            )
+        elif pol == "partial":
+            s = F.col(c).cast("string")
+            cols.append(
+                F.when(F.length(s) <= 2, F.lit("**"))
+                .otherwise(
+                    F.concat(
+                        F.substring(s, 1, 1),
+                        F.repeat(F.lit("*"), F.length(s) - 2),
+                        s.substr(F.length(s), F.lit(1)),
+                    )
+                )
+                .alias(c)
+            )
+        elif pol == "null":
+            cols.append(F.lit(None).cast(dict(df.dtypes)[c]).alias(c))
+        elif isinstance(pol, tuple) and pol[0] == "bucket":
+            width = pol[1]
+            cols.append(
+                (F.floor(F.col(c) / F.lit(width)) * F.lit(width)).alias(c)
+            )
+        else:
+            raise ValueError(f"unknown masking policy for {c}: {pol!r}")
+    return df.select(*cols)

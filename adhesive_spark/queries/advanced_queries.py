@@ -3727,3 +3727,69 @@ ADVANCED_ORACLES["q191_asof_nearest"] = """
       LIMIT 1
     ) n ON TRUE
 """
+
+
+def q192_pareto_front(spark, sf_dir):
+    """Pareto-efficient corpus selection: the documents on the
+    quality-vs-cost frontier (maximize quality score, minimize
+    character cost) — no other document is at least as good on BOTH
+    axes and strictly better on one. The data-selection shape behind
+    "best corpus under a token budget": walking the frontier IS the
+    optimal greedy order. Single-pass 2-D skyline via two RANGE-frame
+    running maxima over the cost ordering (strictly-cheaper max and
+    ties-inclusive max) — ONE global sort, no pairwise dominance join
+    (the naive skyline is O(n²)); at 100 TB the global RANGE window
+    would become per-stratum frontiers (partition by lang/source) with
+    identical frames."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.select(
+        "doc_id",
+        "n_chars",
+        scaled_long(quality_score(F.col("text")), 4).alias("q_s"),
+    )
+    w_lt = Window.orderBy("n_chars").rangeBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_le = Window.orderBy("n_chars").rangeBetween(
+        Window.unboundedPreceding, 0
+    )
+    m = s.select(
+        "doc_id",
+        "n_chars",
+        "q_s",
+        F.max("q_s").over(w_lt).alias("m_lt"),
+        F.max("q_s").over(w_le).alias("m_le"),
+    )
+    return m.where(
+        (F.col("m_lt").isNull() | (F.col("m_lt") < F.col("q_s")))
+        & (F.col("m_le") <= F.col("q_s"))
+    ).select("doc_id", "n_chars", "q_s")
+
+
+ADVANCED_QUERIES["q192_pareto_front"] = q192_pareto_front
+
+ADVANCED_ORACLES["q192_pareto_front"] = f"""
+    WITH t AS (
+      SELECT doc_id, text, n_chars, {_TOKS} AS toks FROM documents
+    ),
+    s AS (
+      SELECT doc_id, n_chars,
+             CAST(ROUND(({_quality_sql()}) * 10000, 0) AS BIGINT) AS q_s
+      FROM t
+    ),
+    m AS (
+      SELECT doc_id, n_chars, q_s,
+             MAX(q_s) OVER (ORDER BY n_chars
+                            RANGE BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING) AS m_lt,
+             MAX(q_s) OVER (ORDER BY n_chars
+                            RANGE BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS m_le
+      FROM s
+    )
+    SELECT doc_id, n_chars, q_s
+    FROM m
+    WHERE (m_lt IS NULL OR m_lt < q_s) AND m_le <= q_s
+"""

@@ -2503,3 +2503,42 @@ CURATION_ORACLES["q190_bpe_merge_step"] = """
     ORDER BY pair_count DESC, pair
     LIMIT 20
 """
+
+
+def q193_masked_export(spark, sf_dir):
+    """Governance masking policy applied at export
+    (:func:`adhesive_spark.operators.curation.apply_masking_policy`):
+    customer keys pseudonymized with the portable md5-prefix hash
+    (referentially stable — masked joins still line up), names partial-
+    masked to first+last character, balances generalized to 1000-wide
+    buckets (the k-anonymity fix as a mask), market segment passed
+    through. A pure projection — zero shuffles, the masked export costs
+    exactly the scan. Companion to q56 (PII redaction inside text) and
+    q179 (release screen): the three governance stages of a corpus
+    release."""
+    from adhesive_spark.operators.curation import apply_masking_policy
+
+    customer = load_table(spark, sf_dir, "customer")
+    return apply_masking_policy(
+        customer.select("c_custkey", "c_name", "c_acctbal", "c_mktsegment"),
+        {
+            "c_custkey": "hash",
+            "c_name": "partial",
+            "c_acctbal": ("bucket", 1000),
+        },
+    )
+
+
+CURATION_QUERIES["q193_masked_export"] = q193_masked_export
+
+CURATION_ORACLES["q193_masked_export"] = """
+    SELECT substring(md5(CAST(c_custkey AS VARCHAR)), 1, 8) AS c_custkey,
+           CASE WHEN length(c_name) <= 2 THEN '**'
+                ELSE substring(c_name, 1, 1)
+                     || repeat('*', length(c_name) - 2)
+                     || substring(c_name, length(c_name), 1)
+           END AS c_name,
+           CAST(FLOOR(c_acctbal / 1000) * 1000 AS BIGINT) AS c_acctbal,
+           c_mktsegment
+    FROM customer
+"""

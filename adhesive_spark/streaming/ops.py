@@ -180,8 +180,16 @@ def _committed_epochs(spark, state_path: str) -> list[int]:
     return sorted(out)
 
 
-def read_rollup_state(spark, state_path: str) -> DataFrame:
-    """Read the LATEST committed rollup state (one epoch directory).
+def read_rollup_state(
+    spark, state_path: str, *, epoch: int | None = None
+) -> DataFrame:
+    """Read a committed rollup/snapshot state (one epoch directory) —
+    the latest by default, or TIME-TRAVEL to a specific retained
+    ``epoch`` (the maintenance writers keep the previous epoch until
+    the next commit, so "current" and "as of the prior epoch" are
+    always both readable — the two versions an incident rollback or an
+    A/B diff actually needs; a table format with full history is the
+    production extension of the same layout).
 
     Readers never race the writer: each epoch is a fresh directory, the
     previous epoch is retained until the next merge, and only
@@ -190,6 +198,13 @@ def read_rollup_state(spark, state_path: str) -> DataFrame:
     epochs = _committed_epochs(spark, state_path)
     if not epochs:
         raise FileNotFoundError(f"no committed rollup state under {state_path}")
+    if epoch is not None:
+        if epoch not in epochs:
+            raise FileNotFoundError(
+                f"epoch {epoch} is not committed/retained under "
+                f"{state_path}; retained epochs: {epochs}"
+            )
+        return spark.read.parquet(f"{state_path}/__epoch={epoch}")
     return spark.read.parquet(f"{state_path}/__epoch={epochs[-1]}")
 
 

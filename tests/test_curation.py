@@ -139,3 +139,30 @@ def test_stratified_sample_unknown_stratum_uses_default(spark):
     assert none_kept.count() == 0  # default_rate=0.0
     all_kept = stratified_hash_sample(df, "k", "s", {}, default_rate=1.0)
     assert all_kept.count() == 50
+
+
+def test_apply_masking_policy_goldens(spark):
+    from adhesive_spark.operators.curation import apply_masking_policy
+
+    df = spark.createDataFrame(
+        [(1, "Alice", 1863.84, "AB"), (2, "Bo", 999.0, "CD")],
+        "id int, name string, bal double, seg string",
+    )
+    out = apply_masking_policy(
+        df,
+        {"id": "hash", "name": "partial", "bal": ("bucket", 1000),
+         "seg": "null"},
+    ).collect()
+    import hashlib
+
+    r1 = next(r for r in out if r["name"] == "A***e")
+    assert r1["id"] == hashlib.md5(b"1").hexdigest()[:8]
+    assert r1["bal"] == 1000 and r1["seg"] is None
+    r2 = next(r for r in out if r["name"] == "**")  # <=2 chars fully masked
+    assert r2["bal"] == 0
+    # unlisted columns pass through + unknown policy rejected
+    assert apply_masking_policy(df, {}).collect()[0]["name"] == "Alice"
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="unknown masking policy"):
+        apply_masking_policy(df, {"id": "rot13"})

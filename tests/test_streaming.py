@@ -626,3 +626,44 @@ def test_streaming_cdc_apply_matches_batch(spark, tmp_path_factory):
     }
     assert got == want
     assert got[5] == 555 and 0 not in got and got[1] == 11
+
+
+def test_rollup_state_time_travel(spark, tmp_path_factory):
+    """The epoch-versioned state layout retains the previous epoch, so
+    read_rollup_state(epoch=...) can time-travel one commit back — the
+    rollback/AB-diff read — and refuses non-retained epochs loudly."""
+    from adhesive_spark.streaming.ops import (
+        _committed_epochs,
+        read_rollup_state,
+        streaming_cdc_apply,
+    )
+
+    src = tmp_path_factory.mktemp("tt") / "log"
+    schema = "k int, ts int, eid int, op string, v int"
+    spark.createDataFrame(
+        [(1, 1, 1, "upsert", 10)], schema
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    spark.createDataFrame(
+        [(1, 2, 2, "upsert", 20)], schema
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    root = tmp_path_factory.mktemp("tt")
+    state, ckpt = str(root / "state"), str(root / "ckpt")
+    q = streaming_cdc_apply(
+        stream, ["k"], ["ts", "eid"], state, checkpoint_path=ckpt
+    )
+    assert q.awaitTermination(120)
+    epochs = _committed_epochs(spark, state)
+    assert len(epochs) == 2
+    latest = {r["k"]: r["v"] for r in read_rollup_state(spark, state).collect()}
+    prior = {
+        r["k"]: r["v"]
+        for r in read_rollup_state(spark, state, epoch=epochs[0]).collect()
+    }
+    assert latest == {1: 20} and prior == {1: 10}
+    with pytest.raises(FileNotFoundError, match="not committed/retained"):
+        read_rollup_state(spark, state, epoch=999)

@@ -211,6 +211,8 @@ AUDITED = [
     "q189_top_paths",
     "q190_bpe_merge_step",
     "q191_asof_nearest",
+    "q192_pareto_front",
+    "q193_masked_export",
 ]
 
 
