@@ -3793,3 +3793,154 @@ ADVANCED_ORACLES["q192_pareto_front"] = f"""
     FROM m
     WHERE (m_lt IS NULL OR m_lt < q_s) AND m_le <= q_s
 """
+
+
+def q194_scd2_lookup(spark, sf_dir):
+    """TEMPORAL dimension lookup — the consumer side of q110's SCD2
+    build: every line item joins the customer's priority attribute AS
+    OF ITS SHIP DATE (as-of join on the version start, backward), not
+    the current version — the classic warehouse correctness rule that
+    a current-dim join silently violates (facts older than the latest
+    version get tomorrow's attribute). Pre-history facts fall into
+    'none'. One shuffle builds the history, one as-of shuffle attaches
+    it; revenue aggregates per as-of attribute in exact cents."""
+    from pyspark.sql.window import Window
+
+    from adhesive_spark.operators.asof import asof_join
+
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_custkey") < 500
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    changes = (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.col("o_orderpriority").alias("attr"),
+        )
+        .withColumn("__prev", F.lag("attr").over(w))
+        .where(F.col("__prev").isNull() | (F.col("__prev") != F.col("attr")))
+    )
+    # one version per (customer, day): last change of the day wins —
+    # removes the as-of tie the operator documents as caller-resolved
+    wd = Window.partitionBy(
+        "o_custkey", "o_orderdate"
+    ).orderBy(F.col("o_orderkey").desc())
+    dim = (
+        changes.withColumn("__rn", F.row_number().over(wd))
+        .where(F.col("__rn") == 1)
+        .select(
+            "o_custkey", F.unix_micros("o_orderdate").alias("t"), "attr"
+        )
+    )
+    facts = li.join(
+        orders.select("o_orderkey", "o_custkey"),
+        li["l_orderkey"] == F.col("o_orderkey"),
+    ).select(
+        "o_custkey",
+        F.unix_micros("l_shipdate").alias("t"),
+        scaled_long(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")), 2
+        ).alias("rev_c"),
+    )
+    joined = asof_join(facts, dim, on="t", by="o_custkey")
+    return (
+        joined.groupBy(F.coalesce("attr", F.lit("none")).alias("asof_attr"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lineitems"),
+            F.sum("rev_c").alias("revenue_cents"),
+        )
+    )
+
+
+ADVANCED_QUERIES["q194_scd2_lookup"] = q194_scd2_lookup
+
+ADVANCED_ORACLES["q194_scd2_lookup"] = """
+    WITH o AS (SELECT * FROM orders WHERE o_custkey < 500),
+    changes AS (
+      SELECT o_custkey, o_orderkey, o_orderdate, attr FROM (
+        SELECT o_custkey, o_orderkey, o_orderdate,
+               o_orderpriority AS attr,
+               lag(o_orderpriority) OVER w AS prev
+        FROM o
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey)
+      ) WHERE prev IS NULL OR prev <> attr
+    ),
+    dim AS (
+      SELECT o_custkey, epoch_us(o_orderdate) AS t, attr FROM (
+        SELECT o_custkey, o_orderdate, attr,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderdate
+                                  ORDER BY o_orderkey DESC) AS rn
+        FROM changes
+      ) WHERE rn = 1
+    ),
+    facts AS (
+      SELECT o.o_custkey, epoch_us(l.l_shipdate) AS t,
+             CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100, 0)
+                  AS BIGINT) AS rev_c
+      FROM lineitem l JOIN o ON l.l_orderkey = o.o_orderkey
+    ),
+    j AS (
+      SELECT f.rev_c, d.attr
+      FROM facts f
+      ASOF LEFT JOIN dim d
+        ON f.o_custkey = d.o_custkey AND f.t >= d.t
+    )
+    SELECT COALESCE(attr, 'none') AS asof_attr,
+           COUNT(*) AS n_lineitems,
+           CAST(SUM(rev_c) AS BIGINT) AS revenue_cents
+    FROM j GROUP BY 1
+"""
+
+
+def q195_rollup_cascade(spark, sf_dir):
+    """Multi-granularity materialized-view CASCADE: daily → monthly →
+    quarterly, where each level aggregates the PREVIOUS level's rows,
+    never the base table — the warehouse rollup chain whose whole point
+    is that the quarterly refresh touches 90 daily rows, not 90 days of
+    facts. Valid only for algebraic measures (count/sum compose;
+    averages must be derived at read time — same rule as
+    operators/incremental.py); the oracle computes the quarterly
+    numbers DIRECTLY from the base table, so a green hash is a
+    machine-checked proof of the cascade invariant
+    ``agg(agg(daily)) == agg(base)``."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("day"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(scaled_long(F.col("o_totalprice"), 2)).alias("cents"),
+    )
+    monthly = daily.groupBy(
+        F.substring("day", 1, 7).alias("month")
+    ).agg(
+        F.sum("n_orders").alias("n_orders"),
+        F.sum("cents").alias("cents"),
+    )
+    quarterly = monthly.groupBy(
+        F.concat(
+            F.substring("month", 1, 4),
+            F.lit("-Q"),
+            F.ceil(F.substring("month", 6, 2).cast("int") / 3).cast("string"),
+        ).alias("quarter")
+    ).agg(
+        F.sum("n_orders").alias("n_orders"),
+        F.sum("cents").alias("cents"),
+    )
+    return quarterly
+
+
+ADVANCED_QUERIES["q195_rollup_cascade"] = q195_rollup_cascade
+
+ADVANCED_ORACLES["q195_rollup_cascade"] = """
+    SELECT strftime(o_orderdate, '%Y') || '-Q'
+             || CAST(CAST(CEIL(CAST(strftime(o_orderdate, '%m') AS INT)
+                               / 3.0) AS INT) AS VARCHAR) AS quarter,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+             AS cents
+    FROM orders GROUP BY 1
+"""

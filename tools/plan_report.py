@@ -213,6 +213,8 @@ AUDITED = [
     "q191_asof_nearest",
     "q192_pareto_front",
     "q193_masked_export",
+    "q194_scd2_lookup",
+    "q195_rollup_cascade",
 ]
 
 

@@ -166,6 +166,30 @@ def main() -> None:
         2000 * reps,
     )
 
+    # CDC MERGE apply under ADVERSARIAL key skew: replication multiplies
+    # the log but not the key space (150 users), so every latest-op
+    # window partition grows N× — the worst case for the one-window
+    # shape (real CDC keys are high-cardinality; this is strictly
+    # harder). Cost must stay linear in the log.
+    from adhesive_spark.operators.incremental import apply_cdc
+
+    events = load_table(spark, sf_dir, "events")
+    n_events = events.count()
+    big_log = replicate(events, "event_id", reps).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "error", F.lit("delete"))
+        .otherwise(F.lit("upsert"))
+        .alias("op"),
+        "value",
+    )
+    run(
+        "cdc_apply",
+        lambda: apply_cdc(big_log, ["user_id"], ["ts", "event_id"], "op"),
+        n_events * reps,
+    )
+
     total = round(sum(o["sec"] for o in ops.values()), 2)
     print(
         json.dumps(
