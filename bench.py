@@ -80,6 +80,14 @@ HEADLINE = [
     "q140_latency_bands",
     "q146_rarity_score",
     "q147_leakage_safe_split",
+    # round-5 batch 5: CDC MERGE apply (latest-op-wins snapshot),
+    # end-to-end entity resolution (blocked fuzzy -> closure -> canon),
+    # hybrid-search RRF fusion, and the BPE merge-step count (the
+    # tokenizer-training inner loop)
+    "q180_cdc_merge_apply",
+    "q184_entity_resolution",
+    "q188_rrf_fusion",
+    "q190_bpe_merge_step",
 ]
 
 
