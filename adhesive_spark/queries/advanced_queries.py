@@ -3944,3 +3944,148 @@ ADVANCED_ORACLES["q195_rollup_cascade"] = """
              AS cents
     FROM orders GROUP BY 1
 """
+
+
+def q197_calendar_dim(spark, sf_dir):
+    """CALENDAR DIMENSION generation spanning the order-date range —
+    the warehouse utility table every date-keyed star schema joins
+    (day, ISO day-of-week, month, quarter, weekend and month-end
+    flags), generated IN-ENGINE from a min/max scan + one sequence
+    explode: no external seed file, deterministic, and regenerable at
+    any grain. The spine family's third member (q91 months, q115
+    hours). Zero-shuffle after the 1-row bounds aggregate broadcast."""
+    orders = load_table(spark, sf_dir, "orders")
+    bounds = orders.agg(
+        F.min(F.to_date("o_orderdate")).alias("d0"),
+        F.max(F.to_date("o_orderdate")).alias("d1"),
+    )
+    days = bounds.select(
+        F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    return days.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        (F.weekday("day") + 1).cast("int").alias("iso_dow"),
+        F.date_format("day", "yyyy-MM").alias("month"),
+        F.concat(
+            F.year("day").cast("string"),
+            F.lit("-Q"),
+            F.quarter("day").cast("string"),
+        ).alias("quarter"),
+        (F.weekday("day") >= 5).alias("is_weekend"),
+        (F.col("day") == F.last_day("day")).alias("is_month_end"),
+    )
+
+
+ADVANCED_QUERIES["q197_calendar_dim"] = q197_calendar_dim
+
+ADVANCED_ORACLES["q197_calendar_dim"] = """
+    WITH b AS (
+      SELECT CAST(MIN(o_orderdate) AS DATE) AS d0,
+             CAST(MAX(o_orderdate) AS DATE) AS d1
+      FROM orders
+    ),
+    days AS (
+      SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+               AS day
+      FROM b
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           CAST(isodow(day) AS INT) AS iso_dow,
+           strftime(day, '%Y-%m') AS month,
+           strftime(day, '%Y') || '-Q'
+             || CAST(quarter(day) AS VARCHAR) AS quarter,
+           isodow(day) >= 6 AS is_weekend,
+           day = last_day(day) AS is_month_end
+    FROM days
+"""
+
+
+def q198_budget_allocation(spark, sf_dir):
+    """EXACT proportional allocation with largest-remainder (Hamilton)
+    rounding: split a 1,000,000-unit budget across nations proportional
+    to revenue so that the integer allocations SUM EXACTLY to the
+    budget — the finance/ops primitive where naive per-row rounding
+    leaks units (and floats leak them nondeterministically). All-integer
+    arithmetic: floor quotas from exact cents, the leftover slots go to
+    the largest remainders (ties by nation key) — both engines compute
+    the identical allocation, and the oracle's green hash is a
+    machine-checked conservation proof. One small aggregate + two
+    windows over 25 rows."""
+    from pyspark.sql.window import Window
+
+    budget = 1_000_000
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    rev = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(customer, orders["o_custkey"] == customer["c_custkey"])
+        .join(F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.sum(
+                scaled_long(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")), 2
+                )
+            ).alias("rev_c")
+        )
+    )
+    wt = Window.partitionBy()
+    x = rev.select(
+        "n_name",
+        "rev_c",
+        F.sum("rev_c").over(wt).alias("total_c"),
+    ).select(
+        "n_name",
+        "rev_c",
+        F.expr(f"({budget} * rev_c) div total_c").alias("base"),
+        F.expr(f"({budget} * rev_c) % total_c").alias("rem"),
+        "total_c",
+    )
+    wr = Window.orderBy(F.col("rem").desc(), "n_name")
+    ws = Window.partitionBy()
+    return (
+        x.withColumn("slots", F.lit(budget) - F.sum("base").over(ws))
+        .withColumn("rrank", F.row_number().over(wr))
+        .select(
+            "n_name",
+            "rev_c",
+            (
+                F.col("base")
+                + (F.col("rrank") <= F.col("slots")).cast("long")
+            ).alias("allocation"),
+        )
+    )
+
+
+ADVANCED_QUERIES["q198_budget_allocation"] = q198_budget_allocation
+
+ADVANCED_ORACLES["q198_budget_allocation"] = """
+    WITH rev AS (
+      SELECT n_name,
+             CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100,
+                                 0) AS BIGINT)) AS BIGINT) AS rev_c
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_name
+    ),
+    x AS (
+      SELECT n_name, rev_c,
+             (1000000 * rev_c) // SUM(rev_c) OVER () AS base,
+             (1000000 * rev_c) % SUM(rev_c) OVER () AS rem
+      FROM rev
+    ),
+    r AS (
+      SELECT n_name, rev_c, base,
+             1000000 - SUM(base) OVER () AS slots,
+             ROW_NUMBER() OVER (ORDER BY rem DESC, n_name) AS rrank
+      FROM x
+    )
+    SELECT n_name, rev_c,
+           CAST(base + CASE WHEN rrank <= slots THEN 1 ELSE 0 END
+                AS BIGINT) AS allocation
+    FROM r
+"""

@@ -2542,3 +2542,194 @@ CURATION_ORACLES["q193_masked_export"] = """
            c_mktsegment
     FROM customer
 """
+
+
+def q196_feature_hashing(spark, sf_dir):
+    """Hashing-trick featurization (public Weinberger et al. scheme):
+    tokens hash into a fixed 256-bucket feature space — the
+    vocabulary-free featurizer for linear models / dedup sketches whose
+    whole point at 100 TB is that NO vocabulary shuffle or dictionary
+    broadcast exists; the bucket id is pure per-row math (portable
+    md5-prefix, the engine-agnostic house hash). Output: per-document
+    sparse feature vector rows (doc, bucket, count) for the first 50
+    docs — projection + explode + one keyed aggregate."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
+    tok = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 4), 16, 10).cast("long")
+        % 256
+    )
+    return (
+        tok.select("doc_id", bucket.alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+CURATION_QUERIES["q196_feature_hashing"] = q196_feature_hashing
+
+CURATION_ORACLES["q196_feature_hashing"] = """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+               ' ')) AS tok
+      FROM documents WHERE doc_id < 50
+    )
+    SELECT doc_id,
+           CAST(('0x' || substr(md5(tok), 1, 4)) AS BIGINT) % 256
+             AS bucket,
+           COUNT(*) AS cnt
+    FROM tok GROUP BY 1, 2
+"""
+
+
+def q199_source_copy_matrix(spark, sf_dir):
+    """DIRECTED cross-source copy matrix — q178's syndication detection
+    resolved into who-copies-whom: texts sharing a 20-token HEAD
+    fingerprint (wire-story lede; light tail edits don't break the
+    match, full-body fingerprints would — this corpus has near-dups but
+    no byte-identical cross-source pairs) group into a syndication
+    cluster; the ORIGIN is the source of the lowest doc_id
+    (ingest-order proxy; swap in a crawl timestamp in production) and
+    each other source holding the text is a COPIER. Output
+    (origin_source, copying_source, n_texts) — the provenance edge list
+    that per-source capping and licensing review rank sources by.
+    Narrow (fp, source) rows through one min_by aggregate + one
+    equi-join."""
+    docs = load_table(spark, sf_dir, "documents")
+    fps = docs.select(
+        "doc_id",
+        "source",
+        F.md5(
+            F.concat_ws(" ", F.slice(tokens(F.col("text")), 1, 20))
+        ).alias("fp"),
+    )
+    origin = fps.groupBy("fp").agg(
+        F.min_by("source", "doc_id").alias("origin_source")
+    )
+    holders = fps.select("fp", "source").distinct()
+    return (
+        holders.join(origin, "fp")
+        .where(F.col("source") != F.col("origin_source"))
+        .groupBy("origin_source", F.col("source").alias("copying_source"))
+        .agg(F.count_distinct("fp").alias("n_texts"))
+    )
+
+
+CURATION_QUERIES["q199_source_copy_matrix"] = q199_source_copy_matrix
+
+CURATION_ORACLES["q199_source_copy_matrix"] = """
+    WITH fps AS (
+      SELECT doc_id, source,
+             md5(array_to_string((string_split(trim(regexp_replace(
+                 lower(text), '\\s+', ' ', 'g')), ' '))[1:20], ' ')) AS fp
+      FROM documents
+    ),
+    origin AS (
+      SELECT fp, arg_min(source, doc_id) AS origin_source
+      FROM fps GROUP BY fp
+    ),
+    holders AS (SELECT DISTINCT fp, source FROM fps)
+    SELECT o.origin_source, h.source AS copying_source,
+           COUNT(DISTINCT h.fp) AS n_texts
+    FROM holders h JOIN origin o USING (fp)
+    WHERE h.source <> o.origin_source
+    GROUP BY 1, 2
+"""
+
+
+def q200_governed_release(spark, sf_dir):
+    """CAPSTONE: the governed corpus-release pipeline as ONE composed
+    query — quality gate → exact dedup (min-id survivor carries its
+    own attributes) → k-anonymity SUPPRESSION (drop surviving
+    (lang, source) classes below 5) → pseudonymize → shard assignment →
+    per-shard release ledger. Every stage is an operator the suite
+    ships standalone (q31/q30/q179/q193/q76); the point here is that
+    they COMPOSE without a materialization wall: three shuffles total
+    (dedup key, anonymity class window, shard ledger), plan-budget
+    asserted in tests/test_plans.py. The ledger's pseudonym sample is
+    deterministic (min pseudonym per shard)."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        fingerprint(F.col("text")).alias("fp"),
+        token_count(F.col("text")).alias("n_tok"),
+    ).where(quality_score(F.col("text")) >= 0.3)
+    wd = Window.partitionBy("fp").orderBy("doc_id")
+    surv = (
+        base.withColumn("__rn", F.row_number().over(wd))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    wk = Window.partitionBy("lang", "source")
+    released = (
+        surv.withColumn("class_n", F.count(F.lit(1)).over(wk))
+        .where(F.col("class_n") >= 5)
+        .select(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8).alias(
+                "pseudonym"
+            ),
+            "lang",
+            "source",
+            "n_tok",
+            (
+                F.conv(F.substring(F.md5("fp"), 1, 4), 16, 10).cast("long")
+                % 8
+            ).alias("shard"),
+        )
+    )
+    return released.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("token_sum"),
+        F.min("pseudonym").alias("sample_pseudonym"),
+    )
+
+
+CURATION_QUERIES["q200_governed_release"] = q200_governed_release
+
+CURATION_ORACLES["q200_governed_release"] = f"""
+    WITH t AS (
+      SELECT doc_id, lang, source, text,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+             len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ',
+                 'g')), ' ')) AS n_tok,
+             (floor((0.4 * (CASE WHEN length(text) BETWEEN 100 AND 20000
+                           THEN 1.0 ELSE 0.3 END)
+               + 0.4 * least(floor(len(list_filter(toks, t -> t IN ('the', 'a', 'an', 'and', 'or', 'of', 'to', 'in', 'is', 'it', 'that', 'this', 'for', 'on', 'with', 'as', 'was', 'at', 'by')))
+                                   / greatest(len(toks), 1) * 10000) / 10000 * 4, 1.0)
+               + 0.2 * (1 - least(floor(length(regexp_replace(text, '[^.,!?;:]', '', 'g'))
+                                        / greatest(length(text), 1) * 10000) / 10000 * 5
+                                  + floor(length(regexp_replace(text, '[^A-Z]', '', 'g'))
+                                          / greatest(length(text), 1) * 10000) / 10000 * 2,
+                                  1.0)))
+              * 10000) / 10000) AS q
+      FROM (SELECT *, string_split(trim(regexp_replace(lower(text), '\\s+',
+                      ' ', 'g')), ' ') AS toks FROM documents)
+    ),
+    base AS (SELECT * FROM t WHERE q >= 0.3),
+    surv AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        FROM base
+      ) WHERE rn = 1
+    ),
+    released AS (
+      SELECT substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS pseudonym,
+             lang, source, n_tok,
+             CAST(('0x' || substr(md5(fp), 1, 4)) AS BIGINT) % 8 AS shard
+      FROM (
+        SELECT *, COUNT(*) OVER (PARTITION BY lang, source) AS class_n
+        FROM surv
+      ) WHERE class_n >= 5
+    )
+    SELECT shard, COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS token_sum,
+           MIN(pseudonym) AS sample_pseudonym
+    FROM released GROUP BY shard
+"""

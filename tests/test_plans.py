@@ -270,6 +270,7 @@ def test_shuffle_budgets_most_expensive(spark, sf):
         q69_contamination_check,
         q100_corpus_report,
         q102_curation_pipeline,
+        q200_governed_release,
     )
     from adhesive_spark.queries.pipeline_queries import (
         q30_dedup_exact,
@@ -283,6 +284,8 @@ def test_shuffle_budgets_most_expensive(spark, sf):
         q100_corpus_report: 2,
         q30_dedup_exact: 1,
         q101_knn_ivf_refined: 3,  # per-iter pos-agg + probe-side agg
+        # capstone: dedup key + anonymity class window + shard ledger
+        q200_governed_release: 3,
     }
     for fn, budget in budgets.items():
         got = shuffle_exchange_count(fn(spark, sf))

@@ -215,6 +215,11 @@ AUDITED = [
     "q193_masked_export",
     "q194_scd2_lookup",
     "q195_rollup_cascade",
+    "q196_feature_hashing",
+    "q197_calendar_dim",
+    "q198_budget_allocation",
+    "q199_source_copy_matrix",
+    "q200_governed_release",
 ]
 
 
