@@ -396,3 +396,49 @@ def test_asof_directions_match_pandas(
         for r in merged.itertuples()
     }
     assert got == want
+
+
+# --- CDC apply vs pandas reference -------------------------------------------
+
+_ops = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=4),          # key
+        st.integers(min_value=0, max_value=20),         # ts
+        st.sampled_from(["upsert", "delete"]),
+        st.integers(min_value=0, max_value=99),         # payload
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(ops=_ops)
+def test_apply_cdc_matches_pandas(spark, ops):
+    """Latest-op-per-key-wins against an independent pandas reference:
+    sort by (ts, eid), take each key's last op, drop deletes. The eid
+    column (insertion index) makes the log's total order unique, so
+    both implementations are deterministic."""
+    from adhesive_spark.operators.incremental import apply_cdc
+
+    rows = [(k, t, i, op, v) for i, (k, t, op, v) in enumerate(ops)]
+    log = spark.createDataFrame(
+        rows, "k int, ts int, eid int, op string, v int"
+    )
+    got = {
+        r["k"]: r["v"]
+        for r in apply_cdc(log, ["k"], ["ts", "eid"], "op").collect()
+    }
+
+    pdf = pd.DataFrame(rows, columns=["k", "ts", "eid", "op", "v"])
+    last = (
+        pdf.sort_values(["ts", "eid"]).groupby("k").tail(1)
+    )
+    want = {
+        int(r.k): int(r.v) for r in last.itertuples() if r.op != "delete"
+    }
+    assert got == want
