@@ -4089,3 +4089,70 @@ ADVANCED_ORACLES["q198_budget_allocation"] = """
                 AS BIGINT) AS allocation
     FROM r
 """
+
+
+def q201_longest_streak(spark, sf_dir):
+    """Longest consecutive-day activity streak per user — the
+    engagement metric behind "7-day streak" product features, and the
+    second gaps-and-islands shape (q53 sessionizes by time gap; this
+    islands by CALENDAR DAY adjacency): distinct active days → lag to
+    flag day gaps → cumulative island id → per-island length → per-user
+    max. One shuffle on the user key; all four steps run inside that
+    partitioning."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.to_date("ts").alias("d")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    islands = days.withColumn(
+        "new_island",
+        (
+            F.datediff(
+                F.col("d"), F.coalesce(F.lag("d").over(w), F.col("d"))
+            )
+            > 1
+        ).cast("long"),
+    ).withColumn(
+        "island", F.sum("new_island").over(w)
+    )
+    return (
+        islands.groupBy("user_id", "island")
+        .agg(F.count(F.lit(1)).alias("streak"))
+        .groupBy("user_id")
+        .agg(
+            F.max("streak").alias("longest_streak"),
+            F.sum("streak").alias("n_active_days"),
+        )
+    )
+
+
+ADVANCED_QUERIES["q201_longest_streak"] = q201_longest_streak
+
+ADVANCED_ORACLES["q201_longest_streak"] = """
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    marked AS (
+      SELECT user_id, d,
+             CASE WHEN date_diff('day',
+                        COALESCE(lag(d) OVER w, d), d) > 1
+                  THEN 1 ELSE 0 END AS new_island
+      FROM days
+      WINDOW w AS (PARTITION BY user_id ORDER BY d)
+    ),
+    islands AS (
+      SELECT user_id, d,
+             SUM(new_island) OVER (PARTITION BY user_id ORDER BY d
+                                   ROWS UNBOUNDED PRECEDING) AS island
+      FROM marked
+    ),
+    per AS (
+      SELECT user_id, island, COUNT(*) AS streak
+      FROM islands GROUP BY 1, 2
+    )
+    SELECT user_id, MAX(streak) AS longest_streak,
+           CAST(SUM(streak) AS BIGINT) AS n_active_days
+    FROM per GROUP BY user_id
+"""

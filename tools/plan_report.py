@@ -220,6 +220,7 @@ AUDITED = [
     "q198_budget_allocation",
     "q199_source_copy_matrix",
     "q200_governed_release",
+    "q201_longest_streak",
 ]
 
 
