@@ -85,16 +85,33 @@ def main() -> None:
     )
     stats.orderBy("shard").show()
 
+    # 5b. governance gate before release: k-anonymity screen over the
+    #     (source, length-bucket) quasi-identifiers, then masked export
+    #     ids (pseudonyms) — the q179/q193 stages of the q200 flow
+    from adhesive_spark.operators.curation import (
+        apply_masking_policy,
+        k_anonymity_screen,
+    )
+
+    risk = k_anonymity_screen(
+        clean.select("source", (F.length("text") / 500).cast("long").alias("len_b")),
+        ["source", "len_b"],
+        k=5,
+    )
+    n_risky = risk.where("at_risk").count()
+    print(f"k-anonymity: {n_risky} at-risk quasi-identifier classes")
+
     # 6. write the packed set with audit counters gathered DURING the
-    #    write (df.observe — no second scan)
+    #    write (df.observe — no second scan); ids leave as md5-prefix
+    #    pseudonyms (referentially stable, irreversible)
     import tempfile
 
     out = tempfile.mkdtemp(prefix="adhesive_demo_out_")
-    audit = observed_write(
+    release = apply_masking_policy(
         packed.join(clean, "doc_id").select("doc_id", "shard", "text"),
-        out,
-        metrics=corpus_metrics("text"),
+        {"doc_id": "hash"},
     )
+    audit = observed_write(release, out, metrics=corpus_metrics("text"))
     print(f"written to {out}; audit: {audit}")
 
 
