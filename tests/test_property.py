@@ -442,3 +442,61 @@ def test_apply_cdc_matches_pandas(spark, ops):
         int(r.k): int(r.v) for r in last.itertuples() if r.op != "delete"
     }
     assert got == want
+
+
+# --- weighted median vs direct expansion reference ---------------------------
+
+_wvals = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b"]),                    # group
+        st.integers(min_value=0, max_value=50),         # value
+        st.integers(min_value=1, max_value=9),          # weight
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(rows=_wvals)
+def test_weighted_median_matches_expansion(spark, rows):
+    """The RANGE-frame weighted median (q185's shape) must equal the
+    plain median of the weight-EXPANDED multiset (each value repeated
+    weight times, lower-middle element) — the definition the windowed
+    formulation compresses."""
+    from pyspark.sql import functions as SF
+    from pyspark.sql.window import Window
+
+    df = spark.createDataFrame(rows, "g string, v long, w long")
+    wt = Window.partitionBy("g")
+    wr = (
+        Window.partitionBy("g")
+        .orderBy("v")
+        .rangeBetween(Window.unboundedPreceding, 0)
+    )
+    x = df.select(
+        "g",
+        "v",
+        SF.sum("w").over(wt).alias("total_w"),
+        SF.sum("w").over(wr).alias("cum_w"),
+    )
+    got = {
+        r["g"]: r["med"]
+        for r in x.where(2 * SF.col("cum_w") >= SF.col("total_w"))
+        .groupBy("g")
+        .agg(SF.min("v").alias("med"))
+        .collect()
+    }
+
+    want = {}
+    for g in {r[0] for r in rows}:
+        expanded = sorted(
+            v for grp, v, w in rows if grp == g for _ in range(w)
+        )
+        # smallest v with 2*cumweight >= total == lower-middle element
+        want[g] = expanded[(len(expanded) - 1) // 2]
+    assert got == want
