@@ -132,3 +132,73 @@ def asof_join(
             for a in out_cols
         ]
     return rows.select(*left.columns, *picked)
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    bucket_width: int,
+    suffix: str = "_r",
+) -> DataFrame:
+    """All (left, right) row pairs whose CLOSED intervals overlap
+    (``l.start <= r.end AND r.start <= l.end``) — the second temporal
+    join Spark lacks (as-of attaches a point to ONE row; this pairs
+    interval SETS: sessions × incident windows, shifts × outages,
+    exposure × event spans).
+
+    A naive formulation is an inequality join — Catalyst can only
+    BNL/cartesian it. Instead each interval explodes into the
+    fixed-width buckets it covers and pairs meet by BUCKET EQUI-JOIN,
+    then verify the exact overlap predicate. A pair sharing several
+    buckets would duplicate, so it is kept ONLY in the first bucket
+    both intervals cover (``max(floor(ls/w), floor(rs/w))``) — dedup by
+    arithmetic, no distinct shuffle.
+
+    ``bucket_width`` trades fan-out for selectivity: ~the typical
+    interval length is right (an interval explodes into ~2 buckets);
+    at 100 TB the shuffle is the bucketed explode, never |L|·|R|, and
+    a hot bucket (everything overlapping one rush hour) is ordinary
+    aggregate skew for AQE. Start/end are numeric (cast timestamps to
+    epoch units upstream)."""
+    w = int(bucket_width)
+    out_names = [c + suffix if c in left.columns else c for c in right.columns]
+    r = right.select(
+        *[F.col(c).alias(a) for c, a in zip(right.columns, out_names)]
+    )
+    rs, re_ = (
+        right_start + suffix if right_start in left.columns else right_start,
+        right_end + suffix if right_end in left.columns else right_end,
+    )
+    lb = left.withColumn(
+        "__b",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(left_start) / w), F.floor(F.col(left_end) / w)
+            )
+        ),
+    )
+    rb = r.withColumn(
+        "__b",
+        F.explode(
+            F.sequence(F.floor(F.col(rs) / w), F.floor(F.col(re_) / w))
+        ),
+    )
+    return (
+        lb.join(rb, "__b")
+        .where(
+            (F.col(left_start) <= F.col(re_))
+            & (F.col(rs) <= F.col(left_end))
+            & (
+                F.col("__b")
+                == F.greatest(
+                    F.floor(F.col(left_start) / w), F.floor(F.col(rs) / w)
+                )
+            )
+        )
+        .drop("__b")
+    )

@@ -4156,3 +4156,121 @@ ADVANCED_ORACLES["q201_longest_streak"] = """
            CAST(SUM(streak) AS BIGINT) AS n_active_days
     FROM per GROUP BY user_id
 """
+
+
+def q203_session_incident_overlap(spark, sf_dir):
+    """INTERVAL-OVERLAP JOIN (operators/asof.interval_overlap_join):
+    user sessions (30-min-gap islands) paired against global incident
+    windows (±5 min around every error event) wherever the two
+    intervals intersect — "which sessions ran during an incident", the
+    blameless-postmortem / exposure-attribution query. The naive
+    inequality join is a cartesian BNL; the operator meets pairs by
+    bucketed equi-join (10-min buckets ≈ the window length) and
+    de-duplicates multi-bucket pairs arithmetically. Output per user:
+    sessions, incident-affected sessions, and overlap pairs — exact
+    microsecond interval arithmetic on both engines."""
+    from pyspark.sql.window import Window
+
+    from adhesive_spark.operators.asof import interval_overlap_join
+
+    ev = load_table(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sess = (
+        ev.select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.sum(
+                (
+                    F.col("ts").cast("long")
+                    - F.coalesce(
+                        F.lag(F.col("ts")).over(wu).cast("long"),
+                        F.col("ts").cast("long"),
+                    )
+                    > 1800
+                ).cast("long")
+            ).over(wu).alias("session_no"),
+        )
+        .groupBy("user_id", "session_no")
+        .agg(
+            F.min(F.unix_micros("ts")).alias("s_start"),
+            F.max(F.unix_micros("ts")).alias("s_end"),
+        )
+    )
+    incidents = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("incident_id"),
+        (F.unix_micros("ts") - F.lit(300_000_000)).alias("i_start"),
+        (F.unix_micros("ts") + F.lit(300_000_000)).alias("i_end"),
+    )
+    pairs = interval_overlap_join(
+        sess,
+        incidents,
+        left_start="s_start",
+        left_end="s_end",
+        right_start="i_start",
+        right_end="i_end",
+        bucket_width=600_000_000,
+    )
+    per_session = pairs.groupBy("user_id", "session_no").agg(
+        F.count(F.lit(1)).alias("n_inc")
+    )
+    return (
+        sess.join(per_session, ["user_id", "session_no"], "left")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.count_if(F.col("n_inc").isNotNull()).alias(
+                "n_affected_sessions"
+            ),
+            F.coalesce(F.sum("n_inc"), F.lit(0)).alias("n_overlap_pairs"),
+        )
+    )
+
+
+ADVANCED_QUERIES["q203_session_incident_overlap"] = (
+    q203_session_incident_overlap
+)
+
+ADVANCED_ORACLES["q203_session_incident_overlap"] = """
+    WITH marked AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN epoch(ts) - epoch(COALESCE(
+                    lag(ts) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id), ts)) > 1800
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+    ),
+    sess AS (
+      SELECT user_id, session_no,
+             MIN(epoch_us(ts)) AS s_start,
+             MAX(epoch_us(ts)) AS s_end
+      FROM (
+        SELECT user_id, ts,
+               SUM(new_sess) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS session_no
+        FROM marked
+      ) GROUP BY user_id, session_no
+    ),
+    inc AS (
+      SELECT event_id AS incident_id,
+             epoch_us(ts) - 300000000 AS i_start,
+             epoch_us(ts) + 300000000 AS i_end
+      FROM events WHERE event_type = 'error'
+    ),
+    pairs AS (
+      SELECT s.user_id, s.session_no, i.incident_id
+      FROM sess s JOIN inc i
+        ON s.s_start <= i.i_end AND i.i_start <= s.s_end
+    ),
+    per_session AS (
+      SELECT user_id, session_no, COUNT(*) AS n_inc
+      FROM pairs GROUP BY 1, 2
+    )
+    SELECT s.user_id, COUNT(*) AS n_sessions,
+           COUNT(p.n_inc) AS n_affected_sessions,
+           CAST(COALESCE(SUM(p.n_inc), 0) AS BIGINT) AS n_overlap_pairs
+    FROM sess s LEFT JOIN per_session p
+      ON s.user_id = p.user_id AND s.session_no = p.session_no
+    GROUP BY s.user_id
+"""

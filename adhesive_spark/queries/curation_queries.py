@@ -2733,3 +2733,74 @@ CURATION_ORACLES["q200_governed_release"] = f"""
            MIN(pseudonym) AS sample_pseudonym
     FROM released GROUP BY shard
 """
+
+
+def q202_cohens_kappa(spark, sf_dir):
+    """Inter-annotator agreement as EXACT RATIONAL arithmetic: Cohen's
+    kappa between the recorded ``lang`` label and the heuristic lang_id
+    prediction (q161 shows the confusion matrix; kappa is its
+    chance-corrected one-number summary, the standard annotation-QA
+    gate). Every quantity is an integer count, and
+
+        kappa = (n·agree − Σ_k a_k·b_k) / (n² − Σ_k a_k·b_k)
+
+    is emitted ppm-scaled by integer division — no float ever appears,
+    so the oracle hash is exact (the reason kappa fits this suite while
+    z-tests don't). Shuffle cost: three tiny keyed aggregates + one
+    category-key join of the two marginal vectors."""
+    docs = load_table(spark, sf_dir, "documents")
+    pred = docs.select(
+        F.col("lang").alias("a"), lang_id(F.col("text")).alias("b")
+    )
+    totals = pred.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("a") == F.col("b")).cast("long")).alias("agree"),
+    )
+    ma = pred.groupBy(F.col("a").alias("cat")).agg(
+        F.count(F.lit(1)).alias("na")
+    )
+    mb = pred.groupBy(F.col("b").alias("cat")).agg(
+        F.count(F.lit(1)).alias("nb")
+    )
+    chance = (
+        ma.join(mb, "cat")
+        .agg(F.sum(F.col("na") * F.col("nb")).alias("sum_ab"))
+        .select(F.coalesce("sum_ab", F.lit(0)).alias("sum_ab"))
+    )
+    return totals.crossJoin(F.broadcast(chance)).select(
+        "n",
+        "agree",
+        F.expr("(agree * 1000000) div n").alias("po_ppm"),
+        F.expr("(sum_ab * 1000000) div (n * n)").alias("pe_ppm"),
+        F.expr(
+            "((n * agree - sum_ab) * 1000000) div (n * n - sum_ab)"
+        ).alias("kappa_ppm"),
+    )
+
+
+CURATION_QUERIES["q202_cohens_kappa"] = q202_cohens_kappa
+
+CURATION_ORACLES["q202_cohens_kappa"] = f"""
+    WITH t AS (
+      SELECT lang, {_TOKS} AS toks, text FROM documents
+    ),
+    p AS (SELECT lang AS a, {_lang_sql()} AS b FROM t),
+    totals AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT)
+               AS agree
+      FROM p
+    ),
+    ma AS (SELECT a AS cat, COUNT(*) AS na FROM p GROUP BY a),
+    mb AS (SELECT b AS cat, COUNT(*) AS nb FROM p GROUP BY b),
+    chance AS (
+      SELECT COALESCE(CAST(SUM(na * nb) AS BIGINT), 0) AS sum_ab
+      FROM ma JOIN mb USING (cat)
+    )
+    SELECT n, agree,
+           (agree * 1000000) // n AS po_ppm,
+           (sum_ab * 1000000) // (n * n) AS pe_ppm,
+           ((n * agree - sum_ab) * 1000000) // (n * n - sum_ab)
+             AS kappa_ppm
+    FROM totals, chance
+"""

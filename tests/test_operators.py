@@ -833,3 +833,43 @@ def test_fd_violations_goldens(spark):
     ) == (2, 1, 1, False)
     clean = fd_violations(df.where(F.col("r") != 2), "l", "r").collect()[0]
     assert clean["holds"] and clean["n_violating_rows"] == 0
+
+
+def test_interval_overlap_join_goldens(spark):
+    from adhesive_spark.operators.asof import interval_overlap_join
+
+    left = spark.createDataFrame(
+        [(1, 0, 100), (2, 200, 300), (3, 500, 2500)],
+        "lid int, s long, e long",
+    )
+    right = spark.createDataFrame(
+        [(10, 90, 110),    # overlaps 1 (tail) — touching inside
+         (11, 100, 200),   # touches 1 at endpoint AND 2 at endpoint
+         (12, 350, 400),   # disjoint from all
+         (13, 0, 3000)],   # contains everything
+        "rid int, s long, e long",
+    )
+    pairs = {
+        (r["lid"], r["rid"])
+        for r in interval_overlap_join(
+            left,
+            right,
+            left_start="s",
+            left_end="e",
+            right_start="s",
+            right_end="e",
+            bucket_width=100,
+        ).collect()
+    }
+    # closed-interval semantics: endpoint touches count; the span
+    # 500-2500 shares 20 buckets with rid=13 but must appear ONCE
+    assert pairs == {
+        (1, 10), (1, 11), (1, 13),
+        (2, 11), (2, 13),
+        (3, 13),
+    }
+    rows = interval_overlap_join(
+        left, right, left_start="s", left_end="e",
+        right_start="s", right_end="e", bucket_width=100,
+    ).count()
+    assert rows == 6  # no multi-bucket duplicates

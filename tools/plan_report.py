@@ -221,6 +221,8 @@ AUDITED = [
     "q199_source_copy_matrix",
     "q200_governed_release",
     "q201_longest_streak",
+    "q202_cohens_kappa",
+    "q203_session_incident_overlap",
 ]
 
 
