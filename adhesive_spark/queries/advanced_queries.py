@@ -4274,3 +4274,64 @@ ADVANCED_ORACLES["q203_session_incident_overlap"] = """
       ON s.user_id = p.user_id AND s.session_no = p.session_no
     GROUP BY s.user_id
 """
+
+
+def q204_ols_trend(spark, sf_dir):
+    """Closed-form OLS revenue trend in EXACT INTEGER arithmetic: the
+    daily-revenue slope via the centered-x normal equation
+
+        slope = Σ w·y / Σ w·x,  w = 2x − (n−1)  (zero-mean, integral)
+
+    — the centered weights keep every partial below ~n²·y instead of
+    the naive n·Σxy ≈ n³·y blowup, so 64-bit integers carry the exact
+    computation even at sf1 (documented headroom), and Σw·x collapses
+    to Σw²/2 exactly. Emitted as tenth-cents/day by integer division:
+    no float appears, the trend every engine would fit with a
+    least-squares UDF is here a pure two-aggregate SQL shape (one day
+    rollup + one 1-row fold)."""
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum(scaled_long(F.col("o_totalprice"), 2)).alias("y_c")
+    )
+    wx = Window.orderBy("d")
+    wn = Window.partitionBy()
+    indexed = daily.select(
+        "y_c",
+        (F.row_number().over(wx) - 1).cast("long").alias("x"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    ).select(
+        "y_c", (F.lit(2) * F.col("x") - (F.col("n") - 1)).alias("w")
+    )
+    return indexed.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.expr("sum(y_c) div count(*)").alias("mean_daily_cents"),
+        F.expr(
+            "(sum(w * y_c) * 10) div (sum(w * w) div 2)"
+        ).alias("slope_tenth_cents_per_day"),
+    )
+
+
+ADVANCED_QUERIES["q204_ols_trend"] = q204_ols_trend
+
+ADVANCED_ORACLES["q204_ols_trend"] = """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                  AS BIGINT) AS y_c
+      FROM orders GROUP BY 1
+    ),
+    idx AS (
+      SELECT y_c,
+             CAST(ROW_NUMBER() OVER (ORDER BY d) - 1 AS BIGINT) AS x,
+             CAST(COUNT(*) OVER () AS BIGINT) AS n
+      FROM daily
+    )
+    SELECT COUNT(*) AS n_days,
+           CAST(SUM(y_c) // COUNT(*) AS BIGINT) AS mean_daily_cents,
+           CAST((SUM((2 * x - (n - 1)) * y_c) * 10)
+                // (SUM((2 * x - (n - 1)) * (2 * x - (n - 1))) // 2)
+                AS BIGINT) AS slope_tenth_cents_per_day
+    FROM idx
+"""

@@ -223,6 +223,7 @@ AUDITED = [
     "q201_longest_streak",
     "q202_cohens_kappa",
     "q203_session_incident_overlap",
+    "q204_ols_trend",
 ]
 
 
