@@ -65,15 +65,20 @@ def asof_join(
     out_cols = [c + suffix if c in left.columns else c for c in right_cols]
 
     lhs = left.withColumn("__is_left", F.lit(1))
+    # The whole right row rides in ONE struct (its own time first, for
+    # tolerance / nearest distance math): filling the struct with a
+    # single last(ignorenulls) guarantees every attached column comes
+    # from the SAME right row — per-column fills would skip NULL values
+    # in individual columns and stitch a frankenrow across rows.
     rhs = (
         right.select(
             *by,
             F.col(on),
-            *[F.col(c).alias(a) for c, a in zip(right_cols, out_cols)],
+            F.struct(
+                F.col(on).alias("__rt"),
+                *[F.col(c).alias(a) for c, a in zip(right_cols, out_cols)],
+            ).alias("__pack"),
         )
-        # the right row's own time rides along so tolerance / nearest
-        # can measure the match distance after the fill
-        .withColumn("__rt", F.col(on))
         .withColumn("__is_left", F.lit(0))
     )
     # allowMissingColumns fills each side's missing columns with NULLs.
@@ -96,17 +101,14 @@ def asof_join(
         )
         filled = filled.select(
             "*",
-            *[
-                F.last(a, ignorenulls=True).over(w).alias(f"__{d}_{a}")
-                for a in [*out_cols, "__rt"]
-            ],
+            F.last("__pack", ignorenulls=True).over(w).alias(f"__{d}_pack"),
         )
 
     rows = filled.where(F.col("__is_left") == 1)
 
     def _valid(d):
-        rt = F.col(f"__{d}_{'__rt'}")
-        ok = rt.isNotNull()
+        rt = F.col(f"__{d}_pack.__rt")
+        ok = F.col(f"__{d}_pack").isNotNull()
         if tolerance is not None:
             dist = (
                 F.col(on) - rt if d == "backward" else rt - F.col(on)
@@ -116,19 +118,19 @@ def asof_join(
 
     if direction == "nearest":
         vb, vf = _valid("backward"), _valid("forward")
-        b_dist = F.col(on) - F.col("__backward___rt")
-        f_dist = F.col("__forward___rt") - F.col(on)
+        b_dist = F.col(on) - F.col("__backward_pack.__rt")
+        f_dist = F.col("__forward_pack.__rt") - F.col(on)
         use_b = vb & (~F.coalesce(vf, F.lit(False)) | (b_dist <= f_dist))
         picked = [
-            F.when(use_b, F.col(f"__backward_{a}"))
-            .when(vf, F.col(f"__forward_{a}"))
+            F.when(use_b, F.col(f"__backward_pack.{a}"))
+            .when(vf, F.col(f"__forward_pack.{a}"))
             .alias(a)
             for a in out_cols
         ]
     else:
         v = _valid(direction)
         picked = [
-            F.when(v, F.col(f"__{direction}_{a}")).alias(a)
+            F.when(v, F.col(f"__{direction}_pack.{a}")).alias(a)
             for a in out_cols
         ]
     return rows.select(*left.columns, *picked)

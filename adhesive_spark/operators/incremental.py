@@ -110,7 +110,12 @@ def apply_cdc(
     latest = (
         log.withColumn("__rn", w)
         .where(F.col("__rn") == 1)
-        .where(F.col(op_col) != F.lit(delete_op))
+        # only an EXPLICIT delete drops the key: a NULL/missing op is a
+        # malformed upsert, not a tombstone (a bare != would null out
+        # and silently delete such keys)
+        .where(
+            ~F.coalesce(F.col(op_col) == F.lit(delete_op), F.lit(False))
+        )
         .drop("__rn")
     )
     if base is None:

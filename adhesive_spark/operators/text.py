@@ -509,3 +509,22 @@ def probe_inverted_index(
             "posting_head"
         ),
     )
+
+
+def bigrams(toks_col) -> Column:
+    """Adjacent-token bigram structs ``array<struct<w1,w2>>`` built
+    IN-ROW with one higher-order transform (no positional self-join) —
+    shared by the n-gram LM count (q181) and the familiarity score
+    (q186). Documents with fewer than two tokens yield an empty array
+    (the guard matters: Spark's ``sequence(1, 0)`` would DESCEND, not
+    empty out)."""
+    return F.when(
+        F.size(toks_col) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks_col) - 1),
+            lambda i: F.struct(
+                F.element_at(toks_col, i).alias("w1"),
+                F.element_at(toks_col, i + F.lit(1)).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))

@@ -21,6 +21,31 @@ from adhesive_spark.operators.text import fround, lang_id, quality_score, scaled
 from adhesive_spark.sources.registry import load_table
 
 
+def _session_no_col(gap_s: int = 1800):
+    """Gap-based session counter per user (lag + cumulative-sum
+    gaps-and-islands over (ts, event_id)) — ONE definition shared by
+    the path-mining (q189) and interval-overlap (q203) queries so the
+    session boundary rule can never drift between them; q53 exercises
+    the session_window built-in twin of the same semantics."""
+    from pyspark.sql.window import Window
+
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        F.sum(
+            (
+                F.col("ts").cast("long")
+                - F.coalesce(
+                    F.lag(F.col("ts")).over(wu).cast("long"),
+                    F.col("ts").cast("long"),
+                )
+                > gap_s
+            ).cast("long")
+        )
+        .over(wu)
+        .alias("session_no")
+    )
+
+
 def q26_grouped_zscore(spark, sf_dir):
     """Grouped-map applyInPandas: per-priority z-score of order value.
     Whole group → Arrow → numpy → Arrow; shuffle on the group key only."""
@@ -3595,22 +3620,8 @@ def q189_top_paths(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "ts", "event_id", "event_type"
     )
-    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
     sess = ev.select(
-        "user_id",
-        "ts",
-        "event_id",
-        "event_type",
-        F.sum(
-            (
-                F.col("ts").cast("long")
-                - F.coalesce(
-                    F.lag(F.col("ts")).over(wu).cast("long"),
-                    F.col("ts").cast("long"),
-                )
-                > 1800
-            ).cast("long")
-        ).over(wu).alias("session_no"),
+        "user_id", "ts", "event_id", "event_type", _session_no_col()
     )
     paths = (
         sess.groupBy("user_id", "session_no")
@@ -4174,23 +4185,8 @@ def q203_session_incident_overlap(spark, sf_dir):
     from adhesive_spark.operators.asof import interval_overlap_join
 
     ev = load_table(spark, sf_dir, "events")
-    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
     sess = (
-        ev.select(
-            "user_id",
-            "ts",
-            "event_id",
-            F.sum(
-                (
-                    F.col("ts").cast("long")
-                    - F.coalesce(
-                        F.lag(F.col("ts")).over(wu).cast("long"),
-                        F.col("ts").cast("long"),
-                    )
-                    > 1800
-                ).cast("long")
-            ).over(wu).alias("session_no"),
-        )
+        ev.select("user_id", "ts", "event_id", _session_no_col())
         .groupBy("user_id", "session_no")
         .agg(
             F.min(F.unix_micros("ts")).alias("s_start"),

@@ -26,6 +26,7 @@ from adhesive_spark.operators.curation import (
 )
 from adhesive_spark.operators.similarity import quantize_embeddings
 from adhesive_spark.operators.text import (
+    bigrams,
     fingerprint,
     fround,
     lang_id,
@@ -2305,17 +2306,7 @@ def q181_bigram_lm(spark, sf_dir):
     aggregate and the per-source top-k window — at 100 TB the bigram
     aggregate is the cost, and it is the minimal one."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = tokens(F.col("text"))
-    pairs = F.when(
-        F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.struct(
-                F.element_at(toks, i).alias("w1"),
-                F.element_at(toks, i + F.lit(1)).alias("w2"),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    pairs = bigrams(tokens(F.col("text")))
     b = docs.select("source", F.explode(pairs).alias("bg")).select(
         "source", "bg.w1", "bg.w2"
     )
@@ -2385,17 +2376,7 @@ def q186_bigram_familiarity(spark, sf_dir):
     rows. Corpus counts include the doc's own occurrences (n≥1 always;
     the score is a rank signal, not a probability)."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = tokens(F.col("text"))
-    pairs = F.when(
-        F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.struct(
-                F.element_at(toks, i).alias("w1"),
-                F.element_at(toks, i + F.lit(1)).alias("w2"),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    pairs = bigrams(tokens(F.col("text")))
     b = docs.select("doc_id", F.explode(pairs).alias("bg")).select(
         "doc_id", "bg.w1", "bg.w2"
     )

@@ -208,6 +208,43 @@ def read_rollup_state(
     return spark.read.parquet(f"{state_path}/__epoch={epochs[-1]}")
 
 
+def _epoch_guarded_snapshot(state_path: str, merge_fn):
+    """foreachBatch body factory for SNAPSHOT-style state maintainers
+    (rollup merge, CDC apply) — the crash-semantics-critical machinery
+    lives ONCE: replay skip on already-committed epochs, previous
+    committed snapshot in, fresh ``__epoch=<id>`` dir out (the write
+    never touches the dir a reader — or the merge's own input — is
+    scanning), previous epoch retained for in-flight readers, older
+    epochs deleted. ``merge_fn(batch_df, prev_state_or_None) ->
+    DataFrame`` supplies only the merge semantics. (The dedup ingest
+    and quality router do NOT fit this shape: they maintain
+    append-only epoch unions / paired sinks, not a rolling snapshot.)
+    """
+
+    def _fn(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        epochs = _committed_epochs(spark, state_path)
+        if epochs and epochs[-1] >= epoch_id:
+            return  # replayed micro-batch: already applied
+        prev = (
+            spark.read.parquet(f"{state_path}/__epoch={epochs[-1]}")
+            if epochs
+            else None
+        )
+        out = merge_fn(batch_df, prev)
+        out.write.mode("overwrite").parquet(
+            f"{state_path}/__epoch={epoch_id}"
+        )
+        fs, _, jvm = _state_fs(spark, state_path)
+        for old in epochs[:-1]:
+            fs.delete(
+                jvm.org.apache.hadoop.fs.Path(f"{state_path}/__epoch={old}"),
+                True,
+            )
+
+    return _fn
+
+
 def streaming_rollup_maintenance(
     events: DataFrame,
     keys: list[str],
@@ -237,29 +274,14 @@ def streaming_rollup_maintenance(
     """
     from adhesive_spark.operators.incremental import merge_rollup, rollup_events
 
-    def _merge(batch_df: DataFrame, epoch_id: int) -> None:
-        spark = batch_df.sparkSession
-        epochs = _committed_epochs(spark, state_path)
-        if epochs and epochs[-1] >= epoch_id:
-            return  # replayed micro-batch: already merged
+    def _merge(batch_df: DataFrame, prev: DataFrame | None) -> DataFrame:
         delta = rollup_events(batch_df, keys)
-        if epochs:
-            state = spark.read.parquet(f"{state_path}/__epoch={epochs[-1]}")
-            merged = merge_rollup(state, delta, keys)
-        else:
-            merged = delta
-        # fresh directory per epoch: the write never touches the dir a
-        # reader (or this merge's own input) is scanning
-        merged.write.mode("overwrite").parquet(f"{state_path}/__epoch={epoch_id}")
-        # retain the previous epoch for in-flight readers; drop older
-        fs, _, jvm = _state_fs(spark, state_path)
-        for old in epochs[:-1]:
-            fs.delete(
-                jvm.org.apache.hadoop.fs.Path(f"{state_path}/__epoch={old}"), True
-            )
+        return merge_rollup(prev, delta, keys) if prev is not None else delta
 
     return (
-        events.writeStream.foreachBatch(_merge)
+        events.writeStream.foreachBatch(
+            _epoch_guarded_snapshot(state_path, _merge)
+        )
         .option("checkpointLocation", checkpoint_path)
         .trigger(availableNow=True)
         .start()
@@ -599,34 +621,20 @@ def streaming_cdc_apply(
     """
     from adhesive_spark.operators.incremental import apply_cdc
 
-    def _apply(batch_df: DataFrame, epoch_id: int) -> None:
-        spark = batch_df.sparkSession
-        epochs = _committed_epochs(spark, state_path)
-        if epochs and epochs[-1] >= epoch_id:
-            return  # replayed micro-batch: already applied
-        base = None
-        if epochs:
-            base = spark.read.parquet(f"{state_path}/__epoch={epochs[-1]}")
-        merged = apply_cdc(
+    def _apply(batch_df: DataFrame, prev: DataFrame | None) -> DataFrame:
+        return apply_cdc(
             batch_df,
             key_cols,
             seq_cols,
             op_col,
-            base=base,
+            base=prev,
             delete_op=delete_op,
         )
-        merged.write.mode("overwrite").parquet(
-            f"{state_path}/__epoch={epoch_id}"
-        )
-        fs, _, jvm = _state_fs(spark, state_path)
-        for old in epochs[:-1]:
-            fs.delete(
-                jvm.org.apache.hadoop.fs.Path(f"{state_path}/__epoch={old}"),
-                True,
-            )
 
     return (
-        log.writeStream.foreachBatch(_apply)
+        log.writeStream.foreachBatch(
+            _epoch_guarded_snapshot(state_path, _apply)
+        )
         .option("checkpointLocation", checkpoint_path)
         .trigger(availableNow=True)
         .start()

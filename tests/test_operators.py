@@ -873,3 +873,43 @@ def test_interval_overlap_join_goldens(spark):
         right_start="s", right_end="e", bucket_width=100,
     ).count()
     assert rows == 6  # no multi-bucket duplicates
+
+
+def test_asof_join_null_payload_no_frankenrow(spark):
+    """A right row whose ATTACHED column is NULL must still be the
+    match (its NULL attaches), not skipped in favor of an older row's
+    value — per-column fills would stitch columns from different rows
+    (found by review; pandas merge_asof returns NaN here)."""
+    from adhesive_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([("k", 100)], "k string, t long")
+    right = spark.createDataFrame(
+        [("k", 10, 5, "old"), ("k", 100, None, "new")],
+        "k string, t long, payload int, tag string",
+    )
+    # backward, tolerance 20: the admissible row is (t=100, payload
+    # NULL); the t=10 row is 90 away — out of tolerance
+    got = asof_join(
+        left, right, on="t", by="k", tolerance=20
+    ).collect()[0]
+    assert got["payload"] is None and got["tag"] == "new"
+    # without tolerance the nearest-behind row still wins as a WHOLE
+    # row: payload NULL and tag 'new' together, never (5, 'new')
+    got2 = asof_join(left, right, on="t", by="k").collect()[0]
+    assert got2["payload"] is None and got2["tag"] == "new"
+
+
+def test_apply_cdc_null_op_is_not_delete(spark):
+    """A NULL op is a malformed upsert, not a tombstone: the key must
+    survive (found by review: a bare != dropped it silently)."""
+    from adhesive_spark.operators.incremental import apply_cdc
+
+    log = spark.createDataFrame(
+        [(1, 1, 1, "upsert", 10), (1, 2, 2, None, 7)],
+        "k int, ts int, eid int, op string, v int",
+    )
+    got = {
+        r["k"]: r["v"]
+        for r in apply_cdc(log, ["k"], ["ts", "eid"], "op").collect()
+    }
+    assert got == {1: 7}
