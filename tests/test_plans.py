@@ -392,3 +392,16 @@ def test_inverted_index_probe_bucket_pruned(spark, sf):
         for r in q141_inverted_index(spark, sf).collect()
     }
     assert got == want
+
+
+def test_interval_overlap_join_no_nested_loop(spark, sf):
+    """The interval-overlap join's whole point: the inequality predicate
+    must ride a bucketed equi-join, never a BNL/cartesian plan."""
+    from adhesive_spark.plans.explain import physical_plan
+
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.queries()["q203_session_incident_overlap"](spark, sf)
+    plan = physical_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
