@@ -4331,3 +4331,53 @@ ADVANCED_ORACLES["q204_ols_trend"] = """
                 AS BIGINT) AS slope_tenth_cents_per_day
     FROM idx
 """
+
+
+def q205_sketch_cube(spark, sf_dir):
+    """SKETCH-CUBE: distinct users for EVERY (event_type × weekday)
+    slice — full cube — with a mergeable DataSketches HLL estimate
+    beside the exact count per cell. This is the production "distinct
+    by any dimension combo" table: at 100 TB the exact countDistinct
+    re-shuffles raw user ids per cell, while the sketch column makes
+    every rollup cell a UNION of finer-cell sketches (the q89 merge
+    property applied across the lattice — a day's sketches roll into
+    week/month/total without rescanning events). Exact columns are
+    hash-checked; the engine-specific estimate is checked via the 5%
+    error-contract boolean (lgK=14 ≈ 0.8% stderr — q89's envelope
+    rule: don't lower lgK without widening)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        (F.weekday("ts") + 1).cast("int").alias("iso_dow"),
+        "user_id",
+    )
+    cells = ev.cube("event_type", "iso_dow").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("exact_users"),
+        F.expr("hll_sketch_estimate(hll_sketch_agg(user_id, 14))").alias(
+            "__est"
+        ),
+    )
+    return cells.select(
+        "event_type",
+        "iso_dow",
+        "n_events",
+        "exact_users",
+        (
+            F.abs(F.col("__est") - F.col("exact_users"))
+            <= F.greatest(
+                F.col("exact_users") * F.lit(0.05), F.lit(2.0)
+            )
+        ).alias("est_within_5pct"),
+    )
+
+
+ADVANCED_QUERIES["q205_sketch_cube"] = q205_sketch_cube
+
+ADVANCED_ORACLES["q205_sketch_cube"] = """
+    SELECT event_type, CAST(isodow(ts) AS INT) AS iso_dow,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS exact_users,
+           TRUE AS est_within_5pct
+    FROM events
+    GROUP BY CUBE (event_type, CAST(isodow(ts) AS INT))
+"""

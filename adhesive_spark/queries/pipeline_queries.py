@@ -1601,3 +1601,99 @@ PIPELINE_ORACLES["q188_rrf_fusion"] = """
       FROM fused
     ) WHERE fused_rank <= 10
 """
+
+
+def q206_neardup_evidence(spark, sf_dir):
+    """EVIDENCE for near-dup verdicts — the review surface dedup at
+    scale needs: for every q33 exact-Jaccard pair, the top-3 shared
+    shingles ranked by GLOBAL RARITY (lowest document frequency first —
+    a rare shared trigram is distinctive evidence, "one of the" is
+    noise). Auditors reviewing a takedown or a dedup false-positive
+    read this table, not the raw texts. Shuffle shape: the pair list is
+    tiny; shared-shingle recovery is two equi-joins of (id, shingle)
+    slivers against it plus one broadcast of the global df counts."""
+    from pyspark.sql.window import Window
+
+    from adhesive_spark.operators.dedup import word_shingles
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    pairs = ngram_jaccard_pairs(
+        docs, "text", "doc_id", n=3, threshold=0.2
+    ).select("id_a", "id_b")
+    sh = docs.select(
+        F.col("doc_id"),
+        F.explode(word_shingles(F.col("text"), 3)).alias("shingle"),
+    )
+    dfc = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("global_df"))
+    shared = (
+        pairs.join(sh.withColumnRenamed("doc_id", "id_a"), "id_a")
+        .join(
+            sh.withColumnsRenamed({"doc_id": "id_b"}),
+            ["id_b", "shingle"],
+        )
+        .join(F.broadcast(dfc), "shingle")
+    )
+    wr = Window.partitionBy("id_a", "id_b").orderBy("global_df", "shingle")
+    return (
+        shared.withColumn("evidence_rank", F.row_number().over(wr))
+        .where(F.col("evidence_rank") <= 3)
+        .select(
+            "id_a",
+            "id_b",
+            "shingle",
+            "global_df",
+            F.col("evidence_rank").cast("int").alias("evidence_rank"),
+        )
+    )
+
+
+PIPELINE_QUERIES["q206_neardup_evidence"] = q206_neardup_evidence
+
+PIPELINE_ORACLES["q206_neardup_evidence"] = f"""
+    WITH t AS (
+      SELECT doc_id, {_NORM} AS norm, {_TOKS} AS toks
+      FROM documents WHERE doc_id < 200
+    ),
+    g AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) - 2 >= 1
+                  THEN list_distinct(list_transform(
+                         range(1, len(toks) - 2 + 1),
+                         i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))
+                  ELSE [norm] END AS grams
+      FROM t
+    ),
+    x AS (SELECT doc_id, unnest(grams) AS shingle FROM g),
+    sz AS (SELECT doc_id, len(grams) AS n_sh FROM g),
+    rare AS (SELECT shingle FROM x GROUP BY shingle HAVING COUNT(*) <= 1000),
+    xf AS (SELECT x.doc_id, x.shingle FROM x JOIN rare USING (shingle)),
+    c AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+      FROM xf a JOIN xf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT id_a, id_b
+      FROM c
+      JOIN sz sa ON c.id_a = sa.doc_id
+      JOIN sz sb ON c.id_b = sb.doc_id
+      WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.2
+    ),
+    dfc AS (SELECT shingle, COUNT(*) AS global_df FROM x GROUP BY shingle),
+    shared AS (
+      SELECT p.id_a, p.id_b, a.shingle, d.global_df
+      FROM pairs p
+      JOIN x a ON a.doc_id = p.id_a
+      JOIN x b ON b.doc_id = p.id_b AND b.shingle = a.shingle
+      JOIN dfc d ON d.shingle = a.shingle
+    )
+    SELECT id_a, id_b, shingle, global_df,
+           CAST(evidence_rank AS INT) AS evidence_rank
+    FROM (
+      SELECT id_a, id_b, shingle, global_df,
+             ROW_NUMBER() OVER (PARTITION BY id_a, id_b
+                                ORDER BY global_df, shingle)
+               AS evidence_rank
+      FROM shared
+    ) WHERE evidence_rank <= 3
+"""

@@ -224,6 +224,8 @@ AUDITED = [
     "q202_cohens_kappa",
     "q203_session_incident_overlap",
     "q204_ols_trend",
+    "q205_sketch_cube",
+    "q206_neardup_evidence",
 ]
 
 
