@@ -71,7 +71,12 @@ def asof_join(
     # from the SAME right row — per-column fills would skip NULL values
     # in individual columns and stitch a frankenrow across rows.
     rhs = (
-        right.select(
+        # a NULL time can never satisfy <=/>=; dropping such rows up
+        # front also stops them sorting NULLS-FIRST into the backward
+        # scan and filling as phantom matches (pandas merge_asof
+        # likewise requires non-null keys)
+        right.where(F.col(on).isNotNull())
+        .select(
             *by,
             F.col(on),
             F.struct(
@@ -108,7 +113,9 @@ def asof_join(
 
     def _valid(d):
         rt = F.col(f"__{d}_pack.__rt")
-        ok = F.col(f"__{d}_pack").isNotNull()
+        # rt non-null implies the pack exists; checking rt (not just the
+        # struct) also guards any future path that packs a NULL time
+        ok = rt.isNotNull()
         if tolerance is not None:
             dist = (
                 F.col(on) - rt if d == "backward" else rt - F.col(on)

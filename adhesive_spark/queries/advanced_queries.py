@@ -4180,8 +4180,6 @@ def q203_session_incident_overlap(spark, sf_dir):
     de-duplicates multi-bucket pairs arithmetically. Output per user:
     sessions, incident-affected sessions, and overlap pairs — exact
     microsecond interval arithmetic on both engines."""
-    from pyspark.sql.window import Window
-
     from adhesive_spark.operators.asof import interval_overlap_join
 
     ev = load_table(spark, sf_dir, "events")

@@ -385,7 +385,9 @@ PIPELINE_ORACLES = {
         FROM c
         JOIN sz sa ON c.id_a = sa.doc_id
         JOIN sz sb ON c.id_b = sb.doc_id
-        WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.2
+        -- filter on the ROUNDED value, mirroring the Spark side
+        -- (ngram_jaccard_pairs rounds to 4 places before thresholding)
+        WHERE round(n_common / (sa.n_sh + sb.n_sh - n_common), 4) >= 0.2
     """,
     "q34_embedding_neardup": """
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -1677,7 +1679,7 @@ PIPELINE_ORACLES["q206_neardup_evidence"] = f"""
       FROM c
       JOIN sz sa ON c.id_a = sa.doc_id
       JOIN sz sb ON c.id_b = sb.doc_id
-      WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.2
+      WHERE round(n_common / (sa.n_sh + sb.n_sh - n_common), 4) >= 0.2
     ),
     dfc AS (SELECT shingle, COUNT(*) AS global_df FROM x GROUP BY shingle),
     shared AS (

@@ -913,3 +913,24 @@ def test_apply_cdc_null_op_is_not_delete(spark):
         for r in apply_cdc(log, ["k"], ["ts", "eid"], "op").collect()
     }
     assert got == {1: 7}
+
+
+def test_asof_join_ignores_null_time_right_rows(spark):
+    """A right row with a NULL `on` time is dirty data, not a match:
+    it must not fill as a phantom backward match (NULLS-FIRST sort
+    hazard found by review; pandas merge_asof requires non-null keys)."""
+    from adhesive_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([("k", 5)], "k string, t long")
+    right = spark.createDataFrame(
+        [("k", None, 99, "nulltime"), ("k", 100, 1, "real")],
+        "k string, t long, payload int, tag string",
+    )
+    for direction in ("backward", "forward", "nearest"):
+        got = asof_join(
+            left, right, on="t", by="k", direction=direction
+        ).collect()[0]
+        if direction == "backward":
+            assert got["payload"] is None and got["tag"] is None
+        else:  # forward / nearest both find the real t=100 row
+            assert got["payload"] == 1 and got["tag"] == "real"
