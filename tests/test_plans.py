@@ -405,3 +405,20 @@ def test_interval_overlap_join_no_nested_loop(spark, sf):
     plan = physical_plan(df)
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_every_registered_query_is_plan_audited():
+    """Coverage guard for the audit itself: a query registered in
+    queries() but missing from the AUDITED list would silently escape
+    both PLANS.md and the shuffle ratchet — adding a query REQUIRES
+    adding its audit row."""
+    from tools.plan_report import AUDITED
+
+    import __spark_entry__ as entry_mod
+
+    registered = set(entry_mod.queries())
+    audited = set(AUDITED)
+    missing = sorted(registered - audited)
+    assert not missing, f"registered but not plan-audited: {missing}"
+    stale = sorted(audited - registered)
+    assert not stale, f"audited but no longer registered: {stale}"
