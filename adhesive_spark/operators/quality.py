@@ -212,3 +212,66 @@ def fd_violations(df: DataFrame, lhs: str, rhs: str) -> DataFrame:
         ),
         (F.sum((F.col("__n_rhs") > 1).cast("long")) == 0).alias("holds"),
     )
+
+
+def table_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    *,
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Audit diff of two versions of a keyed table (the dbt-audit /
+    reconciliation shape): one row per differing key with
+    ``change_type`` ∈ added | removed | changed and the list of
+    ``changed_cols`` (NULL-safe comparison — NULL→value and value→NULL
+    both count as changes; unchanged keys are omitted).
+
+    ONE full-outer join on the key — at 100 TB this is the minimal
+    reconciliation cost, and pre-bucketed tables co-locate it to zero
+    extra shuffles. ``compare_cols`` defaults to every shared non-key
+    column."""
+    if compare_cols is None:
+        shared = set(old.columns) & set(new.columns)
+        compare_cols = [
+            c for c in old.columns if c in shared and c not in keys
+        ]
+    o = old.select(
+        *keys,
+        F.lit(True).alias("__in_old"),
+        *[F.col(c).alias(f"__o_{c}") for c in compare_cols],
+    )
+    nw = new.select(
+        *keys,
+        F.lit(True).alias("__in_new"),
+        *[F.col(c).alias(f"__n_{c}") for c in compare_cols],
+    )
+    j = o.join(nw, keys, "full_outer")
+    changed_cols = F.filter(
+        F.array(
+            *[
+                F.when(
+                    ~F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}")),
+                    F.lit(c),
+                )
+                for c in compare_cols
+            ]
+        ),
+        lambda x: x.isNotNull(),
+    )
+    change_type = (
+        F.when(F.col("__in_old").isNull(), F.lit("added"))
+        .when(F.col("__in_new").isNull(), F.lit("removed"))
+        .when(F.size(changed_cols) > 0, F.lit("changed"))
+    )
+    return (
+        j.withColumn("change_type", change_type)
+        .where(F.col("change_type").isNotNull())
+        .select(
+            *keys,
+            "change_type",
+            F.when(
+                F.col("change_type") == "changed", changed_cols
+            ).otherwise(F.array().cast("array<string>")).alias("changed_cols"),
+        )
+    )

@@ -4379,3 +4379,103 @@ ADVANCED_ORACLES["q205_sketch_cube"] = """
     FROM events
     GROUP BY CUBE (event_type, CAST(isodow(ts) AS INT))
 """
+
+
+def q207_table_diff(spark, sf_dir):
+    """Generic keyed TABLE DIFF (dbt-audit-helper shape,
+    :func:`adhesive_spark.operators.quality.table_diff`): reconcile two
+    versions of the orders table — the "new" version is derived
+    deterministically (every 97th key dropped, every 89th key's price
+    +1 cent and priority cleared to NULL, a shifted-key block appended)
+    so the diff must report exactly those removals, changes (with the
+    changed-column list, NULL transitions included), and additions.
+    ONE full-outer join on the key; rolled up per change_type for a
+    compact exhibit (the row-level diff is what the operator returns)."""
+    from adhesive_spark.operators.quality import table_diff
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    modified = (
+        orders.where(F.col("o_orderkey") % 97 != 0)
+        .select(
+            "o_orderkey",
+            F.when(
+                F.col("o_orderkey") % 89 == 0,
+                F.col("o_totalprice") + F.lit(0.01),
+            )
+            .otherwise(F.col("o_totalprice"))
+            .alias("o_totalprice"),
+            F.when(
+                F.col("o_orderkey") % 89 == 0, F.lit(None).cast("string")
+            )
+            .otherwise(F.col("o_orderpriority"))
+            .alias("o_orderpriority"),
+        )
+        .unionByName(
+            orders.where(F.col("o_orderkey") % 101 == 0).select(
+                (F.col("o_orderkey") + F.lit(10_000_000)).alias("o_orderkey"),
+                "o_totalprice",
+                "o_orderpriority",
+            )
+        )
+    )
+    diff = table_diff(orders, modified, ["o_orderkey"])
+    return diff.groupBy("change_type").agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.min("o_orderkey").alias("first_key"),
+        F.array_sort(
+            F.array_distinct(F.flatten(F.collect_list("changed_cols")))
+        ).alias("all_changed_cols"),
+    )
+
+
+ADVANCED_QUERIES["q207_table_diff"] = q207_table_diff
+
+ADVANCED_ORACLES["q207_table_diff"] = """
+    WITH o AS (
+      SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+    ),
+    m AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 89 = 0
+                  THEN o_totalprice + 0.01 ELSE o_totalprice END
+               AS o_totalprice,
+             CASE WHEN o_orderkey % 89 = 0 THEN NULL
+                  ELSE o_orderpriority END AS o_orderpriority
+      FROM o WHERE o_orderkey % 97 <> 0
+      UNION ALL
+      SELECT o_orderkey + 10000000, o_totalprice, o_orderpriority
+      FROM o WHERE o_orderkey % 101 = 0
+    ),
+    j AS (
+      SELECT COALESCE(o.o_orderkey, m.o_orderkey) AS o_orderkey,
+             o.o_orderkey IS NOT NULL AS in_old,
+             m.o_orderkey IS NOT NULL AS in_new,
+             list_sort(list_filter(
+               [CASE WHEN NOT (o.o_totalprice IS NOT DISTINCT FROM
+                               m.o_totalprice)
+                     THEN 'o_totalprice' END,
+                CASE WHEN NOT (o.o_orderpriority IS NOT DISTINCT FROM
+                               m.o_orderpriority)
+                     THEN 'o_orderpriority' END],
+               x -> x IS NOT NULL)) AS changed_cols
+      FROM o FULL OUTER JOIN m USING (o_orderkey)
+    ),
+    d AS (
+      SELECT o_orderkey,
+             CASE WHEN NOT in_old THEN 'added'
+                  WHEN NOT in_new THEN 'removed'
+                  WHEN len(changed_cols) > 0 THEN 'changed' END
+               AS change_type,
+             CASE WHEN in_old AND in_new AND len(changed_cols) > 0
+                  THEN changed_cols ELSE [] END AS changed_cols
+      FROM j
+    )
+    SELECT change_type, COUNT(*) AS n_keys,
+           MIN(o_orderkey) AS first_key,
+           list_sort(list_distinct(flatten(list(changed_cols))))
+             AS all_changed_cols
+    FROM d WHERE change_type IS NOT NULL
+    GROUP BY change_type
+"""

@@ -934,3 +934,29 @@ def test_asof_join_ignores_null_time_right_rows(spark):
             assert got["payload"] is None and got["tag"] is None
         else:  # forward / nearest both find the real t=100 row
             assert got["payload"] == 1 and got["tag"] == "real"
+
+
+def test_table_diff_goldens(spark):
+    from adhesive_spark.operators.quality import table_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30), (4, None, 40)],
+        "k int, s string, v int",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10),        # unchanged -> omitted
+         (2, "B", 20),        # changed: s
+         (4, "d", 40),        # changed: s (NULL -> value)
+         (5, "e", 50)],       # added; 3 removed
+        "k int, s string, v int",
+    )
+    got = {
+        r["k"]: (r["change_type"], sorted(r["changed_cols"]))
+        for r in table_diff(old, new, ["k"]).collect()
+    }
+    assert got == {
+        2: ("changed", ["s"]),
+        3: ("removed", []),
+        4: ("changed", ["s"]),
+        5: ("added", []),
+    }

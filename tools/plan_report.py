@@ -226,6 +226,7 @@ AUDITED = [
     "q204_ols_trend",
     "q205_sketch_cube",
     "q206_neardup_evidence",
+    "q207_table_diff",
 ]
 
 
