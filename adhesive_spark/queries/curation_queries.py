@@ -2785,3 +2785,84 @@ CURATION_ORACLES["q202_cohens_kappa"] = f"""
              AS kappa_ppm
     FROM totals, chance
 """
+
+
+def q208_quality_calibration(spark, sf_dir):
+    """Per-source QUALITY-SCORE CALIBRATION table: sources score on
+    different scales (a wiki-ish source's median beats a forum's), so
+    one global quality threshold silently starves some sources — the
+    fix every curation pipeline applies is per-source ranking. This
+    exhibit quantifies the bias: within-source deciles (NTILE over the
+    deterministic (score, doc_id) order) with their score span and
+    where each decile's floor sits in the GLOBAL order
+    (``global_below_ppm`` via one global rank window — no join, no
+    percentile interpolation, exact integer output). Reading a row:
+    source X's decile 8 starting at global ppm 310000 means its "top
+    30%" would lose to a global cut at the 69th percentile.
+    Two window passes + one tiny aggregate."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "source",
+        scaled_long(quality_score(F.col("text")), 4).alias("q_s"),
+    )
+    w_src = Window.partitionBy("source").orderBy("q_s", "doc_id")
+    w_glob = Window.orderBy("q_s", "doc_id")
+    w_all = Window.partitionBy()
+    ranked = scored.select(
+        "source",
+        "q_s",
+        F.ntile(10).over(w_src).alias("src_decile"),
+        F.row_number().over(w_glob).alias("g_rank"),
+        F.count(F.lit(1)).over(w_all).alias("n_total"),
+    )
+    return ranked.groupBy("source", "src_decile").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("q_s").alias("min_qs"),
+        F.max("q_s").alias("max_qs"),
+        F.expr(
+            "((cast(min(g_rank) as bigint) - 1) * 1000000)"
+            " div max(n_total)"
+        ).alias("global_below_ppm"),
+    )
+
+
+CURATION_QUERIES["q208_quality_calibration"] = q208_quality_calibration
+
+CURATION_ORACLES["q208_quality_calibration"] = f"""
+    WITH t AS (
+      SELECT doc_id, source, text, {_TOKS} AS toks FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, source,
+             CAST(ROUND(((floor((0.4 * (CASE WHEN length(text) BETWEEN 100 AND 20000
+                           THEN 1.0 ELSE 0.3 END)
+               + 0.4 * least(floor(len(list_filter(toks, t -> t IN ('the', 'a', 'an', 'and', 'or', 'of', 'to', 'in', 'is', 'it', 'that', 'this', 'for', 'on', 'with', 'as', 'was', 'at', 'by')))
+                                   / greatest(len(toks), 1) * 10000) / 10000 * 4, 1.0)
+               + 0.2 * (1 - least(floor(length(regexp_replace(text, '[^.,!?;:]', '', 'g'))
+                                        / greatest(length(text), 1) * 10000) / 10000 * 5
+                                  + floor(length(regexp_replace(text, '[^A-Z]', '', 'g'))
+                                          / greatest(length(text), 1) * 10000) / 10000 * 2,
+                                  1.0)))
+              * 10000) / 10000)) * 10000, 0) AS BIGINT) AS q_s
+      FROM t
+    ),
+    ranked AS (
+      SELECT source, q_s,
+             NTILE(10) OVER (PARTITION BY source
+                             ORDER BY q_s, doc_id) AS src_decile,
+             ROW_NUMBER() OVER (ORDER BY q_s, doc_id) AS g_rank,
+             COUNT(*) OVER () AS n_total
+      FROM scored
+    )
+    SELECT source, CAST(src_decile AS INT) AS src_decile,
+           COUNT(*) AS n_docs,
+           CAST(MIN(q_s) AS BIGINT) AS min_qs,
+           CAST(MAX(q_s) AS BIGINT) AS max_qs,
+           CAST(((MIN(g_rank) - 1) * 1000000)
+                // CAST(MAX(n_total) AS BIGINT) AS BIGINT)
+             AS global_below_ppm
+    FROM ranked GROUP BY source, src_decile
+"""

@@ -227,6 +227,7 @@ AUDITED = [
     "q205_sketch_cube",
     "q206_neardup_evidence",
     "q207_table_diff",
+    "q208_quality_calibration",
 ]
 
 
