@@ -230,23 +230,39 @@ def table_diff(
     ONE full-outer join on the key — at 100 TB this is the minimal
     reconciliation cost, and pre-bucketed tables co-locate it to zero
     extra shuffles. ``compare_cols`` defaults to every shared non-key
-    column."""
+    column. The key join itself is null-safe too: a NULL-keyed row
+    matches its NULL-keyed counterpart (one row per side, primary-key
+    uniqueness assumed) instead of surfacing as a spurious
+    removed+added pair."""
     if compare_cols is None:
         shared = set(old.columns) & set(new.columns)
         compare_cols = [
             c for c in old.columns if c in shared and c not in keys
         ]
     o = old.select(
-        *keys,
+        *[F.col(k).alias(f"__ok_{k}") for k in keys],
         F.lit(True).alias("__in_old"),
         *[F.col(c).alias(f"__o_{c}") for c in compare_cols],
     )
     nw = new.select(
-        *keys,
+        *[F.col(k).alias(f"__nk_{k}") for k in keys],
         F.lit(True).alias("__in_new"),
         *[F.col(c).alias(f"__n_{c}") for c in compare_cols],
     )
-    j = o.join(nw, keys, "full_outer")
+    cond = None
+    for k in keys:
+        eq = F.col(f"__ok_{k}").eqNullSafe(F.col(f"__nk_{k}"))
+        cond = eq if cond is None else (cond & eq)
+    j = o.join(nw, cond, "full_outer").select(
+        *[
+            F.coalesce(F.col(f"__ok_{k}"), F.col(f"__nk_{k}")).alias(k)
+            for k in keys
+        ],
+        "__in_old",
+        "__in_new",
+        *[F.col(f"__o_{c}") for c in compare_cols],
+        *[F.col(f"__n_{c}") for c in compare_cols],
+    )
     changed_cols = F.filter(
         F.array(
             *[

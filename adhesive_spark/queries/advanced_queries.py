@@ -4386,7 +4386,8 @@ def q207_table_diff(spark, sf_dir):
     :func:`adhesive_spark.operators.quality.table_diff`): reconcile two
     versions of the orders table — the "new" version is derived
     deterministically (every 97th key dropped, every 89th key's price
-    +1 cent and priority cleared to NULL, a shifted-key block appended)
+    +1 cent and priority cleared to NULL, a shifted-key block appended at a +1e9 offset, collision-free for
+    any plausible SF)
     so the diff must report exactly those removals, changes (with the
     changed-column list, NULL transitions included), and additions.
     ONE full-outer join on the key; rolled up per change_type for a
@@ -4414,7 +4415,7 @@ def q207_table_diff(spark, sf_dir):
         )
         .unionByName(
             orders.where(F.col("o_orderkey") % 101 == 0).select(
-                (F.col("o_orderkey") + F.lit(10_000_000)).alias("o_orderkey"),
+                (F.col("o_orderkey") + F.lit(1_000_000_000)).alias("o_orderkey"),
                 "o_totalprice",
                 "o_orderpriority",
             )
@@ -4445,7 +4446,7 @@ ADVANCED_ORACLES["q207_table_diff"] = """
                   ELSE o_orderpriority END AS o_orderpriority
       FROM o WHERE o_orderkey % 97 <> 0
       UNION ALL
-      SELECT o_orderkey + 10000000, o_totalprice, o_orderpriority
+      SELECT o_orderkey + 1000000000, o_totalprice, o_orderpriority
       FROM o WHERE o_orderkey % 101 = 0
     ),
     j AS (

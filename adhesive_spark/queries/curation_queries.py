@@ -2680,16 +2680,7 @@ CURATION_ORACLES["q200_governed_release"] = f"""
              md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
              len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ',
                  'g')), ' ')) AS n_tok,
-             (floor((0.4 * (CASE WHEN length(text) BETWEEN 100 AND 20000
-                           THEN 1.0 ELSE 0.3 END)
-               + 0.4 * least(floor(len(list_filter(toks, t -> t IN ('the', 'a', 'an', 'and', 'or', 'of', 'to', 'in', 'is', 'it', 'that', 'this', 'for', 'on', 'with', 'as', 'was', 'at', 'by')))
-                                   / greatest(len(toks), 1) * 10000) / 10000 * 4, 1.0)
-               + 0.2 * (1 - least(floor(length(regexp_replace(text, '[^.,!?;:]', '', 'g'))
-                                        / greatest(length(text), 1) * 10000) / 10000 * 5
-                                  + floor(length(regexp_replace(text, '[^A-Z]', '', 'g'))
-                                          / greatest(length(text), 1) * 10000) / 10000 * 2,
-                                  1.0)))
-              * 10000) / 10000) AS q
+             ({_quality_sql()}) AS q
       FROM (SELECT *, string_split(trim(regexp_replace(lower(text), '\\s+',
                       ' ', 'g')), ' ') AS toks FROM documents)
     ),
@@ -2837,16 +2828,7 @@ CURATION_ORACLES["q208_quality_calibration"] = f"""
     ),
     scored AS (
       SELECT doc_id, source,
-             CAST(ROUND(((floor((0.4 * (CASE WHEN length(text) BETWEEN 100 AND 20000
-                           THEN 1.0 ELSE 0.3 END)
-               + 0.4 * least(floor(len(list_filter(toks, t -> t IN ('the', 'a', 'an', 'and', 'or', 'of', 'to', 'in', 'is', 'it', 'that', 'this', 'for', 'on', 'with', 'as', 'was', 'at', 'by')))
-                                   / greatest(len(toks), 1) * 10000) / 10000 * 4, 1.0)
-               + 0.2 * (1 - least(floor(length(regexp_replace(text, '[^.,!?;:]', '', 'g'))
-                                        / greatest(length(text), 1) * 10000) / 10000 * 5
-                                  + floor(length(regexp_replace(text, '[^A-Z]', '', 'g'))
-                                          / greatest(length(text), 1) * 10000) / 10000 * 2,
-                                  1.0)))
-              * 10000) / 10000)) * 10000, 0) AS BIGINT) AS q_s
+             CAST(ROUND((({_quality_sql()})) * 10000, 0) AS BIGINT) AS q_s
       FROM t
     ),
     ranked AS (

@@ -960,3 +960,29 @@ def test_table_diff_goldens(spark):
         4: ("changed", ["s"]),
         5: ("added", []),
     }
+
+
+def test_table_diff_null_keys_match_null_safely(spark):
+    """A NULL-keyed row present unchanged on both sides must be
+    OMITTED, not reported as a removed+added pair (null-safe key join;
+    found by review)."""
+    from adhesive_spark.operators.quality import table_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (None, "x")], "k int, s string"
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (None, "x"), (3, "c")], "k int, s string"
+    )
+    got = {
+        r["k"]: r["change_type"]
+        for r in table_diff(old, new, ["k"]).collect()
+    }
+    assert got == {3: "added"}
+    # a CHANGED NULL-keyed row is one 'changed' row, not two
+    new2 = spark.createDataFrame(
+        [(1, "a"), (None, "y")], "k int, s string"
+    )
+    rows = table_diff(old, new2, ["k"]).collect()
+    assert len(rows) == 1 and rows[0]["change_type"] == "changed"
+    assert rows[0]["k"] is None and rows[0]["changed_cols"] == ["s"]
