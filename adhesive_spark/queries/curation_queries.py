@@ -2848,3 +2848,58 @@ CURATION_ORACLES["q208_quality_calibration"] = f"""
              AS global_below_ppm
     FROM ranked GROUP BY source, src_decile
 """
+
+
+def q209_ablation_ladder(spark, sf_dir):
+    """NESTED ablation subsets for scaling-law runs: 5/10/20/40/80%
+    corpus cuts where each level is BY CONSTRUCTION a superset of the
+    previous (one md5 bucket per doc, thresholds ascending — the 5%
+    docs are inside the 10% set, so "double the data" ablations compare
+    supersets, not resamples; q45's single-rate sample can't promise
+    that across levels). One projection + one tiny aggregate per level
+    unioned: per level, docs, token mass, and source spread — the
+    sanity panel read before launching the run ladder."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+        ).cast("long")
+        % 10000
+    )
+    base = docs.select(
+        bucket.alias("b"),
+        token_count(F.col("text")).alias("n_tok"),
+        "source",
+    )
+    out = None
+    for pct in (5, 10, 20, 40, 80):
+        level = base.where(F.col("b") < pct * 100).agg(
+            F.lit(pct).cast("int").alias("pct"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("token_sum"),
+            F.count_distinct("source").alias("n_sources"),
+        )
+        out = level if out is None else out.unionByName(level)
+    return out
+
+
+CURATION_QUERIES["q209_ablation_ladder"] = q209_ablation_ladder
+
+CURATION_ORACLES["q209_ablation_ladder"] = """
+    WITH base AS (
+      SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                  AS BIGINT) % 10000 AS b,
+             len(string_split(trim(regexp_replace(lower(text), '\\s+',
+                 ' ', 'g')), ' ')) AS n_tok,
+             source
+      FROM documents
+    )
+    SELECT CAST(pct AS INT) AS pct,
+           COUNT(*) FILTER (WHERE b < pct * 100) AS n_docs,
+           CAST(COALESCE(SUM(n_tok) FILTER (WHERE b < pct * 100), 0)
+                AS BIGINT) AS token_sum,
+           COUNT(DISTINCT source) FILTER (WHERE b < pct * 100)
+             AS n_sources
+    FROM base, (SELECT unnest([5, 10, 20, 40, 80]) AS pct)
+    GROUP BY pct
+"""

@@ -228,6 +228,7 @@ AUDITED = [
     "q206_neardup_evidence",
     "q207_table_diff",
     "q208_quality_calibration",
+    "q209_ablation_ladder",
 ]
 
 
