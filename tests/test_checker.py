@@ -68,3 +68,18 @@ def test_nullable_bool_object_column_is_bool():
     assert dtype_kind(sdf["ok"]) == "bool"
     problems = compare("bool_nullable", sdf, odf)
     assert not any("dtype-kind" in p for p in problems), problems
+
+
+def test_oracle_and_query_registries_align():
+    """Driver-contract completeness: every queries() entry must carry an
+    oracle_sql() twin and vice versa — an orphan on either side would
+    silently downgrade the driver's check (rows-only) or KeyError the
+    local sweep."""
+    import __spark_entry__ as entry_mod
+
+    q = set(entry_mod.queries())
+    o = set(entry_mod.oracle_sql())
+    assert q == o, (
+        f"queries without oracle: {sorted(q - o)}; "
+        f"oracles without query: {sorted(o - q)}"
+    )
