@@ -190,6 +190,24 @@ def main() -> None:
         n_events * reps,
     )
 
+    # Keyed reconciliation at scale: diff the inflated corpus against a
+    # mutated copy (1/16 of keys changed, 1/97 dropped) — one full-outer
+    # join on the key; cost must stay linear in the table, and the diff
+    # row count stays proportional to the CHANGES, not the table.
+    from adhesive_spark.operators.quality import table_diff
+
+    mutated = big_docs.where(F.col("doc_id") % 97 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 16 == 0, F.concat(F.col("text"), F.lit(" x"))
+        ).otherwise(F.col("text")),
+    )
+    run(
+        "table_diff",
+        lambda: table_diff(big_docs, mutated, ["doc_id"]),
+        rows_in,
+    )
+
     total = round(sum(o["sec"] for o in ops.values()), 2)
     print(
         json.dumps(
