@@ -61,6 +61,22 @@ def redact_pii(col) -> Column:
     return out
 
 
+
+def md5_bucket(key, buckets: int = 10000) -> Column:
+    """THE house sampling bucket: first 16 bits of md5(key-as-string)
+    mod ``buckets`` — deterministic, engine-portable (DuckDB twin:
+    ``CAST(('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 4)) AS BIGINT)
+    % buckets``), and shared by every rate/threshold sampler so the
+    "bucket < threshold" sets NEST across thresholds (the q209 ladder
+    guarantee). One definition — a prefix-width change lands everywhere
+    at once."""
+    return (
+        F.conv(F.substring(F.md5(key.cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        % buckets
+    )
+
+
 def stratified_hash_sample(
     df: DataFrame,
     key_col: str,
@@ -80,11 +96,7 @@ def stratified_hash_sample(
     shuffle; the rate map is a literal CASE chain (strata counts are
     small by definition).
     """
-    bucket = (
-        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 4), 16, 10)
-        .cast("long")
-        % 10000
-    )
+    bucket = md5_bucket(F.col(key_col))
     threshold = F.lit(int(default_rate * 10000))
     for stratum, rate in sorted(rates.items()):
         threshold = F.when(
@@ -130,11 +142,7 @@ def mixture_sample(
             / F.col("__n"),
         ).alias("__rate"),
     )
-    bucket = (
-        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 4), 16, 10)
-        .cast("long")
-        % 10000
-    )
+    bucket = md5_bucket(F.col(key_col))
     return (
         df.join(F.broadcast(rates), strata_col)
         .where(bucket < F.floor(F.col("__rate") * 10000))
@@ -315,11 +323,7 @@ def temperature_mixture(
         strata_col,
         F.sqrt(F.col("__mmin") / F.col("__m")).alias("__rate"),
     )
-    bucket = (
-        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 4), 16, 10)
-        .cast("long")
-        % 10000
-    )
+    bucket = md5_bucket(F.col(key_col))
     return (
         df.join(F.broadcast(rates), strata_col)
         .where(bucket < F.floor(F.col("__rate") * 10000))

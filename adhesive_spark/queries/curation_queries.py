@@ -2857,30 +2857,46 @@ def q209_ablation_ladder(spark, sf_dir):
     docs are inside the 10% set, so "double the data" ablations compare
     supersets, not resamples; q45's single-rate sample can't promise
     that across levels). One projection + one tiny aggregate per level
-    unioned: per level, docs, token mass, and source spread — the
-    sanity panel read before launching the run ladder."""
+    ONE scan, ONE
+    wide aggregate (5 conditional count/sum/distinct triples riding
+    Catalyst's Expand), unpivoted to 5 rows — never 5 rescans of the
+    tokenization path, and empty levels report zeros instead of NULLs
+    (contract matched by the oracle's FILTER + COALESCE form, one
+    UNION branch per level so an empty corpus still yields 5 rows)."""
+    from adhesive_spark.operators.curation import md5_bucket
+
     docs = load_table(spark, sf_dir, "documents")
-    bucket = (
-        F.conv(
-            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
-        ).cast("long")
-        % 10000
-    )
     base = docs.select(
-        bucket.alias("b"),
+        md5_bucket(F.col("doc_id")).alias("b"),
         token_count(F.col("text")).alias("n_tok"),
         "source",
     )
-    out = None
-    for pct in (5, 10, 20, 40, 80):
-        level = base.where(F.col("b") < pct * 100).agg(
-            F.lit(pct).cast("int").alias("pct"),
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_tok").alias("token_sum"),
-            F.count_distinct("source").alias("n_sources"),
-        )
-        out = level if out is None else out.unionByName(level)
-    return out
+    levels = (5, 10, 20, 40, 80)
+    aggs = []
+    for pct in levels:
+        hit = F.col("b") < pct * 100
+        aggs += [
+            F.sum(hit.cast("long")).alias(f"__n_{pct}"),
+            F.sum(F.when(hit, F.col("n_tok"))).alias(f"__t_{pct}"),
+            F.count_distinct(F.when(hit, F.col("source"))).alias(
+                f"__s_{pct}"
+            ),
+        ]
+    wide = base.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(pct).cast("int").alias("pct"),
+                F.coalesce(F.col(f"__n_{pct}"), F.lit(0)).alias("n_docs"),
+                F.coalesce(F.col(f"__t_{pct}"), F.lit(0).cast("long")).alias(
+                    "token_sum"
+                ),
+                F.col(f"__s_{pct}").alias("n_sources"),
+            )
+            for pct in levels
+        ]
+    )
+    return wide.select(F.explode(rows).alias("r")).select("r.*")
 
 
 CURATION_QUERIES["q209_ablation_ladder"] = q209_ablation_ladder
@@ -2894,12 +2910,43 @@ CURATION_ORACLES["q209_ablation_ladder"] = """
              source
       FROM documents
     )
-    SELECT CAST(pct AS INT) AS pct,
-           COUNT(*) FILTER (WHERE b < pct * 100) AS n_docs,
-           CAST(COALESCE(SUM(n_tok) FILTER (WHERE b < pct * 100), 0)
+    SELECT CAST(5 AS INT) AS pct,
+           COUNT(*) FILTER (WHERE b < 500) AS n_docs,
+           CAST(COALESCE(SUM(n_tok) FILTER (WHERE b < 500), 0)
                 AS BIGINT) AS token_sum,
-           COUNT(DISTINCT source) FILTER (WHERE b < pct * 100)
+           COUNT(DISTINCT source) FILTER (WHERE b < 500)
              AS n_sources
-    FROM base, (SELECT unnest([5, 10, 20, 40, 80]) AS pct)
-    GROUP BY pct
+    FROM base
+    UNION ALL
+    SELECT CAST(10 AS INT) AS pct,
+           COUNT(*) FILTER (WHERE b < 1000) AS n_docs,
+           CAST(COALESCE(SUM(n_tok) FILTER (WHERE b < 1000), 0)
+                AS BIGINT) AS token_sum,
+           COUNT(DISTINCT source) FILTER (WHERE b < 1000)
+             AS n_sources
+    FROM base
+    UNION ALL
+    SELECT CAST(20 AS INT) AS pct,
+           COUNT(*) FILTER (WHERE b < 2000) AS n_docs,
+           CAST(COALESCE(SUM(n_tok) FILTER (WHERE b < 2000), 0)
+                AS BIGINT) AS token_sum,
+           COUNT(DISTINCT source) FILTER (WHERE b < 2000)
+             AS n_sources
+    FROM base
+    UNION ALL
+    SELECT CAST(40 AS INT) AS pct,
+           COUNT(*) FILTER (WHERE b < 4000) AS n_docs,
+           CAST(COALESCE(SUM(n_tok) FILTER (WHERE b < 4000), 0)
+                AS BIGINT) AS token_sum,
+           COUNT(DISTINCT source) FILTER (WHERE b < 4000)
+             AS n_sources
+    FROM base
+    UNION ALL
+    SELECT CAST(80 AS INT) AS pct,
+           COUNT(*) FILTER (WHERE b < 8000) AS n_docs,
+           CAST(COALESCE(SUM(n_tok) FILTER (WHERE b < 8000), 0)
+                AS BIGINT) AS token_sum,
+           COUNT(DISTINCT source) FILTER (WHERE b < 8000)
+             AS n_sources
+    FROM base
 """

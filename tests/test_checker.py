@@ -83,3 +83,13 @@ def test_oracle_and_query_registries_align():
         f"queries without oracle: {sorted(q - o)}; "
         f"oracles without query: {sorted(o - q)}"
     )
+    # symmetric-loss guard: a query module failing at import drops its
+    # entries from BOTH registries (matching except-ImportError blocks
+    # in __spark_entry__), so q == o alone would still pass — anchor
+    # the count against the static plan-audit list
+    from tools.plan_report import AUDITED
+
+    assert len(q) >= len(AUDITED), (
+        f"registry lost entries: {len(q)} < {len(AUDITED)} audited — "
+        "a query module probably failed to import"
+    )
