@@ -13,17 +13,28 @@ correct shape for per-item Python compute over large binary columns
 (no row-at-a-time pickling; batches bounded by
 ``spark.sql.execution.arrow.maxRecordsPerBatch``).
 
-The image/audio codecs are NOT available in this environment, so the
-actual byte decoding is STUBBED: ``decode_media`` computes real,
-deterministic metadata (sizes, content hash, fake dimensions derived
-from the hash) and raises ``NotImplementedError`` only if a real codec
-is requested (``codec="real"``). The Spark-side plumbing — schema,
-batching, partition behavior — is real and tested.
+``decode_media`` genuinely parses three public, codec-free byte
+formats in pure stdlib Python (struct/wave):
+
+- **WAV** (RIFF/WAVE, PCM): chunk-walk for ``fmt `` + ``data`` →
+  channels, sample rate, sample count → exact ``duration_ms``.
+- **PPM** (P6): whitespace/comment-tolerant header parse → width,
+  height, raster-size validation.
+- **Y4M** (YUV4MPEG2, C420): stream-header W/H + exact frame walk →
+  ``n_frames`` (no substring counting — raster bytes may alias).
+
+Compressed codecs (JPEG/MP3/H.264 via PIL/ffmpeg/soundfile) are not
+in this container; payloads that are not one of the formats above fall
+back to a deterministic hash-derived pseudo-decode (``codec="auto"``,
+the default) so the plumbing stays exercisable on arbitrary binaries.
 """
 
 from __future__ import annotations
 
 import hashlib
+import io
+import struct
+import wave
 from collections.abc import Iterator
 
 import pandas as pd
@@ -87,19 +98,209 @@ def synthesize_media(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     )
 
 
-def decode_media(df: DataFrame, *, codec: str = "stub") -> DataFrame:
+def synthesize_real_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Genuine media payloads — valid WAV / PPM / Y4M byte streams —
+    with all parameters closed-form in ``doc_id`` (so a SQL oracle can
+    predict every decoded field without re-parsing the bytes):
+
+    - audio (id%3==1): mono PCM16 WAV @8 kHz, n_samples = 800 + (id%64)*8
+    - image (id%3==0): P6 PPM, w = 4 + id%60, h = 4 + (id//7)%60
+    - video (id%3==2): Y4M C420, w = 2*(2+id%29), h = 2*(2+(id//3)%29),
+      n_frames = 1 + id%12
+
+    Built per-row in Arrow-batched mapInPandas — the shape a real
+    binary-ingest source (blob store reader) would have."""
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, mtypes, payloads, mimes, nbytes, srcs = [], [], [], [], [], []
+            for did in pdf[id_col]:
+                did = int(did)
+                m = did % 3
+                if m == 1:
+                    b = wav_bytes(800 + (did % 64) * 8, 8000, seed=did)
+                    mtypes.append("audio")
+                    mimes.append("audio/wav")
+                elif m == 0:
+                    b = ppm_bytes(4 + did % 60, 4 + (did // 7) % 60, seed=did)
+                    mtypes.append("image")
+                    mimes.append("image/x-portable-pixmap")
+                else:
+                    b = y4m_bytes(
+                        2 * (2 + did % 29),
+                        2 * (2 + (did // 3) % 29),
+                        1 + did % 12,
+                        seed=did,
+                    )
+                    mtypes.append("video")
+                    mimes.append("video/x-yuv4mpeg")
+                ids.append(did)
+                payloads.append(b)
+                nbytes.append(len(b))
+                srcs.append("synthetic-real")
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.array(ids, dtype="int64"),
+                    "media_type": mtypes,
+                    "payload": payloads,
+                    "meta": [
+                        {"mime": mi, "n_bytes": nb, "source": s}
+                        for mi, nb, s in zip(mimes, nbytes, srcs)
+                    ],
+                }
+            )
+
+    return df.select(id_col).mapInPandas(_synth, schema=MEDIA_SCHEMA)
+
+
+# --- real byte-format builders (pure stdlib; deterministic) -----------
+
+
+def wav_bytes(n_samples: int, sample_rate: int = 8000, seed: int = 0) -> bytes:
+    """A genuine mono 16-bit PCM RIFF/WAVE file. Canonical 44-byte
+    header (fmt + data, as the stdlib ``wave`` writer emits), payload =
+    ``2 * n_samples`` bytes → total ``44 + 2 * n_samples``. Samples are
+    a deterministic LCG keyed by ``seed``."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        x = (seed * 2654435761 + 1) & 0x7FFFFFFF
+        out = bytearray()
+        for _ in range(n_samples):
+            x = (x * 1103515245 + 12345) & 0x7FFFFFFF
+            out += struct.pack("<h", (x & 0xFFFF) - 32768)
+        w.writeframes(bytes(out))
+    return buf.getvalue()
+
+
+def ppm_bytes(width: int, height: int, seed: int = 0) -> bytes:
+    """A genuine binary PPM (P6) image: header ``P6\\n{w} {h}\\n255\\n``
+    + raw RGB raster → total ``9 + len(str(w)) + len(str(h)) + 3*w*h``
+    bytes. Raster is a deterministic per-pixel gradient."""
+    header = f"P6\n{width} {height}\n255\n".encode("ascii")
+    raster = bytes(
+        (seed + i) % 251 for i in range(3 * width * height)
+    )
+    return header + raster
+
+
+def y4m_bytes(width: int, height: int, n_frames: int, seed: int = 0) -> bytes:
+    """A genuine YUV4MPEG2 (Y4M) uncompressed video stream, C420:
+    stream header + per-frame ``FRAME\\n`` marker + w*h*3/2 raster.
+    Width/height must be even (4:2:0 chroma subsampling)."""
+    if width % 2 or height % 2:
+        raise ValueError("Y4M C420 requires even width/height")
+    head = f"YUV4MPEG2 W{width} H{height} F25:1 C420\n".encode("ascii")
+    frame_sz = width * height + 2 * (width // 2) * (height // 2)
+    frames = b"".join(
+        b"FRAME\n" + bytes((seed + f + i) % 251 for i in range(frame_sz))
+        for f in range(n_frames)
+    )
+    return head + frames
+
+
+# --- real byte-format parsers (pure stdlib; None on non-match) ---------
+
+
+def _parse_wav(b: bytes):
+    """RIFF chunk walk → (duration_ms, n_samples, sample_rate) or None.
+    Tolerates extra chunks and odd-length padding per the RIFF spec."""
+    if len(b) < 44 or b[0:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    pos, rate, block_align, data_len = 12, None, None, None
+    while pos + 8 <= len(b):
+        cid = b[pos : pos + 4]
+        (clen,) = struct.unpack_from("<I", b, pos + 4)
+        body = pos + 8
+        if body + clen > len(b):
+            return None
+        if cid == b"fmt " and clen >= 16:
+            _fmt, _ch, rate, _bps, block_align, _bits = struct.unpack_from(
+                "<HHIIHH", b, body
+            )
+        elif cid == b"data":
+            data_len = clen
+        pos = body + clen + (clen & 1)
+    if not rate or not block_align or data_len is None:
+        return None
+    n_samples = data_len // block_align
+    return (n_samples * 1000) // rate, n_samples, rate
+
+
+def _parse_ppm(b: bytes):
+    """P6 header parse → (width, height) or None. Skips whitespace and
+    ``#`` comments per the netpbm spec; validates the raster length."""
+    if b[:2] != b"P6":
+        return None
+    vals, i = [], 2
+    while len(vals) < 3 and i < len(b):
+        c = b[i : i + 1]
+        if c.isspace():
+            i += 1
+        elif c == b"#":
+            while i < len(b) and b[i : i + 1] != b"\n":
+                i += 1
+        elif c.isdigit():
+            j = i
+            while j < len(b) and b[j : j + 1].isdigit():
+                j += 1
+            vals.append(int(b[i:j]))
+            i = j
+        else:
+            return None
+    if len(vals) < 3 or not (0 < vals[2] < 256):
+        return None
+    w, h = vals[0], vals[1]
+    # exactly one whitespace byte separates maxval from the raster
+    if w <= 0 or h <= 0 or len(b) - (i + 1) < 3 * w * h:
+        return None
+    return w, h
+
+
+def _parse_y4m(b: bytes):
+    """YUV4MPEG2 C420 walk → (width, height, n_frames) or None. Frames
+    are counted by walking exact raster offsets, never by substring
+    search (raster bytes may alias the FRAME marker)."""
+    if not b.startswith(b"YUV4MPEG2"):
+        return None
+    nl = b.find(b"\n")
+    if nl < 0:
+        return None
+    w = h = None
+    for tok in b[:nl].decode("ascii", "replace").split(" ")[1:]:
+        if tok[:1] == "W" and tok[1:].isdigit():
+            w = int(tok[1:])
+        elif tok[:1] == "H" and tok[1:].isdigit():
+            h = int(tok[1:])
+    if not w or not h or w % 2 or h % 2:
+        return None
+    frame_sz = w * h + 2 * (w // 2) * (h // 2)
+    pos, n = nl + 1, 0
+    while pos < len(b):
+        fnl = b.find(b"\n", pos)
+        if fnl < 0 or b[pos : pos + 5] != b"FRAME":
+            return None
+        pos = fnl + 1 + frame_sz
+        if pos > len(b):
+            return None
+        n += 1
+    return w, h, n
+
+
+def decode_media(df: DataFrame, *, codec: str = "auto") -> DataFrame:
     """Decode payloads to typed features via Arrow-batched mapInPandas.
 
-    ``codec="stub"`` derives deterministic pseudo-dimensions from the
-    payload hash (the plumbing under test); ``codec="real"`` is the seam
-    where PIL/ffmpeg/soundfile would plug in — unavailable here, so it
-    raises ``NotImplementedError``.
+    ``codec="auto"`` (default) sniffs magic bytes and genuinely parses
+    WAV / PPM / Y4M payloads (pure stdlib — see the module docstring);
+    anything else falls back to the deterministic hash-derived
+    pseudo-decode. ``codec="real"`` is strict: only parsed formats get
+    dimensions, unrecognized payloads decode to NULL features.
+    ``codec="stub"`` forces the hash path for every row.
     """
-    if codec == "real":
-        raise NotImplementedError(
-            "real media codecs (PIL/ffmpeg) are not available in this "
-            "environment; use codec='stub' for the plumbing path"
-        )
+    if codec not in ("auto", "real", "stub"):
+        raise ValueError(f"unknown codec {codec!r}; use auto/real/stub")
 
     # Per-item Python decode is the CPU-dense stage: fan out before it.
     from adhesive_spark.sources.registry import ensure_parallelism
@@ -122,14 +323,47 @@ def decode_media(df: DataFrame, *, codec: str = "stub") -> DataFrame:
                 h = hashlib.sha256(b).digest()
                 sizes.append(len(b))
                 shas.append(h.hex()[:16])
-                # Deterministic fake dimensions from the content hash —
-                # stands in for the codec's real width/height/frames.
-                widths.append(64 + h[0] % 192 if mtype in ("image", "video") else None)
-                heights.append(64 + h[1] % 192 if mtype in ("image", "video") else None)
-                frames.append(1 + h[2] % 120 if mtype == "video" else None)
-                durs.append(
-                    1000 + (h[3] * 256 + h[4]) % 60000 if mtype == "audio" else None
-                )
+                wv = pp = ym = None
+                if codec != "stub":
+                    wv = _parse_wav(b)
+                    pp = _parse_ppm(b) if wv is None else None
+                    ym = _parse_y4m(b) if wv is None and pp is None else None
+                if wv is not None:
+                    widths.append(None)
+                    heights.append(None)
+                    frames.append(None)
+                    durs.append(wv[0])
+                elif pp is not None:
+                    widths.append(pp[0])
+                    heights.append(pp[1])
+                    frames.append(None)
+                    durs.append(None)
+                elif ym is not None:
+                    widths.append(ym[0])
+                    heights.append(ym[1])
+                    frames.append(ym[2])
+                    durs.append(None)
+                elif codec == "real":
+                    # strict mode: unrecognized bytes are undecodable
+                    widths.append(None)
+                    heights.append(None)
+                    frames.append(None)
+                    durs.append(None)
+                else:
+                    # Deterministic pseudo-dimensions from the content
+                    # hash — the fallback for formats needing codecs.
+                    widths.append(
+                        64 + h[0] % 192 if mtype in ("image", "video") else None
+                    )
+                    heights.append(
+                        64 + h[1] % 192 if mtype in ("image", "video") else None
+                    )
+                    frames.append(1 + h[2] % 120 if mtype == "video" else None)
+                    durs.append(
+                        1000 + (h[3] * 256 + h[4]) % 60000
+                        if mtype == "audio"
+                        else None
+                    )
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

@@ -1699,3 +1699,123 @@ PIPELINE_ORACLES["q206_neardup_evidence"] = f"""
       FROM shared
     ) WHERE evidence_rank <= 3
 """
+
+
+# --- q210-q212: real-codec decode (WAV / PPM / Y4M genuine bytes) ------
+# The payloads are VALID byte streams (stdlib-built, see
+# operators/multimodal.py builders); decode_media(codec="real") parses
+# the actual bytes (RIFF chunk walk / netpbm header / Y4M frame walk).
+# Every decoded field has a closed form in doc_id, so the DuckDB oracle
+# independently predicts what a correct parser must extract — an
+# end-to-end proof the parse reads real structure, not metadata.
+
+
+def q210_wav_decode_real(spark, sf_dir):
+    """Genuine RIFF/WAVE decode: synthesize valid mono PCM16 WAV bytes
+    per audio doc, parse fmt+data chunks → exact duration. Strict codec
+    (no hash fallback). Reference analog: the multimodal ingest seam."""
+    from adhesive_spark.operators.multimodal import synthesize_real_media
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 3 == 1
+    )
+    decoded = decode_media(synthesize_real_media(docs), codec="real")
+    return decoded.select(
+        "media_id",
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        F.col("duration_ms").cast("long").alias("duration_ms"),
+    )
+
+
+def q211_ppm_decode_real(spark, sf_dir):
+    """Genuine PPM (P6) decode: header-parsed width/height off valid
+    image bytes, grouped into an aspect-bucket histogram (the shape-
+    profiling step before a vision-encoder resize stage)."""
+    from adhesive_spark.operators.multimodal import synthesize_real_media
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 3 == 0
+    )
+    decoded = decode_media(synthesize_real_media(docs), codec="real")
+    return decoded.groupBy(
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+    ).agg(
+        F.count("*").alias("n_images"),
+        F.sum(F.col("n_bytes")).alias("total_bytes"),
+    )
+
+
+def q212_y4m_decode_real(spark, sf_dir):
+    """Genuine Y4M (YUV4MPEG2 C420) decode: frame-walked n_frames +
+    header W/H off valid uncompressed video bytes, joined to the
+    frame-sampling plan (every 4th frame) — decode → sample, the first
+    two stages of a video-training ingest."""
+    from adhesive_spark.operators.multimodal import synthesize_real_media
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 3 == 2
+    )
+    decoded = decode_media(synthesize_real_media(docs), codec="real")
+    plan = frame_sample_plan(decoded, every_n=4)
+    return plan.groupBy("media_id").agg(
+        F.max(F.col("n_frames")).cast("long").alias("n_frames"),
+        F.count("*").alias("n_sampled"),
+    ).join(
+        decoded.select(
+            "media_id",
+            F.col("width").cast("long").alias("width"),
+            F.col("height").cast("long").alias("height"),
+            F.col("n_bytes").cast("long").alias("n_bytes"),
+        ),
+        "media_id",
+    )
+
+
+PIPELINE_QUERIES["q210_wav_decode_real"] = q210_wav_decode_real
+PIPELINE_QUERIES["q211_ppm_decode_real"] = q211_ppm_decode_real
+PIPELINE_QUERIES["q212_y4m_decode_real"] = q212_y4m_decode_real
+
+# WAV: n_samples = 800 + (id%64)*8 @ 8 kHz mono 16-bit; canonical
+# 44-byte header -> n_bytes = 44 + 2*n_samples, duration exact ms.
+PIPELINE_ORACLES["q210_wav_decode_real"] = """
+    SELECT doc_id AS media_id,
+           44 + 2 * (800 + (doc_id % 64) * 8) AS n_bytes,
+           ((800 + (doc_id % 64) * 8) * 1000) // 8000 AS duration_ms
+    FROM documents WHERE doc_id % 3 = 1
+"""
+
+# PPM: w = 4 + id%60, h = 4 + (id//7)%60; header 'P6\n{w} {h}\n255\n'
+# -> n_bytes = 9 + len(str(w)) + len(str(h)) + 3*w*h.
+PIPELINE_ORACLES["q211_ppm_decode_real"] = """
+    WITH dims AS (
+      SELECT 4 + doc_id % 60 AS width,
+             4 + (doc_id // 7) % 60 AS height
+      FROM documents WHERE doc_id % 3 = 0
+    )
+    SELECT width, height, COUNT(*) AS n_images,
+           CAST(SUM(9 + length(CAST(width AS VARCHAR))
+                 + length(CAST(height AS VARCHAR))
+                 + 3 * width * height) AS BIGINT) AS total_bytes
+    FROM dims GROUP BY width, height
+"""
+
+# Y4M: w = 2*(2+id%29), h = 2*(2+(id//3)%29), f = 1 + id%12; header
+# 'YUV4MPEG2 W{w} H{h} F25:1 C420\n' = 25+len(w)+len(h) bytes; each
+# frame 'FRAME\n' + 3*w*h//2 raster; sampled every 4th frame.
+PIPELINE_ORACLES["q212_y4m_decode_real"] = """
+    WITH dims AS (
+      SELECT doc_id AS media_id,
+             2 * (2 + doc_id % 29) AS width,
+             2 * (2 + (doc_id // 3) % 29) AS height,
+             1 + doc_id % 12 AS n_frames
+      FROM documents WHERE doc_id % 3 = 2
+    )
+    SELECT media_id, n_frames,
+           (n_frames - 1) // 4 + 1 AS n_sampled,
+           width, height,
+           25 + length(CAST(width AS VARCHAR))
+              + length(CAST(height AS VARCHAR))
+              + n_frames * (6 + (3 * width * height) // 2) AS n_bytes
+    FROM dims
+"""

@@ -330,15 +330,22 @@ def test_lateral_topk_decorrelates_to_window_group_limit(spark, sf):
 
 
 def test_plans_md_shuffle_ratchet(spark):
-    """PLANS.md is a RATCHET, not just documentation: recompute the
-    shuffle-exchange count of every audited query at the scale factor
-    the table records and fail if any query now shuffles MORE than its
-    committed number — any intentional plan change must regenerate
-    PLANS.md (tools/plan_report.py) to move the ratchet."""
+    """PLANS.md is a RATCHET, not just documentation — THREE plan
+    properties per audited query, recomputed at the recorded scale
+    factor, each failing CI on silent degradation:
+
+    1. shuffles: Exchange count must not EXCEED the committed number;
+    2. join strategy: SortMergeJoin count must not exceed the committed
+       number (catches a BHJ silently flipping to SMJ, e.g. a broadcast
+       threshold or statistics regression);
+    3. nested loops: a query recorded BNL-free must stay BNL-free (a
+       new BroadcastNestedLoop/Cartesian is the q34-class scale killer).
+
+    Any intentional plan change must regenerate PLANS.md
+    (tools/plan_report.py) to move the ratchet."""
     import re
     from pathlib import Path
 
-    from adhesive_spark.plans.explain import shuffle_exchange_count
     from tools.plan_report import AUDITED
 
     import __spark_entry__ as entry_mod
@@ -348,9 +355,17 @@ def test_plans_md_shuffle_ratchet(spark):
     m = re.search(r"Scale factor dir: `([^`]+)`", text)
     assert m, "PLANS.md missing scale-factor header"
     sf_dir = m.group(1)
+    row_re = re.compile(
+        r"^\| (q\w+) \| (\d+) \| (\d+) \| (\d+) \| (?:yes|-) \| (yes[^|]*|no) \|",
+        re.M,
+    )
     recorded = {
-        row.group(1): int(row.group(2))
-        for row in re.finditer(r"^\| (q\w+) \| (\d+) \|", text, re.M)
+        row.group(1): {
+            "shuffles": int(row.group(2)),
+            "smj": int(row.group(4)),
+            "bnl": row.group(5).strip() != "no",
+        }
+        for row in row_re.finditer(text)
     }
     missing = [q for q in AUDITED if q not in recorded]
     assert not missing, f"PLANS.md is stale — audited but unrecorded: {missing}"
@@ -358,11 +373,19 @@ def test_plans_md_shuffle_ratchet(spark):
     qs = entry_mod.queries()
     worse = {}
     for name in AUDITED:
-        got = shuffle_exchange_count(qs[name](spark, sf_dir))
-        if got > recorded[name]:
-            worse[name] = (recorded[name], got)
+        plan = qs[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        got_shuffles = len(re.findall(r"\bExchange\b", plan))
+        got_smj = plan.count("SortMergeJoin")
+        got_bnl = "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan
+        rec = recorded[name]
+        if got_shuffles > rec["shuffles"]:
+            worse[name] = ("shuffles", rec["shuffles"], got_shuffles)
+        elif got_smj > rec["smj"]:
+            worse[name] = ("smj-flip", rec["smj"], got_smj)
+        elif got_bnl and not rec["bnl"]:
+            worse[name] = ("new-BNL", False, True)
     assert not worse, (
-        f"shuffle regressions vs PLANS.md (recorded, now): {worse} — "
+        f"plan regressions vs PLANS.md (property, recorded, now): {worse} — "
         "fix the plan or regenerate PLANS.md if intentional"
     )
 
@@ -422,3 +445,32 @@ def test_every_registered_query_is_plan_audited():
     assert not missing, f"registered but not plan-audited: {missing}"
     stale = sorted(audited - registered)
     assert not stale, f"audited but no longer registered: {stale}"
+
+
+def test_cap_manifest_matches_code():
+    """The PLANS.md `cap` column is a MANIFEST, not prose: recompute
+    the input-cap detection (tools/plan_report.input_caps — a source
+    grep for id-upper-bound literals) and fail if PLANS.md disagrees —
+    so a query gaining or losing an input cap must regenerate PLANS.md,
+    and bench readers can always separate fixed-workload queries from
+    sf-scaling ones."""
+    import re
+    from pathlib import Path
+
+    from tools.plan_report import input_caps
+
+    import __spark_entry__ as entry_mod
+
+    text = (Path(__file__).resolve().parents[1] / "PLANS.md").read_text()
+    row_re = re.compile(r"^\| (q\w+) \|(?:[^|]*\|){5}([^|]*)\|", re.M)
+    recorded = {m.group(1): m.group(2).strip() for m in row_re.finditer(text)}
+    fresh = input_caps(entry_mod.queries())
+    mismatched = {
+        q: (recorded.get(q), cap)
+        for q, cap in fresh.items()
+        if recorded.get(q) != cap
+    }
+    assert not mismatched, (
+        f"PLANS.md cap column is stale (recorded, fresh): {mismatched} — "
+        "regenerate with tools/plan_report.py"
+    )

@@ -229,7 +229,48 @@ AUDITED = [
     "q207_table_diff",
     "q208_quality_calibration",
     "q209_ablation_ladder",
+    "q210_wav_decode_real",
+    "q211_ppm_decode_real",
+    "q212_y4m_decode_real",
 ]
+
+
+_CAP_RE = re.compile(
+    r"""F\.col\(\s*["'](\w*id)["']\s*\)\s*<\s*(\d+)   # F.col("doc_id") < 300
+      | \b(\w*id)\s*<\s*(\d+)                         # SQL-text "doc_id < 300"
+    """,
+    re.X,
+)
+
+
+def detect_cap(fn) -> str:
+    """Grep a query callable's source for an INPUT cap: a strict
+    upper-bound literal on an id column (``doc_id < 300``). Caps keep
+    pair-quadratic DuckDB oracles tractable; a capped query's bench
+    time measures a FIXED workload regardless of sf — its scale
+    evidence lives in tools/stress.py, not bench.py. (A trailing
+    ``.limit(N)`` is an output top-k, not an input cap, and is not
+    flagged.)"""
+    import inspect
+
+    try:
+        src = inspect.getsource(fn)
+    except (OSError, TypeError):
+        return "-"
+    caps = []
+    for m in _CAP_RE.finditer(src):
+        if m.group(1):
+            caps.append(f"{m.group(1)}<{m.group(2)}")
+        else:
+            caps.append(f"{m.group(3)}<{m.group(4)}")
+    # dedupe, keep order
+    seen: dict[str, None] = dict.fromkeys(caps)
+    return ",".join(seen) if seen else "-"
+
+
+def input_caps(qs: dict) -> dict[str, str]:
+    """The cap manifest: query name → detected input cap (or '-')."""
+    return {name: detect_cap(qs[name]) for name in AUDITED}
 
 
 def main() -> None:
@@ -259,8 +300,16 @@ def main() -> None:
     print("attach a global denominator without a shuffle. The near-dup pair")
     print("queries (q34/q80) are plan-asserted to NEVER use it.")
     print()
-    print("| query | shuffles | BHJ | SMJ | pushed | BNL |")
-    print("|---|---|---|---|---|---|")
+    print("cap = input cap detected in the query source (id upper bound or")
+    print("limit); capped queries run a FIXED-size workload at every sf so")
+    print("their pair-quadratic DuckDB oracles stay tractable — bench times")
+    print("for them do NOT scale with sf; their at-scale evidence is the")
+    print("tools/stress.py replication ladder (STRESS.md). Enforced by")
+    print("tests/test_plans.py::test_cap_manifest_matches_code.")
+    print()
+    print("| query | shuffles | BHJ | SMJ | pushed | BNL | cap |")
+    print("|---|---|---|---|---|---|---|")
+    caps = input_caps(qs)
     for name in AUDITED:
         df = qs[name](spark, sf_dir)
         plan = df._jdf.queryExecution().executedPlan().toString()
@@ -276,7 +325,8 @@ def main() -> None:
         )
         print(
             f"| {name} | {shuffles} | {bhj} | {smj} "
-            f"| {'yes' if pushed else '-'} | {'yes (bounded scoring)' if nl else 'no'} |"
+            f"| {'yes' if pushed else '-'} | {'yes (bounded scoring)' if nl else 'no'} "
+            f"| {caps[name]} |"
         )
 
 
