@@ -286,16 +286,16 @@ def persist_ivf_index(
     vec_col: str = "embedding",
 ) -> None:
     """Persist the IVF index for amortized probing: ``assigned`` is
-    written BUCKETED BY centroid_id (one bucket per inverted list), and
-    the tiny centroid set as ``<table>__centroids``.
+    written PARTITIONED BY centroid_id — one directory per inverted
+    list, the literal on-disk analog of an IVF posting file — and the
+    tiny centroid set as ``<table>__centroids``.
 
     This is the knn_ivf docstring's amortized path made concrete: the
     build's full corpus pass is paid ONCE; every subsequent
-    :func:`knn_ivf_probe` reads only the probed buckets (bucket pruning)
-    with no shuffle of the corpus side and no index rebuild.
+    :func:`knn_ivf_probe` reads only the probed list directories via
+    DYNAMIC partition pruning (the probe join's broadcast result prunes
+    the scan at runtime — no driver round-trip, no index rebuild).
     """
-    from adhesive_spark.sources.formats import write_bucketed_table
-
     spark = corpus.sparkSession
     # With the default in-memory catalog a rebuilt session forgets the
     # table but NOT its warehouse directory; saveAsTable then refuses the
@@ -311,9 +311,11 @@ def persist_ivf_index(
     centroids, assigned = build_ivf_index(
         corpus, n_lists=n_lists, id_col=id_col, vec_col=vec_col
     )
-    write_bucketed_table(
-        assigned, table, bucket_cols=["centroid_id"], n_buckets=n_lists
-    )
+    # one shuffle at BUILD time groups each inverted list into its own
+    # directory (amortized across every probe batch thereafter)
+    assigned.repartition(n_lists, "centroid_id").write.partitionBy(
+        "centroid_id"
+    ).format("parquet").saveAsTable(table)
     centroids.write.mode("overwrite").format("parquet").saveAsTable(
         f"{table}__centroids"
     )
@@ -333,12 +335,13 @@ def knn_ivf_probe(
     """Probe a :func:`persist_ivf_index` table: NO corpus scan and NO
     index build — the per-search cost a production ANN service pays.
 
-    Scale shape: the probed centroid ids (≤ n_lists values, driver-safe)
-    become an IN filter on the bucketed index table, so Spark's bucket
-    pruning skips every non-probed bucket at the SCAN
-    (``SelectedBucketsCount: n_probe-ish out of n_lists`` in explain);
-    the candidate join is then broadcast(probes) against only those
-    buckets — zero Exchange on the index side.
+    Scale shape: the probed (query, centroid) pairs join the
+    centroid_id-PARTITIONED index by broadcast, and Catalyst inserts a
+    ``dynamicpruningexpression(centroid_id IN dynamicpruning#N)``
+    partition filter into the index scan — at runtime only the probed
+    inverted-list directories are read (≤ n_probe·n_queries of n_lists),
+    with zero Exchange on the index side and ZERO driver round-trip
+    (the former ``.isin(collect())`` literal-pruning path is gone).
     """
     assigned = spark.table(table)
     centroids = spark.table(f"{table}__centroids")
@@ -357,16 +360,17 @@ def knn_ivf_probe(
         qscored.withColumn("__r", F.row_number().over(wq))
         .where(F.col("__r") <= n_probe)
         .select(query_id_col, "__qvec", "centroid_id")
-        # materialize once: reused by the collect below AND the join
+        # materialize the ≤ n_queries·n_probe probe set once (cuts its
+        # tiny ranking window out of every downstream plan) ...
         .localCheckpoint(eager=True)
-    )
-    # ≤ n_lists scalar ids on the driver — bounded, not a data collect
-    probed_ids = sorted(
-        r.centroid_id for r in probes.select("centroid_id").distinct().collect()
+        # ... then a trivially-true residual bound marks the build side
+        # as SELECTIVE, which is what lets Catalyst plan dynamic
+        # partition pruning off the broadcast result (DPP only fires
+        # when the pruning side carries a filter predicate)
+        .where(F.col("centroid_id") >= 0)
     )
     cand = (
-        assigned.where(F.col("centroid_id").isin(probed_ids))
-        .join(F.broadcast(probes), "centroid_id")
+        assigned.join(F.broadcast(probes), "centroid_id")
         .select(
             query_id_col,
             F.col(id_col),

@@ -581,3 +581,47 @@ def test_drop_aggregate_and_table_functions(sess):
         "LANGUAGE PANDAS AS 'return int(arg0.count())'"
     )
     assert sess.sql("SELECT dlife_a(b) AS s FROM t6").collect()[0]["s"] == 6
+
+
+def test_udf_state_is_per_worker_not_shared(sess):
+    """The documented semantic deviation from the reference, as a TESTED
+    contract (factory.py:18-21): the reference holds ONE shared UDF
+    instance per definition (src/jvm.rs:93-102 GlobalRef), so instance
+    state is globally visible across every batch; Spark ships a
+    cloudpickled COPY of the compiled function to each Python worker
+    process, so closure/global state is per-worker.
+
+    Proof shape: a counter UDF tagging each call with its worker PID.
+    Per-worker-copy semantics mean each PID's counter sequence starts at
+    1 and covers exactly that PID's rows — and with 32 concurrent
+    partitions on local[32], several distinct PIDs appear, so counter
+    values DUPLICATE across workers (a single shared instance would
+    yield globally unique 1..N)."""
+    from collections import defaultdict
+
+    sess.sql(
+        "CREATE OR REPLACE FUNCTION tally(BIGINT) RETURNS STRING "
+        "DETERMINISTIC LANGUAGE PYTHON AS '"
+        "import os\n"
+        "st = globals().setdefault(\"_st\", {\"n\": 0})\n"
+        "st[\"n\"] += 1\n"
+        "return str(os.getpid()) + \":\" + str(st[\"n\"])'"
+    )
+    df = sess.spark.range(0, 256, 1, 32).selectExpr("tally(id) AS tag")
+    tags = [r.tag for r in df.collect()]
+    assert len(tags) == 256
+    per_pid = defaultdict(list)
+    for t in tags:
+        pid, n = t.split(":")
+        per_pid[pid].append(int(n))
+    # state never leaks across workers: every PID's counters are a
+    # dense 1..k — each copy counted only its own rows
+    for pid, ns in per_pid.items():
+        assert sorted(ns) == list(range(1, len(ns) + 1)), (pid, sorted(ns)[:5])
+    assert sum(len(v) for v in per_pid.values()) == 256
+    # 32 concurrent tasks -> multiple worker processes -> duplicated
+    # counter values across PIDs (the observable difference from the
+    # reference's shared single instance, which would never duplicate)
+    assert len(per_pid) >= 2, per_pid.keys()
+    all_ns = [n for v in per_pid.values() for n in v]
+    assert len(set(all_ns)) < len(all_ns)

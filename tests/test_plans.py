@@ -100,10 +100,11 @@ def test_knn_ivf_broadcasts_centroids_and_probes(spark, sf):
 
 
 def test_ivf_persisted_probe_prunes_buckets(spark, sf):
-    """The amortized IVF path: the probe must (a) bucket-prune the
-    persisted index scan (read only probed lists, not the corpus),
-    (b) shuffle nothing on the index side (broadcast probes), and
-    (c) return exactly the inline knn_ivf result."""
+    """The amortized IVF path: the probe must (a) DYNAMICALLY
+    partition-prune the persisted index scan (read only probed
+    inverted-list directories at runtime — no driver collect, no
+    literal IN list), (b) shuffle nothing on the index side (broadcast
+    probes), and (c) return exactly the inline knn_ivf result."""
     import re
 
     from adhesive_spark.plans.explain import formatted_plan
@@ -114,9 +115,12 @@ def test_ivf_persisted_probe_prunes_buckets(spark, sf):
 
     df = q83_ivf_persisted_probe(spark, sf)
     plan = formatted_plan(df)
-    m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
-    assert m, f"no bucket pruning in probe plan:\n{plan}"
-    assert int(m.group(1)) < int(m.group(2)), plan
+    m = re.search(
+        r"PartitionFilters: \[[^\]]*dynamicpruningexpression\("
+        r"centroid_id#\d+L? IN dynamicpruning#\d+\)",
+        plan,
+    )
+    assert m, f"no dynamic partition pruning in probe plan:\n{plan}"
     assert_broadcast_join(df, min_count=1)
     got = {(r.query_id, r.rank): (r.vec_id, r.sim) for r in df.collect()}
     want = {

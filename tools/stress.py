@@ -208,6 +208,38 @@ def main() -> None:
         rows_in,
     )
 
+    # Connected components on a deliberately LONG path graph: min-label
+    # propagation converges in O(diameter) ROUNDS, a cost axis that
+    # replicating wide/flat dedup graphs never exercises. reps·10
+    # parallel 32-node paths: the round count is set by the worst
+    # diameter (31), not the component count, so this measures per-round
+    # overhead × depth; the max_iter guard (graph.py) fails loudly if
+    # the diameter ever exceeds the bound instead of returning a
+    # silently-partial labeling.
+    from adhesive_spark.operators.graph import connected_components
+
+    chain_len = 32
+    path_edges = (
+        spark.range(reps * 10)
+        .select(F.col("id").alias("c"))
+        .crossJoin(spark.range(chain_len - 1).select(F.col("id").alias("i")))
+        .select(
+            (F.col("c") * chain_len + F.col("i")).alias("id_a"),
+            (F.col("c") * chain_len + F.col("i") + 1).alias("id_b"),
+        )
+    )
+
+    def _cc_long_path():
+        labels = connected_components(path_edges, max_iter=40)
+        # sanity INSIDE the stress: every 32-node path collapses to one
+        # component labeled by its min node — wrong round accounting
+        # would surface as a component-count mismatch here
+        n_comp = labels.select("component").distinct().count()
+        assert n_comp == reps * 10, f"expected {reps * 10} components, got {n_comp}"
+        return labels
+
+    run("cc_long_path_d31", _cc_long_path, reps * 10 * (chain_len - 1))
+
     total = round(sum(o["sec"] for o in ops.values()), 2)
     print(
         json.dumps(
