@@ -1819,3 +1819,53 @@ PIPELINE_ORACLES["q212_y4m_decode_real"] = """
               + n_frames * (6 + (3 * width * height) // 2) AS n_bytes
     FROM dims
 """
+
+
+def q213_media_corruption_audit(spark, sf_dir):
+    """Corrupt-payload rejection audit: every 5th payload is truncated
+    by 4 bytes JVM-side (binary substring — no Python touch), then the
+    STRICT codec decodes. A truncated WAV overruns its declared data
+    chunk, a truncated PPM fails raster-length validation, a truncated
+    Y4M walks past the buffer — all three parsers must reject (NULL
+    dims), never misparse. The audit counts ok/rejected per type; the
+    oracle predicts rejection purely from doc_id, so any parser that
+    accepted garbage (or rejected valid bytes) hash-fails."""
+    from adhesive_spark.operators.multimodal import (
+        decode_media,
+        synthesize_real_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = synthesize_real_media(docs).withColumn(
+        "payload",
+        F.when(
+            F.col("media_id") % 5 == 0,
+            F.expr("substring(payload, 1, length(payload) - 4)"),
+        ).otherwise(F.col("payload")),
+    )
+    decoded = decode_media(media, codec="real")
+    ok = (
+        F.col("width").isNotNull()
+        | F.col("n_frames").isNotNull()
+        | F.col("duration_ms").isNotNull()
+    )
+    return decoded.groupBy("media_type").agg(
+        F.count("*").alias("n_total"),
+        F.sum(ok.cast("long")).alias("n_decoded"),
+        F.sum((~ok).cast("long")).alias("n_rejected"),
+    )
+
+
+PIPELINE_QUERIES["q213_media_corruption_audit"] = q213_media_corruption_audit
+
+PIPELINE_ORACLES["q213_media_corruption_audit"] = """
+    SELECT (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1]
+             AS media_type,
+           COUNT(*) AS n_total,
+           CAST(SUM(CASE WHEN doc_id % 5 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_decoded,
+           CAST(SUM(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_rejected
+    FROM documents
+    GROUP BY 1
+"""

@@ -232,6 +232,7 @@ AUDITED = [
     "q210_wav_decode_real",
     "q211_ppm_decode_real",
     "q212_y4m_decode_real",
+    "q213_media_corruption_audit",
 ]
 
 
