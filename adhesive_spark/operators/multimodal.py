@@ -380,6 +380,71 @@ def decode_media(df: DataFrame, *, codec: str = "auto") -> DataFrame:
     return df.mapInPandas(_decode, schema=DECODED_SCHEMA)
 
 
+def image_channel_stats(media: DataFrame) -> DataFrame:
+    """REAL feature extraction off genuine image bytes: parse the PPM
+    raster and compute exact per-channel statistics with one vectorized
+    numpy pass per Arrow batch — the actual shape of a production
+    image-featurizer stage (decode → ndarray → reduce), minus only the
+    compressed codec. Means are returned as exact milli-scaled integers
+    (``sum*1000 DIV n_pixels``) so the result is engine-portable.
+
+    Non-PPM / unparseable payloads are dropped (the strict-codec
+    contract: never featurize bytes you could not decode)."""
+    import numpy as np
+
+    from adhesive_spark.sources.registry import ensure_parallelism
+
+    media = ensure_parallelism(media)
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("width", T.LongType(), False),
+            T.StructField("height", T.LongType(), False),
+            T.StructField("mean_r_milli", T.LongType(), False),
+            T.StructField("mean_g_milli", T.LongType(), False),
+            T.StructField("mean_b_milli", T.LongType(), False),
+        ]
+    )
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ws, hs, mr, mg, mb = [], [], [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                b = bytes(payload)
+                pp = _parse_ppm(b)
+                if pp is None:
+                    continue
+                w, h = pp
+                # raster is the trailing 3*w*h bytes (validated by the
+                # parser); one zero-copy numpy view, one reduction
+                arr = np.frombuffer(
+                    b, dtype=np.uint8, count=3 * w * h, offset=len(b) - 3 * w * h
+                ).reshape(-1, 3)
+                sums = arr.sum(axis=0, dtype=np.int64)
+                n_px = w * h
+                ids.append(int(mid))
+                ws.append(w)
+                hs.append(h)
+                mr.append(int(sums[0]) * 1000 // n_px)
+                mg.append(int(sums[1]) * 1000 // n_px)
+                mb.append(int(sums[2]) * 1000 // n_px)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.array(ids, dtype="int64"),
+                    "width": pd.array(ws, dtype="int64"),
+                    "height": pd.array(hs, dtype="int64"),
+                    "mean_r_milli": pd.array(mr, dtype="int64"),
+                    "mean_g_milli": pd.array(mg, dtype="int64"),
+                    "mean_b_milli": pd.array(mb, dtype="int64"),
+                }
+            )
+
+    return media.mapInPandas(_stats, schema=schema)
+
+
 def media_embedding(decoded: DataFrame, dim: int = 8) -> DataFrame:
     """Attach a deterministic feature vector derived from the decoded
     content hash — the stub stand-in for a real image/audio encoder

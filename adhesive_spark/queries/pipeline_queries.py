@@ -1869,3 +1869,48 @@ PIPELINE_ORACLES["q213_media_corruption_audit"] = """
     FROM documents
     GROUP BY 1
 """
+
+
+def q214_image_channel_stats(spark, sf_dir):
+    """Genuine image featurization: numpy channel means over REAL PPM
+    rasters (decode → ndarray → reduce), exact milli-scaled integers.
+    The oracle recomputes every pixel analytically (raster byte i is
+    (doc_id + i) % 251 by construction), so a featurizer that misreads
+    even one raster byte hash-fails."""
+    from adhesive_spark.operators.multimodal import (
+        image_channel_stats,
+        synthesize_real_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 3 == 0
+    )
+    return image_channel_stats(synthesize_real_media(docs))
+
+
+PIPELINE_QUERIES["q214_image_channel_stats"] = q214_image_channel_stats
+
+# pixel j: R byte index 3j, G 3j+1, B 3j+2; byte i = (doc_id + i) % 251
+PIPELINE_ORACLES["q214_image_channel_stats"] = """
+    WITH dims AS (
+      SELECT doc_id,
+             4 + doc_id % 60 AS width,
+             4 + (doc_id // 7) % 60 AS height
+      FROM documents WHERE doc_id % 3 = 0
+    ),
+    px AS (
+      SELECT d.doc_id, d.width, d.height,
+             CAST(SUM((d.doc_id + 3 * t.j) % 251) AS BIGINT) AS sr,
+             CAST(SUM((d.doc_id + 3 * t.j + 1) % 251) AS BIGINT) AS sg,
+             CAST(SUM((d.doc_id + 3 * t.j + 2) % 251) AS BIGINT) AS sb
+      FROM dims d, LATERAL (
+        SELECT unnest(generate_series(0, d.width * d.height - 1)) AS j
+      ) t
+      GROUP BY 1, 2, 3
+    )
+    SELECT doc_id AS media_id, width, height,
+           (sr * 1000) // (width * height) AS mean_r_milli,
+           (sg * 1000) // (width * height) AS mean_g_milli,
+           (sb * 1000) // (width * height) AS mean_b_milli
+    FROM px
+"""

@@ -233,6 +233,7 @@ AUDITED = [
     "q211_ppm_decode_real",
     "q212_y4m_decode_real",
     "q213_media_corruption_audit",
+    "q214_image_channel_stats",
 ]
 
 
