@@ -445,6 +445,122 @@ def image_channel_stats(media: DataFrame) -> DataFrame:
     return media.mapInPandas(_stats, schema=schema)
 
 
+def video_luma_stats(media: DataFrame) -> DataFrame:
+    """REAL temporal video features off genuine Y4M bytes: walk the
+    frames, reduce each frame's luma plane (the first w·h raster bytes
+    of a C420 frame) to its exact milli-scaled mean, and emit per-video
+    temporal statistics — the scene-change-detection shape of a video
+    curation stage (frame-sample → luma trajectory → cut score), all in
+    one linear mapInPandas pass with NO shuffle.
+
+    Output per video: n_frames, first_luma_milli, and max_delta_milli =
+    max |mean(f) − mean(f−1)| (0 for single-frame clips). Non-Y4M
+    payloads are dropped (strict-codec contract)."""
+    import numpy as np
+
+    from adhesive_spark.sources.registry import ensure_parallelism
+
+    media = ensure_parallelism(media)
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("n_frames", T.LongType(), False),
+            T.StructField("first_luma_milli", T.LongType(), False),
+            T.StructField("max_delta_milli", T.LongType(), False),
+        ]
+    )
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, nfs, firsts, deltas = [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                b = bytes(payload)
+                ym = _parse_y4m(b)
+                if ym is None:
+                    continue
+                w, h, n = ym
+                frame_sz = w * h + 2 * (w // 2) * (h // 2)
+                pos = b.find(b"\n") + 1
+                lumas = []
+                for _f in range(n):
+                    body = pos + 6  # past 'FRAME\n'
+                    y = np.frombuffer(b, dtype=np.uint8, count=w * h, offset=body)
+                    lumas.append(int(y.sum(dtype=np.int64)) * 1000 // (w * h))
+                    pos = body + frame_sz
+                ids.append(int(mid))
+                nfs.append(n)
+                firsts.append(lumas[0])
+                deltas.append(
+                    max(
+                        (abs(lumas[i] - lumas[i - 1]) for i in range(1, n)),
+                        default=0,
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.array(ids, dtype="int64"),
+                    "n_frames": pd.array(nfs, dtype="int64"),
+                    "first_luma_milli": pd.array(firsts, dtype="int64"),
+                    "max_delta_milli": pd.array(deltas, dtype="int64"),
+                }
+            )
+
+    return media.mapInPandas(_stats, schema=schema)
+
+
+def wav_head_energy(media: DataFrame, head_samples: int = 256) -> DataFrame:
+    """REAL audio featurization off genuine WAV bytes: decode the PCM16
+    payload and reduce the first ``head_samples`` samples to an exact
+    mean-absolute-amplitude integer — the head-window energy gate of an
+    audio curation stage (silence/clipping detection on the clip head
+    before paying for a full-sequence encoder). One vectorized numpy
+    pass per Arrow batch, no shuffle; non-WAV payloads are dropped."""
+    import numpy as np
+
+    from adhesive_spark.sources.registry import ensure_parallelism
+
+    media = ensure_parallelism(media)
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("n_samples", T.LongType(), False),
+            T.StructField("head_mean_abs", T.LongType(), False),
+        ]
+    )
+
+    def _energy(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ns, eng = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                b = bytes(payload)
+                wv = _parse_wav(b)
+                if wv is None:
+                    continue
+                _dur, n_samples, _rate = wv
+                k = min(head_samples, n_samples)
+                # canonical wave-writer layout: 44-byte header then data
+                pcm = np.frombuffer(b, dtype="<i2", count=k, offset=44)
+                s = int(np.abs(pcm.astype(np.int64)).sum())
+                ids.append(int(mid))
+                ns.append(n_samples)
+                eng.append(s // k)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.array(ids, dtype="int64"),
+                    "n_samples": pd.array(ns, dtype="int64"),
+                    "head_mean_abs": pd.array(eng, dtype="int64"),
+                }
+            )
+
+    return media.mapInPandas(_energy, schema=schema)
+
+
 def media_embedding(decoded: DataFrame, dim: int = 8) -> DataFrame:
     """Attach a deterministic feature vector derived from the decoded
     content hash — the stub stand-in for a real image/audio encoder

@@ -1914,3 +1914,114 @@ PIPELINE_ORACLES["q214_image_channel_stats"] = """
            (sb * 1000) // (width * height) AS mean_b_milli
     FROM px
 """
+
+
+def q215_video_scene_stats(spark, sf_dir):
+    """Genuine temporal video features: per-frame luma means off REAL
+    Y4M rasters reduced to scene-change statistics (max inter-frame
+    luma delta), one linear mapInPandas pass, zero shuffles. The oracle
+    recomputes every frame's luma sum with the CLOSED FORM of the
+    modular run sum sum_{i<n}(a+i)%251 — no byte access at all — so
+    Spark's parse of the actual raster must agree with pure number
+    theory."""
+    from adhesive_spark.operators.multimodal import (
+        synthesize_real_media,
+        video_luma_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 3 == 2
+    )
+    return video_luma_stats(synthesize_real_media(docs))
+
+
+def q216_wav_head_energy(spark, sf_dir):
+    """Genuine audio featurization: mean |amplitude| of the first 256
+    PCM16 samples off REAL WAV bytes (the silence/clipping gate before
+    a full audio encoder). The oracle REPLAYS the sample-generating LCG
+    in a recursive CTE — 256 exact integer steps per clip — so a
+    one-sample misread (offset, endianness, sign) hash-fails."""
+    from adhesive_spark.operators.multimodal import (
+        synthesize_real_media,
+        wav_head_energy,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 3 == 1
+    )
+    return wav_head_energy(synthesize_real_media(docs), head_samples=256)
+
+
+PIPELINE_QUERIES["q215_video_scene_stats"] = q215_video_scene_stats
+PIPELINE_QUERIES["q216_wav_head_energy"] = q216_wav_head_energy
+
+# closed form of S(a, n) = sum_{i=0}^{n-1} (a + i) % 251 with a in
+# [0, 251): full cycles contribute (n//251)*31375; the partial run of
+# r = n%251 terms starting at a wraps at 251.
+def _mod_run_sum(a: str, n: str) -> str:
+    r = f"({n} % 251)"
+    k = f"(251 - {a})"
+    return (
+        f"(({n} // 251) * 31375"
+        f" + CASE WHEN {a} + {r} <= 251"
+        f"        THEN {r} * {a} + ({r} * ({r} - 1)) // 2"
+        f"        ELSE {k} * {a} + ({k} * ({k} - 1)) // 2"
+        f"             + (({r} - {k}) * ({r} - {k} - 1)) // 2"
+        f"   END)"
+    )
+
+
+# frame f's luma plane bytes are (doc_id + f + i) % 251 for i < w*h
+PIPELINE_ORACLES["q215_video_scene_stats"] = f"""
+    WITH dims AS (
+      SELECT doc_id AS media_id,
+             2 * (2 + doc_id % 29) AS w,
+             2 * (2 + (doc_id // 3) % 29) AS h,
+             1 + doc_id % 12 AS n_frames
+      FROM documents WHERE doc_id % 3 = 2
+    ),
+    frames AS (
+      SELECT d.media_id, d.n_frames, t.f,
+             ({_mod_run_sum("((d.media_id + t.f) % 251)", "(d.w * d.h)")}
+              * 1000) // (d.w * d.h) AS luma_milli
+      FROM dims d, LATERAL (
+        SELECT unnest(generate_series(0, d.n_frames - 1)) AS f
+      ) t
+    ),
+    lagged AS (
+      SELECT media_id, n_frames, f, luma_milli,
+             lag(luma_milli) OVER (PARTITION BY media_id ORDER BY f)
+               AS prev_luma
+      FROM frames
+    )
+    SELECT media_id, n_frames,
+           CAST(MAX(CASE WHEN f = 0 THEN luma_milli END) AS BIGINT)
+             AS first_luma_milli,
+           CAST(COALESCE(MAX(ABS(luma_milli - prev_luma)), 0) AS BIGINT)
+             AS max_delta_milli
+    FROM lagged
+    GROUP BY media_id, n_frames
+"""
+
+# the WAV sample LCG, replayed exactly: x0 = (id*2654435761 + 1) &
+# 0x7FFFFFFF; x_{k+1} = (x_k*1103515245 + 12345) & 0x7FFFFFFF;
+# sample_k = (x_k & 0xFFFF) - 32768 (samples use the POST-update x)
+PIPELINE_ORACLES["q216_wav_head_energy"] = """
+    WITH RECURSIVE lcg AS (
+      SELECT doc_id,
+             CAST(0 AS BIGINT) AS k,
+             (doc_id * 2654435761 + 1) & 2147483647 AS x,
+             CAST(0 AS BIGINT) AS acc
+      FROM documents WHERE doc_id % 3 = 1
+      UNION ALL
+      SELECT doc_id, k + 1,
+             (x * 1103515245 + 12345) & 2147483647,
+             acc + ABS((((x * 1103515245 + 12345) & 2147483647) & 65535)
+                       - 32768)
+      FROM lcg WHERE k < 256
+    )
+    SELECT doc_id AS media_id,
+           800 + (doc_id % 64) * 8 AS n_samples,
+           acc // 256 AS head_mean_abs
+    FROM lcg WHERE k = 256
+"""

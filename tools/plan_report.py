@@ -234,6 +234,8 @@ AUDITED = [
     "q212_y4m_decode_real",
     "q213_media_corruption_audit",
     "q214_image_channel_stats",
+    "q215_video_scene_stats",
+    "q216_wav_head_energy",
 ]
 
 
