@@ -160,6 +160,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out.update(CURATION_QUERIES)
     except ImportError:
         pass
+    try:
+        from adhesive_spark.queries.scale_queries import SCALE_QUERIES
+
+        out.update(SCALE_QUERIES)
+    except ImportError:
+        pass
     return _reorder(out)
 
 
@@ -186,6 +192,12 @@ def oracle_sql() -> dict[str, str]:
         from adhesive_spark.queries.curation_queries import CURATION_ORACLES
 
         out.update(CURATION_ORACLES)
+    except ImportError:
+        pass
+    try:
+        from adhesive_spark.queries.scale_queries import SCALE_ORACLES
+
+        out.update(SCALE_ORACLES)
     except ImportError:
         pass
     return _reorder(out)

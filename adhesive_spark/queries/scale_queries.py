@@ -1,0 +1,584 @@
+"""Scale-operations queries: data-layout audits, lakehouse maintenance
+planning, deterministic data-loader ordering, and corpus-mixture
+accounting — the operational layer a 100 TB training-data pipeline
+runs AROUND its analytic queries.
+
+Every query keeps its arithmetic in exact integers (ppm / milli fixed
+point, `div` truncation on both engines) so the driver's type-strict
+value hash matches DuckDB bit-for-bit; see
+operators/text.py::scaled_long for the house rationale.
+
+Reference parity note: the reference engine (milenkovicm/adhesive)
+delegates all relational work to its host engine and ships no layout /
+maintenance tooling — this module is part of the SURVEY §2.3 extension
+surface, not a port of any reference file.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from adhesive_spark.operators.text import tokens
+from adhesive_spark.sources.registry import load_table
+
+SCALE_QUERIES: dict = {}
+SCALE_ORACLES: dict = {}
+
+# --- shared SQL fragments (DuckDB dialect) -----------------------------------
+
+_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_TOKS = f"string_split({_NORM}, ' ')"
+
+
+# --- q217: Z-order layout audit ----------------------------------------------
+
+
+def q217_zorder_layout(spark, sf_dir):
+    """Data-layout audit: does Z-ORDER clustering beat the natural
+    (orderkey-sorted) layout for a 2-dimensional predicate?
+
+    Quantizes (l_partkey, l_suppkey) to 4 bits each, interleaves them
+    into an 8-bit Morton code, assigns rows to 64 value-range blocks
+    under each layout (natural = orderkey ranges, zorder = morton
+    ranges — exactly what ``repartitionByRange`` + parquet min/max zone
+    maps give you at scale), then counts how many blocks a rectangular
+    predicate (px IN 3..5 AND sx IN 4..6) would have to scan. The
+    zorder layout co-locates the rectangle into a handful of blocks;
+    the natural layout scans nearly all of them — the number this
+    query outputs is the file-skipping ratio a 100 TB table would see.
+
+    Scale shape: one broadcast 1-row max, one groupBy per (layout,
+    block) — no global sort, no window; blocks are pure value-range
+    arithmetic so the audit parallelizes perfectly.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        (F.col("l_partkey") % 16).alias("px"),
+        (F.col("l_suppkey") % 16).alias("sx"),
+    )
+    morton = F.lit(0)
+    for i in range(4):
+        morton = morton + F.shiftleft(
+            F.shiftright(F.col("px"), i).bitwiseAND(F.lit(1)), 2 * i
+        )
+        morton = morton + F.shiftleft(
+            F.shiftright(F.col("sx"), i).bitwiseAND(F.lit(1)), 2 * i + 1
+        )
+    mx = li.agg(F.max("l_orderkey").alias("max_ok"))
+    base = li.withColumn("morton", morton).crossJoin(F.broadcast(mx))
+    stacked = base.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("natural").alias("layout"),
+                    F.expr("(l_orderkey * 64) div (max_ok + 1)")
+                    .cast("long")
+                    .alias("block"),
+                ),
+                F.struct(
+                    F.lit("zorder").alias("layout"),
+                    F.expr("morton div 4").cast("long").alias("block"),
+                ),
+            )
+        ).alias("lb"),
+        "px",
+        "sx",
+    ).select("lb.layout", "lb.block", "px", "sx")
+    blocks = stacked.groupBy("layout", "block").agg(
+        F.min("px").alias("min_px"),
+        F.max("px").alias("max_px"),
+        F.min("sx").alias("min_sx"),
+        F.max("sx").alias("max_sx"),
+    )
+    hit = (
+        (F.col("min_px") <= 5)
+        & (F.col("max_px") >= 3)
+        & (F.col("min_sx") <= 6)
+        & (F.col("max_sx") >= 4)
+    )
+    return (
+        blocks.groupBy("layout")
+        .agg(
+            F.count("*").alias("blocks_total"),
+            F.sum(F.when(hit, 1).otherwise(0))
+            .cast("long")
+            .alias("blocks_scanned"),
+        )
+        .select(
+            "layout",
+            "blocks_total",
+            "blocks_scanned",
+            F.expr("blocks_scanned * 1000 div blocks_total")
+            .cast("long")
+            .alias("scan_frac_milli"),
+        )
+    )
+
+
+SCALE_QUERIES["q217_zorder_layout"] = q217_zorder_layout
+
+SCALE_ORACLES["q217_zorder_layout"] = """
+    WITH q AS (
+      SELECT l_orderkey, l_partkey % 16 AS px, l_suppkey % 16 AS sx
+      FROM lineitem
+    ),
+    mx AS (SELECT MAX(l_orderkey) AS max_ok FROM q),
+    m AS (
+      SELECT l_orderkey, px, sx,
+             (((px >> 0) & 1) << 0) + (((sx >> 0) & 1) << 1)
+           + (((px >> 1) & 1) << 2) + (((sx >> 1) & 1) << 3)
+           + (((px >> 2) & 1) << 4) + (((sx >> 2) & 1) << 5)
+           + (((px >> 3) & 1) << 6) + (((sx >> 3) & 1) << 7) AS morton
+      FROM q
+    ),
+    stacked AS (
+      SELECT 'natural' AS layout,
+             CAST((l_orderkey * 64) // (max_ok + 1) AS BIGINT) AS block,
+             px, sx
+      FROM m, mx
+      UNION ALL
+      SELECT 'zorder', CAST(morton // 4 AS BIGINT), px, sx FROM m
+    ),
+    blocks AS (
+      SELECT layout, block,
+             MIN(px) AS min_px, MAX(px) AS max_px,
+             MIN(sx) AS min_sx, MAX(sx) AS max_sx
+      FROM stacked GROUP BY layout, block
+    )
+    SELECT layout,
+           CAST(COUNT(*) AS BIGINT) AS blocks_total,
+           CAST(SUM(CASE WHEN min_px <= 5 AND max_px >= 3
+                          AND min_sx <= 6 AND max_sx >= 4
+                     THEN 1 ELSE 0 END) AS BIGINT) AS blocks_scanned,
+           CAST(CAST(SUM(CASE WHEN min_px <= 5 AND max_px >= 3
+                               AND min_sx <= 6 AND max_sx >= 4
+                          THEN 1 ELSE 0 END) AS BIGINT) * 1000
+                // CAST(COUNT(*) AS BIGINT) AS BIGINT) AS scan_frac_milli
+    FROM blocks GROUP BY layout
+"""
+
+
+# --- q218: compaction planner -------------------------------------------------
+
+
+def q218_compaction_plan(spark, sf_dir):
+    """Small-files compaction planner — the lakehouse maintenance pass
+    that keeps a 100 TB table readable. Per (source, lang) partition:
+    current file count (ingest shards, modeled as doc_id % 8), exact
+    byte estimate, the target file count at an 8 KiB target size, and
+    the merge factor (files_now : files_target, in milli) that tells
+    the OPTIMIZE job how aggressively to coalesce. A merge factor of
+    8000 means 8 small files collapse into 1 — the read-amplification
+    win is the same number.
+
+    Scale shape: a single hash aggregate over the partition grain; the
+    planner's output is tiny (one row per partition) no matter the
+    table size."""
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("source", "lang").agg(
+        F.count("*").alias("n_rows"),
+        F.sum("n_chars").cast("long").alias("est_bytes"),
+        F.countDistinct(F.col("doc_id") % 8).alias("files_now"),
+    )
+    return per.select(
+        "source",
+        "lang",
+        "n_rows",
+        "est_bytes",
+        "files_now",
+        F.expr("(est_bytes + 8191) div 8192").cast("long").alias("files_target"),
+        F.expr(
+            "files_now * 1000 div greatest((est_bytes + 8191) div 8192, 1)"
+        )
+        .cast("long")
+        .alias("merge_factor_milli"),
+    )
+
+
+SCALE_QUERIES["q218_compaction_plan"] = q218_compaction_plan
+
+SCALE_ORACLES["q218_compaction_plan"] = """
+    SELECT source, lang,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(n_chars) AS BIGINT) AS est_bytes,
+           CAST(COUNT(DISTINCT doc_id % 8) AS BIGINT) AS files_now,
+           CAST((CAST(SUM(n_chars) AS BIGINT) + 8191) // 8192 AS BIGINT)
+             AS files_target,
+           CAST(CAST(COUNT(DISTINCT doc_id % 8) AS BIGINT) * 1000
+                // GREATEST((CAST(SUM(n_chars) AS BIGINT) + 8191) // 8192,
+                            1) AS BIGINT) AS merge_factor_milli
+    FROM documents GROUP BY source, lang
+"""
+
+
+# --- q219: interval union coverage ---------------------------------------------
+
+
+def q219_interval_union(spark, sf_dir):
+    """Merged-interval coverage per user: every event opens a 300 s
+    activity interval; overlapping/abutting intervals fuse into
+    islands (the classic sweep — an interval starts a new island iff
+    its start exceeds the running max end of everything before it).
+    Output per user: island count and total covered microseconds —
+    the exact 'active time' metric sessionization approximates.
+
+    Scale shape: one window pass partitioned by user (running max end
+    + running island counter), one aggregate; no self-join, no pair
+    term. All arithmetic in unix microseconds (exact integers)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("s"),
+        "event_id",
+    )
+    ev = ev.withColumn("e", F.col("s") + F.lit(300_000_000))
+    w = Window.partitionBy("user_id").orderBy("s", "event_id")
+    prev_max = F.max("e").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = ev.withColumn(
+        "new_island",
+        F.when(prev_max.isNull() | (F.col("s") > prev_max), 1).otherwise(0),
+    )
+    islands = flagged.withColumn("island", F.sum("new_island").over(w))
+    per_island = islands.groupBy("user_id", "island").agg(
+        F.min("s").alias("st"), F.max("e").alias("en")
+    )
+    return per_island.groupBy("user_id").agg(
+        F.count("*").alias("n_islands"),
+        F.sum(F.col("en") - F.col("st")).cast("long").alias("covered_us"),
+    )
+
+
+SCALE_QUERIES["q219_interval_union"] = q219_interval_union
+
+SCALE_ORACLES["q219_interval_union"] = """
+    WITH iv AS (
+      SELECT user_id, event_id, epoch_us(ts) AS s,
+             epoch_us(ts) + 300000000 AS e
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, s, e,
+             CASE WHEN MAX(e) OVER (
+                    PARTITION BY user_id ORDER BY s, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                  ) IS NULL
+                  OR s > MAX(e) OVER (
+                    PARTITION BY user_id ORDER BY s, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                  )
+                  THEN 1 ELSE 0 END AS new_island,
+             event_id
+      FROM iv
+    ),
+    numbered AS (
+      SELECT user_id, s, e,
+             SUM(new_island) OVER (
+               PARTITION BY user_id ORDER BY s, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS island
+      FROM flagged
+    ),
+    per_island AS (
+      SELECT user_id, island, MIN(s) AS st, MAX(e) AS en
+      FROM numbered GROUP BY user_id, island
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_islands,
+           CAST(SUM(en - st) AS BIGINT) AS covered_us
+    FROM per_island GROUP BY user_id
+"""
+
+
+# --- q220: deterministic epoch shuffle plan ------------------------------------
+
+
+def q220_epoch_shuffle(spark, sf_dir):
+    """Deterministic multi-epoch data-loader ordering: each training
+    epoch re-shuffles the corpus by ranking on md5(epoch:doc_id) — a
+    seeded permutation with no RNG state, reproducible on any cluster
+    and resumable mid-epoch (the property torch-style dataloaders get
+    from a seeded generator, expressed as a plan). Output per epoch:
+    the first document under that ordering, an order fingerprint
+    (sum of position·doc_id — any transposition changes it), and the
+    total positional displacement vs epoch 0, proving successive
+    epochs genuinely permute rather than rotate.
+
+    Scale shape: the rank-per-epoch IS the shuffle a loader would do
+    anyway; displacement is one equi-join on doc_id. Epoch spine is a
+    3-row broadcast literal (benign BNL class b)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    epochs = spark.range(3).select(F.col("id").alias("epoch"))
+    keyed = docs.crossJoin(F.broadcast(epochs)).withColumn(
+        "k", F.md5(F.concat_ws(":", F.col("epoch"), F.col("doc_id")))
+    )
+    w = Window.partitionBy("epoch").orderBy("k")
+    pos = keyed.withColumn("pos", F.row_number().over(w)).select(
+        "epoch", "doc_id", "pos"
+    )
+    e0 = pos.where(F.col("epoch") == 0).select(
+        "doc_id", F.col("pos").alias("pos0")
+    )
+    return (
+        pos.join(e0, "doc_id")
+        .groupBy("epoch")
+        .agg(
+            F.max(F.when(F.col("pos") == 1, F.col("doc_id"))).alias(
+                "first_doc"
+            ),
+            F.sum(F.col("pos").cast("long") * F.col("doc_id"))
+            .cast("long")
+            .alias("order_fp"),
+            F.sum(F.abs(F.col("pos") - F.col("pos0")))
+            .cast("long")
+            .alias("total_displacement"),
+        )
+    )
+
+
+SCALE_QUERIES["q220_epoch_shuffle"] = q220_epoch_shuffle
+
+SCALE_ORACLES["q220_epoch_shuffle"] = """
+    WITH spine AS (
+      SELECT unnest(generate_series(0, 2)) AS epoch
+    ),
+    keyed AS (
+      SELECT s.epoch, d.doc_id,
+             md5(CAST(s.epoch AS VARCHAR) || ':'
+                 || CAST(d.doc_id AS VARCHAR)) AS k
+      FROM documents d, spine s
+    ),
+    pos AS (
+      SELECT epoch, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY epoch ORDER BY k) AS pos
+      FROM keyed
+    ),
+    e0 AS (
+      SELECT doc_id, pos AS pos0 FROM pos WHERE epoch = 0
+    )
+    SELECT p.epoch,
+           CAST(MAX(CASE WHEN p.pos = 1 THEN p.doc_id END) AS BIGINT)
+             AS first_doc,
+           CAST(SUM(p.pos * p.doc_id) AS BIGINT) AS order_fp,
+           CAST(SUM(ABS(p.pos - e0.pos0)) AS BIGINT) AS total_displacement
+    FROM pos p JOIN e0 USING (doc_id)
+    GROUP BY p.epoch
+"""
+
+
+# --- q221: per-language discriminative tokens ----------------------------------
+
+
+def q221_lang_token_affinity(spark, sf_dir):
+    """Naive-Bayes-style feature selection: the 3 most discriminative
+    tokens per language by smoothed rate ratio — rate of the token
+    inside the language (ppm) vs its rate in the REST of the corpus
+    (ppm), both +1-smoothed, ratio in milli. This is the count table a
+    multinomial NB language classifier trains on, and the lexicon a
+    fast-path langid filter is built from.
+
+    Scale shape: one explode + two hash aggregates; the per-language
+    and per-token marginals are tiny (5 langs, bounded vocab) and
+    broadcast back — no shuffle larger than the (lang, token) grain."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang", F.explode(tokens(F.col("text"))).alias("tok")
+    ).where(F.col("tok") != "")
+    lt = toks.groupBy("lang", "tok").agg(F.count("*").alias("n_lt"))
+    lg = toks.groupBy("lang").agg(F.count("*").alias("n_l"))
+    tk = toks.groupBy("tok").agg(F.count("*").alias("n_t"))
+    grand = toks.agg(F.count("*").alias("n_all"))
+    scored = (
+        lt.join(F.broadcast(lg), "lang")
+        .join(F.broadcast(tk), "tok")
+        .crossJoin(F.broadcast(grand))
+        .select(
+            "lang",
+            "tok",
+            F.expr("n_lt * 1000000 div n_l").cast("long").alias("rate_ppm"),
+            F.expr(
+                "((n_lt * 1000000 div n_l) + 1) * 1000 div "
+                "(((n_t - n_lt) * 1000000 div (n_all - n_l)) + 1)"
+            )
+            .cast("long")
+            .alias("affinity_milli"),
+        )
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("affinity_milli").desc(), F.col("tok")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("lang", "tok", "rate_ppm", "affinity_milli", "rnk")
+    )
+
+
+SCALE_QUERIES["q221_lang_token_affinity"] = q221_lang_token_affinity
+
+SCALE_ORACLES["q221_lang_token_affinity"] = f"""
+    WITH toks AS (
+      SELECT lang, unnest({_TOKS}) AS tok FROM documents
+    ),
+    t AS (SELECT lang, tok FROM toks WHERE tok <> ''),
+    lt AS (SELECT lang, tok, COUNT(*) AS n_lt FROM t GROUP BY lang, tok),
+    lg AS (SELECT lang, COUNT(*) AS n_l FROM t GROUP BY lang),
+    tk AS (SELECT tok, COUNT(*) AS n_t FROM t GROUP BY tok),
+    grand AS (SELECT COUNT(*) AS n_all FROM t),
+    scored AS (
+      SELECT lt.lang, lt.tok,
+             CAST(lt.n_lt * 1000000 // lg.n_l AS BIGINT) AS rate_ppm,
+             CAST(((lt.n_lt * 1000000 // lg.n_l) + 1) * 1000
+                  // (((tk.n_t - lt.n_lt) * 1000000
+                       // (grand.n_all - lg.n_l)) + 1) AS BIGINT)
+               AS affinity_milli
+      FROM lt JOIN lg USING (lang) JOIN tk USING (tok), grand
+    ),
+    ranked AS (
+      SELECT lang, tok, rate_ppm, affinity_milli,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY affinity_milli DESC, tok
+             ) AS rnk
+      FROM scored
+    )
+    SELECT lang, tok, rate_ppm, affinity_milli, CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= 3
+"""
+
+
+# --- q222: per-source token-distribution drift ----------------------------------
+
+
+def q222_source_tv_drift(spark, sf_dir):
+    """Token-distribution drift per source: total-variation distance
+    (½·Σ|p−q|, in ppm) between each source's unigram distribution and
+    the corpus-wide distribution — the integer-exact cousin of the
+    KL/JS drift monitors that decide when a crawl source has gone off
+    distribution. Missing tokens contribute their full corpus mass via
+    the source×vocab grid left-join.
+
+    Scale shape: one explode + hash aggregates; the grid is
+    sources × vocab (bounded lexicon here; at open vocab you'd sketch
+    the distribution first), built by broadcasting the vocab side."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(tokens(F.col("text"))).alias("tok")
+    ).where(F.col("tok") != "")
+    sc = toks.groupBy("source", "tok").agg(F.count("*").alias("n_st"))
+    st = toks.groupBy("source").agg(F.count("*").alias("n_s"))
+    cc = toks.groupBy("tok").agg(F.count("*").alias("n_c"))
+    grand = toks.agg(F.count("*").alias("n_all"))
+    grid = (
+        st.crossJoin(F.broadcast(cc))
+        .join(sc, ["source", "tok"], "left")
+        .na.fill({"n_st": 0})
+        .crossJoin(F.broadcast(grand))
+        .select(
+            "source",
+            "n_s",
+            F.abs(
+                F.expr("n_st * 1000000 div n_s")
+                - F.expr("n_c * 1000000 div n_all")
+            ).alias("absdiff_ppm"),
+        )
+    )
+    return grid.groupBy("source").agg(
+        F.max("n_s").cast("long").alias("n_tokens"),
+        F.expr("sum(absdiff_ppm) div 2").cast("long").alias("tv_ppm"),
+    )
+
+
+SCALE_QUERIES["q222_source_tv_drift"] = q222_source_tv_drift
+
+SCALE_ORACLES["q222_source_tv_drift"] = f"""
+    WITH toks AS (
+      SELECT source, unnest({_TOKS}) AS tok FROM documents
+    ),
+    t AS (SELECT source, tok FROM toks WHERE tok <> ''),
+    sc AS (SELECT source, tok, COUNT(*) AS n_st FROM t GROUP BY source, tok),
+    st AS (SELECT source, COUNT(*) AS n_s FROM t GROUP BY source),
+    cc AS (SELECT tok, COUNT(*) AS n_c FROM t GROUP BY tok),
+    grand AS (SELECT COUNT(*) AS n_all FROM t),
+    grid AS (
+      SELECT st.source, st.n_s,
+             ABS(COALESCE(sc.n_st, 0) * 1000000 // st.n_s
+                 - cc.n_c * 1000000 // grand.n_all) AS absdiff_ppm
+      FROM st CROSS JOIN cc
+      LEFT JOIN sc ON sc.source = st.source AND sc.tok = cc.tok,
+      grand
+    )
+    SELECT source,
+           CAST(MAX(n_s) AS BIGINT) AS n_tokens,
+           CAST(CAST(SUM(absdiff_ppm) AS BIGINT) // 2 AS BIGINT) AS tv_ppm
+    FROM grid GROUP BY source
+"""
+
+
+# --- q223: dedup-aware mixture accounting ---------------------------------------
+
+
+def q223_dedup_aware_mixture(spark, sf_dir):
+    """Dedup-aware mixture accounting: when near-dup clusters span
+    sources, naive per-source token counts over-weight syndicated
+    content. Each document is down-weighted by its cluster size
+    (head-20-token fingerprint, the q199 syndication grain) —
+    weight = 1/cluster_n, kept exact in milli-tokens — and each source
+    reports raw tokens, effective (dedup-weighted) milli-tokens, and
+    the duplication tax in ppm. This is the table a mixture sampler
+    uses so a source can't buy weight by re-posting wire copy.
+
+    Scale shape: one fingerprint aggregate (cluster sizes), one
+    equi-join back on the fingerprint, one per-source aggregate — the
+    same two-linear-shuffle shape as exact dedup, never pairwise."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select(
+        "source",
+        F.size(tokens(F.col("text"))).alias("n_tok"),
+        F.md5(
+            F.concat_ws(" ", F.slice(tokens(F.col("text")), 1, 20))
+        ).alias("fp"),
+    )
+    sizes = fp.groupBy("fp").agg(F.count("*").alias("cluster_n"))
+    joined = fp.join(sizes, "fp").select(
+        "source",
+        "n_tok",
+        F.expr("n_tok * 1000 div cluster_n").cast("long").alias("eff_milli"),
+    )
+    return joined.groupBy("source").agg(
+        F.sum("n_tok").cast("long").alias("raw_tokens"),
+        F.sum("eff_milli").cast("long").alias("eff_tokens_milli"),
+        F.expr(
+            "(sum(n_tok) * 1000 - sum(eff_milli)) * 1000000"
+            " div (sum(n_tok) * 1000)"
+        )
+        .cast("long")
+        .alias("dup_tax_ppm"),
+    )
+
+
+SCALE_QUERIES["q223_dedup_aware_mixture"] = q223_dedup_aware_mixture
+
+SCALE_ORACLES["q223_dedup_aware_mixture"] = f"""
+    WITH fp AS (
+      SELECT source,
+             len({_TOKS}) AS n_tok,
+             md5(array_to_string(({_TOKS})[1:20], ' ')) AS fp
+      FROM documents
+    ),
+    sizes AS (SELECT fp, COUNT(*) AS cluster_n FROM fp GROUP BY fp),
+    joined AS (
+      SELECT f.source, f.n_tok,
+             CAST(f.n_tok * 1000 // s.cluster_n AS BIGINT) AS eff_milli
+      FROM fp f JOIN sizes s USING (fp)
+    )
+    SELECT source,
+           CAST(SUM(n_tok) AS BIGINT) AS raw_tokens,
+           CAST(SUM(eff_milli) AS BIGINT) AS eff_tokens_milli,
+           CAST((CAST(SUM(n_tok) AS BIGINT) * 1000
+                 - CAST(SUM(eff_milli) AS BIGINT)) * 1000000
+                // (CAST(SUM(n_tok) AS BIGINT) * 1000) AS BIGINT)
+             AS dup_tax_ppm
+    FROM joined GROUP BY source
+"""

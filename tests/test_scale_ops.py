@@ -1,0 +1,80 @@
+"""Semantic contracts for the scale-operations queries (q217–q223) —
+properties the DuckDB hash check can't see: the zorder layout must
+actually BEAT the natural layout, interval union must respect coverage
+bounds, epoch shuffles must be genuine permutations."""
+
+import pytest
+
+from adhesive_spark.queries.scale_queries import (
+    q217_zorder_layout,
+    q219_interval_union,
+    q220_epoch_shuffle,
+    q222_source_tv_drift,
+    q223_dedup_aware_mixture,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_zorder_beats_natural(spark):
+    rows = {r["layout"]: r for r in q217_zorder_layout(spark, SF).collect()}
+    # the whole point of the layout: the 2-D predicate prunes a far
+    # larger FRACTION of zorder blocks than of natural blocks (block
+    # counts differ — only non-empty blocks exist under each layout)
+    assert (
+        rows["zorder"]["scan_frac_milli"] * 4
+        <= rows["natural"]["scan_frac_milli"]
+    )
+    assert 0 < rows["zorder"]["blocks_scanned"]  # predicate is satisfiable
+
+
+def test_interval_union_coverage_bounds(spark):
+    from pyspark.sql import functions as F
+
+    from adhesive_spark.sources.registry import load_table
+
+    per_user = q219_interval_union(spark, SF)
+    ev = (
+        load_table(spark, SF, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+    bad = (
+        per_user.join(ev, "user_id")
+        .where(
+            # each island covers >= one interval, <= n_events intervals
+            (F.col("covered_us") < 300_000_000)
+            | (F.col("covered_us") > F.col("n_events") * 300_000_000)
+            | (F.col("n_islands") > F.col("n_events"))
+            | (F.col("n_islands") < 1)
+        )
+        .count()
+    )
+    assert bad == 0
+
+
+def test_epoch_shuffle_is_permutation(spark):
+    rows = {r["epoch"]: r for r in q220_epoch_shuffle(spark, SF).collect()}
+    assert set(rows) == {0, 1, 2}
+    # epoch 0 vs itself: zero displacement; later epochs genuinely move
+    assert rows[0]["total_displacement"] == 0
+    assert rows[1]["total_displacement"] > 0
+    assert rows[2]["total_displacement"] > 0
+    # order fingerprints differ between epochs (different permutations)
+    assert len({r["order_fp"] for r in rows.values()}) == 3
+
+
+def test_tv_drift_in_range(spark):
+    rows = q222_source_tv_drift(spark, SF).collect()
+    assert rows
+    for r in rows:
+        # total variation distance lives in [0, 1] → [0, 1e6] ppm
+        assert 0 <= r["tv_ppm"] <= 1_000_000
+
+
+def test_dedup_mixture_never_exceeds_raw(spark):
+    rows = q223_dedup_aware_mixture(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["eff_tokens_milli"] <= r["raw_tokens"] * 1000
+        assert 0 <= r["dup_tax_ppm"] <= 1_000_000

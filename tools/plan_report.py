@@ -236,6 +236,13 @@ AUDITED = [
     "q214_image_channel_stats",
     "q215_video_scene_stats",
     "q216_wav_head_energy",
+    "q217_zorder_layout",
+    "q218_compaction_plan",
+    "q219_interval_union",
+    "q220_epoch_shuffle",
+    "q221_lang_token_affinity",
+    "q222_source_tv_drift",
+    "q223_dedup_aware_mixture",
 ]
 
 
