@@ -88,6 +88,10 @@ HEADLINE = [
     "q184_entity_resolution",
     "q188_rrf_fusion",
     "q190_bpe_merge_step",
+    # round-6 additions: the Z-order file-skipping audit (data-layout
+    # planning) and merged-interval activity coverage (window sweep)
+    "q217_zorder_layout",
+    "q219_interval_union",
 ]
 
 
