@@ -211,3 +211,41 @@ def interval_overlap_join(
         )
         .drop("__b")
     )
+
+
+def interval_union(
+    df: DataFrame,
+    key_col: str,
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Merge overlapping/abutting intervals per key and report coverage:
+    ``(key, n_islands, covered)`` where ``covered`` sums the merged
+    island lengths (same unit as the start/end columns — keep them
+    integer, e.g. unix micros, for engine-exact results).
+
+    The classic sweep, expressed as two window passes over ONE shuffle
+    on the key: an interval opens a new island iff its start exceeds
+    the running max end of every earlier interval (rows-frame max,
+    order by start then end for deterministic ties); a running sum of
+    those flags numbers the islands.  No self-join, no pair term —
+    per-key cost is linear in that key's interval count, so skewed
+    keys behave like any window partition.
+    """
+    w = Window.partitionBy(key_col).orderBy(start_col, end_col)
+    prev_max = F.max(end_col).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = df.withColumn(
+        "__new",
+        F.when(prev_max.isNull() | (F.col(start_col) > prev_max), 1)
+        .otherwise(0),
+    )
+    islands = flagged.withColumn("__island", F.sum("__new").over(w))
+    per_island = islands.groupBy(key_col, "__island").agg(
+        F.min(start_col).alias("__st"), F.max(end_col).alias("__en")
+    )
+    return per_island.groupBy(key_col).agg(
+        F.count("*").alias("n_islands"),
+        F.sum(F.col("__en") - F.col("__st")).cast("long").alias("covered"),
+    )

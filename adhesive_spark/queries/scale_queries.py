@@ -225,28 +225,19 @@ def q219_interval_union(spark, sf_dir):
 
     Scale shape: one window pass partitioned by user (running max end
     + running island counter), one aggregate; no self-join, no pair
-    term. All arithmetic in unix microseconds (exact integers)."""
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id",
-        F.unix_micros("ts").alias("s"),
-        "event_id",
+    term. All arithmetic in unix microseconds (exact integers).
+    Core: operators/asof.py::interval_union (ties on (start, end) are
+    interchangeable rows — identical intervals — so the sweep's output
+    is order-deterministic)."""
+    from adhesive_spark.operators.asof import interval_union
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", F.unix_micros("ts").alias("s"))
+        .withColumn("e", F.col("s") + F.lit(300_000_000))
     )
-    ev = ev.withColumn("e", F.col("s") + F.lit(300_000_000))
-    w = Window.partitionBy("user_id").orderBy("s", "event_id")
-    prev_max = F.max("e").over(
-        w.rowsBetween(Window.unboundedPreceding, -1)
-    )
-    flagged = ev.withColumn(
-        "new_island",
-        F.when(prev_max.isNull() | (F.col("s") > prev_max), 1).otherwise(0),
-    )
-    islands = flagged.withColumn("island", F.sum("new_island").over(w))
-    per_island = islands.groupBy("user_id", "island").agg(
-        F.min("s").alias("st"), F.max("e").alias("en")
-    )
-    return per_island.groupBy("user_id").agg(
-        F.count("*").alias("n_islands"),
-        F.sum(F.col("en") - F.col("st")).cast("long").alias("covered_us"),
+    return interval_union(ev, "user_id", "s", "e").select(
+        "user_id", "n_islands", F.col("covered").alias("covered_us")
     )
 
 
@@ -581,4 +572,372 @@ SCALE_ORACLES["q223_dedup_aware_mixture"] = f"""
                 // (CAST(SUM(n_tok) AS BIGINT) * 1000) AS BIGINT)
              AS dup_tax_ppm
     FROM joined GROUP BY source
+"""
+
+
+# --- q224: tokenizer application (greedy longest-prefix, zero UDFs) -----------
+
+# subword piece vocabulary shared by the Spark query and the oracle;
+# single characters are the implicit fallback (L defaults to 1)
+_PIECES = [
+    "spark", "stream", "window", "customer", "column", "filter",
+    "query", "table", "batch", "order", "group", "value", "scan",
+    "sort", "hash", "line", "merge", "join", "data", "fast", "slow",
+    "big", "small", "row", "agg", "key", "the", "er", "ow", "in", "st",
+]
+
+
+def n_pieces_col(word):
+    """Greedy longest-prefix piece count of ``word`` against _PIECES —
+    a pure Catalyst higher-order fold over character positions (inner
+    fold finds the longest piece matching at the cursor; single chars
+    are the implicit fallback). Zero Python UDFs: the whole scan stays
+    JVM-side inside whole-stage codegen."""
+    pieces_arr = F.array(*[F.lit(p) for p in _PIECES])
+
+    def longest_at(i):
+        return F.aggregate(
+            pieces_arr,
+            F.lit(1),
+            lambda m, p: F.when(
+                (F.length(p) > m) & (word.substr(i, F.length(p)) == p),
+                F.length(p),
+            ).otherwise(m),
+        )
+
+    return F.aggregate(
+        F.sequence(F.lit(1), F.length(word)),
+        F.struct(F.lit(1).alias("nxt"), F.lit(0).alias("cnt")),
+        lambda acc, i: F.when(
+            i == acc["nxt"],
+            F.struct(
+                (acc["nxt"] + longest_at(acc["nxt"])).alias("nxt"),
+                (acc["cnt"] + F.lit(1)).alias("cnt"),
+            ),
+        ).otherwise(acc),
+        lambda acc: acc["cnt"],
+    )
+
+
+def q224_tokenizer_apply(spark, sf_dir):
+    """Tokenizer APPLICATION (the inference side of q190's BPE training
+    step): segment every word by greedy longest-prefix match against a
+    fixed subword vocabulary — WordPiece-style, single characters as
+    fallback — and report per-language fertility (pieces per 100
+    words), the number that decides how many tokens a corpus costs
+    under a given tokenizer.
+
+    Implemented with ZERO Python UDFs: the greedy scan is a Catalyst
+    higher-order fold (``F.aggregate`` over character positions, inner
+    fold over the piece vocabulary), run once per DISTINCT word and
+    broadcast-joined back — at 100 TB the fold cost tracks the
+    vocabulary of distinct words, not the token stream. The oracle
+    replays the same greedy walk as a recursive CTE, so a one-position
+    mismatch in the longest-prefix rule hash-fails."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "lang", F.explode(tokens(F.col("text"))).alias("w")
+    ).where(F.col("w") != "")
+    distinct_w = words.select("w").distinct()
+    seg = distinct_w.withColumn("n_pieces", n_pieces_col(F.col("w")))
+    return (
+        words.join(F.broadcast(seg), "w")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("total_words"),
+            F.sum("n_pieces").cast("long").alias("total_pieces"),
+        )
+        .select(
+            "lang",
+            "total_words",
+            "total_pieces",
+            F.expr("total_pieces * 100 div total_words")
+            .cast("long")
+            .alias("fertility_centi"),
+        )
+    )
+
+
+SCALE_QUERIES["q224_tokenizer_apply"] = q224_tokenizer_apply
+
+_PIECES_SQL = "[" + ", ".join(f"'{p}'" for p in _PIECES) + "]"
+
+SCALE_ORACLES["q224_tokenizer_apply"] = f"""
+    WITH RECURSIVE inst AS (
+      SELECT lang, unnest({_TOKS}) AS w FROM documents
+    ),
+    wi AS (SELECT lang, w FROM inst WHERE w <> ''),
+    words AS (SELECT DISTINCT w FROM wi),
+    seg AS (
+      SELECT w, CAST(1 AS BIGINT) AS pos, CAST(0 AS BIGINT) AS cnt
+      FROM words
+      UNION ALL
+      SELECT w,
+             pos + GREATEST(1, list_max(list_transform({_PIECES_SQL},
+                 p -> CASE WHEN substr(w, CAST(pos AS INT), len(p)) = p
+                           THEN len(p) ELSE 1 END))),
+             cnt + 1
+      FROM seg WHERE pos <= len(w)
+    ),
+    fin AS (SELECT w, MAX(cnt) AS n_pieces FROM seg GROUP BY w)
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS total_words,
+           CAST(SUM(n_pieces) AS BIGINT) AS total_pieces,
+           CAST(CAST(SUM(n_pieces) AS BIGINT) * 100
+                // CAST(COUNT(*) AS BIGINT) AS BIGINT) AS fertility_centi
+    FROM wi JOIN fin USING (w)
+    GROUP BY lang
+"""
+
+
+# --- q225: two-phase exact median ----------------------------------------------
+
+
+def q225_exact_median_twophase(spark, sf_dir):
+    """EXACT median without a global sort — the 100 TB quantile
+    algorithm: phase 1 bins prices into $100 buckets and walks the
+    per-group cumulative histogram to locate the bucket holding the
+    k-th value (k = (n+1)/2, lower median); phase 2 sorts ONLY that
+    bucket's rows and picks the k-th. At scale the second phase
+    touches a ~1/bins fraction of the data — everything else is one
+    hash aggregate. All arithmetic in exact cents.
+
+    approx_percentile gets you close for free; this is the exact
+    answer when 'close' isn't contract-grade (SLA cutoffs, billing)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.expr("CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    binned = li.withColumn("bin", F.expr("cents div 10000"))
+    hist = binned.groupBy("l_returnflag", "bin").agg(
+        F.count("*").alias("c")
+    )
+    w = Window.partitionBy("l_returnflag").orderBy("bin")
+    cum = hist.withColumn("cum", F.sum("c").over(w)).withColumn(
+        "before", F.col("cum") - F.col("c")
+    )
+    totals = hist.groupBy("l_returnflag").agg(
+        F.sum("c").cast("long").alias("n_rows")
+    )
+    target = (
+        cum.join(totals, "l_returnflag")
+        .withColumn("k", F.expr("(n_rows + 1) div 2"))
+        .where((F.col("cum") >= F.col("k")) & (F.col("before") < F.col("k")))
+        .select(
+            "l_returnflag",
+            "bin",
+            "n_rows",
+            (F.col("k") - F.col("before")).alias("offset"),
+        )
+    )
+    in_bin = binned.join(target, ["l_returnflag", "bin"])
+    w2 = Window.partitionBy("l_returnflag").orderBy("cents")
+    return (
+        in_bin.withColumn("rn", F.row_number().over(w2))
+        .where(F.col("rn") == F.col("offset"))
+        .select(
+            "l_returnflag", "n_rows", F.col("cents").alias("median_cents")
+        )
+    )
+
+
+SCALE_QUERIES["q225_exact_median_twophase"] = q225_exact_median_twophase
+
+SCALE_ORACLES["q225_exact_median_twophase"] = """
+    WITH c AS (
+      SELECT l_returnflag,
+             CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS cents
+      FROM lineitem
+    ),
+    b AS (SELECT l_returnflag, cents, cents // 10000 AS bin FROM c),
+    hist AS (
+      SELECT l_returnflag, bin, COUNT(*) AS cnt
+      FROM b GROUP BY l_returnflag, bin
+    ),
+    cum AS (
+      SELECT l_returnflag, bin, cnt,
+             SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY bin)
+               AS cum
+      FROM hist
+    ),
+    tot AS (
+      SELECT l_returnflag, CAST(SUM(cnt) AS BIGINT) AS n_rows
+      FROM hist GROUP BY l_returnflag
+    ),
+    target AS (
+      SELECT c.l_returnflag, c.bin, t.n_rows,
+             (t.n_rows + 1) // 2 - (c.cum - c.cnt) AS off
+      FROM cum c JOIN tot t USING (l_returnflag)
+      WHERE c.cum >= (t.n_rows + 1) // 2
+        AND c.cum - c.cnt < (t.n_rows + 1) // 2
+    ),
+    ranked AS (
+      SELECT b.l_returnflag, t.n_rows, b.cents, t.off,
+             ROW_NUMBER() OVER (
+               PARTITION BY b.l_returnflag ORDER BY b.cents
+             ) AS rn
+      FROM b JOIN target t
+        ON b.l_returnflag = t.l_returnflag AND b.bin = t.bin
+    )
+    SELECT l_returnflag, n_rows, cents AS median_cents
+    FROM ranked WHERE rn = off
+"""
+
+
+# --- q226: watermark lateness audit ---------------------------------------------
+
+
+def q226_watermark_lateness_audit(spark, sf_dir):
+    """Streaming-config audit run in batch: how much data would each
+    candidate watermark budget drop? Arrival delay is modeled per
+    event as md5-hash seconds in [0, 600) (deterministic, so the
+    oracle replays it); for each watermark in {60 s, 120 s, 300 s} and
+    each event type, count events later than the budget and the loss
+    rate in ppm. This is the table you read before setting
+    ``withWatermark`` — trading state size against completeness.
+
+    Scale shape: one projection + one aggregate per spine entry; the
+    3-row watermark spine is a broadcast literal."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        (
+            F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 4), 16, 10)
+            .cast("long")
+            % 600
+        ).alias("delay_s"),
+    )
+    spine = spark.range(0).sql_ctx.sparkSession.createDataFrame(
+        [(60,), (120,), (300,)], "watermark_s long"
+    )
+    return (
+        ev.crossJoin(F.broadcast(spine))
+        .groupBy("event_type", "watermark_s")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.when(F.col("delay_s") > F.col("watermark_s"), 1).otherwise(0))
+            .cast("long")
+            .alias("late_events"),
+        )
+        .select(
+            "event_type",
+            "watermark_s",
+            "n_events",
+            "late_events",
+            F.expr("late_events * 1000000 div n_events")
+            .cast("long")
+            .alias("late_ppm"),
+        )
+    )
+
+
+SCALE_QUERIES["q226_watermark_lateness_audit"] = q226_watermark_lateness_audit
+
+SCALE_ORACLES["q226_watermark_lateness_audit"] = """
+    WITH ev AS (
+      SELECT event_type,
+             CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 4))
+                  AS BIGINT) % 600 AS delay_s
+      FROM events
+    ),
+    spine AS (
+      SELECT unnest([60, 120, 300]) AS watermark_s
+    )
+    SELECT event_type, CAST(watermark_s AS BIGINT) AS watermark_s,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN delay_s > watermark_s THEN 1 ELSE 0 END)
+                AS BIGINT) AS late_events,
+           CAST(CAST(SUM(CASE WHEN delay_s > watermark_s
+                         THEN 1 ELSE 0 END) AS BIGINT) * 1000000
+                // CAST(COUNT(*) AS BIGINT) AS BIGINT) AS late_ppm
+    FROM ev CROSS JOIN spine
+    GROUP BY event_type, watermark_s
+"""
+
+
+# --- q227: MaxSim late-interaction scoring --------------------------------------
+
+
+def q227_maxsim_late_interaction(spark, sf_dir):
+    """Late-interaction retrieval (ColBERT-style MaxSim): a multi-vector
+    query (4 token vectors, vec_id < 4) scores each multi-vector
+    document (groups of 8 corpus vectors, gid = vec_id div 8) as the
+    SUM over query tokens of the MAX cosine against any document
+    vector. Per-pair similarities are quantized to exact micro units
+    before summing so the score is engine-exact; top-5 documents.
+
+    Scale shape: the corpus streams ONCE against the broadcast 4-row
+    query side (benign bounded-scoring BNL), then two hash aggregates
+    (max per (gid, qtoken), sum per gid) and a top-k window — the same
+    shape a production late-interaction re-ranker runs over an
+    ANN-pruned candidate set."""
+    from adhesive_spark.operators.similarity import cosine
+
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    q = emb.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    corpus = emb.where(F.col("vec_id") >= 8).select(
+        F.expr("vec_id div 8").cast("long").alias("gid"), "embedding"
+    )
+    scored = corpus.crossJoin(F.broadcast(q)).select(
+        "gid",
+        "qid",
+        F.round(cosine(F.col("embedding"), F.col("qvec")) * 1_000_000, 0)
+        .cast("long")
+        .alias("sim_micro"),
+    )
+    best = scored.groupBy("gid", "qid").agg(
+        F.max("sim_micro").alias("best_micro")
+    )
+    totals = best.groupBy("gid").agg(
+        F.sum("best_micro").cast("long").alias("score_micro")
+    )
+    # global top-k via orderBy+limit (TakeOrderedAndProject — per-
+    # partition heaps, no single-partition window); only the 5
+    # survivors pass through the rank window
+    top = totals.orderBy(F.col("score_micro").desc(), F.col("gid")).limit(5)
+    w = Window.orderBy(F.col("score_micro").desc(), F.col("gid"))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "gid", "score_micro", "rank"
+    )
+
+
+SCALE_QUERIES["q227_maxsim_late_interaction"] = q227_maxsim_late_interaction
+
+SCALE_ORACLES["q227_maxsim_late_interaction"] = """
+    WITH q AS (
+      SELECT vec_id AS qid, embedding::DOUBLE[] AS qvec
+      FROM embeddings WHERE vec_id < 4
+    ),
+    c AS (
+      SELECT CAST(vec_id // 8 AS BIGINT) AS gid,
+             embedding::DOUBLE[] AS cvec
+      FROM embeddings WHERE vec_id >= 8
+    ),
+    scored AS (
+      SELECT c.gid, q.qid,
+             CAST(ROUND(list_cosine_similarity(c.cvec, q.qvec) * 1000000,
+                        0) AS BIGINT) AS sim_micro
+      FROM c CROSS JOIN q
+    ),
+    best AS (
+      SELECT gid, qid, MAX(sim_micro) AS best_micro
+      FROM scored GROUP BY gid, qid
+    ),
+    totals AS (
+      SELECT gid, CAST(SUM(best_micro) AS BIGINT) AS score_micro
+      FROM best GROUP BY gid
+    ),
+    ranked AS (
+      SELECT gid, score_micro,
+             ROW_NUMBER() OVER (
+               ORDER BY score_micro DESC, gid
+             ) AS rank
+      FROM totals
+    )
+    SELECT gid, score_micro, rank FROM ranked WHERE rank <= 5
 """

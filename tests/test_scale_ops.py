@@ -78,3 +78,92 @@ def test_dedup_mixture_never_exceeds_raw(spark):
     for r in rows:
         assert 0 <= r["eff_tokens_milli"] <= r["raw_tokens"] * 1000
         assert 0 <= r["dup_tax_ppm"] <= 1_000_000
+
+
+def test_tokenizer_apply_fertility_bounds(spark):
+    from adhesive_spark.queries.scale_queries import q224_tokenizer_apply
+
+    rows = q224_tokenizer_apply(spark, SF).collect()
+    assert rows
+    for r in rows:
+        # every word is >= 1 piece, and multi-char pieces mean fewer
+        # pieces than characters: 100 <= fertility < word length bound
+        assert r["total_pieces"] >= r["total_words"]
+        assert r["fertility_centi"] >= 100
+
+
+def test_tokenizer_greedy_matches_python_reference(spark):
+    """The HOF fold must equal a plain-Python greedy segmenter."""
+    from adhesive_spark.queries.scale_queries import _PIECES
+
+    def greedy(word):
+        pos, cnt = 0, 0
+        while pos < len(word):
+            best = 1
+            for p in _PIECES:
+                if len(p) > best and word[pos : pos + len(p)] == p:
+                    best = len(p)
+            pos += best
+            cnt += 1
+        return cnt
+
+    from pyspark.sql import functions as F
+
+    from adhesive_spark.operators.text import tokens
+    from adhesive_spark.sources.registry import load_table
+
+    from adhesive_spark.queries.scale_queries import n_pieces_col
+
+    docs = load_table(spark, SF, "documents")
+    seg = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("w"))
+        .where(F.col("w") != "")
+        .distinct()
+        .withColumn("n", n_pieces_col(F.col("w")))
+        .collect()
+    )
+    assert seg
+    for r in seg:
+        assert r["n"] == greedy(r["w"]), r["w"]
+
+
+def test_exact_median_matches_full_sort(spark):
+    from pyspark.sql import functions as F
+
+    from adhesive_spark.queries.scale_queries import (
+        q225_exact_median_twophase,
+    )
+    from adhesive_spark.sources.registry import load_table
+
+    got = {
+        r["l_returnflag"]: r["median_cents"]
+        for r in q225_exact_median_twophase(spark, SF).collect()
+    }
+    li = (
+        load_table(spark, SF, "lineitem")
+        .select(
+            "l_returnflag",
+            F.expr("CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)").alias(
+                "cents"
+            ),
+        )
+        .collect()
+    )
+    by_flag = {}
+    for r in li:
+        by_flag.setdefault(r["l_returnflag"], []).append(r["cents"])
+    for flag, vals in by_flag.items():
+        vals.sort()
+        k = (len(vals) + 1) // 2
+        assert got[flag] == vals[k - 1], flag
+
+
+def test_maxsim_rank_contract(spark):
+    from adhesive_spark.queries.scale_queries import (
+        q227_maxsim_late_interaction,
+    )
+
+    rows = q227_maxsim_late_interaction(spark, SF).collect()
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    scores = [r["score_micro"] for r in rows]
+    assert scores == sorted(scores, reverse=True)

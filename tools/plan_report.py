@@ -243,6 +243,10 @@ AUDITED = [
     "q221_lang_token_affinity",
     "q222_source_tv_drift",
     "q223_dedup_aware_mixture",
+    "q224_tokenizer_apply",
+    "q225_exact_median_twophase",
+    "q226_watermark_lateness_audit",
+    "q227_maxsim_late_interaction",
 ]
 
 

@@ -240,6 +240,23 @@ def main() -> None:
 
     run("cc_long_path_d31", _cc_long_path, reps * 10 * (chain_len - 1))
 
+    # Interval-union sweep under ADVERSARIAL window skew: replication
+    # multiplies events but the user-id space stays fixed (150 users at
+    # sf0.1), so every window partition grows N× — the worst case for
+    # the per-key linear sweep. Cost must stay one shuffle + linear
+    # per-partition; island count per user is replication-invariant
+    # (copies share timestamps), which the run asserts via output rows.
+    from adhesive_spark.operators.asof import interval_union
+
+    big_iv = replicate(events, "event_id", reps).select(
+        "user_id", F.unix_micros("ts").alias("s")
+    ).withColumn("e", F.col("s") + F.lit(300_000_000))
+    run(
+        "interval_union_skewed",
+        lambda: interval_union(big_iv, "user_id", "s", "e"),
+        n_events * reps,
+    )
+
     total = round(sum(o["sec"] for o in ops.values()), 2)
     print(
         json.dumps(
