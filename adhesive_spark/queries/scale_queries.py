@@ -941,3 +941,330 @@ SCALE_ORACLES["q227_maxsim_late_interaction"] = """
     )
     SELECT gid, score_micro, rank FROM ranked WHERE rank <= 5
 """
+
+
+# --- q228: label-propagation communities ----------------------------------------
+
+
+def q228_label_propagation(spark, sf_dir):
+    """Community detection by semi-synchronous label propagation over
+    the customer↔supplier trade graph (the q106 edge set): two
+    deterministic rounds where every node adopts its neighborhood's
+    MAJORITY label (ties → lexicographic min), labels initialized to
+    node ids. Where connected components (q46) answers "what touches
+    what", label propagation finds DENSE groups — the trading blocs a
+    mixture/cap policy treats as one unit. Output: community label and
+    member count for every multi-node community after round 2.
+
+    Scale shape: each round is one neighbor join + one majority
+    aggregate (count per (node, label) + argmax window) — all
+    hash-partitioned by node, no global structure; rounds are unrolled
+    so the oracle replays the identical trajectory."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    pairs = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias(
+                "a"
+            ),
+            F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias(
+                "b"
+            ),
+        )
+        .distinct()
+    )
+    edges = pairs.union(
+        pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    labels = edges.select(F.col("a").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+
+    def one_round(lbl):
+        votes = (
+            edges.join(
+                lbl.withColumnRenamed("node", "b2"),
+                F.col("b") == F.col("b2"),
+            )
+            .groupBy("a", "label")
+            .agg(F.count("*").alias("v"))
+        )
+        w = Window.partitionBy("a").orderBy(
+            F.col("v").desc(), F.col("label")
+        )
+        return (
+            votes.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select(F.col("a").alias("node"), "label")
+        )
+
+    final = one_round(one_round(labels))
+    return (
+        final.groupBy(F.col("label").alias("community"))
+        .agg(F.count("*").alias("n_members"))
+        .where(F.col("n_members") >= 2)
+    )
+
+
+SCALE_QUERIES["q228_label_propagation"] = q228_label_propagation
+
+_LP_EDGES = """
+    pairs AS (
+      SELECT DISTINCT 'c:' || CAST(o.o_custkey AS VARCHAR) AS a,
+                      's:' || CAST(l.l_suppkey AS VARCHAR) AS b
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ),
+    edges AS (
+      SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b FROM pairs
+    ),
+    l0 AS (
+      SELECT DISTINCT a AS node, a AS label FROM edges
+    )
+"""
+
+
+def _lp_round(prev: str, out: str) -> str:
+    return f"""
+    {out}_votes AS (
+      SELECT e.a, p.label, COUNT(*) AS v
+      FROM edges e JOIN {prev} p ON e.b = p.node
+      GROUP BY e.a, p.label
+    ),
+    {out} AS (
+      SELECT a AS node, label FROM (
+        SELECT a, label,
+               ROW_NUMBER() OVER (
+                 PARTITION BY a ORDER BY v DESC, label
+               ) AS rn
+        FROM {out}_votes
+      ) WHERE rn = 1
+    )
+"""
+
+
+SCALE_ORACLES["q228_label_propagation"] = f"""
+    WITH {_LP_EDGES},
+    {_lp_round("l0", "l1")},
+    {_lp_round("l1", "l2")}
+    SELECT label AS community, CAST(COUNT(*) AS BIGINT) AS n_members
+    FROM l2 GROUP BY label HAVING COUNT(*) >= 2
+"""
+
+
+# --- q229: exact nDCG@10 retrieval eval ------------------------------------------
+
+# 1e6 / log2(i+1), i = 1..10, rounded — the DCG position weights as
+# exact integer literals shared by both engines (floats never touch
+# the metric)
+_NDCG_W = [
+    1000000, 630930, 500000, 430677, 386853,
+    356207, 333333, 315465, 301030, 289065,
+]
+
+
+def q229_ndcg_eval(spark, sf_dir):
+    """Retrieval quality: EXACT nDCG@10 per query over the cosine
+    ranking, relevance = label match (the q152/q153 recall/MRR setup,
+    completed with the rank-discounted metric). The 1/log2(i+1)
+    discount weights are precomputed integer literals (micro units),
+    so DCG, ideal DCG, and their ratio are pure integer arithmetic —
+    an inherently-float IR metric made bit-reproducible.
+
+    Scale shape: one bounded broadcast scoring scan (10 query
+    vectors), a per-query top-10 window, one aggregate."""
+    from adhesive_spark.operators.similarity import knn_bruteforce
+
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding", "label"
+    )
+    corpus = emb.where(F.col("vec_id") >= 10)
+    top = knn_bruteforce(
+        corpus, queries.select("query_id", "embedding"), k=10
+    )
+    qlab = queries.select("query_id", F.col("label").alias("qlabel"))
+    clab = emb.select(F.col("vec_id"), F.col("label").alias("clabel"))
+    w_arr = F.array(*[F.lit(w) for w in _NDCG_W])
+    scored = (
+        top.join(F.broadcast(qlab), "query_id")
+        .join(clab, "vec_id")
+        .select(
+            "query_id",
+            "rank",
+            F.when(F.col("clabel") == F.col("qlabel"), 1)
+            .otherwise(0)
+            .alias("rel"),
+            F.element_at(w_arr, F.col("rank")).alias("w"),
+        )
+    )
+    per_q = scored.groupBy("query_id").agg(
+        F.sum("rel").cast("long").alias("n_rel"),
+        F.sum(F.col("rel") * F.col("w")).cast("long").alias("dcg_micro"),
+    )
+    # ideal DCG for binary relevance: the first n_rel weights
+    idcg = F.aggregate(
+        F.slice(w_arr, 1, F.col("n_rel").cast("int")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return per_q.withColumn("idcg_micro", idcg).select(
+        "query_id",
+        "n_rel",
+        F.when(
+            F.col("idcg_micro") > 0,
+            F.expr("dcg_micro * 1000 div idcg_micro"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("ndcg_milli"),
+    )
+
+
+SCALE_QUERIES["q229_ndcg_eval"] = q229_ndcg_eval
+
+_NDCG_W_SQL = "[" + ", ".join(str(w) for w in _NDCG_W) + "]"
+
+SCALE_ORACLES["q229_ndcg_eval"] = f"""
+    WITH top AS (
+      SELECT query_id, vec_id, rank FROM (
+        SELECT q.vec_id AS query_id, c.vec_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY round(list_cosine_similarity(
+                            c.embedding::DOUBLE[],
+                            q.embedding::DOUBLE[]), 6) DESC,
+                          c.vec_id) AS rank
+        FROM embeddings q JOIN embeddings c ON c.vec_id >= 10
+        WHERE q.vec_id < 10
+      ) WHERE rank <= 10
+    ),
+    ws AS (SELECT {_NDCG_W_SQL} AS w),
+    scored AS (
+      SELECT t.query_id, t.rank,
+             CASE WHEN cl.label = ql.label THEN 1 ELSE 0 END AS rel,
+             ws.w[t.rank] AS wgt
+      FROM top t
+      JOIN embeddings ql ON ql.vec_id = t.query_id
+      JOIN embeddings cl ON cl.vec_id = t.vec_id, ws
+    ),
+    per_q AS (
+      SELECT query_id,
+             CAST(SUM(rel) AS BIGINT) AS n_rel,
+             CAST(SUM(rel * wgt) AS BIGINT) AS dcg_micro
+      FROM scored GROUP BY query_id
+    ),
+    with_idcg AS (
+      SELECT query_id, n_rel, dcg_micro,
+             CAST(COALESCE(list_sum((SELECT w FROM ws)[1:CAST(n_rel AS INT)]), 0)
+                  AS BIGINT) AS idcg_micro
+      FROM per_q
+    )
+    SELECT query_id, n_rel,
+           CAST(CASE WHEN idcg_micro > 0
+                     THEN dcg_micro * 1000 // idcg_micro
+                     ELSE 0 END AS BIGINT) AS ndcg_milli
+    FROM with_idcg
+"""
+
+
+# --- q230: masked-span (denoising) objective plan ---------------------------------
+
+
+def q230_masked_span_plan(spark, sf_dir):
+    """Span-corruption planning for a T5-style denoising objective:
+    tokens are grouped into runs of 3, and a run is masked iff a
+    deterministic hash of (doc_id, run) lands below 3/20 — i.e. 15 %
+    expected corruption with mean span 3, reproducible on any cluster
+    (and in the oracle). Output per language: token count, masked
+    token count, span count, and realized corruption ppm — the sanity
+    table checked before an expensive pretraining run.
+
+    Scale shape: one posexplode + one aggregate; the mask decision is
+    pure column hashing, no RNG state, no UDFs."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang",
+        "doc_id",
+        F.posexplode(tokens(F.col("text"))).alias("pos", "tok"),
+    ).where(F.col("tok") != "")
+    marked = toks.select(
+        "lang",
+        "doc_id",
+        F.expr("pos div 3").alias("run"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":",
+                            F.col("doc_id"),
+                            F.expr("pos div 3"),
+                        )
+                    ),
+                    1,
+                    4,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 20
+            < 3
+        ).alias("masked"),
+    )
+    return marked.groupBy("lang").agg(
+        F.count("*").alias("total_tokens"),
+        F.sum(F.when(F.col("masked"), 1).otherwise(0))
+        .cast("long")
+        .alias("masked_tokens"),
+        F.countDistinct(
+            F.when(F.col("masked"), F.concat_ws("#", "doc_id", "run"))
+        ).alias("n_spans"),
+    ).select(
+        "lang",
+        "total_tokens",
+        "masked_tokens",
+        "n_spans",
+        F.expr("masked_tokens * 1000000 div total_tokens")
+        .cast("long")
+        .alias("corruption_ppm"),
+    )
+
+
+SCALE_QUERIES["q230_masked_span_plan"] = q230_masked_span_plan
+
+SCALE_ORACLES["q230_masked_span_plan"] = f"""
+    WITH toks AS (
+      SELECT lang, doc_id, t.tok, t.pos - 1 AS pos
+      FROM documents,
+           LATERAL (
+             SELECT unnest({_TOKS}) AS tok,
+                    generate_subscripts({_TOKS}, 1) AS pos
+           ) t
+    ),
+    t AS (SELECT lang, doc_id, pos FROM toks WHERE tok <> ''),
+    marked AS (
+      SELECT lang, doc_id, pos // 3 AS run,
+             (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
+                    || CAST(pos // 3 AS VARCHAR)), 1, 4)) AS BIGINT)
+              % 20) < 3 AS masked
+      FROM t
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS total_tokens,
+           CAST(SUM(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT)
+             AS masked_tokens,
+           CAST(COUNT(DISTINCT CASE WHEN masked
+                 THEN CAST(doc_id AS VARCHAR) || '#'
+                      || CAST(run AS VARCHAR) END) AS BIGINT) AS n_spans,
+           CAST(CAST(SUM(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT)
+                * 1000000 // CAST(COUNT(*) AS BIGINT) AS BIGINT)
+             AS corruption_ppm
+    FROM marked GROUP BY lang
+"""

@@ -167,3 +167,46 @@ def test_maxsim_rank_contract(spark):
     assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
     scores = [r["score_micro"] for r in rows]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_label_propagation_communities(spark):
+    from adhesive_spark.queries.scale_queries import q228_label_propagation
+
+    rows = q228_label_propagation(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r["n_members"] >= 2
+        # labels are node ids: the propagation can only assign labels
+        # that exist as nodes
+        assert r["community"].startswith(("c:", "s:"))
+
+
+def test_ndcg_in_unit_range(spark):
+    from adhesive_spark.queries.scale_queries import q229_ndcg_eval
+
+    rows = q229_ndcg_eval(spark, SF).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert 0 <= r["ndcg_milli"] <= 1000
+        # a query with zero relevant hits must score exactly 0
+        if r["n_rel"] == 0:
+            assert r["ndcg_milli"] == 0
+        # perfect retrieval (all top-n_rel are relevant at the head)
+        # scores 1000; DCG can never exceed IDCG
+        assert r["n_rel"] <= 10
+
+
+def test_masked_span_rate_near_target(spark):
+    from adhesive_spark.queries.scale_queries import q230_masked_span_plan
+
+    rows = q230_masked_span_plan(spark, SF).collect()
+    assert rows
+    total = sum(r["total_tokens"] for r in rows)
+    masked = sum(r["masked_tokens"] for r in rows)
+    # the hash gate targets 15% corruption; allow generous sampling
+    # noise at sf0.001 corpus size
+    assert 0.08 <= masked / total <= 0.22
+    for r in rows:
+        assert r["n_spans"] <= r["masked_tokens"]
+        # mean span length is 3 ⇒ spans ≥ masked/3
+        assert r["n_spans"] * 3 >= r["masked_tokens"]

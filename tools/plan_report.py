@@ -247,6 +247,9 @@ AUDITED = [
     "q225_exact_median_twophase",
     "q226_watermark_lateness_audit",
     "q227_maxsim_late_interaction",
+    "q228_label_propagation",
+    "q229_ndcg_eval",
+    "q230_masked_span_plan",
 ]
 
 
