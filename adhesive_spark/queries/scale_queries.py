@@ -1268,3 +1268,215 @@ SCALE_ORACLES["q230_masked_span_plan"] = f"""
              AS corruption_ppm
     FROM marked GROUP BY lang
 """
+
+
+# --- q231: exact multi-quantile ladder -------------------------------------------
+
+# (name, numerator, denominator) — k-th order statistic k = ceil(q·n)
+_QUANTS = [("p50", 50, 100), ("p90", 90, 100), ("p99", 99, 100)]
+
+
+def q231_exact_quantile_ladder(spark, sf_dir):
+    """EXACT p50/p90/p99 latency ladder per event type — the q225
+    two-phase histogram algorithm generalized to a quantile SPINE: one
+    binned histogram pass locates each quantile's bucket, a single
+    per-bucket rank pass reads all three order statistics. k = ⌈q·n⌉
+    in pure integer math; values quantized to milli units per row.
+
+    At 100 TB this is the exact-SLO query: the data is sorted only
+    inside the (few) buckets that contain a requested quantile —
+    everything else stays a hash aggregate. approx_percentile trades
+    this exactness for one pass; contracts (p99 SLOs) often can't."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("CAST(ROUND(value * 1000, 0) AS BIGINT)").alias("v_milli"),
+    )
+    binned = ev.withColumn("bin", F.expr("v_milli div 1000"))
+    hist = binned.groupBy("event_type", "bin").agg(
+        F.count("*").alias("c")
+    )
+    w = Window.partitionBy("event_type").orderBy("bin")
+    cum = hist.withColumn("cum", F.sum("c").over(w)).withColumn(
+        "before", F.col("cum") - F.col("c")
+    )
+    totals = hist.groupBy("event_type").agg(
+        F.sum("c").cast("long").alias("n_rows")
+    )
+    spine = spark.createDataFrame(
+        [(name, num, den) for name, num, den in _QUANTS],
+        "quantile string, num long, den long",
+    )
+    targets = (
+        cum.join(totals, "event_type")
+        .crossJoin(F.broadcast(spine))
+        .withColumn("k", F.expr("(n_rows * num + den - 1) div den"))
+        .where((F.col("cum") >= F.col("k")) & (F.col("before") < F.col("k")))
+        .select(
+            "event_type",
+            "bin",
+            "quantile",
+            "n_rows",
+            (F.col("k") - F.col("before")).alias("off"),
+        )
+    )
+    w2 = Window.partitionBy("event_type", "bin").orderBy("v_milli")
+    ranked = binned.withColumn("rn", F.row_number().over(w2))
+    return targets.join(
+        ranked,
+        ["event_type", "bin"],
+    ).where(F.col("rn") == F.col("off")).select(
+        "event_type",
+        "quantile",
+        "n_rows",
+        F.col("v_milli").alias("value_milli"),
+    )
+
+
+SCALE_QUERIES["q231_exact_quantile_ladder"] = q231_exact_quantile_ladder
+
+_QUANTS_SQL = ", ".join(
+    f"('{name}', {num}, {den})" for name, num, den in _QUANTS
+)
+
+SCALE_ORACLES["q231_exact_quantile_ladder"] = f"""
+    WITH ev AS (
+      SELECT event_type,
+             CAST(ROUND(value * 1000, 0) AS BIGINT) AS v_milli
+      FROM events
+    ),
+    b AS (SELECT event_type, v_milli, v_milli // 1000 AS bin FROM ev),
+    hist AS (
+      SELECT event_type, bin, COUNT(*) AS c
+      FROM b GROUP BY event_type, bin
+    ),
+    cum AS (
+      SELECT event_type, bin, c,
+             SUM(c) OVER (PARTITION BY event_type ORDER BY bin) AS cum
+      FROM hist
+    ),
+    tot AS (
+      SELECT event_type, CAST(SUM(c) AS BIGINT) AS n_rows
+      FROM hist GROUP BY event_type
+    ),
+    spine(quantile, num, den) AS (VALUES {_QUANTS_SQL}),
+    targets AS (
+      SELECT c.event_type, c.bin, s.quantile, t.n_rows,
+             (t.n_rows * s.num + s.den - 1) // s.den
+               - (c.cum - c.c) AS off
+      FROM cum c JOIN tot t USING (event_type) CROSS JOIN spine s
+      WHERE c.cum >= (t.n_rows * s.num + s.den - 1) // s.den
+        AND c.cum - c.c < (t.n_rows * s.num + s.den - 1) // s.den
+    ),
+    ranked AS (
+      SELECT event_type, bin, v_milli,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type, bin ORDER BY v_milli
+             ) AS rn
+      FROM b
+    )
+    SELECT t.event_type, t.quantile, t.n_rows,
+           r.v_milli AS value_milli
+    FROM targets t
+    JOIN ranked r
+      ON r.event_type = t.event_type AND r.bin = t.bin AND r.rn = t.off
+"""
+
+
+# --- q232: matryoshka truncation rank-distortion audit ----------------------------
+
+
+def q232_matryoshka_rank_audit(spark, sf_dir):
+    """Embedding-truncation QA (matryoshka-style): how much does
+    cutting vectors from 64 to 16 dimensions distort the retrieval
+    ranking? For each query's full-precision top-10, re-rank the SAME
+    candidates by 16-dim cosine and report Spearman's footrule (sum of
+    |rank shift|, an exact integer in [0, 50]) plus how many of the
+    full top-3 survive in the truncated top-3. The table that decides
+    whether a cheap low-dim prefilter is safe.
+
+    Scale shape: one bounded broadcast scoring scan computes BOTH
+    similarities in the same pass; ranking windows are per query over
+    10 rows."""
+    from adhesive_spark.operators.similarity import cosine
+
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    q = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    corpus = emb.where(F.col("vec_id") >= 10).select("vec_id", "embedding")
+    scored = corpus.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "vec_id",
+        F.round(cosine(F.col("embedding"), F.col("qvec")), 6).alias(
+            "sim_full"
+        ),
+        F.round(
+            cosine(
+                F.slice(F.col("embedding"), 1, 16),
+                F.slice(F.col("qvec"), 1, 16),
+            ),
+            6,
+        ).alias("sim_trunc"),
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.col("sim_full").desc(), F.col("vec_id")
+    )
+    top = scored.withColumn("rank_full", F.row_number().over(wf)).where(
+        F.col("rank_full") <= 10
+    )
+    wt = Window.partitionBy("query_id").orderBy(
+        F.col("sim_trunc").desc(), F.col("vec_id")
+    )
+    reranked = top.withColumn("rank_trunc", F.row_number().over(wt))
+    return reranked.groupBy("query_id").agg(
+        F.sum(F.abs(F.col("rank_full") - F.col("rank_trunc")))
+        .cast("long")
+        .alias("footrule"),
+        F.sum(
+            F.when((F.col("rank_full") <= 3) & (F.col("rank_trunc") <= 3), 1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("top3_kept"),
+    )
+
+
+SCALE_QUERIES["q232_matryoshka_rank_audit"] = q232_matryoshka_rank_audit
+
+SCALE_ORACLES["q232_matryoshka_rank_audit"] = """
+    WITH scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id,
+             round(list_cosine_similarity(c.embedding::DOUBLE[],
+                                          q.embedding::DOUBLE[]), 6)
+               AS sim_full,
+             round(list_cosine_similarity((c.embedding::DOUBLE[])[1:16],
+                                          (q.embedding::DOUBLE[])[1:16]),
+                   6) AS sim_trunc
+      FROM embeddings q JOIN embeddings c ON c.vec_id >= 10
+      WHERE q.vec_id < 10
+    ),
+    top AS (
+      SELECT query_id, vec_id, sim_trunc,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id
+               ORDER BY sim_full DESC, vec_id
+             ) AS rank_full
+      FROM scored
+      QUALIFY rank_full <= 10
+    ),
+    reranked AS (
+      SELECT query_id, rank_full,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id
+               ORDER BY sim_trunc DESC, vec_id
+             ) AS rank_trunc
+      FROM top
+    )
+    SELECT query_id,
+           CAST(SUM(ABS(rank_full - rank_trunc)) AS BIGINT) AS footrule,
+           CAST(SUM(CASE WHEN rank_full <= 3 AND rank_trunc <= 3
+                    THEN 1 ELSE 0 END) AS BIGINT) AS top3_kept
+    FROM reranked GROUP BY query_id
+"""

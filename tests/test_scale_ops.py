@@ -210,3 +210,49 @@ def test_masked_span_rate_near_target(spark):
         assert r["n_spans"] <= r["masked_tokens"]
         # mean span length is 3 ⇒ spans ≥ masked/3
         assert r["n_spans"] * 3 >= r["masked_tokens"]
+
+
+def test_quantile_ladder_matches_sorted(spark):
+    from pyspark.sql import functions as F
+
+    from adhesive_spark.queries.scale_queries import (
+        q231_exact_quantile_ladder,
+    )
+    from adhesive_spark.sources.registry import load_table
+
+    got = {
+        (r["event_type"], r["quantile"]): r["value_milli"]
+        for r in q231_exact_quantile_ladder(spark, SF).collect()
+    }
+    ev = (
+        load_table(spark, SF, "events")
+        .select(
+            "event_type",
+            F.expr("CAST(ROUND(value * 1000, 0) AS BIGINT)").alias("v"),
+        )
+        .collect()
+    )
+    by_type = {}
+    for r in ev:
+        by_type.setdefault(r["event_type"], []).append(r["v"])
+    import math
+
+    for et, vals in by_type.items():
+        vals.sort()
+        n = len(vals)
+        for name, num, den in [("p50", 50, 100), ("p90", 90, 100), ("p99", 99, 100)]:
+            k = (n * num + den - 1) // den
+            assert got[(et, name)] == vals[k - 1], (et, name)
+
+
+def test_matryoshka_footrule_bounds(spark):
+    from adhesive_spark.queries.scale_queries import (
+        q232_matryoshka_rank_audit,
+    )
+
+    rows = q232_matryoshka_rank_audit(spark, SF).collect()
+    assert len(rows) == 10
+    for r in rows:
+        # footrule over a 10-permutation is bounded by 50
+        assert 0 <= r["footrule"] <= 50
+        assert 0 <= r["top3_kept"] <= 3

@@ -250,6 +250,8 @@ AUDITED = [
     "q228_label_propagation",
     "q229_ndcg_eval",
     "q230_masked_span_plan",
+    "q231_exact_quantile_ladder",
+    "q232_matryoshka_rank_audit",
 ]
 
 
