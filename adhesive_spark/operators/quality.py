@@ -291,3 +291,68 @@ def table_diff(
             ).otherwise(F.array().cast("array<string>")).alias("changed_cols"),
         )
     )
+
+
+def exact_quantile_ladder(
+    df,
+    key_col: str,
+    val_col: str,
+    quants: list[tuple[str, int, int]],
+):
+    """EXACT order statistics per key without a global sort — the
+    two-phase histogram algorithm: bin values (1000-unit buckets),
+    walk the per-key cumulative histogram to the bucket holding each
+    requested k = ceil(num/den · n), then rank ONLY inside candidate
+    buckets. ``quants`` are (name, numerator, denominator) integer
+    rationals; ``val_col`` must already be an integer column (quantize
+    floats upstream). Returns (key, quantile, n_rows, value).
+
+    At 100 TB the second phase touches a ~1/buckets fraction of the
+    data; everything else is one hash aggregate. The spine is a
+    broadcast literal."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    spark = df.sparkSession
+    binned = df.select(
+        key_col, F.col(val_col).alias("__v")
+    ).withColumn("__bin", F.expr("__v div 1000"))
+    hist = binned.groupBy(key_col, "__bin").agg(F.count("*").alias("__c"))
+    w = Window.partitionBy(key_col).orderBy("__bin")
+    cum = hist.withColumn("__cum", F.sum("__c").over(w)).withColumn(
+        "__before", F.col("__cum") - F.col("__c")
+    )
+    totals = hist.groupBy(key_col).agg(
+        F.sum("__c").cast("long").alias("n_rows")
+    )
+    spine = spark.createDataFrame(
+        list(quants), "quantile string, num long, den long"
+    )
+    targets = (
+        cum.join(totals, key_col)
+        .crossJoin(F.broadcast(spine))
+        .withColumn("__k", F.expr("(n_rows * num + den - 1) div den"))
+        .where(
+            (F.col("__cum") >= F.col("__k"))
+            & (F.col("__before") < F.col("__k"))
+        )
+        .select(
+            key_col,
+            "__bin",
+            "quantile",
+            "n_rows",
+            (F.col("__k") - F.col("__before")).alias("__off"),
+        )
+    )
+    w2 = Window.partitionBy(key_col, "__bin").orderBy("__v")
+    ranked = binned.withColumn("__rn", F.row_number().over(w2))
+    return (
+        targets.join(ranked, [key_col, "__bin"])
+        .where(F.col("__rn") == F.col("__off"))
+        .select(
+            key_col,
+            "quantile",
+            "n_rows",
+            F.col("__v").alias("value"),
+        )
+    )

@@ -1291,44 +1291,13 @@ def q231_exact_quantile_ladder(spark, sf_dir):
         "event_type",
         F.expr("CAST(ROUND(value * 1000, 0) AS BIGINT)").alias("v_milli"),
     )
-    binned = ev.withColumn("bin", F.expr("v_milli div 1000"))
-    hist = binned.groupBy("event_type", "bin").agg(
-        F.count("*").alias("c")
-    )
-    w = Window.partitionBy("event_type").orderBy("bin")
-    cum = hist.withColumn("cum", F.sum("c").over(w)).withColumn(
-        "before", F.col("cum") - F.col("c")
-    )
-    totals = hist.groupBy("event_type").agg(
-        F.sum("c").cast("long").alias("n_rows")
-    )
-    spine = spark.createDataFrame(
-        [(name, num, den) for name, num, den in _QUANTS],
-        "quantile string, num long, den long",
-    )
-    targets = (
-        cum.join(totals, "event_type")
-        .crossJoin(F.broadcast(spine))
-        .withColumn("k", F.expr("(n_rows * num + den - 1) div den"))
-        .where((F.col("cum") >= F.col("k")) & (F.col("before") < F.col("k")))
-        .select(
-            "event_type",
-            "bin",
-            "quantile",
-            "n_rows",
-            (F.col("k") - F.col("before")).alias("off"),
-        )
-    )
-    w2 = Window.partitionBy("event_type", "bin").orderBy("v_milli")
-    ranked = binned.withColumn("rn", F.row_number().over(w2))
-    return targets.join(
-        ranked,
-        ["event_type", "bin"],
-    ).where(F.col("rn") == F.col("off")).select(
-        "event_type",
-        "quantile",
-        "n_rows",
-        F.col("v_milli").alias("value_milli"),
+    from adhesive_spark.operators.quality import exact_quantile_ladder
+
+    return exact_quantile_ladder(
+        ev, "event_type", "v_milli", _QUANTS
+    ).select(
+        "event_type", "quantile", "n_rows",
+        F.col("value").alias("value_milli"),
     )
 
 
@@ -1480,3 +1449,103 @@ SCALE_ORACLES["q232_matryoshka_rank_audit"] = """
                     THEN 1 ELSE 0 END) AS BIGINT) AS top3_kept
     FROM reranked GROUP BY query_id
 """
+
+
+# --- q233: token-budget fill plan ---------------------------------------------
+
+
+def q233_token_budget_fill(spark, sf_dir):
+    """Quality-greedy token-budget fill: given a budget of 40 % of the
+    corpus's tokens, take whole sources in descending mean-quality
+    order until the budget runs out, taking a partial slice of the
+    marginal source. Output per source: mean quality (1e-4 units),
+    its token mass, tokens already committed before it, tokens taken
+    from it, and its fill rate in ppm — the selection plan a curated
+    pretraining mix starts from (q82/q126 then set per-source RATES;
+    this decides WHICH sources are in).
+
+    Scale shape: the per-doc pass is one hash aggregate to source
+    grain; the greedy sweep's window runs on the aggregated source
+    table (tens of rows at any corpus size), not on the data."""
+    from adhesive_spark.operators.text import quality_score, scaled_long
+
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "source",
+        F.size(tokens(F.col("text"))).alias("n_tok"),
+        scaled_long(quality_score(F.col("text")), 4).alias("q_s"),
+    )
+    per_src = per_doc.groupBy("source").agg(
+        F.sum("n_tok").cast("long").alias("tokens"),
+        F.expr("sum(q_s) div count(*)").cast("long").alias("avg_q"),
+    )
+    totals = per_src.agg(F.sum("tokens").cast("long").alias("total_tok"))
+    w = Window.orderBy(F.col("avg_q").desc(), F.col("source")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    planned = (
+        per_src.crossJoin(F.broadcast(totals))
+        .withColumn("budget", F.expr("total_tok * 40 div 100"))
+        .withColumn(
+            "cum_before",
+            F.coalesce(F.sum("tokens").over(w), F.lit(0)).cast("long"),
+        )
+    )
+    return planned.select(
+        "source",
+        "avg_q",
+        "tokens",
+        "cum_before",
+        F.greatest(
+            F.lit(0),
+            F.least(F.col("tokens"), F.col("budget") - F.col("cum_before")),
+        )
+        .cast("long")
+        .alias("take_tokens"),
+    ).withColumn(
+        "fill_ppm",
+        F.expr("take_tokens * 1000000 div tokens").cast("long"),
+    )
+
+
+SCALE_QUERIES["q233_token_budget_fill"] = q233_token_budget_fill
+
+
+def _q233_oracle() -> str:
+    from adhesive_spark.queries.advanced_queries import _quality_sql
+
+    return f"""
+    WITH d AS (
+      SELECT source, {_TOKS} AS toks, text FROM documents
+    ),
+    per_doc AS (
+      SELECT source, len(toks) AS n_tok,
+             CAST(ROUND(({_quality_sql()}) * 10000, 0) AS BIGINT) AS q_s
+      FROM d
+    ),
+    per_src AS (
+      SELECT source,
+             CAST(SUM(n_tok) AS BIGINT) AS tokens,
+             CAST(CAST(SUM(q_s) AS BIGINT) // COUNT(*) AS BIGINT) AS avg_q
+      FROM per_doc GROUP BY source
+    ),
+    tot AS (SELECT CAST(SUM(tokens) AS BIGINT) AS total_tok FROM per_src),
+    planned AS (
+      SELECT p.source, p.avg_q, p.tokens,
+             t.total_tok * 40 // 100 AS budget,
+             CAST(COALESCE(SUM(p.tokens) OVER (
+               ORDER BY p.avg_q DESC, p.source
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS BIGINT) AS cum_before
+      FROM per_src p, tot t
+    )
+    SELECT source, avg_q, tokens, cum_before,
+           CAST(GREATEST(0, LEAST(tokens, budget - cum_before)) AS BIGINT)
+             AS take_tokens,
+           CAST(CAST(GREATEST(0, LEAST(tokens, budget - cum_before))
+                AS BIGINT) * 1000000 // tokens AS BIGINT) AS fill_ppm
+    FROM planned
+"""
+
+
+SCALE_ORACLES["q233_token_budget_fill"] = _q233_oracle()

@@ -256,3 +256,27 @@ def test_matryoshka_footrule_bounds(spark):
         # footrule over a 10-permutation is bounded by 50
         assert 0 <= r["footrule"] <= 50
         assert 0 <= r["top3_kept"] <= 3
+
+
+def test_budget_fill_greedy_contract(spark):
+    from adhesive_spark.queries.scale_queries import q233_token_budget_fill
+
+    rows = sorted(
+        q233_token_budget_fill(spark, SF).collect(),
+        key=lambda r: (-r["avg_q"], r["source"]),
+    )
+    total = sum(r["tokens"] for r in rows)
+    budget = total * 40 // 100
+    taken = sum(r["take_tokens"] for r in rows)
+    assert taken == budget  # greedy fill spends the budget exactly
+    # prefix property: all full takes precede the partial, zeros after
+    states = [
+        "full" if r["take_tokens"] == r["tokens"]
+        else ("zero" if r["take_tokens"] == 0 else "partial")
+        for r in rows
+    ]
+    import re
+
+    assert re.fullmatch(r"(full)*(partial)?(zero)*", "".join(
+        {"full": "full", "partial": "partial", "zero": "zero"}[s] for s in states
+    ))

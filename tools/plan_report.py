@@ -252,6 +252,7 @@ AUDITED = [
     "q230_masked_span_plan",
     "q231_exact_quantile_ladder",
     "q232_matryoshka_rank_audit",
+    "q233_token_budget_fill",
 ]
 
 
