@@ -344,8 +344,13 @@ def exact_quantile_ladder(
             (F.col("__k") - F.col("__before")).alias("__off"),
         )
     )
+    # phase 2 ranks ONLY the candidate buckets: semi-join the raw rows
+    # to the (tiny, broadcast) target-bucket list BEFORE the window, so
+    # the sort touches a ~|quants|/|buckets| fraction of the data
+    cand = targets.select(key_col, "__bin").distinct()
+    in_bin = binned.join(F.broadcast(cand), [key_col, "__bin"])
     w2 = Window.partitionBy(key_col, "__bin").orderBy("__v")
-    ranked = binned.withColumn("__rn", F.row_number().over(w2))
+    ranked = in_bin.withColumn("__rn", F.row_number().over(w2))
     return (
         targets.join(ranked, [key_col, "__bin"])
         .where(F.col("__rn") == F.col("__off"))

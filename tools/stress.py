@@ -257,6 +257,28 @@ def main() -> None:
         n_events * reps,
     )
 
+    # Exact p50/p90/p99 at scale: the two-phase histogram must keep its
+    # cost in the HISTOGRAM pass (linear hash agg); only the buckets
+    # holding a requested quantile get ranked. Replication multiplies
+    # every bucket count N× while bucket COUNT stays fixed — the rank
+    # phase's input grows with the target buckets only.
+    from adhesive_spark.operators.quality import exact_quantile_ladder
+
+    big_q = replicate(events, "event_id", reps).select(
+        "event_type",
+        F.expr("CAST(ROUND(value * 1000, 0) AS BIGINT)").alias("v_milli"),
+    )
+    run(
+        "exact_quantile_ladder",
+        lambda: exact_quantile_ladder(
+            big_q,
+            "event_type",
+            "v_milli",
+            [("p50", 50, 100), ("p90", 90, 100), ("p99", 99, 100)],
+        ),
+        n_events * reps,
+    )
+
     total = round(sum(o["sec"] for o in ops.values()), 2)
     print(
         json.dumps(
