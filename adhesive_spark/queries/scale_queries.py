@@ -1549,3 +1549,168 @@ def _q233_oracle() -> str:
 
 
 SCALE_ORACLES["q233_token_budget_fill"] = _q233_oracle()
+
+
+# --- q234: time-windowed dedup audit ---------------------------------------------
+
+
+def q234_windowed_dedup_audit(spark, sf_dir):
+    """Resnapshot-safe dedup accounting: fingerprints are deduplicated
+    only WITHIN a calendar day (epoch-day bucket), the policy that
+    keeps periodic re-crawls/re-snapshots from deleting legitimate
+    recurring records the way global dedup (q30) would. Output per
+    day: event volume, surviving distinct fingerprints, and the
+    duplicate rate in ppm — the daily ingest-health panel.
+
+    Scale shape: one hash aggregate on (day, fp); adding the day to
+    the dedup key keeps state bounded by the window instead of the
+    corpus' lifetime — the batch analog of
+    ``dropDuplicatesWithinWatermark``."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.expr("unix_micros(ts) div 86400000000").alias("day_num"),
+        F.md5(
+            F.concat_ws(
+                ":",
+                F.col("user_id"),
+                F.col("event_type"),
+                F.expr("CAST(ROUND(value * 1000, 0) AS BIGINT)"),
+            )
+        ).alias("fp"),
+    )
+    return (
+        ev.groupBy("day_num")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("fp").alias("n_kept"),
+        )
+        .select(
+            "day_num",
+            "n_events",
+            "n_kept",
+            F.expr("(n_events - n_kept) * 1000000 div n_events")
+            .cast("long")
+            .alias("dup_ppm"),
+        )
+    )
+
+
+SCALE_QUERIES["q234_windowed_dedup_audit"] = q234_windowed_dedup_audit
+
+SCALE_ORACLES["q234_windowed_dedup_audit"] = """
+    WITH ev AS (
+      SELECT epoch_us(ts) // 86400000000 AS day_num,
+             md5(CAST(user_id AS VARCHAR) || ':' || event_type || ':'
+                 || CAST(CAST(ROUND(value * 1000, 0) AS BIGINT)
+                         AS VARCHAR)) AS fp
+      FROM events
+    )
+    SELECT CAST(day_num AS BIGINT) AS day_num,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_kept,
+           CAST((COUNT(*) - COUNT(DISTINCT fp)) * 1000000 // COUNT(*)
+                AS BIGINT) AS dup_ppm
+    FROM ev GROUP BY day_num
+"""
+
+
+# --- q235: conversion-latency quantiles --------------------------------------------
+
+
+def q235_conversion_latency(spark, sf_dir):
+    """Click→purchase conversion latency, summarized as EXACT
+    p50/p90/p99: each user's first click and first purchase AFTER that
+    click form one conversion; latencies (whole seconds) feed the
+    two-phase quantile ladder. The composition a funnel dashboard
+    needs once 'how many convert' (q105) is answered and 'how fast'
+    becomes the question.
+
+    Scale shape: two per-user min-aggregates and a ladder over the
+    (tiny) conversion set — no window over raw events, no self-join."""
+    from adhesive_spark.operators.quality import exact_quantile_ladder
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    first_click = ev.where(F.col("event_type") == "click").groupBy(
+        "user_id"
+    ).agg(F.min("us").alias("click_us"))
+    purchases = ev.where(F.col("event_type") == "purchase")
+    conv = (
+        purchases.join(first_click, "user_id")
+        .where(F.col("us") >= F.col("click_us"))
+        .groupBy("user_id")
+        .agg(
+            F.min(F.col("us") - F.col("click_us")).alias("latency_us")
+        )
+        .select(
+            F.lit("all").alias("cohort"),
+            F.expr("latency_us div 1000000").cast("long").alias(
+                "latency_s"
+            ),
+        )
+    )
+    return exact_quantile_ladder(
+        conv, "cohort", "latency_s", _QUANTS
+    ).select(
+        "cohort",
+        "quantile",
+        F.col("n_rows").alias("n_conversions"),
+        F.col("value").alias("latency_s"),
+    )
+
+
+SCALE_QUERIES["q235_conversion_latency"] = q235_conversion_latency
+
+SCALE_ORACLES["q235_conversion_latency"] = f"""
+    WITH ev AS (
+      SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+    ),
+    first_click AS (
+      SELECT user_id, MIN(us) AS click_us
+      FROM ev WHERE event_type = 'click' GROUP BY user_id
+    ),
+    conv AS (
+      SELECT e.user_id,
+             CAST(MIN(e.us - f.click_us) // 1000000 AS BIGINT)
+               AS latency_s
+      FROM ev e JOIN first_click f USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.us >= f.click_us
+      GROUP BY e.user_id
+    ),
+    b AS (SELECT 'all' AS cohort, latency_s,
+                 latency_s // 1000 AS bin FROM conv),
+    hist AS (
+      SELECT cohort, bin, COUNT(*) AS c FROM b GROUP BY cohort, bin
+    ),
+    cum AS (
+      SELECT cohort, bin, c,
+             SUM(c) OVER (PARTITION BY cohort ORDER BY bin) AS cum
+      FROM hist
+    ),
+    tot AS (
+      SELECT cohort, CAST(SUM(c) AS BIGINT) AS n_rows
+      FROM hist GROUP BY cohort
+    ),
+    spine(quantile, num, den) AS (VALUES {_QUANTS_SQL}),
+    targets AS (
+      SELECT c.cohort, c.bin, s.quantile, t.n_rows,
+             (t.n_rows * s.num + s.den - 1) // s.den
+               - (c.cum - c.c) AS off
+      FROM cum c JOIN tot t USING (cohort) CROSS JOIN spine s
+      WHERE c.cum >= (t.n_rows * s.num + s.den - 1) // s.den
+        AND c.cum - c.c < (t.n_rows * s.num + s.den - 1) // s.den
+    ),
+    ranked AS (
+      SELECT cohort, bin, latency_s,
+             ROW_NUMBER() OVER (
+               PARTITION BY cohort, bin ORDER BY latency_s
+             ) AS rn
+      FROM b
+    )
+    SELECT t.cohort, t.quantile,
+           t.n_rows AS n_conversions,
+           r.latency_s
+    FROM targets t
+    JOIN ranked r
+      ON r.cohort = t.cohort AND r.bin = t.bin AND r.rn = t.off
+"""

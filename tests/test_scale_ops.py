@@ -280,3 +280,30 @@ def test_budget_fill_greedy_contract(spark):
     assert re.fullmatch(r"(full)*(partial)?(zero)*", "".join(
         {"full": "full", "partial": "partial", "zero": "zero"}[s] for s in states
     ))
+
+
+def test_windowed_dedup_bounds(spark):
+    from adhesive_spark.queries.scale_queries import (
+        q234_windowed_dedup_audit,
+    )
+
+    rows = q234_windowed_dedup_audit(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["n_kept"] <= r["n_events"]
+        assert 0 <= r["dup_ppm"] < 1_000_000
+
+
+def test_conversion_latency_monotone_quantiles(spark):
+    from adhesive_spark.queries.scale_queries import q235_conversion_latency
+
+    rows = {
+        r["quantile"]: r for r in q235_conversion_latency(spark, SF).collect()
+    }
+    assert set(rows) == {"p50", "p90", "p99"}
+    assert (
+        rows["p50"]["latency_s"]
+        <= rows["p90"]["latency_s"]
+        <= rows["p99"]["latency_s"]
+    )
+    assert rows["p50"]["n_conversions"] >= 1

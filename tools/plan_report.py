@@ -253,6 +253,8 @@ AUDITED = [
     "q231_exact_quantile_ladder",
     "q232_matryoshka_rank_audit",
     "q233_token_budget_fill",
+    "q234_windowed_dedup_audit",
+    "q235_conversion_latency",
 ]
 
 
