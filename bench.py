@@ -89,9 +89,12 @@ HEADLINE = [
     "q188_rrf_fusion",
     "q190_bpe_merge_step",
     # round-6 additions: the Z-order file-skipping audit (data-layout
-    # planning) and merged-interval activity coverage (window sweep)
+    # planning), merged-interval activity coverage (window sweep), the
+    # zero-UDF HOF tokenizer, and the two-phase exact-quantile ladder
     "q217_zorder_layout",
     "q219_interval_union",
+    "q224_tokenizer_apply",
+    "q231_exact_quantile_ladder",
 ]
 
 
