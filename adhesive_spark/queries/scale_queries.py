@@ -1714,3 +1714,235 @@ SCALE_ORACLES["q235_conversion_latency"] = f"""
     JOIN ranked r
       ON r.cohort = t.cohort AND r.bin = t.bin AND r.rn = t.off
 """
+
+
+# --- q236: corpus-level MinHash source-similarity matrix ---------------------------
+
+
+def q236_source_minhash_matrix(spark, sf_dir):
+    """Corpus-level similarity matrix: estimated token-set Jaccard
+    between every PAIR of sources from 32-permutation MinHash
+    signatures computed over each source's distinct-token set — the
+    doc-level LSH machinery (q37) lifted to whole corpora, the panel
+    that flags mirror/aggregator source pairs before doc-level dedup
+    even runs. Signature agreement/32 estimates Jaccard; exact for
+    identical sources, unbiased elsewhere.
+
+    Scale shape: tokens aggregate to (source, perm) grain — 20×32
+    rows regardless of corpus size — then a 190-pair self-join on the
+    signature table. Nothing pairwise ever touches raw data. Uses the
+    same portable md5 base hashes and permutation coefficients as the
+    doc-level pipeline (operators/dedup.py), so the oracle replays
+    signatures exactly."""
+    from adhesive_spark.operators.dedup import (
+        _MERSENNE,
+        _perm_coeffs,
+        portable_hash32,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = (
+        docs.select(
+            "source", F.explode(tokens(F.col("text"))).alias("tok")
+        )
+        .where(F.col("tok") != "")
+        .select("source", "tok")
+        .distinct()
+        .select("source", portable_hash32(F.col("tok")).alias("h"))
+    )
+    coeffs = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(_perm_coeffs(32))],
+        "perm int, a long, b long",
+    )
+    sig = (
+        base.crossJoin(F.broadcast(coeffs))
+        .groupBy("source", "perm")
+        .agg(
+            F.min((F.col("h") * F.col("a") + F.col("b")) % F.lit(_MERSENNE))
+            .alias("mh")
+        )
+    )
+    s2 = sig.select(
+        F.col("source").alias("source_b"),
+        "perm",
+        F.col("mh").alias("mh_b"),
+    )
+    return (
+        sig.join(s2, "perm")
+        .where(F.col("source") < F.col("source_b"))
+        .groupBy(F.col("source").alias("source_a"), "source_b")
+        .agg(
+            F.sum(F.when(F.col("mh") == F.col("mh_b"), 1).otherwise(0))
+            .cast("long")
+            .alias("agree"),
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "agree",
+            F.expr("agree * 1000 div 32").cast("long").alias(
+                "est_jaccard_milli"
+            ),
+        )
+    )
+
+
+SCALE_QUERIES["q236_source_minhash_matrix"] = q236_source_minhash_matrix
+
+
+def _q236_oracle() -> str:
+    from adhesive_spark.operators.dedup import _MERSENNE, _perm_coeffs
+
+    coeff_rows = ", ".join(
+        f"({i}, {a}, {b})" for i, (a, b) in enumerate(_perm_coeffs(32))
+    )
+    return f"""
+    WITH toks AS (
+      SELECT source, unnest({_TOKS}) AS tok FROM documents
+    ),
+    base AS (
+      SELECT DISTINCT source,
+             CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS h
+      FROM (SELECT DISTINCT source, tok FROM toks WHERE tok <> '')
+    ),
+    coeffs(perm, a, b) AS (VALUES {coeff_rows}),
+    sig AS (
+      SELECT source, perm, MIN((h * a + b) % {_MERSENNE}) AS mh
+      FROM base CROSS JOIN coeffs
+      GROUP BY source, perm
+    )
+    SELECT s1.source AS source_a, s2.source AS source_b,
+           CAST(SUM(CASE WHEN s1.mh = s2.mh THEN 1 ELSE 0 END) AS BIGINT)
+             AS agree,
+           CAST(CAST(SUM(CASE WHEN s1.mh = s2.mh THEN 1 ELSE 0 END)
+                AS BIGINT) * 1000 // 32 AS BIGINT) AS est_jaccard_milli
+    FROM sig s1 JOIN sig s2
+      ON s1.perm = s2.perm AND s1.source < s2.source
+    GROUP BY s1.source, s2.source
+"""
+
+
+SCALE_ORACLES["q236_source_minhash_matrix"] = _q236_oracle()
+
+
+# --- q237: Simpson behavioral diversity ---------------------------------------------
+
+
+def q237_simpson_diversity(spark, sf_dir):
+    """Per-user behavioral diversity as the unbiased Gini–Simpson
+    index: 1 − Σ cᵢ(cᵢ−1)/(n(n−1)) over the user's event-type counts,
+    in exact ppm (the entropy-style diversity panel WITHOUT entropy's
+    floats — the log-free metric engines can agree on bit-for-bit).
+    0 = all events one type; →1 = evenly spread.
+
+    Scale shape: two hash aggregates, (user, type) then user."""
+    ev = load_table(spark, sf_dir, "events")
+    per_type = ev.groupBy("user_id", "event_type").agg(
+        F.count("*").alias("c")
+    )
+    return (
+        per_type.groupBy("user_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_events"),
+            F.sum(F.expr("c * (c - 1)")).cast("long").alias("pair_mass"),
+        )
+        .select(
+            "user_id",
+            "n_events",
+            F.when(
+                F.col("n_events") >= 2,
+                F.lit(1_000_000)
+                - F.expr(
+                    "pair_mass * 1000000 div (n_events * (n_events - 1))"
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("diversity_ppm"),
+        )
+    )
+
+
+SCALE_QUERIES["q237_simpson_diversity"] = q237_simpson_diversity
+
+SCALE_ORACLES["q237_simpson_diversity"] = """
+    WITH per_type AS (
+      SELECT user_id, event_type, COUNT(*) AS c
+      FROM events GROUP BY user_id, event_type
+    ),
+    per_user AS (
+      SELECT user_id,
+             CAST(SUM(c) AS BIGINT) AS n_events,
+             CAST(SUM(c * (c - 1)) AS BIGINT) AS pair_mass
+      FROM per_type GROUP BY user_id
+    )
+    SELECT user_id, n_events,
+           CAST(CASE WHEN n_events >= 2
+                THEN 1000000 - pair_mass * 1000000
+                     // (n_events * (n_events - 1))
+                ELSE 0 END AS BIGINT) AS diversity_ppm
+    FROM per_user
+"""
+
+
+# --- q238: bucketed co-located join ---------------------------------------------------
+
+
+def q238_bucketed_colocated_join(spark, sf_dir):
+    """Shuffle-free big–big join via bucketing: orders and lineitem are
+    persisted bucketed 16 ways on the SAME join key, so the revenue
+    join reads co-located buckets with NO Exchange on either side (the
+    pre-partitioned-join contract tests/test_plans.py asserts for the
+    2-table case — here it carries a full aggregate query). At 100 TB
+    this is THE repeated-join amortization: pay one layout write, skip
+    the join shuffle on every subsequent run.
+
+    Output: exact revenue cents and line counts per order priority."""
+    from adhesive_spark.sources.formats import write_bucketed_table
+    from adhesive_spark.sources.fsutil import hadoop_fs
+
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    for tbl in ("q238_orders_b", "q238_lineitem_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        fs, loc, _ = hadoop_fs(spark, f"{wh}/{tbl}")
+        if fs.exists(loc):
+            fs.delete(loc, True)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.expr(
+            "CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0)"
+            " AS BIGINT)"
+        ).alias("rev_cents"),
+    )
+    write_bucketed_table(
+        orders, "q238_orders_b", bucket_cols=["o_orderkey"], n_buckets=16
+    )
+    write_bucketed_table(
+        li, "q238_lineitem_b", bucket_cols=["l_orderkey"], n_buckets=16
+    )
+    o = spark.table("q238_orders_b")
+    l = spark.table("q238_lineitem_b")
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum("rev_cents").cast("long").alias("revenue_cents"),
+        )
+    )
+
+
+SCALE_QUERIES["q238_bucketed_colocated_join"] = q238_bucketed_colocated_join
+
+SCALE_ORACLES["q238_bucketed_colocated_join"] = """
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount)
+                               * 100, 0) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderpriority
+"""

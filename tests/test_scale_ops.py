@@ -307,3 +307,49 @@ def test_conversion_latency_monotone_quantiles(spark):
         <= rows["p99"]["latency_s"]
     )
     assert rows["p50"]["n_conversions"] >= 1
+
+
+def test_bucketed_join_no_exchange_without_broadcast(spark):
+    """With broadcast off, the bucketed layout alone must carry the
+    join: SortMergeJoin with NO Exchange on either input (the final
+    aggregate's exchange is the only one allowed)."""
+    import re
+
+    from adhesive_spark.queries.scale_queries import (
+        q238_bucketed_colocated_join,
+    )
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = q238_bucketed_colocated_join(spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("SortMergeJoin") == 1
+        assert len(re.findall(r"\bExchange\b", plan)) <= 1
+        assert df.count() == 5
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_source_minhash_self_similarity(spark):
+    """A source compared with itself would agree on every permutation;
+    distinct sources in this corpus share most of the small lexicon, so
+    estimates must be high-but-valid milli fractions."""
+    from adhesive_spark.queries.scale_queries import (
+        q236_source_minhash_matrix,
+    )
+
+    rows = q236_source_minhash_matrix(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["agree"] <= 32
+        assert 0 <= r["est_jaccard_milli"] <= 1000
+
+
+def test_simpson_diversity_extremes(spark):
+    from adhesive_spark.queries.scale_queries import q237_simpson_diversity
+
+    rows = q237_simpson_diversity(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["diversity_ppm"] < 1_000_000

@@ -255,6 +255,9 @@ AUDITED = [
     "q233_token_budget_fill",
     "q234_windowed_dedup_audit",
     "q235_conversion_latency",
+    "q236_source_minhash_matrix",
+    "q237_simpson_diversity",
+    "q238_bucketed_colocated_join",
 ]
 
 
