@@ -1946,3 +1946,175 @@ SCALE_ORACLES["q238_bucketed_colocated_join"] = """
     FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
     GROUP BY o.o_orderpriority
 """
+
+
+# --- q239: Zipf power-law audit ------------------------------------------------------
+
+
+def q239_zipf_audit(spark, sf_dir):
+    """Vocabulary power-law (Zipf) audit in pure integers: bucket token
+    frequencies by integer log2 (length of the binary representation —
+    identical in both engines), count vocabulary TYPES per bucket, and
+    fit the log2-log2 slope with the exact normal-equation OLS (the
+    q204 machinery). A healthy natural corpus slopes near −1 (many
+    rare types, few frequent ones); template/machine-generated floods
+    flatten or INVERT it — the one-row corpus-shape alarm. On this
+    repo's synthetic closed-lexicon testdata the slope comes out
+    POSITIVE, i.e. the alarm correctly fires (see
+    tests/test_scale_ops.py::test_zipf_alarm_fires_on_synthetic).
+
+    Scale shape: one explode + two hash aggregates to a ≤64-row bucket
+    table; the regression runs on that tiny table in one aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+        .where(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count("*").alias("f"))
+    )
+    buckets = freq.select(
+        F.length(F.conv(F.col("f"), 10, 2)).cast("long").alias("b")
+    ).groupBy("b").agg(F.count("*").alias("n_types"))
+    pts = buckets.select(
+        "b",
+        F.length(F.conv(F.col("n_types"), 10, 2)).cast("long").alias("y"),
+    )
+    agg = pts.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("b").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.expr("b * y")).cast("long").alias("sxy"),
+        F.sum(F.expr("b * b")).cast("long").alias("sxx"),
+    )
+    return agg.select(
+        F.col("n").alias("n_points"),
+        F.expr(
+            "(n * sxy - sx * sy) * 1000 div (n * sxx - sx * sx)"
+        )
+        .cast("long")
+        .alias("slope_milli"),
+    )
+
+
+SCALE_QUERIES["q239_zipf_audit"] = q239_zipf_audit
+
+SCALE_ORACLES["q239_zipf_audit"] = f"""
+    WITH toks AS (
+      SELECT unnest({_TOKS}) AS tok FROM documents
+    ),
+    freq AS (
+      SELECT tok, COUNT(*) AS f FROM toks WHERE tok <> '' GROUP BY tok
+    ),
+    buckets AS (
+      SELECT CAST(length(bin(f)) AS BIGINT) AS b,
+             COUNT(*) AS n_types
+      FROM freq GROUP BY 1
+    ),
+    pts AS (
+      SELECT b, CAST(length(bin(n_types)) AS BIGINT) AS y FROM buckets
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(b) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(b * y) AS BIGINT) AS sxy,
+             CAST(SUM(b * b) AS BIGINT) AS sxx
+      FROM pts
+    )
+    SELECT n AS n_points,
+           CAST((n * sxy - sx * sy) * 1000
+                // (n * sxx - sx * sx) AS BIGINT) AS slope_milli
+    FROM agg
+"""
+
+
+# --- q240: hierarchical revenue shares -------------------------------------------------
+
+
+def q240_hierarchical_share(spark, sf_dir):
+    """Percent-of-parent rollup: revenue per (region, nation) with each
+    nation's share of its region and each region's share of the total,
+    in exact ppm over exact cents — the drill-down tree a revenue
+    dashboard renders, computed in one pass (shares are windows over
+    the ~25-row aggregate, not the fact table).
+
+    Scale shape: the star join aggregates facts to (region, nation)
+    grain first; both share windows run on that tiny rollup."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.expr(
+            "CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0)"
+            " AS BIGINT)"
+        ).alias("cents"),
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    region = load_table(spark, sf_dir, "region").select(
+        "r_regionkey", "r_name"
+    )
+    rolled = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.sum("cents").cast("long").alias("revenue_cents"))
+    )
+    w_region = Window.partitionBy("r_name")
+    w_all = Window.partitionBy()
+    shared = rolled.select(
+        "r_name",
+        "n_name",
+        "revenue_cents",
+        F.sum("revenue_cents").over(w_region).alias("region_cents"),
+        F.sum("revenue_cents").over(w_all).alias("total_cents"),
+    )
+    return shared.select(
+        "r_name",
+        "n_name",
+        "revenue_cents",
+        F.expr("revenue_cents * 1000000 div region_cents")
+        .cast("long")
+        .alias("share_of_region_ppm"),
+        F.expr("region_cents * 1000000 div total_cents")
+        .cast("long")
+        .alias("region_share_ppm"),
+    )
+
+
+SCALE_QUERIES["q240_hierarchical_share"] = q240_hierarchical_share
+
+SCALE_ORACLES["q240_hierarchical_share"] = """
+    WITH rolled AS (
+      SELECT r.r_name, n.n_name,
+             CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount)
+                                 * 100, 0) AS BIGINT)) AS BIGINT)
+               AS revenue_cents
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY r.r_name, n.n_name
+    ),
+    shared AS (
+      SELECT r_name, n_name, revenue_cents,
+             CAST(SUM(revenue_cents) OVER (PARTITION BY r_name)
+                  AS BIGINT) AS region_cents,
+             CAST(SUM(revenue_cents) OVER () AS BIGINT) AS total_cents
+      FROM rolled
+    )
+    SELECT r_name, n_name, revenue_cents,
+           CAST(revenue_cents * 1000000 // region_cents AS BIGINT)
+             AS share_of_region_ppm,
+           CAST(region_cents * 1000000 // total_cents AS BIGINT)
+             AS region_share_ppm
+    FROM shared
+"""

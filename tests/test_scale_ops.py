@@ -353,3 +353,52 @@ def test_simpson_diversity_extremes(spark):
     assert rows
     for r in rows:
         assert 0 <= r["diversity_ppm"] < 1_000_000
+
+
+def test_zipf_alarm_fires_on_synthetic(spark):
+    """Natural corpora slope DOWN (≈ −1) in log2-log2 space; the
+    synthetic closed-lexicon testdata has no rare-type tail, so the
+    audit must flag it with a NON-negative slope — the alarm case."""
+    from adhesive_spark.queries.scale_queries import q239_zipf_audit
+
+    rows = q239_zipf_audit(spark, SF).collect()
+    assert len(rows) == 1
+    # the sf0.001 lexicon is tiny (~40 types) — only 2 log2 buckets
+    assert rows[0]["n_points"] >= 2
+    assert rows[0]["slope_milli"] >= 0
+
+    # and on a constructed Zipf-ish frequency table the same estimator
+    # recovers a negative slope: types per log2-frequency bucket
+    # doubling downward ⇒ slope ≈ −1 (here exactly −1000 milli)
+    from pyspark.sql import functions as F
+
+    pts = spark.createDataFrame(
+        [(b, 1 << (8 - b)) for b in range(1, 8)], "b long, n_types long"
+    ).select("b", F.length(F.conv(F.col("n_types"), 10, 2)).cast("long").alias("y"))
+    agg = pts.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("b").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.expr("b * y")).cast("long").alias("sxy"),
+        F.sum(F.expr("b * b")).cast("long").alias("sxx"),
+    ).select(
+        F.expr("(n * sxy - sx * sy) * 1000 div (n * sxx - sx * sx)").alias(
+            "slope_milli"
+        )
+    )
+    assert agg.collect()[0]["slope_milli"] == -1000
+
+
+def test_hierarchical_shares_sum(spark):
+    from adhesive_spark.queries.scale_queries import q240_hierarchical_share
+
+    rows = q240_hierarchical_share(spark, SF).collect()
+    assert rows
+    by_region = {}
+    for r in rows:
+        by_region.setdefault(r["r_name"], []).append(r)
+    for region, rs in by_region.items():
+        s = sum(r["share_of_region_ppm"] for r in rs)
+        # truncating div: sum of shares within a region lands just
+        # under 1e6 (one ulp per nation at most)
+        assert 1_000_000 - len(rs) <= s <= 1_000_000, region

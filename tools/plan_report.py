@@ -258,6 +258,8 @@ AUDITED = [
     "q236_source_minhash_matrix",
     "q237_simpson_diversity",
     "q238_bucketed_colocated_join",
+    "q239_zipf_audit",
+    "q240_hierarchical_share",
 ]
 
 
