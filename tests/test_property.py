@@ -500,3 +500,90 @@ def test_weighted_median_matches_expansion(spark, rows):
         # smallest v with 2*cumweight >= total == lower-middle element
         want[g] = expanded[(len(expanded) - 1) // 2]
     assert got == want
+
+
+# --- interval_union vs a plain-Python sweep ---------------------------------
+
+_iv_starts = st.lists(
+    st.integers(min_value=0, max_value=500), min_size=1, max_size=20
+)
+_iv_keys = st.lists(
+    st.sampled_from(["u1", "u2"]), min_size=1, max_size=20
+)
+
+
+def _py_interval_union(pairs, ttl):
+    """Reference: merge [s, s+ttl) intervals per key, return
+    {key: (n_islands, covered)}."""
+    out = {}
+    by_key = {}
+    for k, s in pairs:
+        by_key.setdefault(k, []).append(s)
+    for k, starts in by_key.items():
+        starts.sort()
+        islands = 0
+        covered = 0
+        cur_s = cur_e = None
+        for s in starts:
+            if cur_e is None or s > cur_e:
+                if cur_e is not None:
+                    covered += cur_e - cur_s
+                cur_s, cur_e = s, s + ttl
+                islands += 1
+            else:
+                cur_e = max(cur_e, s + ttl)
+        covered += cur_e - cur_s
+        out[k] = (islands, covered)
+    return out
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(starts=_iv_starts, keys=_iv_keys)
+def test_interval_union_matches_python(spark, starts, keys):
+    from pyspark.sql import functions as F
+
+    from adhesive_spark.operators.asof import interval_union
+
+    pairs = list(zip(keys, starts))
+    ttl = 50
+    df = spark.createDataFrame(pairs, "k string, s long").withColumn(
+        "e", F.col("s") + F.lit(ttl)
+    )
+    got = {
+        r["k"]: (r["n_islands"], r["covered"])
+        for r in interval_union(df, "k", "s", "e").collect()
+    }
+    assert got == _py_interval_union(pairs, ttl)
+
+
+# --- exact_quantile_ladder vs sorted-list indexing ---------------------------
+
+_vals = st.lists(
+    st.integers(min_value=-5000, max_value=5000), min_size=1, max_size=40
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(vals=_vals)
+def test_quantile_ladder_matches_sorted_list(spark, vals):
+    from adhesive_spark.operators.quality import exact_quantile_ladder
+
+    quants = [("p25", 25, 100), ("p50", 50, 100), ("p99", 99, 100)]
+    df = spark.createDataFrame([("g", v) for v in vals], "g string, v long")
+    got = {
+        r["quantile"]: r["value"]
+        for r in exact_quantile_ladder(df, "g", "v", quants).collect()
+    }
+    vs = sorted(vals)
+    n = len(vs)
+    for name, num, den in quants:
+        k = (n * num + den - 1) // den
+        assert got[name] == vs[k - 1], (name, vals)
