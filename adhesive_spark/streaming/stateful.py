@@ -30,6 +30,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     LongType,
     StructField,
@@ -92,6 +93,85 @@ def running_user_totals(events: DataFrame) -> DataFrame:
         _update_user,
         outputStructType=_OUT_SCHEMA,
         stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+_IV_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_islands", LongType()),
+        StructField("covered_us", LongType()),
+    ]
+)
+
+_IV_STATE_SCHEMA = StructType(
+    [
+        StructField("starts", ArrayType(LongType())),
+        StructField("ends", ArrayType(LongType())),
+    ]
+)
+
+_IV_TTL_US = 300_000_000
+
+
+def _update_coverage(
+    key: tuple[Any, ...],
+    batches: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    if state.exists:
+        starts, ends = state.get
+        ivs = list(zip(list(starts), list(ends)))
+    else:
+        ivs = []
+    for pdf in batches:
+        for us in pdf["s"]:
+            ivs.append((int(us), int(us) + _IV_TTL_US))
+    ivs.sort()
+    merged: list[tuple[int, int]] = []
+    for s, e in ivs:
+        if merged and s <= merged[-1][1]:
+            if e > merged[-1][1]:
+                merged[-1] = (merged[-1][0], e)
+        else:
+            merged.append((s, e))
+    state.update(
+        ([s for s, _ in merged], [e for _, e in merged])
+    )
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "n_islands": [len(merged)],
+            "covered_us": [sum(e - s for s, e in merged)],
+        }
+    )
+
+
+def streaming_interval_coverage(events: DataFrame) -> DataFrame:
+    """Streaming twin of ``operators.asof.interval_union``: per-user
+    merged-interval activity coverage maintained INCREMENTALLY across
+    micro-batches — each user's state is its merged island list, so a
+    batch only pays for the intervals it touches and the result after
+    any prefix of batches equals the batch operator over the data seen
+    so far (interval union is order-independent, which is what makes
+    the state machine replay-safe).
+
+    State is bounded by the ISLAND count (merged spans), not the event
+    count — the interval analog of watermarked dedup state. NoTimeout
+    for the bounded test corpus; production would evict idle users via
+    EventTimeTimeout exactly as running_user_totals documents."""
+    from pyspark.sql import functions as F
+
+    prepared = events.select(
+        "user_id", F.unix_micros("ts").alias("s")
+    )
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        _update_coverage,
+        outputStructType=_IV_OUT_SCHEMA,
+        stateStructType=_IV_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

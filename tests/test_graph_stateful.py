@@ -179,3 +179,49 @@ def test_triangle_count_orientation_invariant(spark):
         if c > b
     )
     assert n_id == n_deg == brute
+
+
+def test_streaming_interval_coverage_matches_batch(spark, event_stream_dir):
+    """The stateful streaming sweep must converge to the batch
+    interval_union result: coverage is monotone under new intervals, so
+    the max-covered emission per user IS the final state."""
+    from pyspark.sql import functions as F
+
+    from adhesive_spark.operators.asof import interval_union
+    from adhesive_spark.streaming.stateful import (
+        streaming_interval_coverage,
+    )
+
+    batch = spark.read.parquet(event_stream_dir)
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(event_stream_dir)
+    )
+    q = (
+        streaming_interval_coverage(stream)
+        .writeStream.format("memory")
+        .queryName("t_iv_state")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180), "stream did not drain"
+
+    final = {}
+    for r in spark.table("t_iv_state").collect():
+        if (
+            r.user_id not in final
+            or r.covered_us > final[r.user_id][1]
+        ):
+            final[r.user_id] = (r.n_islands, r.covered_us)
+
+    twin = (
+        batch.select("user_id", F.unix_micros("ts").alias("s"))
+        .withColumn("e", F.col("s") + F.lit(300_000_000))
+    )
+    expected = {
+        r.user_id: (r.n_islands, r.covered)
+        for r in interval_union(twin, "user_id", "s", "e").collect()
+    }
+    assert final == expected
