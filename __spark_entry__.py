@@ -166,6 +166,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out.update(SCALE_QUERIES)
     except ImportError:
         pass
+    try:
+        from adhesive_spark.queries.sketch_queries import SKETCH_QUERIES
+
+        out.update(SKETCH_QUERIES)
+    except ImportError:
+        pass
     return _reorder(out)
 
 
@@ -198,6 +204,12 @@ def oracle_sql() -> dict[str, str]:
         from adhesive_spark.queries.scale_queries import SCALE_ORACLES
 
         out.update(SCALE_ORACLES)
+    except ImportError:
+        pass
+    try:
+        from adhesive_spark.queries.sketch_queries import SKETCH_ORACLES
+
+        out.update(SKETCH_ORACLES)
     except ImportError:
         pass
     return _reorder(out)

@@ -1,0 +1,269 @@
+"""Distributed cardinality / frequency sketches in exact integer math.
+
+HyperLogLog registers and Count-Min counters are the two workhorse
+sketches of a 100 TB profiling pass: both build in ONE hash aggregate
+over the raw stream, both merge associatively across partitions
+(``max`` for HLL registers, ``+`` for CMS counters), so a 1000-executor
+cluster computes them with a single shuffle to a tiny fixed-size state
+— no distinct-shuffle of the full key stream.
+
+Everything here is branch-free integer arithmetic on md5-prefix hashes
+(the house cross-engine hash, see operators/text.py), so the DuckDB
+oracle twins reproduce the sketch BIT-FOR-BIT — estimates included.
+The estimator constant is a fixed ppm literal on both sides, keeping
+the driver's type-strict value hash exact.
+
+Reference parity note: the reference engine (milenkovicm/adhesive,
+src/fusion.rs) delegates all relational work to DataFusion and ships
+no sketching; this module is SURVEY §2.3 extension surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# 60-bit hash = 15 hex chars of md5; BIGINT-safe in both engines.
+_HASH_HEX_CHARS = 15
+_HASH_BITS = 4 * _HASH_HEX_CHARS
+
+# HLL bias-correction constant alpha_64 = 0.7213 / (1 + 1.079/64),
+# quantized to ppm. The SAME literal appears in the SQL oracle; the
+# estimate is exact integer math from here on.
+HLL_P = 6
+HLL_M = 1 << HLL_P  # 64 registers
+HLL_ALPHA_PPM = 709340
+# Σ 2^-M_j is carried as Σ 2^(SCALE - M_j); SCALE bounds the sum at
+# m * 2^SCALE = 2^61 < 2^63.
+HLL_SCALE = _HASH_BITS - HLL_P + 1  # 55
+
+
+def hash60(col: Column) -> Column:
+    """60-bit integer hash from the md5-hex prefix — the same
+    construction DuckDB mirrors with
+    ``CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT)``."""
+    return F.conv(
+        F.substring(F.md5(col.cast("string")), 1, _HASH_HEX_CHARS), 16, 10
+    ).cast("long")
+
+
+def hll_estimate(df: DataFrame, col: str) -> DataFrame:
+    """One-row HyperLogLog cardinality estimate over ``df[col]``.
+
+    bucket = h mod 64; rho = leading-zero rank of the remaining 54
+    bits (via ``length(bin(x))``, identical in Spark and DuckDB);
+    registers are ``max(rho)`` per bucket — a single hash aggregate to
+    64 rows, mergeable across any partitioning. The raw estimator
+    alpha*m^2 / Σ2^-M_j runs in scaled-integer form: empty registers
+    contribute 2^SCALE each, and the oversized numerator
+    alpha_ppm * m^2 * 2^SCALE (~1e26) is carried in DECIMAL(38,0) /
+    HUGEINT with both divisions last, so no precision is lost to
+    intermediate truncation.
+
+    No small-range (linear-counting) correction is applied — callers
+    profiling columns with <2.5*m distinct values should read
+    ``nonempty`` instead (documented, matches the oracle).
+
+    Output: m, nonempty, s_scaled, est_hll, exact_distinct, err_ppm —
+    all BIGINT. ``exact_distinct`` is computed alongside (one extra
+    distinct agg) so the query doubles as its own error audit.
+    """
+    h = hash60(F.col(col))
+    hashed = df.select(
+        (h % F.lit(HLL_M)).alias("bucket"),
+        F.shiftright(h, HLL_P).alias("_rem"),
+        F.expr(f"CAST({col} AS STRING)").alias("_raw"),
+    ).select(
+        "bucket",
+        # _rem has at most 54 bits; rho = leading zeros + 1
+        #     = (54 - length(bin(_rem))) + 1 = SCALE - length(bin(_rem)),
+        # with the all-zero remainder pinned to SCALE.
+        F.when(F.col("_rem") == 0, F.lit(HLL_SCALE).cast("long"))
+        .otherwise(
+            F.lit(HLL_SCALE).cast("long")
+            - F.length(F.bin(F.col("_rem"))).cast("long")
+        )
+        .alias("rho"),
+        "_raw",
+    )
+    regs = hashed.groupBy("bucket").agg(F.max("rho").alias("m_j"))
+    exact = hashed.agg(
+        F.countDistinct("_raw").cast("long").alias("exact_distinct")
+    )
+    summed = regs.agg(
+        F.count("*").cast("long").alias("nonempty"),
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({HLL_SCALE} - m_j AS INT))")
+        )
+        .cast("long")
+        .alias("s_nonempty"),
+    )
+    return (
+        summed.crossJoin(F.broadcast(exact))
+        .select(
+            F.lit(HLL_M).cast("long").alias("m"),
+            "nonempty",
+            (
+                F.col("s_nonempty")
+                + (F.lit(HLL_M) - F.col("nonempty"))
+                * F.lit(1 << HLL_SCALE).cast("long")
+            ).alias("s_scaled"),
+            "exact_distinct",
+        )
+        .select(
+            "m",
+            "nonempty",
+            "s_scaled",
+            # alpha * m^2 * 2^SCALE overflows BIGINT, so the numerator
+            # is carried in DECIMAL(38,0) (HUGEINT on the oracle side)
+            # and BOTH divisions happen last — the early-division
+            # factoring loses the whole estimate to truncation
+            # (2^SCALE div S is a single-digit quotient here).
+            F.expr(
+                f"CAST(((CAST({HLL_ALPHA_PPM} AS DECIMAL(38,0))"
+                f" * {HLL_M} * {HLL_M} * {1 << HLL_SCALE})"
+                f" div s_scaled) div 1000000 AS BIGINT)"
+            ).alias("est_hll"),
+            "exact_distinct",
+        )
+        .select(
+            "m",
+            "nonempty",
+            "s_scaled",
+            "est_hll",
+            "exact_distinct",
+            F.expr(
+                "CAST(abs(est_hll - exact_distinct) * 1000000"
+                " div exact_distinct AS BIGINT)"
+            ).alias("err_ppm"),
+        )
+    )
+
+
+def hll_oracle_sql(source_sql: str, col: str) -> str:
+    """DuckDB twin of :func:`hll_estimate` over ``source_sql``."""
+    return f"""
+    WITH hashed AS (
+      SELECT h % {HLL_M} AS bucket,
+             CASE WHEN (h >> {HLL_P}) = 0
+                  THEN CAST({HLL_SCALE} AS BIGINT)
+                  ELSE CAST({HLL_SCALE} AS BIGINT)
+                       - CAST(length(bin(h >> {HLL_P})) AS BIGINT)
+             END AS rho,
+             raw
+      FROM (
+        SELECT CAST(('0x' || substr(md5(CAST({col} AS VARCHAR)), 1,
+                                    {_HASH_HEX_CHARS})) AS BIGINT) AS h,
+               CAST({col} AS VARCHAR) AS raw
+        FROM ({source_sql})
+      )
+    ),
+    regs AS (
+      SELECT bucket, MAX(rho) AS m_j FROM hashed GROUP BY bucket
+    ),
+    summed AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS nonempty,
+             CAST(SUM(CAST(1 AS BIGINT) << CAST({HLL_SCALE} - m_j AS INT))
+                  AS BIGINT) AS s_nonempty
+      FROM regs
+    ),
+    exact AS (
+      SELECT CAST(COUNT(DISTINCT raw) AS BIGINT) AS exact_distinct
+      FROM hashed
+    ),
+    wide AS (
+      SELECT CAST({HLL_M} AS BIGINT) AS m, nonempty,
+             s_nonempty + ({HLL_M} - nonempty)
+               * (CAST(1 AS BIGINT) << {HLL_SCALE}) AS s_scaled,
+             exact_distinct
+      FROM summed CROSS JOIN exact
+    ),
+    est AS (
+      SELECT m, nonempty, s_scaled,
+             CAST(((CAST({HLL_ALPHA_PPM} AS HUGEINT)
+                    * {HLL_M} * {HLL_M} * {1 << HLL_SCALE})
+                   // s_scaled) // 1000000 AS BIGINT) AS est_hll,
+             exact_distinct
+      FROM wide
+    )
+    SELECT m, nonempty, s_scaled, est_hll, exact_distinct,
+           CAST(abs(est_hll - exact_distinct) * 1000000
+                // exact_distinct AS BIGINT) AS err_ppm
+    FROM est
+    """
+
+
+# --- Count-Min sketch --------------------------------------------------------
+
+CMS_DEPTH = 4
+CMS_WIDTH = 16  # deliberately narrow so collisions (the interesting
+# case) occur even on small vocabularies; overcount is the point.
+CMS_SALTS = tuple(f"cms{r}" for r in range(CMS_DEPTH))
+
+
+def cms_col(col: Column, salt: str) -> Column:
+    """Column index of ``col`` in CMS row ``salt``."""
+    return (
+        F.conv(F.substring(F.md5(F.concat(F.lit(salt), col)), 1, 8), 16, 10)
+        .cast("long")
+        % F.lit(CMS_WIDTH)
+    )
+
+
+def cms_col_sql(expr: str, salt: str) -> str:
+    return (
+        f"CAST(('0x' || substr(md5('{salt}' || {expr}), 1, 8)) AS BIGINT)"
+        f" % {CMS_WIDTH}"
+    )
+
+
+def cms_build(items: DataFrame, col: str) -> DataFrame:
+    """Count-Min counter table (r, c, cnt) over the item stream.
+
+    One explode by the D salt rows then one hash aggregate to a
+    D*W-row counter table — counters merge by ``+`` so partial
+    aggregation happens map-side; the sketch is a broadcastable
+    64-row summary of any size stream.
+    """
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(r).cast("long").alias("r"),
+                cms_col(F.col(col), salt).alias("c"),
+            )
+            for r, salt in enumerate(CMS_SALTS)
+        ]
+    )
+    return (
+        items.select(F.explode(rows).alias("rc"))
+        .select(F.col("rc.r").alias("r"), F.col("rc.c").alias("c"))
+        .groupBy("r", "c")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
+def cms_probe(sketch: DataFrame, probes: DataFrame, col: str) -> DataFrame:
+    """Point-estimate each probe key: min over the D row counters.
+
+    ``sketch`` is tiny (D*W rows) — broadcast to the probe side; the
+    estimate upper-bounds the true count by construction.
+    """
+    keyed = probes.select(
+        F.col(col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).cast("long").alias("r"),
+                        cms_col(F.col(col), salt).alias("c"),
+                    )
+                    for r, salt in enumerate(CMS_SALTS)
+                ]
+            )
+        ).alias("rc"),
+    ).select(col, F.col("rc.r").alias("r"), F.col("rc.c").alias("c"))
+    return (
+        keyed.join(F.broadcast(sketch), ["r", "c"])
+        .groupBy(col)
+        .agg(F.min("cnt").cast("long").alias("est_cms"))
+    )

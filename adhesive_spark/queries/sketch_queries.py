@@ -1,0 +1,793 @@
+"""Sketch / retrieval / graph-maintenance queries (q241+): distributed
+cardinality and frequency sketches, quantized BM25 retrieval, PMI
+collocation mining, bounded k-core peeling, and product-quantized ANN.
+
+Like scale_queries, every query keeps its arithmetic in exact integers
+(ppm / milli fixed point, shared md5-prefix hashing) so the driver's
+type-strict value hash matches DuckDB bit-for-bit — including the
+sketch ESTIMATES, which is what makes a sketch testable: the oracle
+reproduces the registers, not just the exact answer.
+
+Reference parity note: the reference engine (milenkovicm/adhesive)
+delegates its relational surface to DataFusion and ships none of this;
+this module is SURVEY §2.3 extension surface for the 100 TB pipeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from adhesive_spark.operators.sketches import (
+    CMS_WIDTH,
+    cms_build,
+    cms_probe,
+    hll_estimate,
+    hll_oracle_sql,
+)
+from adhesive_spark.operators.text import tokens
+from adhesive_spark.sources.registry import load_table
+
+SKETCH_QUERIES: dict = {}
+SKETCH_ORACLES: dict = {}
+
+# shared SQL fragments (DuckDB dialect) — same normalization as
+# scale_queries / the text operators
+_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_TOKS = f"string_split({_NORM}, ' ')"
+
+
+# --- q241: HyperLogLog cardinality audit -------------------------------------
+
+
+def q241_hll_cardinality(spark, sf_dir):
+    """HyperLogLog distinct-count sketch over ``lineitem.l_orderkey``
+    (~15 k distinct per sf0.01) with its own error audit: registers,
+    scaled harmonic sum, integer estimator, exact distinct, and the
+    estimate's error in ppm — one row.
+
+    At 100 TB this is THE cardinality profile: one hash aggregate to a
+    64-register state that merges with ``max`` across executors, vs the
+    full-key distinct shuffle the exact path needs. The query carries
+    both so the sketch's ~13 % (m=64) error band is measured, not
+    assumed. Estimator math and the DuckDB twin are bit-identical; see
+    operators/sketches.py.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    return hll_estimate(li, "l_orderkey")
+
+
+SKETCH_QUERIES["q241_hll_cardinality"] = q241_hll_cardinality
+
+SKETCH_ORACLES["q241_hll_cardinality"] = hll_oracle_sql(
+    "SELECT l_orderkey FROM lineitem", "l_orderkey"
+)
+
+
+# --- q242: Count-Min heavy hitters -------------------------------------------
+
+
+def q242_cms_heavyhitters(spark, sf_dir):
+    """Count-Min frequency sketch over the document token stream,
+    probed at the exact top-10 tokens: true count, sketch estimate,
+    and the collision overcount per token.
+
+    The sketch is a 4x16 counter table built in ONE map-side-combining
+    aggregate (width deliberately narrow so collisions — the failure
+    mode worth testing — actually occur); probes broadcast-join the
+    64-row sketch. est >= true always; the overcount column quantifies
+    the bias a 100 TB frequency pass would carry at this width.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokens(F.col("text"))).alias("tok")).where(
+        F.col("tok") != ""
+    )
+    sketch = cms_build(toks, "tok")
+    top = (
+        toks.groupBy("tok")
+        .agg(F.count("*").cast("long").alias("true_cnt"))
+        .orderBy(F.col("true_cnt").desc(), F.col("tok"))
+        .limit(10)
+    )
+    est = cms_probe(sketch, top.select("tok"), "tok")
+    return (
+        top.join(est, "tok")
+        .select(
+            "tok",
+            "true_cnt",
+            "est_cms",
+            (F.col("est_cms") - F.col("true_cnt")).alias("overcount"),
+        )
+        .orderBy(F.col("true_cnt").desc(), F.col("tok"))
+    )
+
+
+SKETCH_QUERIES["q242_cms_heavyhitters"] = q242_cms_heavyhitters
+
+
+def _cms_salts_values() -> str:
+    from adhesive_spark.operators.sketches import CMS_SALTS
+
+    return ", ".join(
+        f"({r}, '{salt}')" for r, salt in enumerate(CMS_SALTS)
+    )
+
+
+SKETCH_ORACLES["q242_cms_heavyhitters"] = f"""
+    WITH clean AS (
+      SELECT tok FROM (
+        SELECT unnest({_TOKS}) AS tok FROM documents
+      ) WHERE tok <> ''
+    ),
+    salts AS (
+      SELECT * FROM (VALUES {_cms_salts_values()}) AS t(r, salt)
+    ),
+    sketch AS (
+      SELECT CAST(s.r AS BIGINT) AS r,
+             CAST(('0x' || substr(md5(s.salt || c.tok), 1, 8))
+                  AS BIGINT) % {CMS_WIDTH} AS c,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM clean c CROSS JOIN salts s
+      GROUP BY 1, 2
+    ),
+    top AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS true_cnt
+      FROM clean GROUP BY tok
+      ORDER BY true_cnt DESC, tok LIMIT 10
+    ),
+    probe AS (
+      SELECT t.tok, t.true_cnt, CAST(s.r AS BIGINT) AS r,
+             CAST(('0x' || substr(md5(s.salt || t.tok), 1, 8))
+                  AS BIGINT) % {CMS_WIDTH} AS c
+      FROM top t CROSS JOIN salts s
+    ),
+    est AS (
+      SELECT p.tok, p.true_cnt, CAST(MIN(k.cnt) AS BIGINT) AS est_cms
+      FROM probe p JOIN sketch k ON p.r = k.r AND p.c = k.c
+      GROUP BY p.tok, p.true_cnt
+    )
+    SELECT tok, true_cnt, est_cms, est_cms - true_cnt AS overcount
+    FROM est ORDER BY true_cnt DESC, tok
+"""
+
+
+# --- q243: quantized BM25 retrieval ------------------------------------------
+
+
+_BM25_TERMS = ("hash", "join", "vector")
+
+
+def q243_bm25_retrieval(spark, sf_dir):
+    """BM25 document retrieval for the fixed query {hash, join, vector}
+    in exact fixed-point integers: k1=1.2 / b=0.75 carried as milli
+    literals, idf log2-quantized via ``length(bin(N div df))`` (this
+    corpus is a closed ~30-word lexicon, so idf is flat — the
+    discrimination here comes from tf and length normalization; on a
+    real heavy-tailed vocabulary the same circuit spreads idf too).
+
+    Scale shape: one explode to (doc, term) counts for the 3 query
+    terms only (filter pushed below the explode-aggregate), df and
+    avgdl are 1-row/3-row broadcast sides, and the top-15 is a single
+    ORDER BY LIMIT over per-doc scores — no corpus-wide window, no
+    pair join. This is the scoring half of retrieval; q141/q149 hold
+    the inverted-index half.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+    ).where(F.col("tok") != "")
+    dl = toked.groupBy("doc_id").agg(F.count("*").cast("long").alias("dl"))
+    stats = dl.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.expr("CAST(sum(dl) * 1000 div count(*) AS BIGINT)").alias(
+            "avgdl_milli"
+        ),
+    )
+    terms = list(_BM25_TERMS)
+    tf = (
+        toked.where(F.col("tok").isin(terms))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    df_t = tf.groupBy("tok").agg(F.count("*").cast("long").alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_t), "tok")
+        .join(F.broadcast(dl), "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            "tok",
+            F.expr("CAST(length(bin(n_docs div df)) AS BIGINT)").alias(
+                "idf_q"
+            ),
+            F.expr("CAST(dl * 1000000 div avgdl_milli AS BIGINT)").alias(
+                "ratio_milli"
+            ),
+            "tf",
+        )
+        .select(
+            "doc_id",
+            "tok",
+            "idf_q",
+            F.expr(
+                "CAST(tf * 1000 + (1200 * (250 + (750 * ratio_milli)"
+                " div 1000)) div 1000 AS BIGINT)"
+            ).alias("denom_milli"),
+            "tf",
+        )
+        .select(
+            "doc_id",
+            (
+                F.col("idf_q")
+                * F.expr(
+                    "CAST(tf * 2200 * 1000000 div denom_milli AS BIGINT)"
+                )
+            ).alias("term_score"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.sum("term_score").cast("long").alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id"))
+        .limit(15)
+    )
+
+
+SKETCH_QUERIES["q243_bm25_retrieval"] = q243_bm25_retrieval
+
+SKETCH_ORACLES["q243_bm25_retrieval"] = f"""
+    WITH toked AS (
+      SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+    ),
+    clean AS (SELECT doc_id, tok FROM toked WHERE tok <> ''),
+    dl AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+      FROM clean GROUP BY doc_id
+    ),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(CAST(SUM(dl) AS BIGINT) * 1000
+                  // CAST(COUNT(*) AS BIGINT) AS BIGINT) AS avgdl_milli
+      FROM dl
+    ),
+    tf AS (
+      SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM clean WHERE tok IN ('hash', 'join', 'vector')
+      GROUP BY doc_id, tok
+    ),
+    df_t AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok
+    ),
+    scored AS (
+      SELECT t.doc_id,
+             CAST(length(bin(s.n_docs // d.df)) AS BIGINT)
+               * CAST(t.tf * 2200 * 1000000
+                      // (t.tf * 1000
+                          + (1200 * (250 + (750 * (l.dl * 1000000
+                                                   // s.avgdl_milli))
+                                     // 1000)) // 1000)
+                      AS BIGINT) AS term_score
+      FROM tf t
+      JOIN df_t d ON t.tok = d.tok
+      JOIN dl l ON t.doc_id = l.doc_id
+      CROSS JOIN stats s
+    )
+    SELECT doc_id, CAST(SUM(term_score) AS BIGINT) AS score
+    FROM scored GROUP BY doc_id
+    ORDER BY score DESC, doc_id LIMIT 15
+"""
+
+
+# --- q244: PMI collocation mining --------------------------------------------
+
+
+def q244_pmi_collocations(spark, sf_dir):
+    """Collocation mining: adjacent token pairs ranked by integer
+    lift (observed / expected co-occurrence, in ppm — the exp() -free
+    core of PMI). Expected uses per-slot marginals: count of bigrams
+    with the same LEFT token times count with the same RIGHT token
+    over the bigram total. Division order is fixed and mirrored in the
+    oracle so the quantized lift matches exactly.
+
+    Scale shape: one window-free explode (posexplode + self-zip via
+    slice) to the bigram stream, three hash aggregates (pair, left
+    marginal, right marginal — the marginals are vocabulary-sized,
+    broadcastable), one final top-20. Linear in corpus size.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens(F.col("text")).alias("ts")).where(
+        F.size("ts") >= 2
+    )
+    bi = toks.select(
+        F.explode(
+            F.expr(
+                "zip_with(slice(ts, 1, size(ts) - 1),"
+                " slice(ts, 2, size(ts) - 1),"
+                " (x, y) -> struct(x, y))"
+            )
+        ).alias("p")
+    ).select(F.col("p.x").alias("x"), F.col("p.y").alias("y")).where(
+        (F.col("x") != "") & (F.col("y") != "")
+    )
+    pair = bi.groupBy("x", "y").agg(F.count("*").cast("long").alias("c_xy"))
+    left = bi.groupBy("x").agg(F.count("*").cast("long").alias("c_x"))
+    right = bi.groupBy("y").agg(F.count("*").cast("long").alias("c_y"))
+    total = bi.agg(F.count("*").cast("long").alias("n_bi"))
+    return (
+        pair.where(F.col("c_xy") >= 25)
+        .join(F.broadcast(left), "x")
+        .join(F.broadcast(right), "y")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "x",
+            "y",
+            "c_xy",
+            F.expr(
+                "CAST((c_xy * 1000000 div c_x) * n_bi div c_y AS BIGINT)"
+            ).alias("lift_ppm"),
+        )
+        .orderBy(F.col("lift_ppm").desc(), F.col("x"), F.col("y"))
+        .limit(20)
+    )
+
+
+SKETCH_QUERIES["q244_pmi_collocations"] = q244_pmi_collocations
+
+SKETCH_ORACLES["q244_pmi_collocations"] = f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS} AS ts FROM documents
+    ),
+    bi AS (
+      SELECT ts[i] AS x, ts[i + 1] AS y
+      FROM (SELECT ts FROM toks WHERE len(ts) >= 2),
+           UNNEST(generate_series(1, len(ts) - 1)) AS u(i)
+      WHERE ts[i] <> '' AND ts[i + 1] <> ''
+    ),
+    pair AS (
+      SELECT x, y, CAST(COUNT(*) AS BIGINT) AS c_xy
+      FROM bi GROUP BY x, y
+    ),
+    lefts AS (
+      SELECT x, CAST(COUNT(*) AS BIGINT) AS c_x FROM bi GROUP BY x
+    ),
+    rights AS (
+      SELECT y, CAST(COUNT(*) AS BIGINT) AS c_y FROM bi GROUP BY y
+    ),
+    total AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_bi FROM bi)
+    SELECT p.x, p.y, p.c_xy,
+           CAST((p.c_xy * 1000000 // l.c_x) * t.n_bi // r.c_y
+                AS BIGINT) AS lift_ppm
+    FROM pair p
+    JOIN lefts l ON p.x = l.x
+    JOIN rights r ON p.y = r.y
+    CROSS JOIN total t
+    WHERE p.c_xy >= 25
+    ORDER BY lift_ppm DESC, p.x, p.y LIMIT 20
+"""
+
+
+# --- q245: bounded k-core peeling --------------------------------------------
+
+
+_KCORE_K = 6
+_KCORE_ROUNDS = 3
+# Low-quantity lanes only: the full part–supplier graph is so dense
+# (min degree > 20 at sf0.01) that nothing peels; on the qty<=5 slice
+# with k=6 each round keeps removing nodes (992 -> 966 -> 891 edges at
+# sf0.01), so the bounded-iteration cascade is actually exercised.
+_KCORE_EDGE_FILTER = 5
+
+
+def q245_kcore_peel(spark, sf_dir):
+    """Bounded k-core peeling of the part–supplier affiliation graph:
+    drop every node with degree < k, recompute degrees, repeat for a
+    FIXED 3 rounds (unrolled — the oracle mirrors the same 3 CTE
+    levels, so bounded iteration is part of the spec, not an
+    approximation gap). Emits one row per round with surviving node
+    and edge counts — the shrinkage curve is the health signal a graph
+    maintenance job alerts on.
+
+    Scale shape: per round, one degree aggregate + one semi-join back
+    to the edge list — 2 shuffles per round, never a pair join. At
+    100 TB the fixed round count is the budget guard the recursive
+    formulation lacks (same policy as graph.connected_components'
+    max-iteration guard).
+    """
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_quantity") <= _KCORE_EDGE_FILTER)
+        .select(
+            (F.col("l_partkey") + F.lit(1000000)).alias("u"),
+            F.col("l_suppkey").alias("v"),
+        )
+        .distinct()
+    )
+    # Each round's edge list feeds THREE consumers (degree table, next
+    # round's semi-joins, the per-round stats row) and depends on every
+    # previous round — without a materialization boundary Catalyst
+    # re-derives the whole peel chain per consumer (multiplicative
+    # blow-up; 15 s -> ~3 s at sf0.01). Same policy as q131's oriented
+    # edge list: at 100 TB the per-round edge list is the artifact an
+    # iterative graph job persists anyway.
+    edges = li.localCheckpoint(eager=True)
+    out = []
+    for rnd in range(1, _KCORE_ROUNDS + 1):
+        deg = (
+            edges.select(F.col("u").alias("node"))
+            .unionAll(edges.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").cast("long").alias("d"))
+        )
+        keep = deg.where(F.col("d") >= _KCORE_K).select("node")
+        edges = (
+            edges.join(
+                keep.withColumnRenamed("node", "u").hint("broadcast"),
+                "u",
+                "semi",
+            ).join(
+                keep.withColumnRenamed("node", "v").hint("broadcast"),
+                "v",
+                "semi",
+            )
+        ).select("u", "v").localCheckpoint(eager=True)
+        stats = edges.agg(
+            F.lit(rnd).cast("long").alias("round"),
+            F.count("*").cast("long").alias("n_edges"),
+            (
+                F.countDistinct("u") + F.countDistinct("v")
+            )
+            .cast("long")
+            .alias("n_nodes"),
+        )
+        out.append(stats)
+    res = out[0]
+    for s in out[1:]:
+        res = res.unionAll(s)
+    return res.orderBy("round")
+
+
+SKETCH_QUERIES["q245_kcore_peel"] = q245_kcore_peel
+
+
+def _kcore_round_sql(prev: str, rnd: int) -> str:
+    return f"""
+    deg{rnd} AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+        SELECT u AS node FROM {prev}
+        UNION ALL SELECT v AS node FROM {prev}
+      ) GROUP BY node
+    ),
+    keep{rnd} AS (SELECT node FROM deg{rnd} WHERE d >= {_KCORE_K}),
+    e{rnd} AS (
+      SELECT u, v FROM {prev}
+      WHERE u IN (SELECT node FROM keep{rnd})
+        AND v IN (SELECT node FROM keep{rnd})
+    ),
+    s{rnd} AS (
+      SELECT CAST({rnd} AS BIGINT) AS round,
+             CAST(COUNT(*) AS BIGINT) AS n_edges,
+             CAST(COUNT(DISTINCT u) + COUNT(DISTINCT v) AS BIGINT)
+               AS n_nodes
+      FROM e{rnd}
+    )"""
+
+
+SKETCH_ORACLES["q245_kcore_peel"] = (
+    """
+    WITH e0 AS (
+      SELECT DISTINCT l_partkey + 1000000 AS u, l_suppkey AS v
+      FROM lineitem WHERE l_quantity <= {_KCORE_EDGE_FILTER}
+    ),""".format(_KCORE_EDGE_FILTER=_KCORE_EDGE_FILTER)
+    + ",".join(
+        _kcore_round_sql(f"e{r - 1}", r) for r in range(1, _KCORE_ROUNDS + 1)
+    )
+    + """
+    SELECT round, n_edges, n_nodes FROM (
+      SELECT * FROM s1 UNION ALL SELECT * FROM s2 UNION ALL
+      SELECT * FROM s3
+    ) ORDER BY round
+    """
+)
+
+
+# --- q246: product-quantized ANN (ADC) ---------------------------------------
+
+
+_PQ_SUBSPACES = 4
+_PQ_SUBDIM = 16  # 64-dim embeddings / 4 subspaces
+_PQ_CENTROIDS = 8  # codebook entries per subspace: vec_id 0..7
+_PQ_QUERIES = 5  # probe vectors: vec_id 0..4
+_PQ_TOPK = 10
+
+
+def q246_pq_ann(spark, sf_dir):
+    """Product-quantized approximate nearest neighbor with asymmetric
+    distance computation (ADC), end-to-end in exact integers: vectors
+    are milli-quantized (the house ROUND(x*1000) fixed-point), split
+    into 4 x 16-dim subspaces, coded against a deterministic codebook
+    (the subvectors of vec_id 0..7), and probes score corpus vectors by
+    summing 4 precomputed query->centroid partial distances — never
+    touching the original vectors.
+
+    This is the memory-bound ANN shape for 100 TB: the corpus collapses
+    to 4 bytes/vector of codes (16x smaller than even int8), the
+    codebook and the per-query ADC lookup table (queries x 32 rows) are
+    broadcast, and scoring is a broadcast-join + one aggregate — no
+    pair shuffle, no full-vector scan at query time. Codebook training
+    here is nearest-seed assignment (deterministic for the oracle); the
+    k-means refinement loop q101 uses would slot in unchanged.
+
+    Top-10 per probe by ADC distance, ties broken by corpus id.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr(
+            "transform(embedding,"
+            " x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT))"
+        ).alias("mv"),
+    )
+    sub = emb.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).cast("long").alias("s"),
+                        F.slice(
+                            F.col("mv"), s * _PQ_SUBDIM + 1, _PQ_SUBDIM
+                        ).alias("sv"),
+                    )
+                    for s in range(_PQ_SUBSPACES)
+                ]
+            )
+        ).alias("e"),
+    ).select("vec_id", F.col("e.s").alias("s"), F.col("e.sv").alias("sv"))
+    codebook = (
+        sub.where(F.col("vec_id") < _PQ_CENTROIDS)
+        .select(
+            F.col("vec_id").alias("cid"), "s", F.col("sv").alias("cv")
+        )
+    )
+    l2sq = (
+        "aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)),"
+        " CAST(0 AS BIGINT), (acc, d) -> acc + d)"
+    )
+    w_assign = Window.partitionBy("vec_id", "s").orderBy("dist", "cid")
+    codes = (
+        sub.join(F.broadcast(codebook), "s")
+        .select(
+            "vec_id",
+            "s",
+            "cid",
+            F.expr(l2sq.format(a="sv", b="cv")).alias("dist"),
+        )
+        .withColumn("rn", F.row_number().over(w_assign))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "s", F.col("cid").alias("code"))
+    )
+    # per-query ADC lookup: distance from each query subvector to each
+    # codebook centroid — queries x subspaces x centroids rows, broadcast
+    adc = (
+        sub.where(F.col("vec_id") < _PQ_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), "s", "sv")
+        .join(F.broadcast(codebook), "s")
+        .select(
+            "query_id",
+            "s",
+            F.col("cid").alias("code"),
+            F.expr(l2sq.format(a="sv", b="cv")).alias("pdist"),
+        )
+    )
+    corpus_codes = codes.where(F.col("vec_id") >= _PQ_CENTROIDS)
+    w_rank = Window.partitionBy("query_id").orderBy("dist_adc", "vec_id")
+    return (
+        corpus_codes.join(F.broadcast(adc), ["s", "code"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("pdist").cast("long").alias("dist_adc"))
+        .withColumn("rank", F.row_number().over(w_rank))
+        .where(F.col("rank") <= _PQ_TOPK)
+        .select("query_id", "vec_id", "dist_adc", "rank")
+    )
+
+
+SKETCH_QUERIES["q246_pq_ann"] = q246_pq_ann
+
+_PQ_L2_SQL = (
+    "CAST(list_sum(list_transform(generate_series(1, {n}),"
+    " i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))) AS BIGINT)"
+)
+
+SKETCH_ORACLES["q246_pq_ann"] = f"""
+    WITH emb AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(ROUND(x * 1000, 0) AS BIGINT)) AS mv
+      FROM embeddings
+    ),
+    sub AS (
+      SELECT vec_id, CAST(s AS BIGINT) AS s,
+             mv[s * {_PQ_SUBDIM} + 1 : (s + 1) * {_PQ_SUBDIM}] AS sv
+      FROM emb, UNNEST(generate_series(0, {_PQ_SUBSPACES - 1})) AS u(s)
+    ),
+    codebook AS (
+      SELECT vec_id AS cid, s, sv AS cv FROM sub
+      WHERE vec_id < {_PQ_CENTROIDS}
+    ),
+    assign AS (
+      SELECT vec_id, s, cid,
+             {_PQ_L2_SQL.format(n=_PQ_SUBDIM, a="sv", b="cv")} AS dist
+      FROM sub JOIN codebook USING (s)
+    ),
+    codes AS (
+      SELECT vec_id, s, cid AS code FROM (
+        SELECT vec_id, s, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                  ORDER BY dist, cid) AS rn
+        FROM assign
+      ) WHERE rn = 1
+    ),
+    adc AS (
+      SELECT q.vec_id AS query_id, q.s, c.cid AS code,
+             {_PQ_L2_SQL.format(n=_PQ_SUBDIM, a="q.sv", b="c.cv")} AS pdist
+      FROM sub q JOIN codebook c USING (s)
+      WHERE q.vec_id < {_PQ_QUERIES}
+    ),
+    scored AS (
+      SELECT a.query_id, k.vec_id, CAST(SUM(a.pdist) AS BIGINT) AS dist_adc
+      FROM codes k
+      JOIN adc a ON a.s = k.s AND a.code = k.code
+      WHERE k.vec_id >= {_PQ_CENTROIDS}
+      GROUP BY a.query_id, k.vec_id
+    )
+    SELECT query_id, vec_id, dist_adc, rank FROM (
+      SELECT query_id, vec_id, dist_adc,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY dist_adc, vec_id) AS rank
+      FROM scored
+    ) WHERE rank <= {_PQ_TOPK}
+    ORDER BY query_id, rank
+"""
+
+
+# --- q247: multi-touch attribution -------------------------------------------
+
+
+def q247_attribution(spark, sf_dir):
+    """Multi-touch revenue attribution, exact to the cent: every
+    purchase's value is split across the user's click/view touchpoints
+    in the 24 h before it under TWO models — linear (equal credit,
+    largest-remainder so the cents sum exactly; most-recent touches get
+    the remainder) and last-touch (winner takes all). Purchases with no
+    touch in the window credit a 'direct' channel, so
+    sum(attributed) == sum(purchase cents) per model — the audit
+    invariant tests/test_sketches.py asserts.
+
+    Scale shape: one user-keyed range join bounded by the 24 h window
+    (touch fan-in per purchase is window-bounded, never the user's full
+    history), one window function per purchase group, one final
+    aggregate to models x channels. The range predicate rides the SMJ;
+    no pair term beyond the bounded window.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)").alias("cents"),
+    )
+    t = ev.where(F.col("event_type").isin("click", "view")).select(
+        F.col("event_id").alias("t_id"),
+        F.col("user_id").alias("t_user"),
+        F.col("ts").alias("t_ts"),
+        F.col("event_type").alias("channel"),
+    )
+    joined = p.join(
+        t,
+        (F.col("p_user") == F.col("t_user"))
+        & (F.col("t_ts") <= F.col("p_ts"))
+        & (F.col("t_ts") > F.expr("p_ts - INTERVAL 24 HOURS")),
+        "left",
+    )
+    w_p = Window.partitionBy("p_id")
+    w_rank = Window.partitionBy("p_id").orderBy(
+        F.col("t_ts").desc(), F.col("t_id")
+    )
+    credited = joined.select(
+        "p_id",
+        "cents",
+        F.coalesce("channel", F.lit("direct")).alias("channel"),
+        F.count("t_id").over(w_p).alias("n_touch"),
+        F.row_number().over(w_rank).alias("rn"),
+    ).select(
+        "p_id",
+        "channel",
+        F.when(F.col("n_touch") == 0, F.col("cents"))
+        .otherwise(
+            F.expr("cents div n_touch")
+            + F.when(
+                F.col("rn") <= F.expr("cents % n_touch"), F.lit(1)
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("linear_cents"),
+        F.when((F.col("n_touch") == 0) | (F.col("rn") == 1), F.col("cents"))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("last_cents"),
+    )
+    per_model = credited.select(
+        "channel",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("linear").alias("model"),
+                    F.col("linear_cents").alias("cents"),
+                ),
+                F.struct(
+                    F.lit("last_touch").alias("model"),
+                    F.col("last_cents").alias("cents"),
+                ),
+            )
+        ).alias("mc"),
+    ).select("channel", F.col("mc.model").alias("model"), F.col("mc.cents").alias("cents"))
+    return (
+        per_model.groupBy("model", "channel")
+        .agg(
+            F.sum("cents").cast("long").alias("attributed_cents"),
+            F.count("*").cast("long").alias("n_touchpoints"),
+        )
+        .orderBy("model", "channel")
+    )
+
+
+SKETCH_QUERIES["q247_attribution"] = q247_attribution
+
+SKETCH_ORACLES["q247_attribution"] = """
+    WITH p AS (
+      SELECT event_id AS p_id, user_id AS p_user, ts AS p_ts,
+             CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ),
+    t AS (
+      SELECT event_id AS t_id, user_id AS t_user, ts AS t_ts,
+             event_type AS channel
+      FROM events WHERE event_type IN ('click', 'view')
+    ),
+    joined AS (
+      SELECT p.p_id, p.cents, t.t_id, t.t_ts, t.channel
+      FROM p LEFT JOIN t
+        ON p.p_user = t.t_user AND t.t_ts <= p.p_ts
+       AND t.t_ts > p.p_ts - INTERVAL 24 HOUR
+    ),
+    windowed AS (
+      SELECT p_id, cents,
+             COALESCE(channel, 'direct') AS channel,
+             CAST(COUNT(t_id) OVER (PARTITION BY p_id) AS BIGINT)
+               AS n_touch,
+             ROW_NUMBER() OVER (PARTITION BY p_id
+                                ORDER BY t_ts DESC, t_id) AS rn
+      FROM joined
+    ),
+    credited AS (
+      SELECT p_id, channel,
+             CAST(CASE WHEN n_touch = 0 THEN cents
+                  ELSE cents // n_touch
+                       + CASE WHEN rn <= cents % n_touch THEN 1 ELSE 0 END
+             END AS BIGINT) AS linear_cents,
+             CAST(CASE WHEN n_touch = 0 OR rn = 1 THEN cents
+                  ELSE 0 END AS BIGINT) AS last_cents
+      FROM windowed
+    ),
+    per_model AS (
+      SELECT channel, 'linear' AS model, linear_cents AS cents
+      FROM credited
+      UNION ALL
+      SELECT channel, 'last_touch' AS model, last_cents AS cents
+      FROM credited
+    )
+    SELECT model, channel,
+           CAST(SUM(cents) AS BIGINT) AS attributed_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_touchpoints
+    FROM per_model GROUP BY model, channel
+    ORDER BY model, channel
+"""

@@ -95,6 +95,11 @@ HEADLINE = [
     "q219_interval_union",
     "q224_tokenizer_apply",
     "q231_exact_quantile_ladder",
+    # round-6 batch 2: the register-level HLL sketch (one-aggregate
+    # cardinality profile) and product-quantized ANN (4-byte codes +
+    # broadcast ADC lookup — the memory-bound similarity path)
+    "q241_hll_cardinality",
+    "q246_pq_ann",
 ]
 
 

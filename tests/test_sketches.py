@@ -1,0 +1,110 @@
+"""Semantic contracts for the sketch/retrieval family (q241–q246) —
+properties the DuckDB hash check can't see: the HLL estimate must land
+inside its theoretical error band, CMS estimates must upper-bound true
+counts, the k-core peel must be monotone, and PQ codes must reference
+only codebook entries."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from adhesive_spark.queries.sketch_queries import (
+    q241_hll_cardinality,
+    q242_cms_heavyhitters,
+    q243_bm25_retrieval,
+    q245_kcore_peel,
+    q246_pq_ann,
+)
+
+SF = "/root/testdata/sf0.001"
+SF01 = "/root/testdata/sf0.01"
+
+
+def test_hll_error_within_band(spark):
+    row = q241_hll_cardinality(spark, SF01).collect()[0]
+    # m=64 => relative standard error 1.04/sqrt(64) = 13 %; allow 3 sigma
+    assert row["exact_distinct"] > 1000  # the target column is large
+    rel_err = abs(row["est_hll"] - row["exact_distinct"]) / row[
+        "exact_distinct"
+    ]
+    assert rel_err <= 3 * 1.04 / math.sqrt(64)
+    assert row["err_ppm"] == int(
+        abs(row["est_hll"] - row["exact_distinct"])
+        * 1_000_000
+        // row["exact_distinct"]
+    )
+
+
+def test_hll_registers_merge_associatively(spark):
+    """Sketching half the stream and max-merging registers must equal
+    sketching the whole stream — the property that makes HLL a ONE
+    aggregate distributed sketch."""
+    from adhesive_spark.operators.sketches import HLL_M, hash60
+    from adhesive_spark.sources.registry import load_table
+
+    li = load_table(spark, SF, "lineitem").select("l_orderkey")
+    h = hash60(F.col("l_orderkey"))
+    hashed = li.select(
+        (h % F.lit(HLL_M)).alias("bucket"),
+        F.shiftright(h, 6).alias("rem"),
+        (F.col("l_orderkey") % 2).alias("half"),
+    ).withColumn(
+        "rho",
+        F.when(F.col("rem") == 0, F.lit(55)).otherwise(
+            F.lit(55) - F.length(F.bin(F.col("rem"))).cast("long")
+        ),
+    )
+    whole = {
+        r["bucket"]: r["m"]
+        for r in hashed.groupBy("bucket").agg(F.max("rho").alias("m")).collect()
+    }
+    halves = (
+        hashed.groupBy("half", "bucket").agg(F.max("rho").alias("m")).collect()
+    )
+    merged: dict = {}
+    for r in halves:
+        merged[r["bucket"]] = max(merged.get(r["bucket"], 0), r["m"])
+    assert merged == whole
+
+
+def test_cms_never_undercounts(spark):
+    rows = q242_cms_heavyhitters(spark, SF01).collect()
+    assert len(rows) == 10
+    assert all(r["overcount"] >= 0 for r in rows)
+    assert all(r["est_cms"] == r["true_cnt"] + r["overcount"] for r in rows)
+    # width 16 over a ~30-token vocabulary must actually collide
+    assert any(r["overcount"] > 0 for r in rows)
+
+
+def test_bm25_scores_positive_and_ranked(spark):
+    rows = q243_bm25_retrieval(spark, SF01).collect()
+    assert 0 < len(rows) <= 15
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all(s > 0 for s in scores)
+
+
+def test_kcore_peel_monotone(spark):
+    rows = {r["round"]: r for r in q245_kcore_peel(spark, SF01).collect()}
+    assert list(rows) == [1, 2, 3]
+    for r in (2, 3):
+        assert rows[r]["n_edges"] <= rows[r - 1]["n_edges"]
+        assert rows[r]["n_nodes"] <= rows[r - 1]["n_nodes"]
+    # the chosen (k, qty-filter) actually cascades at sf0.01: every
+    # round removes something, so bounded iteration is exercised
+    assert rows[3]["n_edges"] < rows[1]["n_edges"]
+
+
+def test_pq_ann_codes_and_ranks(spark):
+    rows = q246_pq_ann(spark, SF01).collect()
+    by_q: dict = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {0, 1, 2, 3, 4}
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        dists = [r["dist_adc"] for r in rs]
+        assert dists == sorted(dists)
+        assert all(r["vec_id"] >= 8 for r in rs)  # codebook seeds excluded
+        assert all(r["dist_adc"] >= 0 for r in rs)

@@ -260,6 +260,12 @@ AUDITED = [
     "q238_bucketed_colocated_join",
     "q239_zipf_audit",
     "q240_hierarchical_share",
+    "q241_hll_cardinality",
+    "q242_cms_heavyhitters",
+    "q243_bm25_retrieval",
+    "q244_pmi_collocations",
+    "q245_kcore_peel",
+    "q246_pq_ann",
 ]
 
 
