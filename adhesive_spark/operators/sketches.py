@@ -47,6 +47,70 @@ def hash60(col: Column) -> Column:
     ).cast("long")
 
 
+def hll_registers(df: DataFrame, col: str) -> DataFrame:
+    """The 64-row HLL register table (bucket, m_j) for ``df[col]`` —
+    the mergeable state: registers from ANY partition of the stream
+    max-merge into the whole-stream registers (property-tested), which
+    is what makes this a one-aggregate distributed/streaming sketch."""
+    h = hash60(F.col(col))
+    return (
+        df.select(
+            (h % F.lit(HLL_M)).alias("bucket"),
+            F.shiftright(h, HLL_P).alias("_rem"),
+        )
+        .select(
+            "bucket",
+            F.when(F.col("_rem") == 0, F.lit(HLL_SCALE).cast("long"))
+            .otherwise(
+                F.lit(HLL_SCALE).cast("long")
+                - F.length(F.bin(F.col("_rem"))).cast("long")
+            )
+            .alias("rho"),
+        )
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("m_j"))
+    )
+
+
+def hll_estimate_from_registers(regs: DataFrame) -> DataFrame:
+    """One-row (m, nonempty, s_scaled, est_hll) from a register table —
+    the estimator half of :func:`hll_estimate`, shared with the
+    streaming register maintainer (streaming/ops.py)."""
+    summed = regs.agg(
+        F.count("*").cast("long").alias("nonempty"),
+        F.sum(
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), CAST({HLL_SCALE} - m_j AS INT))"
+            )
+        )
+        .cast("long")
+        .alias("s_nonempty"),
+    )
+    return summed.select(
+        F.lit(HLL_M).cast("long").alias("m"),
+        "nonempty",
+        (
+            F.col("s_nonempty")
+            + (F.lit(HLL_M) - F.col("nonempty"))
+            * F.lit(1 << HLL_SCALE).cast("long")
+        ).alias("s_scaled"),
+    ).select(
+        "m",
+        "nonempty",
+        "s_scaled",
+        # alpha * m^2 * 2^SCALE overflows BIGINT, so the numerator is
+        # carried in DECIMAL(38,0) (HUGEINT on the oracle side) and
+        # BOTH divisions happen last — the early-division factoring
+        # loses the whole estimate to truncation (2^SCALE div S is a
+        # single-digit quotient here).
+        F.expr(
+            f"CAST(((CAST({HLL_ALPHA_PPM} AS DECIMAL(38,0))"
+            f" * {HLL_M} * {HLL_M} * {1 << HLL_SCALE})"
+            f" div s_scaled) div 1000000 AS BIGINT)"
+        ).alias("est_hll"),
+    )
+
+
 def hll_estimate(df: DataFrame, col: str) -> DataFrame:
     """One-row HyperLogLog cardinality estimate over ``df[col]``.
 
@@ -68,75 +132,22 @@ def hll_estimate(df: DataFrame, col: str) -> DataFrame:
     all BIGINT. ``exact_distinct`` is computed alongside (one extra
     distinct agg) so the query doubles as its own error audit.
     """
-    h = hash60(F.col(col))
-    hashed = df.select(
-        (h % F.lit(HLL_M)).alias("bucket"),
-        F.shiftright(h, HLL_P).alias("_rem"),
-        F.expr(f"CAST({col} AS STRING)").alias("_raw"),
-    ).select(
-        "bucket",
-        # _rem has at most 54 bits; rho = leading zeros + 1
-        #     = (54 - length(bin(_rem))) + 1 = SCALE - length(bin(_rem)),
-        # with the all-zero remainder pinned to SCALE.
-        F.when(F.col("_rem") == 0, F.lit(HLL_SCALE).cast("long"))
-        .otherwise(
-            F.lit(HLL_SCALE).cast("long")
-            - F.length(F.bin(F.col("_rem"))).cast("long")
-        )
-        .alias("rho"),
-        "_raw",
-    )
-    regs = hashed.groupBy("bucket").agg(F.max("rho").alias("m_j"))
-    exact = hashed.agg(
-        F.countDistinct("_raw").cast("long").alias("exact_distinct")
-    )
-    summed = regs.agg(
-        F.count("*").cast("long").alias("nonempty"),
-        F.sum(
-            F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({HLL_SCALE} - m_j AS INT))")
-        )
+    base = hll_estimate_from_registers(hll_registers(df, col))
+    exact = df.agg(
+        F.countDistinct(F.expr(f"CAST({col} AS STRING)"))
         .cast("long")
-        .alias("s_nonempty"),
+        .alias("exact_distinct")
     )
-    return (
-        summed.crossJoin(F.broadcast(exact))
-        .select(
-            F.lit(HLL_M).cast("long").alias("m"),
-            "nonempty",
-            (
-                F.col("s_nonempty")
-                + (F.lit(HLL_M) - F.col("nonempty"))
-                * F.lit(1 << HLL_SCALE).cast("long")
-            ).alias("s_scaled"),
-            "exact_distinct",
-        )
-        .select(
-            "m",
-            "nonempty",
-            "s_scaled",
-            # alpha * m^2 * 2^SCALE overflows BIGINT, so the numerator
-            # is carried in DECIMAL(38,0) (HUGEINT on the oracle side)
-            # and BOTH divisions happen last — the early-division
-            # factoring loses the whole estimate to truncation
-            # (2^SCALE div S is a single-digit quotient here).
-            F.expr(
-                f"CAST(((CAST({HLL_ALPHA_PPM} AS DECIMAL(38,0))"
-                f" * {HLL_M} * {HLL_M} * {1 << HLL_SCALE})"
-                f" div s_scaled) div 1000000 AS BIGINT)"
-            ).alias("est_hll"),
-            "exact_distinct",
-        )
-        .select(
-            "m",
-            "nonempty",
-            "s_scaled",
-            "est_hll",
-            "exact_distinct",
-            F.expr(
-                "CAST(abs(est_hll - exact_distinct) * 1000000"
-                " div exact_distinct AS BIGINT)"
-            ).alias("err_ppm"),
-        )
+    return base.crossJoin(F.broadcast(exact)).select(
+        "m",
+        "nonempty",
+        "s_scaled",
+        "est_hll",
+        "exact_distinct",
+        F.expr(
+            "CAST(abs(est_hll - exact_distinct) * 1000000"
+            " div exact_distinct AS BIGINT)"
+        ).alias("err_ppm"),
     )
 
 

@@ -791,3 +791,211 @@ SKETCH_ORACLES["q247_attribution"] = """
     FROM per_model GROUP BY model, channel
     ORDER BY model, channel
 """
+
+
+# --- q248: IVF-PQ composed ANN -----------------------------------------------
+
+
+_IVFPQ_LISTS = 8  # coarse centroids: vec_id 8..15
+_IVFPQ_PROBE = 2  # lists probed per query
+
+
+def q248_ivfpq_ann(spark, sf_dir):
+    """IVF-PQ: the FAISS-style composition of a coarse inverted-file
+    partition (8 lists, probe 2) with product-quantized residual-free
+    codes — the standard billion-vector ANN architecture, here as pure
+    DataFrame algebra in exact integers.
+
+    Corpus vectors (vec_id >= 16) are assigned to their nearest coarse
+    centroid (vec_id 8..15, full 64-dim milli L2) AND coded in 4 x
+    16-dim PQ subspaces (codebook vec_id 0..7, as q246). A query probes
+    its 2 nearest lists only; candidates in those lists are scored by
+    the broadcast ADC lookup table. The two prunings compose: at 100 TB
+    the coarse assignment is the partition key (only probed partitions
+    are scanned — q83's SelectedBucketsCount machinery applies
+    unchanged) and each candidate costs 4 code lookups, not a 64-dim
+    scan. Top-10 per query; candidate sets are list-bounded so recall
+    is traded for the ~n_lists/n_probe scan reduction q152-style evals
+    would measure.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr(
+            "transform(embedding,"
+            " x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT))"
+        ).alias("mv"),
+    )
+    l2full = (
+        "aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)),"
+        " CAST(0 AS BIGINT), (acc, d) -> acc + d)"
+    )
+    coarse = emb.where(
+        (F.col("vec_id") >= _PQ_CENTROIDS)
+        & (F.col("vec_id") < _PQ_CENTROIDS + _IVFPQ_LISTS)
+    ).select(F.col("vec_id").alias("list_id"), F.col("mv").alias("lv"))
+    corpus = emb.where(F.col("vec_id") >= _PQ_CENTROIDS + _IVFPQ_LISTS)
+    w_list = Window.partitionBy("vec_id").orderBy("ldist", "list_id")
+    assigned = (
+        corpus.join(F.broadcast(coarse))
+        .select(
+            "vec_id",
+            "list_id",
+            F.expr(l2full.format(a="mv", b="lv")).alias("ldist"),
+        )
+        .withColumn("rn", F.row_number().over(w_list))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "list_id")
+    )
+    # PQ codes for the corpus (same construction as q246)
+    sub = emb.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).cast("long").alias("s"),
+                        F.slice(
+                            F.col("mv"), s * _PQ_SUBDIM + 1, _PQ_SUBDIM
+                        ).alias("sv"),
+                    )
+                    for s in range(_PQ_SUBSPACES)
+                ]
+            )
+        ).alias("e"),
+    ).select("vec_id", F.col("e.s").alias("s"), F.col("e.sv").alias("sv"))
+    codebook = sub.where(F.col("vec_id") < _PQ_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), "s", F.col("sv").alias("cv")
+    )
+    l2sq = l2full
+    w_assign = Window.partitionBy("vec_id", "s").orderBy("dist", "cid")
+    codes = (
+        sub.where(F.col("vec_id") >= _PQ_CENTROIDS + _IVFPQ_LISTS)
+        .join(F.broadcast(codebook), "s")
+        .select(
+            "vec_id",
+            "s",
+            "cid",
+            F.expr(l2sq.format(a="sv", b="cv")).alias("dist"),
+        )
+        .withColumn("rn", F.row_number().over(w_assign))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "s", F.col("cid").alias("code"))
+    )
+    # query side: probed lists + ADC lookup table, both broadcastable
+    queries = emb.where(F.col("vec_id") < _PQ_QUERIES)
+    w_probe = Window.partitionBy("query_id").orderBy("ldist", "list_id")
+    probed = (
+        queries.join(F.broadcast(coarse))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "list_id",
+            F.expr(l2full.format(a="mv", b="lv")).alias("ldist"),
+        )
+        .withColumn("rn", F.row_number().over(w_probe))
+        .where(F.col("rn") <= _IVFPQ_PROBE)
+        .select("query_id", "list_id")
+    )
+    adc = (
+        sub.where(F.col("vec_id") < _PQ_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), "s", "sv")
+        .join(F.broadcast(codebook), "s")
+        .select(
+            "query_id",
+            "s",
+            F.col("cid").alias("code"),
+            F.expr(l2sq.format(a="sv", b="cv")).alias("pdist"),
+        )
+    )
+    w_rank = Window.partitionBy("query_id").orderBy("dist_adc", "vec_id")
+    return (
+        assigned.join(F.broadcast(probed), "list_id")
+        .select("query_id", "vec_id")
+        .join(codes, "vec_id")
+        .join(F.broadcast(adc), ["query_id", "s", "code"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("pdist").cast("long").alias("dist_adc"))
+        .withColumn("rank", F.row_number().over(w_rank))
+        .where(F.col("rank") <= _PQ_TOPK)
+        .select("query_id", "vec_id", "dist_adc", "rank")
+    )
+
+
+SKETCH_QUERIES["q248_ivfpq_ann"] = q248_ivfpq_ann
+
+SKETCH_ORACLES["q248_ivfpq_ann"] = f"""
+    WITH emb AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(ROUND(x * 1000, 0) AS BIGINT)) AS mv
+      FROM embeddings
+    ),
+    coarse AS (
+      SELECT vec_id AS list_id, mv AS lv FROM emb
+      WHERE vec_id >= {_PQ_CENTROIDS}
+        AND vec_id < {_PQ_CENTROIDS + _IVFPQ_LISTS}
+    ),
+    assigned AS (
+      SELECT vec_id, list_id FROM (
+        SELECT e.vec_id, c.list_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_PQ_L2_SQL.format(n=64, a="e.mv", b="c.lv")},
+                          c.list_id) AS rn
+        FROM emb e CROSS JOIN coarse c
+        WHERE e.vec_id >= {_PQ_CENTROIDS + _IVFPQ_LISTS}
+      ) WHERE rn = 1
+    ),
+    sub AS (
+      SELECT vec_id, CAST(s AS BIGINT) AS s,
+             mv[s * {_PQ_SUBDIM} + 1 : (s + 1) * {_PQ_SUBDIM}] AS sv
+      FROM emb, UNNEST(generate_series(0, {_PQ_SUBSPACES - 1})) AS u(s)
+    ),
+    codebook AS (
+      SELECT vec_id AS cid, s, sv AS cv FROM sub
+      WHERE vec_id < {_PQ_CENTROIDS}
+    ),
+    codes AS (
+      SELECT vec_id, s, cid AS code FROM (
+        SELECT b.vec_id, b.s, c.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY b.vec_id, b.s
+                 ORDER BY {_PQ_L2_SQL.format(n=_PQ_SUBDIM, a="b.sv", b="c.cv")},
+                          c.cid) AS rn
+        FROM sub b JOIN codebook c USING (s)
+        WHERE b.vec_id >= {_PQ_CENTROIDS + _IVFPQ_LISTS}
+      ) WHERE rn = 1
+    ),
+    probed AS (
+      SELECT query_id, list_id FROM (
+        SELECT q.vec_id AS query_id, c.list_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {_PQ_L2_SQL.format(n=64, a="q.mv", b="c.lv")},
+                          c.list_id) AS rn
+        FROM emb q CROSS JOIN coarse c
+        WHERE q.vec_id < {_PQ_QUERIES}
+      ) WHERE rn <= {_IVFPQ_PROBE}
+    ),
+    adc AS (
+      SELECT q.vec_id AS query_id, q.s, c.cid AS code,
+             {_PQ_L2_SQL.format(n=_PQ_SUBDIM, a="q.sv", b="c.cv")} AS pdist
+      FROM sub q JOIN codebook c USING (s)
+      WHERE q.vec_id < {_PQ_QUERIES}
+    ),
+    scored AS (
+      SELECT p.query_id, a.vec_id, CAST(SUM(d.pdist) AS BIGINT) AS dist_adc
+      FROM assigned a
+      JOIN probed p ON a.list_id = p.list_id
+      JOIN codes k ON k.vec_id = a.vec_id
+      JOIN adc d ON d.query_id = p.query_id AND d.s = k.s
+                AND d.code = k.code
+      GROUP BY p.query_id, a.vec_id
+    )
+    SELECT query_id, vec_id, dist_adc, rank FROM (
+      SELECT query_id, vec_id, dist_adc,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY dist_adc, vec_id) AS rank
+      FROM scored
+    ) WHERE rank <= {_PQ_TOPK}
+    ORDER BY query_id, rank
+"""

@@ -639,3 +639,61 @@ def streaming_cdc_apply(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_hll_registers(
+    keys: DataFrame,
+    col: str,
+    state_path: str,
+    *,
+    checkpoint_path: str,
+):
+    """Streaming cardinality sketch: maintain the 64-register
+    HyperLogLog state (operators/sketches.py) across micro-batches by
+    MAX-merging each batch's registers into the snapshot — the fourth
+    member of the epoch-committed foreachBatch family (rollup ⊕, dedup
+    ingest, CDC apply, HLL max-merge).
+
+    This is the streaming payoff of register mergeability: per-batch
+    cost is one aggregate over the BATCH to ≤64 rows plus a 64-row
+    merge — a stream of any size maintains its distinct-count profile
+    with constant state and no key-level shuffle. Crash/replay
+    semantics are the `_epoch_guarded_snapshot` contract (committed
+    epoch dirs, replayed batches skipped). Replay-safety needs no
+    special casing here: max-merge is idempotent, but the epoch guard
+    still skips replays so the state write amplification stays one dir
+    per NEW epoch.
+
+    Read the estimate with :func:`read_hll_estimate`.
+    """
+    from adhesive_spark.operators.sketches import hll_registers
+
+    def _merge(batch_df: DataFrame, prev: DataFrame | None) -> DataFrame:
+        delta = hll_registers(batch_df, col)
+        if prev is None:
+            return delta
+        return (
+            delta.unionByName(prev)
+            .groupBy("bucket")
+            .agg(F.max("m_j").alias("m_j"))
+        )
+
+    return (
+        keys.writeStream.foreachBatch(
+            _epoch_guarded_snapshot(state_path, _merge)
+        )
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_hll_estimate(spark, state_path: str) -> DataFrame:
+    """One-row (m, nonempty, s_scaled, est_hll) from the committed
+    streaming register state — the same estimator the batch q241 uses,
+    so stream-then-estimate equals batch-estimate exactly (test)."""
+    from adhesive_spark.operators.sketches import (
+        hll_estimate_from_registers,
+    )
+
+    return hll_estimate_from_registers(read_rollup_state(spark, state_path))

@@ -14,6 +14,8 @@ from adhesive_spark.queries.sketch_queries import (
     q243_bm25_retrieval,
     q245_kcore_peel,
     q246_pq_ann,
+    q247_attribution,
+    q248_ivfpq_ann,
 )
 
 SF = "/root/testdata/sf0.001"
@@ -93,6 +95,50 @@ def test_kcore_peel_monotone(spark):
     # the chosen (k, qty-filter) actually cascades at sf0.01: every
     # round removes something, so bounded iteration is exercised
     assert rows[3]["n_edges"] < rows[1]["n_edges"]
+
+
+def test_attribution_conserves_revenue(spark):
+    """Both attribution models must distribute EXACTLY the total
+    purchase cents — the largest-remainder split and the direct-channel
+    fallback exist precisely for this invariant."""
+    from adhesive_spark.sources.registry import load_table
+
+    rows = q247_attribution(spark, SF01).collect()
+    total = {
+        r["model"]: sum(
+            x["attributed_cents"] for x in rows if x["model"] == r["model"]
+        )
+        for r in rows
+    }
+    purchases = (
+        load_table(spark, SF01, "events")
+        .where(F.col("event_type") == "purchase")
+        .select(F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)").alias("c"))
+        .agg(F.sum("c").alias("t"))
+        .collect()[0]["t"]
+    )
+    assert total["linear"] == purchases
+    assert total["last_touch"] == purchases
+    channels = {r["channel"] for r in rows}
+    assert channels <= {"click", "view", "direct"}
+    assert "direct" in channels  # sparse 24 h windows leave direct mass
+
+
+def test_ivfpq_subset_of_pq_universe(spark):
+    """IVF-PQ results use the same ADC distances as plain PQ wherever
+    both score a candidate — the coarse quantizer only PRUNES, it never
+    changes a surviving candidate's distance."""
+    pq = {
+        (r["query_id"], r["vec_id"]): r["dist_adc"]
+        for r in q246_pq_ann(spark, SF01).collect()
+    }
+    ivfpq = q248_ivfpq_ann(spark, SF01).collect()
+    assert len(ivfpq) > 0
+    for r in ivfpq:
+        assert r["vec_id"] >= 16  # corpus excludes codebook + coarse seeds
+        key = (r["query_id"], r["vec_id"])
+        if key in pq:
+            assert pq[key] == r["dist_adc"]
 
 
 def test_pq_ann_codes_and_ranks(spark):

@@ -667,3 +667,42 @@ def test_rollup_state_time_travel(spark, tmp_path_factory):
     assert latest == {1: 20} and prior == {1: 10}
     with pytest.raises(FileNotFoundError, match="not committed/retained"):
         read_rollup_state(spark, state, epoch=999)
+
+
+def test_streaming_hll_matches_batch(spark, sf_dir, event_stream_dir, tmp_path_factory):
+    """Stream the events in micro-batches, max-merge HLL registers per
+    epoch, then estimate from the committed state — must equal the
+    single-pass batch estimator bit-for-bit (register mergeability is
+    the whole streaming story)."""
+    from adhesive_spark.operators.sketches import (
+        hll_estimate_from_registers,
+        hll_registers,
+    )
+    from adhesive_spark.streaming.ops import (
+        read_hll_estimate,
+        streaming_hll_registers,
+    )
+
+    base = tmp_path_factory.mktemp("hll_stream")
+    state, ckpt = str(base / "state"), str(base / "ckpt")
+    batch_events = spark.read.parquet(event_stream_dir)
+    # maxFilesPerTrigger forces multiple micro-batches → real merging
+    stream = (
+        spark.readStream.schema(batch_events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(event_stream_dir)
+    )
+    q = streaming_hll_registers(
+        stream, "user_id", state, checkpoint_path=ckpt
+    )
+    assert q.awaitTermination(120), "stream did not drain in 120s"
+
+    got = read_hll_estimate(spark, state).collect()[0]
+    want = hll_estimate_from_registers(
+        hll_registers(batch_events, "user_id")
+    ).collect()[0]
+    assert got.asDict() == want.asDict()
+    # 150 distinct users: estimator is in linear-counting territory, so
+    # just sanity-band the estimate rather than assert tight error
+    assert 0 < got["est_hll"] < 1000
+    assert got["nonempty"] <= got["m"]

@@ -266,6 +266,8 @@ AUDITED = [
     "q244_pmi_collocations",
     "q245_kcore_peel",
     "q246_pq_ann",
+    "q247_attribution",
+    "q248_ivfpq_ann",
 ]
 
 

@@ -279,6 +279,46 @@ def main() -> None:
         n_events * reps,
     )
 
+    # HLL register build at scale: replication REMAPS ids (id·reps+copy),
+    # so true cardinality grows N× while sketch state stays 64 registers
+    # — the whole value proposition. One hash aggregate, map-side
+    # combining collapses each partition to ≤64 (bucket, max-rho) rows
+    # before the shuffle; cost must stay linear in the stream with a
+    # constant-size shuffle payload. (The exact-distinct twin q241
+    # carries for its error audit is exactly the full-key shuffle this
+    # path exists to avoid, so it is deliberately NOT in the stress.)
+    from adhesive_spark.operators.sketches import HLL_M, HLL_SCALE, hash60
+
+    big_keys = replicate(
+        load_table(spark, sf_dir, "lineitem").select(
+            F.col("l_orderkey").alias("k")
+        ),
+        "k",
+        reps,
+    )
+    h = hash60(F.col("k"))
+
+    def _hll_registers():
+        return (
+            big_keys.select(
+                (h % F.lit(HLL_M)).alias("bucket"),
+                F.shiftright(h, 6).alias("rem"),
+            )
+            .select(
+                "bucket",
+                F.when(F.col("rem") == 0, F.lit(HLL_SCALE))
+                .otherwise(
+                    F.lit(HLL_SCALE) - F.length(F.bin(F.col("rem"))).cast("long")
+                )
+                .alias("rho"),
+            )
+            .groupBy("bucket")
+            .agg(F.max("rho").alias("m_j"))
+        )
+
+    n_li = load_table(spark, sf_dir, "lineitem").count()
+    run("hll_registers", _hll_registers, n_li * reps)
+
     total = round(sum(o["sec"] for o in ops.values()), 2)
     print(
         json.dumps(
