@@ -278,3 +278,63 @@ def cms_probe(sketch: DataFrame, probes: DataFrame, col: str) -> DataFrame:
         .groupBy(col)
         .agg(F.min("cnt").cast("long").alias("est_cms"))
     )
+
+
+def hll_estimate_grouped(
+    df: DataFrame, col: str, group_cols: list[str]
+) -> DataFrame:
+    """Per-group HLL estimates: registers keyed by (group, bucket) —
+    the rollup form. Each group carries its own 64-register state, so a
+    100 TB per-source cardinality profile is ONE aggregate to
+    |groups|*64 rows; group estimates merge upward by the same max rule
+    (the mergeable-HLL rollup q90 demonstrates with DataSketches, here
+    rebuilt at register level). Output per group: nonempty, s_scaled,
+    est_hll — exact-twin columns are the caller's to add."""
+    h = hash60(F.col(col))
+    regs = (
+        df.select(
+            *group_cols,
+            (h % F.lit(HLL_M)).alias("bucket"),
+            F.shiftright(h, HLL_P).alias("_rem"),
+        )
+        .select(
+            *group_cols,
+            "bucket",
+            F.when(F.col("_rem") == 0, F.lit(HLL_SCALE).cast("long"))
+            .otherwise(
+                F.lit(HLL_SCALE).cast("long")
+                - F.length(F.bin(F.col("_rem"))).cast("long")
+            )
+            .alias("rho"),
+        )
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rho").alias("m_j"))
+    )
+    summed = regs.groupBy(*group_cols).agg(
+        F.count("*").cast("long").alias("nonempty"),
+        F.sum(
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), CAST({HLL_SCALE} - m_j AS INT))"
+            )
+        )
+        .cast("long")
+        .alias("s_nonempty"),
+    )
+    return summed.select(
+        *group_cols,
+        "nonempty",
+        (
+            F.col("s_nonempty")
+            + (F.lit(HLL_M) - F.col("nonempty"))
+            * F.lit(1 << HLL_SCALE).cast("long")
+        ).alias("s_scaled"),
+    ).select(
+        *group_cols,
+        "nonempty",
+        "s_scaled",
+        F.expr(
+            f"CAST(((CAST({HLL_ALPHA_PPM} AS DECIMAL(38,0))"
+            f" * {HLL_M} * {HLL_M} * {1 << HLL_SCALE})"
+            f" div s_scaled) div 1000000 AS BIGINT)"
+        ).alias("est_hll"),
+    )

@@ -165,69 +165,57 @@ def q243_bm25_retrieval(spark, sf_dir):
     discrimination here comes from tf and length normalization; on a
     real heavy-tailed vocabulary the same circuit spreads idf too).
 
-    Scale shape: one explode to (doc, term) counts for the 3 query
-    terms only (filter pushed below the explode-aggregate), df and
-    avgdl are 1-row/3-row broadcast sides, and the top-15 is a single
-    ORDER BY LIMIT over per-doc scores — no corpus-wide window, no
-    pair join. This is the scoring half of retrieval; q141/q149 hold
-    the inverted-index half.
+    Scale shape: ONE explode-aggregate produces dl and all three term
+    frequencies per doc (tf pivoted into columns, so the corpus is
+    shuffled once, by doc_id); df and avgdl reduce that table to 1-row
+    broadcast sides, scoring is a per-row expression over the same
+    table, and the top-15 is a TakeOrdered — no corpus-wide window, no
+    pair join, ~4 shuffles total. A doc with zero query-term hits
+    contributes 0 to every term and is filtered before ranking (the
+    oracle's (doc, term) tf table has the same membership). This is
+    the scoring half of retrieval; q141/q149 hold the inverted-index
+    half.
     """
     docs = load_table(spark, sf_dir, "documents")
     toked = docs.select(
         "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
     ).where(F.col("tok") != "")
-    dl = toked.groupBy("doc_id").agg(F.count("*").cast("long").alias("dl"))
-    stats = dl.agg(
+    per_doc = toked.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("dl"),
+        *[
+            F.sum(F.when(F.col("tok") == t, 1).otherwise(0))
+            .cast("long")
+            .alias(f"tf{i}")
+            for i, t in enumerate(_BM25_TERMS)
+        ],
+    )
+    stats = per_doc.agg(
         F.count("*").cast("long").alias("n_docs"),
         F.expr("CAST(sum(dl) * 1000 div count(*) AS BIGINT)").alias(
             "avgdl_milli"
         ),
+        *[
+            F.sum(F.when(F.col(f"tf{i}") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias(f"df{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
     )
-    terms = list(_BM25_TERMS)
-    tf = (
-        toked.where(F.col("tok").isin(terms))
-        .groupBy("doc_id", "tok")
-        .agg(F.count("*").cast("long").alias("tf"))
-    )
-    df_t = tf.groupBy("tok").agg(F.count("*").cast("long").alias("df"))
-    scored = (
-        tf.join(F.broadcast(df_t), "tok")
-        .join(F.broadcast(dl), "doc_id")
-        .crossJoin(F.broadcast(stats))
-        .select(
-            "doc_id",
-            "tok",
-            F.expr("CAST(length(bin(n_docs div df)) AS BIGINT)").alias(
-                "idf_q"
-            ),
-            F.expr("CAST(dl * 1000000 div avgdl_milli AS BIGINT)").alias(
-                "ratio_milli"
-            ),
-            "tf",
-        )
-        .select(
-            "doc_id",
-            "tok",
-            "idf_q",
-            F.expr(
-                "CAST(tf * 1000 + (1200 * (250 + (750 * ratio_milli)"
-                " div 1000)) div 1000 AS BIGINT)"
-            ).alias("denom_milli"),
-            "tf",
-        )
-        .select(
-            "doc_id",
-            (
-                F.col("idf_q")
-                * F.expr(
-                    "CAST(tf * 2200 * 1000000 div denom_milli AS BIGINT)"
-                )
-            ).alias("term_score"),
-        )
+    # per-term BM25 component; tf=0 contributes exactly 0, matching the
+    # oracle's (doc, term)-membership tf table
+    term_score = " + ".join(
+        f"(CAST(length(bin(n_docs div df{i})) AS BIGINT)"
+        f" * CAST(tf{i} * 2200 * 1000000 div (tf{i} * 1000"
+        f" + (1200 * (250 + (750 * (dl * 1000000 div avgdl_milli))"
+        f" div 1000)) div 1000) AS BIGINT))"
+        for i in range(len(_BM25_TERMS))
     )
     return (
-        scored.groupBy("doc_id")
-        .agg(F.sum("term_score").cast("long").alias("score"))
+        per_doc.where(
+            sum(F.col(f"tf{i}") for i in range(len(_BM25_TERMS))) > 0
+        )
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", F.expr(f"CAST({term_score} AS BIGINT)").alias("score"))
         .orderBy(F.col("score").desc(), F.col("doc_id"))
         .limit(15)
     )
@@ -998,4 +986,380 @@ SKETCH_ORACLES["q248_ivfpq_ann"] = f"""
       FROM scored
     ) WHERE rank <= {_PQ_TOPK}
     ORDER BY query_id, rank
+"""
+
+
+# --- q249: per-group HLL rollup ----------------------------------------------
+
+
+def q249_hll_per_group(spark, sf_dir):
+    """Per-supplier distinct-part cardinality via GROUPED HyperLogLog:
+    each supplier carries its own 64-register state keyed
+    (supplier, bucket) — one aggregate to |suppliers|*64 rows — next to
+    the exact distinct twin and per-group error ppm. This is the rollup
+    form of q241: group registers max-merge upward into region/global
+    estimates without rescanning (the property q90 demonstrates with
+    DataSketches HLL unions, here rebuilt at register level and
+    bit-exact vs the oracle).
+
+    Scale shape: the grouped sketch is one (group, bucket) hash
+    aggregate — state is groups x 64 however large the fact stream is;
+    the exact twin's distinct shuffle is carried only for the audit.
+    """
+    from adhesive_spark.operators.sketches import hll_estimate_grouped
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_partkey"
+    )
+    est = hll_estimate_grouped(li, "l_partkey", ["l_suppkey"])
+    exact = li.groupBy("l_suppkey").agg(
+        F.countDistinct(F.expr("CAST(l_partkey AS STRING)"))
+        .cast("long")
+        .alias("exact_distinct")
+    )
+    return (
+        est.join(exact, "l_suppkey")
+        .select(
+            "l_suppkey",
+            "nonempty",
+            "s_scaled",
+            "est_hll",
+            "exact_distinct",
+            F.expr(
+                "CAST(abs(est_hll - exact_distinct) * 1000000"
+                " div exact_distinct AS BIGINT)"
+            ).alias("err_ppm"),
+        )
+        .orderBy("l_suppkey")
+    )
+
+
+SKETCH_QUERIES["q249_hll_per_group"] = q249_hll_per_group
+
+
+def _hll_grouped_oracle(group: str) -> str:
+    from adhesive_spark.operators.sketches import (
+        _HASH_HEX_CHARS,
+        HLL_ALPHA_PPM,
+        HLL_M,
+        HLL_P,
+        HLL_SCALE,
+    )
+
+    return f"""
+    WITH hashed AS (
+      SELECT {group}, h % {HLL_M} AS bucket,
+             CASE WHEN (h >> {HLL_P}) = 0
+                  THEN CAST({HLL_SCALE} AS BIGINT)
+                  ELSE CAST({HLL_SCALE} AS BIGINT)
+                       - CAST(length(bin(h >> {HLL_P})) AS BIGINT)
+             END AS rho,
+             raw
+      FROM (
+        SELECT {group},
+               CAST(('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1,
+                                    {_HASH_HEX_CHARS})) AS BIGINT) AS h,
+               CAST(l_partkey AS VARCHAR) AS raw
+        FROM lineitem
+      )
+    ),
+    regs AS (
+      SELECT {group}, bucket, MAX(rho) AS m_j
+      FROM hashed GROUP BY {group}, bucket
+    ),
+    summed AS (
+      SELECT {group}, CAST(COUNT(*) AS BIGINT) AS nonempty,
+             CAST(SUM(CAST(1 AS BIGINT) << CAST({HLL_SCALE} - m_j AS INT))
+                  AS BIGINT) AS s_nonempty
+      FROM regs GROUP BY {group}
+    ),
+    wide AS (
+      SELECT {group}, nonempty,
+             s_nonempty + ({HLL_M} - nonempty)
+               * (CAST(1 AS BIGINT) << {HLL_SCALE}) AS s_scaled
+      FROM summed
+    ),
+    est AS (
+      SELECT {group}, nonempty, s_scaled,
+             CAST(((CAST({HLL_ALPHA_PPM} AS HUGEINT)
+                    * {HLL_M} * {HLL_M} * {1 << HLL_SCALE})
+                   // s_scaled) // 1000000 AS BIGINT) AS est_hll
+      FROM wide
+    ),
+    exact AS (
+      SELECT {group}, CAST(COUNT(DISTINCT raw) AS BIGINT)
+               AS exact_distinct
+      FROM hashed GROUP BY {group}
+    )
+    SELECT e.{group}, e.nonempty, e.s_scaled, e.est_hll,
+           x.exact_distinct,
+           CAST(abs(e.est_hll - x.exact_distinct) * 1000000
+                // x.exact_distinct AS BIGINT) AS err_ppm
+    FROM est e JOIN exact x USING ({group})
+    ORDER BY e.{group}
+    """
+
+
+SKETCH_ORACLES["q249_hll_per_group"] = _hll_grouped_oracle("l_suppkey")
+
+
+# --- q250: basket affinity (co-visitation) -----------------------------------
+
+
+def q250_basket_affinity(spark, sf_dir):
+    """Market-basket affinity over clickstreams: which item pairs
+    (the ``k`` property of click events) are clicked by the SAME user
+    disproportionately often. Support = co-clicking users, lift in ppm
+    over independent popularity (per-user presence, mirrored division
+    order). The complement of q244's ADJACENCY collocations: baskets
+    ignore order and distance.
+
+    Scale shape: distinct (user, item) presence first (one aggregate —
+    this is the dedup that keeps the pair join basket-bounded), then a
+    per-user self-join bounded by basket size (66 pairs per 12-item
+    basket, never user-count x items), two broadcastable marginals,
+    top-20. At 100 TB the basket-size bound is the contract: pair
+    volume is sum_u C(b_u, 2) — heavy users need basket caps (q71's
+    per-domain cap composes here).
+    """
+    clicks = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.regexp_extract(F.col("props"), '"k": ([0-9]+)', 1)
+            .cast("long")
+            .alias("item"),
+        )
+        .distinct()
+    )
+    a, b = clicks.alias("a"), clicks.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.item") < F.col("b.item")),
+        )
+        .groupBy(F.col("a.item").alias("x"), F.col("b.item").alias("y"))
+        .agg(F.count("*").cast("long").alias("c_xy"))
+    )
+    pop = clicks.groupBy("item").agg(
+        F.count("*").cast("long").alias("c_i")
+    )
+    n_users = clicks.select("user_id").distinct().agg(
+        F.count("*").cast("long").alias("n_users")
+    )
+    return (
+        pairs.where(F.col("c_xy") >= 3)
+        .join(
+            F.broadcast(pop.withColumnRenamed("item", "x").withColumnRenamed("c_i", "c_x")),
+            "x",
+        )
+        .join(
+            F.broadcast(pop.withColumnRenamed("item", "y").withColumnRenamed("c_i", "c_y")),
+            "y",
+        )
+        .crossJoin(F.broadcast(n_users))
+        .select(
+            "x",
+            "y",
+            "c_xy",
+            F.expr(
+                "CAST((c_xy * 1000000 div c_x) * n_users div c_y AS BIGINT)"
+            ).alias("lift_ppm"),
+        )
+        .orderBy(F.col("lift_ppm").desc(), F.col("x"), F.col("y"))
+        .limit(20)
+    )
+
+
+SKETCH_QUERIES["q250_basket_affinity"] = q250_basket_affinity
+
+SKETCH_ORACLES["q250_basket_affinity"] = """
+    WITH clicks AS (
+      SELECT DISTINCT user_id,
+             CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)
+               AS item
+      FROM events WHERE event_type = 'click'
+    ),
+    pairs AS (
+      SELECT a.item AS x, b.item AS y, CAST(COUNT(*) AS BIGINT) AS c_xy
+      FROM clicks a JOIN clicks b
+        ON a.user_id = b.user_id AND a.item < b.item
+      GROUP BY a.item, b.item
+    ),
+    pop AS (
+      SELECT item, CAST(COUNT(*) AS BIGINT) AS c_i
+      FROM clicks GROUP BY item
+    ),
+    nu AS (
+      SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+      FROM clicks
+    )
+    SELECT p.x, p.y, p.c_xy,
+           CAST((p.c_xy * 1000000 // px.c_i) * nu.n_users // py.c_i
+                AS BIGINT) AS lift_ppm
+    FROM pairs p
+    JOIN pop px ON p.x = px.item
+    JOIN pop py ON p.y = py.item
+    CROSS JOIN nu
+    WHERE p.c_xy >= 3
+    ORDER BY lift_ppm DESC, p.x, p.y LIMIT 20
+"""
+
+
+# --- q251: seasonal-naive forecast evaluation --------------------------------
+
+
+def q251_forecast_eval(spark, sf_dir):
+    """Seasonal-naive forecast baseline and its error, exact to the
+    cent: daily purchase revenue, forecast(d) = revenue(d - 7 days)
+    (the weekly-seasonality naive every real forecaster must beat),
+    scored by MAE in cents and MAPE in milli over the evaluable days.
+    Day arithmetic is epoch-day integers (``epoch_us div 86400e6``) so
+    both engines bucket identically — no calendar functions with
+    engine-specific week rules.
+
+    Scale shape: the fact stream collapses to one row per day in a
+    single aggregate; the lag-7 window and the error aggregate run on
+    that ~30-row table. The eval is one row — the dashboard scalar.
+    """
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase"
+    )
+    daily = ev.select(
+        F.expr("unix_micros(ts) div 86400000000").alias("day"),
+        F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)").alias("cents"),
+    ).groupBy("day").agg(F.sum("cents").cast("long").alias("rev"))
+    w = Window.orderBy("day")
+    scored = daily.select(
+        "day", "rev", F.lag("rev", 7).over(w).alias("fc")
+    ).where(F.col("fc").isNotNull())
+    return scored.agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.expr("CAST(sum(abs(rev - fc)) div count(*) AS BIGINT)").alias(
+            "mae_cents"
+        ),
+        F.expr(
+            "CAST(sum(abs(rev - fc) * 1000 div rev) div count(*) AS BIGINT)"
+        ).alias("mape_milli"),
+    )
+
+
+SKETCH_QUERIES["q251_forecast_eval"] = q251_forecast_eval
+
+SKETCH_ORACLES["q251_forecast_eval"] = """
+    WITH daily AS (
+      SELECT epoch_us(ts) // 86400000000 AS day,
+             CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+               AS rev
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY 1
+    ),
+    scored AS (
+      SELECT day, rev, LAG(rev, 7) OVER (ORDER BY day) AS fc
+      FROM daily
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(CAST(SUM(abs(rev - fc)) AS BIGINT)
+                // CAST(COUNT(*) AS BIGINT) AS BIGINT) AS mae_cents,
+           CAST(CAST(SUM(abs(rev - fc) * 1000 // rev) AS BIGINT)
+                // CAST(COUNT(*) AS BIGINT) AS BIGINT) AS mape_milli
+    FROM scored WHERE fc IS NOT NULL
+"""
+
+
+# --- q252: chi-square independence test --------------------------------------
+
+
+def q252_chisq_independence(spark, sf_dir):
+    """Pearson chi-square independence test (event_type x weekend) in
+    exact milli fixed point: per-cell terms ((o*N - r*c)^2 * 1000) /
+    (N * r * c) — the numerator square (~1e19) carried in
+    DECIMAL(38,0)/HUGEINT, every division last, so the statistic is
+    engine-exact. Weekend comes from epoch-day arithmetic
+    ((day + 3) % 7 >= 5; day 0 = Thursday), not calendar dow functions
+    whose week origin differs between engines.
+
+    The A/B-test shape: at 100 TB the contingency table is one
+    aggregate to |types| x 2 cells; the statistic is driver-free
+    arithmetic over that tiny table. chi2_milli >> the 9.49 critical
+    value (alpha=.05, dof=4) would flag a weekday-mix shift.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        (
+            (F.expr("unix_micros(ts) div 86400000000") + 3) % 7 >= 5
+        ).alias("is_weekend"),
+    )
+    cells = ev.groupBy("event_type", "is_weekend").agg(
+        F.count("*").cast("long").alias("o")
+    )
+    rows = cells.groupBy("event_type").agg(
+        F.sum("o").cast("long").alias("r")
+    )
+    cols = cells.groupBy("is_weekend").agg(
+        F.sum("o").cast("long").alias("c")
+    )
+    total = cells.agg(F.sum("o").cast("long").alias("n"))
+    terms = (
+        cells.join(F.broadcast(rows), "event_type")
+        .join(F.broadcast(cols), "is_weekend")
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.expr(
+                "CAST((CAST(o * n - r * c AS DECIMAL(38,0))"
+                " * (o * n - r * c) * 1000)"
+                " div (n * r * c) AS BIGINT)"
+            ).alias("term_milli"),
+            "n",
+        )
+    )
+    return terms.groupBy("n").agg(
+        F.count("*").cast("long").alias("n_cells"),
+        F.sum("term_milli").cast("long").alias("chi2_milli"),
+    ).select(
+        F.col("n").alias("n_events"),
+        "n_cells",
+        F.expr("CAST((n_cells div 2 - 1) * (2 - 1) AS BIGINT)").alias("dof"),
+        "chi2_milli",
+    )
+
+
+SKETCH_QUERIES["q252_chisq_independence"] = q252_chisq_independence
+
+SKETCH_ORACLES["q252_chisq_independence"] = """
+    WITH ev AS (
+      SELECT event_type,
+             ((epoch_us(ts) // 86400000000 + 3) % 7) >= 5 AS is_weekend
+      FROM events
+    ),
+    cells AS (
+      SELECT event_type, is_weekend, CAST(COUNT(*) AS BIGINT) AS o
+      FROM ev GROUP BY event_type, is_weekend
+    ),
+    r AS (
+      SELECT event_type, CAST(SUM(o) AS BIGINT) AS r
+      FROM cells GROUP BY event_type
+    ),
+    c AS (
+      SELECT is_weekend, CAST(SUM(o) AS BIGINT) AS c
+      FROM cells GROUP BY is_weekend
+    ),
+    t AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells),
+    terms AS (
+      SELECT CAST((CAST(ce.o * t.n - r.r * c.c AS HUGEINT)
+                   * (ce.o * t.n - r.r * c.c) * 1000)
+                  // (t.n * r.r * c.c) AS BIGINT) AS term_milli,
+             t.n
+      FROM cells ce
+      JOIN r ON ce.event_type = r.event_type
+      JOIN c ON ce.is_weekend = c.is_weekend
+      CROSS JOIN t
+    )
+    SELECT n AS n_events,
+           CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST((COUNT(*) // 2 - 1) * (2 - 1) AS BIGINT) AS dof,
+           CAST(SUM(term_milli) AS BIGINT) AS chi2_milli
+    FROM terms GROUP BY n
 """

@@ -154,3 +154,119 @@ def test_pq_ann_codes_and_ranks(spark):
         assert dists == sorted(dists)
         assert all(r["vec_id"] >= 8 for r in rs)  # codebook seeds excluded
         assert all(r["dist_adc"] >= 0 for r in rs)
+
+
+def test_hll_grouped_rollup_merges_to_global(spark):
+    """Max-merging the per-group registers must reproduce the GLOBAL
+    register table — the rollup property that lets per-source estimates
+    aggregate upward without a rescan."""
+    from adhesive_spark.operators.sketches import hash60, HLL_M
+    from adhesive_spark.sources.registry import load_table
+
+    li = load_table(spark, SF, "lineitem").select("l_suppkey", "l_partkey")
+    h = hash60(F.col("l_partkey"))
+    hashed = li.select(
+        "l_suppkey",
+        (h % F.lit(HLL_M)).alias("bucket"),
+        F.shiftright(h, 6).alias("rem"),
+    ).withColumn(
+        "rho",
+        F.when(F.col("rem") == 0, F.lit(55)).otherwise(
+            F.lit(55) - F.length(F.bin(F.col("rem"))).cast("long")
+        ),
+    )
+    grouped = hashed.groupBy("l_suppkey", "bucket").agg(
+        F.max("rho").alias("m")
+    )
+    merged_up = {
+        r["bucket"]: r["m"]
+        for r in grouped.groupBy("bucket").agg(F.max("m").alias("m")).collect()
+    }
+    global_regs = {
+        r["bucket"]: r["m"]
+        for r in hashed.groupBy("bucket").agg(F.max("rho").alias("m")).collect()
+    }
+    assert merged_up == global_regs
+
+
+def test_basket_affinity_symmetric_support(spark):
+    from adhesive_spark.queries.sketch_queries import q250_basket_affinity
+
+    rows = q250_basket_affinity(spark, SF01).collect()
+    assert 0 < len(rows) <= 20
+    for r in rows:
+        assert r["x"] < r["y"]  # canonical pair orientation
+        assert r["c_xy"] >= 3
+        assert r["lift_ppm"] > 0
+    lifts = [r["lift_ppm"] for r in rows]
+    assert lifts == sorted(lifts, reverse=True)
+
+
+def test_forecast_eval_matches_python(spark):
+    """MAE/MAPE must equal a pandas replay of the same seasonal-naive
+    rule (guards the lag alignment and the integer division order)."""
+    from adhesive_spark.queries.sketch_queries import q251_forecast_eval
+    from adhesive_spark.sources.registry import load_table
+
+    got = q251_forecast_eval(spark, SF01).collect()[0]
+    pdf = (
+        load_table(spark, SF01, "events")
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.expr("unix_micros(ts) div 86400000000").alias("day"),
+            F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)").alias("cents"),
+        )
+        .groupBy("day")
+        .agg(F.sum("cents").alias("rev"))
+        .toPandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    rev = list(pdf["rev"])
+    pairs = [(rev[i], rev[i - 7]) for i in range(7, len(rev))]
+    mae = sum(abs(a - f) for a, f in pairs) // len(pairs)
+    mape = sum(abs(a - f) * 1000 // a for a, f in pairs) // len(pairs)
+    assert got["n_days"] == len(pairs)
+    assert got["mae_cents"] == mae
+    assert got["mape_milli"] == mape
+
+
+def test_chisq_matches_scipy_free_reference(spark):
+    """chi2_milli must equal a pure-Python contingency replay (no
+    scipy dependency): guards the N*o - r*c expansion and dof."""
+    from adhesive_spark.queries.sketch_queries import (
+        q252_chisq_independence,
+    )
+    from adhesive_spark.sources.registry import load_table
+
+    got = q252_chisq_independence(spark, SF01).collect()[0]
+    pdf = (
+        load_table(spark, SF01, "events")
+        .select(
+            "event_type",
+            (
+                (F.expr("unix_micros(ts) div 86400000000") + 3) % 7 >= 5
+            ).alias("w"),
+        )
+        .groupBy("event_type", "w")
+        .count()
+        .toPandas()
+    )
+    cells = {
+        (r["event_type"], r["w"]): r["count"]
+        for r in pdf.to_dict("records")
+    }
+    n = sum(cells.values())
+    rtot: dict = {}
+    ctot: dict = {}
+    for (et, w), o in cells.items():
+        rtot[et] = rtot.get(et, 0) + o
+        ctot[w] = ctot.get(w, 0) + o
+    chi2 = sum(
+        ((o * n - rtot[et] * ctot[w]) ** 2 * 1000)
+        // (n * rtot[et] * ctot[w])
+        for (et, w), o in cells.items()
+    )
+    assert got["chi2_milli"] == chi2
+    assert got["n_events"] == n
+    assert got["dof"] == (len(rtot) - 1) * (len(ctot) - 1)

@@ -268,6 +268,10 @@ AUDITED = [
     "q246_pq_ann",
     "q247_attribution",
     "q248_ivfpq_ann",
+    "q249_hll_per_group",
+    "q250_basket_affinity",
+    "q251_forecast_eval",
+    "q252_chisq_independence",
 ]
 
 
