@@ -1363,3 +1363,336 @@ SKETCH_ORACLES["q252_chisq_independence"] = """
            CAST(SUM(term_milli) AS BIGINT) AS chi2_milli
     FROM terms GROUP BY n
 """
+
+
+# --- q253: incremental join-view maintenance ---------------------------------
+
+
+def q253_delta_join_view(spark, sf_dir):
+    """Incremental view maintenance for a JOIN view, the classic
+    delta-rule: with V = A join B and inserts dA, dB,
+
+        dV  =  dA join B_old  UNION ALL  A_old join dB
+                              UNION ALL  dA join dB
+
+    (the three terms partition the new pairs by which side is new, so
+    they are disjoint — no dedup needed). The query materializes the
+    rule on orders join customer (deterministic hash split: ~6 % of
+    orders and ~9 % of customers play the role of the delta), counts
+    each term, and AUDITS the rule against the full recompute with a
+    portable-hash checksum over the join keys — maintenance vs
+    recompute must agree in count AND content, engine-exactly.
+
+    Scale shape: at 100 TB dV costs |dA| + |dB| worth of join work
+    against the (bucketed) old sides instead of re-joining the world —
+    THE argument for maintaining materialized views incrementally; the
+    checksum column is how a production maintainer would continuously
+    self-verify. 3 hash joins over delta-sized probes + 1 recompute
+    join (audit only) + tiny aggregates.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    a_new = F.col("o_orderkey") % 17 == 0
+    b_new = F.col("c_custkey") % 11 == 0
+    a_old, da = orders.where(~a_new), orders.where(a_new)
+    b_old, db = cust.where(~b_new), cust.where(b_new)
+
+    def _j(left, right):
+        return left.join(right, F.col("o_custkey") == F.col("c_custkey"))
+
+    def _sig(df, label):
+        # 31-bit portable row hash — summable over ~2^31 rows in BIGINT
+        return df.agg(
+            F.lit(label).alias("part"),
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.expr(f"conv(substring(md5(concat(CAST(o_orderkey AS STRING), ':', CAST(c_custkey AS STRING))), 1, 8), 16, 10) % 2147483647"))
+            .cast("long")
+            .alias("key_sum"),
+        )
+
+    v_old = _j(a_old, b_old)
+    d1, d2, d3 = _j(da, b_old), _j(a_old, db), _j(da, db)
+    incremental = v_old.unionAll(d1).unionAll(d2).unionAll(d3)
+    recompute = _j(orders, cust)
+    parts = (
+        _sig(v_old, "v_old")
+        .unionAll(_sig(d1, "delta_a"))
+        .unionAll(_sig(d2, "delta_b"))
+        .unionAll(_sig(d3, "delta_ab"))
+        .unionAll(_sig(incremental, "incremental"))
+        .unionAll(_sig(recompute, "recompute"))
+    )
+    return parts.orderBy("part")
+
+
+SKETCH_QUERIES["q253_delta_join_view"] = q253_delta_join_view
+
+_Q253_HASH = (
+    "CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || ':' ||"
+    " CAST(c_custkey AS VARCHAR)), 1, 8)) AS BIGINT) % 2147483647"
+)
+
+SKETCH_ORACLES["q253_delta_join_view"] = f"""
+    WITH a_old AS (SELECT o_orderkey, o_custkey FROM orders
+                   WHERE o_orderkey % 17 <> 0),
+    da AS (SELECT o_orderkey, o_custkey FROM orders
+           WHERE o_orderkey % 17 = 0),
+    b_old AS (SELECT c_custkey FROM customer WHERE c_custkey % 11 <> 0),
+    db AS (SELECT c_custkey FROM customer WHERE c_custkey % 11 = 0),
+    v_old AS (SELECT o_orderkey, c_custkey FROM a_old
+              JOIN b_old ON o_custkey = c_custkey),
+    d1 AS (SELECT o_orderkey, c_custkey FROM da
+           JOIN b_old ON o_custkey = c_custkey),
+    d2 AS (SELECT o_orderkey, c_custkey FROM a_old
+           JOIN db ON o_custkey = c_custkey),
+    d3 AS (SELECT o_orderkey, c_custkey FROM da
+           JOIN db ON o_custkey = c_custkey),
+    incr AS (
+      SELECT * FROM v_old UNION ALL SELECT * FROM d1
+      UNION ALL SELECT * FROM d2 UNION ALL SELECT * FROM d3
+    ),
+    reco AS (SELECT o_orderkey, c_custkey FROM orders
+             JOIN customer ON o_custkey = c_custkey),
+    sigs AS (
+      SELECT 'v_old' AS part, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM({_Q253_HASH}) AS BIGINT) AS key_sum FROM v_old
+      UNION ALL
+      SELECT 'delta_a', CAST(COUNT(*) AS BIGINT),
+             CAST(SUM({_Q253_HASH}) AS BIGINT) FROM d1
+      UNION ALL
+      SELECT 'delta_b', CAST(COUNT(*) AS BIGINT),
+             CAST(SUM({_Q253_HASH}) AS BIGINT) FROM d2
+      UNION ALL
+      SELECT 'delta_ab', CAST(COUNT(*) AS BIGINT),
+             CAST(SUM({_Q253_HASH}) AS BIGINT) FROM d3
+      UNION ALL
+      SELECT 'incremental', CAST(COUNT(*) AS BIGINT),
+             CAST(SUM({_Q253_HASH}) AS BIGINT) FROM incr
+      UNION ALL
+      SELECT 'recompute', CAST(COUNT(*) AS BIGINT),
+             CAST(SUM({_Q253_HASH}) AS BIGINT) FROM reco
+    )
+    SELECT part, n, key_sum FROM sigs ORDER BY part
+"""
+
+
+# --- q254: binary-decay momentum ---------------------------------------------
+
+
+def q254_decay_momentum(spark, sf_dir):
+    """Recency-weighted revenue momentum with BINARY decay — the
+    exp()-free EWMA: day d's revenue contributes ``cents >> age`` to
+    the momentum score (half-life = 1 day, exact integer shifts, ages
+    beyond 40 days contribute 0 by construction). Per event type:
+    momentum, the naive 40-day total, and momentum's share of total in
+    ppm — how front-loaded the recent activity is.
+
+    Scale shape: facts collapse to (type, day) in one aggregate; the
+    decay fold is a ~40-row-per-type expression against the broadcast
+    1-row max-day — no window over facts, no recursion (the standard
+    EWMA's sequential dependency is gone because 2^-k weights are
+    closed-form).
+    """
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("purchase", "click", "signup")
+    )
+    daily = ev.select(
+        "event_type",
+        F.expr("unix_micros(ts) div 86400000000").alias("day"),
+        F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)").alias("cents"),
+    ).groupBy("event_type", "day").agg(
+        F.sum("cents").cast("long").alias("rev")
+    )
+    mx = daily.agg(F.max("day").alias("max_day"))
+    return (
+        daily.crossJoin(F.broadcast(mx))
+        .where(F.expr("max_day - day < 40"))
+        .select(
+            "event_type",
+            F.expr(
+                "shiftright(rev, CAST(max_day - day AS INT))"
+            ).alias("decayed"),
+            "rev",
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum("decayed").cast("long").alias("momentum"),
+            F.sum("rev").cast("long").alias("total_40d"),
+        )
+        .select(
+            "event_type",
+            "momentum",
+            "total_40d",
+            F.expr("CAST(momentum * 1000000 div total_40d AS BIGINT)").alias(
+                "front_load_ppm"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+SKETCH_QUERIES["q254_decay_momentum"] = q254_decay_momentum
+
+SKETCH_ORACLES["q254_decay_momentum"] = """
+    WITH daily AS (
+      SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+             CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+               AS rev
+      FROM events
+      WHERE event_type IN ('purchase', 'click', 'signup')
+      GROUP BY 1, 2
+    ),
+    mx AS (SELECT MAX(day) AS max_day FROM daily),
+    decayed AS (
+      SELECT event_type, rev >> CAST(max_day - day AS INT) AS decayed,
+             rev
+      FROM daily CROSS JOIN mx
+      WHERE max_day - day < 40
+    )
+    SELECT event_type,
+           CAST(SUM(decayed) AS BIGINT) AS momentum,
+           CAST(SUM(rev) AS BIGINT) AS total_40d,
+           CAST(CAST(SUM(decayed) AS BIGINT) * 1000000
+                // CAST(SUM(rev) AS BIGINT) AS BIGINT) AS front_load_ppm
+    FROM decayed GROUP BY event_type
+    ORDER BY event_type
+"""
+
+
+# --- q255: bitmap index intersection -----------------------------------------
+
+
+def q255_bitmap_index(spark, sf_dir):
+    """Bitmap-index boolean retrieval: per token, the docs containing
+    it are packed into 62-bit words (block = doc_id div 62, word =
+    bit_or(1 << doc_id mod 62) — 62 dodges the sign bit in both
+    engines), and "docs containing BOTH 'hash' AND 'join'" becomes
+    popcount(w1 & w2) summed over co-present blocks — the classic OLAP
+    bitmap AND, with OR handled via inclusion-exclusion so absent
+    blocks need no outer join. The exact distinct-doc intersection is
+    computed alongside and must EQUAL the bitmap answer (bitmaps are a
+    lossless index, not a sketch) — the equality is part of the output.
+
+    Scale shape: bitmap build is one (token, block) aggregate with
+    map-side bit_or combining — the posting list compresses 62:1
+    against an id list before the shuffle; the AND/OR query touches
+    only the two tokens' words. At 100 TB this is the word-aligned
+    core of a roaring-style index.
+    """
+    t1, t2 = "hash", "join"
+    docs = load_table(spark, sf_dir, "documents")
+    toked = (
+        docs.select(
+            "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+        )
+        .where(F.col("tok").isin(t1, t2))
+        .distinct()
+        # feeds FOUR consumers (both word maps, per-token counts, the
+        # exact AND audit) — materialize the tiny (doc, tok) presence
+        # set once or Catalyst re-derives the corpus explode per
+        # consumer (23 s -> ~4 s at sf0.01; q131/q245 policy)
+        .localCheckpoint(eager=True)
+    )
+    words = toked.select(
+        "tok",
+        F.expr("doc_id div 62").alias("block"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(doc_id % 62 AS INT))").alias(
+            "bit"
+        ),
+    ).groupBy("tok", "block").agg(F.expr("bit_or(bit)").alias("w"))
+    w1 = words.where(F.col("tok") == t1).select(
+        "block", F.col("w").alias("w1")
+    )
+    w2 = words.where(F.col("tok") == t2).select(
+        "block", F.col("w").alias("w2")
+    )
+    bitmap = (
+        w1.join(w2, "block")
+        .agg(
+            F.sum(F.expr("bit_count(w1 & w2)")).cast("long").alias(
+                "and_docs"
+            ),
+        )
+    )
+    counts = words.groupBy("tok").agg(
+        F.sum(F.expr("bit_count(w)")).cast("long").alias("docs"),
+        F.count("*").cast("long").alias("blocks"),
+    )
+    c1 = counts.where(F.col("tok") == t1).select(
+        F.col("docs").alias("docs_t1"), F.col("blocks").alias("blocks_t1")
+    )
+    c2 = counts.where(F.col("tok") == t2).select(
+        F.col("docs").alias("docs_t2"), F.col("blocks").alias("blocks_t2")
+    )
+    exact = (
+        toked.groupBy("doc_id")
+        .agg(F.countDistinct("tok").alias("k"))
+        .agg(
+            F.sum(F.when(F.col("k") == 2, 1).otherwise(0))
+            .cast("long")
+            .alias("and_docs_exact")
+        )
+    )
+    return (
+        bitmap.crossJoin(F.broadcast(c1))
+        .crossJoin(F.broadcast(c2))
+        .crossJoin(F.broadcast(exact))
+        .select(
+            "docs_t1",
+            "blocks_t1",
+            "docs_t2",
+            "blocks_t2",
+            "and_docs",
+            "and_docs_exact",
+            (F.col("docs_t1") + F.col("docs_t2") - F.col("and_docs")).alias(
+                "or_docs"
+            ),
+            (F.col("and_docs") == F.col("and_docs_exact"))
+            .cast("long")
+            .alias("lossless"),
+        )
+    )
+
+
+SKETCH_QUERIES["q255_bitmap_index"] = q255_bitmap_index
+
+SKETCH_ORACLES["q255_bitmap_index"] = f"""
+    WITH toked AS (
+      SELECT DISTINCT doc_id, tok FROM (
+        SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+      ) WHERE tok IN ('hash', 'join')
+    ),
+    words AS (
+      SELECT tok, doc_id // 62 AS block,
+             CAST(bit_or(CAST(1 AS BIGINT) << CAST(doc_id % 62 AS INT))
+                  AS BIGINT) AS w
+      FROM toked GROUP BY tok, doc_id // 62
+    ),
+    anded AS (
+      SELECT CAST(SUM(bit_count(a.w & b.w)) AS BIGINT) AS and_docs
+      FROM words a JOIN words b ON a.block = b.block
+      WHERE a.tok = 'hash' AND b.tok = 'join'
+    ),
+    counts AS (
+      SELECT tok, CAST(SUM(bit_count(w)) AS BIGINT) AS docs,
+             CAST(COUNT(*) AS BIGINT) AS blocks
+      FROM words GROUP BY tok
+    ),
+    exact AS (
+      SELECT CAST(SUM(CASE WHEN k = 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS and_docs_exact
+      FROM (SELECT doc_id, COUNT(DISTINCT tok) AS k
+            FROM toked GROUP BY doc_id)
+    )
+    SELECT c1.docs AS docs_t1, c1.blocks AS blocks_t1,
+           c2.docs AS docs_t2, c2.blocks AS blocks_t2,
+           a.and_docs, e.and_docs_exact,
+           c1.docs + c2.docs - a.and_docs AS or_docs,
+           CAST(a.and_docs = e.and_docs_exact AS BIGINT) AS lossless
+    FROM anded a
+    CROSS JOIN (SELECT docs, blocks FROM counts WHERE tok = 'hash') c1
+    CROSS JOIN (SELECT docs, blocks FROM counts WHERE tok = 'join') c2
+    CROSS JOIN exact e
+"""

@@ -697,3 +697,41 @@ def read_hll_estimate(spark, state_path: str) -> DataFrame:
     )
 
     return hll_estimate_from_registers(read_rollup_state(spark, state_path))
+
+
+def streaming_cms_counters(
+    items: DataFrame,
+    col: str,
+    state_path: str,
+    *,
+    checkpoint_path: str,
+):
+    """Streaming Count-Min maintenance: each micro-batch's D x W
+    counter table (operators/sketches.py) ADD-merges into the
+    epoch-committed snapshot — the additive sibling of
+    :func:`streaming_hll_registers` (max-merge). Per-batch cost is one
+    map-side-combining aggregate to <=64 counter rows plus a 64-row
+    merge; the frequency profile of an unbounded stream lives in
+    constant state. Probe the committed state with
+    ``operators.sketches.cms_probe`` via :func:`read_rollup_state`.
+    """
+    from adhesive_spark.operators.sketches import cms_build
+
+    def _merge(batch_df: DataFrame, prev: DataFrame | None) -> DataFrame:
+        delta = cms_build(batch_df, col)
+        if prev is None:
+            return delta
+        return (
+            delta.unionByName(prev)
+            .groupBy("r", "c")
+            .agg(F.sum("cnt").cast("long").alias("cnt"))
+        )
+
+    return (
+        items.writeStream.foreachBatch(
+            _epoch_guarded_snapshot(state_path, _merge)
+        )
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )

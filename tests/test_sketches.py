@@ -270,3 +270,44 @@ def test_chisq_matches_scipy_free_reference(spark):
     assert got["chi2_milli"] == chi2
     assert got["n_events"] == n
     assert got["dof"] == (len(rtot) - 1) * (len(ctot) - 1)
+
+
+def test_delta_join_view_rule_is_exact(spark):
+    """The three delta terms plus the old view must reproduce the full
+    recompute in count AND key checksum — the IVM contract."""
+    from adhesive_spark.queries.sketch_queries import q253_delta_join_view
+
+    parts = {
+        r["part"]: (r["n"], r["key_sum"])
+        for r in q253_delta_join_view(spark, SF01).collect()
+    }
+    assert set(parts) == {
+        "v_old", "delta_a", "delta_b", "delta_ab", "incremental", "recompute",
+    }
+    n_sum = sum(parts[p][0] for p in ("v_old", "delta_a", "delta_b", "delta_ab"))
+    k_sum = sum(parts[p][1] for p in ("v_old", "delta_a", "delta_b", "delta_ab"))
+    assert parts["incremental"] == (n_sum, k_sum)
+    assert parts["incremental"] == parts["recompute"]
+    assert parts["delta_a"][0] > 0 and parts["delta_b"][0] > 0
+
+
+def test_decay_momentum_bounds(spark):
+    from adhesive_spark.queries.sketch_queries import q254_decay_momentum
+
+    rows = q254_decay_momentum(spark, SF01).collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert 0 < r["momentum"] <= r["total_40d"]
+        assert 0 < r["front_load_ppm"] <= 1_000_000
+
+
+def test_bitmap_index_lossless(spark):
+    from adhesive_spark.queries.sketch_queries import q255_bitmap_index
+
+    r = q255_bitmap_index(spark, SF01).collect()[0]
+    assert r["lossless"] == 1
+    assert r["and_docs"] == r["and_docs_exact"]
+    assert r["or_docs"] >= max(r["docs_t1"], r["docs_t2"])
+    assert r["and_docs"] <= min(r["docs_t1"], r["docs_t2"])
+    # 62-bit packing: block counts can't exceed ceil(doc space / 62)
+    assert r["blocks_t1"] * 62 >= r["docs_t1"]

@@ -706,3 +706,55 @@ def test_streaming_hll_matches_batch(spark, sf_dir, event_stream_dir, tmp_path_f
     # just sanity-band the estimate rather than assert tight error
     assert 0 < got["est_hll"] < 1000
     assert got["nonempty"] <= got["m"]
+
+
+def test_streaming_cms_matches_batch(spark, sf_dir, event_stream_dir, tmp_path_factory):
+    """ADD-merged per-batch CMS counters must equal the one-pass batch
+    sketch exactly, and probes through the streamed state must match
+    batch probes — counter additivity end-to-end."""
+    from adhesive_spark.operators.sketches import cms_build, cms_probe
+    from adhesive_spark.streaming.ops import (
+        read_rollup_state,
+        streaming_cms_counters,
+    )
+
+    base = tmp_path_factory.mktemp("cms_stream")
+    state, ckpt = str(base / "state"), str(base / "ckpt")
+    batch_events = spark.read.parquet(event_stream_dir).select(
+        F.col("user_id").cast("string").alias("user_id")
+    )
+    stream = (
+        spark.readStream.schema(
+            spark.read.parquet(event_stream_dir).schema
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(event_stream_dir)
+        .select(F.col("user_id").cast("string").alias("user_id"))
+    )
+    q = streaming_cms_counters(stream, "user_id", state, checkpoint_path=ckpt)
+    assert q.awaitTermination(120), "stream did not drain in 120s"
+
+    streamed = {
+        (r["r"], r["c"]): r["cnt"]
+        for r in read_rollup_state(spark, state).collect()
+    }
+    batch = {
+        (r["r"], r["c"]): r["cnt"]
+        for r in cms_build(batch_events, "user_id").collect()
+    }
+    assert streamed == batch
+
+    probes = batch_events.distinct().limit(5)
+    got = {
+        r["user_id"]: r["est_cms"]
+        for r in cms_probe(
+            read_rollup_state(spark, state), probes, "user_id"
+        ).collect()
+    }
+    want = {
+        r["user_id"]: r["est_cms"]
+        for r in cms_probe(
+            cms_build(batch_events, "user_id"), probes, "user_id"
+        ).collect()
+    }
+    assert got == want

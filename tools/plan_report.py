@@ -272,6 +272,9 @@ AUDITED = [
     "q250_basket_affinity",
     "q251_forecast_eval",
     "q252_chisq_independence",
+    "q253_delta_join_view",
+    "q254_decay_momentum",
+    "q255_bitmap_index",
 ]
 
 
