@@ -172,6 +172,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out.update(SKETCH_QUERIES)
     except ImportError:
         pass
+    try:
+        from adhesive_spark.queries.eval_queries import EVAL_QUERIES
+
+        out.update(EVAL_QUERIES)
+    except ImportError:
+        pass
     return _reorder(out)
 
 
@@ -210,6 +216,12 @@ def oracle_sql() -> dict[str, str]:
         from adhesive_spark.queries.sketch_queries import SKETCH_ORACLES
 
         out.update(SKETCH_ORACLES)
+    except ImportError:
+        pass
+    try:
+        from adhesive_spark.queries.eval_queries import EVAL_ORACLES
+
+        out.update(EVAL_ORACLES)
     except ImportError:
         pass
     return _reorder(out)

@@ -1,0 +1,427 @@
+"""Model-evaluation & measurement queries (q256+): exact ROC-AUC,
+classifier-calibration audit, a bit-level runtime bloom join-prefilter
+with a measured false-positive rate, and CUSUM change-point detection.
+
+These are the metrics a training-data pipeline publishes about its own
+quality classifiers and runtime filters — computed ON the cluster, in
+exact integer arithmetic (ppm fixed point, portable md5 hashing, every
+division last) so the driver's type-strict value hash matches DuckDB
+bit-for-bit. No floats anywhere in an output column.
+
+Reference parity note: the reference engine (milenkovicm/adhesive,
+src/fusion.rs) delegates its relational surface to DataFusion and
+ships none of this; this module is SURVEY §2.3 extension surface for
+the 100 TB pipeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from adhesive_spark.sources.registry import load_table
+
+EVAL_QUERIES: dict = {}
+EVAL_ORACLES: dict = {}
+
+# The binary-classifier eval fixture shared by q256/q257: purchase
+# events are the positives, clicks the negatives, and the (blind)
+# score is the event value in exact cents — a deliberately weak
+# classifier so AUC sits near 500 000 ppm and calibration gaps are
+# non-trivial in both directions.
+_LABELED = """
+    SELECT CAST(ROUND(value * 100, 0) AS BIGINT) AS cents,
+           CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label
+    FROM events WHERE event_type IN ('purchase', 'click')
+"""
+
+
+def _labeled_scores(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return ev.where(F.col("event_type").isin("purchase", "click")).select(
+        F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)").alias("cents"),
+        F.when(F.col("event_type") == "purchase", 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("label"),
+    )
+
+
+# --- q256: exact ROC-AUC (Mann-Whitney with tie correction) -------------------
+
+
+def q256_roc_auc(spark, sf_dir):
+    """EXACT ROC-AUC in ppm via the rank-sum identity, ties handled by
+    the trapezoid (average-rank) rule — the metric every quality
+    classifier in the curation stack is gated on, computed without a
+    single float: per distinct score s, with p_s positives, n_s
+    negatives and N_lt(s) negatives strictly below,
+
+        2U = sum_s p_s * (2 * N_lt(s) + n_s)        (integer)
+        auc_ppm = 500000 * 2U div (P * N)
+
+    Scale shape: the corpus collapses to one row PER DISTINCT SCORE in
+    a single map-side-combining aggregate; the ordered cumulative sum
+    and the final reduction run on that ~6 k-row table (the
+    unpartitioned window is over the aggregate, never the corpus). At
+    100 TB with a 1e6-distinct-score classifier this is one shuffle +
+    a 1 MB window — vs the full global sort a naive rank-based AUC
+    would need.
+    """
+    per_score = (
+        _labeled_scores(spark, sf_dir)
+        .groupBy("cents")
+        .agg(
+            F.sum("label").cast("long").alias("p_s"),
+            (F.count("*") - F.sum("label")).cast("long").alias("n_s"),
+        )
+    )
+    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per_score.select(
+        "p_s",
+        "n_s",
+        (F.sum("n_s").over(w) - F.col("n_s")).alias("n_lt"),
+    )
+    return cum.agg(
+        F.sum("p_s").cast("long").alias("n_pos"),
+        F.sum("n_s").cast("long").alias("n_neg"),
+        F.expr(
+            "CAST(500000 * sum(p_s * (2 * n_lt + n_s))"
+            " div (sum(p_s) * sum(n_s)) AS BIGINT)"
+        ).alias("auc_ppm"),
+    )
+
+
+EVAL_QUERIES["q256_roc_auc"] = q256_roc_auc
+
+EVAL_ORACLES["q256_roc_auc"] = f"""
+    WITH labeled AS ({_LABELED}),
+    per_score AS (
+      SELECT cents, CAST(SUM(label) AS BIGINT) AS p_s,
+             CAST(COUNT(*) - SUM(label) AS BIGINT) AS n_s
+      FROM labeled GROUP BY cents
+    ),
+    cum AS (
+      SELECT p_s, n_s,
+             SUM(n_s) OVER (ORDER BY cents
+                            ROWS UNBOUNDED PRECEDING) - n_s AS n_lt
+      FROM per_score
+    )
+    SELECT CAST(SUM(p_s) AS BIGINT) AS n_pos,
+           CAST(SUM(n_s) AS BIGINT) AS n_neg,
+           CAST(500000 * CAST(SUM(p_s * (2 * n_lt + n_s)) AS BIGINT)
+                // (CAST(SUM(p_s) AS BIGINT) * CAST(SUM(n_s) AS BIGINT))
+                AS BIGINT) AS auc_ppm
+    FROM cum
+"""
+
+
+# --- q257: calibration (reliability) bins ------------------------------------
+
+
+def q257_calibration_bins(spark, sf_dir):
+    """Classifier-calibration audit (reliability diagram): scores are
+    min-max normalized to a predicted-probability proxy in ppm, bucketed
+    into 10 fixed-width bins, and each bin reports predicted-vs-observed
+    positive rate and its absolute gap — the per-bin terms of expected
+    calibration error (ECE), all in integer ppm (division last, so both
+    engines truncate identically).
+
+    Scale shape: one 1-row min/max aggregate broadcast back over the
+    stream (no second scan shuffle), then one 10-group aggregate. The
+    bin width uses ``span + 1`` so the max score lands in bin 9 without
+    a clamp expression.
+    """
+    labeled = _labeled_scores(spark, sf_dir)
+    minmax = labeled.agg(
+        F.min("cents").alias("min_c"), F.max("cents").alias("max_c")
+    )
+    binned = labeled.crossJoin(F.broadcast(minmax)).select(
+        "label",
+        F.expr(
+            "(cents - min_c) * 1000000 div (max_c - min_c + 1)"
+        ).alias("pred_ppm"),
+    )
+    return (
+        binned.select("label", "pred_ppm", F.expr("pred_ppm div 100000").alias("bin"))
+        .groupBy("bin")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("label").cast("long").alias("n_pos"),
+            F.expr("CAST(sum(pred_ppm) div count(*) AS BIGINT)").alias(
+                "mean_pred_ppm"
+            ),
+            F.expr("CAST(sum(label) * 1000000 div count(*) AS BIGINT)").alias(
+                "obs_pos_ppm"
+            ),
+        )
+        .withColumn(
+            "gap_ppm", F.abs(F.col("mean_pred_ppm") - F.col("obs_pos_ppm"))
+        )
+        .orderBy("bin")
+    )
+
+
+EVAL_QUERIES["q257_calibration_bins"] = q257_calibration_bins
+
+EVAL_ORACLES["q257_calibration_bins"] = f"""
+    WITH labeled AS ({_LABELED}),
+    mm AS (SELECT MIN(cents) AS min_c, MAX(cents) AS max_c FROM labeled),
+    binned AS (
+      SELECT label,
+             (cents - min_c) * 1000000 // (max_c - min_c + 1) AS pred_ppm
+      FROM labeled CROSS JOIN mm
+    )
+    SELECT pred_ppm // 100000 AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(label) AS BIGINT) AS n_pos,
+           CAST(SUM(pred_ppm) // COUNT(*) AS BIGINT) AS mean_pred_ppm,
+           CAST(SUM(label) * 1000000 // COUNT(*) AS BIGINT) AS obs_pos_ppm,
+           CAST(abs(SUM(pred_ppm) // COUNT(*)
+                    - SUM(label) * 1000000 // COUNT(*)) AS BIGINT) AS gap_ppm
+    FROM binned GROUP BY 1 ORDER BY 1
+"""
+
+
+# --- q258: runtime bloom join-prefilter, rebuilt at bit level -----------------
+
+_BLOOM_WORDS = 1024        # 1024 x 62-bit words = 63488 bits (62 dodges the
+_BLOOM_BITS = 62 * 1024    # sign bit in both engines; q255 policy) — an
+_BLOOM_K = 3               # ~8 KB broadcast, sized so the sf0.01 build
+#                            (~2.9 k keys) loads it ~13 % and the realized
+#                            FP rate is meaningfully small, while sf0.1
+#                            visibly degrades it — the audit SHOWS the
+#                            undersizing instead of hiding it
+
+
+def q258_bloom_join_prefilter(spark, sf_dir):
+    """Runtime bloom join-prefilter REBUILT at bit level with a
+    measured false-positive rate: the urgent-order keys (the selective
+    build side of a shuffle join) are hashed k=3 times into a
+    63488-bit / 1024-word filter (one map-side-combining ``bit_or``
+    aggregate); every distinct probe-side key tests its 3 bits against
+    the broadcast words, and the audit reports exactly what Spark's own
+    ``might_contain`` injection (tests/test_plans.py::
+    test_runtime_bloom_filter_join_reduction) never shows you — the
+    realized FP rate and a machine-checked no-false-negative bit.
+
+    Scale shape: the filter is ≤1024 rows regardless of build cardinality
+    (merges by bit_or across executors); the probe is one broadcast
+    join + one per-key aggregate — rows failing the filter would never
+    leave the map side of the gated join. Everything md5-portable, so
+    DuckDB reproduces every bit.
+    """
+    build = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select(F.col("o_orderkey").alias("bkey"))
+
+    def positions(key_col: str):
+        # k salted md5 hashes -> array of bit positions in [0, 1984)
+        return F.array(
+            *[
+                F.expr(
+                    f"conv(substring(md5(concat('{i}', ':',"
+                    f" CAST({key_col} AS STRING))), 1, 8), 16, 10)"
+                    f" % {_BLOOM_BITS}"
+                ).cast("long")
+                for i in range(_BLOOM_K)
+            ]
+        )
+
+    bloom = (
+        build.select(F.explode(positions("bkey")).alias("pos"))
+        .select(
+            F.expr("pos div 62").alias("word_idx"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 62 AS INT))").alias(
+                "bit"
+            ),
+        )
+        .groupBy("word_idx")
+        .agg(F.expr("bit_or(bit)").alias("w"))
+    )
+
+    probe = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("pkey"))
+        .distinct()
+    )
+    tested = (
+        probe.select("pkey", F.explode(positions("pkey")).alias("pos"))
+        .select(
+            "pkey",
+            F.expr("pos div 62").alias("word_idx"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 62 AS INT))").alias(
+                "mask"
+            ),
+        )
+        .join(F.broadcast(bloom), "word_idx", "left")
+        .groupBy("pkey")
+        .agg(
+            F.sum(
+                (F.coalesce(F.col("w"), F.lit(0)).bitwiseAND(F.col("mask")) != 0)
+                .cast("long")
+            ).alias("hits")
+        )
+    )
+    flagged = tested.join(
+        F.broadcast(build.withColumn("is_member", F.lit(1))),
+        tested.pkey == F.col("bkey"),
+        "left",
+    ).select(
+        (F.col("hits") == _BLOOM_K).cast("long").alias("pass"),
+        F.coalesce(F.col("is_member"), F.lit(0)).alias("member"),
+    )
+    bits = bloom.agg(
+        F.sum(F.expr("bit_count(w)")).cast("long").alias("bits_set")
+    )
+    return (
+        flagged.agg(
+            F.count("*").cast("long").alias("n_probe"),
+            F.sum("member").cast("long").alias("n_member"),
+            F.sum("pass").cast("long").alias("n_pass"),
+            F.sum(F.expr("CASE WHEN pass = 1 AND member = 0 THEN 1 ELSE 0 END"))
+            .cast("long")
+            .alias("n_false_pos"),
+            F.min(
+                F.when(F.col("member") == 1, F.col("pass")).otherwise(1)
+            )
+            .cast("long")
+            .alias("no_false_negative"),
+        )
+        .crossJoin(F.broadcast(bits))
+        .select(
+            F.lit(_BLOOM_BITS).cast("long").alias("m_bits"),
+            "bits_set",
+            "n_probe",
+            "n_member",
+            "n_pass",
+            "n_false_pos",
+            F.expr(
+                "CAST(n_false_pos * 1000000 div (n_probe - n_member)"
+                " AS BIGINT)"
+            ).alias("fp_ppm"),
+            "no_false_negative",
+        )
+    )
+
+
+EVAL_QUERIES["q258_bloom_join_prefilter"] = q258_bloom_join_prefilter
+
+_BLOOM_POS_SQL = """
+      SELECT {key} AS key, CAST(
+               CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || ':' ||
+                                    CAST({key} AS VARCHAR)), 1, 8))
+                    AS BIGINT) % {bits} AS BIGINT) AS pos
+      FROM {src} CROSS JOIN (SELECT UNNEST([0, 1, 2]) AS i)
+"""
+
+EVAL_ORACLES["q258_bloom_join_prefilter"] = f"""
+    WITH build AS (
+      SELECT o_orderkey AS bkey FROM orders
+      WHERE o_orderpriority = '1-URGENT'
+    ),
+    bpos AS ({_BLOOM_POS_SQL.format(key="bkey", bits=_BLOOM_BITS, src="build")}),
+    bloom AS (
+      SELECT pos // 62 AS word_idx,
+             CAST(bit_or(CAST(1 AS BIGINT) << CAST(pos % 62 AS INT))
+                  AS BIGINT) AS w
+      FROM bpos GROUP BY 1
+    ),
+    probe AS (SELECT DISTINCT l_orderkey AS pkey FROM lineitem),
+    ppos AS ({_BLOOM_POS_SQL.format(key="pkey", bits=_BLOOM_BITS, src="probe")}),
+    tested AS (
+      SELECT p.key AS pkey,
+             CAST(SUM(CASE WHEN (COALESCE(b.w, 0)
+                                 & (CAST(1 AS BIGINT)
+                                    << CAST(p.pos % 62 AS INT))) <> 0
+                           THEN 1 ELSE 0 END) AS BIGINT) AS hits
+      FROM ppos p LEFT JOIN bloom b ON p.pos // 62 = b.word_idx
+      GROUP BY p.key
+    ),
+    flagged AS (
+      SELECT CASE WHEN t.hits = {_BLOOM_K} THEN 1 ELSE 0 END AS pass,
+             CASE WHEN m.bkey IS NULL THEN 0 ELSE 1 END AS member
+      FROM tested t LEFT JOIN build m ON t.pkey = m.bkey
+    ),
+    bits AS (SELECT CAST(SUM(bit_count(w)) AS BIGINT) AS bits_set FROM bloom)
+    SELECT CAST({_BLOOM_BITS} AS BIGINT) AS m_bits, bits.bits_set,
+           CAST(COUNT(*) AS BIGINT) AS n_probe,
+           CAST(SUM(member) AS BIGINT) AS n_member,
+           CAST(SUM(pass) AS BIGINT) AS n_pass,
+           CAST(SUM(CASE WHEN pass = 1 AND member = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_false_pos,
+           CAST(SUM(CASE WHEN pass = 1 AND member = 0 THEN 1 ELSE 0 END)
+                * 1000000
+                // (COUNT(*) - SUM(member)) AS BIGINT) AS fp_ppm,
+           CAST(MIN(CASE WHEN member = 1 THEN pass ELSE 1 END) AS BIGINT)
+             AS no_false_negative
+    FROM flagged CROSS JOIN bits
+    GROUP BY bits.bits_set
+"""
+
+
+# --- q259: CUSUM change-point detection ---------------------------------------
+
+
+def q259_cusum_changepoint(spark, sf_dir):
+    """CUSUM change-point detection on daily purchase revenue: the
+    running sum of (day revenue − global mean) peaks in magnitude at
+    the most likely level-shift boundary — the classic sequential
+    drift detector behind ingest-volume and data-drift alarms,
+    complementary to the distributional drift monitor (q150). Exact
+    cents end-to-end; days are epoch-day integers (q251 policy — no
+    engine calendar functions).
+
+    Scale shape: the fact stream collapses to one row per day in one
+    aggregate; the mean broadcast, the ordered cumulative sum, and the
+    top-5 all run on that ~30-row series. Output: the 5 largest
+    |CUSUM| days (tie-broken by day) — the alarm shortlist.
+    """
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase"
+    )
+    daily = ev.select(
+        F.expr("unix_micros(ts) div 86400000000").alias("day"),
+        F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)").alias("cents"),
+    ).groupBy("day").agg(F.sum("cents").cast("long").alias("rev"))
+    mean = daily.agg(
+        F.expr("CAST(sum(rev) div count(*) AS BIGINT)").alias("mean_rev")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    cusum = (
+        daily.crossJoin(F.broadcast(mean))
+        .select(
+            "day",
+            "rev",
+            F.sum(F.col("rev") - F.col("mean_rev")).over(w).alias(
+                "cusum_cents"
+            ),
+        )
+    )
+    return cusum.orderBy(
+        F.abs(F.col("cusum_cents")).desc(), F.col("day")
+    ).limit(5)
+
+
+EVAL_QUERIES["q259_cusum_changepoint"] = q259_cusum_changepoint
+
+EVAL_ORACLES["q259_cusum_changepoint"] = """
+    WITH daily AS (
+      SELECT epoch_us(ts) // 86400000000 AS day,
+             CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+               AS rev
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY 1
+    ),
+    mean AS (
+      SELECT CAST(SUM(rev) // COUNT(*) AS BIGINT) AS mean_rev FROM daily
+    ),
+    cusum AS (
+      SELECT day, rev,
+             CAST(SUM(rev - mean_rev) OVER (ORDER BY day
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cusum_cents
+      FROM daily CROSS JOIN mean
+    )
+    SELECT day, rev, cusum_cents
+    FROM cusum ORDER BY abs(cusum_cents) DESC, day LIMIT 5
+"""

@@ -1,0 +1,104 @@
+"""Contract tests for the evaluation family (eval_queries, q256+):
+each metric is replayed in plain Python over the collected inputs, so
+the distributed integer arithmetic is checked against an independent
+straight-line implementation — not just against DuckDB's identical SQL.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from adhesive_spark.queries.eval_queries import (
+    _labeled_scores,
+    q256_roc_auc,
+    q257_calibration_bins,
+    q258_bloom_join_prefilter,
+    q259_cusum_changepoint,
+)
+
+
+def test_roc_auc_matches_python_replay(spark, sf_dir):
+    """The distributed per-score/rank-sum AUC must equal the textbook
+    pairwise definition computed directly: (wins + ties/2) / (P*N)."""
+    rows = _labeled_scores(spark, sf_dir).collect()
+    pos = sorted(r.cents for r in rows if r.label == 1)
+    neg = sorted(r.cents for r in rows if r.label == 0)
+    import bisect
+
+    wins = ties = 0
+    for s in pos:
+        wins += bisect.bisect_left(neg, s)
+        ties += bisect.bisect_right(neg, s) - bisect.bisect_left(neg, s)
+    want_ppm = 500000 * (2 * wins + ties) // (len(pos) * len(neg))
+
+    got = q256_roc_auc(spark, sf_dir).collect()[0]
+    assert got.n_pos == len(pos) and got.n_neg == len(neg)
+    assert got.auc_ppm == want_ppm
+
+
+def test_calibration_bins_conserve_and_bound(spark, sf_dir):
+    """Bins must partition the labeled set exactly (sum n == corpus),
+    every mean prediction must lie inside its bin's ppm range, and the
+    gap must be the absolute predicted-observed difference."""
+    bins = q257_calibration_bins(spark, sf_dir).collect()
+    total = _labeled_scores(spark, sf_dir).count()
+    assert sum(b.n for b in bins) == total
+    for b in bins:
+        assert 0 <= b.bin <= 9
+        assert b.bin * 100000 <= b.mean_pred_ppm < (b.bin + 1) * 100000
+        assert b.gap_ppm == abs(b.mean_pred_ppm - b.obs_pos_ppm)
+        assert 0 <= b.obs_pos_ppm <= 1000000
+
+
+def test_bloom_prefilter_no_false_negatives(spark, sf_dir):
+    """The bloom contract: every true member passes (no_false_negative
+    is machine-checked IN the query, asserted here), so n_pass splits
+    exactly into members + false positives; fp_ppm is the realized
+    false-positive rate over non-members."""
+    row = q258_bloom_join_prefilter(spark, sf_dir).collect()[0]
+    assert row.no_false_negative == 1
+    assert row.n_pass == row.n_member + row.n_false_pos
+    assert 0 < row.bits_set <= row.m_bits
+    assert row.fp_ppm == row.n_false_pos * 1000000 // (row.n_probe - row.n_member)
+    # sized for the build side: the filter must not be saturated at the
+    # test SF (a saturated filter silently stops filtering)
+    assert row.bits_set * 2 < row.m_bits
+
+
+def test_cusum_matches_python_replay(spark, sf_dir):
+    """The windowed CUSUM must equal a sequential fold over the daily
+    series (exact integer mean, running residual sum, top-5 by |s|)."""
+    from adhesive_spark.sources.registry import load_table
+
+    daily = {}
+    for r in (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.expr("unix_micros(ts) div 86400000000").alias("day"),
+            F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)").alias("cents"),
+        )
+        .collect()
+    ):
+        daily[r.day] = daily.get(r.day, 0) + r.cents
+    mean = sum(daily.values()) // len(daily)
+    run, cusums = 0, {}
+    for day in sorted(daily):
+        run += daily[day] - mean
+        cusums[day] = run
+    want = sorted(cusums.items(), key=lambda kv: (-abs(kv[1]), kv[0]))[:5]
+
+    got = [(r.day, r.cusum_cents) for r in q259_cusum_changepoint(spark, sf_dir).collect()]
+    assert got == want
+
+
+def test_bloom_prefilter_plan_broadcasts_filter(spark, sf_dir):
+    """The bloom words and the membership audit side must both ride
+    broadcast joins — the probe never shuffles on a join key."""
+    from adhesive_spark.plans.explain import (
+        assert_broadcast_join,
+        assert_no_cartesian,
+    )
+
+    df = q258_bloom_join_prefilter(spark, sf_dir)
+    assert_broadcast_join(df, min_count=2)
+    assert_no_cartesian(df)

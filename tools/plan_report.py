@@ -275,6 +275,10 @@ AUDITED = [
     "q253_delta_join_view",
     "q254_decay_momentum",
     "q255_bitmap_index",
+    "q256_roc_auc",
+    "q257_calibration_bins",
+    "q258_bloom_join_prefilter",
+    "q259_cusum_changepoint",
 ]
 
 
