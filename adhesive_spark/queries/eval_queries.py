@@ -425,3 +425,257 @@ EVAL_ORACLES["q259_cusum_changepoint"] = """
     SELECT day, rev, cusum_cents
     FROM cusum ORDER BY abs(cusum_cents) DESC, day LIMIT 5
 """
+
+
+# --- q260: grid-density clustering (DBSCAN without the pair term) ------------
+
+_GRID_CELL_MILLI = 25    # 0.025-wide cells in milli units — sized so the
+_GRID_MINPTS = 3         # synthetic embedding blobs resolve into MULTIPLE
+#                          clusters at every test SF (one giant component
+#                          would demonstrate nothing)
+
+
+def q260_grid_density_clusters(spark, sf_dir):
+    """Grid-density clustering of the embedding space — the DBSCAN
+    shape with NO pair term: points quantize to 0.025-wide grid cells
+    (exact milli integers, q72 policy), cells with >= 3 points are
+    core, 8-neighbor-adjacent core cells union into clusters via the
+    shared min-label machinery (operators/graph.py), and the output is
+    the top-10 clusters by contained points. Embedding-space density
+    clusters are how a curation stack finds over-represented content
+    regions WITHOUT an O(n²) similarity join.
+
+    Scale shape: one (cell) aggregate collapses the corpus; everything
+    after — the 9-offset neighbor join, the label propagation, the
+    final rollup — runs on the CELL table (bounded by the grid, not
+    the corpus). Self-edges keep isolated core cells as their own
+    singleton clusters. The +1e6 shift keeps cell ids positive so both
+    engines' integer division agrees (no floor-vs-truncate hazard).
+    """
+    from adhesive_spark.operators.graph import connected_components
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        F.expr(
+            "(CAST(ROUND(CAST(element_at(embedding, 1) AS DOUBLE) * 1000, 0)"
+            f" AS BIGINT) + 1000000) div {_GRID_CELL_MILLI}"
+        ).alias("cx"),
+        F.expr(
+            "(CAST(ROUND(CAST(element_at(embedding, 2) AS DOUBLE) * 1000, 0)"
+            f" AS BIGINT) + 1000000) div {_GRID_CELL_MILLI}"
+        ).alias("cy"),
+    )
+    core = (
+        pts.groupBy("cx", "cy")
+        .agg(F.count("*").cast("long").alias("n"))
+        .where(F.col("n") >= _GRID_MINPTS)
+        .withColumn("cell_id", F.col("cx") * 100000 + F.col("cy"))
+        .localCheckpoint(eager=True)  # feeds edges twice + the rollup
+    )
+    offsets = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    probes = core.select(
+        F.col("cell_id").alias("id_a"),
+        F.explode(offsets).alias("o"),
+        "cx",
+        "cy",
+    ).select(
+        "id_a",
+        (F.col("cx") + F.col("o.dx")).alias("nx"),
+        (F.col("cy") + F.col("o.dy")).alias("ny"),
+    )
+    edges = probes.join(
+        core.select(
+            F.col("cx").alias("nx"),
+            F.col("cy").alias("ny"),
+            F.col("cell_id").alias("id_b"),
+        ),
+        ["nx", "ny"],
+    ).select("id_a", "id_b")
+    comps = connected_components(edges, "id_a", "id_b")
+    return (
+        comps.join(
+            core.select(F.col("cell_id").alias("node"), "n"), "node"
+        )
+        .groupBy(F.col("component").alias("cluster_rep"))
+        .agg(
+            F.count("*").cast("long").alias("n_cells"),
+            F.sum("n").cast("long").alias("n_points"),
+        )
+        .orderBy(F.col("n_points").desc(), F.col("cluster_rep"))
+        .limit(10)
+    )
+
+
+EVAL_QUERIES["q260_grid_density_clusters"] = q260_grid_density_clusters
+
+EVAL_ORACLES["q260_grid_density_clusters"] = f"""
+    WITH RECURSIVE cells AS (
+      SELECT (CAST(ROUND(CAST(embedding[1] AS DOUBLE) * 1000, 0) AS BIGINT)
+              + 1000000) // {_GRID_CELL_MILLI} AS cx,
+             (CAST(ROUND(CAST(embedding[2] AS DOUBLE) * 1000, 0) AS BIGINT)
+              + 1000000) // {_GRID_CELL_MILLI} AS cy,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM embeddings GROUP BY 1, 2
+    ),
+    core AS (
+      SELECT cx, cy, n, cx * 100000 + cy AS cell_id
+      FROM cells WHERE n >= {_GRID_MINPTS}
+    ),
+    e AS (
+      SELECT a.cell_id AS a, b.cell_id AS b
+      FROM core a
+      CROSS JOIN (SELECT UNNEST([-1, 0, 1]) AS dx) dxs
+      CROSS JOIN (SELECT UNNEST([-1, 0, 1]) AS dy) dys
+      JOIN core b ON b.cx = a.cx + dxs.dx AND b.cy = a.cy + dys.dy
+    ),
+    reach(node, r) AS (
+      SELECT a, a FROM e
+      UNION
+      SELECT e.a, reach.r FROM e JOIN reach ON reach.node = e.b
+    ),
+    comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node)
+    SELECT comp.component AS cluster_rep,
+           CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(SUM(core.n) AS BIGINT) AS n_points
+    FROM comp JOIN core ON comp.node = core.cell_id
+    GROUP BY 1
+    ORDER BY n_points DESC, cluster_rep
+    LIMIT 10
+"""
+
+
+# --- q261: decision-stump split gain ------------------------------------------
+
+
+def q261_stump_split_gain(spark, sf_dir):
+    """Gini split-gain ladder for a decision stump — the
+    feature-selection primitive behind every quality-classifier
+    feature audit: at each decile threshold of the score, the exact
+    Gini impurity decrease of splitting purchase-vs-click there, in
+    integer ppm. Thresholds come from the same per-distinct-score
+    cumulative table as q256 (cum counts are monotone in the score, so
+    ``min cents with cum_t >= rank`` IS the decile boundary — no NTILE
+    fences). The gain numerator (~1e17 at sf0.1) is carried in
+    DECIMAL(38,0)/HUGEINT with every division last (q252 policy), so
+    both engines produce the identical integer.
+
+    Scale shape: one per-score aggregate + a tiny ordered window (the
+    q256 shape), then 9-row broadcast joins — the corpus is touched
+    once.
+    """
+    per = (
+        _labeled_scores(spark, sf_dir)
+        .groupBy("cents")
+        .agg(
+            F.sum("label").cast("long").alias("p_s"),
+            (F.count("*") - F.sum("label")).cast("long").alias("n_s"),
+        )
+    )
+    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per.select(
+        "cents",
+        F.sum("p_s").over(w).alias("p_l"),
+        F.sum("n_s").over(w).alias("n_l"),
+    ).localCheckpoint(eager=True)  # feeds the spine probe + the join-back
+    tot = cum.agg(
+        F.max(F.col("p_l")).alias("p_tot"), F.max(F.col("n_l")).alias("n_tot")
+    )
+    spine = spark.range(1, 10).select(F.col("id").alias("decile"))
+    th = (
+        cum.crossJoin(F.broadcast(spine.crossJoin(tot)))
+        .where(
+            F.col("p_l") + F.col("n_l")
+            >= F.expr("(p_tot + n_tot) * decile div 10")
+        )
+        .groupBy("decile")
+        .agg(F.min("cents").alias("threshold_cents"))
+    )
+    sides = (
+        th.join(cum, th.threshold_cents == cum.cents)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            "threshold_cents",
+            "p_l",
+            "n_l",
+            (F.col("p_tot") - F.col("p_l")).alias("p_r"),
+            (F.col("n_tot") - F.col("n_l")).alias("n_r"),
+            "p_tot",
+            "n_tot",
+        )
+        .where((F.col("p_l") + F.col("n_l") > 0) & (F.col("p_r") + F.col("n_r") > 0))
+    )
+    return sides.select(
+        "decile",
+        "threshold_cents",
+        (F.col("p_l") + F.col("n_l")).alias("n_left"),
+        "p_l",
+        F.expr(
+            "CAST((CAST(2000000 AS DECIMAL(38,0)) * ("
+            "  CAST(p_tot * n_tot AS DECIMAL(38,0))"
+            "    * (p_l + n_l) * (p_r + n_r)"
+            "  - CAST(p_l * n_l AS DECIMAL(38,0))"
+            "    * (p_tot + n_tot) * (p_r + n_r)"
+            "  - CAST(p_r * n_r AS DECIMAL(38,0))"
+            "    * (p_tot + n_tot) * (p_l + n_l)))"
+            " div (CAST(p_tot + n_tot AS DECIMAL(38,0))"
+            "      * (p_tot + n_tot) * (p_l + n_l) * (p_r + n_r))"
+            " AS BIGINT)"
+        ).alias("gain_ppm"),
+    ).orderBy("decile")
+
+
+EVAL_QUERIES["q261_stump_split_gain"] = q261_stump_split_gain
+
+EVAL_ORACLES["q261_stump_split_gain"] = f"""
+    WITH labeled AS ({_LABELED}),
+    per AS (
+      SELECT cents, CAST(SUM(label) AS BIGINT) AS p_s,
+             CAST(COUNT(*) - SUM(label) AS BIGINT) AS n_s
+      FROM labeled GROUP BY cents
+    ),
+    cum AS (
+      SELECT cents,
+             SUM(p_s) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS p_l,
+             SUM(n_s) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS n_l
+      FROM per
+    ),
+    tot AS (SELECT MAX(p_l) AS p_tot, MAX(n_l) AS n_tot FROM cum),
+    th AS (
+      SELECT d.decile, MIN(cum.cents) AS threshold_cents
+      FROM cum
+      CROSS JOIN (SELECT UNNEST([1,2,3,4,5,6,7,8,9]) AS decile) d
+      CROSS JOIN tot
+      WHERE cum.p_l + cum.n_l >= (tot.p_tot + tot.n_tot) * d.decile // 10
+      GROUP BY d.decile
+    ),
+    sides AS (
+      SELECT th.decile, th.threshold_cents, cum.p_l, cum.n_l,
+             tot.p_tot - cum.p_l AS p_r, tot.n_tot - cum.n_l AS n_r,
+             tot.p_tot, tot.n_tot
+      FROM th JOIN cum ON th.threshold_cents = cum.cents
+      CROSS JOIN tot
+      WHERE cum.p_l + cum.n_l > 0
+        AND (tot.p_tot - cum.p_l) + (tot.n_tot - cum.n_l) > 0
+    )
+    SELECT decile, threshold_cents,
+           CAST(p_l + n_l AS BIGINT) AS n_left,
+           CAST(p_l AS BIGINT) AS p_l,
+           CAST((CAST(2000000 AS HUGEINT) * (
+                   CAST(p_tot * n_tot AS HUGEINT)
+                     * (p_l + n_l) * (p_r + n_r)
+                 - CAST(p_l * n_l AS HUGEINT)
+                     * (p_tot + n_tot) * (p_r + n_r)
+                 - CAST(p_r * n_r AS HUGEINT)
+                     * (p_tot + n_tot) * (p_l + n_l)))
+                // (CAST(p_tot + n_tot AS HUGEINT)
+                    * (p_tot + n_tot) * (p_l + n_l) * (p_r + n_r))
+                AS BIGINT) AS gain_ppm
+    FROM sides ORDER BY decile
+"""

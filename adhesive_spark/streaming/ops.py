@@ -735,3 +735,76 @@ def streaming_cms_counters(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_cusum_daily(
+    events: DataFrame,
+    state_path: str,
+    *,
+    checkpoint_path: str,
+):
+    """Streaming CUSUM drift state: each micro-batch's purchase revenue
+    ADD-merges into a per-day cents table — the additive state behind
+    the batch change-point detector (eval_queries q259). State is
+    bounded by the CALENDAR (one row per day ever seen), not the
+    stream: per-batch cost is one map-side-combining day aggregate over
+    the batch plus an ~n_days-row merge, under the same
+    `_epoch_guarded_snapshot` replay contract as the rollup/HLL/CMS
+    family. Read the alarm shortlist with :func:`read_cusum_alarms`.
+    """
+
+    def _merge(batch_df: DataFrame, prev: DataFrame | None) -> DataFrame:
+        delta = (
+            batch_df.where(F.col("event_type") == "purchase")
+            .select(
+                F.expr("unix_micros(ts) div 86400000000").alias("day"),
+                F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)").alias(
+                    "cents"
+                ),
+            )
+            .groupBy("day")
+            .agg(F.sum("cents").cast("long").alias("rev"))
+        )
+        if prev is None:
+            return delta
+        return (
+            delta.unionByName(prev)
+            .groupBy("day")
+            .agg(F.sum("rev").cast("long").alias("rev"))
+        )
+
+    return (
+        events.writeStream.foreachBatch(
+            _epoch_guarded_snapshot(state_path, _merge)
+        )
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_cusum_alarms(spark, state_path: str, top: int = 5) -> DataFrame:
+    """Top-``top`` |CUSUM| days from the committed streaming day-state
+    — the identical integer arithmetic as the batch q259 (exact-cents
+    mean, running residual sum, |cusum| shortlist), so stream-then-read
+    equals the batch detector row-for-row (test)."""
+    from pyspark.sql import Window
+
+    daily = read_rollup_state(spark, state_path)
+    mean = daily.agg(
+        F.expr("CAST(sum(rev) div count(*) AS BIGINT)").alias("mean_rev")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    cusum = (
+        daily.crossJoin(F.broadcast(mean))
+        .select(
+            "day",
+            "rev",
+            F.sum(F.col("rev") - F.col("mean_rev")).over(w).alias(
+                "cusum_cents"
+            ),
+        )
+    )
+    return cusum.orderBy(
+        F.abs(F.col("cusum_cents")).desc(), F.col("day")
+    ).limit(top)

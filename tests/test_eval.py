@@ -8,6 +8,8 @@ import pytest
 from pyspark.sql import functions as F
 
 from adhesive_spark.queries.eval_queries import (
+    q260_grid_density_clusters,
+    q261_stump_split_gain,
     _labeled_scores,
     q256_roc_auc,
     q257_calibration_bins,
@@ -102,3 +104,49 @@ def test_bloom_prefilter_plan_broadcasts_filter(spark, sf_dir):
     df = q258_bloom_join_prefilter(spark, sf_dir)
     assert_broadcast_join(df, min_count=2)
     assert_no_cartesian(df)
+
+
+def test_stump_gain_matches_python_replay(spark, sf_dir):
+    """The DECIMAL-carried Gini gain must equal exact Python big-int
+    arithmetic at every decile, and every gain must be non-negative
+    (weighted child impurity never exceeds the parent's)."""
+    rows = _labeled_scores(spark, sf_dir).collect()
+    data = sorted((r.cents, r.label) for r in rows)
+    P = sum(l for _, l in data)
+    N = len(data) - P
+    T = len(data)
+
+    got = q261_stump_split_gain(spark, sf_dir).collect()
+    assert [r.decile for r in got] == sorted(r.decile for r in got)
+    for r in got:
+        p_l = sum(l for c, l in data if c <= r.threshold_cents)
+        t_l = sum(1 for c, _ in data if c <= r.threshold_cents)
+        n_l = t_l - p_l
+        p_r, n_r, t_r = P - p_l, N - n_l, T - t_l
+        num = (
+            P * N * t_l * t_r
+            - p_l * n_l * T * t_r
+            - p_r * n_r * T * t_l
+        )
+        want = 2000000 * num // (T * T * t_l * t_r)
+        assert r.n_left == t_l and r.p_l == p_l
+        assert r.gain_ppm == want
+        assert r.gain_ppm >= 0
+
+
+def test_grid_clusters_partition_core_cells(spark, sf_dir):
+    """Clusters must be disjoint (each core cell counted once), their
+    point total must not exceed the corpus, and the top cluster must
+    dominate (output is ordered by size)."""
+    from adhesive_spark.sources.registry import load_table
+
+    rows = q260_grid_density_clusters(spark, sf_dir).collect()
+    assert rows, "no clusters at test SF — grid parameters degenerate"
+    sizes = [r.n_points for r in rows]
+    assert sizes == sorted(sizes, reverse=True)
+    reps = [r.cluster_rep for r in rows]
+    assert len(reps) == len(set(reps))
+    corpus = load_table(spark, sf_dir, "embeddings").count()
+    assert sum(sizes) <= corpus
+    # every cluster holds at least minPts points (it contains >=1 core cell)
+    assert min(sizes) >= 3

@@ -758,3 +758,34 @@ def test_streaming_cms_matches_batch(spark, sf_dir, event_stream_dir, tmp_path_f
         ).collect()
     }
     assert got == want
+
+
+def test_streaming_cusum_matches_batch(spark, sf_dir, event_stream_dir, tmp_path_factory):
+    """ADD-merged per-day revenue state read through the CUSUM alarm
+    view must equal the batch change-point detector (eval_queries q259)
+    row-for-row — additive day-state is the whole streaming story."""
+    from adhesive_spark.queries.eval_queries import q259_cusum_changepoint
+    from adhesive_spark.streaming.ops import (
+        read_cusum_alarms,
+        streaming_cusum_daily,
+    )
+
+    base = tmp_path_factory.mktemp("cusum_stream")
+    state, ckpt = str(base / "state"), str(base / "ckpt")
+    stream = (
+        spark.readStream.schema(spark.read.parquet(event_stream_dir).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(event_stream_dir)
+    )
+    q = streaming_cusum_daily(stream, state, checkpoint_path=ckpt)
+    assert q.awaitTermination(120), "stream did not drain in 120s"
+
+    got = [
+        (r.day, r.rev, r.cusum_cents)
+        for r in read_cusum_alarms(spark, state).collect()
+    ]
+    want = [
+        (r.day, r.rev, r.cusum_cents)
+        for r in q259_cusum_changepoint(spark, sf_dir).collect()
+    ]
+    assert got == want

@@ -279,6 +279,8 @@ AUDITED = [
     "q257_calibration_bins",
     "q258_bloom_join_prefilter",
     "q259_cusum_changepoint",
+    "q260_grid_density_clusters",
+    "q261_stump_split_gain",
 ]
 
 
