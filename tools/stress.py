@@ -319,6 +319,67 @@ def main() -> None:
     n_li = load_table(spark, sf_dir, "lineitem").count()
     run("hll_registers", _hll_registers, n_li * reps)
 
+    # Grid-density clustering (q260 shape) over the N×-replicated
+    # embedding space: the first aggregate collapses the corpus onto
+    # the FIXED grid (~300 occupied cells at sf0.1 regardless of N), so
+    # the neighbor join + label propagation cost is replication-
+    # invariant — rows/s must RISE roughly linearly with reps. A pair
+    # term or a corpus-sized post-aggregate stage would flatline here.
+    from adhesive_spark.operators.graph import connected_components
+
+    def _grid_density():
+        pts = big_emb.select(
+            F.expr(
+                "(CAST(ROUND(CAST(element_at(embedding, 1) AS DOUBLE)"
+                " * 1000, 0) AS BIGINT) + 1000000) div 25"
+            ).alias("cx"),
+            F.expr(
+                "(CAST(ROUND(CAST(element_at(embedding, 2) AS DOUBLE)"
+                " * 1000, 0) AS BIGINT) + 1000000) div 25"
+            ).alias("cy"),
+        )
+        core = (
+            pts.groupBy("cx", "cy")
+            .agg(F.count("*").alias("n"))
+            .where(F.col("n") >= 3 * reps)  # density scales with reps
+            .withColumn("cell_id", F.col("cx") * 100000 + F.col("cy"))
+            .localCheckpoint(eager=True)
+        )
+        offsets = F.array(
+            *[
+                F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                for dx in (-1, 0, 1)
+                for dy in (-1, 0, 1)
+            ]
+        )
+        probes = core.select(
+            F.col("cell_id").alias("id_a"),
+            F.explode(offsets).alias("o"),
+            "cx",
+            "cy",
+        ).select(
+            "id_a",
+            (F.col("cx") + F.col("o.dx")).alias("nx"),
+            (F.col("cy") + F.col("o.dy")).alias("ny"),
+        )
+        edges = probes.join(
+            core.select(
+                F.col("cx").alias("nx"),
+                F.col("cy").alias("ny"),
+                F.col("cell_id").alias("id_b"),
+            ),
+            ["nx", "ny"],
+        ).select("id_a", "id_b")
+        return (
+            connected_components(edges, "id_a", "id_b")
+            .join(core.select(F.col("cell_id").alias("node"), "n"), "node")
+            .groupBy("component")
+            .agg(F.sum("n").alias("n_points"))
+        )
+
+    n_emb = emb.count()
+    run("grid_density_clusters", _grid_density, n_emb * reps)
+
     total = round(sum(o["sec"] for o in ops.values()), 2)
     print(
         json.dumps(
