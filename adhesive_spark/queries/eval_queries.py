@@ -679,3 +679,268 @@ EVAL_ORACLES["q261_stump_split_gain"] = f"""
                 AS BIGINT) AS gain_ppm
     FROM sides ORDER BY decile
 """
+
+
+# --- q262: l-diversity privacy audit ------------------------------------------
+
+
+def q262_l_diversity(spark, sf_dir):
+    """l-diversity audit — the second privacy gate after k-anonymity
+    (q179): a quasi-identifier class can be large enough to pass k yet
+    still leak if every member shares the SAME sensitive value (the
+    homogeneity attack). Classes are (nation, market segment); the
+    sensitive attribute is the account-balance band ($2.5k buckets,
+    exact cents). Output: one row per distinct diversity level l —
+    how many classes have exactly l distinct sensitive values, their
+    row mass, and the smallest class size among them; release gate is
+    "no rows with l = 1".
+
+    Scale shape: two hash aggregates (class×band, then class), then a
+    ~dozen-row rollup — the corpus is touched once. The band uses
+    ``(cents + 100000000) div 250000`` so negative balances stay in
+    truncation-safe positive territory in both engines.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    classes = (
+        cust.select(
+            "c_nationkey",
+            "c_mktsegment",
+            F.expr(
+                "(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) + 100000000)"
+                " div 250000"
+            ).alias("band"),
+        )
+        .groupBy("c_nationkey", "c_mktsegment", "band")
+        .agg(F.count("*").cast("long").alias("n_band"))
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.count("*").cast("long").alias("l"),
+            F.sum("n_band").cast("long").alias("k"),
+        )
+    )
+    return (
+        classes.groupBy("l")
+        .agg(
+            F.count("*").cast("long").alias("n_classes"),
+            F.sum("k").cast("long").alias("n_rows"),
+            F.min("k").cast("long").alias("min_k"),
+        )
+        .orderBy("l")
+    )
+
+
+EVAL_QUERIES["q262_l_diversity"] = q262_l_diversity
+
+EVAL_ORACLES["q262_l_diversity"] = """
+    WITH classes AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(COUNT(*) AS BIGINT) AS l,
+             CAST(SUM(n_band) AS BIGINT) AS k
+      FROM (
+        SELECT c_nationkey, c_mktsegment,
+               (CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) + 100000000)
+                 // 250000 AS band,
+               CAST(COUNT(*) AS BIGINT) AS n_band
+        FROM customer GROUP BY 1, 2, 3
+      ) GROUP BY 1, 2
+    )
+    SELECT l, CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(SUM(k) AS BIGINT) AS n_rows,
+           CAST(MIN(k) AS BIGINT) AS min_k
+    FROM classes GROUP BY l ORDER BY l
+"""
+
+
+# --- q263: link prediction on the supplier-part affiliation graph -------------
+
+_LP_MAX_PART_DEG = 40   # df-cap: parts supplied by more suppliers than
+#                         this are hubs that predict nothing (the
+#                         rare-shingle blocking policy from dedup)
+
+
+def q263_link_prediction(spark, sf_dir):
+    """Link prediction on the supplier–part affiliation graph: for
+    supplier pairs sharing at least 2 parts, three classic scores —
+    common-neighbor count, neighborhood Jaccard (ppm), and a
+    discretized Adamic-Adar (Σ 1e6 div floor(log2 deg(part)) — the
+    hub-discount in exact integers, no float log). The candidate join
+    goes THROUGH parts (bounded by per-part supplier fanout, df-capped
+    at 40 like rare-shingle blocking) — never supplier × supplier.
+
+    Scale shape: one distinct edge aggregate, one per-part pair join
+    bounded by fanout², two broadcast degree joins; top-20 via
+    TakeOrdered. The same plan shape as the dedup candidate generator,
+    pointed at graph structure instead of shingles.
+    """
+    edges = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")
+        )
+        .distinct()
+    )
+    edges = edges.localCheckpoint(eager=True)  # feeds degrees + pairs
+    part_deg = edges.groupBy("p").agg(
+        F.count("*").cast("long").alias("pd")
+    )
+    small = part_deg.where(F.col("pd") <= _LP_MAX_PART_DEG)
+    supp_deg = edges.groupBy("s").agg(
+        F.count("*").cast("long").alias("sd")
+    )
+    e = edges.join(small, "p")  # hub parts dropped BEFORE the pair join
+    pairs = (
+        e.alias("a")
+        .join(e.alias("b"), "p")
+        .where(F.col("a.s") < F.col("b.s"))
+        .groupBy(
+            F.col("a.s").alias("s1"), F.col("b.s").alias("s2")
+        )
+        .agg(
+            F.count("*").cast("long").alias("common"),
+            F.sum(
+                F.expr("1000000 div (length(bin(a.pd)) - 1)")
+            )
+            .cast("long")
+            .alias("adamic_adar_milli"),
+        )
+        .where(F.col("common") >= 2)
+    )
+    return (
+        pairs.join(
+            F.broadcast(supp_deg.withColumnRenamed("s", "s1").withColumnRenamed("sd", "d1")),
+            "s1",
+        )
+        .join(
+            F.broadcast(supp_deg.withColumnRenamed("s", "s2").withColumnRenamed("sd", "d2")),
+            "s2",
+        )
+        .select(
+            "s1",
+            "s2",
+            "common",
+            F.expr(
+                "CAST(common * 1000000 div (d1 + d2 - common) AS BIGINT)"
+            ).alias("jaccard_ppm"),
+            "adamic_adar_milli",
+        )
+        .orderBy(
+            F.col("jaccard_ppm").desc(), F.col("s1"), F.col("s2")
+        )
+        .limit(20)
+    )
+
+
+EVAL_QUERIES["q263_link_prediction"] = q263_link_prediction
+
+EVAL_ORACLES["q263_link_prediction"] = f"""
+    WITH edges AS (
+      SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
+    ),
+    part_deg AS (
+      SELECT p, CAST(COUNT(*) AS BIGINT) AS pd FROM edges GROUP BY p
+    ),
+    supp_deg AS (
+      SELECT s, CAST(COUNT(*) AS BIGINT) AS sd FROM edges GROUP BY s
+    ),
+    e AS (
+      SELECT edges.s, edges.p, part_deg.pd
+      FROM edges JOIN part_deg USING (p)
+      WHERE part_deg.pd <= {_LP_MAX_PART_DEG}
+    ),
+    pairs AS (
+      SELECT a.s AS s1, b.s AS s2,
+             CAST(COUNT(*) AS BIGINT) AS common,
+             CAST(SUM(1000000 // (length(bin(a.pd)) - 1)) AS BIGINT)
+               AS adamic_adar_milli
+      FROM e a JOIN e b ON a.p = b.p AND a.s < b.s
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= 2
+    )
+    SELECT p.s1, p.s2, p.common,
+           CAST(p.common * 1000000 // (d1.sd + d2.sd - p.common)
+                AS BIGINT) AS jaccard_ppm,
+           p.adamic_adar_milli
+    FROM pairs p
+    JOIN supp_deg d1 ON p.s1 = d1.s
+    JOIN supp_deg d2 ON p.s2 = d2.s
+    ORDER BY jaccard_ppm DESC, p.s1, p.s2
+    LIMIT 20
+"""
+
+
+# --- q264: day-of-week seasonality profile -------------------------------------
+
+
+def q264_dow_seasonality(spark, sf_dir):
+    """Day-of-week seasonality profile of purchase revenue: per weekday,
+    the revenue mass and its seasonal index in ppm — mean-revenue-per-
+    day-of-that-weekday over the all-days mean, computed as one
+    division-last integer expression (``sum_dow * n_days_total * 1e6
+    div (n_days_dow * total)``). The profile is what a forecaster
+    multiplies out before fitting trend (the q251 seasonal-naive
+    baseline assumes exactly this structure — here it is measured).
+    Weekday uses the epoch-day ``(day + 3) % 7`` convention (q252
+    policy — day 0 = 1970-01-01 was a Thursday; no engine calendar
+    functions).
+
+    Scale shape: the fact stream collapses to one row per DAY in one
+    aggregate; the weekday rollup and the 1-row totals broadcast run on
+    that ~30-row table. Output: 7 rows.
+    """
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase"
+    )
+    daily = ev.select(
+        F.expr("unix_micros(ts) div 86400000000").alias("day"),
+        F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)").alias("cents"),
+    ).groupBy("day").agg(F.sum("cents").cast("long").alias("rev"))
+    daily = daily.localCheckpoint(eager=True)  # feeds rollup + totals
+    tot = daily.agg(
+        F.sum("rev").cast("long").alias("total"),
+        F.count("*").cast("long").alias("n_days_total"),
+    )
+    return (
+        daily.select(F.expr("(day + 3) % 7").alias("dow"), "rev")
+        .groupBy("dow")
+        .agg(
+            F.count("*").cast("long").alias("n_days"),
+            F.sum("rev").cast("long").alias("rev_cents"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "dow",
+            "n_days",
+            "rev_cents",
+            F.expr(
+                "CAST(rev_cents * n_days_total * 1000000"
+                " div (n_days * total) AS BIGINT)"
+            ).alias("index_ppm"),
+        )
+        .orderBy("dow")
+    )
+
+
+EVAL_QUERIES["q264_dow_seasonality"] = q264_dow_seasonality
+
+EVAL_ORACLES["q264_dow_seasonality"] = """
+    WITH daily AS (
+      SELECT epoch_us(ts) // 86400000000 AS day,
+             CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+               AS rev
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(SUM(rev) AS BIGINT) AS total,
+             CAST(COUNT(*) AS BIGINT) AS n_days_total
+      FROM daily
+    )
+    SELECT (day + 3) % 7 AS dow,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(rev) AS BIGINT) AS rev_cents,
+           CAST(SUM(rev) * n_days_total * 1000000
+                // (COUNT(*) * total) AS BIGINT) AS index_ppm
+    FROM daily CROSS JOIN tot
+    GROUP BY 1, n_days_total, total
+    ORDER BY 1
+"""

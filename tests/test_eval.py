@@ -150,3 +150,33 @@ def test_grid_clusters_partition_core_cells(spark, sf_dir):
     assert sum(sizes) <= corpus
     # every cluster holds at least minPts points (it contains >=1 core cell)
     assert min(sizes) >= 3
+
+
+def test_l_diversity_conserves_rows(spark, sf_dir):
+    """Every customer lands in exactly one (class, l) bucket, and no
+    class can have more distinct sensitive bands than members."""
+    from adhesive_spark.queries.eval_queries import q262_l_diversity
+    from adhesive_spark.sources.registry import load_table
+
+    rows = q262_l_diversity(spark, sf_dir).collect()
+    total = load_table(spark, sf_dir, "customer").count()
+    assert sum(r.n_rows for r in rows) == total
+    for r in rows:
+        assert r.l <= r.min_k or r.n_classes == 0
+
+
+def test_link_prediction_goes_through_parts_not_pairs(spark, sf_dir):
+    """The candidate join must ride the part equi-key (bounded fanout),
+    never a supplier-cross-supplier nested loop; scores must be
+    internally consistent (jaccard <= 1e6, AA >= common * weight of the
+    max-degree part)."""
+    from adhesive_spark.plans.explain import assert_no_nested_loop
+    from adhesive_spark.queries.eval_queries import q263_link_prediction
+
+    df = q263_link_prediction(spark, sf_dir)
+    assert_no_nested_loop(df)
+    for r in df.collect():
+        assert 0 < r.jaccard_ppm <= 1000000
+        assert r.common >= 2
+        # every common part contributes at least 1e6 div log2(40) = 192307
+        assert r.adamic_adar_milli >= r.common * 192307

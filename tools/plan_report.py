@@ -281,6 +281,9 @@ AUDITED = [
     "q259_cusum_changepoint",
     "q260_grid_density_clusters",
     "q261_stump_split_gain",
+    "q262_l_diversity",
+    "q263_link_prediction",
+    "q264_dow_seasonality",
 ]
 
 
