@@ -944,3 +944,249 @@ EVAL_ORACLES["q264_dow_seasonality"] = """
     GROUP BY 1, n_days_total, total
     ORDER BY 1
 """
+
+
+# --- q265: Benford first-digit audit ------------------------------------------
+
+# log10(1 + 1/d) in ppm, d = 1..9 — the Benford expectation as integer
+# literals shared verbatim by both engines (no float log at query time)
+_BENFORD_PPM = [301030, 176091, 124939, 96910, 79181, 66947, 57992, 51153, 45757]
+
+
+def q265_benford_audit(spark, sf_dir):
+    """Benford first-significant-digit audit of order totals — the
+    classic fabricated-data / pipeline-corruption screen: observed
+    first-digit frequency (ppm) vs the Benford expectation (integer
+    literal table), with the absolute deviation per digit. TPC-H-style
+    uniform prices are NOT Benford-distributed, so the audit fires —
+    which is the point of an audit (the dev_ppm column carries the
+    evidence either way).
+
+    Scale shape: one 9-group hash aggregate over
+    ``substring(CAST(cents AS STRING), 1, 1)`` + a 1-row total
+    broadcast. The expectation joins in as a literal array lookup —
+    no float log10 anywhere.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    digits = orders.select(
+        F.expr(
+            "CAST(substring(CAST(CAST(ROUND(o_totalprice * 100, 0)"
+            " AS BIGINT) AS STRING), 1, 1) AS BIGINT)"
+        ).alias("digit")
+    )
+    per = digits.groupBy("digit").agg(F.count("*").cast("long").alias("n"))
+    tot = per.agg(F.sum("n").cast("long").alias("n_total"))
+    exp_arr = F.array(*[F.lit(v) for v in _BENFORD_PPM])
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n",
+            F.expr("CAST(n * 1000000 div n_total AS BIGINT)").alias(
+                "obs_ppm"
+            ),
+            F.element_at(exp_arr, F.col("digit").cast("int"))
+            .cast("long")
+            .alias("exp_ppm"),
+        )
+        .withColumn("dev_ppm", F.abs(F.col("obs_ppm") - F.col("exp_ppm")))
+        .orderBy("digit")
+    )
+
+
+EVAL_QUERIES["q265_benford_audit"] = q265_benford_audit
+
+EVAL_ORACLES["q265_benford_audit"] = f"""
+    WITH digits AS (
+      SELECT CAST(substring(CAST(CAST(ROUND(o_totalprice * 100, 0)
+                   AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      FROM orders
+    ),
+    per AS (
+      SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM digits GROUP BY digit
+    ),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM per)
+    SELECT digit, n,
+           CAST(n * 1000000 // n_total AS BIGINT) AS obs_ppm,
+           CAST(({_BENFORD_PPM})[digit] AS BIGINT) AS exp_ppm,
+           CAST(abs(n * 1000000 // n_total
+                    - ({_BENFORD_PPM})[digit]) AS BIGINT) AS dev_ppm
+    FROM per CROSS JOIN tot
+    ORDER BY digit
+"""
+
+
+# --- q266: A/B test reader with sample-ratio-mismatch check --------------------
+
+
+def q266_abtest_srm(spark, sf_dir):
+    """A/B experiment readout with the sample-ratio-mismatch guard —
+    the first thing a real experimentation pipeline checks before
+    trusting any metric: users hash-split into two arms (portable md5
+    parity — the deterministic stand-in for an assignment service),
+    per-arm purchase rate in ppm, the rate delta, and the SRM
+    chi-square against the expected 50/50 split via the exact identity
+    ``chi2 = (u0 - u1)² / (u0 + u1)`` (1 dof), carried in milli.
+    A large srm_chi2_milli means the split itself is broken and the
+    delta column is garbage — the guard travels WITH the metric.
+
+    Scale shape: one per-user aggregate (arm is a pure hash column),
+    one 2-row arm rollup, one 1-row pivot. No floats, division last.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_user = (
+        ev.select(
+            "user_id",
+            F.expr(
+                "conv(substring(md5(CAST(user_id AS STRING)), 1, 8),"
+                " 16, 10) % 2"
+            )
+            .cast("long")
+            .alias("arm"),
+            F.when(F.col("event_type") == "purchase", 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("is_purch"),
+        )
+        .groupBy("user_id", "arm")
+        .agg(F.sum("is_purch").cast("long").alias("purchases"))
+    )
+    arms = per_user.groupBy("arm").agg(
+        F.count("*").cast("long").alias("users"),
+        F.sum("purchases").cast("long").alias("purchases"),
+    )
+    a0 = arms.where(F.col("arm") == 0).select(
+        F.col("users").alias("u0"), F.col("purchases").alias("p0")
+    )
+    a1 = arms.where(F.col("arm") == 1).select(
+        F.col("users").alias("u1"), F.col("purchases").alias("p1")
+    )
+    return a0.crossJoin(F.broadcast(a1)).select(
+        "u0",
+        "u1",
+        "p0",
+        "p1",
+        F.expr(
+            "CAST((u0 - u1) * (u0 - u1) * 1000 div (u0 + u1) AS BIGINT)"
+        ).alias("srm_chi2_milli"),
+        F.expr("CAST(p0 * 1000000 div u0 AS BIGINT)").alias("rate0_ppm"),
+        F.expr("CAST(p1 * 1000000 div u1 AS BIGINT)").alias("rate1_ppm"),
+        F.expr(
+            "CAST(p0 * 1000000 div u0 - p1 * 1000000 div u1 AS BIGINT)"
+        ).alias("rate_delta_ppm"),
+    )
+
+
+EVAL_QUERIES["q266_abtest_srm"] = q266_abtest_srm
+
+EVAL_ORACLES["q266_abtest_srm"] = """
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 2 AS arm,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS purchases
+      FROM events GROUP BY 1, 2
+    ),
+    arms AS (
+      SELECT arm, CAST(COUNT(*) AS BIGINT) AS users,
+             CAST(SUM(purchases) AS BIGINT) AS purchases
+      FROM per_user GROUP BY arm
+    )
+    SELECT a0.users AS u0, a1.users AS u1,
+           a0.purchases AS p0, a1.purchases AS p1,
+           CAST((a0.users - a1.users) * (a0.users - a1.users) * 1000
+                // (a0.users + a1.users) AS BIGINT) AS srm_chi2_milli,
+           CAST(a0.purchases * 1000000 // a0.users AS BIGINT) AS rate0_ppm,
+           CAST(a1.purchases * 1000000 // a1.users AS BIGINT) AS rate1_ppm,
+           CAST(a0.purchases * 1000000 // a0.users
+                - a1.purchases * 1000000 // a1.users AS BIGINT)
+             AS rate_delta_ppm
+    FROM (SELECT users, purchases FROM arms WHERE arm = 0) a0
+    CROSS JOIN (SELECT users, purchases FROM arms WHERE arm = 1) a1
+"""
+
+
+# --- q267: deterministic negative-sampling plan --------------------------------
+
+
+def q267_negative_sampling(spark, sf_dir):
+    """Negative-sampling plan for contrastive/recommender training:
+    for each user, the 3 highest-priority items they did NOT click,
+    where priority is a portable md5 hash of (user, item) — the
+    deterministic, engine-reproducible stand-in for uniform sampling
+    without replacement (the same per-key hash-priority trick as the
+    curation samplers, pointed at pair construction). Output is capped
+    to user_id < 20 so the oracle's user x item expansion stays
+    printable; the plan is the production shape at any cardinality.
+
+    Scale shape: the candidate space is users × the bounded item
+    vocabulary (broadcast — ~100 rows), the clicked set anti-joins out,
+    and rank<=3 compiles to WindowGroupLimit (map-side top-k before the
+    user shuffle). No randomness, no collect.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.expr(
+                "CAST(regexp_extract(props, '\"k\": ([0-9]+)', 1)"
+                " AS BIGINT)"
+            ).alias("item"),
+        )
+        .distinct()
+    )
+    items = clicks.select("item").distinct()
+    users = clicks.select("user_id").where(F.col("user_id") < 20).distinct()
+    cand = users.crossJoin(F.broadcast(items)).join(
+        clicks, ["user_id", "item"], "left_anti"
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.expr(
+            "conv(substring(md5(concat(CAST(user_id AS STRING), ':',"
+            " CAST(item AS STRING))), 1, 8), 16, 10)"
+        ).cast("long"),
+        F.col("item"),
+    )
+    return (
+        cand.withColumn("neg_rank", F.row_number().over(w))
+        .where(F.col("neg_rank") <= 3)
+        .select("user_id", "item", F.col("neg_rank").cast("long").alias("neg_rank"))
+        .orderBy("user_id", "neg_rank")
+    )
+
+
+EVAL_QUERIES["q267_negative_sampling"] = q267_negative_sampling
+
+EVAL_ORACLES["q267_negative_sampling"] = """
+    WITH clicks AS (
+      SELECT DISTINCT user_id,
+             CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)
+               AS item
+      FROM events WHERE event_type = 'click'
+    ),
+    items AS (SELECT DISTINCT item FROM clicks),
+    users AS (SELECT DISTINCT user_id FROM clicks WHERE user_id < 20),
+    cand AS (
+      SELECT u.user_id, i.item
+      FROM users u CROSS JOIN items i
+      WHERE NOT EXISTS (
+        SELECT 1 FROM clicks c
+        WHERE c.user_id = u.user_id AND c.item = i.item
+      )
+    ),
+    ranked AS (
+      SELECT user_id, item,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id
+               ORDER BY CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)
+                              || ':' || CAST(item AS VARCHAR)), 1, 8))
+                             AS BIGINT), item
+             ) AS neg_rank
+      FROM cand
+    )
+    SELECT user_id, item, CAST(neg_rank AS BIGINT) AS neg_rank
+    FROM ranked WHERE neg_rank <= 3
+    ORDER BY user_id, neg_rank
+"""

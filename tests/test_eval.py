@@ -180,3 +180,50 @@ def test_link_prediction_goes_through_parts_not_pairs(spark, sf_dir):
         assert r.common >= 2
         # every common part contributes at least 1e6 div log2(40) = 192307
         assert r.adamic_adar_milli >= r.common * 192307
+
+
+def test_negative_sampling_excludes_clicked_and_uses_group_limit(spark, sf_dir):
+    """No sampled negative may be a clicked item for that user, every
+    user gets at most 3, and the rank<=3 must compile to
+    WindowGroupLimit (map-side top-k before the user shuffle)."""
+    from adhesive_spark.plans.explain import physical_plan
+    from adhesive_spark.queries.eval_queries import q267_negative_sampling
+
+    df = q267_negative_sampling(spark, sf_dir)
+    assert "WindowGroupLimit" in physical_plan(df)
+
+    clicked = {
+        (r.user_id, r.item)
+        for r in spark.read.parquet(f"{sf_dir}/events.parquet")
+        .where(F.col("event_type") == "click")
+        .selectExpr(
+            "user_id",
+            "CAST(regexp_extract(props, '\"k\": ([0-9]+)', 1) AS BIGINT)"
+            " AS item",
+        )
+        .collect()
+    }
+    per_user = {}
+    for r in df.collect():
+        assert (r.user_id, r.item) not in clicked
+        per_user.setdefault(r.user_id, []).append(r.neg_rank)
+    for ranks in per_user.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= 3
+
+
+def test_abtest_srm_arms_partition_users(spark, sf_dir):
+    """The two arms must partition the user population exactly, and the
+    SRM statistic must equal the (u0-u1)²/(u0+u1) identity."""
+    from adhesive_spark.queries.eval_queries import q266_abtest_srm
+
+    row = q266_abtest_srm(spark, sf_dir).collect()[0]
+    n_users = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert row.u0 + row.u1 == n_users
+    assert row.srm_chi2_milli == (row.u0 - row.u1) ** 2 * 1000 // (row.u0 + row.u1)
+    assert row.rate_delta_ppm == row.rate0_ppm - row.rate1_ppm

@@ -284,6 +284,9 @@ AUDITED = [
     "q262_l_diversity",
     "q263_link_prediction",
     "q264_dow_seasonality",
+    "q265_benford_audit",
+    "q266_abtest_srm",
+    "q267_negative_sampling",
 ]
 
 
