@@ -1,6 +1,10 @@
 """Model-evaluation & measurement queries (q256+): exact ROC-AUC,
 classifier-calibration audit, a bit-level runtime bloom join-prefilter
-with a measured false-positive rate, and CUSUM change-point detection.
+with a measured false-positive rate, CUSUM change-point detection and
+segmentation, grid-density clustering, decision-stump split gain,
+l-diversity, link prediction, seasonality/Benford/SRM audits, a
+deterministic negative-sampling plan, and the vocabulary coverage
+curve.
 
 These are the metrics a training-data pipeline publishes about its own
 quality classifiers and runtime filters — computed ON the cluster, in
@@ -1189,4 +1193,235 @@ EVAL_ORACLES["q267_negative_sampling"] = """
     SELECT user_id, item, CAST(neg_rank AS BIGINT) AS neg_rank
     FROM ranked WHERE neg_rank <= 3
     ORDER BY user_id, neg_rank
+"""
+
+
+# --- q268: change-point segmentation (binary-segmentation step) ----------------
+
+
+def q268_changepoint_segments(spark, sf_dir):
+    """Change-point LOCALIZATION + effect size — the step after the
+    q259 alarm: split the daily-revenue series at the argmax-|CUSUM|
+    day and report both segments' exact means, the level-shift delta,
+    and each segment's own residual max-|CUSUM| (the binary-
+    segmentation evidence that structure remains — a large residual
+    says "split again"). All exact cents, all division-last.
+
+    Scale shape: the corpus collapses to the ~30-row daily table in
+    one aggregate; the split point, segment means, and within-segment
+    CUSUMs are windows over that table only. Output: 2 rows
+    (segment 0 = up to and including the split day).
+    """
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase"
+    )
+    daily = ev.select(
+        F.expr("unix_micros(ts) div 86400000000").alias("day"),
+        F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)").alias("cents"),
+    ).groupBy("day").agg(F.sum("cents").cast("long").alias("rev"))
+    daily = daily.localCheckpoint(eager=True)  # feeds split + segments
+    mean = daily.agg(
+        F.expr("CAST(sum(rev) div count(*) AS BIGINT)").alias("mean_rev")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    cusum = daily.crossJoin(F.broadcast(mean)).select(
+        "day",
+        F.sum(F.col("rev") - F.col("mean_rev")).over(w).alias("c"),
+    )
+    split = cusum.orderBy(F.abs(F.col("c")).desc(), F.col("day")).limit(
+        1
+    ).select(F.col("day").alias("split_day"))
+    segs = daily.crossJoin(F.broadcast(split)).withColumn(
+        "segment", (F.col("day") > F.col("split_day")).cast("long")
+    )
+    seg_mean = segs.groupBy("segment").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.expr("CAST(sum(rev) div count(*) AS BIGINT)").alias(
+            "mean_rev_cents"
+        ),
+    )
+    ws = Window.partitionBy("segment").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    resid = (
+        segs.join(F.broadcast(seg_mean), "segment")
+        .select(
+            "segment",
+            "split_day",
+            F.sum(F.col("rev") - F.col("mean_rev_cents")).over(ws).alias(
+                "rc"
+            ),
+        )
+        .groupBy("segment", "split_day")
+        .agg(F.max(F.abs(F.col("rc"))).cast("long").alias("resid_max_cusum"))
+    )
+    both = seg_mean.agg(
+        F.max(F.when(F.col("segment") == 1, F.col("mean_rev_cents"))).alias("m1"),
+        F.max(F.when(F.col("segment") == 0, F.col("mean_rev_cents"))).alias("m0"),
+    ).select((F.col("m1") - F.col("m0")).alias("shift_cents"))
+    return (
+        seg_mean.join(resid, "segment")
+        .crossJoin(F.broadcast(both))
+        .select(
+            "segment",
+            "split_day",
+            "n_days",
+            "mean_rev_cents",
+            "shift_cents",
+            "resid_max_cusum",
+        )
+        .orderBy("segment")
+    )
+
+
+EVAL_QUERIES["q268_changepoint_segments"] = q268_changepoint_segments
+
+EVAL_ORACLES["q268_changepoint_segments"] = """
+    WITH daily AS (
+      SELECT epoch_us(ts) // 86400000000 AS day,
+             CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+               AS rev
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY 1
+    ),
+    mean AS (
+      SELECT CAST(SUM(rev) // COUNT(*) AS BIGINT) AS mean_rev FROM daily
+    ),
+    cusum AS (
+      SELECT day,
+             CAST(SUM(rev - mean_rev) OVER (ORDER BY day
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c
+      FROM daily CROSS JOIN mean
+    ),
+    split AS (
+      SELECT day AS split_day FROM cusum
+      ORDER BY abs(c) DESC, day LIMIT 1
+    ),
+    segs AS (
+      SELECT daily.day, daily.rev, split.split_day,
+             CAST(daily.day > split.split_day AS BIGINT) AS segment
+      FROM daily CROSS JOIN split
+    ),
+    seg_mean AS (
+      SELECT segment, CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(SUM(rev) // COUNT(*) AS BIGINT) AS mean_rev_cents
+      FROM segs GROUP BY segment
+    ),
+    resid AS (
+      SELECT segment, split_day,
+             CAST(MAX(abs(rc)) AS BIGINT) AS resid_max_cusum
+      FROM (
+        SELECT s.segment, s.split_day,
+               SUM(s.rev - m.mean_rev_cents) OVER (
+                 PARTITION BY s.segment ORDER BY s.day
+                 ROWS UNBOUNDED PRECEDING) AS rc
+        FROM segs s JOIN seg_mean m ON s.segment = m.segment
+      ) GROUP BY segment, split_day
+    ),
+    shift AS (
+      SELECT CAST(MAX(CASE WHEN segment = 1 THEN mean_rev_cents END)
+                  - MAX(CASE WHEN segment = 0 THEN mean_rev_cents END)
+                  AS BIGINT) AS shift_cents
+      FROM seg_mean
+    )
+    SELECT m.segment, r.split_day, m.n_days, m.mean_rev_cents,
+           sh.shift_cents, r.resid_max_cusum
+    FROM seg_mean m
+    JOIN resid r ON m.segment = r.segment
+    CROSS JOIN shift sh
+    ORDER BY m.segment
+"""
+
+
+# --- q269: vocabulary coverage curve -------------------------------------------
+
+
+def q269_vocab_coverage(spark, sf_dir):
+    """Vocabulary coverage curve — the tokenizer-sizing table: what
+    fraction of all token OCCURRENCES the top-k most frequent types
+    cover, for k in {10, 100, 1000} (plus the full-vocab row). Rank
+    ties break by token text so both engines pick identical heads.
+    This is the measured basis for vocab-size decisions the zipf audit
+    (q239) only infers from the slope.
+
+    Scale shape: one (token) count aggregate collapses the corpus to
+    the vocabulary; the ordered cumulative share runs on that table
+    (bounded by vocab, not corpus) and the k-spine probe is a
+    broadcast of 3 literals. Integer ppm, division last.
+    """
+    from adhesive_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    types = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("tok")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    ranked = types.select(
+        F.row_number()
+        .over(Window.orderBy(F.col("cnt").desc(), F.col("tok")))
+        .alias("rank"),
+        F.sum("cnt").over(w).alias("cum_cnt"),
+    )
+    ranked = ranked.localCheckpoint(eager=True)  # feeds 2 consumers
+    tot = ranked.agg(
+        F.max("cum_cnt").alias("total_occ"),
+        F.max("rank").cast("long").alias("n_types"),
+    )
+    spine = spark.range(0, 3).select(
+        F.expr("CAST(pow(10, id + 1) AS BIGINT)").alias("k")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(spine.crossJoin(tot)))
+        .where(F.col("rank") <= F.col("k"))
+        .groupBy("k", "total_occ", "n_types")
+        .agg(F.max("cum_cnt").alias("head_occ"))
+        .select(
+            "k",
+            F.least(F.col("k"), F.col("n_types")).alias("types_used"),
+            F.col("head_occ").cast("long").alias("head_occ"),
+            F.expr(
+                "CAST(head_occ * 1000000 div total_occ AS BIGINT)"
+            ).alias("mass_ppm"),
+        )
+        .orderBy("k")
+    )
+
+
+EVAL_QUERIES["q269_vocab_coverage"] = q269_vocab_coverage
+
+EVAL_ORACLES["q269_vocab_coverage"] = """
+    WITH types AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (
+        SELECT unnest(string_split(
+                 trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '))
+               AS tok
+        FROM documents
+      ) GROUP BY tok
+    ),
+    ranked AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) AS rank,
+             SUM(cnt) OVER (ORDER BY cnt DESC, tok
+                            ROWS UNBOUNDED PRECEDING) AS cum_cnt
+      FROM types
+    ),
+    tot AS (
+      SELECT CAST(MAX(cum_cnt) AS BIGINT) AS total_occ,
+             CAST(MAX(rank) AS BIGINT) AS n_types
+      FROM ranked
+    ),
+    spine AS (SELECT UNNEST([10, 100, 1000]) AS k)
+    SELECT k,
+           CAST(LEAST(k, tot.n_types) AS BIGINT) AS types_used,
+           CAST(MAX(cum_cnt) AS BIGINT) AS head_occ,
+           CAST(MAX(cum_cnt) * 1000000 // tot.total_occ AS BIGINT)
+             AS mass_ppm
+    FROM ranked CROSS JOIN spine CROSS JOIN tot
+    WHERE ranked.rank <= spine.k
+    GROUP BY k, tot.total_occ, tot.n_types
+    ORDER BY k
 """

@@ -808,3 +808,57 @@ def read_cusum_alarms(spark, state_path: str, top: int = 5) -> DataFrame:
     return cusum.orderBy(
         F.abs(F.col("cusum_cents")).desc(), F.col("day")
     ).limit(top)
+
+
+def streaming_grid_cells(
+    points: DataFrame,
+    x_col: str,
+    y_col: str,
+    state_path: str,
+    *,
+    checkpoint_path: str,
+    cell_milli: int = 25,
+):
+    """Streaming embedding-density state: each micro-batch's points
+    quantize to the q260 grid (exact milli integers, +1e6 shift) and
+    their per-cell counts ADD-merge into the epoch-committed snapshot.
+    State is bounded by the GRID (occupied cells), not the stream —
+    the additive sibling of the day-state CUSUM: a point stream of any
+    size maintains its density profile in a few hundred rows, and the
+    batch q260 clustering (core filter → components) reads straight
+    off the committed cells. The density drift of an embedding feed —
+    new dense regions appearing between epochs — is a diff of two
+    committed snapshots.
+    """
+
+    def _merge(batch_df: DataFrame, prev: DataFrame | None) -> DataFrame:
+        delta = (
+            batch_df.select(
+                F.expr(
+                    f"(CAST(ROUND(CAST({x_col} AS DOUBLE) * 1000, 0)"
+                    f" AS BIGINT) + 1000000) div {cell_milli}"
+                ).alias("cx"),
+                F.expr(
+                    f"(CAST(ROUND(CAST({y_col} AS DOUBLE) * 1000, 0)"
+                    f" AS BIGINT) + 1000000) div {cell_milli}"
+                ).alias("cy"),
+            )
+            .groupBy("cx", "cy")
+            .agg(F.count("*").cast("long").alias("n"))
+        )
+        if prev is None:
+            return delta
+        return (
+            delta.unionByName(prev)
+            .groupBy("cx", "cy")
+            .agg(F.sum("n").cast("long").alias("n"))
+        )
+
+    return (
+        points.writeStream.foreachBatch(
+            _epoch_guarded_snapshot(state_path, _merge)
+        )
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -29,6 +29,12 @@ def main() -> None:
         q259_cusum_changepoint,
         q260_grid_density_clusters,
         q261_stump_split_gain,
+        q262_l_diversity,
+        q263_link_prediction,
+        q265_benford_audit,
+        q266_abtest_srm,
+        q267_negative_sampling,
+        q269_vocab_coverage,
     )
 
     spark = build_spark(app_name="eval-demo")
@@ -52,6 +58,24 @@ def main() -> None:
 
     print("-- decision-stump Gini gain at each score decile")
     q261_stump_split_gain(spark, sf).show()
+
+    print("-- l-diversity histogram: homogeneity-attack screen")
+    q262_l_diversity(spark, sf).show()
+
+    print("-- link prediction: common-neighbor / Jaccard / Adamic-Adar")
+    q263_link_prediction(spark, sf).show(5)
+
+    print("-- Benford first-digit audit (synthetic prices are NOT Benford)")
+    q265_benford_audit(spark, sf).show()
+
+    print("-- A/B readout with sample-ratio-mismatch guard")
+    q266_abtest_srm(spark, sf).show()
+
+    print("-- deterministic negative-sampling plan (first rows)")
+    q267_negative_sampling(spark, sf).show(6)
+
+    print("-- vocabulary coverage curve (tokenizer sizing)")
+    q269_vocab_coverage(spark, sf).show()
 
 
 if __name__ == "__main__":

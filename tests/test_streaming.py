@@ -789,3 +789,56 @@ def test_streaming_cusum_matches_batch(spark, sf_dir, event_stream_dir, tmp_path
         for r in q259_cusum_changepoint(spark, sf_dir).collect()
     ]
     assert got == want
+
+
+def test_streaming_grid_cells_match_batch(spark, sf_dir, tmp_path_factory):
+    """Streamed per-cell counts must equal the one-pass batch grid
+    exactly (cell-count additivity), so the q260 clustering reads the
+    same core cells off the committed state."""
+    import shutil
+    import tempfile
+
+    from adhesive_spark.sources.registry import load_table
+    from adhesive_spark.streaming.ops import (
+        read_rollup_state,
+        streaming_grid_cells,
+    )
+
+    emb_dir = tempfile.mkdtemp(prefix="adhesive_emb_stream_")
+    try:
+        pts_batch = load_table(spark, sf_dir, "embeddings").selectExpr(
+            "vec_id",
+            "CAST(element_at(embedding, 1) AS DOUBLE) AS x",
+            "CAST(element_at(embedding, 2) AS DOUBLE) AS y",
+        )
+        pts_batch.repartition(4).write.mode("overwrite").parquet(emb_dir)
+
+        base = tmp_path_factory.mktemp("grid_stream")
+        state, ckpt = str(base / "state"), str(base / "ckpt")
+        stream = (
+            spark.readStream.schema(spark.read.parquet(emb_dir).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(emb_dir)
+        )
+        q = streaming_grid_cells(
+            stream, "x", "y", state, checkpoint_path=ckpt
+        )
+        assert q.awaitTermination(120), "stream did not drain in 120s"
+
+        streamed = {
+            (r.cx, r.cy): r.n
+            for r in read_rollup_state(spark, state).collect()
+        }
+        want = {
+            (r.cx, r.cy): r.n
+            for r in pts_batch.selectExpr(
+                "(CAST(ROUND(x * 1000, 0) AS BIGINT) + 1000000) div 25 AS cx",
+                "(CAST(ROUND(y * 1000, 0) AS BIGINT) + 1000000) div 25 AS cy",
+            )
+            .groupBy("cx", "cy")
+            .agg(F.count("*").cast("long").alias("n"))
+            .collect()
+        }
+        assert streamed == want
+    finally:
+        shutil.rmtree(emb_dir, ignore_errors=True)

@@ -287,6 +287,8 @@ AUDITED = [
     "q265_benford_audit",
     "q266_abtest_srm",
     "q267_negative_sampling",
+    "q268_changepoint_segments",
+    "q269_vocab_coverage",
 ]
 
 
