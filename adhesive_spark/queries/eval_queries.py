@@ -1425,3 +1425,105 @@ EVAL_ORACLES["q269_vocab_coverage"] = """
     GROUP BY k, tot.total_occ, tot.n_types
     ORDER BY k
 """
+
+
+# --- q270: point-in-time feature matrix (leakage-free training assembly) ------
+
+
+def q270_feature_matrix(spark, sf_dir):
+    """Point-in-time training-matrix assembly — THE feature-store
+    correctness problem: for every purchase (the label event), features
+    computed from that user's history STRICTLY BEFORE the label
+    timestamp (clicks, views, prior spend, days since first activity).
+    One ``ROWS UNBOUNDED PRECEDING TO 1 PRECEDING`` window per user
+    does all of it — no as-of join per feature, no label-row self-join,
+    and leakage is impossible by construction (the frame excludes the
+    current row; ties break on event_id so both engines see the same
+    history ordering).
+
+    Scale shape: ONE user-key shuffle for any number of features — the
+    union-then-window trick that replaces N point-in-time joins; the
+    label filter happens after the window, so feature state is built in
+    the same pass that emits labels. First-purchase rows keep NULL
+    prior-activity columns (no fabricated zeros for day-0 users).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    feats = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)").alias("cents"),
+        F.expr("unix_micros(ts)").alias("us"),
+        F.sum(F.expr("CASE WHEN event_type = 'click' THEN 1 ELSE 0 END"))
+        .over(w)
+        .cast("long")
+        .alias("n_clicks_before"),
+        F.sum(F.expr("CASE WHEN event_type = 'view' THEN 1 ELSE 0 END"))
+        .over(w)
+        .cast("long")
+        .alias("n_views_before"),
+        F.sum(
+            F.expr("CASE WHEN event_type = 'purchase' THEN"
+                   " CAST(ROUND(value * 100, 0) AS BIGINT) ELSE 0 END")
+        )
+        .over(w)
+        .cast("long")
+        .alias("spent_before_cents"),
+        F.min(F.expr("unix_micros(ts)")).over(w).alias("first_us"),
+    )
+    return (
+        feats.where(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            "event_id",
+            F.col("cents").alias("label_cents"),
+            "n_clicks_before",
+            "n_views_before",
+            "spent_before_cents",
+            F.expr(
+                "CAST((us - first_us) div 86400000000 AS BIGINT)"
+            ).alias("days_active_before"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+EVAL_QUERIES["q270_feature_matrix"] = q270_feature_matrix
+
+EVAL_ORACLES["q270_feature_matrix"] = """
+    WITH feats AS (
+      SELECT user_id, event_id, event_type,
+             CAST(ROUND(value * 100, 0) AS BIGINT) AS cents,
+             epoch_us(ts) AS us,
+             CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS BIGINT) AS n_clicks_before,
+             CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS BIGINT) AS n_views_before,
+             CAST(SUM(CASE WHEN event_type = 'purchase'
+                           THEN CAST(ROUND(value * 100, 0) AS BIGINT)
+                           ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS BIGINT) AS spent_before_cents,
+             MIN(epoch_us(ts))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS first_us
+      FROM events
+    )
+    SELECT user_id, event_id, cents AS label_cents,
+           n_clicks_before, n_views_before, spent_before_cents,
+           CAST((us - first_us) // 86400000000 AS BIGINT)
+             AS days_active_before
+    FROM feats WHERE event_type = 'purchase'
+    ORDER BY user_id, event_id
+"""

@@ -289,6 +289,7 @@ AUDITED = [
     "q267_negative_sampling",
     "q268_changepoint_segments",
     "q269_vocab_coverage",
+    "q270_feature_matrix",
 ]
 
 
