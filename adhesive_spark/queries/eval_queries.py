@@ -1527,3 +1527,128 @@ EVAL_ORACLES["q270_feature_matrix"] = """
     FROM feats WHERE event_type = 'purchase'
     ORDER BY user_id, event_id
 """
+
+
+# --- q271: CUPED variance-reduction audit --------------------------------------
+
+_CUPED_SPLIT_DAY = 19738   # epoch day: 15 days into the fixed 2024-01
+#                            event window — pre-period vs experiment
+#                            period boundary, identical at every sf
+
+
+def q271_cuped_audit(spark, sf_dir):
+    """CUPED variance-reduction audit — the companion the q266 A/B
+    readout needs before anyone trusts a delta: per user, pre-period
+    spend x (days < split) and experiment-period spend y, then the
+    exact integer normal-equation pieces
+
+        cov_n = n·Σxy − Σx·Σy      var_n = n·Σx² − (Σx)²
+
+    reported as theta (the CUPED coefficient, milli) and corr²
+    (the fraction of metric variance the covariate removes, milli —
+    CUPED's entire value proposition, measured not assumed). Spend is
+    dollar-quantized (cents div 100) so every product stays in BIGINT
+    until the two DECIMAL(38,0)-carried final divisions; cov's sign is
+    emitted separately so no negative integer division ever happens
+    (truncate-vs-floor is engine-divergent).
+
+    Scale shape: ONE per-user aggregate collapses the stream, one
+    5-number moment reduction, zero joins. The same pass CUPED
+    production systems run at any cardinality.
+    """
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase"
+    )
+    per_user = ev.select(
+        "user_id",
+        F.expr("unix_micros(ts) div 86400000000").alias("day"),
+        F.expr("CAST(ROUND(value * 100, 0) AS BIGINT) div 100").alias(
+            "dollars"
+        ),
+    ).groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("day") < _CUPED_SPLIT_DAY, F.col("dollars")).otherwise(0)
+        )
+        .cast("long")
+        .alias("x"),
+        F.sum(
+            F.when(F.col("day") >= _CUPED_SPLIT_DAY, F.col("dollars")).otherwise(
+                0
+            )
+        )
+        .cast("long")
+        .alias("y"),
+    )
+    moments = per_user.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    return moments.select(
+        "n",
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).alias(
+            "cov_n"
+        ),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).alias(
+            "var_x_n"
+        ),
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).alias(
+            "var_y_n"
+        ),
+    ).select(
+        "n",
+        F.signum("cov_n").cast("long").alias("cov_sign"),
+        F.expr(
+            "CAST(CAST(abs(cov_n) AS DECIMAL(38,0)) * 1000 div var_x_n"
+            " AS BIGINT)"
+        ).alias("theta_abs_milli"),
+        F.expr(
+            "CAST(CAST(cov_n AS DECIMAL(38,0)) * cov_n * 1000"
+            " div (CAST(var_x_n AS DECIMAL(38,0)) * var_y_n) AS BIGINT)"
+        ).alias("corr2_milli"),
+    )
+
+
+EVAL_QUERIES["q271_cuped_audit"] = q271_cuped_audit
+
+EVAL_ORACLES["q271_cuped_audit"] = f"""
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(SUM(CASE WHEN epoch_us(ts) // 86400000000
+                                < {_CUPED_SPLIT_DAY}
+                           THEN CAST(ROUND(value * 100, 0) AS BIGINT) // 100
+                           ELSE 0 END) AS BIGINT) AS x,
+             CAST(SUM(CASE WHEN epoch_us(ts) // 86400000000
+                                >= {_CUPED_SPLIT_DAY}
+                           THEN CAST(ROUND(value * 100, 0) AS BIGINT) // 100
+                           ELSE 0 END) AS BIGINT) AS y
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id
+    ),
+    moments AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy
+      FROM per_user
+    ),
+    parts AS (
+      SELECT n,
+             n * sxy - sx * sy AS cov_n,
+             n * sxx - sx * sx AS var_x_n,
+             n * syy - sy * sy AS var_y_n
+      FROM moments
+    )
+    SELECT n,
+           CAST(sign(cov_n) AS BIGINT) AS cov_sign,
+           CAST(CAST(abs(cov_n) AS HUGEINT) * 1000 // var_x_n AS BIGINT)
+             AS theta_abs_milli,
+           CAST(CAST(cov_n AS HUGEINT) * cov_n * 1000
+                // (CAST(var_x_n AS HUGEINT) * var_y_n) AS BIGINT)
+             AS corr2_milli
+    FROM parts
+"""

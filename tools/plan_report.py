@@ -290,6 +290,7 @@ AUDITED = [
     "q268_changepoint_segments",
     "q269_vocab_coverage",
     "q270_feature_matrix",
+    "q271_cuped_audit",
 ]
 
 
