@@ -1652,3 +1652,115 @@ EVAL_ORACLES["q271_cuped_audit"] = f"""
              AS corr2_milli
     FROM parts
 """
+
+
+# --- q272: quantile treatment effect -------------------------------------------
+
+
+def q272_quantile_treatment_effect(spark, sf_dir):
+    """Quantile treatment effect — what the q266 mean-delta readout
+    hides: the EXACT p50 and p90 of the purchase-value distribution per
+    md5-parity arm, and their deltas. Quantiles come from per-distinct-
+    value counts + a cumulative window per arm (the two-phase exact-
+    quantile policy: rank thresholds are ceil(n·q/1000), lower-quantile
+    convention, no interpolation — integers end to end; the delta is a
+    subtraction, never a division, so its sign is engine-safe).
+
+    Scale shape: one (arm, cents) aggregate collapses the stream; the
+    per-arm cumulative window runs over distinct values only, and the
+    2x2 quantile probe is a broadcast spine. Output: 2 rows (p500,
+    p900).
+    """
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase"
+    )
+    per = ev.select(
+        F.expr(
+            "conv(substring(md5(CAST(user_id AS STRING)), 1, 8), 16, 10)"
+            " % 2"
+        )
+        .cast("long")
+        .alias("arm"),
+        F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)").alias("cents"),
+    ).groupBy("arm", "cents").agg(F.count("*").cast("long").alias("cnt"))
+    w = (
+        Window.partitionBy("arm")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = per.select(
+        "arm", "cents", F.sum("cnt").over(w).alias("cum")
+    ).localCheckpoint(eager=True)  # feeds totals + both quantile probes
+    tot = cum.groupBy("arm").agg(F.max("cum").cast("long").alias("n_arm"))
+    spine = spark.range(0, 2).select(
+        F.expr("CAST(CASE WHEN id = 0 THEN 500 ELSE 900 END AS BIGINT)").alias(
+            "q_permille"
+        )
+    )
+    probes = (
+        cum.join(F.broadcast(tot), "arm")
+        .crossJoin(F.broadcast(spine))
+        .where(
+            F.col("cum")
+            >= F.expr("(n_arm * q_permille + 999) div 1000")
+        )
+        .groupBy("q_permille", "arm")
+        .agg(F.min("cents").alias("qc"))
+    )
+    return (
+        probes.groupBy("q_permille")
+        .agg(
+            F.max(F.when(F.col("arm") == 0, F.col("qc"))).cast("long").alias(
+                "arm0_cents"
+            ),
+            F.max(F.when(F.col("arm") == 1, F.col("qc"))).cast("long").alias(
+                "arm1_cents"
+            ),
+        )
+        .select(
+            "q_permille",
+            "arm0_cents",
+            "arm1_cents",
+            (F.col("arm1_cents") - F.col("arm0_cents")).alias("delta_cents"),
+        )
+        .orderBy("q_permille")
+    )
+
+
+EVAL_QUERIES["q272_quantile_treatment_effect"] = q272_quantile_treatment_effect
+
+EVAL_ORACLES["q272_quantile_treatment_effect"] = """
+    WITH per AS (
+      SELECT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 2 AS arm,
+             CAST(ROUND(value * 100, 0) AS BIGINT) AS cents,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT arm, cents,
+             SUM(cnt) OVER (PARTITION BY arm ORDER BY cents
+                            ROWS UNBOUNDED PRECEDING) AS cum
+      FROM per
+    ),
+    tot AS (
+      SELECT arm, CAST(MAX(cum) AS BIGINT) AS n_arm FROM cum GROUP BY arm
+    ),
+    spine AS (SELECT UNNEST([500, 900]) AS q_permille),
+    probes AS (
+      SELECT s.q_permille, c.arm, MIN(c.cents) AS qc
+      FROM cum c
+      JOIN tot t ON c.arm = t.arm
+      CROSS JOIN spine s
+      WHERE c.cum >= (t.n_arm * s.q_permille + 999) // 1000
+      GROUP BY s.q_permille, c.arm
+    )
+    SELECT q_permille,
+           CAST(MAX(CASE WHEN arm = 0 THEN qc END) AS BIGINT) AS arm0_cents,
+           CAST(MAX(CASE WHEN arm = 1 THEN qc END) AS BIGINT) AS arm1_cents,
+           CAST(MAX(CASE WHEN arm = 1 THEN qc END)
+                - MAX(CASE WHEN arm = 0 THEN qc END) AS BIGINT)
+             AS delta_cents
+    FROM probes GROUP BY q_permille ORDER BY q_permille
+"""

@@ -77,6 +77,17 @@ def main() -> None:
     print("-- vocabulary coverage curve (tokenizer sizing)")
     q269_vocab_coverage(spark, sf).show()
 
+    from adhesive_spark.queries.eval_queries import (
+        q270_feature_matrix,
+        q271_cuped_audit,
+    )
+
+    print("-- point-in-time feature matrix (first rows, leakage-free)")
+    q270_feature_matrix(spark, sf).show(5)
+
+    print("-- CUPED audit: covariate power measured, sign-safe")
+    q271_cuped_audit(spark, sf).show()
+
 
 if __name__ == "__main__":
     main()

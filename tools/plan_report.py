@@ -291,6 +291,7 @@ AUDITED = [
     "q269_vocab_coverage",
     "q270_feature_matrix",
     "q271_cuped_audit",
+    "q272_quantile_treatment_effect",
 ]
 
 
