@@ -380,6 +380,55 @@ def main() -> None:
     n_emb = emb.count()
     run("grid_density_clusters", _grid_density, n_emb * reps)
 
+    # Point-in-time feature matrix (q270 shape) over an N×-replicated
+    # event log with the ORIGINAL 150-user key space kept (only
+    # event_id remapped): every user's window partition grows N× wide —
+    # the adversarial case for the strictly-before running-feature
+    # window (same hazard class as cdc_apply / interval_union). Linear
+    # per-partition sweep ⇒ throughput must not collapse.
+    from pyspark.sql import Window as W
+
+    big_ev = replicate(
+        load_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type", "ts", "value"
+        ),
+        "event_id",
+        reps,
+    )
+
+    def _feature_matrix():
+        wname = (
+            W.partitionBy("user_id")
+            .orderBy("ts", "event_id")
+            .rowsBetween(W.unboundedPreceding, -1)
+        )
+        feats = big_ev.select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)").alias("cents"),
+            F.sum(
+                F.expr("CASE WHEN event_type = 'click' THEN 1 ELSE 0 END")
+            )
+            .over(wname)
+            .alias("n_clicks_before"),
+            F.sum(
+                F.expr(
+                    "CASE WHEN event_type = 'purchase' THEN"
+                    " CAST(ROUND(value * 100, 0) AS BIGINT) ELSE 0 END"
+                )
+            )
+            .over(wname)
+            .alias("spent_before_cents"),
+        )
+        return feats.where(F.col("event_type") == "purchase").select(
+            "user_id", "event_id", "cents", "n_clicks_before",
+            "spent_before_cents",
+        )
+
+    n_ev = load_table(spark, sf_dir, "events").count()
+    run("feature_matrix_pit", _feature_matrix, n_ev * reps)
+
     total = round(sum(o["sec"] for o in ops.values()), 2)
     print(
         json.dumps(
