@@ -90,7 +90,8 @@ def q256_roc_auc(spark, sf_dir):
         F.sum("p_s").cast("long").alias("n_pos"),
         F.sum("n_s").cast("long").alias("n_neg"),
         F.expr(
-            "CAST(500000 * sum(p_s * (2 * n_lt + n_s))"
+            "CAST(CAST(500000 AS DECIMAL(38,0))"
+            " * sum(p_s * (2 * n_lt + n_s))"
             " div (sum(p_s) * sum(n_s)) AS BIGINT)"
         ).alias("auc_ppm"),
     )
@@ -113,8 +114,9 @@ EVAL_ORACLES["q256_roc_auc"] = f"""
     )
     SELECT CAST(SUM(p_s) AS BIGINT) AS n_pos,
            CAST(SUM(n_s) AS BIGINT) AS n_neg,
-           CAST(500000 * CAST(SUM(p_s * (2 * n_lt + n_s)) AS BIGINT)
-                // (CAST(SUM(p_s) AS BIGINT) * CAST(SUM(n_s) AS BIGINT))
+           CAST(CAST(500000 AS HUGEINT)
+                * CAST(SUM(p_s * (2 * n_lt + n_s)) AS HUGEINT)
+                // (CAST(SUM(p_s) AS HUGEINT) * CAST(SUM(n_s) AS HUGEINT))
                 AS BIGINT) AS auc_ppm
     FROM cum
 """
@@ -916,8 +918,8 @@ def q264_dow_seasonality(spark, sf_dir):
             "n_days",
             "rev_cents",
             F.expr(
-                "CAST(rev_cents * n_days_total * 1000000"
-                " div (n_days * total) AS BIGINT)"
+                "CAST(CAST(rev_cents AS DECIMAL(38,0)) * n_days_total"
+                " * 1000000 div (n_days * total) AS BIGINT)"
             ).alias("index_ppm"),
         )
         .orderBy("dow")
@@ -942,7 +944,7 @@ EVAL_ORACLES["q264_dow_seasonality"] = """
     SELECT (day + 3) % 7 AS dow,
            CAST(COUNT(*) AS BIGINT) AS n_days,
            CAST(SUM(rev) AS BIGINT) AS rev_cents,
-           CAST(SUM(rev) * n_days_total * 1000000
+           CAST(CAST(SUM(rev) AS HUGEINT) * n_days_total * 1000000
                 // (COUNT(*) * total) AS BIGINT) AS index_ppm
     FROM daily CROSS JOIN tot
     GROUP BY 1, n_days_total, total
@@ -986,9 +988,10 @@ def q265_benford_audit(spark, sf_dir):
         .select(
             "digit",
             "n",
-            F.expr("CAST(n * 1000000 div n_total AS BIGINT)").alias(
-                "obs_ppm"
-            ),
+            F.expr(
+                "CAST(CAST(n AS DECIMAL(38,0)) * 1000000 div n_total"
+                " AS BIGINT)"
+            ).alias("obs_ppm"),
             F.element_at(exp_arr, F.col("digit").cast("int"))
             .cast("long")
             .alias("exp_ppm"),
@@ -1011,9 +1014,10 @@ EVAL_ORACLES["q265_benford_audit"] = f"""
     ),
     tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM per)
     SELECT digit, n,
-           CAST(n * 1000000 // n_total AS BIGINT) AS obs_ppm,
+           CAST(CAST(n AS HUGEINT) * 1000000 // n_total AS BIGINT)
+             AS obs_ppm,
            CAST(({_BENFORD_PPM})[digit] AS BIGINT) AS exp_ppm,
-           CAST(abs(n * 1000000 // n_total
+           CAST(abs(CAST(n AS HUGEINT) * 1000000 // n_total
                     - ({_BENFORD_PPM})[digit]) AS BIGINT) AS dev_ppm
     FROM per CROSS JOIN tot
     ORDER BY digit
@@ -1384,7 +1388,8 @@ def q269_vocab_coverage(spark, sf_dir):
             F.least(F.col("k"), F.col("n_types")).alias("types_used"),
             F.col("head_occ").cast("long").alias("head_occ"),
             F.expr(
-                "CAST(head_occ * 1000000 div total_occ AS BIGINT)"
+                "CAST(CAST(head_occ AS DECIMAL(38,0)) * 1000000"
+                " div total_occ AS BIGINT)"
             ).alias("mass_ppm"),
         )
         .orderBy("k")
@@ -1418,8 +1423,8 @@ EVAL_ORACLES["q269_vocab_coverage"] = """
     SELECT k,
            CAST(LEAST(k, tot.n_types) AS BIGINT) AS types_used,
            CAST(MAX(cum_cnt) AS BIGINT) AS head_occ,
-           CAST(MAX(cum_cnt) * 1000000 // tot.total_occ AS BIGINT)
-             AS mass_ppm
+           CAST(CAST(MAX(cum_cnt) AS HUGEINT) * 1000000
+                // tot.total_occ AS BIGINT) AS mass_ppm
     FROM ranked CROSS JOIN spine CROSS JOIN tot
     WHERE ranked.rank <= spine.k
     GROUP BY k, tot.total_occ, tot.n_types
