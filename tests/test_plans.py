@@ -291,6 +291,26 @@ def test_shuffle_budgets_most_expensive(spark, sf):
         # capstone: dedup key + anonymity class window + shard ledger
         q200_governed_release: 3,
     }
+    # eval family (round 6): the "corpus touched once" contracts —
+    # q256 = per-score agg + tiny-window chain; q270 = ONE user-key
+    # window shuffle + the output sort; q258 = bloom build + probe agg
+    # chain with broadcast-only joins; q263 = edge distinct + pair agg
+    # through the part key, degree joins broadcast
+    from adhesive_spark.queries.eval_queries import (
+        q256_roc_auc,
+        q258_bloom_join_prefilter,
+        q263_link_prediction,
+        q270_feature_matrix,
+    )
+
+    budgets.update(
+        {
+            q256_roc_auc: 2,
+            q258_bloom_join_prefilter: 5,
+            q263_link_prediction: 5,
+            q270_feature_matrix: 2,
+        }
+    )
     for fn, budget in budgets.items():
         got = shuffle_exchange_count(fn(spark, sf))
         assert got <= budget, (
