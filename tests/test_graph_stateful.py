@@ -225,3 +225,66 @@ def test_streaming_interval_coverage_matches_batch(spark, event_stream_dir):
         for r in interval_union(twin, "user_id", "s", "e").collect()
     }
     assert final == expected
+
+
+def test_star_components_equal_min_label_on_pair_graph(spark, sf_dir):
+    """Large-star/small-star must produce the identical (node,
+    component) labeling as min-label propagation on a real near-dup
+    pair graph (same component minimum per node)."""
+    from pyspark.sql import functions as F
+
+    from adhesive_spark.operators.dedup import ngram_jaccard_pairs
+    from adhesive_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+    from adhesive_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.1)
+    pairs = pairs.localCheckpoint(eager=True)
+    want = {
+        (r.node, r.component) for r in connected_components(pairs).collect()
+    }
+    got = {
+        (r.node, r.component)
+        for r in connected_components_star(pairs).collect()
+    }
+    assert got == want and got
+
+
+def test_star_components_beat_diameter_on_path_graph(spark):
+    """THE reason star exists: a 32-node path (diameter 31) needs 31
+    min-label rounds but must converge inside 8 alternating star
+    rounds — the O(log² n) contract, enforced by the max_rounds guard
+    (non-convergence raises, so passing proves the round count)."""
+    from pyspark.sql import functions as F
+
+    from adhesive_spark.operators.graph import connected_components_star
+
+    chains = 5
+    edges = (
+        spark.range(0, chains * 32)
+        .select(F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b"))
+        .where((F.col("id_a") % 32) != 31)  # break between chains
+    )
+    labels = connected_components_star(edges, max_rounds=8)
+    rows = labels.collect()
+    assert len(rows) == chains * 32
+    for r in rows:
+        assert r.component == (r.node // 32) * 32
+
+
+def test_star_components_keep_self_loop_singletons(spark):
+    """Self-loops (the q260 grid convention for isolated core cells)
+    must yield singleton components, not vanish."""
+    from adhesive_spark.operators.graph import connected_components_star
+
+    edges = spark.createDataFrame(
+        [(7, 7), (1, 2), (9, 9)], ["id_a", "id_b"]
+    )
+    got = {
+        (r.node, r.component)
+        for r in connected_components_star(edges).collect()
+    }
+    assert got == {(7, 7), (9, 9), (1, 1), (2, 1)}
