@@ -1769,3 +1769,85 @@ EVAL_ORACLES["q272_quantile_treatment_effect"] = """
              AS delta_cents
     FROM probes GROUP BY q_permille ORDER BY q_permille
 """
+
+
+# --- q274: grid clustering via large-star/small-star ---------------------------
+
+
+def q274_grid_clusters_star(spark, sf_dir):
+    """The q260 grid-density clustering with its component step swapped
+    to LARGE-STAR/SMALL-STAR (operators/graph.py
+    `connected_components_star`) — the O(log² n)-round CC that stays
+    cheap when a dense region forms one whale component (min-label
+    pays the component DIAMETER per q260; star pays ~log rounds).
+    Identical output contract and identical recursive-CTE oracle as
+    q260: the two algorithms must agree cell-for-cell, and the driver
+    checks this one independently.
+    """
+    from adhesive_spark.operators.graph import connected_components_star
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        F.expr(
+            "(CAST(ROUND(CAST(element_at(embedding, 1) AS DOUBLE) * 1000, 0)"
+            f" AS BIGINT) + 1000000) div {_GRID_CELL_MILLI}"
+        ).alias("cx"),
+        F.expr(
+            "(CAST(ROUND(CAST(element_at(embedding, 2) AS DOUBLE) * 1000, 0)"
+            f" AS BIGINT) + 1000000) div {_GRID_CELL_MILLI}"
+        ).alias("cy"),
+    )
+    core = (
+        pts.groupBy("cx", "cy")
+        .agg(F.count("*").cast("long").alias("n"))
+        .where(F.col("n") >= _GRID_MINPTS)
+        .withColumn("cell_id", F.col("cx") * 100000 + F.col("cy"))
+        .localCheckpoint(eager=True)
+    )
+    offsets = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    probes = core.select(
+        F.col("cell_id").alias("id_a"),
+        F.explode(offsets).alias("o"),
+        "cx",
+        "cy",
+    ).select(
+        "id_a",
+        (F.col("cx") + F.col("o.dx")).alias("nx"),
+        (F.col("cy") + F.col("o.dy")).alias("ny"),
+    )
+    edges = probes.join(
+        core.select(
+            F.col("cx").alias("nx"),
+            F.col("cy").alias("ny"),
+            F.col("cell_id").alias("id_b"),
+        ),
+        ["nx", "ny"],
+    ).select("id_a", "id_b")
+    comps = connected_components_star(edges, "id_a", "id_b")
+    return (
+        comps.join(
+            core.select(F.col("cell_id").alias("node"), "n"), "node"
+        )
+        .groupBy(F.col("component").alias("cluster_rep"))
+        .agg(
+            F.count("*").cast("long").alias("n_cells"),
+            F.sum("n").cast("long").alias("n_points"),
+        )
+        .orderBy(F.col("n_points").desc(), F.col("cluster_rep"))
+        .limit(10)
+    )
+
+
+EVAL_QUERIES["q274_grid_clusters_star"] = q274_grid_clusters_star
+
+# identical contract, identical oracle: both CC algorithms must land on
+# the same (component-min, sizes) table
+EVAL_ORACLES["q274_grid_clusters_star"] = EVAL_ORACLES[
+    "q260_grid_density_clusters"
+]

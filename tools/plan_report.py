@@ -293,6 +293,7 @@ AUDITED = [
     "q271_cuped_audit",
     "q272_quantile_treatment_effect",
     "q273_wav_resample_audit",
+    "q274_grid_clusters_star",
 ]
 
 
