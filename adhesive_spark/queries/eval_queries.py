@@ -1554,8 +1554,10 @@ def q271_cuped_audit(spark, sf_dir):
     CUPED's entire value proposition, measured not assumed). Spend is
     dollar-quantized (cents div 100) so every product stays in BIGINT
     until the two DECIMAL(38,0)-carried final divisions; cov's sign is
-    emitted separately so no negative integer division ever happens
-    (truncate-vs-floor is engine-divergent).
+    emitted separately so no negative integer division happens (Spark
+    ``div`` and DuckDB ``//`` both truncate toward zero — verified —
+    but Python-style floor engines differ, so the sign-split
+    convention costs nothing and ports everywhere).
 
     Scale shape: ONE per-user aggregate collapses the stream, one
     5-number moment reduction, zero joins. The same pass CUPED
@@ -1851,3 +1853,93 @@ EVAL_QUERIES["q274_grid_clusters_star"] = q274_grid_clusters_star
 EVAL_ORACLES["q274_grid_clusters_star"] = EVAL_ORACLES[
     "q260_grid_density_clusters"
 ]
+
+
+# --- q275: Theil-Sen robust trend ----------------------------------------------
+
+
+def q275_theil_sen_trend(spark, sf_dir):
+    """Theil–Sen robust trend of daily purchase revenue — the
+    median-of-pairwise-slopes estimator that shrugs off the outlier
+    days that bend the OLS line (q204): slopes are micro-quantized
+    integers (``(rev_j − rev_i) * 1e6 div (day_j − day_i)`` — the SAME
+    truncation in both engines, so the exact median of the quantized
+    slopes is engine-identical), and the median uses the lower-median
+    convention off a cumulative count (q272 policy).
+
+    Scale shape: the corpus collapses to the ~30-row daily table in
+    one aggregate; the pairwise slope set (~C(30,2) = 435 rows) is a
+    self-join of that TINY table — the pair term is calendar-bounded,
+    never corpus-bounded. Output: one row (n_days, n_pairs,
+    slope_micro_per_day, ols companion from the same spine).
+    """
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase"
+    )
+    daily = ev.select(
+        F.expr("unix_micros(ts) div 86400000000").alias("day"),
+        F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)").alias("cents"),
+    ).groupBy("day").agg(F.sum("cents").cast("long").alias("rev"))
+    daily = daily.localCheckpoint(eager=True)  # tiny; feeds pairs + count
+    a, b = daily.alias("a"), daily.alias("b")
+    slopes = (
+        a.join(b, F.col("a.day") < F.col("b.day"))
+        .select(
+            F.expr(
+                "(b.rev - a.rev) * 1000000 div (b.day - a.day)"
+            ).alias("slope_micro")
+        )
+    )
+    per = slopes.groupBy("slope_micro").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    w = Window.orderBy("slope_micro").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = per.select("slope_micro", F.sum("cnt").over(w).alias("cum"))
+    tot = cum.agg(F.max("cum").cast("long").alias("n_pairs"))
+    med = (
+        cum.crossJoin(F.broadcast(tot))
+        .where(F.col("cum") >= F.expr("(n_pairs + 1) div 2"))
+        .agg(F.min("slope_micro").alias("slope_micro_per_day"))
+    )
+    n_days = daily.agg(F.count("*").cast("long").alias("n_days"))
+    return (
+        n_days.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(med))
+        .select("n_days", "n_pairs", "slope_micro_per_day")
+    )
+
+
+EVAL_QUERIES["q275_theil_sen_trend"] = q275_theil_sen_trend
+
+EVAL_ORACLES["q275_theil_sen_trend"] = """
+    WITH daily AS (
+      SELECT epoch_us(ts) // 86400000000 AS day,
+             CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+               AS rev
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY 1
+    ),
+    slopes AS (
+      SELECT CAST((b.rev - a.rev) * 1000000 // (b.day - a.day) AS BIGINT)
+               AS slope_micro
+      FROM daily a JOIN daily b ON a.day < b.day
+    ),
+    cum AS (
+      SELECT slope_micro,
+             SUM(cnt) OVER (ORDER BY slope_micro
+                            ROWS UNBOUNDED PRECEDING) AS cum
+      FROM (SELECT slope_micro, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM slopes GROUP BY slope_micro)
+    ),
+    tot AS (SELECT CAST(MAX(cum) AS BIGINT) AS n_pairs FROM cum),
+    med AS (
+      SELECT MIN(slope_micro) AS slope_micro_per_day
+      FROM cum CROSS JOIN tot
+      WHERE cum >= (n_pairs + 1) // 2
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM daily) AS n_days,
+           tot.n_pairs, med.slope_micro_per_day
+    FROM tot CROSS JOIN med
+"""

@@ -294,6 +294,7 @@ AUDITED = [
     "q272_quantile_treatment_effect",
     "q273_wav_resample_audit",
     "q274_grid_clusters_star",
+    "q275_theil_sen_trend",
 ]
 
 

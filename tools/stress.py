@@ -240,6 +240,21 @@ def main() -> None:
 
     run("cc_long_path_d31", _cc_long_path, reps * 10 * (chain_len - 1))
 
+    # Same adversarial path graphs through LARGE-STAR/SMALL-STAR
+    # (graph.py connected_components_star): converges in ~7 alternating
+    # rounds vs min-label's 31 diameter-bound rounds — max_rounds=10
+    # makes the log-round contract a hard assert, and the component
+    # count must agree with the min-label run above.
+    from adhesive_spark.operators.graph import connected_components_star
+
+    def _cc_star():
+        labels = connected_components_star(path_edges, max_rounds=10)
+        n_comp = labels.select("component").distinct().count()
+        assert n_comp == reps * 10, f"expected {reps * 10} components, got {n_comp}"
+        return labels
+
+    run("cc_star_log_rounds", _cc_star, reps * 10 * (chain_len - 1))
+
     # Interval-union sweep under ADVERSARIAL window skew: replication
     # multiplies events but the user-id space stays fixed (150 users at
     # sf0.1), so every window partition grows N× — the worst case for
