@@ -436,9 +436,13 @@ def main() -> None:
             .over(wname)
             .alias("spent_before_cents"),
         )
-        return feats.where(F.col("event_type") == "purchase").select(
-            "user_id", "event_id", "cents", "n_clicks_before",
-            "spent_before_cents",
+        # REDUCE over the window outputs: a bare count() would let
+        # Catalyst prune the unreferenced Window operator entirely and
+        # the case would measure a no-op scan
+        return feats.where(F.col("event_type") == "purchase").agg(
+            F.sum("n_clicks_before"),
+            F.sum("spent_before_cents"),
+            F.count("*"),
         )
 
     n_ev = load_table(spark, sf_dir, "events").count()
