@@ -54,6 +54,33 @@ def _labeled_scores(spark, sf_dir):
 # --- q256: exact ROC-AUC (Mann-Whitney with tie correction) -------------------
 
 
+def auc_ppm(labeled):
+    """Exact ROC-AUC in ppm from any (cents, label) DataFrame — the
+    distributive core of q256, reusable on generated data (the
+    hypothesis property test drives it against the pairwise
+    definition). One per-distinct-score aggregate + a tiny ordered
+    window + one reduction."""
+    per_score = labeled.groupBy("cents").agg(
+        F.sum("label").cast("long").alias("p_s"),
+        (F.count("*") - F.sum("label")).cast("long").alias("n_s"),
+    )
+    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per_score.select(
+        "p_s",
+        "n_s",
+        (F.sum("n_s").over(w) - F.col("n_s")).alias("n_lt"),
+    )
+    return cum.agg(
+        F.sum("p_s").cast("long").alias("n_pos"),
+        F.sum("n_s").cast("long").alias("n_neg"),
+        F.expr(
+            "CAST(CAST(500000 AS DECIMAL(38,0))"
+            " * sum(p_s * (2 * n_lt + n_s))"
+            " div (sum(p_s) * sum(n_s)) AS BIGINT)"
+        ).alias("auc_ppm"),
+    )
+
+
 def q256_roc_auc(spark, sf_dir):
     """EXACT ROC-AUC in ppm via the rank-sum identity, ties handled by
     the trapezoid (average-rank) rule — the metric every quality
@@ -72,29 +99,7 @@ def q256_roc_auc(spark, sf_dir):
     a 1 MB window — vs the full global sort a naive rank-based AUC
     would need.
     """
-    per_score = (
-        _labeled_scores(spark, sf_dir)
-        .groupBy("cents")
-        .agg(
-            F.sum("label").cast("long").alias("p_s"),
-            (F.count("*") - F.sum("label")).cast("long").alias("n_s"),
-        )
-    )
-    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
-    cum = per_score.select(
-        "p_s",
-        "n_s",
-        (F.sum("n_s").over(w) - F.col("n_s")).alias("n_lt"),
-    )
-    return cum.agg(
-        F.sum("p_s").cast("long").alias("n_pos"),
-        F.sum("n_s").cast("long").alias("n_neg"),
-        F.expr(
-            "CAST(CAST(500000 AS DECIMAL(38,0))"
-            " * sum(p_s * (2 * n_lt + n_s))"
-            " div (sum(p_s) * sum(n_s)) AS BIGINT)"
-        ).alias("auc_ppm"),
-    )
+    return auc_ppm(_labeled_scores(spark, sf_dir))
 
 
 EVAL_QUERIES["q256_roc_auc"] = q256_roc_auc

@@ -587,3 +587,79 @@ def test_quantile_ladder_matches_sorted_list(spark, vals):
     for name, num, den in quants:
         k = (n * num + den - 1) // den
         assert got[name] == vs[k - 1], (name, vals)
+
+
+# --- exact AUC vs the pairwise definition ------------------------------------
+
+_scores = st.lists(
+    st.tuples(
+        st.integers(min_value=-50, max_value=50),  # score (cents)
+        st.integers(min_value=0, max_value=1),     # label
+    ),
+    min_size=2,
+    max_size=30,
+).filter(
+    lambda rows: any(l == 1 for _, l in rows) and any(l == 0 for _, l in rows)
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(rows=_scores)
+def test_auc_ppm_matches_pairwise_definition(spark, rows):
+    """The per-score rank-sum AUC (eval_queries.auc_ppm) must equal
+    the textbook pairwise (wins + ties/2) / (P*N) on arbitrary small
+    labeled sets — ties, negatives, and duplicates included."""
+    from adhesive_spark.queries.eval_queries import auc_ppm
+
+    labeled = spark.createDataFrame(rows, "cents long, label long")
+    got = auc_ppm(labeled).collect()[0]
+
+    pos = [c for c, l in rows if l == 1]
+    neg = [c for c, l in rows if l == 0]
+    wins = sum(1 for p in pos for n in neg if p > n)
+    ties = sum(1 for p in pos for n in neg if p == n)
+    want = 500000 * (2 * wins + ties) // (len(pos) * len(neg))
+    assert got.n_pos == len(pos) and got.n_neg == len(neg)
+    assert got.auc_ppm == want
+
+
+# --- star CC vs min-label CC on random graphs ---------------------------------
+
+_edges = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=15),
+        st.integers(min_value=0, max_value=15),
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(edges=_edges)
+def test_star_cc_equals_min_label_on_random_graphs(spark, edges):
+    """Large-star/small-star and min-label propagation must label every
+    random graph identically (component = min reachable node), self
+    loops and duplicate edges included."""
+    from adhesive_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    want = {
+        (r.node, r.component) for r in connected_components(df).collect()
+    }
+    got = {
+        (r.node, r.component)
+        for r in connected_components_star(df).collect()
+    }
+    assert got == want
