@@ -862,3 +862,86 @@ def streaming_grid_cells(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_srm_counts(
+    events: DataFrame,
+    state_path: str,
+    *,
+    checkpoint_path: str,
+):
+    """Streaming sample-ratio-mismatch state: per micro-batch, each
+    user's md5-parity arm and purchase count ADD-merge into a per-
+    (user, arm) table — the live state behind the q266 A/B guard.
+    State is bounded by the user population (not the event stream);
+    the alarm read (:func:`read_srm_guard`) recomputes the exact
+    chi-square identity off the committed state, so the experiment
+    dashboard's SRM bit is live without rescanning any events.
+    """
+
+    def _merge(batch_df: DataFrame, prev: DataFrame | None) -> DataFrame:
+        delta = (
+            batch_df.select(
+                "user_id",
+                F.expr(
+                    "conv(substring(md5(CAST(user_id AS STRING)), 1, 8),"
+                    " 16, 10) % 2"
+                )
+                .cast("long")
+                .alias("arm"),
+                F.when(F.col("event_type") == "purchase", 1)
+                .otherwise(0)
+                .cast("long")
+                .alias("purchases"),
+            )
+            .groupBy("user_id", "arm")
+            .agg(F.sum("purchases").cast("long").alias("purchases"))
+        )
+        if prev is None:
+            return delta
+        return (
+            delta.unionByName(prev)
+            .groupBy("user_id", "arm")
+            .agg(F.sum("purchases").cast("long").alias("purchases"))
+        )
+
+    return (
+        events.writeStream.foreachBatch(
+            _epoch_guarded_snapshot(state_path, _merge)
+        )
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_srm_guard(spark, state_path: str) -> DataFrame:
+    """One-row A/B readout off the committed per-user state — the
+    identical integer arithmetic as the batch q266 (per-arm users and
+    purchase rates in ppm, SRM chi² via (u0−u1)²/(u0+u1) in milli), so
+    stream-then-read equals the batch readout column-for-column."""
+    per_user = read_rollup_state(spark, state_path)
+    arms = per_user.groupBy("arm").agg(
+        F.count("*").cast("long").alias("users"),
+        F.sum("purchases").cast("long").alias("purchases"),
+    )
+    a0 = arms.where(F.col("arm") == 0).select(
+        F.col("users").alias("u0"), F.col("purchases").alias("p0")
+    )
+    a1 = arms.where(F.col("arm") == 1).select(
+        F.col("users").alias("u1"), F.col("purchases").alias("p1")
+    )
+    return a0.crossJoin(F.broadcast(a1)).select(
+        "u0",
+        "u1",
+        "p0",
+        "p1",
+        F.expr(
+            "CAST((u0 - u1) * (u0 - u1) * 1000 div (u0 + u1) AS BIGINT)"
+        ).alias("srm_chi2_milli"),
+        F.expr("CAST(p0 * 1000000 div u0 AS BIGINT)").alias("rate0_ppm"),
+        F.expr("CAST(p1 * 1000000 div u1 AS BIGINT)").alias("rate1_ppm"),
+        F.expr(
+            "CAST(p0 * 1000000 div u0 - p1 * 1000000 div u1 AS BIGINT)"
+        ).alias("rate_delta_ppm"),
+    )

@@ -842,3 +842,30 @@ def test_streaming_grid_cells_match_batch(spark, sf_dir, tmp_path_factory):
         assert streamed == want
     finally:
         shutil.rmtree(emb_dir, ignore_errors=True)
+
+
+def test_streaming_srm_guard_matches_batch(spark, sf_dir, event_stream_dir):
+    """The SRM guard read off ADD-merged streaming state must equal the
+    batch q266 readout column-for-column — live experiment monitoring
+    with user-bounded state."""
+    import tempfile
+
+    from adhesive_spark.queries.eval_queries import q266_abtest_srm
+    from adhesive_spark.streaming.ops import (
+        read_srm_guard,
+        streaming_srm_counts,
+    )
+
+    base = tempfile.mkdtemp(prefix="adhesive_srm_")
+    state, ckpt = f"{base}/state", f"{base}/ckpt"
+    stream = (
+        spark.readStream.schema(spark.read.parquet(event_stream_dir).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(event_stream_dir)
+    )
+    q = streaming_srm_counts(stream, state, checkpoint_path=ckpt)
+    assert q.awaitTermination(120), "stream did not drain in 120s"
+
+    got = read_srm_guard(spark, state).collect()[0].asDict()
+    want = q266_abtest_srm(spark, sf_dir).collect()[0].asDict()
+    assert got == want
