@@ -360,8 +360,10 @@ def main() -> None:
     print("vectors / 16 centroids); (b) scalar/audit cross joins — a 1-row (or")
     print("few-row literal spine) aggregate crossJoin-broadcast back into the")
     print("result (q89/q90/q105/q112/q148/q174 and kin), the standard way to")
-    print("attach a global denominator without a shuffle. The near-dup pair")
-    print("queries (q34/q80) are plan-asserted to NEVER use it.")
+    print("attach a global denominator without a shuffle — including the")
+    print("bounded-VOCABULARY candidate crossJoin (q267: users x ~100 items")
+    print("before the anti-join). The near-dup pair queries (q34/q80) are")
+    print("plan-asserted to NEVER use it.")
     print()
     print("cap = input cap detected in the query source (id upper bound or")
     print("limit); capped queries run a FIXED-size workload at every sf so")
