@@ -1948,3 +1948,105 @@ EVAL_ORACLES["q275_theil_sen_trend"] = """
            tot.n_pairs, med.slope_micro_per_day
     FROM tot CROSS JOIN med
 """
+
+
+# --- q276: bounded-hop BFS frontier profile ------------------------------------
+
+
+def q276_bfs_frontier(spark, sf_dir):
+    """Bounded-hop BFS over the supplier co-affiliation graph (two
+    suppliers adjacent iff they share a df-capped part — the q263
+    candidate graph without the scoring): exact frontier sizes at hops
+    0–3 from the minimum supplier id, plus the not-yet-reached count —
+    the traversal primitive (reachability, blast-radius, influence
+    horizon) the CC/PageRank/k-core family doesn't cover. Each hop is
+    one equi-join of the ≤hop distance table onto the edge list + a
+    min-aggregate: K hops = K keyed shuffles, the textbook BFS-on-
+    MapReduce shape (and why hop budgets, not diameters, are the 100 TB
+    traversal contract).
+
+    Output: one row per hop (0..3) with its frontier size, plus
+    hop = -1 carrying the unreached-node count.
+    """
+    edges = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")
+        )
+        .distinct()
+    )
+    part_deg = edges.groupBy("p").agg(F.count("*").alias("pd"))
+    e = edges.join(
+        part_deg.where(F.col("pd") <= _LP_MAX_PART_DEG), "p"
+    )
+    adj = (
+        e.alias("a")
+        .join(e.alias("b"), "p")
+        .where(F.col("a.s") != F.col("b.s"))
+        .select(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)  # feeds 3 BFS rounds + node count
+    )
+    nodes = adj.select(F.col("u").alias("node")).distinct()
+    src = nodes.agg(F.min("node").alias("node")).withColumn(
+        "dist", F.lit(0).cast("long")
+    )
+    dist = src.localCheckpoint(eager=True)
+    for hop in (1, 2, 3):
+        frontier = (
+            adj.join(
+                dist.select(F.col("node").alias("u"), "dist"), "u"
+            )
+            .select(F.col("v").alias("node"), (F.col("dist") + 1).alias("dist"))
+        )
+        dist = (
+            dist.unionByName(frontier)
+            .groupBy("node")
+            .agg(F.min("dist").cast("long").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+    reached = dist.groupBy("dist").agg(
+        F.count("*").cast("long").alias("n_suppliers")
+    ).select(F.col("dist").alias("hop"), "n_suppliers")
+    unreached = (
+        nodes.join(dist, "node", "left_anti")
+        .agg(F.count("*").cast("long").alias("n_suppliers"))
+        .select(F.lit(-1).cast("long").alias("hop"), "n_suppliers")
+    )
+    return reached.unionByName(unreached).orderBy("hop")
+
+
+EVAL_QUERIES["q276_bfs_frontier"] = q276_bfs_frontier
+
+EVAL_ORACLES["q276_bfs_frontier"] = f"""
+    WITH RECURSIVE edges AS (
+      SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
+    ),
+    keep AS (
+      SELECT p FROM edges GROUP BY p
+      HAVING COUNT(*) <= {_LP_MAX_PART_DEG}
+    ),
+    e AS (SELECT edges.s, edges.p FROM edges JOIN keep USING (p)),
+    adj AS (
+      SELECT DISTINCT a.s AS u, b.s AS v
+      FROM e a JOIN e b ON a.p = b.p AND a.s <> b.s
+    ),
+    nodes AS (SELECT DISTINCT u AS node FROM adj),
+    src AS (SELECT MIN(node) AS node FROM nodes),
+    reach(node, d) AS (
+      SELECT node, 0 FROM src
+      UNION
+      SELECT adj.v, reach.d + 1
+      FROM reach JOIN adj ON adj.u = reach.node
+      WHERE reach.d < 3
+    ),
+    dist AS (SELECT node, CAST(MIN(d) AS BIGINT) AS dist
+             FROM reach GROUP BY node)
+    SELECT dist AS hop, CAST(COUNT(*) AS BIGINT) AS n_suppliers
+    FROM dist GROUP BY dist
+    UNION ALL
+    SELECT CAST(-1 AS BIGINT) AS hop,
+           CAST(COUNT(*) AS BIGINT) AS n_suppliers
+    FROM nodes WHERE node NOT IN (SELECT node FROM dist)
+    ORDER BY hop
+"""

@@ -295,6 +295,7 @@ AUDITED = [
     "q273_wav_resample_audit",
     "q274_grid_clusters_star",
     "q275_theil_sen_trend",
+    "q276_bfs_frontier",
 ]
 
 
