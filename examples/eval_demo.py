@@ -88,6 +88,25 @@ def main() -> None:
     print("-- CUPED audit: covariate power measured, sign-safe")
     q271_cuped_audit(spark, sf).show()
 
+    from adhesive_spark.queries.eval_queries import (
+        q272_quantile_treatment_effect,
+        q274_grid_clusters_star,
+        q275_theil_sen_trend,
+        q276_bfs_frontier,
+    )
+
+    print("-- quantile treatment effect: exact per-arm p50/p90 deltas")
+    q272_quantile_treatment_effect(spark, sf).show()
+
+    print("-- grid clusters via large-star/small-star (same answer, log rounds)")
+    q274_grid_clusters_star(spark, sf).show(5)
+
+    print("-- Theil-Sen robust trend vs outlier days")
+    q275_theil_sen_trend(spark, sf).show()
+
+    print("-- bounded-hop BFS frontier over the co-affiliation graph")
+    q276_bfs_frontier(spark, sf).show()
+
 
 if __name__ == "__main__":
     main()
