@@ -702,9 +702,12 @@ def test_streaming_hll_matches_batch(spark, sf_dir, event_stream_dir, tmp_path_f
         hll_registers(batch_events, "user_id")
     ).collect()[0]
     assert got.asDict() == want.asDict()
-    # 150 distinct users: estimator is in linear-counting territory, so
-    # just sanity-band the estimate rather than assert tight error
-    assert 0 < got["est_hll"] < 1000
+    # few distinct users (150 at the default sf): the m=64 estimator is
+    # in its high-error regime, so sanity-band the estimate RELATIVE to
+    # the true cardinality (a literal bound breaks at other SFs) rather
+    # than assert tight error
+    n_true = batch_events.select("user_id").distinct().count()
+    assert 0 < got["est_hll"] < 4 * n_true
     assert got["nonempty"] <= got["m"]
 
 
