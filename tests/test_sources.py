@@ -320,7 +320,14 @@ def test_zorder_layout_skips_on_both_dimensions(spark, sf_dir, tmp_path_factory)
                 hit += 1
         return hit / len(files)
 
-    mid_user, mid_value = 75, 50.0
+    # data-derived probes so the test holds at every sf: median user
+    # (uniform dimension), but p90 VALUE — the value column is
+    # long-tail skewed, so a median probe lands in the dense low
+    # buckets that linear 8-bit quantization packs into every file;
+    # pruning is only observable out in the sparse tail
+    mid_user, mid_value = events.selectExpr(
+        "CAST(median(user_id) AS LONG)", "percentile(value, 0.9)"
+    ).collect()[0]
     # linear layout: prunes on its sort column, useless on the other
     assert match_fraction(linear, "user_id", mid_user) <= 0.5
     assert match_fraction(linear, "value", mid_value) >= 0.9
