@@ -684,3 +684,64 @@ def resample_wav(media: DataFrame, factor: int = 2) -> DataFrame:
             )
 
     return media.mapInPandas(_resample, schema=MEDIA_SCHEMA)
+
+
+def downscale_ppm(media: DataFrame, factor: int = 2) -> DataFrame:
+    """REAL image TRANSFORM: stride-subsample each PPM raster by
+    ``factor`` in both dimensions (one numpy strided view per image —
+    no per-pixel Python) and re-emit a VALID P6 byte stream — the
+    resize-before-encoder stage of a vision pipeline, the image twin
+    of :func:`resample_wav`. Output dimensions are exactly
+    ``ceil(w/factor) x ceil(h/factor)`` (closed-form for the oracle);
+    non-PPM payloads are dropped (strict-codec contract). Linear
+    mapInPandas, no shuffle, and bytes shrink ~factor²× for every
+    stage downstream.
+    """
+    import numpy as np
+
+    from adhesive_spark.sources.registry import ensure_parallelism
+
+    if factor < 1:
+        raise ValueError("factor must be >= 1")
+    media = ensure_parallelism(media)
+
+    def _down(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, mtypes, payloads, metas = [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                b = bytes(payload)
+                pp = _parse_ppm(b)
+                if pp is None:
+                    continue
+                w, h = pp
+                raster = np.frombuffer(
+                    b, dtype=np.uint8, count=3 * w * h, offset=len(b) - 3 * w * h
+                ).reshape(h, w, 3)
+                small = raster[::factor, ::factor, :]
+                nh, nw = small.shape[0], small.shape[1]
+                nb = (
+                    f"P6\n{nw} {nh}\n255\n".encode("ascii")
+                    + np.ascontiguousarray(small).tobytes()
+                )
+                ids.append(int(mid))
+                mtypes.append("image")
+                payloads.append(nb)
+                metas.append(
+                    {
+                        "mime": "image/x-portable-pixmap",
+                        "n_bytes": len(nb),
+                        "source": f"downscaled/{factor}",
+                    }
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.array(ids, dtype="int64"),
+                    "media_type": mtypes,
+                    "payload": payloads,
+                    "meta": metas,
+                }
+            )
+
+    return media.mapInPandas(_down, schema=MEDIA_SCHEMA)

@@ -2067,3 +2067,49 @@ PIPELINE_ORACLES["q273_wav_resample_audit"] = """
            ((800 + (doc_id % 64) * 8) * 1000) // 8000 AS duration_ms
     FROM documents WHERE doc_id % 3 = 1
 """
+
+
+def q277_ppm_downscale_audit(spark, sf_dir):
+    """Image TRANSFORM audit: stride-2 downscale every PPM raster
+    (operators/multimodal.downscale_ppm — re-emits VALID P6 bytes) and
+    strict-decode the RESULT: dimensions must be exactly
+    ceil(orig/2) and bytes shrink ~4x — decode(transform(x)) through
+    the same parser that gates ingest, the image twin of the q273
+    audio audit. Oracle is closed-form byte arithmetic off the
+    synthesized dimensions (w = 4 + id%60, h = 4 + (id//7)%60).
+    """
+    from adhesive_spark.operators.multimodal import (
+        downscale_ppm,
+        synthesize_real_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 3 == 0
+    )
+    down = decode_media(
+        downscale_ppm(synthesize_real_media(docs), factor=2), codec="real"
+    )
+    return down.select(
+        "media_id",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+    )
+
+
+PIPELINE_QUERIES["q277_ppm_downscale_audit"] = q277_ppm_downscale_audit
+
+# downscaled P6: w' = ceil(w/2), h' = ceil(h/2);
+# n_bytes = 9 + len(str(w')) + len(str(h')) + 3*w'*h'
+PIPELINE_ORACLES["q277_ppm_downscale_audit"] = """
+    WITH dims AS (
+      SELECT doc_id AS media_id,
+             (4 + doc_id % 60 + 1) // 2 AS w,
+             (4 + (doc_id // 7) % 60 + 1) // 2 AS h
+      FROM documents WHERE doc_id % 3 = 0
+    )
+    SELECT media_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+           CAST(9 + length(CAST(w AS VARCHAR)) + length(CAST(h AS VARCHAR))
+                + 3 * w * h AS BIGINT) AS n_bytes
+    FROM dims
+"""

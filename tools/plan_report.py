@@ -296,6 +296,7 @@ AUDITED = [
     "q274_grid_clusters_star",
     "q275_theil_sen_trend",
     "q276_bfs_frontier",
+    "q277_ppm_downscale_audit",
 ]
 
 
