@@ -745,3 +745,63 @@ def downscale_ppm(media: DataFrame, factor: int = 2) -> DataFrame:
             )
 
     return media.mapInPandas(_down, schema=MEDIA_SCHEMA)
+
+
+def subsample_y4m(media: DataFrame, every_n: int = 2) -> DataFrame:
+    """REAL video TRANSFORM: keep every ``every_n``-th frame of each
+    Y4M stream and re-emit a VALID YUV4MPEG2 byte stream — the
+    frame-rate reduction stage of a video-training pipeline (the
+    materialized counterpart of the q41 frame-sampling PLAN), the
+    video member of the resample_wav / downscale_ppm transform
+    family. Frames are sliced by exact raster offsets (never substring
+    search); kept frames = ceil(n/every_n), closed-form for the
+    oracle. Non-Y4M payloads are dropped (strict-codec contract);
+    linear mapInPandas, no shuffle, bytes shrink ~every_n×.
+    """
+    from adhesive_spark.sources.registry import ensure_parallelism
+
+    if every_n < 1:
+        raise ValueError("every_n must be >= 1")
+    media = ensure_parallelism(media)
+
+    def _sub(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, mtypes, payloads, metas = [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                b = bytes(payload)
+                ym = _parse_y4m(b)
+                if ym is None:
+                    continue
+                w, h, n = ym
+                frame_sz = w * h + 2 * (w // 2) * (h // 2)
+                head_end = b.find(b"\n") + 1
+                out = [b[:head_end]]
+                pos = head_end
+                for f in range(n):
+                    body = pos + 6  # past 'FRAME\n'
+                    if f % every_n == 0:
+                        out.append(b[pos : body + frame_sz])
+                    pos = body + frame_sz
+                nb = b"".join(out)
+                ids.append(int(mid))
+                mtypes.append("video")
+                payloads.append(nb)
+                metas.append(
+                    {
+                        "mime": "video/x-yuv4mpeg",
+                        "n_bytes": len(nb),
+                        "source": f"subsampled/{every_n}",
+                    }
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.array(ids, dtype="int64"),
+                    "media_type": mtypes,
+                    "payload": payloads,
+                    "meta": metas,
+                }
+            )
+
+    return media.mapInPandas(_sub, schema=MEDIA_SCHEMA)

@@ -2113,3 +2113,54 @@ PIPELINE_ORACLES["q277_ppm_downscale_audit"] = """
                 + 3 * w * h AS BIGINT) AS n_bytes
     FROM dims
 """
+
+
+def q278_y4m_subsample_audit(spark, sf_dir):
+    """Video TRANSFORM audit: keep every 2nd frame of each Y4M stream
+    (operators/multimodal.subsample_y4m — re-emits VALID YUV4MPEG2
+    bytes) and strict-decode the RESULT: dimensions unchanged,
+    n_frames exactly ceil(orig/2) — decode(transform(x)) through the
+    frame-walking parser, completing the audio (q273) / image (q277) /
+    video transform triptych. Oracle is closed-form off the
+    synthesized parameters (w = 2*(2+id%29), h = 2*(2+(id//3)%29),
+    f = 1 + id%12).
+    """
+    from adhesive_spark.operators.multimodal import (
+        subsample_y4m,
+        synthesize_real_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 3 == 2
+    )
+    down = decode_media(
+        subsample_y4m(synthesize_real_media(docs), every_n=2), codec="real"
+    )
+    return down.select(
+        "media_id",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("n_frames").cast("long").alias("n_frames"),
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+    )
+
+
+PIPELINE_QUERIES["q278_y4m_subsample_audit"] = q278_y4m_subsample_audit
+
+# subsampled Y4M: frames' = ceil(f/2); header = 25 + len(w) + len(h)
+# bytes ('YUV4MPEG2 W{w} H{h} F25:1 C420\n'); each kept frame =
+# 6 ('FRAME\n') + 3*w*h/2 raster bytes
+PIPELINE_ORACLES["q278_y4m_subsample_audit"] = """
+    WITH dims AS (
+      SELECT doc_id AS media_id,
+             2 * (2 + doc_id % 29) AS w,
+             2 * (2 + (doc_id // 3) % 29) AS h,
+             (1 + doc_id % 12 + 1) // 2 AS f
+      FROM documents WHERE doc_id % 3 = 2
+    )
+    SELECT media_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+           CAST(f AS BIGINT) AS n_frames,
+           CAST(25 + length(CAST(w AS VARCHAR)) + length(CAST(h AS VARCHAR))
+                + f * (6 + 3 * w * h // 2) AS BIGINT) AS n_bytes
+    FROM dims
+"""

@@ -297,6 +297,7 @@ AUDITED = [
     "q275_theil_sen_trend",
     "q276_bfs_frontier",
     "q277_ppm_downscale_audit",
+    "q278_y4m_subsample_audit",
 ]
 
 
