@@ -2164,3 +2164,93 @@ PIPELINE_ORACLES["q278_y4m_subsample_audit"] = """
                 + f * (6 + 3 * w * h // 2) AS BIGINT) AS n_bytes
     FROM dims
 """
+
+
+def q279_media_reduction_pipeline(spark, sf_dir):
+    """Media-reduction CAPSTONE: one pipeline pushes every modality
+    through its real transform — WAV PCM decimation (q273), PPM
+    stride downscale (q277), Y4M frame subsample (q278) — and accounts
+    the byte reduction per modality: items, bytes in, bytes out, and
+    saved_ppm. This is the storage/egress planning table for a
+    multimodal training-data pass (transforms run ONCE, linearly, no
+    shuffle; the ledger is one tiny aggregate), with every number
+    closed-form checkable because the synthesizer's parameters are
+    functions of doc_id.
+    """
+    from adhesive_spark.operators.multimodal import (
+        downscale_ppm,
+        resample_wav,
+        subsample_y4m,
+        synthesize_real_media,
+    )
+
+    media = synthesize_real_media(load_table(spark, sf_dir, "documents"))
+    media = media.localCheckpoint(eager=True)  # feeds 3 transforms + input ledger
+    out = (
+        resample_wav(media, factor=2)
+        .unionByName(downscale_ppm(media, factor=2))
+        .unionByName(subsample_y4m(media, every_n=2))
+        .select("media_id", F.col("meta.n_bytes").alias("bytes_out"))
+    )
+    inp = media.select(
+        "media_id", "media_type", F.col("meta.n_bytes").alias("bytes_in")
+    )
+    return (
+        inp.join(out, "media_id")
+        .groupBy("media_type")
+        .agg(
+            F.count("*").cast("long").alias("n_items"),
+            F.sum("bytes_in").cast("long").alias("bytes_in"),
+            F.sum("bytes_out").cast("long").alias("bytes_out"),
+        )
+        .withColumn(
+            "saved_ppm",
+            F.expr(
+                "CAST((bytes_in - bytes_out) * 1000000 div bytes_in"
+                " AS BIGINT)"
+            ),
+        )
+        .orderBy("media_type")
+    )
+
+
+PIPELINE_QUERIES["q279_media_reduction_pipeline"] = q279_media_reduction_pipeline
+
+PIPELINE_ORACLES["q279_media_reduction_pipeline"] = """
+    WITH led AS (
+      SELECT 'audio' AS media_type,
+             44 + 2 * (800 + (doc_id % 64) * 8) AS bytes_in,
+             44 + (800 + (doc_id % 64) * 8) AS bytes_out
+      FROM documents WHERE doc_id % 3 = 1
+      UNION ALL
+      SELECT 'image',
+             9 + length(CAST(4 + doc_id % 60 AS VARCHAR))
+               + length(CAST(4 + (doc_id // 7) % 60 AS VARCHAR))
+               + 3 * (4 + doc_id % 60) * (4 + (doc_id // 7) % 60),
+             9 + length(CAST((4 + doc_id % 60 + 1) // 2 AS VARCHAR))
+               + length(CAST((4 + (doc_id // 7) % 60 + 1) // 2 AS VARCHAR))
+               + 3 * ((4 + doc_id % 60 + 1) // 2)
+                   * ((4 + (doc_id // 7) % 60 + 1) // 2)
+      FROM documents WHERE doc_id % 3 = 0
+      UNION ALL
+      SELECT 'video',
+             25 + length(CAST(2 * (2 + doc_id % 29) AS VARCHAR))
+               + length(CAST(2 * (2 + (doc_id // 3) % 29) AS VARCHAR))
+               + (1 + doc_id % 12)
+                 * (6 + 3 * (2 * (2 + doc_id % 29))
+                        * (2 * (2 + (doc_id // 3) % 29)) // 2),
+             25 + length(CAST(2 * (2 + doc_id % 29) AS VARCHAR))
+               + length(CAST(2 * (2 + (doc_id // 3) % 29) AS VARCHAR))
+               + ((1 + doc_id % 12 + 1) // 2)
+                 * (6 + 3 * (2 * (2 + doc_id % 29))
+                        * (2 * (2 + (doc_id // 3) % 29)) // 2)
+      FROM documents WHERE doc_id % 3 = 2
+    )
+    SELECT media_type,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(bytes_in) AS BIGINT) AS bytes_in,
+           CAST(SUM(bytes_out) AS BIGINT) AS bytes_out,
+           CAST((SUM(bytes_in) - SUM(bytes_out)) * 1000000
+                // SUM(bytes_in) AS BIGINT) AS saved_ppm
+    FROM led GROUP BY media_type ORDER BY media_type
+"""

@@ -298,6 +298,7 @@ AUDITED = [
     "q276_bfs_frontier",
     "q277_ppm_downscale_audit",
     "q278_y4m_subsample_audit",
+    "q279_media_reduction_pipeline",
 ]
 
 
