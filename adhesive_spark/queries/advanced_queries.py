@@ -4425,8 +4425,15 @@ def q207_table_diff(spark, sf_dir):
     return diff.groupBy("change_type").agg(
         F.count(F.lit(1)).alias("n_keys"),
         F.min("o_orderkey").alias("first_key"),
-        F.array_sort(
-            F.array_distinct(F.flatten(F.collect_list("changed_cols")))
+        # comma-joined STRING, not an array: the driver's hash
+        # canonicalizer cannot sort list-typed cells.  'added'/'removed'
+        # groups flatten to an empty array → '' (oracle COALESCEs to
+        # match, since DuckDB's array_to_string([]) is NULL).
+        F.array_join(
+            F.array_sort(
+                F.array_distinct(F.flatten(F.collect_list("changed_cols")))
+            ),
+            ",",
         ).alias("all_changed_cols"),
     )
 
@@ -4475,8 +4482,9 @@ ADVANCED_ORACLES["q207_table_diff"] = """
     )
     SELECT change_type, COUNT(*) AS n_keys,
            MIN(o_orderkey) AS first_key,
-           list_sort(list_distinct(flatten(list(changed_cols))))
-             AS all_changed_cols
+           COALESCE(array_to_string(
+             list_sort(list_distinct(flatten(list(changed_cols)))), ','),
+             '') AS all_changed_cols
     FROM d WHERE change_type IS NOT NULL
     GROUP BY change_type
 """

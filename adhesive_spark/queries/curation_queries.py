@@ -1308,12 +1308,21 @@ def q141_inverted_index(spark, sf_dir):
     per_doc = tok.groupBy("token", "doc_id").agg(
         F.count("*").alias("cnt")
     )
+    # posting_head is emitted as a comma-joined STRING, not an array:
+    # the driver's hash canonicalizer cannot sort list-typed cells
+    # (pandas `unhashable type: list`), so every registered query's
+    # output must be scalar-typed.  The sort happens on the numeric
+    # array BEFORE stringification, so order stays numeric.
     return per_doc.groupBy("token").agg(
         F.count("*").alias("doc_freq"),
         F.sum("cnt").alias("total_occurrences"),
-        F.slice(F.sort_array(F.collect_list("doc_id")), 1, 20).alias(
-            "posting_head"
-        ),
+        F.array_join(
+            F.transform(
+                F.slice(F.sort_array(F.collect_list("doc_id")), 1, 20),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("posting_head"),
     )
 
 
@@ -1334,7 +1343,8 @@ CURATION_ORACLES["q141_inverted_index"] = """
     )
     SELECT token, COUNT(*) AS doc_freq,
            CAST(SUM(cnt) AS BIGINT) AS total_occurrences,
-           list_sort(list(doc_id))[1:20] AS posting_head
+           COALESCE(array_to_string(list_sort(list(doc_id))[1:20], ','),
+                    '') AS posting_head
     FROM per_doc GROUP BY token
 """
 
@@ -1649,8 +1659,18 @@ def q149_inverted_index_persisted(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     persist_inverted_index(docs, "q149_inv_idx", n_buckets=16)
-    return probe_inverted_index(
+    probed = probe_inverted_index(
         spark, "q149_inv_idx", ["table", "spark", "window"]
+    )
+    # The operator keeps the array form (callers compose on it); the
+    # REGISTERED query flattens to a comma-joined string because the
+    # driver's hash canonicalizer cannot sort list-typed cells.
+    return probed.withColumn(
+        "posting_head",
+        F.array_join(
+            F.transform(F.col("posting_head"), lambda x: x.cast("string")),
+            ",",
+        ),
     )
 
 

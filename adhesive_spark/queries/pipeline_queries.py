@@ -1427,9 +1427,14 @@ def q184_entity_resolution(spark, sf_dir):
     ).select(
         "word", F.coalesce("component", "word").alias("entity_id")
     )
+    # members is a comma-joined STRING (sorted before the join): the
+    # driver's hash canonicalizer cannot sort list-typed cells, so
+    # registered query output must be scalar-typed.
     return labeled.groupBy("entity_id").agg(
         F.count(F.lit(1)).alias("n_members"),
-        F.array_sort(F.collect_list("word")).alias("members"),
+        F.array_join(F.array_sort(F.collect_list("word")), ",").alias(
+            "members"
+        ),
     )
 
 
@@ -1465,7 +1470,8 @@ PIPELINE_ORACLES["q184_entity_resolution"] = """
       FROM words w LEFT JOIN comp c ON w.word = c.node
     )
     SELECT entity_id, COUNT(*) AS n_members,
-           list_sort(list(word)) AS members
+           COALESCE(array_to_string(list_sort(list(word)), ','), '')
+             AS members
     FROM lab GROUP BY 1
 """
 

@@ -38,3 +38,36 @@ def test_every_oracle_parses_and_binds(con):
         except Exception as ex:  # noqa: BLE001 — report all failures at once
             bad[name] = str(ex).splitlines()[0]
     assert not bad, f"oracles failed to bind: {bad}"
+
+
+def test_every_oracle_output_is_scalar_typed(con):
+    """Driver-protocol guard on output DTYPES, caught at BIND time (no
+    execution): the driver's hash canonicalizer crashes on list-typed
+    cells (pandas ``unhashable type: 'list'`` — the r6 q141/q149 ERR
+    class), so no registered query may emit array/struct/map/blob
+    columns.  DESCRIBE gives the oracle's bound output schema in
+    milliseconds; since the driver also requires spark/oracle dtype
+    agreement, a scalar-only oracle schema pins the contract from both
+    sides (the Spark side is asserted per-query in
+    tests/test_plans.py::test_plans_md_shuffle_ratchet)."""
+    oracles = entry_mod.oracle_sql()
+    bad = {}
+    for name, sql in oracles.items():
+        try:
+            cols = con.execute("DESCRIBE " + sql).fetchall()
+        except Exception as ex:  # noqa: BLE001
+            bad[name] = str(ex).splitlines()[0]
+            continue
+        complex_cols = [
+            (c[0], c[1])
+            for c in cols
+            if "[]" in c[1] or any(
+                k in c[1].upper() for k in ("STRUCT", "MAP(", "BLOB", "LIST")
+            )
+        ]
+        if complex_cols:
+            bad[name] = complex_cols
+    assert not bad, (
+        f"complex-typed oracle output (driver canon crashes on these): "
+        f"{bad} — flatten to strings (array_to_string)"
+    )

@@ -363,10 +363,16 @@ def test_plans_md_shuffle_ratchet(spark):
        number (catches a BHJ silently flipping to SMJ, e.g. a broadcast
        threshold or statistics regression);
     3. nested loops: a query recorded BNL-free must stay BNL-free (a
-       new BroadcastNestedLoop/Cartesian is the q34-class scale killer).
+       new BroadcastNestedLoop/Cartesian is the q34-class scale killer);
+    4. output dtypes: every output column must be SCALAR-typed (no
+       array/map/struct/binary) — the driver's hash canonicalizer
+       crashes on list cells (pandas ``unhashable type: 'list'``, the
+       r6 q141/q149 ERR class), so complex-typed output is a protocol
+       violation for EVERY registered query, not a style choice.
 
     Any intentional plan change must regenerate PLANS.md
     (tools/plan_report.py) to move the ratchet."""
+    from pyspark.sql import types as T
     import re
     from pathlib import Path
 
@@ -396,8 +402,20 @@ def test_plans_md_shuffle_ratchet(spark):
 
     qs = entry_mod.queries()
     worse = {}
+    complex_out = {}
     for name in AUDITED:
-        plan = qs[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        df = qs[name](spark, sf_dir)
+        bad_cols = [
+            f.name
+            for f in df.schema.fields
+            if isinstance(
+                f.dataType,
+                (T.ArrayType, T.MapType, T.StructType, T.BinaryType),
+            )
+        ]
+        if bad_cols:
+            complex_out[name] = bad_cols
+        plan = df._jdf.queryExecution().executedPlan().toString()
         got_shuffles = len(re.findall(r"\bExchange\b", plan))
         got_smj = plan.count("SortMergeJoin")
         got_bnl = "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan
@@ -408,6 +426,10 @@ def test_plans_md_shuffle_ratchet(spark):
             worse[name] = ("smj-flip", rec["smj"], got_smj)
         elif got_bnl and not rec["bnl"]:
             worse[name] = ("new-BNL", False, True)
+    assert not complex_out, (
+        f"complex-typed output columns (driver canon crashes on these): "
+        f"{complex_out} — flatten to strings (array_join / concat_ws)"
+    )
     assert not worse, (
         f"plan regressions vs PLANS.md (property, recorded, now): {worse} — "
         "fix the plan or regenerate PLANS.md if intentional"
@@ -431,11 +453,11 @@ def test_inverted_index_probe_bucket_pruned(spark, sf):
     assert m, f"no bucket pruning in probe plan:\n{plan}"
     assert int(m.group(1)) < int(m.group(2)), plan
     got = {
-        r.token: (r.doc_freq, r.total_occurrences, tuple(r.posting_head))
+        r.token: (r.doc_freq, r.total_occurrences, r.posting_head)
         for r in df.collect()
     }
     want = {
-        r.token: (r.doc_freq, r.total_occurrences, tuple(r.posting_head))
+        r.token: (r.doc_freq, r.total_occurrences, r.posting_head)
         for r in q141_inverted_index(spark, sf).collect()
     }
     assert got == want

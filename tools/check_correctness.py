@@ -90,6 +90,20 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
     # failure even when every value is numerically equal.
     for c in sorted(sdf.columns):
         ks, ko = dtype_kind(sdf[c]), dtype_kind(odf[c])
+        # DRIVER-FAITHFUL hard fail on complex-typed cells: the driver's
+        # canonicalizer sorts raw values and crashes on lists/dicts/bytes
+        # (pandas `unhashable type: 'list'` — the r6 q141/q149 ERR class).
+        # The old checker stringified object columns before sorting, which
+        # made it structurally blind to exactly this hazard.
+        for side, kind in (("spark", ks), ("oracle", ko)):
+            if kind in ("array", "bytes", "dict") or kind in (
+                "ndarray", "list", "tuple", "dict", "bytearray",
+            ):
+                problems.append(
+                    f"col {c}: {side} emits complex-typed cells ({kind}) — "
+                    "the DRIVER CANONICALIZER CRASHES on these; flatten to "
+                    "a string (array_join / array_to_string)"
+                )
         if "empty" in (ks, ko):
             continue
         if ks != ko:
