@@ -205,11 +205,17 @@ def y4m_bytes(width: int, height: int, n_frames: int, seed: int = 0) -> bytes:
 
 
 def _parse_wav(b: bytes):
-    """RIFF chunk walk → (duration_ms, n_samples, sample_rate) or None.
-    Tolerates extra chunks and odd-length padding per the RIFF spec."""
+    """RIFF chunk walk → ``(duration_ms, n_samples, sample_rate,
+    data_off, block_align, channels, bits)`` or None.  Tolerates extra
+    chunks and odd-length padding per the RIFF spec.  The trailing
+    layout fields exist so TRANSFORMS never assume the canonical
+    44-byte-header mono-16 layout the parser merely tolerates — a
+    valid-but-noncanonical payload must be re-emitted from its REAL
+    data offset, not a guessed one."""
     if len(b) < 44 or b[0:4] != b"RIFF" or b[8:12] != b"WAVE":
         return None
-    pos, rate, block_align, data_len = 12, None, None, None
+    pos, rate, block_align, channels, bits = 12, None, None, None, None
+    data_len = data_off = None
     while pos + 8 <= len(b):
         cid = b[pos : pos + 4]
         (clen,) = struct.unpack_from("<I", b, pos + 4)
@@ -217,16 +223,24 @@ def _parse_wav(b: bytes):
         if body + clen > len(b):
             return None
         if cid == b"fmt " and clen >= 16:
-            _fmt, _ch, rate, _bps, block_align, _bits = struct.unpack_from(
-                "<HHIIHH", b, body
+            _fmt, channels, rate, _bps, block_align, bits = (
+                struct.unpack_from("<HHIIHH", b, body)
             )
         elif cid == b"data":
-            data_len = clen
+            data_len, data_off = clen, body
         pos = body + clen + (clen & 1)
     if not rate or not block_align or data_len is None:
         return None
     n_samples = data_len // block_align
-    return (n_samples * 1000) // rate, n_samples, rate
+    return (
+        (n_samples * 1000) // rate,
+        n_samples,
+        rate,
+        data_off,
+        block_align,
+        channels,
+        bits,
+    )
 
 
 def _parse_ppm(b: bytes):
@@ -260,9 +274,14 @@ def _parse_ppm(b: bytes):
 
 
 def _parse_y4m(b: bytes):
-    """YUV4MPEG2 C420 walk → (width, height, n_frames) or None. Frames
-    are counted by walking exact raster offsets, never by substring
-    search (raster bytes may alias the FRAME marker)."""
+    """YUV4MPEG2 C420 walk → ``(width, height, n_frames, frames)`` or
+    None, where ``frames`` is the list of ``(hdr_start, body_start)``
+    offsets per frame.  Frames are counted by walking exact raster
+    offsets, never by substring search (raster bytes may alias the
+    FRAME marker).  The offsets exist so consumers never assume the
+    bare 6-byte ``FRAME\\n`` header the parser merely tolerates —
+    parameterized frame headers (``FRAME Ixy\\n``) are valid Y4M and
+    must be sliced at their REAL newline."""
     if not b.startswith(b"YUV4MPEG2"):
         return None
     nl = b.find(b"\n")
@@ -277,16 +296,17 @@ def _parse_y4m(b: bytes):
     if not w or not h or w % 2 or h % 2:
         return None
     frame_sz = w * h + 2 * (w // 2) * (h // 2)
-    pos, n = nl + 1, 0
+    pos, frames = nl + 1, []
     while pos < len(b):
         fnl = b.find(b"\n", pos)
         if fnl < 0 or b[pos : pos + 5] != b"FRAME":
             return None
-        pos = fnl + 1 + frame_sz
-        if pos > len(b):
+        body = fnl + 1
+        if body + frame_sz > len(b):
             return None
-        n += 1
-    return w, h, n
+        frames.append((pos, body))
+        pos = body + frame_sz
+    return w, h, len(frames), frames
 
 
 def decode_media(df: DataFrame, *, codec: str = "auto") -> DataFrame:
@@ -481,15 +501,11 @@ def video_luma_stats(media: DataFrame) -> DataFrame:
                 ym = _parse_y4m(b)
                 if ym is None:
                     continue
-                w, h, n = ym
-                frame_sz = w * h + 2 * (w // 2) * (h // 2)
-                pos = b.find(b"\n") + 1
+                w, h, n, offs = ym
                 lumas = []
-                for _f in range(n):
-                    body = pos + 6  # past 'FRAME\n'
+                for _hdr, body in offs:
                     y = np.frombuffer(b, dtype=np.uint8, count=w * h, offset=body)
                     lumas.append(int(y.sum(dtype=np.int64)) * 1000 // (w * h))
-                    pos = body + frame_sz
                 ids.append(int(mid))
                 nfs.append(n)
                 firsts.append(lumas[0])
@@ -540,12 +556,13 @@ def wav_head_energy(media: DataFrame, head_samples: int = 256) -> DataFrame:
                     continue
                 b = bytes(payload)
                 wv = _parse_wav(b)
-                if wv is None:
-                    continue
-                _dur, n_samples, _rate = wv
+                if wv is None or wv[6] != 16:
+                    continue  # energy stat is defined on 16-bit PCM
+                _dur, n_samples, _rate, data_off = wv[:4]
                 k = min(head_samples, n_samples)
-                # canonical wave-writer layout: 44-byte header then data
-                pcm = np.frombuffer(b, dtype="<i2", count=k, offset=44)
+                # slice at the PARSED data offset (extra RIFF chunks
+                # shift it past the canonical 44)
+                pcm = np.frombuffer(b, dtype="<i2", count=k, offset=data_off)
                 s = int(np.abs(pcm.astype(np.int64)).sum())
                 ids.append(int(mid))
                 ns.append(n_samples)
@@ -655,14 +672,23 @@ def resample_wav(media: DataFrame, factor: int = 2) -> DataFrame:
                 wv = _parse_wav(b)
                 if wv is None:
                     continue
-                _dur, n_samples, rate = wv
-                pcm = np.frombuffer(b, dtype="<i2", count=n_samples, offset=44)
+                _dur, n_samples, rate, data_off, blk, ch, bits = wv
+                if bits % 8 or blk != ch * (bits // 8):
+                    continue  # layout the wave writer can't re-emit
+                # decimate by whole PCM BLOCKS at the PARSED data
+                # offset — channel-count- and chunk-layout-agnostic
+                # (for canonical mono-16 this is exactly pcm[::factor])
+                blocks = np.frombuffer(
+                    b, dtype=np.uint8, count=n_samples * blk, offset=data_off
+                ).reshape(n_samples, blk)
                 out = io.BytesIO()
                 with wave.open(out, "wb") as w:
-                    w.setnchannels(1)
-                    w.setsampwidth(2)
+                    w.setnchannels(ch)
+                    w.setsampwidth(bits // 8)
                     w.setframerate(max(1, rate // factor))
-                    w.writeframes(pcm[::factor].tobytes())
+                    w.writeframes(
+                        np.ascontiguousarray(blocks[::factor]).tobytes()
+                    )
                 nb = out.getvalue()
                 ids.append(int(mid))
                 mtypes.append("audio")
@@ -774,16 +800,17 @@ def subsample_y4m(media: DataFrame, every_n: int = 2) -> DataFrame:
                 ym = _parse_y4m(b)
                 if ym is None:
                     continue
-                w, h, n = ym
+                w, h, n, offs = ym
                 frame_sz = w * h + 2 * (w // 2) * (h // 2)
                 head_end = b.find(b"\n") + 1
-                out = [b[:head_end]]
-                pos = head_end
-                for f in range(n):
-                    body = pos + 6  # past 'FRAME\n'
-                    if f % every_n == 0:
-                        out.append(b[pos : body + frame_sz])
-                    pos = body + frame_sz
+                # slice each kept frame at its PARSED (hdr, body)
+                # offsets — parameterized frame headers (longer than
+                # the bare 'FRAME\n') are preserved byte-exact
+                out = [b[:head_end]] + [
+                    b[hdr : body + frame_sz]
+                    for f, (hdr, body) in enumerate(offs)
+                    if f % every_n == 0
+                ]
                 nb = b"".join(out)
                 ids.append(int(mid))
                 mtypes.append("video")

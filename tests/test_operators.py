@@ -280,9 +280,26 @@ def test_multimodal_real_codec_parses_genuine_bytes(spark):
     wb = wav_bytes(1600, 8000, seed=9)
     with wave_mod.open(io.BytesIO(wb)) as w:
         assert (w.getnframes(), w.getframerate()) == (1600, 8000)
-    assert _parse_wav(wb) == (200, 1600, 8000)
+    # canonical wave-writer layout: data chunk body starts at 44,
+    # mono 16-bit → block_align 2
+    assert _parse_wav(wb) == (200, 1600, 8000, 44, 2, 1, 16)
     assert _parse_ppm(ppm_bytes(10, 6, seed=2)) == (10, 6)
-    assert _parse_y4m(y4m_bytes(8, 6, 3, seed=1)) == (8, 6, 3)
+    yw, yh, yn, yoffs = _parse_y4m(y4m_bytes(8, 6, 3, seed=1))
+    assert (yw, yh, yn) == (8, 6, 3)
+    # bare FRAME\n headers: body = hdr + 6; frames tile back-to-back
+    assert all(body == hdr + 6 for hdr, body in yoffs)
+    assert [hdr for hdr, _ in yoffs] == [
+        len(b"YUV4MPEG2 W8 H6 F25:1 C420\n") + i * (6 + 8 * 6 + 2 * 4 * 3)
+        for i in range(3)
+    ]
+    # a parameterized frame header (valid Y4M) parses with the real
+    # newline offset — consumers must slice at body, not hdr+6
+    yb = y4m_bytes(8, 6, 2, seed=1)
+    pos = yb.find(b"FRAME\n")
+    param = yb[:pos] + b"FRAME Ixy\n" + yb[pos + 6 :]
+    pw, ph, pn, poffs = _parse_y4m(param)
+    assert (pw, ph, pn) == (8, 6, 2)
+    assert poffs[0] == (pos, pos + 10)
     # corrupt/truncated payloads are rejected, not misparsed
     assert _parse_wav(wb[:-5]) is None
     assert _parse_ppm(b"P6\n10 6\n255\n" + bytes(10)) is None
@@ -1073,7 +1090,7 @@ def test_resample_wav_roundtrip_through_strict_codec(spark, sf_dir):
         o = orig[mid]
         # duration preserved within 1 ms (integer div on both sides)
         assert abs(d.duration_ms - o.duration_ms) <= 1, (mid, d, o)
-        # payload genuinely shrank: 44-byte header + half the samples
-        assert d.n_bytes == 44 + 2 * ((o.n_bytes - 44) // 2 + 1) // 2 or (
-            d.n_bytes < o.n_bytes
-        )
+        # payload genuinely shrank: 44-byte header + ceil(n/2) samples
+        # of 2 bytes — exact, no weak fallback
+        n_samples = (o.n_bytes - 44) // 2
+        assert d.n_bytes == 44 + 2 * ((n_samples + 1) // 2), (mid, d, o)
