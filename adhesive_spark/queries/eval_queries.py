@@ -824,7 +824,7 @@ def q263_link_prediction(spark, sf_dir):
                 F.expr("1000000 div (length(bin(a.pd)) - 1)")
             )
             .cast("long")
-            .alias("adamic_adar_milli"),
+            .alias("adamic_adar_ppm"),
         )
         .where(F.col("common") >= 2)
     )
@@ -844,7 +844,7 @@ def q263_link_prediction(spark, sf_dir):
             F.expr(
                 "CAST(common * 1000000 div (d1 + d2 - common) AS BIGINT)"
             ).alias("jaccard_ppm"),
-            "adamic_adar_milli",
+            "adamic_adar_ppm",
         )
         .orderBy(
             F.col("jaccard_ppm").desc(), F.col("s1"), F.col("s2")
@@ -874,7 +874,7 @@ EVAL_ORACLES["q263_link_prediction"] = f"""
       SELECT a.s AS s1, b.s AS s2,
              CAST(COUNT(*) AS BIGINT) AS common,
              CAST(SUM(1000000 // (length(bin(a.pd)) - 1)) AS BIGINT)
-               AS adamic_adar_milli
+               AS adamic_adar_ppm
       FROM e a JOIN e b ON a.p = b.p AND a.s < b.s
       GROUP BY 1, 2
       HAVING COUNT(*) >= 2
@@ -882,7 +882,7 @@ EVAL_ORACLES["q263_link_prediction"] = f"""
     SELECT p.s1, p.s2, p.common,
            CAST(p.common * 1000000 // (d1.sd + d2.sd - p.common)
                 AS BIGINT) AS jaccard_ppm,
-           p.adamic_adar_milli
+           p.adamic_adar_ppm
     FROM pairs p
     JOIN supp_deg d1 ON p.s1 = d1.s
     JOIN supp_deg d2 ON p.s2 = d2.s
@@ -1392,11 +1392,19 @@ def q269_vocab_coverage(spark, sf_dir):
         F.max("cum_cnt").alias("total_occ"),
         F.max("rank").cast("long").alias("n_types"),
     )
-    spine = spark.range(0, 3).select(
-        F.expr("CAST(pow(10, id + 1) AS BIGINT)").alias("k")
+    # k spine = {10, 100, 1000} plus the full-vocab row (k = n_types);
+    # if n_types collides with a power of ten the groupBy collapses the
+    # duplicate, same as the oracle's GROUP BY
+    spine = (
+        spark.range(0, 3)
+        .select(F.expr("CAST(pow(10, id + 1) AS BIGINT)").alias("k"))
+        .crossJoin(tot)
+        .unionByName(
+            tot.select(F.col("n_types").alias("k"), "total_occ", "n_types")
+        )
     )
     return (
-        ranked.crossJoin(F.broadcast(spine.crossJoin(tot)))
+        ranked.crossJoin(F.broadcast(spine))
         .where(F.col("rank") <= F.col("k"))
         .groupBy("k", "total_occ", "n_types")
         .agg(F.max("cum_cnt").alias("head_occ"))
@@ -1436,7 +1444,10 @@ EVAL_ORACLES["q269_vocab_coverage"] = """
              CAST(MAX(rank) AS BIGINT) AS n_types
       FROM ranked
     ),
-    spine AS (SELECT UNNEST([10, 100, 1000]) AS k)
+    spine AS (
+      SELECT UNNEST([10, 100, 1000]) AS k
+      UNION ALL SELECT n_types FROM tot
+    )
     SELECT k,
            CAST(LEAST(k, tot.n_types) AS BIGINT) AS types_used,
            CAST(MAX(cum_cnt) AS BIGINT) AS head_occ,
@@ -1611,17 +1622,25 @@ def q271_cuped_audit(spark, sf_dir):
         F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
         F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
     )
+    # moment products in DECIMAL(38,0), not BIGINT: at 100 TB n·Σxy can
+    # exceed 2^63, where Spark (non-ANSI) wraps silently while DuckDB
+    # errors — the DECIMAL cast keeps both engines exact to 38 digits
+    # (oracle twin: HUGEINT), so the headroom claim holds end-to-end
+    dec = "decimal(38,0)"
     return moments.select(
         "n",
-        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).alias(
-            "cov_n"
-        ),
-        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).alias(
-            "var_x_n"
-        ),
-        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).alias(
-            "var_y_n"
-        ),
+        (
+            F.col("n").cast(dec) * F.col("sxy")
+            - F.col("sx").cast(dec) * F.col("sy")
+        ).alias("cov_n"),
+        (
+            F.col("n").cast(dec) * F.col("sxx")
+            - F.col("sx").cast(dec) * F.col("sx")
+        ).alias("var_x_n"),
+        (
+            F.col("n").cast(dec) * F.col("syy")
+            - F.col("sy").cast(dec) * F.col("sy")
+        ).alias("var_y_n"),
     ).select(
         "n",
         F.signum("cov_n").cast("long").alias("cov_sign"),
@@ -1662,9 +1681,9 @@ EVAL_ORACLES["q271_cuped_audit"] = f"""
     ),
     parts AS (
       SELECT n,
-             n * sxy - sx * sy AS cov_n,
-             n * sxx - sx * sx AS var_x_n,
-             n * syy - sy * sy AS var_y_n
+             CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS cov_n,
+             CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS var_x_n,
+             CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS var_y_n
       FROM moments
     )
     SELECT n,

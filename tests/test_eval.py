@@ -182,7 +182,7 @@ def test_link_prediction_goes_through_parts_not_pairs(spark, sf_dir):
         assert 0 < r.jaccard_ppm <= 1000000
         assert r.common >= 2
         # every common part contributes at least 1e6 div log2(40) = 192307
-        assert r.adamic_adar_milli >= r.common * 192307
+        assert r.adamic_adar_ppm >= r.common * 192307
 
 
 def test_negative_sampling_excludes_clicked_and_uses_group_limit(spark, sf_dir):
