@@ -108,6 +108,11 @@ HEADLINE = [
     "q256_roc_auc",
     "q258_bloom_join_prefilter",
     "q263_link_prediction",
+    # round-7 additions: the r8-window heavy hitters get bench presence
+    # a round early — grid-density clustering closed by large-star/
+    # small-star CC, and the three-modality media-reduction capstone
+    "q274_grid_clusters_star",
+    "q279_media_reduction_pipeline",
 ]
 
 
@@ -183,6 +188,39 @@ def main() -> None:
             }
         )
     )
+    # The driver keeps only the stdout TAIL of this process, so every
+    # BENCH_r*.json so far has parsed:null. Persist the full result
+    # next to the repo root as well, so per-query cross-round
+    # comparison is recoverable from the repo without judge re-runs.
+    try:
+        out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_LOCAL.json")
+        with open(out, "w") as f:
+            json.dump(
+                {
+                    "metric": "headline_queries_total",
+                    "value": total,
+                    "unit": "sec",
+                    "queries": timings,
+                    "sf": sf,
+                    "protocol": f"interleaved-min-of-{reps}",
+                    "reps": reps,
+                    "single_rep_total": round(
+                        sum(ts[0] for ts in runs.values()), 3
+                    ),
+                    "queries_single_rep": {
+                        name: round(ts[0], 3) for name, ts in runs.items()
+                    },
+                    "spread": {
+                        name: round(max(ts) - min(ts), 3)
+                        for name, ts in runs.items()
+                    },
+                },
+                f,
+                indent=1,
+            )
+    except OSError:
+        pass  # a read-only checkout must not fail the bench
 
 
 if __name__ == "__main__":
