@@ -110,10 +110,24 @@ def dedup_transitive(
     *,
     src: str = "id_a",
     dst: str = "id_b",
+    algo: str = "star",
 ) -> DataFrame:
     """Exact fuzzy dedup: keep one doc (the min id) per connected
-    component of the near-dup pair graph; docs in no pair survive."""
-    comp = connected_components(pairs, src, dst)
+    component of the near-dup pair graph; docs in no pair survive.
+
+    ``algo="star"`` (default) closes the pair graph with the
+    O(log² n)-round large-star/small-star CC — at 100 TB, component
+    DIAMETER is the round-count enemy, and near-dup chains (A~B~C~…)
+    are exactly the deep-path shape min-label propagation is worst at.
+    ``algo="minlabel"`` keeps the simpler diameter-bound closure; both
+    produce identical labels (equality-tested on dense and deep-path
+    graphs in tests/test_graph_stateful.py)."""
+    if algo == "star":
+        comp = connected_components_star(pairs, src, dst)
+    elif algo == "minlabel":
+        comp = connected_components(pairs, src, dst)
+    else:
+        raise ValueError(f"unknown algo: {algo!r} (star|minlabel)")
     losers = comp.where(F.col("node") != F.col("component")).select(
         F.col("node").alias(id_col)
     )

@@ -42,6 +42,14 @@ def test_dedup_transitive(spark):
     )
     # 1,2 fold into 0; 5 folds into 4; 3 untouched
     assert kept == [0, 3, 4]
+    # both closures (star default / min-label) keep identical survivors
+    kept_ml = sorted(
+        r.doc_id
+        for r in dedup_transitive(docs, pairs, algo="minlabel").collect()
+    )
+    assert kept_ml == kept
+    with pytest.raises(ValueError):
+        dedup_transitive(docs, pairs, algo="bogus")
 
 
 @pytest.fixture(scope="module")
