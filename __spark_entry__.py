@@ -178,6 +178,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out.update(EVAL_QUERIES)
     except ImportError:
         pass
+    try:
+        from adhesive_spark.queries.training_queries import TRAINING_QUERIES
+
+        out.update(TRAINING_QUERIES)
+    except ImportError:
+        pass
     return _reorder(out)
 
 
@@ -222,6 +228,12 @@ def oracle_sql() -> dict[str, str]:
         from adhesive_spark.queries.eval_queries import EVAL_ORACLES
 
         out.update(EVAL_ORACLES)
+    except ImportError:
+        pass
+    try:
+        from adhesive_spark.queries.training_queries import TRAINING_ORACLES
+
+        out.update(TRAINING_ORACLES)
     except ImportError:
         pass
     return _reorder(out)

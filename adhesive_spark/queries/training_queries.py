@@ -1,0 +1,839 @@
+"""Training-run assembly queries (q280+): the operations between a
+curated corpus and a training job — DSIR importance weighting, the
+Gopher repetition rules, shard manifests, IVF occupancy planning,
+exact pass@k evaluation, the dedup-canonicalization ladder, epoch
+shuffle audits, and tokenizer fertility.
+
+House conventions: exact integer arithmetic (ppm/milli fixed point,
+division LAST, Spark ``div`` / DuckDB ``//`` — both truncate toward
+zero), portable md5 hashing, scalar-only output columns (the driver's
+hash canonicalizer cannot sort list cells), identical column aliases in
+query and oracle.
+
+Reference parity note: the reference engine (milenkovicm/adhesive,
+src/fusion.rs) delegates its relational surface to DataFusion and ships
+none of this; this module is SURVEY §2.3 extension surface for the
+100 TB pipeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from adhesive_spark.sources.registry import load_table
+
+TRAINING_QUERIES: dict = {}
+TRAINING_ORACLES: dict = {}
+
+#: DuckDB twin of operators.text.tokens — kept verbatim-identical to the
+#: other query modules so the normalized token stream matches Spark's.
+_TOKS = (
+    "string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')"
+)
+
+
+def _h32(hexpr: str) -> str:
+    """DuckDB twin of operators.dedup.portable_hash32: the 32-bit value
+    of the first 4 hex pairs of the md5 hex string ``hexpr`` (the
+    established _byte_from_hex composition)."""
+    from adhesive_spark.queries.pipeline_queries import _byte_from_hex
+
+    return (
+        f"({_byte_from_hex(hexpr, 1)} * 16777216 "
+        f"+ {_byte_from_hex(hexpr, 2)} * 65536 "
+        f"+ {_byte_from_hex(hexpr, 3)} * 256 "
+        f"+ {_byte_from_hex(hexpr, 4)})"
+    )
+
+
+# --- q280: DSIR importance weights (hashed-bigram log-ratio) -----------------
+
+
+def q280_dsir_importance(spark, sf_dir):
+    """DSIR-style importance scoring (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every
+    non-target document by how target-like its hashed-bigram profile is.
+    Target = the ``src0`` slice; features = word bigrams hashed into
+    8192 buckets (portable md5 hash); per-bucket weight is the INTEGER
+    log-ratio ``bitlen(t_b+1) - bitlen(r_b+1)`` (floor(log2)+1 via the
+    binary-string length, the q263 trick) — a documented deviation from
+    DSIR's float log-likelihood ratio that keeps the whole score
+    engine-exact.  A document's score is the sum of its bigram
+    occurrences' bucket weights; the top-20 scored raw documents are the
+    resampling front.
+
+    Scale shape: one explode → one 8192-row bucket-weight aggregate
+    (map-side combined, broadcast back) → one per-doc sum; nothing
+    quadratic, no Python, no floats.  At 100 TB the weight table is
+    still 8192 rows — the broadcast never grows with the corpus."""
+    from adhesive_spark.operators.dedup import portable_hash32
+    from adhesive_spark.operators.text import bigrams, tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    occ = docs.select(
+        "doc_id",
+        "source",
+        F.explode(bigrams(tokens(F.col("text")))).alias("bg"),
+    ).select(
+        "doc_id",
+        "source",
+        (
+            portable_hash32(
+                F.concat_ws(" ", F.col("bg.w1"), F.col("bg.w2"))
+            )
+            % 8192
+        ).alias("bucket"),
+    )
+    weights = occ.groupBy("bucket").agg(
+        F.sum(F.when(F.col("source") == "src0", 1).otherwise(0)).alias(
+            "t_cnt"
+        ),
+        F.sum(F.when(F.col("source") != "src0", 1).otherwise(0)).alias(
+            "r_cnt"
+        ),
+    ).select(
+        "bucket",
+        (
+            F.length(F.expr("bin(t_cnt + 1)"))
+            - F.length(F.expr("bin(r_cnt + 1)"))
+        )
+        .cast("long")
+        .alias("w"),
+    )
+    scored = (
+        occ.where(F.col("source") != "src0")
+        .join(F.broadcast(weights), "bucket")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.sum("w").cast("long").alias("score"),
+        )
+    )
+    return scored.orderBy(
+        F.col("score").desc(), F.col("doc_id")
+    ).limit(20)
+
+
+TRAINING_QUERIES["q280_dsir_importance"] = q280_dsir_importance
+
+TRAINING_ORACLES["q280_dsir_importance"] = f"""
+    WITH t AS (
+      SELECT doc_id, source, {_TOKS} AS l FROM documents
+    ),
+    hashed AS (
+      SELECT doc_id, source, md5(l[i] || ' ' || l[i + 1]) AS h
+      FROM t, UNNEST(generate_series(1, len(l) - 1)) AS u(i)
+    ),
+    occ AS (
+      SELECT doc_id, source, CAST({_h32("h")} AS BIGINT) % 8192 AS bucket
+      FROM hashed
+    ),
+    weights AS (
+      SELECT bucket,
+             CAST(length(bin(SUM(CASE WHEN source = 'src0' THEN 1
+                                      ELSE 0 END) + 1))
+                  - length(bin(SUM(CASE WHEN source <> 'src0' THEN 1
+                                        ELSE 0 END) + 1)) AS BIGINT) AS w
+      FROM occ GROUP BY bucket
+    )
+    SELECT o.doc_id, o.source,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(w.w) AS BIGINT) AS score
+    FROM occ o JOIN weights w USING (bucket)
+    WHERE o.source <> 'src0'
+    GROUP BY o.doc_id, o.source
+    ORDER BY score DESC, o.doc_id
+    LIMIT 20
+"""
+
+
+# --- q281: Gopher repetition rules --------------------------------------------
+
+
+def q281_gopher_repetition(spark, sf_dir):
+    """The Gopher repetition filters (Rae et al. 2021, table A1) as a
+    per-source audit: a document fails ``top{n}`` when the most frequent
+    word n-gram (n in 2..4) covers more than {20, 18, 16}% of its
+    normalized characters, and fails ``dup{n}`` when word n-grams
+    occurring more than once (n in 5..7) cover more than {15, 14, 13}%.
+    Coverage counts every occurrence's character length (overlap-
+    insensitive — a documented simplification of Gopher's distinct-
+    character-position accounting that keeps the metric one aggregate).
+
+    Scale shape: ONE explode over 6 gram lanes (the per-n slices are
+    built in-row from a single tokens() bind), one (doc, n, gram) count,
+    one (doc, n) rollup, one source rollup — corpus-linear, no joins,
+    no Python."""
+    from adhesive_spark.operators.text import normalize_text, tokens
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.length(normalize_text(F.col("text"))).cast("long").alias(
+            "n_chars"
+        ),
+        tokens(F.col("text")).alias("toks"),
+    )
+
+    def _lane(n):
+        # grams for one n: array of (n, gram) structs, empty when the
+        # doc is shorter than n tokens
+        k = F.size(F.col("toks")) - (n - 1)
+        return F.when(
+            k >= 1,
+            F.transform(
+                F.sequence(F.lit(0), k - 1),
+                lambda i: F.struct(
+                    F.lit(n).alias("n"),
+                    F.concat_ws(
+                        " ", F.slice(F.col("toks"), i + 1, n)
+                    ).alias("gram"),
+                ),
+            ),
+        ).otherwise(
+            F.array().cast("array<struct<n:int,gram:string>>")
+        )
+
+    lanes = F.concat(*[_lane(n) for n in (2, 3, 4, 5, 6, 7)])
+    grams = docs.select(
+        "doc_id", "source", "n_chars", F.explode(lanes).alias("g")
+    ).select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.col("g.n").alias("n"),
+        F.col("g.gram").alias("gram"),
+    )
+    per_gram = grams.groupBy("doc_id", "source", "n_chars", "n", "gram").agg(
+        F.count("*").alias("cnt"),
+        F.length(F.first("gram")).cast("long").alias("glen"),
+    )
+    per_doc = per_gram.groupBy("doc_id", "source", "n_chars", "n").agg(
+        F.max(F.col("cnt") * F.col("glen")).alias("top_mass"),
+        F.sum(
+            F.when(F.col("cnt") >= 2, F.col("cnt") * F.col("glen")).otherwise(
+                0
+            )
+        ).alias("dup_mass"),
+    ).select(
+        "doc_id",
+        "source",
+        "n",
+        F.expr("top_mass * 1000000 div n_chars").alias("top_ppm"),
+        F.expr("dup_mass * 1000000 div n_chars").alias("dup_ppm"),
+    )
+    fails = per_doc.groupBy("doc_id", "source").agg(
+        *[
+            F.max(
+                F.when(
+                    (F.col("n") == n) & (F.col("top_ppm") > thr), 1
+                ).otherwise(0)
+            ).alias(f"fail_top{n}")
+            for n, thr in ((2, 200000), (3, 180000), (4, 160000))
+        ],
+        *[
+            F.max(
+                F.when(
+                    (F.col("n") == n) & (F.col("dup_ppm") > thr), 1
+                ).otherwise(0)
+            ).alias(f"fail_dup{n}")
+            for n, thr in ((5, 150000), (6, 140000), (7, 130000))
+        ],
+    )
+    return fails.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        *[
+            F.sum(f"fail_top{n}").cast("long").alias(f"fail_top{n}")
+            for n in (2, 3, 4)
+        ],
+        *[
+            F.sum(f"fail_dup{n}").cast("long").alias(f"fail_dup{n}")
+            for n in (5, 6, 7)
+        ],
+    )
+
+
+TRAINING_QUERIES["q281_gopher_repetition"] = q281_gopher_repetition
+
+TRAINING_ORACLES["q281_gopher_repetition"] = f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             CAST(length(trim(regexp_replace(lower(text), '\\s+', ' ',
+                                             'g'))) AS BIGINT) AS n_chars,
+             {_TOKS} AS l
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, source, n_chars, ns.n,
+             array_to_string(l[i:i + ns.n - 1], ' ') AS gram
+      FROM t
+      CROSS JOIN (SELECT UNNEST([2, 3, 4, 5, 6, 7]) AS n) ns,
+      UNNEST(generate_series(1, len(l) - ns.n + 1)) AS u(i)
+      WHERE len(l) >= ns.n
+    ),
+    per_gram AS (
+      SELECT doc_id, source, n_chars, n, gram,
+             COUNT(*) AS cnt, CAST(length(gram) AS BIGINT) AS glen
+      FROM grams GROUP BY 1, 2, 3, 4, 5
+    ),
+    per_doc AS (
+      SELECT doc_id, source, n,
+             MAX(cnt * glen) * 1000000 // MAX(n_chars) AS top_ppm,
+             SUM(CASE WHEN cnt >= 2 THEN cnt * glen ELSE 0 END)
+               * 1000000 // MAX(n_chars) AS dup_ppm
+      FROM per_gram GROUP BY 1, 2, 3
+    ),
+    fails AS (
+      SELECT doc_id, source,
+             MAX(CASE WHEN n = 2 AND top_ppm > 200000 THEN 1 ELSE 0 END)
+               AS fail_top2,
+             MAX(CASE WHEN n = 3 AND top_ppm > 180000 THEN 1 ELSE 0 END)
+               AS fail_top3,
+             MAX(CASE WHEN n = 4 AND top_ppm > 160000 THEN 1 ELSE 0 END)
+               AS fail_top4,
+             MAX(CASE WHEN n = 5 AND dup_ppm > 150000 THEN 1 ELSE 0 END)
+               AS fail_dup5,
+             MAX(CASE WHEN n = 6 AND dup_ppm > 140000 THEN 1 ELSE 0 END)
+               AS fail_dup6,
+             MAX(CASE WHEN n = 7 AND dup_ppm > 130000 THEN 1 ELSE 0 END)
+               AS fail_dup7
+      FROM per_doc GROUP BY 1, 2
+    )
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(fail_top2) AS BIGINT) AS fail_top2,
+           CAST(SUM(fail_top3) AS BIGINT) AS fail_top3,
+           CAST(SUM(fail_top4) AS BIGINT) AS fail_top4,
+           CAST(SUM(fail_dup5) AS BIGINT) AS fail_dup5,
+           CAST(SUM(fail_dup6) AS BIGINT) AS fail_dup6,
+           CAST(SUM(fail_dup7) AS BIGINT) AS fail_dup7
+    FROM fails GROUP BY source
+"""
+
+
+# --- q282: webdataset-style shard manifest ------------------------------------
+
+
+def q282_shard_manifest(spark, sf_dir):
+    """Training-shard manifest (the webdataset/tar-shard builder's
+    planning pass): documents are routed to 256 hash buckets (first md5
+    byte of the doc id — the distributed outer level), ordered within
+    each bucket by their full hash (the deterministic shuffle), and cut
+    into shards every 8192 cumulative normalized characters.  The
+    manifest reports per-bucket shard counts and fill balance — the
+    numbers a shard-writing job is sized from.
+
+    Scale shape: NO global sort — the only window is per-bucket (256-way
+    parallel), which is the standard two-level shuffle+shard layout at
+    100 TB (a single global ORDER BY would serialize the corpus through
+    one partition).  One shuffle on the bucket key, one rollup."""
+    from adhesive_spark.operators.text import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+        F.length(normalize_text(F.col("text"))).cast("long").alias(
+            "n_chars"
+        ),
+    ).select(
+        "doc_id",
+        "h",
+        "n_chars",
+        F.conv(F.substring("h", 1, 2), 16, 10).cast("int").alias("bucket"),
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    sharded = docs.select(
+        "bucket",
+        "n_chars",
+        (F.coalesce(F.sum("n_chars").over(w), F.lit(0)) / F.lit(8192))
+        .cast("long")
+        .alias("local_shard"),
+    )
+    per_shard = sharded.groupBy("bucket", "local_shard").agg(
+        F.count("*").cast("long").alias("docs"),
+        F.sum("n_chars").cast("long").alias("chars"),
+    )
+    return per_shard.groupBy("bucket").agg(
+        F.count("*").cast("long").alias("n_shards"),
+        F.sum("docs").cast("long").alias("n_docs"),
+        F.sum("chars").cast("long").alias("total_chars"),
+        F.max("chars").cast("long").alias("max_shard_chars"),
+        F.min("chars").cast("long").alias("min_shard_chars"),
+    )
+
+
+TRAINING_QUERIES["q282_shard_manifest"] = q282_shard_manifest
+
+TRAINING_ORACLES["q282_shard_manifest"] = """
+    WITH docs AS (
+      SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+             CAST(length(trim(regexp_replace(lower(text), '\\s+', ' ',
+                                             'g'))) AS BIGINT) AS n_chars
+      FROM documents
+    ),
+    b AS (
+      SELECT *,
+             CAST((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+                  + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1)
+                  AS INTEGER) AS bucket
+      FROM docs
+    ),
+    sharded AS (
+      SELECT bucket, n_chars,
+             COALESCE(SUM(n_chars) OVER (PARTITION BY bucket ORDER BY h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               // 8192 AS local_shard
+      FROM b
+    ),
+    per_shard AS (
+      SELECT bucket, local_shard,
+             CAST(COUNT(*) AS BIGINT) AS docs,
+             CAST(SUM(n_chars) AS BIGINT) AS chars
+      FROM sharded GROUP BY 1, 2
+    )
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_shards,
+           CAST(SUM(docs) AS BIGINT) AS n_docs,
+           CAST(SUM(chars) AS BIGINT) AS total_chars,
+           CAST(MAX(chars) AS BIGINT) AS max_shard_chars,
+           CAST(MIN(chars) AS BIGINT) AS min_shard_chars
+    FROM per_shard GROUP BY bucket
+"""
+
+
+# --- q283: IVF occupancy / probe-cost planning ---------------------------------
+
+
+def q283_ivf_occupancy(spark, sf_dir):
+    """IVF inverted-list occupancy audit — the index-planning curve
+    behind every nprobe choice: assign the corpus to the q49 index's 16
+    deterministic centroids, then rank lists by occupancy and emit each
+    list's share and the CUMULATIVE share — "probing the p fullest lists
+    touches cum_share_ppm of the corpus", which is exactly the recall/
+    cost trade a 100 TB ANN deployment tunes.  A skewed curve (top list
+    ≫ corpus/16) is the signal to re-seed or k-means-refine (q101).
+
+    Scale shape: the assignment is the q49 broadcast-argmax (one corpus
+    scan, 16-row broadcast); everything after runs on 16 rows."""
+    from adhesive_spark.operators.similarity import build_ivf_index
+
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    _, assigned = build_ivf_index(emb, n_lists=16)
+    occ = assigned.groupBy("centroid_id").agg(
+        F.count("*").cast("long").alias("n_vecs")
+    )
+    w = Window.orderBy(F.col("n_vecs").desc(), F.col("centroid_id"))
+    wc = w.rowsBetween(Window.unboundedPreceding, 0)
+    return occ.crossJoin(
+        F.broadcast(occ.agg(F.sum("n_vecs").alias("total")))
+    ).select(
+        F.row_number().over(w).cast("long").alias("rank"),
+        "centroid_id",
+        "n_vecs",
+        F.expr("n_vecs * 1000000 div total").alias("share_ppm"),
+        (
+            F.sum("n_vecs").over(wc) * F.lit(1000000) / F.col("total")
+        )
+        .cast("long")
+        .alias("cum_share_ppm"),
+    )
+
+
+TRAINING_QUERIES["q283_ivf_occupancy"] = q283_ivf_occupancy
+
+TRAINING_ORACLES["q283_ivf_occupancy"] = """
+    WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    centroids AS (
+      SELECT vec_id AS centroid_id, v AS cv FROM emb
+      ORDER BY vec_id LIMIT 16
+    ),
+    assigned AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT e.vec_id, t.centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY round(list_cosine_similarity(e.v, t.cv), 6) DESC,
+                          t.centroid_id) AS r
+        FROM emb e CROSS JOIN centroids t
+      ) WHERE r = 1
+    ),
+    occ AS (
+      SELECT centroid_id, CAST(COUNT(*) AS BIGINT) AS n_vecs
+      FROM assigned GROUP BY centroid_id
+    ),
+    tot AS (SELECT CAST(SUM(n_vecs) AS BIGINT) AS total FROM occ)
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_vecs DESC, centroid_id)
+                AS BIGINT) AS rank,
+           centroid_id, n_vecs,
+           n_vecs * 1000000 // total AS share_ppm,
+           CAST(SUM(n_vecs) OVER (ORDER BY n_vecs DESC, centroid_id
+                  ROWS UNBOUNDED PRECEDING) * 1000000 // total
+                AS BIGINT) AS cum_share_ppm
+    FROM occ CROSS JOIN tot
+"""
+
+
+# --- q284: exact pass@k --------------------------------------------------------
+
+
+def q284_pass_at_k(spark, sf_dir):
+    """Exact pass@k (Chen et al. 2021, the HumanEval estimator):
+    ``pass@k = 1 - C(n-c, k)/C(n, k)`` per task, averaged over tasks —
+    computed EXACTLY in integer arithmetic: the binomial ratio is the
+    telescoped product prod_{i<k} (n-c-i)/(n-i), whose numerator and
+    denominator are BIGINT products (attempts are capped at the first
+    20 per task, so 20^10 < 2^63 bounds every intermediate; the final
+    ppm scaling runs in DECIMAL(38,0)).  The attempt log is simulated
+    from purchase events: task = user, attempts ordered by event_id,
+    an attempt is "correct" when its exact-cents value is divisible by
+    3 (a deterministic ~1/3 pass-rate fixture).
+
+    Scale shape: one per-task window (cap), one task aggregate, a 3-row
+    k-spine broadcast, and the per-(task, k) product runs IN-ROW via a
+    higher-order aggregate over sequence(0, k-1) — no joins, no Python,
+    no floats."""
+    ev = load_table(spark, sf_dir, "events")
+    attempts = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("task_id"),
+            "event_id",
+            F.expr(
+                "CASE WHEN CAST(ROUND(value * 100, 0) AS BIGINT) % 3 = 0"
+                " THEN 1 ELSE 0 END"
+            ).alias("ok"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("task_id").orderBy("event_id")
+            ),
+        )
+        .where(F.col("rn") <= 20)
+    )
+    tasks = attempts.groupBy("task_id").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("ok").cast("long").alias("c"),
+    )
+    ks = spark.createDataFrame([(1,), (5,), (10,)], "k long")
+    per_task = (
+        tasks.crossJoin(F.broadcast(ks))
+        .where(F.col("n") >= F.col("k"))
+        .select(
+            "k",
+            F.when(F.col("n") - F.col("c") < F.col("k"), F.lit(1000000))
+            .otherwise(
+                F.lit(1000000)
+                - F.expr(
+                    "CAST(CAST(aggregate(sequence(0, CAST(k AS INT) - 1),"
+                    " CAST(1 AS BIGINT), (acc, i) -> acc * (n - c - i))"
+                    " AS DECIMAL(38,0)) * 1000000"
+                    " div aggregate(sequence(0, CAST(k AS INT) - 1),"
+                    " CAST(1 AS BIGINT), (acc, i) -> acc * (n - i))"
+                    " AS BIGINT)"
+                )
+            )
+            .alias("pass_ppm"),
+        )
+    )
+    return per_task.groupBy("k").agg(
+        F.count("*").cast("long").alias("n_tasks"),
+        F.expr("SUM(pass_ppm) div COUNT(*)").alias("mean_pass_ppm"),
+    )
+
+
+TRAINING_QUERIES["q284_pass_at_k"] = q284_pass_at_k
+
+TRAINING_ORACLES["q284_pass_at_k"] = """
+    WITH attempts AS (
+      SELECT user_id AS task_id,
+             CASE WHEN CAST(ROUND(value * 100, 0) AS BIGINT) % 3 = 0
+                  THEN 1 ELSE 0 END AS ok
+      FROM (
+        SELECT user_id, event_id, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY event_id) AS rn
+        FROM events WHERE event_type = 'purchase'
+      ) WHERE rn <= 20
+    ),
+    tasks AS (
+      SELECT task_id, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(ok) AS BIGINT) AS c
+      FROM attempts GROUP BY task_id
+    ),
+    per_task AS (
+      SELECT k.k,
+             CASE WHEN n - c < k.k THEN 1000000
+                  ELSE 1000000 - CAST(
+                    list_reduce(list_transform(
+                      generate_series(0, CAST(k.k AS INTEGER) - 1),
+                      i -> CAST(n - c - i AS HUGEINT)), (a, b) -> a * b)
+                    * 1000000
+                    // list_reduce(list_transform(
+                      generate_series(0, CAST(k.k AS INTEGER) - 1),
+                      i -> CAST(n - i AS HUGEINT)), (a, b) -> a * b)
+                    AS BIGINT)
+             END AS pass_ppm
+      FROM tasks CROSS JOIN (SELECT UNNEST([1, 5, 10]::BIGINT[]) AS k) k
+      WHERE n >= k.k
+    )
+    SELECT k, CAST(COUNT(*) AS BIGINT) AS n_tasks,
+           CAST(SUM(pass_ppm) // COUNT(*) AS BIGINT) AS mean_pass_ppm
+    FROM per_task GROUP BY k
+"""
+
+
+# --- q285: dedup canonicalization ladder ---------------------------------------
+
+
+def q285_dedup_policy_delta(spark, sf_dir):
+    """Dedup-policy ladder audit: how many documents each
+    canonicalization level removes — EXACT (md5 of raw text) vs
+    BAG-OF-WORDS (md5 of the sorted token multiset, which also catches
+    reordered copies).  Exact-removed is a subset of bow-removed by
+    construction (identical text ⇒ identical sorted tokens, and both
+    policies keep the min doc_id), so ``bow_extra`` is the marginal
+    catch of the looser policy — the number that decides whether the
+    extra canonicalization pass is worth running corpus-wide.
+
+    Scale shape: two fingerprint windows (each one hash-keyed shuffle),
+    one source rollup; corpus-linear."""
+    from adhesive_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.md5(F.col("text")).alias("h_exact"),
+        F.md5(F.concat_ws(" ", F.array_sort(tokens(F.col("text"))))).alias(
+            "h_bow"
+        ),
+    )
+    flagged = docs.select(
+        "source",
+        (
+            F.row_number().over(
+                Window.partitionBy("h_exact").orderBy("doc_id")
+            )
+            > 1
+        )
+        .cast("int")
+        .alias("rm_exact"),
+        (
+            F.row_number().over(
+                Window.partitionBy("h_bow").orderBy("doc_id")
+            )
+            > 1
+        )
+        .cast("int")
+        .alias("rm_bow"),
+    )
+    return flagged.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("rm_exact").cast("long").alias("removed_exact"),
+        F.sum("rm_bow").cast("long").alias("removed_bow"),
+        (F.sum("rm_bow") - F.sum("rm_exact"))
+        .cast("long")
+        .alias("bow_extra"),
+    )
+
+
+TRAINING_QUERIES["q285_dedup_policy_delta"] = q285_dedup_policy_delta
+
+TRAINING_ORACLES["q285_dedup_policy_delta"] = f"""
+    WITH docs AS (
+      SELECT doc_id, source, md5(text) AS h_exact,
+             md5(array_to_string(list_sort({_TOKS}), ' ')) AS h_bow
+      FROM documents
+    ),
+    flagged AS (
+      SELECT source,
+             CASE WHEN ROW_NUMBER() OVER (PARTITION BY h_exact
+                                          ORDER BY doc_id) > 1
+                  THEN 1 ELSE 0 END AS rm_exact,
+             CASE WHEN ROW_NUMBER() OVER (PARTITION BY h_bow
+                                          ORDER BY doc_id) > 1
+                  THEN 1 ELSE 0 END AS rm_bow
+      FROM docs
+    )
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(rm_exact) AS BIGINT) AS removed_exact,
+           CAST(SUM(rm_bow) AS BIGINT) AS removed_bow,
+           CAST(SUM(rm_bow) - SUM(rm_exact) AS BIGINT) AS bow_extra
+    FROM flagged GROUP BY source
+"""
+
+
+# --- q286: epoch shuffle audit --------------------------------------------------
+
+
+def q286_epoch_shuffle_audit(spark, sf_dir):
+    """Multi-epoch shuffle audit: each training epoch draws its leading
+    10% sample via an INDEPENDENT deterministic hash (md5 of
+    ``epoch<e>:<doc_id>``, rate-thresholded on the first 8 hex chars —
+    in-query hash-rate sampling, NO global sort), and the audit verifies
+    the epochs' samples are genuinely decorrelated: pairwise overlap
+    should sit near the 1% independence expectation, not near 10%
+    (which would mean the reshuffle is a no-op and the model sees the
+    same leading data every epoch).
+
+    Scale shape: ONE corpus scan computes all three membership flags,
+    one 1-row aggregate holds every count, and the 3 output rows are a
+    stack over that row — no self-joins, nothing keyed."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    thr = (1 << 32) // 10
+
+    def member(e):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit(f"epoch{e}:"),
+                            F.col("doc_id").cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            < thr
+        ).cast("int")
+
+    flags = docs.select(
+        member(0).alias("m0"), member(1).alias("m1"), member(2).alias("m2")
+    )
+    agg = flags.agg(
+        *[
+            F.sum(f"m{e}").cast("long").alias(f"n{e}")
+            for e in (0, 1, 2)
+        ],
+        F.sum(F.col("m0") * F.col("m1")).cast("long").alias("o01"),
+        F.sum(F.col("m0") * F.col("m2")).cast("long").alias("o02"),
+        F.sum(F.col("m1") * F.col("m2")).cast("long").alias("o12"),
+    )
+    return agg.selectExpr(
+        "stack(3,"
+        " 0L, 1L, n0, n1, o01,"
+        " 0L, 2L, n0, n2, o02,"
+        " 1L, 2L, n1, n2, o12"
+        ") AS (epoch_a, epoch_b, n_a, n_b, n_overlap)"
+    ).selectExpr(
+        "epoch_a",
+        "epoch_b",
+        "n_a",
+        "n_b",
+        "n_overlap",
+        "n_overlap * 1000000 div (n_a + n_b - n_overlap) AS jaccard_ppm",
+    )
+
+
+TRAINING_QUERIES["q286_epoch_shuffle_audit"] = q286_epoch_shuffle_audit
+
+TRAINING_ORACLES["q286_epoch_shuffle_audit"] = f"""
+    WITH hashed AS (
+      SELECT md5('epoch0:' || CAST(doc_id AS VARCHAR)) AS h0,
+             md5('epoch1:' || CAST(doc_id AS VARCHAR)) AS h1,
+             md5('epoch2:' || CAST(doc_id AS VARCHAR)) AS h2
+      FROM documents
+    ),
+    flags AS (
+      SELECT
+        CASE WHEN {_h32("h0")} < 429496729 THEN 1 ELSE 0 END AS m0,
+        CASE WHEN {_h32("h1")} < 429496729 THEN 1 ELSE 0 END AS m1,
+        CASE WHEN {_h32("h2")} < 429496729 THEN 1 ELSE 0 END AS m2
+      FROM hashed
+    ),
+    agg AS (
+      SELECT CAST(SUM(m0) AS BIGINT) AS n0, CAST(SUM(m1) AS BIGINT) AS n1,
+             CAST(SUM(m2) AS BIGINT) AS n2,
+             CAST(SUM(m0 * m1) AS BIGINT) AS o01,
+             CAST(SUM(m0 * m2) AS BIGINT) AS o02,
+             CAST(SUM(m1 * m2) AS BIGINT) AS o12
+      FROM flags
+    )
+    SELECT * FROM (
+      SELECT CAST(0 AS BIGINT) AS epoch_a, CAST(1 AS BIGINT) AS epoch_b,
+             n0 AS n_a, n1 AS n_b, o01 AS n_overlap,
+             o01 * 1000000 // (n0 + n1 - o01) AS jaccard_ppm
+      FROM agg
+      UNION ALL
+      SELECT 0, 2, n0, n2, o02, o02 * 1000000 // (n0 + n2 - o02) FROM agg
+      UNION ALL
+      SELECT 1, 2, n1, n2, o12, o12 * 1000000 // (n1 + n2 - o12) FROM agg
+    )
+"""
+
+
+# --- q287: tokenizer fertility per language ------------------------------------
+
+
+def q287_tokenizer_fertility(spark, sf_dir):
+    """Tokenizer fertility table per language — the vocabulary-sizing
+    companion to q269: characters per whitespace token (milli) and the
+    BPE-estimate inflation over whitespace tokens (milli), both as
+    exact corpus ratios (sums first, ONE integer division last).  A
+    language whose fertility drifts up between snapshots is being
+    tokenized into ever-smaller pieces — the signal that its share of
+    the token budget is quietly growing.
+
+    Scale shape: one corpus scan, one 5-row language aggregate; the
+    per-row BPE estimate is the q31 profile's 4-chars/token heuristic
+    (integer ceil, engine-exact)."""
+    from adhesive_spark.operators.text import normalize_text, token_count
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang",
+        F.length(normalize_text(F.col("text"))).cast("long").alias("chars"),
+        token_count(F.col("text")).cast("long").alias("toks"),
+    ).select(
+        "lang",
+        "chars",
+        "toks",
+        # integer ceil(chars/4), floored by the whitespace count — the
+        # token_estimate_bpe contract in pure BIGINT arithmetic
+        F.greatest(F.expr("(chars + 3) div 4"), F.col("toks")).alias("bpe"),
+    )
+    return docs.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("toks").cast("long").alias("ws_tokens"),
+        F.sum("bpe").cast("long").alias("bpe_tokens"),
+        F.expr("SUM(chars) * 1000 div SUM(toks)").alias(
+            "chars_per_tok_milli"
+        ),
+        F.expr("SUM(bpe) * 1000 div SUM(toks)").alias(
+            "bpe_inflation_milli"
+        ),
+    )
+
+
+TRAINING_QUERIES["q287_tokenizer_fertility"] = q287_tokenizer_fertility
+
+TRAINING_ORACLES["q287_tokenizer_fertility"] = f"""
+    WITH d AS (
+      SELECT lang,
+             CAST(length(trim(regexp_replace(lower(text), '\\s+', ' ',
+                                             'g'))) AS BIGINT) AS chars,
+             CAST(len({_TOKS}) AS BIGINT) AS toks
+      FROM documents
+    ),
+    e AS (
+      SELECT lang, chars, toks,
+             GREATEST((chars + 3) // 4, toks) AS bpe
+      FROM d
+    )
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(toks) AS BIGINT) AS ws_tokens,
+           CAST(SUM(bpe) AS BIGINT) AS bpe_tokens,
+           CAST(SUM(chars) * 1000 // SUM(toks) AS BIGINT)
+             AS chars_per_tok_milli,
+           CAST(SUM(bpe) * 1000 // SUM(toks) AS BIGINT)
+             AS bpe_inflation_milli
+    FROM e GROUP BY lang
+"""

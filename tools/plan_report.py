@@ -299,6 +299,14 @@ AUDITED = [
     "q277_ppm_downscale_audit",
     "q278_y4m_subsample_audit",
     "q279_media_reduction_pipeline",
+    "q280_dsir_importance",
+    "q281_gopher_repetition",
+    "q282_shard_manifest",
+    "q283_ivf_occupancy",
+    "q284_pass_at_k",
+    "q285_dedup_policy_delta",
+    "q286_epoch_shuffle_audit",
+    "q287_tokenizer_fertility",
 ]
 
 
