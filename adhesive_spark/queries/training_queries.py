@@ -837,3 +837,305 @@ TRAINING_ORACLES["q287_tokenizer_fertility"] = f"""
              AS bpe_inflation_milli
     FROM e GROUP BY lang
 """
+
+
+# --- q288: rendezvous-hash rebalance plan ---------------------------------------
+
+
+def q288_hrw_rebalance(spark, sf_dir):
+    """Shard-rebalance cost plan, 16 → 20 shards, for two placement
+    policies: MOD hashing (shard = h % n — moves ~1 - 1/20 of all keys
+    on resize) vs RENDEZVOUS/HRW hashing (Thaler & Ravishankar 1998:
+    shard = argmax_s md5(key:s) — moves ONLY the keys whose argmax
+    lands on a new shard, ~4/20).  The output is the ppm of keys each
+    policy would migrate — the number that decides whether a 100 TB
+    keyed store can afford the resize.
+
+    Scale shape: the HRW side is a bounded 20× row blowup (key ×
+    shard-spine broadcast) collapsed by one argmax-as-aggregate per
+    key; the mod side is a projection.  One final 2-row rollup."""
+    from adhesive_spark.operators.dedup import portable_hash32
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("key")
+    )
+    mod = docs.select(
+        (portable_hash32(F.col("key")) % 16 != portable_hash32(F.col("key")) % 20)
+        .cast("int")
+        .alias("moved")
+    ).agg(
+        F.count("*").cast("long").alias("n_keys"),
+        F.sum("moved").cast("long").alias("n_moved"),
+    )
+    shards = spark.range(0, 20).select(F.col("id").cast("int").alias("s"))
+    scored = docs.crossJoin(F.broadcast(shards)).select(
+        "key",
+        "s",
+        F.struct(
+            portable_hash32(F.concat_ws(":", F.col("key"), F.col("s"))).alias(
+                "h"
+            ),
+            F.col("s").alias("s"),
+        ).alias("cand"),
+    )
+    hrw = (
+        scored.groupBy("key")
+        .agg(
+            F.max(F.when(F.col("s") < 16, F.col("cand"))).alias("best16"),
+            F.max("cand").alias("best20"),
+        )
+        .select(
+            (F.col("best16.s") != F.col("best20.s")).cast("int").alias(
+                "moved"
+            )
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_keys"),
+            F.sum("moved").cast("long").alias("n_moved"),
+        )
+    )
+    out = mod.select(F.lit("mod").alias("policy"), "n_keys", "n_moved").unionByName(
+        hrw.select(F.lit("hrw").alias("policy"), "n_keys", "n_moved")
+    )
+    return out.selectExpr(
+        "policy", "n_keys", "n_moved",
+        "n_moved * 1000000 div n_keys AS moved_ppm",
+    )
+
+
+TRAINING_QUERIES["q288_hrw_rebalance"] = q288_hrw_rebalance
+
+TRAINING_ORACLES["q288_hrw_rebalance"] = f"""
+    WITH keys AS (
+      SELECT CAST(doc_id AS VARCHAR) AS key FROM documents
+    ),
+    kh AS (SELECT key, md5(key) AS h FROM keys),
+    modpol AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(SUM(CASE WHEN CAST({_h32("h")} AS BIGINT) % 16
+                           <> CAST({_h32("h")} AS BIGINT) % 20
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_moved
+      FROM kh
+    ),
+    scored AS (
+      SELECT key, s.s, md5(key || ':' || CAST(s.s AS VARCHAR)) AS h
+      FROM keys CROSS JOIN (SELECT UNNEST(generate_series(0, 19)) AS s) s
+    ),
+    ranked AS (
+      SELECT key, s, CAST({_h32("h")} AS BIGINT) AS hv FROM scored
+    ),
+    best AS (
+      SELECT key,
+             arg_max(CASE WHEN s < 16 THEN s END,
+                     CASE WHEN s < 16 THEN hv END) AS s16,
+             arg_max(s, hv) AS s20
+      FROM ranked GROUP BY key
+    ),
+    hrwpol AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(SUM(CASE WHEN s16 <> s20 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_moved
+      FROM best
+    )
+    SELECT 'mod' AS policy, n_keys, n_moved,
+           n_moved * 1000000 // n_keys AS moved_ppm
+    FROM modpol
+    UNION ALL
+    SELECT 'hrw', n_keys, n_moved, n_moved * 1000000 // n_keys
+    FROM hrwpol
+"""
+
+
+# --- q289: training-sequence window plan ----------------------------------------
+
+
+def q289_sequence_windows(spark, sf_dir):
+    """Sequence-window plan for behavioral-sequence training (the
+    recommendation/session-model twin of q87's token packing): each
+    user's event stream is cut into fixed-length windows with a stride,
+    drop-remainder style; for each (max_len, stride) config the plan
+    reports window counts and the events the remainder drops — the
+    trade a sequence-training job tunes before materializing anything.
+    Windows per user are CLOSED-FORM from the per-user event count
+    (n < max_len → one short window, else (n-max_len) div stride + 1),
+    so no window rows are ever materialized.
+
+    Scale shape: one per-user count aggregate, a 3-row config-spine
+    broadcast, integer arithmetic only."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    cfgs = spark.createDataFrame(
+        [(32, 16), (32, 32), (64, 32)], "max_len long, stride long"
+    )
+    planned = per_user.crossJoin(F.broadcast(cfgs)).selectExpr(
+        "max_len",
+        "stride",
+        "n",
+        "CASE WHEN n < max_len THEN CAST(1 AS BIGINT)"
+        " ELSE (n - max_len) div stride + 1 END AS n_windows",
+        # events the drop-remainder tail never covers (0 for short users)
+        "CASE WHEN n < max_len THEN CAST(0 AS BIGINT)"
+        " ELSE n - (max_len + ((n - max_len) div stride) * stride)"
+        " END AS dropped",
+    )
+    return planned.groupBy("max_len", "stride").agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum("n_windows").cast("long").alias("n_windows"),
+        F.sum("n").cast("long").alias("n_events"),
+        F.sum("dropped").cast("long").alias("dropped_events"),
+        F.expr("SUM(dropped) * 1000000 div SUM(n)").alias("drop_ppm"),
+    )
+
+
+TRAINING_QUERIES["q289_sequence_windows"] = q289_sequence_windows
+
+TRAINING_ORACLES["q289_sequence_windows"] = """
+    WITH per_user AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY user_id
+    ),
+    cfgs AS (
+      SELECT * FROM (VALUES (CAST(32 AS BIGINT), CAST(16 AS BIGINT)),
+                            (32, 32), (64, 32)) AS t(max_len, stride)
+    ),
+    planned AS (
+      SELECT max_len, stride, n,
+             CASE WHEN n < max_len THEN CAST(1 AS BIGINT)
+                  ELSE (n - max_len) // stride + 1 END AS n_windows,
+             CASE WHEN n < max_len THEN CAST(0 AS BIGINT)
+                  ELSE n - (max_len + ((n - max_len) // stride) * stride)
+             END AS dropped
+      FROM per_user CROSS JOIN cfgs
+    )
+    SELECT max_len, stride,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(n_windows) AS BIGINT) AS n_windows,
+           CAST(SUM(n) AS BIGINT) AS n_events,
+           CAST(SUM(dropped) AS BIGINT) AS dropped_events,
+           CAST(SUM(dropped) * 1000000 // SUM(n) AS BIGINT) AS drop_ppm
+    FROM planned GROUP BY 1, 2
+"""
+
+
+# --- q290: event-time disorder audit --------------------------------------------
+
+
+def q290_disorder_audit(spark, sf_dir):
+    """Event-time DISORDER audit — the measurement a streaming
+    watermark is sized from (streaming/ops.py consumes the answer):
+    per event type, how far events arrive BEHIND the running
+    event-time high-water mark when consumed in arrival (event_id)
+    order.  lateness_ms = running_max(ts) - ts; the rollup reports how
+    many events are late at all and the worst/mean depth — a watermark
+    below max_late_ms silently drops data, one far above it holds
+    state for no reason.
+
+    Scale shape: one per-type window in arrival order (keyed shuffle),
+    one rollup; timestamps compared as exact epoch micros."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.expr("unix_micros(ts)").alias("us"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    lat = ev.select(
+        "event_type",
+        ((F.max("us").over(w) - F.col("us")) / F.lit(1000))
+        .cast("long")
+        .alias("late_ms"),
+    )
+    return lat.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum((F.col("late_ms") > 0).cast("long")).alias("n_late"),
+        F.max("late_ms").alias("max_late_ms"),
+        F.expr("SUM(late_ms) div COUNT(*)").alias("mean_late_ms"),
+    )
+
+
+TRAINING_QUERIES["q290_disorder_audit"] = q290_disorder_audit
+
+TRAINING_ORACLES["q290_disorder_audit"] = """
+    WITH lat AS (
+      SELECT event_type,
+             (MAX(epoch_us(ts)) OVER (PARTITION BY event_type
+                ORDER BY event_id ROWS UNBOUNDED PRECEDING)
+              - epoch_us(ts)) // 1000 AS late_ms
+      FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN late_ms > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_late,
+           CAST(MAX(late_ms) AS BIGINT) AS max_late_ms,
+           CAST(SUM(late_ms) // COUNT(*) AS BIGINT) AS mean_late_ms
+    FROM lat GROUP BY event_type
+"""
+
+
+# --- q291: class-rebalance resample plan ----------------------------------------
+
+
+def q291_class_rebalance(spark, sf_dir):
+    """Class-rebalance plan over the labeled embedding corpus: compute
+    each label's share, the uniform target, and the exact hash-rate
+    keep ratio (ppm, capped at 1e6) that downsamples every
+    over-represented class to the minority class's count — the standard
+    pre-training rebalancing pass, planned as metadata BEFORE any row
+    is dropped.  expected_kept uses the same integer arithmetic the
+    sampling pass would (count · keep_ppm div 1e6), so the plan and the
+    later materialization agree exactly.
+
+    Scale shape: one label aggregate (map-side combined), a 1-row
+    minimum broadcast back — nothing row-level."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    per_label = emb.groupBy("label").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    floor_row = per_label.agg(
+        F.min("n").alias("n_min"), F.sum("n").alias("n_total")
+    )
+    return (
+        per_label.crossJoin(F.broadcast(floor_row))
+        .selectExpr(
+            "label",
+            "n",
+            "n * 1000000 div n_total AS share_ppm",
+            "LEAST(CAST(1000000 AS BIGINT), n_min * 1000000 div n)"
+            " AS keep_ppm",
+        )
+        .selectExpr(
+            "label",
+            "n",
+            "share_ppm",
+            "keep_ppm",
+            "n * keep_ppm div 1000000 AS expected_kept",
+        )
+    )
+
+
+TRAINING_QUERIES["q291_class_rebalance"] = q291_class_rebalance
+
+TRAINING_ORACLES["q291_class_rebalance"] = """
+    WITH per_label AS (
+      SELECT label, CAST(COUNT(*) AS BIGINT) AS n
+      FROM embeddings GROUP BY label
+    ),
+    f AS (
+      SELECT CAST(MIN(n) AS BIGINT) AS n_min,
+             CAST(SUM(n) AS BIGINT) AS n_total
+      FROM per_label
+    )
+    SELECT label, n,
+           n * 1000000 // n_total AS share_ppm,
+           LEAST(CAST(1000000 AS BIGINT), n_min * 1000000 // n)
+             AS keep_ppm,
+           n * (LEAST(CAST(1000000 AS BIGINT), n_min * 1000000 // n))
+             // 1000000 AS expected_kept
+    FROM per_label CROSS JOIN f
+"""

@@ -307,6 +307,10 @@ AUDITED = [
     "q285_dedup_policy_delta",
     "q286_epoch_shuffle_audit",
     "q287_tokenizer_fertility",
+    "q288_hrw_rebalance",
+    "q289_sequence_windows",
+    "q290_disorder_audit",
+    "q291_class_rebalance",
 ]
 
 
