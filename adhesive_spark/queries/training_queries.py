@@ -69,8 +69,9 @@ def q280_dsir_importance(spark, sf_dir):
     still 8192 rows — the broadcast never grows with the corpus."""
     from adhesive_spark.operators.dedup import portable_hash32
     from adhesive_spark.operators.text import bigrams, tokens
+    from adhesive_spark.sources.registry import ensure_parallelism
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     occ = docs.select(
         "doc_id",
         "source",
@@ -151,23 +152,14 @@ TRAINING_ORACLES["q280_dsir_importance"] = f"""
 # --- q281: Gopher repetition rules --------------------------------------------
 
 
-def q281_gopher_repetition(spark, sf_dir):
-    """The Gopher repetition filters (Rae et al. 2021, table A1) as a
-    per-source audit: a document fails ``top{n}`` when the most frequent
-    word n-gram (n in 2..4) covers more than {20, 18, 16}% of its
-    normalized characters, and fails ``dup{n}`` when word n-grams
-    occurring more than once (n in 5..7) cover more than {15, 14, 13}%.
-    Coverage counts every occurrence's character length (overlap-
-    insensitive — a documented simplification of Gopher's distinct-
-    character-position accounting that keeps the metric one aggregate).
-
-    Scale shape: ONE explode over 6 gram lanes (the per-n slices are
-    built in-row from a single tokens() bind), one (doc, n, gram) count,
-    one (doc, n) rollup, one source rollup — corpus-linear, no joins,
-    no Python."""
+def gopher_repetition_report(docs):
+    """DF-level core of q281 (takes any documents DataFrame with
+    doc_id/source/text) — shared with the stress harness, which drives
+    it over the N×-replicated corpus."""
     from adhesive_spark.operators.text import normalize_text, tokens
+    from adhesive_spark.sources.registry import ensure_parallelism
 
-    docs = load_table(spark, sf_dir, "documents").select(
+    docs = ensure_parallelism(docs).select(
         "doc_id",
         "source",
         F.length(normalize_text(F.col("text"))).cast("long").alias(
@@ -176,68 +168,95 @@ def q281_gopher_repetition(spark, sf_dir):
         tokens(F.col("text")).alias("toks"),
     )
 
-    def _lane(n):
-        # grams for one n: array of (n, gram) structs, empty when the
-        # doc is shorter than n tokens
-        k = F.size(F.col("toks")) - (n - 1)
-        return F.when(
-            k >= 1,
-            F.transform(
-                F.sequence(F.lit(0), k - 1),
-                lambda i: F.struct(
-                    F.lit(n).alias("n"),
-                    F.concat_ws(
-                        " ", F.slice(F.col("toks"), i + 1, n)
-                    ).alias("gram"),
-                ),
-            ),
-        ).otherwise(
-            F.array().cast("array<struct<n:int,gram:string>>")
+    # ENTIRELY IN-ROW per-document metric: each lane's grams are built,
+    # SORTED, and run-length-scanned inside one higher-order aggregate
+    # per n — equal grams are adjacent after the sort, so one linear
+    # pass yields the top-run mass (max cnt·len) and the duplicated-run
+    # mass (Σ cnt·len where cnt ≥ 2). NO gram rows are ever exploded or
+    # shuffled; the only shuffle in the whole query is the source
+    # rollup. toks is bound once per row via the single-element
+    # transform scope (house pattern — a raw tokens(col) argument would
+    # be re-inlined per element by CollapseProject, O(len²)/doc).
+    def _run_masses(grams):
+        """(top_mass, dup_mass) over a sorted gram array via one
+        aggregate: acc carries the current run (prev, cnt) and the two
+        masses; finish folds the final run in."""
+        sg = F.array_sort(grams)
+        init = F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).cast("long").alias("cnt"),
+            F.lit(0).cast("long").alias("top"),
+            F.lit(0).cast("long").alias("dup"),
         )
 
-    lanes = F.concat(*[_lane(n) for n in (2, 3, 4, 5, 6, 7)])
-    grams = docs.select(
-        "doc_id", "source", "n_chars", F.explode(lanes).alias("g")
-    ).select(
-        "doc_id",
-        "source",
-        "n_chars",
-        F.col("g.n").alias("n"),
-        F.col("g.gram").alias("gram"),
-    )
-    per_gram = grams.groupBy("doc_id", "source", "n_chars", "n", "gram").agg(
-        F.count("*").alias("cnt"),
-        F.length(F.first("gram")).cast("long").alias("glen"),
-    )
-    per_doc = per_gram.groupBy("doc_id", "source", "n_chars", "n").agg(
-        F.max(F.col("cnt") * F.col("glen")).alias("top_mass"),
-        F.sum(
-            F.when(F.col("cnt") >= 2, F.col("cnt") * F.col("glen")).otherwise(
-                0
+        def close_run(acc):
+            mass = acc["cnt"] * F.length(acc["prev"]).cast("long")
+            return (
+                F.greatest(acc["top"], mass),
+                acc["dup"]
+                + F.when(acc["cnt"] >= 2, mass).otherwise(F.lit(0).cast("long")),
             )
-        ).alias("dup_mass"),
-    ).select(
-        "doc_id",
-        "source",
-        "n",
-        F.expr("top_mass * 1000000 div n_chars").alias("top_ppm"),
-        F.expr("dup_mass * 1000000 div n_chars").alias("dup_ppm"),
+
+        def step(acc, g):
+            top2, dup2 = close_run(acc)
+            return F.when(
+                g == acc["prev"],
+                F.struct(
+                    acc["prev"].alias("prev"),
+                    (acc["cnt"] + 1).alias("cnt"),
+                    acc["top"].alias("top"),
+                    acc["dup"].alias("dup"),
+                ),
+            ).otherwise(
+                F.struct(
+                    g.alias("prev"),
+                    F.lit(1).cast("long").alias("cnt"),
+                    top2.alias("top"),
+                    dup2.alias("dup"),
+                )
+            )
+
+        def finish(acc):
+            top2, dup2 = close_run(acc)
+            return F.struct(top2.alias("top"), dup2.alias("dup"))
+
+        return F.aggregate(sg, init, step, finish)
+
+    def _lane_masses(toks):
+        def lane(n):
+            k = F.size(toks) - (n - 1)
+            grams = F.when(
+                k >= 1,
+                F.transform(
+                    F.sequence(F.lit(0), k - 1),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+            return _run_masses(grams)
+
+        return F.struct(
+            *[lane(n).alias(f"m{n}") for n in (2, 3, 4, 5, 6, 7)]
+        )
+
+    masses = F.element_at(
+        F.transform(F.array(F.col("toks")), _lane_masses), 1
     )
-    fails = per_doc.groupBy("doc_id", "source").agg(
+    fails = docs.select("doc_id", "source", "n_chars", masses.alias("m")).select(
+        "source",
         *[
-            F.max(
-                F.when(
-                    (F.col("n") == n) & (F.col("top_ppm") > thr), 1
-                ).otherwise(0)
-            ).alias(f"fail_top{n}")
+            (
+                F.expr(f"m.m{n}.top * 1000000 div n_chars") > F.lit(thr)
+            )
+            .cast("int")
+            .alias(f"fail_top{n}")
             for n, thr in ((2, 200000), (3, 180000), (4, 160000))
         ],
         *[
-            F.max(
-                F.when(
-                    (F.col("n") == n) & (F.col("dup_ppm") > thr), 1
-                ).otherwise(0)
-            ).alias(f"fail_dup{n}")
+            (
+                F.expr(f"m.m{n}.dup * 1000000 div n_chars") > F.lit(thr)
+            )
+            .cast("int")
+            .alias(f"fail_dup{n}")
             for n, thr in ((5, 150000), (6, 140000), (7, 130000))
         ],
     )
@@ -252,6 +271,25 @@ def q281_gopher_repetition(spark, sf_dir):
             for n in (5, 6, 7)
         ],
     )
+
+
+def q281_gopher_repetition(spark, sf_dir):
+    """The Gopher repetition filters (Rae et al. 2021, table A1) as a
+    per-source audit: a document fails ``top{n}`` when the most frequent
+    word n-gram (n in 2..4) covers more than {20, 18, 16}% of its
+    normalized characters, and fails ``dup{n}`` when word n-grams
+    occurring more than once (n in 5..7) cover more than {15, 14, 13}%.
+    Coverage counts every occurrence's character length (overlap-
+    insensitive — a documented simplification of Gopher's distinct-
+    character-position accounting that keeps the metric one aggregate).
+
+    Scale shape: the per-document metric is ENTIRELY IN-ROW — each
+    lane's grams are built, sorted, and run-length-scanned inside one
+    higher-order aggregate (equal grams are adjacent after the sort),
+    so no gram row is ever exploded or shuffled; the ONLY shuffle in
+    the query is the final source rollup. Corpus-linear, no joins, no
+    Python."""
+    return gopher_repetition_report(load_table(spark, sf_dir, "documents"))
 
 
 TRAINING_QUERIES["q281_gopher_repetition"] = q281_gopher_repetition
@@ -314,22 +352,13 @@ TRAINING_ORACLES["q281_gopher_repetition"] = f"""
 # --- q282: webdataset-style shard manifest ------------------------------------
 
 
-def q282_shard_manifest(spark, sf_dir):
-    """Training-shard manifest (the webdataset/tar-shard builder's
-    planning pass): documents are routed to 256 hash buckets (first md5
-    byte of the doc id — the distributed outer level), ordered within
-    each bucket by their full hash (the deterministic shuffle), and cut
-    into shards every 8192 cumulative normalized characters.  The
-    manifest reports per-bucket shard counts and fill balance — the
-    numbers a shard-writing job is sized from.
-
-    Scale shape: NO global sort — the only window is per-bucket (256-way
-    parallel), which is the standard two-level shuffle+shard layout at
-    100 TB (a single global ORDER BY would serialize the corpus through
-    one partition).  One shuffle on the bucket key, one rollup."""
+def shard_manifest_report(docs, *, target_chars: int = 8192):
+    """DF-level core of q282 (takes any documents DataFrame with
+    doc_id/text) — shared with the stress harness, which drives the
+    per-bucket windows over N×-wide bucket partitions."""
     from adhesive_spark.operators.text import normalize_text
 
-    docs = load_table(spark, sf_dir, "documents").select(
+    docs = docs.select(
         "doc_id",
         F.md5(F.col("doc_id").cast("string")).alias("h"),
         F.length(normalize_text(F.col("text"))).cast("long").alias(
@@ -349,7 +378,7 @@ def q282_shard_manifest(spark, sf_dir):
     sharded = docs.select(
         "bucket",
         "n_chars",
-        (F.coalesce(F.sum("n_chars").over(w), F.lit(0)) / F.lit(8192))
+        (F.coalesce(F.sum("n_chars").over(w), F.lit(0)) / F.lit(target_chars))
         .cast("long")
         .alias("local_shard"),
     )
@@ -364,6 +393,22 @@ def q282_shard_manifest(spark, sf_dir):
         F.max("chars").cast("long").alias("max_shard_chars"),
         F.min("chars").cast("long").alias("min_shard_chars"),
     )
+
+
+def q282_shard_manifest(spark, sf_dir):
+    """Training-shard manifest (the webdataset/tar-shard builder's
+    planning pass): documents are routed to 256 hash buckets (first md5
+    byte of the doc id — the distributed outer level), ordered within
+    each bucket by their full hash (the deterministic shuffle), and cut
+    into shards every 8192 cumulative normalized characters.  The
+    manifest reports per-bucket shard counts and fill balance — the
+    numbers a shard-writing job is sized from.
+
+    Scale shape: NO global sort — the only window is per-bucket (256-way
+    parallel), which is the standard two-level shuffle+shard layout at
+    100 TB (a single global ORDER BY would serialize the corpus through
+    one partition).  One shuffle on the bucket key, one rollup."""
+    return shard_manifest_report(load_table(spark, sf_dir, "documents"))
 
 
 TRAINING_QUERIES["q282_shard_manifest"] = q282_shard_manifest

@@ -448,6 +448,30 @@ def main() -> None:
     n_ev = load_table(spark, sf_dir, "events").count()
     run("feature_matrix_pit", _feature_matrix, n_ev * reps)
 
+    # Gopher repetition rules at N×: the 6-lane gram explode is the
+    # biggest row blowup in the query set (~6·tokens rows per doc);
+    # replication multiplies the explode and both keyed aggregates but
+    # nothing is pairwise — throughput must stay flat.
+    from adhesive_spark.queries.training_queries import (
+        gopher_repetition_report,
+        shard_manifest_report,
+    )
+
+    run(
+        "gopher_repetition",
+        lambda: gopher_repetition_report(big_docs),
+        rows_in,
+    )
+
+    # Shard manifest at N×: each of the 256 bucket windows' partitions
+    # grows N× wide — the per-partition sort+cumsum is the hazard; the
+    # rollup stays 256 rows regardless of reps.
+    run(
+        "shard_manifest",
+        lambda: shard_manifest_report(big_docs),
+        rows_in,
+    )
+
     total = round(sum(o["sec"] for o in ops.values()), 2)
     print(
         json.dumps(
