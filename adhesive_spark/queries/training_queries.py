@@ -1184,3 +1184,358 @@ TRAINING_ORACLES["q291_class_rebalance"] = """
              // 1000000 AS expected_kept
     FROM per_label CROSS JOIN f
 """
+
+
+# --- q292: preference-pair assembly ---------------------------------------------
+
+
+def q292_preference_pairs(spark, sf_dir):
+    """RLHF preference-pair assembly: for every prompt (user) with at
+    least two scored responses (purchase events, score = exact cents),
+    pick the BEST and WORST response deterministically (score, then
+    event_id for ties), emit the pair margin, and roll up the margin
+    distribution per band — the job that turns a reward log into a DPO/
+    RLHF training set, where near-zero margins are the pairs a trainer
+    down-weights or drops.
+
+    Scale shape: one user-key aggregate does best+worst+count in a
+    single pass (argmax-as-max-over-struct, map-side combined — no
+    window, no self-join); the band rollup runs on one row per user."""
+    ev = load_table(spark, sf_dir, "events")
+    scored = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.struct(
+            F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)").alias("cents"),
+            (-F.col("event_id")).alias("neg_id"),
+        ).alias("up"),
+        F.struct(
+            (-F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)")).alias(
+                "neg_cents"
+            ),
+            (-F.col("event_id")).alias("neg_id"),
+        ).alias("down"),
+    )
+    pairs = scored.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_responses"),
+        F.max("up").alias("best"),
+        F.max("down").alias("worst"),
+    ).where(F.col("n_responses") >= 2).select(
+        "user_id",
+        "n_responses",
+        F.col("best.cents").alias("chosen_cents"),
+        (-F.col("worst.neg_cents")).alias("rejected_cents"),
+        (F.col("best.cents") + F.col("worst.neg_cents")).alias(
+            "margin_cents"
+        ),
+    )
+    return pairs.groupBy(
+        F.expr(
+            "CASE WHEN margin_cents = 0 THEN 'zero'"
+            " WHEN margin_cents < 1000 THEN 'low'"
+            " WHEN margin_cents < 5000 THEN 'mid'"
+            " ELSE 'high' END"
+        ).alias("margin_band")
+    ).agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.min("margin_cents").alias("min_margin_cents"),
+        F.max("margin_cents").alias("max_margin_cents"),
+        F.expr("SUM(margin_cents) div COUNT(*)").alias(
+            "mean_margin_cents"
+        ),
+    )
+
+
+TRAINING_QUERIES["q292_preference_pairs"] = q292_preference_pairs
+
+TRAINING_ORACLES["q292_preference_pairs"] = """
+    WITH scored AS (
+      SELECT user_id, event_id,
+             CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ),
+    ranked AS (
+      SELECT user_id, cents,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+               ORDER BY cents DESC, event_id) AS r_best,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+               ORDER BY cents ASC, event_id) AS r_worst,
+             COUNT(*) OVER (PARTITION BY user_id) AS n_responses
+      FROM scored
+    ),
+    pairs AS (
+      SELECT user_id,
+             CAST(MAX(n_responses) AS BIGINT) AS n_responses,
+             CAST(MAX(CASE WHEN r_best = 1 THEN cents END) AS BIGINT)
+               AS chosen_cents,
+             CAST(MAX(CASE WHEN r_worst = 1 THEN cents END) AS BIGINT)
+               AS rejected_cents
+      FROM ranked GROUP BY user_id
+      HAVING MAX(n_responses) >= 2
+    ),
+    m AS (
+      SELECT user_id, n_responses, chosen_cents, rejected_cents,
+             chosen_cents - rejected_cents AS margin_cents
+      FROM pairs
+    )
+    SELECT CASE WHEN margin_cents = 0 THEN 'zero'
+                WHEN margin_cents < 1000 THEN 'low'
+                WHEN margin_cents < 5000 THEN 'mid'
+                ELSE 'high' END AS margin_band,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(MIN(margin_cents) AS BIGINT) AS min_margin_cents,
+           CAST(MAX(margin_cents) AS BIGINT) AS max_margin_cents,
+           CAST(SUM(margin_cents) // COUNT(*) AS BIGINT)
+             AS mean_margin_cents
+    FROM m GROUP BY 1
+"""
+
+
+# --- q293: context-window overflow audit ----------------------------------------
+
+
+def q293_context_overflow(spark, sf_dir):
+    """Context-window overflow audit: per source, how many documents
+    exceed each candidate context length (512 / 2048 / 8192 BPE-estimate
+    tokens) and what fraction of the source's TOKEN MASS a truncating
+    loader would drop (ppm) — the table that picks between truncation,
+    chunking (q85), and packing (q87) per source.
+
+    Scale shape: one scan, conditional sums over a 3-window spine
+    applied in-row (no explode — each window is a CASE column), one
+    source rollup."""
+    from adhesive_spark.operators.text import token_estimate_bpe
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", token_estimate_bpe(F.col("text")).alias("toks")
+    )
+    aggs = [F.count("*").cast("long").alias("n_docs"),
+            F.sum("toks").cast("long").alias("total_tokens")]
+    for w in (512, 2048, 8192):
+        aggs.append(
+            F.sum((F.col("toks") > w).cast("long")).alias(f"over_{w}")
+        )
+        aggs.append(
+            F.expr(
+                f"SUM(CASE WHEN toks > {w} THEN toks - {w} ELSE 0 END)"
+                f" * 1000000 div SUM(toks)"
+            ).alias(f"trunc_loss_ppm_{w}")
+        )
+    return docs.groupBy("source").agg(*aggs)
+
+
+TRAINING_QUERIES["q293_context_overflow"] = q293_context_overflow
+
+TRAINING_ORACLES["q293_context_overflow"] = """
+    WITH d AS (
+      SELECT source,
+             GREATEST(
+               CAST(CEIL(length(trim(regexp_replace(lower(text), '\\s+',
+                 ' ', 'g'))) / 4.0) AS BIGINT),
+               CAST(len(string_split(trim(regexp_replace(lower(text),
+                 '\\s+', ' ', 'g')), ' ')) AS BIGINT)) AS toks
+      FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(toks) AS BIGINT) AS total_tokens,
+           CAST(SUM(CASE WHEN toks > 512 THEN 1 ELSE 0 END) AS BIGINT)
+             AS over_512,
+           CAST(SUM(CASE WHEN toks > 512 THEN toks - 512 ELSE 0 END)
+                * 1000000 // SUM(toks) AS BIGINT) AS trunc_loss_ppm_512,
+           CAST(SUM(CASE WHEN toks > 2048 THEN 1 ELSE 0 END) AS BIGINT)
+             AS over_2048,
+           CAST(SUM(CASE WHEN toks > 2048 THEN toks - 2048 ELSE 0 END)
+                * 1000000 // SUM(toks) AS BIGINT) AS trunc_loss_ppm_2048,
+           CAST(SUM(CASE WHEN toks > 8192 THEN 1 ELSE 0 END) AS BIGINT)
+             AS over_8192,
+           CAST(SUM(CASE WHEN toks > 8192 THEN toks - 8192 ELSE 0 END)
+                * 1000000 // SUM(toks) AS BIGINT) AS trunc_loss_ppm_8192
+    FROM d GROUP BY source
+"""
+
+
+# --- q294: mixture water-fill planner -------------------------------------------
+
+#: Target mixture weights (ppm, sum = 1e6) for the q294 planner — the
+#: "recipe" side of a data-mixing run; sources beyond the named ones
+#: share the remainder implicitly by being absent (weight 0 = excluded).
+_MIX_TARGET_PPM = {
+    "src0": 300000,
+    "src1": 250000,
+    "src2": 200000,
+    "src3": 150000,
+    "src4": 100000,
+}
+
+
+def q294_mixture_waterfill(spark, sf_dir):
+    """Mixture water-fill planner (the DoReMi/llama-recipe assembly
+    step): given target mixture weights and each source's available
+    token supply, find the LARGEST total budget the recipe can serve
+    without exceeding any source's supply — the bottleneck source sets
+    the scale (min over sources of supply·1e6 div weight), every other
+    source is allocated weight·scale div 1e6 and reports its leftover.
+    Answers "how big a training run can this corpus feed at this
+    recipe, and which source do we need more of?".
+
+    Scale shape: one source aggregate for supplies, a 5-row literal
+    recipe spine, a 1-row bottleneck broadcast — metadata only, nothing
+    row-level after the first aggregate."""
+    from adhesive_spark.operators.text import token_estimate_bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    supply = docs.groupBy("source").agg(
+        F.sum(token_estimate_bpe(F.col("text"))).cast("long").alias(
+            "supply_tokens"
+        )
+    )
+    recipe = spark.createDataFrame(
+        sorted(_MIX_TARGET_PPM.items()), "source string, weight_ppm long"
+    )
+    joined = supply.join(F.broadcast(recipe), "source")
+    scale = joined.agg(
+        F.min(
+            F.expr("supply_tokens * 1000000 div weight_ppm")
+        ).alias("scale_tokens")
+    )
+    return (
+        joined.crossJoin(F.broadcast(scale))
+        .selectExpr(
+            "source",
+            "supply_tokens",
+            "weight_ppm",
+            "weight_ppm * scale_tokens div 1000000 AS alloc_tokens",
+        )
+        .selectExpr(
+            "source",
+            "supply_tokens",
+            "weight_ppm",
+            "alloc_tokens",
+            "supply_tokens - alloc_tokens AS leftover_tokens",
+            "CASE WHEN supply_tokens - alloc_tokens = 0 THEN 1 ELSE 0 END"
+            " AS is_bottleneck",
+        )
+    )
+
+
+TRAINING_QUERIES["q294_mixture_waterfill"] = q294_mixture_waterfill
+
+TRAINING_ORACLES["q294_mixture_waterfill"] = """
+    WITH supply AS (
+      SELECT source,
+             CAST(SUM(GREATEST(
+               CAST(CEIL(length(trim(regexp_replace(lower(text), '\\s+',
+                 ' ', 'g'))) / 4.0) AS BIGINT),
+               CAST(len(string_split(trim(regexp_replace(lower(text),
+                 '\\s+', ' ', 'g')), ' ')) AS BIGINT))) AS BIGINT)
+               AS supply_tokens
+      FROM documents GROUP BY source
+    ),
+    recipe AS (
+      SELECT * FROM (VALUES ('src0', CAST(300000 AS BIGINT)),
+                            ('src1', 250000), ('src2', 200000),
+                            ('src3', 150000), ('src4', 100000))
+        AS t(source, weight_ppm)
+    ),
+    joined AS (
+      SELECT s.source, s.supply_tokens, r.weight_ppm
+      FROM supply s JOIN recipe r USING (source)
+    ),
+    sc AS (
+      SELECT CAST(MIN(supply_tokens * 1000000 // weight_ppm) AS BIGINT)
+        AS scale_tokens
+      FROM joined
+    )
+    SELECT source, supply_tokens, weight_ppm,
+           weight_ppm * scale_tokens // 1000000 AS alloc_tokens,
+           supply_tokens - weight_ppm * scale_tokens // 1000000
+             AS leftover_tokens,
+           CASE WHEN supply_tokens
+                     - weight_ppm * scale_tokens // 1000000 = 0
+                THEN 1 ELSE 0 END AS is_bottleneck
+    FROM joined CROSS JOIN sc
+"""
+
+
+# --- q295: data-constrained epoch accounting ------------------------------------
+
+
+def q295_epoch_budget(spark, sf_dir):
+    """Data-constrained scaling audit (Muennighoff et al. 2023's
+    finding that repeating data beyond ~4 epochs adds little): for a
+    5 B-token training budget allocated by the q294 recipe, how many
+    EPOCHS each source's unique-token supply must repeat (milli), how
+    many allocated tokens fall beyond the 4-epoch value cliff, and the
+    wasted fraction (ppm) — the table that says which sources the
+    budget OVER-repeats and where fresh data buys the most.
+
+    Scale shape: the q294 supply aggregate reused, then pure 1-row
+    arithmetic per source — metadata only."""
+    from adhesive_spark.operators.text import token_estimate_bpe
+
+    budget = 5_000_000_000
+    docs = load_table(spark, sf_dir, "documents")
+    supply = docs.groupBy("source").agg(
+        F.sum(token_estimate_bpe(F.col("text"))).cast("long").alias(
+            "supply_tokens"
+        )
+    )
+    recipe = spark.createDataFrame(
+        sorted(_MIX_TARGET_PPM.items()), "source string, weight_ppm long"
+    )
+    return (
+        supply.join(F.broadcast(recipe), "source")
+        .selectExpr(
+            "source",
+            "supply_tokens",
+            f"weight_ppm * CAST({budget} AS BIGINT) div 1000000"
+            " AS alloc_tokens",
+        )
+        .selectExpr(
+            "source",
+            "supply_tokens",
+            "alloc_tokens",
+            "alloc_tokens * 1000 div supply_tokens AS epochs_milli",
+            # tokens past the 4-epoch cliff: alloc - 4*supply, floored 0
+            "GREATEST(alloc_tokens - 4 * supply_tokens,"
+            " CAST(0 AS BIGINT)) AS tokens_past_4ep",
+            "GREATEST(alloc_tokens - 4 * supply_tokens,"
+            " CAST(0 AS BIGINT)) * 1000000 div alloc_tokens"
+            " AS wasted_ppm",
+        )
+    )
+
+
+TRAINING_QUERIES["q295_epoch_budget"] = q295_epoch_budget
+
+TRAINING_ORACLES["q295_epoch_budget"] = """
+    WITH supply AS (
+      SELECT source,
+             CAST(SUM(GREATEST(
+               CAST(CEIL(length(trim(regexp_replace(lower(text), '\\s+',
+                 ' ', 'g'))) / 4.0) AS BIGINT),
+               CAST(len(string_split(trim(regexp_replace(lower(text),
+                 '\\s+', ' ', 'g')), ' ')) AS BIGINT))) AS BIGINT)
+               AS supply_tokens
+      FROM documents GROUP BY source
+    ),
+    recipe AS (
+      SELECT * FROM (VALUES ('src0', CAST(300000 AS BIGINT)),
+                            ('src1', 250000), ('src2', 200000),
+                            ('src3', 150000), ('src4', 100000))
+        AS t(source, weight_ppm)
+    ),
+    a AS (
+      SELECT s.source, s.supply_tokens,
+             r.weight_ppm * CAST(5000000000 AS BIGINT) // 1000000
+               AS alloc_tokens
+      FROM supply s JOIN recipe r USING (source)
+    )
+    SELECT source, supply_tokens, alloc_tokens,
+           alloc_tokens * 1000 // supply_tokens AS epochs_milli,
+           GREATEST(alloc_tokens - 4 * supply_tokens, 0)
+             AS tokens_past_4ep,
+           GREATEST(alloc_tokens - 4 * supply_tokens, 0) * 1000000
+             // alloc_tokens AS wasted_ppm
+    FROM a
+"""

@@ -311,6 +311,10 @@ AUDITED = [
     "q289_sequence_windows",
     "q290_disorder_audit",
     "q291_class_rebalance",
+    "q292_preference_pairs",
+    "q293_context_overflow",
+    "q294_mixture_waterfill",
+    "q295_epoch_budget",
 ]
 
 
