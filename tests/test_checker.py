@@ -93,3 +93,24 @@ def test_oracle_and_query_registries_align():
         f"registry lost entries: {len(q)} < {len(AUDITED)} audited — "
         "a query module probably failed to import"
     )
+
+
+def test_complex_typed_cells_hard_fail_both_sides():
+    """The r6 q141/q149 ERR class: list-typed cells crash the DRIVER's
+    canonicalizer, so the local checker must hard-fail them on EITHER
+    side even when both sides agree — matching kinds must not hide the
+    protocol violation the way the old stringify-before-sort did."""
+    arr = pd.DataFrame({"k": ["a"], "posting_head": [[1, 2, 3]]})
+    problems = compare("arrays_both_sides", arr, arr.copy())
+    assert any("DRIVER CANONICALIZER" in p for p in problems), problems
+    # bytes and dict cells are the same hazard class
+    blob = pd.DataFrame({"k": ["a"], "payload": [b"\x00\x01"]})
+    assert any(
+        "DRIVER CANONICALIZER" in p
+        for p in compare("bytes_cells", blob, blob.copy())
+    )
+    mp = pd.DataFrame({"k": ["a"], "meta": [{"x": 1}]})
+    assert any(
+        "DRIVER CANONICALIZER" in p
+        for p in compare("map_cells", mp, mp.copy())
+    )
