@@ -35,6 +35,10 @@ def main() -> None:
         q289_sequence_windows,
         q290_disorder_audit,
         q291_class_rebalance,
+        q292_preference_pairs,
+        q293_context_overflow,
+        q294_mixture_waterfill,
+        q295_epoch_budget,
     )
 
     spark = build_spark(app_name="training-demo")
@@ -76,6 +80,18 @@ def main() -> None:
 
     print("-- class rebalance: exact keep ratios to the minority count")
     q291_class_rebalance(spark, sf).orderBy("label").show()
+
+    print("-- preference pairs: margin-band rollup of best/worst responses")
+    q292_preference_pairs(spark, sf).orderBy("margin_band").show()
+
+    print("-- context overflow: truncation loss per candidate window")
+    q293_context_overflow(spark, sf).orderBy("source").show(5)
+
+    print("-- mixture water-fill: bottleneck-scaled recipe allocation")
+    q294_mixture_waterfill(spark, sf).orderBy("source").show()
+
+    print("-- epoch budget: sources a 5B-token run would over-repeat")
+    q295_epoch_budget(spark, sf).orderBy("source").show()
 
 
 if __name__ == "__main__":
