@@ -1539,3 +1539,293 @@ TRAINING_ORACLES["q295_epoch_budget"] = """
              // alloc_tokens AS wasted_ppm
     FROM a
 """
+
+
+# --- q296: chi-square independence audit ----------------------------------------
+
+
+def q296_chisq_independence(spark, sf_dir):
+    """Chi-square independence audit between the embedding LABEL and a
+    deterministic md5-parity SPLIT — the "is my eval split stratified
+    by accident?" check every labeled-corpus split should pass: under
+    independence the statistic is small; a large value means the split
+    leaks label structure.  Computed EXACTLY: chi2_milli =
+    1000 · N · Σ (N·O_ls − R_l·C_s)² / (N²·R_l·C_s), every product in
+    DECIMAL(38,0) so both engines agree to the last digit (no float
+    expected-count division until the single final scaling).
+
+    Scale shape: one (label, split) contingency aggregate (map-side
+    combined, ≤ 2·labels rows), margins by two tiny re-aggregates, the
+    statistic as a sum over the contingency rows — nothing row-level
+    after the first pass."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cells = emb.select(
+        "label",
+        F.expr(
+            "CASE WHEN substring(md5(CAST(vec_id AS STRING)), 1, 1)"
+            " IN ('0','1','2','3','4','5','6','7') THEN 0 ELSE 1 END"
+        ).alias("split"),
+    ).groupBy("label", "split").agg(F.count("*").cast("long").alias("o"))
+    # join cells back onto their row/col margins
+    joined = (
+        cells.join(F.broadcast(cells.groupBy("label").agg(F.sum("o").alias("r"))), "label")
+        .join(F.broadcast(cells.groupBy("split").agg(F.sum("o").alias("c"))), "split")
+        .crossJoin(F.broadcast(cells.agg(F.sum("o").cast("long").alias("n"))))
+    )
+    per_cell = joined.selectExpr(
+        "n",
+        # (N*O - R*C)^2 * 1000 div (N * R * C) — all DECIMAL(38,0);
+        # summing these then dividing the total by N once more gives
+        # chi2_milli = 1000 * sum over cells of (O - E)^2 / E
+        "CAST(CAST((CAST(n AS DECIMAL(38,0)) * o"
+        "  - CAST(r AS DECIMAL(38,0)) * c) AS DECIMAL(38,0))"
+        " * (CAST(n AS DECIMAL(38,0)) * o - CAST(r AS DECIMAL(38,0)) * c)"
+        " * 1000 div (CAST(n AS DECIMAL(38,0)) * r * c) AS BIGINT)"
+        " AS cell_term",
+    )
+    return per_cell.groupBy().agg(
+        F.max("n").alias("n_rows"),
+        F.count("*").cast("long").alias("n_cells"),
+        F.expr("SUM(cell_term) div MAX(n)").alias("chi2_milli"),
+    )
+
+
+TRAINING_QUERIES["q296_chisq_independence"] = q296_chisq_independence
+
+TRAINING_ORACLES["q296_chisq_independence"] = """
+    WITH cells AS (
+      SELECT label,
+             CASE WHEN substring(md5(CAST(vec_id AS VARCHAR)), 1, 1)
+                  IN ('0','1','2','3','4','5','6','7') THEN 0 ELSE 1 END
+               AS split,
+             CAST(COUNT(*) AS BIGINT) AS o
+      FROM embeddings GROUP BY 1, 2
+    ),
+    r AS (SELECT label, CAST(SUM(o) AS BIGINT) AS r FROM cells GROUP BY label),
+    c AS (SELECT split, CAST(SUM(o) AS BIGINT) AS c FROM cells GROUP BY split),
+    n AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells),
+    terms AS (
+      SELECT n.n,
+             CAST((CAST(n.n AS HUGEINT) * o - CAST(r.r AS HUGEINT) * c.c)
+                  * (CAST(n.n AS HUGEINT) * o - CAST(r.r AS HUGEINT) * c.c)
+                  * 1000 // (CAST(n.n AS HUGEINT) * r.r * c.c)
+                  AS BIGINT) AS cell_term
+      FROM cells JOIN r USING (label) JOIN c USING (split) CROSS JOIN n
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(SUM(cell_term) // MAX(n) AS BIGINT) AS chi2_milli
+    FROM terms
+"""
+
+
+# --- q297: ANN rank-fidelity (exact vs int8) ------------------------------------
+
+
+def q297_rank_agreement(spark, sf_dir):
+    """ANN rank-FIDELITY audit — what recall@k (q152) can't see: for
+    each of 5 query vectors, rank the corpus top-30 by EXACT double
+    cosine and by INT8-QUANTIZED cosine (the q158 storage path), then
+    measure ordering agreement over the exact top-30: Kendall tau-a in
+    milli (concordant−discordant over n(n−1)/2 — no sqrt, exact) and
+    the Spearman footrule (Σ |rank_exact − rank_approx|, integer;
+    missing-from-approx-top-30 items take rank 31, the standard
+    truncated-list convention).  Quantization that preserves recall but
+    scrambles ORDER shows up here first.
+
+    Scale shape: corpus×5-query scoring is one broadcast scan per
+    ranking (the q35 shape); everything after runs on ≤300 rows."""
+    from adhesive_spark.operators.similarity import cosine
+
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "v", F.transform("embedding", lambda x: x.cast("double"))
+    ).select("vec_id", "v")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    corpus = emb.where(F.col("vec_id") >= 5)
+    # int8 symmetric quantization, scale = 127/max|x| per vector,
+    # floor-rounded — the q158 contract, inlined so both engines agree
+    def q8(vec):
+        s = F.array_max(F.transform(vec, lambda x: F.abs(x)))
+        return F.transform(
+            vec,
+            lambda x: F.floor(x * F.lit(127.0) / s).cast("long"),
+        )
+
+    scored = corpus.crossJoin(F.broadcast(queries)).select(
+        "query_id",
+        "vec_id",
+        F.round(cosine(F.col("v"), F.col("qv")), 6).alias("sim_exact"),
+        F.round(cosine(q8(F.col("v")), q8(F.col("qv"))), 6).alias(
+            "sim_q8"
+        ),
+    )
+    w_e = Window.partitionBy("query_id").orderBy(
+        F.col("sim_exact").desc(), F.col("vec_id")
+    )
+    w_q = Window.partitionBy("query_id").orderBy(
+        F.col("sim_q8").desc(), F.col("vec_id")
+    )
+    ranked = scored.select(
+        "query_id",
+        "vec_id",
+        F.row_number().over(w_e).cast("long").alias("r_exact"),
+        F.row_number().over(w_q).cast("long").alias("r_q8"),
+    ).where(F.col("r_exact") <= 30).select(
+        "query_id",
+        "vec_id",
+        "r_exact",
+        F.least(F.col("r_q8"), F.lit(31).cast("long")).alias("r_q8"),
+    )
+    a, b = ranked.alias("a"), ranked.alias("b")
+    pair_stats = (
+        a.join(
+            # ≤150 rows (5 queries × top-30): broadcast beats the SMJ
+            # sort pair Catalyst picks for a self-join
+            F.broadcast(b),
+            (F.col("a.query_id") == F.col("b.query_id"))
+            & (F.col("a.r_exact") < F.col("b.r_exact")),
+        )
+        .select(
+            F.col("a.query_id").alias("query_id"),
+            F.when(
+                F.col("a.r_q8") < F.col("b.r_q8"), 1
+            ).otherwise(0).alias("concordant"),
+            F.when(
+                F.col("a.r_q8") > F.col("b.r_q8"), 1
+            ).otherwise(0).alias("discordant"),
+        )
+        .groupBy("query_id")
+        .agg(
+            F.sum("concordant").cast("long").alias("concordant"),
+            F.sum("discordant").cast("long").alias("discordant"),
+        )
+    )
+    foot = ranked.groupBy("query_id").agg(
+        F.sum(F.abs(F.col("r_exact") - F.col("r_q8"))).cast("long").alias(
+            "footrule"
+        )
+    )
+    return pair_stats.join(F.broadcast(foot), "query_id").selectExpr(
+        "query_id",
+        "concordant",
+        "discordant",
+        "(concordant - discordant) * 1000 div (30 * 29 div 2)"
+        " AS tau_a_milli",
+        "footrule",
+    )
+
+
+TRAINING_QUERIES["q297_rank_agreement"] = q297_rank_agreement
+
+TRAINING_ORACLES["q297_rank_agreement"] = """
+    WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    queries AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id < 5),
+    corpus AS (SELECT vec_id, v FROM emb WHERE vec_id >= 5),
+    q8c AS (
+      SELECT vec_id,
+             list_transform(v, x -> CAST(FLOOR(x * 127.0 /
+               list_max(list_transform(v, y -> abs(y)))) AS BIGINT)) AS vq
+      FROM corpus
+    ),
+    q8q AS (
+      SELECT query_id,
+             list_transform(qv, x -> CAST(FLOOR(x * 127.0 /
+               list_max(list_transform(qv, y -> abs(y)))) AS BIGINT)) AS qq
+      FROM queries
+    ),
+    scored AS (
+      SELECT q.query_id, c.vec_id,
+             round(list_cosine_similarity(c.v, q.qv), 6) AS sim_exact,
+             round(list_cosine_similarity(
+               list_transform(c8.vq, x -> CAST(x AS DOUBLE)),
+               list_transform(q8.qq, x -> CAST(x AS DOUBLE))), 6) AS sim_q8
+      FROM corpus c CROSS JOIN queries q
+      JOIN q8c c8 ON c8.vec_id = c.vec_id
+      JOIN q8q q8 ON q8.query_id = q.query_id
+    ),
+    ranked0 AS (
+      SELECT query_id, vec_id,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY sim_exact DESC, vec_id) AS BIGINT) AS r_exact,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY sim_q8 DESC, vec_id) AS BIGINT) AS r_q8
+      FROM scored
+    ),
+    ranked AS (
+      SELECT query_id, vec_id, r_exact, LEAST(r_q8, 31) AS r_q8
+      FROM ranked0 WHERE r_exact <= 30
+    ),
+    pair_stats AS (
+      SELECT a.query_id,
+             CAST(SUM(CASE WHEN a.r_q8 < b.r_q8 THEN 1 ELSE 0 END)
+               AS BIGINT) AS concordant,
+             CAST(SUM(CASE WHEN a.r_q8 > b.r_q8 THEN 1 ELSE 0 END)
+               AS BIGINT) AS discordant
+      FROM ranked a JOIN ranked b
+        ON a.query_id = b.query_id AND a.r_exact < b.r_exact
+      GROUP BY a.query_id
+    ),
+    foot AS (
+      SELECT query_id, CAST(SUM(abs(r_exact - r_q8)) AS BIGINT)
+        AS footrule
+      FROM ranked GROUP BY query_id
+    )
+    SELECT p.query_id, p.concordant, p.discordant,
+           (p.concordant - p.discordant) * 1000 // (30 * 29 // 2)
+             AS tau_a_milli,
+           f.footrule
+    FROM pair_stats p JOIN foot f USING (query_id)
+"""
+
+
+# --- q298: burstiness / dispersion index ----------------------------------------
+
+
+def q298_dispersion_index(spark, sf_dir):
+    """Per-user-activity BURSTINESS audit via the index of dispersion
+    (variance-to-mean ratio of daily event counts, milli): D ≈ 1000
+    means Poisson-like traffic, D ≫ 1000 means bursty users whose
+    sessions should be windowed, D ≪ 1000 means metronome bots.
+    Computed exactly from integer moments per event type:
+    D_milli = 1000·(n·Σx² − (Σx)²) div (n·Σx), DECIMAL(38,0) products
+    (the q271 headroom contract).
+
+    Scale shape: one (type, day) count aggregate, one per-type moment
+    aggregate — two map-side-combined shuffles, division last."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.select(
+        "event_type", F.expr("unix_micros(ts) div 86400000000").alias("day")
+    ).groupBy("event_type", "day").agg(
+        F.count("*").cast("long").alias("x")
+    )
+    return daily.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum("x").cast("long").alias("n_events"),
+        F.expr(
+            "CAST((CAST(COUNT(*) AS DECIMAL(38,0)) * SUM(x * x)"
+            " - CAST(SUM(x) AS DECIMAL(38,0)) * SUM(x)) * 1000"
+            " div (CAST(COUNT(*) AS DECIMAL(38,0)) * SUM(x))"
+            " AS BIGINT)"
+        ).alias("dispersion_milli"),
+    )
+
+
+TRAINING_QUERIES["q298_dispersion_index"] = q298_dispersion_index
+
+TRAINING_ORACLES["q298_dispersion_index"] = """
+    WITH daily AS (
+      SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(x) AS BIGINT) AS n_events,
+           CAST((CAST(COUNT(*) AS HUGEINT) * SUM(x * x)
+                 - CAST(SUM(x) AS HUGEINT) * SUM(x)) * 1000
+                // (CAST(COUNT(*) AS HUGEINT) * SUM(x)) AS BIGINT)
+             AS dispersion_milli
+    FROM daily GROUP BY event_type
+"""

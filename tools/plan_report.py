@@ -315,6 +315,9 @@ AUDITED = [
     "q293_context_overflow",
     "q294_mixture_waterfill",
     "q295_epoch_budget",
+    "q296_chisq_independence",
+    "q297_rank_agreement",
+    "q298_dispersion_index",
 ]
 
 
