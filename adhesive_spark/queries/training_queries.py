@@ -1829,3 +1829,231 @@ TRAINING_ORACLES["q298_dispersion_index"] = """
              AS dispersion_milli
     FROM daily GROUP BY event_type
 """
+
+
+# --- q299: LSH bucket label purity ----------------------------------------------
+
+
+def q299_lsh_label_purity(spark, sf_dir):
+    """Semantic-bucket PURITY audit: hash every embedding into its
+    8-bit sign-LSH bucket (the q39 ANN partitioning) and measure how
+    label-pure the buckets are — majority-label mass per bucket rolled
+    up corpus-wide (ppm), vs the 1/n_labels baseline a random
+    partitioning would give.  High purity means the LSH geometry aligns
+    with the label structure (bucket-local negatives are HARD
+    negatives); purity at baseline means the buckets are semantically
+    useless and ANN recall numbers are luck.
+
+    Scale shape: bucket assignment is in-row expression math (16 dot
+    products against literal hyperplanes), one (bucket, label)
+    aggregate, one bucket argmax, one 1-row rollup — corpus-linear,
+    shuffles carry ≤ buckets×labels rows."""
+    from adhesive_spark.operators.similarity import lsh_bucket
+
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "v", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    bl = emb.select(
+        lsh_bucket(F.col("v"), 64, n_planes=8).alias("bucket"), "label"
+    ).groupBy("bucket", "label").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    per_bucket = bl.groupBy("bucket").agg(
+        F.sum("n").cast("long").alias("bucket_n"),
+        F.max("n").cast("long").alias("majority_n"),
+        F.count("*").cast("long").alias("n_labels_present"),
+    )
+    return per_bucket.agg(
+        F.count("*").cast("long").alias("n_buckets"),
+        F.sum("bucket_n").cast("long").alias("n_vectors"),
+        F.max("bucket_n").alias("max_bucket_n"),
+        F.expr(
+            "SUM(majority_n) * 1000000 div SUM(bucket_n) AS purity_ppm"
+        ),
+        F.expr(
+            "SUM(CASE WHEN n_labels_present = 1 THEN bucket_n ELSE 0 END)"
+            " * 1000000 div SUM(bucket_n) AS pure_bucket_mass_ppm"
+        ),
+    )
+
+
+TRAINING_QUERIES["q299_lsh_label_purity"] = q299_lsh_label_purity
+
+
+def _q299_oracle() -> str:
+    from adhesive_spark.operators.similarity import _hyperplanes
+
+    dim, n_planes, seed = 64, 8, 42
+    terms = []
+    for i, plane in enumerate(_hyperplanes(dim, n_planes, seed)):
+        plit = "[" + ", ".join(repr(float(x)) for x in plane) + "]"
+        dot = (
+            f"list_reduce(list_transform(range(1, {dim} + 1), "
+            f"j -> v[j] * ({plit})[j]), (x, y) -> x + y)"
+        )
+        terms.append(f"(CASE WHEN {dot} >= 0 THEN {1 << i} ELSE 0 END)")
+    bucket = " + ".join(terms)
+    return f"""
+        WITH emb AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
+        bl AS (
+          SELECT {bucket} AS bucket, label, CAST(COUNT(*) AS BIGINT) AS n
+          FROM emb GROUP BY 1, 2
+        ),
+        per_bucket AS (
+          SELECT bucket, CAST(SUM(n) AS BIGINT) AS bucket_n,
+                 CAST(MAX(n) AS BIGINT) AS majority_n,
+                 CAST(COUNT(*) AS BIGINT) AS n_labels_present
+          FROM bl GROUP BY bucket
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets,
+               CAST(SUM(bucket_n) AS BIGINT) AS n_vectors,
+               CAST(MAX(bucket_n) AS BIGINT) AS max_bucket_n,
+               CAST(SUM(majority_n) * 1000000 // SUM(bucket_n) AS BIGINT)
+                 AS purity_ppm,
+               CAST(SUM(CASE WHEN n_labels_present = 1 THEN bucket_n
+                             ELSE 0 END) * 1000000 // SUM(bucket_n)
+                    AS BIGINT) AS pure_bucket_mass_ppm
+        FROM per_bucket
+    """
+
+
+TRAINING_ORACLES["q299_lsh_label_purity"] = _q299_oracle()
+
+
+# --- q300: training-data funnel capstone ----------------------------------------
+
+
+def q300_training_funnel(spark, sf_dir):
+    """TRAINING-DATA FUNNEL capstone — the one-table story of what the
+    pipeline does to each recipe source, composing the family's stages
+    end-to-end: raw docs → exact-dedup survivors → bag-of-words-dedup
+    survivors (the q285 ladder) → surviving token supply → the q294
+    water-fill allocation against the recipe → the q282 shard count
+    that allocation fills (ceil at 8192 chars/shard ≈ tokens·4).
+    Per source: every stage's count plus the end-to-end keep ratio in
+    ppm — the audit a data lead reads before pressing go.
+
+    Scale shape: two fingerprint windows (the dedup ladder), one source
+    aggregate, a 5-row recipe broadcast and a 1-row bottleneck
+    broadcast — the row-level work is exactly the ladder's, everything
+    after is metadata."""
+    from adhesive_spark.operators.text import token_estimate_bpe, tokens
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.md5(F.col("text")).alias("h_exact"),
+        F.md5(F.concat_ws(" ", F.array_sort(tokens(F.col("text"))))).alias(
+            "h_bow"
+        ),
+        token_estimate_bpe(F.col("text")).alias("toks"),
+    )
+    flagged = docs.select(
+        "source",
+        "toks",
+        (
+            F.row_number().over(
+                Window.partitionBy("h_exact").orderBy("doc_id")
+            )
+            > 1
+        ).cast("int").alias("rm_exact"),
+        (
+            F.row_number().over(
+                Window.partitionBy("h_bow").orderBy("doc_id")
+            )
+            > 1
+        ).cast("int").alias("rm_bow"),
+    )
+    supply = flagged.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(1 - F.col("rm_exact")).cast("long").alias("after_exact"),
+        F.sum(1 - F.col("rm_bow")).cast("long").alias("after_bow"),
+        F.sum(
+            F.when(F.col("rm_bow") == 0, F.col("toks")).otherwise(0)
+        ).cast("long").alias("supply_tokens"),
+    )
+    recipe = spark.createDataFrame(
+        sorted(_MIX_TARGET_PPM.items()), "source string, weight_ppm long"
+    )
+    joined = supply.join(F.broadcast(recipe), "source")
+    scale = joined.agg(
+        F.min(F.expr("supply_tokens * 1000000 div weight_ppm")).alias(
+            "scale_tokens"
+        )
+    )
+    return (
+        joined.crossJoin(F.broadcast(scale))
+        .selectExpr(
+            "source",
+            "n_docs",
+            "after_exact",
+            "after_bow",
+            "supply_tokens",
+            "weight_ppm * scale_tokens div 1000000 AS alloc_tokens",
+        )
+        .selectExpr(
+            "source",
+            "n_docs",
+            "after_exact",
+            "after_bow",
+            "supply_tokens",
+            "alloc_tokens",
+            # shards at ~8192 chars ≈ 2048 tokens (4 chars/token): ceil
+            "(alloc_tokens + 2047) div 2048 AS n_shards",
+            "alloc_tokens * 1000000 div supply_tokens AS budget_use_ppm",
+        )
+    )
+
+
+TRAINING_QUERIES["q300_training_funnel"] = q300_training_funnel
+
+TRAINING_ORACLES["q300_training_funnel"] = f"""
+    WITH docs AS (
+      SELECT doc_id, source, md5(text) AS h_exact,
+             md5(array_to_string(list_sort({_TOKS}), ' ')) AS h_bow,
+             GREATEST(
+               CAST(CEIL(length(trim(regexp_replace(lower(text), '\\s+',
+                 ' ', 'g'))) / 4.0) AS BIGINT),
+               CAST(len({_TOKS}) AS BIGINT)) AS toks
+      FROM documents
+    ),
+    flagged AS (
+      SELECT source, toks,
+             CASE WHEN ROW_NUMBER() OVER (PARTITION BY h_exact
+                                          ORDER BY doc_id) > 1
+                  THEN 1 ELSE 0 END AS rm_exact,
+             CASE WHEN ROW_NUMBER() OVER (PARTITION BY h_bow
+                                          ORDER BY doc_id) > 1
+                  THEN 1 ELSE 0 END AS rm_bow
+      FROM docs
+    ),
+    supply AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(1 - rm_exact) AS BIGINT) AS after_exact,
+             CAST(SUM(1 - rm_bow) AS BIGINT) AS after_bow,
+             CAST(SUM(CASE WHEN rm_bow = 0 THEN toks ELSE 0 END)
+                  AS BIGINT) AS supply_tokens
+      FROM flagged GROUP BY source
+    ),
+    recipe AS (
+      SELECT * FROM (VALUES ('src0', CAST(300000 AS BIGINT)),
+                            ('src1', 250000), ('src2', 200000),
+                            ('src3', 150000), ('src4', 100000))
+        AS t(source, weight_ppm)
+    ),
+    joined AS (
+      SELECT s.*, r.weight_ppm FROM supply s JOIN recipe r USING (source)
+    ),
+    sc AS (
+      SELECT CAST(MIN(supply_tokens * 1000000 // weight_ppm) AS BIGINT)
+        AS scale_tokens
+      FROM joined
+    )
+    SELECT source, n_docs, after_exact, after_bow, supply_tokens,
+           weight_ppm * scale_tokens // 1000000 AS alloc_tokens,
+           (weight_ppm * scale_tokens // 1000000 + 2047) // 2048
+             AS n_shards,
+           (weight_ppm * scale_tokens // 1000000) * 1000000
+             // supply_tokens AS budget_use_ppm
+    FROM joined CROSS JOIN sc
+"""

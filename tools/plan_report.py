@@ -318,6 +318,8 @@ AUDITED = [
     "q296_chisq_independence",
     "q297_rank_agreement",
     "q298_dispersion_index",
+    "q299_lsh_label_purity",
+    "q300_training_funnel",
 ]
 
 
