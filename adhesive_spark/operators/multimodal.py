@@ -138,6 +138,11 @@ def synthesize_real_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 payloads.append(b)
                 nbytes.append(len(b))
                 srcs.append("synthetic-real")
+            if not ids:
+                # a batch whose rows were all dropped: yield NOTHING —
+                # an empty object column cannot be serialized as the
+                # meta struct (pyarrow 'Expected struct array')
+                continue
             yield pd.DataFrame(
                 {
                     "media_id": pd.array(ids, dtype="int64"),
@@ -451,6 +456,11 @@ def image_channel_stats(media: DataFrame) -> DataFrame:
                 mr.append(int(sums[0]) * 1000 // n_px)
                 mg.append(int(sums[1]) * 1000 // n_px)
                 mb.append(int(sums[2]) * 1000 // n_px)
+            if not ids:
+                # a batch whose rows were all dropped: yield NOTHING —
+                # an empty object column cannot be serialized as the
+                # meta struct (pyarrow 'Expected struct array')
+                continue
             yield pd.DataFrame(
                 {
                     "media_id": pd.array(ids, dtype="int64"),
@@ -515,6 +525,11 @@ def video_luma_stats(media: DataFrame) -> DataFrame:
                         default=0,
                     )
                 )
+            if not ids:
+                # a batch whose rows were all dropped: yield NOTHING —
+                # an empty object column cannot be serialized as the
+                # meta struct (pyarrow 'Expected struct array')
+                continue
             yield pd.DataFrame(
                 {
                     "media_id": pd.array(ids, dtype="int64"),
@@ -567,6 +582,11 @@ def wav_head_energy(media: DataFrame, head_samples: int = 256) -> DataFrame:
                 ids.append(int(mid))
                 ns.append(n_samples)
                 eng.append(s // k)
+            if not ids:
+                # a batch whose rows were all dropped: yield NOTHING —
+                # an empty object column cannot be serialized as the
+                # meta struct (pyarrow 'Expected struct array')
+                continue
             yield pd.DataFrame(
                 {
                     "media_id": pd.array(ids, dtype="int64"),
@@ -700,6 +720,11 @@ def resample_wav(media: DataFrame, factor: int = 2) -> DataFrame:
                         "source": f"resampled/{factor}",
                     }
                 )
+            if not ids:
+                # a batch whose rows were all dropped: yield NOTHING —
+                # an empty object column cannot be serialized as the
+                # meta struct (pyarrow 'Expected struct array')
+                continue
             yield pd.DataFrame(
                 {
                     "media_id": pd.array(ids, dtype="int64"),
@@ -761,6 +786,11 @@ def downscale_ppm(media: DataFrame, factor: int = 2) -> DataFrame:
                         "source": f"downscaled/{factor}",
                     }
                 )
+            if not ids:
+                # a batch whose rows were all dropped: yield NOTHING —
+                # an empty object column cannot be serialized as the
+                # meta struct (pyarrow 'Expected struct array')
+                continue
             yield pd.DataFrame(
                 {
                     "media_id": pd.array(ids, dtype="int64"),
@@ -771,6 +801,71 @@ def downscale_ppm(media: DataFrame, factor: int = 2) -> DataFrame:
             )
 
     return media.mapInPandas(_down, schema=MEDIA_SCHEMA)
+
+
+def grayscale_ppm(media: DataFrame) -> DataFrame:
+    """REAL image TRANSFORM: collapse each PPM raster to grayscale
+    (per-pixel integer luma = (r + g + b) div 3, written to all three
+    channels) and re-emit a VALID P6 byte stream — the channel-collapse
+    stage of a vision pipeline (deduplicating color variants, feeding
+    single-channel encoders).  Output dimensions and byte count are
+    UNCHANGED; after the transform the three channel means are equal by
+    construction, which is the q301 audit's closed-form oracle.  One
+    numpy pass per image, non-PPM payloads dropped (strict-codec
+    contract), linear mapInPandas, no shuffle."""
+    import numpy as np
+
+    from adhesive_spark.sources.registry import ensure_parallelism
+
+    media = ensure_parallelism(media)
+
+    def _gray(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, mtypes, payloads, metas = [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                b = bytes(payload)
+                pp = _parse_ppm(b)
+                if pp is None:
+                    continue
+                w, h = pp
+                raster = np.frombuffer(
+                    b, dtype=np.uint8, count=3 * w * h,
+                    offset=len(b) - 3 * w * h,
+                ).reshape(h, w, 3)
+                luma = (
+                    raster.astype(np.uint16).sum(axis=2) // 3
+                ).astype(np.uint8)
+                nb = (
+                    f"P6\n{w} {h}\n255\n".encode("ascii")
+                    + np.repeat(luma[:, :, None], 3, axis=2).tobytes()
+                )
+                ids.append(int(mid))
+                mtypes.append("image")
+                payloads.append(nb)
+                metas.append(
+                    {
+                        "mime": "image/x-portable-pixmap",
+                        "n_bytes": len(nb),
+                        "source": "grayscaled",
+                    }
+                )
+            if not ids:
+                # a batch whose rows were all dropped: yield NOTHING —
+                # an empty object column cannot be serialized as the
+                # meta struct (pyarrow 'Expected struct array')
+                continue
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.array(ids, dtype="int64"),
+                    "media_type": mtypes,
+                    "payload": payloads,
+                    "meta": metas,
+                }
+            )
+
+    return media.mapInPandas(_gray, schema=MEDIA_SCHEMA)
 
 
 def subsample_y4m(media: DataFrame, every_n: int = 2) -> DataFrame:
@@ -822,6 +917,11 @@ def subsample_y4m(media: DataFrame, every_n: int = 2) -> DataFrame:
                         "source": f"subsampled/{every_n}",
                     }
                 )
+            if not ids:
+                # a batch whose rows were all dropped: yield NOTHING —
+                # an empty object column cannot be serialized as the
+                # meta struct (pyarrow 'Expected struct array')
+                continue
             yield pd.DataFrame(
                 {
                     "media_id": pd.array(ids, dtype="int64"),

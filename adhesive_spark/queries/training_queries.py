@@ -2057,3 +2057,62 @@ TRAINING_ORACLES["q300_training_funnel"] = f"""
              // supply_tokens AS budget_use_ppm
     FROM joined CROSS JOIN sc
 """
+
+
+# --- q301: PPM grayscale transform audit ----------------------------------------
+
+
+def q301_ppm_grayscale_audit(spark, sf_dir):
+    """REAL image transform audit (the fourth member of the resample/
+    downscale/subsample family, operators/multimodal.grayscale_ppm):
+    collapse every PPM to integer grayscale (per-pixel luma =
+    (r+g+b) div 3 in all three channels), round-trip through the STRICT
+    codec, and publish the per-image channel means — which must now be
+    EQUAL across channels and match the closed-form modular-arithmetic
+    oracle pixel for pixel (raster byte i of image doc_id is
+    (doc_id + i) % 251 by construction, the q214 contract).  A
+    transform that mis-indexes even one channel byte hash-fails.
+
+    Scale shape: one linear mapInPandas transform + one linear
+    featurize, payload bytes never shuffled."""
+    from adhesive_spark.operators.multimodal import (
+        grayscale_ppm,
+        image_channel_stats,
+        synthesize_real_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 3 == 0
+    )
+    return image_channel_stats(
+        grayscale_ppm(synthesize_real_media(docs))
+    )
+
+
+TRAINING_QUERIES["q301_ppm_grayscale_audit"] = q301_ppm_grayscale_audit
+
+# pixel j of image doc_id: luma = ((d+3j)%251 + (d+3j+1)%251 + (d+3j+2)%251) // 3
+TRAINING_ORACLES["q301_ppm_grayscale_audit"] = """
+    WITH dims AS (
+      SELECT doc_id,
+             4 + doc_id % 60 AS width,
+             4 + (doc_id // 7) % 60 AS height
+      FROM documents WHERE doc_id % 3 = 0
+    ),
+    px AS (
+      SELECT d.doc_id, d.width, d.height,
+             CAST(SUM(((d.doc_id + 3 * t.j) % 251
+                       + (d.doc_id + 3 * t.j + 1) % 251
+                       + (d.doc_id + 3 * t.j + 2) % 251) // 3)
+                  AS BIGINT) AS sl
+      FROM dims d, LATERAL (
+        SELECT unnest(generate_series(0, d.width * d.height - 1)) AS j
+      ) t
+      GROUP BY 1, 2, 3
+    )
+    SELECT doc_id AS media_id, width, height,
+           (sl * 1000) // (width * height) AS mean_r_milli,
+           (sl * 1000) // (width * height) AS mean_g_milli,
+           (sl * 1000) // (width * height) AS mean_b_milli
+    FROM px
+"""

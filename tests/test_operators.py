@@ -1094,3 +1094,37 @@ def test_resample_wav_roundtrip_through_strict_codec(spark, sf_dir):
         # of 2 bytes — exact, no weak fallback
         n_samples = (o.n_bytes - 44) // 2
         assert d.n_bytes == 44 + 2 * ((n_samples + 1) // 2), (mid, d, o)
+
+
+def test_grayscale_ppm_roundtrip_through_strict_codec(spark, sf_dir):
+    """Grayscaled payloads must be GENUINE P6 bytes of UNCHANGED
+    dimensions/byte count, with all three channel means equal after the
+    strict decode; non-PPM payloads are dropped."""
+    from pyspark.sql import functions as F
+
+    from adhesive_spark.operators.multimodal import (
+        decode_media,
+        grayscale_ppm,
+        image_channel_stats,
+        synthesize_real_media,
+    )
+    from adhesive_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 90
+    )
+    media = synthesize_real_media(docs)
+    gray = grayscale_ppm(media)
+    orig = {
+        r.media_id: r
+        for r in decode_media(media, codec="real").collect()
+        if r.media_type == "image"
+    }
+    out = {r.media_id: r for r in decode_media(gray, codec="real").collect()}
+    assert set(out) == set(orig) and orig, "round-trip lost images"
+    for mid, g in out.items():
+        o = orig[mid]
+        assert (g.width, g.height, g.n_bytes) == (o.width, o.height, o.n_bytes)
+    stats = {r.media_id: r for r in image_channel_stats(gray).collect()}
+    for mid, s in stats.items():
+        assert s.mean_r_milli == s.mean_g_milli == s.mean_b_milli, (mid, s)

@@ -320,6 +320,7 @@ AUDITED = [
     "q298_dispersion_index",
     "q299_lsh_label_purity",
     "q300_training_funnel",
+    "q301_ppm_grayscale_audit",
 ]
 
 
