@@ -39,6 +39,11 @@ def main() -> None:
         q293_context_overflow,
         q294_mixture_waterfill,
         q295_epoch_budget,
+        q296_chisq_independence,
+        q297_rank_agreement,
+        q298_dispersion_index,
+        q299_lsh_label_purity,
+        q300_training_funnel,
     )
 
     spark = build_spark(app_name="training-demo")
@@ -92,6 +97,21 @@ def main() -> None:
 
     print("-- epoch budget: sources a 5B-token run would over-repeat")
     q295_epoch_budget(spark, sf).orderBy("source").show()
+
+    print("-- chi-square: is the eval split independent of the label?")
+    q296_chisq_independence(spark, sf).show()
+
+    print("-- rank fidelity: does int8 quantization scramble the ordering?")
+    q297_rank_agreement(spark, sf).orderBy("query_id").show()
+
+    print("-- dispersion index: which event streams are bursty?")
+    q298_dispersion_index(spark, sf).orderBy("event_type").show()
+
+    print("-- LSH purity: are the ANN buckets semantically real?")
+    q299_lsh_label_purity(spark, sf).show()
+
+    print("-- THE FUNNEL: raw -> dedup -> supply -> allocation -> shards")
+    q300_training_funnel(spark, sf).orderBy("source").show()
 
 
 if __name__ == "__main__":
