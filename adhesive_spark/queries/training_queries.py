@@ -2116,3 +2116,189 @@ TRAINING_ORACLES["q301_ppm_grayscale_audit"] = """
            (sl * 1000) // (width * height) AS mean_b_milli
     FROM px
 """
+
+
+# --- q302: bounded-hop harmonic closeness ----------------------------------------
+
+#: Same df-cap as the q263/q276 affiliation graph — hot parts would make
+#: the co-supplier expansion quadratic in the hub degree.
+_CLOSENESS_MAX_PART_DEG = 40
+
+
+def q302_harmonic_closeness(spark, sf_dir):
+    """Bounded-hop HARMONIC closeness centrality (Boldi & Vigna 2014 —
+    the disconnection-safe closeness variant) for the 5 lowest-id
+    suppliers over the df-capped co-affiliation graph (q276's graph):
+    score(seed) = Σ_reached 1000 div d over hops 1..3, integer milli —
+    the influence-horizon ranking the BFS frontier profile (q276)
+    measures for ONE seed, generalized to a seed set via one
+    multi-source BFS (dist keyed by (seed, node), SAME number of
+    rounds as one seed).
+
+    Scale shape: K hops = K keyed join+min-agg rounds over (seed,
+    node) — seed count multiplies rows per round, never round count;
+    lineage cut per round; hop budget (not diameter) is the 100 TB
+    traversal contract."""
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")
+    ).distinct()
+    part_deg = edges.groupBy("p").agg(F.count("*").alias("pd"))
+    e = edges.join(
+        part_deg.where(F.col("pd") <= _CLOSENESS_MAX_PART_DEG), "p"
+    )
+    adj = (
+        e.alias("a")
+        .join(e.alias("b"), "p")
+        .where(F.col("a.s") != F.col("b.s"))
+        .select(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)  # feeds 3 BFS rounds
+    )
+    nodes = adj.select(F.col("u").alias("node")).distinct()
+    seeds = nodes.orderBy("node").limit(5).select(
+        F.col("node").alias("seed")
+    )
+    dist = seeds.select(
+        "seed", F.col("seed").alias("node"), F.lit(0).cast("long").alias("d")
+    ).localCheckpoint(eager=True)
+    for _hop in (1, 2, 3):
+        frontier = dist.join(
+            adj.withColumnRenamed("u", "node"), "node"
+        ).select("seed", F.col("v").alias("node"), (F.col("d") + 1).alias("d"))
+        dist = (
+            dist.unionByName(frontier)
+            .groupBy("seed", "node")
+            .agg(F.min("d").cast("long").alias("d"))
+            .localCheckpoint(eager=True)
+        )
+    return dist.where(F.col("d") >= 1).groupBy("seed").agg(
+        F.count("*").cast("long").alias("n_reached_3hop"),
+        F.sum(F.expr("1000 div d")).cast("long").alias("harmonic_milli"),
+    )
+
+
+TRAINING_QUERIES["q302_harmonic_closeness"] = q302_harmonic_closeness
+
+TRAINING_ORACLES["q302_harmonic_closeness"] = f"""
+    WITH RECURSIVE edges AS (
+      SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
+    ),
+    keep AS (
+      SELECT p FROM edges GROUP BY p
+      HAVING COUNT(*) <= {_CLOSENESS_MAX_PART_DEG}
+    ),
+    e AS (SELECT edges.s, edges.p FROM edges JOIN keep USING (p)),
+    adj AS (
+      SELECT DISTINCT a.s AS u, b.s AS v
+      FROM e a JOIN e b ON a.p = b.p AND a.s <> b.s
+    ),
+    nodes AS (SELECT DISTINCT u AS node FROM adj),
+    seeds AS (SELECT node AS seed FROM nodes ORDER BY node LIMIT 5),
+    reach(seed, node, d) AS (
+      SELECT seed, seed, 0 FROM seeds
+      UNION
+      SELECT reach.seed, adj.v, reach.d + 1
+      FROM reach JOIN adj ON adj.u = reach.node
+      WHERE reach.d < 3
+    ),
+    best AS (
+      SELECT seed, node, CAST(MIN(d) AS BIGINT) AS d
+      FROM reach GROUP BY seed, node
+    )
+    SELECT seed,
+           CAST(COUNT(*) AS BIGINT) AS n_reached_3hop,
+           CAST(SUM(1000 // d) AS BIGINT) AS harmonic_milli
+    FROM best WHERE d >= 1 GROUP BY seed
+"""
+
+
+# --- q303: exact Gini of the token-mass distribution -----------------------------
+
+
+def q303_token_gini(spark, sf_dir):
+    """EXACT Gini coefficient of per-document token mass, per source
+    AND corpus-wide — the inequality number behind "is our corpus a
+    few whales plus dust?" (drives chunking and per-doc caps).  No
+    corpus-wide sort: ranks come from the per-DISTINCT-VALUE cumulative
+    trick — a value v with count c whose cumulative-before is B
+    contributes v·(c·B + c(c+1)/2) to Σ i·x_(i), so the window runs
+    over distinct values per group, bounded by the value domain, never
+    the corpus.  gini_ppm = (2·T1 − (n+1)·T2)·1e6 div (n·T2), every
+    term an exact integer (T1 in DECIMAL(38,0) headroom).
+
+    Scale shape: one (group, value) count aggregate, one tiny window
+    over distinct values, one group rollup."""
+    from adhesive_spark.operators.text import token_estimate_bpe
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", token_estimate_bpe(F.col("text")).alias("toks")
+    )
+    both = docs.unionByName(
+        docs.select(F.lit("ALL").alias("source"), "toks")
+    )
+    per_val = both.groupBy("source", "toks").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("toks")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = per_val.select(
+        "source",
+        "toks",
+        "c",
+        F.coalesce(F.sum("c").over(w), F.lit(0)).alias("b"),
+    )
+    return ranked.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_docs"),
+        F.sum(F.col("toks") * F.col("c")).cast("long").alias("total_tokens"),
+        F.expr(
+            "CAST((2 * SUM(CAST(toks AS DECIMAL(38,0))"
+            "          * (c * b + c * (c + 1) div 2))"
+            " - CAST(SUM(c) + 1 AS DECIMAL(38,0)) * SUM(toks * c))"
+            " * 1000000"
+            " div (CAST(SUM(c) AS DECIMAL(38,0)) * SUM(toks * c))"
+            " AS BIGINT)"
+        ).alias("gini_ppm"),
+    )
+
+
+TRAINING_QUERIES["q303_token_gini"] = q303_token_gini
+
+TRAINING_ORACLES["q303_token_gini"] = """
+    WITH d AS (
+      SELECT source,
+             GREATEST(
+               CAST(CEIL(length(trim(regexp_replace(lower(text), '\\s+',
+                 ' ', 'g'))) / 4.0) AS BIGINT),
+               CAST(len(string_split(trim(regexp_replace(lower(text),
+                 '\\s+', ' ', 'g')), ' ')) AS BIGINT)) AS toks
+      FROM documents
+    ),
+    u AS (
+      SELECT source, toks FROM d
+      UNION ALL SELECT 'ALL', toks FROM d
+    ),
+    per_val AS (
+      SELECT source, toks, CAST(COUNT(*) AS BIGINT) AS c
+      FROM u GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT source, toks, c,
+             COALESCE(SUM(c) OVER (PARTITION BY source ORDER BY toks
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS b
+      FROM per_val
+    )
+    SELECT source,
+           CAST(SUM(c) AS BIGINT) AS n_docs,
+           CAST(SUM(toks * c) AS BIGINT) AS total_tokens,
+           CAST((2 * SUM(CAST(toks AS HUGEINT)
+                         * (c * b + c * (c + 1) // 2))
+                 - CAST(SUM(c) + 1 AS HUGEINT) * SUM(toks * c))
+                * 1000000
+                // (CAST(SUM(c) AS HUGEINT) * SUM(toks * c))
+                AS BIGINT) AS gini_ppm
+    FROM ranked GROUP BY source
+"""

@@ -321,6 +321,8 @@ AUDITED = [
     "q299_lsh_label_purity",
     "q300_training_funnel",
     "q301_ppm_grayscale_audit",
+    "q302_harmonic_closeness",
+    "q303_token_gini",
 ]
 
 
