@@ -164,3 +164,43 @@ def test_sequence_windows_closed_form(spark, sf_dir):
                 n_windows += w
                 dropped += n - (max_len + (w - 1) * stride)
         assert got[(max_len, stride)] == (len(counts), n_windows, dropped)
+
+
+def test_harmonic_closeness_bounds(spark, sf_dir):
+    """Harmonic milli per seed is bounded by its 3-hop reach: every
+    reached node contributes at most 1000 (d=1) and at least 333 (d=3),
+    and the multi-source BFS must produce exactly the 5 lowest seeds."""
+    from adhesive_spark.queries.training_queries import (
+        q302_harmonic_closeness,
+    )
+
+    rows = q302_harmonic_closeness(spark, sf_dir).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert 333 * r.n_reached_3hop <= r.harmonic_milli
+        assert r.harmonic_milli <= 1000 * r.n_reached_3hop
+
+
+def test_token_gini_replay(spark, sf_dir):
+    """The per-distinct-value Gini must equal the textbook sorted-rank
+    formula computed directly over the collected token counts."""
+    from pyspark.sql import functions as F
+
+    from adhesive_spark.operators.text import token_estimate_bpe
+    from adhesive_spark.queries.training_queries import q303_token_gini
+    from adhesive_spark.sources.registry import load_table
+
+    toks = sorted(
+        r.toks
+        for r in load_table(spark, sf_dir, "documents")
+        .select(token_estimate_bpe(F.col("text")).alias("toks"))
+        .collect()
+    )
+    n, t2 = len(toks), sum(toks)
+    t1 = sum((i + 1) * x for i, x in enumerate(toks))
+    want = (2 * t1 - (n + 1) * t2) * 1_000_000 // (n * t2)
+    got = {
+        r.source: r for r in q303_token_gini(spark, sf_dir).collect()
+    }["ALL"]
+    assert (got.n_docs, got.total_tokens, got.gini_ppm) == (n, t2, want)
+    assert 0 <= got.gini_ppm < 1_000_000
