@@ -44,6 +44,8 @@ def main() -> None:
         q298_dispersion_index,
         q299_lsh_label_purity,
         q300_training_funnel,
+        q302_harmonic_closeness,
+        q303_token_gini,
     )
 
     spark = build_spark(app_name="training-demo")
@@ -112,6 +114,12 @@ def main() -> None:
 
     print("-- THE FUNNEL: raw -> dedup -> supply -> allocation -> shards")
     q300_training_funnel(spark, sf).orderBy("source").show()
+
+    print("-- harmonic closeness: influence horizon of the 5 seed suppliers")
+    q302_harmonic_closeness(spark, sf).orderBy("seed").show()
+
+    print("-- token Gini: whales-plus-dust inequality per source")
+    q303_token_gini(spark, sf).orderBy("source").show(5)
 
 
 if __name__ == "__main__":
