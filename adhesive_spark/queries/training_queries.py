@@ -2302,3 +2302,188 @@ TRAINING_ORACLES["q303_token_gini"] = """
                 AS BIGINT) AS gini_ppm
     FROM ranked GROUP BY source
 """
+
+
+# --- q304: size-aware duplicate keep policy --------------------------------------
+
+
+def q304_logkeep_dedup(spark, sf_dir):
+    """Size-aware duplicate KEEP policy: instead of keep-one-per-cluster
+    (q30), keep ``1 + floor(log2(c))`` copies of a cluster of size c —
+    the standard softening when duplication frequency is itself signal
+    (popular boilerplate appears in proportion to real-world usage;
+    hard-dedup to 1 under-trains it, no dedup over-trains it).  Kept
+    copies are the lowest doc_ids (deterministic); log2 is the integer
+    bit-length trick.  Output per source: docs, clusters, kept under
+    keep-one vs keep-log, and the extra mass the softer policy retains.
+
+    Scale shape: one fingerprint count + one rank window over the same
+    hash key (same shuffle), one source rollup — the q30 cost, policy
+    for free."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.md5(F.col("text")).alias("h")
+    )
+    w = Window.partitionBy("h").orderBy("doc_id")
+    wc = Window.partitionBy("h")
+    flagged = docs.select(
+        "source",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wc).alias("c"),
+    ).select(
+        "source",
+        (F.col("rn") == 1).cast("long").alias("keep_one"),
+        (
+            F.col("rn")
+            <= F.lit(1) + (F.length(F.expr("bin(c)")) - F.lit(1))
+        )
+        .cast("long")
+        .alias("keep_log"),
+        (F.col("rn") == 1).cast("long").alias("is_cluster_head"),
+    )
+    return flagged.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("is_cluster_head").cast("long").alias("n_clusters"),
+        F.sum("keep_one").cast("long").alias("kept_one"),
+        F.sum("keep_log").cast("long").alias("kept_log"),
+        F.expr(
+            "(SUM(keep_log) - SUM(keep_one)) * 1000000 div COUNT(*)"
+        ).alias("extra_mass_ppm"),
+    )
+
+
+TRAINING_QUERIES["q304_logkeep_dedup"] = q304_logkeep_dedup
+
+TRAINING_ORACLES["q304_logkeep_dedup"] = """
+    WITH docs AS (
+      SELECT doc_id, source, md5(text) AS h FROM documents
+    ),
+    flagged AS (
+      SELECT source,
+             ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY h) AS c
+      FROM docs
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clusters,
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS kept_one,
+           CAST(SUM(CASE WHEN rn <= 1 + length(bin(c)) - 1
+                         THEN 1 ELSE 0 END) AS BIGINT) AS kept_log,
+           CAST((SUM(CASE WHEN rn <= 1 + length(bin(c)) - 1
+                          THEN 1 ELSE 0 END)
+                 - SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END))
+                * 1000000 // COUNT(*) AS BIGINT) AS extra_mass_ppm
+    FROM flagged GROUP BY source
+"""
+
+
+# --- q305: purged temporal split with embargo ------------------------------------
+
+
+def q305_purged_time_split(spark, sf_dir):
+    """Purged temporal train/test split with an EMBARGO gap (Lopez de
+    Prado's purged cross-validation, the leakage-safe split for
+    autocorrelated data): events strictly before the split day minus a
+    2-day embargo train; events strictly after the split day test; the
+    embargo band is DISCARDED so look-ahead features computed near the
+    boundary cannot leak.  The split day is the exact 80th-percentile
+    event day (ceil-rank convention, computed in-query — no calendar
+    literals).  Output per event type: train/embargo/test counts and
+    the overlap count between train and test DAYS, which must be 0 —
+    the leakage check is an output column, not a comment.
+
+    Scale shape: one (type, day) aggregate, a 1-row split-day
+    broadcast, conditional rollups — no row-level second pass."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.select(
+        "event_type",
+        F.expr("unix_micros(ts) div 86400000000").alias("day"),
+    )
+    days = daily.select("day").distinct()
+    # exact 80th-percentile day: rank distinct days, take ceil(0.8*nd)
+    w = Window.orderBy("day")
+    ranked_days = days.select(
+        "day", F.row_number().over(w).alias("r")
+    ).crossJoin(F.broadcast(days.agg(F.count("*").alias("nd"))))
+    split_day = ranked_days.where(
+        F.expr("r = (nd * 8 + 9) div 10")
+    ).select(F.col("day").alias("split_day"))
+    lab = daily.crossJoin(F.broadcast(split_day)).select(
+        "event_type",
+        "day",
+        F.expr(
+            "CASE WHEN day < split_day - 2 THEN 'train'"
+            " WHEN day > split_day THEN 'test'"
+            " ELSE 'embargo' END"
+        ).alias("bucket"),
+    )
+    return lab.groupBy("event_type").agg(
+        F.sum((F.col("bucket") == "train").cast("long")).alias("n_train"),
+        F.sum((F.col("bucket") == "embargo").cast("long")).alias(
+            "n_embargo"
+        ),
+        F.sum((F.col("bucket") == "test").cast("long")).alias("n_test"),
+        F.countDistinct(
+            F.when(F.col("bucket") == "train", F.col("day"))
+        ).alias("train_days"),
+        F.countDistinct(
+            F.when(F.col("bucket") == "test", F.col("day"))
+        ).alias("test_days"),
+        # leakage check AS AN OUTPUT: a day in both train and test
+        F.countDistinct(
+            F.when(
+                F.col("bucket").isin("train", "test"), F.col("day")
+            )
+        ).alias("distinct_split_days"),
+    ).selectExpr(
+        "event_type",
+        "n_train",
+        "n_embargo",
+        "n_test",
+        "train_days",
+        "test_days",
+        "CAST(train_days + test_days - distinct_split_days AS BIGINT)"
+        " AS leaked_days",
+    )
+
+
+TRAINING_QUERIES["q305_purged_time_split"] = q305_purged_time_split
+
+TRAINING_ORACLES["q305_purged_time_split"] = """
+    WITH daily AS (
+      SELECT event_type, epoch_us(ts) // 86400000000 AS day FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM daily),
+    ranked AS (
+      SELECT day, ROW_NUMBER() OVER (ORDER BY day) AS r,
+             COUNT(*) OVER () AS nd
+      FROM days
+    ),
+    sd AS (SELECT day AS split_day FROM ranked WHERE r = (nd * 8 + 9) // 10),
+    lab AS (
+      SELECT event_type, day,
+             CASE WHEN day < split_day - 2 THEN 'train'
+                  WHEN day > split_day THEN 'test'
+                  ELSE 'embargo' END AS bucket
+      FROM daily CROSS JOIN sd
+    )
+    SELECT event_type,
+           CAST(SUM(CASE WHEN bucket = 'train' THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_train,
+           CAST(SUM(CASE WHEN bucket = 'embargo' THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_embargo,
+           CAST(SUM(CASE WHEN bucket = 'test' THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_test,
+           CAST(COUNT(DISTINCT CASE WHEN bucket = 'train' THEN day END)
+             AS BIGINT) AS train_days,
+           CAST(COUNT(DISTINCT CASE WHEN bucket = 'test' THEN day END)
+             AS BIGINT) AS test_days,
+           CAST(COUNT(DISTINCT CASE WHEN bucket = 'train' THEN day END)
+                + COUNT(DISTINCT CASE WHEN bucket = 'test' THEN day END)
+                - COUNT(DISTINCT CASE WHEN bucket IN ('train', 'test')
+                                      THEN day END)
+             AS BIGINT) AS leaked_days
+    FROM lab GROUP BY event_type
+"""

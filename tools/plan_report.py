@@ -323,6 +323,8 @@ AUDITED = [
     "q301_ppm_grayscale_audit",
     "q302_harmonic_closeness",
     "q303_token_gini",
+    "q304_logkeep_dedup",
+    "q305_purged_time_split",
 ]
 
 
