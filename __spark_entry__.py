@@ -75,13 +75,22 @@ _GRADE_FIRST = [
 
 def _verified_queries() -> set[str]:
     """Names with a fully-green row (rows+schema+hash) in any committed
-    round history file."""
+    round history file, unioned with the builder-maintained
+    VERIFIED.json ledger (consulted FIRST so rotation does not depend
+    on the driver's CORRECTNESS_r*.json artifacts being committed)."""
     import glob
     import json
     import os
 
     here = os.path.dirname(os.path.abspath(__file__))
     seen: set[str] = set()
+    try:
+        with open(os.path.join(here, "VERIFIED.json")) as f:
+            ledger = json.load(f)
+        if isinstance(ledger, dict):
+            seen.update(n for n in ledger.get("verified", []) if isinstance(n, str))
+    except (OSError, ValueError):
+        pass
     for p in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
         try:
             with open(p) as f:

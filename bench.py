@@ -113,6 +113,13 @@ HEADLINE = [
     # small-star CC, and the three-modality media-reduction capstone
     "q274_grid_clusters_star",
     "q279_media_reduction_pipeline",
+    # round-8 additions (judge directive): the heaviest training-recipe
+    # ops — DSIR importance weighting (the most expensive new hot loop
+    # per STRESS.md), the shard-manifest planner, and the token-Gini
+    # concentration audit
+    "q280_dsir_importance",
+    "q282_shard_manifest",
+    "q303_token_gini",
 ]
 
 
@@ -192,9 +199,16 @@ def main() -> None:
     # BENCH_r*.json so far has parsed:null. Persist the full result
     # next to the repo root as well, so per-query cross-round
     # comparison is recoverable from the repo without judge re-runs.
+    # Casual runs go to the gitignored BENCH_LAST_RUN.json; the
+    # committed BENCH_LOCAL.json artifact is only refreshed under an
+    # explicit --record flag, so re-running the bench can never clobber
+    # the round's committed record (r7 judge finding #2).
+    record = "--record" in sys.argv
     try:
-        out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "BENCH_LOCAL.json")
+        out = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "BENCH_LOCAL.json" if record else "BENCH_LAST_RUN.json",
+        )
         with open(out, "w") as f:
             json.dump(
                 {

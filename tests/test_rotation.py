@@ -57,6 +57,58 @@ def test_verified_tail_keeps_registry_alignment():
     assert qs == os_
 
 
+def test_verified_ledger_is_consulted(tmp_path, monkeypatch):
+    """_verified_queries must union the committed VERIFIED.json ledger
+    with the CORRECTNESS_r*.json glob, so rotation survives a checkout
+    where the driver's artifacts were never committed (r7 judge
+    finding #1)."""
+    import json
+    import os
+
+    ledger_names = ["q001_fake_ledger_entry", "q002_other_ledger_entry"]
+    (tmp_path / "VERIFIED.json").write_text(
+        json.dumps({"verified": ledger_names})
+    )
+    # Point the module's directory resolution at tmp_path: no
+    # CORRECTNESS_r*.json there, so everything must come from the ledger.
+    real_dirname = os.path.dirname
+
+    def fake_dirname(p):
+        if p == os.path.abspath(entry_mod.__file__):
+            return str(tmp_path)
+        return real_dirname(p)
+
+    monkeypatch.setattr(os.path, "dirname", fake_dirname)
+    assert entry_mod._verified_queries() == set(ledger_names)
+
+
+def test_verified_ledger_matches_committed_history():
+    """The committed VERIFIED.json must be a SUPERSET of what the
+    CORRECTNESS history derives — a stale ledger that misses green rows
+    would re-front already-verified queries and waste a round."""
+    import glob
+    import json
+    import os
+
+    here = os.path.dirname(os.path.abspath(entry_mod.__file__))
+    ledger_path = os.path.join(here, "VERIFIED.json")
+    with open(ledger_path) as f:
+        ledger = set(json.load(f)["verified"])
+    from_history: set[str] = set()
+    for p in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        with open(p) as f:
+            d = json.load(f)
+        for name, row in d.items():
+            if (
+                isinstance(row, dict)
+                and row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match")
+            ):
+                from_history.add(name)
+    assert from_history <= ledger, sorted(from_history - ledger)
+
+
 def test_unreadable_history_falls_back_to_static_window():
     """If every history file is unreadable, the static _GRADE_FIRST
     fallback (the round-6 window) must still front the same queries —
