@@ -243,9 +243,13 @@ def gopher_repetition_report(docs):
     )
     fails = docs.select("doc_id", "source", "n_chars", masses.alias("m")).select(
         "source",
+        # greatest(n_chars, 1): a 0-char doc has zero gram mass in every
+        # lane, so the ratio is 0 either way — but ANSI `div` would throw
+        # DIVIDE_BY_ZERO on it, and 100 TB corpora do contain empty docs
         *[
             (
-                F.expr(f"m.m{n}.top * 1000000 div n_chars") > F.lit(thr)
+                F.expr(f"m.m{n}.top * 1000000 div greatest(n_chars, 1L)")
+                > F.lit(thr)
             )
             .cast("int")
             .alias(f"fail_top{n}")
@@ -253,7 +257,8 @@ def gopher_repetition_report(docs):
         ],
         *[
             (
-                F.expr(f"m.m{n}.dup * 1000000 div n_chars") > F.lit(thr)
+                F.expr(f"m.m{n}.dup * 1000000 div greatest(n_chars, 1L)")
+                > F.lit(thr)
             )
             .cast("int")
             .alias(f"fail_dup{n}")
@@ -338,14 +343,19 @@ TRAINING_ORACLES["q281_gopher_repetition"] = f"""
                AS fail_dup7
       FROM per_doc GROUP BY 1, 2
     )
-    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
-           CAST(SUM(fail_top2) AS BIGINT) AS fail_top2,
-           CAST(SUM(fail_top3) AS BIGINT) AS fail_top3,
-           CAST(SUM(fail_top4) AS BIGINT) AS fail_top4,
-           CAST(SUM(fail_dup5) AS BIGINT) AS fail_dup5,
-           CAST(SUM(fail_dup6) AS BIGINT) AS fail_dup6,
-           CAST(SUM(fail_dup7) AS BIGINT) AS fail_dup7
-    FROM fails GROUP BY source
+    -- Rollup drives from t (every document), LEFT JOINing fails: a doc
+    -- with <2 tokens produces no gram rows, hence no fails row, but must
+    -- still count toward n_docs with all-zero fail flags — matching the
+    -- Spark side, which scores every document in-row.
+    SELECT t.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(COALESCE(f.fail_top2, 0)) AS BIGINT) AS fail_top2,
+           CAST(SUM(COALESCE(f.fail_top3, 0)) AS BIGINT) AS fail_top3,
+           CAST(SUM(COALESCE(f.fail_top4, 0)) AS BIGINT) AS fail_top4,
+           CAST(SUM(COALESCE(f.fail_dup5, 0)) AS BIGINT) AS fail_dup5,
+           CAST(SUM(COALESCE(f.fail_dup6, 0)) AS BIGINT) AS fail_dup6,
+           CAST(SUM(COALESCE(f.fail_dup7, 0)) AS BIGINT) AS fail_dup7
+    FROM t LEFT JOIN fails f ON t.doc_id = f.doc_id
+    GROUP BY t.source
 """
 
 
@@ -481,12 +491,17 @@ def q283_ivf_occupancy(spark, sf_dir):
         F.row_number().over(w).cast("long").alias("rank"),
         "centroid_id",
         "n_vecs",
+        "total",
+        F.sum("n_vecs").over(wc).alias("cum_n"),
+    ).select(
+        "rank",
+        "centroid_id",
+        "n_vecs",
         F.expr("n_vecs * 1000000 div total").alias("share_ppm"),
-        (
-            F.sum("n_vecs").over(wc) * F.lit(1000000) / F.col("total")
-        )
-        .cast("long")
-        .alias("cum_share_ppm"),
+        # integer div (division LAST), like share_ppm — float `/` then
+        # cast is exact only while cum*1e6 < 2^53 and never lands within
+        # an ulp of an integer
+        F.expr("cum_n * 1000000 div total").alias("cum_share_ppm"),
     )
 
 
@@ -970,10 +985,15 @@ TRAINING_ORACLES["q288_hrw_rebalance"] = f"""
       SELECT key, s, CAST({_h32("h")} AS BIGINT) AS hv FROM scored
     ),
     best AS (
+      -- Tie-deterministic: DuckDB arg_max's winner on equal hv is
+      -- unspecified, while Spark's max-over-struct (hv, s) prefers the
+      -- larger shard id on a hash tie.  hv is 32-bit and s < 20 < 32,
+      -- so hv * 32 + s is a collision-free BIGINT encoding of that
+      -- exact (hv, s) ordering.
       SELECT key,
              arg_max(CASE WHEN s < 16 THEN s END,
-                     CASE WHEN s < 16 THEN hv END) AS s16,
-             arg_max(s, hv) AS s20
+                     CASE WHEN s < 16 THEN hv * 32 + s END) AS s16,
+             arg_max(s, hv * 32 + s) AS s20
       FROM ranked GROUP BY key
     ),
     hrwpol AS (

@@ -204,3 +204,50 @@ def test_token_gini_replay(spark, sf_dir):
     }["ALL"]
     assert (got.n_docs, got.total_tokens, got.gini_ppm) == (n, t2, want)
     assert 0 <= got.gini_ppm < 1_000_000
+
+
+def test_gopher_counts_zero_gram_docs(spark):
+    """A document with <2 tokens produces no gram rows, but must still
+    count toward n_docs with all-zero fail flags — on BOTH sides.  The
+    sf fixtures never contain such docs (min 10 tokens), so this is the
+    only coverage of the oracle's LEFT JOIN rollup (r7 ADVICE #1)."""
+    import duckdb
+    import pandas as pd
+
+    from adhesive_spark.queries.training_queries import (
+        TRAINING_ORACLES,
+        gopher_repetition_report,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "source": ["web", "web", "web", "book"],
+            # 1-token, 0-token, diverse (no gram > 20% of chars), and a
+            # top2-failing repeater
+            "text": [
+                "one",
+                "",
+                " ".join(f"w{i:02d}" for i in range(30)),
+                "spam ham " * 30,
+            ],
+        }
+    )
+    got = {
+        r.source: r
+        for r in gopher_repetition_report(spark.createDataFrame(pdf)).collect()
+    }
+    assert got["web"].n_docs == 3  # the <2-token docs still counted
+    assert got["web"].fail_top2 == 0
+    assert got["book"].fail_top2 == 1
+
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    want = {
+        r[0]: r
+        for r in con.execute(
+            TRAINING_ORACLES["q281_gopher_repetition"]
+        ).fetchall()
+    }
+    for src, row in got.items():
+        assert tuple(row) == tuple(want[src]), src

@@ -448,10 +448,11 @@ def main() -> None:
     n_ev = load_table(spark, sf_dir, "events").count()
     run("feature_matrix_pit", _feature_matrix, n_ev * reps)
 
-    # Gopher repetition rules at N×: the 6-lane gram explode is the
-    # biggest row blowup in the query set (~6·tokens rows per doc);
-    # replication multiplies the explode and both keyed aggregates but
-    # nothing is pairwise — throughput must stay flat.
+    # Gopher repetition rules at N×: deliberately fully in-row — no gram
+    # explode, no shuffle (see the q281 docstring). The 6 n-gram lanes
+    # are sort + run-scan HOFs widening each task's per-row work, so
+    # replication multiplies only embarrassingly-parallel map work —
+    # wall must stay FLAT per row.
     from adhesive_spark.queries.training_queries import (
         gopher_repetition_report,
         shard_manifest_report,
