@@ -193,6 +193,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out.update(TRAINING_QUERIES)
     except ImportError:
         pass
+    try:
+        from adhesive_spark.queries.audit_queries import AUDIT_QUERIES
+
+        out.update(AUDIT_QUERIES)
+    except ImportError:
+        pass
     return _reorder(out)
 
 
@@ -243,6 +249,12 @@ def oracle_sql() -> dict[str, str]:
         from adhesive_spark.queries.training_queries import TRAINING_ORACLES
 
         out.update(TRAINING_ORACLES)
+    except ImportError:
+        pass
+    try:
+        from adhesive_spark.queries.audit_queries import AUDIT_ORACLES
+
+        out.update(AUDIT_ORACLES)
     except ImportError:
         pass
     return _reorder(out)
