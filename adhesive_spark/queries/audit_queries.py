@@ -337,26 +337,15 @@ AUDIT_ORACLES["q308_flesch_readability"] = f"""
 # --- q307: content-defined-chunking dedup audit --------------------------------
 
 
-def q307_cdc_chunk_dedup(spark, sf_dir):
-    """Content-defined-chunking dedup audit (the rsync/LBFS/restic
-    storage trick applied to corpus text): tokens stream into chunks
-    that END at any token whose portable hash ≡ 0 (mod 16) — so chunk
-    boundaries are CONTENT-defined and survive insertions/deletions
-    (a shifted document re-aligns at the next boundary, unlike
-    fixed-width blocks). Per source: total vs distinct chunk counts and
-    bytes, and the dedup savings in ppm.
-
-    Scale shape: chunk assembly is ENTIRELY IN-ROW (one linear
-    higher-order aggregate per document — no window, no shuffle), then
-    one explode (≤ tokens rows) and two keyed aggregates
-    ((source, chunk_hash) then source — both map-side combined).
-    Corpus-linear; the chunk-hash shuffle is the dedup-store build a
-    real CDC system ships."""
+def cdc_chunk_report(docs):
+    """DF-level core of q307 (takes any documents DataFrame with
+    doc_id/source/text) — shared with the stress harness, which drives
+    it over the N×-replicated corpus."""
     from adhesive_spark.operators.dedup import portable_hash32
     from adhesive_spark.operators.text import tokens
     from adhesive_spark.sources.registry import ensure_parallelism
 
-    docs = ensure_parallelism(load_table(spark, sf_dir, "documents")).select(
+    docs = ensure_parallelism(docs).select(
         "doc_id", "source", tokens(F.col("text")).alias("toks")
     )
 
@@ -409,6 +398,24 @@ def q307_cdc_chunk_dedup(spark, sf_dir):
             " div greatest(sum(cnt * blen), 1L)"
         ).alias("saved_ppm"),
     )
+
+
+def q307_cdc_chunk_dedup(spark, sf_dir):
+    """Content-defined-chunking dedup audit (the rsync/LBFS/restic
+    storage trick applied to corpus text): tokens stream into chunks
+    that END at any token whose portable hash ≡ 0 (mod 16) — so chunk
+    boundaries are CONTENT-defined and survive insertions/deletions
+    (a shifted document re-aligns at the next boundary, unlike
+    fixed-width blocks). Per source: total vs distinct chunk counts and
+    bytes, and the dedup savings in ppm.
+
+    Scale shape: chunk assembly is ENTIRELY IN-ROW (one linear
+    higher-order aggregate per document — no window, no shuffle), then
+    one explode (≤ tokens rows) and two keyed aggregates
+    ((source, chunk_hash) then source — both map-side combined).
+    Corpus-linear; the chunk-hash shuffle is the dedup-store build a
+    real CDC system ships."""
+    return cdc_chunk_report(load_table(spark, sf_dir, "documents"))
 
 
 AUDIT_QUERIES["q307_cdc_chunk_dedup"] = q307_cdc_chunk_dedup
@@ -577,4 +584,460 @@ AUDIT_ORACLES["q309_krippendorff_alpha"] = f"""
                   AS HUGEINT)) AS BIGINT) AS alpha_ppm,
            agree_pairs * 1000000 // (n_units * 3) AS agree_ppm
     FROM agg
+"""
+
+
+# --- q310: autocorrelation of daily ingest volume -------------------------------
+
+
+def q310_acf_daily(spark, sf_dir):
+    """Autocorrelation function of the daily event-count series at lags
+    1–7 — the ingest-seasonality audit behind epoch scheduling and
+    anomaly thresholds (a strong lag-7 says "weekly cycle; compare
+    day-over-week, not day-over-day"). Exact integer form: residuals
+    are n·x_t − S (n = days, S = Σx — integers, no mean rounding);
+    ``acf_ppm(k) = Σ r_t·r_{t−k} · 1e6 div Σ r_t²`` with the division
+    LAST in DECIMAL(38,0)/HUGEINT (numerators overflow BIGINT past a
+    few hundred days of large counts). Negative values truncate toward
+    zero in both engines (Spark div / DuckDB //).
+
+    Scale shape: the corpus collapses to the daily spine in ONE
+    map-side-combined aggregate; the lag windows then run over ≤
+    calendar-bounded rows (a year is 365 rows regardless of corpus
+    size), so the single-partition window is bounded by time, not
+    data. One corpus pass + O(1) tail."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(F.count("*").cast("long").alias("x"))
+    )
+    stats = daily.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s"),
+    )
+    base = daily.crossJoin(F.broadcast(stats)).select(
+        "d", (F.col("n") * F.col("x") - F.col("s")).alias("r")
+    )
+    wd = Window.orderBy("d")
+    lagged = base.select(
+        "r",
+        *[F.lag("r", k).over(wd).alias(f"r{k}") for k in range(1, 8)],
+    )
+    agg = lagged.agg(
+        F.sum(F.col("r") * F.col("r")).cast("long").alias("den"),
+        *[
+            F.sum(F.col("r") * F.col(f"r{k}")).cast("long").alias(f"num{k}")
+            for k in range(1, 8)
+        ],
+        *[
+            F.count(F.col(f"r{k}")).cast("long").alias(f"np{k}")
+            for k in range(1, 8)
+        ],
+    )
+    lags = agg.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).cast("long").alias("lag"),
+                        F.col(f"np{k}").alias("n_pairs"),
+                        F.expr(
+                            f"CAST(CAST(num{k} AS DECIMAL(38,0)) * 1000000"
+                            " div CAST(den AS DECIMAL(38,0)) AS BIGINT)"
+                        ).alias("acf_ppm"),
+                    )
+                    for k in range(1, 8)
+                ]
+            )
+        ).alias("o")
+    )
+    return lags.select("o.lag", "o.n_pairs", "o.acf_ppm")
+
+
+AUDIT_QUERIES["q310_acf_daily"] = q310_acf_daily
+
+AUDIT_ORACLES["q310_acf_daily"] = """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1
+    ),
+    stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(x) AS BIGINT) AS s FROM daily),
+    base AS (
+      SELECT d, n * x - s AS r FROM daily, stats
+    ),
+    lagged AS (
+      SELECT r,
+             LAG(r, 1) OVER (ORDER BY d) AS r1,
+             LAG(r, 2) OVER (ORDER BY d) AS r2,
+             LAG(r, 3) OVER (ORDER BY d) AS r3,
+             LAG(r, 4) OVER (ORDER BY d) AS r4,
+             LAG(r, 5) OVER (ORDER BY d) AS r5,
+             LAG(r, 6) OVER (ORDER BY d) AS r6,
+             LAG(r, 7) OVER (ORDER BY d) AS r7
+      FROM base
+    ),
+    agg AS (
+      SELECT CAST(SUM(r * r) AS BIGINT) AS den,
+             CAST(SUM(r * r1) AS BIGINT) AS num1, COUNT(r1) AS np1,
+             CAST(SUM(r * r2) AS BIGINT) AS num2, COUNT(r2) AS np2,
+             CAST(SUM(r * r3) AS BIGINT) AS num3, COUNT(r3) AS np3,
+             CAST(SUM(r * r4) AS BIGINT) AS num4, COUNT(r4) AS np4,
+             CAST(SUM(r * r5) AS BIGINT) AS num5, COUNT(r5) AS np5,
+             CAST(SUM(r * r6) AS BIGINT) AS num6, COUNT(r6) AS np6,
+             CAST(SUM(r * r7) AS BIGINT) AS num7, COUNT(r7) AS np7
+      FROM lagged
+    )
+    SELECT CAST(u.lag AS BIGINT) AS lag,
+           CAST(CASE u.lag WHEN 1 THEN np1 WHEN 2 THEN np2 WHEN 3 THEN np3
+                WHEN 4 THEN np4 WHEN 5 THEN np5 WHEN 6 THEN np6
+                ELSE np7 END AS BIGINT) AS n_pairs,
+           CAST(CAST(CASE u.lag WHEN 1 THEN num1 WHEN 2 THEN num2
+                     WHEN 3 THEN num3 WHEN 4 THEN num4 WHEN 5 THEN num5
+                     WHEN 6 THEN num6 ELSE num7 END AS HUGEINT)
+                * 1000000 // CAST(den AS HUGEINT) AS BIGINT) AS acf_ppm
+    FROM agg, UNNEST(generate_series(1, 7)) AS u(lag)
+"""
+
+
+# --- q311: in-engine linear quality classifier ----------------------------------
+
+
+def q311_linear_quality_scorer(spark, sf_dir):
+    """A fastText-style linear quality classifier applied IN-ENGINE:
+    each token maps to one of 4096 hashed feature buckets whose weight
+    is a fixed deterministic function of the bucket (standing in for a
+    trained weight vector shipped as a literal table); a document's
+    score is the mean token weight in milli. Per source: docs, keep
+    rate at score>0 in ppm, and the mean score — the shape of
+    CCNet/DCLM-style model-based filtering when the model is linear.
+
+    Scale shape: ENTIRELY IN-ROW — the weight lookup is a closed-form
+    function of the portable hash, so there is NO weight-table join at
+    all (the 100 TB version broadcasts an 8k-row weight table; the
+    plan is otherwise identical); one higher-order sum per document,
+    one rollup shuffle. No Python anywhere."""
+    from adhesive_spark.operators.dedup import portable_hash32
+    from adhesive_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", tokens(F.col("text")).alias("toks")
+    )
+    scored = docs.select(
+        "source",
+        F.aggregate(
+            F.transform(
+                F.col("toks"),
+                lambda t: (portable_hash32(t) % 4096) % 201 - 100,
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).alias("wsum"),
+        F.size("toks").cast("long").alias("n_toks"),
+    ).selectExpr(
+        "source", "wsum * 1000 div greatest(n_toks, 1L) AS score_milli"
+    )
+    return scored.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.expr(
+            "sum(CASE WHEN score_milli > 0 THEN 1 ELSE 0 END)"
+            " * 1000000 div count(*)"
+        ).alias("keep_ppm"),
+        F.expr("sum(score_milli) div count(*)").alias("mean_score_milli"),
+    )
+
+
+AUDIT_QUERIES["q311_linear_quality_scorer"] = q311_linear_quality_scorer
+
+AUDIT_ORACLES["q311_linear_quality_scorer"] = f"""
+    WITH t AS (
+      SELECT source, {_TOKS} AS toks FROM documents
+    ),
+    scored AS (
+      SELECT source,
+             CAST(COALESCE(list_sum(list_transform(toks,
+                    x -> (CAST({_h32("md5(x)")} AS BIGINT) % 4096)
+                         % 201 - 100)), 0) AS BIGINT)
+               * 1000 // greatest(len(toks), 1) AS score_milli
+      FROM t
+    )
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN score_milli > 0 THEN 1 ELSE 0 END)
+                * 1000000 // COUNT(*) AS BIGINT) AS keep_ppm,
+           CAST(SUM(score_milli) // COUNT(*) AS BIGINT) AS mean_score_milli
+    FROM scored GROUP BY source
+"""
+
+
+# --- q312: packing-policy efficiency ladder -------------------------------------
+
+
+def q312_packing_policy_ladder(spark, sf_dir):
+    """Sequence-packing efficiency ladder: for context lengths 2048 /
+    4096 / 8192, price three packing policies in sequences used and
+    padding waste (ppm of slots) — the numbers a batch-assembly job is
+    chosen by:
+
+    * ``pad_only`` — one document per sequence (split when longer than
+      the context): the no-packing baseline every trainer starts at;
+    * ``bucket_shelf`` — docs grouped into power-of-two length classes,
+      ``C div class`` docs per sequence (the vLLM/shelf-packing
+      discipline — closed-form, order-free, so it needs NO sequential
+      scan at any scale);
+    * ``concat_split`` — ceil(Σlen/C): the document-splitting lower
+      bound (q87's greedy packer achieves it up to one tail sequence).
+
+    Scale shape: per-doc lengths are IN-ROW; each policy is one or two
+    map-side-combined aggregates over a 3-row broadcast context spine —
+    no windows, no sequential state, corpus-linear. (True first-fit-
+    decreasing is deliberately absent: it is inherently sequential and
+    its gain over bucket_shelf is bounded by the shelf waste this query
+    reports.)"""
+    from adhesive_spark.operators.text import token_estimate_bpe
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        token_estimate_bpe(F.col("text")).alias("l")
+    )
+    ctx = F.broadcast(
+        spark.range(1).select(
+            F.explode(
+                F.array(F.lit(2048), F.lit(4096), F.lit(8192))
+            ).alias("c")
+        )
+    )
+    per = docs.crossJoin(ctx).select(
+        "c",
+        "l",
+        F.expr("(l + c - 1) div c AS pad_seqs"),
+        # power-of-two length class (<= c docs only; longer docs fall
+        # back to pad_only splitting inside bucket_shelf too)
+        F.expr(
+            "CASE WHEN l <= 1 THEN 1"
+            " ELSE CAST(pow(2, length(bin(l - 1))) AS BIGINT) END"
+        ).alias("cls"),
+    )
+    pad = per.groupBy("c").agg(
+        F.sum("pad_seqs").cast("long").alias("n_seqs"),
+        F.expr(
+            "(sum(pad_seqs * c) - sum(l)) * 1000000"
+            " div (sum(pad_seqs) * c)"
+        ).alias("waste_ppm"),
+    ).select(F.col("c"), F.lit("pad_only").alias("policy"), "n_seqs", "waste_ppm")
+
+    shelf_buckets = (
+        per.groupBy("c", "cls")
+        .agg(F.count("*").alias("cnt"), F.sum("l").alias("tot_l"))
+        .selectExpr(
+            "c",
+            "tot_l",
+            # cls > c: splitting fallback, ceil(l/c) per doc is not
+            # reconstructable from the bucket rollup, so price it as
+            # whole multiples of c per doc-chunk: ceil(tot_l / c) + cnt
+            # is NOT exact — instead keep exact via per-doc pad_seqs in
+            # the fallback aggregate below; buckets here are cls <= c
+            "CASE WHEN cls <= c"
+            "  THEN (cnt + (c div cls) - 1) div (c div cls)"
+            "  ELSE 0 END AS bins",
+            "CASE WHEN cls <= c THEN 0 ELSE 1 END AS is_fallback",
+            "cnt",
+        )
+    )
+    fallback = per.where(F.expr("cls > c")).groupBy("c").agg(
+        F.sum("pad_seqs").alias("fb_seqs"), F.sum("l").alias("fb_l")
+    )
+    shelf = (
+        shelf_buckets.groupBy("c")
+        .agg(
+            F.sum("bins").alias("bins"),
+            F.sum(F.expr("CASE WHEN is_fallback = 0 THEN tot_l ELSE 0 END")).alias(
+                "in_l"
+            ),
+        )
+        .join(fallback, "c", "left")
+        .selectExpr(
+            "c",
+            "'bucket_shelf' AS policy",
+            "CAST(bins + coalesce(fb_seqs, 0L) AS BIGINT) AS n_seqs",
+            "((bins + coalesce(fb_seqs, 0L)) * c - in_l - coalesce(fb_l, 0L))"
+            " * 1000000 div ((bins + coalesce(fb_seqs, 0L)) * c) AS waste_ppm",
+        )
+    )
+    lower = per.groupBy("c").agg(
+        F.expr("(sum(l) + c - 1) div c").alias("n_seqs"),
+        F.expr(
+            "(((sum(l) + c - 1) div c) * c - sum(l)) * 1000000"
+            " div (((sum(l) + c - 1) div c) * c)"
+        ).alias("waste_ppm"),
+    ).select(F.col("c"), F.lit("concat_split").alias("policy"), "n_seqs", "waste_ppm")
+
+    return (
+        pad.unionByName(shelf)
+        .unionByName(lower)
+        .select(
+            F.col("c").cast("long").alias("context"),
+            "policy",
+            F.col("n_seqs").cast("long").alias("n_seqs"),
+            F.col("waste_ppm").cast("long").alias("waste_ppm"),
+        )
+    )
+
+
+AUDIT_QUERIES["q312_packing_policy_ladder"] = q312_packing_policy_ladder
+
+AUDIT_ORACLES["q312_packing_policy_ladder"] = f"""
+    WITH d AS (
+      SELECT greatest(CAST(ceil(length({_NORM}) / 4.0) AS BIGINT),
+                      CAST(len({_TOKS}) AS BIGINT)) AS l
+      FROM documents
+    ),
+    ctx AS (SELECT UNNEST([2048, 4096, 8192]) AS c),
+    per AS (
+      SELECT c, l, (l + c - 1) // c AS pad_seqs,
+             CASE WHEN l <= 1 THEN 1
+                  ELSE CAST(pow(2, length(bin(l - 1))) AS BIGINT)
+             END AS cls
+      FROM d CROSS JOIN ctx
+    ),
+    pad AS (
+      SELECT c, 'pad_only' AS policy,
+             CAST(SUM(pad_seqs) AS BIGINT) AS n_seqs,
+             (SUM(pad_seqs * c) - SUM(l)) * 1000000
+               // (SUM(pad_seqs) * c) AS waste_ppm
+      FROM per GROUP BY c
+    ),
+    sb AS (
+      SELECT c, cls, COUNT(*) AS cnt, SUM(l) AS tot_l
+      FROM per WHERE cls <= c GROUP BY c, cls
+    ),
+    shelf_bins AS (
+      SELECT c,
+             SUM((cnt + (c // cls) - 1) // (c // cls)) AS bins,
+             SUM(tot_l) AS in_l
+      FROM sb GROUP BY c
+    ),
+    fb AS (
+      SELECT c, SUM(pad_seqs) AS fb_seqs, SUM(l) AS fb_l
+      FROM per WHERE cls > c GROUP BY c
+    ),
+    shelf AS (
+      SELECT s.c, 'bucket_shelf' AS policy,
+             CAST(s.bins + COALESCE(f.fb_seqs, 0) AS BIGINT) AS n_seqs,
+             ((s.bins + COALESCE(f.fb_seqs, 0)) * s.c - s.in_l
+               - COALESCE(f.fb_l, 0)) * 1000000
+               // ((s.bins + COALESCE(f.fb_seqs, 0)) * s.c) AS waste_ppm
+      FROM shelf_bins s LEFT JOIN fb f ON s.c = f.c
+    ),
+    lower_b AS (
+      SELECT c, 'concat_split' AS policy,
+             CAST((SUM(l) + c - 1) // c AS BIGINT) AS n_seqs,
+             (((SUM(l) + c - 1) // c) * c - SUM(l)) * 1000000
+               // (((SUM(l) + c - 1) // c) * c) AS waste_ppm
+      FROM per GROUP BY c
+    )
+    SELECT CAST(c AS BIGINT) AS context, policy,
+           CAST(n_seqs AS BIGINT) AS n_seqs,
+           CAST(waste_ppm AS BIGINT) AS waste_ppm
+    FROM (SELECT * FROM pad UNION ALL SELECT * FROM shelf
+          UNION ALL SELECT * FROM lower_b)
+"""
+
+
+# --- q313: dedup-threshold calibration via planted mutations --------------------
+
+
+def q313_dedup_threshold_calibration(spark, sf_dir):
+    """Calibrate the near-dup Jaccard threshold against a KNOWN
+    mutation rate: every document is paired with a planted twin that
+    drops every k-th token (k in 3/5/7/10 — 33% down to 10% edit
+    rates), and the exact 3-gram Jaccard between original and twin is
+    computed IN-ROW (array intersect of distinct shingle sets — the
+    pair is known, so no join is needed, unlike a discovery pass).
+    Output per k: mean Jaccard and the detection rate at the 0.5
+    threshold — the curve that tells a dedup operator what edit
+    distance their threshold actually tolerates (the q33/q37 pipelines
+    consume the chosen threshold).
+
+    Scale shape: corpus-linear, zero joins, zero explodes beyond the
+    4-row per-doc mutation ladder; one rollup shuffle on k."""
+    from adhesive_spark.operators.dedup import word_shingles
+    from adhesive_spark.operators.text import tokens
+    from adhesive_spark.sources.registry import ensure_parallelism
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "text", tokens(F.col("text")).alias("toks")
+    )
+
+    def j_ppm(k):
+        kept = F.array_join(
+            F.filter(F.col("toks"), lambda t, i: (i + 1) % k != 0), " "
+        )
+        g1 = word_shingles(F.col("text"), 3)
+        g2 = word_shingles(kept, 3)
+        inter = F.size(F.array_intersect(g1, g2)).cast("long")
+        uni = F.size(g1).cast("long") + F.size(g2).cast("long") - inter
+        return F.struct(
+            F.lit(k).cast("long").alias("drop_every"),
+            (inter * F.lit(1000000)).alias("inum"),
+            uni.alias("iden"),
+        )
+
+    ladder = docs.select(
+        F.explode(F.array(*[j_ppm(k) for k in (3, 5, 7, 10)])).alias("o")
+    ).selectExpr("o.drop_every", "o.inum div greatest(o.iden, 1L) AS j_ppm")
+    return ladder.groupBy("drop_every").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.expr("sum(j_ppm) div count(*)").alias("mean_j_ppm"),
+        F.expr(
+            "sum(CASE WHEN j_ppm >= 500000 THEN 1 ELSE 0 END)"
+            " * 1000000 div count(*)"
+        ).alias("detect_at_500k_ppm"),
+    )
+
+
+AUDIT_QUERIES["q313_dedup_threshold_calibration"] = (
+    q313_dedup_threshold_calibration
+)
+
+AUDIT_ORACLES["q313_dedup_threshold_calibration"] = f"""
+    WITH t AS (
+      SELECT doc_id, {_NORM} AS norm, {_TOKS} AS toks FROM documents
+    ),
+    mut AS (
+      SELECT doc_id, norm, toks, kk.k,
+             list_transform(
+               list_filter(generate_series(1, len(toks)),
+                           i -> i % kk.k <> 0),
+               i -> toks[i]) AS toks2
+      FROM t CROSS JOIN (SELECT UNNEST([3, 5, 7, 10]) AS k) kk
+    ),
+    grams AS (
+      SELECT doc_id, k,
+             CASE WHEN len(toks) - 2 >= 1
+                  THEN list_distinct(list_transform(
+                         range(1, len(toks) - 2 + 1),
+                         i -> concat_ws(' ', toks[i], toks[i+1],
+                                        toks[i+2])))
+                  ELSE [norm] END AS g1,
+             CASE WHEN len(toks2) - 2 >= 1
+                  THEN list_distinct(list_transform(
+                         range(1, len(toks2) - 2 + 1),
+                         i -> concat_ws(' ', toks2[i], toks2[i+1],
+                                        toks2[i+2])))
+                  ELSE [array_to_string(toks2, ' ')] END AS g2
+      FROM mut
+    ),
+    j AS (
+      SELECT k AS drop_every,
+             CAST(len(list_intersect(g1, g2)) AS BIGINT) * 1000000
+               // greatest(CAST(len(g1) + len(g2)
+                    - len(list_intersect(g1, g2)) AS BIGINT), 1)
+               AS j_ppm
+      FROM grams
+    )
+    SELECT CAST(drop_every AS BIGINT) AS drop_every,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(j_ppm) // COUNT(*) AS BIGINT) AS mean_j_ppm,
+           CAST(SUM(CASE WHEN j_ppm >= 500000 THEN 1 ELSE 0 END)
+                * 1000000 // COUNT(*) AS BIGINT) AS detect_at_500k_ppm
+    FROM j GROUP BY drop_every
 """

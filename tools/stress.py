@@ -27,6 +27,7 @@ rows_in_per_sec}}, "total_sec": ...}.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -72,7 +73,15 @@ def main() -> None:
 
     ops: dict[str, dict] = {}
 
+    # optional comma-separated op filter: iterate on ONE ladder without
+    # paying for the whole suite (names as printed / as in STRESS.md)
+    only = {
+        s for s in os.environ.get("SPARK_GRAFT_STRESS_OPS", "").split(",") if s
+    }
+
     def run(name: str, build, n_in: int) -> None:
+        if only and name not in only:
+            return
         t0 = time.perf_counter()
         out = build()
         n_out = out.count() if hasattr(out, "count") else int(out)
@@ -470,6 +479,19 @@ def main() -> None:
     run(
         "shard_manifest",
         lambda: shard_manifest_report(big_docs),
+        rows_in,
+    )
+
+    # CDC chunk dedup at N×: in-row chunk assembly is map-only; the
+    # hazard is the chunk-hash shuffle, whose payload grows N× while
+    # every chunk group becomes an N-copy bucket (the replicated docs
+    # chunk identically) — throughput must stay flat-or-rising, like
+    # exact dedup.
+    from adhesive_spark.queries.audit_queries import cdc_chunk_report
+
+    run(
+        "cdc_chunk_dedup",
+        lambda: cdc_chunk_report(big_docs),
         rows_in,
     )
 
