@@ -3,8 +3,9 @@ around a training run that q280–q305 did not yet cover — pairwise
 preference rating (Bradley–Terry), content-defined-chunking dedup,
 readability profiling, inter-annotator reliability (Krippendorff's
 alpha), autocorrelation of ingest volume, an in-engine linear quality
-classifier, packing-policy efficiency ladders, and a planted-duplicate
-recall audit for the dedup stack itself.
+classifier, packing-policy efficiency ladders, planted-mutation dedup
+calibration, restrictive-license propagation through the near-dup
+graph, and annotation-panel planning.
 
 House conventions: exact integer arithmetic (ppm/milli fixed point,
 division LAST, Spark ``div`` / DuckDB ``//`` — both truncate toward
@@ -1040,4 +1041,196 @@ AUDIT_ORACLES["q313_dedup_threshold_calibration"] = f"""
            CAST(SUM(CASE WHEN j_ppm >= 500000 THEN 1 ELSE 0 END)
                 * 1000000 // COUNT(*) AS BIGINT) AS detect_at_500k_ppm
     FROM j GROUP BY drop_every
+"""
+
+
+# --- q314: license propagation through the near-dup graph -----------------------
+
+
+def q314_license_propagation(spark, sf_dir):
+    """Restrictive-license propagation through the NEAR-duplicate graph
+    (the governance twin of q148's exact-fingerprint takedown sweep):
+    when any member of a near-dup cluster carries a restrictive license
+    tag, the whole cluster is restricted — licenses bind to content,
+    and a paraphrased/mirrored copy of restricted content is still
+    restricted. Tags: a deterministic md5 lane marks ~1/8 of documents
+    (stands in for the crawl's license detector). Per source: direct
+    tags, tags gained via propagation, and the restricted rate in ppm.
+
+    Scale shape: the pair graph is the q46 machinery (shingle-join
+    candidates, df-capped), closure via large-star/small-star
+    (O(log² n) rounds regardless of cluster diameter); the label
+    propagation itself is ONE max-aggregate on the component key +
+    one broadcast-able join back — no per-label iteration."""
+    from adhesive_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        portable_hash32,
+    )
+    from adhesive_spark.operators.graph import connected_components_star
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 300
+    )
+    tagged = docs.select(
+        "doc_id",
+        "source",
+        (
+            portable_hash32(
+                F.concat(F.lit("lic:"), F.col("doc_id").cast("string"))
+            )
+            % 8
+            == 0
+        )
+        .cast("long")
+        .alias("restricted"),
+    )
+    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.1)
+    comp = connected_components_star(pairs).withColumnRenamed(
+        "node", "doc_id"
+    )
+    labeled = tagged.join(comp, "doc_id", "left").select(
+        "doc_id",
+        "source",
+        "restricted",
+        F.coalesce("component", F.col("doc_id")).alias("component"),
+    )
+    cluster_max = labeled.groupBy("component").agg(
+        F.max("restricted").alias("cluster_restricted")
+    )
+    out = labeled.join(cluster_max, "component").groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("restricted").cast("long").alias("direct_restricted"),
+        F.sum("cluster_restricted").cast("long").alias("total_restricted"),
+        F.sum(
+            F.col("cluster_restricted") - F.col("restricted")
+        ).cast("long").alias("propagated"),
+    )
+    return out.selectExpr(
+        "source",
+        "n_docs",
+        "direct_restricted",
+        "total_restricted",
+        "propagated",
+        "total_restricted * 1000000 div n_docs AS restricted_ppm",
+    )
+
+
+AUDIT_QUERIES["q314_license_propagation"] = q314_license_propagation
+
+
+def _license_oracle() -> str:
+    from adhesive_spark.queries.advanced_queries import _PAIR_CTES
+
+    return f"""
+    WITH RECURSIVE {_PAIR_CTES},
+    tagged AS (
+      SELECT doc_id, source,
+             CASE WHEN CAST({_h32("md5('lic:' || CAST(doc_id AS VARCHAR))")}
+                       AS BIGINT) % 8 = 0 THEN 1 ELSE 0 END AS restricted
+      FROM documents WHERE doc_id < 300
+    ),
+    labeled AS (
+      SELECT tg.doc_id, tg.source, tg.restricted,
+             COALESCE(comp.component, tg.doc_id) AS component
+      FROM tagged tg LEFT JOIN comp ON tg.doc_id = comp.node
+    ),
+    cm AS (
+      SELECT component, MAX(restricted) AS cluster_restricted
+      FROM labeled GROUP BY component
+    )
+    SELECT l.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(l.restricted) AS BIGINT) AS direct_restricted,
+           CAST(SUM(cm.cluster_restricted) AS BIGINT) AS total_restricted,
+           CAST(SUM(cm.cluster_restricted - l.restricted) AS BIGINT)
+             AS propagated,
+           CAST(SUM(cm.cluster_restricted) * 1000000 // COUNT(*)
+                AS BIGINT) AS restricted_ppm
+    FROM labeled l JOIN cm ON l.component = cm.component
+    GROUP BY l.source
+"""
+
+
+AUDIT_ORACLES["q314_license_propagation"] = _license_oracle()
+
+
+# --- q315: annotation-panel planner (Spearman–Brown) ----------------------------
+
+
+def q315_annotation_panel_planner(spark, sf_dir):
+    """Annotation-panel sizing: project the q309 panel's measured
+    reliability to k = 1..7 raters with the Spearman–Brown prophecy
+    formula ``r_k = k·α / (1 + (k−1)·α)`` (integer-ppm, division last)
+    and flag the smallest panel that clears the 0.8 publication bar —
+    the "how many raters do I need" planner an RLHF labeling budget is
+    set from.
+
+    Scale shape: one corpus-collapsing aggregate (the q309 single
+    pass), then a 7-row literal spine over the 1-row result — the
+    planner itself is metadata-priced at any corpus size."""
+    alpha = q309_krippendorff_alpha(spark, sf_dir).select("alpha_ppm")
+    ks = spark.range(1, 8).select(F.col("id").cast("long").alias("k"))
+    return (
+        ks.crossJoin(F.broadcast(alpha))
+        .selectExpr(
+            "k",
+            "alpha_ppm",
+            "k * alpha_ppm * 1000000"
+            " div (1000000 + (k - 1) * alpha_ppm) AS projected_alpha_ppm",
+        )
+        .selectExpr(
+            "k",
+            "alpha_ppm",
+            "projected_alpha_ppm",
+            "CASE WHEN projected_alpha_ppm >= 800000 THEN 1 ELSE 0 END"
+            " AS meets_bar",
+        )
+    )
+
+
+AUDIT_QUERIES["q315_annotation_panel_planner"] = q315_annotation_panel_planner
+
+AUDIT_ORACLES["q315_annotation_panel_planner"] = f"""
+    WITH lanes AS ({_KRIPP_LANES}),
+    labels AS (
+      SELECT base AS a,
+             CASE WHEN hb % 10 = 0 THEN (base + 1 + hb % 3) % 4
+                  ELSE base END AS b,
+             CASE WHEN hc % 5 = 0 THEN (base + 1 + hc % 3) % 4
+                  ELSE base END AS c
+      FROM lanes
+    ),
+    per_unit AS (
+      SELECT CAST(a = b AS BIGINT) + CAST(a = c AS BIGINT)
+               + CAST(b = c AS BIGINT) AS e,
+             {", ".join(
+                 f"CAST(a = {v} AS BIGINT) + CAST(b = {v} AS BIGINT)"
+                 f" + CAST(c = {v} AS BIGINT) AS m{v}"
+                 for v in range(4)
+             )}
+      FROM labels
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_units,
+             CAST(SUM(6 - 2 * e) AS BIGINT) AS dis,
+             {", ".join(
+                 f"CAST(SUM(m{v}) AS BIGINT) AS n{v}" for v in range(4)
+             )}
+      FROM per_unit
+    ),
+    alpha AS (
+      SELECT CAST(1000000 - CAST(dis AS HUGEINT) * (n_units * 3 - 1)
+                  * 1000000 // (2 * CAST(
+                    n0 * (n_units * 3 - n0) + n1 * (n_units * 3 - n1)
+                    + n2 * (n_units * 3 - n2) + n3 * (n_units * 3 - n3)
+                    AS HUGEINT)) AS BIGINT) AS alpha_ppm
+      FROM agg
+    )
+    SELECT CAST(u.k AS BIGINT) AS k, alpha_ppm,
+           CAST(u.k * alpha_ppm * 1000000
+                // (1000000 + (u.k - 1) * alpha_ppm) AS BIGINT)
+             AS projected_alpha_ppm,
+           CAST(CASE WHEN u.k * alpha_ppm * 1000000
+                     // (1000000 + (u.k - 1) * alpha_ppm) >= 800000
+                THEN 1 ELSE 0 END AS BIGINT) AS meets_bar
+    FROM alpha, UNNEST(generate_series(1, 7)) AS u(k)
 """

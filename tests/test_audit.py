@@ -185,3 +185,47 @@ def test_dedup_calibration_monotone_in_mutation_rate(spark, sf_dir):
     )
     n = rows[3].n_docs
     assert all(r.n_docs == n for r in rows.values())
+
+
+def test_license_propagation_conservation(spark, sf_dir):
+    """propagated = total - direct per source; total >= direct; the
+    restricted rate is a valid ppm; and the GLOBAL direct count equals
+    an independent replay of the md5 lane."""
+    import hashlib
+
+    from adhesive_spark.queries.audit_queries import q314_license_propagation
+
+    rows = q314_license_propagation(spark, sf_dir).collect()
+    ids = [
+        r.doc_id
+        for r in load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 300)
+        .select("doc_id")
+        .collect()
+    ]
+    want_direct = sum(
+        1
+        for i in ids
+        if int(hashlib.md5(f"lic:{i}".encode()).hexdigest()[:8], 16) % 8 == 0
+    )
+    assert sum(r.direct_restricted for r in rows) == want_direct
+    for r in rows:
+        assert r.propagated == r.total_restricted - r.direct_restricted
+        assert r.direct_restricted <= r.total_restricted <= r.n_docs
+        assert 0 <= r.restricted_ppm <= 1_000_000
+
+
+def test_panel_planner_monotone_and_fixed_points(spark, sf_dir):
+    """Spearman-Brown is monotone in k, equals alpha at k=1, and the
+    meets_bar flag matches the projection."""
+    from adhesive_spark.queries.audit_queries import (
+        q315_annotation_panel_planner,
+    )
+
+    rows = {r.k: r for r in q315_annotation_panel_planner(spark, sf_dir).collect()}
+    assert set(rows) == set(range(1, 8))
+    assert rows[1].projected_alpha_ppm == rows[1].alpha_ppm
+    for k in range(2, 8):
+        assert rows[k].projected_alpha_ppm >= rows[k - 1].projected_alpha_ppm
+    for r in rows.values():
+        assert r.meets_bar == (1 if r.projected_alpha_ppm >= 800_000 else 0)

@@ -333,6 +333,8 @@ AUDITED = [
     "q311_linear_quality_scorer",
     "q312_packing_policy_ladder",
     "q313_dedup_threshold_calibration",
+    "q314_license_propagation",
+    "q315_annotation_panel_planner",
 ]
 
 
