@@ -72,9 +72,14 @@ def q306_bradley_terry(spark, sf_dir):
     every MM iteration then runs on K² rows — broadcast joins, no
     corpus-sized shuffle after the first aggregate. At 100 TB the
     matrix is still K², so iteration cost is O(1) in corpus size."""
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id", "ts", "event_id", "event_type", "value"
-    )
+    return bradley_terry_report(load_table(spark, sf_dir, "events"))
+
+
+def bradley_terry_report(ev):
+    """DF-level core of q306 (takes any events DataFrame with
+    user_id/ts/event_id/event_type/value) — shared with the stress
+    harness, which drives it over the N×-replicated log."""
+    ev = ev.select("user_id", "ts", "event_id", "event_type", "value")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     duels = (
         ev.select(

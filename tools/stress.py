@@ -487,12 +487,28 @@ def main() -> None:
     # every chunk group becomes an N-copy bucket (the replicated docs
     # chunk identically) — throughput must stay flat-or-rising, like
     # exact dedup.
-    from adhesive_spark.queries.audit_queries import cdc_chunk_report
+    from adhesive_spark.queries.audit_queries import (
+        bradley_terry_report,
+        cdc_chunk_report,
+    )
 
     run(
         "cdc_chunk_dedup",
         lambda: cdc_chunk_report(big_docs),
         rows_in,
+    )
+
+    # Bradley–Terry at N×: replication multiplies the duel-window pass
+    # (event_id remap keeps rows unique; same-type/same-value adjacent
+    # copies are filtered as ties) but the win matrix stays K² and the
+    # 3 MM iterations are replication-INVARIANT — wall must grow only
+    # with the first corpus pass, never with iteration count × N.
+    run(
+        "bradley_terry",
+        lambda: bradley_terry_report(
+            replicate(events, "event_id", reps)
+        ),
+        n_events * reps,
     )
 
     total = round(sum(o["sec"] for o in ops.values()), 2)
