@@ -932,3 +932,74 @@ def subsample_y4m(media: DataFrame, every_n: int = 2) -> DataFrame:
             )
 
     return media.mapInPandas(_sub, schema=MEDIA_SCHEMA)
+
+
+def pad_wav(media: DataFrame, multiple: int = 1024) -> DataFrame:
+    """REAL audio TRANSFORM: zero-pad each WAV payload's PCM up to the
+    next ``multiple``-sample boundary and re-emit a VALID RIFF/WAVE
+    byte stream — the frame-alignment stage before fixed-window audio
+    feature extraction (STFT/fbank front ends require whole frames;
+    trainers pad, never truncate). Padded samples are silence (zero
+    blocks) appended after the PARSED data offset, so valid-but-
+    noncanonical layouts survive; padded count = ceil(n/multiple)·
+    multiple, closed-form for the oracle. Non-WAV payloads are dropped
+    (strict-codec contract); linear mapInPandas, no shuffle; bytes
+    grow by at most one frame per clip.
+    """
+    import numpy as np
+
+    from adhesive_spark.sources.registry import ensure_parallelism
+
+    if multiple < 1:
+        raise ValueError("multiple must be >= 1")
+    media = ensure_parallelism(media)
+
+    def _pad(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, mtypes, payloads, metas = [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                b = bytes(payload)
+                wv = _parse_wav(b)
+                if wv is None:
+                    continue
+                _dur, n_samples, rate, data_off, blk, ch, bits = wv
+                if bits % 8 or blk != ch * (bits // 8):
+                    continue  # layout the wave writer can't re-emit
+                pad = (-n_samples) % multiple
+                blocks = np.frombuffer(
+                    b, dtype=np.uint8, count=n_samples * blk, offset=data_off
+                )
+                out = io.BytesIO()
+                with wave.open(out, "wb") as w:
+                    w.setnchannels(ch)
+                    w.setsampwidth(bits // 8)
+                    w.setframerate(rate)
+                    w.writeframes(blocks.tobytes() + b"\x00" * (pad * blk))
+                nb = out.getvalue()
+                ids.append(int(mid))
+                mtypes.append("audio")
+                payloads.append(nb)
+                metas.append(
+                    {
+                        "mime": "audio/wav",
+                        "n_bytes": len(nb),
+                        "source": f"padded/{multiple}",
+                    }
+                )
+            if not ids:
+                # a batch whose rows were all dropped: yield NOTHING —
+                # an empty object column cannot be serialized as the
+                # meta struct (pyarrow 'Expected struct array')
+                continue
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.array(ids, dtype="int64"),
+                    "media_type": mtypes,
+                    "payload": payloads,
+                    "meta": metas,
+                }
+            )
+
+    return media.mapInPandas(_pad, schema=MEDIA_SCHEMA)

@@ -2075,6 +2075,51 @@ PIPELINE_ORACLES["q273_wav_resample_audit"] = """
 """
 
 
+def q316_wav_pad_align_audit(spark, sf_dir):
+    """Audio TRANSFORM audit #5: zero-pad every WAV payload's PCM up to
+    the next 1024-sample frame boundary (operators/multimodal.pad_wav —
+    re-emits VALID RIFF bytes) and strict-decode the RESULT — the
+    frame-alignment stage before fixed-window feature extraction
+    (STFT/fbank front ends consume whole frames; trainers pad, never
+    truncate). decode(transform(x)) is the contract: the padded sample
+    count must be exactly ceil(n/1024)·1024 and duration stretches by
+    the silence tail. Oracle is closed-form byte arithmetic off the
+    synthesized n_samples (800 + (id%64)*8 at 8 kHz).
+
+    Scale shape: one linear mapInPandas pass, no shuffle; payload bytes
+    never shuffled; growth bounded by one frame per clip."""
+    from adhesive_spark.operators.multimodal import (
+        pad_wav,
+        synthesize_real_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 3 == 1
+    )
+    padded = decode_media(
+        pad_wav(synthesize_real_media(docs), multiple=1024), codec="real"
+    )
+    return padded.select(
+        "media_id",
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        F.col("duration_ms").cast("long").alias("duration_ms"),
+    )
+
+
+PIPELINE_QUERIES["q316_wav_pad_align_audit"] = q316_wav_pad_align_audit
+
+# padded WAV: n' = ceil(n/1024)*1024 samples @ 8 kHz ->
+# n_bytes = 44 + 2*n', duration = n'*1000 div 8000
+PIPELINE_ORACLES["q316_wav_pad_align_audit"] = """
+    SELECT doc_id AS media_id,
+           44 + 2 * (((800 + (doc_id % 64) * 8) + 1023) // 1024 * 1024)
+             AS n_bytes,
+           ((((800 + (doc_id % 64) * 8) + 1023) // 1024 * 1024) * 1000)
+             // 8000 AS duration_ms
+    FROM documents WHERE doc_id % 3 = 1
+"""
+
+
 def q277_ppm_downscale_audit(spark, sf_dir):
     """Image TRANSFORM audit: stride-2 downscale every PPM raster
     (operators/multimodal.downscale_ppm — re-emits VALID P6 bytes) and

@@ -1128,3 +1128,38 @@ def test_grayscale_ppm_roundtrip_through_strict_codec(spark, sf_dir):
     stats = {r.media_id: r for r in image_channel_stats(gray).collect()}
     for mid, s in stats.items():
         assert s.mean_r_milli == s.mean_g_milli == s.mean_b_milli, (mid, s)
+
+
+def test_pad_wav_roundtrip_through_strict_codec(spark, sf_dir):
+    """The padded payloads must be GENUINE WAV bytes: strict decode
+    succeeds, the sample count lands exactly on the next 1024-sample
+    frame boundary, padding never exceeds one frame, and a payload
+    already aligned is re-emitted unchanged in size."""
+    from pyspark.sql import functions as F
+
+    from adhesive_spark.operators.multimodal import (
+        decode_media,
+        pad_wav,
+        synthesize_real_media,
+    )
+    from adhesive_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        (F.col("doc_id") % 3 == 1) & (F.col("doc_id") < 90)
+    )
+    media = synthesize_real_media(docs)
+    orig = {
+        r.media_id: r for r in decode_media(media, codec="real").collect()
+    }
+    padded = {
+        r.media_id: r
+        for r in decode_media(pad_wav(media, 1024), codec="real").collect()
+    }
+    assert set(padded) == set(orig) and orig, "round-trip lost payloads"
+    for mid, p in padded.items():
+        o = orig[mid]
+        n = (o.n_bytes - 44) // 2
+        n_pad = (p.n_bytes - 44) // 2
+        assert n_pad == -(-n // 1024) * 1024, (mid, n, n_pad)
+        assert 0 <= n_pad - n < 1024, (mid, n, n_pad)
+        assert p.duration_ms >= o.duration_ms

@@ -335,6 +335,7 @@ AUDITED = [
     "q313_dedup_threshold_calibration",
     "q314_license_propagation",
     "q315_annotation_panel_planner",
+    "q316_wav_pad_align_audit",
 ]
 
 
