@@ -1239,3 +1239,175 @@ AUDIT_ORACLES["q315_annotation_panel_planner"] = f"""
                 THEN 1 ELSE 0 END AS BIGINT) AS meets_bar
     FROM alpha, UNNEST(generate_series(1, 7)) AS u(k)
 """
+
+
+# --- q317: b-bit minwise banding audit ------------------------------------------
+
+
+def q317_bbit_minhash_audit(spark, sf_dir):
+    """b-bit minwise hashing audit (Li & König 2010): storing only the
+    lowest b bits of each MinHash value shrinks signature memory 16–32×
+    but inflates LSH candidate sets (distinct values can collide in b
+    bits). This query prices that tradeoff EXACTLY on the corpus: the
+    full 16-band/4-row pipeline's distinct candidate pairs vs the same
+    banding over b-bit values, for b = 2 and b = 4 — the number a dedup
+    operator uses to pick b before a 100 TB signature build. Full-band
+    equality implies b-bit equality, so extra ≥ 0 by construction
+    (asserted by pytest).
+
+    Scale shape: one signature pass (the q37 machinery, localCheckpoint
+    boundary), then three band self-joins whose buckets are bounded by
+    the band-key space; the b-bit lanes reuse the SAME checkpointed
+    signatures — no second shingle pass. Capped input (doc_id < 600,
+    the q116 convention) keeps the pair-quadratic oracle tractable;
+    at-scale evidence is the STRESS minhash ladder."""
+    from adhesive_spark.operators.dedup import minhash_base_and_bands
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 600
+    )
+    base, band_full = minhash_base_and_bands(docs, "text", "doc_id")
+
+    def pairs_count(rows):
+        a = rows.select(
+            F.col("id").alias("id_a"), "band_idx",
+            F.col("band_hash").alias("k"),
+        )
+        b = rows.select(
+            F.col("id").alias("id_b"), "band_idx",
+            F.col("band_hash").alias("k"),
+        )
+        return (
+            a.join(b, ["band_idx", "k"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+            .agg(F.count("*").cast("long").alias("n"))
+        )
+
+    def bbit_rows(mod):
+        return base.select(
+            "id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(15)),
+                    lambda bi: F.struct(
+                        bi.alias("band_idx"),
+                        F.md5(
+                            F.concat_ws(
+                                "_",
+                                F.transform(
+                                    F.slice(F.col("sig"), bi * 4 + 1, 4),
+                                    lambda x: (x % mod).cast("string"),
+                                ),
+                            )
+                        ).alias("band_hash"),
+                    ),
+                )
+            ).alias("b"),
+        ).select("id", "b.band_idx", "b.band_hash")
+
+    full_n = pairs_count(band_full)
+    out = None
+    for bits, mod in ((2, 4), (4, 16)):
+        row = (
+            pairs_count(bbit_rows(mod))
+            .withColumnRenamed("n", "cand_bbit")
+            .crossJoin(F.broadcast(full_n.withColumnRenamed("n", "cand_full")))
+            .select(
+                F.lit(bits).cast("long").alias("b_bits"),
+                "cand_full",
+                "cand_bbit",
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.selectExpr(
+        "b_bits",
+        "cand_full",
+        "cand_bbit",
+        "cand_bbit - cand_full AS extra",
+        "(cand_bbit - cand_full) * 1000000"
+        " div greatest(cand_full, 1L) AS inflation_ppm",
+    )
+
+
+AUDIT_QUERIES["q317_bbit_minhash_audit"] = q317_bbit_minhash_audit
+
+
+def _bbit_oracle() -> str:
+    from adhesive_spark.operators.dedup import _MERSENNE, _perm_coeffs
+    from adhesive_spark.queries.pipeline_queries import _byte_from_hex
+
+    coeffs = _perm_coeffs(64, 42)
+    coeff_rows = ", ".join(
+        f"({i}, {a}::BIGINT, {b}::BIGINT)" for i, (a, b) in enumerate(coeffs)
+    )
+    h32 = (
+        f"({_byte_from_hex('h', 1)} * 16777216 "
+        f"+ {_byte_from_hex('h', 2)} * 65536 "
+        f"+ {_byte_from_hex('h', 3)} * 256 "
+        f"+ {_byte_from_hex('h', 4)})"
+    )
+    return f"""
+    WITH t AS (
+      SELECT doc_id, {_NORM} AS norm, {_TOKS} AS toks
+      FROM documents WHERE doc_id < 600
+    ),
+    g AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) - 2 >= 1
+                  THEN list_distinct(list_transform(
+                         range(1, len(toks) - 2 + 1),
+                         i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))
+                  ELSE [norm] END AS grams
+      FROM t
+    ),
+    hx AS (SELECT doc_id, md5(unnest(grams)) AS h FROM g),
+    bhr AS (SELECT doc_id, {h32} % {_MERSENNE} AS base FROM hx),
+    co(i, a, b) AS (VALUES {coeff_rows}),
+    sig AS (
+      SELECT bhr.doc_id, co.i,
+             MIN((bhr.base * co.a + co.b) % {_MERSENNE}) AS s
+      FROM bhr CROSS JOIN co
+      GROUP BY bhr.doc_id, co.i
+    ),
+    bk AS (
+      SELECT doc_id, CAST(i // 4 AS INT) AS band_idx,
+             md5(string_agg(CAST(s AS VARCHAR), '_' ORDER BY i)) AS k2f,
+             md5(string_agg(CAST(s % 4 AS VARCHAR), '_' ORDER BY i)) AS k2,
+             md5(string_agg(CAST(s % 16 AS VARCHAR), '_' ORDER BY i)) AS k4
+      FROM sig GROUP BY doc_id, CAST(i // 4 AS INT)
+    ),
+    cf AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n FROM (
+        SELECT DISTINCT a.doc_id, b.doc_id
+        FROM bk a JOIN bk b
+          ON a.band_idx = b.band_idx AND a.k2f = b.k2f
+         AND a.doc_id < b.doc_id)
+    ),
+    c2 AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n FROM (
+        SELECT DISTINCT a.doc_id, b.doc_id
+        FROM bk a JOIN bk b
+          ON a.band_idx = b.band_idx AND a.k2 = b.k2
+         AND a.doc_id < b.doc_id)
+    ),
+    c4 AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n FROM (
+        SELECT DISTINCT a.doc_id, b.doc_id
+        FROM bk a JOIN bk b
+          ON a.band_idx = b.band_idx AND a.k4 = b.k4
+         AND a.doc_id < b.doc_id)
+    )
+    SELECT CAST(2 AS BIGINT) AS b_bits, cf.n AS cand_full,
+           c2.n AS cand_bbit, c2.n - cf.n AS extra,
+           (c2.n - cf.n) * 1000000 // greatest(cf.n, 1) AS inflation_ppm
+    FROM cf, c2
+    UNION ALL
+    SELECT CAST(4 AS BIGINT), cf.n, c4.n, c4.n - cf.n,
+           (c4.n - cf.n) * 1000000 // greatest(cf.n, 1)
+    FROM cf, c4
+"""
+
+
+AUDIT_ORACLES["q317_bbit_minhash_audit"] = _bbit_oracle()

@@ -229,3 +229,17 @@ def test_panel_planner_monotone_and_fixed_points(spark, sf_dir):
         assert rows[k].projected_alpha_ppm >= rows[k - 1].projected_alpha_ppm
     for r in rows.values():
         assert r.meets_bar == (1 if r.projected_alpha_ppm >= 800_000 else 0)
+
+
+def test_bbit_audit_containment_hierarchy(spark, sf_dir):
+    """Full-band equality implies b-bit equality and fewer bits can
+    only collide MORE: cand_full <= cand_bbit(4) <= cand_bbit(2)."""
+    from adhesive_spark.queries.audit_queries import q317_bbit_minhash_audit
+
+    rows = {r.b_bits: r for r in q317_bbit_minhash_audit(spark, sf_dir).collect()}
+    assert set(rows) == {2, 4}
+    assert rows[2].cand_full == rows[4].cand_full
+    assert rows[4].cand_full <= rows[4].cand_bbit <= rows[2].cand_bbit
+    for r in rows.values():
+        assert r.extra == r.cand_bbit - r.cand_full >= 0
+        assert r.inflation_ppm >= 0

@@ -336,6 +336,7 @@ AUDITED = [
     "q314_license_propagation",
     "q315_annotation_panel_planner",
     "q316_wav_pad_align_audit",
+    "q317_bbit_minhash_audit",
 ]
 
 
