@@ -1411,3 +1411,260 @@ def _bbit_oracle() -> str:
 
 
 AUDIT_ORACLES["q317_bbit_minhash_audit"] = _bbit_oracle()
+
+
+# --- q318: per-source quantile-matched quality filtering -------------------------
+
+
+def q318_quantile_matched_filter(spark, sf_dir):
+    """Per-source quantile-matched quality filtering vs a global
+    threshold: keeping "quality ≥ global p75" starves weak sources
+    (one domain can lose everything), while "top quarter of EACH
+    source" preserves the mixture — the per-domain calibration step
+    real curation pipelines apply before mixing. This query prices
+    both policies exactly: per source, documents kept by its OWN p75
+    vs by the corpus-wide p75 (both nearest-rank, ties-inclusive).
+
+    Scale shape: NO per-document ranking anywhere — both thresholds
+    come from the distinct-VALUE rank trick (group to (source, q_s)
+    counts, running sum over distinct quality values only — the
+    q225/q303 bounded-domain discipline), then one broadcast join
+    back. A naive row_number-per-source would sort each source in one
+    partition; this never does."""
+    from adhesive_spark.operators.text import quality_score, scaled_long
+
+    scored = load_table(spark, sf_dir, "documents").select(
+        "source", scaled_long(quality_score(F.col("text")), 4).alias("q_s")
+    )
+    by_val = scored.groupBy("source", "q_s").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    # per-source threshold: largest q_s whose descending cumulative
+    # count reaches ceil(n/4) — distinct-value window only
+    ws = (
+        Window.partitionBy("source")
+        .orderBy(F.col("q_s").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    totals = by_val.groupBy("source").agg(
+        F.sum("cnt").cast("long").alias("n_docs")
+    )
+    local_thr = (
+        by_val.select(
+            "source", "q_s", F.sum("cnt").over(ws).alias("cum")
+        )
+        .join(totals, "source")
+        .where(F.expr("cum >= (n_docs + 3) div 4"))
+        .groupBy("source")
+        .agg(F.max("q_s").alias("local_thr"))
+    )
+    # global threshold: same trick over corpus-wide distinct values
+    gv = scored.groupBy("q_s").agg(F.count("*").cast("long").alias("cnt"))
+    wg = (
+        Window.orderBy(F.col("q_s").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    global_thr = (
+        gv.select("q_s", F.sum("cnt").over(wg).alias("cum"))
+        .crossJoin(F.broadcast(scored.agg(F.count("*").alias("n"))))
+        .where(F.expr("cum >= (n + 3) div 4"))
+        .agg(F.max("q_s").alias("global_thr"))
+    )
+    return (
+        scored.join(F.broadcast(local_thr), "source")
+        .crossJoin(F.broadcast(global_thr))
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum((F.col("q_s") >= F.col("local_thr")).cast("long"))
+            .cast("long")
+            .alias("kept_local"),
+            F.sum((F.col("q_s") >= F.col("global_thr")).cast("long"))
+            .cast("long")
+            .alias("kept_global"),
+        )
+        .selectExpr(
+            "source",
+            "n_docs",
+            "kept_local",
+            "kept_global",
+            "kept_local * 1000000 div n_docs AS local_ppm",
+            "kept_global * 1000000 div n_docs AS global_ppm",
+        )
+    )
+
+
+AUDIT_QUERIES["q318_quantile_matched_filter"] = q318_quantile_matched_filter
+
+def _qmf_oracle() -> str:
+    from adhesive_spark.queries.advanced_queries import _quality_sql
+
+    return f"""
+    WITH t AS (
+      SELECT source, text, {_TOKS} AS toks FROM documents
+    ),
+    scored AS (
+      SELECT source,
+             CAST(ROUND(({_quality_sql()}) * 10000, 0) AS BIGINT) AS q_s
+      FROM t
+    ),
+    by_val AS (
+      SELECT source, q_s, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM scored GROUP BY source, q_s
+    ),
+    totals AS (
+      SELECT source, CAST(SUM(cnt) AS BIGINT) AS n_docs
+      FROM by_val GROUP BY source
+    ),
+    local_thr AS (
+      SELECT source, MAX(q_s) AS local_thr FROM (
+        SELECT b.source, b.q_s,
+               SUM(b.cnt) OVER (PARTITION BY b.source ORDER BY b.q_s DESC
+                 ROWS UNBOUNDED PRECEDING) AS cum,
+               t.n_docs
+        FROM by_val b JOIN totals t ON b.source = t.source
+      ) WHERE cum >= (n_docs + 3) // 4
+      GROUP BY source
+    ),
+    global_thr AS (
+      SELECT MAX(q_s) AS global_thr FROM (
+        SELECT q_s,
+               SUM(cnt) OVER (ORDER BY q_s DESC ROWS UNBOUNDED PRECEDING)
+                 AS cum,
+               (SELECT COUNT(*) FROM scored) AS n
+        FROM (SELECT q_s, COUNT(*) AS cnt FROM scored GROUP BY q_s)
+      ) WHERE cum >= (n + 3) // 4
+    )
+    SELECT s.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN s.q_s >= l.local_thr THEN 1 ELSE 0 END)
+                AS BIGINT) AS kept_local,
+           CAST(SUM(CASE WHEN s.q_s >= g.global_thr THEN 1 ELSE 0 END)
+                AS BIGINT) AS kept_global,
+           CAST(SUM(CASE WHEN s.q_s >= l.local_thr THEN 1 ELSE 0 END)
+                * 1000000 // COUNT(*) AS BIGINT) AS local_ppm,
+           CAST(SUM(CASE WHEN s.q_s >= g.global_thr THEN 1 ELSE 0 END)
+                * 1000000 // COUNT(*) AS BIGINT) AS global_ppm
+    FROM scored s
+    JOIN local_thr l ON s.source = l.source
+    CROSS JOIN global_thr g
+    GROUP BY s.source
+"""
+
+
+AUDIT_ORACLES["q318_quantile_matched_filter"] = _qmf_oracle()
+
+
+# --- q319: deterministic half-sample bootstrap CI ---------------------------------
+
+
+def q319_halfsample_bootstrap_ci(spark, sf_dir):
+    """Uncertainty quantification without randomness: 32 deterministic
+    half-sample replicas (row r enters replica b iff
+    ``portable_hash32('bs' || b || ':' || event_id)`` is even — an
+    honest subsampling bootstrap, reproducible across engines and
+    reruns) estimate the sampling spread of each event type's mean
+    value; the CI band is the nearest-rank p05/p95 of the 32 replica
+    means (ranks 2 and 31). Exact integer cents throughout, division
+    LAST — the error bars an experimentation readout ships next to its
+    point estimates.
+
+    Scale shape: one explode to a BOUNDED 32× row multiplier that
+    map-side combines immediately to the (event_type, replica) grain
+    (K·32 rows); the rank window then runs over 32 rows per type.
+    Corpus-linear with a constant-factor fan-out; no resampling
+    shuffle of raw rows."""
+    from adhesive_spark.operators.dedup import portable_hash32
+    from adhesive_spark.operators.text import scaled_long
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", scaled_long(F.col("value"), 2).alias("c")
+    )
+    lanes = ev.select(
+        "event_type",
+        "c",
+        F.explode(
+            F.filter(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(31)),
+                    lambda b: F.when(
+                        portable_hash32(
+                            F.concat(
+                                F.lit("bs"),
+                                b.cast("string"),
+                                F.lit(":"),
+                                F.col("event_id").cast("string"),
+                            )
+                        )
+                        % 2
+                        == 0,
+                        b,
+                    ),
+                ),
+                lambda x: x.isNotNull(),
+            )
+        ).alias("b"),
+    )
+    rep_means = lanes.groupBy("event_type", "b").agg(
+        F.expr("sum(c) div count(*)").alias("rep_mean_c")
+    )
+    wr = Window.partitionBy("event_type").orderBy("rep_mean_c", "b")
+    ranked = rep_means.select(
+        "event_type",
+        "rep_mean_c",
+        F.row_number().over(wr).alias("r"),
+    )
+    ci = ranked.groupBy("event_type").agg(
+        F.max(F.when(F.col("r") == 2, F.col("rep_mean_c"))).alias("ci_lo_c"),
+        F.max(F.when(F.col("r") == 31, F.col("rep_mean_c"))).alias("ci_hi_c"),
+        F.count("*").cast("long").alias("n_replicas"),
+    )
+    point = ev.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.expr("sum(c) div count(*)").alias("mean_c"),
+    )
+    return point.join(ci, "event_type").select(
+        "event_type", "n", "mean_c", "ci_lo_c", "ci_hi_c", "n_replicas"
+    )
+
+
+AUDIT_QUERIES["q319_halfsample_bootstrap_ci"] = q319_halfsample_bootstrap_ci
+
+AUDIT_ORACLES["q319_halfsample_bootstrap_ci"] = f"""
+    WITH ev AS (
+      SELECT event_id, event_type,
+             CAST(ROUND(value * 100, 0) AS BIGINT) AS c
+      FROM events
+    ),
+    lanes AS (
+      SELECT event_type, c, bb.b
+      FROM ev CROSS JOIN (SELECT UNNEST(generate_series(0, 31)) AS b) bb
+      WHERE CAST({_h32("md5('bs' || CAST(bb.b AS VARCHAR) || ':' || CAST(event_id AS VARCHAR))")}
+                 AS BIGINT) % 2 = 0
+    ),
+    rep_means AS (
+      SELECT event_type, b,
+             CAST(SUM(c) // COUNT(*) AS BIGINT) AS rep_mean_c
+      FROM lanes GROUP BY event_type, b
+    ),
+    ranked AS (
+      SELECT event_type, rep_mean_c,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY rep_mean_c, b) AS r
+      FROM rep_means
+    ),
+    ci AS (
+      SELECT event_type,
+             MAX(CASE WHEN r = 2 THEN rep_mean_c END) AS ci_lo_c,
+             MAX(CASE WHEN r = 31 THEN rep_mean_c END) AS ci_hi_c,
+             CAST(COUNT(*) AS BIGINT) AS n_replicas
+      FROM ranked GROUP BY event_type
+    ),
+    point AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(c) // COUNT(*) AS BIGINT) AS mean_c
+      FROM ev GROUP BY event_type
+    )
+    SELECT p.event_type, p.n, p.mean_c, ci.ci_lo_c, ci.ci_hi_c,
+           ci.n_replicas
+    FROM point p JOIN ci ON p.event_type = ci.event_type
+"""

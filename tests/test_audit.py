@@ -243,3 +243,36 @@ def test_bbit_audit_containment_hierarchy(spark, sf_dir):
     for r in rows.values():
         assert r.extra == r.cand_bbit - r.cand_full >= 0
         assert r.inflation_ppm >= 0
+
+
+def test_quantile_matched_filter_mixture_preservation(spark, sf_dir):
+    """Per-source p75 keeps >= 25% of EVERY source (ties-inclusive);
+    the global threshold keeps >= 25% only in aggregate."""
+    from adhesive_spark.queries.audit_queries import (
+        q318_quantile_matched_filter,
+    )
+
+    rows = q318_quantile_matched_filter(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.kept_local * 4 >= r.n_docs, r  # ties-inclusive >= 25%
+        assert 0 < r.kept_local <= r.n_docs
+        assert 0 <= r.kept_global <= r.n_docs
+    total = sum(r.n_docs for r in rows)
+    kept_g = sum(r.kept_global for r in rows)
+    assert kept_g * 4 >= total  # global threshold keeps >= 25% overall
+
+
+def test_bootstrap_ci_brackets_point_estimate(spark, sf_dir):
+    """All 32 replicas present; the nearest-rank band is ordered and
+    (for half-sampling of a stable mean) brackets the point estimate."""
+    from adhesive_spark.queries.audit_queries import (
+        q319_halfsample_bootstrap_ci,
+    )
+
+    rows = q319_halfsample_bootstrap_ci(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_replicas == 32
+        assert r.ci_lo_c <= r.ci_hi_c
+        assert r.ci_lo_c <= r.mean_c <= r.ci_hi_c, r

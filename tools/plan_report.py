@@ -337,6 +337,8 @@ AUDITED = [
     "q315_annotation_panel_planner",
     "q316_wav_pad_align_audit",
     "q317_bbit_minhash_audit",
+    "q318_quantile_matched_filter",
+    "q319_halfsample_bootstrap_ci",
 ]
 
 
