@@ -1668,3 +1668,237 @@ AUDIT_ORACLES["q319_halfsample_bootstrap_ci"] = f"""
            ci.n_replicas
     FROM point p JOIN ci ON p.event_type = ci.event_type
 """
+
+
+# --- q320: prefix-cache hit-rate estimator ---------------------------------------
+
+
+def q320_prefix_cache_estimate(spark, sf_dir):
+    """KV prefix-cache economics: how much prompt-prefix reuse exists in
+    the corpus at prefix lengths 8/16/32 tokens? Documents sharing an
+    exact k-token prefix can reuse one cached KV segment; for each k
+    this reports the docs that share a prefix with at least one other
+    doc and the reusable token mass (``(group_size − 1)·k`` per prefix
+    group) as ppm of all prefix tokens — the number a serving fleet's
+    cache sizing and a dedup-adjacent curation pass both read.
+
+    Scale shape: the k-token prefix hash is IN-ROW (md5 over the
+    sliced token array — payload text never shuffled); one
+    map-side-combined aggregate per k on the 3-row ladder, then a
+    3-row rollup. Corpus-linear."""
+    from adhesive_spark.operators.text import tokens
+    from adhesive_spark.sources.registry import ensure_parallelism
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents")).select(
+        tokens(F.col("text")).alias("toks")
+    )
+    lanes = docs.select(
+        F.explode(
+            F.array(*[F.lit(k) for k in (8, 16, 32)])
+        ).alias("k"),
+        "toks",
+    ).select(
+        "k",
+        F.md5(
+            F.concat_ws(" ", F.slice(F.col("toks"), 1, F.col("k")))
+        ).alias("p"),
+        (F.least(F.size("toks"), F.col("k"))).cast("long").alias("p_toks"),
+    )
+    groups = lanes.groupBy("k", "p").agg(
+        F.count("*").cast("long").alias("g"),
+        F.sum("p_toks").cast("long").alias("toks_in_group"),
+        F.max("p_toks").cast("long").alias("one_copy_toks"),
+    )
+    return groups.groupBy("k").agg(
+        F.sum("g").cast("long").alias("n_docs"),
+        F.count("*").cast("long").alias("n_prefixes"),
+        F.sum(F.when(F.col("g") >= 2, F.col("g")).otherwise(0))
+        .cast("long")
+        .alias("docs_sharing"),
+        F.expr(
+            "sum(CASE WHEN g >= 2 THEN toks_in_group - one_copy_toks"
+            " ELSE 0 END) * 1000000 div greatest(sum(toks_in_group), 1L)"
+        ).alias("reusable_ppm"),
+    ).select(
+        F.col("k").cast("long").alias("k"),
+        "n_docs",
+        "n_prefixes",
+        "docs_sharing",
+        "reusable_ppm",
+    )
+
+
+AUDIT_QUERIES["q320_prefix_cache_estimate"] = q320_prefix_cache_estimate
+
+AUDIT_ORACLES["q320_prefix_cache_estimate"] = f"""
+    WITH t AS (SELECT {_TOKS} AS toks FROM documents),
+    lanes AS (
+      SELECT kk.k,
+             md5(array_to_string(toks[1:kk.k], ' ')) AS p,
+             CAST(least(len(toks), kk.k) AS BIGINT) AS p_toks
+      FROM t CROSS JOIN (SELECT UNNEST([8, 16, 32]) AS k) kk
+    ),
+    groups AS (
+      SELECT k, p, CAST(COUNT(*) AS BIGINT) AS g,
+             CAST(SUM(p_toks) AS BIGINT) AS toks_in_group,
+             CAST(MAX(p_toks) AS BIGINT) AS one_copy_toks
+      FROM lanes GROUP BY k, p
+    )
+    SELECT CAST(k AS BIGINT) AS k,
+           CAST(SUM(g) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_prefixes,
+           CAST(SUM(CASE WHEN g >= 2 THEN g ELSE 0 END) AS BIGINT)
+             AS docs_sharing,
+           CAST(SUM(CASE WHEN g >= 2 THEN toks_in_group - one_copy_toks
+                    ELSE 0 END) * 1000000
+                // greatest(SUM(toks_in_group), 1) AS BIGINT)
+             AS reusable_ppm
+    FROM groups GROUP BY k
+"""
+
+
+# --- q321: cluster-aware sharding vs hash sharding --------------------------------
+
+
+def q321_cluster_aware_sharding(spark, sf_dir):
+    """Shard-assignment policy audit: hash-sharding scatters near-dup
+    cluster members across shards (hurting compression and making
+    shard-local dedup incomplete); cluster-aware sharding routes each
+    component by its representative's hash (locality by construction)
+    at the price of coarser balance. This query prices both on the
+    real near-dup graph: per policy, clusters split across shards, the
+    split rate in ppm, and the max-shard load (the balance cost) over
+    8 shards.
+
+    Scale shape: the pair graph + star-CC closure is the q46/q314
+    machinery; both policies are then ONE aggregate each over
+    (component, shard) — the routing decision is a hash, never a
+    lookup table. Capped input (doc_id < 300, q46 convention)."""
+    from adhesive_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        portable_hash32,
+    )
+    from adhesive_spark.operators.graph import connected_components_star
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 300
+    )
+    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.1)
+    comp = connected_components_star(pairs).withColumnRenamed(
+        "node", "doc_id"
+    )
+    labeled = (
+        docs.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", F.col("doc_id")).alias("component"),
+        )
+        .select(
+            "component",
+            (portable_hash32(F.col("doc_id").cast("string")) % 8).alias(
+                "hash_shard"
+            ),
+            (portable_hash32(F.col("component").cast("string")) % 8).alias(
+                "cluster_shard"
+            ),
+        )
+        # materialization boundary: BOTH policies read this once —
+        # without it each policy() aggregate re-executes the whole
+        # pair-graph + closure tail
+        .localCheckpoint(eager=True)
+    )
+
+    def policy(col, name):
+        per_comp = labeled.groupBy("component").agg(
+            F.countDistinct(col).alias("n_shards"),
+            F.count("*").cast("long").alias("members"),
+        )
+        load = (
+            labeled.groupBy(col)
+            .agg(F.count("*").cast("long").alias("l"))
+            .agg(F.max("l").cast("long").alias("max_shard_load"))
+        )
+        return per_comp.agg(
+            F.count("*").cast("long").alias("n_clusters"),
+            F.sum((F.col("n_shards") >= 2).cast("long"))
+            .cast("long")
+            .alias("clusters_split"),
+            F.sum("members").cast("long").alias("n_docs"),
+        ).crossJoin(F.broadcast(load)).selectExpr(
+            f"'{name}' AS policy",
+            "n_clusters",
+            "clusters_split",
+            "clusters_split * 1000000 div n_clusters AS split_ppm",
+            "max_shard_load",
+            "n_docs",
+        )
+
+    return policy("hash_shard", "hash").unionByName(
+        policy("cluster_shard", "cluster_aware")
+    )
+
+
+AUDIT_QUERIES["q321_cluster_aware_sharding"] = q321_cluster_aware_sharding
+
+
+def _sharding_oracle() -> str:
+    from adhesive_spark.queries.advanced_queries import _PAIR_CTES
+
+    return f"""
+    WITH RECURSIVE {_PAIR_CTES},
+    docs AS (SELECT doc_id FROM documents WHERE doc_id < 300),
+    labeled AS (
+      SELECT d.doc_id,
+             COALESCE(comp.component, d.doc_id) AS component
+      FROM docs d LEFT JOIN comp ON d.doc_id = comp.node
+    ),
+    sharded AS (
+      SELECT component,
+             CAST({_h32("md5(CAST(doc_id AS VARCHAR))")} AS BIGINT) % 8
+               AS hash_shard,
+             CAST({_h32("md5(CAST(component AS VARCHAR))")} AS BIGINT) % 8
+               AS cluster_shard
+      FROM labeled
+    ),
+    hp AS (
+      SELECT component, COUNT(DISTINCT hash_shard) AS n_shards,
+             CAST(COUNT(*) AS BIGINT) AS members
+      FROM sharded GROUP BY component
+    ),
+    hload AS (
+      SELECT CAST(MAX(l) AS BIGINT) AS max_shard_load FROM (
+        SELECT hash_shard, COUNT(*) AS l FROM sharded GROUP BY hash_shard)
+    ),
+    cp AS (
+      SELECT component, COUNT(DISTINCT cluster_shard) AS n_shards,
+             CAST(COUNT(*) AS BIGINT) AS members
+      FROM sharded GROUP BY component
+    ),
+    cload AS (
+      SELECT CAST(MAX(l) AS BIGINT) AS max_shard_load FROM (
+        SELECT cluster_shard, COUNT(*) AS l FROM sharded
+        GROUP BY cluster_shard)
+    )
+    SELECT 'hash' AS policy,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(CASE WHEN n_shards >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS clusters_split,
+           CAST(SUM(CASE WHEN n_shards >= 2 THEN 1 ELSE 0 END)
+                * 1000000 // COUNT(*) AS BIGINT) AS split_ppm,
+           (SELECT max_shard_load FROM hload) AS max_shard_load,
+           CAST(SUM(members) AS BIGINT) AS n_docs
+    FROM hp
+    UNION ALL
+    SELECT 'cluster_aware',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN n_shards >= 2 THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(SUM(CASE WHEN n_shards >= 2 THEN 1 ELSE 0 END)
+                * 1000000 // COUNT(*) AS BIGINT),
+           (SELECT max_shard_load FROM cload),
+           CAST(SUM(members) AS BIGINT)
+    FROM cp
+"""
+
+
+AUDIT_ORACLES["q321_cluster_aware_sharding"] = _sharding_oracle()

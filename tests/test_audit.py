@@ -276,3 +276,37 @@ def test_bootstrap_ci_brackets_point_estimate(spark, sf_dir):
         assert r.n_replicas == 32
         assert r.ci_lo_c <= r.ci_hi_c
         assert r.ci_lo_c <= r.mean_c <= r.ci_hi_c, r
+
+
+def test_prefix_cache_monotone_in_k(spark, sf_dir):
+    """Longer prefixes can only share LESS: docs_sharing and
+    reusable_ppm are non-increasing in k; n_prefixes non-decreasing."""
+    from adhesive_spark.queries.audit_queries import (
+        q320_prefix_cache_estimate,
+    )
+
+    rows = {r.k: r for r in q320_prefix_cache_estimate(spark, sf_dir).collect()}
+    assert set(rows) == {8, 16, 32}
+    n = rows[8].n_docs
+    assert all(r.n_docs == n for r in rows.values())
+    assert rows[8].docs_sharing >= rows[16].docs_sharing >= rows[32].docs_sharing
+    assert rows[8].n_prefixes <= rows[16].n_prefixes <= rows[32].n_prefixes
+    for r in rows.values():
+        assert 0 <= r.reusable_ppm < 1_000_000
+
+
+def test_cluster_aware_sharding_zero_splits(spark, sf_dir):
+    """Cluster-aware routing splits ZERO clusters by construction;
+    hash routing splits every multi-member cluster whose members land
+    on different shards; doc totals agree across policies."""
+    from adhesive_spark.queries.audit_queries import (
+        q321_cluster_aware_sharding,
+    )
+
+    rows = {r.policy: r for r in q321_cluster_aware_sharding(spark, sf_dir).collect()}
+    assert set(rows) == {"hash", "cluster_aware"}
+    assert rows["cluster_aware"].clusters_split == 0
+    assert rows["cluster_aware"].split_ppm == 0
+    assert rows["hash"].clusters_split >= 0
+    assert rows["hash"].n_docs == rows["cluster_aware"].n_docs
+    assert rows["hash"].n_clusters == rows["cluster_aware"].n_clusters

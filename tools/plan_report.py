@@ -339,6 +339,8 @@ AUDITED = [
     "q317_bbit_minhash_audit",
     "q318_quantile_matched_filter",
     "q319_halfsample_bootstrap_ci",
+    "q320_prefix_cache_estimate",
+    "q321_cluster_aware_sharding",
 ]
 
 
