@@ -1902,3 +1902,89 @@ def _sharding_oracle() -> str:
 
 
 AUDIT_ORACLES["q321_cluster_aware_sharding"] = _sharding_oracle()
+
+
+# --- q322: retention sweep plan ----------------------------------------------------
+
+
+def q322_retention_sweep_plan(spark, sf_dir):
+    """Data-minimization planner: under 30/90/365-day retention
+    policies (anchored at the log's own max timestamp, so the plan is
+    deterministic), how many event rows and payload bytes become
+    deletable, per policy and event type — the sizing pass a GDPR
+    storage-limitation sweep runs BEFORE the actual delete job (q148
+    is the propagation of a delete; this is its cost estimate).
+
+    Scale shape: one corpus pass against a broadcast 1-row max-ts
+    aggregate and a 3-row policy spine; everything map-side combines
+    to the (policy, event_type) grain. No windows, no joins on data."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "ts",
+        F.length(F.coalesce(F.col("props"), F.lit(""))).cast("long").alias(
+            "payload_bytes"
+        ),
+    )
+    anchor = F.broadcast(ev.agg(F.max("ts").alias("max_ts")))
+    lanes = ev.crossJoin(anchor).select(
+        "event_type",
+        "payload_bytes",
+        F.explode(
+            F.array(*[F.lit(d) for d in (30, 90, 365)])
+        ).alias("retention_days"),
+        F.col("ts"),
+        F.col("max_ts"),
+    ).select(
+        "retention_days",
+        "event_type",
+        "payload_bytes",
+        (
+            F.col("ts")
+            < F.col("max_ts") - F.make_dt_interval(F.col("retention_days"))
+        )
+        .cast("long")
+        .alias("expired"),
+    )
+    return lanes.groupBy("retention_days", "event_type").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum("expired").cast("long").alias("deletable_rows"),
+        F.sum(F.col("expired") * F.col("payload_bytes"))
+        .cast("long")
+        .alias("deletable_bytes"),
+        F.expr("sum(expired) * 1000000 div count(*)").alias(
+            "deletable_ppm"
+        ),
+    ).select(
+        F.col("retention_days").cast("long").alias("retention_days"),
+        "event_type",
+        "n_rows",
+        "deletable_rows",
+        "deletable_bytes",
+        "deletable_ppm",
+    )
+
+
+AUDIT_QUERIES["q322_retention_sweep_plan"] = q322_retention_sweep_plan
+
+AUDIT_ORACLES["q322_retention_sweep_plan"] = """
+    WITH ev AS (
+      SELECT event_type, ts,
+             CAST(length(COALESCE(props, '')) AS BIGINT) AS payload_bytes
+      FROM events
+    ),
+    anchor AS (SELECT MAX(ts) AS max_ts FROM ev),
+    lanes AS (
+      SELECT dd.d AS retention_days, event_type, payload_bytes,
+             CASE WHEN ts < max_ts - dd.d * INTERVAL 1 DAY
+                  THEN 1 ELSE 0 END AS expired
+      FROM ev CROSS JOIN anchor
+      CROSS JOIN (SELECT UNNEST([30, 90, 365]) AS d) dd
+    )
+    SELECT CAST(retention_days AS BIGINT) AS retention_days, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(expired) AS BIGINT) AS deletable_rows,
+           CAST(SUM(expired * payload_bytes) AS BIGINT) AS deletable_bytes,
+           CAST(SUM(expired) * 1000000 // COUNT(*) AS BIGINT)
+             AS deletable_ppm
+    FROM lanes GROUP BY retention_days, event_type
+"""

@@ -310,3 +310,28 @@ def test_cluster_aware_sharding_zero_splits(spark, sf_dir):
     assert rows["hash"].clusters_split >= 0
     assert rows["hash"].n_docs == rows["cluster_aware"].n_docs
     assert rows["hash"].n_clusters == rows["cluster_aware"].n_clusters
+
+
+def test_retention_sweep_monotone_in_policy(spark, sf_dir):
+    """A longer retention window can only delete LESS: deletable_rows
+    is non-increasing in retention_days per event type; deletable never
+    exceeds total; ppm valid."""
+    from adhesive_spark.queries.audit_queries import (
+        q322_retention_sweep_plan,
+    )
+
+    rows = q322_retention_sweep_plan(spark, sf_dir).collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, {})[r.retention_days] = r
+    assert by_type
+    for t, pol in by_type.items():
+        assert set(pol) == {30, 90, 365}
+        assert (
+            pol[30].deletable_rows
+            >= pol[90].deletable_rows
+            >= pol[365].deletable_rows
+        ), t
+        for r in pol.values():
+            assert 0 <= r.deletable_rows <= r.n_rows
+            assert 0 <= r.deletable_ppm <= 1_000_000

@@ -341,6 +341,7 @@ AUDITED = [
     "q319_halfsample_bootstrap_ci",
     "q320_prefix_cache_estimate",
     "q321_cluster_aware_sharding",
+    "q322_retention_sweep_plan",
 ]
 
 
