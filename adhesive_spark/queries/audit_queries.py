@@ -1988,3 +1988,215 @@ AUDIT_ORACLES["q322_retention_sweep_plan"] = """
              AS deletable_ppm
     FROM lanes GROUP BY retention_days, event_type
 """
+
+
+# --- q323: feature-freshness (staleness) audit -------------------------------------
+
+
+def q323_feature_staleness_audit(spark, sf_dir):
+    """Feature-freshness audit for online/offline consistency: at every
+    purchase event, how STALE is the user's most recent prior activity
+    (the as-of lookup q270's feature matrix performs)? Staleness is
+    bucketed to whole minutes and the p50/p95 buckets are read with the
+    nearest-rank-over-bucket-counts trick — so percentiles come from
+    the bounded bucket domain, never a corpus sort. The numbers an
+    online feature store's TTL and a training/serving skew review are
+    set from.
+
+    Scale shape: one per-user lag window (the q270 assembly pass), one
+    (type, bucket) aggregate, one rank scan over distinct buckets.
+    No joins, no global sort."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    stale = (
+        ev.select(
+            "event_type",
+            "ts",
+            F.lag("ts").over(w).alias("prev_ts"),
+        )
+        .where(
+            (F.col("event_type") == "purchase")
+            & F.col("prev_ts").isNotNull()
+        )
+        .selectExpr(
+            "(unix_micros(ts) - unix_micros(prev_ts)) div 60000000"
+            " AS stale_min"
+        )
+    )
+    buckets = stale.groupBy("stale_min").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    wb = Window.orderBy("stale_min").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    ranked = buckets.select(
+        "stale_min", "cnt", F.sum("cnt").over(wb).alias("cum")
+    ).crossJoin(F.broadcast(stale.agg(F.count("*").alias("n"))))
+    return ranked.agg(
+        F.max("n").cast("long").alias("n_lookups"),
+        F.min(
+            F.when(F.expr("cum >= (n + 1) div 2"), F.col("stale_min"))
+        )
+        .cast("long")
+        .alias("p50_stale_min"),
+        F.min(
+            F.when(F.expr("cum * 100 >= n * 95"), F.col("stale_min"))
+        )
+        .cast("long")
+        .alias("p95_stale_min"),
+        F.max("stale_min").cast("long").alias("max_stale_min"),
+    )
+
+
+AUDIT_QUERIES["q323_feature_staleness_audit"] = q323_feature_staleness_audit
+
+AUDIT_ORACLES["q323_feature_staleness_audit"] = """
+    WITH ev AS (
+      SELECT event_type, ts,
+             LAG(ts) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ),
+    stale AS (
+      -- pure-integer division: wrapping the diff in floor() makes it
+      -- DOUBLE, where DuckDB's // is plain division and the BIGINT
+      -- cast ROUNDS (8451.76 -> 8452) — the r8 off-by-one class
+      SELECT CAST((epoch_us(ts) - epoch_us(prev_ts)) // 60000000
+                  AS BIGINT) AS stale_min
+      FROM ev
+      WHERE event_type = 'purchase' AND prev_ts IS NOT NULL
+    ),
+    buckets AS (
+      SELECT stale_min, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM stale GROUP BY stale_min
+    ),
+    ranked AS (
+      SELECT stale_min, cnt,
+             SUM(cnt) OVER (ORDER BY stale_min ROWS UNBOUNDED PRECEDING)
+               AS cum,
+             (SELECT COUNT(*) FROM stale) AS n
+      FROM buckets
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_lookups,
+           CAST(MIN(CASE WHEN cum >= (n + 1) // 2 THEN stale_min END)
+                AS BIGINT) AS p50_stale_min,
+           CAST(MIN(CASE WHEN cum * 100 >= n * 95 THEN stale_min END)
+                AS BIGINT) AS p95_stale_min,
+           CAST(MAX(stale_min) AS BIGINT) AS max_stale_min
+    FROM ranked
+"""
+
+
+# --- q324: filter length-bias audit -------------------------------------------------
+
+
+def q324_filter_length_bias(spark, sf_dir):
+    """Filter-bias audit: does the quality gate silently over-filter a
+    LENGTH class (the classic heuristic-filter pathology — long docs
+    fail punctuation ratios, short docs fail stopword presence)? Docs
+    are grouped into power-of-two length octaves and the global-median
+    quality gate's keep rate is reported per octave, with the corpus
+    keep rate beside it — a skewed row is a biased filter, not a
+    quality signal.
+
+    Scale shape: octave is IN-ROW bit arithmetic; the global median
+    threshold comes from the distinct-VALUE rank trick (q318's
+    machinery — no corpus sort); one (octave) rollup + broadcast
+    threshold join. Corpus-linear."""
+    from adhesive_spark.operators.text import quality_score, scaled_long
+
+    scored = load_table(spark, sf_dir, "documents").select(
+        F.expr(
+            "CASE WHEN n_chars <= 1 THEN 1"
+            " ELSE CAST(pow(2, length(bin(n_chars - 1))) AS BIGINT) END"
+        ).alias("octave"),
+        scaled_long(quality_score(F.col("text")), 4).alias("q_s"),
+    )
+    gv = scored.groupBy("q_s").agg(F.count("*").cast("long").alias("cnt"))
+    wg = Window.orderBy(F.col("q_s").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    thr = (
+        gv.select("q_s", F.sum("cnt").over(wg).alias("cum"))
+        .crossJoin(F.broadcast(scored.agg(F.count("*").alias("n"))))
+        .where(F.expr("cum >= (n + 1) div 2"))
+        .agg(F.max("q_s").alias("thr"))
+    )
+    per_octave = (
+        scored.crossJoin(F.broadcast(thr))
+        .groupBy("octave")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum((F.col("q_s") >= F.col("thr")).cast("long"))
+            .cast("long")
+            .alias("kept"),
+        )
+        .selectExpr(
+            "octave",
+            "n_docs",
+            "kept",
+            "kept * 1000000 div n_docs AS keep_ppm",
+        )
+    )
+    overall = (
+        scored.crossJoin(F.broadcast(thr))
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum((F.col("q_s") >= F.col("thr")).cast("long"))
+            .cast("long")
+            .alias("kept"),
+        )
+        .selectExpr(
+            "CAST(0 AS BIGINT) AS octave",
+            "n_docs",
+            "kept",
+            "kept * 1000000 div n_docs AS keep_ppm",
+        )
+    )
+    return per_octave.unionByName(overall)
+
+
+AUDIT_QUERIES["q324_filter_length_bias"] = q324_filter_length_bias
+
+
+def _length_bias_oracle() -> str:
+    from adhesive_spark.queries.advanced_queries import _quality_sql
+
+    return f"""
+    WITH t AS (
+      SELECT n_chars, text, {_TOKS} AS toks FROM documents
+    ),
+    scored AS (
+      SELECT CASE WHEN n_chars <= 1 THEN 1
+                  ELSE CAST(pow(2, length(bin(n_chars - 1))) AS BIGINT)
+             END AS octave,
+             CAST(ROUND(({_quality_sql()}) * 10000, 0) AS BIGINT) AS q_s
+      FROM t
+    ),
+    thr AS (
+      SELECT MAX(q_s) AS thr FROM (
+        SELECT q_s,
+               SUM(cnt) OVER (ORDER BY q_s DESC ROWS UNBOUNDED PRECEDING)
+                 AS cum,
+               (SELECT COUNT(*) FROM scored) AS n
+        FROM (SELECT q_s, COUNT(*) AS cnt FROM scored GROUP BY q_s)
+      ) WHERE cum >= (n + 1) // 2
+    )
+    SELECT octave, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN q_s >= thr THEN 1 ELSE 0 END) AS BIGINT)
+             AS kept,
+           CAST(SUM(CASE WHEN q_s >= thr THEN 1 ELSE 0 END)
+                * 1000000 // COUNT(*) AS BIGINT) AS keep_ppm
+    FROM scored CROSS JOIN thr GROUP BY octave
+    UNION ALL
+    SELECT CAST(0 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN q_s >= thr THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(SUM(CASE WHEN q_s >= thr THEN 1 ELSE 0 END)
+                * 1000000 // COUNT(*) AS BIGINT)
+    FROM scored CROSS JOIN thr
+"""
+
+
+AUDIT_ORACLES["q324_filter_length_bias"] = _length_bias_oracle()

@@ -335,3 +335,31 @@ def test_retention_sweep_monotone_in_policy(spark, sf_dir):
         for r in pol.values():
             assert 0 <= r.deletable_rows <= r.n_rows
             assert 0 <= r.deletable_ppm <= 1_000_000
+
+
+def test_staleness_percentiles_ordered(spark, sf_dir):
+    """p50 <= p95 <= max; lookups positive; percentile buckets bounded
+    by the max bucket."""
+    from adhesive_spark.queries.audit_queries import (
+        q323_feature_staleness_audit,
+    )
+
+    r = q323_feature_staleness_audit(spark, sf_dir).collect()[0]
+    assert r.n_lookups > 0
+    assert 0 <= r.p50_stale_min <= r.p95_stale_min <= r.max_stale_min
+
+
+def test_length_bias_rows_conserve(spark, sf_dir):
+    """Octave rows partition the corpus (sum == the octave-0 overall
+    row); keep rates valid; overall keep rate >= 50% (ties-inclusive
+    median gate)."""
+    from adhesive_spark.queries.audit_queries import q324_filter_length_bias
+
+    rows = q324_filter_length_bias(spark, sf_dir).collect()
+    overall = [r for r in rows if r.octave == 0][0]
+    octs = [r for r in rows if r.octave != 0]
+    assert sum(r.n_docs for r in octs) == overall.n_docs
+    assert sum(r.kept for r in octs) == overall.kept
+    assert overall.kept * 2 >= overall.n_docs
+    for r in rows:
+        assert 0 <= r.keep_ppm <= 1_000_000

@@ -342,6 +342,8 @@ AUDITED = [
     "q320_prefix_cache_estimate",
     "q321_cluster_aware_sharding",
     "q322_retention_sweep_plan",
+    "q323_feature_staleness_audit",
+    "q324_filter_length_bias",
 ]
 
 
