@@ -2200,3 +2200,141 @@ def _length_bias_oracle() -> str:
 
 
 AUDIT_ORACLES["q324_filter_length_bias"] = _length_bias_oracle()
+
+
+# --- q325: multi-probe LSH vs single-probe -------------------------------------------
+
+
+def q325_multiprobe_lsh(spark, sf_dir):
+    """Multi-probe sign-LSH retrieval (Lv et al. 2007) side-by-side
+    with the single-probe baseline on the SAME 8-plane signature:
+    each query additionally probes every Hamming-1 bucket (one sign
+    bit flipped), recovering near-boundary neighbors without more hash
+    tables. Output is both modes' top-5 lists — multi-probe's result
+    set provably contains at least the single-probe candidates, so its
+    ranked sims dominate (pytest-pinned).
+
+    Scale shape: corpus bucketed ONCE (the q39 pass); the probe list is
+    a broadcast ≤ 9× the query count; candidate cost tracks probed
+    buckets' occupancy, never the corpus. Capped queries (vec_id < 10,
+    the q35/q39 convention)."""
+    from adhesive_spark.operators.similarity import cosine, lsh_bucket
+    from adhesive_spark.sources.registry import ensure_parallelism
+
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    # ONE bucketing pass serves both modes: single-probe results are
+    # exactly the multiprobe candidates whose probe is the original
+    # bucket, so the corpus fold (the expensive 8-dot signature) and
+    # the bucket join run once, and two windows split the modes.
+    cb = ensure_parallelism(emb.where(F.col("vec_id") >= 10), "vec_id").select(
+        "vec_id",
+        F.col("embedding").alias("cvec"),
+        lsh_bucket(F.col("embedding"), 64, n_planes=8).alias("bucket"),
+    )
+    qb = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+        lsh_bucket(F.col("embedding"), 64, n_planes=8).alias("b0"),
+    )
+    probes = qb.select(
+        "query_id",
+        "qvec",
+        F.explode(
+            F.array(
+                F.struct(F.col("b0").alias("bucket"), F.lit(1).alias("orig")),
+                *[
+                    F.struct(
+                        F.expr(f"b0 ^ {1 << i}").alias("bucket"),
+                        F.lit(0).alias("orig"),
+                    )
+                    for i in range(8)
+                ],
+            )
+        ).alias("p"),
+    ).select("query_id", "qvec", "p.bucket", "p.orig")
+    scored = cb.join(F.broadcast(probes), "bucket").select(
+        "query_id",
+        "vec_id",
+        "orig",
+        F.round(cosine(F.col("cvec"), F.col("qvec")), 6).alias("sim"),
+    ).localCheckpoint(eager=True)
+
+    def topk(df, mode):
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("sim").desc(), F.col("vec_id")
+        )
+        return (
+            df.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 5)
+            .select(
+                F.lit(mode).alias("mode"),
+                "query_id",
+                "vec_id",
+                "sim",
+                F.col("rank").cast("long").alias("rank"),
+            )
+        )
+
+    return topk(scored.where(F.col("orig") == 1), "single").unionByName(
+        topk(scored, "multiprobe")
+    )
+
+
+AUDIT_QUERIES["q325_multiprobe_lsh"] = q325_multiprobe_lsh
+
+
+def _multiprobe_oracle() -> str:
+    from adhesive_spark.operators.similarity import _hyperplanes
+
+    dim, n_planes, k, seed = 64, 8, 5, 42
+
+    def bucket(vexpr: str) -> str:
+        terms = []
+        for i, plane in enumerate(_hyperplanes(dim, n_planes, seed)):
+            plit = "[" + ", ".join(repr(float(x)) for x in plane) + "]"
+            dot = (
+                f"list_reduce(list_transform(range(1, {dim} + 1), "
+                f"j -> ({vexpr})[j] * ({plit})[j]), (x, y) -> x + y)"
+            )
+            terms.append(f"(CASE WHEN {dot} >= 0 THEN {1 << i} ELSE 0 END)")
+        return " + ".join(terms)
+
+    flips = ", ".join(f"xor(b0, {1 << i})" for i in range(n_planes))
+    return f"""
+    WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    b AS (SELECT vec_id, v, {bucket('v')} AS bucket FROM emb),
+    c AS (SELECT vec_id, v, bucket FROM b WHERE vec_id >= 10),
+    q AS (SELECT vec_id AS query_id, v AS qv, bucket AS b0 FROM b
+          WHERE vec_id < 10),
+    probes AS (
+      SELECT query_id, qv, UNNEST([b0, {flips}]) AS bucket FROM q
+    ),
+    single AS (
+      SELECT 'single' AS mode, query_id, vec_id, sim, rank FROM (
+        SELECT q.query_id, c.vec_id,
+               round(list_cosine_similarity(c.v, q.qv), 6) AS sim,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                 ORDER BY round(list_cosine_similarity(c.v, q.qv), 6) DESC,
+                          c.vec_id) AS rank
+        FROM c JOIN q ON c.bucket = q.b0
+      ) WHERE rank <= {k}
+    ),
+    multi AS (
+      SELECT 'multiprobe' AS mode, query_id, vec_id, sim, rank FROM (
+        SELECT p.query_id, c.vec_id,
+               round(list_cosine_similarity(c.v, p.qv), 6) AS sim,
+               ROW_NUMBER() OVER (PARTITION BY p.query_id
+                 ORDER BY round(list_cosine_similarity(c.v, p.qv), 6) DESC,
+                          c.vec_id) AS rank
+        FROM c JOIN probes p ON c.bucket = p.bucket
+      ) WHERE rank <= {k}
+    )
+    SELECT CAST(mode AS VARCHAR) AS mode, query_id, vec_id, sim,
+           CAST(rank AS BIGINT) AS rank
+    FROM (SELECT * FROM single UNION ALL SELECT * FROM multi)
+"""
+
+
+AUDIT_ORACLES["q325_multiprobe_lsh"] = _multiprobe_oracle()

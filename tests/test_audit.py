@@ -363,3 +363,18 @@ def test_length_bias_rows_conserve(spark, sf_dir):
     assert overall.kept * 2 >= overall.n_docs
     for r in rows:
         assert 0 <= r.keep_ppm <= 1_000_000
+
+
+def test_multiprobe_dominates_single(spark, sf_dir):
+    """Multi-probe candidates are a superset of single-probe, so at
+    every rank the multiprobe sim must be >= the single-probe sim for
+    the same query; multiprobe returns at least as many rows."""
+    from adhesive_spark.queries.audit_queries import q325_multiprobe_lsh
+
+    rows = q325_multiprobe_lsh(spark, sf_dir).collect()
+    single = {(r.query_id, r.rank): r.sim for r in rows if r.mode == "single"}
+    multi = {(r.query_id, r.rank): r.sim for r in rows if r.mode == "multiprobe"}
+    assert len(multi) >= len(single) > 0
+    for key, s_sim in single.items():
+        assert key in multi
+        assert multi[key] >= s_sim, key

@@ -344,6 +344,7 @@ AUDITED = [
     "q322_retention_sweep_plan",
     "q323_feature_staleness_audit",
     "q324_filter_length_bias",
+    "q325_multiprobe_lsh",
 ]
 
 
