@@ -2338,3 +2338,106 @@ def _multiprobe_oracle() -> str:
 
 
 AUDIT_ORACLES["q325_multiprobe_lsh"] = _multiprobe_oracle()
+
+
+# --- q326: embedding hubness audit ----------------------------------------------------
+
+
+def q326_hubness_audit(spark, sf_dir):
+    """Hubness audit (Radovanović et al. 2010): in high dimensions a
+    few "hub" vectors appear in a disproportionate share of other
+    points' k-NN lists while many "antihubs" appear in none — a
+    retrieval pathology that biases kNN-based dedup, RAG and hard-
+    negative mining. Over a capped slice, every vector's exact top-5
+    is computed and the k-occurrence histogram (how many vectors
+    appear in j lists, j = 0..) is reported with the hub share and
+    antihub count — the embedding-QA gate before shipping an index.
+
+    Scale shape: the capped slice makes the all-pairs scoring a
+    bounded broadcast scan (the q35 shape); the k-occurrence rollup is
+    two keyed aggregates over distinct occurrence counts. The at-scale
+    variant runs the same audit over an IVF-pruned candidate set."""
+    from adhesive_spark.operators.similarity import cosine
+
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") < 200)
+        .withColumn(
+            "embedding", F.transform("embedding", lambda x: x.cast("double"))
+        )
+    )
+    a = emb.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
+    b = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
+    scored = a.join(F.broadcast(b), F.col("qid") != F.col("cid")).select(
+        "qid",
+        "cid",
+        F.round(cosine(F.col("cv"), F.col("qv")), 6).alias("sim"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("cid"))
+    top5 = scored.withColumn("r", F.row_number().over(w)).where(
+        F.col("r") <= 5
+    )
+    occ = (
+        emb.select(F.col("vec_id").alias("cid"))
+        .join(
+            top5.groupBy("cid").agg(F.count("*").cast("long").alias("n_k")),
+            "cid",
+            "left",
+        )
+        .select(F.coalesce("n_k", F.lit(0)).cast("long").alias("n_k"))
+    )
+    hist = occ.groupBy("n_k").agg(
+        F.count("*").cast("long").alias("n_vectors")
+    )
+    return hist.crossJoin(
+        F.broadcast(
+            occ.agg(
+                F.count("*").alias("n_total"),
+                F.max("n_k").alias("max_occ"),
+            )
+        )
+    ).selectExpr(
+        "n_k",
+        "n_vectors",
+        "n_vectors * 1000000 div n_total AS share_ppm",
+        "CAST(max_occ AS BIGINT) AS max_occ",
+    )
+
+
+AUDIT_QUERIES["q326_hubness_audit"] = q326_hubness_audit
+
+AUDIT_ORACLES["q326_hubness_audit"] = """
+    WITH emb AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      WHERE vec_id < 200
+    ),
+    top5 AS (
+      SELECT qid, cid FROM (
+        SELECT a.vec_id AS qid, b.vec_id AS cid,
+               ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                 ORDER BY round(list_cosine_similarity(b.v, a.v), 6) DESC,
+                          b.vec_id) AS r
+        FROM emb a JOIN emb b ON a.vec_id <> b.vec_id
+      ) WHERE r <= 5
+    ),
+    occ AS (
+      SELECT e.vec_id AS cid,
+             CAST(COALESCE(t.n_k, 0) AS BIGINT) AS n_k
+      FROM emb e LEFT JOIN (
+        SELECT cid, COUNT(*) AS n_k FROM top5 GROUP BY cid
+      ) t ON e.vec_id = t.cid
+    ),
+    hist AS (
+      SELECT n_k, CAST(COUNT(*) AS BIGINT) AS n_vectors
+      FROM occ GROUP BY n_k
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+             CAST(MAX(n_k) AS BIGINT) AS max_occ
+      FROM occ
+    )
+    SELECT n_k, n_vectors,
+           n_vectors * 1000000 // n_total AS share_ppm,
+           max_occ
+    FROM hist CROSS JOIN tot
+"""

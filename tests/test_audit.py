@@ -378,3 +378,16 @@ def test_multiprobe_dominates_single(spark, sf_dir):
     for key, s_sim in single.items():
         assert key in multi
         assert multi[key] >= s_sim, key
+
+
+def test_hubness_histogram_conserves_mass(spark, sf_dir):
+    """Histogram conservation: Σ n_vectors = vectors audited and
+    Σ n_k·n_vectors = 5·vectors (every top-5 slot lands somewhere);
+    max_occ equals the histogram's largest n_k."""
+    from adhesive_spark.queries.audit_queries import q326_hubness_audit
+
+    rows = q326_hubness_audit(spark, sf_dir).collect()
+    n_total = sum(r.n_vectors for r in rows)
+    assert n_total > 0
+    assert sum(r.n_k * r.n_vectors for r in rows) == 5 * n_total
+    assert max(r.n_k for r in rows) == rows[0].max_occ

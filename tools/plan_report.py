@@ -345,6 +345,7 @@ AUDITED = [
     "q323_feature_staleness_audit",
     "q324_filter_length_bias",
     "q325_multiprobe_lsh",
+    "q326_hubness_audit",
 ]
 
 
