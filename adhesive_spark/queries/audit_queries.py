@@ -2441,3 +2441,117 @@ AUDIT_ORACLES["q326_hubness_audit"] = """
            max_occ
     FROM hist CROSS JOIN tot
 """
+
+
+# --- q327: HLL precision ladder --------------------------------------------------------
+
+
+def q327_hll_precision_ladder(spark, sf_dir):
+    """HLL precision tuning curve: the q241 register sketch re-run at
+    p = 4/5/6 (16/32/64 registers) over the SAME 60-bit hash stream,
+    with the RAW Flajolet estimator's realized error vs the exact
+    distinct count per row — the memory/accuracy knob (state = 2^p
+    rows) a 100 TB cardinality profile is sized by, measured rather
+    than read off the 1.04/√m formula (no small-range correction is
+    applied, so the ladder also shows the raw estimator's low-range
+    bias directly). Alpha constants per m in ppm (Flajolet et al.
+    2007: 0.673 / 0.697 / 0.7213/(1+1.079/64)).
+
+    Scale shape: ONE corpus pass fans each key's hash into the 3-row
+    p-ladder in-row; the shuffle payload is ≤ 16+32+64 = 112
+    (p, bucket, max-rho) rows regardless of input; the exact distinct
+    (the audit's ground truth) is the only full-key shuffle."""
+    from adhesive_spark.operators.sketches import hash60
+
+    alpha_ppm = {4: 673000, 5: 697000, 6: 709340}
+    li = load_table(spark, sf_dir, "lineitem").select(
+        hash60(F.col("l_orderkey")).alias("h"),
+        F.col("l_orderkey").alias("key"),
+    )
+    lanes = li.select(
+        "h",
+        F.explode(F.array(*[F.lit(p) for p in (4, 5, 6)])).alias("p"),
+    ).selectExpr(
+        "p",
+        "pmod(h, shiftleft(1, p)) AS bucket",
+        # rho = (60 - p + 1) - bitlen(h >> p); rem == 0 -> full scale
+        "CASE WHEN shiftright(h, p) = 0 THEN CAST(60 - p + 1 AS BIGINT)"
+        " ELSE CAST(60 - p + 1 AS BIGINT)"
+        "      - length(bin(shiftright(h, p))) END AS rho",
+    )
+    regs = lanes.groupBy("p", "bucket").agg(F.max("rho").alias("m_j"))
+    per_p = regs.groupBy("p").agg(
+        F.count("*").cast("long").alias("nonempty"),
+        F.sum(
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(60 - p + 1 - m_j AS INT))")
+        )
+        .cast("long")
+        .alias("s_nonempty"),
+    ).selectExpr(
+        "p",
+        "CAST(shiftleft(1, p) AS BIGINT) AS m",
+        "nonempty",
+        "s_nonempty + (shiftleft(1, p) - nonempty)"
+        " * shiftleft(CAST(1 AS BIGINT), CAST(60 - p + 1 AS INT)) AS s_scaled",
+    ).selectExpr(
+        "p",
+        "m",
+        "nonempty",
+        "CAST(((CAST(CASE p WHEN 4 THEN 673000 WHEN 5 THEN 697000"
+        " ELSE 709340 END AS DECIMAL(38,0))"
+        " * m * m * shiftleft(CAST(1 AS BIGINT), CAST(60 - p + 1 AS INT)))"
+        " div s_scaled) div 1000000 AS BIGINT) AS est_hll",
+    )
+    exact = li.agg(F.countDistinct("key").cast("long").alias("exact"))
+    return per_p.crossJoin(F.broadcast(exact)).selectExpr(
+        "CAST(p AS BIGINT) AS p",
+        "m",
+        "nonempty",
+        "est_hll",
+        "exact",
+        "abs(est_hll - exact) * 1000000 div exact AS err_ppm",
+    )
+
+
+AUDIT_QUERIES["q327_hll_precision_ladder"] = q327_hll_precision_ladder
+
+AUDIT_ORACLES["q327_hll_precision_ladder"] = """
+    WITH h AS (
+      SELECT CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15))
+                  AS BIGINT) AS h,
+             l_orderkey AS key
+      FROM lineitem
+    ),
+    lanes AS (
+      SELECT pp.p, h.h % (1 << pp.p) AS bucket,
+             CASE WHEN (h.h >> pp.p) = 0 THEN CAST(60 - pp.p + 1 AS BIGINT)
+                  ELSE CAST(60 - pp.p + 1 AS BIGINT)
+                       - length(bin(h.h >> pp.p)) END AS rho
+      FROM h CROSS JOIN (SELECT UNNEST([4, 5, 6]) AS p) pp
+    ),
+    regs AS (
+      SELECT p, bucket, MAX(rho) AS m_j FROM lanes GROUP BY p, bucket
+    ),
+    per_p AS (
+      SELECT p, CAST(1 << p AS BIGINT) AS m,
+             CAST(COUNT(*) AS BIGINT) AS nonempty,
+             CAST(SUM(CAST(1 AS BIGINT) << CAST(60 - p + 1 - m_j AS INT))
+                  AS BIGINT)
+               + ((1 << p) - COUNT(*))
+                 * (CAST(1 AS BIGINT) << CAST(60 - p + 1 AS INT))
+               AS s_scaled
+      FROM regs GROUP BY p
+    ),
+    est AS (
+      SELECT p, m, nonempty,
+             CAST(((CAST(CASE p WHEN 4 THEN 673000 WHEN 5 THEN 697000
+                         ELSE 709340 END AS HUGEINT)
+                    * m * m * (CAST(1 AS BIGINT) << CAST(60 - p + 1 AS INT)))
+                   // s_scaled) // 1000000 AS BIGINT) AS est_hll
+      FROM per_p
+    ),
+    ex AS (SELECT CAST(COUNT(DISTINCT key) AS BIGINT) AS exact FROM h)
+    SELECT CAST(p AS BIGINT) AS p, m, nonempty, est_hll, exact,
+           abs(est_hll - exact) * 1000000 // exact AS err_ppm
+    FROM est CROSS JOIN ex
+"""

@@ -391,3 +391,21 @@ def test_hubness_histogram_conserves_mass(spark, sf_dir):
     assert n_total > 0
     assert sum(r.n_k * r.n_vectors for r in rows) == 5 * n_total
     assert max(r.n_k for r in rows) == rows[0].max_occ
+
+
+def test_hll_ladder_p6_matches_q241_estimator(spark, sf_dir):
+    """The ladder's p=6 row must EQUAL the canonical q241 sketch's
+    estimate (same hash, same registers, same estimator), and register
+    occupancy is bounded by 2^p."""
+    from adhesive_spark.operators.sketches import hll_estimate
+    from adhesive_spark.queries.audit_queries import q327_hll_precision_ladder
+
+    rows = {r.p: r for r in q327_hll_precision_ladder(spark, sf_dir).collect()}
+    assert set(rows) == {4, 5, 6}
+    li = load_table(spark, sf_dir, "lineitem")
+    canon = hll_estimate(li, "l_orderkey").collect()[0]
+    assert rows[6].est_hll == canon.est_hll
+    for p, r in rows.items():
+        assert r.m == 1 << p
+        assert 0 < r.nonempty <= r.m
+        assert r.est_hll > 0 and r.exact > 0

@@ -346,6 +346,7 @@ AUDITED = [
     "q324_filter_length_bias",
     "q325_multiprobe_lsh",
     "q326_hubness_audit",
+    "q327_hll_precision_ladder",
 ]
 
 
