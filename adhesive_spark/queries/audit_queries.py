@@ -2555,3 +2555,157 @@ AUDIT_ORACLES["q327_hll_precision_ladder"] = """
            abs(est_hll - exact) * 1000000 // exact AS err_ppm
     FROM est CROSS JOIN ex
 """
+
+
+# --- q328: Count-Min geometry ladder -----------------------------------------------
+
+
+_CMS_CONFIGS = ((2, 16), (4, 16), (4, 64))  # (depth, width)
+
+
+def q328_cms_geometry_ladder(spark, sf_dir):
+    """Count-Min geometry tuning curve: the same user-id stream
+    sketched at (depth, width) = (2,16) / (4,16) / (4,64), with each
+    config's REALIZED overcount vs the exact per-key counts — depth
+    buys collision-minimum robustness, width buys fewer collisions;
+    this measures both on the data instead of reading ε = e/w off the
+    paper (the q327 discipline applied to the frequency sketch).
+    Overcount is reported as total and max ppm of the true mass.
+
+    Scale shape: ONE stream pass fans each row into Σdepths = 10 lane
+    rows in-row; the counter state is Σ d·w = 352 rows total — the
+    broadcastable-summary contract at any stream size; probing joins
+    the tiny counter table back to the 150-key exact counts."""
+    from adhesive_spark.operators.sketches import cms_col
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("key")
+    )
+    exact = ev.groupBy("key").agg(F.count("*").cast("long").alias("true_cnt"))
+
+    lane_structs = []
+    for ci, (d, w) in enumerate(_CMS_CONFIGS):
+        for r in range(d):
+            lane_structs.append(
+                F.struct(
+                    F.lit(ci).cast("long").alias("cfg"),
+                    F.lit(r).cast("long").alias("r"),
+                    (
+                        F.conv(
+                            F.substring(
+                                F.md5(F.concat(F.lit(f"cms{r}"), F.col("key"))),
+                                1,
+                                8,
+                            ),
+                            16,
+                            10,
+                        ).cast("long")
+                        % F.lit(w)
+                    ).alias("c"),
+                )
+            )
+    counters = (
+        ev.select(F.explode(F.array(*lane_structs)).alias("l"))
+        .groupBy("l.cfg", "l.r", "l.c")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    probes = exact.select(
+        "key", "true_cnt", F.explode(F.array(*lane_structs)).alias("l")
+    ).select("key", "true_cnt", "l.cfg", "l.r", "l.c")
+    est = (
+        probes.join(F.broadcast(counters), ["cfg", "r", "c"])
+        .groupBy("cfg", "key", "true_cnt")
+        .agg(F.min("cnt").cast("long").alias("est"))
+    )
+    cfg_dims = F.array(
+        *[
+            F.struct(
+                F.lit(ci).cast("long").alias("cfg"),
+                F.lit(d).cast("long").alias("depth"),
+                F.lit(w).cast("long").alias("width"),
+            )
+            for ci, (d, w) in enumerate(_CMS_CONFIGS)
+        ]
+    )
+    dims = spark.range(1).select(F.explode(cfg_dims).alias("d")).select(
+        "d.cfg", "d.depth", "d.width"
+    )
+    return (
+        est.groupBy("cfg")
+        .agg(
+            F.count("*").cast("long").alias("n_keys"),
+            F.sum("true_cnt").cast("long").alias("true_total"),
+            F.sum(F.col("est") - F.col("true_cnt"))
+            .cast("long")
+            .alias("overcount_total"),
+            F.expr(
+                "max((est - true_cnt) * 1000000 div greatest(true_cnt, 1L))"
+            ).alias("max_overcount_ppm"),
+        )
+        .join(F.broadcast(dims), "cfg")
+        .selectExpr(
+            "depth",
+            "width",
+            "n_keys",
+            "true_total",
+            "overcount_total",
+            "overcount_total * 1000000 div true_total AS overcount_ppm",
+            "max_overcount_ppm",
+        )
+    )
+
+
+AUDIT_QUERIES["q328_cms_geometry_ladder"] = q328_cms_geometry_ladder
+
+
+def _cms_ladder_oracle() -> str:
+    lane_rows = []
+    for ci, (d, w) in enumerate(_CMS_CONFIGS):
+        for r in range(d):
+            lane_rows.append(f"({ci}, {r}, {w})")
+    dims = ", ".join(
+        f"({ci}, {d}, {w})" for ci, (d, w) in enumerate(_CMS_CONFIGS)
+    )
+    return f"""
+    WITH ev AS (SELECT CAST(user_id AS VARCHAR) AS key FROM events),
+    exact AS (
+      SELECT key, CAST(COUNT(*) AS BIGINT) AS true_cnt FROM ev GROUP BY key
+    ),
+    lanes(cfg, r, w) AS (VALUES {", ".join(lane_rows)}),
+    counters AS (
+      SELECT l.cfg, l.r,
+             CAST(('0x' || substr(md5('cms' || CAST(l.r AS VARCHAR)
+                                       || ev.key), 1, 8)) AS BIGINT)
+               % l.w AS c,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM ev CROSS JOIN lanes l
+      GROUP BY 1, 2, 3
+    ),
+    est AS (
+      SELECT p.cfg, e.key, e.true_cnt, MIN(co.cnt) AS est
+      FROM exact e
+      CROSS JOIN lanes p
+      JOIN counters co
+        ON co.cfg = p.cfg AND co.r = p.r
+       AND co.c = CAST(('0x' || substr(md5('cms' || CAST(p.r AS VARCHAR)
+                                            || e.key), 1, 8)) AS BIGINT)
+                  % p.w
+      GROUP BY 1, 2, 3
+    ),
+    dims(cfg, depth, width) AS (VALUES {dims})
+    SELECT CAST(d.depth AS BIGINT) AS depth,
+           CAST(d.width AS BIGINT) AS width,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(true_cnt) AS BIGINT) AS true_total,
+           CAST(SUM(est - true_cnt) AS BIGINT) AS overcount_total,
+           CAST(SUM(est - true_cnt) * 1000000 // SUM(true_cnt) AS BIGINT)
+             AS overcount_ppm,
+           CAST(MAX((est - true_cnt) * 1000000
+                    // greatest(true_cnt, 1)) AS BIGINT)
+             AS max_overcount_ppm
+    FROM est JOIN dims d ON est.cfg = d.cfg
+    GROUP BY d.depth, d.width
+"""
+
+
+AUDIT_ORACLES["q328_cms_geometry_ladder"] = _cms_ladder_oracle()

@@ -409,3 +409,22 @@ def test_hll_ladder_p6_matches_q241_estimator(spark, sf_dir):
         assert r.m == 1 << p
         assert 0 < r.nonempty <= r.m
         assert r.est_hll > 0 and r.exact > 0
+
+
+def test_cms_ladder_depth_and_width_dominance(spark, sf_dir):
+    """CMS estimates upper-bound truth (overcount >= 0 everywhere);
+    more depth at equal width can only reduce overcount (min over a
+    superset of rows), and 4x width strictly dominates at equal depth
+    on this collision-heavy key space."""
+    from adhesive_spark.queries.audit_queries import q328_cms_geometry_ladder
+
+    rows = {(r.depth, r.width): r for r in
+            q328_cms_geometry_ladder(spark, sf_dir).collect()}
+    assert set(rows) == {(2, 16), (4, 16), (4, 64)}
+    n = rows[(2, 16)].n_keys
+    for r in rows.values():
+        assert r.n_keys == n
+        assert r.overcount_total >= 0
+        assert r.max_overcount_ppm >= 0
+    assert rows[(4, 16)].overcount_total <= rows[(2, 16)].overcount_total
+    assert rows[(4, 64)].overcount_total <= rows[(4, 16)].overcount_total

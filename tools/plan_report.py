@@ -347,6 +347,7 @@ AUDITED = [
     "q325_multiprobe_lsh",
     "q326_hubness_audit",
     "q327_hll_precision_ladder",
+    "q328_cms_geometry_ladder",
 ]
 
 
