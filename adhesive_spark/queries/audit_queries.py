@@ -2709,3 +2709,85 @@ def _cms_ladder_oracle() -> str:
 
 
 AUDIT_ORACLES["q328_cms_geometry_ladder"] = _cms_ladder_oracle()
+
+
+# --- q329: A/B sample-size planner --------------------------------------------------
+
+
+def q329_ab_sample_size_planner(spark, sf_dir):
+    """Experiment sizing from measured variance (Lehr's rule,
+    n ≈ 16·σ²/δ² per arm at α=.05 / 80% power): for each event type,
+    the exact sample variance of value-in-cents and the observations
+    needed PER ARM to detect absolute lifts of 10/50/100 cents — the
+    pre-launch planner an A/B platform prints before any traffic is
+    committed. Exact integer moments (n·Σx² − (Σx)² carried in
+    DECIMAL(38,0)/HUGEINT, division LAST), needed-n as a ceiling
+    division — bit-reproducible, so the plan is auditable.
+
+    Scale shape: one map-side-combined moments pass, then a 3-row
+    delta spine over the per-type aggregates. No windows, no joins on
+    data."""
+    from adhesive_spark.operators.text import scaled_long
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", scaled_long(F.col("value"), 2).alias("c")
+    )
+    mom = ev.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_obs"),
+        F.sum("c").cast("long").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("s2"),
+    )
+    with_var = mom.selectExpr(
+        "event_type",
+        "n_obs",
+        # exact sample variance in cents^2 (integer part): the n*s2
+        # product overflows BIGINT on large logs -> DECIMAL headroom
+        "CAST((CAST(n_obs AS DECIMAL(38,0)) * s2"
+        " - CAST(s1 AS DECIMAL(38,0)) * s1)"
+        " div (CAST(n_obs AS DECIMAL(38,0)) * (n_obs - 1))"
+        " AS BIGINT) AS var_c2",
+    )
+    return with_var.select(
+        "event_type",
+        "n_obs",
+        "var_c2",
+        F.explode(
+            F.array(*[F.lit(d) for d in (10, 50, 100)])
+        ).alias("delta_c"),
+    ).selectExpr(
+        "event_type",
+        "n_obs",
+        "var_c2",
+        "CAST(delta_c AS BIGINT) AS delta_c",
+        "(16 * var_c2 + delta_c * delta_c - 1)"
+        " div (delta_c * delta_c) AS needed_per_arm",
+    )
+
+
+AUDIT_QUERIES["q329_ab_sample_size_planner"] = q329_ab_sample_size_planner
+
+AUDIT_ORACLES["q329_ab_sample_size_planner"] = """
+    WITH ev AS (
+      SELECT event_type, CAST(ROUND(value * 100, 0) AS BIGINT) AS c
+      FROM events
+    ),
+    mom AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_obs,
+             CAST(SUM(c) AS BIGINT) AS s1,
+             CAST(SUM(c * c) AS BIGINT) AS s2
+      FROM ev GROUP BY event_type
+    ),
+    wv AS (
+      SELECT event_type, n_obs,
+             CAST((CAST(n_obs AS HUGEINT) * s2
+                   - CAST(s1 AS HUGEINT) * s1)
+                  // (CAST(n_obs AS HUGEINT) * (n_obs - 1))
+                  AS BIGINT) AS var_c2
+      FROM mom
+    )
+    SELECT event_type, n_obs, var_c2,
+           CAST(dd.d AS BIGINT) AS delta_c,
+           (16 * var_c2 + dd.d * dd.d - 1) // (dd.d * dd.d)
+             AS needed_per_arm
+    FROM wv CROSS JOIN (SELECT UNNEST([10, 50, 100]) AS d) dd
+"""

@@ -428,3 +428,34 @@ def test_cms_ladder_depth_and_width_dominance(spark, sf_dir):
         assert r.max_overcount_ppm >= 0
     assert rows[(4, 16)].overcount_total <= rows[(2, 16)].overcount_total
     assert rows[(4, 64)].overcount_total <= rows[(4, 16)].overcount_total
+
+
+def test_sample_size_planner_python_replay(spark, sf_dir):
+    """Exact replay: integer sample variance and Lehr ceiling division
+    recomputed in straight-line Python over collected cents."""
+    from adhesive_spark.queries.audit_queries import (
+        q329_ab_sample_size_planner,
+    )
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)").alias("c"))
+        .collect()
+    )
+    by_type = {}
+    for r in ev:
+        by_type.setdefault(r.event_type, []).append(r.c)
+    want = {}
+    for t, cs in by_type.items():
+        n, s1, s2 = len(cs), sum(cs), sum(c * c for c in cs)
+        var = (n * s2 - s1 * s1) // (n * (n - 1))
+        for d in (10, 50, 100):
+            want[(t, d)] = (n, var, (16 * var + d * d - 1) // (d * d))
+    got = {
+        (r.event_type, r.delta_c): (r.n_obs, r.var_c2, r.needed_per_arm)
+        for r in q329_ab_sample_size_planner(spark, sf_dir).collect()
+    }
+    assert got == want
+    # smaller detectable delta needs more samples
+    for t in by_type:
+        assert got[(t, 10)][2] >= got[(t, 50)][2] >= got[(t, 100)][2]

@@ -348,6 +348,7 @@ AUDITED = [
     "q326_hubness_audit",
     "q327_hll_precision_ladder",
     "q328_cms_geometry_ladder",
+    "q329_ab_sample_size_planner",
 ]
 
 
