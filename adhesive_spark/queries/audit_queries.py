@@ -2791,3 +2791,157 @@ AUDIT_ORACLES["q329_ab_sample_size_planner"] = """
              AS needed_per_arm
     FROM wv CROSS JOIN (SELECT UNNEST([10, 50, 100]) AS d) dd
 """
+
+
+# --- q330: IVF nprobe recall ladder --------------------------------------------------
+
+
+def q330_ivf_nprobe_ladder(spark, sf_dir):
+    """IVF recall-vs-IO tuning curve: recall@5 against the exact
+    brute-force truth at n_probe = 1/2/4/8 over the q49 deterministic
+    16-list index — THE knob an ANN service tunes (probe fraction =
+    IO cost; recall is what it buys). q152 measures one point; this is
+    the whole curve, and recall is non-decreasing in n_probe by
+    construction (candidate supersets — pytest-pinned).
+
+    Scale shape: the index assignment, the query→centroid ranking AND
+    the candidate scoring run ONCE (each candidate carries its probe
+    rank, since a corpus vector lives in exactly one list); each ladder
+    rung is a filter + top-5 window over that one checkpointed scored
+    set. Brute-force truth is one bounded broadcast scan (q35)."""
+    from adhesive_spark.operators.similarity import (
+        build_ivf_index,
+        cosine,
+        knn_bruteforce,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.where(F.col("vec_id") >= 10)
+    centroids, assigned = build_ivf_index(corpus, n_lists=16)
+    qc = queries.crossJoin(F.broadcast(centroids)).select(
+        "query_id",
+        F.col("embedding").alias("qvec"),
+        "centroid_id",
+        F.round(cosine(F.col("embedding"), F.col("cvec")), 6).alias("csim"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("csim").desc(), F.col("centroid_id")
+    )
+    probes = qc.withColumn("rq", F.row_number().over(wq)).where(
+        F.col("rq") <= 8
+    ).select("query_id", "qvec", "centroid_id", "rq")
+    cand = (
+        assigned.join(F.broadcast(probes), "centroid_id")
+        .select(
+            "query_id",
+            "vec_id",
+            "rq",
+            F.round(cosine(F.col("embedding"), F.col("qvec")), 6).alias(
+                "sim"
+            ),
+        )
+        .localCheckpoint(eager=True)
+    )
+    brute = knn_bruteforce(corpus, queries, k=5).select(
+        "query_id", "vec_id"
+    ).localCheckpoint(eager=True)
+    n_q = F.broadcast(brute.agg(F.count("*").alias("n_truth")))
+
+    out = None
+    for np_ in (1, 2, 4, 8):
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("sim").desc(), F.col("vec_id")
+        )
+        top = (
+            cand.where(F.col("rq") <= np_)
+            .withColumn("r", F.row_number().over(w))
+            .where(F.col("r") <= 5)
+            .select("query_id", "vec_id")
+        )
+        row = (
+            brute.join(F.broadcast(top), ["query_id", "vec_id"], "left_semi")
+            .agg(F.count("*").cast("long").alias("hits"))
+            .crossJoin(n_q)
+            .selectExpr(
+                f"CAST({np_} AS BIGINT) AS n_probe",
+                "CAST(n_truth AS BIGINT) AS n_truth",
+                "hits",
+                "hits * 1000000 div n_truth AS recall_ppm",
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+AUDIT_QUERIES["q330_ivf_nprobe_ladder"] = q330_ivf_nprobe_ladder
+
+AUDIT_ORACLES["q330_ivf_nprobe_ladder"] = """
+    WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    corpus AS (SELECT vec_id, v FROM emb WHERE vec_id >= 10),
+    queries AS (SELECT vec_id AS query_id, v AS qv FROM emb
+                WHERE vec_id < 10),
+    centroids AS (
+      SELECT vec_id AS centroid_id, v AS cv FROM corpus
+      ORDER BY vec_id LIMIT 16
+    ),
+    assigned AS (
+      SELECT vec_id, v, centroid_id FROM (
+        SELECT c.vec_id, c.v, t.centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY c.vec_id
+                 ORDER BY round(list_cosine_similarity(c.v, t.cv), 6) DESC,
+                          t.centroid_id) AS r
+        FROM corpus c CROSS JOIN centroids t
+      ) WHERE r = 1
+    ),
+    probes AS (
+      SELECT query_id, qv, centroid_id, rq FROM (
+        SELECT q.query_id, q.qv, t.centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                 ORDER BY round(list_cosine_similarity(q.qv, t.cv), 6) DESC,
+                          t.centroid_id) AS rq
+        FROM queries q CROSS JOIN centroids t
+      ) WHERE rq <= 8
+    ),
+    cand AS (
+      SELECT p.query_id, a.vec_id, p.rq,
+             round(list_cosine_similarity(a.v, p.qv), 6) AS sim
+      FROM assigned a JOIN probes p USING (centroid_id)
+    ),
+    brute AS (
+      SELECT query_id, vec_id FROM (
+        SELECT q.query_id, c.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                 ORDER BY round(list_cosine_similarity(c.v, q.qv), 6) DESC,
+                          c.vec_id) AS rank
+        FROM queries q CROSS JOIN corpus c
+      ) WHERE rank <= 5
+    ),
+    lanes AS (SELECT UNNEST([1, 2, 4, 8]) AS n_probe),
+    tops AS (
+      SELECT l.n_probe, query_id, vec_id FROM lanes l, LATERAL (
+        SELECT query_id, vec_id FROM (
+          SELECT c.query_id, c.vec_id,
+                 ROW_NUMBER() OVER (PARTITION BY c.query_id
+                   ORDER BY c.sim DESC, c.vec_id) AS r
+          FROM cand c WHERE c.rq <= l.n_probe
+        ) WHERE r <= 5
+      )
+    )
+    SELECT CAST(l.n_probe AS BIGINT) AS n_probe,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM brute) AS n_truth,
+           CAST(COUNT(t.vec_id) AS BIGINT) AS hits,
+           CAST(COUNT(t.vec_id) * 1000000
+                // (SELECT COUNT(*) FROM brute) AS BIGINT) AS recall_ppm
+    FROM lanes l
+    LEFT JOIN (
+      SELECT tp.n_probe, b.query_id, b.vec_id, tp.vec_id AS hit
+      FROM brute b JOIN tops tp
+        ON b.query_id = tp.query_id AND b.vec_id = tp.vec_id
+    ) t ON l.n_probe = t.n_probe
+    GROUP BY l.n_probe
+"""

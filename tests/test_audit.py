@@ -459,3 +459,20 @@ def test_sample_size_planner_python_replay(spark, sf_dir):
     # smaller detectable delta needs more samples
     for t in by_type:
         assert got[(t, 10)][2] >= got[(t, 50)][2] >= got[(t, 100)][2]
+
+
+def test_nprobe_ladder_monotone(spark, sf_dir):
+    """Recall is non-decreasing in n_probe (candidate supersets) and
+    valid ppm; n_truth constant across rungs."""
+    from adhesive_spark.queries.audit_queries import q330_ivf_nprobe_ladder
+
+    rows = {r.n_probe: r for r in q330_ivf_nprobe_ladder(spark, sf_dir).collect()}
+    assert set(rows) == {1, 2, 4, 8}
+    nt = rows[1].n_truth
+    last = -1
+    for np_ in (1, 2, 4, 8):
+        r = rows[np_]
+        assert r.n_truth == nt
+        assert 0 <= r.hits <= nt
+        assert r.recall_ppm >= last
+        last = r.recall_ppm

@@ -349,6 +349,7 @@ AUDITED = [
     "q327_hll_precision_ladder",
     "q328_cms_geometry_ladder",
     "q329_ab_sample_size_planner",
+    "q330_ivf_nprobe_ladder",
 ]
 
 
