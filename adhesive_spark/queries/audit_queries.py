@@ -2945,3 +2945,94 @@ AUDIT_ORACLES["q330_ivf_nprobe_ladder"] = """
     ) t ON l.n_probe = t.n_probe
     GROUP BY l.n_probe
 """
+
+
+# --- q331: embedding isotropy audit ----------------------------------------------------
+
+
+def q331_isotropy_audit(spark, sf_dir):
+    """Embedding isotropy audit (Ethayarajh 2019 / Mu & Viswanath
+    2018): anisotropic spaces — where all vectors share a dominant
+    direction — degrade cosine-based retrieval and dedup. Two exact
+    diagnostics with NO pairwise join: the mean pairwise cosine over
+    ALL n² pairs via the closed form ``(‖Σv‖² − Σ‖v‖²) / (n(n−1))``
+    (one per-dimension sum pass replaces half a billion dot products
+    at 100 TB), and the top dimension's share of total variance.
+    Float work is strictly IN-ROW (normalize, then quantize each
+    component to 1e6 fixed point), so every cross-row sum is integer —
+    no order-dependent float accumulation anywhere.
+
+    Scale shape: one posexplode pass → a 64-row per-dimension
+    aggregate; everything after is arithmetic on 64 rows. The exact
+    all-pairs statistic at corpus-linear cost."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    # in-row normalize then quantize: norm is a per-row fold (fixed
+    # order), so the quantized longs are engine-identical
+    quant = emb.select(
+        F.expr(
+            "transform(v, x -> CAST(round(x / sqrt(aggregate(v,"
+            " CAST(0.0 AS DOUBLE), (a, y) -> a + y * y)) * 1000000, 0)"
+            " AS BIGINT))"
+        ).alias("q")
+    )
+    per_dim = quant.select(
+        F.posexplode("q").alias("d", "x")
+    ).groupBy("d").agg(
+        F.sum("x").cast("long").alias("s1"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("s2"),
+        F.count("*").cast("long").alias("n"),
+    )
+    return per_dim.agg(
+        F.max("n").cast("long").alias("n_vecs"),
+        # mean pairwise dot of unit vectors, ppm: (sum_d S_d^2 - sum_d
+        # Q_d) / (n(n-1)) where components are 1e6-scaled -> divide by
+        # 1e12, report ppm -> net div by 1e6
+        F.expr(
+            "CAST((CAST(sum(CAST(s1 AS DECIMAL(38,0)) * s1) AS DECIMAL(38,0))"
+            " - sum(s2))"
+            " div (CAST(max(n) AS DECIMAL(38,0)) * (max(n) - 1) * 1000000)"
+            " AS BIGINT)"
+        ).alias("mean_pair_cos_ppm"),
+        # top dimension's share of total variance (n*s2 - s1^2 per dim)
+        F.expr(
+            "CAST(CAST(max(CAST(n AS DECIMAL(38,0)) * s2"
+            " - CAST(s1 AS DECIMAL(38,0)) * s1) AS DECIMAL(38,0))"
+            " * 1000000"
+            " div sum(CAST(n AS DECIMAL(38,0)) * s2"
+            " - CAST(s1 AS DECIMAL(38,0)) * s1) AS BIGINT)"
+        ).alias("top_dim_var_ppm"),
+        F.count("*").cast("long").alias("n_dims"),
+    )
+
+
+AUDIT_QUERIES["q331_isotropy_audit"] = q331_isotropy_audit
+
+AUDIT_ORACLES["q331_isotropy_audit"] = """
+    WITH emb AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+    quant AS (
+      SELECT list_transform(v, x -> CAST(round(x / sqrt(
+               list_reduce(list_transform(v, y -> y * y),
+                           (a, b) -> a + b)) * 1000000, 0) AS BIGINT))
+               AS q
+      FROM emb
+    ),
+    per_dim AS (
+      SELECT u.d, CAST(SUM(q[u.d]) AS BIGINT) AS s1,
+             CAST(SUM(q[u.d] * q[u.d]) AS BIGINT) AS s2,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM quant, UNNEST(generate_series(1, len(q))) AS u(d)
+      GROUP BY u.d
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_vecs,
+           CAST((SUM(CAST(s1 AS HUGEINT) * s1) - SUM(CAST(s2 AS HUGEINT)))
+                // (CAST(MAX(n) AS HUGEINT) * (MAX(n) - 1) * 1000000)
+                AS BIGINT) AS mean_pair_cos_ppm,
+           CAST(MAX(CAST(n AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1)
+                * 1000000
+                // SUM(CAST(n AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1)
+                AS BIGINT) AS top_dim_var_ppm,
+           CAST(COUNT(*) AS BIGINT) AS n_dims
+    FROM per_dim
+"""

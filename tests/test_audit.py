@@ -476,3 +476,40 @@ def test_nprobe_ladder_monotone(spark, sf_dir):
         assert 0 <= r.hits <= nt
         assert r.recall_ppm >= last
         last = r.recall_ppm
+
+
+def test_isotropy_matches_bruteforce_pairwise(spark, sf_dir):
+    """The closed-form mean pairwise cosine must equal the O(n²)
+    brute-force mean over the quantized unit vectors (computed in
+    integer Python on a collected sample-safe corpus)."""
+    import math
+
+    from adhesive_spark.queries.audit_queries import q331_isotropy_audit
+
+    rows = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("embedding")
+        .collect()
+    )
+    qs = []
+    for r in rows:
+        v = [float(x) for x in r.embedding]
+        nrm = math.sqrt(sum(x * x for x in v))
+        qs.append([int(round(x / nrm * 1_000_000)) for x in v])
+    n = len(qs)
+    tot = 0
+    s1 = [0] * len(qs[0])
+    ssq = 0
+    for q in qs:
+        for d, x in enumerate(q):
+            s1[d] += x
+        ssq += sum(x * x for x in q)
+    num = sum(s * s for s in s1) - ssq
+    den = n * (n - 1) * 1_000_000
+    # Spark div / DuckDB // truncate toward zero; Python // floors
+    want = abs(num) // den * (1 if num >= 0 else -1)
+    got = q331_isotropy_audit(spark, sf_dir).collect()[0]
+    assert got.n_vecs == n
+    assert got.mean_pair_cos_ppm == want
+    assert 0 < got.top_dim_var_ppm < 1_000_000
+    assert got.n_dims == 64

@@ -350,6 +350,7 @@ AUDITED = [
     "q328_cms_geometry_ladder",
     "q329_ab_sample_size_planner",
     "q330_ivf_nprobe_ladder",
+    "q331_isotropy_audit",
 ]
 
 
