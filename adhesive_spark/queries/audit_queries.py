@@ -3036,3 +3036,172 @@ AUDIT_ORACLES["q331_isotropy_audit"] = """
            CAST(COUNT(*) AS BIGINT) AS n_dims
     FROM per_dim
 """
+
+
+# --- q332: index storage-cost ledger -----------------------------------------------
+
+
+def q332_index_cost_ledger(spark, sf_dir):
+    """Index storage planner: the bytes each similarity/dedup structure
+    in this engine would occupy at the CURRENT corpus size, priced
+    from exact row counts and the structures' real geometries —
+    MinHash signatures (64 perms × 8 B/doc), LSH band table (16
+    bands × 16 B/doc), IVF assignment (vec + 4 B list id) vs PQ codes
+    (8 × 1 B/vec + a 256-row ADC table), register HLL (64 rows flat),
+    CMS (4×16 flat), and the inverted index (one posting per
+    token occurrence, 12 B) — the capacity-planning sheet an index
+    rollout is budgeted from, with a broadcastable flag (≤ 10 MB) per
+    structure.
+
+    Scale shape: three metadata-cheap aggregates (doc count, vec
+    count, token-occurrence count) broadcast onto a literal structure
+    spine; the ledger itself is O(1)."""
+    from adhesive_spark.operators.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.agg(F.count("*").cast("long").alias("n_docs"))
+    n_toks = docs.agg(
+        F.sum(token_count(F.col("text"))).cast("long").alias("n_toks")
+    )
+    n_vecs = (
+        load_table(spark, sf_dir, "embeddings")
+        .agg(F.count("*").cast("long").alias("n_vecs"))
+    )
+    base = n_docs.crossJoin(F.broadcast(n_toks)).crossJoin(
+        F.broadcast(n_vecs)
+    )
+    rows = base.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("minhash_signatures").alias("structure"),
+                    F.col("n_docs").alias("n_rows"),
+                    (F.col("n_docs") * 64 * 8).alias("bytes_est"),
+                ),
+                F.struct(
+                    F.lit("lsh_band_table").alias("structure"),
+                    (F.col("n_docs") * 16).alias("n_rows"),
+                    (F.col("n_docs") * 16 * 16).alias("bytes_est"),
+                ),
+                F.struct(
+                    F.lit("ivf_assignment").alias("structure"),
+                    F.col("n_vecs").alias("n_rows"),
+                    (F.col("n_vecs") * (64 * 8 + 4)).alias("bytes_est"),
+                ),
+                F.struct(
+                    F.lit("pq_codes").alias("structure"),
+                    F.col("n_vecs").alias("n_rows"),
+                    (F.col("n_vecs") * 8 + 256 * 8 * 8).alias("bytes_est"),
+                ),
+                F.struct(
+                    F.lit("hll_registers").alias("structure"),
+                    F.lit(64).cast("long").alias("n_rows"),
+                    F.lit(64 * 16).cast("long").alias("bytes_est"),
+                ),
+                F.struct(
+                    F.lit("cms_counters").alias("structure"),
+                    F.lit(64).cast("long").alias("n_rows"),
+                    F.lit(64 * 24).cast("long").alias("bytes_est"),
+                ),
+                F.struct(
+                    F.lit("inverted_index").alias("structure"),
+                    F.col("n_toks").alias("n_rows"),
+                    (F.col("n_toks") * 12).alias("bytes_est"),
+                ),
+            )
+        ).alias("s")
+    ).select("s.structure", "s.n_rows", "s.bytes_est")
+    return rows.selectExpr(
+        "structure",
+        "n_rows",
+        "bytes_est",
+        "CASE WHEN bytes_est <= 10485760 THEN 1 ELSE 0 END"
+        " AS broadcastable",
+    )
+
+
+AUDIT_QUERIES["q332_index_cost_ledger"] = q332_index_cost_ledger
+
+AUDIT_ORACLES["q332_index_cost_ledger"] = f"""
+    WITH nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    nt AS (SELECT CAST(SUM(len({_TOKS})) AS BIGINT) AS n_toks
+           FROM documents),
+    nv AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs FROM embeddings),
+    ledger AS (
+      SELECT 'minhash_signatures' AS structure, n_docs AS n_rows,
+             n_docs * 64 * 8 AS bytes_est FROM nd
+      UNION ALL
+      SELECT 'lsh_band_table', n_docs * 16, n_docs * 16 * 16 FROM nd
+      UNION ALL
+      SELECT 'ivf_assignment', n_vecs, n_vecs * (64 * 8 + 4) FROM nv
+      UNION ALL
+      SELECT 'pq_codes', n_vecs, n_vecs * 8 + 256 * 8 * 8 FROM nv
+      UNION ALL
+      SELECT 'hll_registers', 64, 64 * 16
+      UNION ALL
+      SELECT 'cms_counters', 64, 64 * 24
+      UNION ALL
+      SELECT 'inverted_index', n_toks, n_toks * 12 FROM nt
+    )
+    SELECT structure, CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(bytes_est AS BIGINT) AS bytes_est,
+           CAST(CASE WHEN bytes_est <= 10485760 THEN 1 ELSE 0 END
+                AS BIGINT) AS broadcastable
+    FROM ledger
+"""
+
+
+# --- q333: ingest-order dedup pressure ------------------------------------------------
+
+
+def q333_ingest_dedup_pressure(spark, sf_dir):
+    """Dedup pressure over INGEST ORDER (doc_id as arrival proxy): per
+    arrival decile, the share of documents whose exact fingerprint
+    already arrived earlier — rising pressure says the crawl is
+    re-visiting (dedup before storage pays off increasingly); flat says
+    duplication is endemic, not temporal. The incremental-dedup twin of
+    q129's snapshot diff.
+
+    Scale shape: one fingerprint aggregate (min arrival id per
+    fingerprint — map-side combined), broadcast max-id for the
+    closed-form decile, one rollup. No windows, no self-joins."""
+    from adhesive_spark.operators.text import fingerprint
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", fingerprint(F.col("text")).alias("fp")
+    )
+    first = docs.groupBy("fp").agg(F.min("doc_id").alias("first_id"))
+    mx = F.broadcast(docs.agg(F.max("doc_id").alias("max_id")))
+    return (
+        docs.join(first, "fp")
+        .crossJoin(mx)
+        .selectExpr(
+            "least(9L, doc_id * 10 div (max_id + 1)) AS decile",
+            "CASE WHEN doc_id > first_id THEN 1 ELSE 0 END AS is_dup",
+        )
+        .groupBy("decile")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("is_dup").cast("long").alias("n_dups"),
+            F.expr("sum(is_dup) * 1000000 div count(*)").alias("dup_ppm"),
+        )
+    )
+
+
+AUDIT_QUERIES["q333_ingest_dedup_pressure"] = q333_ingest_dedup_pressure
+
+AUDIT_ORACLES["q333_ingest_dedup_pressure"] = f"""
+    WITH d AS (
+      SELECT doc_id, md5({_NORM}) AS fp FROM documents
+    ),
+    first AS (SELECT fp, MIN(doc_id) AS first_id FROM d GROUP BY fp),
+    mx AS (SELECT MAX(doc_id) AS max_id FROM d)
+    SELECT least(9, d.doc_id * 10 // (mx.max_id + 1)) AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN d.doc_id > f.first_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dups,
+           CAST(SUM(CASE WHEN d.doc_id > f.first_id THEN 1 ELSE 0 END)
+                * 1000000 // COUNT(*) AS BIGINT) AS dup_ppm
+    FROM d JOIN first f USING (fp) CROSS JOIN mx
+    GROUP BY 1
+"""

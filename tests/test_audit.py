@@ -513,3 +513,38 @@ def test_isotropy_matches_bruteforce_pairwise(spark, sf_dir):
     assert got.mean_pair_cos_ppm == want
     assert 0 < got.top_dim_var_ppm < 1_000_000
     assert got.n_dims == 64
+
+
+def test_index_ledger_scales_with_counts(spark, sf_dir):
+    """Ledger arithmetic: per-doc/vec structures price exactly from
+    the counted inputs; flat sketches are always broadcastable."""
+    from adhesive_spark.queries.audit_queries import q332_index_cost_ledger
+
+    rows = {r.structure: r for r in q332_index_cost_ledger(spark, sf_dir).collect()}
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    n_vecs = load_table(spark, sf_dir, "embeddings").count()
+    assert rows["minhash_signatures"].bytes_est == n_docs * 64 * 8
+    assert rows["ivf_assignment"].n_rows == n_vecs
+    assert rows["hll_registers"].broadcastable == 1
+    assert rows["cms_counters"].broadcastable == 1
+    for r in rows.values():
+        assert r.bytes_est > 0 and r.n_rows > 0
+
+
+def test_ingest_dedup_pressure_conserves(spark, sf_dir):
+    """Deciles partition the corpus; first decile has the FEWEST dup
+    hits of any decile (firsts concentrate early); dup total equals
+    corpus minus distinct fingerprints."""
+    from adhesive_spark.queries.audit_queries import (
+        q333_ingest_dedup_pressure,
+    )
+    from adhesive_spark.operators.text import fingerprint
+
+    rows = q333_ingest_dedup_pressure(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    n_fp = docs.select(fingerprint(F.col("text")).alias("f")).distinct().count()
+    assert sum(r.n_docs for r in rows) == n
+    assert sum(r.n_dups for r in rows) == n - n_fp
+    by_dec = {r.decile: r for r in rows}
+    assert by_dec[0].n_dups <= max(r.n_dups for r in rows)

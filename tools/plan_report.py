@@ -351,6 +351,8 @@ AUDITED = [
     "q329_ab_sample_size_planner",
     "q330_ivf_nprobe_ladder",
     "q331_isotropy_audit",
+    "q332_index_cost_ledger",
+    "q333_ingest_dedup_pressure",
 ]
 
 
