@@ -3205,3 +3205,174 @@ AUDIT_ORACLES["q333_ingest_dedup_pressure"] = f"""
     FROM d JOIN first f USING (fp) CROSS JOIN mx
     GROUP BY 1
 """
+
+
+# --- q334: MinHash permutation-budget ladder -------------------------------------------
+
+
+def q334_minhash_perm_ladder(spark, sf_dir):
+    """Signature-size tuning curve: how accurate is the MinHash
+    Jaccard ESTIMATE (matching positions / p) at p = 16/32/64
+    permutations, measured as mean absolute error in ppm against the
+    exact n-gram Jaccard on the real near-dup pairs? The permutation
+    coefficients are generated sequentially, so the 16- and 32-perm
+    signatures are PREFIXES of the 64-perm one — one signature pass
+    serves the whole ladder (the q327/q328 measure-the-knob
+    discipline applied to signature memory: 8·p bytes/doc).
+
+    Scale shape: one signature pass (the q37 machinery, checkpointed)
+    + the capped exact-pair set (doc_id < 200, the q33 convention);
+    per-pair match counting is an IN-ROW zip over the two signature
+    arrays — no per-permutation explode."""
+    from adhesive_spark.operators.dedup import (
+        minhash_base_and_bands,
+        ngram_jaccard_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 200
+    )
+    pairs = ngram_jaccard_pairs(
+        docs, "text", "doc_id", n=3, threshold=0.2
+    ).select(
+        "id_a",
+        "id_b",
+        F.expr("CAST(round(jaccard * 1000000, 0) AS BIGINT)").alias("j_ppm"),
+    )
+    base, _bands = minhash_base_and_bands(docs, "text", "doc_id")
+    sigs = base.select("id", "sig")
+    joined = (
+        pairs.join(
+            F.broadcast(sigs.withColumnsRenamed({"id": "id_a", "sig": "sig_a"})),
+            "id_a",
+        )
+        .join(
+            F.broadcast(sigs.withColumnsRenamed({"id": "id_b", "sig": "sig_b"})),
+            "id_b",
+        )
+    )
+    lanes = joined.select(
+        "j_ppm",
+        F.explode(
+            F.array(*[F.lit(p) for p in (16, 32, 64)])
+        ).alias("p"),
+        F.expr(
+            "size(filter(zip_with(sig_a, sig_b, (a, b) -> a = b),"
+            " x -> x))"
+        ).cast("long").alias("m64"),
+        F.expr(
+            "size(filter(zip_with(slice(sig_a, 1, 32),"
+            " slice(sig_b, 1, 32), (a, b) -> a = b), x -> x))"
+        ).cast("long").alias("m32"),
+        F.expr(
+            "size(filter(zip_with(slice(sig_a, 1, 16),"
+            " slice(sig_b, 1, 16), (a, b) -> a = b), x -> x))"
+        ).cast("long").alias("m16"),
+    ).selectExpr(
+        "p",
+        "j_ppm",
+        "CASE p WHEN 16 THEN m16 WHEN 32 THEN m32 ELSE m64 END"
+        " * 1000000 div p AS est_ppm",
+    )
+    return lanes.groupBy("p").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.expr("sum(abs(est_ppm - j_ppm)) div count(*)").alias(
+            "mean_abs_err_ppm"
+        ),
+        F.max(F.abs(F.col("est_ppm") - F.col("j_ppm")))
+        .cast("long")
+        .alias("max_abs_err_ppm"),
+    ).selectExpr(
+        "CAST(p AS BIGINT) AS p",
+        "n_pairs",
+        "mean_abs_err_ppm",
+        "max_abs_err_ppm",
+    )
+
+
+AUDIT_QUERIES["q334_minhash_perm_ladder"] = q334_minhash_perm_ladder
+
+
+def _perm_ladder_oracle() -> str:
+    from adhesive_spark.operators.dedup import _MERSENNE, _perm_coeffs
+    from adhesive_spark.queries.pipeline_queries import _byte_from_hex
+
+    coeffs = _perm_coeffs(64, 42)
+    coeff_rows = ", ".join(
+        f"({i}, {a}::BIGINT, {b}::BIGINT)" for i, (a, b) in enumerate(coeffs)
+    )
+    h32 = (
+        f"({_byte_from_hex('h', 1)} * 16777216 "
+        f"+ {_byte_from_hex('h', 2)} * 65536 "
+        f"+ {_byte_from_hex('h', 3)} * 256 "
+        f"+ {_byte_from_hex('h', 4)})"
+    )
+    return f"""
+    WITH t AS (
+      SELECT doc_id, {_NORM} AS norm, {_TOKS} AS toks
+      FROM documents WHERE doc_id < 200
+    ),
+    g AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) - 2 >= 1
+                  THEN list_distinct(list_transform(
+                         range(1, len(toks) - 2 + 1),
+                         i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))
+                  ELSE [norm] END AS grams
+      FROM t
+    ),
+    x AS (SELECT doc_id, unnest(grams) AS shingle FROM g),
+    sz AS (SELECT doc_id, len(grams) AS n_sh FROM g),
+    rare AS (SELECT shingle FROM x GROUP BY shingle HAVING COUNT(*) <= 1000),
+    xf AS (SELECT x.doc_id, x.shingle FROM x JOIN rare USING (shingle)),
+    cmn AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+      FROM xf a JOIN xf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT id_a, id_b,
+             CAST(round(round(n_common / (sa.n_sh + sb.n_sh - n_common), 4)
+                        * 1000000, 0) AS BIGINT) AS j_ppm
+      FROM cmn
+      JOIN sz sa ON cmn.id_a = sa.doc_id
+      JOIN sz sb ON cmn.id_b = sb.doc_id
+      WHERE round(n_common / (sa.n_sh + sb.n_sh - n_common), 4) >= 0.2
+    ),
+    hx AS (SELECT doc_id, md5(unnest(grams)) AS h FROM g),
+    bhr AS (SELECT doc_id, {h32} % {_MERSENNE} AS base FROM hx),
+    co(i, a, b) AS (VALUES {coeff_rows}),
+    sig AS (
+      SELECT bhr.doc_id, co.i,
+             MIN((bhr.base * co.a + co.b) % {_MERSENNE}) AS s
+      FROM bhr CROSS JOIN co
+      GROUP BY bhr.doc_id, co.i
+    ),
+    matches AS (
+      SELECT p.id_a, p.id_b, p.j_ppm,
+             SUM(CASE WHEN sa.i < 16 AND sa.s = sb.s THEN 1 ELSE 0 END)
+               AS m16,
+             SUM(CASE WHEN sa.i < 32 AND sa.s = sb.s THEN 1 ELSE 0 END)
+               AS m32,
+             SUM(CASE WHEN sa.s = sb.s THEN 1 ELSE 0 END) AS m64
+      FROM pairs p
+      JOIN sig sa ON sa.doc_id = p.id_a
+      JOIN sig sb ON sb.doc_id = p.id_b AND sb.i = sa.i
+      GROUP BY 1, 2, 3
+    ),
+    lanes AS (
+      SELECT pp.p, j_ppm,
+             (CASE pp.p WHEN 16 THEN m16 WHEN 32 THEN m32 ELSE m64 END)
+               * 1000000 // pp.p AS est_ppm
+      FROM matches CROSS JOIN (SELECT UNNEST([16, 32, 64]) AS p) pp
+    )
+    SELECT CAST(p AS BIGINT) AS p,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(abs(est_ppm - j_ppm)) // COUNT(*) AS BIGINT)
+             AS mean_abs_err_ppm,
+           CAST(MAX(abs(est_ppm - j_ppm)) AS BIGINT) AS max_abs_err_ppm
+    FROM lanes GROUP BY p
+"""
+
+
+AUDIT_ORACLES["q334_minhash_perm_ladder"] = _perm_ladder_oracle()

@@ -548,3 +548,22 @@ def test_ingest_dedup_pressure_conserves(spark, sf_dir):
     assert sum(r.n_dups for r in rows) == n - n_fp
     by_dec = {r.decile: r for r in rows}
     assert by_dec[0].n_dups <= max(r.n_dups for r in rows)
+
+
+def test_perm_ladder_more_perms_less_error(spark, sf_dir):
+    """More permutations can only help ON AVERAGE: mean absolute
+    estimation error is non-increasing 16 -> 32 -> 64 on the real pair
+    set; all errors bounded by 1e6."""
+    from adhesive_spark.queries.audit_queries import q334_minhash_perm_ladder
+
+    rows = {r.p: r for r in q334_minhash_perm_ladder(spark, sf_dir).collect()}
+    assert set(rows) == {16, 32, 64}
+    n = rows[16].n_pairs
+    assert n > 0 and all(r.n_pairs == n for r in rows.values())
+    assert (
+        rows[64].mean_abs_err_ppm
+        <= rows[32].mean_abs_err_ppm
+        <= rows[16].mean_abs_err_ppm
+    )
+    for r in rows.values():
+        assert 0 <= r.mean_abs_err_ppm <= r.max_abs_err_ppm <= 1_000_000

@@ -353,6 +353,7 @@ AUDITED = [
     "q331_isotropy_audit",
     "q332_index_cost_ledger",
     "q333_ingest_dedup_pressure",
+    "q334_minhash_perm_ladder",
 ]
 
 
