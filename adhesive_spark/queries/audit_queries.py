@@ -5,7 +5,10 @@ readability profiling, inter-annotator reliability (Krippendorff's
 alpha), autocorrelation of ingest volume, an in-engine linear quality
 classifier, packing-policy efficiency ladders, planted-mutation dedup
 calibration, restrictive-license propagation through the near-dup
-graph, and annotation-panel planning.
+graph, annotation-panel planning, multi-probe LSH, hubness/isotropy
+embedding QA, the HLL/CMS/MinHash/IVF parameter ladders (measure the
+knob, don't formula-read it), prefix-cache and index-cost planners,
+retention sweeps, and experiment sizing.
 
 House conventions: exact integer arithmetic (ppm/milli fixed point,
 division LAST, Spark ``div`` / DuckDB ``//`` — both truncate toward
