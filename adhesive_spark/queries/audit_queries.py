@@ -1434,13 +1434,31 @@ def q318_quantile_matched_filter(spark, sf_dir):
     q225/q303 bounded-domain discipline), then one broadcast join
     back. A naive row_number-per-source would sort each source in one
     partition; this never does."""
-    from adhesive_spark.operators.text import quality_score, scaled_long
+    return quantile_matched_report(load_table(spark, sf_dir, "documents"))
 
-    scored = load_table(spark, sf_dir, "documents").select(
-        "source", scaled_long(quality_score(F.col("text")), 4).alias("q_s")
-    )
-    by_val = scored.groupBy("source", "q_s").agg(
-        F.count("*").cast("long").alias("cnt")
+
+def quantile_matched_report(docs):
+    """DF-level core of q318 (takes any documents DataFrame with
+    source/text) — shared with the stress harness, which drives it
+    over the N×-replicated corpus to prove the distinct-value windows
+    stay bounded-domain.
+
+    The corpus is scanned EXACTLY ONCE: the quality pass collapses to
+    (source, q_s) counts, which are checkpointed, and thresholds AND
+    kept counts are all derived from that bounded-domain table —
+    kept = Σ cnt where q_s ≥ threshold, so no second pass over raw
+    rows exists at any scale."""
+    from adhesive_spark.operators.text import quality_score, scaled_long
+    from adhesive_spark.sources.registry import ensure_parallelism
+
+    by_val = (
+        ensure_parallelism(docs).select(
+            "source",
+            scaled_long(quality_score(F.col("text")), 4).alias("q_s"),
+        )
+        .groupBy("source", "q_s")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .localCheckpoint(eager=True)
     )
     # per-source threshold: largest q_s whose descending cumulative
     # count reaches ceil(n/4) — distinct-value window only
@@ -1462,27 +1480,33 @@ def q318_quantile_matched_filter(spark, sf_dir):
         .agg(F.max("q_s").alias("local_thr"))
     )
     # global threshold: same trick over corpus-wide distinct values
-    gv = scored.groupBy("q_s").agg(F.count("*").cast("long").alias("cnt"))
+    gv = by_val.groupBy("q_s").agg(F.sum("cnt").cast("long").alias("cnt"))
     wg = (
         Window.orderBy(F.col("q_s").desc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     global_thr = (
         gv.select("q_s", F.sum("cnt").over(wg).alias("cum"))
-        .crossJoin(F.broadcast(scored.agg(F.count("*").alias("n"))))
+        .crossJoin(F.broadcast(by_val.agg(F.sum("cnt").alias("n"))))
         .where(F.expr("cum >= (n + 3) div 4"))
         .agg(F.max("q_s").alias("global_thr"))
     )
     return (
-        scored.join(F.broadcast(local_thr), "source")
+        by_val.join(F.broadcast(local_thr), "source")
         .crossJoin(F.broadcast(global_thr))
         .groupBy("source")
         .agg(
-            F.count("*").cast("long").alias("n_docs"),
-            F.sum((F.col("q_s") >= F.col("local_thr")).cast("long"))
+            F.sum("cnt").cast("long").alias("n_docs"),
+            F.sum(
+                F.when(F.col("q_s") >= F.col("local_thr"), F.col("cnt"))
+                .otherwise(0)
+            )
             .cast("long")
             .alias("kept_local"),
-            F.sum((F.col("q_s") >= F.col("global_thr")).cast("long"))
+            F.sum(
+                F.when(F.col("q_s") >= F.col("global_thr"), F.col("cnt"))
+                .otherwise(0)
+            )
             .cast("long")
             .alias("kept_global"),
         )

@@ -498,6 +498,18 @@ def main() -> None:
         rows_in,
     )
 
+    # Quantile-matched filter at N×: replication multiplies the corpus
+    # but NOT the distinct quality values, so the global and per-source
+    # threshold windows (distinct-value rank trick) stay bounded-domain
+    # — wall must track the linear scoring pass only.
+    from adhesive_spark.queries.audit_queries import quantile_matched_report
+
+    run(
+        "quantile_matched_filter",
+        lambda: quantile_matched_report(big_docs),
+        rows_in,
+    )
+
     # Bradley–Terry at N×: replication multiplies the duel-window pass
     # (event_id remap keeps rows unique; same-type/same-value adjacent
     # copies are filtered as ties) but the win matrix stays K² and the
