@@ -278,8 +278,9 @@ def q308_flesch_readability(spark, sf_dir):
     zero explodes, zero Python), then one rollup shuffle on source —
     corpus-linear, the cheapest possible query shape."""
     from adhesive_spark.operators.text import normalize_text, token_count
+    from adhesive_spark.sources.registry import ensure_parallelism
 
-    docs = load_table(spark, sf_dir, "documents").select(
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents")).select(
         "source",
         token_count(F.col("text")).cast("long").alias("w"),
         (
@@ -501,7 +502,9 @@ def q309_krippendorff_alpha(spark, sf_dir):
     ann_b = F.when(hb % 10 == 0, (base + 1 + hb % 3) % 4).otherwise(base)
     ann_c = F.when(hc % 5 == 0, (base + 1 + hc % 3) % 4).otherwise(base)
 
-    docs = load_table(spark, sf_dir, "documents").select(
+    from adhesive_spark.sources.registry import ensure_parallelism
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents")).select(
         ann_a.alias("a"), ann_b.alias("b"), ann_c.alias("c")
     )
     per_unit = docs.select(
@@ -2133,32 +2136,43 @@ def q324_filter_length_bias(spark, sf_dir):
     machinery — no corpus sort); one (octave) rollup + broadcast
     threshold join. Corpus-linear."""
     from adhesive_spark.operators.text import quality_score, scaled_long
+    from adhesive_spark.sources.registry import ensure_parallelism
 
-    scored = load_table(spark, sf_dir, "documents").select(
-        F.expr(
-            "CASE WHEN n_chars <= 1 THEN 1"
-            " ELSE CAST(pow(2, length(bin(n_chars - 1))) AS BIGINT) END"
-        ).alias("octave"),
-        scaled_long(quality_score(F.col("text")), 4).alias("q_s"),
+    by_val = (
+        ensure_parallelism(load_table(spark, sf_dir, "documents"))
+        .select(
+            F.expr(
+                "CASE WHEN n_chars <= 1 THEN 1"
+                " ELSE CAST(pow(2, length(bin(n_chars - 1))) AS BIGINT) END"
+            ).alias("octave"),
+            scaled_long(quality_score(F.col("text")), 4).alias("q_s"),
+        )
+        # one corpus pass: collapse to (octave, q_s) counts and derive
+        # EVERYTHING (threshold, per-octave keeps, overall row) from
+        # this checkpointed bounded-domain table (the q318 discipline)
+        .groupBy("octave", "q_s")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .localCheckpoint(eager=True)
     )
-    gv = scored.groupBy("q_s").agg(F.count("*").cast("long").alias("cnt"))
+    gv = by_val.groupBy("q_s").agg(F.sum("cnt").cast("long").alias("cnt"))
     wg = Window.orderBy(F.col("q_s").desc()).rowsBetween(
         Window.unboundedPreceding, 0
     )
     thr = (
         gv.select("q_s", F.sum("cnt").over(wg).alias("cum"))
-        .crossJoin(F.broadcast(scored.agg(F.count("*").alias("n"))))
+        .crossJoin(F.broadcast(by_val.agg(F.sum("cnt").alias("n"))))
         .where(F.expr("cum >= (n + 1) div 2"))
         .agg(F.max("q_s").alias("thr"))
     )
+    kept_expr = F.sum(
+        F.when(F.col("q_s") >= F.col("thr"), F.col("cnt")).otherwise(0)
+    ).cast("long")
     per_octave = (
-        scored.crossJoin(F.broadcast(thr))
+        by_val.crossJoin(F.broadcast(thr))
         .groupBy("octave")
         .agg(
-            F.count("*").cast("long").alias("n_docs"),
-            F.sum((F.col("q_s") >= F.col("thr")).cast("long"))
-            .cast("long")
-            .alias("kept"),
+            F.sum("cnt").cast("long").alias("n_docs"),
+            kept_expr.alias("kept"),
         )
         .selectExpr(
             "octave",
@@ -2168,12 +2182,10 @@ def q324_filter_length_bias(spark, sf_dir):
         )
     )
     overall = (
-        scored.crossJoin(F.broadcast(thr))
+        by_val.crossJoin(F.broadcast(thr))
         .agg(
-            F.count("*").cast("long").alias("n_docs"),
-            F.sum((F.col("q_s") >= F.col("thr")).cast("long"))
-            .cast("long")
-            .alias("kept"),
+            F.sum("cnt").cast("long").alias("n_docs"),
+            kept_expr.alias("kept"),
         )
         .selectExpr(
             "CAST(0 AS BIGINT) AS octave",
@@ -3193,8 +3205,9 @@ def q333_ingest_dedup_pressure(spark, sf_dir):
     fingerprint — map-side combined), broadcast max-id for the
     closed-form decile, one rollup. No windows, no self-joins."""
     from adhesive_spark.operators.text import fingerprint
+    from adhesive_spark.sources.registry import ensure_parallelism
 
-    docs = load_table(spark, sf_dir, "documents").select(
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents")).select(
         "doc_id", fingerprint(F.col("text")).alias("fp")
     )
     first = docs.groupBy("fp").agg(F.min("doc_id").alias("first_id"))
