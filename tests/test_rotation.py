@@ -85,17 +85,37 @@ def test_verified_ledger_is_consulted(tmp_path, monkeypatch):
 def test_verified_ledger_matches_committed_history():
     """The committed VERIFIED.json must be a SUPERSET of what the
     CORRECTNESS history derives — a stale ledger that misses green rows
-    would re-front already-verified queries and waste a round."""
+    would re-front already-verified queries and waste a round.
+
+    Only COMMITTED history files count (enumerated via `git ls-files`):
+    the driver may drop a fresh CORRECTNESS_r*.json into the worktree
+    after the builder's final commit, and that untracked artifact must
+    not fail a clean checkout's suite (r8 ADVICE item 1). Falls back to
+    the on-disk glob when git is unavailable."""
     import glob
     import json
     import os
+    import subprocess
 
     here = os.path.dirname(os.path.abspath(entry_mod.__file__))
     ledger_path = os.path.join(here, "VERIFIED.json")
     with open(ledger_path) as f:
         ledger = set(json.load(f)["verified"])
+    try:
+        out = subprocess.run(
+            ["git", "ls-files", "CORRECTNESS_r*.json"],
+            cwd=here,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        history_files = [
+            os.path.join(here, line) for line in out.splitlines() if line
+        ]
+    except (OSError, subprocess.CalledProcessError):
+        history_files = glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))
     from_history: set[str] = set()
-    for p in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+    for p in sorted(history_files):
         with open(p) as f:
             d = json.load(f)
         for name, row in d.items():
