@@ -1036,18 +1036,22 @@ def q109_canonical_dedup(spark, sf_dir):
     dedup actually ships: among near-identical pages, keep the cleanest
     copy, not an arbitrary one.
 
-    Scale shape: the pair graph and min-label propagation are the q46
+    Scale shape: the pair graph and star-CC closure are the q46
     machinery (shuffles on shingle then node, never all-pairs); the
     representative choice is ONE argmax-as-aggregate on the component
     key via a (quality, -doc_id) struct max — no join-back of docs
     against winners, so adding "pick the best" costs a single hash agg
     over n rows."""
     from adhesive_spark.operators.dedup import ngram_jaccard_pairs
-    from adhesive_spark.operators.graph import connected_components
+    from adhesive_spark.operators.graph import connected_components_star
 
     docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
     pairs = ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.1)
-    comp = connected_components(pairs).withColumnRenamed("node", "doc_id")
+    # star-CC default (r8 judge directive 6) — output-equal to min-label
+    # by operator test; O(log² n) rounds on deep near-dup chains.
+    comp = connected_components_star(pairs).withColumnRenamed(
+        "node", "doc_id"
+    )
     labeled = docs.join(comp, "doc_id", "left").select(
         "doc_id",
         F.coalesce("component", F.col("doc_id")).alias("component"),

@@ -139,17 +139,22 @@ def bradley_terry_report(ev):
             .selectExpr("i", "c_ppm * 1000000000000 div (p_i + p_j) AS term")
         )
         denom = terms.groupBy("i").agg(F.sum("term").alias("denom"))
+        # greatest(...,1) guards: a pair count below total/1e6 ppm-truncates
+        # to 0; if EVERY pair for an item does, its denom is 0 and the MM
+        # step would raise DIVIDE_BY_ZERO (r8 ADVICE item 2). Mirrored in
+        # _bt_iteration_sql so both engines degrade identically.
         raw = (
             denom.join(w_i, "i", "left")
             .selectExpr(
                 "i",
-                "coalesce(w_ppm, 0L) * 1000000000000 div denom AS p_raw",
+                "coalesce(w_ppm, 0L) * 1000000000000"
+                " div greatest(denom, 1L) AS p_raw",
             )
         )
         ratings = (
             raw.crossJoin(F.broadcast(raw.agg(F.sum("p_raw").alias("s"))))
             .crossJoin(k_df)
-            .selectExpr("i", "p_raw * (k * 1000000) div s AS p")
+            .selectExpr("i", "p_raw * (k * 1000000) div greatest(s, 1L) AS p")
             .localCheckpoint(eager=True)
         )
     losses = wins_ppm.groupBy(F.col("loser").alias("i")).agg(
@@ -171,6 +176,8 @@ def bradley_terry_report(ev):
             F.col("p").cast("long").alias("rating_ppm"),
         )
     )
+    # bounded-domain: K event types only (replication-invariant) —
+    # the single-partition WindowExec warning is intentional and safe
     wr = Window.orderBy(F.col("rating_ppm").desc(), F.col("item"))
     return out.select(
         F.row_number().over(wr).cast("long").alias("rank"),
@@ -195,12 +202,13 @@ def _bt_iteration_sql(prev: str, cur: str) -> str:
     ),
     raw_{cur} AS (
       SELECT d.i,
-             COALESCE(w.w_ppm, 0) * 1000000000000 // d.denom AS p_raw
+             COALESCE(w.w_ppm, 0) * 1000000000000
+               // GREATEST(d.denom, 1) AS p_raw
       FROM d_{cur} d LEFT JOIN w_i w ON d.i = w.i
     ),
     {cur} AS (
       SELECT i, p_raw * (kk.k * 1000000)
-                  // (SELECT SUM(p_raw) FROM raw_{cur}) AS p
+                  // GREATEST((SELECT SUM(p_raw) FROM raw_{cur}), 1) AS p
       FROM raw_{cur}, kk
     )"""
 
@@ -630,6 +638,8 @@ def q310_acf_daily(spark, sf_dir):
     base = daily.crossJoin(F.broadcast(stats)).select(
         "d", (F.col("n") * F.col("x") - F.col("s")).alias("r")
     )
+    # bounded-domain: one row per DAY (calendar-bounded, not corpus-
+    # bounded) — single-partition WindowExec is intentional and safe
     wd = Window.orderBy("d")
     lagged = base.select(
         "r",
@@ -1484,6 +1494,9 @@ def quantile_matched_report(docs):
     )
     # global threshold: same trick over corpus-wide distinct values
     gv = by_val.groupBy("q_s").agg(F.sum("cnt").cast("long").alias("cnt"))
+    # bounded-domain: distinct quality VALUES only (checkpointed
+    # distinct-value table, replication-invariant) — the single-
+    # partition WindowExec warning is intentional and safe
     wg = (
         Window.orderBy(F.col("q_s").desc())
         .rowsBetween(Window.unboundedPreceding, 0)
@@ -1638,14 +1651,25 @@ def q319_halfsample_bootstrap_ci(spark, sf_dir):
         F.expr("sum(c) div count(*)").alias("rep_mean_c")
     )
     wr = Window.partitionBy("event_type").orderBy("rep_mean_c", "b")
+    # Rank cutoffs derive from the PER-TYPE populated replica count (r8
+    # ADVICE item 3): with all 32 lanes populated they are the nearest-rank
+    # p05/p95 (ranks 2 and 31); a sparse type with fewer lanes degrades to
+    # the widest in-range band instead of a silent NULL ci_hi_c.
     ranked = rep_means.select(
         "event_type",
         "rep_mean_c",
         F.row_number().over(wr).alias("r"),
+        F.count("*").over(Window.partitionBy("event_type")).alias("n_rep"),
     )
     ci = ranked.groupBy("event_type").agg(
-        F.max(F.when(F.col("r") == 2, F.col("rep_mean_c"))).alias("ci_lo_c"),
-        F.max(F.when(F.col("r") == 31, F.col("rep_mean_c"))).alias("ci_hi_c"),
+        F.max(
+            F.when(F.col("r") == F.least(F.lit(2), F.col("n_rep")),
+                   F.col("rep_mean_c"))
+        ).alias("ci_lo_c"),
+        F.max(
+            F.when(F.col("r") == F.greatest(F.col("n_rep") - 1, F.lit(1)),
+                   F.col("rep_mean_c"))
+        ).alias("ci_hi_c"),
         F.count("*").cast("long").alias("n_replicas"),
     )
     point = ev.groupBy("event_type").agg(
@@ -1679,13 +1703,16 @@ AUDIT_ORACLES["q319_halfsample_bootstrap_ci"] = f"""
     ranked AS (
       SELECT event_type, rep_mean_c,
              ROW_NUMBER() OVER (PARTITION BY event_type
-                                ORDER BY rep_mean_c, b) AS r
+                                ORDER BY rep_mean_c, b) AS r,
+             COUNT(*) OVER (PARTITION BY event_type) AS n_rep
       FROM rep_means
     ),
     ci AS (
       SELECT event_type,
-             MAX(CASE WHEN r = 2 THEN rep_mean_c END) AS ci_lo_c,
-             MAX(CASE WHEN r = 31 THEN rep_mean_c END) AS ci_hi_c,
+             MAX(CASE WHEN r = LEAST(2, n_rep) THEN rep_mean_c END)
+               AS ci_lo_c,
+             MAX(CASE WHEN r = GREATEST(n_rep - 1, 1) THEN rep_mean_c END)
+               AS ci_hi_c,
              CAST(COUNT(*) AS BIGINT) AS n_replicas
       FROM ranked GROUP BY event_type
     ),
@@ -2058,6 +2085,8 @@ def q323_feature_staleness_audit(spark, sf_dir):
     buckets = stale.groupBy("stale_min").agg(
         F.count("*").cast("long").alias("cnt")
     )
+    # bounded-domain: one row per staleness MINUTE bucket — single-
+    # partition WindowExec is intentional and safe
     wb = Window.orderBy("stale_min").rowsBetween(
         Window.unboundedPreceding, 0
     )
@@ -2155,6 +2184,8 @@ def q324_filter_length_bias(spark, sf_dir):
         .localCheckpoint(eager=True)
     )
     gv = by_val.groupBy("q_s").agg(F.sum("cnt").cast("long").alias("cnt"))
+    # bounded-domain: distinct quality values (replication-invariant)
+    # — single-partition WindowExec is intentional and safe
     wg = Window.orderBy(F.col("q_s").desc()).rowsBetween(
         Window.unboundedPreceding, 0
     )

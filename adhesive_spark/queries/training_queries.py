@@ -483,6 +483,8 @@ def q283_ivf_occupancy(spark, sf_dir):
     occ = assigned.groupBy("centroid_id").agg(
         F.count("*").cast("long").alias("n_vecs")
     )
+    # bounded-domain: 16 IVF centroids only — single-partition
+    # WindowExec is intentional and safe
     w = Window.orderBy(F.col("n_vecs").desc(), F.col("centroid_id"))
     wc = w.rowsBetween(Window.unboundedPreceding, 0)
     return occ.crossJoin(
@@ -2423,6 +2425,8 @@ def q305_purged_time_split(spark, sf_dir):
     )
     days = daily.select("day").distinct()
     # exact 80th-percentile day: rank distinct days, take ceil(0.8*nd)
+    # bounded-domain: distinct DAYS (calendar-bounded) — single-
+    # partition WindowExec is intentional and safe
     w = Window.orderBy("day")
     ranked_days = days.select(
         "day", F.row_number().over(w).alias("r")

@@ -120,6 +120,13 @@ HEADLINE = [
     "q280_dsir_importance",
     "q282_shard_manifest",
     "q303_token_gini",
+    # r8 judge directive 8: track the heaviest audit-family shapes so
+    # regressions in the new family show up round-over-round (q306's
+    # cold-start MM-iteration overhead amortizes under min-of-N; the
+    # first-pass cost stays visible in queries_single_rep).
+    "q306_bradley_terry",
+    "q318_quantile_matched_filter",
+    "q325_multiprobe_lsh",
 ]
 
 
@@ -235,6 +242,26 @@ def main() -> None:
             )
     except OSError:
         pass  # a read-only checkout must not fail the bench
+    # The driver's capture keeps only the last ~4 KB of stdout, which
+    # truncates the HEAD of the big per-query record above (every
+    # BENCH_r*.json so far has parsed:null). Emit a final COMPACT
+    # summary line — well under 4 KB — so any tail capture always
+    # contains one complete, standalone-parseable JSON record.
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "n_queries": len(timings),
+                "sf": sf,
+                "protocol": f"interleaved-min-of-{reps}",
+                "single_rep_total": round(
+                    sum(ts[0] for ts in runs.values()), 3
+                ),
+            }
+        )
+    )
 
 
 if __name__ == "__main__":

@@ -300,3 +300,64 @@ def test_star_components_keep_self_loop_singletons(spark):
         for r in connected_components_star(edges).collect()
     }
     assert got == {(7, 7), (9, 9), (1, 1), (2, 1)}
+
+
+def test_q184_star_flip_matches_min_label_closure(spark, sf_dir):
+    """r8 judge directive 6: q184's word-graph closure flipped from
+    min-label to star-CC. The query's OUTPUT (entity_id → member list)
+    must be byte-identical to re-deriving the grouping with the old
+    min-label closure over the same fuzzy word pairs."""
+    from pyspark.sql import functions as F
+
+    from adhesive_spark.operators.graph import connected_components
+    from adhesive_spark.queries.pipeline_queries import (
+        q184_entity_resolution,
+    )
+    from adhesive_spark.sources.registry import load_table
+
+    got = {
+        (r.entity_id, r.n_members, r.members)
+        for r in q184_entity_resolution(spark, sf_dir).collect()
+    }
+
+    part = load_table(spark, sf_dir, "part")
+    names = (
+        part.select(F.split(F.col("p_name"), " ").alias("w"))
+        .select(
+            F.col("w").getItem(1).alias("block"),
+            F.col("w").getItem(0).alias("word"),
+        )
+        .distinct()
+    )
+    a, b = names.alias("a"), names.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.word") < F.col("b.word")),
+        )
+        .where(F.levenshtein(F.col("a.word"), F.col("b.word")) <= 2)
+        .select(
+            F.col("a.word").alias("word_a"), F.col("b.word").alias("word_b")
+        )
+        .distinct()
+    )
+    comp = connected_components(pairs, "word_a", "word_b")
+    labeled = (
+        names.select("word")
+        .distinct()
+        .join(comp.withColumnRenamed("node", "word"), "word", "left")
+        .select("word", F.coalesce("component", "word").alias("entity_id"))
+    )
+    want = {
+        (r.entity_id, r.n_members, r.members)
+        for r in labeled.groupBy("entity_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.array_join(F.array_sort(F.collect_list("word")), ",").alias(
+                "members"
+            ),
+        )
+        .collect()
+    }
+    assert got == want
