@@ -199,6 +199,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out.update(AUDIT_QUERIES)
     except ImportError:
         pass
+    try:
+        from adhesive_spark.queries.metrology_queries import (
+            METROLOGY_QUERIES,
+        )
+
+        out.update(METROLOGY_QUERIES)
+    except ImportError:
+        pass
     return _reorder(out)
 
 
@@ -255,6 +263,14 @@ def oracle_sql() -> dict[str, str]:
         from adhesive_spark.queries.audit_queries import AUDIT_ORACLES
 
         out.update(AUDIT_ORACLES)
+    except ImportError:
+        pass
+    try:
+        from adhesive_spark.queries.metrology_queries import (
+            METROLOGY_ORACLES,
+        )
+
+        out.update(METROLOGY_ORACLES)
     except ImportError:
         pass
     return _reorder(out)

@@ -491,6 +491,72 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    n: int = 3,
+    threshold_ppm: int = 500_000,
+    max_shingle_df: int | None = 1000,
+) -> DataFrame:
+    """All ORDERED-pair containments ≥ threshold: C(A→B) = |A∩B|/|A|
+    over word-n-gram shingle sets (Broder 1997, "On the resemblance and
+    containment of documents"). Asymmetric by design — a short quote
+    fully contained in a long page has high C(quote→page) but LOW
+    Jaccard, so symmetric near-dup misses exactly the subset/syndication
+    relationships this surfaces. Pairs are emitted once (id_a < id_b)
+    with BOTH directions' containments plus the Jaccard, all in exact
+    ppm (division last); a pair survives if EITHER direction clears the
+    threshold.
+
+    Same scale machinery as :func:`ngram_jaccard_pairs`: explode +
+    equi-join on the shingle, ``max_shingle_df`` caps the hot-shingle
+    quadratic bucket (candidates only; denominators keep full sizes).
+    """
+    sh = ensure_parallelism(df, id_col).select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
+    )
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    joinable = sh
+    if max_shingle_df is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("__df"))
+            .where(F.col("__df") <= max_shingle_df)
+            .select("shingle")
+        )
+        joinable = sh.join(rare, "shingle")
+    l, r = joinable.alias("l"), joinable.alias("r")
+    common = (
+        l.join(
+            r,
+            (F.col("l.shingle") == F.col("r.shingle"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .groupBy(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .agg(F.count("*").cast("long").alias("n_common"))
+    )
+    return (
+        common.join(
+            sizes.withColumnsRenamed({"id": "id_a", "n_sh": "n_a"}), "id_a"
+        )
+        .join(sizes.withColumnsRenamed({"id": "id_b", "n_sh": "n_b"}), "id_b")
+        .selectExpr(
+            "id_a",
+            "id_b",
+            "n_common * 1000000 div n_a AS cont_ab_ppm",
+            "n_common * 1000000 div n_b AS cont_ba_ppm",
+            "n_common * 1000000 div (n_a + n_b - n_common) AS jaccard_ppm",
+        )
+        .where(
+            (F.col("cont_ab_ppm") >= threshold_ppm)
+            | (F.col("cont_ba_ppm") >= threshold_ppm)
+        )
+    )
+
+
 def dedup_incremental(
     batch: DataFrame,
     index: DataFrame,

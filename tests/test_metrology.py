@@ -1,0 +1,257 @@
+"""Invariant tests for the q335+ selection/distribution metrology
+family (queries/metrology_queries.py) — each pins the STATISTICAL
+contract of a query with an independent pure-Python replay or a
+closed-form identity, so a refactor that keeps the oracle in sync but
+breaks the semantics still fails."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from adhesive_spark.queries import metrology_queries as M
+from adhesive_spark.sources.registry import load_table
+
+
+def test_containment_detects_quote_jaccard_misses(spark):
+    """THE reason containment exists: a short quote inside a long page
+    must clear the containment threshold while its Jaccard stays far
+    below any near-dup cut."""
+    from adhesive_spark.operators.dedup import containment_pairs
+
+    quote = "the quick brown fox jumps over the lazy dog tonight"
+    page = " ".join(
+        f"filler{i} word{i} text{i}" for i in range(120)
+    ) + " " + quote
+    df = spark.createDataFrame(
+        [(1, quote), (2, page)], ["doc_id", "text"]
+    )
+    rows = containment_pairs(
+        df, "text", "doc_id", n=3, threshold_ppm=500_000
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # every quote shingle appears in the page -> containment == 1.0
+    assert r.cont_ab_ppm == 1_000_000
+    assert r.jaccard_ppm < 100_000  # Jaccard blind to the subset
+
+
+def test_priority_sample_estimator_contract(spark, sf_dir):
+    """Priority-sampling invariants (Duffield et al. 2007): exactly k
+    ranked rows; est_w = max(w, τ) ≥ w; est_total is their sum; the
+    true total matches an independent aggregate of the table."""
+    out = M.q337_priority_sample(spark, sf_dir).collect()
+    assert sorted(r.rank for r in out) == list(range(1, 33))
+    docs = load_table(spark, sf_dir, "documents")
+    true_total = docs.agg(F.sum("n_chars")).collect()[0][0]
+    assert all(r.true_total == true_total for r in out)
+    assert all(r.est_w >= r.w for r in out)
+    assert all(r.est_total == sum(x.est_w for x in out) for r in out)
+    # τ is shared: every inflated row was inflated TO the same value
+    taus = {r.est_w for r in out if r.est_w > r.w}
+    assert len(taus) <= 1
+
+
+def _quality_by_source(spark, sf_dir):
+    from adhesive_spark.operators.text import quality_score, scaled_long
+
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "source",
+            scaled_long(quality_score(F.col("text")), 4).alias("q_s"),
+        )
+        .collect()
+    )
+
+
+def test_ks_matches_python_replay(spark, sf_dir):
+    """q340's windowed cross-multiplied D must equal the brute-force
+    two-sample KS statistic computed row-by-row in Python."""
+    rows = _quality_by_source(spark, sf_dir)
+    out = {r.source: r for r in M.q340_ks_drift(spark, sf_dir).collect()}
+    values = sorted({r.q_s for r in rows})
+    for source in {r.source for r in rows}:
+        a = sorted(r.q_s for r in rows if r.source == source)
+        b = sorted(r.q_s for r in rows if r.source != source)
+        best = -1
+        for v in values:
+            ca = sum(1 for x in a if x <= v)
+            cb = sum(1 for x in b if x <= v)
+            best = max(best, abs(ca * len(b) - cb * len(a)))
+        got = out[source]
+        assert got.n_src == len(a) and got.n_rest == len(b)
+        assert got.ks_ppm == best * 1_000_000 // max(len(a) * len(b), 1)
+
+
+def test_mwu_auc_matches_bruteforce_pairs(spark, sf_dir):
+    """q341's distinct-value 2U must equal the O(n²) pair count:
+    2U = 2·#{(a,b): a>b} + #{ties} over (source, rest) pairs."""
+    rows = _quality_by_source(spark, sf_dir)
+    out = {
+        r.source: r for r in M.q341_mannwhitney_auc(spark, sf_dir).collect()
+    }
+    for source in sorted({r.source for r in rows})[:5]:  # bound runtime
+        a = [r.q_s for r in rows if r.source == source]
+        b = [r.q_s for r in rows if r.source != source]
+        u2 = sum(
+            2 if x > y else (1 if x == y else 0) for x in a for y in b
+        )
+        assert out[source].u2 == u2
+        assert out[source].auc_ppm == u2 * 1_000_000 // max(
+            2 * len(a) * len(b), 1
+        )
+
+
+def test_good_turing_identities(spark, sf_dir):
+    """N₁ ≤ vocab ≤ tokens; the ppm columns are exact integer ratios
+    of the counts they ship next to."""
+    for r in M.q336_good_turing_mass(spark, sf_dir).collect():
+        assert r.n1 + r.n2 <= r.vocab <= r.n_tokens
+        assert r.unseen_mass_ppm == r.n1 * 1_000_000 // r.n_tokens
+        assert r.singleton_share_ppm == r.n1 * 1_000_000 // r.vocab
+
+
+def test_dead_dimensions_shares_sum_to_unity(spark, sf_dir):
+    """Variance shares are a partition of total variance: they sum to
+    1e6 up to per-dim truncation (− at most n_dims ppm)."""
+    out = M.q342_dead_dimensions(spark, sf_dir).collect()
+    total = sum(r.var_share_ppm for r in out)
+    assert 1_000_000 - len(out) <= total <= 1_000_000
+    for r in out:
+        assert r.is_dead == (1 if r.var_share_ppm < 1000 else 0)
+
+
+def test_domain_reweight_python_replay(spark, sf_dir):
+    """The 3 multiplicative-weights rounds replayed in pure integer
+    Python from the query's OWN base/excess columns must reproduce
+    weight_ppm exactly — pins the iteration order and rounding."""
+    out = M.q335_domain_reweight(spark, sf_dir).collect()
+    w = {r.source: r.base_ppm for r in out}
+    excess = {r.source: r.excess_ppm for r in out}
+    for _ in range(3):
+        w = {s: w[s] * (1_000_000 + excess[s]) // 1_000_000 for s in w}
+        sw = sum(w.values())
+        w = {s: w[s] * 1_000_000 // sw for s in w}
+    for r in out:
+        assert r.weight_ppm == w[r.source]
+        assert r.tilt_ppm == w[r.source] - r.base_ppm
+    assert sum(r.excess_ppm >= 0 for r in out) == len(out)
+
+
+def test_neyman_sigma_is_integer_sqrt_of_variance(spark, sf_dir):
+    """σ_scaled must equal isqrt(⌊(nΣq² − (Σq)²)/n²⌋) recomputed in
+    exact Python integers from the raw quality scores."""
+    rows = _quality_by_source(spark, sf_dir)
+    out = {
+        r.source: r
+        for r in M.q338_neyman_allocation(spark, sf_dir).collect()
+    }
+    for source in {r.source for r in rows}:
+        qs = [r.q_s for r in rows if r.source == source]
+        n, s1, s2 = len(qs), sum(qs), sum(q * q for q in qs)
+        var = (n * s2 - s1 * s1) // (n * n)
+        assert out[source].sigma_scaled == math.isqrt(var)
+        assert out[source].n_docs == n
+    budget_used = sum(r.neyman_alloc for r in out.values())
+    assert budget_used <= 10_000  # floor-division never overshoots
+
+
+def test_conformal_rank_and_threshold_replay(spark, sf_dir):
+    """rank_used must be min(⌈0.9(n+1)⌉, n) and q_hat the rank_used-th
+    smallest calibration value, replayed in Python with the same
+    hash split."""
+    from adhesive_spark.operators.dedup import portable_hash32
+    from adhesive_spark.operators.text import scaled_long
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            scaled_long(F.col("value"), 2).alias("c"),
+            (
+                portable_hash32(
+                    F.concat(
+                        F.lit("cal:"), F.col("event_id").cast("string")
+                    )
+                )
+                % 2
+            ).alias("half"),
+        )
+        .collect()
+    )
+    out = {
+        r.event_type: r
+        for r in M.q345_conformal_threshold(spark, sf_dir).collect()
+    }
+    for etype, r in out.items():
+        cal = sorted(x.c for x in ev if x.event_type == etype and x.half == 0)
+        assert r.n_cal == len(cal)
+        r_star = min(-(-9 * (len(cal) + 1) // 10), len(cal))
+        assert r.rank_used == r_star
+        assert r.q_hat_c == cal[r_star - 1]
+        test = [x.c for x in ev if x.event_type == etype and x.half == 1]
+        assert r.n_test == len(test)
+        cov = sum(1 for c in test if c <= r.q_hat_c)
+        assert r.coverage_ppm == cov * 1_000_000 // len(test)
+
+
+def test_permutation_test_bounds(spark, sf_dir):
+    """p-value respects the add-one floor 1/(B+1) and the ceiling 1;
+    the replica count is the fixed 64."""
+    r = M.q346_permutation_test(spark, sf_dir).collect()[0]
+    assert r.n_reps == 64
+    assert 1_000_000 // 65 <= r.p_value_ppm <= 1_000_000
+    assert 0 <= r.n_exceed <= 64
+
+
+def test_tfcos_matches_bruteforce_cosine(spark, sf_dir):
+    """Top TF-cosine pairs replayed with brute-force Python dicts over
+    the same normalized tokens and the same df≤50 candidate cap."""
+    from collections import Counter
+
+    from adhesive_spark.operators.text import tokens
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 200)
+        .select("doc_id", tokens(F.col("text")).alias("toks"))
+        .collect()
+    )
+    tf = {r.doc_id: Counter(r.toks) for r in docs}
+    df = Counter(t for c in tf.values() for t in c)
+    norms = {d: sum(v * v for v in c.values()) for d, c in tf.items()}
+    ids = sorted(tf)
+    best = []
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            dot = sum(
+                tf[a][t] * tf[b][t]
+                for t in tf[a]
+                if t in tf[b] and df[t] <= 50
+            )
+            if dot:
+                best.append(
+                    (
+                        dot * dot * 1_000_000 // (norms[a] * norms[b]),
+                        a,
+                        b,
+                        dot,
+                    )
+                )
+    best.sort(key=lambda x: (-x[0], x[1], x[2]))
+    out = sorted(
+        M.q344_tfcos_allpairs(spark, sf_dir).collect(), key=lambda r: r.rank
+    )
+    for r, (cos2, a, b, dot) in zip(out, best[:20]):
+        assert (r.doc_a, r.doc_b, r.dot, r.cos2_ppm) == (a, b, dot, cos2)
+
+
+def test_tcloseness_flags_match_and_bounds(spark, sf_dir):
+    """EMD is a [0,1] distance: t_ppm within bounds, at_risk consistent,
+    and group sizes partition the corpus."""
+    out = M.q343_t_closeness(spark, sf_dir).collect()
+    n_all = load_table(spark, sf_dir, "documents").count()
+    assert sum(r.n_rows for r in out) == n_all
+    for r in out:
+        assert 0 <= r.t_ppm <= 1_000_000
+        assert r.at_risk == (1 if r.t_ppm > 300_000 else 0)

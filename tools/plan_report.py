@@ -354,6 +354,18 @@ AUDITED = [
     "q332_index_cost_ledger",
     "q333_ingest_dedup_pressure",
     "q334_minhash_perm_ladder",
+    "q335_domain_reweight",
+    "q336_good_turing_mass",
+    "q337_priority_sample",
+    "q338_neyman_allocation",
+    "q339_containment_pairs",
+    "q340_ks_drift",
+    "q341_mannwhitney_auc",
+    "q342_dead_dimensions",
+    "q343_t_closeness",
+    "q344_tfcos_allpairs",
+    "q345_conformal_threshold",
+    "q346_permutation_test",
 ]
 
 
