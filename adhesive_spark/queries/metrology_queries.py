@@ -552,10 +552,18 @@ def q340_ks_drift(spark, sf_dir):
     grid (distinct values × K sources, both bounded) is built from a
     broadcast crossJoin; all windows run over distinct VALUES per
     source, never rows."""
+    return ks_drift_report(load_table(spark, sf_dir, "documents"))
+
+
+def ks_drift_report(docs):
+    """DF-level core of q340 (any documents DataFrame with source/text)
+    — shared with the stress harness, which drives it over the
+    N×-replicated corpus to prove the distinct-value grid stays
+    bounded-domain (replication grows rows, never distinct quality
+    values, so D and the windows are replication-invariant)."""
     from adhesive_spark.operators.text import quality_score, scaled_long
     from adhesive_spark.sources.registry import ensure_parallelism
 
-    docs = load_table(spark, sf_dir, "documents")
     by_val = (
         ensure_parallelism(docs)
         .select(
@@ -702,10 +710,16 @@ def q341_mannwhitney_auc(spark, sf_dir):
     Scale shape: same collapsed (source, q_s) count table as q340
     (one corpus pass, checkpointed); B_<v comes from exclusive windows
     over distinct values only."""
+    return mannwhitney_report(load_table(spark, sf_dir, "documents"))
+
+
+def mannwhitney_report(docs):
+    """DF-level core of q341 (any documents DataFrame with source/text)
+    — shared with the stress harness (same replication-invariant
+    distinct-value contract as :func:`ks_drift_report`)."""
     from adhesive_spark.operators.text import quality_score, scaled_long
     from adhesive_spark.sources.registry import ensure_parallelism
 
-    docs = load_table(spark, sf_dir, "documents")
     by_val = (
         ensure_parallelism(docs)
         .select(

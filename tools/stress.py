@@ -523,6 +523,33 @@ def main() -> None:
         n_events * reps,
     )
 
+    # KS drift at N×: replication grows ROWS but never distinct quality
+    # values, so the (source, q_s) collapse, the value grid and all
+    # windows are replication-invariant — wall must track the one corpus
+    # pass only (the q318 contract applied to a two-sample statistic).
+    from adhesive_spark.queries.metrology_queries import ks_drift_report
+
+    run("ks_drift", lambda: ks_drift_report(big_docs), rows_in)
+
+    # Containment pairs over N-copy clusters: the candidate join's pair
+    # term is cluster-quadratic by design (same hazard as
+    # minhash_lsh_pairs); the df cap bounds per-shingle cost at cap².
+    # Base corpus capped so the pair OUTPUT stays printable — the plan
+    # shape is what's under test, and it is unchanged by the cap.
+    from adhesive_spark.operators.dedup import containment_pairs
+
+    # //20 base (vs minhash's //5): the exact shingle join carries ~3×
+    # the per-pair cost of the banded join, so the same pair budget
+    # needs a smaller cluster population to fit the single-box harness.
+    cont_base = big_docs.where((F.col("doc_id") % F.lit(reps * 20)) < reps)
+    run(
+        "containment_pairs",
+        lambda: containment_pairs(
+            cont_base, "text", "doc_id", n=3, threshold_ppm=250_000
+        ),
+        rows_in // 20,
+    )
+
     total = round(sum(o["sec"] for o in ops.values()), 2)
     print(
         json.dumps(
