@@ -1520,3 +1520,920 @@ METROLOGY_ORACLES["q346_permutation_test"] = f"""
              AS p_value_ppm
     FROM obs o CROSS JOIN pv p
 """
+
+
+# --- q347: within-document code-switching audit ---------------------------------
+
+
+def _lang_id_arr(toks_col):
+    """lang_id over a token-ARRAY column (operators.text.lang_id takes
+    raw text): same marker sets, same min_hits=1, same first-language
+    tie-break chain, so half-document IDs are comparable to whole-
+    document IDs."""
+    from adhesive_spark.operators.text import LANG_MARKERS
+
+    scores = {}
+    for lang, markers in LANG_MARKERS.items():
+        marks = F.array(*[F.lit(m) for m in markers])
+        scores[lang] = F.size(
+            F.filter(toks_col, lambda t: F.array_contains(marks, t))
+        )
+    expr = F.lit("und")
+    best = F.lit(-1)
+    for lang in reversed(list(scores)):
+        s = scores[lang]
+        expr = F.when((s >= 1) & (s >= best), F.lit(lang)).otherwise(expr)
+        best = F.greatest(s, best)
+    return expr
+
+
+def q347_code_switch_audit(spark, sf_dir):
+    """Within-document language-mix (code-switching) audit: language-ID
+    the first and second HALF of each document separately (same marker
+    heuristic as q32/q161) and report, per source, how often the halves
+    disagree — mixed-language documents poison monolingual training
+    mixes and langid-keyed dedup, and a document-level language column
+    cannot see them by construction. `und_ppm` (either half
+    undetermined) rides along as the detector's own confidence rail.
+
+    Scale shape: one stateless per-row pass (slice + marker counting on
+    bound arrays) collapsing straight to a per-source aggregate —
+    corpus-linear, no joins, no windows."""
+    from adhesive_spark.operators.text import tokens
+    from adhesive_spark.sources.registry import ensure_parallelism
+
+    docs = load_table(spark, sf_dir, "documents")
+    toked = ensure_parallelism(docs).select(
+        "source", tokens(F.col("text")).alias("toks")
+    )
+    halved = toked.select(
+        "source",
+        F.expr("slice(toks, 1, (size(toks) + 1) div 2)").alias("h1"),
+        F.expr(
+            "slice(toks, (size(toks) + 1) div 2 + 1,"
+            " size(toks) - (size(toks) + 1) div 2)"
+        ).alias("h2"),
+    )
+    labeled = halved.select(
+        "source",
+        _lang_id_arr(F.col("h1")).alias("l1"),
+        _lang_id_arr(F.col("h2")).alias("l2"),
+    )
+    return labeled.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.expr(
+            "CAST(sum(CASE WHEN l1 <> 'und' AND l2 <> 'und' AND l1 <> l2"
+            " THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("n_mixed"),
+        F.expr(
+            "CAST(sum(CASE WHEN l1 <> 'und' AND l2 <> 'und' AND l1 <> l2"
+            " THEN 1 ELSE 0 END) * 1000000 div count(*) AS BIGINT)"
+        ).alias("mixed_ppm"),
+        F.expr(
+            "CAST(sum(CASE WHEN l1 = 'und' OR l2 = 'und' THEN 1 ELSE 0 END)"
+            " * 1000000 div count(*) AS BIGINT)"
+        ).alias("und_ppm"),
+    )
+
+
+METROLOGY_QUERIES["q347_code_switch_audit"] = q347_code_switch_audit
+
+
+def _lang_sql_arr(toks: str) -> str:
+    """DuckDB twin of _lang_id_arr over a list expression."""
+    from adhesive_spark.operators.text import LANG_MARKERS
+
+    def score(lang: str) -> str:
+        markers = ", ".join(f"'{w}'" for w in LANG_MARKERS[lang])
+        return f"len(list_filter({toks}, t -> t IN ({markers})))"
+
+    return f"""
+        CASE WHEN {score('en')} >= 1
+                  AND {score('en')} >= greatest({score('de')},
+                                                {score('fr')}, {score('es')})
+             THEN 'en'
+             WHEN {score('de')} >= 1
+                  AND {score('de')} >= greatest({score('fr')}, {score('es')})
+             THEN 'de'
+             WHEN {score('fr')} >= 1 AND {score('fr')} >= {score('es')}
+             THEN 'fr'
+             WHEN {score('es')} >= 1 THEN 'es'
+             ELSE 'und' END
+    """
+
+
+def _codeswitch_oracle() -> str:
+    return f"""
+    WITH t AS (
+      SELECT source, {_TOKS} AS toks FROM documents
+    ),
+    halved AS (
+      SELECT source,
+             toks[1:(len(toks) + 1) // 2] AS h1,
+             toks[(len(toks) + 1) // 2 + 1:len(toks)] AS h2
+      FROM t
+    ),
+    labeled AS (
+      SELECT source,
+             ({_lang_sql_arr("h1")}) AS l1,
+             ({_lang_sql_arr("h2")}) AS l2
+      FROM halved
+    )
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN l1 <> 'und' AND l2 <> 'und' AND l1 <> l2
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_mixed,
+           CAST(SUM(CASE WHEN l1 <> 'und' AND l2 <> 'und' AND l1 <> l2
+                THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT)
+             AS mixed_ppm,
+           CAST(SUM(CASE WHEN l1 = 'und' OR l2 = 'und' THEN 1 ELSE 0 END)
+                * 1000000 // COUNT(*) AS BIGINT) AS und_ppm
+    FROM labeled GROUP BY source
+    """
+
+
+METROLOGY_ORACLES["q347_code_switch_audit"] = _codeswitch_oracle()
+
+
+# --- q348: PQ quantization-distortion audit --------------------------------------
+
+
+def q348_pq_distortion(spark, sf_dir):
+    """Product-quantization distortion audit: the exact reconstruction
+    error the q246 PQ-ANN index pays, per subspace — total and mean
+    ‖sv − c(sv)‖² over the milli-quantized vectors, plus codebook
+    occupancy (codes used out of 8, and the hottest code's share).
+    This is the "is the codebook any good?" readout (Jégou et al.
+    2011, "Product quantization for nearest neighbor search"
+    evaluates exactly this trade): a subspace with high distortion or
+    one-code collapse tells you to retrain BEFORE shipping a 100 TB
+    recall regression — the error side of the q330/q283 recall/occupancy
+    ladders.
+
+    Scale shape: assignment is a broadcast join against the 32-row
+    codebook + one windowless min-struct aggregate per (vector,
+    subspace); output is 4 rows."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr(
+            "transform(embedding,"
+            " x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT))"
+        ).alias("mv"),
+    )
+    n_sub, subdim, n_cent = 4, 16, 8
+    sub = emb.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).cast("long").alias("s"),
+                        F.slice(F.col("mv"), s * subdim + 1, subdim).alias(
+                            "sv"
+                        ),
+                    )
+                    for s in range(n_sub)
+                ]
+            )
+        ).alias("e"),
+    ).select("vec_id", F.col("e.s").alias("s"), F.col("e.sv").alias("sv"))
+    codebook = sub.where(F.col("vec_id") < n_cent).select(
+        F.col("vec_id").alias("cid"), "s", F.col("sv").alias("cv")
+    )
+    l2sq = (
+        "aggregate(zip_with(sv, cv, (x, y) -> (x - y) * (x - y)),"
+        " CAST(0 AS BIGINT), (acc, d) -> acc + d)"
+    )
+    # nearest centroid per (vector, subspace): min over (dist, cid)
+    # struct — one aggregate, no window
+    assigned = (
+        sub.join(F.broadcast(codebook), "s")
+        .select(
+            "vec_id",
+            "s",
+            F.struct(
+                F.expr(l2sq).alias("dist"), F.col("cid").alias("cid")
+            ).alias("k"),
+        )
+        .groupBy("vec_id", "s")
+        .agg(F.min("k").alias("k"))
+        .select(
+            "s", F.col("k.dist").alias("dist"), F.col("k.cid").alias("code")
+        )
+    )
+    per_code = assigned.groupBy("s", "code").agg(
+        F.count("*").cast("long").alias("nc"),
+        F.sum("dist").cast("long").alias("err"),
+    )
+    return (
+        per_code.groupBy("s")
+        .agg(
+            F.sum("nc").cast("long").alias("n_vecs"),
+            F.sum("err").cast("long").alias("total_err"),
+            F.expr("CAST(sum(err) div sum(nc) AS BIGINT)").alias("mean_err"),
+            F.count("*").cast("long").alias("codes_used"),
+            F.expr(
+                "CAST(max(nc) * 1000000 div sum(nc) AS BIGINT)"
+            ).alias("top_code_ppm"),
+        )
+        .select(
+            "s", "n_vecs", "total_err", "mean_err", "codes_used",
+            "top_code_ppm",
+        )
+    )
+
+
+METROLOGY_QUERIES["q348_pq_distortion"] = q348_pq_distortion
+
+METROLOGY_ORACLES["q348_pq_distortion"] = """
+    WITH emb AS (
+      SELECT vec_id,
+             list_transform(embedding::DOUBLE[],
+               x -> CAST(ROUND(x * 1000, 0) AS BIGINT)) AS mv
+      FROM embeddings
+    ),
+    sub AS (
+      SELECT vec_id, s.s,
+             mv[s.s * 16 + 1:s.s * 16 + 16] AS sv
+      FROM emb, (SELECT UNNEST(generate_series(0, 3)) AS s) s
+    ),
+    codebook AS (
+      SELECT vec_id AS cid, s, sv AS cv FROM sub WHERE vec_id < 8
+    ),
+    dists AS (
+      SELECT sub.vec_id, sub.s, cb.cid,
+             list_reduce(list_transform(range(1, 17),
+               i -> (sub.sv[i] - cb.cv[i]) * (sub.sv[i] - cb.cv[i])),
+               (a, b) -> a + b) AS dist
+      FROM sub JOIN codebook cb ON sub.s = cb.s
+    ),
+    assigned AS (
+      SELECT s, MIN({'d': dist, 'c': cid}) AS k
+      FROM dists GROUP BY vec_id, s
+    ),
+    flat AS (
+      SELECT s, (k).d AS dist, (k).c AS code FROM assigned
+    ),
+    per_code AS (
+      SELECT s, code, CAST(COUNT(*) AS BIGINT) AS nc,
+             CAST(SUM(dist) AS BIGINT) AS err
+      FROM flat GROUP BY s, code
+    )
+    SELECT CAST(s AS BIGINT) AS s,
+           CAST(SUM(nc) AS BIGINT) AS n_vecs,
+           CAST(SUM(err) AS BIGINT) AS total_err,
+           CAST(SUM(err) // SUM(nc) AS BIGINT) AS mean_err,
+           CAST(COUNT(*) AS BIGINT) AS codes_used,
+           CAST(MAX(nc) * 1000000 // SUM(nc) AS BIGINT) AS top_code_ppm
+    FROM per_code GROUP BY s
+"""
+
+
+# --- q349: stopword-profile style affinity matrix --------------------------------
+
+
+def q349_style_affinity(spark, sf_dir):
+    """Source-pair STYLE affinity: cosine² between per-source stopword-
+    frequency profiles (the 19 STOPWORDS_EN, classic function-word
+    stylometry à la Mosteller & Wallace) — sources that read alike
+    cluster together even when their topics differ, which is the signal
+    a mixture planner wants when deciding if two sources are redundant
+    STYLES rather than redundant CONTENT (q199's copy matrix). Profiles
+    are normalized to ppm of the source's stopword mass BEFORE the
+    pairwise product, so the arithmetic is corpus-size-independent
+    (components ≤ 1e6 ⇒ dot ≤ 19·10¹², square fits DECIMAL(38,0) at ANY
+    scale) and replication-invariant.
+
+    Scale shape: the corpus collapses to (source, word) counts in one
+    pass (≤ K·19 rows, checkpointed); the K² pair join runs on K rows
+    per side."""
+    from adhesive_spark.operators.text import STOPWORDS_EN, tokens
+    from adhesive_spark.sources.registry import ensure_parallelism
+
+    docs = load_table(spark, sf_dir, "documents")
+    stops = F.array(*[F.lit(w) for w in STOPWORDS_EN])
+    counts = (
+        ensure_parallelism(docs)
+        .select(
+            "source",
+            F.explode(
+                F.filter(
+                    tokens(F.col("text")),
+                    lambda t: F.array_contains(stops, t),
+                )
+            ).alias("word"),
+        )
+        .groupBy("source", "word")
+        .agg(F.count("*").cast("long").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    tots = counts.groupBy("source").agg(
+        F.sum("c").cast("long").alias("tot")
+    )
+    prof = counts.join(F.broadcast(tots), "source").selectExpr(
+        "source", "word", "c * 1000000 div tot AS p"
+    )
+    norms = prof.groupBy("source").agg(
+        F.sum(F.col("p") * F.col("p")).cast("long").alias("nrm")
+    )
+    # prof/norms are K·19-bounded at any corpus size — broadcast every
+    # join side so the pair pass is BHJ-only (no SMJ on tiny tables)
+    l, r = prof.alias("l"), prof.alias("r")
+    dots = (
+        l.join(
+            F.broadcast(r),
+            (F.col("l.word") == F.col("r.word"))
+            & (F.col("l.source") < F.col("r.source")),
+        )
+        .groupBy(
+            F.col("l.source").alias("src_a"),
+            F.col("r.source").alias("src_b"),
+        )
+        .agg(F.sum(F.col("l.p") * F.col("r.p")).cast("long").alias("dot"))
+    )
+    return (
+        dots.join(
+            F.broadcast(
+                norms.withColumnsRenamed({"source": "src_a", "nrm": "na"})
+            ),
+            "src_a",
+        )
+        .join(
+            F.broadcast(
+                norms.withColumnsRenamed({"source": "src_b", "nrm": "nb"})
+            ),
+            "src_b",
+        )
+        .select(
+            "src_a",
+            "src_b",
+            F.expr(
+                "CAST(CAST(dot AS DECIMAL(38,0)) * dot * 1000000"
+                " div greatest(CAST(na AS DECIMAL(38,0)) * nb, 1)"
+                " AS BIGINT)"
+            ).alias("cos2_ppm"),
+        )
+    )
+
+
+METROLOGY_QUERIES["q349_style_affinity"] = q349_style_affinity
+
+
+def _style_oracle() -> str:
+    from adhesive_spark.operators.text import STOPWORDS_EN
+
+    stops = ", ".join(f"'{w}'" for w in STOPWORDS_EN)
+    return f"""
+    WITH counts AS (
+      SELECT source, t.word, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT source, unnest(list_filter({_TOKS},
+                     t -> t IN ({stops}))) AS word
+            FROM documents) t
+      GROUP BY source, t.word
+    ),
+    tots AS (SELECT source, CAST(SUM(c) AS BIGINT) AS tot
+             FROM counts GROUP BY source),
+    prof AS (
+      SELECT c.source, c.word,
+             CAST(c.c * 1000000 // t.tot AS BIGINT) AS p
+      FROM counts c JOIN tots t ON c.source = t.source
+    ),
+    norms AS (
+      SELECT source, CAST(SUM(p * p) AS BIGINT) AS nrm
+      FROM prof GROUP BY source
+    ),
+    dots AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             CAST(SUM(a.p * b.p) AS BIGINT) AS dot
+      FROM prof a JOIN prof b
+        ON a.word = b.word AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT d.src_a, d.src_b,
+           CAST(CAST(d.dot AS HUGEINT) * d.dot * 1000000
+                // GREATEST(CAST(na.nrm AS HUGEINT) * nb.nrm, 1)
+                AS BIGINT) AS cos2_ppm
+    FROM dots d
+    JOIN norms na ON d.src_a = na.source
+    JOIN norms nb ON d.src_b = nb.source
+    """
+
+
+METROLOGY_ORACLES["q349_style_affinity"] = _style_oracle()
+
+
+# --- q350: dedup survivorship-bias audit ------------------------------------------
+
+
+def q350_dedup_survivorship(spark, sf_dir):
+    """Does min-id near-dup dedup systematically KEEP the worse copy?
+    Over the q46 near-dup clusters (3-gram Jaccard ≥ 0.1, doc_id < 300,
+    star-CC closure), compare the mean quality of the kept (min-id)
+    representatives against the dropped members, per source — the
+    survivorship audit that motivates q109's quality-argmax
+    canonicalization: a positive `drop_minus_keep` says the policy is
+    throwing away the cleaner copies. All quality means are exact
+    integer (1e4-scaled, division last, empty-side guarded).
+
+    Scale shape: the q46 pair/closure machinery (shingle then node
+    shuffles, never all-pairs) + one broadcast-joined quality rollup."""
+    from adhesive_spark.operators.dedup import ngram_jaccard_pairs
+    from adhesive_spark.operators.graph import connected_components_star
+    from adhesive_spark.operators.text import quality_score, scaled_long
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.1)
+    comp = connected_components_star(pairs).withColumnRenamed(
+        "node", "doc_id"
+    )
+    scored = docs.select(
+        "doc_id",
+        "source",
+        scaled_long(quality_score(F.col("text")), 4).alias("q_s"),
+    )
+    members = comp.join(scored, "doc_id").select(
+        "source",
+        "q_s",
+        (F.col("doc_id") == F.col("component"))
+        .cast("long")
+        .alias("is_kept"),
+    )
+    return members.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_clustered"),
+        F.sum("is_kept").cast("long").alias("n_kept"),
+        F.expr("CAST(count(*) - sum(is_kept) AS BIGINT)").alias("n_dropped"),
+        F.expr(
+            "CAST(coalesce(sum(CASE WHEN is_kept = 1 THEN q_s END), 0L)"
+            " div greatest(sum(is_kept), 1L) AS BIGINT)"
+        ).alias("kept_q_mean"),
+        F.expr(
+            "CAST(coalesce(sum(CASE WHEN is_kept = 0 THEN q_s END), 0L)"
+            " div greatest(count(*) - sum(is_kept), 1L) AS BIGINT)"
+        ).alias("dropped_q_mean"),
+        F.expr(
+            "CAST(coalesce(sum(CASE WHEN is_kept = 0 THEN q_s END), 0L)"
+            " div greatest(count(*) - sum(is_kept), 1L)"
+            " - coalesce(sum(CASE WHEN is_kept = 1 THEN q_s END), 0L)"
+            " div greatest(sum(is_kept), 1L) AS BIGINT)"
+        ).alias("drop_minus_keep"),
+    )
+
+
+METROLOGY_QUERIES["q350_dedup_survivorship"] = q350_dedup_survivorship
+
+
+def _survivorship_oracle() -> str:
+    from adhesive_spark.queries.advanced_queries import _PAIR_CTES
+
+    return f"""
+    WITH RECURSIVE {_PAIR_CTES},
+    t2 AS (
+      SELECT doc_id, source, text, {_TOKS} AS toks
+      FROM documents WHERE doc_id < 300
+    ),
+    scored AS (
+      SELECT doc_id, source,
+             CAST(ROUND(({_quality_sql_()}) * 10000, 0) AS BIGINT) AS q_s
+      FROM t2
+    ),
+    members AS (
+      SELECT s.source, s.q_s,
+             CASE WHEN c.node = c.component THEN 1 ELSE 0 END AS is_kept
+      FROM comp c JOIN scored s ON c.node = s.doc_id
+    )
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_clustered,
+           CAST(SUM(is_kept) AS BIGINT) AS n_kept,
+           CAST(COUNT(*) - SUM(is_kept) AS BIGINT) AS n_dropped,
+           CAST(COALESCE(SUM(CASE WHEN is_kept = 1 THEN q_s END), 0)
+                // GREATEST(SUM(is_kept), 1) AS BIGINT) AS kept_q_mean,
+           CAST(COALESCE(SUM(CASE WHEN is_kept = 0 THEN q_s END), 0)
+                // GREATEST(COUNT(*) - SUM(is_kept), 1) AS BIGINT)
+             AS dropped_q_mean,
+           CAST(COALESCE(SUM(CASE WHEN is_kept = 0 THEN q_s END), 0)
+                // GREATEST(COUNT(*) - SUM(is_kept), 1)
+                - COALESCE(SUM(CASE WHEN is_kept = 1 THEN q_s END), 0)
+                // GREATEST(SUM(is_kept), 1) AS BIGINT) AS drop_minus_keep
+    FROM members GROUP BY source
+    """
+
+
+METROLOGY_ORACLES["q350_dedup_survivorship"] = _survivorship_oracle()
+
+
+# --- q351: corpus-saturation / marginal-novelty curve ------------------------------
+
+
+def q351_corpus_saturation(spark, sf_dir):
+    """Marginal-novelty curve: as the corpus is ingested in doc_id
+    order, what fraction of each document's 3-gram shingles has never
+    been seen before? Reported per ingest DECILE as the aggregate novel-
+    shingle share (ppm) — the saturation diagnostic behind "is more of
+    this crawl still worth ingesting?", the shingle-level counterpart
+    of q134's vocabulary-growth curve (Heaps' law) and the ordering
+    complement of q333's dedup-pressure audit.
+
+    Scale shape: shingle explode → min(doc_id) per shingle (map-side
+    combinable) → one equi-join back on shingle → per-doc novel counts
+    → decile rollup. Two shingle-keyed shuffles, corpus-linear, the
+    exact-dedup cost class."""
+    from adhesive_spark.operators.dedup import word_shingles
+    from adhesive_spark.sources.registry import ensure_parallelism
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = ensure_parallelism(docs).select(
+        "doc_id",
+        F.explode(word_shingles(F.col("text"), 3)).alias("shingle"),
+    )
+    first = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_id"))
+    per_doc = (
+        sh.join(first, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_sh"),
+            F.sum(
+                (F.col("doc_id") == F.col("first_id")).cast("long")
+            )
+            .cast("long")
+            .alias("novel"),
+        )
+    )
+    mx = F.broadcast(per_doc.agg(F.max("doc_id").alias("max_id")))
+    return (
+        per_doc.crossJoin(mx)
+        .selectExpr(
+            "least(doc_id * 10 div (max_id + 1), 9L) AS decile",
+            "n_sh",
+            "novel",
+        )
+        .groupBy("decile")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_sh").cast("long").alias("n_shingles"),
+            F.sum("novel").cast("long").alias("n_novel"),
+            F.expr(
+                "CAST(sum(novel) * 1000000 div sum(n_sh) AS BIGINT)"
+            ).alias("novel_ppm"),
+        )
+    )
+
+
+METROLOGY_QUERIES["q351_corpus_saturation"] = q351_corpus_saturation
+
+METROLOGY_ORACLES["q351_corpus_saturation"] = f"""
+    WITH t AS (
+      SELECT doc_id, {_NORM} AS norm, {_TOKS} AS toks FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) - 2 >= 1
+                  THEN list_distinct(list_transform(
+                         range(1, len(toks) - 2 + 1),
+                         i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))
+                  ELSE [norm] END AS grams
+      FROM t
+    ),
+    x AS (SELECT doc_id, unnest(grams) AS shingle FROM g),
+    first AS (SELECT shingle, MIN(doc_id) AS first_id
+              FROM x GROUP BY shingle),
+    per_doc AS (
+      SELECT x.doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh,
+             CAST(SUM(CASE WHEN x.doc_id = f.first_id THEN 1 ELSE 0 END)
+                  AS BIGINT) AS novel
+      FROM x JOIN first f ON x.shingle = f.shingle
+      GROUP BY x.doc_id
+    ),
+    mx AS (SELECT MAX(doc_id) AS max_id FROM per_doc)
+    SELECT LEAST(p.doc_id * 10 // (m.max_id + 1), 9) AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_sh) AS BIGINT) AS n_shingles,
+           CAST(SUM(novel) AS BIGINT) AS n_novel,
+           CAST(SUM(novel) * 1000000 // SUM(n_sh) AS BIGINT) AS novel_ppm
+    FROM per_doc p, mx m
+    GROUP BY LEAST(p.doc_id * 10 // (m.max_id + 1), 9)
+"""
+
+
+# --- q352: event-flow steady state (Markov stationary distribution) ---------------
+
+
+def q352_markov_steady_state(spark, sf_dir):
+    """Stationary distribution of the per-user event-flow Markov chain:
+    q159's transition counts row-normalized to ppm, then 3 power-
+    iteration steps π ← πP from the uniform start (integer throughout,
+    renormalized each step like q306's MM loop) — "where does user
+    attention settle?": the steady-state mass ranks event types by
+    long-run occupancy rather than raw frequency, the journey-model
+    readout next to q159's raw matrix and q105's funnel.
+
+    Scale shape: ONE user-window pass collapses the corpus to the K×K
+    count matrix (checkpointed); iterations run on K² rows with 1-row
+    broadcast renormalizers — replication-invariant."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = ev.select(
+        F.lag("event_type").over(w).alias("from_type"),
+        F.col("event_type").alias("to_type"),
+    ).where(F.col("from_type").isNotNull())
+    counts = (
+        steps.groupBy("from_type", "to_type")
+        .agg(F.count("*").cast("long").alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    row_tot = counts.groupBy("from_type").agg(
+        F.sum("n").cast("long").alias("rt")
+    )
+    p = counts.join(F.broadcast(row_tot), "from_type").selectExpr(
+        "from_type", "to_type", "n * 1000000 div rt AS p_ppm"
+    ).localCheckpoint(eager=True)
+    states = counts.select(
+        F.col("from_type").alias("state")
+    ).union(counts.select("to_type")).distinct()
+    k_df = F.broadcast(states.agg(F.count("*").alias("k")))
+    pi = states.crossJoin(k_df).selectExpr(
+        "state", "1000000 div k AS pi"
+    )
+    for _ in range(3):
+        nxt = (
+            p.join(
+                F.broadcast(pi.withColumnsRenamed({"state": "from_type"})),
+                "from_type",
+            )
+            .groupBy(F.col("to_type").alias("state"))
+            .agg(
+                F.expr("CAST(sum(pi * p_ppm) div 1000000 AS BIGINT)").alias(
+                    "pi"
+                )
+            )
+        )
+        # keep states with no inbound mass at 0 (right join on states)
+        nxt = states.join(nxt, "state", "left").select(
+            "state", F.coalesce("pi", F.lit(0)).alias("pi")
+        )
+        pi = (
+            nxt.crossJoin(F.broadcast(nxt.agg(F.sum("pi").alias("sp"))))
+            .selectExpr("state", "pi * 1000000 div greatest(sp, 1) AS pi")
+            .localCheckpoint(eager=True)
+        )
+    out_mass = counts.groupBy(F.col("from_type").alias("state")).agg(
+        F.sum("n").cast("long").alias("out_steps")
+    )
+    return (
+        pi.join(out_mass, "state", "left")
+        .select(
+            F.col("state").alias("event_type"),
+            F.coalesce("out_steps", F.lit(0)).cast("long").alias("out_steps"),
+            F.col("pi").cast("long").alias("steady_ppm"),
+        )
+    )
+
+
+METROLOGY_QUERIES["q352_markov_steady_state"] = q352_markov_steady_state
+
+
+def _markov_round_sql(prev: str, cur: str) -> str:
+    return f"""
+    r_{cur} AS (
+      SELECT s.state,
+             COALESCE(CAST(SUM(pv.pi * p.p_ppm) // 1000000 AS BIGINT), 0)
+               AS pi
+      FROM states s
+      LEFT JOIN p ON p.to_type = s.state
+      LEFT JOIN {prev} pv ON pv.state = p.from_type
+      GROUP BY s.state
+    ),
+    {cur} AS (
+      SELECT state,
+             CAST(pi * 1000000
+                  // GREATEST((SELECT SUM(pi) FROM r_{cur}), 1) AS BIGINT)
+               AS pi
+      FROM r_{cur}
+    )"""
+
+
+METROLOGY_ORACLES["q352_markov_steady_state"] = f"""
+    WITH steps AS (
+      SELECT LAG(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS from_type,
+             event_type AS to_type
+      FROM events
+    ),
+    counts AS (
+      SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM steps WHERE from_type IS NOT NULL GROUP BY 1, 2
+    ),
+    row_tot AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS rt
+                FROM counts GROUP BY from_type),
+    p AS (
+      SELECT c.from_type, c.to_type,
+             CAST(c.n * 1000000 // r.rt AS BIGINT) AS p_ppm
+      FROM counts c JOIN row_tot r ON c.from_type = r.from_type
+    ),
+    states AS (
+      SELECT from_type AS state FROM counts
+      UNION SELECT to_type FROM counts
+    ),
+    pi0 AS (
+      SELECT state,
+             CAST(1000000 // (SELECT COUNT(*) FROM states) AS BIGINT) AS pi
+      FROM states
+    ),
+    {_markov_round_sql("pi0", "pi1")},
+    {_markov_round_sql("pi1", "pi2")},
+    {_markov_round_sql("pi2", "pi3")}
+    SELECT s.state AS event_type,
+           CAST(COALESCE(o.out_steps, 0) AS BIGINT) AS out_steps,
+           pi3.pi AS steady_ppm
+    FROM states s
+    JOIN pi3 ON s.state = pi3.state
+    LEFT JOIN (SELECT from_type AS state, CAST(SUM(n) AS BIGINT)
+                 AS out_steps FROM counts GROUP BY from_type) o
+      ON s.state = o.state
+"""
+
+
+# --- q353: temporal burstiness (Fano factor) per event type ------------------------
+
+
+def q353_burstiness_fano(spark, sf_dir):
+    """Over-dispersion audit of event arrivals: the Fano factor
+    (variance-to-mean ratio of DAILY counts, Fano 1947; == 1 for a
+    Poisson process, > 1 ⇒ bursty) per event type over the global day
+    spine — zero-days included, which per-type day lists would silently
+    drop. Bursty ingestion breaks rate-based anomaly thresholds and
+    capacity plans sized off the mean; this is the one-number test.
+    fano_ppm = (n·Σc² − S²)·1e6 div (n·S) — exact integer,
+    division last; the peak day's share rides along.
+
+    Scale shape: one (type, day) count aggregate (map-side combined,
+    checkpointed) + a broadcast day-spine count; everything after runs
+    on type×day-bounded rows."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("unix_micros(ts) div 86400000000").alias("day"),
+    )
+    daily = (
+        ev.groupBy("event_type", "day")
+        .agg(F.count("*").cast("long").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    n_days = F.broadcast(
+        daily.select("day").distinct().agg(
+            F.count("*").cast("long").alias("nd")
+        )
+    )
+    per_type = daily.groupBy("event_type").agg(
+        F.sum("c").cast("long").alias("s"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("s2"),
+        F.max("c").cast("long").alias("peak"),
+    )
+    return per_type.crossJoin(n_days).select(
+        "event_type",
+        F.col("nd").alias("n_days"),
+        F.col("s").alias("n_events"),
+        F.expr(
+            "CAST((CAST(nd AS DECIMAL(38,0)) * s2"
+            " - CAST(s AS DECIMAL(38,0)) * s) * 1000000"
+            " div greatest(CAST(nd AS DECIMAL(38,0)) * s, 1) AS BIGINT)"
+        ).alias("fano_ppm"),
+        F.expr("CAST(peak * 1000000 div greatest(s, 1) AS BIGINT)").alias(
+            "peak_day_ppm"
+        ),
+    )
+
+
+METROLOGY_QUERIES["q353_burstiness_fano"] = q353_burstiness_fano
+
+METROLOGY_ORACLES["q353_burstiness_fano"] = """
+    WITH daily AS (
+      SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    nd AS (SELECT CAST(COUNT(DISTINCT day) AS BIGINT) AS nd FROM daily),
+    per_type AS (
+      SELECT event_type, CAST(SUM(c) AS BIGINT) AS s,
+             CAST(SUM(c * c) AS BIGINT) AS s2,
+             CAST(MAX(c) AS BIGINT) AS peak
+      FROM daily GROUP BY event_type
+    )
+    SELECT event_type, nd.nd AS n_days, s AS n_events,
+           CAST((CAST(nd.nd AS HUGEINT) * s2 - CAST(s AS HUGEINT) * s)
+                * 1000000
+                // GREATEST(CAST(nd.nd AS HUGEINT) * s, 1) AS BIGINT)
+             AS fano_ppm,
+           CAST(peak * 1000000 // GREATEST(s, 1) AS BIGINT)
+             AS peak_day_ppm
+    FROM per_type, nd
+"""
+
+
+# --- q354: int4 quantization ranking-fidelity audit --------------------------------
+
+
+def q354_quantization_fidelity(spark, sf_dir):
+    """Does int4 storage keep the NEIGHBORS? For the 8 probe vectors
+    (the q246 convention), rank the corpus by exact integer dot product
+    twice — once over milli-quantized full-precision vectors, once over
+    symmetric int4 codes (c = x·7 div max|x|, per-vector scale) — and
+    report top-10 overlap and top-1 agreement per probe. This is the
+    recall side of q72's storage-compression summaries: the number that
+    says whether a 8× memory cut is free or catastrophic BEFORE
+    re-indexing 100 TB. Both rankings are exact integers with vec_id
+    tie-breaks, so the audit itself is engine-reproducible.
+
+    Scale shape: probes broadcast against a corpus-linear scan (the q35
+    contract); per-probe ranking windows partition by probe."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr(
+            "transform(embedding,"
+            " x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT))"
+        ).alias("mv"),
+    )
+    coded = emb.select(
+        "vec_id",
+        "mv",
+        F.expr(
+            "transform(mv, x -> x * 7 div"
+            " greatest(array_max(transform(mv, y -> abs(y))), 1L))"
+        ).alias("c4"),
+    )
+    probes = coded.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("mv").alias("qmv"),
+        F.col("c4").alias("qc4"),
+    )
+    corpus = coded.where(F.col("vec_id") >= 8)
+    dotsql = (
+        "aggregate(zip_with({a}, {b}, (x, y) -> x * y),"
+        " CAST(0 AS BIGINT), (acc, d) -> acc + d)"
+    )
+    scored = corpus.crossJoin(F.broadcast(probes)).select(
+        "query_id",
+        "vec_id",
+        F.expr(dotsql.format(a="mv", b="qmv")).alias("dot_full"),
+        F.expr(dotsql.format(a="c4", b="qc4")).alias("dot_q4"),
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.col("dot_full").desc(), "vec_id"
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("dot_q4").desc(), "vec_id"
+    )
+    ranked = scored.select(
+        "query_id",
+        "vec_id",
+        F.row_number().over(wf).alias("rf"),
+        F.row_number().over(wq).alias("rq"),
+    ).where((F.col("rf") <= 10) | (F.col("rq") <= 10))
+    return ranked.groupBy("query_id").agg(
+        F.expr(
+            "CAST(sum(CASE WHEN rf <= 10 AND rq <= 10 THEN 1 ELSE 0 END)"
+            " AS BIGINT)"
+        ).alias("overlap10"),
+        F.expr(
+            "CAST(max(CASE WHEN rf = 1 AND rq = 1 THEN 1 ELSE 0 END)"
+            " AS BIGINT)"
+        ).alias("top1_match"),
+    )
+
+
+METROLOGY_QUERIES["q354_quantization_fidelity"] = q354_quantization_fidelity
+
+METROLOGY_ORACLES["q354_quantization_fidelity"] = """
+    WITH emb AS (
+      SELECT vec_id,
+             list_transform(embedding::DOUBLE[],
+               x -> CAST(ROUND(x * 1000, 0) AS BIGINT)) AS mv
+      FROM embeddings
+    ),
+    coded AS (
+      SELECT vec_id, mv,
+             list_transform(mv, x -> x * 7 //
+               GREATEST(list_max(list_transform(mv, y -> ABS(y))), 1))
+               AS c4
+      FROM emb
+    ),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id,
+             list_reduce(list_transform(range(1, len(c.mv) + 1),
+               i -> c.mv[i] * q.mv[i]), (a, b) -> a + b) AS dot_full,
+             list_reduce(list_transform(range(1, len(c.c4) + 1),
+               i -> c.c4[i] * q.c4[i]), (a, b) -> a + b) AS dot_q4
+      FROM coded c, coded q
+      WHERE q.vec_id < 8 AND c.vec_id >= 8
+    ),
+    ranked AS (
+      SELECT query_id, vec_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY dot_full DESC, vec_id) AS rf,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY dot_q4 DESC, vec_id) AS rq
+      FROM scored
+    )
+    SELECT query_id,
+           CAST(SUM(CASE WHEN rf <= 10 AND rq <= 10 THEN 1 ELSE 0 END)
+                AS BIGINT) AS overlap10,
+           CAST(MAX(CASE WHEN rf = 1 AND rq = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS top1_match
+    FROM ranked GROUP BY query_id
+"""

@@ -255,3 +255,262 @@ def test_tcloseness_flags_match_and_bounds(spark, sf_dir):
     for r in out:
         assert 0 <= r.t_ppm <= 1_000_000
         assert r.at_risk == (1 if r.t_ppm > 300_000 else 0)
+
+
+def test_lang_id_arr_matches_markers(spark):
+    """Half-document lang-id: clear marker sets resolve to their
+    language; a marker-free half is 'und'; an en/de half-and-half doc
+    is exactly what q347 counts as mixed."""
+    from adhesive_spark.queries.metrology_queries import _lang_id_arr
+
+    df = spark.createDataFrame(
+        [
+            (["the", "cat", "and", "dog"],),
+            (["der", "hund", "und", "katze"],),
+            (["zzz", "qqq"],),
+        ],
+        ["toks"],
+    )
+    got = [r.l for r in df.select(_lang_id_arr(F.col("toks")).alias("l")).collect()]
+    assert got == ["en", "de", "und"]
+
+
+def test_code_switch_counts_are_consistent(spark, sf_dir):
+    out = M.q347_code_switch_audit(spark, sf_dir).collect()
+    from adhesive_spark.sources.registry import load_table as _lt
+
+    assert sum(r.n_docs for r in out) == _lt(spark, sf_dir, "documents").count()
+    for r in out:
+        assert 0 <= r.n_mixed <= r.n_docs
+        assert r.mixed_ppm == r.n_mixed * 1_000_000 // r.n_docs
+        assert 0 <= r.und_ppm <= 1_000_000
+
+
+def test_pq_distortion_matches_numpy_replay(spark, sf_dir):
+    """Exact replay: milli-quantize, nearest-of-8 codebook per 16-dim
+    subspace (ties to lower cid), distortion sums — pure Python."""
+    emb = sorted(
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .collect(),
+        key=lambda r: r.vec_id,
+    )
+    mv = {
+        r.vec_id: [round(float(x) * 1000) for x in r.embedding] for r in emb
+    }
+    out = {r.s: r for r in M.q348_pq_distortion(spark, sf_dir).collect()}
+    for s in range(4):
+        subs = {v: m[s * 16 : (s + 1) * 16] for v, m in mv.items()}
+        cb = {cid: subs[cid] for cid in range(8)}
+        total = 0
+        per_code: dict[int, int] = {}
+        for v, sv in subs.items():
+            best = min(
+                (sum((a - b) ** 2 for a, b in zip(sv, cb[c])), c)
+                for c in range(8)
+            )
+            total += best[0]
+            per_code[best[1]] = per_code.get(best[1], 0) + 1
+        r = out[s]
+        assert r.n_vecs == len(subs)
+        assert r.total_err == total
+        assert r.mean_err == total // len(subs)
+        assert r.codes_used == len(per_code)
+        assert r.top_code_ppm == max(per_code.values()) * 1_000_000 // len(
+            subs
+        )
+
+
+def test_style_affinity_matches_python_replay(spark, sf_dir):
+    """Stopword-profile cos² replayed with Python Counters over the
+    same normalized tokens."""
+    from collections import Counter
+
+    from adhesive_spark.operators.text import STOPWORDS_EN, tokens
+
+    rows = (
+        load_table(spark, sf_dir, "documents")
+        .select("source", tokens(F.col("text")).alias("toks"))
+        .collect()
+    )
+    stops = set(STOPWORDS_EN)
+    counts: dict[str, Counter] = {}
+    for r in rows:
+        c = counts.setdefault(r.source, Counter())
+        for t in r.toks:
+            if t in stops:
+                c[t] += 1
+    prof = {
+        s: {w: n * 1_000_000 // sum(c.values()) for w, n in c.items()}
+        for s, c in counts.items()
+    }
+    nrm = {s: sum(v * v for v in p.values()) for s, p in prof.items()}
+    out = M.q349_style_affinity(spark, sf_dir).collect()
+    assert len(out) == len(prof) * (len(prof) - 1) // 2
+    for r in out:
+        pa, pb = prof[r.src_a], prof[r.src_b]
+        dot = sum(pa[w] * pb.get(w, 0) for w in pa)
+        want = dot * dot * 1_000_000 // max(nrm[r.src_a] * nrm[r.src_b], 1)
+        assert r.cos2_ppm == want, (r.src_a, r.src_b)
+
+
+def test_dedup_survivorship_partitions_clusters(spark, sf_dir):
+    """Kept + dropped partition the clustered docs; exactly one kept
+    per component (the star-CC representative count)."""
+    from adhesive_spark.operators.dedup import ngram_jaccard_pairs
+    from adhesive_spark.operators.graph import connected_components_star
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.1)
+    comp = connected_components_star(pairs)
+    n_components = comp.select("component").distinct().count()
+    n_members = comp.count()
+    out = M.q350_dedup_survivorship(spark, sf_dir).collect()
+    assert sum(r.n_clustered for r in out) == n_members
+    assert sum(r.n_kept for r in out) == n_components
+    for r in out:
+        assert r.n_clustered == r.n_kept + r.n_dropped
+        assert 0 <= r.kept_q_mean <= 10_000
+        assert r.drop_minus_keep == r.dropped_q_mean - r.kept_q_mean
+
+
+def test_corpus_saturation_python_replay(spark, sf_dir):
+    """Novel-shingle deciles replayed with a Python set sweep over the
+    same distinct word-3-gram shingles in doc_id order."""
+    from adhesive_spark.operators.dedup import word_shingles
+
+    rows = sorted(
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id", word_shingles(F.col("text"), 3).alias("grams")
+        )
+        .collect(),
+        key=lambda r: r.doc_id,
+    )
+    first: dict[str, int] = {}
+    for r in rows:
+        for g in r.grams:
+            first.setdefault(g, r.doc_id)
+    max_id = max(r.doc_id for r in rows)
+    agg: dict[int, list[int]] = {}
+    for r in rows:
+        d = min(r.doc_id * 10 // (max_id + 1), 9)
+        a = agg.setdefault(d, [0, 0, 0])
+        a[0] += 1
+        a[1] += len(r.grams)
+        a[2] += sum(1 for g in r.grams if first[g] == r.doc_id)
+    out = {r.decile: r for r in M.q351_corpus_saturation(spark, sf_dir).collect()}
+    assert set(out) == set(agg)
+    for d, (n_docs, n_sh, novel) in agg.items():
+        r = out[d]
+        assert (r.n_docs, r.n_shingles, r.n_novel) == (n_docs, n_sh, novel)
+        assert r.novel_ppm == novel * 1_000_000 // n_sh
+
+
+def test_markov_steady_state_python_replay(spark, sf_dir):
+    """3 integer power-iteration rounds replayed in Python from the
+    query's own transition matrix — pins iteration order, rounding,
+    and the zero-inbound-state handling."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = (
+        ev.select(
+            F.lag("event_type").over(w).alias("f"),
+            F.col("event_type").alias("t"),
+        )
+        .where(F.col("f").isNotNull())
+        .groupBy("f", "t")
+        .count()
+        .collect()
+    )
+    counts = {(r.f, r.t): r["count"] for r in steps}
+    states = sorted({f for f, _ in counts} | {t for _, t in counts})
+    rt = {s: sum(c for (f, _), c in counts.items() if f == s) for s in states}
+    p = {
+        (f, t): c * 1_000_000 // rt[f] for (f, t), c in counts.items()
+    }
+    pi = {s: 1_000_000 // len(states) for s in states}
+    for _ in range(3):
+        nxt = {
+            s: sum(
+                pi[f] * p.get((f, s), 0) for f in states
+            )
+            // 1_000_000
+            for s in states
+        }
+        sp = max(sum(nxt.values()), 1)
+        pi = {s: nxt[s] * 1_000_000 // sp for s in states}
+    out = {
+        r.event_type: r
+        for r in M.q352_markov_steady_state(spark, sf_dir).collect()
+    }
+    assert set(out) == set(states)
+    for s in states:
+        assert out[s].steady_ppm == pi[s], s
+        assert out[s].out_steps == rt.get(s, 0)
+
+
+def test_fano_poisson_calibration(spark):
+    """A constant daily count has variance 0 → fano_ppm 0; a single
+    burst day among zeros maximizes dispersion — checked on a synthetic
+    frame via the same arithmetic."""
+    # replay the formula only (the query function needs parquet):
+    # constant: n*s2 == s*s -> 0; burst: n*c^2 - c^2 = (n-1)c^2
+    n, c = 10, 7
+    s, s2 = n * c, n * c * c
+    assert (n * s2 - s * s) == 0
+    s_b, s2_b = c, c * c
+    fano_b = (n * s2_b - s_b * s_b) * 1_000_000 // (n * s_b)
+    assert fano_b == (n - 1) * c * 1_000_000 // n
+
+
+def test_burstiness_output_identities(spark, sf_dir):
+    out = M.q353_burstiness_fano(spark, sf_dir).collect()
+    ev = load_table(spark, sf_dir, "events")
+    assert sum(r.n_events for r in out) == ev.count()
+    nd = {r.n_days for r in out}
+    assert len(nd) == 1  # global spine, not per-type day lists
+    for r in out:
+        assert 0 <= r.peak_day_ppm <= 1_000_000
+
+
+def test_quantization_fidelity_python_replay(spark, sf_dir):
+    """int4 ranking fidelity replayed with exact Python integers:
+    milli-quantize, c = x·7 div max|x| (trunc toward zero), both
+    rankings with vec_id tie-breaks."""
+    rows = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    mv = {
+        r.vec_id: [round(float(x) * 1000) for x in r.embedding]
+        for r in rows
+    }
+
+    def trunc_div(a, b):
+        q = abs(a) * 7 // b
+        return q if a >= 0 else -q
+
+    c4 = {
+        v: [trunc_div(x, max(max(abs(y) for y in m), 1)) for x in m]
+        for v, m in mv.items()
+    }
+    out = {
+        r.query_id: r
+        for r in M.q354_quantization_fidelity(spark, sf_dir).collect()
+    }
+    corpus = sorted(v for v in mv if v >= 8)
+    for q in range(8):
+        full = sorted(
+            corpus,
+            key=lambda v: (-sum(a * b for a, b in zip(mv[q], mv[v])), v),
+        )[:10]
+        quant = sorted(
+            corpus,
+            key=lambda v: (-sum(a * b for a, b in zip(c4[q], c4[v])), v),
+        )[:10]
+        assert out[q].overlap10 == len(set(full) & set(quant))
+        assert out[q].top1_match == (1 if full[0] == quant[0] else 0)

@@ -366,6 +366,14 @@ AUDITED = [
     "q344_tfcos_allpairs",
     "q345_conformal_threshold",
     "q346_permutation_test",
+    "q347_code_switch_audit",
+    "q348_pq_distortion",
+    "q349_style_affinity",
+    "q350_dedup_survivorship",
+    "q351_corpus_saturation",
+    "q352_markov_steady_state",
+    "q353_burstiness_fano",
+    "q354_quantization_fidelity",
 ]
 
 
