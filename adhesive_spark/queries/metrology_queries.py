@@ -2437,3 +2437,589 @@ METROLOGY_ORACLES["q354_quantization_fidelity"] = """
                 AS BIGINT) AS top1_match
     FROM ranked GROUP BY query_id
 """
+
+
+# --- q355: difference-in-differences -----------------------------------------------
+
+
+def q355_diff_in_diff(spark, sf_dir):
+    """Difference-in-differences readout (Card & Krueger 1994 design):
+    mean purchase value vs mean view value, before vs after the median
+    calendar day — DiD = (T_post − T_pre) − (C_post − C_pre) — the
+    quasi-experimental estimator an event pipeline runs when a launch
+    has no randomized holdout and the control series absorbs the shared
+    trend. The cutoff is the median DISTINCT day (bounded-domain rank,
+    the q318 discipline); each difference is computed cross-multiplied
+    then divided ONCE into centi-cents, so the output is
+    engine-identical.
+
+    Scale shape: one (group, period) aggregate over the filtered event
+    stream (map-side combined, 4 rows) + a distinct-day cutoff table;
+    everything after is arithmetic on 4 rows."""
+    from adhesive_spark.operators.text import scaled_long
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        scaled_long(F.col("value"), 2).alias("c"),
+        F.expr("unix_micros(ts) div 86400000000").alias("day"),
+    )
+    days = ev.select("day").distinct()
+    # bounded-domain: distinct DAYS (calendar-bounded) — single-
+    # partition window is intentional and safe
+    wd = Window.orderBy("day")
+    cutoff = F.broadcast(
+        days.select("day", F.row_number().over(wd).alias("r"))
+        .crossJoin(F.broadcast(days.agg(F.count("*").alias("nd"))))
+        .where(F.col("r") == F.expr("(nd + 1) div 2"))
+        .select(F.col("day").alias("cutoff_day"))
+    )
+    cells = (
+        ev.where(F.col("event_type").isin("purchase", "view"))
+        .crossJoin(cutoff)
+        .select(
+            "cutoff_day",
+            (F.col("event_type") == "purchase").cast("long").alias("is_t"),
+            (F.col("day") > F.col("cutoff_day")).cast("long").alias("post"),
+            "c",
+        )
+        .groupBy("cutoff_day", "is_t", "post")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("c").cast("long").alias("s"),
+        )
+    )
+    wide = cells.groupBy("cutoff_day").agg(
+        *[
+            F.max(
+                F.when(
+                    (F.col("is_t") == t) & (F.col("post") == p), F.col(col)
+                )
+            )
+            .cast("long")
+            .alias(f"{name}_{'t' if t else 'c'}_{'post' if p else 'pre'}")
+            for col, name in (("n", "n"), ("s", "s"))
+            for t in (1, 0)
+            for p in (1, 0)
+        ]
+    )
+    return wide.select(
+        "cutoff_day",
+        "n_t_pre",
+        "n_t_post",
+        "n_c_pre",
+        "n_c_post",
+        F.expr("s_t_pre div greatest(n_t_pre, 1)").alias("mean_t_pre_c"),
+        F.expr("s_t_post div greatest(n_t_post, 1)").alias("mean_t_post_c"),
+        F.expr("s_c_pre div greatest(n_c_pre, 1)").alias("mean_c_pre_c"),
+        F.expr("s_c_post div greatest(n_c_post, 1)").alias("mean_c_post_c"),
+        F.expr(
+            "CAST((CAST(s_t_post AS DECIMAL(38,0)) * n_t_pre"
+            " - CAST(s_t_pre AS DECIMAL(38,0)) * n_t_post) * 100"
+            " div greatest(CAST(n_t_post AS DECIMAL(38,0)) * n_t_pre, 1)"
+            " - (CAST(s_c_post AS DECIMAL(38,0)) * n_c_pre"
+            " - CAST(s_c_pre AS DECIMAL(38,0)) * n_c_post) * 100"
+            " div greatest(CAST(n_c_post AS DECIMAL(38,0)) * n_c_pre, 1)"
+            " AS BIGINT)"
+        ).alias("did_c100"),
+    )
+
+
+METROLOGY_QUERIES["q355_diff_in_diff"] = q355_diff_in_diff
+
+METROLOGY_ORACLES["q355_diff_in_diff"] = """
+    WITH ev AS (
+      SELECT event_type, CAST(ROUND(value * 100, 0) AS BIGINT) AS c,
+             epoch_us(ts) // 86400000000 AS day
+      FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM ev),
+    cutoff AS (
+      SELECT day AS cutoff_day FROM (
+        SELECT day, ROW_NUMBER() OVER (ORDER BY day) AS r,
+               COUNT(*) OVER () AS nd
+        FROM days
+      ) WHERE r = (nd + 1) // 2
+    ),
+    cells AS (
+      SELECT x.cutoff_day,
+             CASE WHEN e.event_type = 'purchase' THEN 1 ELSE 0 END AS is_t,
+             CASE WHEN e.day > x.cutoff_day THEN 1 ELSE 0 END AS post,
+             CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(c) AS BIGINT) AS s
+      FROM ev e CROSS JOIN cutoff x
+      WHERE e.event_type IN ('purchase', 'view')
+      GROUP BY 1, 2, 3
+    ),
+    wide AS (
+      SELECT cutoff_day,
+             MAX(CASE WHEN is_t = 1 AND post = 0 THEN n END) AS n_t_pre,
+             MAX(CASE WHEN is_t = 1 AND post = 1 THEN n END) AS n_t_post,
+             MAX(CASE WHEN is_t = 0 AND post = 0 THEN n END) AS n_c_pre,
+             MAX(CASE WHEN is_t = 0 AND post = 1 THEN n END) AS n_c_post,
+             MAX(CASE WHEN is_t = 1 AND post = 0 THEN s END) AS s_t_pre,
+             MAX(CASE WHEN is_t = 1 AND post = 1 THEN s END) AS s_t_post,
+             MAX(CASE WHEN is_t = 0 AND post = 0 THEN s END) AS s_c_pre,
+             MAX(CASE WHEN is_t = 0 AND post = 1 THEN s END) AS s_c_post
+      FROM cells GROUP BY cutoff_day
+    )
+    SELECT cutoff_day, n_t_pre, n_t_post, n_c_pre, n_c_post,
+           CAST(s_t_pre // GREATEST(n_t_pre, 1) AS BIGINT) AS mean_t_pre_c,
+           CAST(s_t_post // GREATEST(n_t_post, 1) AS BIGINT)
+             AS mean_t_post_c,
+           CAST(s_c_pre // GREATEST(n_c_pre, 1) AS BIGINT) AS mean_c_pre_c,
+           CAST(s_c_post // GREATEST(n_c_post, 1) AS BIGINT)
+             AS mean_c_post_c,
+           CAST((CAST(s_t_post AS HUGEINT) * n_t_pre
+                 - CAST(s_t_pre AS HUGEINT) * n_t_post) * 100
+                // GREATEST(CAST(n_t_post AS HUGEINT) * n_t_pre, 1)
+                - (CAST(s_c_post AS HUGEINT) * n_c_pre
+                   - CAST(s_c_pre AS HUGEINT) * n_c_post) * 100
+                // GREATEST(CAST(n_c_post AS HUGEINT) * n_c_pre, 1)
+                AS BIGINT) AS did_c100
+    FROM wide
+"""
+
+
+# --- q356: cross-source vocabulary overlap from mergeable HLL sketches -------------
+
+
+def q356_hll_union_overlap(spark, sf_dir):
+    """Cross-source vocabulary overlap WITHOUT a cross-source join:
+    per-source 64-register token HLLs (the q241/q249 register
+    machinery) max-merge into pairwise UNION sketches — the mergeable-
+    sketch property that makes this free at 100 TB: one corpus pass
+    builds K·64 registers, every one of the K² union estimates is
+    register arithmetic. Overlap = est_a + est_b − est_union by
+    inclusion–exclusion (clamped at 0), in ppm of the smaller side —
+    the "should these two sources share a dedup pass?" pre-flight,
+    sketch-priced instead of q199's exact join.
+
+    Scale shape: one (source, bucket) hash aggregate (map-side
+    combined, checkpointed); pair unions run on K²·64 bounded rows via
+    broadcast joins."""
+    from adhesive_spark.operators.sketches import (
+        HLL_ALPHA_PPM,
+        HLL_M,
+        HLL_P,
+        HLL_SCALE,
+        hash60,
+    )
+    from adhesive_spark.operators.text import tokens
+    from adhesive_spark.sources.registry import ensure_parallelism
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = hash60(F.col("tok"))
+    regs = (
+        ensure_parallelism(docs)
+        .select("source", F.explode(tokens(F.col("text"))).alias("tok"))
+        .select(
+            "source",
+            (h % F.lit(HLL_M)).alias("bucket"),
+            F.shiftright(h, HLL_P).alias("_rem"),
+        )
+        .select(
+            "source",
+            "bucket",
+            F.when(F.col("_rem") == 0, F.lit(HLL_SCALE).cast("long"))
+            .otherwise(
+                F.lit(HLL_SCALE).cast("long")
+                - F.length(F.bin(F.col("_rem"))).cast("long")
+            )
+            .alias("rho"),
+        )
+        .groupBy("source", "bucket")
+        .agg(F.max("rho").alias("m_j"))
+        .localCheckpoint(eager=True)
+    )
+
+    def estimate(grouped, keys):
+        summed = grouped.groupBy(*keys).agg(
+            F.count("*").cast("long").alias("nonempty"),
+            F.sum(
+                F.expr(
+                    f"shiftleft(CAST(1 AS BIGINT),"
+                    f" CAST({HLL_SCALE} - m_j AS INT))"
+                )
+            )
+            .cast("long")
+            .alias("s_nonempty"),
+        )
+        return summed.select(
+            *keys,
+            (
+                F.col("s_nonempty")
+                + (F.lit(HLL_M) - F.col("nonempty"))
+                * F.lit(1 << HLL_SCALE).cast("long")
+            ).alias("s_scaled"),
+        ).select(
+            *keys,
+            F.expr(
+                f"CAST(((CAST({HLL_ALPHA_PPM} AS DECIMAL(38,0))"
+                f" * {HLL_M} * {HLL_M} * {1 << HLL_SCALE})"
+                f" div s_scaled) div 1000000 AS BIGINT)"
+            ).alias("est"),
+        )
+
+    singles = estimate(regs, ["source"])
+    pairs = (
+        singles.alias("a")
+        .crossJoin(F.broadcast(singles.alias("b")))
+        .where(F.col("a.source") < F.col("b.source"))
+        .select(
+            F.col("a.source").alias("src_a"),
+            F.col("b.source").alias("src_b"),
+            F.col("a.est").alias("est_a"),
+            F.col("b.est").alias("est_b"),
+        )
+    )
+    contrib = pairs.select("src_a", "src_b").join(
+        F.broadcast(regs),
+        (F.col("source") == F.col("src_a"))
+        | (F.col("source") == F.col("src_b")),
+    ).select("src_a", "src_b", "bucket", "m_j")
+    unions = estimate(
+        contrib.groupBy("src_a", "src_b", "bucket").agg(
+            F.max("m_j").alias("m_j")
+        ),
+        ["src_a", "src_b"],
+    ).withColumnRenamed("est", "est_union")
+    return (
+        pairs.join(F.broadcast(unions), ["src_a", "src_b"])
+        .select(
+            "src_a",
+            "src_b",
+            "est_a",
+            "est_b",
+            "est_union",
+            F.expr(
+                "CAST(greatest(est_a + est_b - est_union, 0L) * 1000000"
+                " div greatest(least(est_a, est_b), 1L) AS BIGINT)"
+            ).alias("overlap_ppm"),
+        )
+    )
+
+
+METROLOGY_QUERIES["q356_hll_union_overlap"] = q356_hll_union_overlap
+
+
+def _hll_union_oracle() -> str:
+    from adhesive_spark.operators.sketches import (
+        _HASH_HEX_CHARS,
+        HLL_ALPHA_PPM,
+        HLL_M,
+        HLL_P,
+        HLL_SCALE,
+    )
+
+    est = (
+        f"CAST(((CAST({HLL_ALPHA_PPM} AS HUGEINT)"
+        f" * {HLL_M} * {HLL_M} * {1 << HLL_SCALE})"
+        f" // s_scaled) // 1000000 AS BIGINT)"
+    )
+    return f"""
+    WITH hashed AS (
+      SELECT source, h % {HLL_M} AS bucket,
+             CASE WHEN (h >> {HLL_P}) = 0
+                  THEN CAST({HLL_SCALE} AS BIGINT)
+                  ELSE CAST({HLL_SCALE} AS BIGINT)
+                       - CAST(length(bin(h >> {HLL_P})) AS BIGINT)
+             END AS rho
+      FROM (
+        SELECT source,
+               CAST(('0x' || substr(md5(t.tok), 1, {_HASH_HEX_CHARS}))
+                    AS BIGINT) AS h
+        FROM (SELECT source, unnest({_TOKS}) AS tok FROM documents) t
+      )
+    ),
+    regs AS (
+      SELECT source, bucket, MAX(rho) AS m_j
+      FROM hashed GROUP BY source, bucket
+    ),
+    singles AS (
+      SELECT source, {est} AS est FROM (
+        SELECT source,
+               SUM(CAST(1 AS BIGINT) << CAST({HLL_SCALE} - m_j AS INT))
+                 + ({HLL_M} - COUNT(*))
+                   * (CAST(1 AS BIGINT) << {HLL_SCALE}) AS s_scaled
+        FROM regs GROUP BY source
+      )
+    ),
+    pair_regs AS (
+      SELECT a.source AS src_a, b.source AS src_b, r.bucket,
+             MAX(r.m_j) AS m_j
+      FROM singles a JOIN singles b ON a.source < b.source
+      JOIN regs r ON r.source = a.source OR r.source = b.source
+      GROUP BY 1, 2, r.bucket
+    ),
+    unions AS (
+      SELECT src_a, src_b, {est} AS est_union FROM (
+        SELECT src_a, src_b,
+               SUM(CAST(1 AS BIGINT) << CAST({HLL_SCALE} - m_j AS INT))
+                 + ({HLL_M} - COUNT(*))
+                   * (CAST(1 AS BIGINT) << {HLL_SCALE}) AS s_scaled
+        FROM pair_regs GROUP BY src_a, src_b
+      )
+    )
+    SELECT u.src_a, u.src_b, a.est AS est_a, b.est AS est_b, u.est_union,
+           CAST(GREATEST(a.est + b.est - u.est_union, 0) * 1000000
+                // GREATEST(LEAST(a.est, b.est), 1) AS BIGINT)
+             AS overlap_ppm
+    FROM unions u
+    JOIN singles a ON u.src_a = a.source
+    JOIN singles b ON u.src_b = b.source
+    """
+
+
+METROLOGY_ORACLES["q356_hll_union_overlap"] = _hll_union_oracle()
+
+
+# --- q357: A/A null-calibration test ------------------------------------------------
+
+
+def q357_aa_null_calibration(spark, sf_dir):
+    """A/A test per event type (the experimentation pipeline's null
+    calibration, Kohavi et al.'s standard pre-flight): split each
+    type's rows into two DETERMINISTIC hash halves that received the
+    same treatment by construction, then run the q346 permutation
+    machinery — a healthy pipeline must NOT reject its own null. Per
+    type: the halves' mean difference, its permutation p-value over 64
+    hash-derandomized relabelings (cross-multiplied integer
+    comparisons), and the pass flag (p ≥ 0.05). A failing type means
+    the hash split, the metric plumbing, or the variance model is
+    broken — BEFORE any real experiment is read.
+
+    Scale shape: the q319/q346 bounded 64× lane explode, map-side
+    combined to (type, replica) sums; verdicts on K·64 rows."""
+    from adhesive_spark.operators.dedup import portable_hash32
+    from adhesive_spark.operators.text import scaled_long
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        scaled_long(F.col("value"), 2).alias("c"),
+        (
+            portable_hash32(
+                F.concat(F.lit("aa:"), F.col("event_id").cast("string"))
+            )
+            % 2
+        ).alias("g"),
+    )
+    obs = ev.groupBy("event_type").agg(
+        F.sum(F.when(F.col("g") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_a"),
+        F.sum(F.when(F.col("g") == 0, F.col("c"))).cast("long").alias("s_a"),
+        F.sum(F.when(F.col("g") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_b"),
+        F.sum(F.when(F.col("g") == 1, F.col("c"))).cast("long").alias("s_b"),
+    ).localCheckpoint(eager=True)
+    lanes = (
+        ev.select(
+            "event_type",
+            "event_id",
+            "c",
+            F.explode(F.sequence(F.lit(0), F.lit(63))).alias("b"),
+        )
+        .select(
+            "event_type",
+            "b",
+            "c",
+            (
+                portable_hash32(
+                    F.concat(
+                        F.lit("pm"),
+                        F.col("b").cast("string"),
+                        F.lit(":"),
+                        F.col("event_id").cast("string"),
+                    )
+                )
+                % 2
+            ).alias("pa"),
+        )
+    )
+    reps = lanes.groupBy("event_type", "b").agg(
+        F.sum(F.when(F.col("pa") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("ra"),
+        F.sum(F.when(F.col("pa") == 0, F.col("c"))).cast("long").alias("sa"),
+        F.sum(F.when(F.col("pa") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("rb"),
+        F.sum(F.when(F.col("pa") == 1, F.col("c"))).cast("long").alias("sb"),
+    )
+    verdicts = reps.join(F.broadcast(obs), "event_type").select(
+        "event_type",
+        F.expr(
+            "CASE WHEN ra = 0 OR rb = 0 THEN 1"
+            " WHEN abs(CAST(sa AS DECIMAL(38,0)) * rb"
+            "          - CAST(sb AS DECIMAL(38,0)) * ra)"
+            "      * (CAST(n_a AS DECIMAL(38,0)) * n_b)"
+            "      >= abs(CAST(s_a AS DECIMAL(38,0)) * n_b"
+            "             - CAST(s_b AS DECIMAL(38,0)) * n_a)"
+            "         * (CAST(ra AS DECIMAL(38,0)) * rb)"
+            " THEN 1 ELSE 0 END"
+        ).alias("exceeds"),
+    )
+    pv = verdicts.groupBy("event_type").agg(
+        F.sum("exceeds").cast("long").alias("n_exceed"),
+        F.count("*").cast("long").alias("n_reps"),
+    )
+    return obs.join(pv, "event_type").select(
+        "event_type",
+        "n_a",
+        "n_b",
+        F.expr("coalesce(s_a, 0L) div greatest(n_a, 1)").alias("mean_a_c"),
+        F.expr("coalesce(s_b, 0L) div greatest(n_b, 1)").alias("mean_b_c"),
+        F.expr(
+            "CAST((n_exceed + 1) * 1000000 div (n_reps + 1) AS BIGINT)"
+        ).alias("p_value_ppm"),
+        F.expr(
+            "CAST(CASE WHEN (n_exceed + 1) * 1000000 div (n_reps + 1)"
+            " >= 50000 THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("null_ok"),
+    )
+
+
+METROLOGY_QUERIES["q357_aa_null_calibration"] = q357_aa_null_calibration
+
+METROLOGY_ORACLES["q357_aa_null_calibration"] = f"""
+    WITH ev AS (
+      SELECT event_id, event_type,
+             CAST(ROUND(value * 100, 0) AS BIGINT) AS c,
+             {_h32("md5('aa:' || CAST(event_id AS VARCHAR))")} % 2 AS g
+      FROM events
+    ),
+    obs AS (
+      SELECT event_type,
+             CAST(SUM(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(SUM(CASE WHEN g = 0 THEN c END) AS BIGINT) AS s_a,
+             CAST(SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+             CAST(SUM(CASE WHEN g = 1 THEN c END) AS BIGINT) AS s_b
+      FROM ev GROUP BY event_type
+    ),
+    lanes AS (
+      SELECT e.event_type, bb.b, e.c,
+             {_h32("md5('pm' || CAST(bb.b AS VARCHAR) || ':' || CAST(e.event_id AS VARCHAR))")}
+               % 2 AS pa
+      FROM ev e CROSS JOIN (SELECT UNNEST(generate_series(0, 63)) AS b) bb
+    ),
+    reps AS (
+      SELECT event_type, b,
+             CAST(SUM(CASE WHEN pa = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ra,
+             CAST(SUM(CASE WHEN pa = 0 THEN c END) AS BIGINT) AS sa,
+             CAST(SUM(CASE WHEN pa = 1 THEN 1 ELSE 0 END) AS BIGINT) AS rb,
+             CAST(SUM(CASE WHEN pa = 1 THEN c END) AS BIGINT) AS sb
+      FROM lanes GROUP BY event_type, b
+    ),
+    verdicts AS (
+      SELECT r.event_type,
+             CASE WHEN r.ra = 0 OR r.rb = 0 THEN 1
+                  WHEN ABS(CAST(r.sa AS HUGEINT) * r.rb
+                           - CAST(r.sb AS HUGEINT) * r.ra)
+                       * (CAST(o.n_a AS HUGEINT) * o.n_b)
+                       >= ABS(CAST(o.s_a AS HUGEINT) * o.n_b
+                              - CAST(o.s_b AS HUGEINT) * o.n_a)
+                          * (CAST(r.ra AS HUGEINT) * r.rb)
+                  THEN 1 ELSE 0 END AS exceeds
+      FROM reps r JOIN obs o ON r.event_type = o.event_type
+    ),
+    pv AS (
+      SELECT event_type, CAST(SUM(exceeds) AS BIGINT) AS n_exceed,
+             CAST(COUNT(*) AS BIGINT) AS n_reps
+      FROM verdicts GROUP BY event_type
+    )
+    SELECT o.event_type, o.n_a, o.n_b,
+           CAST(COALESCE(o.s_a, 0) // GREATEST(o.n_a, 1) AS BIGINT)
+             AS mean_a_c,
+           CAST(COALESCE(o.s_b, 0) // GREATEST(o.n_b, 1) AS BIGINT)
+             AS mean_b_c,
+           CAST((p.n_exceed + 1) * 1000000 // (p.n_reps + 1) AS BIGINT)
+             AS p_value_ppm,
+           CAST(CASE WHEN (p.n_exceed + 1) * 1000000 // (p.n_reps + 1)
+                >= 50000 THEN 1 ELSE 0 END AS BIGINT) AS null_ok
+    FROM obs o JOIN pv p ON o.event_type = p.event_type
+"""
+
+
+# --- q358: capture–recapture duplicate-population estimate --------------------------
+
+
+def q358_capture_recapture(spark, sf_dir):
+    """Capture–recapture estimate of the DISTINCT-document population
+    (Lincoln–Petersen with the Chapman small-sample correction): two
+    independent deterministic 10% hash samples of the fingerprint
+    space; N̂ = (n₁+1)(n₂+1)/(m+1) − 1 from the marked-recapture count
+    m — the ecology estimator repurposed as a sample-priced distinct
+    count: where q241's HLL pays one pass over EVERYTHING, this prices
+    the population from two cheap samples, and shipping them
+    side-by-side (est vs exact, err_ppm) calibrates how far sample
+    economics can be trusted on this corpus.
+
+    Scale shape: fingerprints collapse once (exact-dedup aggregate);
+    the two sample flags and the estimate are one more tiny
+    aggregate."""
+    from adhesive_spark.operators.dedup import portable_hash32
+    from adhesive_spark.operators.text import fingerprint
+
+    docs = load_table(spark, sf_dir, "documents")
+    fps = (
+        docs.select(fingerprint(F.col("text")).alias("fp"))
+        .distinct()
+        .select(
+            "fp",
+            (
+                portable_hash32(F.concat(F.lit("cr1:"), F.col("fp"))) % 10
+                == 0
+            )
+            .cast("long")
+            .alias("s1"),
+            (
+                portable_hash32(F.concat(F.lit("cr2:"), F.col("fp"))) % 10
+                == 0
+            )
+            .cast("long")
+            .alias("s2"),
+        )
+    )
+    return fps.agg(
+        F.sum("s1").cast("long").alias("n1"),
+        F.sum("s2").cast("long").alias("n2"),
+        F.sum(F.col("s1") * F.col("s2")).cast("long").alias("m"),
+        F.count("*").cast("long").alias("exact_distinct"),
+        F.expr(
+            "CAST((sum(s1) + 1) * (sum(s2) + 1)"
+            " div (sum(s1 * s2) + 1) - 1 AS BIGINT)"
+        ).alias("est_chapman"),
+        F.expr(
+            "CAST(abs((sum(s1) + 1) * (sum(s2) + 1)"
+            " div (sum(s1 * s2) + 1) - 1 - count(*)) * 1000000"
+            " div count(*) AS BIGINT)"
+        ).alias("err_ppm"),
+    )
+
+
+METROLOGY_QUERIES["q358_capture_recapture"] = q358_capture_recapture
+
+METROLOGY_ORACLES["q358_capture_recapture"] = f"""
+    WITH fps AS (
+      SELECT DISTINCT md5({_NORM}) AS fp FROM documents
+    ),
+    flagged AS (
+      SELECT fp,
+             CASE WHEN {_h32("md5('cr1:' || fp)")} % 10 = 0
+                  THEN 1 ELSE 0 END AS s1,
+             CASE WHEN {_h32("md5('cr2:' || fp)")} % 10 = 0
+                  THEN 1 ELSE 0 END AS s2
+      FROM fps
+    )
+    SELECT CAST(SUM(s1) AS BIGINT) AS n1,
+           CAST(SUM(s2) AS BIGINT) AS n2,
+           CAST(SUM(s1 * s2) AS BIGINT) AS m,
+           CAST(COUNT(*) AS BIGINT) AS exact_distinct,
+           CAST((SUM(s1) + 1) * (SUM(s2) + 1) // (SUM(s1 * s2) + 1) - 1
+                AS BIGINT) AS est_chapman,
+           CAST(ABS((SUM(s1) + 1) * (SUM(s2) + 1) // (SUM(s1 * s2) + 1)
+                - 1 - COUNT(*)) * 1000000 // COUNT(*) AS BIGINT)
+             AS err_ppm
+    FROM flagged
+"""

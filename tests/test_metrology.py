@@ -514,3 +514,94 @@ def test_quantization_fidelity_python_replay(spark, sf_dir):
         )[:10]
         assert out[q].overlap10 == len(set(full) & set(quant))
         assert out[q].top1_match == (1 if full[0] == quant[0] else 0)
+
+
+def test_diff_in_diff_python_replay(spark, sf_dir):
+    """DiD replayed in exact Python integers: median distinct-day
+    cutoff, cross-multiplied per-group differences, centi-cents."""
+    from adhesive_spark.operators.text import scaled_long
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            scaled_long(F.col("value"), 2).alias("c"),
+            F.expr("unix_micros(ts) div 86400000000").alias("day"),
+        )
+        .collect()
+    )
+    days = sorted({r.day for r in ev})
+    cutoff = days[(len(days) + 1) // 2 - 1]
+    cells: dict[tuple, list[int]] = {}
+    for r in ev:
+        if r.event_type not in ("purchase", "view"):
+            continue
+        k = (1 if r.event_type == "purchase" else 0, 1 if r.day > cutoff else 0)
+        a = cells.setdefault(k, [0, 0])
+        a[0] += 1
+        a[1] += r.c
+
+    def diff(t):
+        (n0, s0), (n1, s1) = cells[(t, 0)], cells[(t, 1)]
+        return (s1 * n0 - s0 * n1) * 100 // max(n1 * n0, 1)
+
+    out = M.q355_diff_in_diff(spark, sf_dir).collect()[0]
+    assert out.cutoff_day == cutoff
+    assert out.n_t_pre == cells[(1, 0)][0] and out.n_c_post == cells[(0, 1)][0]
+    assert out.did_c100 == diff(1) - diff(0)
+
+
+def test_hll_union_overlap_identities(spark, sf_dir):
+    """Union sketches obey inclusion bounds: est_union ≥ max single,
+    est_union ≤ est_a + est_b (register max-merge can only grow);
+    overlap in [0, 1e6 + slack] and symmetric pair count K·(K−1)/2."""
+    out = M.q356_hll_union_overlap(spark, sf_dir).collect()
+    srcs = {r.src_a for r in out} | {r.src_b for r in out}
+    assert len(out) == len(srcs) * (len(srcs) - 1) // 2
+    for r in out:
+        assert r.est_union >= max(r.est_a, r.est_b) - 1  # integer trunc slack
+        assert r.est_union <= r.est_a + r.est_b
+        assert r.overlap_ppm >= 0
+
+
+def test_aa_null_calibration_passes_on_real_split(spark, sf_dir):
+    """The A/A split is a genuine null: every event type must report a
+    non-significant p-value (the pipeline's own calibration contract —
+    a failure here means the machinery, not the data)."""
+    out = M.q357_aa_null_calibration(spark, sf_dir).collect()
+    assert len(out) > 0
+    for r in out:
+        assert r.null_ok == 1, (r.event_type, r.p_value_ppm)
+        assert r.p_value_ppm >= 1_000_000 // 65
+
+
+def test_capture_recapture_python_replay(spark, sf_dir):
+    """Chapman estimator replayed from the same fingerprint hash
+    samples in Python."""
+    from adhesive_spark.operators.text import fingerprint
+
+    fps = {
+        r.fp
+        for r in load_table(spark, sf_dir, "documents")
+        .select(fingerprint(F.col("text")).alias("fp"))
+        .distinct()
+        .collect()
+    }
+    import hashlib
+
+    def h32(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    n1 = sum(1 for f in fps if h32("cr1:" + f) % 10 == 0)
+    n2 = sum(1 for f in fps if h32("cr2:" + f) % 10 == 0)
+    m = sum(
+        1
+        for f in fps
+        if h32("cr1:" + f) % 10 == 0 and h32("cr2:" + f) % 10 == 0
+    )
+    est = (n1 + 1) * (n2 + 1) // (m + 1) - 1
+    r = M.q358_capture_recapture(spark, sf_dir).collect()[0]
+    assert (r.n1, r.n2, r.m) == (n1, n2, m)
+    assert r.exact_distinct == len(fps)
+    assert r.est_chapman == est
+    assert r.err_ppm == abs(est - len(fps)) * 1_000_000 // len(fps)

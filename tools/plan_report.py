@@ -374,6 +374,10 @@ AUDITED = [
     "q352_markov_steady_state",
     "q353_burstiness_fano",
     "q354_quantization_fidelity",
+    "q355_diff_in_diff",
+    "q356_hll_union_overlap",
+    "q357_aa_null_calibration",
+    "q358_capture_recapture",
 ]
 
 
