@@ -663,3 +663,63 @@ def test_star_cc_equals_min_label_on_random_graphs(spark, edges):
         for r in connected_components_star(df).collect()
     }
     assert got == want
+
+
+# --- containment pairs vs brute-force python shingles -------------------------
+
+_words = st.sampled_from(
+    ["alpha", "beta", "gamma", "delta", "echo", "fox", "golf", "hotel"]
+)
+_docs = st.lists(
+    st.lists(_words, min_size=1, max_size=12).map(" ".join),
+    min_size=2,
+    max_size=6,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(texts=_docs)
+def test_containment_pairs_match_bruteforce(spark, texts):
+    """containment_pairs over random small corpora must equal the
+    brute-force python computation over the same distinct word-3-gram
+    shingle sets (whole-doc shingle for short docs), with the same
+    ppm truncation and either-direction threshold."""
+    from adhesive_spark.operators.dedup import containment_pairs
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), ["doc_id", "text"]
+    )
+    got = {
+        (r.id_a, r.id_b): (r.cont_ab_ppm, r.cont_ba_ppm, r.jaccard_ppm)
+        for r in containment_pairs(
+            df, "text", "doc_id", n=3, threshold_ppm=300_000
+        ).collect()
+    }
+
+    def shingles(t):
+        toks = " ".join(t.lower().split()).split(" ")
+        if len(toks) - 2 >= 1:
+            return {
+                " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+            }
+        return {" ".join(toks)}
+
+    sets = {i: shingles(t) for i, t in enumerate(texts)}
+    want = {}
+    for a in sets:
+        for b in sets:
+            if a >= b:
+                continue
+            common = len(sets[a] & sets[b])
+            if not common:
+                continue
+            ab = common * 1_000_000 // len(sets[a])
+            ba = common * 1_000_000 // len(sets[b])
+            jac = common * 1_000_000 // len(sets[a] | sets[b])
+            if ab >= 300_000 or ba >= 300_000:
+                want[(a, b)] = (ab, ba, jac)
+    assert got == want
