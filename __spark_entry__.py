@@ -207,6 +207,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out.update(METROLOGY_QUERIES)
     except ImportError:
         pass
+    try:
+        from adhesive_spark.queries.estimator_queries import (
+            ESTIMATOR_QUERIES,
+        )
+
+        out.update(ESTIMATOR_QUERIES)
+    except ImportError:
+        pass
     return _reorder(out)
 
 
@@ -271,6 +279,14 @@ def oracle_sql() -> dict[str, str]:
         )
 
         out.update(METROLOGY_ORACLES)
+    except ImportError:
+        pass
+    try:
+        from adhesive_spark.queries.estimator_queries import (
+            ESTIMATOR_ORACLES,
+        )
+
+        out.update(ESTIMATOR_ORACLES)
     except ImportError:
         pass
     return _reorder(out)
