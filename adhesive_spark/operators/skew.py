@@ -129,3 +129,38 @@ def join_cardinality_profile(
         F.max("fanout").alias("max_key_fanout"),
         F.count_if(F.col("fanout") > 1000).alias("keys_over_1000"),
     )
+
+
+def rendezvous_bucket(key, n_buckets: int, *, salt: str = "hrw"):
+    """Highest-random-weight (rendezvous) bucket assignment for ``key``
+    (Thaler & Ravishankar 1998): each bucket scores the key with an
+    independent portable hash; the key lives in the argmax bucket.
+
+    THE property mod-N sharding lacks: growing n → n+1 moves ONLY the
+    ~1/(n+1) of keys the new bucket wins (every old bucket's score is
+    unchanged), where ``hash % n`` reshuffles ~1 − 1/(n+1) of the
+    corpus. At 100 TB that is the difference between topping up a
+    bucketed layout and rewriting it (q364 measures both).
+
+    In-row: one ``transform`` over the bucket spine, no row
+    multiplication, no shuffle. Deterministic tie-break by encoding
+    ``hv·64 + b`` (unique per bucket since hv < 2³²); hence
+    ``n_buckets ≤ 64``. Engine-portable by construction — the DuckDB
+    twin is ``list_max(list_transform(range(0, n), b -> h32(...)·64 +
+    b)) % 64``.
+    """
+    if not 1 <= n_buckets <= 64:
+        raise ValueError(f"n_buckets must be in [1, 64], got {n_buckets}")
+    from adhesive_spark.operators.dedup import portable_hash32
+
+    scored = F.transform(
+        F.sequence(F.lit(0), F.lit(n_buckets - 1)),
+        lambda b: portable_hash32(
+            F.concat(
+                F.lit(f"{salt}:"), b.cast("string"), F.lit(":"), key
+            )
+        )
+        * F.lit(64)
+        + b,
+    )
+    return (F.array_max(scored) % F.lit(64)).cast("long")
