@@ -877,3 +877,560 @@ ESTIMATOR_ORACLES["q366_ngram_novelty"] = f"""
     FROM grams s JOIN per_gram p ON s.g = p.g
     GROUP BY s.source ORDER BY s.source
 """
+
+
+# --- q367: decile lift / cumulative-gains table ---------------------------------
+
+
+def q367_decile_lift(spark, sf_dir):
+    """Decile lift & cumulative-gains table for the composite quality
+    score as a PROXY for the hard length gate (n_chars outside
+    [100, 20000]): score the corpus, split into ten score deciles
+    (ascending — decile 1 is the worst), and report each decile's
+    gate-failure rate, lift over the base rate, and the cumulative
+    capture curve. This is the scorer-calibration readout behind every
+    "cheap score first, expensive gate second" cascade at 100 TB: if
+    the bottom two deciles capture ~all failures, the full gate only
+    ever runs on 20% of the corpus.
+
+    Deciles are assigned at the distinct-VALUE grain (every doc with an
+    equal score shares the decile of the value's first slot) — the
+    replication-invariant, bounded-domain form of ntile that needs no
+    global per-row window.
+
+    Scale shape: the corpus collapses once to (score, cnt, pos); both
+    windows run over distinct score values / 10 decile rows only.
+    """
+    from adhesive_spark.operators.text import quality_score, scaled_long
+    from adhesive_spark.sources.registry import ensure_parallelism
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    by_val = (
+        docs.select(
+            scaled_long(quality_score(F.col("text")), 4).alias("q_s"),
+            (
+                (F.col("n_chars") < 100) | (F.col("n_chars") > 20000)
+            )
+            .cast("long")
+            .alias("pos"),
+        )
+        .groupBy("q_s")
+        .agg(
+            F.count("*").cast("long").alias("cnt"),
+            F.sum("pos").cast("long").alias("pos"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    tot = F.broadcast(
+        by_val.agg(
+            F.sum("cnt").cast("long").alias("n_total"),
+            F.sum("pos").cast("long").alias("total_pos"),
+        )
+    )
+    # bounded-domain: distinct score values only (replication-invariant)
+    wv = Window.orderBy("q_s").rowsBetween(Window.unboundedPreceding, -1)
+    val_dec = by_val.select(
+        "q_s",
+        "cnt",
+        "pos",
+        F.coalesce(F.sum("cnt").over(wv), F.lit(0)).alias("cum_before"),
+    ).crossJoin(tot).select(
+        F.expr(
+            "CAST(least(10, 1 + cum_before * 10 div n_total) AS BIGINT)"
+        ).alias("decile"),
+        "cnt",
+        "pos",
+        "n_total",
+        "total_pos",
+    )
+    per_dec = val_dec.groupBy("decile", "n_total", "total_pos").agg(
+        F.sum("cnt").cast("long").alias("n_docs"),
+        F.sum("pos").cast("long").alias("positives"),
+    )
+    # bounded-domain: ≤10 decile rows
+    wd = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        per_dec.select(
+            "decile",
+            "n_docs",
+            "positives",
+            "total_pos",
+            "n_total",
+            F.expr(
+                "CAST(positives * 1000000 div n_docs AS BIGINT)"
+            ).alias("pos_rate_ppm"),
+            F.sum("positives").over(wd).cast("long").alias("cum_pos"),
+            F.expr(
+                "CAST(CAST(positives AS DECIMAL(38,0)) * n_total * 1000000"
+                " div greatest(CAST(n_docs AS DECIMAL(38,0)) * total_pos, 1)"
+                " AS BIGINT)"
+            ).alias("lift_ppm"),
+        )
+        .select(
+            "decile",
+            "n_docs",
+            "positives",
+            "pos_rate_ppm",
+            "cum_pos",
+            F.expr(
+                "CAST(cum_pos * 1000000 div greatest(total_pos, 1)"
+                " AS BIGINT)"
+            ).alias("cum_capture_ppm"),
+            "lift_ppm",
+        )
+        .orderBy("decile")
+    )
+
+
+ESTIMATOR_QUERIES["q367_decile_lift"] = q367_decile_lift
+
+
+def _lift_oracle() -> str:
+    from adhesive_spark.queries.metrology_queries import _quality_sql_
+
+    return f"""
+    WITH t AS (
+      SELECT text, n_chars, {_TOKS} AS toks FROM documents
+    ),
+    scored AS (
+      SELECT CAST(ROUND(({_quality_sql_()}) * 10000, 0) AS BIGINT) AS q_s,
+             CAST(n_chars < 100 OR n_chars > 20000 AS BIGINT) AS pos
+      FROM t
+    ),
+    by_val AS (
+      SELECT q_s, CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(SUM(pos) AS BIGINT) AS pos
+      FROM scored GROUP BY q_s
+    ),
+    tot AS (
+      SELECT CAST(SUM(cnt) AS BIGINT) AS n_total,
+             CAST(SUM(pos) AS BIGINT) AS total_pos
+      FROM by_val
+    ),
+    val_dec AS (
+      SELECT LEAST(10, 1 + COALESCE(SUM(cnt) OVER (ORDER BY q_s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               * 10 // t.n_total) AS decile,
+             cnt, pos, t.n_total, t.total_pos
+      FROM by_val, tot t
+    ),
+    per_dec AS (
+      SELECT decile, n_total, total_pos,
+             CAST(SUM(cnt) AS BIGINT) AS n_docs,
+             CAST(SUM(pos) AS BIGINT) AS positives
+      FROM val_dec GROUP BY decile, n_total, total_pos
+    )
+    SELECT CAST(decile AS BIGINT) AS decile, n_docs, positives,
+           CAST(positives * 1000000 // n_docs AS BIGINT) AS pos_rate_ppm,
+           CAST(SUM(positives) OVER (ORDER BY decile
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_pos,
+           CAST(SUM(positives) OVER (ORDER BY decile
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             * 1000000 // GREATEST(total_pos, 1) AS BIGINT)
+             AS cum_capture_ppm,
+           CAST(CAST(positives AS HUGEINT) * n_total * 1000000
+                // GREATEST(CAST(n_docs AS HUGEINT) * total_pos, 1)
+                AS BIGINT) AS lift_ppm
+    FROM per_dec ORDER BY decile
+    """
+
+
+ESTIMATOR_ORACLES["q367_decile_lift"] = _lift_oracle()
+
+
+# --- q368: Johnson–Lindenstrauss distortion audit --------------------------------
+
+
+def _jl_signs(k: int = 16, d: int = 64) -> list[list[int]]:
+    """±1 sign-projection matrix, derived ONCE at module build from
+    md5("jl:{j}:{i}") parity (hashlib md5 == Spark md5 == DuckDB md5, so
+    embedding the resulting literal in both engines is exact parity by
+    construction — no per-row hashing at run time)."""
+    import hashlib
+
+    return [
+        [
+            1
+            - 2
+            * (
+                int(
+                    hashlib.md5(f"jl:{j}:{i}".encode()).hexdigest()[:8], 16
+                )
+                % 2
+            )
+            for i in range(d)
+        ]
+        for j in range(k)
+    ]
+
+
+_JL_S = _jl_signs()
+_JL_S_SPARK = (
+    "array("
+    + ", ".join(
+        "array(" + ", ".join(f"{v}L" for v in row) + ")" for row in _JL_S
+    )
+    + ")"
+)
+_JL_S_DUCK = (
+    "["
+    + ", ".join(
+        "[" + ", ".join(str(v) for v in row) + "]" for row in _JL_S
+    )
+    + "]"
+)
+
+
+def q368_jl_distortion(spark, sf_dir):
+    """Johnson–Lindenstrauss distortion audit of a ±1 sign projection
+    64 → 16 dims (Achlioptas 2003: database-friendly random
+    projections): project the milli-quantized embeddings through a
+    fixed sign matrix and measure, over a deterministic linear pair
+    sample (vec_id deltas 1/7/31), how well projected squared distances
+    ‖R(x−y)‖²/16 track the true ‖x−y‖². Reported as the ratio-of-sums
+    plus the worst per-pair ratios and the share inside ±20% — the
+    measured answer to "can the 4× cheaper sketch stand in for the full
+    vector in the first ANN pass?" (the q348 PQ-distortion sibling for
+    the projection family; JL says ratios concentrate near 1, this
+    VERIFIES it on our vectors).
+
+    Scale shape: projection is one in-row higher-order expression
+    against a module-literal sign matrix (no hashing, no shuffle); the
+    pair sample is 3 equi-joins on vec_id+δ — linear, never n².
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr(
+            "transform(embedding,"
+            " x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT))"
+        ).alias("mv"),
+    )
+    proj = emb.select(
+        "vec_id",
+        "mv",
+        F.expr(
+            # the sign matrix is the transform's INPUT (evaluated once),
+            # never referenced from inside a lambda — element_at(S, j)
+            # in the lambda body would rebuild the 1024-literal array
+            # per element (measured 100× slower)
+            f"transform({_JL_S_SPARK}, row -> aggregate("
+            f" zip_with(mv, row, (x, s) -> x * s),"
+            f" CAST(0 AS BIGINT), (acc, v) -> acc + v))"
+        ).alias("pv"),
+    ).localCheckpoint(eager=True)
+    a = proj.select(
+        F.col("vec_id").alias("ida"),
+        F.col("mv").alias("mva"),
+        F.col("pv").alias("pva"),
+        F.explode(F.array(F.lit(1), F.lit(7), F.lit(31))).alias("delta"),
+    ).withColumn("idb", F.col("ida") + F.col("delta"))
+    b = proj.select(
+        F.col("vec_id").alias("idb"),
+        F.col("mv").alias("mvb"),
+        F.col("pv").alias("pvb"),
+    )
+    sq = (
+        "aggregate(zip_with({x}, {y}, (p, q) -> (p - q) * (p - q)),"
+        " CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+    pairs = a.join(b, "idb").select(
+        F.expr(sq.format(x="mva", y="mvb")).alias("d2"),
+        F.expr(sq.format(x="pva", y="pvb")).alias("p2"),
+    ).where(F.col("d2") > 0)
+    per = pairs.select(
+        "d2",
+        "p2",
+        F.expr(
+            "CAST(p2 * 1000000 div (16 * d2) AS BIGINT)"
+        ).alias("ratio_ppm"),
+    )
+    return per.agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.expr(
+            "CAST(CAST(sum(p2) AS DECIMAL(38,0)) * 1000000"
+            " div (16 * CAST(sum(d2) AS DECIMAL(38,0))) AS BIGINT)"
+        ).alias("agg_ratio_ppm"),
+        F.min("ratio_ppm").cast("long").alias("min_ratio_ppm"),
+        F.max("ratio_ppm").cast("long").alias("max_ratio_ppm"),
+        F.expr(
+            "CAST(count_if(ratio_ppm BETWEEN 800000 AND 1200000)"
+            " * 1000000 div count(*) AS BIGINT)"
+        ).alias("within20_ppm"),
+    )
+
+
+ESTIMATOR_QUERIES["q368_jl_distortion"] = q368_jl_distortion
+
+ESTIMATOR_ORACLES["q368_jl_distortion"] = f"""
+    WITH emb AS (
+      SELECT vec_id,
+             list_transform(embedding::DOUBLE[],
+               x -> CAST(ROUND(x * 1000, 0) AS BIGINT)) AS mv
+      FROM embeddings
+    ),
+    -- sign matrix as 16 ROWS, not a literal inside the lambda (a
+    -- literal referenced from a lambda body is rebuilt per element:
+    -- measured 260 s vs 2 s on 500 vectors)
+    signs AS (
+      SELECT j, ({_JL_S_DUCK})[j] AS s_row
+      FROM (SELECT UNNEST(range(1, 17)) AS j)
+    ),
+    projj AS (
+      SELECT e.vec_id, s.j,
+             CAST(list_sum(list_transform(range(1, 65),
+               i -> e.mv[i] * s.s_row[i])) AS BIGINT) AS p
+      FROM emb e CROSS JOIN signs s
+    ),
+    proj0 AS (
+      SELECT vec_id, list(p ORDER BY j) AS pv
+      FROM projj GROUP BY vec_id
+    ),
+    proj AS (
+      SELECT p.vec_id, e.mv, p.pv FROM proj0 p JOIN emb e USING (vec_id)
+    ),
+    pairs AS (
+      SELECT a.mv AS mva, a.pv AS pva, b.mv AS mvb, b.pv AS pvb
+      FROM proj a
+      CROSS JOIN (SELECT UNNEST([1, 7, 31]) AS delta) d
+      JOIN proj b ON b.vec_id = a.vec_id + d.delta
+    ),
+    dist AS (
+      SELECT CAST(list_sum(list_transform(range(1, 65),
+               i -> (mva[i] - mvb[i]) * (mva[i] - mvb[i]))) AS BIGINT)
+               AS d2,
+             CAST(list_sum(list_transform(range(1, 17),
+               i -> (pva[i] - pvb[i]) * (pva[i] - pvb[i]))) AS BIGINT)
+               AS p2
+      FROM pairs
+    ),
+    per AS (
+      SELECT d2, p2,
+             CAST(p2 * 1000000 // (16 * d2) AS BIGINT) AS ratio_ppm
+      FROM dist WHERE d2 > 0
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(CAST(SUM(p2) AS HUGEINT) * 1000000
+                // (16 * CAST(SUM(d2) AS HUGEINT)) AS BIGINT)
+             AS agg_ratio_ppm,
+           CAST(MIN(ratio_ppm) AS BIGINT) AS min_ratio_ppm,
+           CAST(MAX(ratio_ppm) AS BIGINT) AS max_ratio_ppm,
+           CAST(COUNT(*) FILTER (WHERE ratio_ppm BETWEEN 800000 AND
+                1200000) * 1000000 // COUNT(*) AS BIGINT) AS within20_ppm
+    FROM per
+"""
+
+
+# --- q369: user-contribution bounding (DP preprocessing audit) -------------------
+
+
+def q369_contribution_bounding(spark, sf_dir):
+    """User-contribution bounding audit — the pre-flight every
+    differential-privacy (or simply robust) aggregate needs: per event
+    type, how concentrated is the metric in its heaviest users, where
+    does the exact p95 per-user cap sit, and what fraction of the total
+    does clipping to that cap cost? (Amin et al. 2019, "Bounding user
+    contributions: a bias-variance trade-off in differential privacy" —
+    the cap IS the bias knob.) A type whose top user holds 5% of the
+    mass cannot be released with per-event noise; this query is the
+    evidence. Exact cents arithmetic end-to-end.
+
+    Scale shape: events collapse once to per-(type, user) totals; the
+    p95 cap comes off the distinct-value cumulative within each type
+    (bounded domain); clipping is one broadcast join back. Output is
+    5 rows.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_user = (
+        ev.select(
+            "event_type",
+            "user_id",
+            F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)").alias("cents"),
+        )
+        .groupBy("event_type", "user_id")
+        .agg(F.sum("cents").cast("long").alias("tot"))
+        .localCheckpoint(eager=True)
+    )
+    # exact lower p95 of per-user totals, per type (distinct-value cum)
+    cnts = per_user.groupBy("event_type", "tot").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("tot")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = cnts.select(
+        "event_type", "tot", F.sum("c").over(wcum).alias("cum")
+    )
+    n_per = cnts.groupBy("event_type").agg(
+        F.sum("c").cast("long").alias("n_users")
+    )
+    cap = (
+        cum.join(n_per, "event_type")
+        .where(F.col("cum") * 20 >= F.col("n_users") * 19)
+        .groupBy("event_type")
+        .agg(F.min("tot").alias("cap_cents"))
+    )
+    return (
+        per_user.join(F.broadcast(cap), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_users"),
+            F.sum("tot").cast("long").alias("total_cents"),
+            F.max("tot").cast("long").alias("max_user_cents"),
+            F.expr(
+                "CAST(max(tot) * 1000000 div sum(tot) AS BIGINT)"
+            ).alias("top_share_ppm"),
+            F.min("cap_cents").cast("long").alias("cap_cents"),
+            F.count_if(F.col("tot") > F.col("cap_cents"))
+            .cast("long")
+            .alias("n_clipped"),
+            F.sum(F.least(F.col("tot"), F.col("cap_cents")))
+            .cast("long")
+            .alias("clipped_total_cents"),
+            F.expr(
+                "CAST((sum(tot) - sum(least(tot, cap_cents))) * 1000000"
+                " div sum(tot) AS BIGINT)"
+            ).alias("clip_loss_ppm"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ESTIMATOR_QUERIES["q369_contribution_bounding"] = q369_contribution_bounding
+
+ESTIMATOR_ORACLES["q369_contribution_bounding"] = """
+    WITH per_user AS (
+      SELECT event_type, user_id,
+             CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+               AS tot
+      FROM events GROUP BY event_type, user_id
+    ),
+    cnts AS (
+      SELECT event_type, tot, CAST(COUNT(*) AS BIGINT) AS c
+      FROM per_user GROUP BY event_type, tot
+    ),
+    cum AS (
+      SELECT event_type, tot,
+             SUM(c) OVER (PARTITION BY event_type ORDER BY tot
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM cnts
+    ),
+    n_per AS (
+      SELECT event_type, CAST(SUM(c) AS BIGINT) AS n_users
+      FROM cnts GROUP BY event_type
+    ),
+    cap AS (
+      SELECT c.event_type, MIN(c.tot) AS cap_cents
+      FROM cum c JOIN n_per np ON c.event_type = np.event_type
+      WHERE c.cum * 20 >= np.n_users * 19
+      GROUP BY c.event_type
+    )
+    SELECT p.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(p.tot) AS BIGINT) AS total_cents,
+           CAST(MAX(p.tot) AS BIGINT) AS max_user_cents,
+           CAST(MAX(p.tot) * 1000000 // SUM(p.tot) AS BIGINT)
+             AS top_share_ppm,
+           CAST(MIN(c.cap_cents) AS BIGINT) AS cap_cents,
+           CAST(COUNT(*) FILTER (WHERE p.tot > c.cap_cents) AS BIGINT)
+             AS n_clipped,
+           CAST(SUM(LEAST(p.tot, c.cap_cents)) AS BIGINT)
+             AS clipped_total_cents,
+           CAST((SUM(p.tot) - SUM(LEAST(p.tot, c.cap_cents))) * 1000000
+                // SUM(p.tot) AS BIGINT) AS clip_loss_ppm
+    FROM per_user p JOIN cap c ON p.event_type = c.event_type
+    GROUP BY p.event_type ORDER BY p.event_type
+"""
+
+
+# --- q370: partitioner hash-uniformity chi-square --------------------------------
+
+
+def q370_hash_uniformity(spark, sf_dir):
+    """Chi-square uniformity audit of the portable 32-bit hash as a
+    64-way partitioner over the corpus's fingerprint keys — THE
+    assumption every shuffle, salted join, and hash-bucketed layout in
+    this repo stands on, measured instead of assumed. Ships the exact
+    X² statistic (closed form 64·ΣO² /N − N over ALL 64 buckets —
+    empty buckets enter via the algebra, and the bucket spine is joined
+    explicitly so min_bucket sees them too), the heaviest bucket's
+    overload vs the mean, and df = 63. X² far above ~82 (p≈0.05)
+    flags a correlated key population BEFORE it becomes a straggler at
+    100 TB.
+
+    Scale shape: keys collapse to 64 bucket counts in one
+    map-side-combined aggregate; the spine join and X² run on ≤64 rows.
+    """
+    from adhesive_spark.operators.dedup import portable_hash32
+    from adhesive_spark.operators.text import fingerprint
+
+    docs = load_table(spark, sf_dir, "documents")
+    obs = (
+        docs.select(fingerprint(F.col("text")).alias("fp"))
+        .distinct()
+        .select(
+            F.pmod(
+                portable_hash32(F.concat(F.lit("bk:"), F.col("fp"))),
+                F.lit(64),
+            ).alias("b")
+        )
+        .groupBy("b")
+        .agg(F.count("*").cast("long").alias("o"))
+    )
+    spine = spark.range(64).select(F.col("id").alias("b"))
+    full = spine.join(obs, "b", "left").select(
+        "b", F.coalesce(F.col("o"), F.lit(0)).cast("long").alias("o")
+    )
+    return full.agg(
+        F.sum("o").cast("long").alias("n_keys"),
+        F.lit(64).cast("long").alias("n_buckets"),
+        F.lit(63).cast("long").alias("df"),
+        F.min("o").cast("long").alias("min_bucket"),
+        F.max("o").cast("long").alias("max_bucket"),
+        F.expr(
+            "CAST(max(o) * 64 * 1000000 div greatest(sum(o), 1)"
+            " AS BIGINT)"
+        ).alias("max_over_mean_ppm"),
+        F.expr(
+            "CAST((64 * CAST(sum(o * o) AS DECIMAL(38,0)) * 1000"
+            " - CAST(sum(o) AS DECIMAL(38,0)) * sum(o) * 1000)"
+            " div greatest(sum(o), 1) AS BIGINT)"
+        ).alias("chi2_milli"),
+    )
+
+
+ESTIMATOR_QUERIES["q370_hash_uniformity"] = q370_hash_uniformity
+
+
+def _uniformity_oracle() -> str:
+    bkt = _h32("md5('bk:' || fp)")
+    return f"""
+    WITH fps AS (SELECT DISTINCT md5({_NORM}) AS fp FROM documents),
+    obs AS (
+      SELECT ({bkt}) % 64 AS b, CAST(COUNT(*) AS BIGINT) AS o
+      FROM fps GROUP BY 1
+    ),
+    spine AS (SELECT UNNEST(generate_series(0, 63)) AS b),
+    full_t AS (
+      SELECT s.b, COALESCE(obs.o, 0) AS o
+      FROM spine s LEFT JOIN obs ON s.b = obs.b
+    )
+    SELECT CAST(SUM(o) AS BIGINT) AS n_keys,
+           CAST(64 AS BIGINT) AS n_buckets,
+           CAST(63 AS BIGINT) AS df,
+           CAST(MIN(o) AS BIGINT) AS min_bucket,
+           CAST(MAX(o) AS BIGINT) AS max_bucket,
+           CAST(MAX(o) * 64 * 1000000 // GREATEST(SUM(o), 1) AS BIGINT)
+             AS max_over_mean_ppm,
+           CAST((64 * CAST(SUM(o * o) AS HUGEINT) * 1000
+                 - CAST(SUM(o) AS HUGEINT) * SUM(o) * 1000)
+                // GREATEST(SUM(o), 1) AS BIGINT) AS chi2_milli
+    FROM full_t
+    """
+
+
+ESTIMATOR_ORACLES["q370_hash_uniformity"] = _uniformity_oracle()
