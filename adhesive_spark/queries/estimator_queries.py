@@ -1434,3 +1434,441 @@ def _uniformity_oracle() -> str:
 
 
 ESTIMATOR_ORACLES["q370_hash_uniformity"] = _uniformity_oracle()
+
+
+# --- q371: day-of-week seasonality index ----------------------------------------
+
+
+def q371_dow_seasonality(spark, sf_dir):
+    """Multiplicative day-of-week seasonality index of event value:
+    per weekday, mean-value-vs-overall-mean in ppm (index 1 000 000 =
+    no seasonality), computed division-LAST as sum_dow·n_total·10⁶ /
+    (n_dow·sum_total) so the two engines floor the same integer. The
+    q310 ACF says WHETHER the series is periodic; this says WHICH days
+    carry the load — the number that sizes per-day ingest capacity and
+    tells the drift monitors (q150/q340) which baseline to compare
+    Tuesday against at 100 TB. Weekday numbering is Sunday=0 in both
+    engines (Spark dayofweek()−1, DuckDB dayofweek()).
+
+    Scale shape: ONE map-side-combined aggregate to 7 rows; the index
+    math runs on those 7 rows against a broadcast 1-row total.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        (F.dayofweek("ts") - 1).cast("long").alias("dow"),
+        F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)").alias("cents"),
+    )
+    per = ev.groupBy("dow").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum("cents").cast("long").alias("total_cents"),
+    )
+    tot = F.broadcast(
+        per.agg(
+            F.sum("n_events").cast("long").alias("n_all"),
+            F.sum("total_cents").cast("long").alias("sum_all"),
+        )
+    )
+    return (
+        per.crossJoin(tot)
+        .select(
+            "dow",
+            "n_events",
+            "total_cents",
+            F.expr(
+                "CAST(total_cents div n_events AS BIGINT)"
+            ).alias("mean_cents"),
+            F.expr(
+                "CAST(CAST(total_cents AS DECIMAL(38,0)) * n_all * 1000000"
+                " div (CAST(n_events AS DECIMAL(38,0)) * sum_all)"
+                " AS BIGINT)"
+            ).alias("index_ppm"),
+        )
+        .orderBy("dow")
+    )
+
+
+ESTIMATOR_QUERIES["q371_dow_seasonality"] = q371_dow_seasonality
+
+ESTIMATOR_ORACLES["q371_dow_seasonality"] = """
+    WITH ev AS (
+      SELECT dayofweek(ts) AS dow,
+             CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+      FROM events
+    ),
+    per AS (
+      SELECT CAST(dow AS BIGINT) AS dow,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(cents) AS BIGINT) AS total_cents
+      FROM ev GROUP BY dow
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_events) AS BIGINT) AS n_all,
+             CAST(SUM(total_cents) AS BIGINT) AS sum_all
+      FROM per
+    )
+    SELECT dow, n_events, total_cents,
+           CAST(total_cents // n_events AS BIGINT) AS mean_cents,
+           CAST(CAST(total_cents AS HUGEINT) * n_all * 1000000
+                // (CAST(n_events AS HUGEINT) * sum_all) AS BIGINT)
+             AS index_ppm
+    FROM per, tot ORDER BY dow
+"""
+
+
+# --- q372: decile population-stability (log-free PSI) ----------------------------
+
+
+def q372_decile_psi(spark, sf_dir):
+    """Per-source population-stability audit against the corpus length
+    distribution — the χ²-distance variant of PSI (PSI's log term needs
+    floats; Σ(obs−exp)²/exp is the standard log-free surrogate, exact
+    in integers and zero-safe): split n_chars into corpus deciles at
+    the distinct-VALUE grain (the q367 convention), then score every
+    source by how far its decile occupancy drifts from the corpus's
+    own. THE routing metric for "which upstream feed changed shape this
+    week?" — per-source, cross-multiplied, division last, each term
+    floored identically in both engines before the sum.
+
+    Scale shape: corpus collapses to the distinct-length table once
+    (checkpointed); deciles are assigned there (bounded-domain window);
+    the per-source occupancy is one aggregate; the χ² math runs on
+    ≤ sources × 10 rows.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "n_chars"
+    )
+    by_val = (
+        docs.groupBy("n_chars")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    tot = F.broadcast(
+        by_val.agg(F.sum("cnt").cast("long").alias("n_all"))
+    )
+    # bounded-domain: distinct n_chars values only (replication-invariant)
+    wv = Window.orderBy("n_chars").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    dec = (
+        by_val.select(
+            "n_chars",
+            F.coalesce(F.sum("cnt").over(wv), F.lit(0)).alias("cum_before"),
+        )
+        .crossJoin(tot)
+        .select(
+            "n_chars",
+            F.expr(
+                "CAST(least(10, 1 + cum_before * 10 div n_all) AS BIGINT)"
+            ).alias("decile"),
+        )
+    )
+    labeled = docs.join(F.broadcast(dec), "n_chars").select(
+        "source", "decile"
+    )
+    exp = labeled.groupBy("decile").agg(
+        F.count("*").cast("long").alias("e")
+    )
+    obs = labeled.groupBy("source", "decile").agg(
+        F.count("*").cast("long").alias("o")
+    )
+    n_src = labeled.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_s")
+    )
+    # grid source × decile (zeros included: a source missing a decile
+    # still pays the (0 − exp)²/exp term)
+    grid = (
+        n_src.crossJoin(F.broadcast(exp))
+        .join(obs, ["source", "decile"], "left")
+        .select(
+            "source",
+            "n_s",
+            "decile",
+            "e",
+            F.coalesce(F.col("o"), F.lit(0)).cast("long").alias("o"),
+        )
+        .crossJoin(tot)
+    )
+    terms = grid.select(
+        "source",
+        "n_s",
+        F.expr(
+            "CAST((CAST(o AS DECIMAL(38,0)) * n_all"
+            "      - CAST(e AS DECIMAL(38,0)) * n_s)"
+            "     * (CAST(o AS DECIMAL(38,0)) * n_all"
+            "        - CAST(e AS DECIMAL(38,0)) * n_s) * 1000000"
+            " div (CAST(n_s AS DECIMAL(38,0)) * n_s * n_all * e)"
+            " AS BIGINT)"
+        ).alias("term_ppm"),
+    )
+    return (
+        terms.groupBy("source", "n_s")
+        .agg(F.sum("term_ppm").cast("long").alias("chi2d_ppm"))
+        .select("source", F.col("n_s").alias("n_docs"), "chi2d_ppm")
+        .orderBy("source")
+    )
+
+
+ESTIMATOR_QUERIES["q372_decile_psi"] = q372_decile_psi
+
+ESTIMATOR_ORACLES["q372_decile_psi"] = """
+    WITH by_val AS (
+      SELECT n_chars, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM documents GROUP BY n_chars
+    ),
+    tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_all FROM by_val),
+    dec AS (
+      SELECT n_chars,
+             LEAST(10, 1 + COALESCE(SUM(cnt) OVER (ORDER BY n_chars
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               * 10 // t.n_all) AS decile
+      FROM by_val, tot t
+    ),
+    labeled AS (
+      SELECT d.source, x.decile
+      FROM documents d JOIN dec x ON d.n_chars = x.n_chars
+    ),
+    exp_t AS (
+      SELECT decile, CAST(COUNT(*) AS BIGINT) AS e
+      FROM labeled GROUP BY decile
+    ),
+    obs AS (
+      SELECT source, decile, CAST(COUNT(*) AS BIGINT) AS o
+      FROM labeled GROUP BY source, decile
+    ),
+    n_src AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_s
+      FROM labeled GROUP BY source
+    ),
+    grid AS (
+      SELECT ns.source, ns.n_s, ex.decile, ex.e,
+             COALESCE(ob.o, 0) AS o, t.n_all
+      FROM n_src ns CROSS JOIN exp_t ex
+      LEFT JOIN obs ob ON ob.source = ns.source
+                      AND ob.decile = ex.decile
+      CROSS JOIN tot t
+    ),
+    terms AS (
+      SELECT source, n_s,
+             CAST((CAST(o AS HUGEINT) * n_all
+                   - CAST(e AS HUGEINT) * n_s)
+                  * (CAST(o AS HUGEINT) * n_all
+                     - CAST(e AS HUGEINT) * n_s) * 1000000
+                  // (CAST(n_s AS HUGEINT) * n_s * n_all * e)
+                  AS BIGINT) AS term_ppm
+      FROM grid
+    )
+    SELECT source, n_s AS n_docs,
+           CAST(SUM(term_ppm) AS BIGINT) AS chi2d_ppm
+    FROM terms GROUP BY source, n_s ORDER BY source
+"""
+
+
+# --- q373: median-of-means robust estimator --------------------------------------
+
+
+def q373_median_of_means(spark, sf_dir):
+    """Median-of-means robustness audit of the event-value mean: split
+    the stream into 16 deterministic hash buckets, take each bucket's
+    exact integer mean, and compare the (lower) median of those means
+    to the global mean — the sub-Gaussian estimator (Nemirovsky &
+    Yudin 1983; the MoM literature's workhorse) that a heavy-tailed or
+    corrupted feed CAN'T drag the way it drags the mean. A deviation
+    near zero certifies the plain mean is trustworthy; a large one is
+    the cheapest possible "a few rows are poisoning the average" alarm
+    before anyone releases a 100 TB aggregate. All cents-exact.
+
+    Scale shape: one 16-bucket aggregate (map-side combined) + rank
+    math on 16 rows.
+    """
+    from adhesive_spark.operators.dedup import portable_hash32
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.pmod(
+            portable_hash32(
+                F.concat(F.lit("mom:"), F.col("event_id").cast("string"))
+            ),
+            F.lit(16),
+        ).alias("b"),
+        F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)").alias("cents"),
+    )
+    per = ev.groupBy("b").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("s"),
+    ).select("b", "n", "s", F.expr("CAST(s div n AS BIGINT)").alias("m"))
+    # lower median of the 16 bucket means: rank 8 of ordered means
+    # bounded-domain: 16 bucket rows only (replication-invariant)
+    wr = Window.orderBy("m", "b")
+    ranked = per.select(
+        "n", "s", "m", F.row_number().over(wr).alias("r")
+    )
+    agg = ranked.agg(
+        F.sum("n").cast("long").alias("n_events"),
+        F.sum("s").cast("long").alias("total_cents"),
+        F.expr("CAST(sum(s) div sum(n) AS BIGINT)").alias(
+            "global_mean_cents"
+        ),
+        F.min(F.when(F.col("r") == 8, F.col("m"))).cast("long").alias(
+            "mom_cents"
+        ),
+        F.min("m").cast("long").alias("bucket_mean_min"),
+        F.max("m").cast("long").alias("bucket_mean_max"),
+    )
+    return agg.select(
+        "n_events",
+        "total_cents",
+        "global_mean_cents",
+        "mom_cents",
+        "bucket_mean_min",
+        "bucket_mean_max",
+        F.expr(
+            "CAST(abs(mom_cents - global_mean_cents) * 1000000"
+            " div greatest(global_mean_cents, 1) AS BIGINT)"
+        ).alias("dev_ppm"),
+    )
+
+
+ESTIMATOR_QUERIES["q373_median_of_means"] = q373_median_of_means
+
+
+def _mom_oracle() -> str:
+    bkt = _h32("md5('mom:' || CAST(event_id AS VARCHAR))")
+    return f"""
+    WITH ev AS (
+      SELECT ({bkt}) % 16 AS b,
+             CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+      FROM events
+    ),
+    per AS (
+      SELECT b, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(cents) AS BIGINT) AS s
+      FROM ev GROUP BY b
+    ),
+    means AS (
+      SELECT b, n, s, CAST(s // n AS BIGINT) AS m FROM per
+    ),
+    ranked AS (
+      SELECT n, s, m,
+             ROW_NUMBER() OVER (ORDER BY m, b) AS r
+      FROM means
+    ),
+    agg AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS n_events,
+             CAST(SUM(s) AS BIGINT) AS total_cents,
+             CAST(SUM(s) // SUM(n) AS BIGINT) AS global_mean_cents,
+             CAST(MIN(CASE WHEN r = 8 THEN m END) AS BIGINT) AS mom_cents,
+             CAST(MIN(m) AS BIGINT) AS bucket_mean_min,
+             CAST(MAX(m) AS BIGINT) AS bucket_mean_max
+      FROM ranked
+    )
+    SELECT n_events, total_cents, global_mean_cents, mom_cents,
+           bucket_mean_min, bucket_mean_max,
+           CAST(ABS(mom_cents - global_mean_cents) * 1000000
+                // GREATEST(global_mean_cents, 1) AS BIGINT) AS dev_ppm
+    FROM agg
+    """
+
+
+ESTIMATOR_ORACLES["q373_median_of_means"] = _mom_oracle()
+
+
+# --- q374: birthday-bound collision audit for dedup-key sizing -------------------
+
+
+def q374_birthday_collisions(spark, sf_dir):
+    """Birthday-bound audit for dedup-key sizing: truncate the portable
+    hash of every distinct fingerprint to b ∈ {16, 20, 24} bits, count
+    ACTUAL colliding pairs Σ C(cnt,2), and ship them beside the
+    birthday expectation C(N,2)/2ᵇ — the measured answer to "how many
+    bits must the 100 TB dedup key carry before hash collisions start
+    MERGING unrelated documents?" (q317 prices collisions inside
+    MinHash bands; this prices the identity key itself). A ratio far
+    from 10⁶ ppm flags a non-uniform key population long before the
+    full-width build.
+
+    Scale shape: per ladder rung, keys collapse to (slot, cnt) in one
+    aggregate; the pair count is exact integer algebra on that
+    collapsed table — no pair join anywhere.
+    """
+    from adhesive_spark.operators.dedup import portable_hash32
+    from adhesive_spark.operators.text import fingerprint
+
+    docs = load_table(spark, sf_dir, "documents")
+    fps = (
+        docs.select(fingerprint(F.col("text")).alias("fp"))
+        .distinct()
+        .select(
+            portable_hash32(F.concat(F.lit("bd:"), F.col("fp"))).alias("h")
+        )
+        .localCheckpoint(eager=True)
+    )
+    bspine = spark.range(1).select(
+        F.explode(
+            F.array(F.lit(16).cast("long"), F.lit(20).cast("long"),
+                    F.lit(24).cast("long"))
+        ).alias("b")
+    )
+    slots = (
+        fps.crossJoin(F.broadcast(bspine))
+        .select("b", F.expr("pmod(h, shiftleft(1, b))").alias("slot"))
+        .groupBy("b", "slot")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    per = slots.groupBy("b").agg(
+        F.sum("c").cast("long").alias("n_keys"),
+        F.expr(
+            "CAST(sum(c * (c - 1) div 2) AS BIGINT)"
+        ).alias("colliding_pairs"),
+        F.count_if(F.col("c") > 1).cast("long").alias("hot_slots"),
+    )
+    return per.select(
+        "b",
+        F.expr("CAST(shiftleft(1, b) AS BIGINT)").alias("n_slots"),
+        "n_keys",
+        "hot_slots",
+        "colliding_pairs",
+        F.expr(
+            "CAST(CAST(n_keys AS DECIMAL(38,0)) * (n_keys - 1) * 1000"
+            " div (2 * shiftleft(1, b)) AS BIGINT)"
+        ).alias("expected_pairs_milli"),
+        F.expr(
+            "CAST(colliding_pairs * 2000000 * CAST(shiftleft(1, b)"
+            " AS DECIMAL(38,0))"
+            " div greatest(CAST(n_keys AS DECIMAL(38,0)) * (n_keys - 1), 1)"
+            " AS BIGINT)"
+        ).alias("obs_over_exp_ppm"),
+    ).orderBy("b")
+
+
+ESTIMATOR_QUERIES["q374_birthday_collisions"] = q374_birthday_collisions
+
+
+def _birthday_oracle() -> str:
+    h = _h32("md5('bd:' || fp)")
+    return f"""
+    WITH fps AS (
+      SELECT ({h}) AS h
+      FROM (SELECT DISTINCT md5({_NORM}) AS fp FROM documents)
+    ),
+    bspine AS (SELECT UNNEST([16, 20, 24]) AS b),
+    slots AS (
+      SELECT b, h % (1 << b) AS slot, CAST(COUNT(*) AS BIGINT) AS c
+      FROM fps CROSS JOIN bspine GROUP BY b, slot
+    ),
+    per AS (
+      SELECT b, CAST(SUM(c) AS BIGINT) AS n_keys,
+             CAST(SUM(c * (c - 1) // 2) AS BIGINT) AS colliding_pairs,
+             CAST(COUNT(*) FILTER (WHERE c > 1) AS BIGINT) AS hot_slots
+      FROM slots GROUP BY b
+    )
+    SELECT CAST(b AS BIGINT) AS b,
+           CAST(1 << b AS BIGINT) AS n_slots,
+           n_keys, hot_slots, colliding_pairs,
+           CAST(CAST(n_keys AS HUGEINT) * (n_keys - 1) * 1000
+                // (2 * (1 << b)) AS BIGINT) AS expected_pairs_milli,
+           CAST(colliding_pairs * 2000000 * CAST(1 << b AS HUGEINT)
+                // GREATEST(CAST(n_keys AS HUGEINT) * (n_keys - 1), 1)
+                AS BIGINT) AS obs_over_exp_ppm
+    FROM per ORDER BY b
+    """
+
+
+ESTIMATOR_ORACLES["q374_birthday_collisions"] = _birthday_oracle()
