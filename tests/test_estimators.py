@@ -1,0 +1,375 @@
+"""Invariant tests for the q359+ estimation & infrastructure-calibration
+family (queries/estimator_queries.py) — each pins the STATISTICAL
+contract of a query with an independent pure-Python replay or a
+closed-form identity, so a refactor that keeps the oracle in sync but
+breaks the semantics still fails."""
+
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from adhesive_spark.queries import estimator_queries as E
+from adhesive_spark.sources.registry import load_table
+
+
+def _doc_tokens(spark, sf_dir):
+    """Python replay of the house tokenization (normalize + split)."""
+    import re
+
+    rows = load_table(spark, sf_dir, "documents").select(
+        "source", "text", "n_chars", "doc_id"
+    ).collect()
+    out = []
+    for r in rows:
+        norm = re.sub(r"\s+", " ", r.text.lower()).strip()
+        out.append((r.source, norm.split(" "), r.n_chars, r.doc_id))
+    return out
+
+
+def test_chao1_python_replay(spark, sf_dir):
+    """Chao1 and Turing coverage match an independent Counter replay;
+    chao1 >= s_obs always (the correction only adds)."""
+    docs = _doc_tokens(spark, sf_dir)
+    per_src: dict[str, Counter] = {}
+    for src, toks, _, _ in docs:
+        per_src.setdefault(src, Counter()).update(toks)
+    out = {r.source: r for r in E.q359_chao1_richness(spark, sf_dir).collect()}
+    assert set(out) == set(per_src)
+    for src, cnt in per_src.items():
+        r = out[src]
+        n = sum(cnt.values())
+        f1 = sum(1 for v in cnt.values() if v == 1)
+        f2 = sum(1 for v in cnt.values() if v == 2)
+        assert r.n_tokens == n and r.s_obs == len(cnt)
+        assert r.f1 == f1 and r.f2 == f2
+        assert r.chao1 == len(cnt) + (f1 * (f1 - 1)) // (2 * (f2 + 1))
+        assert r.chao1 >= r.s_obs
+        assert r.coverage_ppm == (n - f1) * 1_000_000 // max(n, 1)
+
+
+def test_kish_ess_bounds_and_replay(spark, sf_dir):
+    """1 <= ESS <= n always (Kish); exact replay of the integer math."""
+    rows = E.q360_kish_ess(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents").collect()
+    per = {}
+    for d in docs:
+        s = per.setdefault(d.source, [0, 0, 0])
+        s[0] += 1
+        s[1] += d.n_chars
+        s[2] += d.n_chars * d.n_chars
+    for r in rows:
+        n, sw, sww = per[r.source]
+        assert (r.n_docs, r.sw, r.sww) == (n, sw, sww)
+        assert r.ess_milli == sw * sw * 1000 // max(sww, 1)
+        assert r.ess_share_ppm == sw * sw * 1_000_000 // max(sww * n, 1)
+        assert 1000 <= r.ess_milli <= n * 1000
+        assert r.ess_share_ppm <= 1_000_000
+
+
+def test_tv_distance_python_replay_and_bounds(spark, sf_dir):
+    """TV in [0, 1]; the reported top pair matches a brute-force
+    replay over Counters (same floor arithmetic)."""
+    docs = _doc_tokens(spark, sf_dir)
+    per_src: dict[str, Counter] = {}
+    for src, toks, _, _ in docs:
+        per_src.setdefault(src, Counter()).update(toks)
+    rows = E.q361_tv_distance(spark, sf_dir).collect()
+    assert rows and all(0 <= r.tv_ppm <= 1_000_000 for r in rows)
+
+    def tv_ppm(a, b):
+        ca, cb = per_src[a], per_src[b]
+        na, nb = sum(ca.values()), sum(cb.values())
+        num = sum(
+            abs(ca.get(w, 0) * nb - cb.get(w, 0) * na)
+            for w in set(ca) | set(cb)
+        )
+        return num * 1_000_000 // (2 * na * nb)
+
+    for r in rows[:3]:
+        assert r.tv_ppm == tv_ppm(r.src_a, r.src_b)
+    # top row really is the max over ALL pairs
+    srcs = sorted(per_src)
+    best = max(
+        tv_ppm(a, b) for i, a in enumerate(srcs) for b in srcs[i + 1:]
+    )
+    assert rows[0].tv_ppm == best
+
+
+def test_concentration_identities(spark, sf_dir):
+    """HHI >= 1/n_sources (uniform floor) and inverse-Simpson effective
+    sources <= n_sources; top share consistent with HHI >= share²."""
+    for r in E.q362_source_concentration(spark, sf_dir).collect():
+        assert r.hhi_ppm >= 1_000_000 // r.n_sources
+        assert r.eff_sources_milli <= r.n_sources * 1000 + 1
+        # HHI dominates the top source's squared share
+        assert r.hhi_ppm >= r.top_share_ppm**2 // 1_000_000
+
+
+def test_bloom_monotonicity_and_exact_zero_k_saturation(spark, sf_dir):
+    """More bits -> fewer false positives at fixed k; fill decreases in
+    m; measured FPR is sane (<= 10^6) and k=4 never beats k=2 on fill."""
+    rows = {(r.m_bits, r.k): r for r in
+            E.q363_bloom_geometry(spark, sf_dir).collect()}
+    assert len(rows) == len(E._BF_GRID)
+    for k in (2, 4):
+        fprs = [rows[(m, k)].measured_fpr_ppm for m in (4096, 16384, 65536)]
+        assert fprs == sorted(fprs, reverse=True)
+        fills = [rows[(m, k)].fill_ppm for m in (4096, 16384, 65536)]
+        assert fills == sorted(fills, reverse=True)
+    for m in (4096, 16384, 65536):
+        assert rows[(m, 4)].fill_ppm >= rows[(m, 2)].fill_ppm
+        assert rows[(m, 2)].bits_set <= min(m, 2 * rows[(m, 2)].n_members)
+        assert rows[(m, 4)].bits_set <= min(m, 4 * rows[(m, 4)].n_members)
+
+
+def test_reshard_churn_theory_gap(spark, sf_dir):
+    """HRW churn sits near the 1/17 floor; mod-N churn is an order of
+    magnitude worse (≈16/17); both are valid probabilities."""
+    r = E.q364_reshard_churn(spark, sf_dir).collect()[0]
+    assert 0 <= r.hrw_churn_ppm <= 1_000_000
+    assert r.hrw_churn_ppm < 3 * r.theory_min_ppm  # near 1/17, not 1
+    assert r.mod_churn_ppm > 10 * r.hrw_churn_ppm
+    assert r.mod_moved <= r.n_docs and r.hrw_moved <= r.n_docs
+
+
+def test_rendezvous_bucket_stability_property(spark):
+    """THE rendezvous property on a toy table: growing 4 -> 5 buckets
+    only ever moves keys INTO the new bucket 4 — no key moves between
+    old buckets."""
+    from adhesive_spark.operators.skew import rendezvous_bucket
+
+    df = spark.range(500).select(F.col("id").cast("string").alias("k"))
+    out = df.select(
+        rendezvous_bucket(F.col("k"), 4).alias("b4"),
+        rendezvous_bucket(F.col("k"), 5).alias("b5"),
+    ).collect()
+    moved = [r for r in out if r.b4 != r.b5]
+    assert moved, "some keys must move"
+    assert all(r.b5 == 4 for r in moved)
+    # and the stayers keep their exact bucket
+    assert all(r.b4 == r.b5 for r in out if r.b5 != 4)
+
+
+def test_runs_test_python_replay(spark, sf_dir):
+    """Runs/n1/n2 match a pure-Python scan in doc_id order; the
+    detrended identity n = n1 + n2 holds."""
+    docs = sorted(_doc_tokens(spark, sf_dir), key=lambda t: t[3])
+    out = {r.source: r for r in E.q365_runs_test(spark, sf_dir).collect()}
+    per_src: dict[str, list[int]] = {}
+    for src, _, n_chars, _ in docs:
+        per_src.setdefault(src, []).append(n_chars)
+    for src, xs in per_src.items():
+        ordered = sorted(xs)
+        n = len(ordered)
+        med = ordered[(n + 1) // 2 - 1]  # lower median
+        signs = [1 if x > med else 0 for x in xs if x != med]
+        if not signs:
+            assert src not in out
+            continue
+        runs = 1 + sum(
+            1 for a, b in zip(signs, signs[1:]) if a != b
+        )
+        r = out[src]
+        assert (r.n, r.n1, r.n2, r.runs) == (
+            len(signs), sum(signs), len(signs) - sum(signs), runs
+        )
+        assert r.n == r.n1 + r.n2
+
+
+def test_ngram_novelty_disjoint_vs_shared(spark):
+    """Two disjoint sources are 100% novel; adding a third source that
+    copies one of them collapses that source's novelty to 0."""
+    a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    b = "one two three four five six seven eight nine ten"
+    df = spark.createDataFrame(
+        [("s1", a), ("s2", b), ("s3", a)], ["source", "text"]
+    )
+    from adhesive_spark.operators.dedup import word_shingles
+
+    grams = (
+        df.select("source", F.explode(word_shingles(F.col("text"), 5)).alias("g"))
+        .distinct()
+    )
+    per_gram = grams.groupBy("g").agg(F.count("*").alias("n_src"))
+    nov = {
+        r.source: (r.novel, r.total)
+        for r in grams.join(per_gram, "g")
+        .groupBy("source")
+        .agg(
+            F.count_if(F.col("n_src") == 1).alias("novel"),
+            F.count("*").alias("total"),
+        )
+        .collect()
+    }
+    assert nov["s2"][0] == nov["s2"][1]  # fully novel
+    assert nov["s1"][0] == 0 and nov["s3"][0] == 0  # mutual copies
+
+
+def test_decile_lift_identities(spark, sf_dir):
+    """Deciles partition the corpus; cum_capture is monotone ending at
+    10^6; Σ n_docs = corpus size; Σ positives = gate failures; the
+    docs-weighted mean lift is 10^6 by construction."""
+    rows = E.q367_decile_lift(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    pos = docs.where("n_chars < 100 OR n_chars > 20000").count()
+    assert sum(r.n_docs for r in rows) == n
+    assert sum(r.positives for r in rows) == pos
+    caps = [r.cum_capture_ppm for r in rows]
+    assert caps == sorted(caps) and caps[-1] == 1_000_000
+    assert rows[-1].cum_pos == pos
+    # bottom decile must concentrate failures at least at base rate
+    assert rows[0].lift_ppm >= 1_000_000 or rows[0].positives == 0
+
+
+def test_jl_distortion_numpy_replay(spark, sf_dir):
+    """agg ratio matches a numpy replay of the same sign matrix, pair
+    spine, and integer floors; the unbiasedness band holds loosely."""
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings").orderBy("vec_id").collect()
+    mv = {
+        r.vec_id: np.array(
+            [int(round(float(x) * 1000)) for x in r.embedding], dtype=object
+        )
+        for r in emb
+    }
+    S = np.array(E._JL_S, dtype=object)
+    pv = {k: S @ v for k, v in mv.items()}
+    d2s = p2s = 0
+    n_pairs = 0
+    for vid in mv:
+        for delta in (1, 7, 31):
+            if vid + delta in mv:
+                d2 = int(((mv[vid] - mv[vid + delta]) ** 2).sum())
+                if d2 == 0:
+                    continue
+                p2 = int(((pv[vid] - pv[vid + delta]) ** 2).sum())
+                d2s += d2
+                p2s += p2
+                n_pairs += 1
+    r = E.q368_jl_distortion(spark, sf_dir).collect()[0]
+    assert r.n_pairs == n_pairs
+    assert r.agg_ratio_ppm == p2s * 1_000_000 // (16 * d2s)
+    assert 600_000 < r.agg_ratio_ppm < 1_400_000  # concentration
+    assert r.min_ratio_ppm <= r.agg_ratio_ppm <= r.max_ratio_ppm
+
+
+def test_contribution_bounding_identities(spark, sf_dir):
+    """Clipping never increases the total; at most ~5% of users are
+    clipped (p95 cap); cap <= max; loss ppm consistent."""
+    for r in E.q369_contribution_bounding(spark, sf_dir).collect():
+        assert r.clipped_total_cents <= r.total_cents
+        assert r.cap_cents <= r.max_user_cents
+        assert r.n_clipped * 20 <= r.n_users + 20  # <= ~5% + slack
+        assert r.clip_loss_ppm == (
+            (r.total_cents - r.clipped_total_cents) * 1_000_000
+            // r.total_cents
+        )
+        assert r.top_share_ppm * r.n_users >= 1_000_000  # max >= mean
+
+
+def test_hash_uniformity_python_replay(spark, sf_dir):
+    """X² matches a hashlib replay; the closed form equals the
+    definitional Σ(O−E)²/E over all 64 buckets."""
+    import hashlib
+    import re
+
+    docs = load_table(spark, sf_dir, "documents").select("text").collect()
+    fps = {
+        hashlib.md5(
+            re.sub(r"\s+", " ", r.text.lower()).strip().encode()
+        ).hexdigest()
+        for r in docs
+    }
+    buckets = Counter(
+        int(hashlib.md5(f"bk:{fp}".encode()).hexdigest()[:8], 16) % 64
+        for fp in fps
+    )
+    n = len(fps)
+    sum_o2 = sum(v * v for v in buckets.values())
+    r = E.q370_hash_uniformity(spark, sf_dir).collect()[0]
+    assert r.n_keys == n
+    assert r.max_bucket == max(buckets.values())
+    assert r.min_bucket == min(
+        buckets.get(b, 0) for b in range(64)
+    )
+    assert r.chi2_milli == (64 * sum_o2 * 1000 - n * n * 1000) // n
+    # definitional replay (float): within one milli of the exact form
+    e = n / 64
+    chi2 = sum(
+        (buckets.get(b, 0) - e) ** 2 / e for b in range(64)
+    )
+    assert abs(r.chi2_milli - round(chi2 * 1000)) <= 1
+
+
+def test_dow_seasonality_weighted_mean_is_unity(spark, sf_dir):
+    """Event-weighted mean of the index is 1 by construction; all 7
+    weekdays appear (30-day window)."""
+    rows = E.q371_dow_seasonality(spark, sf_dir).collect()
+    assert sorted(r.dow for r in rows) == list(range(7))
+    n = sum(r.n_events for r in rows)
+    weighted = sum(r.index_ppm * r.n_events for r in rows)
+    assert abs(weighted / n - 1_000_000) < 100  # floor error only
+
+
+def test_decile_psi_self_is_zero(spark):
+    """A source that IS the corpus scores ~0; a shifted source scores
+    strictly more."""
+    rows = [("all", i % 100 + 1) for i in range(400)]
+    rows += [("hi", 90 + i % 10) for i in range(40)]
+    df = spark.createDataFrame(rows, ["source", "n_chars"])
+
+    # inline the query core against this frame via a temp swap
+    import adhesive_spark.queries.estimator_queries as q
+
+    real_load = q.load_table
+    try:
+        q.load_table = lambda spark, sf_dir, name: df
+        out = {r.source: r.chi2d_ppm
+               for r in q.q372_decile_psi(spark, "ignored").collect()}
+    finally:
+        q.load_table = real_load
+    assert out["hi"] > out["all"]
+    # 'all' dominates the corpus, so its drift from corpus is small
+    assert out["all"] < 100_000
+
+
+def test_median_of_means_bounds(spark, sf_dir):
+    """MoM lies between the extreme bucket means; identities hold."""
+    r = E.q373_median_of_means(spark, sf_dir).collect()[0]
+    assert r.bucket_mean_min <= r.mom_cents <= r.bucket_mean_max
+    assert r.bucket_mean_min <= r.global_mean_cents <= r.bucket_mean_max
+    assert r.global_mean_cents == r.total_cents // r.n_events
+    assert r.dev_ppm == abs(r.mom_cents - r.global_mean_cents) \
+        * 1_000_000 // max(r.global_mean_cents, 1)
+
+
+def test_birthday_collisions_python_replay(spark, sf_dir):
+    """Colliding-pair counts match a hashlib replay at every rung, and
+    collisions can only DECREASE as b grows."""
+    import hashlib
+    import re
+
+    docs = load_table(spark, sf_dir, "documents").select("text").collect()
+    fps = {
+        hashlib.md5(
+            re.sub(r"\s+", " ", r.text.lower()).strip().encode()
+        ).hexdigest()
+        for r in docs
+    }
+    hs = [
+        int(hashlib.md5(f"bd:{fp}".encode()).hexdigest()[:8], 16)
+        for fp in fps
+    ]
+    rows = {r.b: r for r in
+            E.q374_birthday_collisions(spark, sf_dir).collect()}
+    prev = None
+    for b in (16, 20, 24):
+        slots = Counter(h % (1 << b) for h in hs)
+        pairs = sum(c * (c - 1) // 2 for c in slots.values())
+        assert rows[b].colliding_pairs == pairs
+        assert rows[b].n_keys == len(fps)
+        if prev is not None:
+            assert rows[b].colliding_pairs <= prev
+        prev = rows[b].colliding_pairs
