@@ -187,10 +187,17 @@ def q361_tv_distance(spark, sf_dir):
     aggregate (map_from_entries); the pair term is |pairs| × vocab rows
     against a broadcast 190-row pair spine — never corpus × corpus.
     """
+    return tv_distance_report(load_table(spark, sf_dir, "documents"))
+
+
+def tv_distance_report(docs):
+    """DF-level core of q361 (any documents DataFrame with source/text)
+    — shared with the stress harness (replication-invariant collapsed
+    (source, token) contract)."""
     from adhesive_spark.operators.text import tokens
     from adhesive_spark.sources.registry import ensure_parallelism
 
-    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    docs = ensure_parallelism(docs)
     cnt = (
         docs.select("source", F.explode(tokens(F.col("text"))).alias("w"))
         .groupBy("source", "w")
@@ -664,9 +671,14 @@ def q365_runs_test(spark, sf_dir):
     statistic); one aggregate ends it. z² denominators are
     greatest(…,1)-guarded (degenerate all-one-side sources).
     """
-    docs = load_table(spark, sf_dir, "documents").select(
-        "source", "doc_id", "n_chars"
-    )
+    return runs_test_report(load_table(spark, sf_dir, "documents"))
+
+
+def runs_test_report(docs):
+    """DF-level core of q365 (any DataFrame with source/doc_id/n_chars)
+    — shared with the stress harness (per-source window partitions grow
+    N× wide under replication; the scan stays one pass)."""
+    docs = docs.select("source", "doc_id", "n_chars")
     cnts = docs.groupBy("source", "n_chars").agg(
         F.count("*").cast("long").alias("c")
     )
@@ -1533,9 +1545,14 @@ def q372_decile_psi(spark, sf_dir):
     the per-source occupancy is one aggregate; the χ² math runs on
     ≤ sources × 10 rows.
     """
-    docs = load_table(spark, sf_dir, "documents").select(
-        "source", "n_chars"
-    )
+    return decile_psi_report(load_table(spark, sf_dir, "documents"))
+
+
+def decile_psi_report(docs):
+    """DF-level core of q372 (any DataFrame with source/n_chars) —
+    shared with the stress harness (distinct-value decile table is
+    replication-invariant)."""
+    docs = docs.select("source", "n_chars")
     by_val = (
         docs.groupBy("n_chars")
         .agg(F.count("*").cast("long").alias("cnt"))
@@ -1564,20 +1581,21 @@ def q372_decile_psi(spark, sf_dir):
     labeled = docs.join(F.broadcast(dec), "n_chars").select(
         "source", "decile"
     )
-    exp = labeled.groupBy("decile").agg(
-        F.count("*").cast("long").alias("e")
+    # the ONE corpus-sized aggregate; everything below derives from it
+    obs = (
+        labeled.groupBy("source", "decile")
+        .agg(F.count("*").cast("long").alias("o"))
+        .localCheckpoint(eager=True)
     )
-    obs = labeled.groupBy("source", "decile").agg(
-        F.count("*").cast("long").alias("o")
-    )
-    n_src = labeled.groupBy("source").agg(
-        F.count("*").cast("long").alias("n_s")
+    exp = obs.groupBy("decile").agg(F.sum("o").cast("long").alias("e"))
+    n_src = obs.groupBy("source").agg(
+        F.sum("o").cast("long").alias("n_s")
     )
     # grid source × decile (zeros included: a source missing a decile
     # still pays the (0 − exp)²/exp term)
     grid = (
         n_src.crossJoin(F.broadcast(exp))
-        .join(obs, ["source", "decile"], "left")
+        .join(F.broadcast(obs), ["source", "decile"], "left")
         .select(
             "source",
             "n_s",
@@ -1872,3 +1890,514 @@ def _birthday_oracle() -> str:
 
 
 ESTIMATOR_ORACLES["q374_birthday_collisions"] = _birthday_oracle()
+
+
+# --- q375: Lorenz concentration deciles of customer revenue ----------------------
+
+
+def q375_lorenz_deciles(spark, sf_dir):
+    """Lorenz concentration table of customer revenue: customers are
+    ranked into ten revenue deciles (ascending, distinct-value grain —
+    the q367 convention) and each decile ships its revenue share and
+    the cumulative Lorenz ordinate. Where q303 compresses inequality
+    into one Gini number for tokens, this is the full curve for the
+    revenue side — the "how much of the workload do the whale accounts
+    carry?" readout that sizes per-tenant rate limits and decides
+    whether per-customer partitioning needs salting (q48) before it
+    ships. Division last everywhere; cents-exact.
+
+    Scale shape: orders collapse to per-customer totals once
+    (checkpointed); deciles assign at the distinct-total grain
+    (bounded by the customer count); the table is 10 rows.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        orders.select(
+            "o_custkey",
+            F.expr("CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)").alias(
+                "cents"
+            ),
+        )
+        .groupBy("o_custkey")
+        .agg(F.sum("cents").cast("long").alias("tot"))
+        .localCheckpoint(eager=True)
+    )
+    by_val = per_cust.groupBy("tot").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    grand = F.broadcast(
+        per_cust.agg(
+            F.count("*").cast("long").alias("n_cust_all"),
+            F.sum("tot").cast("long").alias("rev_all"),
+        )
+    )
+    # bounded-domain: distinct customer-total values only
+    wv = Window.orderBy("tot").rowsBetween(Window.unboundedPreceding, -1)
+    dec = (
+        by_val.select(
+            "tot",
+            "cnt",
+            F.coalesce(F.sum("cnt").over(wv), F.lit(0)).alias("cum_before"),
+        )
+        .crossJoin(grand)
+        .select(
+            "tot",
+            "cnt",
+            "n_cust_all",
+            "rev_all",
+            F.expr(
+                "CAST(least(10, 1 + cum_before * 10 div n_cust_all)"
+                " AS BIGINT)"
+            ).alias("decile"),
+        )
+    )
+    per_dec = dec.groupBy("decile", "n_cust_all", "rev_all").agg(
+        F.sum("cnt").cast("long").alias("n_cust"),
+        F.sum(F.col("tot") * F.col("cnt")).cast("long").alias("revenue"),
+    )
+    # bounded-domain: ≤10 decile rows
+    wd = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        per_dec.select(
+            "decile",
+            "n_cust",
+            "revenue",
+            "rev_all",
+            F.expr(
+                "CAST(revenue * 1000000 div rev_all AS BIGINT)"
+            ).alias("share_ppm"),
+            F.sum("revenue").over(wd).cast("long").alias("cum_revenue"),
+        )
+        .select(
+            "decile",
+            "n_cust",
+            "revenue",
+            "share_ppm",
+            F.expr(
+                "CAST(cum_revenue * 1000000 div rev_all AS BIGINT)"
+            ).alias("lorenz_ppm"),
+        )
+        .orderBy("decile")
+    )
+
+
+ESTIMATOR_QUERIES["q375_lorenz_deciles"] = q375_lorenz_deciles
+
+ESTIMATOR_ORACLES["q375_lorenz_deciles"] = """
+    WITH per_cust AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                  AS BIGINT) AS tot
+      FROM orders GROUP BY o_custkey
+    ),
+    by_val AS (
+      SELECT tot, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM per_cust GROUP BY tot
+    ),
+    grand AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_cust_all,
+             CAST(SUM(tot) AS BIGINT) AS rev_all
+      FROM per_cust
+    ),
+    dec AS (
+      SELECT tot, cnt, g.n_cust_all, g.rev_all,
+             LEAST(10, 1 + COALESCE(SUM(cnt) OVER (ORDER BY tot
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               * 10 // g.n_cust_all) AS decile
+      FROM by_val, grand g
+    ),
+    per_dec AS (
+      SELECT decile, rev_all,
+             CAST(SUM(cnt) AS BIGINT) AS n_cust,
+             CAST(SUM(tot * cnt) AS BIGINT) AS revenue
+      FROM dec GROUP BY decile, rev_all
+    )
+    SELECT CAST(decile AS BIGINT) AS decile, n_cust, revenue,
+           CAST(revenue * 1000000 // rev_all AS BIGINT) AS share_ppm,
+           CAST(SUM(revenue) OVER (ORDER BY decile
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             * 1000000 // rev_all AS BIGINT) AS lorenz_ppm
+    FROM per_dec ORDER BY decile
+"""
+
+
+# --- q376: top-k stability under hash-sampling ------------------------------------
+
+
+def q376_topk_sample_stability(spark, sf_dir):
+    """Top-k stability audit: how much of the corpus's exact top-100
+    token list survives when recomputed on a deterministic 50% hash
+    sample of documents? Ships the set Jaccard, the overlap count, and
+    the occurrence-mass share of the full top-k that the sample's list
+    recovers — the measured answer to "can the nightly vocab/stopword
+    refresh run on a sample?", which is a 2× cost lever on every
+    token-level pass at 100 TB. Tie-breaks are deterministic
+    ((count DESC, token ASC) via TakeOrdered — no global sort).
+
+    Scale shape: two token-count aggregates (full + sample — the sample
+    predicate is a pushdown-friendly hash filter, no second corpus
+    copy); top-k via TakeOrdered; the comparison joins two 100-row
+    sets.
+    """
+    from adhesive_spark.operators.dedup import portable_hash32
+    from adhesive_spark.operators.text import tokens
+    from adhesive_spark.sources.registry import ensure_parallelism
+
+    k = 100
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+
+    def _topk(df):
+        return (
+            df.select(F.explode(tokens(F.col("text"))).alias("w"))
+            .groupBy("w")
+            .agg(F.count("*").cast("long").alias("c"))
+            .orderBy(F.desc("c"), F.asc("w"))
+            .limit(k)
+        )
+    full = _topk(docs).localCheckpoint(eager=True)
+    half = _topk(
+        docs.where(
+            portable_hash32(
+                F.concat(F.lit("tk:"), F.col("doc_id").cast("string"))
+            )
+            % 2
+            == 0
+        )
+    )
+    joined = full.select(
+        F.col("w"), F.col("c"), F.lit(1).alias("in_full")
+    ).join(
+        half.select(F.col("w"), F.lit(1).alias("in_half")),
+        "w",
+        "full_outer",
+    )
+    return joined.agg(
+        F.lit(k).cast("long").alias("k"),
+        F.count_if(
+            F.col("in_full").isNotNull() & F.col("in_half").isNotNull()
+        )
+        .cast("long")
+        .alias("overlap"),
+        F.expr(
+            "CAST(count_if(in_full IS NOT NULL AND in_half IS NOT NULL)"
+            " * 1000000 div count(*) AS BIGINT)"
+        ).alias("jaccard_ppm"),
+        F.expr(
+            "CAST(sum(CASE WHEN in_half IS NOT NULL THEN c ELSE 0 END)"
+            " * 1000000 div sum(CASE WHEN in_full IS NOT NULL"
+            " THEN c ELSE 0 END) AS BIGINT)"
+        ).alias("mass_recovered_ppm"),
+    )
+
+
+ESTIMATOR_QUERIES["q376_topk_sample_stability"] = q376_topk_sample_stability
+
+
+def _topk_oracle() -> str:
+    half_pred = _h32("md5('tk:' || CAST(doc_id AS VARCHAR))") + " % 2 = 0"
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, UNNEST({_TOKS}) AS w FROM documents
+    ),
+    full_k AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+      FROM tok GROUP BY w ORDER BY c DESC, w ASC LIMIT 100
+    ),
+    half_k AS (
+      SELECT w FROM (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+        FROM tok WHERE {half_pred}
+        GROUP BY w ORDER BY c DESC, w ASC LIMIT 100
+      )
+    ),
+    joined AS (
+      SELECT COALESCE(f.w, h.w) AS w, f.c,
+             CASE WHEN f.w IS NOT NULL THEN 1 END AS in_full,
+             CASE WHEN h.w IS NOT NULL THEN 1 END AS in_half
+      FROM full_k f FULL OUTER JOIN half_k h ON f.w = h.w
+    )
+    SELECT CAST(100 AS BIGINT) AS k,
+           CAST(COUNT(*) FILTER (WHERE in_full IS NOT NULL
+                AND in_half IS NOT NULL) AS BIGINT) AS overlap,
+           CAST(COUNT(*) FILTER (WHERE in_full IS NOT NULL
+                AND in_half IS NOT NULL) * 1000000 // COUNT(*) AS BIGINT)
+             AS jaccard_ppm,
+           CAST(SUM(CASE WHEN in_half IS NOT NULL THEN c ELSE 0 END)
+                * 1000000
+                // SUM(CASE WHEN in_full IS NOT NULL THEN c ELSE 0 END)
+                AS BIGINT) AS mass_recovered_ppm
+    FROM joined
+    """
+
+
+ESTIMATOR_ORACLES["q376_topk_sample_stability"] = _topk_oracle()
+
+
+# --- q377: Simpson-reversal (aggregation-level sign flip) audit -------------------
+
+
+def q377_simpson_reversal(spark, sf_dir):
+    """Simpson's-paradox audit: does the length↔quality association
+    FLIP sign between the per-source grain and the pooled corpus?
+    Integer-exact covariance numerators (n·Σxy − Σx·Σy — sign-safe, no
+    variance division needed) per source and pooled, plus the flip
+    flag. An aggregation reversal means every pooled correlation the
+    dashboards show is confounded by source mix — the statistical
+    sibling of q350's dedup survivorship bias, and the canonical reason
+    mixture decisions (q335) must be made per-domain, never pooled.
+
+    Scale shape: one aggregate to per-source moment sums (x, y, xy);
+    the pooled moments are the SUM of the per-source rows (no second
+    corpus pass); sign math on ≤ sources rows.
+    """
+    from adhesive_spark.operators.text import quality_score, scaled_long
+    from adhesive_spark.sources.registry import ensure_parallelism
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    moments = (
+        docs.select(
+            "source",
+            F.col("n_chars").cast("long").alias("x"),
+            scaled_long(quality_score(F.col("text")), 4).alias("y"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("x").cast("long").alias("sx"),
+            F.sum("y").cast("long").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    pooled = F.broadcast(
+        moments.agg(
+            F.sum("n").cast("long").alias("pn"),
+            F.sum("sx").cast("long").alias("psx"),
+            F.sum("sy").cast("long").alias("psy"),
+            F.sum("sxy").cast("long").alias("psxy"),
+        )
+    )
+    return (
+        moments.crossJoin(pooled)
+        .select(
+            "source",
+            "n",
+            F.expr(
+                "CAST(sign(CAST(n AS DECIMAL(38,0)) * sxy"
+                " - CAST(sx AS DECIMAL(38,0)) * sy) AS BIGINT)"
+            ).alias("src_sign"),
+            F.expr(
+                "CAST(sign(CAST(pn AS DECIMAL(38,0)) * psxy"
+                " - CAST(psx AS DECIMAL(38,0)) * psy) AS BIGINT)"
+            ).alias("pooled_sign"),
+        )
+        .select(
+            "source",
+            "n",
+            "src_sign",
+            "pooled_sign",
+            F.expr(
+                "CAST(src_sign * pooled_sign = -1 AS LONG)"
+            ).alias("reversed"),
+        )
+        .orderBy("source")
+    )
+
+
+ESTIMATOR_QUERIES["q377_simpson_reversal"] = q377_simpson_reversal
+
+
+def _simpson_oracle() -> str:
+    from adhesive_spark.queries.metrology_queries import _quality_sql_
+
+    return f"""
+    WITH t AS (
+      SELECT source, text, n_chars, {_TOKS} AS toks FROM documents
+    ),
+    xy AS (
+      SELECT source, CAST(n_chars AS BIGINT) AS x,
+             CAST(ROUND(({_quality_sql_()}) * 10000, 0) AS BIGINT) AS y
+      FROM t
+    ),
+    moments AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy
+      FROM xy GROUP BY source
+    ),
+    pooled AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS pn,
+             CAST(SUM(sx) AS BIGINT) AS psx,
+             CAST(SUM(sy) AS BIGINT) AS psy,
+             CAST(SUM(sxy) AS BIGINT) AS psxy
+      FROM moments
+    )
+    SELECT m.source, m.n,
+           CAST(SIGN(CAST(m.n AS HUGEINT) * m.sxy
+                     - CAST(m.sx AS HUGEINT) * m.sy) AS BIGINT)
+             AS src_sign,
+           CAST(SIGN(CAST(p.pn AS HUGEINT) * p.psxy
+                     - CAST(p.psx AS HUGEINT) * p.psy) AS BIGINT)
+             AS pooled_sign,
+           CAST(CASE WHEN SIGN(CAST(m.n AS HUGEINT) * m.sxy
+                               - CAST(m.sx AS HUGEINT) * m.sy)
+                          * SIGN(CAST(p.pn AS HUGEINT) * p.psxy
+                                 - CAST(p.psx AS HUGEINT) * p.psy) = -1
+                     THEN 1 ELSE 0 END AS BIGINT) AS reversed
+    FROM moments m, pooled p ORDER BY m.source
+    """
+
+
+ESTIMATOR_ORACLES["q377_simpson_reversal"] = _simpson_oracle()
+
+
+# --- q378: work-in-progress (open orders) sweep-line profile ---------------------
+
+
+def q378_wip_profile(spark, sf_dir):
+    """Work-in-progress profile of the order pipeline by sweep-line:
+    each order is open from o_orderdate to its LAST line-item ship
+    date; ±1 deltas at the distinct boundary days, one cumulative pass
+    over the day grid, and the day-weighted mean / peak WIP fall out —
+    the queueing readout (mean WIP = arrival rate × mean latency, by
+    Little's-law algebra on the same integers) that sizes how many
+    in-flight orders the fulfillment stage must hold at once. Exact
+    day-grain integers end to end.
+
+    Scale shape: orders+lineitem collapse to one row per order, then to
+    ±1 deltas on DISTINCT days (bounded domain ~2 400 rows — the
+    cumulative window is replication-invariant); orders with no line
+    items are excluded by construction.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.datediff(F.col("o_orderdate"), F.lit("1990-01-01"))
+        .cast("long")
+        .alias("start_d"),
+    )
+    ends = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.max("l_shipdate").alias("end_date"))
+        .select(
+            F.col("l_orderkey").alias("o_orderkey"),
+            F.datediff(F.col("end_date"), F.lit("1990-01-01"))
+            .cast("long")
+            .alias("end_d"),
+        )
+    )
+    spans = orders.join(ends, "o_orderkey").select("start_d", "end_d")
+    deltas = (
+        spans.select(F.col("start_d").alias("d"), F.lit(1).alias("delta"))
+        .unionByName(
+            spans.select(
+                (F.col("end_d") + 1).alias("d"), F.lit(-1).alias("delta")
+            )
+        )
+        .groupBy("d")
+        .agg(F.sum("delta").cast("long").alias("delta"))
+        .localCheckpoint(eager=True)
+    )
+    # bounded-domain: distinct boundary days only (replication-invariant)
+    wd = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    wn = Window.orderBy("d")
+    prof = deltas.select(
+        "d",
+        F.sum("delta").over(wd).cast("long").alias("wip"),
+        (F.coalesce(F.lead("d").over(wn), F.col("d") + 1) - F.col("d"))
+        .cast("long")
+        .alias("seg_len"),
+    )
+    n_orders = F.broadcast(
+        spans.agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum(F.col("end_d") - F.col("start_d") + 1)
+            .cast("long")
+            .alias("open_days"),
+        )
+    )
+    return (
+        prof.agg(
+            F.min("d").cast("long").alias("first_d"),
+            F.max("d").cast("long").alias("last_d"),
+            F.max("wip").cast("long").alias("peak_wip"),
+            # max wip, then EARLIEST day: max over (wip, -d) structs
+            F.expr(
+                "(-max(struct(wip, -d AS nd)).nd)"
+            ).cast("long").alias("peak_day"),
+            F.sum(F.col("wip") * F.col("seg_len")).cast("long").alias(
+                "wip_day_area"
+            ),
+        )
+        .crossJoin(n_orders)
+        .select(
+            "n_orders",
+            (F.col("last_d") - F.col("first_d")).alias("horizon_days"),
+            "peak_wip",
+            (F.col("peak_day") - F.col("first_d")).alias("peak_day_off"),
+            "wip_day_area",
+            F.expr(
+                "CAST(wip_day_area * 1000 div (last_d - first_d)"
+                " AS BIGINT)"
+            ).alias("mean_wip_milli"),
+            F.expr(
+                "CAST(open_days * 1000 div n_orders AS BIGINT)"
+            ).alias("mean_latency_days_milli"),
+        )
+    )
+
+
+ESTIMATOR_QUERIES["q378_wip_profile"] = q378_wip_profile
+
+ESTIMATOR_ORACLES["q378_wip_profile"] = """
+    WITH spans AS (
+      SELECT date_diff('day', DATE '1990-01-01', o.o_orderdate) AS start_d,
+             date_diff('day', DATE '1990-01-01', e.end_date) AS end_d
+      FROM orders o
+      JOIN (SELECT l_orderkey, MAX(l_shipdate) AS end_date
+            FROM lineitem GROUP BY l_orderkey) e
+        ON o.o_orderkey = e.l_orderkey
+    ),
+    deltas AS (
+      SELECT d, CAST(SUM(delta) AS BIGINT) AS delta FROM (
+        SELECT start_d AS d, 1 AS delta FROM spans
+        UNION ALL
+        SELECT end_d + 1 AS d, -1 AS delta FROM spans
+      ) GROUP BY d
+    ),
+    prof AS (
+      SELECT d,
+             SUM(delta) OVER (ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS wip,
+             COALESCE(LEAD(d) OVER (ORDER BY d), d + 1) - d AS seg_len
+      FROM deltas
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(end_d - start_d + 1) AS BIGINT) AS open_days
+      FROM spans
+    ),
+    agg AS (
+      SELECT CAST(MIN(d) AS BIGINT) AS first_d,
+             CAST(MAX(d) AS BIGINT) AS last_d,
+             CAST(MAX(wip) AS BIGINT) AS peak_wip,
+             CAST(MIN(CASE WHEN wip = (SELECT MAX(wip) FROM prof)
+                           THEN d END) AS BIGINT) AS peak_day,
+             CAST(SUM(wip * seg_len) AS BIGINT) AS wip_day_area
+      FROM prof
+    )
+    SELECT t.n_orders,
+           a.last_d - a.first_d AS horizon_days,
+           a.peak_wip,
+           a.peak_day - a.first_d AS peak_day_off,
+           a.wip_day_area,
+           CAST(a.wip_day_area * 1000 // (a.last_d - a.first_d)
+                AS BIGINT) AS mean_wip_milli,
+           CAST(t.open_days * 1000 // t.n_orders AS BIGINT)
+             AS mean_latency_days_milli
+    FROM agg a, tot t
+"""

@@ -373,3 +373,141 @@ def test_birthday_collisions_python_replay(spark, sf_dir):
         if prev is not None:
             assert rows[b].colliding_pairs <= prev
         prev = rows[b].colliding_pairs
+
+
+def test_lorenz_identities(spark, sf_dir):
+    """Lorenz curve is convex-increasing ending at 10^6; decile revenue
+    shares are nondecreasing (ascending deciles); totals reconcile."""
+    rows = E.q375_lorenz_deciles(spark, sf_dir).collect()
+    orders = load_table(spark, sf_dir, "orders")
+    n_cust = orders.select("o_custkey").distinct().count()
+    assert sum(r.n_cust for r in rows) == n_cust
+    lz = [r.lorenz_ppm for r in rows]
+    assert lz == sorted(lz) and lz[-1] == 1_000_000
+    shares = [r.share_ppm for r in rows]
+    assert shares == sorted(shares)  # ascending deciles earn more
+    # Lorenz lies below the diagonal (inequality exists or equality)
+    for i, r in enumerate(rows[:-1], start=1):
+        assert r.lorenz_ppm <= i * 100_000 + 1
+
+
+def test_topk_stability_python_replay(spark, sf_dir):
+    """Exact hashlib replay of both top-100 lists (count DESC, token
+    ASC tie-break), the overlap, the Jaccard, and the recovered-mass
+    share."""
+    import hashlib
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    ).collect()
+    import re as _re
+
+    def toks(t):
+        return _re.sub(r"\s+", " ", t.lower()).strip().split(" ")
+
+    full_c: Counter = Counter()
+    half_c: Counter = Counter()
+    for d in docs:
+        ws = toks(d.text)
+        full_c.update(ws)
+        h = int(
+            hashlib.md5(f"tk:{d.doc_id}".encode()).hexdigest()[:8], 16
+        )
+        if h % 2 == 0:
+            half_c.update(ws)
+
+    def top100(c):
+        return [
+            w for w, _ in sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))
+        ][:100]
+
+    full_k, half_k = top100(full_c), set(top100(half_c))
+    overlap = sum(1 for w in full_k if w in half_k)
+    union = len(full_k) + len(half_k) - overlap  # lists may be < k
+    r = E.q376_topk_sample_stability(spark, sf_dir).collect()[0]
+    assert r.overlap == overlap
+    assert r.jaccard_ppm == overlap * 1_000_000 // union
+    full_mass = sum(full_c[w] for w in full_k)
+    rec_mass = sum(full_c[w] for w in full_k if w in half_k)
+    assert r.mass_recovered_ppm == rec_mass * 1_000_000 // full_mass
+
+
+def test_simpson_reversal_python_replay(spark, sf_dir):
+    """Covariance-numerator signs match a pure-Python replay per source
+    and pooled."""
+    import re
+
+    docs = load_table(spark, sf_dir, "documents").collect()
+    from adhesive_spark.operators.text import quality_score, scaled_long
+
+    scored = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "source",
+            F.col("n_chars").alias("x"),
+            scaled_long(quality_score(F.col("text")), 4).alias("y"),
+        )
+        .collect()
+    )
+    per: dict[str, list] = {}
+    for r in scored:
+        per.setdefault(r.source, []).append((r.x, r.y))
+    pn = sum(len(v) for v in per.values())
+    psx = sum(x for v in per.values() for x, _ in v)
+    psy = sum(y for v in per.values() for _, y in v)
+    psxy = sum(x * y for v in per.values() for x, y in v)
+    pooled_sign = (pn * psxy - psx * psy > 0) - (pn * psxy - psx * psy < 0)
+    out = {r.source: r for r in
+           E.q377_simpson_reversal(spark, sf_dir).collect()}
+    for src, v in per.items():
+        n = len(v)
+        sx = sum(x for x, _ in v)
+        sy = sum(y for _, y in v)
+        sxy = sum(x * y for x, y in v)
+        num = n * sxy - sx * sy
+        sign = (num > 0) - (num < 0)
+        assert out[src].src_sign == sign
+        assert out[src].pooled_sign == pooled_sign
+        assert out[src].reversed == int(sign * pooled_sign == -1)
+
+
+def test_wip_profile_python_replay(spark, sf_dir):
+    """Peak/mean WIP match a brute-force day-scan; Little's-law algebra
+    holds on the shipped integers (area = Σ open-days exactly)."""
+    orders = load_table(spark, sf_dir, "orders").collect()
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.max("l_shipdate").alias("e"))
+        .collect()
+    )
+    import datetime
+
+    epoch = datetime.date(1990, 1, 1)
+    ends = {r.l_orderkey: (r.e.date() - epoch).days for r in li}
+    spans = [
+        ((r.o_orderdate.date() - epoch).days, ends[r.o_orderkey])
+        for r in orders
+        if r.o_orderkey in ends
+    ]
+    from collections import Counter
+
+    delta = Counter()
+    for s, e in spans:
+        delta[s] += 1
+        delta[e + 1] -= 1
+    days = sorted(delta)
+    wip, area, peak, peak_day = 0, 0, -1, None
+    for i, d in enumerate(days):
+        wip += delta[d]
+        nxt = days[i + 1] if i + 1 < len(days) else d + 1
+        area += wip * (nxt - d)
+        if wip > peak:
+            peak, peak_day = wip, d
+    r = E.q378_wip_profile(spark, sf_dir).collect()[0]
+    assert r.n_orders == len(spans)
+    assert r.peak_wip == peak
+    assert r.peak_day_off == peak_day - days[0]
+    assert r.wip_day_area == area
+    assert r.wip_day_area == sum(e - s + 1 for s, e in spans)
+    assert r.mean_wip_milli == area * 1000 // (days[-1] - days[0])

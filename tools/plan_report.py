@@ -378,6 +378,26 @@ AUDITED = [
     "q356_hll_union_overlap",
     "q357_aa_null_calibration",
     "q358_capture_recapture",
+    "q359_chao1_richness",
+    "q360_kish_ess",
+    "q361_tv_distance",
+    "q362_source_concentration",
+    "q363_bloom_geometry",
+    "q364_reshard_churn",
+    "q365_runs_test",
+    "q366_ngram_novelty",
+    "q367_decile_lift",
+    "q368_jl_distortion",
+    "q369_contribution_bounding",
+    "q370_hash_uniformity",
+    "q371_dow_seasonality",
+    "q372_decile_psi",
+    "q373_median_of_means",
+    "q374_birthday_collisions",
+    "q375_lorenz_deciles",
+    "q376_topk_sample_stability",
+    "q377_simpson_reversal",
+    "q378_wip_profile",
 ]
 
 

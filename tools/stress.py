@@ -550,6 +550,29 @@ def main() -> None:
         rows_in // 20,
     )
 
+    # TV distance at N×: replication grows rows but neither the vocab
+    # nor the source set, so the collapsed (source, token) table, the
+    # per-token source vectors and the 190-row pair spine are all
+    # replication-invariant — wall must track the one tokenize+count
+    # corpus pass only.
+    from adhesive_spark.queries.estimator_queries import (
+        decile_psi_report,
+        runs_test_report,
+        tv_distance_report,
+    )
+
+    run("tv_distance", lambda: tv_distance_report(big_docs), rows_in)
+
+    # Decile PSI at N×: the distinct-n_chars decile table is
+    # replication-invariant; the only corpus-sized step is the label
+    # join + per-(source, decile) count — linear, one shuffle.
+    run("decile_psi", lambda: decile_psi_report(big_docs), rows_in)
+
+    # Runs test at N×: 20 fixed sources ⇒ every per-source lag-window
+    # partition grows N× wide (the adversarial-width case for the
+    # ordered scan); the median lookup stays bounded-domain.
+    run("runs_test", lambda: runs_test_report(big_docs), rows_in)
+
     total = round(sum(o["sec"] for o in ops.values()), 2)
     print(
         json.dumps(
