@@ -2401,3 +2401,591 @@ ESTIMATOR_ORACLES["q378_wip_profile"] = """
              AS mean_latency_days_milli
     FROM agg a, tot t
 """
+
+
+# --- q379: Nelson–Aalen cumulative fulfillment hazard -----------------------------
+
+
+def q379_fulfillment_hazard(spark, sf_dir):
+    """Nelson–Aalen cumulative-hazard ladder for order fulfillment with
+    right-censoring — survival analysis done exactly in integers:
+    fulfilled orders ('F') die at their last ship date; open/pending
+    orders are CENSORED at the corpus horizon (dropping them would be
+    the classic survivorship lie — they still occupied the risk set).
+    Ĥ(t) = Σ_{tᵢ≤t} dᵢ/nᵢ over distinct event days, each term floored
+    in ppm identically in both engines, cumulated once, then read out
+    at a fixed day ladder {7, 14, 30, 60, 90}. This is the
+    q322-retention sibling for in-flight work: "what fraction of the
+    fulfillment burden clears by day t" with censoring handled the
+    textbook way (Nelson 1972, Aalen 1978).
+
+    Scale shape: orders collapse to one (endpoint-day, is-event) row
+    each; risk sets and hazards live on the DISTINCT-day grid (bounded
+    domain, ~2 400 rows); the ladder join is 5 broadcast rows.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.datediff(F.col("o_orderdate"), F.lit("1990-01-01"))
+        .cast("long")
+        .alias("start_d"),
+    )
+    ends = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.datediff(F.max("l_shipdate"), F.lit("1990-01-01"))
+            .cast("long")
+            .alias("end_d")
+        )
+        .withColumnRenamed("l_orderkey", "o_orderkey")
+    )
+    spans = orders.join(ends, "o_orderkey").select(
+        (F.col("o_orderstatus") == "F").cast("long").alias("event"),
+        "start_d",
+        "end_d",
+    )
+    horizon = F.broadcast(
+        spans.agg(F.max("end_d").cast("long").alias("hmax"))
+    )
+    # duration: fulfilled -> ship latency; censored -> horizon - start
+    durs = (
+        spans.crossJoin(horizon)
+        .select(
+            "event",
+            F.when(
+                F.col("event") == 1, F.col("end_d") - F.col("start_d")
+            )
+            .otherwise(F.col("hmax") - F.col("start_d"))
+            .cast("long")
+            .alias("t"),
+        )
+        .groupBy("t")
+        .agg(
+            F.sum("event").cast("long").alias("d"),
+            F.count("*").cast("long").alias("all_t"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    n_total = F.broadcast(
+        durs.agg(F.sum("all_t").cast("long").alias("n0"))
+    )
+    # bounded-domain: distinct duration days only (replication-invariant)
+    wt = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    wh = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    grid = (
+        durs.crossJoin(n_total)
+        .select(
+            "t",
+            "d",
+            (
+                F.col("n0")
+                - F.coalesce(F.sum("all_t").over(wt), F.lit(0))
+            ).alias("at_risk"),
+        )
+        .select(
+            "t",
+            "d",
+            "at_risk",
+            F.expr("CAST(d * 1000000 div at_risk AS BIGINT)").alias(
+                "term_ppm"
+            ),
+        )
+        .select(
+            "t", F.sum("term_ppm").over(wh).cast("long").alias("h_ppm")
+        )
+    )
+    ladder = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(v).cast("long") for v in (7, 14, 30, 60, 90)])
+        ).alias("t_max")
+    )
+    return (
+        grid.crossJoin(F.broadcast(ladder))
+        .where(F.col("t") <= F.col("t_max"))
+        .groupBy("t_max")
+        .agg(F.max("h_ppm").cast("long").alias("cum_hazard_ppm"))
+        .orderBy("t_max")
+    )
+
+
+ESTIMATOR_QUERIES["q379_fulfillment_hazard"] = q379_fulfillment_hazard
+
+ESTIMATOR_ORACLES["q379_fulfillment_hazard"] = """
+    WITH spans AS (
+      SELECT CAST(o.o_orderstatus = 'F' AS BIGINT) AS event,
+             date_diff('day', DATE '1990-01-01', o.o_orderdate) AS start_d,
+             date_diff('day', DATE '1990-01-01', e.end_date) AS end_d
+      FROM orders o
+      JOIN (SELECT l_orderkey, MAX(l_shipdate) AS end_date
+            FROM lineitem GROUP BY l_orderkey) e
+        ON o.o_orderkey = e.l_orderkey
+    ),
+    horizon AS (SELECT MAX(end_d) AS hmax FROM spans),
+    durs AS (
+      SELECT t, CAST(SUM(event) AS BIGINT) AS d,
+             CAST(COUNT(*) AS BIGINT) AS all_t
+      FROM (
+        SELECT event,
+               CASE WHEN event = 1 THEN end_d - start_d
+                    ELSE h.hmax - start_d END AS t
+        FROM spans, horizon h
+      ) GROUP BY t
+    ),
+    n_total AS (SELECT CAST(SUM(all_t) AS BIGINT) AS n0 FROM durs),
+    grid AS (
+      SELECT t, d,
+             n.n0 - COALESCE(SUM(all_t) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS at_risk
+      FROM durs, n_total n
+    ),
+    haz AS (
+      SELECT t,
+             SUM(CAST(d * 1000000 // at_risk AS BIGINT)) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS h_ppm
+      FROM grid
+    ),
+    ladder AS (SELECT UNNEST([7, 14, 30, 60, 90]) AS t_max)
+    SELECT CAST(l.t_max AS BIGINT) AS t_max,
+           CAST(MAX(h.h_ppm) AS BIGINT) AS cum_hazard_ppm
+    FROM haz h JOIN ladder l ON h.t <= l.t_max
+    GROUP BY l.t_max ORDER BY t_max
+"""
+
+
+# --- q380: empirical-Bayes shrinkage of per-source means --------------------------
+
+
+def q380_eb_shrinkage(spark, sf_dir):
+    """Empirical-Bayes (James–Stein-flavored) shrinkage of per-source
+    mean quality toward the grand mean, with the prior strength k̂
+    ESTIMATED from the data by one-way method of moments
+    (k̂ = MSW·n̄/(MSB−MSW) — Efron & Morris 1975's machinery in exact
+    integers, every term floored identically in both engines): a
+    20-doc source's flattering average gets pulled hard, a 2 000-doc
+    source barely moves. This is the difference between ranking
+    sources by noise and ranking them by evidence when the mixture
+    table (q335) is built from small per-domain samples. All
+    arithmetic division-LAST per term; shrunk means stay in the 10⁻⁴
+    quality scale.
+
+    Scale shape: ONE corpus aggregate to per-source (n, Σq, Σq²); the
+    MoM and shrinkage algebra run on ≤ sources rows + a broadcast
+    1-row grand total.
+    """
+    from adhesive_spark.operators.text import quality_score, scaled_long
+    from adhesive_spark.sources.registry import ensure_parallelism
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    per = (
+        docs.select(
+            "source", scaled_long(quality_score(F.col("text")), 4).alias("q")
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("q").cast("long").alias("sq"),
+            F.sum(F.col("q") * F.col("q")).cast("long").alias("qq"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    grand = F.broadcast(
+        per.agg(
+            F.sum("n").cast("long").alias("nn"),
+            F.sum("sq").cast("long").alias("ss"),
+            F.count("*").cast("long").alias("g"),
+            # per-term-floored within/between sums of squares
+            F.sum(
+                F.expr(
+                    "(CAST(qq AS DECIMAL(38,0)) * n"
+                    " - CAST(sq AS DECIMAL(38,0)) * sq) div n"
+                )
+            )
+            .cast("long")
+            .alias("ssw"),
+        )
+    )
+    ssb = (
+        per.crossJoin(grand)
+        .select(
+            F.expr(
+                "CAST((CAST(sq AS DECIMAL(38,0)) * nn"
+                "      - CAST(ss AS DECIMAL(38,0)) * n)"
+                "     * (CAST(sq AS DECIMAL(38,0)) * nn"
+                "        - CAST(ss AS DECIMAL(38,0)) * n)"
+                " div (CAST(n AS DECIMAL(38,0)) * nn * nn) AS BIGINT)"
+            ).alias("term")
+        )
+        .agg(F.sum("term").cast("long").alias("ssb"))
+    )
+    k = F.broadcast(
+        ssb.crossJoin(grand).select(
+            "nn",
+            "ss",
+            "g",
+            "ssw",
+            "ssb",
+            # MSW = ssw/(N-G), MSB = ssb/(G-1), n̄ = N/G;
+            # k̂_milli = 1000·MSW·n̄ / max(MSB − MSW, 1)
+            F.expr(
+                "CAST(CAST(ssw AS DECIMAL(38,0)) * nn * (g - 1) * 1000"
+                " div greatest((nn - g) * g *"
+                "   greatest(CAST(ssb AS DECIMAL(38,0)) div (g - 1)"
+                "            - CAST(ssw AS DECIMAL(38,0)) div (nn - g), 1)"
+                " , 1) AS BIGINT)"
+            ).alias("k_milli"),
+        )
+    )
+    return (
+        per.crossJoin(k)
+        .select(
+            "source",
+            F.col("n").alias("n_docs"),
+            F.expr("CAST(sq div n AS BIGINT)").alias("raw_mean_q4"),
+            F.expr(
+                "CAST((CAST(sq AS DECIMAL(38,0)) * nn * 1000"
+                "      + CAST(k_milli AS DECIMAL(38,0)) * ss)"
+                " div (CAST(nn AS DECIMAL(38,0))"
+                "      * (n * 1000 + k_milli)) AS BIGINT)"
+            ).alias("shrunk_mean_q4"),
+            "k_milli",
+        )
+        .select(
+            "source",
+            "n_docs",
+            "raw_mean_q4",
+            "shrunk_mean_q4",
+            (F.col("shrunk_mean_q4") - F.col("raw_mean_q4")).alias(
+                "shift_q4"
+            ),
+            "k_milli",
+        )
+        .orderBy("source")
+    )
+
+
+ESTIMATOR_QUERIES["q380_eb_shrinkage"] = q380_eb_shrinkage
+
+
+def _eb_oracle() -> str:
+    from adhesive_spark.queries.metrology_queries import _quality_sql_
+
+    return f"""
+    WITH t AS (
+      SELECT source, text, {_TOKS} AS toks FROM documents
+    ),
+    scored AS (
+      SELECT source,
+             CAST(ROUND(({_quality_sql_()}) * 10000, 0) AS BIGINT) AS q
+      FROM t
+    ),
+    per AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(q) AS BIGINT) AS sq,
+             CAST(SUM(q * q) AS BIGINT) AS qq
+      FROM scored GROUP BY source
+    ),
+    grand AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS nn,
+             CAST(SUM(sq) AS BIGINT) AS ss,
+             CAST(COUNT(*) AS BIGINT) AS g,
+             CAST(SUM((CAST(qq AS HUGEINT) * n
+                       - CAST(sq AS HUGEINT) * sq) // n) AS BIGINT)
+               AS ssw
+      FROM per
+    ),
+    ssb_t AS (
+      SELECT CAST(SUM((CAST(p.sq AS HUGEINT) * gr.nn
+                       - CAST(gr.ss AS HUGEINT) * p.n)
+                      * (CAST(p.sq AS HUGEINT) * gr.nn
+                         - CAST(gr.ss AS HUGEINT) * p.n)
+                      // (CAST(p.n AS HUGEINT) * gr.nn * gr.nn))
+                  AS BIGINT) AS ssb
+      FROM per p, grand gr
+    ),
+    kk AS (
+      SELECT gr.nn, gr.ss, gr.g, gr.ssw, s.ssb,
+             CAST(CAST(gr.ssw AS HUGEINT) * gr.nn * (gr.g - 1) * 1000
+                  // GREATEST((gr.nn - gr.g) * gr.g *
+                       GREATEST(CAST(s.ssb AS HUGEINT) // (gr.g - 1)
+                                - CAST(gr.ssw AS HUGEINT) // (gr.nn - gr.g),
+                                1), 1) AS BIGINT) AS k_milli
+      FROM grand gr, ssb_t s
+    )
+    SELECT p.source, p.n AS n_docs,
+           CAST(p.sq // p.n AS BIGINT) AS raw_mean_q4,
+           CAST((CAST(p.sq AS HUGEINT) * k.nn * 1000
+                 + CAST(k.k_milli AS HUGEINT) * k.ss)
+                // (CAST(k.nn AS HUGEINT) * (p.n * 1000 + k.k_milli))
+                AS BIGINT) AS shrunk_mean_q4,
+           CAST((CAST(p.sq AS HUGEINT) * k.nn * 1000
+                 + CAST(k.k_milli AS HUGEINT) * k.ss)
+                // (CAST(k.nn AS HUGEINT) * (p.n * 1000 + k.k_milli))
+                - p.sq // p.n AS BIGINT) AS shift_q4,
+           k.k_milli
+    FROM per p, kk k ORDER BY p.source
+    """
+
+
+ESTIMATOR_ORACLES["q380_eb_shrinkage"] = _eb_oracle()
+
+
+# --- q381: survey ratio estimator vs expansion estimator --------------------------
+
+
+def q381_ratio_estimator(spark, sf_dir):
+    """Survey-sampling ratio estimator audit: estimate the corpus's
+    total TOKEN count from a deterministic 10% hash sample, (a) by
+    plain expansion (ŷ_exp = N/n·Σy_s) and (b) by the ratio estimator
+    against the KNOWN auxiliary total of characters
+    (ŷ_ratio = t_x·Σy_s/Σx_s — Cochran 1977 §6): tokens track chars
+    almost linearly, so the ratio estimator should land an order of
+    magnitude closer. This is the "price a full tokenizer pass from a
+    sample + cheap metadata" pattern — t_x comes from file statistics
+    at 100 TB, no text read. Division last; both estimates and their
+    signed errors shipped in exact integers.
+
+    Scale shape: one corpus aggregate carrying (full totals, sample
+    totals via hash-filtered conditional sums) — a SINGLE pass, no
+    second scan for the sample.
+    """
+    from adhesive_spark.operators.dedup import portable_hash32
+    from adhesive_spark.operators.text import token_count
+    from adhesive_spark.sources.registry import ensure_parallelism
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    base = docs.select(
+        F.col("n_chars").cast("long").alias("x"),
+        token_count(F.col("text")).cast("long").alias("y"),
+        (
+            portable_hash32(
+                F.concat(F.lit("rs:"), F.col("doc_id").cast("string"))
+            )
+            % 10
+            == 0
+        )
+        .cast("long")
+        .alias("s"),
+    )
+    agg = base.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("x").cast("long").alias("t_x"),
+        F.sum("y").cast("long").alias("t_y_true"),
+        F.sum("s").cast("long").alias("n_sample"),
+        F.sum(F.col("x") * F.col("s")).cast("long").alias("sx"),
+        F.sum(F.col("y") * F.col("s")).cast("long").alias("sy"),
+    )
+    return agg.select(
+        "n_docs",
+        "n_sample",
+        "t_x",
+        "t_y_true",
+        F.expr(
+            "CAST(CAST(sy AS DECIMAL(38,0)) * n_docs"
+            " div greatest(n_sample, 1) AS BIGINT)"
+        ).alias("t_hat_expansion"),
+        F.expr(
+            "CAST(CAST(sy AS DECIMAL(38,0)) * t_x"
+            " div greatest(sx, 1) AS BIGINT)"
+        ).alias("t_hat_ratio"),
+        F.expr(
+            "CAST(abs(CAST(sy AS DECIMAL(38,0)) * n_docs"
+            "         div greatest(n_sample, 1) - t_y_true)"
+            " * 1000000 div t_y_true AS BIGINT)"
+        ).alias("err_expansion_ppm"),
+        F.expr(
+            "CAST(abs(CAST(sy AS DECIMAL(38,0)) * t_x"
+            "         div greatest(sx, 1) - t_y_true)"
+            " * 1000000 div t_y_true AS BIGINT)"
+        ).alias("err_ratio_ppm"),
+    )
+
+
+ESTIMATOR_QUERIES["q381_ratio_estimator"] = q381_ratio_estimator
+
+
+def _ratio_oracle() -> str:
+    pred = _h32("md5('rs:' || CAST(doc_id AS VARCHAR))") + " % 10 = 0"
+    return f"""
+    WITH base AS (
+      SELECT CAST(n_chars AS BIGINT) AS x,
+             CAST(len({_TOKS}) AS BIGINT) AS y,
+             CAST({pred} AS BIGINT) AS s
+      FROM documents
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(x) AS BIGINT) AS t_x,
+             CAST(SUM(y) AS BIGINT) AS t_y_true,
+             CAST(SUM(s) AS BIGINT) AS n_sample,
+             CAST(SUM(x * s) AS BIGINT) AS sx,
+             CAST(SUM(y * s) AS BIGINT) AS sy
+      FROM base
+    )
+    SELECT n_docs, n_sample, t_x, t_y_true,
+           CAST(CAST(sy AS HUGEINT) * n_docs // GREATEST(n_sample, 1)
+                AS BIGINT) AS t_hat_expansion,
+           CAST(CAST(sy AS HUGEINT) * t_x // GREATEST(sx, 1) AS BIGINT)
+             AS t_hat_ratio,
+           CAST(ABS(CAST(sy AS HUGEINT) * n_docs // GREATEST(n_sample, 1)
+                    - t_y_true) * 1000000 // t_y_true AS BIGINT)
+             AS err_expansion_ppm,
+           CAST(ABS(CAST(sy AS HUGEINT) * t_x // GREATEST(sx, 1)
+                    - t_y_true) * 1000000 // t_y_true AS BIGINT)
+             AS err_ratio_ppm
+    FROM agg
+    """
+
+
+ESTIMATOR_ORACLES["q381_ratio_estimator"] = _ratio_oracle()
+
+
+# --- q382: stratification design effect -------------------------------------------
+
+
+def q382_design_effect(spark, sf_dir):
+    """Design-effect audit for proportional stratification by source:
+    deff = σ²_within/σ²_total — the fraction of sampling variance a
+    proportionally-allocated stratified sample KEEPS relative to simple
+    random sampling (Kish 1965 §8; the between-strata share is exactly
+    what stratification deletes). Computed from one-pass moment sums
+    with the per-term-floored SSW/SSB decomposition (same integers as
+    q380's MoM), so SSW + SSB reconciles to SST up to the documented
+    per-term floors. deff near 10⁶ ppm says the strata don't separate
+    quality — stratifying buys nothing; a low deff is the measured
+    license to cut sample sizes by that factor (the q329 planner's n
+    scales by deff).
+
+    Scale shape: ONE corpus aggregate to per-source moments; the
+    decomposition is ≤ sources rows + a broadcast grand total; output
+    is a single row.
+    """
+    from adhesive_spark.operators.text import quality_score, scaled_long
+    from adhesive_spark.sources.registry import ensure_parallelism
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    per = (
+        docs.select(
+            "source", scaled_long(quality_score(F.col("text")), 4).alias("q")
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("q").cast("long").alias("sq"),
+            F.sum(F.col("q") * F.col("q")).cast("long").alias("qq"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    grand = F.broadcast(
+        per.agg(
+            F.sum("n").cast("long").alias("nn"),
+            F.sum("sq").cast("long").alias("ss"),
+            F.sum("qq").cast("long").alias("tt"),
+            F.count("*").cast("long").alias("g"),
+            F.sum(
+                F.expr(
+                    "(CAST(qq AS DECIMAL(38,0)) * n"
+                    " - CAST(sq AS DECIMAL(38,0)) * sq) div n"
+                )
+            )
+            .cast("long")
+            .alias("ssw"),
+        )
+    )
+    ssb = (
+        per.crossJoin(grand)
+        .select(
+            F.expr(
+                "CAST((CAST(sq AS DECIMAL(38,0)) * nn"
+                "      - CAST(ss AS DECIMAL(38,0)) * n)"
+                "     * (CAST(sq AS DECIMAL(38,0)) * nn"
+                "        - CAST(ss AS DECIMAL(38,0)) * n)"
+                " div (CAST(n AS DECIMAL(38,0)) * nn * nn) AS BIGINT)"
+            ).alias("term")
+        )
+        .agg(F.sum("term").cast("long").alias("ssb"))
+    )
+    return ssb.crossJoin(grand).select(
+        F.col("nn").alias("n_docs"),
+        F.col("g").alias("n_strata"),
+        F.expr(
+            "CAST((CAST(tt AS DECIMAL(38,0)) * nn"
+            "      - CAST(ss AS DECIMAL(38,0)) * ss) div nn AS BIGINT)"
+        ).alias("sst_scaled"),
+        F.col("ssw").alias("ssw_scaled"),
+        F.col("ssb").alias("ssb_scaled"),
+        F.expr(
+            "CAST(CAST(ssw AS DECIMAL(38,0)) * 1000000"
+            " div greatest((CAST(tt AS DECIMAL(38,0)) * nn"
+            "               - CAST(ss AS DECIMAL(38,0)) * ss) div nn, 1)"
+            " AS BIGINT)"
+        ).alias("deff_ppm"),
+        F.expr(
+            "CAST(CAST(ssb AS DECIMAL(38,0)) * 1000000"
+            " div greatest((CAST(tt AS DECIMAL(38,0)) * nn"
+            "               - CAST(ss AS DECIMAL(38,0)) * ss) div nn, 1)"
+            " AS BIGINT)"
+        ).alias("between_share_ppm"),
+    )
+
+
+ESTIMATOR_QUERIES["q382_design_effect"] = q382_design_effect
+
+
+def _deff_oracle() -> str:
+    from adhesive_spark.queries.metrology_queries import _quality_sql_
+
+    return f"""
+    WITH t AS (
+      SELECT source, text, {_TOKS} AS toks FROM documents
+    ),
+    scored AS (
+      SELECT source,
+             CAST(ROUND(({_quality_sql_()}) * 10000, 0) AS BIGINT) AS q
+      FROM t
+    ),
+    per AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(q) AS BIGINT) AS sq,
+             CAST(SUM(q * q) AS BIGINT) AS qq
+      FROM scored GROUP BY source
+    ),
+    grand AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS nn,
+             CAST(SUM(sq) AS BIGINT) AS ss,
+             CAST(SUM(qq) AS BIGINT) AS tt,
+             CAST(COUNT(*) AS BIGINT) AS g,
+             CAST(SUM((CAST(qq AS HUGEINT) * n
+                       - CAST(sq AS HUGEINT) * sq) // n) AS BIGINT)
+               AS ssw
+      FROM per
+    ),
+    ssb_t AS (
+      SELECT CAST(SUM((CAST(p.sq AS HUGEINT) * gr.nn
+                       - CAST(gr.ss AS HUGEINT) * p.n)
+                      * (CAST(p.sq AS HUGEINT) * gr.nn
+                         - CAST(gr.ss AS HUGEINT) * p.n)
+                      // (CAST(p.n AS HUGEINT) * gr.nn * gr.nn))
+                  AS BIGINT) AS ssb
+      FROM per p, grand gr
+    )
+    SELECT gr.nn AS n_docs, gr.g AS n_strata,
+           CAST((CAST(gr.tt AS HUGEINT) * gr.nn
+                 - CAST(gr.ss AS HUGEINT) * gr.ss) // gr.nn AS BIGINT)
+             AS sst_scaled,
+           gr.ssw AS ssw_scaled,
+           s.ssb AS ssb_scaled,
+           CAST(CAST(gr.ssw AS HUGEINT) * 1000000
+                // GREATEST((CAST(gr.tt AS HUGEINT) * gr.nn
+                             - CAST(gr.ss AS HUGEINT) * gr.ss) // gr.nn, 1)
+                AS BIGINT) AS deff_ppm,
+           CAST(CAST(s.ssb AS HUGEINT) * 1000000
+                // GREATEST((CAST(gr.tt AS HUGEINT) * gr.nn
+                             - CAST(gr.ss AS HUGEINT) * gr.ss) // gr.nn, 1)
+                AS BIGINT) AS between_share_ppm
+    FROM grand gr, ssb_t s
+    """
+
+
+ESTIMATOR_ORACLES["q382_design_effect"] = _deff_oracle()

@@ -511,3 +511,106 @@ def test_wip_profile_python_replay(spark, sf_dir):
     assert r.wip_day_area == area
     assert r.wip_day_area == sum(e - s + 1 for s, e in spans)
     assert r.mean_wip_milli == area * 1000 // (days[-1] - days[0])
+
+
+def test_fulfillment_hazard_python_replay(spark, sf_dir):
+    """Cumulative hazard at every ladder rung matches a pure-Python
+    Nelson-Aalen with right-censoring at the horizon; monotone in t."""
+    orders = load_table(spark, sf_dir, "orders").collect()
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.max("l_shipdate").alias("e"))
+        .collect()
+    )
+    import datetime
+
+    epoch = datetime.date(1990, 1, 1)
+    ends = {r.l_orderkey: (r.e.date() - epoch).days for r in li}
+    spans = [
+        (
+            1 if r.o_orderstatus == "F" else 0,
+            (r.o_orderdate.date() - epoch).days,
+            ends[r.o_orderkey],
+        )
+        for r in orders
+        if r.o_orderkey in ends
+    ]
+    hmax = max(e for _, _, e in spans)
+    durs = [
+        (e - s if ev else hmax - s, ev) for ev, s, e in spans
+    ]
+    from collections import Counter
+
+    d_at = Counter()
+    all_at = Counter()
+    for t, ev in durs:
+        all_at[t] += 1
+        d_at[t] += ev
+    n0 = len(durs)
+    h = 0
+    haz_at = {}
+    removed = 0
+    for t in sorted(all_at):
+        at_risk = n0 - removed
+        h += d_at[t] * 1_000_000 // at_risk
+        haz_at[t] = h
+        removed += all_at[t]
+    rows = {r.t_max: r.cum_hazard_ppm for r in
+            E.q379_fulfillment_hazard(spark, sf_dir).collect()}
+    for t_max in (7, 14, 30, 60, 90):
+        expect = max(
+            (v for t, v in haz_at.items() if t <= t_max), default=None
+        )
+        if expect is None:
+            assert t_max not in rows
+        else:
+            assert rows[t_max] == expect
+    vals = [rows[t] for t in sorted(rows)]
+    assert vals == sorted(vals)
+
+
+def test_eb_shrinkage_contracts(spark, sf_dir):
+    """Shrinkage always moves raw means TOWARD the grand mean, never
+    past it; larger sources move less (per unit of distance); k is
+    shared and positive."""
+    rows = E.q380_eb_shrinkage(spark, sf_dir).collect()
+    ks = {r.k_milli for r in rows}
+    assert len(ks) == 1 and ks.pop() > 0
+    docs = load_table(spark, sf_dir, "documents")
+    from adhesive_spark.operators.text import quality_score, scaled_long
+
+    g = (
+        docs.select(scaled_long(quality_score(F.col("text")), 4).alias("q"))
+        .agg(F.sum("q").alias("s"), F.count("*").alias("n"))
+        .collect()[0]
+    )
+    grand_q4 = g.s // g.n
+    for r in rows:
+        lo, hi = sorted((r.raw_mean_q4, grand_q4))
+        # floor arithmetic can undershoot by 1 at the boundaries
+        assert lo - 1 <= r.shrunk_mean_q4 <= hi + 1
+        if r.raw_mean_q4 > grand_q4:
+            assert r.shift_q4 <= 0
+        elif r.raw_mean_q4 < grand_q4:
+            assert r.shift_q4 >= 0
+
+
+def test_ratio_estimator_beats_expansion_here(spark, sf_dir):
+    """Tokens are ~linear in chars, so the ratio estimator's error must
+    be well under the expansion estimator's (the Cochran condition);
+    identities on the sample sums hold."""
+    r = E.q381_ratio_estimator(spark, sf_dir).collect()[0]
+    assert 0 < r.n_sample < r.n_docs
+    assert r.err_ratio_ppm <= r.err_expansion_ppm
+    assert r.t_hat_ratio > 0 and r.t_hat_expansion > 0
+
+
+def test_design_effect_decomposition(spark, sf_dir):
+    """SSW + SSB reconciles to SST up to per-term floors; deff and
+    between-share partition ~unity; deff in (0, 1]."""
+    r = E.q382_design_effect(spark, sf_dir).collect()[0]
+    slack = r.n_strata + 2  # one floor per term
+    assert abs(r.sst_scaled - r.ssw_scaled - r.ssb_scaled) <= 2 * slack
+    assert 0 < r.deff_ppm <= 1_000_001
+    assert abs(r.deff_ppm + r.between_share_ppm - 1_000_000) < 5_000

@@ -398,6 +398,10 @@ AUDITED = [
     "q376_topk_sample_stability",
     "q377_simpson_reversal",
     "q378_wip_profile",
+    "q379_fulfillment_hazard",
+    "q380_eb_shrinkage",
+    "q381_ratio_estimator",
+    "q382_design_effect",
 ]
 
 
