@@ -2989,3 +2989,466 @@ def _deff_oracle() -> str:
 
 
 ESTIMATOR_ORACLES["q382_design_effect"] = _deff_oracle()
+
+
+# --- q383: hourly load-factor profile ---------------------------------------------
+
+
+def q383_load_factor(spark, sf_dir):
+    """Hourly load-factor profile of the event stream: peak-hour load,
+    span-mean load, their ratio (the load factor every capacity plan is
+    sized by — ingest provisioned for the MEAN melts at the peak), the
+    exact p95 busy-hour, and how many hours of the span carried traffic
+    at all. Hour keys are epoch-hours (UTC in both engines), p95 comes
+    off the distinct-value grain of the hourly counts — no sort of the
+    hour table. The q371 sibling: that one says WHICH weekday, this one
+    says how spiky the worst hour is.
+
+    Scale shape: events collapse to ≤ span-hours counter rows in one
+    aggregate; everything else runs on that bounded table.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        F.expr("CAST(unix_timestamp(ts) div 3600 AS BIGINT)").alias("h")
+    )
+    hourly = (
+        ev.groupBy("h")
+        .agg(F.count("*").cast("long").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    # p95 busy-hour via distinct-count-value cumulative
+    by_val = hourly.groupBy("c").agg(
+        F.count("*").cast("long").alias("hrs")
+    )
+    tot = F.broadcast(
+        hourly.agg(
+            F.sum("c").cast("long").alias("n_events"),
+            F.count("*").cast("long").alias("active_hours"),
+            F.min("h").cast("long").alias("h0"),
+            F.max("h").cast("long").alias("h1"),
+            F.max("c").cast("long").alias("peak"),
+        )
+    )
+    # bounded-domain: distinct hourly-count values only
+    wv = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, 0)
+    p95 = (
+        by_val.select("c", F.sum("hrs").over(wv).alias("cum"))
+        .crossJoin(tot)
+        .where(F.col("cum") * 20 >= F.col("active_hours") * 19)
+        .agg(F.min("c").cast("long").alias("p95_hour_events"))
+    )
+    return tot.crossJoin(F.broadcast(p95)).select(
+        "n_events",
+        (F.col("h1") - F.col("h0") + 1).alias("span_hours"),
+        "active_hours",
+        F.col("peak").alias("peak_hour_events"),
+        "p95_hour_events",
+        F.expr(
+            "CAST(n_events * 1000 div (h1 - h0 + 1) AS BIGINT)"
+        ).alias("mean_per_hour_milli"),
+        F.expr(
+            "CAST(n_events * 1000000 div ((h1 - h0 + 1) * peak)"
+            " AS BIGINT)"
+        ).alias("load_factor_ppm"),
+    )
+
+
+ESTIMATOR_QUERIES["q383_load_factor"] = q383_load_factor
+
+ESTIMATOR_ORACLES["q383_load_factor"] = """
+    WITH hourly AS (
+      SELECT CAST(epoch(ts) AS BIGINT) // 3600 AS h,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS n_events,
+             CAST(COUNT(*) AS BIGINT) AS active_hours,
+             CAST(MIN(h) AS BIGINT) AS h0,
+             CAST(MAX(h) AS BIGINT) AS h1,
+             CAST(MAX(c) AS BIGINT) AS peak
+      FROM hourly
+    ),
+    by_val AS (
+      SELECT c, CAST(COUNT(*) AS BIGINT) AS hrs
+      FROM hourly GROUP BY c
+    ),
+    p95 AS (
+      SELECT CAST(MIN(c) AS BIGINT) AS p95_hour_events
+      FROM (
+        SELECT c, SUM(hrs) OVER (ORDER BY c
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM by_val
+      ), tot
+      WHERE cum * 20 >= active_hours * 19
+    )
+    SELECT n_events, h1 - h0 + 1 AS span_hours, active_hours,
+           peak AS peak_hour_events, p95_hour_events,
+           CAST(n_events * 1000 // (h1 - h0 + 1) AS BIGINT)
+             AS mean_per_hour_milli,
+           CAST(n_events * 1000000 // ((h1 - h0 + 1) * peak) AS BIGINT)
+             AS load_factor_ppm
+    FROM tot, p95
+"""
+
+
+# --- q384: SLO attainment by priority class ---------------------------------------
+
+
+def q384_priority_slo(spark, sf_dir):
+    """Fulfillment-SLO attainment by order priority: per priority
+    class, the exact median ship latency (distinct-value grain), the
+    mean in milli-days, and the share fulfilled inside a 90-day SLA —
+    the table that says whether '1-URGENT' is an SLO or a label. The
+    queueing complement of q378 (WIP) and q379 (hazard): same spans,
+    sliced by the dimension an operator can actually re-prioritize.
+
+    Scale shape: orders+lineitem collapse to one (priority, latency)
+    row per order; medians come off the per-priority distinct-latency
+    cumulative (bounded domain); output is 5 rows.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    ends = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.max("l_shipdate").alias("end_date"))
+        .withColumnRenamed("l_orderkey", "o_orderkey")
+    )
+    lat = (
+        orders.join(ends, "o_orderkey")
+        .select(
+            F.col("o_orderpriority").alias("priority"),
+            F.datediff(F.col("end_date"), F.col("o_orderdate"))
+            .cast("long")
+            .alias("lat_d"),
+        )
+        .groupBy("priority", "lat_d")
+        .agg(F.count("*").cast("long").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    n_per = lat.groupBy("priority").agg(
+        F.sum("c").cast("long").alias("n_orders"),
+        F.sum(F.col("lat_d") * F.col("c")).cast("long").alias("lat_sum"),
+        F.sum(F.when(F.col("lat_d") <= 90, F.col("c")).otherwise(0))
+        .cast("long")
+        .alias("within_sla"),
+    )
+    wcum = (
+        Window.partitionBy("priority")
+        .orderBy("lat_d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    med = (
+        lat.select(
+            "priority", "lat_d", F.sum("c").over(wcum).alias("cum")
+        )
+        .join(n_per.select("priority", "n_orders"), "priority")
+        .where(F.col("cum") * 2 >= F.col("n_orders"))
+        .groupBy("priority")
+        .agg(F.min("lat_d").cast("long").alias("p50_latency_days"))
+    )
+    return (
+        n_per.join(med, "priority")
+        .select(
+            "priority",
+            "n_orders",
+            "p50_latency_days",
+            F.expr(
+                "CAST(lat_sum * 1000 div n_orders AS BIGINT)"
+            ).alias("mean_latency_milli"),
+            F.expr(
+                "CAST(within_sla * 1000000 div n_orders AS BIGINT)"
+            ).alias("sla90_ppm"),
+        )
+        .orderBy("priority")
+    )
+
+
+ESTIMATOR_QUERIES["q384_priority_slo"] = q384_priority_slo
+
+ESTIMATOR_ORACLES["q384_priority_slo"] = """
+    WITH lat AS (
+      SELECT o.o_orderpriority AS priority,
+             date_diff('day', o.o_orderdate, e.end_date) AS lat_d,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM orders o
+      JOIN (SELECT l_orderkey, MAX(l_shipdate) AS end_date
+            FROM lineitem GROUP BY l_orderkey) e
+        ON o.o_orderkey = e.l_orderkey
+      GROUP BY 1, 2
+    ),
+    n_per AS (
+      SELECT priority,
+             CAST(SUM(c) AS BIGINT) AS n_orders,
+             CAST(SUM(lat_d * c) AS BIGINT) AS lat_sum,
+             CAST(SUM(CASE WHEN lat_d <= 90 THEN c ELSE 0 END) AS BIGINT)
+               AS within_sla
+      FROM lat GROUP BY priority
+    ),
+    med AS (
+      SELECT x.priority, CAST(MIN(x.lat_d) AS BIGINT) AS p50_latency_days
+      FROM (
+        SELECT priority, lat_d,
+               SUM(c) OVER (PARTITION BY priority ORDER BY lat_d
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM lat
+      ) x JOIN n_per np ON x.priority = np.priority
+      WHERE x.cum * 2 >= np.n_orders
+      GROUP BY x.priority
+    )
+    SELECT np.priority, np.n_orders, m.p50_latency_days,
+           CAST(np.lat_sum * 1000 // np.n_orders AS BIGINT)
+             AS mean_latency_milli,
+           CAST(np.within_sla * 1000000 // np.n_orders AS BIGINT)
+             AS sla90_ppm
+    FROM n_per np JOIN med m ON np.priority = m.priority
+    ORDER BY np.priority
+"""
+
+
+# --- q385: RFM segmentation ---------------------------------------------------------
+
+
+def q385_rfm_segments(spark, sf_dir):
+    """RFM (recency / frequency / monetary) segmentation of the
+    customer base — the classic warehouse cohorting done with
+    replication-invariant quintiles: each customer gets three 1–5
+    codes (ascending value-grain quintiles of days-since-last-order,
+    order count, and lifetime cents), and the output is the segment
+    census with its revenue. The whale segment (f=5, m=5) is the q375
+    Lorenz head with a name; the (r=5, m=5) cell is churned high-value
+    — the rows a retention budget is spent on. Code assignment at the
+    distinct-VALUE grain (equal metrics ⇒ equal codes, any replication
+    ⇒ same codes).
+
+    Scale shape: orders collapse to one row per customer; the three
+    quintile tables live on distinct metric values (≤ customers);
+    output ≤ 125 segment rows.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    horizon = F.broadcast(
+        orders.agg(F.max("o_orderdate").alias("h_date"))
+    )
+    per_cust = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count("*").cast("long").alias("freq"),
+            F.sum(
+                F.expr("CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)")
+            ).cast("long").alias("monet"),
+        )
+        .crossJoin(horizon)
+        .select(
+            "o_custkey",
+            F.datediff(F.col("h_date"), F.col("last_order"))
+            .cast("long")
+            .alias("recency_d"),
+            "freq",
+            "monet",
+        )
+        .localCheckpoint(eager=True)
+    )
+    n_all = F.broadcast(
+        per_cust.agg(F.count("*").cast("long").alias("n_cust_all"))
+    )
+
+    def _code(metric):
+        by_val = per_cust.groupBy(metric).agg(
+            F.count("*").cast("long").alias("cnt")
+        )
+        wv = Window.orderBy(metric).rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        return (
+            by_val.select(
+                metric,
+                F.coalesce(F.sum("cnt").over(wv), F.lit(0)).alias("cb"),
+            )
+            .crossJoin(n_all)
+            .select(
+                metric,
+                F.expr(
+                    "CAST(least(5, 1 + cb * 5 div n_cust_all) AS BIGINT)"
+                ).alias(f"{metric}_code"),
+            )
+        )
+
+    coded = (
+        per_cust.join(F.broadcast(_code("recency_d")), "recency_d")
+        .join(F.broadcast(_code("freq")), "freq")
+        .join(F.broadcast(_code("monet")), "monet")
+    )
+    return (
+        coded.groupBy(
+            F.col("recency_d_code").alias("r_code"),
+            F.col("freq_code").alias("f_code"),
+            F.col("monet_code").alias("m_code"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_cust"),
+            F.sum("monet").cast("long").alias("segment_cents"),
+        )
+        .orderBy("r_code", "f_code", "m_code")
+    )
+
+
+ESTIMATOR_QUERIES["q385_rfm_segments"] = q385_rfm_segments
+
+ESTIMATOR_ORACLES["q385_rfm_segments"] = """
+    WITH horizon AS (SELECT MAX(o_orderdate) AS h_date FROM orders),
+    per_cust AS (
+      SELECT o_custkey,
+             CAST(date_diff('day', MAX(o_orderdate),
+                            (SELECT h_date FROM horizon)) AS BIGINT)
+               AS recency_d,
+             CAST(COUNT(*) AS BIGINT) AS freq,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                  AS BIGINT) AS monet
+      FROM orders GROUP BY o_custkey
+    ),
+    n_all AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cust_all FROM per_cust),
+    r_code AS (
+      SELECT recency_d,
+             LEAST(5, 1 + COALESCE(SUM(cnt) OVER (ORDER BY recency_d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               * 5 // n_cust_all) AS recency_d_code
+      FROM (SELECT recency_d, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM per_cust GROUP BY recency_d), n_all
+    ),
+    f_code AS (
+      SELECT freq,
+             LEAST(5, 1 + COALESCE(SUM(cnt) OVER (ORDER BY freq
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               * 5 // n_cust_all) AS freq_code
+      FROM (SELECT freq, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM per_cust GROUP BY freq), n_all
+    ),
+    m_code AS (
+      SELECT monet,
+             LEAST(5, 1 + COALESCE(SUM(cnt) OVER (ORDER BY monet
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               * 5 // n_cust_all) AS monet_code
+      FROM (SELECT monet, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM per_cust GROUP BY monet), n_all
+    )
+    SELECT CAST(r.recency_d_code AS BIGINT) AS r_code,
+           CAST(f.freq_code AS BIGINT) AS f_code,
+           CAST(m.monet_code AS BIGINT) AS m_code,
+           CAST(COUNT(*) AS BIGINT) AS n_cust,
+           CAST(SUM(p.monet) AS BIGINT) AS segment_cents
+    FROM per_cust p
+    JOIN r_code r ON p.recency_d = r.recency_d
+    JOIN f_code f ON p.freq = f.freq
+    JOIN m_code m ON p.monet = m.monet
+    GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+
+# --- q386: regional supply concentration --------------------------------------------
+
+
+def q386_region_supply_hhi(spark, sf_dir):
+    """Regional supply-chain concentration: revenue-share HHI of
+    suppliers WITHIN each region (lineitem→supplier→nation→region — the
+    q362 concentration math pushed through the TPC-H join graph), plus
+    the top supplier's share and the inverse-Simpson effective supplier
+    count. A region whose eff_suppliers is 3 when 40 exist is one
+    supplier outage away from a stockout — and in pipeline terms, the
+    same query shapes "which storage region depends on one data
+    producer". Dimension tables broadcast; cents-exact.
+
+    Scale shape: the fact table aggregates ONCE to (supplier, revenue);
+    the three dimension hops are broadcast joins on that collapsed
+    table; HHI math runs on ≤ suppliers rows.
+    """
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            "l_suppkey",
+            F.expr(
+                "CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)"
+            ).alias("cents"),
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum("cents").cast("long").alias("rev"))
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nat = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey"
+    )
+    reg = load_table(spark, sf_dir, "region").select(
+        "r_regionkey", "r_name"
+    )
+    per_supp = (
+        li.join(
+            F.broadcast(supp), li.l_suppkey == supp.s_suppkey
+        )
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .select(F.col("r_name").alias("region"), "rev")
+    )
+    per = per_supp.groupBy("region").agg(
+        F.count("*").cast("long").alias("n_suppliers"),
+        F.sum("rev").cast("long").alias("revenue_cents"),
+        F.max("rev").cast("long").alias("top_rev"),
+        F.sum(
+            F.expr("CAST(rev AS DECIMAL(38,0)) * rev")
+        ).alias("sr2"),
+    )
+    return per.select(
+        "region",
+        "n_suppliers",
+        "revenue_cents",
+        F.expr(
+            "CAST(top_rev * 1000000 div revenue_cents AS BIGINT)"
+        ).alias("top_share_ppm"),
+        F.expr(
+            "CAST(sr2 * 1000000"
+            " div (CAST(revenue_cents AS DECIMAL(38,0)) * revenue_cents)"
+            " AS BIGINT)"
+        ).alias("hhi_ppm"),
+        F.expr(
+            "CAST(CAST(revenue_cents AS DECIMAL(38,0)) * revenue_cents"
+            " * 1000 div greatest(sr2, 1) AS BIGINT)"
+        ).alias("eff_suppliers_milli"),
+    ).orderBy("region")
+
+
+ESTIMATOR_QUERIES["q386_region_supply_hhi"] = q386_region_supply_hhi
+
+ESTIMATOR_ORACLES["q386_region_supply_hhi"] = """
+    WITH li AS (
+      SELECT l_suppkey,
+             CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT))
+                  AS BIGINT) AS rev
+      FROM lineitem GROUP BY l_suppkey
+    ),
+    per_supp AS (
+      SELECT r.r_name AS region, li.rev
+      FROM li
+      JOIN supplier s ON li.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+    ),
+    per AS (
+      SELECT region,
+             CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+             CAST(SUM(rev) AS BIGINT) AS revenue_cents,
+             CAST(MAX(rev) AS BIGINT) AS top_rev,
+             SUM(CAST(rev AS HUGEINT) * rev) AS sr2
+      FROM per_supp GROUP BY region
+    )
+    SELECT region, n_suppliers, revenue_cents,
+           CAST(top_rev * 1000000 // revenue_cents AS BIGINT)
+             AS top_share_ppm,
+           CAST(sr2 * 1000000
+                // (CAST(revenue_cents AS HUGEINT) * revenue_cents)
+                AS BIGINT) AS hhi_ppm,
+           CAST(CAST(revenue_cents AS HUGEINT) * revenue_cents * 1000
+                // GREATEST(sr2, 1) AS BIGINT) AS eff_suppliers_milli
+    FROM per ORDER BY region
+"""

@@ -614,3 +614,78 @@ def test_design_effect_decomposition(spark, sf_dir):
     assert abs(r.sst_scaled - r.ssw_scaled - r.ssb_scaled) <= 2 * slack
     assert 0 < r.deff_ppm <= 1_000_001
     assert abs(r.deff_ppm + r.between_share_ppm - 1_000_000) < 5_000
+
+
+def test_load_factor_identities(spark, sf_dir):
+    """Load factor <= 10^6 (mean <= peak); p95 <= peak; active hours
+    within span; mean consistent with totals."""
+    r = E.q383_load_factor(spark, sf_dir).collect()[0]
+    assert r.active_hours <= r.span_hours
+    assert r.p95_hour_events <= r.peak_hour_events
+    assert r.load_factor_ppm <= 1_000_000
+    assert r.mean_per_hour_milli == r.n_events * 1000 // r.span_hours
+    assert r.load_factor_ppm == r.n_events * 1_000_000 // (
+        r.span_hours * r.peak_hour_events
+    )
+
+
+def test_priority_slo_python_replay(spark, sf_dir):
+    """Median and SLA attainment per priority match a Python replay."""
+    orders = load_table(spark, sf_dir, "orders").collect()
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.max("l_shipdate").alias("e"))
+        .collect()
+    )
+    ends = {r.l_orderkey: r.e.date() for r in li}
+    per: dict[str, list[int]] = {}
+    for o in orders:
+        if o.o_orderkey in ends:
+            per.setdefault(o.o_orderpriority, []).append(
+                (ends[o.o_orderkey] - o.o_orderdate.date()).days
+            )
+    out = {r.priority: r for r in
+           E.q384_priority_slo(spark, sf_dir).collect()}
+    assert set(out) == set(per)
+    for pri, lats in per.items():
+        r = out[pri]
+        s = sorted(lats)
+        assert r.n_orders == len(s)
+        assert r.p50_latency_days == s[(len(s) + 1) // 2 - 1]
+        assert r.mean_latency_milli == sum(s) * 1000 // len(s)
+        assert r.sla90_ppm == (
+            sum(1 for v in s if v <= 90) * 1_000_000 // len(s)
+        )
+
+
+def test_rfm_codes_partition_and_monotone(spark, sf_dir):
+    """Segments partition the customer base; every code in 1..5; the
+    m=5 row set carries more revenue per customer than m=1."""
+    rows = E.q385_rfm_segments(spark, sf_dir).collect()
+    orders = load_table(spark, sf_dir, "orders")
+    n_cust = orders.select("o_custkey").distinct().count()
+    assert sum(r.n_cust for r in rows) == n_cust
+    for r in rows:
+        assert 1 <= r.r_code <= 5 and 1 <= r.f_code <= 5
+        assert 1 <= r.m_code <= 5
+    m1 = [(r.segment_cents, r.n_cust) for r in rows if r.m_code == 1]
+    m5 = [(r.segment_cents, r.n_cust) for r in rows if r.m_code == 5]
+    avg1 = sum(c for c, _ in m1) / max(sum(n for _, n in m1), 1)
+    avg5 = sum(c for c, _ in m5) / max(sum(n for _, n in m5), 1)
+    assert avg5 > avg1
+
+
+def test_region_hhi_identities(spark, sf_dir):
+    """HHI >= uniform floor; effective suppliers <= actual; revenue
+    reconciles with a direct lineitem aggregate."""
+    rows = E.q386_region_supply_hhi(spark, sf_dir).collect()
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.expr("CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)").alias("c")
+    )
+    total = li.agg(F.sum("c")).collect()[0][0]
+    assert sum(r.revenue_cents for r in rows) == total
+    for r in rows:
+        assert r.hhi_ppm >= 1_000_000 // r.n_suppliers
+        assert r.eff_suppliers_milli <= r.n_suppliers * 1000 + 1
+        assert r.hhi_ppm >= r.top_share_ppm**2 // 1_000_000

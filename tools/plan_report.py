@@ -402,6 +402,10 @@ AUDITED = [
     "q380_eb_shrinkage",
     "q381_ratio_estimator",
     "q382_design_effect",
+    "q383_load_factor",
+    "q384_priority_slo",
+    "q385_rfm_segments",
+    "q386_region_supply_hhi",
 ]
 
 
