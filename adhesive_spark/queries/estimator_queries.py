@@ -3226,7 +3226,13 @@ def q385_rfm_segments(spark, sf_dir):
     quintile tables live on distinct metric values (≤ customers);
     output ≤ 125 segment rows.
     """
-    orders = load_table(spark, sf_dir, "orders")
+    return rfm_report(load_table(spark, sf_dir, "orders"))
+
+
+def rfm_report(orders):
+    """DF-level core of q385 (any orders DataFrame) — shared with the
+    stress harness (fixed customer key space ⇒ per-customer groups grow
+    N× wide under replication; codes are replication-invariant)."""
     horizon = F.broadcast(
         orders.agg(F.max("o_orderdate").alias("h_date"))
     )

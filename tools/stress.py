@@ -573,6 +573,20 @@ def main() -> None:
     # ordered scan); the median lookup stays bounded-domain.
     run("runs_test", lambda: runs_test_report(big_docs), rows_in)
 
+    # RFM at N×: order ROWS replicate (orderkey remapped) but the
+    # 1 500-customer key space is FIXED, so every per-customer group
+    # grows N× wide (the cdc_apply hazard class); the quintile tables
+    # live on distinct metric values and the output stays ≤125 rows.
+    from adhesive_spark.queries.estimator_queries import rfm_report
+
+    orders_t = load_table(spark, sf_dir, "orders")
+    n_orders = orders_t.count()
+    run(
+        "rfm_segments",
+        lambda: rfm_report(replicate(orders_t, "o_orderkey", reps)),
+        n_orders * reps,
+    )
+
     total = round(sum(o["sec"] for o in ops.values()), 2)
     print(
         json.dumps(
