@@ -1697,9 +1697,20 @@ def q373_median_of_means(spark, sf_dir):
     Scale shape: one 16-bucket aggregate (map-side combined) + rank
     math on 16 rows.
     """
+    return mom_report(
+        mom_bucket_sums(load_table(spark, sf_dir, "events"))
+    )
+
+
+def mom_bucket_sums(events):
+    """The mergeable 16-row MoM state of an events DataFrame: per
+    deterministic hash bucket, (n, s) partial sums — addition-mergeable
+    across any split of the stream, which is what lets the streaming
+    twin (streaming/ops.streaming_mom_state) maintain it per
+    micro-batch with constant state."""
     from adhesive_spark.operators.dedup import portable_hash32
 
-    ev = load_table(spark, sf_dir, "events").select(
+    ev = events.select(
         F.pmod(
             portable_hash32(
                 F.concat(F.lit("mom:"), F.col("event_id").cast("string"))
@@ -1708,9 +1719,20 @@ def q373_median_of_means(spark, sf_dir):
         ).alias("b"),
         F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)").alias("cents"),
     )
-    per = ev.groupBy("b").agg(
+    return ev.groupBy("b").agg(
         F.count("*").cast("long").alias("n"),
         F.sum("cents").cast("long").alias("s"),
+    )
+
+
+def mom_report(bucket_sums):
+    """DF-level readout of q373 from the 16-row (b, n, s) state —
+    shared by the batch query and the streaming state reader."""
+    # re-aggregate so PARTIAL states (several (b, n, s) rows per bucket,
+    # as a replayed/merged stream snapshot may hold) collapse first
+    per = bucket_sums.groupBy("b").agg(
+        F.sum("n").cast("long").alias("n"),
+        F.sum("s").cast("long").alias("s"),
     ).select("b", "n", "s", F.expr("CAST(s div n AS BIGINT)").alias("m"))
     # lower median of the 16 bucket means: rank 8 of ordered means
     # bounded-domain: 16 bucket rows only (replication-invariant)

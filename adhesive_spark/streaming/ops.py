@@ -945,3 +945,57 @@ def read_srm_guard(spark, state_path: str) -> DataFrame:
             "CAST(p0 * 1000000 div u0 - p1 * 1000000 div u1 AS BIGINT)"
         ).alias("rate_delta_ppm"),
     )
+
+
+def streaming_mom_state(
+    events: DataFrame,
+    state_path: str,
+    *,
+    checkpoint_path: str,
+):
+    """Streaming median-of-means monitor state: maintain the 16-row
+    (bucket, n, Σcents) MoM partial sums
+    (queries/estimator_queries.mom_bucket_sums) across micro-batches by
+    per-bucket ADDITION — the robust-mean sibling of the HLL max-merge
+    member of the epoch-committed foreachBatch family. Addition is not
+    idempotent, so replay-safety leans entirely on the
+    `_epoch_guarded_snapshot` contract (committed epoch dirs, replayed
+    batches skipped) — same as the rollup-⊕ member.
+
+    Constant state at any stream size: per-batch cost is one 16-row
+    aggregate over the BATCH plus a 16-row merge; the readout
+    (:func:`read_mom_estimate`) is the exact batch q373 row, because
+    (n, Σ) partial sums are mergeable across ANY split of the stream.
+    """
+    from adhesive_spark.queries.estimator_queries import mom_bucket_sums
+
+    def _merge(batch_df: DataFrame, prev: DataFrame | None) -> DataFrame:
+        delta = mom_bucket_sums(batch_df)
+        if prev is None:
+            return delta
+        return (
+            delta.unionByName(prev)
+            .groupBy("b")
+            .agg(
+                F.sum("n").cast("long").alias("n"),
+                F.sum("s").cast("long").alias("s"),
+            )
+        )
+
+    return (
+        events.writeStream.foreachBatch(
+            _epoch_guarded_snapshot(state_path, _merge)
+        )
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_mom_estimate(spark, state_path: str) -> DataFrame:
+    """One-row q373 readout (n_events, totals, global mean, MoM,
+    bucket extremes, dev_ppm) from the committed streaming MoM state —
+    bit-equal to the batch query on the same rows (test)."""
+    from adhesive_spark.queries.estimator_queries import mom_report
+
+    return mom_report(read_rollup_state(spark, state_path))

@@ -872,3 +872,36 @@ def test_streaming_srm_guard_matches_batch(spark, sf_dir, event_stream_dir):
     got = read_srm_guard(spark, state).collect()[0].asDict()
     want = q266_abtest_srm(spark, sf_dir).collect()[0].asDict()
     assert got == want
+
+
+def test_streaming_mom_matches_batch(spark, sf_dir, event_stream_dir, tmp_path_factory):
+    """Stream the events in micro-batches, add-merge the 16-row MoM
+    partial sums per epoch, then read the estimate from committed
+    state — must equal the single-pass batch q373 row bit-for-bit
+    ((n, Σ) mergeability is the whole story; addition is non-idempotent
+    so this also exercises the epoch guard's replay skip)."""
+    from adhesive_spark.queries.estimator_queries import (
+        mom_bucket_sums,
+        mom_report,
+    )
+    from adhesive_spark.streaming.ops import (
+        read_mom_estimate,
+        streaming_mom_state,
+    )
+
+    base = tmp_path_factory.mktemp("mom_stream")
+    state, ckpt = str(base / "state"), str(base / "ckpt")
+    batch_events = spark.read.parquet(event_stream_dir)
+    stream = (
+        spark.readStream.schema(batch_events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(event_stream_dir)
+    )
+    q = streaming_mom_state(stream, state, checkpoint_path=ckpt)
+    assert q.awaitTermination(120), "stream did not drain in 120s"
+
+    got = read_mom_estimate(spark, state).collect()[0]
+    want = mom_report(mom_bucket_sums(batch_events)).collect()[0]
+    assert got.asDict() == want.asDict()
+    assert got.n_events == batch_events.count()
+    assert got.bucket_mean_min <= got.mom_cents <= got.bucket_mean_max
