@@ -3078,7 +3078,9 @@ ESTIMATOR_QUERIES["q383_load_factor"] = q383_load_factor
 
 ESTIMATOR_ORACLES["q383_load_factor"] = """
     WITH hourly AS (
-      SELECT CAST(epoch(ts) AS BIGINT) // 3600 AS h,
+      -- floor, not CAST: epoch() is a DOUBLE with fractional seconds
+      -- and CAST rounds where Spark's unix_timestamp truncates
+      SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) // 3600 AS h,
              CAST(COUNT(*) AS BIGINT) AS c
       FROM events GROUP BY 1
     ),
@@ -3479,4 +3481,384 @@ ESTIMATOR_ORACLES["q386_region_supply_hhi"] = """
            CAST(CAST(revenue_cents AS HUGEINT) * revenue_cents * 1000
                 // GREATEST(sr2, 1) AS BIGINT) AS eff_suppliers_milli
     FROM per ORDER BY region
+"""
+
+
+# --- q387: budget-controlled type-token ratio ladder -------------------------------
+
+
+def q387_ttr_ladder(spark, sf_dir):
+    """Type-token ratio at FIXED token budgets (first 16/32/64 tokens
+    per document): raw TTR falls mechanically with length, so comparing
+    sources on it is comparing their length mix — the standardized
+    ladder (the idea behind MSTTR/MTLD, McCarthy & Jarvis 2010) slices
+    every document to the same budget before counting types, making the
+    per-source lexical-diversity ranking length-fair. The q324
+    (length-bias) lesson applied to a diversity metric.
+
+    Scale shape: the slice+distinct runs IN-ROW (array ops — no gram
+    explode, no shuffle); the only aggregate is the (source, budget)
+    rollup over a broadcast 3-row budget spine.
+    """
+    from adhesive_spark.operators.text import tokens
+    from adhesive_spark.sources.registry import ensure_parallelism
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    budgets = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(v).cast("long") for v in (16, 32, 64)])
+        ).alias("budget")
+    )
+    per_doc = (
+        docs.select("source", tokens(F.col("text")).alias("toks"))
+        .crossJoin(F.broadcast(budgets))
+        .where(F.size("toks") >= F.col("budget"))
+        .select(
+            "source",
+            "budget",
+            F.size(
+                F.array_distinct(
+                    F.slice(F.col("toks"), 1, F.col("budget"))
+                )
+            )
+            .cast("long")
+            .alias("types"),
+        )
+    )
+    return (
+        per_doc.groupBy("source", "budget")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("types").cast("long").alias("types_sum"),
+        )
+        .select(
+            "source",
+            "budget",
+            "n_docs",
+            F.expr(
+                "CAST(types_sum * 1000 div (n_docs * budget) AS BIGINT)"
+            ).alias("ttr_milli"),
+        )
+        .orderBy("source", "budget")
+    )
+
+
+ESTIMATOR_QUERIES["q387_ttr_ladder"] = q387_ttr_ladder
+
+ESTIMATOR_ORACLES["q387_ttr_ladder"] = f"""
+    WITH t AS (
+      SELECT source, {_TOKS} AS toks FROM documents
+    ),
+    budgets AS (SELECT UNNEST([16, 32, 64]) AS budget),
+    per_doc AS (
+      SELECT source, b.budget,
+             CAST(len(list_distinct(toks[1:b.budget])) AS BIGINT) AS types
+      FROM t CROSS JOIN budgets b
+      WHERE len(toks) >= b.budget
+    )
+    SELECT source, CAST(budget AS BIGINT) AS budget,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(types) * 1000 // (COUNT(*) * budget) AS BIGINT)
+             AS ttr_milli
+    FROM per_doc GROUP BY source, budget ORDER BY source, budget
+"""
+
+
+# --- q388: sessionization gap-threshold sweep ---------------------------------------
+
+
+def q388_session_gap_sweep(spark, sf_dir):
+    """Sessionization knob audit: how do session count, mean session
+    length, and mean sessions-per-user respond as the inactivity-gap
+    threshold sweeps 5/15/30/60 minutes? Every downstream
+    engagement/funnel metric inherits this knob invisibly — the sweep
+    is computed from ONE lag pass (each user's inter-event gaps in
+    epoch seconds), then four conditional aggregates over the same gap
+    rows; no re-sessionization per rung. The q312/q330 ladder pattern
+    applied to the session boundary.
+
+    Scale shape: one user-key window pass (partition-parallel across
+    users); the ladder is 4 conditional sums over the gap rows against
+    a broadcast spine — the event table is scanned once.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.expr("CAST(unix_timestamp(ts) AS BIGINT)").alias("es")
+    )
+    wu = Window.partitionBy("user_id").orderBy("es")
+    gaps = ev.select(
+        "user_id",
+        (F.col("es") - F.lag("es").over(wu)).alias("gap_s"),
+    ).localCheckpoint(eager=True)
+    spine = spark.range(1).select(
+        F.explode(
+            F.array(
+                *[F.lit(v).cast("long") for v in (300, 900, 1800, 3600)]
+            )
+        ).alias("gap_thr_s")
+    )
+    return (
+        gaps.crossJoin(F.broadcast(spine))
+        .groupBy("gap_thr_s")
+        .agg(
+            F.count_if(F.col("gap_s").isNull()).cast("long").alias(
+                "n_users"
+            ),
+            F.count("*").cast("long").alias("n_events"),
+            # a session starts at each user's first event (gap NULL)
+            # and at every gap above the threshold
+            F.count_if(
+                F.col("gap_s").isNull()
+                | (F.col("gap_s") > F.col("gap_thr_s"))
+            )
+            .cast("long")
+            .alias("n_sessions"),
+        )
+        .select(
+            "gap_thr_s",
+            "n_users",
+            "n_sessions",
+            F.expr(
+                "CAST(n_events * 1000 div n_sessions AS BIGINT)"
+            ).alias("mean_session_events_milli"),
+            F.expr(
+                "CAST(n_sessions * 1000 div n_users AS BIGINT)"
+            ).alias("sessions_per_user_milli"),
+        )
+        .orderBy("gap_thr_s")
+    )
+
+
+ESTIMATOR_QUERIES["q388_session_gap_sweep"] = q388_session_gap_sweep
+
+ESTIMATOR_ORACLES["q388_session_gap_sweep"] = """
+    WITH ev AS (
+      -- floor, not CAST: epoch() is a DOUBLE with fractional seconds
+      -- and CAST rounds where Spark's unix_timestamp truncates
+      SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS es FROM events
+    ),
+    gaps AS (
+      SELECT user_id,
+             es - LAG(es) OVER (PARTITION BY user_id ORDER BY es) AS gap_s
+      FROM ev
+    ),
+    spine AS (SELECT UNNEST([300, 900, 1800, 3600]) AS gap_thr_s)
+    SELECT CAST(s.gap_thr_s AS BIGINT) AS gap_thr_s,
+           CAST(COUNT(*) FILTER (WHERE g.gap_s IS NULL) AS BIGINT)
+             AS n_users,
+           CAST(COUNT(*) FILTER (WHERE g.gap_s IS NULL
+                OR g.gap_s > s.gap_thr_s) AS BIGINT) AS n_sessions,
+           CAST(COUNT(*) * 1000 // COUNT(*) FILTER (WHERE g.gap_s IS NULL
+                OR g.gap_s > s.gap_thr_s) AS BIGINT)
+             AS mean_session_events_milli,
+           CAST(COUNT(*) FILTER (WHERE g.gap_s IS NULL
+                OR g.gap_s > s.gap_thr_s) * 1000
+                // COUNT(*) FILTER (WHERE g.gap_s IS NULL) AS BIGINT)
+             AS sessions_per_user_milli
+    FROM gaps g CROSS JOIN spine s
+    GROUP BY s.gap_thr_s ORDER BY gap_thr_s
+"""
+
+
+# --- q389: order inter-arrival profile ----------------------------------------------
+
+
+def q389_order_interarrival(spark, sf_dir):
+    """Customer order inter-arrival profile: exact p50/p90 and mean of
+    the days between a customer's CONSECUTIVE orders — the demand-side
+    arrival process behind q378's WIP and q385's recency code (a
+    recency above the p90 inter-arrival gap is genuine churn; below it
+    is just the arrival process). One lag pass per customer, then the
+    distinct-gap-value grid carries the exact quantiles.
+
+    Scale shape: one customer-key window pass; quantiles come off the
+    distinct gap values (bounded by the day horizon); output is one
+    row.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.datediff(F.col("o_orderdate"), F.lit("1990-01-01"))
+        .cast("long")
+        .alias("d"),
+    )
+    gaps = (
+        orders.select(
+            (F.col("d") - F.lag("d").over(
+                Window.partitionBy("o_custkey").orderBy("d")
+            )).alias("gap_d")
+        )
+        .where(F.col("gap_d").isNotNull())
+        .groupBy("gap_d")
+        .agg(F.count("*").cast("long").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    tot = F.broadcast(
+        gaps.agg(
+            F.sum("c").cast("long").alias("n_gaps"),
+            F.sum(F.col("gap_d") * F.col("c")).cast("long").alias(
+                "gap_sum"
+            ),
+        )
+    )
+    # bounded-domain: distinct gap values only (replication-invariant)
+    wv = Window.orderBy("gap_d").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = gaps.select(
+        "gap_d", F.sum("c").over(wv).alias("cum")
+    ).crossJoin(tot)
+    p50 = cum.where(F.col("cum") * 2 >= F.col("n_gaps")).agg(
+        F.min("gap_d").cast("long").alias("p50_gap_days")
+    )
+    p90 = cum.where(F.col("cum") * 10 >= F.col("n_gaps") * 9).agg(
+        F.min("gap_d").cast("long").alias("p90_gap_days")
+    )
+    return (
+        tot.crossJoin(F.broadcast(p50))
+        .crossJoin(F.broadcast(p90))
+        .select(
+            "n_gaps",
+            F.expr("CAST(gap_sum * 1000 div n_gaps AS BIGINT)").alias(
+                "mean_gap_days_milli"
+            ),
+            "p50_gap_days",
+            "p90_gap_days",
+        )
+    )
+
+
+ESTIMATOR_QUERIES["q389_order_interarrival"] = q389_order_interarrival
+
+ESTIMATOR_ORACLES["q389_order_interarrival"] = """
+    WITH o AS (
+      SELECT o_custkey,
+             date_diff('day', DATE '1990-01-01', o_orderdate) AS d
+      FROM orders
+    ),
+    gaps AS (
+      SELECT gap_d, CAST(COUNT(*) AS BIGINT) AS c FROM (
+        SELECT d - LAG(d) OVER (PARTITION BY o_custkey ORDER BY d)
+                 AS gap_d
+        FROM o
+      ) WHERE gap_d IS NOT NULL GROUP BY gap_d
+    ),
+    tot AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS n_gaps,
+             CAST(SUM(gap_d * c) AS BIGINT) AS gap_sum
+      FROM gaps
+    ),
+    cum AS (
+      SELECT gap_d, SUM(c) OVER (ORDER BY gap_d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM gaps
+    ),
+    p50 AS (
+      SELECT CAST(MIN(gap_d) AS BIGINT) AS p50_gap_days
+      FROM cum, tot WHERE cum * 2 >= n_gaps
+    ),
+    p90 AS (
+      SELECT CAST(MIN(gap_d) AS BIGINT) AS p90_gap_days
+      FROM cum, tot WHERE cum * 10 >= n_gaps * 9
+    )
+    SELECT t.n_gaps,
+           CAST(t.gap_sum * 1000 // t.n_gaps AS BIGINT)
+             AS mean_gap_days_milli,
+           p50.p50_gap_days, p90.p90_gap_days
+    FROM tot t, p50, p90
+"""
+
+
+# --- q390: chunking stride-overlap cost ladder ---------------------------------------
+
+
+def q390_stride_overlap_ladder(spark, sf_dir):
+    """Chunking stride-cost ladder: for a 64-token window at stride
+    32/48/64, the EXACT number of chunks, duplicated tokens, and the
+    storage/compute inflation the overlap buys — closed-form from
+    per-document token counts (chunks = 1 + ceil((len−64)/stride),
+    duplicated = (chunks−1)·(64−stride)), so the knob is priced without
+    materializing a single chunk. This is the q312 packing-ladder
+    pattern pointed at operators/text.chunk_documents' stride knob: at
+    100 TB, stride 32 vs 48 is a ~1.3× storage bill decided by this
+    table.
+
+    Scale shape: metadata-only — one projection computes all three
+    rungs in-row against a broadcast spine; one aggregate to 3 rows.
+    """
+    from adhesive_spark.operators.text import token_count
+    from adhesive_spark.sources.registry import ensure_parallelism
+
+    chunk = 64
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    spine = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(v).cast("long") for v in (32, 48, 64)])
+        ).alias("stride")
+    )
+    per = (
+        docs.select(token_count(F.col("text")).cast("long").alias("L"))
+        .crossJoin(F.broadcast(spine))
+        .select(
+            "stride",
+            "L",
+            F.expr(
+                f"CAST(CASE WHEN L <= {chunk} THEN 1"
+                f" ELSE 1 + (L - {chunk} + stride - 1) div stride END"
+                " AS BIGINT)"
+            ).alias("n_chunks"),
+        )
+        .select(
+            "stride",
+            "L",
+            "n_chunks",
+            F.expr(
+                f"CAST((n_chunks - 1) * ({chunk} - stride) AS BIGINT)"
+            ).alias("dup_tokens"),
+        )
+    )
+    return (
+        per.groupBy("stride")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("L").cast("long").alias("corpus_tokens"),
+            F.sum("n_chunks").cast("long").alias("total_chunks"),
+            F.sum("dup_tokens").cast("long").alias("dup_tokens"),
+        )
+        .select(
+            "stride",
+            "n_docs",
+            "corpus_tokens",
+            "total_chunks",
+            "dup_tokens",
+            F.expr(
+                "CAST((corpus_tokens + dup_tokens) * 1000000"
+                " div corpus_tokens AS BIGINT)"
+            ).alias("inflation_ppm"),
+        )
+        .orderBy("stride")
+    )
+
+
+ESTIMATOR_QUERIES["q390_stride_overlap_ladder"] = q390_stride_overlap_ladder
+
+ESTIMATOR_ORACLES["q390_stride_overlap_ladder"] = f"""
+    WITH t AS (
+      SELECT CAST(len({_TOKS}) AS BIGINT) AS L FROM documents
+    ),
+    spine AS (SELECT UNNEST([32, 48, 64]) AS stride),
+    per AS (
+      SELECT s.stride, L,
+             CASE WHEN L <= 64 THEN 1
+                  ELSE 1 + (L - 64 + s.stride - 1) // s.stride END
+               AS n_chunks
+      FROM t CROSS JOIN spine s
+    )
+    SELECT CAST(stride AS BIGINT) AS stride,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(L) AS BIGINT) AS corpus_tokens,
+           CAST(SUM(n_chunks) AS BIGINT) AS total_chunks,
+           CAST(SUM((n_chunks - 1) * (64 - stride)) AS BIGINT)
+             AS dup_tokens,
+           CAST((SUM(L) + SUM((n_chunks - 1) * (64 - stride))) * 1000000
+                // SUM(L) AS BIGINT) AS inflation_ppm
+    FROM per GROUP BY stride ORDER BY stride
 """

@@ -689,3 +689,77 @@ def test_region_hhi_identities(spark, sf_dir):
         assert r.hhi_ppm >= 1_000_000 // r.n_suppliers
         assert r.eff_suppliers_milli <= r.n_suppliers * 1000 + 1
         assert r.hhi_ppm >= r.top_share_ppm**2 // 1_000_000
+
+
+def test_ttr_ladder_monotone_in_budget(spark, sf_dir):
+    """TTR is non-increasing in the budget for every source (types
+    grow sublinearly in tokens), and ttr <= 1000 always."""
+    rows = E.q387_ttr_ladder(spark, sf_dir).collect()
+    per: dict[str, dict[int, int]] = {}
+    for r in rows:
+        assert r.ttr_milli <= 1000
+        per.setdefault(r.source, {})[r.budget] = r.ttr_milli
+    for src, ladder in per.items():
+        vals = [ladder[b] for b in sorted(ladder)]
+        # sampled-prefix TTR declines (or ties) as the budget grows;
+        # allow 1 milli of floor slack
+        assert all(a + 1 >= b for a, b in zip(vals, vals[1:])), (src, vals)
+
+
+def test_session_gap_sweep_monotone(spark, sf_dir):
+    """A larger gap threshold can only MERGE sessions: n_sessions is
+    non-increasing in the threshold; every user has >= 1 session."""
+    rows = E.q388_session_gap_sweep(spark, sf_dir).collect()
+    ns = [r.n_sessions for r in rows]  # ordered by gap_thr_s
+    assert ns == sorted(ns, reverse=True)
+    for r in rows:
+        assert r.n_sessions >= r.n_users
+        assert r.sessions_per_user_milli >= 1000
+
+
+def test_interarrival_python_replay(spark, sf_dir):
+    """Gap count, mean, and both exact quantiles match a Python scan of
+    per-customer consecutive order dates."""
+    orders = load_table(spark, sf_dir, "orders").collect()
+    import datetime
+
+    epoch = datetime.date(1990, 1, 1)
+    per: dict[int, list[int]] = {}
+    for o in orders:
+        per.setdefault(o.o_custkey, []).append(
+            (o.o_orderdate.date() - epoch).days
+        )
+    gaps = []
+    for days in per.values():
+        s = sorted(days)
+        gaps.extend(b - a for a, b in zip(s, s[1:]))
+    gaps.sort()
+    n = len(gaps)
+    r = E.q389_order_interarrival(spark, sf_dir).collect()[0]
+    assert r.n_gaps == n
+    assert r.mean_gap_days_milli == sum(gaps) * 1000 // n
+    # lower quantiles on the value grid == order statistics
+    assert r.p50_gap_days == gaps[(n + 1) // 2 - 1]
+    assert r.p90_gap_days == gaps[(n * 9 + 9) // 10 - 1]
+
+
+def test_stride_ladder_closed_form(spark, sf_dir):
+    """Stride 64 (no overlap) duplicates nothing; duplicated tokens
+    match the closed form against a direct token-count scan; inflation
+    is monotone decreasing in stride."""
+    rows = {r.stride: r for r in
+            E.q390_stride_overlap_ladder(spark, sf_dir).collect()}
+    assert rows[64].dup_tokens == 0
+    assert rows[64].inflation_ppm == 1_000_000
+    infl = [rows[s].inflation_ppm for s in (32, 48, 64)]
+    assert infl == sorted(infl, reverse=True)
+    docs = _doc_tokens(spark, sf_dir)
+    for stride in (32, 48, 64):
+        chunks = dup = 0
+        for _, toks, _, _ in docs:
+            L = len(toks)
+            c = 1 if L <= 64 else 1 + -(-(L - 64) // stride)
+            chunks += c
+            dup += (c - 1) * (64 - stride)
+        assert rows[stride].total_chunks == chunks
+        assert rows[stride].dup_tokens == dup

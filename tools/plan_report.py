@@ -406,6 +406,10 @@ AUDITED = [
     "q384_priority_slo",
     "q385_rfm_segments",
     "q386_region_supply_hhi",
+    "q387_ttr_ladder",
+    "q388_session_gap_sweep",
+    "q389_order_interarrival",
+    "q390_stride_overlap_ladder",
 ]
 
 
