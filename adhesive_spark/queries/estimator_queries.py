@@ -3862,3 +3862,376 @@ ESTIMATOR_ORACLES["q390_stride_overlap_ladder"] = f"""
                 // SUM(L) AS BIGINT) AS inflation_ppm
     FROM per GROUP BY stride ORDER BY stride
 """
+
+
+# --- q391: delta-encoding ROI audit ---------------------------------------------------
+
+
+def q391_delta_encoding_roi(spark, sf_dir):
+    """Delta-encoding ROI per event-type partition: the bit width a raw
+    epoch-second column needs (bits of max) vs what SORTED deltas need
+    (bits of the max gap), and the implied compression in ppm — the
+    "is it worth sorting this column before writing?" readout that
+    complements q217's Z-order layout audit with the ENCODING half of
+    the bill. Bit widths via length(bin(x)) — exact and engine-portable
+    (no log2 floats). Per-type partitions mirror how row groups are
+    actually laid out; the delta scan is partition-parallel.
+
+    Scale shape: one per-type window pass for the gaps (the sortedness
+    IS the semantics), collapsing immediately to per-type max/bits;
+    output is 5 rows.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("CAST(unix_timestamp(ts) AS BIGINT)").alias("es"),
+    )
+    wt = Window.partitionBy("event_type").orderBy("es")
+    gaps = ev.select(
+        "event_type",
+        "es",
+        (F.col("es") - F.lag("es").over(wt)).alias("gap_s"),
+    )
+    per = gaps.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.max("es").cast("long").alias("max_es"),
+        F.max("gap_s").cast("long").alias("max_gap_s"),
+    )
+    return per.select(
+        "event_type",
+        "n_rows",
+        "max_gap_s",
+        F.expr("CAST(length(bin(max_es)) AS BIGINT)").alias("raw_bits"),
+        F.expr(
+            "CAST(length(bin(greatest(max_gap_s, 1))) AS BIGINT)"
+        ).alias("delta_bits"),
+        F.expr(
+            "CAST(length(bin(greatest(max_gap_s, 1))) * 1000000"
+            " div length(bin(max_es)) AS BIGINT)"
+        ).alias("ratio_ppm"),
+    ).orderBy("event_type")
+
+
+ESTIMATOR_QUERIES["q391_delta_encoding_roi"] = q391_delta_encoding_roi
+
+ESTIMATOR_ORACLES["q391_delta_encoding_roi"] = """
+    WITH ev AS (
+      SELECT event_type, CAST(FLOOR(epoch(ts)) AS BIGINT) AS es
+      FROM events
+    ),
+    gaps AS (
+      SELECT event_type, es,
+             es - LAG(es) OVER (PARTITION BY event_type ORDER BY es)
+               AS gap_s
+      FROM ev
+    ),
+    per AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(MAX(es) AS BIGINT) AS max_es,
+             CAST(MAX(gap_s) AS BIGINT) AS max_gap_s
+      FROM gaps GROUP BY event_type
+    )
+    SELECT event_type, n_rows, max_gap_s,
+           CAST(length(bin(max_es)) AS BIGINT) AS raw_bits,
+           CAST(length(bin(GREATEST(max_gap_s, 1))) AS BIGINT)
+             AS delta_bits,
+           CAST(length(bin(GREATEST(max_gap_s, 1))) * 1000000
+                // length(bin(max_es)) AS BIGINT) AS ratio_ppm
+    FROM per ORDER BY event_type
+"""
+
+
+# --- q392: cohort retention matrix ----------------------------------------------------
+
+
+def q392_cohort_retention(spark, sf_dir):
+    """Cohort retention triangle: customers grouped by first-order
+    month; per (cohort, months-since) cell, the share still ordering —
+    the classic warehouse retention matrix (the per-customer sibling of
+    q322's byte-retention planner and the ground truth q385's recency
+    code summarizes). Month arithmetic is integer (y·12+m); k capped at
+    12 to keep the triangle printable; shares division-last in ppm.
+
+    Scale shape: orders collapse to (customer, month) once, then to the
+    customer's cohort via one more aggregate; the matrix is a
+    (cohort, k) count over that collapsed table — never re-scans
+    orders.
+    """
+    om = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            (
+                F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1
+            ).cast("long").alias("ym"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    cohorts = om.groupBy("o_custkey").agg(
+        F.min("ym").cast("long").alias("cohort_ym")
+    )
+    sizes = cohorts.groupBy("cohort_ym").agg(
+        F.count("*").cast("long").alias("cohort_n")
+    )
+    cells = (
+        om.join(F.broadcast(cohorts), "o_custkey")
+        .select(
+            "cohort_ym", (F.col("ym") - F.col("cohort_ym")).alias("k")
+        )
+        .where(F.col("k") <= 12)
+        .groupBy("cohort_ym", "k")
+        .agg(F.count("*").cast("long").alias("n_active"))
+    )
+    return (
+        cells.join(F.broadcast(sizes), "cohort_ym")
+        .select(
+            "cohort_ym",
+            "k",
+            "n_active",
+            "cohort_n",
+            F.expr(
+                "CAST(n_active * 1000000 div cohort_n AS BIGINT)"
+            ).alias("retention_ppm"),
+        )
+        .orderBy("cohort_ym", "k")
+    )
+
+
+ESTIMATOR_QUERIES["q392_cohort_retention"] = q392_cohort_retention
+
+ESTIMATOR_ORACLES["q392_cohort_retention"] = """
+    WITH om AS (
+      SELECT DISTINCT o_custkey,
+             CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1
+                  AS BIGINT) AS ym
+      FROM orders
+    ),
+    cohorts AS (
+      SELECT o_custkey, CAST(MIN(ym) AS BIGINT) AS cohort_ym
+      FROM om GROUP BY o_custkey
+    ),
+    sizes AS (
+      SELECT cohort_ym, CAST(COUNT(*) AS BIGINT) AS cohort_n
+      FROM cohorts GROUP BY cohort_ym
+    ),
+    cells AS (
+      SELECT c.cohort_ym, om.ym - c.cohort_ym AS k,
+             CAST(COUNT(*) AS BIGINT) AS n_active
+      FROM om JOIN cohorts c ON om.o_custkey = c.o_custkey
+      WHERE om.ym - c.cohort_ym <= 12
+      GROUP BY c.cohort_ym, om.ym - c.cohort_ym
+    )
+    SELECT ce.cohort_ym, CAST(ce.k AS BIGINT) AS k, ce.n_active,
+           s.cohort_n,
+           CAST(ce.n_active * 1000000 // s.cohort_n AS BIGINT)
+             AS retention_ppm
+    FROM cells ce JOIN sizes s ON ce.cohort_ym = s.cohort_ym
+    ORDER BY ce.cohort_ym, k
+"""
+
+
+# --- q393: shuffle-partition size planner ----------------------------------------------
+
+
+def q393_partition_size_planner(spark, sf_dir):
+    """Shuffle-partition sizing planner: for partition counts P ∈
+    {8, 32, 128}, hash the REAL join/agg key population (source) into P
+    buckets and ship each layout's max-partition payload, skew ratio
+    (max/mean), and how many partitions get anything at all — the
+    metadata-only answer to "will spark.sql.shuffle.partitions=P spill
+    or straggle on THIS key set?" (the q321/q48 sibling priced before
+    any shuffle runs: 20 sources into 128 partitions mostly collides
+    and idles, and this table SHOWS it). Payload bytes stand in as
+    n_chars.
+
+    Scale shape: the corpus collapses to per-key byte totals once
+    (checkpointed); each P rung re-buckets the ≤|keys| collapsed rows
+    against a broadcast spine — the fact table is scanned exactly once.
+    """
+    from adhesive_spark.operators.dedup import portable_hash32
+    from adhesive_spark.sources.registry import ensure_parallelism
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    per_key = (
+        docs.groupBy("source")
+        .agg(F.sum("n_chars").cast("long").alias("bytes"))
+        .localCheckpoint(eager=True)
+    )
+    spine = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(v).cast("long") for v in (8, 32, 128)])
+        ).alias("p")
+    )
+    parts = (
+        per_key.crossJoin(F.broadcast(spine))
+        .select(
+            "p",
+            F.pmod(
+                portable_hash32(F.concat(F.lit("pp:"), F.col("source"))),
+                F.col("p"),
+            ).alias("part"),
+            "bytes",
+        )
+        .groupBy("p", "part")
+        .agg(F.sum("bytes").cast("long").alias("pb"))
+    )
+    return (
+        parts.groupBy("p")
+        .agg(
+            F.count("*").cast("long").alias("used_partitions"),
+            F.sum("pb").cast("long").alias("total_bytes"),
+            F.max("pb").cast("long").alias("max_partition_bytes"),
+        )
+        .select(
+            "p",
+            "used_partitions",
+            "total_bytes",
+            "max_partition_bytes",
+            F.expr(
+                "CAST(max_partition_bytes * p * 1000000"
+                " div total_bytes AS BIGINT)"
+            ).alias("skew_ratio_ppm"),
+        )
+        .orderBy("p")
+    )
+
+
+ESTIMATOR_QUERIES["q393_partition_size_planner"] = q393_partition_size_planner
+
+
+def _partition_oracle() -> str:
+    bkt = _h32("md5('pp:' || source)")
+    return f"""
+    WITH per_key AS (
+      SELECT source, CAST(SUM(n_chars) AS BIGINT) AS bytes
+      FROM documents GROUP BY source
+    ),
+    spine AS (SELECT UNNEST([8, 32, 128]) AS p),
+    parts AS (
+      SELECT s.p, ({bkt}) % s.p AS part,
+             CAST(SUM(bytes) AS BIGINT) AS pb
+      FROM per_key CROSS JOIN spine s
+      GROUP BY s.p, part
+    )
+    SELECT CAST(p AS BIGINT) AS p,
+           CAST(COUNT(*) AS BIGINT) AS used_partitions,
+           CAST(SUM(pb) AS BIGINT) AS total_bytes,
+           CAST(MAX(pb) AS BIGINT) AS max_partition_bytes,
+           CAST(MAX(pb) * p * 1000000 // SUM(pb) AS BIGINT)
+             AS skew_ratio_ppm
+    FROM parts GROUP BY p ORDER BY p
+"""
+
+
+ESTIMATOR_ORACLES["q393_partition_size_planner"] = _partition_oracle()
+
+
+# --- q394: watermark lateness planner ----------------------------------------------
+
+
+def q394_watermark_planner(spark, sf_dir):
+    """Watermark sizing from measured out-of-orderness: with event_id
+    as the arrival order and ts as event time, a row is LATE by how far
+    its timestamp sits behind the running per-user event-time maximum
+    at arrival. Ships the late share, the max, and the exact p99
+    lateness — p99 IS the withWatermark delay that keeps 99% of late
+    rows inside state at minimal state size (the number every
+    streaming/ops window op asks for and everyone guesses). Integer
+    seconds end to end.
+
+    Scale shape: one per-user running-max window pass (arrival order
+    within user — partition-parallel); the lateness distribution
+    collapses to distinct second-values for the exact quantile.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.expr("CAST(unix_timestamp(ts) AS BIGINT)").alias("es"),
+    )
+    wa = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    late = ev.select(
+        F.greatest(
+            F.coalesce(F.max("es").over(wa) - F.col("es"), F.lit(0)),
+            F.lit(0),
+        ).alias("late_s")
+    )
+    by_val = (
+        late.groupBy("late_s")
+        .agg(F.count("*").cast("long").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    tot = F.broadcast(
+        by_val.agg(
+            F.sum("c").cast("long").alias("n_events"),
+            F.sum(F.when(F.col("late_s") > 0, F.col("c")).otherwise(0))
+            .cast("long")
+            .alias("n_late"),
+            F.max("late_s").cast("long").alias("max_late_s"),
+        )
+    )
+    # bounded-domain: distinct lateness values only
+    wv = Window.orderBy("late_s").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    p99 = (
+        by_val.select("late_s", F.sum("c").over(wv).alias("cum"))
+        .crossJoin(tot)
+        .where(F.col("cum") * 100 >= F.col("n_events") * 99)
+        .agg(F.min("late_s").cast("long").alias("p99_late_s"))
+    )
+    return tot.crossJoin(F.broadcast(p99)).select(
+        "n_events",
+        "n_late",
+        F.expr(
+            "CAST(n_late * 1000000 div n_events AS BIGINT)"
+        ).alias("late_share_ppm"),
+        "max_late_s",
+        "p99_late_s",
+    )
+
+
+ESTIMATOR_QUERIES["q394_watermark_planner"] = q394_watermark_planner
+
+ESTIMATOR_ORACLES["q394_watermark_planner"] = """
+    WITH ev AS (
+      SELECT user_id, event_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS es
+      FROM events
+    ),
+    late AS (
+      SELECT GREATEST(COALESCE(
+               MAX(es) OVER (PARTITION BY user_id ORDER BY event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               - es, 0), 0) AS late_s
+      FROM ev
+    ),
+    by_val AS (
+      SELECT late_s, CAST(COUNT(*) AS BIGINT) AS c
+      FROM late GROUP BY late_s
+    ),
+    tot AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS n_events,
+             CAST(SUM(CASE WHEN late_s > 0 THEN c ELSE 0 END) AS BIGINT)
+               AS n_late,
+             CAST(MAX(late_s) AS BIGINT) AS max_late_s
+      FROM by_val
+    ),
+    p99 AS (
+      SELECT CAST(MIN(late_s) AS BIGINT) AS p99_late_s
+      FROM (
+        SELECT late_s, SUM(c) OVER (ORDER BY late_s
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM by_val
+      ), tot
+      WHERE cum * 100 >= n_events * 99
+    )
+    SELECT t.n_events, t.n_late,
+           CAST(t.n_late * 1000000 // t.n_events AS BIGINT)
+             AS late_share_ppm,
+           t.max_late_s, p99.p99_late_s
+    FROM tot t, p99
+"""

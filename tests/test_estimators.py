@@ -763,3 +763,86 @@ def test_stride_ladder_closed_form(spark, sf_dir):
             dup += (c - 1) * (64 - stride)
         assert rows[stride].total_chunks == chunks
         assert rows[stride].dup_tokens == dup
+
+
+def test_delta_encoding_bits_replay(spark, sf_dir):
+    """Bit widths match Python bit_length on a replay of the per-type
+    sorted gaps; delta bits never exceed raw bits."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.expr("CAST(unix_timestamp(ts) AS BIGINT)").alias("es")
+    ).collect()
+    per: dict[str, list[int]] = {}
+    for r in ev:
+        per.setdefault(r.event_type, []).append(r.es)
+    out = {r.event_type: r for r in
+           E.q391_delta_encoding_roi(spark, sf_dir).collect()}
+    for t, vals in per.items():
+        s = sorted(vals)
+        max_gap = max(b - a for a, b in zip(s, s[1:]))
+        r = out[t]
+        assert r.n_rows == len(s)
+        assert r.max_gap_s == max_gap
+        assert r.raw_bits == s[-1].bit_length()
+        assert r.delta_bits == max(max_gap, 1).bit_length()
+        assert r.delta_bits <= r.raw_bits
+
+
+def test_cohort_retention_identities(spark, sf_dir):
+    """k=0 retention is exactly 10^6 for every cohort (the cohort
+    itself orders in its first month); retention <= 10^6 everywhere;
+    cohort sizes sum to the customer count."""
+    rows = E.q392_cohort_retention(spark, sf_dir).collect()
+    k0 = [r for r in rows if r.k == 0]
+    assert all(r.retention_ppm == 1_000_000 for r in k0)
+    assert all(r.retention_ppm <= 1_000_000 for r in rows)
+    n_cust = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_custkey")
+        .distinct()
+        .count()
+    )
+    assert sum(r.cohort_n for r in k0) == n_cust
+
+
+def test_partition_planner_conservation(spark, sf_dir):
+    """Total bytes identical at every P (hashing only MOVES bytes);
+    used partitions <= min(P, n_keys); skew ratio >= 10^6."""
+    rows = E.q393_partition_size_planner(spark, sf_dir).collect()
+    totals = {r.total_bytes for r in rows}
+    assert len(totals) == 1
+    n_keys = (
+        load_table(spark, sf_dir, "documents")
+        .select("source")
+        .distinct()
+        .count()
+    )
+    for r in rows:
+        assert r.used_partitions <= min(r.p, n_keys)
+        assert r.skew_ratio_ppm >= 1_000_000
+        assert r.max_partition_bytes * r.used_partitions >= r.total_bytes \
+            or r.used_partitions < r.p  # max*used >= total when all used
+
+
+def test_watermark_planner_python_replay(spark, sf_dir):
+    """Late share and p99 match a per-user running-max replay in
+    event_id order."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id",
+        F.expr("CAST(unix_timestamp(ts) AS BIGINT)").alias("es"),
+    ).collect()
+    per: dict[int, list] = {}
+    for r in ev:
+        per.setdefault(r.user_id, []).append((r.event_id, r.es))
+    lates = []
+    for rows_u in per.values():
+        mx = None
+        for _, es in sorted(rows_u):
+            lates.append(max((mx - es) if mx is not None else 0, 0))
+            mx = es if mx is None else max(mx, es)
+    lates.sort()
+    n = len(lates)
+    r = E.q394_watermark_planner(spark, sf_dir).collect()[0]
+    assert r.n_events == n
+    assert r.n_late == sum(1 for v in lates if v > 0)
+    assert r.max_late_s == lates[-1]
+    assert r.p99_late_s == lates[(n * 99 + 99) // 100 - 1]

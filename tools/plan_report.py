@@ -410,6 +410,10 @@ AUDITED = [
     "q388_session_gap_sweep",
     "q389_order_interarrival",
     "q390_stride_overlap_ladder",
+    "q391_delta_encoding_roi",
+    "q392_cohort_retention",
+    "q393_partition_size_planner",
+    "q394_watermark_planner",
 ]
 
 
