@@ -4235,3 +4235,452 @@ ESTIMATOR_ORACLES["q394_watermark_planner"] = """
            t.max_late_s, p99.p99_late_s
     FROM tot t, p99
 """
+
+
+# --- q395: winsorization impact ladder --------------------------------------------
+
+
+def q395_winsor_impact(spark, sf_dir):
+    """Winsorization impact ladder: how much of the event-value mean is
+    carried by the tail above the exact p90/p95/p99 caps? q128 APPLIES
+    one fence; this prices the knob — per rung, the capped mean, the
+    ppm of the mean the cap removes, and how many rows it touches. The
+    robust-statistics complement of q373: MoM says whether the mean is
+    poisoned, this says exactly where the poison sits. Caps are exact
+    lower quantiles off the distinct-cents grid; sums are conditional
+    integer aggregates — the corpus is scanned once.
+
+    Scale shape: events collapse to (cents, cnt) once (checkpointed);
+    caps and capped sums run on that bounded grid × a 3-row broadcast
+    spine.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)").alias("c")
+    )
+    by_val = (
+        ev.groupBy("c")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    tot = F.broadcast(
+        by_val.agg(
+            F.sum("cnt").cast("long").alias("n"),
+            F.sum(F.col("c") * F.col("cnt")).cast("long").alias("s"),
+        )
+    )
+    spine = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(v).cast("long") for v in (90, 95, 99)])
+        ).alias("q")
+    )
+    # bounded-domain: distinct cents values only (replication-invariant)
+    wv = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, 0)
+    cum = by_val.select("c", F.sum("cnt").over(wv).alias("cum"))
+    caps = (
+        cum.crossJoin(tot)
+        .crossJoin(F.broadcast(spine))
+        .where(F.col("cum") * 100 >= F.col("n") * F.col("q"))
+        .groupBy("q")
+        .agg(F.min("c").cast("long").alias("cap_c"))
+    )
+    capped = (
+        by_val.crossJoin(F.broadcast(caps))
+        .groupBy("q", "cap_c")
+        .agg(
+            F.sum(
+                F.least(F.col("c"), F.col("cap_c")) * F.col("cnt")
+            ).cast("long").alias("s_capped"),
+            F.sum(
+                F.when(F.col("c") > F.col("cap_c"), F.col("cnt")).otherwise(0)
+            ).cast("long").alias("n_clipped"),
+        )
+    )
+    return (
+        capped.crossJoin(tot)
+        .select(
+            "q",
+            "cap_c",
+            "n_clipped",
+            F.expr("CAST(s div n AS BIGINT)").alias("mean_c"),
+            F.expr("CAST(s_capped div n AS BIGINT)").alias(
+                "winsor_mean_c"
+            ),
+            F.expr(
+                "CAST((s - s_capped) * 1000000 div s AS BIGINT)"
+            ).alias("tail_mass_ppm"),
+        )
+        .orderBy("q")
+    )
+
+
+ESTIMATOR_QUERIES["q395_winsor_impact"] = q395_winsor_impact
+
+ESTIMATOR_ORACLES["q395_winsor_impact"] = """
+    WITH by_val AS (
+      SELECT CAST(ROUND(value * 100, 0) AS BIGINT) AS c,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+             CAST(SUM(c * cnt) AS BIGINT) AS s
+      FROM by_val
+    ),
+    spine AS (SELECT UNNEST([90, 95, 99]) AS q),
+    cum AS (
+      SELECT c, SUM(cnt) OVER (ORDER BY c
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM by_val
+    ),
+    caps AS (
+      SELECT s.q, CAST(MIN(cum.c) AS BIGINT) AS cap_c
+      FROM cum, tot, spine s
+      WHERE cum.cum * 100 >= tot.n * s.q
+      GROUP BY s.q
+    ),
+    capped AS (
+      SELECT caps.q, caps.cap_c,
+             CAST(SUM(LEAST(b.c, caps.cap_c) * b.cnt) AS BIGINT)
+               AS s_capped,
+             CAST(SUM(CASE WHEN b.c > caps.cap_c THEN b.cnt ELSE 0 END)
+                  AS BIGINT) AS n_clipped
+      FROM by_val b CROSS JOIN caps
+      GROUP BY caps.q, caps.cap_c
+    )
+    SELECT CAST(cp.q AS BIGINT) AS q, cp.cap_c, cp.n_clipped,
+           CAST(t.s // t.n AS BIGINT) AS mean_c,
+           CAST(cp.s_capped // t.n AS BIGINT) AS winsor_mean_c,
+           CAST((t.s - cp.s_capped) * 1000000 // t.s AS BIGINT)
+             AS tail_mass_ppm
+    FROM capped cp, tot t ORDER BY q
+"""
+
+
+# --- q396: group-by cardinality pre-flight ------------------------------------------
+
+
+def q396_key_cardinality_ladder(spark, sf_dir):
+    """Group-by cardinality pre-flight: the distinct-group count and
+    mean rows-per-group for the dimension combinations a cube/rollup
+    would materialize ((lang), (source), (source, lang),
+    (source, lang, n_chars)) — the metadata query that decides whether
+    a q13-style cube is a 100-row summary or an accidental
+    corpus-sized explosion BEFORE anyone runs it (the q166
+    join-cardinality pre-flight's aggregation sibling). One count per
+    rung over the same scan; all integer.
+
+    Scale shape: four count-distinct aggregates, each map-side
+    combinable; output is 4 rows.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n = F.broadcast(docs.agg(F.count("*").cast("long").alias("n_rows")))
+
+    def _rung(name, *cols):
+        return (
+            docs.agg(
+                F.count_distinct(*[F.col(c) for c in cols])
+                .cast("long")
+                .alias("n_groups")
+            )
+            .crossJoin(n)
+            .select(
+                F.lit(name).alias("combo"),
+                "n_groups",
+                "n_rows",
+                F.expr(
+                    "CAST(n_rows * 1000 div n_groups AS BIGINT)"
+                ).alias("rows_per_group_milli"),
+            )
+        )
+
+    return (
+        _rung("lang", "lang")
+        .unionByName(_rung("source", "source"))
+        .unionByName(_rung("source,lang", "source", "lang"))
+        .unionByName(
+            _rung("source,lang,n_chars", "source", "lang", "n_chars")
+        )
+        .orderBy("combo")
+    )
+
+
+ESTIMATOR_QUERIES["q396_key_cardinality_ladder"] = q396_key_cardinality_ladder
+
+ESTIMATOR_ORACLES["q396_key_cardinality_ladder"] = """
+    WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM documents),
+    rungs AS (
+      SELECT 'lang' AS combo,
+             CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_groups
+      FROM documents
+      UNION ALL
+      SELECT 'source', CAST(COUNT(DISTINCT source) AS BIGINT)
+      FROM documents
+      UNION ALL
+      SELECT 'source,lang',
+             CAST(COUNT(DISTINCT (source, lang)) AS BIGINT)
+      FROM documents
+      UNION ALL
+      SELECT 'source,lang,n_chars',
+             CAST(COUNT(DISTINCT (source, lang, n_chars)) AS BIGINT)
+      FROM documents
+    )
+    SELECT r.combo, r.n_groups, n.n_rows,
+           CAST(n.n_rows * 1000 // r.n_groups AS BIGINT)
+             AS rows_per_group_milli
+    FROM rungs r, n ORDER BY combo
+"""
+
+
+# --- q397: revenue bridge (mix/rate decomposition) ------------------------------------
+
+
+def q397_revenue_bridge(spark, sf_dir):
+    """Revenue bridge: decompose the revenue change between two periods
+    (orders ≤1997 vs ≥1998) into MIX (order-count shift at old average
+    value) and RATE (average-value shift at new counts) per priority
+    segment — the classic finance/ops "why did the number move"
+    decomposition, exact in cents with each segment's division floored
+    identically in both engines and the floor residual SHIPPED as a
+    column (delta = mix + rate + resid holds row by row, by
+    construction). In pipeline terms the same bridge explains a token
+    count or a storage bill moving between snapshots.
+
+    Scale shape: one aggregate to (segment, period) cells; the algebra
+    runs on ≤ segments rows. Output is 5 rows.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("segment"),
+        (F.year("o_orderdate") <= 1997).cast("long").alias("is_p1"),
+        F.expr("CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    cells = orders.groupBy("segment").agg(
+        F.sum("is_p1").cast("long").alias("n1"),
+        F.sum(F.col("is_p1") * F.col("cents")).cast("long").alias("s1"),
+        (F.count("*") - F.sum("is_p1")).cast("long").alias("n2"),
+        F.sum((1 - F.col("is_p1")) * F.col("cents"))
+        .cast("long")
+        .alias("s2"),
+    )
+    return cells.select(
+        "segment",
+        "n1",
+        "n2",
+        "s1",
+        "s2",
+        (F.col("s2") - F.col("s1")).alias("delta_cents"),
+        F.expr(
+            "CAST((n2 - n1) * CAST(s1 AS DECIMAL(38,0)) div n1 AS BIGINT)"
+        ).alias("mix_cents"),
+        F.expr(
+            "CAST(s2 - n2 * CAST(s1 AS DECIMAL(38,0)) div n1 AS BIGINT)"
+        ).alias("rate_cents"),
+        F.expr(
+            "CAST((s2 - s1)"
+            " - ((n2 - n1) * CAST(s1 AS DECIMAL(38,0)) div n1)"
+            " - (s2 - n2 * CAST(s1 AS DECIMAL(38,0)) div n1) AS BIGINT)"
+        ).alias("resid_cents"),
+    ).orderBy("segment")
+
+
+ESTIMATOR_QUERIES["q397_revenue_bridge"] = q397_revenue_bridge
+
+ESTIMATOR_ORACLES["q397_revenue_bridge"] = """
+    WITH o AS (
+      SELECT o_orderpriority AS segment,
+             CAST(year(o_orderdate) <= 1997 AS BIGINT) AS is_p1,
+             CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+      FROM orders
+    ),
+    cells AS (
+      SELECT segment,
+             CAST(SUM(is_p1) AS BIGINT) AS n1,
+             CAST(SUM(is_p1 * cents) AS BIGINT) AS s1,
+             CAST(COUNT(*) - SUM(is_p1) AS BIGINT) AS n2,
+             CAST(SUM((1 - is_p1) * cents) AS BIGINT) AS s2
+      FROM o GROUP BY segment
+    )
+    SELECT segment, n1, n2, s1, s2,
+           s2 - s1 AS delta_cents,
+           CAST((n2 - n1) * CAST(s1 AS HUGEINT) // n1 AS BIGINT)
+             AS mix_cents,
+           CAST(s2 - n2 * CAST(s1 AS HUGEINT) // n1 AS BIGINT)
+             AS rate_cents,
+           CAST((s2 - s1)
+                - ((n2 - n1) * CAST(s1 AS HUGEINT) // n1)
+                - (s2 - n2 * CAST(s1 AS HUGEINT) // n1) AS BIGINT)
+             AS resid_cents
+    FROM cells ORDER BY segment
+"""
+
+
+# --- q398: Zipf rank-frequency product ladder -----------------------------------------
+
+
+def q398_zipf_product_ladder(spark, sf_dir):
+    """Log-free Zipf diagnostic: under Zipf's law with exponent 1 the
+    rank×frequency product is constant, so shipping r·f at a fixed rank
+    ladder (1/2/5/10/20/50/100), normalized by the rank-1 product,
+    reads the power-law fit without a single logarithm — a flat ladder
+    says "natural-language-like tail", a collapsing one says the
+    vocabulary is template/boilerplate-driven (exactly what the
+    synthetic corpus should show). Tie-break (count DESC, token ASC);
+    ranks live on a 100-row TakeOrdered table, never a vocabulary sort.
+
+    Scale shape: one token-count aggregate; TakeOrdered top-100; rank
+    window over 100 rows; a 7-row broadcast ladder picks the readout.
+    """
+    from adhesive_spark.operators.text import tokens
+    from adhesive_spark.sources.registry import ensure_parallelism
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    top = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("f"))
+        .orderBy(F.desc("f"), F.asc("w"))
+        .limit(100)
+        .localCheckpoint(eager=True)
+    )
+    # bounded-domain: 100 top-token rows only
+    wr = Window.orderBy(F.desc("f"), F.asc("w"))
+    ranked = top.select(
+        "w", "f", F.row_number().over(wr).cast("long").alias("r")
+    )
+    f1 = F.broadcast(
+        ranked.where(F.col("r") == 1).select(
+            F.col("f").alias("f_top")
+        )
+    )
+    ladder = spark.range(1).select(
+        F.explode(
+            F.array(
+                *[F.lit(v).cast("long") for v in (1, 2, 5, 10, 20, 50, 100)]
+            )
+        ).alias("rank")
+    )
+    return (
+        ranked.join(F.broadcast(ladder), F.col("r") == F.col("rank"))
+        .crossJoin(f1)
+        .select(
+            "rank",
+            F.col("w").alias("token"),
+            F.col("f").alias("freq"),
+            (F.col("r") * F.col("f")).alias("rf_product"),
+            F.expr(
+                "CAST(r * f * 1000000 div f_top AS BIGINT)"
+            ).alias("rf_norm_ppm"),
+        )
+        .orderBy("rank")
+    )
+
+
+ESTIMATOR_QUERIES["q398_zipf_product_ladder"] = q398_zipf_product_ladder
+
+ESTIMATOR_ORACLES["q398_zipf_product_ladder"] = f"""
+    WITH tok AS (
+      SELECT UNNEST({_TOKS}) AS w FROM documents
+    ),
+    top AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS f
+      FROM tok GROUP BY w ORDER BY f DESC, w ASC LIMIT 100
+    ),
+    ranked AS (
+      SELECT w, f,
+             CAST(ROW_NUMBER() OVER (ORDER BY f DESC, w ASC) AS BIGINT)
+               AS r
+      FROM top
+    ),
+    f1 AS (SELECT f AS f_top FROM ranked WHERE r = 1),
+    ladder AS (SELECT UNNEST([1, 2, 5, 10, 20, 50, 100]) AS rank)
+    SELECT CAST(l.rank AS BIGINT) AS rank, rk.w AS token,
+           rk.f AS freq, rk.r * rk.f AS rf_product,
+           CAST(rk.r * rk.f * 1000000 // f1.f_top AS BIGINT)
+             AS rf_norm_ppm
+    FROM ranked rk JOIN ladder l ON rk.r = l.rank
+    CROSS JOIN f1 ORDER BY rank
+"""
+
+
+# --- q399: discount-response audit -----------------------------------------------------
+
+
+def q399_discount_response(spark, sf_dir):
+    """Discount-response audit: mean line-item quantity per discount
+    band (exact cents bands) plus the integer covariance-numerator SIGN
+    of discount vs quantity over the whole fact table — the "does the
+    discount knob actually move volume, or is it pure margin giveaway?"
+    readout, with the q377 sign machinery applied to a pricing lever.
+    A flat band table with sign 0/−1 is the (correct) null answer on
+    synthetic independent data; on real data this is the first
+    elasticity sanity check before any model.
+
+    Scale shape: ONE aggregate to ≤11 discount-band rows carrying the
+    moment sums; the covariance sign derives from the band table, not
+    a second scan.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.expr("CAST(ROUND(l_discount * 100, 0) AS BIGINT)").alias("d_c"),
+        F.expr("CAST(ROUND(l_quantity * 100, 0) AS BIGINT)").alias("q_c"),
+    )
+    bands = (
+        li.groupBy("d_c")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("q_c").cast("long").alias("sq"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    tot = F.broadcast(
+        bands.agg(
+            F.sum("n").cast("long").alias("nn"),
+            F.sum(F.col("d_c") * F.col("n")).cast("long").alias("sd"),
+            F.sum("sq").cast("long").alias("sqq"),
+            F.sum(F.col("d_c") * F.col("sq")).cast("long").alias("sdq"),
+        )
+    )
+    return (
+        bands.crossJoin(tot)
+        .select(
+            "d_c",
+            "n",
+            F.expr("CAST(sq * 10 div n AS BIGINT)").alias(
+                "mean_qty_milli"
+            ),
+            F.expr(
+                "CAST(sign(CAST(nn AS DECIMAL(38,0)) * sdq"
+                " - CAST(sd AS DECIMAL(38,0)) * sqq) AS BIGINT)"
+            ).alias("cov_sign"),
+        )
+        .orderBy("d_c")
+    )
+
+
+ESTIMATOR_QUERIES["q399_discount_response"] = q399_discount_response
+
+ESTIMATOR_ORACLES["q399_discount_response"] = """
+    WITH li AS (
+      SELECT CAST(ROUND(l_discount * 100, 0) AS BIGINT) AS d_c,
+             CAST(ROUND(l_quantity * 100, 0) AS BIGINT) AS q_c
+      FROM lineitem
+    ),
+    bands AS (
+      SELECT d_c, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(q_c) AS BIGINT) AS sq
+      FROM li GROUP BY d_c
+    ),
+    tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS nn,
+             CAST(SUM(d_c * n) AS BIGINT) AS sd,
+             CAST(SUM(sq) AS BIGINT) AS sqq,
+             CAST(SUM(d_c * sq) AS BIGINT) AS sdq
+      FROM bands
+    )
+    SELECT b.d_c, b.n,
+           CAST(b.sq * 10 // b.n AS BIGINT) AS mean_qty_milli,
+           CAST(SIGN(CAST(t.nn AS HUGEINT) * t.sdq
+                     - CAST(t.sd AS HUGEINT) * t.sqq) AS BIGINT)
+             AS cov_sign
+    FROM bands b, tot t ORDER BY b.d_c
+"""

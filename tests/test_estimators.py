@@ -846,3 +846,82 @@ def test_watermark_planner_python_replay(spark, sf_dir):
     assert r.n_late == sum(1 for v in lates if v > 0)
     assert r.max_late_s == lates[-1]
     assert r.p99_late_s == lates[(n * 99 + 99) // 100 - 1]
+
+
+def test_winsor_impact_monotone(spark, sf_dir):
+    """Higher quantile cap -> less clipped, less tail mass removed;
+    winsor mean <= raw mean always."""
+    rows = {r.q: r for r in E.q395_winsor_impact(spark, sf_dir).collect()}
+    assert rows[90].n_clipped >= rows[95].n_clipped >= rows[99].n_clipped
+    assert rows[90].tail_mass_ppm >= rows[95].tail_mass_ppm \
+        >= rows[99].tail_mass_ppm
+    for r in rows.values():
+        assert r.winsor_mean_c <= r.mean_c
+        assert rows[90].cap_c <= rows[95].cap_c <= rows[99].cap_c
+
+
+def test_key_cardinality_lattice_monotone(spark, sf_dir):
+    """Adding a grouping column can only grow the group count; every
+    rung's groups*rows_per_group reconciles with the row count."""
+    rows = {r.combo: r for r in
+            E.q396_key_cardinality_ladder(spark, sf_dir).collect()}
+    assert rows["source,lang"].n_groups >= rows["source"].n_groups
+    assert rows["source,lang"].n_groups >= rows["lang"].n_groups
+    assert (rows["source,lang,n_chars"].n_groups
+            >= rows["source,lang"].n_groups)
+    for r in rows.values():
+        assert r.rows_per_group_milli == r.n_rows * 1000 // r.n_groups
+
+
+def test_revenue_bridge_reconciles(spark, sf_dir):
+    """delta = mix + rate + resid EXACTLY per segment (the floors are
+    shipped); segment sums reconcile with direct period aggregates."""
+    rows = E.q397_revenue_bridge(spark, sf_dir).collect()
+    for r in rows:
+        assert r.delta_cents == r.mix_cents + r.rate_cents + r.resid_cents
+        assert abs(r.resid_cents) <= 1  # one floor each side
+    orders = load_table(spark, sf_dir, "orders")
+    s1 = orders.where("year(o_orderdate) <= 1997").agg(
+        F.expr("CAST(SUM(CAST(ROUND(o_totalprice*100,0) AS BIGINT)) AS BIGINT)")
+    ).collect()[0][0]
+    assert sum(r.s1 for r in rows) == s1
+
+
+def test_zipf_ladder_python_replay(spark, sf_dir):
+    """Rank products match a Counter replay with the same tie-break."""
+    docs = _doc_tokens(spark, sf_dir)
+    c: Counter = Counter()
+    for _, toks, _, _ in docs:
+        c.update(toks)
+    ranked = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:100]
+    rows = {r.rank: r for r in
+            E.q398_zipf_product_ladder(spark, sf_dir).collect()}
+    f_top = ranked[0][1]
+    for rank in (1, 2, 5, 10, 20, 50, 100):
+        if rank > len(ranked):
+            assert rank not in rows
+            continue
+        w, f = ranked[rank - 1]
+        r = rows[rank]
+        assert (r.token, r.freq) == (w, f)
+        assert r.rf_product == rank * f
+        assert r.rf_norm_ppm == rank * f * 1_000_000 // f_top
+
+
+def test_discount_response_identities(spark, sf_dir):
+    """Band means are valid; the covariance sign is shared across rows
+    and matches a direct replay."""
+    rows = E.q399_discount_response(spark, sf_dir).collect()
+    signs = {r.cov_sign for r in rows}
+    assert len(signs) == 1 and signs.pop() in (-1, 0, 1)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.expr("CAST(ROUND(l_discount*100,0) AS BIGINT)").alias("d"),
+        F.expr("CAST(ROUND(l_quantity*100,0) AS BIGINT)").alias("q"),
+    ).collect()
+    n = len(li)
+    sd = sum(r.d for r in li)
+    sq = sum(r.q for r in li)
+    sdq = sum(r.d * r.q for r in li)
+    num = n * sdq - sd * sq
+    expect = (num > 0) - (num < 0)
+    assert rows[0].cov_sign == expect

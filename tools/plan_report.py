@@ -414,6 +414,11 @@ AUDITED = [
     "q392_cohort_retention",
     "q393_partition_size_planner",
     "q394_watermark_planner",
+    "q395_winsor_impact",
+    "q396_key_cardinality_ladder",
+    "q397_revenue_bridge",
+    "q398_zipf_product_ladder",
+    "q399_discount_response",
 ]
 
 
