@@ -4684,3 +4684,149 @@ ESTIMATOR_ORACLES["q399_discount_response"] = """
              AS cov_sign
     FROM bands b, tot t ORDER BY b.d_c
 """
+
+
+# --- q400: token-economics ledger -------------------------------------------------
+
+
+def q400_token_economics(spark, sf_dir):
+    """Cost-per-effective-token ledger — the capstone economics of the
+    whole curation stack in ONE pass: raw tokens in; tokens surviving
+    the length gate, the quality threshold, and exact dedup (first
+    copy per fingerprint); and the chunk-overlap inflation (64-token
+    window, stride 48) the trainer re-pays on what survives. The
+    bottom line, effective_per_raw_ppm, is the number a 100 TB ingest
+    contract is actually priced in: how many trainable tokens a
+    million crawled tokens buy. Every stage reuses the house
+    primitives (quality_score, fingerprint, the q390 closed form) so
+    the ledger IS the pipeline's arithmetic, not a parallel estimate.
+
+    Scale shape: one projection computes all per-doc columns; the
+    dedup first-copy is ONE fingerprint aggregate joined back; one
+    final 1-row aggregate. No windows.
+    """
+    from adhesive_spark.operators.text import (
+        fingerprint,
+        quality_score,
+        token_count,
+    )
+    from adhesive_spark.sources.registry import ensure_parallelism
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    base = docs.select(
+        "doc_id",
+        token_count(F.col("text")).cast("long").alias("toks"),
+        (
+            (F.col("n_chars") >= 100) & (F.col("n_chars") <= 20000)
+        ).cast("long").alias("len_ok"),
+        (quality_score(F.col("text")) >= 0.3).cast("long").alias("q_ok"),
+        fingerprint(F.col("text")).alias("fp"),
+    )
+    first = base.groupBy("fp").agg(F.min("doc_id").alias("keep_id"))
+    # fp-keyed shuffle join (NOT broadcast: the fingerprint table is
+    # corpus-sized — this is the standard dedup shuffle)
+    flagged = base.join(first, "fp").select(
+        "toks",
+        "len_ok",
+        "q_ok",
+        (F.col("doc_id") == F.col("keep_id")).cast("long").alias("first_copy"),
+    )
+    stride, chunk = 48, 64
+    return flagged.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("toks").cast("long").alias("raw_tokens"),
+        F.sum(F.col("toks") * F.col("len_ok")).cast("long").alias(
+            "after_len_tokens"
+        ),
+        F.sum(
+            F.col("toks") * F.col("len_ok") * F.col("q_ok")
+        ).cast("long").alias("after_quality_tokens"),
+        F.sum(
+            F.col("toks")
+            * F.col("len_ok")
+            * F.col("q_ok")
+            * F.col("first_copy")
+        ).cast("long").alias("surviving_tokens"),
+        # q390 closed form on the survivors: duplicated tokens at
+        # (64, stride 48)
+        F.sum(
+            F.when(
+                (F.col("len_ok") * F.col("q_ok") * F.col("first_copy"))
+                == 1,
+                F.expr(
+                    f"(CASE WHEN toks <= {chunk} THEN 0"
+                    f" ELSE (toks - {chunk} + {stride} - 1)"
+                    f" div {stride} END) * ({chunk} - {stride})"
+                ),
+            ).otherwise(0)
+        ).cast("long").alias("overlap_tokens"),
+    ).select(
+        "n_docs",
+        "raw_tokens",
+        "after_len_tokens",
+        "after_quality_tokens",
+        "surviving_tokens",
+        "overlap_tokens",
+        F.expr(
+            "CAST(surviving_tokens * 1000000 div raw_tokens AS BIGINT)"
+        ).alias("effective_per_raw_ppm"),
+        F.expr(
+            "CAST((surviving_tokens + overlap_tokens) * 1000000"
+            " div greatest(surviving_tokens, 1) AS BIGINT)"
+        ).alias("train_inflation_ppm"),
+    )
+
+
+ESTIMATOR_QUERIES["q400_token_economics"] = q400_token_economics
+
+
+def _economics_oracle() -> str:
+    from adhesive_spark.queries.metrology_queries import _quality_sql_
+
+    return f"""
+    WITH t AS (
+      SELECT doc_id, text, n_chars, {_NORM} AS norm, {_TOKS} AS toks
+      FROM documents
+    ),
+    base AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS toks,
+             CAST(n_chars BETWEEN 100 AND 20000 AS BIGINT) AS len_ok,
+             CAST(({_quality_sql_()}) >= 0.3 AS BIGINT) AS q_ok,
+             md5(norm) AS fp
+      FROM t
+    ),
+    first AS (
+      SELECT fp, MIN(doc_id) AS keep_id FROM base GROUP BY fp
+    ),
+    flagged AS (
+      SELECT b.toks, b.len_ok, b.q_ok,
+             CAST(b.doc_id = f.keep_id AS BIGINT) AS first_copy
+      FROM base b JOIN first f ON b.fp = f.fp
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(toks) AS BIGINT) AS raw_tokens,
+             CAST(SUM(toks * len_ok) AS BIGINT) AS after_len_tokens,
+             CAST(SUM(toks * len_ok * q_ok) AS BIGINT)
+               AS after_quality_tokens,
+             CAST(SUM(toks * len_ok * q_ok * first_copy) AS BIGINT)
+               AS surviving_tokens,
+             CAST(SUM(CASE WHEN len_ok * q_ok * first_copy = 1 THEN
+               (CASE WHEN toks <= 64 THEN 0
+                     ELSE (toks - 64 + 48 - 1) // 48 END) * (64 - 48)
+               ELSE 0 END) AS BIGINT) AS overlap_tokens
+      FROM flagged
+    )
+    SELECT n_docs, raw_tokens, after_len_tokens, after_quality_tokens,
+           surviving_tokens, overlap_tokens,
+           CAST(surviving_tokens * 1000000 // raw_tokens AS BIGINT)
+             AS effective_per_raw_ppm,
+           CAST((surviving_tokens + overlap_tokens) * 1000000
+                // GREATEST(surviving_tokens, 1) AS BIGINT)
+             AS train_inflation_ppm
+    FROM agg
+    """
+
+
+ESTIMATOR_ORACLES["q400_token_economics"] = _economics_oracle()

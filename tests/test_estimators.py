@@ -925,3 +925,19 @@ def test_discount_response_identities(spark, sf_dir):
     num = n * sdq - sd * sq
     expect = (num > 0) - (num < 0)
     assert rows[0].cov_sign == expect
+
+
+def test_token_economics_funnel_monotone(spark, sf_dir):
+    """The ledger is a funnel: each stage can only remove tokens;
+    ratios are consistent with the shipped integers."""
+    r = E.q400_token_economics(spark, sf_dir).collect()[0]
+    assert (r.raw_tokens >= r.after_len_tokens >= r.after_quality_tokens
+            >= r.surviving_tokens >= 0)
+    assert r.effective_per_raw_ppm == (
+        r.surviving_tokens * 1_000_000 // r.raw_tokens
+    )
+    assert r.train_inflation_ppm >= 1_000_000
+    assert r.train_inflation_ppm == (
+        (r.surviving_tokens + r.overlap_tokens) * 1_000_000
+        // max(r.surviving_tokens, 1)
+    )

@@ -419,6 +419,7 @@ AUDITED = [
     "q397_revenue_bridge",
     "q398_zipf_product_ladder",
     "q399_discount_response",
+    "q400_token_economics",
 ]
 
 
