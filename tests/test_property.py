@@ -723,3 +723,62 @@ def test_containment_pairs_match_bruteforce(spark, texts):
             if ab >= 300_000 or ba >= 300_000:
                 want[(a, b)] = (ab, ba, jac)
     assert got == want
+
+
+# --- rendezvous bucketing vs a hashlib reference ------------------------------
+
+_hrw_keys = st.lists(
+    st.text(
+        alphabet="abcdefghijklmnopqrstuvwxyz0123456789", min_size=1,
+        max_size=12,
+    ),
+    min_size=1,
+    max_size=20,
+    unique=True,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(keys=_hrw_keys, n=st.integers(min_value=2, max_value=8))
+def test_rendezvous_matches_hashlib_and_is_stable(spark, keys, n):
+    """rendezvous_bucket == an independent hashlib argmax replay for
+    every key, and growing n -> n+1 only ever moves keys INTO the new
+    bucket (the HRW contract, on arbitrary generated key sets)."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from adhesive_spark.operators.skew import rendezvous_bucket
+
+    def ref_bucket(key: str, nb: int) -> int:
+        best = max(
+            (
+                int(
+                    hashlib.md5(f"hrw:{b}:{key}".encode()).hexdigest()[:8],
+                    16,
+                )
+                * 64
+                + b
+            )
+            for b in range(nb)
+        )
+        return best % 64
+
+    df = spark.createDataFrame([(k,) for k in keys], ["k"])
+    got = {
+        r.k: (r.bn, r.bn1)
+        for r in df.select(
+            "k",
+            rendezvous_bucket(F.col("k"), n).alias("bn"),
+            rendezvous_bucket(F.col("k"), n + 1).alias("bn1"),
+        ).collect()
+    }
+    for k in keys:
+        bn, bn1 = got[k]
+        assert bn == ref_bucket(k, n)
+        assert bn1 == ref_bucket(k, n + 1)
+        assert bn1 == bn or bn1 == n  # moves only into the NEW bucket
