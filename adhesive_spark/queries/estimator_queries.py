@@ -4830,3 +4830,882 @@ def _economics_oracle() -> str:
 
 
 ESTIMATOR_ORACLES["q400_token_economics"] = _economics_oracle()
+
+
+# --- q401: one-way ANOVA F for day-of-week effect ----------------------------------
+
+
+def q401_dow_anova(spark, sf_dir):
+    """One-way ANOVA on event value by weekday — the significance test
+    behind q371's seasonality index, in exact integers: per-term-floored
+    SSW/SSB (the q380/q382 decomposition pointed at a time dimension),
+    the F statistic ×1000 with division last, and η² (the variance
+    share the weekday explains). F near 1 says q371's index wiggles are
+    noise; a large F licenses per-day capacity planning. Weekday is
+    Sunday=0 in both engines.
+
+    Scale shape: ONE aggregate to 7 per-day moment rows; all test
+    algebra runs on those 7 rows + a broadcast grand total.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        (F.dayofweek("ts") - 1).cast("long").alias("dow"),
+        F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)").alias("c"),
+    )
+    per = ev.groupBy("dow").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("c").cast("long").alias("s"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("ss"),
+    )
+    grand = F.broadcast(
+        per.agg(
+            F.sum("n").cast("long").alias("nn"),
+            F.sum("s").cast("long").alias("sg"),
+            F.count("*").cast("long").alias("k"),
+            F.sum(
+                F.expr(
+                    "(CAST(ss AS DECIMAL(38,0)) * n"
+                    " - CAST(s AS DECIMAL(38,0)) * s) div n"
+                )
+            )
+            .cast("long")
+            .alias("ssw"),
+        )
+    )
+    ssb = (
+        per.crossJoin(grand)
+        .select(
+            F.expr(
+                "CAST((CAST(s AS DECIMAL(38,0)) * nn"
+                "      - CAST(sg AS DECIMAL(38,0)) * n)"
+                "     * (CAST(s AS DECIMAL(38,0)) * nn"
+                "        - CAST(sg AS DECIMAL(38,0)) * n)"
+                " div (CAST(n AS DECIMAL(38,0)) * nn * nn) AS BIGINT)"
+            ).alias("term")
+        )
+        .agg(F.sum("term").cast("long").alias("ssb"))
+    )
+    return ssb.crossJoin(grand).select(
+        F.col("nn").alias("n_events"),
+        F.col("k").alias("n_groups"),
+        F.col("ssb").alias("ssb_scaled"),
+        F.col("ssw").alias("ssw_scaled"),
+        F.expr(
+            "CAST(CAST(ssb AS DECIMAL(38,0)) * (nn - k) * 1000"
+            " div greatest((k - 1) * CAST(ssw AS DECIMAL(38,0)), 1)"
+            " AS BIGINT)"
+        ).alias("f_milli"),
+        F.expr(
+            "CAST(CAST(ssb AS DECIMAL(38,0)) * 1000000"
+            " div greatest(ssb + ssw, 1) AS BIGINT)"
+        ).alias("eta_sq_ppm"),
+    )
+
+
+ESTIMATOR_QUERIES["q401_dow_anova"] = q401_dow_anova
+
+ESTIMATOR_ORACLES["q401_dow_anova"] = """
+    WITH ev AS (
+      SELECT dayofweek(ts) AS dow,
+             CAST(ROUND(value * 100, 0) AS BIGINT) AS c
+      FROM events
+    ),
+    per AS (
+      SELECT dow, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(c) AS BIGINT) AS s,
+             CAST(SUM(c * c) AS BIGINT) AS ss
+      FROM ev GROUP BY dow
+    ),
+    grand AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS nn,
+             CAST(SUM(s) AS BIGINT) AS sg,
+             CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM((CAST(ss AS HUGEINT) * n
+                       - CAST(s AS HUGEINT) * s) // n) AS BIGINT) AS ssw
+      FROM per
+    ),
+    ssb_t AS (
+      SELECT CAST(SUM((CAST(p.s AS HUGEINT) * g.nn
+                       - CAST(g.sg AS HUGEINT) * p.n)
+                      * (CAST(p.s AS HUGEINT) * g.nn
+                         - CAST(g.sg AS HUGEINT) * p.n)
+                      // (CAST(p.n AS HUGEINT) * g.nn * g.nn))
+                  AS BIGINT) AS ssb
+      FROM per p, grand g
+    )
+    SELECT g.nn AS n_events, g.k AS n_groups,
+           s.ssb AS ssb_scaled, g.ssw AS ssw_scaled,
+           CAST(CAST(s.ssb AS HUGEINT) * (g.nn - g.k) * 1000
+                // GREATEST((g.k - 1) * CAST(g.ssw AS HUGEINT), 1)
+                AS BIGINT) AS f_milli,
+           CAST(CAST(s.ssb AS HUGEINT) * 1000000
+                // GREATEST(s.ssb + g.ssw, 1) AS BIGINT) AS eta_sq_ppm
+    FROM grand g, ssb_t s
+"""
+
+
+# --- q402: event-type mix-shift canary ------------------------------------------------
+
+
+def q402_mix_shift_canary(spark, sf_dir):
+    """Release-canary mix audit: split the stream at its midpoint
+    timestamp and compare the event-TYPE mix of the two halves —
+    per-type share deltas plus the total-variation distance between the
+    mixes (the q361 cross-multiplied machinery on a categorical
+    distribution over time). A canary alarm here means the traffic
+    COMPOSITION moved even if volume didn't — the failure mode volume
+    monitors (q150) are blind to. All integer, division last.
+
+    Scale shape: one aggregate to (type, half) counts against a
+    broadcast 1-row midpoint; TV and deltas run on ≤5 type rows.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("CAST(unix_timestamp(ts) AS BIGINT)").alias("es"),
+    )
+    mid = F.broadcast(
+        ev.agg(
+            F.expr(
+                "CAST((min(es) + max(es)) div 2 AS BIGINT)"
+            ).alias("mid_es")
+        )
+    )
+    cells = (
+        ev.crossJoin(mid)
+        .groupBy("event_type")
+        .agg(
+            F.count_if(F.col("es") < F.col("mid_es"))
+            .cast("long")
+            .alias("n1"),
+            F.count_if(F.col("es") >= F.col("mid_es"))
+            .cast("long")
+            .alias("n2"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    tots = F.broadcast(
+        cells.agg(
+            F.sum("n1").cast("long").alias("t1"),
+            F.sum("n2").cast("long").alias("t2"),
+            F.sum(
+                F.expr(
+                    "abs(CAST(n1 AS DECIMAL(38,0)) * sum(n2)"
+                    " - CAST(n2 AS DECIMAL(38,0)) * sum(n1))"
+                )
+            ).alias("_never"),
+        )
+    ) if False else F.broadcast(
+        cells.agg(
+            F.sum("n1").cast("long").alias("t1"),
+            F.sum("n2").cast("long").alias("t2"),
+        )
+    )
+    terms = cells.crossJoin(tots).select(
+        "event_type",
+        "n1",
+        "n2",
+        "t1",
+        "t2",
+        F.expr(
+            "abs(CAST(n1 AS DECIMAL(38,0)) * t2"
+            " - CAST(n2 AS DECIMAL(38,0)) * t1)"
+        ).alias("num"),
+    )
+    tv = F.broadcast(
+        terms.agg(
+            F.expr(
+                "CAST(sum(num) * 1000000"
+                " div (2 * CAST(min(t1) AS DECIMAL(38,0)) * min(t2))"
+                " AS BIGINT)"
+            ).alias("tv_ppm")
+        )
+    )
+    return (
+        terms.crossJoin(tv)
+        .select(
+            "event_type",
+            "n1",
+            "n2",
+            F.expr("CAST(n1 * 1000000 div t1 AS BIGINT)").alias(
+                "share1_ppm"
+            ),
+            F.expr("CAST(n2 * 1000000 div t2 AS BIGINT)").alias(
+                "share2_ppm"
+            ),
+            F.expr(
+                "CAST(n2 * 1000000 div t2 - n1 * 1000000 div t1"
+                " AS BIGINT)"
+            ).alias("delta_ppm"),
+            "tv_ppm",
+        )
+        .orderBy("event_type")
+    )
+
+
+ESTIMATOR_QUERIES["q402_mix_shift_canary"] = q402_mix_shift_canary
+
+ESTIMATOR_ORACLES["q402_mix_shift_canary"] = """
+    WITH ev AS (
+      SELECT event_type, CAST(FLOOR(epoch(ts)) AS BIGINT) AS es
+      FROM events
+    ),
+    mid AS (
+      SELECT CAST((MIN(es) + MAX(es)) // 2 AS BIGINT) AS mid_es FROM ev
+    ),
+    cells AS (
+      SELECT event_type,
+             CAST(COUNT(*) FILTER (WHERE es < m.mid_es) AS BIGINT) AS n1,
+             CAST(COUNT(*) FILTER (WHERE es >= m.mid_es) AS BIGINT) AS n2
+      FROM ev, mid m GROUP BY event_type
+    ),
+    tots AS (
+      SELECT CAST(SUM(n1) AS BIGINT) AS t1,
+             CAST(SUM(n2) AS BIGINT) AS t2
+      FROM cells
+    ),
+    terms AS (
+      SELECT c.event_type, c.n1, c.n2, t.t1, t.t2,
+             ABS(CAST(c.n1 AS HUGEINT) * t.t2
+                 - CAST(c.n2 AS HUGEINT) * t.t1) AS num
+      FROM cells c, tots t
+    ),
+    tv AS (
+      SELECT CAST(SUM(num) * 1000000
+                  // (2 * CAST(MIN(t1) AS HUGEINT) * MIN(t2)) AS BIGINT)
+               AS tv_ppm
+      FROM terms
+    )
+    SELECT te.event_type, te.n1, te.n2,
+           CAST(te.n1 * 1000000 // te.t1 AS BIGINT) AS share1_ppm,
+           CAST(te.n2 * 1000000 // te.t2 AS BIGINT) AS share2_ppm,
+           CAST(te.n2 * 1000000 // te.t2
+                - te.n1 * 1000000 // te.t1 AS BIGINT) AS delta_ppm,
+           tv.tv_ppm
+    FROM terms te, tv ORDER BY te.event_type
+"""
+
+
+# --- q403: dedup keep-policy divergence -------------------------------------------
+
+
+def q403_keep_policy_divergence(spark, sf_dir):
+    """Dedup survivor-POLICY audit: over the multi-document 20-token
+    span clusters (the q133 dup unit — exact doc dups don't exist
+    here, span dups do), how often does "keep first by id" pick a
+    DIFFERENT survivor than "keep best by quality", and how much mean
+    quality does the cheap policy leave on the table? q350 measures the
+    bias of kept-vs-dropped; this prices the CHOICE of keep rule — the
+    argmax is encoded as one scalar key (q·10¹⁰ − doc_id) so the
+    tie-break is deterministic and identical in both engines.
+
+    Scale shape: spans collapse to distinct (fingerprint, doc) pairs;
+    ONE fingerprint-keyed aggregate computes both survivors; output is
+    a single row.
+    """
+    from adhesive_spark.operators.text import quality_score, scaled_long
+    from adhesive_spark.operators.text import tokens
+    from adhesive_spark.sources.registry import ensure_parallelism
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    scored = docs.select(
+        "doc_id",
+        tokens(F.col("text")).alias("toks"),
+        scaled_long(quality_score(F.col("text")), 4).alias("q"),
+    )
+    spans = scored.select(
+        "doc_id",
+        "q",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(toks) div 20 - 1),"
+                " i -> md5(concat_ws(' ',"
+                " slice(toks, i * 20 + 1, 20))))"
+            )
+        ).alias("fp"),
+    ).where(F.size("toks") >= 20).distinct()
+    per = (
+        spans.groupBy("fp")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min("doc_id").cast("long").alias("keep_first"),
+            F.max_by(
+                "doc_id",
+                F.expr("q * 10000000000 - doc_id"),
+            ).cast("long").alias("keep_best"),
+            F.max("q").cast("long").alias("q_best"),
+        )
+        .where(F.col("n_docs") > 1)
+    )
+    # quality of the keep-first survivor: join back on (fp, doc_id)
+    qf = spans.select(
+        "fp", F.col("doc_id").alias("keep_first"), F.col("q").alias("q_first")
+    )
+    return (
+        per.join(qf, ["fp", "keep_first"])
+        .agg(
+            F.count("*").cast("long").alias("n_clusters"),
+            F.count_if(F.col("keep_first") != F.col("keep_best"))
+            .cast("long")
+            .alias("divergent"),
+            F.expr(
+                "CAST(count_if(keep_first != keep_best) * 1000000"
+                " div count(*) AS BIGINT)"
+            ).alias("divergent_ppm"),
+            F.sum(F.col("q_best") - F.col("q_first"))
+            .cast("long")
+            .alias("q_gain_total"),
+            F.expr(
+                "CAST(sum(q_best - q_first) * 1000 div count(*)"
+                " AS BIGINT)"
+            ).alias("q_gain_per_cluster_milli"),
+        )
+    )
+
+
+ESTIMATOR_QUERIES["q403_keep_policy_divergence"] = q403_keep_policy_divergence
+
+
+def _keep_policy_oracle() -> str:
+    from adhesive_spark.queries.metrology_queries import _quality_sql_
+
+    return f"""
+    WITH t AS (
+      SELECT doc_id, text, {_TOKS} AS toks FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, toks,
+             CAST(ROUND(({_quality_sql_()}) * 10000, 0) AS BIGINT) AS q
+      FROM t
+    ),
+    spans AS (
+      SELECT DISTINCT doc_id, q,
+             md5(concat_ws(' ', toks[i * 20 + 1:i * 20 + 20])) AS fp
+      FROM scored, (SELECT UNNEST(range(0, 50)) AS i) g
+      WHERE len(toks) >= (i + 1) * 20
+    ),
+    per AS (
+      SELECT fp,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(MIN(doc_id) AS BIGINT) AS keep_first,
+             CAST(arg_max(doc_id, q * 10000000000 - doc_id) AS BIGINT)
+               AS keep_best,
+             CAST(MAX(q) AS BIGINT) AS q_best
+      FROM spans GROUP BY fp HAVING COUNT(*) > 1
+    ),
+    joined AS (
+      SELECT p.*, s.q AS q_first
+      FROM per p JOIN spans s
+        ON p.fp = s.fp AND p.keep_first = s.doc_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(COUNT(*) FILTER (WHERE keep_first != keep_best)
+                AS BIGINT) AS divergent,
+           CAST(COUNT(*) FILTER (WHERE keep_first != keep_best)
+                * 1000000 // COUNT(*) AS BIGINT) AS divergent_ppm,
+           CAST(SUM(q_best - q_first) AS BIGINT) AS q_gain_total,
+           CAST(SUM(q_best - q_first) * 1000 // COUNT(*) AS BIGINT)
+             AS q_gain_per_cluster_milli
+    FROM joined
+    """
+
+
+ESTIMATOR_ORACLES["q403_keep_policy_divergence"] = _keep_policy_oracle()
+
+
+# --- q404: autoscaler lag cost simulation -----------------------------------------
+
+
+def q404_autoscale_lag_cost(spark, sf_dir):
+    """Reactive-autoscaler lag cost, simulated on the real hourly load:
+    a scaler that provisions hour t at hour t−1's observed load drops
+    every request above that; a static fleet sized at the peak drops
+    nothing but idles. Ships both bills — dropped share under reactive
+    scaling, utilization under static peak — the two ends of the
+    trade q383's load factor summarizes (this SIMULATES the policies
+    instead of reading a ratio). Hour grid is epoch-hours; the lag runs
+    over the bounded observed-hour table.
+
+    Scale shape: events collapse to ≤ span-hours rows; the lag window
+    and both bills run on that bounded table (single-partition window
+    over the hour grid — bounded-domain, replication-invariant).
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        F.expr("CAST(unix_timestamp(ts) div 3600 AS BIGINT)").alias("h")
+    )
+    hourly = (
+        ev.groupBy("h")
+        .agg(F.count("*").cast("long").alias("load"))
+        .localCheckpoint(eager=True)
+    )
+    # bounded-domain: observed hours only (replication-invariant)
+    wh = Window.orderBy("h")
+    sim = hourly.select(
+        "h",
+        "load",
+        F.coalesce(F.lag("load").over(wh), F.lit(0)).alias("prov"),
+    )
+    return sim.agg(
+        F.count("*").cast("long").alias("active_hours"),
+        F.sum("load").cast("long").alias("total_load"),
+        F.max("load").cast("long").alias("peak_load"),
+        F.sum(F.greatest(F.col("load") - F.col("prov"), F.lit(0)))
+        .cast("long")
+        .alias("dropped_reactive"),
+        F.expr(
+            "CAST(sum(greatest(load - prov, 0)) * 1000000"
+            " div sum(load) AS BIGINT)"
+        ).alias("dropped_share_ppm"),
+        F.expr(
+            "CAST(sum(load) * 1000000"
+            " div (count(*) * max(load)) AS BIGINT)"
+        ).alias("static_util_ppm"),
+    )
+
+
+ESTIMATOR_QUERIES["q404_autoscale_lag_cost"] = q404_autoscale_lag_cost
+
+ESTIMATOR_ORACLES["q404_autoscale_lag_cost"] = """
+    WITH hourly AS (
+      SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) // 3600 AS h,
+             CAST(COUNT(*) AS BIGINT) AS load
+      FROM events GROUP BY 1
+    ),
+    sim AS (
+      SELECT h, load,
+             COALESCE(LAG(load) OVER (ORDER BY h), 0) AS prov
+      FROM hourly
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS active_hours,
+           CAST(SUM(load) AS BIGINT) AS total_load,
+           CAST(MAX(load) AS BIGINT) AS peak_load,
+           CAST(SUM(GREATEST(load - prov, 0)) AS BIGINT)
+             AS dropped_reactive,
+           CAST(SUM(GREATEST(load - prov, 0)) * 1000000 // SUM(load)
+                AS BIGINT) AS dropped_share_ppm,
+           CAST(SUM(load) * 1000000 // (COUNT(*) * MAX(load)) AS BIGINT)
+             AS static_util_ppm
+    FROM sim
+"""
+
+
+# --- q405: dictionary-encoding ROI audit ------------------------------------------
+
+
+def q405_dict_encoding_roi(spark, sf_dir):
+    """Dictionary-encoding ROI per string column: raw byte mass vs the
+    dictionary layout (distinct values' bytes + a 2-byte code per row)
+    for source / lang / text — the q391 (delta) sibling for the OTHER
+    big parquet encoding decision, answered from one aggregate per
+    column instead of a write benchmark. A text column at ~0 ROI and a
+    source column at ~99% is the expected shape; anything else flags a
+    column whose cardinality model is wrong before a 100 TB rewrite.
+
+    Scale shape: one distinct-value aggregate per column (map-side
+    combined), then 1-row math; output is 3 rows.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+
+    def _col(name):
+        per_val = docs.groupBy(F.col(name).alias("v")).agg(
+            F.count("*").cast("long").alias("c")
+        )
+        return per_val.agg(
+            F.lit(name).alias("column"),
+            F.sum("c").cast("long").alias("n_rows"),
+            F.count("*").cast("long").alias("n_distinct"),
+            F.sum(F.length("v") * F.col("c")).cast("long").alias(
+                "raw_bytes"
+            ),
+            (
+                F.sum(F.length("v")) + F.sum("c") * 2
+            ).cast("long").alias("dict_bytes"),
+        )
+
+    out = _col("source").unionByName(_col("lang")).unionByName(
+        _col("text")
+    )
+    return out.select(
+        "column",
+        "n_rows",
+        "n_distinct",
+        "raw_bytes",
+        "dict_bytes",
+        F.expr(
+            "CAST(greatest(raw_bytes - dict_bytes, 0) * 1000000"
+            " div raw_bytes AS BIGINT)"
+        ).alias("roi_ppm"),
+    ).orderBy("column")
+
+
+ESTIMATOR_QUERIES["q405_dict_encoding_roi"] = q405_dict_encoding_roi
+
+ESTIMATOR_ORACLES["q405_dict_encoding_roi"] = """
+    WITH rungs AS (
+      SELECT 'source' AS col, source AS v FROM documents
+      UNION ALL SELECT 'lang', lang FROM documents
+      UNION ALL SELECT 'text', text FROM documents
+    ),
+    per_val AS (
+      SELECT col, v, CAST(COUNT(*) AS BIGINT) AS c
+      FROM rungs GROUP BY col, v
+    ),
+    agg AS (
+      SELECT col AS "column",
+             CAST(SUM(c) AS BIGINT) AS n_rows,
+             CAST(COUNT(*) AS BIGINT) AS n_distinct,
+             CAST(SUM(length(v) * c) AS BIGINT) AS raw_bytes,
+             CAST(SUM(length(v)) + SUM(c) * 2 AS BIGINT) AS dict_bytes
+      FROM per_val GROUP BY col
+    )
+    SELECT "column", n_rows, n_distinct, raw_bytes, dict_bytes,
+           CAST(GREATEST(raw_bytes - dict_bytes, 0) * 1000000
+                // raw_bytes AS BIGINT) AS roi_ppm
+    FROM agg ORDER BY "column"
+"""
+
+
+# --- q406: bipartite degree assortativity ------------------------------------------
+
+
+def q406_degree_assortativity(spark, sf_dir):
+    """Degree-assortativity audit of the part–supplier affiliation
+    graph: over distinct edges, does a high-degree part tend to meet a
+    high-degree supplier (positive) or a low-degree one (negative —
+    hub-and-spoke)? Ships the exact integer covariance numerator sign
+    and a scaled covariance — the q326-hubness question asked of a
+    RELATIONAL graph, and the structural prior behind q48's salting
+    decision (disassortative hubs are exactly the whale-key shape).
+    The covariance numerator can be NEGATIVE: Spark ``div`` and DuckDB
+    ``//`` both truncate toward zero (engine-verified), unlike
+    Python's flooring ``//`` — the replay pytest emulates trunc.
+
+    Scale shape: edges collapse to distinct once; two degree aggregates
+    rejoin via broadcast; one moment aggregate ends it. Never node².
+    """
+    edges = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    pdeg = edges.groupBy("l_partkey").agg(
+        F.count("*").cast("long").alias("dp")
+    )
+    sdeg = edges.groupBy("l_suppkey").agg(
+        F.count("*").cast("long").alias("ds")
+    )
+    xy = (
+        edges.join(F.broadcast(pdeg), "l_partkey")
+        .join(F.broadcast(sdeg), "l_suppkey")
+        .select("dp", "ds")
+    )
+    return xy.agg(
+        F.count("*").cast("long").alias("n_edges"),
+        F.sum("dp").cast("long").alias("sx"),
+        F.sum("ds").cast("long").alias("sy"),
+        F.sum(F.col("dp") * F.col("ds")).cast("long").alias("sxy"),
+    ).select(
+        "n_edges",
+        F.expr(
+            "CAST(sign(CAST(n_edges AS DECIMAL(38,0)) * sxy"
+            " - CAST(sx AS DECIMAL(38,0)) * sy) AS BIGINT)"
+        ).alias("cov_sign"),
+        F.expr(
+            "CAST((CAST(n_edges AS DECIMAL(38,0)) * sxy"
+            "      - CAST(sx AS DECIMAL(38,0)) * sy) * 1000"
+            " div (CAST(n_edges AS DECIMAL(38,0)) * n_edges)"
+            " AS BIGINT)"
+        ).alias("cov_milli"),
+    )
+
+
+ESTIMATOR_QUERIES["q406_degree_assortativity"] = q406_degree_assortativity
+
+ESTIMATOR_ORACLES["q406_degree_assortativity"] = """
+    WITH edges AS (
+      SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+    ),
+    pdeg AS (
+      SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS dp
+      FROM edges GROUP BY l_partkey
+    ),
+    sdeg AS (
+      SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS ds
+      FROM edges GROUP BY l_suppkey
+    ),
+    xy AS (
+      SELECT p.dp, s.ds
+      FROM edges e
+      JOIN pdeg p ON e.l_partkey = p.l_partkey
+      JOIN sdeg s ON e.l_suppkey = s.l_suppkey
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+             CAST(SUM(dp) AS BIGINT) AS sx,
+             CAST(SUM(ds) AS BIGINT) AS sy,
+             CAST(SUM(dp * ds) AS BIGINT) AS sxy
+      FROM xy
+    )
+    SELECT n_edges,
+           CAST(SIGN(CAST(n_edges AS HUGEINT) * sxy
+                     - CAST(sx AS HUGEINT) * sy) AS BIGINT) AS cov_sign,
+           CAST((CAST(n_edges AS HUGEINT) * sxy
+                 - CAST(sx AS HUGEINT) * sy) * 1000
+                // (CAST(n_edges AS HUGEINT) * n_edges) AS BIGINT)
+             AS cov_milli
+    FROM agg
+"""
+
+
+# --- q407: shingle-size dedup-knob ladder -------------------------------------------
+
+
+def q407_shingle_size_ladder(spark, sf_dir):
+    """Shingle-size knob ladder for near-dup detection: at n ∈ {2, 3, 5}
+    word-shingles over the capped doc_id < 200 corpus (the q33 cap —
+    the pair term is quadratic BY DESIGN and priced by the stress
+    harness, not by sf), the candidate-pair count (any shared shingle),
+    the pairs whose exact Jaccard clears 0.5, and the implied
+    precision — the knob audit for the single most consequential
+    constant in the dedup stack (q33/q37 RUN one n; this prices the
+    choice). Jaccard from grouped counts (|∩| per pair, sizes per doc)
+    — no array intersection, identical in both engines.
+
+    Scale shape: per rung, distinct (doc, shingle) explode → shingle
+    equi-join (candidate term bounded by shared-shingle clusters) →
+    one pair aggregate; sizes rejoin via broadcast.
+    """
+    from adhesive_spark.operators.dedup import word_shingles
+    from adhesive_spark.sources.registry import ensure_parallelism
+
+    docs = ensure_parallelism(
+        load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    )
+
+    def _rung(n):
+        sh = docs.select(
+            "doc_id", F.explode(word_shingles(F.col("text"), n)).alias("s")
+        ).distinct()
+        sizes = sh.groupBy("doc_id").agg(
+            F.count("*").cast("long").alias("sz")
+        )
+        a = sh.select(F.col("doc_id").alias("ida"), "s")
+        b = sh.select(F.col("doc_id").alias("idb"), "s")
+        common = (
+            a.join(b, "s")
+            .where(F.col("ida") < F.col("idb"))
+            .groupBy("ida", "idb")
+            .agg(F.count("*").cast("long").alias("common"))
+        )
+        pairs = (
+            common.join(
+                F.broadcast(sizes.select(F.col("doc_id").alias("ida"),
+                                         F.col("sz").alias("sza"))),
+                "ida",
+            )
+            .join(
+                F.broadcast(sizes.select(F.col("doc_id").alias("idb"),
+                                         F.col("sz").alias("szb"))),
+                "idb",
+            )
+            .select(
+                F.expr(
+                    "CAST(common * 1000000"
+                    " div (sza + szb - common) AS BIGINT)"
+                ).alias("jacc_ppm")
+            )
+        )
+        return pairs.agg(
+            F.lit(n).cast("long").alias("shingle_n"),
+            F.count("*").cast("long").alias("candidate_pairs"),
+            F.count_if(F.col("jacc_ppm") >= 500000)
+            .cast("long")
+            .alias("verified_pairs"),
+            F.expr(
+                "CAST(count_if(jacc_ppm >= 500000) * 1000000"
+                " div greatest(count(*), 1) AS BIGINT)"
+            ).alias("precision_ppm"),
+        )
+
+    return (
+        _rung(2).unionByName(_rung(3)).unionByName(_rung(5))
+        .orderBy("shingle_n")
+    )
+
+
+ESTIMATOR_QUERIES["q407_shingle_size_ladder"] = q407_shingle_size_ladder
+
+
+def _shingle_ladder_oracle() -> str:
+    def rung(n):
+        grams = ", ".join(f"toks[i+{j}]" for j in range(n))
+        return f"""
+      SELECT {n} AS shingle_n, CAST(COUNT(*) AS BIGINT) AS candidate_pairs,
+             CAST(COUNT(*) FILTER (WHERE jacc_ppm >= 500000) AS BIGINT)
+               AS verified_pairs,
+             CAST(COUNT(*) FILTER (WHERE jacc_ppm >= 500000) * 1000000
+                  // GREATEST(COUNT(*), 1) AS BIGINT) AS precision_ppm
+      FROM (
+        SELECT CAST(x.common * 1000000
+                    // (sa.sz + sb.sz - x.common) AS BIGINT) AS jacc_ppm
+        FROM (
+          SELECT a.doc_id AS ida, b.doc_id AS idb,
+                 CAST(COUNT(*) AS BIGINT) AS common
+          FROM sh_{n} a JOIN sh_{n} b
+            ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id
+        ) x
+        JOIN (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz
+              FROM sh_{n} GROUP BY doc_id) sa ON x.ida = sa.doc_id
+        JOIN (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz
+              FROM sh_{n} GROUP BY doc_id) sb ON x.idb = sb.doc_id
+      )"""
+
+    def sh_cte(n):
+        grams = ", ".join(f"toks[i+{j}]" for j in range(n))
+        return f"""
+    sh_{n} AS (
+      SELECT DISTINCT doc_id, s FROM (
+        SELECT doc_id,
+               UNNEST(CASE WHEN len(toks) - {n - 1} >= 1
+                 THEN list_distinct(list_transform(
+                        range(1, len(toks) - {n - 1} + 1),
+                        i -> concat_ws(' ', {grams})))
+                 ELSE [norm] END) AS s
+        FROM t
+      )
+    )"""
+
+    return f"""
+    WITH t AS (
+      SELECT doc_id, {_NORM} AS norm, {_TOKS} AS toks
+      FROM documents WHERE doc_id < 200
+    ),
+    {sh_cte(2)},
+    {sh_cte(3)},
+    {sh_cte(5)}
+    SELECT * FROM ({rung(2)} UNION ALL {rung(3)} UNION ALL {rung(5)})
+    ORDER BY shingle_n
+    """
+
+
+ESTIMATOR_ORACLES["q407_shingle_size_ladder"] = _shingle_ladder_oracle()
+
+
+# --- q408: weekly quantile control chart --------------------------------------------
+
+
+def q408_quantile_control_chart(spark, sf_dir):
+    """Weekly quantile control chart of event value: exact p50/p90 per
+    ingest week (days-since-start div 7) with each week's drift vs
+    week 0 in ppm — the operational control chart that catches a
+    quiet distribution slide between q340's formal KS alarms (KS says
+    "different"; this says WHERE the percentile moved and by how
+    much). Quantiles off the per-week distinct-cents grid
+    (partitioned, bounded-domain); division last everywhere.
+
+    Scale shape: one aggregate to (week, cents, cnt); all quantile and
+    drift math on that bounded grid; output is one row per week.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    start = F.broadcast(ev.agg(F.min("ts").alias("t0")))
+    weekly = (
+        ev.crossJoin(start)
+        .select(
+            (F.datediff(F.col("ts"), F.col("t0")) / 7)
+            .cast("long")
+            .alias("w"),
+            F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)").alias("c"),
+        )
+        .groupBy("w", "c")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    n_per = weekly.groupBy("w").agg(
+        F.sum("cnt").cast("long").alias("n")
+    )
+    wcum = (
+        Window.partitionBy("w")
+        .orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = weekly.select(
+        "w", "c", F.sum("cnt").over(wcum).alias("cum")
+    ).join(n_per, "w")
+    p50 = (
+        cum.where(F.col("cum") * 2 >= F.col("n"))
+        .groupBy("w")
+        .agg(F.min("c").cast("long").alias("p50_c"))
+    )
+    p90 = (
+        cum.where(F.col("cum") * 10 >= F.col("n") * 9)
+        .groupBy("w")
+        .agg(F.min("c").cast("long").alias("p90_c"))
+    )
+    chart = n_per.join(p50, "w").join(p90, "w")
+    base = F.broadcast(
+        chart.where(F.col("w") == 0).select(
+            F.col("p50_c").alias("b50"), F.col("p90_c").alias("b90")
+        )
+    )
+    return (
+        chart.crossJoin(base)
+        .select(
+            F.col("w").alias("week"),
+            "n",
+            "p50_c",
+            "p90_c",
+            F.expr(
+                "CAST((p50_c - b50) * 1000000 div greatest(b50, 1)"
+                " AS BIGINT)"
+            ).alias("p50_drift_ppm"),
+            F.expr(
+                "CAST((p90_c - b90) * 1000000 div greatest(b90, 1)"
+                " AS BIGINT)"
+            ).alias("p90_drift_ppm"),
+        )
+        .orderBy("week")
+    )
+
+
+ESTIMATOR_QUERIES["q408_quantile_control_chart"] = q408_quantile_control_chart
+
+ESTIMATOR_ORACLES["q408_quantile_control_chart"] = """
+    WITH start_t AS (SELECT MIN(ts) AS t0 FROM events),
+    weekly AS (
+      SELECT date_diff('day', s.t0, e.ts) // 7 AS w,
+             CAST(ROUND(e.value * 100, 0) AS BIGINT) AS c,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events e, start_t s GROUP BY 1, 2
+    ),
+    n_per AS (
+      SELECT w, CAST(SUM(cnt) AS BIGINT) AS n FROM weekly GROUP BY w
+    ),
+    cum AS (
+      SELECT wk.w, wk.c,
+             SUM(wk.cnt) OVER (PARTITION BY wk.w ORDER BY wk.c
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             np.n
+      FROM weekly wk JOIN n_per np ON wk.w = np.w
+    ),
+    p50 AS (
+      SELECT w, CAST(MIN(c) AS BIGINT) AS p50_c
+      FROM cum WHERE cum * 2 >= n GROUP BY w
+    ),
+    p90 AS (
+      SELECT w, CAST(MIN(c) AS BIGINT) AS p90_c
+      FROM cum WHERE cum * 10 >= n * 9 GROUP BY w
+    ),
+    chart AS (
+      SELECT np.w, np.n, p50.p50_c, p90.p90_c
+      FROM n_per np JOIN p50 ON np.w = p50.w JOIN p90 ON np.w = p90.w
+    ),
+    base AS (
+      SELECT p50_c AS b50, p90_c AS b90 FROM chart WHERE w = 0
+    )
+    SELECT CAST(ch.w AS BIGINT) AS week, ch.n, ch.p50_c, ch.p90_c,
+           CAST((ch.p50_c - b.b50) * 1000000 // GREATEST(b.b50, 1)
+                AS BIGINT) AS p50_drift_ppm,
+           CAST((ch.p90_c - b.b90) * 1000000 // GREATEST(b.b90, 1)
+                AS BIGINT) AS p90_drift_ppm
+    FROM chart ch, base b ORDER BY week
+"""

@@ -941,3 +941,113 @@ def test_token_economics_funnel_monotone(spark, sf_dir):
         (r.surviving_tokens + r.overlap_tokens) * 1_000_000
         // max(r.surviving_tokens, 1)
     )
+
+
+def test_dow_anova_decomposition(spark, sf_dir):
+    """SSB + SSW ~= SST (per-term floors); eta^2 consistent with the
+    shipped sums; F positive."""
+    r = E.q401_dow_anova(spark, sf_dir).collect()[0]
+    assert r.f_milli > 0 and r.n_groups == 7
+    assert r.eta_sq_ppm == r.ssb_scaled * 1_000_000 // (
+        r.ssb_scaled + r.ssw_scaled
+    )
+
+
+def test_mix_shift_tv_replay(spark, sf_dir):
+    """TV over the categorical mix matches a direct replay from the
+    shipped counts; shares sum to ~1e6 per half."""
+    rows = E.q402_mix_shift_canary(spark, sf_dir).collect()
+    t1 = sum(r.n1 for r in rows)
+    t2 = sum(r.n2 for r in rows)
+    num = sum(abs(r.n1 * t2 - r.n2 * t1) for r in rows)
+    assert rows[0].tv_ppm == num * 1_000_000 // (2 * t1 * t2)
+    assert abs(sum(r.share1_ppm for r in rows) - 1_000_000) <= len(rows)
+    assert abs(sum(r.share2_ppm for r in rows) - 1_000_000) <= len(rows)
+
+
+def test_keep_policy_gain_nonnegative(spark, sf_dir):
+    """Keep-best can never lose quality vs keep-first; divergence
+    implies positive gain on at least one cluster."""
+    r = E.q403_keep_policy_divergence(spark, sf_dir).collect()[0]
+    assert r.q_gain_total >= 0
+    assert 0 <= r.divergent_ppm <= 1_000_000
+    if r.divergent == 0:
+        assert r.q_gain_total == 0
+    assert r.divergent <= r.n_clusters
+
+
+def test_autoscale_identities(spark, sf_dir):
+    """Reactive drops are bounded by the total; static utilization in
+    (0, 1]; the first hour is always fully dropped (prov=0)."""
+    r = E.q404_autoscale_lag_cost(spark, sf_dir).collect()[0]
+    assert 0 < r.dropped_reactive <= r.total_load
+    assert 0 < r.static_util_ppm <= 1_000_000
+    assert r.dropped_share_ppm == (
+        r.dropped_reactive * 1_000_000 // r.total_load
+    )
+
+
+def test_dict_roi_shape(spark, sf_dir):
+    """Low-cardinality columns gain, the text column doesn't; byte
+    identities replay."""
+    rows = {r.column: r for r in
+            E.q405_dict_encoding_roi(spark, sf_dir).collect()}
+    # source (4-6 char values, 20 distinct) wins; lang is the EDGE the
+    # query exists to catch: 2-char values can't beat 2-byte codes, so
+    # dictionary encoding LOSES and ROI clamps to 0; all-distinct text
+    # gains nothing either
+    assert rows["source"].roi_ppm > 300_000
+    assert rows["lang"].roi_ppm == 0
+    assert rows["lang"].dict_bytes >= rows["lang"].raw_bytes
+    assert rows["text"].roi_ppm == 0  # all-distinct text: dict only adds
+    for r in rows.values():
+        assert r.n_distinct <= r.n_rows
+
+
+def test_assortativity_sign_replay(spark, sf_dir):
+    """Covariance sign matches a Python replay over the distinct
+    edge set."""
+    edges = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+        .collect()
+    )
+    pdeg: Counter = Counter(e.l_partkey for e in edges)
+    sdeg: Counter = Counter(e.l_suppkey for e in edges)
+    n = len(edges)
+    sx = sum(pdeg[e.l_partkey] for e in edges)
+    sy = sum(sdeg[e.l_suppkey] for e in edges)
+    sxy = sum(pdeg[e.l_partkey] * sdeg[e.l_suppkey] for e in edges)
+    num = n * sxy - sx * sy
+    r = E.q406_degree_assortativity(spark, sf_dir).collect()[0]
+    assert r.n_edges == n
+    assert r.cov_sign == (num > 0) - (num < 0)
+    # both engines TRUNCATE integer division toward zero on negatives
+    # (verified by the oracle match); Python // floors — emulate trunc
+    expect = abs(num) * 1000 // (n * n)
+    assert r.cov_milli == (expect if num >= 0 else -expect)
+
+
+def test_shingle_ladder_monotone(spark, sf_dir):
+    """Longer shingles -> fewer candidates and (weakly) higher
+    precision; verified <= candidates."""
+    rows = {r.shingle_n: r for r in
+            E.q407_shingle_size_ladder(spark, sf_dir).collect()}
+    assert (rows[2].candidate_pairs >= rows[3].candidate_pairs
+            >= rows[5].candidate_pairs)
+    for r in rows.values():
+        assert r.verified_pairs <= r.candidate_pairs
+    assert rows[5].precision_ppm >= rows[2].precision_ppm
+
+
+def test_quantile_chart_replay(spark, sf_dir):
+    """Week-0 drift is 0 by construction; p50 <= p90 everywhere; week
+    partition sizes reconcile."""
+    rows = E.q408_quantile_control_chart(spark, sf_dir).collect()
+    w0 = [r for r in rows if r.week == 0][0]
+    assert w0.p50_drift_ppm == 0 and w0.p90_drift_ppm == 0
+    for r in rows:
+        assert r.p50_c <= r.p90_c
+    n_events = load_table(spark, sf_dir, "events").count()
+    assert sum(r.n for r in rows) == n_events

@@ -420,6 +420,14 @@ AUDITED = [
     "q398_zipf_product_ladder",
     "q399_discount_response",
     "q400_token_economics",
+    "q401_dow_anova",
+    "q402_mix_shift_canary",
+    "q403_keep_policy_divergence",
+    "q404_autoscale_lag_cost",
+    "q405_dict_encoding_roi",
+    "q406_degree_assortativity",
+    "q407_shingle_size_ladder",
+    "q408_quantile_control_chart",
 ]
 
 
