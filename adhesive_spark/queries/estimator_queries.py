@@ -506,6 +506,7 @@ ESTIMATOR_QUERIES["q363_bloom_geometry"] = q363_bloom_geometry
 
 def _bloom_oracle() -> str:
     grid_rows = ", ".join(f"({m}, {k})" for m, k in _BF_GRID)
+    k_max = max(k for _, k in _BF_GRID)
     pos_member = _h32("md5('bf' || CAST(h AS VARCHAR) || ':' || fp)")
     pos_probe = _h32("md5('bf' || CAST(h AS VARCHAR) || ':' || pf)")
     return f"""
@@ -514,7 +515,7 @@ def _bloom_oracle() -> str:
     bits AS (
       SELECT DISTINCT g.m, g.k, ({pos_member}) % g.m AS pos
       FROM fps CROSS JOIN geoms g
-      CROSS JOIN (SELECT UNNEST(generate_series(1, 4)) AS h) hs
+      CROSS JOIN (SELECT UNNEST(generate_series(1, {k_max})) AS h) hs
       WHERE hs.h <= g.k
     ),
     fill AS (
@@ -528,7 +529,7 @@ def _bloom_oracle() -> str:
     ppos AS (
       SELECT g.m, g.k, p.pf, ({pos_probe}) % g.m AS pos
       FROM probes p CROSS JOIN geoms g
-      CROSS JOIN (SELECT UNNEST(generate_series(1, 4)) AS h) hs
+      CROSS JOIN (SELECT UNNEST(generate_series(1, {k_max})) AS h) hs
       WHERE hs.h <= g.k
     ),
     hits AS (
@@ -4986,17 +4987,6 @@ def q402_mix_shift_canary(spark, sf_dir):
         cells.agg(
             F.sum("n1").cast("long").alias("t1"),
             F.sum("n2").cast("long").alias("t2"),
-            F.sum(
-                F.expr(
-                    "abs(CAST(n1 AS DECIMAL(38,0)) * sum(n2)"
-                    " - CAST(n2 AS DECIMAL(38,0)) * sum(n1))"
-                )
-            ).alias("_never"),
-        )
-    ) if False else F.broadcast(
-        cells.agg(
-            F.sum("n1").cast("long").alias("t1"),
-            F.sum("n2").cast("long").alias("t2"),
         )
     )
     terms = cells.crossJoin(tots).select(
@@ -5179,8 +5169,7 @@ def _keep_policy_oracle() -> str:
     spans AS (
       SELECT DISTINCT doc_id, q,
              md5(concat_ws(' ', toks[i * 20 + 1:i * 20 + 20])) AS fp
-      FROM scored, (SELECT UNNEST(range(0, 50)) AS i) g
-      WHERE len(toks) >= (i + 1) * 20
+      FROM scored, LATERAL (SELECT UNNEST(range(0, len(toks) // 20)) AS i) g
     ),
     per AS (
       SELECT fp,

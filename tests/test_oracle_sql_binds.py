@@ -71,3 +71,27 @@ def test_every_oracle_output_is_scalar_typed(con):
         f"complex-typed oracle output (driver canon crashes on these): "
         f"{bad} — flatten to strings (array_to_string)"
     )
+
+
+def test_q403_oracle_span_bound_is_per_row():
+    """r9 ADVICE: the q403 oracle once capped spans at a fixed
+    range(0, 50) while the Spark side generates size(toks) div 20
+    spans unbounded — a >1000-token document silently diverged.  The
+    oracle must derive its span count per-row from len(toks) // 20."""
+    sql = entry_mod.oracle_sql()["q403_keep_policy_divergence"]
+    assert "range(0, 50)" not in sql
+    assert "len(toks) // 20" in sql
+
+
+def test_q363_oracle_hash_spine_tracks_grid():
+    """r9 ADVICE: the q363 oracle once hard-coded generate_series(1, 4)
+    for the per-geometry hash spine; a k>4 geometry added to _BF_GRID
+    would silently truncate the oracle's hash functions.  The bound
+    must be derived from max(k) of the grid."""
+    from adhesive_spark.queries.estimator_queries import _BF_GRID
+
+    sql = entry_mod.oracle_sql()["q363_bloom_geometry"]
+    k_max = max(k for _, k in _BF_GRID)
+    assert f"generate_series(1, {k_max})" in sql
+    # spine bound appears for both the member and probe positions
+    assert sql.count(f"generate_series(1, {k_max})) AS h") == 2
