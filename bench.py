@@ -146,6 +146,13 @@ def main() -> None:
     spark.sql("SELECT COUNT(*) FROM RANGE(100000)").collect()
     spark.udf.register("___warm", lambda x: x, "long")
     spark.sql("SELECT ___warm(id) FROM RANGE(10)").collect()
+    # One UNTIMED real-query warm-up (r9 judge directive 2): the trivial
+    # warmups above don't touch the parquet readers, broadcast machinery,
+    # or whole-stage codegen paths the headliners use, so ~12-17 s of
+    # one-time warm-up mass was landing on whichever query ran first
+    # (q01 in r9's capture) and polluting cross-round comparison. Run
+    # the first headliner once outside the timed region to absorb it.
+    qs[HEADLINE[0]](spark, sf_dir).collect()
 
     # INTERLEAVED min-of-N: the build box shows up to 5× run-to-run CPU
     # noise with 20-60 s stalls landing on arbitrary queries, so
@@ -166,6 +173,22 @@ def main() -> None:
             assert rows is not None
     timings = {name: round(min(ts), 3) for name, ts in runs.items()}
     total = round(sum(timings.values()), 3)
+
+    def _median(ts: list[float]) -> float:
+        s = sorted(ts)
+        n = len(s)
+        mid = s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+        return round(mid, 3)
+
+    medians = {name: _median(ts) for name, ts in runs.items()}
+    median_total = round(sum(medians.values()), 3)
+    # per-PASS wall totals: 3 numbers that show intra-session drift
+    # (r9: single-rep 137.8 s vs min-of-3 72.8 s) without blowing the
+    # driver's ~4 KB tail capture
+    rep_totals = [
+        round(sum(runs[name][r] for name in HEADLINE), 3)
+        for r in range(reps)
+    ]
     print(
         json.dumps(
             {
@@ -176,7 +199,11 @@ def main() -> None:
                 "sf": sf,
                 "protocol": f"interleaved-min-of-{reps}",
                 "reps": reps,
+                "queries_median": medians,
+                "median_total": median_total,
+                "rep_totals": rep_totals,
                 # first full pass = the round-1 single-rep protocol
+                # (now with the one-time warm-up mass excluded)
                 "single_rep_total": round(
                     sum(ts[0] for ts in runs.values()), 3
                 ),
@@ -226,6 +253,9 @@ def main() -> None:
                     "sf": sf,
                     "protocol": f"interleaved-min-of-{reps}",
                     "reps": reps,
+                    "queries_median": medians,
+                    "median_total": median_total,
+                    "rep_totals": rep_totals,
                     "single_rep_total": round(
                         sum(ts[0] for ts in runs.values()), 3
                     ),
@@ -256,6 +286,9 @@ def main() -> None:
                 "n_queries": len(timings),
                 "sf": sf,
                 "protocol": f"interleaved-min-of-{reps}",
+                "median_total": median_total,
+                "rep_totals": rep_totals,
+                "warmup": "1 untimed real-query pass excluded",
                 "single_rep_total": round(
                     sum(ts[0] for ts in runs.values()), 3
                 ),
