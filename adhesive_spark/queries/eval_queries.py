@@ -802,6 +802,13 @@ def q263_link_prediction(spark, sf_dir):
         )
         .distinct()
     )
+    return link_prediction_report(edges)
+
+
+def link_prediction_report(edges):
+    """The q263 core over a caller-supplied ``(s, p)`` edge set — split
+    out so tools/stress.py can ladder the fanout²-bounded pair join on
+    replicated graphs without going through a parquet table."""
     edges = edges.localCheckpoint(eager=True)  # feeds degrees + pairs
     part_deg = edges.groupBy("p").agg(
         F.count("*").cast("long").alias("pd")

@@ -587,6 +587,29 @@ def main() -> None:
         n_orders * reps,
     )
 
+    # Link prediction at N×: replicate the (s, p) affiliation edges on
+    # the PART side (part ids remapped), so each supplier's neighborhood
+    # grows N× while per-part supplier fanout stays constant — the pair
+    # join's work grows linearly as reps × fanout², never supplier².
+    # (Replicating on the SUPPLIER side instead would inflate every part
+    # past the df-cap and the hub filter would drop the whole graph —
+    # that degenerate direction exercises the cap, not the join.)
+    # //10 base so the 1000× rung lands at ~59 M edges on this box.
+    from adhesive_spark.queries.eval_queries import link_prediction_report
+
+    lp_edges = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p"))
+        .where(F.col("l_partkey") % 10 == 0)
+        .distinct()
+    )
+    n_lp = lp_edges.count()
+    run(
+        "link_prediction",
+        lambda: link_prediction_report(replicate(lp_edges, "p", reps)),
+        n_lp * reps,
+    )
+
     total = round(sum(o["sec"] for o in ops.values()), 2)
     print(
         json.dumps(
