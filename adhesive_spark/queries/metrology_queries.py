@@ -1120,15 +1120,22 @@ def q344_tfcos_allpairs(spark, sf_dir):
         .select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
         .groupBy("doc_id", "tok")
         .agg(F.count("*").cast("long").alias("tf"))
-        .localCheckpoint(eager=True)
     )
+    return tfcos_allpairs_report(tf)
+
+
+def tfcos_allpairs_report(tf, df_cap: int = 50):
+    """The q344 core over a caller-supplied ``(doc_id, tok, tf)`` table —
+    split out so tools/stress.py can ladder the df-capped inverted-index
+    join on replicated corpora without re-tokenizing through the query."""
+    tf = tf.localCheckpoint(eager=True)
     norms = tf.groupBy("doc_id").agg(
         F.sum(F.col("tf") * F.col("tf")).cast("long").alias("nrm")
     )
     rare = (
         tf.groupBy("tok")
         .agg(F.count("*").alias("df"))
-        .where(F.col("df") <= 50)
+        .where(F.col("df") <= df_cap)
         .select("tok")
     )
     joinable = tf.join(rare, "tok")

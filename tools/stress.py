@@ -610,6 +610,45 @@ def main() -> None:
         n_lp * reps,
     )
 
+    # TF-cosine all-pairs at N×: SALTED-vocab replication — each copy's
+    # tokens get the copy index appended, so the corpus grows N× while
+    # the per-copy df distribution (and therefore the df-cap structure)
+    # stays identical to the base: the model of N independent shards of
+    # the same corpus, which is what 100 TB of web text looks like.
+    # Plain N-copy replication would instead multiply every term's df
+    # by N and push the whole vocabulary past the cap — a degenerate
+    # ladder that measures the hub filter, not the join. Cost contract:
+    # token pass linear in rows, inverted-index join = N × (per-shard
+    # n_terms × cap²) — linear in N, never corpus².
+    from adhesive_spark.operators.text import tokens as _lp_tokens
+    from adhesive_spark.queries.metrology_queries import (
+        tfcos_allpairs_report,
+    )
+
+    cos_base = docs.where(F.col("doc_id") < 200)
+    n_cos = cos_base.count()
+
+    def _tfcos():
+        big = replicate(cos_base, "doc_id", reps)
+        tf = (
+            big.select(
+                "doc_id", F.explode(_lp_tokens(F.col("text"))).alias("tok")
+            )
+            .withColumn(
+                "tok",
+                F.concat_ws(
+                    "#",
+                    F.col("tok"),
+                    (F.col("doc_id") % F.lit(reps)).cast("string"),
+                ),
+            )
+            .groupBy("doc_id", "tok")
+            .agg(F.count("*").cast("long").alias("tf"))
+        )
+        return tfcos_allpairs_report(tf)
+
+    run("tfcos_allpairs", _tfcos, n_cos * reps)
+
     total = round(sum(o["sec"] for o in ops.values()), 2)
     print(
         json.dumps(
