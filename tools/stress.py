@@ -447,12 +447,26 @@ def main() -> None:
         )
         # REDUCE over the window outputs: a bare count() would let
         # Catalyst prune the unreferenced Window operator entirely and
-        # the case would measure a no-op scan
-        return feats.where(F.col("event_type") == "purchase").agg(
-            F.sum("n_clicks_before"),
-            F.sum("spent_before_cents"),
-            F.count("*"),
+        # the case would measure a no-op scan.  COLLECT the one-row
+        # aggregate here (returning the purchase count as the harness
+        # row count): handing the agg DataFrame back to run() lets
+        # run()'s .count() hit Spark's OptimizeOneRowPlan shortcut — a
+        # global aggregate is known to be exactly 1 row, so the window
+        # never executes and the ladder measures ~0.3 s at any N (this
+        # artifact was caught in round 10; the r7-recorded numbers
+        # predate the final-agg refactor and were measured on the
+        # executed window).
+        row = (
+            feats.where(F.col("event_type") == "purchase")
+            .agg(
+                F.sum("n_clicks_before").alias("a"),
+                F.sum("spent_before_cents").alias("b"),
+                F.count("*").alias("n"),
+            )
+            .collect()[0]
         )
+        assert row["a"] is not None and row["n"] > 0
+        return int(row["n"])
 
     n_ev = load_table(spark, sf_dir, "events").count()
     run("feature_matrix_pit", _feature_matrix, n_ev * reps)
