@@ -79,13 +79,35 @@ def main() -> None:
         s for s in os.environ.get("SPARK_GRAFT_STRESS_OPS", "").split(",") if s
     }
 
+    # Execution protocol (round 10): DataFrame results are TIMED through
+    # the zero-materialization noop sink, then counted UNTIMED for the
+    # record.  A .count() is NOT an honest executor: over an aggregate it
+    # prunes the aggregate FUNCTIONS (the round-10 audit caught
+    # gopher_repetition at 1.9 s counted vs 50.5 s executed — count()
+    # was measuring distinct(source), not the gram lanes), and over a
+    # GLOBAL aggregate OptimizeOneRowPlan answers "1 row" with no
+    # execution at all (the feature_matrix artifact).  Ladders whose
+    # count-vs-noop walls agreed in the audit keep their historical
+    # numbers; SPARK_GRAFT_STRESS_EXEC=count restores the old mode for
+    # comparison.
+    exec_mode = os.environ.get("SPARK_GRAFT_STRESS_EXEC", "noop")
+
     def run(name: str, build, n_in: int) -> None:
         if only and name not in only:
             return
         t0 = time.perf_counter()
         out = build()
-        n_out = out.count() if hasattr(out, "count") else int(out)
-        sec = time.perf_counter() - t0
+        if hasattr(out, "count"):
+            if exec_mode == "count":
+                n_out = out.count()
+                sec = time.perf_counter() - t0
+            else:
+                out.write.format("noop").mode("overwrite").save()
+                sec = time.perf_counter() - t0
+                n_out = out.count()  # untimed, for the record only
+        else:
+            n_out = int(out)
+            sec = time.perf_counter() - t0
         ops[name] = {
             "rows_out": n_out,
             "sec": round(sec, 2),
