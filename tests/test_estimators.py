@@ -1051,3 +1051,30 @@ def test_quantile_chart_replay(spark, sf_dir):
         assert r.p50_c <= r.p90_c
     n_events = load_table(spark, sf_dir, "events").count()
     assert sum(r.n for r in rows) == n_events
+
+
+def test_q363_grid_extension_k6_stays_oracle_exact(spark, sf_dir, monkeypatch):
+    """Behavioral twin of the r9 ADVICE static guard: extend _BF_GRID
+    with a k=6 geometry AT RUNTIME and prove query and oracle still
+    agree cell-for-cell.  Under the old hard-coded
+    ``generate_series(1, 4)`` spine the oracle would silently use only
+    4 of the 6 hash functions for the new geometry and diverge (or
+    coincidentally match) — the regenerated oracle must carry the
+    grid's max k."""
+    import duckdb
+
+    from tools.check_correctness import compare
+
+    monkeypatch.setattr(E, "_BF_GRID", E._BF_GRID + ((4096, 6),))
+    sql = E._bloom_oracle()
+    assert "generate_series(1, 6)" in sql
+    sdf = E.q363_bloom_geometry(spark, sf_dir).toPandas()
+    assert len(sdf) == 7  # six base cells + the k=6 extension
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{sf_dir}/documents.parquet'"
+    )
+    odf = con.execute(sql).fetchdf()
+    problems = compare("q363_k6", sdf, odf)
+    assert not problems, problems
