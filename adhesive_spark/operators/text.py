@@ -12,6 +12,7 @@ with: tokenization, token counting, quality scoring, language-ID
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -538,3 +539,71 @@ def bigrams(toks_col) -> Column:
         ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
 
     return F.element_at(F.transform(F.array(toks_col), _pairs), 1)
+
+
+def gopher_masses_kernel() -> Column:
+    """Arrow-batched exact kernel for the Gopher repetition masses
+    (q281): given the house token array, returns 12 longs
+    ``[top2, dup2, top3, dup3, …, top7, dup7]`` where for word-n-gram
+    lane n, ``top`` is the char mass (count·length) of the most
+    frequent gram and ``dup`` the total char mass of grams occurring
+    ≥ 2 times — gram length counts characters plus the n−1 joining
+    spaces, exactly like the ``concat_ws(' ', …)`` the HOF reference
+    twin builds.
+
+    Why a Python kernel on the hot path: the twin computes the same
+    masses with built-in higher-order aggregates (sort + run-scan fully
+    in-row), but Catalyst interprets HOF lambda expressions per
+    element — measured ~3 ms/doc (10 k docs/s on local[32], STRESS.md
+    round 10).  This Counter-based kernel is the same exact integers at
+    ~2.3 k docs/s/core, ~7× the whole-box throughput, and keeps the
+    scale contract: map-only, zero shuffle, no gram rows ever leave
+    their document.  Equality with the HOF twin is machine-checked
+    (tests/test_training.py::test_gopher_vectorized_matches_hof_twin).
+    """
+    from collections import Counter
+
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
+    @pandas_udf(ArrayType(LongType()))
+    def _masses(toks_s: pd.Series) -> pd.Series:
+        out = []
+        for toks in toks_s:
+            if toks is None:
+                out.append([0] * 12)
+                continue
+            toks = list(toks)
+            L = len(toks)
+            # intern tokens to small ints: cheaper gram hashing, and
+            # gram char length recovered from the id -> len table
+            idmap: dict = {}
+            lens: list = []
+            ids = []
+            for t in toks:
+                i = idmap.get(t)
+                if i is None:
+                    i = len(idmap)
+                    idmap[t] = i
+                    lens.append(len(t))
+                ids.append(i)
+            vals = []
+            for n in (2, 3, 4, 5, 6, 7):
+                if L < n:
+                    vals.extend((0, 0))
+                    continue
+                c = Counter(zip(*(ids[i:] for i in range(n))))
+                top = 0
+                dup = 0
+                for g, cnt in c.items():
+                    gl = sum(map(lens.__getitem__, g)) + (n - 1)
+                    m = cnt * gl
+                    if m > top:
+                        top = m
+                    if cnt >= 2:
+                        dup += m
+                vals.extend((top, dup))
+            out.append(vals)
+        return pd.Series(out)
+
+    return _masses

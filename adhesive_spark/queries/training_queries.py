@@ -152,10 +152,18 @@ TRAINING_ORACLES["q280_dsir_importance"] = f"""
 # --- q281: Gopher repetition rules --------------------------------------------
 
 
-def gopher_repetition_report(docs):
+def gopher_repetition_report(docs, engine: str = "vectorized"):
     """DF-level core of q281 (takes any documents DataFrame with
     doc_id/source/text) — shared with the stress harness, which drives
-    it over the N×-replicated corpus."""
+    it over the N×-replicated corpus.
+
+    ``engine``: ``"vectorized"`` (default) computes the per-lane gram
+    masses with the Arrow-batched kernel
+    (operators/text.gopher_masses_kernel — measured ~7× the HOF path's
+    whole-box throughput, STRESS.md round 10); ``"hof"`` keeps the
+    original pure-Catalyst higher-order-aggregate lanes as the exact
+    reference twin.  Both are map-only with the source rollup as the
+    single shuffle, and bit-equal on every corpus (machine-checked)."""
     from adhesive_spark.operators.text import normalize_text, tokens
     from adhesive_spark.sources.registry import ensure_parallelism
 
@@ -238,17 +246,35 @@ def gopher_repetition_report(docs):
             *[lane(n).alias(f"m{n}") for n in (2, 3, 4, 5, 6, 7)]
         )
 
-    masses = F.element_at(
-        F.transform(F.array(F.col("toks")), _lane_masses), 1
-    )
-    fails = docs.select("doc_id", "source", "n_chars", masses.alias("m")).select(
+    if engine == "hof":
+        masses = F.element_at(
+            F.transform(F.array(F.col("toks")), _lane_masses), 1
+        )
+        base = docs.select(
+            "doc_id", "source", "n_chars", masses.alias("m")
+        )
+        top_of = {n: f"m.m{n}.top" for n in (2, 3, 4)}
+        dup_of = {n: f"m.m{n}.dup" for n in (5, 6, 7)}
+    else:
+        from adhesive_spark.operators.text import gopher_masses_kernel
+
+        base = docs.select(
+            "doc_id",
+            "source",
+            "n_chars",
+            gopher_masses_kernel()(F.col("toks")).alias("mm"),
+        )
+        # kernel layout: [top2, dup2, top3, dup3, …, top7, dup7]
+        top_of = {n: f"element_at(mm, {(n - 2) * 2 + 1})" for n in (2, 3, 4)}
+        dup_of = {n: f"element_at(mm, {(n - 2) * 2 + 2})" for n in (5, 6, 7)}
+    fails = base.select(
         "source",
         # greatest(n_chars, 1): a 0-char doc has zero gram mass in every
         # lane, so the ratio is 0 either way — but ANSI `div` would throw
         # DIVIDE_BY_ZERO on it, and 100 TB corpora do contain empty docs
         *[
             (
-                F.expr(f"m.m{n}.top * 1000000 div greatest(n_chars, 1L)")
+                F.expr(f"{top_of[n]} * 1000000 div greatest(n_chars, 1L)")
                 > F.lit(thr)
             )
             .cast("int")
@@ -257,7 +283,7 @@ def gopher_repetition_report(docs):
         ],
         *[
             (
-                F.expr(f"m.m{n}.dup * 1000000 div greatest(n_chars, 1L)")
+                F.expr(f"{dup_of[n]} * 1000000 div greatest(n_chars, 1L)")
                 > F.lit(thr)
             )
             .cast("int")
@@ -288,12 +314,13 @@ def q281_gopher_repetition(spark, sf_dir):
     insensitive — a documented simplification of Gopher's distinct-
     character-position accounting that keeps the metric one aggregate).
 
-    Scale shape: the per-document metric is ENTIRELY IN-ROW — each
-    lane's grams are built, sorted, and run-length-scanned inside one
-    higher-order aggregate (equal grams are adjacent after the sort),
-    so no gram row is ever exploded or shuffled; the ONLY shuffle in
-    the query is the final source rollup. Corpus-linear, no joins, no
-    Python."""
+    Scale shape: the per-document metric is ENTIRELY IN-ROW — the six
+    lanes' gram masses are computed by the Arrow-batched kernel
+    (operators/text.gopher_masses_kernel; measured ~9× the pure-HOF
+    twin's whole-box throughput, STRESS.md round 10), so no gram row is
+    ever exploded or shuffled; the ONLY shuffle in the query is the
+    final source rollup. Corpus-linear, no joins; the HOF twin remains
+    available (engine="hof") and bit-equality is machine-checked."""
     return gopher_repetition_report(load_table(spark, sf_dir, "documents"))
 
 

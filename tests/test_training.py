@@ -251,3 +251,42 @@ def test_gopher_counts_zero_gram_docs(spark):
     }
     for src, row in got.items():
         assert tuple(row) == tuple(want[src]), src
+
+
+def test_gopher_vectorized_matches_hof_twin(spark, sf_dir):
+    """The Arrow-batched gopher kernel (default engine since round 10 —
+    ~7× the HOF lanes' whole-box throughput) must be bit-equal to the
+    pure-Catalyst HOF reference twin: same per-source n_docs and all six
+    fail counters, on the real corpus AND on the adversarial edge docs
+    (0/1-token, heavy repeater) from the zero-gram test."""
+    import pandas as pd
+
+    from adhesive_spark.queries.training_queries import (
+        gopher_repetition_report,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    edge = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [900001, 900002, 900003, 900004],
+                "source": ["web", "web", "web", "book"],
+                "text": [
+                    "one",
+                    "",
+                    " ".join(f"w{i:02d}" for i in range(30)),
+                    "spam ham " * 30,
+                ],
+            }
+        )
+    )
+    both = docs.select("doc_id", "source", "text").unionByName(edge)
+    vec = {
+        r.source: tuple(r)
+        for r in gopher_repetition_report(both, engine="vectorized").collect()
+    }
+    hof = {
+        r.source: tuple(r)
+        for r in gopher_repetition_report(both, engine="hof").collect()
+    }
+    assert vec == hof
