@@ -402,3 +402,33 @@ def test_hierarchical_shares_sum(spark):
         # truncating div: sum of shares within a region lands just
         # under 1e6 (one ulp per nation at most)
         assert 1_000_000 - len(rs) <= s <= 1_000_000, region
+
+
+def test_knn_vectorized_matches_hof_twin(spark, sf_dir):
+    """knn_bruteforce's default batched-kernel engine (round 10) must be
+    BYTE-equal to the pure-Catalyst HOF twin — same (query, id, sim,
+    rank) rows including the 6-dp rounded sims, on the real embedding
+    table.  The kernel replays the HOF fold's per-dimension IEEE
+    operation order, so this is exact equality, not approximate."""
+    from pyspark.sql import functions as F
+
+    from adhesive_spark.operators.similarity import knn_bruteforce
+    from adhesive_spark.sources.registry import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    queries = emb.where(F.col("vec_id") < 7).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    vec = {
+        (r.query_id, r.rank): (r.vec_id, r.sim)
+        for r in knn_bruteforce(
+            emb, queries, k=5, engine="vectorized"
+        ).collect()
+    }
+    hof = {
+        (r.query_id, r.rank): (r.vec_id, r.sim)
+        for r in knn_bruteforce(emb, queries, k=5, engine="hof").collect()
+    }
+    assert vec == hof and len(vec) == 35
