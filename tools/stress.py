@@ -158,23 +158,30 @@ def main() -> None:
         probe_minhash_index,
     )
 
-    lsh_corpus = big_docs.where((F.col("doc_id") % F.lit(reps * 20)) < reps)
-    t0 = time.perf_counter()
-    persist_minhash_index(
-        lsh_corpus, "t_stress_lsh", num_perm=64, bands=16, n_buckets=32
-    )
-    build_sec = round(time.perf_counter() - t0, 2)
-    batch = big_docs.where(
-        ((F.col("doc_id") % F.lit(reps * 20)) >= F.lit(reps))
-        & ((F.col("doc_id") % F.lit(reps * 20)) < F.lit(2 * reps))
-    ).withColumn("doc_id", F.col("doc_id") + F.lit(10_000_000_000))
-    run(
-        f"lsh_probe_batch(build={build_sec}s)",
-        lambda: probe_minhash_index(
-            batch, "t_stress_lsh", num_perm=64, bands=16, threshold=0.7
-        ),
-        rows_in // 20,
-    )
+    if not only or "lsh_probe_batch" in only:
+        lsh_corpus = big_docs.where(
+            (F.col("doc_id") % F.lit(reps * 20)) < reps
+        )
+        t0 = time.perf_counter()
+        persist_minhash_index(
+            lsh_corpus, "t_stress_lsh", num_perm=64, bands=16, n_buckets=32
+        )
+        build_sec = round(time.perf_counter() - t0, 2)
+        batch = big_docs.where(
+            ((F.col("doc_id") % F.lit(reps * 20)) >= F.lit(reps))
+            & ((F.col("doc_id") % F.lit(reps * 20)) < F.lit(2 * reps))
+        ).withColumn("doc_id", F.col("doc_id") + F.lit(10_000_000_000))
+        # stable name so the SPARK_GRAFT_STRESS_OPS filter can select it;
+        # the one-time index build cost rides along in its own record
+        run(
+            "lsh_probe_batch",
+            lambda: probe_minhash_index(
+                batch, "t_stress_lsh", num_perm=64, bands=16, threshold=0.7
+            ),
+            rows_in // 20,
+        )
+        if "lsh_probe_batch" in ops:
+            ops["lsh_probe_batch"]["index_build_sec"] = build_sec
 
     def _pipeline():
         filt = big_docs.where(quality_score(F.col("text")) >= 0.3)
