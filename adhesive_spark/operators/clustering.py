@@ -21,6 +21,7 @@ The reference has no iterative or ML operators; north-star surface
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -45,14 +46,30 @@ def label_centroids(
     )
 
 
-def _assign(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
-    """Nearest-centroid assignment: broadcast centroids, then argmax as
-    an AGGREGATE — max(struct(sim, -cid)) — rather than a rank-1 window.
-    The aggregate gets map-side partial combining (each task reduces its
-    k candidate rows locally before any shuffle); a window would sort
-    the full corpus×k expansion. Ties resolve to the lowest cid, same
-    contract as ORDER BY sim DESC, cid. vectors: (vec_id, v);
-    centroids: (cid, cv) → (vec_id, v, cid)."""
+def _assign(
+    vectors: DataFrame, centroids: DataFrame, engine: str = "vectorized"
+) -> DataFrame:
+    """Nearest-centroid assignment. Ties resolve to the lowest cid,
+    same contract as ORDER BY sim DESC, cid. vectors: (vec_id, v);
+    centroids: (cid, cv) → (vec_id, v, cid).
+
+    ``engine="vectorized"`` (default since round 10): the k centroids
+    (tiny by contract — they were broadcast before) are materialized
+    into an Arrow kernel that computes the RAW cosine of each vector
+    against all of them in one trip, replaying the HOF fold's
+    per-dimension IEEE order; rounding to 6 dp and the argmax stay
+    SPARK-side (``round``'s HALF_UP must come from one engine, or the
+    DuckDB-oracle trajectory contract breaks), via an in-row zip_with +
+    array_max over k elements.  Assignment is thereby MAP-ONLY — the
+    crossJoin×k expansion and the vec_id re-aggregation shuffle are
+    gone.  ``engine="hof"``: the original broadcast crossJoin + HOF
+    cosine + max(struct(sim, -cid)) aggregate (map-side combined),
+    kept as the reference twin; bit-equality machine-checked
+    (test_scale_ops::test_kmeans_assign_vectorized_matches_hof)."""
+    if engine == "vectorized":
+        crows = centroids.orderBy("cid").collect()
+        if crows:
+            return _assign_vectorized(vectors, crows)
     scored = vectors.crossJoin(F.broadcast(centroids)).select(
         "vec_id",
         "v",
@@ -65,6 +82,46 @@ def _assign(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
         scored.groupBy("vec_id")
         .agg(F.first("v").alias("v"), F.max("__cand").alias("__best"))
         .select("vec_id", "v", (-F.col("__best.neg_cid")).alias("cid"))
+    )
+
+
+def _assign_vectorized(vectors: DataFrame, crows) -> DataFrame:
+    """Map-only assignment core: kernel emits raw sims (bit-exact with
+    the HOF fold), Spark rounds and argmaxes in-row over k elements."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, DoubleType
+
+    cids = [r["cid"] for r in crows]
+    C = np.array([list(r["cv"]) for r in crows], dtype=np.float64)
+    kn = len(cids)
+
+    @pandas_udf(ArrayType(DoubleType()))
+    def _sims(v: pd.Series) -> pd.Series:
+        A = np.stack(v.values).astype(np.float64, copy=False)
+        n, d = A.shape
+        acc = np.zeros((n, kn))
+        na = np.zeros(n)
+        nc = np.zeros(kn)
+        for j in range(d):
+            acc += A[:, j : j + 1] * C[None, :, j]
+            na += A[:, j] * A[:, j]
+            nc += C[:, j] * C[:, j]
+        sims = acc / (np.sqrt(na)[:, None] * np.sqrt(nc)[None, :])
+        return pd.Series(list(sims))
+
+    neg_cids = F.array(*[F.lit(-c) for c in cids])
+    best = F.array_max(
+        F.zip_with(
+            F.transform(F.col("__sims"), lambda s: F.round(s, 6)),
+            neg_cids,
+            lambda s, nc: F.struct(s.alias("sim"), nc.alias("neg_cid")),
+        )
+    )
+    return (
+        vectors.select("vec_id", "v", _sims(F.col("v")).alias("__sims"))
+        .select("vec_id", "v", (-best["neg_cid"]).alias("cid"))
     )
 
 

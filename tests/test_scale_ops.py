@@ -432,3 +432,34 @@ def test_knn_vectorized_matches_hof_twin(spark, sf_dir):
         for r in knn_bruteforce(emb, queries, k=5, engine="hof").collect()
     }
     assert vec == hof and len(vec) == 35
+
+
+def test_kmeans_assign_vectorized_matches_hof(spark, sf_dir):
+    """The map-only kernel assignment (round 10 default) must produce
+    the IDENTICAL (vec_id -> cid) labeling as the crossJoin+HOF twin —
+    rounding and argmax semantics live Spark-side in both engines, and
+    the kernel's raw sims replay the fold's IEEE order, so this is
+    exact equality on the full embedding table."""
+    from pyspark.sql import functions as F
+
+    from adhesive_spark.operators.clustering import _assign
+    from adhesive_spark.sources.registry import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    vectors = emb.select(F.col("vec_id"), F.col("embedding").alias("v"))
+    cents = (
+        vectors.orderBy("vec_id")
+        .limit(6)
+        .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
+    )
+    vec = {
+        r.vec_id: r.cid
+        for r in _assign(vectors, cents, engine="vectorized").collect()
+    }
+    hof = {
+        r.vec_id: r.cid
+        for r in _assign(vectors, cents, engine="hof").collect()
+    }
+    assert vec == hof and len(vec) == vectors.count()
