@@ -1163,3 +1163,32 @@ def test_pad_wav_roundtrip_through_strict_codec(spark, sf_dir):
         assert n_pad == -(-n // 1024) * 1024, (mid, n, n_pad)
         assert 0 <= n_pad - n < 1024, (mid, n, n_pad)
         assert p.duration_ms >= o.duration_ms
+
+
+def test_minhash_kernel_matches_hof_twin(spark, sf_dir):
+    """The Arrow minhash-signature kernel (default engine since round
+    10) must produce bit-identical array<long> signatures to the
+    pure-Catalyst HOF twin — the affine-min is exact int64 math in
+    both, so this is full equality over the real corpus plus
+    empty/short edge docs."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from adhesive_spark.operators.dedup import minhash_base_and_bands
+    from adhesive_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    edge = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [800001, 800002, 800003],
+                "text": ["", "one", "two tokens"],
+            }
+        )
+    )
+    both = docs.unionByName(edge)
+    hof, _ = minhash_base_and_bands(both, engine="hof")
+    vec, _ = minhash_base_and_bands(both, engine="vectorized")
+    h = {r.id: tuple(r.sig) for r in hof.select("id", "sig").collect()}
+    v = {r.id: tuple(r.sig) for r in vec.select("id", "sig").collect()}
+    assert h == v and len(h) == both.count()
