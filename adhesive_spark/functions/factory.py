@@ -155,13 +155,82 @@ _JAVA_CLASS_NAME_RE = re.compile(r"class\s+(\w+)")
 _JAVA_BODY_CACHE: dict[str, tuple[str, str]] = {}
 
 
-def _java_disk_cache_dir() -> "Path":
-    from pathlib import Path
-    import tempfile
+#: Resolved-once cache-dir handle (the ownership probes below stat the
+#: filesystem; no reason to repeat them per CREATE FUNCTION).
+_JAVA_DISK_CACHE: "Path | None" = None
 
-    d = Path(tempfile.gettempdir()) / "adhesive_java_cache"
-    d.mkdir(exist_ok=True)
-    return d
+
+def _java_disk_cache_dir() -> "Path":
+    """Per-user jar cache directory, created 0700 and trust-checked.
+
+    The cache feeds ``ADD JAR`` — code loaded straight into the Spark
+    JVM — so it must never be a world-shared /tmp path another local
+    user could pre-create (sticky /tmp lets them own it) and seed with
+    a jar for a known body digest. Resolution order:
+
+    1. ``$XDG_CACHE_HOME/adhesive_java_cache`` (or
+       ``~/.cache/adhesive_java_cache``),
+    2. ``<tempdir>/adhesive_java_cache-<uid>``,
+
+    each accepted only if, after ``mkdir`` + ``chmod 0700``, the path
+    is a non-symlink directory owned by this uid with no group/other
+    write bits. If neither location passes, fall back to a fresh
+    process-private directory — the cross-process jar reuse is lost
+    but nothing untrusted is ever loaded.
+    """
+    global _JAVA_DISK_CACHE
+    if _JAVA_DISK_CACHE is not None:
+        return _JAVA_DISK_CACHE
+    import os
+    import stat
+    import tempfile
+    from pathlib import Path
+
+    uid = os.getuid() if hasattr(os, "getuid") else -1
+    xdg = os.environ.get("XDG_CACHE_HOME")
+    base = Path(xdg) if xdg else Path.home() / ".cache"
+    candidates = [
+        base / "adhesive_java_cache",
+        Path(tempfile.gettempdir()) / f"adhesive_java_cache-{uid}",
+    ]
+    for d in candidates:
+        try:
+            d.mkdir(parents=True, exist_ok=True)
+            # chmod fails with EPERM if another user owns the path —
+            # exactly the planted-directory case we must refuse.
+            os.chmod(d, 0o700)
+            st = os.lstat(d)
+            if (
+                stat.S_ISDIR(st.st_mode)
+                and (uid == -1 or st.st_uid == uid)
+                and not (st.st_mode & (stat.S_IWGRP | stat.S_IWOTH))
+            ):
+                _JAVA_DISK_CACHE = d
+                return d
+        except OSError:
+            continue
+    _JAVA_DISK_CACHE = Path(tempfile.mkdtemp(prefix="adhesive_java_cache_"))
+    return _JAVA_DISK_CACHE
+
+
+def _jar_sidecar(jar: "Path") -> "Path":
+    return jar.with_name(jar.name + ".sha256")
+
+
+def _jar_integrity_ok(jar: "Path") -> bool:
+    """True iff the cached jar's bytes match its published sha256
+    sidecar. A missing/short/mismatched sidecar reads as a cache MISS
+    (recompile + republish), never an error — integrity failures cost a
+    javac run, not a query."""
+    import hashlib
+
+    try:
+        expected = _jar_sidecar(jar).read_text().strip()
+        if len(expected) != 64:
+            return False
+        return hashlib.sha256(jar.read_bytes()).hexdigest() == expected
+    except OSError:
+        return False
 
 
 def compile_java_body(spark: SparkSession, name: str, body: str) -> str:
@@ -218,7 +287,7 @@ def compile_java_body(spark: SparkSession, name: str, body: str) -> str:
     pkg = f"adhesive.generated.p{digest}"
     fqn = f"{pkg}.{cls}"
     disk_jar = _java_disk_cache_dir() / f"{cls}-p{digest}.jar"
-    if disk_jar.exists():
+    if disk_jar.exists() and _jar_integrity_ok(disk_jar):
         spark.sql(f"ADD JAR '{disk_jar}'")
         _JAVA_BODY_CACHE[body] = (fqn, str(disk_jar))
         return fqn
@@ -258,7 +327,13 @@ def compile_java_body(spark: SparkSession, name: str, body: str) -> str:
     with zipfile.ZipFile(tmp_jar, "w") as zf:
         for f in sorted(classes.rglob("*.class")):
             zf.write(f, f.relative_to(classes))
+    # Publish jar first, then its sha256 sidecar (also atomically): a
+    # cache hit requires BOTH, so a half-published or corrupted entry
+    # reads as a miss and recompiles instead of loading bad bytes.
     os.replace(tmp_jar, disk_jar)
+    tmp_sha = work / (disk_jar.name + ".sha256")
+    tmp_sha.write_text(hashlib.sha256(disk_jar.read_bytes()).hexdigest())
+    os.replace(tmp_sha, _jar_sidecar(disk_jar))
     spark.sql(f"ADD JAR '{disk_jar}'")
     _JAVA_BODY_CACHE[body] = (fqn, str(disk_jar))
     return fqn

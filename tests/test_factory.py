@@ -625,3 +625,107 @@ def test_udf_state_is_per_worker_not_shared(sess):
     assert len(per_pid) >= 2, per_pid.keys()
     all_ns = [n for v in per_pid.values() for n in v]
     assert len(set(all_ns)) < len(all_ns)
+
+
+def _reset_disk_cache():
+    import adhesive_spark.functions.factory as fac
+
+    fac._JAVA_DISK_CACHE = None
+
+
+def test_java_disk_cache_dir_private_mode(tmp_path, monkeypatch):
+    """The jar cache feeds ADD JAR, so it must resolve to a per-user
+    0700 directory (never the old world-shared /tmp/adhesive_java_cache
+    a hostile local user could pre-own and seed — r10 ADVICE, high)."""
+    import os
+    import stat
+
+    import adhesive_spark.functions.factory as fac
+
+    monkeypatch.setenv("XDG_CACHE_HOME", str(tmp_path / "xdg"))
+    _reset_disk_cache()
+    try:
+        d = fac._java_disk_cache_dir()
+        assert str(d).startswith(str(tmp_path / "xdg"))
+        st = os.lstat(d)
+        assert stat.S_ISDIR(st.st_mode)
+        assert stat.S_IMODE(st.st_mode) == 0o700
+        if hasattr(os, "getuid"):
+            assert st.st_uid == os.getuid()
+    finally:
+        _reset_disk_cache()
+
+
+def test_java_disk_cache_refuses_symlinked_dir(tmp_path, monkeypatch):
+    """A pre-planted SYMLINK at the cache path (the classic sticky-/tmp
+    redirect) is refused; resolution falls through to the uid-suffixed
+    tempdir candidate instead of loading jars through the link."""
+    import os
+
+    import adhesive_spark.functions.factory as fac
+
+    xdg = tmp_path / "xdg"
+    xdg.mkdir()
+    target = tmp_path / "attacker_controlled"
+    target.mkdir()
+    (xdg / "adhesive_java_cache").symlink_to(target)
+    monkeypatch.setenv("XDG_CACHE_HOME", str(xdg))
+    fake_tmp = tmp_path / "tmp"
+    fake_tmp.mkdir()
+    import tempfile
+
+    monkeypatch.setattr(tempfile, "gettempdir", lambda: str(fake_tmp))
+    _reset_disk_cache()
+    try:
+        d = fac._java_disk_cache_dir()
+        assert not os.path.islink(d)
+        assert str(d).startswith(str(fake_tmp))
+        uid = os.getuid() if hasattr(os, "getuid") else -1
+        assert d.name == f"adhesive_java_cache-{uid}"
+    finally:
+        _reset_disk_cache()
+
+
+def test_jar_integrity_sidecar(tmp_path):
+    """_jar_integrity_ok: hit requires jar bytes == published sidecar
+    sha256; tampered jar, tampered sidecar, or missing sidecar all read
+    as a miss (recompile), never a load of unverified bytes."""
+    import hashlib
+
+    from adhesive_spark.functions.factory import _jar_integrity_ok, _jar_sidecar
+
+    jar = tmp_path / "X-pabc.jar"
+    jar.write_bytes(b"PK\x03\x04 fake jar bytes")
+    assert not _jar_integrity_ok(jar)  # no sidecar yet
+    _jar_sidecar(jar).write_text(hashlib.sha256(jar.read_bytes()).hexdigest())
+    assert _jar_integrity_ok(jar)
+    jar.write_bytes(b"PK\x03\x04 SWAPPED payload")  # planted jar
+    assert not _jar_integrity_ok(jar)
+    _jar_sidecar(jar).write_text("deadbeef")  # malformed sidecar
+    assert not _jar_integrity_ok(jar)
+
+
+def test_java_disk_cache_cross_process_hit(sess):
+    """Disk-cache hit path end-to-end: a second 'process' (simulated by
+    clearing the in-memory body cache) must reuse the published jar —
+    same FQN, no recompile — and the published entry must carry a valid
+    integrity sidecar."""
+    from adhesive_spark.functions.factory import (
+        _JAVA_BODY_CACHE,
+        _jar_integrity_ok,
+        compile_java_body,
+    )
+    from pathlib import Path
+
+    body = (
+        "public class JDiskHit implements "
+        "org.apache.spark.sql.api.java.UDF1<Long, Long> { "
+        "  public Long call(Long a) { return a - 5; } }"
+    )
+    fqn1 = compile_java_body(sess.spark, "jdisk", body)
+    jar1 = Path(_JAVA_BODY_CACHE[body][1])
+    assert _jar_integrity_ok(jar1)
+    del _JAVA_BODY_CACHE[body]  # simulate a fresh process
+    fqn2 = compile_java_body(sess.spark, "jdisk", body)
+    assert fqn2 == fqn1
+    assert Path(_JAVA_BODY_CACHE[body][1]) == jar1
