@@ -65,16 +65,33 @@ def _assign(
     gone.  ``engine="hof"``: the original broadcast crossJoin + HOF
     cosine + max(struct(sim, -cid)) aggregate (map-side combined),
     kept as the reference twin; bit-equality machine-checked
-    (test_scale_ops::test_kmeans_assign_vectorized_matches_hof)."""
+    (test_scale_ops::test_kmeans_assign_vectorized_matches_hof).
+
+    NOTE: the vectorized engine EAGERLY collects the centroid block at
+    plan-construction time (a Spark job runs inside this call) — the
+    returned plan snapshots the centroids rather than recomputing them
+    per execution, the same bytes a broadcast would pin."""
     if engine == "vectorized":
-        crows = centroids.orderBy("cid").collect()
+        crows = (
+            centroids.select(
+                "cid", F.col("cv").cast("array<double>").alias("cv")
+            )
+            .orderBy("cid")
+            .collect()
+        )
         if crows:
             return _assign_vectorized(vectors, crows)
     scored = vectors.crossJoin(F.broadcast(centroids)).select(
         "vec_id",
         "v",
         F.struct(
-            F.round(cosine(F.col("v"), F.col("cv")), 6).alias("sim"),
+            F.round(
+                cosine(
+                    F.col("v").cast("array<double>"),
+                    F.col("cv").cast("array<double>"),
+                ),
+                6,
+            ).alias("sim"),
             (-F.col("cid")).alias("neg_cid"),
         ).alias("__cand"),
     )
@@ -87,7 +104,14 @@ def _assign(
 
 def _assign_vectorized(vectors: DataFrame, crows) -> DataFrame:
     """Map-only assignment core: kernel emits raw sims (bit-exact with
-    the HOF fold), Spark rounds and argmaxes in-row over k elements."""
+    the HOF fold), Spark rounds and argmaxes in-row over k elements.
+
+    Corner inputs mirror the HOF twin (r10 ADVICE): null or ragged
+    vectors and zero-norm pairs emit null sims (the crossJoin twin's
+    try_divide/null-fold results) instead of crashing np.stack or
+    leaking NaN; the homogeneous no-null batch — every committed
+    caller — takes the original byte-identical fast path. Both engines
+    compute in float64 regardless of stored element width."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
@@ -96,10 +120,10 @@ def _assign_vectorized(vectors: DataFrame, crows) -> DataFrame:
     cids = [r["cid"] for r in crows]
     C = np.array([list(r["cv"]) for r in crows], dtype=np.float64)
     kn = len(cids)
+    dim = C.shape[1] if C.ndim == 2 else 0
+    c_norm_sq = (C * C).sum(axis=1) if kn else np.zeros(0)
 
-    @pandas_udf(ArrayType(DoubleType()))
-    def _sims(v: pd.Series) -> pd.Series:
-        A = np.stack(v.values).astype(np.float64, copy=False)
+    def _score_block(A: "np.ndarray") -> "np.ndarray":
         n, d = A.shape
         acc = np.zeros((n, kn))
         na = np.zeros(n)
@@ -108,8 +132,48 @@ def _assign_vectorized(vectors: DataFrame, crows) -> DataFrame:
             acc += A[:, j : j + 1] * C[None, :, j]
             na += A[:, j] * A[:, j]
             nc += C[:, j] * C[:, j]
-        sims = acc / (np.sqrt(na)[:, None] * np.sqrt(nc)[None, :])
-        return pd.Series(list(sims))
+        denom = np.sqrt(na)[:, None] * np.sqrt(nc)[None, :]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sims = acc / denom
+        sims[denom == 0.0] = np.nan
+        return sims
+
+    @pandas_udf(ArrayType(DoubleType()))
+    def _sims(v: pd.Series) -> pd.Series:
+        vals = v.values
+        n = len(vals)
+        lens = np.fromiter(
+            (x.shape[0] if x is not None else -1 for x in vals),
+            dtype=np.int64,
+            count=n,
+        )
+        if n and (lens == dim).all() and (c_norm_sq != 0.0).all():
+            A = np.stack(vals).astype(np.float64, copy=False)
+            if ((A * A).sum(axis=1) != 0.0).all():
+                return pd.Series(list(_score_block(A)))
+        out = [None] * n
+        good = np.nonzero(lens == dim)[0]
+        if good.size:
+            A = np.stack([vals[i] for i in good]).astype(
+                np.float64, copy=False
+            )
+            sims = _score_block(A)
+            # per-PAIR zero-norm mask (a single zero-norm centroid must
+            # not null out the other centroids' sims); NaN from NaN
+            # elements stays a value, matching the HOF fold
+            zero_pair = ((A * A).sum(axis=1)[:, None] == 0.0) | (
+                c_norm_sq[None, :] == 0.0
+            )
+            for pos, i in enumerate(good):
+                zp = zero_pair[pos]
+                row = sims[pos]
+                out[i] = [
+                    None if zp[j] else float(row[j]) for j in range(kn)
+                ]
+        for i in range(n):
+            if out[i] is None:
+                out[i] = [None] * kn
+        return pd.Series(out)
 
     neg_cids = F.array(*[F.lit(-c) for c in cids])
     best = F.array_max(
@@ -120,7 +184,11 @@ def _assign_vectorized(vectors: DataFrame, crows) -> DataFrame:
         )
     )
     return (
-        vectors.select("vec_id", "v", _sims(F.col("v")).alias("__sims"))
+        vectors.select(
+            "vec_id",
+            "v",
+            _sims(F.col("v").cast("array<double>")).alias("__sims"),
+        )
         .select("vec_id", "v", (-best["neg_cid"]).alias("cid"))
     )
 

@@ -238,7 +238,9 @@ def minhash_base_and_bands(
 
     ``engine="vectorized"`` (default since round 10) computes the
     permutation minimums with :func:`minhash_signature_kernel` —
-    identical longs, 2.5× on the signature pass; ``engine="hof"``
+    identical longs, 1.9× on the signature pass (61.1 s→32.8 s at the
+    1.5 M-doc rung — the one measured number, see
+    :func:`minhash_signature_kernel`); ``engine="hof"``
     keeps the pure-Catalyst HOF twin.  The md5 shingle hashing stays
     JVM-side in both (it is what keeps the pipeline oracle-portable)."""
     rows_per_band = num_perm // bands

@@ -43,7 +43,12 @@ def l2_norm(a):
 
 
 def cosine(a, b):
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    """Total cosine: null when either vector has zero norm (ANSI mode —
+    the session default — would otherwise fail the whole query with
+    DIVIDE_BY_ZERO on one degenerate row). Null/ragged inputs yield
+    null through the zip_with/aggregate fold; NaN elements propagate
+    NaN. Identical to plain division for every nonzero-norm pair."""
+    return F.try_divide(dot(a, b), l2_norm(a) * l2_norm(b))
 
 
 def knn_bruteforce(
@@ -70,12 +75,29 @@ def knn_bruteforce(
     operation order exactly — bit-equality with the ``engine="hof"``
     twin is machine-checked (test_scale_ops) and measured 4× faster at
     the 1000× ladder rung (2 M × 25 pairs: 32.8 s HOF → 8.1 s).
+    NOTE: the vectorized engine EAGERLY collects the query block at
+    plan-construction time (a Spark job runs inside this call), so
+    upstream errors surface here and later changes to the ``queries``
+    DataFrame's inputs are NOT picked up by re-executing the returned
+    plan — snapshot semantics, matching what broadcasting a collected
+    block implies.
     ``engine="hof"``: the original pure-Catalyst crossJoin + HOF-fold
-    cosine, kept as the reference twin (also the fallback for corner
-    inputs: zero queries, null vectors).
+    cosine, kept as the reference twin (also the lazy path for zero
+    queries).
+
+    Corner-input semantics (both engines agree; see
+    test_scale_ops::test_knn_corner_inputs): null or ragged vectors —
+    on either side — and zero-norm pairs score ``sim = null`` (ranked
+    last under the DESC ordering); the one documented delta is a null
+    ELEMENT inside an otherwise non-null corpus vector, which Arrow
+    hands the kernel as NaN (sim NaN, ranked first like any NaN) while
+    the HOF fold yields null. Both engines compute in float64
+    regardless of the stored element width, so array<float> callers
+    get identical sims from either engine.
     """
     q = queries.select(
-        F.col(query_id_col), F.col(vec_col).alias("__qvec")
+        F.col(query_id_col),
+        F.col(vec_col).cast("array<double>").alias("__qvec"),
     )
     if engine == "vectorized":
         qrows = q.collect()
@@ -87,7 +109,7 @@ def knn_bruteforce(
         # zero queries: fall through to the HOF plan (empty result,
         # correct schema)
     scored = ensure_parallelism(corpus, id_col).select(
-        F.col(id_col), F.col(vec_col).alias("__cvec")
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__cvec")
     ).crossJoin(F.broadcast(q)).select(
         query_id_col,
         id_col,
@@ -114,34 +136,123 @@ def _knn_bruteforce_vectorized(
     both norms dimension-by-dimension in the same order as the left
     fold (``acc += A[:, j] * B[:, j]`` for j ascending), so every
     float64 add/mul happens in the identical IEEE sequence and the
-    rounded sims are byte-identical."""
+    rounded sims are byte-identical.
+
+    Corner inputs mirror the HOF twin (r10 ADVICE): null queries, null
+    or ragged corpus rows, and zero-norm pairs all emit ``null`` sims
+    instead of crashing ``np.stack``/``list(...)`` or leaking kernel
+    NaNs where the fold yields null. Rows are grouped by length and
+    each group scored against the same-length query block with the
+    identical fold, so the homogeneous fast path (every committed
+    caller) is byte-for-byte the original kernel."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import ArrayType, DoubleType
 
     qids = [r[0] for r in qrows]
-    Q = np.array([list(r[1]) for r in qrows], dtype=np.float64)
     qn = len(qids)
+    # queries grouped by vector length; a null query joins no group and
+    # therefore scores null against every corpus row (the HOF result)
+    qgroups: dict[int, list[int]] = {}
+    for idx, r in enumerate(qrows):
+        if r[1] is not None:
+            qgroups.setdefault(len(r[1]), []).append(idx)
+    qmats = {
+        L: (
+            np.array([list(qrows[i][1]) for i in cols], dtype=np.float64),
+            np.array(cols),
+        )
+        for L, cols in qgroups.items()
+    }
 
-    @pandas_udf(ArrayType(DoubleType()))
-    def _sims(cv: pd.Series) -> pd.Series:
-        A = np.stack(cv.values).astype(np.float64, copy=False)
+    def _score_block(A: "np.ndarray", Q: "np.ndarray") -> "np.ndarray":
+        # the HOF fold replay: j-ascending, identical IEEE sequence
         n, d = A.shape
-        acc = np.zeros((n, qn))
+        bn = Q.shape[0]
+        acc = np.zeros((n, bn))
         na = np.zeros(n)
-        nq = np.zeros(qn)
+        nq = np.zeros(bn)
         for j in range(d):
             acc += A[:, j : j + 1] * Q[None, :, j]
             na += A[:, j] * A[:, j]
             nq += Q[:, j] * Q[:, j]
-        sims = acc / (np.sqrt(na)[:, None] * np.sqrt(nq)[None, :])
-        return pd.Series(list(sims))
+        denom = np.sqrt(na)[:, None] * np.sqrt(nq)[None, :]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sims = acc / denom
+        # try_divide semantics: zero denominator -> null, not NaN/inf
+        sims[denom == 0.0] = np.nan
+        return sims
+
+    all_queries_one_group = (
+        len(qmats) == 1
+        and next(iter(qmats.values()))[1].shape[0] == qn
+    )
+
+    @pandas_udf(ArrayType(DoubleType()))
+    def _sims(cv: pd.Series) -> pd.Series:
+        vals = cv.values
+        n = len(vals)
+        lens = np.fromiter(
+            (v.shape[0] if v is not None else -1 for v in vals),
+            dtype=np.int64,
+            count=n,
+        )
+        if all_queries_one_group and n:
+            # FAST PATH (every committed caller): homogeneous batch,
+            # no nulls, no zero norms — byte-identical to the original
+            # kernel, zero per-element Python.
+            L0 = next(iter(qmats))
+            Q, _ = qmats[L0]
+            if (lens == L0).all():
+                A = np.stack(vals).astype(np.float64, copy=False)
+                # sum-of-squares == 0 iff the vector is all-zero (order
+                # independent for non-negative addends) — mask only
+                if (
+                    ((A * A).sum(axis=1) != 0.0).all()
+                    and ((Q * Q).sum(axis=1) != 0.0).all()
+                ):
+                    return pd.Series(list(_score_block(A, Q)))
+        # SLOW PATH (corner inputs only): per-length groups, null sims
+        # for null/ragged/zero-norm pairs — the HOF twin's semantics.
+        out = np.full((n, qn), np.nan)
+        valid = np.zeros((n, qn), dtype=bool)
+        for L in np.unique(lens):
+            pair = qmats.get(int(L))
+            if pair is None:
+                continue  # null/ragged rows: no same-length queries
+            Q, cols = pair
+            ridx = np.nonzero(lens == L)[0]
+            A = np.stack([vals[i] for i in ridx]).astype(
+                np.float64, copy=False
+            )
+            out[np.ix_(ridx, cols)] = _score_block(A, Q)
+            # zero-norm pairs are null (try_divide), never NaN — but a
+            # NaN produced by NaN ELEMENTS stays a value, so the mask
+            # comes from the norms, not from isnan(sims)
+            zero = ((A * A).sum(axis=1)[:, None] == 0.0) | (
+                (Q * Q).sum(axis=1)[None, :] == 0.0
+            )
+            v = np.ones_like(zero)
+            v[zero] = False
+            valid[np.ix_(ridx, cols)] = v
+        return pd.Series(
+            [
+                [
+                    float(out[i, j]) if valid[i, j] else None
+                    for j in range(qn)
+                ]
+                for i in range(n)
+            ]
+        )
 
     qid_lit = F.array(*[F.lit(i) for i in qids])
     scored = (
         ensure_parallelism(corpus, id_col)
-        .select(F.col(id_col), _sims(F.col(vec_col)).alias("__sims"))
+        .select(
+            F.col(id_col),
+            _sims(F.col(vec_col).cast("array<double>")).alias("__sims"),
+        )
         .select(
             F.col(id_col),
             F.posexplode(F.col("__sims")).alias("__qpos", "__sim"),

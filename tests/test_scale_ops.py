@@ -463,3 +463,111 @@ def test_kmeans_assign_vectorized_matches_hof(spark, sf_dir):
         for r in _assign(vectors, cents, engine="hof").collect()
     }
     assert vec == hof and len(vec) == vectors.count()
+
+
+def test_knn_corner_inputs_match_hof(spark):
+    """r10 ADVICE: null query vectors, null/ragged corpus rows, and
+    zero-norm pairs must not crash either engine and must produce the
+    SAME rows from both — null sims rank last, never kernel NaNs that
+    sort first. Exercises every corner the advice listed."""
+    from adhesive_spark.operators.similarity import knn_bruteforce
+
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.0, 1.0]),
+            (3, None),             # null corpus row
+            (4, [1.0, 2.0, 3.0]),  # ragged (len 3)
+            (5, [0.0, 0.0]),       # zero norm
+            (6, [0.6, 0.8]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(10, [1.0, 1.0]), (11, None), (12, [0.0, 0.0])],
+        "query_id long, embedding array<double>",
+    )
+
+    def rows(engine):
+        return sorted(
+            (r.query_id, r.rank, r.vec_id, r.sim)
+            for r in knn_bruteforce(
+                corpus, queries, k=6, engine=engine
+            ).collect()
+        )
+
+    vec, hof = rows("vectorized"), rows("hof")
+    assert vec == hof
+    # valid pairs score; null/ragged/zero-norm pairs are null sims
+    byq = {}
+    for qid, rank, vid, sim in vec:
+        byq.setdefault(qid, {})[vid] = sim
+    assert byq[10][1] is not None and byq[10][6] is not None
+    assert byq[10][3] is None and byq[10][4] is None and byq[10][5] is None
+    assert all(s is None for s in byq[11].values())  # null query
+    assert all(s is None for s in byq[12].values())  # zero-norm query
+
+
+def test_knn_float32_width_independent(spark):
+    """r10 ADVICE: array<float> embeddings must produce IDENTICAL sims
+    from both engines (both promote to float64 before the fold), so the
+    default-engine choice can never silently change float32 results."""
+    from pyspark.sql import functions as F
+
+    from adhesive_spark.operators.similarity import knn_bruteforce
+
+    corpus = spark.createDataFrame(
+        [(i, [0.1 * i + 0.3, 0.7 - 0.2 * i, 1.1 * i]) for i in range(1, 9)],
+        "vec_id long, embedding array<double>",
+    ).withColumn("embedding", F.col("embedding").cast("array<float>"))
+    queries = spark.createDataFrame(
+        [(100, [0.25, 0.5, 0.33]), (101, [0.9, 0.1, 0.4])],
+        "query_id long, embedding array<double>",
+    ).withColumn("embedding", F.col("embedding").cast("array<float>"))
+    vec = sorted(
+        (r.query_id, r.rank, r.vec_id, r.sim)
+        for r in knn_bruteforce(
+            corpus, queries, k=4, engine="vectorized"
+        ).collect()
+    )
+    hof = sorted(
+        (r.query_id, r.rank, r.vec_id, r.sim)
+        for r in knn_bruteforce(corpus, queries, k=4, engine="hof").collect()
+    )
+    assert vec == hof and len(vec) == 8
+
+
+def test_kmeans_assign_corner_inputs_match_hof(spark):
+    """Null/ragged/zero-norm vectors flow through BOTH assignment
+    engines without crashing and land on the same cid (the all-null-sim
+    tie resolves to the lowest cid via the shared struct comparator);
+    float32 input assigns identically too."""
+    from pyspark.sql import functions as F
+
+    from adhesive_spark.operators.clustering import _assign
+
+    vectors = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, None),
+            (3, [2.0, 1.0, 0.5]),  # ragged
+            (4, [0.0, 0.0]),       # zero norm
+            (5, [0.3, 0.4]),
+        ],
+        "vec_id long, v array<double>",
+    )
+    cents = spark.createDataFrame(
+        [(7, [1.0, 1.0]), (9, [0.0, 1.0])], "cid long, cv array<double>"
+    )
+    vec = {r.vec_id: r.cid for r in _assign(vectors, cents, "vectorized").collect()}
+    hof = {r.vec_id: r.cid for r in _assign(vectors, cents, "hof").collect()}
+    assert vec == hof and len(vec) == 5
+    assert vec[2] == 7 and vec[3] == 7 and vec[4] == 7  # all-null -> min cid
+    # float32 twin agreement
+    v32 = vectors.where("v is not null and size(v) = 2").withColumn(
+        "v", F.col("v").cast("array<float>")
+    )
+    c32 = cents.withColumn("cv", F.col("cv").cast("array<float>"))
+    vec32 = {r.vec_id: r.cid for r in _assign(v32, c32, "vectorized").collect()}
+    hof32 = {r.vec_id: r.cid for r in _assign(v32, c32, "hof").collect()}
+    assert vec32 == hof32 and len(vec32) == 3
