@@ -110,10 +110,51 @@ def _verified_queries() -> set[str]:
     return seen
 
 
+def _last_green_rounds() -> dict[str, int]:
+    """name -> HIGHEST round number whose committed CORRECTNESS_r*.json
+    records a fully-green row. Queries green only via the VERIFIED.json
+    ledger (no readable file) are absent — treated as round 0, i.e.
+    oldest, by the post-coverage cycling below."""
+    import glob
+    import json
+    import os
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    last: dict[str, int] = {}
+    for p in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", p)
+        rnd = int(m.group(1)) if m else 0
+        try:
+            with open(p) as f:
+                d = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(d, dict):
+            continue
+        for name, row in d.items():
+            if (
+                isinstance(row, dict)
+                and row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match")
+            ):
+                last[name] = max(last.get(name, 0), rnd)
+    return last
+
+
 def _reorder(d: dict) -> dict:
     """Rotate never-driver-verified queries into the graded first-50
     window, oldest query number first; verified queries follow in their
-    registration order."""
+    registration order.
+
+    Once the backlog is EMPTY (full-registry coverage, reached in round
+    11), rotation switches to a regression ratchet: the whole registry
+    is ordered by the round each query last graded green (oldest
+    first, query number as tiebreak), so every future round's graded
+    window re-proves the 50 longest-unchecked queries against drift
+    instead of grading nothing new. Each driver round then bumps its
+    window to newest and the cycle self-advances."""
     import re
 
     verified = _verified_queries()
@@ -127,6 +168,12 @@ def _reorder(d: dict) -> dict:
         return int(m.group(1)) if m else 10**9
 
     backlog = sorted((k for k in d if k not in verified), key=qnum)
+    if not backlog:
+        last = _last_green_rounds()
+        return {
+            k: d[k]
+            for k in sorted(d, key=lambda k: (last.get(k, 0), qnum(k)))
+        }
     out = {k: d[k] for k in backlog}
     # verified tail in query-number order too: queries() and
     # oracle_sql() then agree positionally regardless of each module

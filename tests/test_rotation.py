@@ -28,15 +28,23 @@ def test_window_fronts_lowest_numbered_backlog():
 
 
 def test_rotation_advances_when_window_verifies():
-    """Simulate the r6 window landing green: the next window must be
-    the NEXT 50 backlog queries, not a re-verification of the old
-    ones."""
+    """Simulate the current window landing green (ledger appended AND
+    the driver's CORRECTNESS round committed, as happens every round):
+    the next window must not re-front it — either the next 50 backlog
+    queries (while a backlog remains) or, post-coverage, the 50 with
+    the oldest last-green round."""
     current = list(entry_mod.queries())
     window = current[:50]
     already = entry_mod._verified_queries()
+    rounds = entry_mod._last_green_rounds()
+    bumped = dict(rounds)
+    for n in window:
+        bumped[n] = max(rounds.values(), default=0) + 1
 
     with mock.patch.object(
         entry_mod, "_verified_queries", return_value=already | set(window)
+    ), mock.patch.object(
+        entry_mod, "_last_green_rounds", return_value=bumped
     ):
         nxt = list(entry_mod.queries())
     assert not (set(nxt[:50]) & set(window)), (
@@ -136,3 +144,53 @@ def test_unreadable_history_falls_back_to_static_window():
     with mock.patch.object(entry_mod, "_verified_queries", return_value=set()):
         qs = list(entry_mod.queries())
     assert qs[: len(entry_mod._GRADE_FIRST)] == entry_mod._GRADE_FIRST
+
+
+def test_post_coverage_cycles_oldest_verified_window():
+    """Once the backlog is empty (408/408 coverage), the graded window
+    must become the 50 queries whose last fully-green round is OLDEST
+    (query number as tiebreak) — the regression ratchet the round-10
+    judge asked for — and a subsequent green round on that window must
+    advance the cycle to the next-oldest 50."""
+    all_names = set(entry_mod.queries())
+    # synthetic history: round = 1 + (qnum // 50), so q01-q49 are the
+    # oldest-green block, then q50-q99, etc.
+    synth = {n: 1 + _qnum(n) // 50 for n in all_names}
+    with mock.patch.object(
+        entry_mod, "_verified_queries", return_value=all_names
+    ), mock.patch.object(
+        entry_mod, "_last_green_rounds", return_value=dict(synth)
+    ):
+        ordered = list(entry_mod.queries())
+        expect = sorted(all_names, key=lambda n: (synth[n], _qnum(n)))
+        assert ordered == expect
+        window = ordered[:50]
+        # ... the driver grades that window green; it becomes newest
+        bumped = dict(synth)
+        for n in window:
+            bumped[n] = 99
+        with mock.patch.object(
+            entry_mod, "_last_green_rounds", return_value=bumped
+        ):
+            nxt = list(entry_mod.queries())
+        assert not (set(nxt[:50]) & set(window)), (
+            "post-coverage cycle re-fronted the just-graded window"
+        )
+        assert nxt[:50] == [n for n in ordered if n not in window][:50]
+
+
+def test_post_coverage_alignment_and_ledger_only_fallback():
+    """In post-coverage mode queries()/oracle_sql() stay positionally
+    aligned, and queries with NO readable round history (ledger-only)
+    sort oldest — a fresh checkout without CORRECTNESS files degrades
+    to query-number order, never an arbitrary one."""
+    all_names = set(entry_mod.queries())
+    with mock.patch.object(
+        entry_mod, "_verified_queries", return_value=all_names
+    ), mock.patch.object(
+        entry_mod, "_last_green_rounds", return_value={}
+    ):
+        qs = list(entry_mod.queries())
+        os_ = list(entry_mod.oracle_sql())
+        assert qs == os_
+        assert qs == sorted(all_names, key=_qnum)
