@@ -41,6 +41,49 @@ from adhesive_spark.session import build_spark  # noqa: E402
 from adhesive_spark.sources.registry import load_table  # noqa: E402
 
 
+import re
+
+_FN_TOKEN = re.compile(r"\b([A-Za-z_][A-Za-z0-9_]*)\(")
+
+
+def _plan_fn_tokens(df) -> set:
+    """Function-call tokens appearing in a DataFrame's OPTIMIZED plan —
+    the post-pruning truth of what would execute."""
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    return set(_FN_TOKEN.findall(plan))
+
+
+def count_prunes(df) -> set:
+    """Tokens of df's optimized plan that VANISH when the same result is
+    driven through ``.count()`` instead of a materializing sink.
+
+    Nonempty means a counted timing does NOT measure those expressions:
+    Catalyst prunes aggregate functions (and whole Window/Project
+    subtrees) that a bare count never references — the round-10 audit's
+    gopher artifact, 1.9 s counted vs 50.5 s executed. Run this when
+    adding a ladder to the harness; if it returns tokens, the shape
+    must be timed under the noop sink (the default), never count-mode."""
+    return _plan_fn_tokens(df) - _plan_fn_tokens(df.groupBy().count())
+
+
+def execute_timed(out, exec_mode: str = "noop"):
+    """The harness's measurement core, extracted for its own audit
+    tests: returns ``(rows_out, sec)`` where ``sec`` times either the
+    zero-materialization noop sink (honest — every expression executes)
+    or a bare ``.count()`` (legacy comparison mode; subject to the
+    pruning described in :func:`count_prunes`). The noop path counts
+    UNTIMED afterwards so both modes report identical rows_out."""
+    t0 = time.perf_counter()
+    if exec_mode == "count":
+        n_out = out.count()
+        sec = time.perf_counter() - t0
+    else:
+        out.write.format("noop").mode("overwrite").save()
+        sec = time.perf_counter() - t0
+        n_out = out.count()  # untimed, for the record only
+    return n_out, sec
+
+
 def replicate(df, id_col: str, reps: int):
     """Fan each row out ``reps``× with remapped unique ids
     (``id·reps + copy``): the N copies of a row are exact duplicates of
@@ -97,17 +140,24 @@ def main() -> None:
             return
         t0 = time.perf_counter()
         out = build()
+        build_sec = time.perf_counter() - t0
         if hasattr(out, "count"):
             if exec_mode == "count":
-                n_out = out.count()
-                sec = time.perf_counter() - t0
-            else:
-                out.write.format("noop").mode("overwrite").save()
-                sec = time.perf_counter() - t0
-                n_out = out.count()  # untimed, for the record only
+                pruned = count_prunes(out)
+                if pruned:
+                    print(
+                        f"WARNING {name}: count-mode prunes "
+                        f"{sorted(pruned)[:8]} — timing is NOT honest, "
+                        "use the default noop mode",
+                        file=sys.stderr,
+                    )
+            n_out, exec_sec = execute_timed(out, exec_mode)
+            # plan-construction time (incl. any eager collects a builder
+            # does) stays inside the ladder wall, as it always has
+            sec = build_sec + exec_sec
         else:
             n_out = int(out)
-            sec = time.perf_counter() - t0
+            sec = build_sec
         ops[name] = {
             "rows_out": n_out,
             "sec": round(sec, 2),
