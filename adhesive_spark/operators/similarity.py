@@ -247,15 +247,27 @@ def _knn_bruteforce_vectorized(
         )
 
     qid_lit = F.array(*[F.lit(i) for i in qids])
+    # by_size: AQE sizes the kernel stage's fanout from the measured
+    # shuffle bytes — a ~1 MB corpus scores in ONE task (32 fixed-width
+    # tasks cost ~0.4 s of per-task Python overhead to score 2k rows,
+    # the r10 bench finding) while the 2 M-row ladder, whose split
+    # count lies about its size, still fans out to ~bytes/64 MB tasks.
     scored = (
-        ensure_parallelism(corpus, id_col)
+        ensure_parallelism(corpus, id_col, by_size=True)
         .select(
             F.col(id_col),
             _sims(F.col(vec_col).cast("array<double>")).alias("__sims"),
         )
         .select(
             F.col(id_col),
-            F.posexplode(F.col("__sims")).alias("__qpos", "__sim"),
+            # posexplode_OUTER, deliberately: plain posexplode lets
+            # Catalyst infer `size(__sims)>0 AND isnotnull(__sims)` and
+            # push it below the exchange, which re-evaluates the Arrow
+            # kernel over the ENTIRE corpus a second time just to
+            # decide the filter (r11 plan read: two ArrowEvalPython
+            # nodes). The kernel always returns a length-qn array, so
+            # outer emits exactly the same rows — with ONE evaluation.
+            F.posexplode_outer(F.col("__sims")).alias("__qpos", "__sim"),
         )
         .select(
             F.element_at(qid_lit, F.col("__qpos") + 1).alias(query_id_col),

@@ -47,7 +47,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
-def ensure_parallelism(df: DataFrame, *cols: str, min_parts: int | None = None) -> DataFrame:
+def ensure_parallelism(
+    df: DataFrame,
+    *cols: str,
+    min_parts: int | None = None,
+    by_size: bool = False,
+) -> DataFrame:
     """Repartition iff the plan has fewer partitions than the cluster has
     cores — decouples CPU-dense stage parallelism from input-split count.
 
@@ -57,11 +62,22 @@ def ensure_parallelism(df: DataFrame, *cols: str, min_parts: int | None = None) 
     would otherwise bottleneck hash/UDF/vector compute on ONE core. The
     repartition shuffle moves only the (small) input, and hash-bucketing
     by ``cols`` keeps downstream same-key joins co-partitioned.
-    """
+
+    ``by_size=True`` (requires ``cols``): instead of a fixed
+    core-count width, emit a hash repartition with NO explicit
+    partition count, which AQE sizes from the measured shuffle bytes
+    at runtime (advisory 64 MB/partition). A 1 MB input coalesces to
+    ONE task — fixed-width fanout would pay ~cores× per-task
+    Python/Arrow overhead to score it — while a replicated-explode
+    input (whose split count and Catalyst size stats both lie) still
+    fans out by its true bytes. Use for Arrow-kernel stages whose
+    per-task overhead dominates on small inputs."""
     sc = df.sparkSession.sparkContext
     target = min_parts or sc.defaultParallelism
     if df.rdd.getNumPartitions() >= target:
         return df
+    if by_size and cols:
+        return df.repartition(*[F.col(c) for c in cols])
     return df.repartition(target, *cols) if cols else df.repartition(target)
 
 
