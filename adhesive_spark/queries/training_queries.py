@@ -50,18 +50,11 @@ def _h32(hexpr: str) -> str:
 # --- q280: DSIR importance weights (hashed-bigram log-ratio) -----------------
 
 
-def q280_dsir_importance(spark, sf_dir):
-    """DSIR-style importance scoring (Xie et al. 2023, "Data Selection
-    for Language Models via Importance Resampling"): score every
-    non-target document by how target-like its hashed-bigram profile is.
-    Target = the ``src0`` slice; features = word bigrams hashed into
-    8192 buckets (portable md5 hash); per-bucket weight is the INTEGER
-    log-ratio ``bitlen(t_b+1) - bitlen(r_b+1)`` (floor(log2)+1 via the
-    binary-string length, the q263 trick) — a documented deviation from
-    DSIR's float log-likelihood ratio that keeps the whole score
-    engine-exact.  A document's score is the sum of its bigram
-    occurrences' bucket weights; the top-20 scored raw documents are the
-    resampling front.
+def dsir_importance_report(docs):
+    """DSIR-style importance scoring core over a (doc_id, source, text)
+    frame — see :func:`q280_dsir_importance` for the full contract;
+    extracted so the stress harness can ladder it over a replicated
+    corpus (r10 judge directive 6).
 
     Scale shape: one explode → one 8192-row bucket-weight aggregate
     (map-side combined, broadcast back) → one per-doc sum; nothing
@@ -71,7 +64,7 @@ def q280_dsir_importance(spark, sf_dir):
     from adhesive_spark.operators.text import bigrams, tokens
     from adhesive_spark.sources.registry import ensure_parallelism
 
-    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    docs = ensure_parallelism(docs)
     occ = docs.select(
         "doc_id",
         "source",
@@ -114,6 +107,21 @@ def q280_dsir_importance(spark, sf_dir):
     return scored.orderBy(
         F.col("score").desc(), F.col("doc_id")
     ).limit(20)
+
+
+def q280_dsir_importance(spark, sf_dir):
+    """DSIR-style importance scoring (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every
+    non-target document by how target-like its hashed-bigram profile is.
+    Target = the ``src0`` slice; features = word bigrams hashed into
+    8192 buckets (portable md5 hash); per-bucket weight is the INTEGER
+    log-ratio ``bitlen(t_b+1) - bitlen(r_b+1)`` (floor(log2)+1 via the
+    binary-string length, the q263 trick) — a documented deviation from
+    DSIR's float log-likelihood ratio that keeps the whole score
+    engine-exact.  A document's score is the sum of its bigram
+    occurrences' bucket weights; the top-20 scored raw documents are the
+    resampling front.  Core: :func:`dsir_importance_report`."""
+    return dsir_importance_report(load_table(spark, sf_dir, "documents"))
 
 
 TRAINING_QUERIES["q280_dsir_importance"] = q280_dsir_importance
@@ -2265,22 +2273,16 @@ TRAINING_ORACLES["q302_harmonic_closeness"] = f"""
 # --- q303: exact Gini of the token-mass distribution -----------------------------
 
 
-def q303_token_gini(spark, sf_dir):
-    """EXACT Gini coefficient of per-document token mass, per source
-    AND corpus-wide — the inequality number behind "is our corpus a
-    few whales plus dust?" (drives chunking and per-doc caps).  No
-    corpus-wide sort: ranks come from the per-DISTINCT-VALUE cumulative
-    trick — a value v with count c whose cumulative-before is B
-    contributes v·(c·B + c(c+1)/2) to Σ i·x_(i), so the window runs
-    over distinct values per group, bounded by the value domain, never
-    the corpus.  gini_ppm = (2·T1 − (n+1)·T2)·1e6 div (n·T2), every
-    term an exact integer (T1 in DECIMAL(38,0) headroom).
+def token_gini_report(docs):
+    """Token-Gini core over a (source, text) frame — full contract in
+    :func:`q303_token_gini`; extracted so the stress harness can ladder
+    it over a replicated corpus (r10 judge directive 6).
 
     Scale shape: one (group, value) count aggregate, one tiny window
     over distinct values, one group rollup."""
     from adhesive_spark.operators.text import token_estimate_bpe
 
-    docs = load_table(spark, sf_dir, "documents").select(
+    docs = docs.select(
         "source", token_estimate_bpe(F.col("text")).alias("toks")
     )
     both = docs.unionByName(
@@ -2312,6 +2314,20 @@ def q303_token_gini(spark, sf_dir):
             " AS BIGINT)"
         ).alias("gini_ppm"),
     )
+
+
+def q303_token_gini(spark, sf_dir):
+    """EXACT Gini coefficient of per-document token mass, per source
+    AND corpus-wide — the inequality number behind "is our corpus a
+    few whales plus dust?" (drives chunking and per-doc caps).  No
+    corpus-wide sort: ranks come from the per-DISTINCT-VALUE cumulative
+    trick — a value v with count c whose cumulative-before is B
+    contributes v·(c·B + c(c+1)/2) to Σ i·x_(i), so the window runs
+    over distinct values per group, bounded by the value domain, never
+    the corpus.  gini_ppm = (2·T1 − (n+1)·T2)·1e6 div (n·T2), every
+    term an exact integer (T1 in DECIMAL(38,0) headroom).
+    Core: :func:`token_gini_report`."""
+    return token_gini_report(load_table(spark, sf_dir, "documents"))
 
 
 TRAINING_QUERIES["q303_token_gini"] = q303_token_gini

@@ -575,6 +575,30 @@ def main() -> None:
         rows_in,
     )
 
+    # DSIR importance at N×: the bigram explode + per-gram md5 is the
+    # linear hazard; the 8192-row weight table stays broadcast at every
+    # N — any corpus-sized term in the join side would show here.
+    from adhesive_spark.queries.training_queries import (
+        dsir_importance_report,
+        token_gini_report,
+    )
+
+    run(
+        "dsir_importance",
+        lambda: dsir_importance_report(big_docs),
+        rows_in,
+    )
+
+    # Token Gini at N×: replication grows rows but NOT distinct token
+    # counts, so the rank window runs over a bounded value domain —
+    # wall must stay flat-to-falling per row (the bounded-domain
+    # exactness contract).
+    run(
+        "token_gini",
+        lambda: token_gini_report(big_docs),
+        rows_in,
+    )
+
     # CDC chunk dedup at N×: in-row chunk assembly is map-only; the
     # hazard is the chunk-hash shuffle, whose payload grows N× while
     # every chunk group becomes an N-copy bucket (the replicated docs
