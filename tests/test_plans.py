@@ -520,3 +520,19 @@ def test_cap_manifest_matches_code():
         f"PLANS.md cap column is stale (recorded, fresh): {mismatched} — "
         "regenerate with tools/plan_report.py"
     )
+
+
+def test_knn_vectorized_single_kernel_evaluation(spark, sf):
+    """The scoring kernel must appear EXACTLY ONCE in the final plan.
+    Plain posexplode over the kernel column lets Catalyst's
+    InferFiltersFromGenerate push a size(__sims)>0 filter below the
+    exchange, re-evaluating the Arrow kernel over the whole corpus a
+    second time (the r10 q35 2.27× regression, root-caused r11).
+    posexplode_outer keeps one ArrowEvalPython; this pins it."""
+    from adhesive_spark.queries.pipeline_queries import q35_knn_bruteforce
+
+    df = q35_knn_bruteforce(spark, sf)
+    df.collect()  # AQE: the FINAL plan is only known post-execution
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("Initial Plan")[0]
+    assert final.count("ArrowEvalPython") == 1, final
