@@ -333,8 +333,19 @@ def minhash_lsh_pairs(
         seed=seed,
     )
 
-    l = band_rows.alias("l")
-    r = band_rows.alias("r")
+    # Explicit repartition on the join key BEFORE aliasing: the
+    # self-join's two ENSURE_REQUIREMENTS exchanges do not canonicalize
+    # equal (the duplicate-attribute rewrite hands the right side fresh
+    # exprIds), so without this the whole (shingle -> md5 -> signature
+    # kernel -> band) subplan executes TWICE — r11's dupPy plan audit
+    # caught the signature kernel, the pipeline's most expensive stage,
+    # running once per side. A user-level repartition satisfies the
+    # join's distribution requirement from ONE shared exchange that the
+    # second side reads as ReusedExchange: one kernel evaluation, one
+    # fewer shuffle (plan-pinned in tests/test_plans.py).
+    shared = band_rows.repartition(F.col("band_idx"), F.col("band_hash"))
+    l = shared.alias("l")
+    r = shared.alias("r")
     candidates = (
         l.join(
             r,

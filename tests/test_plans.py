@@ -386,7 +386,8 @@ def test_plans_md_shuffle_ratchet(spark):
     assert m, "PLANS.md missing scale-factor header"
     sf_dir = m.group(1)
     row_re = re.compile(
-        r"^\| (q\w+) \| (\d+) \| (\d+) \| (\d+) \| (?:yes|-) \| (yes[^|]*|no) \|",
+        r"^\| (q\w+) \| (\d+) \| (\d+) \| (\d+) \| (?:yes|-) \| (yes[^|]*|no) "
+        r"\|(?:[^|]*\| (YES|no) )?\|",
         re.M,
     )
     recorded = {
@@ -394,6 +395,8 @@ def test_plans_md_shuffle_ratchet(spark):
             "shuffles": int(row.group(2)),
             "smj": int(row.group(4)),
             "bnl": row.group(5).strip() != "no",
+            # dupPy column absent in pre-r11 PLANS.md vintages -> None
+            "dup_py": None if row.group(6) is None else row.group(6) == "YES",
         }
         for row in row_re.finditer(text)
     }
@@ -420,12 +423,20 @@ def test_plans_md_shuffle_ratchet(spark):
         got_smj = plan.count("SortMergeJoin")
         got_bnl = "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan
         rec = recorded[name]
+        from tools.plan_report import dup_python_eval
+
+        got_dup = dup_python_eval(plan)
         if got_shuffles > rec["shuffles"]:
             worse[name] = ("shuffles", rec["shuffles"], got_shuffles)
         elif got_smj > rec["smj"]:
             worse[name] = ("smj-flip", rec["smj"], got_smj)
         elif got_bnl and not rec["bnl"]:
             worse[name] = ("new-BNL", False, True)
+        elif got_dup and rec["dup_py"] is False:
+            # a dup-free recording must stay dup-free: a duplicated
+            # EvalPython node means a kernel silently re-evaluating
+            # (the r11 q35 class)
+            worse[name] = ("new-dupPy", False, True)
     assert not complex_out, (
         f"complex-typed output columns (driver canon crashes on these): "
         f"{complex_out} — flatten to strings (array_join / concat_ws)"

@@ -439,6 +439,20 @@ _CAP_RE = re.compile(
 )
 
 
+_PY_EVAL_RE = re.compile(r"(?:Arrow|Batch)EvalPython \[(\w+)\(")
+
+
+def dup_python_eval(plan: str) -> bool:
+    """True when the SAME Python UDF name heads more than one
+    (Arrow|Batch)EvalPython node in the plan — the double-evaluation
+    signature (r11 q35 root cause: InferFiltersFromGenerate pushed a
+    posexplode size-filter below an exchange and the scoring kernel ran
+    twice over the corpus). A plan recorded dup-free must stay dup-free
+    (ratcheted by tests/test_plans.py)."""
+    names = _PY_EVAL_RE.findall(plan.split("Initial Plan")[0])
+    return len(names) != len(set(names))
+
+
 def detect_cap(fn) -> str:
     """Grep a query callable's source for an INPUT cap: a strict
     upper-bound literal on an id column (``doc_id < 300``). Caps keep
@@ -505,8 +519,14 @@ def main() -> None:
     print("tools/stress.py replication ladder (STRESS.md). Enforced by")
     print("tests/test_plans.py::test_cap_manifest_matches_code.")
     print()
-    print("| query | shuffles | BHJ | SMJ | pushed | BNL | cap |")
-    print("|---|---|---|---|---|---|---|")
+    print("dupPy = the same Python UDF heads MORE THAN ONE EvalPython node")
+    print("in the plan — a double evaluation (the r11 q35 class:")
+    print("InferFiltersFromGenerate pushing a generator size-filter below an")
+    print("exchange re-runs the kernel over the whole input); recorded-no")
+    print("queries must stay no (ratcheted).")
+    print()
+    print("| query | shuffles | BHJ | SMJ | pushed | BNL | cap | dupPy |")
+    print("|---|---|---|---|---|---|---|---|")
     caps = input_caps(qs)
     for name in AUDITED:
         df = qs[name](spark, sf_dir)
@@ -521,10 +541,11 @@ def main() -> None:
         nl = (
             "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan
         )
+        dup = dup_python_eval(plan)
         print(
             f"| {name} | {shuffles} | {bhj} | {smj} "
             f"| {'yes' if pushed else '-'} | {'yes (bounded scoring)' if nl else 'no'} "
-            f"| {caps[name]} |"
+            f"| {caps[name]} | {'YES' if dup else 'no'} |"
         )
 
 
