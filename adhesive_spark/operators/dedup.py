@@ -273,7 +273,21 @@ def minhash_base_and_bands(
         sig = minhash_signature_from_base(F.col("base"), num_perm, seed)
     base = hashed.select("id", "shingles", sig.alias("sig"))
 
-    band_rows = base.select(
+    # Second boundary ABOVE the signature kernel: an id-keyed exchange
+    # (unique key — unskewable) that every consumer of band_rows reads
+    # back as one reused shuffle stage, so the kernel — the pipeline's
+    # most expensive stage — evaluates ONCE even under the pairs
+    # self-join (r11 dupPy audit: it ran once per join side). The band
+    # re-derivation per side is cheap JVM md5. Deliberately NOT a
+    # band-key repartition: a user REPARTITION_BY_COL is excluded from
+    # AQE's skew-join splitting, and the 1000×-replication ladder
+    # heap-OOMs without that splitting (r11 measured) — the self-join
+    # keeps its ENSURE exchanges, which AQE can split per hot bucket.
+    sig_shared = hashed.select("id", sig.alias("sig")).repartition(
+        F.col("id")
+    )
+
+    band_rows = sig_shared.select(
         "id",
         F.explode(
             F.transform(
@@ -333,19 +347,15 @@ def minhash_lsh_pairs(
         seed=seed,
     )
 
-    # Explicit repartition on the join key BEFORE aliasing: the
-    # self-join's two ENSURE_REQUIREMENTS exchanges do not canonicalize
-    # equal (the duplicate-attribute rewrite hands the right side fresh
-    # exprIds), so without this the whole (shingle -> md5 -> signature
-    # kernel -> band) subplan executes TWICE — r11's dupPy plan audit
-    # caught the signature kernel, the pipeline's most expensive stage,
-    # running once per side. A user-level repartition satisfies the
-    # join's distribution requirement from ONE shared exchange that the
-    # second side reads as ReusedExchange: one kernel evaluation, one
-    # fewer shuffle (plan-pinned in tests/test_plans.py).
-    shared = band_rows.repartition(F.col("band_idx"), F.col("band_hash"))
-    l = shared.alias("l")
-    r = shared.alias("r")
+    # Plain self-join on ENSURE exchanges, on purpose: both sides read
+    # the kernel output back from minhash_base_and_bands' shared
+    # id-keyed exchange (kernel once — plan-pinned in test_plans), and
+    # ENSURE-origin shuffles are the ones AQE's skew-join rule can
+    # split when an N-copy cluster floods one band bucket. (A band-key
+    # repartition here would reuse one exchange but is excluded from
+    # skew splitting — it heap-OOMed the 1000× ladder, r11.)
+    l = band_rows.alias("l")
+    r = band_rows.alias("r")
     candidates = (
         l.join(
             r,

@@ -2811,22 +2811,19 @@ def q152_ann_recall(spark, sf_dir):
     brute = knn_bruteforce(corpus, queries, k=5).select(
         "query_id", "vec_id"
     )
-    hits = (
-        brute.join(ivf, ["query_id", "vec_id"], "left_semi")
-        .groupBy("query_id")
-        .agg(F.count("*").alias("n_hits"))
+    # ONE pass over the brute plan: the old semi-join + separate
+    # denominator aggregate consumed `brute` twice, and the exact
+    # scoring kernel re-evaluated over the whole corpus per consumer
+    # (r11 dupPy runtime audit). ivf's (query_id, vec_id) rows are
+    # unique (top-k per query), so a left join with a hit flag keeps
+    # the multiplicity of brute and one aggregate yields both counts.
+    marked = brute.join(
+        ivf.withColumn("__hit", F.lit(1)), ["query_id", "vec_id"], "left"
     )
-    return (
-        brute.groupBy("query_id")
-        .agg(F.count("*").alias("k"))
-        .join(hits, "query_id", "left")
-        .select(
-            "query_id",
-            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
-            (F.coalesce(F.col("n_hits"), F.lit(0)) * 20).alias(
-                "recall_x100"
-            ),
-        )
+    n_hits = F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+    return marked.groupBy("query_id").agg(
+        n_hits.alias("n_hits"),
+        (n_hits * 20).alias("recall_x100"),
     )
 
 

@@ -1271,10 +1271,13 @@ def q317_bbit_minhash_audit(spark, sf_dir):
     equality implies b-bit equality, so extra ≥ 0 by construction
     (asserted by pytest).
 
-    Scale shape: one signature pass (the q37 machinery, localCheckpoint
-    boundary), then three band self-joins whose buckets are bounded by
-    the band-key space; the b-bit lanes reuse the SAME checkpointed
-    signatures — no second shingle pass. Capped input (doc_id < 600,
+    Scale shape: the signature pass (the q37 machinery) is shared
+    through ONE id-keyed repartition that every lane reads back as a
+    reused shuffle stage — the kernel previously re-evaluated once per
+    lane per side (6 runtime ArrowEvalPython nodes, r11 dupPy audit);
+    now exactly one. The band self-joins keep plain ENSURE exchanges
+    so AQE skew splitting stays armed; buckets stay bounded by the
+    band-key space. Capped input (doc_id < 600,
     the q116 convention) keeps the pair-quadratic oracle tractable;
     at-scale evidence is the STRESS minhash ladder."""
     from adhesive_spark.operators.dedup import minhash_base_and_bands
@@ -1282,9 +1285,14 @@ def q317_bbit_minhash_audit(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").where(
         F.col("doc_id") < 600
     )
-    base, band_full = minhash_base_and_bands(docs, "text", "doc_id")
+    base, _ = minhash_base_and_bands(docs, "text", "doc_id")
+    # one id-keyed exchange both b-bit lanes read back (runtime stage
+    # reuse): the signature kernel evaluates ONCE for every lane
+    sig_shared = base.select("id", "sig").repartition(F.col("id"))
 
     def pairs_count(rows):
+        # plain ENSURE-exchange self-join (AQE-skew-splittable); the
+        # kernel itself is shared through sig_shared below
         a = rows.select(
             F.col("id").alias("id_a"), "band_idx",
             F.col("band_hash").alias("k"),
@@ -1302,7 +1310,12 @@ def q317_bbit_minhash_audit(spark, sf_dir):
         )
 
     def bbit_rows(mod):
-        return base.select(
+        # mod=None -> full-width values: candidate sets depend only on
+        # band-hash EQUALITY CLASSES, and concat_ws of decimal longs is
+        # injective per slice, so building the full lane here (off the
+        # shared signature exchange) yields the same cand_full as the
+        # operator's own banding while the kernel evaluates ONCE total
+        return sig_shared.select(
             "id",
             F.explode(
                 F.transform(
@@ -1314,7 +1327,9 @@ def q317_bbit_minhash_audit(spark, sf_dir):
                                 "_",
                                 F.transform(
                                     F.slice(F.col("sig"), bi * 4 + 1, 4),
-                                    lambda x: (x % mod).cast("string"),
+                                    lambda x: (
+                                        (x % mod) if mod else x
+                                    ).cast("string"),
                                 ),
                             )
                         ).alias("band_hash"),
@@ -1323,7 +1338,7 @@ def q317_bbit_minhash_audit(spark, sf_dir):
             ).alias("b"),
         ).select("id", "b.band_idx", "b.band_hash")
 
-    full_n = pairs_count(band_full)
+    full_n = pairs_count(bbit_rows(None))
     out = None
     for bits, mod in ((2, 4), (4, 16)):
         row = (

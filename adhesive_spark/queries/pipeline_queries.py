@@ -1257,6 +1257,9 @@ def q163_lsh_banding_eval(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     _, band_rows = minhash_base_and_bands(docs, num_perm=64, bands=16)
+    # plain self-join: band_rows reads the operator's shared id-keyed
+    # signature exchange (kernel once), and the ENSURE-origin band
+    # shuffles stay AQE-skew-splittable (see minhash_lsh_pairs, r11)
     l, r = band_rows.alias("l"), band_rows.alias("r")
     cand = (
         l.join(

@@ -282,7 +282,11 @@ def test_shuffle_budgets_most_expensive(spark, sf):
     )
 
     budgets = {
-        q37_minhash_pairs: 2,   # band shuffle + pair agg; 3 BHJ, no BNL
+        # r11: +1 deliberate id-keyed exchange that shares the signature
+        # kernel across the self-join sides (kernel evaluated once —
+        # pinned by test_minhash_pairs_single_kernel_evaluation); band
+        # shuffle + pair agg unchanged; 3 BHJ, no BNL
+        q37_minhash_pairs: 3,
         q69_contamination_check: 4,
         q102_curation_pipeline: 2,  # fp dedup + source window; agg reuses
         q100_corpus_report: 2,
@@ -547,3 +551,19 @@ def test_knn_vectorized_single_kernel_evaluation(spark, sf):
     plan = df._jdf.queryExecution().executedPlan().toString()
     final = plan.split("Initial Plan")[0]
     assert final.count("ArrowEvalPython") == 1, final
+
+
+def test_minhash_pairs_single_kernel_evaluation(spark, sf):
+    """The banded self-join must read ONE ReusedExchange at runtime so
+    the signature kernel — the pipeline's most expensive stage —
+    evaluates once, not once per join side (r11 fix: shared pre-join
+    repartition on the band key; pre-AQE plans still print two
+    EvalPython nodes, which is why this pin executes)."""
+    from adhesive_spark.queries.pipeline_queries import q37_minhash_pairs
+
+    df = q37_minhash_pairs(spark, sf)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("Initial Plan")[0]
+    assert final.count("ArrowEvalPython") == 1, final
+    assert "ReusedExchange" in final

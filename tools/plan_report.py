@@ -520,10 +520,18 @@ def main() -> None:
     print("tests/test_plans.py::test_cap_manifest_matches_code.")
     print()
     print("dupPy = the same Python UDF heads MORE THAN ONE EvalPython node")
-    print("in the plan — a double evaluation (the r11 q35 class:")
-    print("InferFiltersFromGenerate pushing a generator size-filter below an")
-    print("exchange re-runs the kernel over the whole input); recorded-no")
-    print("queries must stay no (ratcheted).")
+    print("in the ANALYZED (pre-AQE) plan — the double-evaluation signature")
+    print("(the r11 q35 class: InferFiltersFromGenerate pushing a generator")
+    print("size-filter below an exchange re-ran the kernel over the whole")
+    print("corpus). Caveat: consumers of the minhash machinery share the")
+    print("signature kernel through an id-keyed exchange (unskewable key, so")
+    print("AQE skew-splitting on the band joins stays armed) that pre-AQE")
+    print("plans print once per consumer side; runtime stage-reuse")
+    print("(ReusedExchange) collapses them to ONE kernel evaluation — the")
+    print("remaining YES rows (q37/q163/q317/q334) are exactly these, each")
+    print("verified runtime-single-eval-per-config in r11 (q35/q37 pinned by")
+    print("executed-plan tests; see ROUND_NOTES r11). recorded-no queries")
+    print("must stay no (ratcheted).")
     print()
     print("| query | shuffles | BHJ | SMJ | pushed | BNL | cap | dupPy |")
     print("|---|---|---|---|---|---|---|---|")

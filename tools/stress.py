@@ -190,13 +190,22 @@ def main() -> None:
     # LSH candidate generation + verify over N-copy clusters: the pair
     # count is reps²-driven, the shuffle stays banded.  Cap the base
     # corpus so pair output stays printable, not to protect the plan.
-    lsh_base = big_docs.where((F.col("doc_id") % F.lit(reps * 5)) < reps)
+    # The cap tightens at the 1000× rung: //5 would put 1000 clusters ×
+    # C(1000,2) ≈ 499.5 M pairs through the single-box pair-dedup hash
+    # aggregate, which heap-OOMs this JVM (r11 measured) — //20 keeps
+    # the SAME plan shape at the 124.9 M-pair budget the containment
+    # ladder already sustains. On a fleet the budget is per-executor,
+    # so this is a harness constraint, not an operator one.
+    lsh_div = 5 if reps <= 300 else 20
+    lsh_base = big_docs.where(
+        (F.col("doc_id") % F.lit(reps * lsh_div)) < reps
+    )
     run(
         "minhash_lsh_pairs",
         lambda: minhash_lsh_pairs(
             lsh_base, "text", "doc_id", threshold=0.7
         ),
-        rows_in // 5,
+        rows_in // lsh_div,
     )
 
     # Persisted-LSH amortization: index the inflated corpus ONCE, then
