@@ -278,13 +278,19 @@ def minhash_base_and_bands(
     # back as one reused shuffle stage, so the kernel — the pipeline's
     # most expensive stage — evaluates ONCE even under the pairs
     # self-join (r11 dupPy audit: it ran once per join side). The band
-    # re-derivation per side is cheap JVM md5. Deliberately NOT a
-    # band-key repartition: a user REPARTITION_BY_COL is excluded from
-    # AQE's skew-join splitting, and the 1000×-replication ladder
-    # heap-OOMs without that splitting (r11 measured) — the self-join
-    # keeps its ENSURE exchanges, which AQE can split per hot bucket.
+    # re-derivation per side is cheap JVM md5. Two deliberate choices,
+    # both 1000×-ladder-measured (r11):
+    # - NOT a band-key repartition: user REPARTITION_BY_COL is excluded
+    #   from AQE's skew-join splitting, and without that splitting the
+    #   hot-bucket pair join heap-OOMs;
+    # - EXPLICIT partition count: with no count, AQE's parallelismFirst
+    #   coalesced this small exchange (~150 MB of signatures) to ~6
+    #   partitions, strangling every downstream map stage's width —
+    #   328.7 s vs 117.9 s at the 300× rung. An explicit count pins the
+    #   read width; at real scale the count is the core count and the
+    #   signatures are large enough that AQE wouldn't coalesce anyway.
     sig_shared = hashed.select("id", sig.alias("sig")).repartition(
-        F.col("id")
+        df.sparkSession.sparkContext.defaultParallelism, F.col("id")
     )
 
     band_rows = sig_shared.select(
