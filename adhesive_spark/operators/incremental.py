@@ -79,44 +79,75 @@ def apply_cdc(
     *,
     base: DataFrame | None = None,
     delete_op: str = "delete",
+    engine: str = "agg",
 ) -> DataFrame:
     """MERGE-INTO semantics over a CDC log: latest-op-per-key wins,
     surviving deletes drop the key.  The reconciliation step every
     CDC-fed lakehouse table needs (Debezium/DMS-style logs → current
-    snapshot), expressed as ONE key-partitioned window — shuffle width
-    is the log, never history × log:
+    snapshot):
 
-    - rank ops per key by ``seq_cols`` DESCENDING (the log's total
-      order: e.g. [ts, event_id] — the tie-break column must be unique
-      per key or "latest" is undefined);
-    - keep row_number() == 1, then drop keys whose winning op is
-      ``delete_op``.
+    - latest per key under the ``seq_cols`` DESCENDING total order
+      (e.g. [ts, event_id] — the tie-break column must be unique per
+      key or "latest" is undefined);
+    - drop keys whose winning op is ``delete_op``.
+
+    ``engine="agg"`` (default since round 11): latest-per-key as ONE
+    ``max(struct(seq..., payload))`` hash aggregate — associative, so
+    Spark's map-side partial combine collapses same-key rows BEFORE the
+    shuffle and a key receiving millions of log rows never materializes
+    them in one task. The 10 000×-replication rung (1 B rows over 150
+    keys) spilled the window engine's 6.7 M-row per-key sorts to disk
+    (606.8 s); the aggregate form ships only one partial row per key
+    per map task. Struct comparison orders nulls exactly like the
+    window's ``DESC NULLS LAST`` (null = lowest priority), and since
+    ``seq_cols`` are unique per key the payload field never decides a
+    comparison — winners are IDENTICAL to the window twin
+    (machine-checked, tests/test_operators.py).
+    ``engine="window"``: the original one-window form, kept as the twin.
 
     With ``base`` given, base rows join in as lowest-priority upserts
     (a log entry for the key always supersedes), implemented by a
     left-anti of base against the log's keys + union — the base is
     touched once, no per-row comparison against history.
 
-    At 100 TB: the window shuffles the LOG on the key; the base path is
-    an anti join on distinct log keys (broadcastable when the batch is
-    small).  Compare q110 (SCD2) which keeps every version; this
-    operator materializes only the current snapshot.
+    At 100 TB: one key shuffle of (at most) one combined row per key
+    per map partition; the base path is an anti join on distinct log
+    keys (broadcastable when the batch is small).  Compare q110 (SCD2)
+    which keeps every version; this operator materializes only the
+    current snapshot.
     """
-    w = F.row_number().over(
-        Window.partitionBy(*key_cols).orderBy(
-            *[F.col(c).desc() for c in seq_cols]
+    if engine == "agg":
+        payload_cols = [c for c in log.columns if c not in key_cols]
+        best = log.groupBy(*key_cols).agg(
+            F.max(
+                F.struct(
+                    *[F.col(c) for c in seq_cols],
+                    F.struct(*[F.col(c) for c in payload_cols]).alias(
+                        "__row"
+                    ),
+                )
+            ).alias("__best")
         )
-    )
-    latest = (
-        log.withColumn("__rn", w)
-        .where(F.col("__rn") == 1)
-        # only an EXPLICIT delete drops the key: a NULL/missing op is a
-        # malformed upsert, not a tombstone (a bare != would null out
-        # and silently delete such keys)
-        .where(
-            ~F.coalesce(F.col(op_col) == F.lit(delete_op), F.lit(False))
+        latest = best.select(
+            *key_cols,
+            *[F.col(f"__best.__row.{c}").alias(c) for c in payload_cols],
+        ).select(*log.columns)
+    else:
+        w = F.row_number().over(
+            Window.partitionBy(*key_cols).orderBy(
+                *[F.col(c).desc() for c in seq_cols]
+            )
         )
-        .drop("__rn")
+        latest = (
+            log.withColumn("__rn", w)
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+    # only an EXPLICIT delete drops the key: a NULL/missing op is a
+    # malformed upsert, not a tombstone (a bare != would null out
+    # and silently delete such keys)
+    latest = latest.where(
+        ~F.coalesce(F.col(op_col) == F.lit(delete_op), F.lit(False))
     )
     if base is None:
         return latest

@@ -1192,3 +1192,42 @@ def test_minhash_kernel_matches_hof_twin(spark, sf_dir):
     h = {r.id: tuple(r.sig) for r in hof.select("id", "sig").collect()}
     v = {r.id: tuple(r.sig) for r in vec.select("id", "sig").collect()}
     assert h == v and len(h) == both.count()
+
+
+def test_apply_cdc_agg_matches_window_twin(spark, sf_dir):
+    """The map-combinable max(struct) engine (round 11 default) must
+    produce IDENTICAL snapshots to the window twin on the real event
+    log — including null-seq rows (struct null ordering == the window's
+    DESC NULLS LAST) and delete drops."""
+    from pyspark.sql import functions as F
+
+    from adhesive_spark.operators.incremental import apply_cdc
+    from adhesive_spark.sources.registry import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    log = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "error", F.lit("delete"))
+        .otherwise(F.lit("upsert"))
+        .alias("op"),
+        "value",
+    )
+    # inject null-seq rows: a copy of a few events with null ts (must
+    # lose to any non-null ts in both engines)
+    nulled = log.where(F.col("event_id") % 97 == 0).withColumn(
+        "ts", F.lit(None).cast("timestamp")
+    )
+    log = log.unionByName(nulled)
+
+    def snap(engine):
+        return {
+            r["user_id"]: (r["ts"], r["event_id"], r["op"], r["value"])
+            for r in apply_cdc(
+                log, ["user_id"], ["ts", "event_id"], "op", engine=engine
+            ).collect()
+        }
+
+    agg, win = snap("agg"), snap("window")
+    assert agg == win and len(agg) > 0
