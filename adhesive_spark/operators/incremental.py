@@ -117,6 +117,13 @@ def apply_cdc(
     current snapshot.
     """
     if engine == "agg":
+        from adhesive_spark.sources.registry import ensure_parallelism
+
+        # The partial combine runs INSIDE the scan stage — on a
+        # single-split input (compacted file, or the stress harness's
+        # map-side explode) the whole pre-shuffle reduction would
+        # serialize in one task. No-op when input splits >= cores.
+        log = ensure_parallelism(log)
         payload_cols = [c for c in log.columns if c not in key_cols]
         best = log.groupBy(*key_cols).agg(
             F.max(

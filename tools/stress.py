@@ -102,7 +102,15 @@ def replicate(df, id_col: str, reps: int):
 def main() -> None:
     reps = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
-    spark = build_spark(app_name="adhesive-stress")
+    # Deep rungs (1B+ rows through 150-key window partitions) need more
+    # than the bench's 8 g heap — 32 concurrent tasks sorting multi-
+    # million-row partitions GC-thrash it (r11: interval_union OOM at
+    # 10 000×). Overridable per run; the bench and tests stay at 8 g.
+    heap = os.environ.get("SPARK_GRAFT_STRESS_MEM", "8g")
+    spark = build_spark(
+        app_name="adhesive-stress",
+        extra_conf={"spark.driver.memory": heap},
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     docs = load_table(spark, sf_dir, "documents")
