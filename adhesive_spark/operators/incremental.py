@@ -79,7 +79,7 @@ def apply_cdc(
     *,
     base: DataFrame | None = None,
     delete_op: str = "delete",
-    engine: str = "agg",
+    engine: str = "window",
 ) -> DataFrame:
     """MERGE-INTO semantics over a CDC log: latest-op-per-key wins,
     surviving deletes drop the key.  The reconciliation step every
@@ -91,19 +91,20 @@ def apply_cdc(
       key or "latest" is undefined);
     - drop keys whose winning op is ``delete_op``.
 
-    ``engine="agg"`` (default since round 11): latest-per-key as ONE
-    ``max(struct(seq..., payload))`` hash aggregate — associative, so
-    Spark's map-side partial combine collapses same-key rows BEFORE the
-    shuffle and a key receiving millions of log rows never materializes
-    them in one task. The 10 000×-replication rung (1 B rows over 150
-    keys) spilled the window engine's 6.7 M-row per-key sorts to disk
-    (606.8 s); the aggregate form ships only one partial row per key
-    per map task. Struct comparison orders nulls exactly like the
-    window's ``DESC NULLS LAST`` (null = lowest priority), and since
-    ``seq_cols`` are unique per key the payload field never decides a
-    comparison — winners are IDENTICAL to the window twin
-    (machine-checked, tests/test_operators.py).
-    ``engine="window"``: the original one-window form, kept as the twin.
+    ``engine="window"`` (default — measured, r11): Spark 4 plans the
+    ``row_number()==1`` filter as WindowGroupLimit with a PARTIAL
+    map-side pass, so each map partition forwards at most one row per
+    key before the exchange — the shape is already map-combined, and
+    its only linear term is the per-partition local sort.
+    ``engine="agg"``: latest-per-key as one ``max(struct(seq...,
+    payload))`` aggregate. Sounds like the map-combine win, but a
+    struct-max plans as SortAggregate (no mutable hash buffer for
+    structs): partial AND final phases sort the full log by key — 5×
+    SLOWER than the window at the 1000× rung (179.2 s vs 34.5 s over
+    100 M rows). Kept as the machine-checked twin (identical winners —
+    struct null ordering == the window's DESC NULLS LAST, and unique
+    ``seq_cols`` mean the payload never decides a comparison) and as
+    the recorded negative result.
 
     With ``base`` given, base rows join in as lowest-priority upserts
     (a log entry for the key always supersedes), implemented by a
