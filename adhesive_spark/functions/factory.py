@@ -320,20 +320,26 @@ def compile_java_body(spark: SparkSession, name: str, body: str) -> str:
     # same class name must not both produce "<cls>.jar", or the second
     # ADD JAR fails ("Failed to add ... to Spark environment") and poisons
     # later task deserialization — suffix with the mangled package id.
-    # Build in the private workdir, then publish into the shared disk
-    # cache with an atomic rename (concurrent compiles of the same body
-    # converge on identical bytes, so last-writer-wins is safe).
-    tmp_jar = work / disk_jar.name
-    with zipfile.ZipFile(tmp_jar, "w") as zf:
+    # Stage under a '.tmp-<pid>' name INSIDE the cache directory, then
+    # publish with an atomic same-directory rename (concurrent compiles
+    # of the same body converge on identical bytes, so last-writer-wins
+    # is safe). Staging in the javac workdir would make os.replace a
+    # cross-filesystem rename on tmpfs-/tmp boxes (the cache lives under
+    # $XDG_CACHE_HOME) and raise EXDEV; a dot-prefixed pid-unique name
+    # can never collide with a digest-keyed cache entry or another
+    # publisher.
+    stage_jar = disk_jar.with_name(f".tmp-{os.getpid()}-{disk_jar.name}")
+    with zipfile.ZipFile(stage_jar, "w") as zf:
         for f in sorted(classes.rglob("*.class")):
             zf.write(f, f.relative_to(classes))
     # Publish jar first, then its sha256 sidecar (also atomically): a
     # cache hit requires BOTH, so a half-published or corrupted entry
     # reads as a miss and recompiles instead of loading bad bytes.
-    os.replace(tmp_jar, disk_jar)
-    tmp_sha = work / (disk_jar.name + ".sha256")
-    tmp_sha.write_text(hashlib.sha256(disk_jar.read_bytes()).hexdigest())
-    os.replace(tmp_sha, _jar_sidecar(disk_jar))
+    jar_sha = hashlib.sha256(stage_jar.read_bytes()).hexdigest()
+    os.replace(stage_jar, disk_jar)
+    stage_sha = disk_jar.with_name(f".tmp-{os.getpid()}-{disk_jar.name}.sha256")
+    stage_sha.write_text(jar_sha)
+    os.replace(stage_sha, _jar_sidecar(disk_jar))
     spark.sql(f"ADD JAR '{disk_jar}'")
     _JAVA_BODY_CACHE[body] = (fqn, str(disk_jar))
     return fqn

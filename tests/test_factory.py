@@ -705,6 +705,57 @@ def test_jar_integrity_sidecar(tmp_path):
     assert not _jar_integrity_ok(jar)
 
 
+def test_jar_publish_is_same_filesystem_rename(sess, monkeypatch):
+    """Jar + sidecar publishes must be same-DIRECTORY renames: staging in
+    the javac tempdir makes os.replace a cross-filesystem rename on
+    tmpfs-/tmp boxes (cache under $XDG_CACHE_HOME) and raises EXDEV,
+    failing every inline-JAVA compile (r11 ADVICE, high). Enforced by
+    making any cross-directory os.replace raise EXDEV during a fresh
+    compile+publish — the publish must still succeed."""
+    import errno
+    import hashlib
+    import os
+    from pathlib import Path
+
+    from adhesive_spark.functions.factory import (
+        _JAVA_BODY_CACHE,
+        _jar_integrity_ok,
+        _jar_sidecar,
+        _java_disk_cache_dir,
+        compile_java_body,
+    )
+
+    body = (
+        "public class JExdev implements "
+        "org.apache.spark.sql.api.java.UDF1<Long, Long> { "
+        "  public Long call(Long a) { return a + 77; } }"
+    )
+    # force the compile+publish path: evict both the in-memory and the
+    # persistent disk entry for this body
+    _JAVA_BODY_CACHE.pop(body, None)
+    digest = hashlib.sha256(body.encode()).hexdigest()[:12]
+    jar = _java_disk_cache_dir() / f"JExdev-p{digest}.jar"
+    jar.unlink(missing_ok=True)
+    _jar_sidecar(jar).unlink(missing_ok=True)
+
+    real_replace = os.replace
+
+    def same_dir_only(src, dst, *a, **kw):
+        if Path(src).parent != Path(dst).parent:
+            raise OSError(
+                errno.EXDEV, "Invalid cross-device link", str(src), None, str(dst)
+            )
+        return real_replace(src, dst, *a, **kw)
+
+    monkeypatch.setattr(os, "replace", same_dir_only)
+    fqn = compile_java_body(sess.spark, "jexdev", body)
+    assert fqn.endswith(".JExdev")
+    published = Path(_JAVA_BODY_CACHE[body][1])
+    assert published == jar and _jar_integrity_ok(published)
+    # no staging litter left behind in the cache directory
+    assert not list(published.parent.glob(".tmp-*"))
+
+
 def test_java_disk_cache_cross_process_hit(sess):
     """Disk-cache hit path end-to-end: a second 'process' (simulated by
     clearing the in-memory body cache) must reuse the published jar —
