@@ -104,7 +104,12 @@ def apply_cdc(
     100 M rows). Kept as the machine-checked twin (identical winners —
     struct null ordering == the window's DESC NULLS LAST, and unique
     ``seq_cols`` mean the payload never decides a comparison) and as
-    the recorded negative result.
+    the recorded negative result. Restriction the window engine does
+    not share: the payload rides inside the comparison struct, so
+    every payload column must be ORDERABLE — a map-typed column fails
+    analysis under ``engine="agg"`` (use the default window engine for
+    such schemas), and were ``seq_cols`` ever non-unique per key the
+    payload would act as an implicit tiebreaker.
 
     With ``base`` given, base rows join in as lowest-priority upserts
     (a log entry for the key always supersedes), implemented by a

@@ -2815,10 +2815,16 @@ def q152_ann_recall(spark, sf_dir):
     # denominator aggregate consumed `brute` twice, and the exact
     # scoring kernel re-evaluated over the whole corpus per consumer
     # (r11 dupPy runtime audit). ivf's (query_id, vec_id) rows are
-    # unique (top-k per query), so a left join with a hit flag keeps
-    # the multiplicity of brute and one aggregate yields both counts.
+    # unique (top-k per query) — dropDuplicates pins that contract so a
+    # future IVF lane emitting a duplicate candidate can never inflate
+    # n_hits past the old semi-join's duplicate-proof count; the dedup
+    # side is k rows per query, so the guard costs one tiny combine.
     marked = brute.join(
-        ivf.withColumn("__hit", F.lit(1)), ["query_id", "vec_id"], "left"
+        ivf.dropDuplicates(["query_id", "vec_id"]).withColumn(
+            "__hit", F.lit(1)
+        ),
+        ["query_id", "vec_id"],
+        "left",
     )
     n_hits = F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
     return marked.groupBy("query_id").agg(

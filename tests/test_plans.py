@@ -391,7 +391,7 @@ def test_plans_md_shuffle_ratchet(spark):
     sf_dir = m.group(1)
     row_re = re.compile(
         r"^\| (q\w+) \| (\d+) \| (\d+) \| (\d+) \| (?:yes|-) \| (yes[^|]*|no) "
-        r"\|(?:[^|]*\| (YES|no) )?\|",
+        r"\| [^|]* \| (YES|no) \|",
         re.M,
     )
     recorded = {
@@ -399,8 +399,7 @@ def test_plans_md_shuffle_ratchet(spark):
             "shuffles": int(row.group(2)),
             "smj": int(row.group(4)),
             "bnl": row.group(5).strip() != "no",
-            # dupPy column absent in pre-r11 PLANS.md vintages -> None
-            "dup_py": None if row.group(6) is None else row.group(6) == "YES",
+            "dup_py": row.group(6) == "YES",
         }
         for row in row_re.finditer(text)
     }

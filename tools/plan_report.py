@@ -439,18 +439,28 @@ _CAP_RE = re.compile(
 )
 
 
-_PY_EVAL_RE = re.compile(r"(?:Arrow|Batch)EvalPython \[(\w+)\(")
+_PY_EVAL_NODE_RE = re.compile(r"(?:Arrow|Batch)EvalPython \[([^\]]*)\]")
+_PY_EVAL_NAME_RE = re.compile(r"(\w+)\(")
 
 
 def dup_python_eval(plan: str) -> bool:
-    """True when the SAME Python UDF name heads more than one
+    """True when the SAME Python UDF name appears in more than one
     (Arrow|Batch)EvalPython node in the plan — the double-evaluation
     signature (r11 q35 root cause: InferFiltersFromGenerate pushed a
     posexplode size-filter below an exchange and the scoring kernel ran
-    twice over the corpus). A plan recorded dup-free must stay dup-free
+    twice over the corpus). Every name in each node's bracket list is
+    counted, not just the first, so a duplicate kernel that rides second
+    in one node ([udfA, udfB] vs [udfB]) cannot escape (r11 ADVICE). A
+    name repeated WITHIN one node is a single pass over the input and is
+    deduped per node. A plan recorded dup-free must stay dup-free
     (ratcheted by tests/test_plans.py)."""
-    names = _PY_EVAL_RE.findall(plan.split("Initial Plan")[0])
-    return len(names) != len(set(names))
+    seen: set[str] = set()
+    for node in _PY_EVAL_NODE_RE.findall(plan.split("Initial Plan")[0]):
+        names = set(_PY_EVAL_NAME_RE.findall(node))
+        if names & seen:
+            return True
+        seen |= names
+    return False
 
 
 def detect_cap(fn) -> str:
