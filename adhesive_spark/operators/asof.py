@@ -213,26 +213,30 @@ def interval_overlap_join(
     )
 
 
-def interval_union(
+def _islands(
     df: DataFrame,
-    key_col: str,
+    part_cols: list[str],
     start_col: str,
     end_col: str,
+    measure_cols: list[str] | None = None,
 ) -> DataFrame:
-    """Merge overlapping/abutting intervals per key and report coverage:
-    ``(key, n_islands, covered)`` where ``covered`` sums the merged
-    island lengths (same unit as the start/end columns — keep them
-    integer, e.g. unix micros, for engine-exact results).
+    """One sweep pass: merge overlapping/abutting CLOSED intervals per
+    ``part_cols`` group, one output row per merged island with
+    ``start_col``/``end_col`` rebound to the island's span and each
+    ``measure_cols`` column summed across the island's members.
 
-    The classic sweep, expressed as two window passes over ONE shuffle
-    on the key: an interval opens a new island iff its start exceeds
-    the running max end of every earlier interval (rows-frame max,
-    order by start then end for deterministic ties); a running sum of
-    those flags numbers the islands.  No self-join, no pair term —
-    per-key cost is linear in that key's interval count, so skewed
-    keys behave like any window partition.
+    The output is a valid INPUT to the same sweep (spans re-merge,
+    sums re-sum) — the closure-under-partial-evaluation property that
+    makes ``skew.salted_sweep`` legal over it.
+
+    The classic gaps-and-islands shape, two window passes over ONE
+    shuffle on the group: an interval opens a new island iff its start
+    exceeds the running max end of every earlier interval (rows-frame
+    max, order by start then end for deterministic ties); a running
+    sum of those flags numbers the islands. No self-join, no pair term
+    — per-group cost is linear in that group's interval count.
     """
-    w = Window.partitionBy(key_col).orderBy(start_col, end_col)
+    w = Window.partitionBy(*part_cols).orderBy(start_col, end_col)
     prev_max = F.max(end_col).over(
         w.rowsBetween(Window.unboundedPreceding, -1)
     )
@@ -242,10 +246,118 @@ def interval_union(
         .otherwise(0),
     )
     islands = flagged.withColumn("__island", F.sum("__new").over(w))
-    per_island = islands.groupBy(key_col, "__island").agg(
-        F.min(start_col).alias("__st"), F.max(end_col).alias("__en")
+    return (
+        islands.groupBy(*part_cols, "__island")
+        .agg(
+            F.min(start_col).alias(start_col),
+            F.max(end_col).alias(end_col),
+            *[F.sum(c).alias(c) for c in measure_cols or []],
+        )
+        .drop("__island")
     )
-    return per_island.groupBy(key_col).agg(
+
+
+def interval_union(
+    df: DataFrame,
+    key_col: str,
+    start_col: str,
+    end_col: str,
+    *,
+    engine: str = "sweep",
+    n_salts: int = 32,
+) -> DataFrame:
+    """Merge overlapping/abutting intervals per key and report coverage:
+    ``(key, n_islands, covered)`` where ``covered`` sums the merged
+    island lengths (same unit as the start/end columns — keep them
+    integer, e.g. unix micros, for engine-exact results).
+
+    ``engine="sweep"`` (default): one shuffle on the key, per-key cost
+    linear in that key's interval count (see :func:`_islands`) — skewed
+    keys behave like any window partition.
+
+    ``engine="salted"``: the whale-key rescue for DEGENERATE key spaces
+    (STRESS.md 10 000× rung: 1 B rows over 150 fixed keys crossed the
+    per-partition external-sort threshold at ~6.7 M rows/partition).
+    Routes through :func:`adhesive_spark.operators.skew.salted_sweep` —
+    sweep per (key, endpoint-hash salt), then merge the per-salt island
+    sets per key; legal because interval union is hierarchically
+    mergeable. Output machine-checked equal to the default
+    (tests/test_scale_ops.py, tests/test_property.py). Costs a second
+    (tiny, islands-only) shuffle — keep the default for
+    high-cardinality key spaces.
+    """
+    cols = [key_col, start_col, end_col]
+    if engine == "salted":
+        from adhesive_spark.operators.skew import salted_sweep
+
+        islands = salted_sweep(
+            df.select(*cols),
+            [key_col],
+            lambda fr, parts: _islands(fr, parts, start_col, end_col),
+            salt_cols=[start_col, end_col],
+            n_salts=n_salts,
+        )
+    elif engine == "sweep":
+        islands = _islands(df.select(*cols), [key_col], start_col, end_col)
+    else:
+        raise ValueError(f"unknown engine: {engine!r}")
+    return islands.groupBy(key_col).agg(
         F.count("*").alias("n_islands"),
-        F.sum(F.col("__en") - F.col("__st")).cast("long").alias("covered"),
+        F.sum(F.col(end_col) - F.col(start_col)).cast("long").alias("covered"),
+    )
+
+
+def session_spans(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    gap: int,
+    *,
+    engine: str = "sweep",
+    n_salts: int = 32,
+) -> DataFrame:
+    """Gap-sessionization as a mergeable interval sweep: an event at
+    ``t`` holds its session open through ``t + gap - 1`` (closed
+    interval, integer time units), so sessions are exactly the merged
+    islands — a new session starts iff the next event arrives ``>= gap``
+    after the previous one, ``F.session_window``'s boundary rule
+    (machine-checked against the built-in in tests/test_scale_ops.py).
+    Returns per key: ``n_sessions``, ``n_events`` (an additive count
+    measure summed through the merge), and ``span`` = Σ per-session
+    (last event − first event).
+
+    Why beside ``session_window``: the built-in sorts each key's FULL
+    event set inside one window partition — the same whale-key sort
+    cliff interval_union hits at ~6.7 M rows/partition.
+    ``engine="salted"`` bounds every sort at ~rows/(keys·n_salts) via
+    :func:`adhesive_spark.operators.skew.salted_sweep`; the additive
+    ``n_events`` measure demonstrates the merge carrying state beyond
+    the span itself.
+    """
+    base = df.select(
+        F.col(key_col),
+        F.col(ts_col).alias("__s"),
+        (F.col(ts_col) + F.lit(gap) - F.lit(1)).alias("__e"),
+        F.lit(1).alias("__n"),
+    )
+
+    def sweep(fr, parts):
+        return _islands(fr, parts, "__s", "__e", measure_cols=["__n"])
+
+    if engine == "salted":
+        from adhesive_spark.operators.skew import salted_sweep
+
+        islands = salted_sweep(
+            base, [key_col], sweep, salt_cols=["__s"], n_salts=n_salts
+        )
+    elif engine == "sweep":
+        islands = sweep(base, [key_col])
+    else:
+        raise ValueError(f"unknown engine: {engine!r}")
+    return islands.groupBy(key_col).agg(
+        F.count("*").alias("n_sessions"),
+        F.sum("__n").cast("long").alias("n_events"),
+        F.sum(F.col("__e") - F.col("__s") - F.lit(gap) + F.lit(1))
+        .cast("long")
+        .alias("span"),
     )

@@ -131,6 +131,54 @@ def join_cardinality_profile(
     )
 
 
+def salted_sweep(
+    df: DataFrame,
+    key_cols: list[str],
+    sweep,
+    *,
+    salt_cols: list[str],
+    n_salts: int = 32,
+) -> DataFrame:
+    """Divide-and-merge rescue for a per-key window SWEEP at degenerate
+    key spaces: run the sweep per (key, salt) so no single window
+    partition sorts a whale key's full row set, then sweep the per-salt
+    partials per key.
+
+    ``sweep(frame, part_cols)`` must be HIERARCHICALLY MERGEABLE: it
+    returns rows that are valid INPUT rows to the same sweep (closure
+    under partial evaluation), and sweeping any partition of the rows
+    followed by sweeping the union of the partials must equal sweeping
+    the rows directly. Interval islands are the canonical instance
+    (merged islands re-merge; additive measures ride along as sums —
+    see ``asof._islands``); running max/min per key shares the
+    property. Rank- or gap-dependent sweeps (row_number, lag deltas)
+    are NOT mergeable — don't route them here.
+
+    The salt is a deterministic hash of ``salt_cols``, not ``rand()``:
+    a task retry reassigns identically, where a random salt feeding a
+    shuffle risks the classic lost/duplicated-row nondeterministic-
+    repartition bug. Pick ``salt_cols`` with high cardinality WITHIN a
+    whale key (an interval's endpoints, an event's timestamp); rows
+    carrying identical salt_col values land in one salt, so an
+    exact-duplicate flood should instead be collapsed upstream —
+    duplicates never change a mergeable sweep's result.
+
+    Scale: pass 1 sorts ~rows/(|keys|·n_salts) per window partition —
+    below the per-partition external-sort cliff the plain sweep crosses
+    at ~6.7 M rows/partition (STRESS.md interval_union 10 000× rung);
+    pass 2 sorts only the partials (≤ islands, typically ≪ rows when
+    intervals overlap). Two key shuffles instead of one — only worth it
+    when a key's row set outgrows a single task's sort budget.
+    """
+    if n_salts < 2:
+        raise ValueError(f"n_salts must be >= 2, got {n_salts}")
+    salted = df.withColumn(
+        "__salt", F.pmod(F.xxhash64(*salt_cols), F.lit(int(n_salts)))
+    )
+    partial = sweep(salted, list(key_cols) + ["__salt"]).drop("__salt")
+    return sweep(partial, list(key_cols))
+
+
 def rendezvous_bucket(key, n_buckets: int, *, salt: str = "hrw"):
     """Highest-random-weight (rendezvous) bucket assignment for ``key``
     (Thaler & Ravishankar 1998): each bucket scores the key with an

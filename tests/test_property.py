@@ -558,6 +558,15 @@ def test_interval_union_matches_python(spark, starts, keys):
         for r in interval_union(df, "k", "s", "e").collect()
     }
     assert got == _py_interval_union(pairs, ttl)
+    # the salted (salt-then-merge) engine must agree on every drawn
+    # interval set — n_salts=3 guarantees real splits at these sizes
+    salted = {
+        r["k"]: (r["n_islands"], r["covered"])
+        for r in interval_union(
+            df, "k", "s", "e", engine="salted", n_salts=3
+        ).collect()
+    }
+    assert salted == got
 
 
 # --- exact_quantile_ladder vs sorted-list indexing ---------------------------

@@ -404,6 +404,98 @@ def test_hierarchical_shares_sum(spark):
         assert 1_000_000 - len(rs) <= s <= 1_000_000, region
 
 
+def test_interval_union_salted_matches_default(spark):
+    """The salted engine (whale-key rescue, r12) must produce the exact
+    rows of the default single-sweep engine on the ADVERSARIAL shape
+    that motivates it: a fixed tiny key space flooded with replicated,
+    heavily-overlapping intervals (the STRESS.md 10 000× fixture in
+    miniature — copies share endpoints, so the endpoint-hash salt also
+    gets exercised on duplicate values)."""
+    from pyspark.sql import functions as F
+
+    from adhesive_spark.operators.asof import interval_union
+    from adhesive_spark.sources.registry import load_table
+
+    ev = (
+        load_table(spark, SF, "events")
+        .select("user_id", F.unix_micros("ts").alias("s"))
+        .withColumn("e", F.col("s") + F.lit(300_000_000))
+        # fixed 5-key space + 7x replication: every window partition is
+        # a whale relative to the key count, like the 10 000x rung
+        .withColumn("user_id", F.pmod(F.col("user_id"), F.lit(5)))
+        .withColumn("__rep", F.explode(F.sequence(F.lit(0), F.lit(6))))
+        .drop("__rep")
+    )
+    default = {
+        r["user_id"]: (r["n_islands"], r["covered"])
+        for r in interval_union(ev, "user_id", "s", "e").collect()
+    }
+    for n_salts in (2, 32):
+        salted = {
+            r["user_id"]: (r["n_islands"], r["covered"])
+            for r in interval_union(
+                ev, "user_id", "s", "e", engine="salted", n_salts=n_salts
+            ).collect()
+        }
+        assert salted == default and len(default) == 5, n_salts
+
+
+def test_session_spans_matches_session_window(spark):
+    """session_spans (the mergeable-sweep sessionizer) must reproduce
+    F.session_window's boundary rule exactly — same n_sessions,
+    n_events, and summed span per user on the real events table — and
+    its salted engine must equal its default."""
+    from pyspark.sql import functions as F
+
+    from adhesive_spark.operators.asof import session_spans
+    from adhesive_spark.sources.registry import load_table
+
+    gap_us = 1_800_000_000  # 30 minutes in micros
+    events = load_table(spark, SF, "events").where(F.col("user_id") < 40)
+    builtin = (
+        events.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n"))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.sum("n").cast("long").alias("n_events"),
+            (
+                F.sum(
+                    F.unix_micros(F.col("w.end")) - F.unix_micros(F.col("w.start"))
+                )
+                - F.count("*") * F.lit(gap_us)
+            )
+            .cast("long")
+            .alias("span"),
+        )
+    )
+    want = {
+        r["user_id"]: (r["n_sessions"], r["n_events"], r["span"])
+        for r in builtin.collect()
+    }
+    micro = events.select("user_id", F.unix_micros("ts").alias("t"))
+    for engine in ("sweep", "salted"):
+        got = {
+            r["user_id"]: (r["n_sessions"], r["n_events"], r["span"])
+            for r in session_spans(
+                micro, "user_id", "t", gap_us, engine=engine, n_salts=4
+            ).collect()
+        }
+        assert got == want and len(want) > 0, engine
+
+
+def test_salted_sweep_rejects_degenerate_salts(spark):
+    import pytest as _pytest
+
+    from adhesive_spark.operators.asof import interval_union
+
+    df = spark.createDataFrame([("k", 0, 10)], "k string, s long, e long")
+    with _pytest.raises(ValueError):
+        interval_union(df, "k", "s", "e", engine="salted", n_salts=1)
+    with _pytest.raises(ValueError):
+        interval_union(df, "k", "s", "e", engine="nope")
+
+
 def test_knn_vectorized_matches_hof_twin(spark, sf_dir):
     """knn_bruteforce's default batched-kernel engine (round 10) must be
     BYTE-equal to the pure-Catalyst HOF twin — same (query, id, sim,

@@ -377,6 +377,20 @@ def main() -> None:
         n_events * reps,
     )
 
+    # The salted engine on the SAME adversarial fixture: per-key row
+    # sets split across 32 endpoint-hash salts before the sweep, so the
+    # per-partition sort stays under the external-sort cliff the plain
+    # sweep crosses at ~6.7 M rows/partition (r11 10 000x rung); the
+    # per-salt island sets then merge per key. Output equality with the
+    # default engine is pinned by tests/test_scale_ops.py.
+    run(
+        "interval_union_salted",
+        lambda: interval_union(
+            big_iv, "user_id", "s", "e", engine="salted"
+        ),
+        n_events * reps,
+    )
+
     # Exact p50/p90/p99 at scale: the two-phase histogram must keep its
     # cost in the HISTOGRAM pass (linear hash agg); only the buckets
     # holding a requested quantile get ranked. Replication multiplies
