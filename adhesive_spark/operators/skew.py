@@ -138,6 +138,7 @@ def salted_sweep(
     *,
     salt_cols: list[str],
     n_salts: int = 32,
+    width: int | None = None,
 ) -> DataFrame:
     """Divide-and-merge rescue for a per-key window SWEEP at degenerate
     key spaces: run the sweep per (key, salt) so no single window
@@ -163,18 +164,32 @@ def salted_sweep(
     exact-duplicate flood should instead be collapsed upstream —
     duplicates never change a mergeable sweep's result.
 
-    Scale: pass 1 sorts ~rows/(|keys|·n_salts) per window partition —
-    below the per-partition external-sort cliff the plain sweep crosses
-    at ~6.7 M rows/partition (STRESS.md interval_union 10 000× rung);
-    pass 2 sorts only the partials (≤ islands, typically ≪ rows when
-    intervals overlap). Two key shuffles instead of one — only worth it
-    when a key's row set outgrows a single task's sort budget.
+    Scale: the spilling sort is per SHUFFLE PARTITION, not per window
+    key group, so salting alone changes nothing — at
+    ``spark.sql.shuffle.partitions`` = 32, a 1 B-row input still sorts
+    31 M rows per task whatever the group cardinality (measured: the
+    salt-only first cut ran 361 s at the 10 000× rung, SLOWER than the
+    260.7 s plain sweep it was meant to rescue). The rescue is salt
+    **plus an explicit-width exchange**: the salt raises group
+    cardinality from |keys| to |keys|·n_salts so the groups CAN spread,
+    and the pinned-width repartition on (key, salt) spreads them —
+    pass 1 then sorts ~rows/width per task, below the external-sort
+    cliff (~6.7 M rows/partition). The width is pinned, not AQE-sized,
+    per the r11 minhash lesson (an AQE-sized user exchange coalesces
+    below the width the downstream stage needs); the window reuses the
+    exchange (same clustering), so pass 1 still costs ONE shuffle of
+    the input. Pass 2 shuffles only the partials (≤ islands, typically
+    ≪ rows). Default ``width`` = n_salts × shuffle.partitions.
     """
     if n_salts < 2:
         raise ValueError(f"n_salts must be >= 2, got {n_salts}")
+    if width is None:
+        width = n_salts * int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
     salted = df.withColumn(
         "__salt", F.pmod(F.xxhash64(*salt_cols), F.lit(int(n_salts)))
-    )
+    ).repartition(int(width), *key_cols, "__salt")
     partial = sweep(salted, list(key_cols) + ["__salt"]).drop("__salt")
     return sweep(partial, list(key_cols))
 

@@ -367,8 +367,16 @@ def main() -> None:
     # per-partition; island count per user is replication-invariant
     # (copies share timestamps), which the run asserts via output rows.
     from adhesive_spark.operators.asof import interval_union
+    from adhesive_spark.sources.registry import ensure_parallelism
 
-    big_iv = replicate(events, "event_id", reps).select(
+    # ensure_parallelism BEFORE the explode: events.parquet is a single
+    # 2 MB split, so without it the 1 B-row fan-out AND the shuffle
+    # write serialize in ONE scan task for every engine (the compacted-
+    # scan pitfall, same fix as the cdc_apply agg path in r11) — at
+    # 10 000x that single task dominated both engines' walls.
+    big_iv = replicate(
+        ensure_parallelism(events, "event_id"), "event_id", reps
+    ).select(
         "user_id", F.unix_micros("ts").alias("s")
     ).withColumn("e", F.col("s") + F.lit(300_000_000))
     run(
