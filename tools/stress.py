@@ -38,7 +38,10 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 from pyspark.sql import functions as F  # noqa: E402
 
 from adhesive_spark.session import build_spark  # noqa: E402
-from adhesive_spark.sources.registry import load_table  # noqa: E402
+from adhesive_spark.sources.registry import (  # noqa: E402
+    ensure_parallelism,
+    load_table,
+)
 
 
 import re
@@ -89,9 +92,23 @@ def replicate(df, id_col: str, reps: int):
     (``id·reps + copy``): the N copies of a row are exact duplicates of
     each other, so dedup sees N-copy fingerprint groups and ANN sees
     N-copy clusters.  Original ids do NOT survive the remap — join
-    stress output to the base corpus via ``id div reps``, not ``id``."""
+    stress output to the base corpus via ``id div reps``, not ``id``.
+
+    The input is hash-widened to core count BEFORE the explode
+    (r12 fixture audit): the local testdata tables are single-split
+    parquet files, so without this every ladder's N× fan-out AND all
+    map-side work riding in the scan stage (fingerprinting, partial
+    aggregates, shuffle writes) SERIALIZE in one task — the measured
+    walls were one core's scan, not the cluster's. A real N×-sized
+    input arrives in many splits, which is what the widened fixture
+    models; the base table shuffle this costs is reps× smaller than
+    the data it fans out. Round-robin (no hash column): small capped
+    bases (cdc_chunk's 250 docs) hash-imbalance a 32-way id split and
+    the explode amplifies the skew reps×, while base co-partitioning
+    buys nothing downstream — the remap invalidates the ids anyway."""
     return (
-        df.withColumn("__rep", F.explode(F.sequence(F.lit(0), F.lit(reps - 1))))
+        ensure_parallelism(df)
+        .withColumn("__rep", F.explode(F.sequence(F.lit(0), F.lit(reps - 1))))
         .withColumn(
             id_col, F.col(id_col) * F.lit(reps) + F.col("__rep")
         )
@@ -367,16 +384,8 @@ def main() -> None:
     # per-partition; island count per user is replication-invariant
     # (copies share timestamps), which the run asserts via output rows.
     from adhesive_spark.operators.asof import interval_union
-    from adhesive_spark.sources.registry import ensure_parallelism
 
-    # ensure_parallelism BEFORE the explode: events.parquet is a single
-    # 2 MB split, so without it the 1 B-row fan-out AND the shuffle
-    # write serialize in ONE scan task for every engine (the compacted-
-    # scan pitfall, same fix as the cdc_apply agg path in r11) — at
-    # 10 000x that single task dominated both engines' walls.
-    big_iv = replicate(
-        ensure_parallelism(events, "event_id"), "event_id", reps
-    ).select(
+    big_iv = replicate(events, "event_id", reps).select(
         "user_id", F.unix_micros("ts").alias("s")
     ).withColumn("e", F.col("s") + F.lit(300_000_000))
     run(
