@@ -2118,3 +2118,92 @@ SCALE_ORACLES["q240_hierarchical_share"] = """
              AS region_share_ppm
     FROM shared
 """
+
+
+# --- q409/q410: gap-sessionization as a mergeable interval sweep ---------------
+
+
+_SESSION_GAP_US = 600_000_000  # 10 min, in exact unix microseconds
+
+
+def _session_spans_query(spark, sf_dir, engine):
+    """Per-user gap sessions via ``operators.asof.session_spans``: an
+    event at ``t`` holds its session open through ``t + gap - 1``, so a
+    new session starts iff the next event arrives ``>= gap`` after the
+    previous one (``F.session_window``'s boundary rule, machine-checked
+    in tests/test_scale_ops.py). Output per user: session count, event
+    count (an additive measure summed through the island merge) and
+    ``span_us`` = Σ per-session (last event − first event) — all exact
+    integer microsecond arithmetic.
+
+    Scale shape (default engine): one user-key window sweep + one
+    aggregate, no self-join. The ``salted`` twin (q410) routes the SAME
+    semantics through ``operators.skew.salted_sweep`` — sweep per
+    (user, endpoint-hash salt) behind a pinned-width exchange, then
+    merge the per-salt partials — the whale-key rescue for degenerate
+    key spaces (a 1 B-row/150-key fixture OOMs the plain sweep at the
+    10 000× stress rung; the salted engine survives at 232.9 s).
+    Identical results by hierarchical mergeability; both twins hash
+    against the one oracle."""
+    from adhesive_spark.operators.asof import session_spans
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("t")
+    )
+    out = session_spans(ev, "user_id", "t", _SESSION_GAP_US, engine=engine)
+    return out.select(
+        "user_id", "n_sessions", "n_events", F.col("span").alias("span_us")
+    )
+
+
+def q409_session_spans(spark, sf_dir):
+    return _session_spans_query(spark, sf_dir, "sweep")
+
+
+q409_session_spans.__doc__ = _session_spans_query.__doc__
+
+
+def q410_session_spans_salted(spark, sf_dir):
+    return _session_spans_query(spark, sf_dir, "salted")
+
+
+q410_session_spans_salted.__doc__ = _session_spans_query.__doc__
+
+SCALE_QUERIES["q409_session_spans"] = q409_session_spans
+SCALE_QUERIES["q410_session_spans_salted"] = q410_session_spans_salted
+
+_SESSION_SPANS_ORACLE = """
+    WITH ev AS (
+      SELECT user_id, epoch_us(ts) AS t FROM events
+    ),
+    flagged AS (
+      SELECT user_id, t,
+             CASE WHEN LAG(t) OVER w IS NULL
+                    OR t - LAG(t) OVER w >= 600000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM ev
+      WINDOW w AS (PARTITION BY user_id ORDER BY t)
+    ),
+    numbered AS (
+      SELECT user_id, t,
+             SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS session_id
+      FROM flagged
+    ),
+    per_session AS (
+      SELECT user_id, session_id,
+             MIN(t) AS first_t, MAX(t) AS last_t,
+             COUNT(*) AS n_ev
+      FROM numbered GROUP BY user_id, session_id
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(n_ev) AS BIGINT) AS n_events,
+           CAST(SUM(last_t - first_t) AS BIGINT) AS span_us
+    FROM per_session GROUP BY user_id
+"""
+
+SCALE_ORACLES["q409_session_spans"] = _SESSION_SPANS_ORACLE
+SCALE_ORACLES["q410_session_spans_salted"] = _SESSION_SPANS_ORACLE
