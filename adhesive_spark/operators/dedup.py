@@ -1009,8 +1009,22 @@ def probe_minhash_index(
     :func:`minhash_lsh_pairs` exactly — the oracle contract of q154).
 
     Scale shape: probe-side cost is proportional to the BATCH, not the
-    corpus; the index side ships only the colliding bands/shingles
-    through two hash joins."""
+    corpus; the index side ships only the colliding bands/shingles.
+
+    Every join here is pinned to sort-merge (r12, measured): AQE's
+    broadcast conversion sizes a side by its COMPRESSED shuffle bytes,
+    and a duplicate-heavy batch — exactly this operator's workload —
+    under-reports by the duplication factor. At the 10 000× stress rung
+    (2.5 M-row batch holding 250 distinct texts) AQE broadcast a band
+    side whose compressed bytes looked tiny and the deserialized
+    HashedRelation blew the driver's broadcast build
+    ("Not enough memory to build and broadcast", 48 g heap). Neither
+    side of any probe join is contractually small — batch and index
+    both scale with production — so the merge pin costs only a sort on
+    genuinely small inputs while staying spill-safe AND inside AQE's
+    skew-join splitting when an N-copy cluster floods one band bucket
+    (the same reason the pairs self-join keeps plain ENSURE
+    exchanges)."""
     spark = docs.sparkSession
     probe_base, probe_bands = minhash_base_and_bands(
         docs,
@@ -1027,7 +1041,7 @@ def probe_minhash_index(
     candidates = (
         probe_bands.alias("p")
         .join(
-            idx.alias("i"),
+            idx.hint("merge").alias("i"),
             (F.col("p.band_idx") == F.col("i.band_idx"))
             & (F.col("p.band_hash") == F.col("i.band_hash"))
             & (F.col("p.id") != F.col("i.id")),
@@ -1049,8 +1063,8 @@ def probe_minhash_index(
     psh = sh_all.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
     ish = sh_all.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
     return (
-        candidates.join(psh, "id_a")
-        .join(ish, "id_b")
+        candidates.join(psh.hint("merge"), "id_a")
+        .join(ish.hint("merge"), "id_b")
         .withColumn(
             "jaccard",
             F.round(
