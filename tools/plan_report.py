@@ -428,6 +428,8 @@ AUDITED = [
     "q406_degree_assortativity",
     "q407_shingle_size_ladder",
     "q408_quantile_control_chart",
+    "q409_session_spans",
+    "q410_session_spans_salted",
 ]
 
 
