@@ -641,6 +641,86 @@ def streaming_cdc_apply(
     )
 
 
+def streaming_session_spans(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    gap: int,
+    state_path: str,
+    *,
+    checkpoint_path: str,
+):
+    """Streaming gap-sessionization: maintain per-key merged session
+    ISLANDS from an event stream — the streaming twin of
+    :func:`adhesive_spark.operators.asof.session_spans` (q409/q410) and
+    the fourth member of the epoch-committed foreachBatch family.
+
+    State = the islands themselves: one row ``(key, __s, __e, __n)``
+    per open-or-closed session span, bounded by SESSION count, never
+    event count. Each micro-batch turns its events into closed
+    intervals ``[t, t + gap - 1]`` carrying an event-count measure,
+    unions the previous epoch's islands, and re-sweeps
+    (``asof._islands``). That is legal for exactly the reason
+    ``skew.salted_sweep`` is: island rows are closed under partial
+    evaluation (spans re-merge, measures re-sum) — the epoch split
+    plays the role the salt split plays in the batch whale-key engine.
+
+    The mergeability buys a guarantee watermarks cannot: ANY arrival
+    order converges to the batch answer bit-for-bit, including a late
+    event that retroactively BRIDGES two already-materialized sessions
+    into one (``F.session_window`` must drop such an event once the
+    watermark passes; a snapshot re-merge just fuses the islands).
+    Crash/replay semantics are inherited unchanged from
+    :func:`_epoch_guarded_snapshot`.
+
+    Per-epoch cost: one sweep over (batch events + current islands) —
+    state the batch supersedes is touched once per epoch, never per
+    row. Read the per-key rollup with :func:`read_session_spans`.
+    """
+    from adhesive_spark.operators.asof import _islands
+
+    def _merge(batch_df: DataFrame, prev: DataFrame | None) -> DataFrame:
+        base = batch_df.select(
+            F.col(key_col),
+            F.col(ts_col).alias("__s"),
+            (F.col(ts_col) + F.lit(gap) - F.lit(1)).alias("__e"),
+            F.lit(1).cast("long").alias("__n"),
+        )
+        if prev is not None:
+            base = base.unionByName(
+                prev.select(
+                    key_col, "__s", "__e", F.col("__n").cast("long")
+                )
+            )
+        return _islands(base, [key_col], "__s", "__e", measure_cols=["__n"])
+
+    return (
+        events.writeStream.foreachBatch(
+            _epoch_guarded_snapshot(state_path, _merge)
+        )
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_session_spans(
+    spark, state_path: str, key_col: str, gap: int
+) -> DataFrame:
+    """Aggregate the committed island state to the per-key rollup
+    ``(key, n_sessions, n_events, span)`` — the same final aggregate
+    (and therefore the same integers) as the batch
+    :func:`~adhesive_spark.operators.asof.session_spans`."""
+    islands = read_rollup_state(spark, state_path)
+    return islands.groupBy(key_col).agg(
+        F.count("*").alias("n_sessions"),
+        F.sum("__n").cast("long").alias("n_events"),
+        F.sum(F.col("__e") - F.col("__s") - F.lit(gap) + F.lit(1))
+        .cast("long")
+        .alias("span"),
+    )
+
+
 def streaming_hll_registers(
     keys: DataFrame,
     col: str,

@@ -905,3 +905,56 @@ def test_streaming_mom_matches_batch(spark, sf_dir, event_stream_dir, tmp_path_f
     assert got.asDict() == want.asDict()
     assert got.n_events == batch_events.count()
     assert got.bucket_mean_min <= got.mom_cents <= got.bucket_mean_max
+
+
+def test_streaming_session_spans_matches_batch(spark, tmp_path_factory):
+    """The island-state sessionizer must converge to the batch
+    session_spans integers bit-for-bit regardless of micro-batch
+    split — including the case watermarked session_window cannot
+    express: a LATE event in the final file that retroactively bridges
+    two sessions already materialized in earlier epochs."""
+    from adhesive_spark.operators.asof import session_spans
+    from adhesive_spark.streaming.ops import (
+        read_session_spans,
+        streaming_session_spans,
+    )
+
+    gap = 10
+    # user 1's late file-3 event lands at t=21: 3->21 (delta 18 >=
+    # gap) stays a session break, but 21->30 (delta 9 < gap) BRIDGES
+    # into the [30..31] session materialized two epochs earlier;
+    # user 2 exercises the plain cross-file case.
+    rows1 = [(1, 0), (1, 3), (1, 30), (1, 31), (2, 100)]
+    rows2 = [(2, 105), (2, 130), (1, 60)]
+    rows3 = [(1, 21)]  # late, bridges into the [30..31] island
+    schema = "u int, t long"
+    src = tmp_path_factory.mktemp("sess") / "events"
+    for rows in (rows1, rows2, rows3):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+    all_ev = spark.read.parquet(str(src))
+    stream = (
+        spark.readStream.schema(all_ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    root = tmp_path_factory.mktemp("sess")
+    state, ckpt = str(root / "state"), str(root / "ckpt")
+    q = streaming_session_spans(
+        stream, "u", "t", gap, state, checkpoint_path=ckpt
+    )
+    assert q.awaitTermination(180), "session stream did not drain in 180s"
+    got = {
+        r["u"]: (r["n_sessions"], r["n_events"], r["span"])
+        for r in read_session_spans(spark, state, "u", gap).collect()
+    }
+    want = {
+        r["u"]: (r["n_sessions"], r["n_events"], r["span"])
+        for r in session_spans(all_ev, "u", "t", gap).collect()
+    }
+    assert got == want
+    # the bridge actually happened: without file 3, user 1 had sessions
+    # {0,3}, {30,31}, {60}; the late t=21 fuses {21,30,31} -> 3 sessions
+    assert got[1] == (3, 6, 13)  # spans: (3-0)+(31-21)+(60-60) = 13
+    assert got[2] == (2, 3, 5)  # {100,105}, {130}: (105-100)+0
