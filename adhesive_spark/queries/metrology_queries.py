@@ -624,8 +624,15 @@ def ks_drift_report(docs):
         "source",
         "n_src",
         "n_rest",
+        # enc is DECIMAL(38,0), but Spark's `div` RETURNS BIGINT for
+        # decimal operands — so the decoded d_num must be re-widened
+        # before the ppm multiply: at the 10 000× stress rung d_num
+        # crosses ~9.2e12 and (long)·1000000 overflows ANSI int64
+        # (caught by the r12 ladder; DuckDB's HUGEINT oracle twin was
+        # never exposed). Exact integers are unchanged where the long
+        # path fit.
         F.expr(
-            "CAST((enc div 100001) * 1000000"
+            "CAST(CAST(enc div 100001 AS DECIMAL(38,0)) * 1000000"
             " div greatest(CAST(n_src AS DECIMAL(38,0)) * n_rest, 1)"
             " AS BIGINT)"
         ).alias("ks_ppm"),
