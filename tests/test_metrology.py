@@ -605,3 +605,31 @@ def test_capture_recapture_python_replay(spark, sf_dir):
     assert r.exact_distinct == len(fps)
     assert r.est_chapman == est
     assert r.err_ppm == abs(est - len(fps)) * 1_000_000 // len(fps)
+
+
+def test_ks_decode_survives_fourth_decade_magnitudes(spark):
+    """r12 regression pin for the hv-decode overflow class: Spark's
+    ``div`` operator returns BIGINT even for DECIMAL operands, so a
+    decode that multiplies the div result re-enters long arithmetic —
+    ks_drift's ``(enc div 100001) * 1000000`` overflowed ANSI int64 at
+    the 10 000× stress rung once d_num crossed ~9.2e12 (the DuckDB
+    HUGEINT oracle twin can never see this). This pins the re-widened
+    expression (metrology_queries.ks_drift_report's final select) at a
+    d_num three orders of magnitude past the boundary, with the exact
+    integer result."""
+    d_num = 5 * 10**15
+    q_s, n_src, n_rest = 1234, 50_000_000, 950_000_000
+    row = spark.sql(
+        f"""
+        SELECT CAST(CAST(enc div 100001 AS DECIMAL(38,0)) * 1000000
+               div greatest(CAST(n_src AS DECIMAL(38,0)) * n_rest, 1)
+               AS BIGINT) AS ks_ppm,
+               CAST(enc % 100001 AS BIGINT) AS q_at_d
+        FROM (SELECT CAST({d_num} AS DECIMAL(38,0)) * 100001 + {q_s}
+                       AS enc,
+                     CAST({n_src} AS BIGINT) AS n_src,
+                     CAST({n_rest} AS BIGINT) AS n_rest)
+        """
+    ).collect()[0]
+    assert row.q_at_d == q_s
+    assert row.ks_ppm == d_num * 1_000_000 // (n_src * n_rest)
