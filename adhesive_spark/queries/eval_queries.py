@@ -808,8 +808,27 @@ def q263_link_prediction(spark, sf_dir):
 def link_prediction_report(edges):
     """The q263 core over a caller-supplied ``(s, p)`` edge set — split
     out so tools/stress.py can ladder the fanout²-bounded pair join on
-    replicated graphs without going through a parquet table."""
-    edges = edges.localCheckpoint(eager=True)  # feeds degrees + pairs
+    replicated graphs without going through a parquet table.
+
+    The checkpoint is pinned to SERIALIZED storage (r12,
+    ``MEMORY_AND_DISK`` — which in PySpark is the serialized level):
+    at the deserialized default the eager localCheckpoint held the
+    edge set as JVM objects, and Spark's disk-block read path
+    re-inflates evicted blocks as deserialized VALUES
+    (`maybeCacheDiskValuesInMemory`), so the 10 000× rung (590 M
+    edges) OOMed a 48 g heap on the WORKING SET, not the compute.
+    Serialized blocks are ~order-of-magnitude smaller, overflow to
+    disk, and re-cache as BYTES (bounded) — while keeping the
+    one-materialization boundary the three consumers share. The two
+    rejected designs are both measured: dropping the checkpoint is
+    2.5× slower at bench scale (the triple `distinct` subtree does NOT
+    runtime-reuse its exchange), DISK_ONLY costs ~1 s of disk
+    round-trip per bench rep."""
+    from pyspark import StorageLevel
+
+    edges = edges.localCheckpoint(
+        eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
+    )
     part_deg = edges.groupBy("p").agg(
         F.count("*").cast("long").alias("pd")
     )
