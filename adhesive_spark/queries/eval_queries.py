@@ -836,7 +836,16 @@ def link_prediction_report(edges):
     supp_deg = edges.groupBy("s").agg(
         F.count("*").cast("long").alias("sd")
     )
-    e = edges.join(small, "p")  # hub parts dropped BEFORE the pair join
+    # hub parts dropped BEFORE the pair join; merge-pinned (r12):
+    # part_deg is corpus-scaled (one row per part), so it is never
+    # contractually broadcastable — yet its rows are narrow and
+    # replication-compressible enough that AQE's compressed-size
+    # heuristic elected broadcast at the 10 000× rung (20 M rows) and
+    # the broadcast COLLECT blew spark.driver.maxResultSize. Same
+    # hazard class as the probe_minhash_index pin (see ROUND_NOTES
+    # r12); at honest production sizes this join was never going to
+    # broadcast, so the pin costs only a tiny-input sort.
+    e = edges.join(small.hint("merge"), "p")
     pairs = (
         e.alias("a")
         .join(e.alias("b"), "p")

@@ -311,7 +311,13 @@ def test_shuffle_budgets_most_expensive(spark, sf):
         {
             q256_roc_auc: 2,
             q258_bloom_join_prefilter: 5,
-            q263_link_prediction: 5,
+            # r12: +2 — the hub-filter join is merge-PINNED (part_deg
+            # is corpus-scaled and replication-compressible; AQE's
+            # compressed-size heuristic elected broadcast at the
+            # 10 000× rung and the collect blew driver.maxResultSize —
+            # the probe_minhash hazard class). Bench measured FASTER
+            # post-pin (3.32 → 2.05 s min-of-3 at sf0.1).
+            q263_link_prediction: 7,
             q270_feature_matrix: 2,
         }
     )
