@@ -24,8 +24,93 @@ UDF kernel, java/.../Adhesive.java:68-70); this is north-star surface.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+#: Edge-count gate below which the component closure finishes on the
+#: driver (union-find over the collected edge list) instead of running
+#: more cluster-wide rounds.  1M edges is ~16 MB of long pairs over
+#: Arrow — the same order of bytes a broadcast side materializes on the
+#: driver anyway — and replaces O(log² n) full-shuffle rounds with one
+#: linear pass.  At 100 TB the pair graph enters the distributed loop
+#: and drops to the local finish only once the star rounds have
+#: contracted it below the gate (each round shrinks the edge set toward
+#: the star forest).  Parameterised for clusters with bigger drivers.
+_CC_LOCAL_EDGES_DEFAULT = 1_000_000
+
+
+def _cc_local_threshold() -> int:
+    try:
+        return int(
+            os.environ.get(
+                "SPARK_GRAFT_CC_LOCAL_EDGES", _CC_LOCAL_EDGES_DEFAULT
+            )
+        )
+    except ValueError:
+        return _CC_LOCAL_EDGES_DEFAULT
+
+
+def _solve_components_locally(e: DataFrame) -> DataFrame:
+    """Union-find finish for a SMALL edge set (the caller gates on a
+    measured count): collect the two edge columns via Arrow, label every
+    node that appears with the MINIMUM node id of its component —
+    exactly the min-label / star fixpoint semantics (UTF-8 byte order
+    and Python code-point order agree for strings, so min is
+    engine-identical) — and return a (node, component) DataFrame.
+    Self-loops and duplicate/bidirectional edges are tolerated."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    pdf = e.toPandas()
+    a_vals = pdf.iloc[:, 0].tolist()
+    b_vals = pdf.iloc[:, 1].tolist()
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while True:
+            p = parent.get(r, r)
+            if p == r:
+                break
+            r = p
+        while True:  # path compression
+            p = parent.get(x, x)
+            if p == x:
+                break
+            parent[x] = r
+            x = p
+        return r
+
+    for x, y in zip(a_vals, b_vals):
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            parent[ry] = rx
+
+    seen = set(a_vals)
+    seen.update(b_vals)
+    comp_min: dict = {}
+    for x in seen:
+        r = find(x)
+        m = comp_min.get(r)
+        if m is None or x < m:
+            comp_min[r] = x
+    nodes_out = list(seen)
+    out = pd.DataFrame(
+        {
+            "node": nodes_out,
+            "component": [comp_min[find(x)] for x in nodes_out],
+        }
+    )
+    node_t = e.schema[0].dataType
+    schema = T.StructType(
+        [
+            T.StructField("node", node_t, False),
+            T.StructField("component", node_t, False),
+        ]
+    )
+    return e.sparkSession.createDataFrame(out, schema=schema)
 
 
 def connected_components(
@@ -34,14 +119,28 @@ def connected_components(
     dst: str = "id_b",
     *,
     max_iter: int = 25,
+    local_threshold: int | None = None,
 ) -> DataFrame:
     """(node, component) for every node appearing in ``edges``; the
-    component id is the minimum node id reachable from the node."""
+    component id is the minimum node id reachable from the node.
+
+    ``local_threshold`` (default: $SPARK_GRAFT_CC_LOCAL_EDGES, 1M):
+    when the deduplicated edge set is at most this many edges, the
+    closure is computed in one driver-side union-find pass over the
+    collected pairs instead of iterating cluster-wide label rounds —
+    identical output, none of the per-round shuffle/fixed-job cost.
+    0 disables the local finish (the distributed loop always runs)."""
+    if local_threshold is None:
+        local_threshold = _cc_local_threshold()
     sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     sym = sym.union(
         sym.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).distinct()
     sym = sym.localCheckpoint(eager=True)
+    if local_threshold > 0 and sym.count() <= 2 * local_threshold:
+        # one canonical direction (plus self-loops) is enough for the
+        # union-find, and halves the bytes collected
+        return _solve_components_locally(sym.where(F.col("a") >= F.col("b")))
 
     labels = (
         sym.select(F.col("a").alias("node"))
@@ -283,6 +382,7 @@ def connected_components_star(
     dst: str = "id_b",
     *,
     max_rounds: int = 12,
+    local_threshold: int | None = None,
 ) -> DataFrame:
     """(node, component) via alternating LARGE-STAR / SMALL-STAR rounds
     — the MapReduce-optimal connected-components algorithm (Kiveris et
@@ -306,22 +406,48 @@ def connected_components_star(
     the q260 grid convention); results are proven equal to
     :func:`connected_components` by test on both a dense pair graph
     and a deep path graph.
+
+    ``local_threshold`` (default: $SPARK_GRAFT_CC_LOCAL_EDGES, 1M):
+    whenever the current non-self-loop edge set is at most this many
+    edges — at entry, or after any round has contracted it that far —
+    the remaining closure is finished in one driver-side union-find
+    pass (star rounds preserve the component partition over the node
+    set, so finishing early yields identical labels), replacing
+    O(log² n) further full-shuffle rounds with one Arrow collect the
+    size of a broadcast side.  0 disables the local finish.
     """
+    if local_threshold is None:
+        local_threshold = _cc_local_threshold()
     raw = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    nodes = (
-        raw.select(F.col("a").alias("node"))
-        .union(raw.select(F.col("b").alias("node")))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    e = (
-        raw.where(F.col("a") != F.col("b"))
-        .select(
+    # ONE canonical materialization (orient high→low, KEEP self-loops,
+    # dedup): both the node set and the working edge set derive from
+    # this cache, so the — possibly expensive — upstream pair source is
+    # evaluated exactly once.  The previous shape checkpointed nodes
+    # and e separately, which evaluated the upstream twice and paid two
+    # distinct shuffles.
+    canon = (
+        raw.select(
             F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
         )
         .distinct()
         .localCheckpoint(eager=True)
     )
+    nodes = (
+        canon.select(F.col("a").alias("node"))
+        .union(canon.select(F.col("b").alias("node")))
+        .distinct()
+    )
+    e = canon.where(F.col("a") != F.col("b"))
+    n_e = e.count()  # cached scan — cheap
+
+    def _attach(labels: DataFrame, *, broadcast: bool) -> DataFrame:
+        lab = F.broadcast(labels) if broadcast else labels
+        return nodes.join(lab, "node", "left").select(
+            "node", F.coalesce("component", "node").alias("component")
+        )
+
+    if local_threshold > 0 and n_e <= local_threshold:
+        return _attach(_solve_components_locally(e), broadcast=True)
 
     def _sym(df: DataFrame) -> DataFrame:
         return df.union(
@@ -368,11 +494,32 @@ def connected_components_star(
             .distinct()
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_e.exceptAll(e).limit(1).count()
-            + e.exceptAll(new_e).limit(1).count()
-        )
+        n_new = new_e.count()  # cached scan — cheap
+        if local_threshold > 0 and n_new <= local_threshold:
+            # the rounds so far contracted the graph below the gate;
+            # star rounds preserve the component partition, so the
+            # local finish over the current edge set is exact
+            return _attach(
+                _solve_components_locally(new_e), broadcast=True
+            )
+        if n_new != n_e:
+            changed = 1
+        else:
+            # equal counts: sets are equal iff the symmetric difference
+            # is empty — ONE tagged-union aggregate over the two cached
+            # distinct sets (the old shape paid two exceptAll jobs,
+            # each itself a shuffle of both sides, every round)
+            changed = (
+                new_e.select("a", "b", F.lit(1).alias("__s"))
+                .union(e.select("a", "b", F.lit(-1).alias("__s")))
+                .groupBy("a", "b")
+                .agg(F.sum("__s").alias("__d"))
+                .where(F.col("__d") != 0)
+                .limit(1)
+                .count()
+            )
         e = new_e
+        n_e = n_new
         if changed == 0:
             converged = True
             break
@@ -385,6 +532,4 @@ def connected_components_star(
     labels = e.groupBy(F.col("a").alias("node")).agg(
         F.min("b").alias("component")
     )
-    return nodes.join(labels, "node", "left").select(
-        "node", F.coalesce("component", "node").alias("component")
-    )
+    return _attach(labels, broadcast=False)

@@ -251,8 +251,13 @@ def test_star_components_equal_min_label_on_pair_graph(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
     pairs = ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.1)
     pairs = pairs.localCheckpoint(eager=True)
+    # gate DISABLED on the min-label side so this compares the real
+    # distributed propagation against star's default (local-finish)
+    # path — with both defaulted, tiny graphs would route both calls
+    # through the same local solver and the equality would be vacuous
     want = {
-        (r.node, r.component) for r in connected_components(pairs).collect()
+        (r.node, r.component)
+        for r in connected_components(pairs, local_threshold=0).collect()
     }
     got = {
         (r.node, r.component)
@@ -280,7 +285,10 @@ def test_star_components_beat_diameter_on_path_graph(spark):
         .select(F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b"))
         .where((F.col("id_a") % 32) != 31)  # break between chains
     )
-    labels = connected_components_star(edges, max_rounds=8)
+    # local_threshold=0 pins the DISTRIBUTED loop: the round-count
+    # contract is exactly what this test proves, so the driver-side
+    # local finish (covered by its own equality tests) must not fire
+    labels = connected_components_star(edges, max_rounds=8, local_threshold=0)
     rows = labels.collect()
     assert len(rows) == chains * 32
     for r in rows:
@@ -295,11 +303,90 @@ def test_star_components_keep_self_loop_singletons(spark):
     edges = spark.createDataFrame(
         [(7, 7), (1, 2), (9, 9)], ["id_a", "id_b"]
     )
-    got = {
+    want = {(7, 7), (9, 9), (1, 1), (2, 1)}
+    # both engines: the driver-side local finish (default gate) and the
+    # distributed star loop (gate disabled) must each pin singletons
+    got_local = {
         (r.node, r.component)
         for r in connected_components_star(edges).collect()
     }
-    assert got == {(7, 7), (9, 9), (1, 1), (2, 1)}
+    got_dist = {
+        (r.node, r.component)
+        for r in connected_components_star(edges, local_threshold=0).collect()
+    }
+    assert got_local == want
+    assert got_dist == want
+
+
+def test_cc_local_finish_matches_distributed_on_path_forest(spark):
+    """r12 optimization: the driver-side union-find finish (entry gate)
+    and the mid-loop re-gate must label exactly like the distributed
+    loop.  A 5x40 path forest is deep enough that star needs several
+    rounds, so local_threshold=150 < |e|=195 skips the entry gate and
+    exercises the MID-LOOP re-gate (rounds contract the edge set below
+    the gate before convergence)."""
+    from adhesive_spark.operators.graph import connected_components_star
+
+    chains, length = 5, 40
+    edges = (
+        spark.range(0, chains * length)
+        .select(F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b"))
+        .where((F.col("id_a") % length) != length - 1)
+    )
+    want = {
+        (r.node, r.component)
+        for r in connected_components_star(edges, local_threshold=0).collect()
+    }
+    got_entry = {
+        (r.node, r.component)
+        for r in connected_components_star(
+            edges, local_threshold=1_000_000
+        ).collect()
+    }
+    got_midloop = {
+        (r.node, r.component)
+        for r in connected_components_star(edges, local_threshold=150).collect()
+    }
+    assert got_entry == want
+    assert got_midloop == want
+    assert {c for _, c in want} == {i * length for i in range(chains)}
+
+
+def test_cc_local_finish_string_nodes(spark):
+    """String node ids (the q184 word-graph shape): the local finish's
+    Python min and Spark's UTF-8 min must agree."""
+    from adhesive_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    edges = spark.createDataFrame(
+        [
+            ("carrot", "carob"),
+            ("carob", "cart"),
+            ("zeta", "zebra"),
+            ("apple", "apple"),
+        ],
+        "id_a string, id_b string",
+    )
+    want_star = {
+        (r.node, r.component)
+        for r in connected_components_star(edges, local_threshold=0).collect()
+    }
+    got_star = {
+        (r.node, r.component)
+        for r in connected_components_star(edges).collect()
+    }
+    got_minlabel = {
+        (r.node, r.component)
+        for r in connected_components(edges).collect()
+    }
+    assert got_star == want_star
+    assert got_minlabel == {
+        (n, c) for n, c in want_star
+    }
+    assert ("carrot", "carob") in want_star
+    assert ("apple", "apple") in want_star
 
 
 def test_q184_star_flip_matches_min_label_closure(spark, sf_dir):

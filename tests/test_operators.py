@@ -91,9 +91,12 @@ def test_connected_components_raises_when_unconverged(spark):
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(9)], "id_a long, id_b long"
     )
+    # local_threshold=0: the loud-failure contract belongs to the
+    # DISTRIBUTED loop — with the default gate this tiny graph would be
+    # solved on the driver and (correctly) never raise
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(edges, max_iter=1)
-    full = connected_components(edges, max_iter=25)
+        connected_components(edges, max_iter=1, local_threshold=0)
+    full = connected_components(edges, max_iter=25, local_threshold=0)
     assert {r.component for r in full.collect()} == {0}
 
 

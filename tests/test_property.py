@@ -664,8 +664,13 @@ def test_star_cc_equals_min_label_on_random_graphs(spark, edges):
     )
 
     df = spark.createDataFrame(edges, "id_a long, id_b long")
+    # reference = the REAL distributed min-label propagation (gate off);
+    # star runs with the default gate, i.e. the driver-side union-find
+    # finish — so every random example proves local == distributed
+    # labeling, not the local solver against itself
     want = {
-        (r.node, r.component) for r in connected_components(df).collect()
+        (r.node, r.component)
+        for r in connected_components(df, local_threshold=0).collect()
     }
     got = {
         (r.node, r.component)
