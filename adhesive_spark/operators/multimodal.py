@@ -155,7 +155,19 @@ def synthesize_real_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 }
             )
 
-    return df.select(id_col).mapInPandas(_synth, schema=MEDIA_SCHEMA)
+    from adhesive_spark.sources.registry import ensure_parallelism
+
+    # the synth kernel is codec-CPU-bound; the local testdata (and any
+    # compacted upstream) arrives as one split, which would serialize
+    # the whole pass on one core AND leave the downstream checkpoint
+    # single-partitioned (forcing every consuming transform's
+    # ensure_parallelism to shuffle the freshly built PAYLOAD bytes).
+    # Repartitioning the bare id column costs ~8 bytes/row and makes
+    # both a no-op; at 100 TB input splits already exceed core count
+    # and this IS a no-op.
+    return ensure_parallelism(df.select(id_col)).mapInPandas(
+        _synth, schema=MEDIA_SCHEMA
+    )
 
 
 # --- real byte-format builders (pure stdlib; deterministic) -----------
@@ -314,6 +326,22 @@ def _parse_y4m(b: bytes):
     return w, h, len(frames), frames
 
 
+def _codec_prefilter(media: DataFrame, magic: bytes) -> DataFrame:
+    """JVM-side magic-prefix filter applied BEFORE the Python boundary
+    of every single-codec transform: each strict parser rejects any
+    payload that does not start with its format magic (`RIFF` /
+    `P6` / `YUV4MPEG2`), so dropping those rows in the JVM is exactly
+    the set the Python kernel would drop — but the other modalities'
+    payload bytes no longer cross JVM→Arrow→Python at all (guide §4.1:
+    pass only what the function needs).  Corrupt payloads that carry
+    the right magic still cross and are still dropped by the full
+    parse, so the strict-codec contract is unchanged."""
+    return media.where(
+        F.col("payload").isNotNull()
+        & (F.substring(F.col("payload"), 1, len(magic)) == F.lit(magic))
+    )
+
+
 def decode_media(df: DataFrame, *, codec: str = "auto") -> DataFrame:
     """Decode payloads to typed features via Arrow-batched mapInPandas.
 
@@ -419,7 +447,7 @@ def image_channel_stats(media: DataFrame) -> DataFrame:
 
     from adhesive_spark.sources.registry import ensure_parallelism
 
-    media = ensure_parallelism(media)
+    media = ensure_parallelism(_codec_prefilter(media, b'P6'))
 
     schema = T.StructType(
         [
@@ -490,7 +518,7 @@ def video_luma_stats(media: DataFrame) -> DataFrame:
 
     from adhesive_spark.sources.registry import ensure_parallelism
 
-    media = ensure_parallelism(media)
+    media = ensure_parallelism(_codec_prefilter(media, b'YUV4MPEG2'))
 
     schema = T.StructType(
         [
@@ -553,7 +581,7 @@ def wav_head_energy(media: DataFrame, head_samples: int = 256) -> DataFrame:
 
     from adhesive_spark.sources.registry import ensure_parallelism
 
-    media = ensure_parallelism(media)
+    media = ensure_parallelism(_codec_prefilter(media, b'RIFF'))
 
     schema = T.StructType(
         [
@@ -680,7 +708,7 @@ def resample_wav(media: DataFrame, factor: int = 2) -> DataFrame:
 
     if factor < 1:
         raise ValueError("factor must be >= 1")
-    media = ensure_parallelism(media)
+    media = ensure_parallelism(_codec_prefilter(media, b'RIFF'))
 
     def _resample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -754,7 +782,7 @@ def downscale_ppm(media: DataFrame, factor: int = 2) -> DataFrame:
 
     if factor < 1:
         raise ValueError("factor must be >= 1")
-    media = ensure_parallelism(media)
+    media = ensure_parallelism(_codec_prefilter(media, b'P6'))
 
     def _down(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -817,7 +845,7 @@ def grayscale_ppm(media: DataFrame) -> DataFrame:
 
     from adhesive_spark.sources.registry import ensure_parallelism
 
-    media = ensure_parallelism(media)
+    media = ensure_parallelism(_codec_prefilter(media, b'P6'))
 
     def _gray(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -883,7 +911,7 @@ def subsample_y4m(media: DataFrame, every_n: int = 2) -> DataFrame:
 
     if every_n < 1:
         raise ValueError("every_n must be >= 1")
-    media = ensure_parallelism(media)
+    media = ensure_parallelism(_codec_prefilter(media, b'YUV4MPEG2'))
 
     def _sub(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -952,7 +980,7 @@ def pad_wav(media: DataFrame, multiple: int = 1024) -> DataFrame:
 
     if multiple < 1:
         raise ValueError("multiple must be >= 1")
-    media = ensure_parallelism(media)
+    media = ensure_parallelism(_codec_prefilter(media, b'RIFF'))
 
     def _pad(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
