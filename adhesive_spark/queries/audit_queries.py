@@ -108,83 +108,63 @@ def bradley_terry_report(ev):
     wins = duels.groupBy("winner", "loser").agg(
         F.count("*").cast("long").alias("n")
     )
-    # ppm-normalize the matrix: bounds ALL later arithmetic by 1e6
-    # independent of corpus size (no overflow at any sf)
-    wins_ppm = (
-        wins.crossJoin(F.broadcast(wins.agg(F.sum("n").alias("t"))))
-        .selectExpr("winner", "loser", "n", "n * 1000000 div t AS n_ppm")
-        .localCheckpoint(eager=True)
-    )
-    # symmetric comparison matrix c_ij (both directions present)
-    c = (
-        wins_ppm.selectExpr("winner AS i", "loser AS j", "n_ppm")
-        .unionByName(wins_ppm.selectExpr("loser AS i", "winner AS j", "n_ppm"))
-        .groupBy("i", "j")
-        .agg(F.sum("n_ppm").alias("c_ppm"))
-        .localCheckpoint(eager=True)
-    )
-    w_i = (
-        wins_ppm.groupBy(F.col("winner").alias("i"))
-        .agg(F.sum("n_ppm").alias("w_ppm"))
-    )
-    items = c.select("i").distinct()
-    k_df = F.broadcast(items.agg(F.count("*").alias("k")))
-    ratings = items.select("i", F.lit(1000000).cast("long").alias("p"))
+    # The win matrix is CONTRACTUALLY tiny -- K x K where K is the
+    # event-type vocabulary (<= dozens), bounded by the schema, not the
+    # corpus -- so the ppm normalization and the MM fixed point run on
+    # the DRIVER over the collected matrix (the same class as
+    # clustering.py's k-centroid collect: the bytes a broadcast side
+    # would materialize anyway). The previous in-engine formulation ran
+    # ~10 tiny Spark jobs per MM iteration (2 broadcast joins +
+    # aggregate + 2 crossJoin-aggs + checkpoint) -- ~3 s of fixed
+    # scheduling overhead on 20 rows at sf0.1; the ONE corpus-sized
+    # pass (the per-user lag window into `wins`) stays distributed and
+    # is unchanged. The integer arithmetic is replicated EXACTLY
+    # (nonneg longs: Spark `div`/`greatest` == Python `//`/`max`, and
+    # the ppm bounds keep every product < 2^63, so there is no overflow
+    # divergence) -- pinned by the MM Python-replay pytest and the
+    # DuckDB oracle.
+    win_rows = wins.collect()  # <= K^2 rows, K = #event types
+    t = sum(r.n for r in win_rows)
+    # ppm-normalize: bounds ALL later arithmetic by 1e6 independent of
+    # corpus size (n_ppm = n * 1e6 div t, exactly the old engine expr)
+    wp = [(r.winner, r.loser, r.n, r.n * 1000000 // t) for r in win_rows]
+    # symmetric comparison matrix c_ij (both directions summed)
+    c: dict = {}
+    w_ppm: dict = {}
+    for wnr, lsr, _n, n_ppm in wp:
+        c[(wnr, lsr)] = c.get((wnr, lsr), 0) + n_ppm
+        c[(lsr, wnr)] = c.get((lsr, wnr), 0) + n_ppm
+        w_ppm[wnr] = w_ppm.get(wnr, 0) + n_ppm
+    items = sorted({i for i, _j in c})
+    k = len(items)
+    p = {i: 1000000 for i in items}
     for _ in range(3):
-        terms = (
-            c.join(F.broadcast(ratings.withColumnsRenamed({"i": "i2", "p": "p_i"})),
-                   F.col("i") == F.col("i2"))
-            .join(F.broadcast(ratings.withColumnsRenamed({"i": "j2", "p": "p_j"})),
-                  F.col("j") == F.col("j2"))
-            .selectExpr("i", "c_ppm * 1000000000000 div (p_i + p_j) AS term")
-        )
-        denom = terms.groupBy("i").agg(F.sum("term").alias("denom"))
-        # greatest(...,1) guards: a pair count below total/1e6 ppm-truncates
-        # to 0; if EVERY pair for an item does, its denom is 0 and the MM
-        # step would raise DIVIDE_BY_ZERO (r8 ADVICE item 2). Mirrored in
+        denom = {i: 0 for i in items}
+        for (i, j), c_ppm in c.items():
+            denom[i] += c_ppm * 1000000000000 // (p[i] + p[j])
+        # max(...,1) guard: a pair count below total/1e6 ppm-truncates
+        # to 0; if EVERY pair for an item does, its denom is 0 and the
+        # MM step would divide by zero (r8 ADVICE item 2). Mirrored in
         # _bt_iteration_sql so both engines degrade identically.
-        raw = (
-            denom.join(w_i, "i", "left")
-            .selectExpr(
-                "i",
-                "coalesce(w_ppm, 0L) * 1000000000000"
-                " div greatest(denom, 1L) AS p_raw",
-            )
-        )
-        ratings = (
-            raw.crossJoin(F.broadcast(raw.agg(F.sum("p_raw").alias("s"))))
-            .crossJoin(k_df)
-            .selectExpr("i", "p_raw * (k * 1000000) div greatest(s, 1L) AS p")
-            .localCheckpoint(eager=True)
-        )
-    losses = wins_ppm.groupBy(F.col("loser").alias("i")).agg(
-        F.sum("n").alias("losses")
-    )
-    out = (
-        ratings.join(
-            wins_ppm.groupBy(F.col("winner").alias("i")).agg(
-                F.sum("n").alias("wins")
-            ),
-            "i",
-            "left",
-        )
-        .join(losses, "i", "left")
-        .select(
-            F.col("i").alias("item"),
-            F.coalesce("wins", F.lit(0)).cast("long").alias("wins"),
-            F.coalesce("losses", F.lit(0)).cast("long").alias("losses"),
-            F.col("p").cast("long").alias("rating_ppm"),
-        )
-    )
-    # bounded-domain: K event types only (replication-invariant) —
-    # the single-partition WindowExec warning is intentional and safe
-    wr = Window.orderBy(F.col("rating_ppm").desc(), F.col("item"))
-    return out.select(
-        F.row_number().over(wr).cast("long").alias("rank"),
-        "item",
-        "wins",
-        "losses",
-        "rating_ppm",
+        p_raw = {
+            i: w_ppm.get(i, 0) * 1000000000000 // max(denom[i], 1)
+            for i in items
+        }
+        s = sum(p_raw.values())
+        p = {i: p_raw[i] * (k * 1000000) // max(s, 1) for i in items}
+    wins_cnt: dict = {}
+    losses_cnt: dict = {}
+    for wnr, lsr, n, _n_ppm in wp:
+        wins_cnt[wnr] = wins_cnt.get(wnr, 0) + n
+        losses_cnt[lsr] = losses_cnt.get(lsr, 0) + n
+    ranked = sorted(items, key=lambda i: (-p[i], i))
+    rows = [
+        (rank, i, wins_cnt.get(i, 0), losses_cnt.get(i, 0), p[i])
+        for rank, i in enumerate(ranked, start=1)
+    ]
+    return ev.sparkSession.createDataFrame(
+        rows,
+        "rank long, item string, wins long, losses long, rating_ppm long",
     )
 
 
