@@ -1013,26 +1013,43 @@ def q130_boilerplate_spans(spark, sf_dir):
     one join back on the gram hash — no pair enumeration anywhere, so
     it scales as the corpus, not corpus².  Rolled up per source to keep
     the answer small."""
+    from pyspark.sql.window import Window
+
     from adhesive_spark.operators.dedup import word_shingles
 
     docs = load_table(spark, sf_dir, "documents")
-    # grams feeds TWO consumers (the doc-frequency aggregate and the
-    # join back): materialize the explode once or the shingle subtree
-    # is recomputed per consumer — the q131 edge-list pattern
+    # r12 optimization (guide §2.4: two operations keyed the same way
+    # share one exchange): the old shape aggregated doc-frequencies per
+    # gram AND re-joined them onto the full occurrence stream — two
+    # gram-keyed shuffles of the exploded 5-token STRINGS plus an eager
+    # checkpoint of the explode to stop double evaluation. One explicit
+    # gram-hash exchange now feeds both: occurrences pre-aggregate to
+    # (gram, doc) inside it (hash(gram) clusters (gram, doc) too), and
+    # the distinct-doc count per gram is a count(*) window over the SAME
+    # partitioning — no join, no second shuffle of the stream, no
+    # checkpoint. n_windows = Σ cnt and n_boiler = Σ cnt where the
+    # gram's doc count ≥ 2: identical values by construction.
     grams = docs.select(
         "doc_id",
         "source",
         F.explode(word_shingles(F.col("text"), 5)).alias("gram"),
-    ).localCheckpoint(eager=True)
-    df_counts = grams.groupBy("gram").agg(
-        F.countDistinct("doc_id").alias("gram_docs")
     )
+    occ = (
+        grams.repartition("gram")
+        .groupBy("gram", "doc_id", "source")
+        .agg(F.count("*").alias("cnt"))
+    )
+    wg = Window.partitionBy("gram")
     per_doc = (
-        grams.join(df_counts, "gram")
+        occ.withColumn("gram_docs", F.count("*").over(wg))
         .groupBy("doc_id", "source")
         .agg(
-            F.count("*").alias("n_windows"),
-            F.count_if(F.col("gram_docs") >= 2).alias("n_boiler"),
+            F.sum("cnt").alias("n_windows"),
+            F.sum(
+                F.when(F.col("gram_docs") >= 2, F.col("cnt")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("n_boiler"),
         )
     )
     return per_doc.groupBy("source").agg(
