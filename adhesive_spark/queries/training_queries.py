@@ -79,29 +79,53 @@ def dsir_importance_report(docs):
             % 8192
         ).alias("bucket"),
     )
-    weights = occ.groupBy("bucket").agg(
-        F.sum(F.when(F.col("source") == "src0", 1).otherwise(0)).alias(
-            "t_cnt"
-        ),
-        F.sum(F.when(F.col("source") != "src0", 1).otherwise(0)).alias(
-            "r_cnt"
-        ),
-    ).select(
-        "bucket",
+    # r12 optimization: the old shape evaluated `occ` TWICE — once for
+    # the 8192-row bucket-weight aggregate and once for the per-doc
+    # score side of the broadcast join — and the tokenize + bigram +
+    # md5 explode is exactly the part STRESS.md records as CPU-bound.
+    # One explicit hash(bucket) exchange now feeds everything: the
+    # kernel runs ONCE, occurrences pre-aggregate to (bucket, doc,
+    # source, cnt) inside it, and both bucket tallies become window
+    # sums over the same partitioning (hash on bucket clusters the
+    # pre-agg key too, so no second exchange).  n_bigrams = Σ cnt and
+    # score = Σ w·cnt over the pre-agg are the occurrence-level count /
+    # Σ w by construction — identical values, half the kernel work,
+    # still nothing corpus-sized on the driver.
+    from pyspark.sql.window import Window
+
+    occ_pre = (
+        occ.repartition("bucket")
+        .groupBy("bucket", "doc_id", "source")
+        .agg(F.count("*").alias("cnt"))
+    )
+    wb = Window.partitionBy("bucket")
+    weighted = occ_pre.withColumn(
+        "t_cnt",
+        F.sum(
+            F.when(F.col("source") == "src0", F.col("cnt")).otherwise(
+                F.lit(0)
+            )
+        ).over(wb),
+    ).withColumn(
+        "r_cnt",
+        F.sum(
+            F.when(F.col("source") != "src0", F.col("cnt")).otherwise(
+                F.lit(0)
+            )
+        ).over(wb),
+    ).withColumn(
+        "w",
         (
             F.length(F.expr("bin(t_cnt + 1)"))
             - F.length(F.expr("bin(r_cnt + 1)"))
-        )
-        .cast("long")
-        .alias("w"),
+        ).cast("long"),
     )
     scored = (
-        occ.where(F.col("source") != "src0")
-        .join(F.broadcast(weights), "bucket")
+        weighted.where(F.col("source") != "src0")
         .groupBy("doc_id", "source")
         .agg(
-            F.count("*").cast("long").alias("n_bigrams"),
-            F.sum("w").cast("long").alias("score"),
+            F.sum("cnt").cast("long").alias("n_bigrams"),
+            F.sum(F.col("w") * F.col("cnt")).cast("long").alias("score"),
         )
     )
     return scored.orderBy(
