@@ -170,49 +170,89 @@ def synthesize_real_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
-# --- real byte-format builders (pure stdlib; deterministic) -----------
+# --- real byte-format builders (numpy-vectorized, deterministic; ------
+# byte-identical to the original per-byte stdlib loops — pinned by
+# tests/test_operators.py::test_media_byte_builders_match_scalar_reference)
+
+#: LCG affine-composition table: x_k = (A[k]·x0 + B[k]) mod 2^31 for
+#: the sample LCG x' = (x·1103515245 + 12345) mod 2^31.  A pure
+#: function of k — a coefficient table, not data — grown on demand and
+#: kept per process so a reused Python worker amortizes it (guide
+#: §4.5); all products stay < 2^63 so int64 arithmetic is exact.
+_LCG_COEFF: dict = {}
+
+
+def _lcg_table(n: int):
+    import numpy as np
+
+    tbl = _LCG_COEFF.get("t")
+    if tbl is None or len(tbl[0]) <= n:
+        size = max(n + 1, 2048)
+        a_list, b_list = [1] * size, [0] * size
+        for k in range(1, size):
+            a_list[k] = (a_list[k - 1] * 1103515245) & 0x7FFFFFFF
+            b_list[k] = (b_list[k - 1] * 1103515245 + 12345) & 0x7FFFFFFF
+        tbl = (
+            np.array(a_list, dtype=np.int64),
+            np.array(b_list, dtype=np.int64),
+        )
+        _LCG_COEFF["t"] = tbl
+    return tbl
 
 
 def wav_bytes(n_samples: int, sample_rate: int = 8000, seed: int = 0) -> bytes:
     """A genuine mono 16-bit PCM RIFF/WAVE file. Canonical 44-byte
     header (fmt + data, as the stdlib ``wave`` writer emits), payload =
     ``2 * n_samples`` bytes → total ``44 + 2 * n_samples``. Samples are
-    a deterministic LCG keyed by ``seed``."""
+    a deterministic LCG keyed by ``seed`` (vectorized via the affine
+    closed form x_k = A_k·x0 + B_k mod 2^31 — one numpy pass instead of
+    n struct.pack calls, byte-identical output)."""
+    import numpy as np
+
     buf = io.BytesIO()
     with wave.open(buf, "wb") as w:
         w.setnchannels(1)
         w.setsampwidth(2)
         w.setframerate(sample_rate)
-        x = (seed * 2654435761 + 1) & 0x7FFFFFFF
-        out = bytearray()
-        for _ in range(n_samples):
-            x = (x * 1103515245 + 12345) & 0x7FFFFFFF
-            out += struct.pack("<h", (x & 0xFFFF) - 32768)
-        w.writeframes(bytes(out))
+        x0 = (seed * 2654435761 + 1) & 0x7FFFFFFF
+        A, B = _lcg_table(n_samples)
+        xs = (A[1 : n_samples + 1] * x0 + B[1 : n_samples + 1]) & 0x7FFFFFFF
+        w.writeframes(
+            ((xs & 0xFFFF) - 32768).astype(np.dtype("<i2")).tobytes()
+        )
     return buf.getvalue()
 
 
 def ppm_bytes(width: int, height: int, seed: int = 0) -> bytes:
     """A genuine binary PPM (P6) image: header ``P6\\n{w} {h}\\n255\\n``
     + raw RGB raster → total ``9 + len(str(w)) + len(str(h)) + 3*w*h``
-    bytes. Raster is a deterministic per-pixel gradient."""
+    bytes. Raster is a deterministic per-pixel gradient (one numpy
+    arange pass, byte-identical to the per-byte loop)."""
+    import numpy as np
+
     header = f"P6\n{width} {height}\n255\n".encode("ascii")
-    raster = bytes(
-        (seed + i) % 251 for i in range(3 * width * height)
+    raster = (
+        ((seed + np.arange(3 * width * height, dtype=np.int64)) % 251)
+        .astype(np.uint8)
+        .tobytes()
     )
     return header + raster
 
 
 def y4m_bytes(width: int, height: int, n_frames: int, seed: int = 0) -> bytes:
     """A genuine YUV4MPEG2 (Y4M) uncompressed video stream, C420:
-    stream header + per-frame ``FRAME\\n`` marker + w*h*3/2 raster.
-    Width/height must be even (4:2:0 chroma subsampling)."""
+    stream header + per-frame ``FRAME\\n`` marker + w*h*3/2 raster
+    (vectorized per frame, byte-identical). Width/height must be even
+    (4:2:0 chroma subsampling)."""
+    import numpy as np
+
     if width % 2 or height % 2:
         raise ValueError("Y4M C420 requires even width/height")
     head = f"YUV4MPEG2 W{width} H{height} F25:1 C420\n".encode("ascii")
     frame_sz = width * height + 2 * (width // 2) * (height // 2)
+    idx = np.arange(frame_sz, dtype=np.int64)
     frames = b"".join(
-        b"FRAME\n" + bytes((seed + f + i) % 251 for i in range(frame_sz))
+        b"FRAME\n" + (((seed + f + idx) % 251).astype(np.uint8).tobytes())
         for f in range(n_frames)
     )
     return head + frames

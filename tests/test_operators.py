@@ -1234,3 +1234,57 @@ def test_apply_cdc_agg_matches_window_twin(spark, sf_dir):
 
     agg, win = snap("agg"), snap("window")
     assert agg == win and len(agg) > 0
+
+def test_media_byte_builders_match_scalar_reference():
+    """r12 optimization: wav/ppm/y4m byte builders were vectorized
+    (numpy affine-LCG / arange rasters). Output must stay BYTE-IDENTICAL
+    to the original per-byte stdlib loops — the synthesized corpus (and
+    every closed-form oracle over it) depends on these exact bytes."""
+    import io
+    import struct
+    import wave
+
+    from adhesive_spark.operators.multimodal import (
+        ppm_bytes,
+        wav_bytes,
+        y4m_bytes,
+    )
+
+    def wav_ref(n_samples, sample_rate=8000, seed=0):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(sample_rate)
+            x = (seed * 2654435761 + 1) & 0x7FFFFFFF
+            out = bytearray()
+            for _ in range(n_samples):
+                x = (x * 1103515245 + 12345) & 0x7FFFFFFF
+                out += struct.pack("<h", (x & 0xFFFF) - 32768)
+            w.writeframes(bytes(out))
+        return buf.getvalue()
+
+    def ppm_ref(width, height, seed=0):
+        header = f"P6\n{width} {height}\n255\n".encode("ascii")
+        return header + bytes(
+            (seed + i) % 251 for i in range(3 * width * height)
+        )
+
+    def y4m_ref(width, height, n_frames, seed=0):
+        head = f"YUV4MPEG2 W{width} H{height} F25:1 C420\n".encode("ascii")
+        frame_sz = width * height + 2 * (width // 2) * (height // 2)
+        return head + b"".join(
+            b"FRAME\n"
+            + bytes((seed + f + i) % 251 for i in range(frame_sz))
+            for f in range(n_frames)
+        )
+
+    for n, rate, seed in [(0, 8000, 0), (1, 8000, 7), (800, 8000, 1),
+                          (1304, 4000, 63), (999, 8000, 12345678901)]:
+        assert wav_bytes(n, rate, seed) == wav_ref(n, rate, seed)
+    for w_, h, seed in [(4, 4, 0), (63, 4, 3), (60, 63, 999),
+                        (5, 7, 12345678901)]:
+        assert ppm_bytes(w_, h, seed) == ppm_ref(w_, h, seed)
+    for w_, h, nf, seed in [(4, 4, 1, 0), (58, 60, 12, 77),
+                            (6, 8, 3, 12345678901)]:
+        assert y4m_bytes(w_, h, nf, seed) == y4m_ref(w_, h, nf, seed)
