@@ -343,6 +343,14 @@ def exact_quantile_ladder(
             "n_rows",
             (F.col("__k") - F.col("__before")).alias("__off"),
         )
+        # Materialize the (tiny: |keys|·|quants| rows) target list ONCE.
+        # Without this the whole phase-1 subtree — a FULL histogram pass
+        # over the input — is re-evaluated for each of its three
+        # consumers (targets, cand, the final join): q231's executed
+        # plan held 10 FileScans of events. The list is the same
+        # cardinality class the code already broadcasts (cand), so no
+        # new scale assumption.
+        .localCheckpoint(eager=True)
     )
     # phase 2 ranks ONLY the candidate buckets: semi-join the raw rows
     # to the (tiny, broadcast) target-bucket list BEFORE the window, so
@@ -352,7 +360,9 @@ def exact_quantile_ladder(
     w2 = Window.partitionBy(key_col, "__bin").orderBy("__v")
     ranked = in_bin.withColumn("__rn", F.row_number().over(w2))
     return (
-        targets.join(ranked, [key_col, "__bin"])
+        # broadcast keeps `ranked` inside its window partitioning — the
+        # final attach costs no exchange and no sort
+        ranked.join(F.broadcast(targets), [key_col, "__bin"])
         .where(F.col("__rn") == F.col("__off"))
         .select(
             key_col,
