@@ -261,6 +261,11 @@ def q258_bloom_join_prefilter(spark, sf_dir):
         )
         .groupBy("word_idx")
         .agg(F.expr("bit_or(bit)").alias("w"))
+        # ≤1024 rows by construction; materialized ONCE so the probe
+        # broadcast and the bits_set audit don't each re-run the build
+        # scan + 3×md5 explode + bit_or aggregate (the filter build is
+        # the pattern's whole point: pay it once)
+        .localCheckpoint(eager=True)
     )
 
     probe = (
