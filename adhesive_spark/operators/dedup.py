@@ -32,6 +32,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 from pyspark.sql.types import LongType
 
 from adhesive_spark.operators.text import fingerprint, normalize_text
@@ -533,18 +534,32 @@ def ngram_jaccard_pairs(
             F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
         )
     )
-    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
-    joinable = sh
-    if max_shingle_df is not None:
-        # one extra keyed agg (map-side combined) — cheap insurance
-        # against the quadratic bucket; broadcast-joined back.
-        rare = (
-            sh.groupBy("shingle")
-            .agg(F.count("*").alias("__df"))
-            .where(F.col("__df") <= max_shingle_df)
-            .select("shingle")
+    # ONE shingle-keyed exchange + materialization feeds everything
+    # downstream (the q130/q280 pattern): the tokenize+shingle explode
+    # — the CPU bound — used to be re-evaluated for every consumer
+    # (sizes, the df-cap, both self-join sides: 6 Generate nodes /
+    # 6 FileScans in q109's executed plan, zero runtime reuse; AQE did
+    # not collapse the identical exchange either — the link_prediction
+    # triple-distinct lesson, measured again here). The per-shingle
+    # document frequency is a count window inside the same partitioning
+    # (word_shingles emits array_distinct grams, so rows are unique per
+    # (shingle, id) and count(*) ≡ document frequency), replacing the
+    # separate frequency aggregate + join-back. The eager checkpoint
+    # stores the same bytes one shuffle of the stream would write.
+    occ = (
+        sh.repartition("shingle")
+        .withColumn(
+            "__df",
+            F.count("*").over(Window.partitionBy("shingle")),
         )
-        joinable = sh.join(rare, "shingle")
+        .localCheckpoint(eager=True)
+    )
+    sizes = occ.groupBy("id").agg(F.count("*").alias("n_sh"))
+    joinable = occ
+    if max_shingle_df is not None:
+        # df-cap against the quadratic bucket: same value the old
+        # per-shingle groupBy computed, now free in the window
+        joinable = occ.where(F.col("__df") <= max_shingle_df)
     l, r = joinable.alias("l"), joinable.alias("r")
     common = (
         l.join(r, (F.col("l.shingle") == F.col("r.shingle")) & (F.col("l.id") < F.col("r.id")))
