@@ -609,16 +609,23 @@ def containment_pairs(
         F.col(id_col).alias("id"),
         F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
     )
-    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
-    joinable = sh
-    if max_shingle_df is not None:
-        rare = (
-            sh.groupBy("shingle")
-            .agg(F.count("*").alias("__df"))
-            .where(F.col("__df") <= max_shingle_df)
-            .select("shingle")
+    # Same single-evaluation shape as ngram_jaccard_pairs (see the
+    # comment there): one shingle-keyed exchange, df as a count window
+    # inside it (rows unique per (shingle, id) by array_distinct),
+    # eager checkpoint so the explode kernel runs once for all four
+    # consumers instead of six times.
+    occ = (
+        sh.repartition("shingle")
+        .withColumn(
+            "__df",
+            F.count("*").over(Window.partitionBy("shingle")),
         )
-        joinable = sh.join(rare, "shingle")
+        .localCheckpoint(eager=True)
+    )
+    sizes = occ.groupBy("id").agg(F.count("*").alias("n_sh"))
+    joinable = occ
+    if max_shingle_df is not None:
+        joinable = occ.where(F.col("__df") <= max_shingle_df)
     l, r = joinable.alias("l"), joinable.alias("r")
     common = (
         l.join(
