@@ -316,12 +316,18 @@ def temperature_mixture(
     One aggregate (strata masses, broadcast back with the broadcast
     1-row minimum), one scan-side filter — no shuffle of the corpus.
     """
+    from pyspark.sql.window import Window
+
     w = F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
     mass = df.groupBy(strata_col).agg(F.sum(w).alias("__m"))
-    mmin = mass.agg(F.min("__m").alias("__mmin"))
-    rates = mass.join(F.broadcast(mmin)).select(
+    # global-window min over the tiny per-stratum table: a separate
+    # min-aggregate subtree re-ran the whole mass pass (2 corpus scans
+    # where the algorithm needs 1 pre-pass + 1 filter pass)
+    rates = mass.select(
         strata_col,
-        F.sqrt(F.col("__mmin") / F.col("__m")).alias("__rate"),
+        F.sqrt(
+            F.min("__m").over(Window.partitionBy()) / F.col("__m")
+        ).alias("__rate"),
     )
     bucket = md5_bucket(F.col(key_col))
     return (
