@@ -1414,16 +1414,25 @@ def q253_delta_join_view(spark, sf_dir):
 
     v_old = _j(a_old, b_old)
     d1, d2, d3 = _j(da, b_old), _j(a_old, db), _j(da, db)
-    incremental = v_old.unionAll(d1).unionAll(d2).unionAll(d3)
     recompute = _j(orders, cust)
-    parts = (
+    # the incremental view's signature is ADDITIVE over the disjoint
+    # parts (count and key_sum are both plain sums, same addends in a
+    # different association), so it is derived from the four
+    # materialized part rows instead of re-running every delta join
+    # inside a union (which doubled all four joins: 9 orders scans)
+    part_sigs = (
         _sig(v_old, "v_old")
         .unionAll(_sig(d1, "delta_a"))
         .unionAll(_sig(d2, "delta_b"))
         .unionAll(_sig(d3, "delta_ab"))
-        .unionAll(_sig(incremental, "incremental"))
-        .unionAll(_sig(recompute, "recompute"))
+        .localCheckpoint(eager=True)
     )
+    inc_sig = part_sigs.agg(
+        F.lit("incremental").alias("part"),
+        F.sum("n").cast("long").alias("n"),
+        F.sum("key_sum").cast("long").alias("key_sum"),
+    )
+    parts = part_sigs.unionAll(inc_sig).unionAll(_sig(recompute, "recompute"))
     return parts.orderBy("part")
 
 
