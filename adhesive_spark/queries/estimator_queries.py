@@ -4374,32 +4374,35 @@ def q396_key_cardinality_ladder(spark, sf_dir):
     combinable; output is 4 rows.
     """
     docs = load_table(spark, sf_dir, "documents")
-    n = F.broadcast(docs.agg(F.count("*").cast("long").alias("n_rows")))
-
-    def _rung(name, *cols):
-        return (
-            docs.agg(
-                F.count_distinct(*[F.col(c) for c in cols])
-                .cast("long")
-                .alias("n_groups")
-            )
-            .crossJoin(n)
-            .select(
-                F.lit(name).alias("combo"),
-                "n_groups",
-                "n_rows",
-                F.expr(
-                    "CAST(n_rows * 1000 div n_groups AS BIGINT)"
-                ).alias("rows_per_group_milli"),
-            )
-        )
-
+    # all four rungs plus the row count in ONE aggregate: Spark plans
+    # multiple count-distincts as a single scan + Expand, where the
+    # rung-per-union form re-read the corpus five times; the 1-row
+    # result is unpivoted back to the rung rows with stack
+    agg = docs.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.count_distinct("lang").cast("long").alias("d_lang"),
+        F.count_distinct("source").cast("long").alias("d_source"),
+        F.count_distinct("source", "lang").cast("long").alias("d_sl"),
+        F.count_distinct("source", "lang", "n_chars")
+        .cast("long")
+        .alias("d_sln"),
+    )
     return (
-        _rung("lang", "lang")
-        .unionByName(_rung("source", "source"))
-        .unionByName(_rung("source,lang", "source", "lang"))
-        .unionByName(
-            _rung("source,lang,n_chars", "source", "lang", "n_chars")
+        agg.select(
+            F.expr(
+                "stack(4, 'lang', d_lang, 'source', d_source, "
+                "'source,lang', d_sl, 'source,lang,n_chars', d_sln) "
+                "AS (combo, n_groups)"
+            ),
+            "n_rows",
+        )
+        .select(
+            "combo",
+            "n_groups",
+            "n_rows",
+            F.expr("CAST(n_rows * 1000 div n_groups AS BIGINT)").alias(
+                "rows_per_group_milli"
+            ),
         )
         .orderBy("combo")
     )

@@ -966,6 +966,11 @@ def q228_label_propagation(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey"
     )
+    # one materialization of the distinct trade-pair set: edges (and
+    # through it labels + both unrolled rounds) re-derive from this
+    # subtree, which would otherwise re-run the orders x lineitem join
+    # six times in one plan (the checkpointed rows are the same bytes
+    # the edge shuffle itself carries)
     pairs = (
         orders.join(li, orders.o_orderkey == li.l_orderkey)
         .select(
@@ -977,6 +982,7 @@ def q228_label_propagation(spark, sf_dir):
             ),
         )
         .distinct()
+        .localCheckpoint(eager=True)
     )
     edges = pairs.union(
         pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))

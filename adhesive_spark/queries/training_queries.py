@@ -1734,13 +1734,17 @@ def q297_rank_agreement(spark, sf_dir):
             lambda x: F.floor(x * F.lit(127.0) / s).cast("long"),
         )
 
-    scored = corpus.crossJoin(F.broadcast(queries)).select(
+    # quantize each side ONCE before the crossJoin: q8() inside the
+    # scored projection would re-run the transform/array_max pass per
+    # (corpus x query) pair — 5x the quantization work for identical
+    # values (q8 is deterministic per vector)
+    corpus_q = corpus.withColumn("vq", q8(F.col("v")))
+    queries_q = queries.withColumn("qq", q8(F.col("qv")))
+    scored = corpus_q.crossJoin(F.broadcast(queries_q)).select(
         "query_id",
         "vec_id",
         F.round(cosine(F.col("v"), F.col("qv")), 6).alias("sim_exact"),
-        F.round(cosine(q8(F.col("v")), q8(F.col("qv"))), 6).alias(
-            "sim_q8"
-        ),
+        F.round(cosine(F.col("vq"), F.col("qq")), 6).alias("sim_q8"),
     )
     w_e = Window.partitionBy("query_id").orderBy(
         F.col("sim_exact").desc(), F.col("vec_id")
@@ -1748,6 +1752,9 @@ def q297_rank_agreement(spark, sf_dir):
     w_q = Window.partitionBy("query_id").orderBy(
         F.col("sim_q8").desc(), F.col("vec_id")
     )
+    # materialize the <=150-row ranked list once: its three consumers
+    # (both sides of the pair self-join + the footrule aggregate) would
+    # otherwise each re-run the corpus x 5-query scoring pass
     ranked = scored.select(
         "query_id",
         "vec_id",
@@ -1758,7 +1765,7 @@ def q297_rank_agreement(spark, sf_dir):
         "vec_id",
         "r_exact",
         F.least(F.col("r_q8"), F.lit(31).cast("long")).alias("r_q8"),
-    )
+    ).localCheckpoint(eager=True)
     a, b = ranked.alias("a"), ranked.alias("b")
     pair_stats = (
         a.join(
