@@ -228,18 +228,23 @@ def q90_theta_overlap(spark, sf_dir):
         ),
         F.expr("theta_sketch_estimate(theta_union_agg(sk))").alias("__union"),
     )
-    clicks = events.where(F.col("event_type") == "click").select("user_id").distinct()
-    purch = (
-        events.where(F.col("event_type") == "purchase").select("user_id").distinct()
-    )
-    exact = (
-        clicks.join(purch, "user_id")
-        .agg(F.count("*").alias("exact_inter"))
-        .crossJoin(
-            clicks.unionByName(purch)
-            .distinct()
-            .agg(F.count("*").alias("exact_union"))
+    # exact side in ONE user-keyed pass: per-user click/purchase flags
+    # give intersection (both) and union (any) as conditional counts of
+    # the same aggregate, replacing two distinct sets + a join + a
+    # union-distinct that re-scanned events four more times
+    flags = (
+        events.where(F.col("event_type").isin("click", "purchase"))
+        .groupBy("user_id")
+        .agg(
+            F.max(F.col("event_type") == "click").alias("is_c"),
+            F.max(F.col("event_type") == "purchase").alias("is_p"),
         )
+    )
+    exact = flags.agg(
+        F.count(F.when(F.col("is_c") & F.col("is_p"), F.lit(1))).alias(
+            "exact_inter"
+        ),
+        F.count("*").alias("exact_union"),
     )
     return est.crossJoin(exact).select(
         "exact_inter",
@@ -963,33 +968,40 @@ def q105_funnel(spark, sf_dir):
     purchase IN TIME ORDER (each stage strictly after the user's first
     event of the previous stage) — sequence analytics that plain
     conditional aggregation cannot express.  Three stage aggregations,
-    all keyed on user_id: with hash(user_id) partitioning established by
-    the first, the later joins/aggs reuse it."""
+    all keyed on user_id — here collapsed to ONE user-keyed aggregate:
+    the staged min-ts chain (first view, first click after it, first
+    purchase after that) is computed per user from the conditional min
+    and the per-user click/purchase timestamp lists, so the corpus is
+    scanned once instead of six times (v evaluated under c and p and
+    the three counts re-ran each stage). Identical semantics: a user
+    missing a stage yields null, which nulls every later stage exactly
+    like the inner joins did."""
     events = load_table(spark, sf_dir, "events")
-    ev = events.select("user_id", "event_type", "ts")
-    v = (
-        ev.where(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("v_ts"))
+    ev = events.where(
+        F.col("event_type").isin("view", "click", "purchase")
+    ).select("user_id", "event_type", "ts")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+            "v_ts"
+        ),
+        F.collect_list(
+            F.when(F.col("event_type") == "click", F.col("ts"))
+        ).alias("c_all"),
+        F.collect_list(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("p_all"),
     )
-    c = (
-        ev.where(F.col("event_type") == "click")
-        .join(v, "user_id")
-        .where(F.col("ts") > F.col("v_ts"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("c_ts"))
+    staged = per_user.withColumn(
+        "c_ts",
+        F.array_min(F.filter("c_all", lambda t: t > F.col("v_ts"))),
+    ).withColumn(
+        "p_ts",
+        F.array_min(F.filter("p_all", lambda t: t > F.col("c_ts"))),
     )
-    p = (
-        ev.where(F.col("event_type") == "purchase")
-        .join(c, "user_id")
-        .where(F.col("ts") > F.col("c_ts"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("p_ts"))
-    )
-    return (
-        v.agg(F.count("*").alias("n_view"))
-        .crossJoin(c.agg(F.count("*").alias("n_view_click")))
-        .crossJoin(p.agg(F.count("*").alias("n_full_funnel")))
+    return staged.agg(
+        F.count("v_ts").alias("n_view"),
+        F.count("c_ts").alias("n_view_click"),
+        F.count("p_ts").alias("n_full_funnel"),
     )
 
 
@@ -2268,9 +2280,13 @@ def q123_mad_outliers(spark, sf_dir):
     ev = events.select(
         "event_id", "event_type", scaled_long(F.col("value"), 2).alias("v_c")
     )
+    # the per-type median is a handful of rows but its subtree is a
+    # full corpus pass; materialize it once — dev (and through it both
+    # the MAD pass and the final filter pass) re-evaluates it otherwise,
+    # putting 4 events scans in one plan where the algorithm needs 3
     med = ev.groupBy("event_type").agg(
         F.expr("percentile(v_c, 0.5)").alias("med")
-    )
+    ).localCheckpoint(eager=True)
     dev = ev.join(F.broadcast(med), "event_type").withColumn(
         "dev", F.abs(F.col("v_c") - F.col("med"))
     )

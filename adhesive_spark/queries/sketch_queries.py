@@ -1122,6 +1122,11 @@ def q250_basket_affinity(spark, sf_dir):
     volume is sum_u C(b_u, 2) — heavy users need basket caps (q71's
     per-domain cap composes here).
     """
+    # the distinct (user, item) presence set has FIVE consumers (both
+    # self-join sides, the popularity marginal twice, the user count);
+    # materialize it once so the events scan + props regexp runs once —
+    # the checkpointed rows are the same basket-bounded bytes the pair
+    # self-join shuffles anyway
     clicks = (
         load_table(spark, sf_dir, "events")
         .where(F.col("event_type") == "click")
@@ -1132,6 +1137,7 @@ def q250_basket_affinity(spark, sf_dir):
             .alias("item"),
         )
         .distinct()
+        .localCheckpoint(eager=True)
     )
     a, b = clicks.alias("a"), clicks.alias("b")
     pairs = (
@@ -1143,9 +1149,10 @@ def q250_basket_affinity(spark, sf_dir):
         .groupBy(F.col("a.item").alias("x"), F.col("b.item").alias("y"))
         .agg(F.count("*").cast("long").alias("c_xy"))
     )
+    # item-cardinality rows, broadcast twice (x and y attach): compute once
     pop = clicks.groupBy("item").agg(
         F.count("*").cast("long").alias("c_i")
-    )
+    ).localCheckpoint(eager=True)
     n_users = clicks.select("user_id").distinct().agg(
         F.count("*").cast("long").alias("n_users")
     )
@@ -1292,9 +1299,11 @@ def q252_chisq_independence(spark, sf_dir):
             (F.expr("unix_micros(ts) div 86400000000") + 3) % 7 >= 5
         ).alias("is_weekend"),
     )
+    # |types| x 2 rows, but the subtree is a full corpus aggregate and
+    # has FOUR consumers (rows, cols, total, terms) — materialize once
     cells = ev.groupBy("event_type", "is_weekend").agg(
         F.count("*").cast("long").alias("o")
-    )
+    ).localCheckpoint(eager=True)
     rows = cells.groupBy("event_type").agg(
         F.sum("o").cast("long").alias("r")
     )
