@@ -779,6 +779,14 @@ def embedding_neardup_pairs(
         base = base.withColumn(
             "__bucket", lsh_bucket(F.col("vec"), dim, n_planes=n_planes, seed=seed)
         )
+    # materialize the (projected, bucketed) side ONCE before the
+    # self-join: the two aliases are separate subtrees to Catalyst
+    # (ReuseExchange does not collapse them — measured on q127: 4
+    # upstream scans, 0 reused), so an upstream pipeline (IVF
+    # assignment, casts, the LSH bucket kernel) would run twice; the
+    # checkpointed rows are exactly the bytes the join shuffle carries
+    base = base.localCheckpoint(eager=True)
+    if use_lsh:
         l, r = base.alias("l"), base.alias("r")
         cond = (F.col("l.__bucket") == F.col("r.__bucket")) & (
             F.col("l.id") < F.col("r.id")

@@ -2442,6 +2442,9 @@ def q326_hubness_audit(spark, sf_dir):
     top5 = scored.withColumn("r", F.row_number().over(w)).where(
         F.col("r") <= 5
     )
+    # slice-sized rows, but the subtree is the whole all-pairs scoring
+    # + top-5 window; its two consumers (histogram, totals) would each
+    # re-run that kernel — materialize once
     occ = (
         emb.select(F.col("vec_id").alias("cid"))
         .join(
@@ -2450,6 +2453,7 @@ def q326_hubness_audit(spark, sf_dir):
             "left",
         )
         .select(F.coalesce("n_k", F.lit(0)).cast("long").alias("n_k"))
+        .localCheckpoint(eager=True)
     )
     hist = occ.groupBy("n_k").agg(
         F.count("*").cast("long").alias("n_vectors")

@@ -539,9 +539,11 @@ def q283_ivf_occupancy(spark, sf_dir):
         "embedding", F.transform("embedding", lambda x: x.cast("double"))
     )
     _, assigned = build_ivf_index(emb, n_lists=16)
+    # 16 rows, but the subtree is the full corpus broadcast-argmax
+    # assignment; its two consumers (curve, total) re-ran it — once
     occ = assigned.groupBy("centroid_id").agg(
         F.count("*").cast("long").alias("n_vecs")
-    )
+    ).localCheckpoint(eager=True)
     # bounded-domain: 16 IVF centroids only — single-partition
     # WindowExec is intentional and safe
     w = Window.orderBy(F.col("n_vecs").desc(), F.col("centroid_id"))
@@ -1646,7 +1648,12 @@ def q296_chisq_independence(spark, sf_dir):
             "CASE WHEN substring(md5(CAST(vec_id AS STRING)), 1, 1)"
             " IN ('0','1','2','3','4','5','6','7') THEN 0 ELSE 1 END"
         ).alias("split"),
-    ).groupBy("label", "split").agg(F.count("*").cast("long").alias("o"))
+    ).groupBy("label", "split").agg(
+        F.count("*").cast("long").alias("o")
+    ).localCheckpoint(eager=True)
+    # <= 2*labels rows with FOUR consumers (row margin, col margin,
+    # total, the per-cell join) — materialized once above so the corpus
+    # aggregate is a single pass
     # join cells back onto their row/col margins
     joined = (
         cells.join(F.broadcast(cells.groupBy("label").agg(F.sum("o").alias("r"))), "label")
