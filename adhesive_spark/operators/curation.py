@@ -196,22 +196,32 @@ def contamination_pairs(
     from adhesive_spark.operators.dedup import word_shingles
     from adhesive_spark.sources.registry import ensure_parallelism
 
+    from pyspark.sql.window import Window
+
     t = ensure_parallelism(train, id_col).select(
         F.col(id_col).alias("train_id"),
         F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
     )
+    if max_shingle_df is not None:
+        # df-cap as a count window inside ONE shingle-keyed exchange
+        # (the ngram_jaccard_pairs shape): the separate frequency
+        # aggregate + join-back re-ran the train-side explode — the
+        # operator's CPU bound — a second time; the window value is the
+        # identical per-shingle occurrence count
+        t = (
+            t.repartition("shingle")
+            .withColumn(
+                "__df", F.count("*").over(Window.partitionBy("shingle"))
+            )
+            .where(F.col("__df") <= max_shingle_df)
+            .drop("__df")
+        )
+    # the bench side is small by nature but consumed twice (sizes +
+    # the shingle join) — materialize its explode once
     b = bench.select(
         F.col(id_col).alias("bench_id"),
         F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
-    )
-    if max_shingle_df is not None:
-        rare = (
-            t.groupBy("shingle")
-            .agg(F.count("*").alias("__df"))
-            .where(F.col("__df") <= max_shingle_df)
-            .select("shingle")
-        )
-        t = t.join(rare, "shingle")
+    ).localCheckpoint(eager=True)
     bench_sizes = b.groupBy("bench_id").agg(F.count("*").alias("bench_n_sh"))
     overlap = (
         t.join(b, "shingle")

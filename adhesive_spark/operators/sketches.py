@@ -228,13 +228,22 @@ def cms_col_sql(expr: str, salt: str) -> str:
     )
 
 
-def cms_build(items: DataFrame, col: str) -> DataFrame:
+def cms_build(
+    items: DataFrame, col: str, *, weight_col: str | None = None
+) -> DataFrame:
     """Count-Min counter table (r, c, cnt) over the item stream.
 
     One explode by the D salt rows then one hash aggregate to a
     D*W-row counter table — counters merge by ``+`` so partial
     aggregation happens map-side; the sketch is a broadcastable
     64-row summary of any size stream.
+
+    ``weight_col``: build from a pre-aggregated (item, count) grain
+    instead of the raw stream — ``cnt`` becomes the SUM of the weights
+    hashing to each counter, which is integer-identical to counting the
+    expanded stream (counter merge is ``+``). Lets a caller that
+    already paid for the per-item counts hash |vocab| rows instead of
+    re-exploding the corpus.
     """
     rows = F.array(
         *[
@@ -245,11 +254,21 @@ def cms_build(items: DataFrame, col: str) -> DataFrame:
             for r, salt in enumerate(CMS_SALTS)
         ]
     )
+    measure = (
+        F.count("*") if weight_col is None else F.sum(F.col("__w"))
+    )
+    keep = [F.explode(rows).alias("rc")] + (
+        [] if weight_col is None else [F.col(weight_col).alias("__w")]
+    )
     return (
-        items.select(F.explode(rows).alias("rc"))
-        .select(F.col("rc.r").alias("r"), F.col("rc.c").alias("c"))
+        items.select(*keep)
+        .select(
+            F.col("rc.r").alias("r"),
+            F.col("rc.c").alias("c"),
+            *([] if weight_col is None else [F.col("__w")]),
+        )
         .groupBy("r", "c")
-        .agg(F.count("*").cast("long").alias("cnt"))
+        .agg(measure.cast("long").alias("cnt"))
     )
 
 

@@ -797,9 +797,13 @@ def q312_packing_policy_ladder(spark, sf_dir):
     reports.)"""
     from adhesive_spark.operators.text import token_estimate_bpe
 
+    # one long per doc, but the BPE length kernel is the corpus-pass
+    # cost and `per` has THREE aggregate consumers (pad, shelf buckets,
+    # splitting fallback) — materialize the lengths once; the re-run
+    # per consumer is then a broadcast crossJoin of longs, not the kernel
     docs = load_table(spark, sf_dir, "documents").select(
         token_estimate_bpe(F.col("text")).alias("l")
-    )
+    ).localCheckpoint(eager=True)
     ctx = F.broadcast(
         spark.range(1).select(
             F.explode(

@@ -2057,10 +2057,17 @@ def q351_corpus_saturation(spark, sf_dir):
         "doc_id",
         F.explode(word_shingles(F.col("text"), 3)).alias("shingle"),
     )
-    first = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_id"))
+    # first-seen as a min window inside ONE shingle-keyed exchange (the
+    # ngram_jaccard_pairs shape): the separate min-aggregate + join-back
+    # re-ran the explode — the CPU bound — a second time; identical
+    # values (novel = occurrence whose doc_id equals the per-shingle min)
+    occ = sh.repartition("shingle").withColumn(
+        "first_id", F.min("doc_id").over(Window.partitionBy("shingle"))
+    )
+    # doc-cardinality rows with two consumers (max_id + decile rollup):
+    # materialize once so the shingle pass runs once
     per_doc = (
-        sh.join(first, "shingle")
-        .groupBy("doc_id")
+        occ.groupBy("doc_id")
         .agg(
             F.count("*").cast("long").alias("n_sh"),
             F.sum(
@@ -2069,6 +2076,7 @@ def q351_corpus_saturation(spark, sf_dir):
             .cast("long")
             .alias("novel"),
         )
+        .localCheckpoint(eager=True)
     )
     mx = F.broadcast(per_doc.agg(F.max("doc_id").alias("max_id")))
     return (

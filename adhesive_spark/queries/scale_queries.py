@@ -376,10 +376,16 @@ def q221_lang_token_affinity(spark, sf_dir):
     toks = docs.select(
         "lang", F.explode(tokens(F.col("text"))).alias("tok")
     ).where(F.col("tok") != "")
-    lt = toks.groupBy("lang", "tok").agg(F.count("*").alias("n_lt"))
-    lg = toks.groupBy("lang").agg(F.count("*").alias("n_l"))
-    tk = toks.groupBy("tok").agg(F.count("*").alias("n_t"))
-    grand = toks.agg(F.count("*").alias("n_all"))
+    # one tokenize+explode pass: the (lang, tok) grain is materialized
+    # once and the three marginals are SUMS of it (identical counts by
+    # associativity) — the four separate aggregates each re-ran the
+    # corpus explode kernel
+    lt = toks.groupBy("lang", "tok").agg(
+        F.count("*").alias("n_lt")
+    ).localCheckpoint(eager=True)
+    lg = lt.groupBy("lang").agg(F.sum("n_lt").alias("n_l"))
+    tk = lt.groupBy("tok").agg(F.sum("n_lt").alias("n_t"))
+    grand = lt.agg(F.sum("n_lt").alias("n_all"))
     scored = (
         lt.join(F.broadcast(lg), "lang")
         .join(F.broadcast(tk), "tok")
@@ -457,10 +463,14 @@ def q222_source_tv_drift(spark, sf_dir):
     toks = docs.select(
         "source", F.explode(tokens(F.col("text"))).alias("tok")
     ).where(F.col("tok") != "")
-    sc = toks.groupBy("source", "tok").agg(F.count("*").alias("n_st"))
-    st = toks.groupBy("source").agg(F.count("*").alias("n_s"))
-    cc = toks.groupBy("tok").agg(F.count("*").alias("n_c"))
-    grand = toks.agg(F.count("*").alias("n_all"))
+    # one tokenize+explode pass (q221 shape): materialize the
+    # (source, tok) grain once; the marginals are sums of it
+    sc = toks.groupBy("source", "tok").agg(
+        F.count("*").alias("n_st")
+    ).localCheckpoint(eager=True)
+    st = sc.groupBy("source").agg(F.sum("n_st").alias("n_s"))
+    cc = sc.groupBy("tok").agg(F.sum("n_st").alias("n_c"))
+    grand = sc.agg(F.sum("n_st").alias("n_all"))
     grid = (
         st.crossJoin(F.broadcast(cc))
         .join(sc, ["source", "tok"], "left")

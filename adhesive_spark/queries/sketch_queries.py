@@ -82,10 +82,19 @@ def q242_cms_heavyhitters(spark, sf_dir):
     toks = docs.select(F.explode(tokens(F.col("text"))).alias("tok")).where(
         F.col("tok") != ""
     )
-    sketch = cms_build(toks, "tok")
-    top = (
+    # one tokenize+explode pass: the per-token count grain (closed
+    # ~30-word lexicon) is materialized once; the sketch is built from
+    # it WEIGHTED (sum of counts per counter — integer-identical to
+    # counting the raw stream) and the exact top-10 is a sort of the
+    # same grain, where sketch/top/probe each re-ran the corpus explode
+    counts = (
         toks.groupBy("tok")
         .agg(F.count("*").cast("long").alias("true_cnt"))
+        .localCheckpoint(eager=True)
+    )
+    sketch = cms_build(counts, "tok", weight_col="true_cnt")
+    top = (
+        counts
         .orderBy(F.col("true_cnt").desc(), F.col("tok"))
         .limit(10)
     )
@@ -297,10 +306,15 @@ def q244_pmi_collocations(spark, sf_dir):
     ).select(F.col("p.x").alias("x"), F.col("p.y").alias("y")).where(
         (F.col("x") != "") & (F.col("y") != "")
     )
-    pair = bi.groupBy("x", "y").agg(F.count("*").cast("long").alias("c_xy"))
-    left = bi.groupBy("x").agg(F.count("*").cast("long").alias("c_x"))
-    right = bi.groupBy("y").agg(F.count("*").cast("long").alias("c_y"))
-    total = bi.agg(F.count("*").cast("long").alias("n_bi"))
+    # one bigram-explode pass (q221 shape): the (x, y) grain is
+    # materialized once; the slot marginals and the total are SUMS of
+    # it, where four separate aggregates each re-ran the zip/explode
+    pair = bi.groupBy("x", "y").agg(
+        F.count("*").cast("long").alias("c_xy")
+    ).localCheckpoint(eager=True)
+    left = pair.groupBy("x").agg(F.sum("c_xy").cast("long").alias("c_x"))
+    right = pair.groupBy("y").agg(F.sum("c_xy").cast("long").alias("c_y"))
+    total = pair.agg(F.sum("c_xy").cast("long").alias("n_bi"))
     return (
         pair.where(F.col("c_xy") >= 25)
         .join(F.broadcast(left), "x")

@@ -311,3 +311,26 @@ def test_bitmap_index_lossless(spark):
     assert r["and_docs"] <= min(r["docs_t1"], r["docs_t2"])
     # 62-bit packing: block counts can't exceed ceil(doc space / 62)
     assert r["blocks_t1"] * 62 >= r["docs_t1"]
+
+
+def test_cms_build_weighted_equals_raw(spark):
+    """cms_build from a pre-aggregated (item, count) grain must produce
+    the identical counter table as building from the expanded raw
+    stream — the property that lets q242 hash |vocab| rows instead of
+    re-exploding the corpus (counter merge is ``+``)."""
+    from adhesive_spark.operators.sketches import cms_build
+
+    raw = spark.createDataFrame(
+        [("alpha",)] * 5 + [("beta",)] * 3 + [("gamma",)] * 1 + [("delta",)] * 7,
+        ["tok"],
+    )
+    counts = raw.groupBy("tok").agg(F.count("*").cast("long").alias("w"))
+    a = {
+        (r["r"], r["c"]): r["cnt"]
+        for r in cms_build(raw, "tok").collect()
+    }
+    b = {
+        (r["r"], r["c"]): r["cnt"]
+        for r in cms_build(counts, "tok", weight_col="w").collect()
+    }
+    assert a == b and len(a) > 0
