@@ -454,6 +454,10 @@ def build_ivf_index(
             F.col("cid").alias("centroid_id"), F.col("cv").alias("cvec")
         )
     else:
+        # n_lists rows, but the subtree is a full TakeOrdered corpus
+        # pass — materialize it once so each broadcast consumer (the
+        # assignment, the probe scorer, semantic-dedup's rescoring)
+        # reuses the tiny result instead of re-running the scan.
         centroids = (
             corpus.orderBy(id_col)
             .limit(n_lists)
@@ -461,6 +465,7 @@ def build_ivf_index(
                 F.col(id_col).alias("centroid_id"),
                 F.col(vec_col).alias("cvec"),
             )
+            .localCheckpoint(eager=True)
         )
     # Argmax-as-aggregate (max over struct(sim, -cid)): map-side partial
     # combining beats a rank-1 window's full sort of the corpus×k rows.
