@@ -90,6 +90,42 @@ def word_shingles(col, n: int = 3):
     return F.array_distinct(grams)
 
 
+def word_shingles_multi(col, ns: tuple[int, ...]):
+    """``word_shingles`` for several shingle widths in ONE pass: the
+    token array is split once per row and every width's distinct grams
+    are emitted as ``struct(n, s)`` in a single array — the grain a
+    knob-ladder query explodes once instead of once per rung. Per-width
+    elements are exactly ``word_shingles(col, n)``'s (same short-doc
+    whole-doc fallback, same array_distinct)."""
+
+    def _all(toks):
+        def _grams(n):
+            k = F.size(toks) - (n - 1)
+            return F.when(
+                k >= 1,
+                F.transform(
+                    F.sequence(F.lit(0), k - 1),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+                ),
+            ).otherwise(F.array(F.concat_ws(" ", toks)))
+
+        return F.concat(
+            *[
+                F.transform(
+                    F.array_distinct(_grams(n)),
+                    lambda s: F.struct(
+                        F.lit(n).cast("long").alias("n"), s.alias("s")
+                    ),
+                )
+                for n in ns
+            ]
+        )
+
+    return F.element_at(
+        F.transform(F.array(F.split(normalize_text(col), " ")), _all), 1
+    )
+
+
 def _perm_coeffs(num_perm: int, seed: int = 42) -> list[tuple[int, int]]:
     rng = random.Random(seed)
     return [

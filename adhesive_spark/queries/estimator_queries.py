@@ -5462,64 +5462,94 @@ def q407_shingle_size_ladder(spark, sf_dir):
     choice). Jaccard from grouped counts (|∩| per pair, sizes per doc)
     — no array intersection, identical in both engines.
 
-    Scale shape: per rung, distinct (doc, shingle) explode → shingle
-    equi-join (candidate term bounded by shared-shingle clusters) →
-    one pair aggregate; sizes rejoin via broadcast.
+    Scale shape: ONE distinct (rung, doc, shingle) explode — the token
+    split and gram build run once per document for ALL rungs
+    (word_shingles_multi), eager-checkpointed — then one (n, shingle)
+    equi-join and one pair aggregate cover every rung; sizes rejoin via
+    broadcast; the 3-row rung spine left-join keeps a zero-candidate
+    rung's (0, 0, 0) row identical to the old per-rung global
+    aggregates.
     """
-    from adhesive_spark.operators.dedup import word_shingles
+    from adhesive_spark.operators.dedup import word_shingles_multi
     from adhesive_spark.sources.registry import ensure_parallelism
 
     docs = ensure_parallelism(
         load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
     )
-
-    def _rung(n):
-        sh = docs.select(
-            "doc_id", F.explode(word_shingles(F.col("text"), n)).alias("s")
-        ).distinct()
-        sizes = sh.groupBy("doc_id").agg(
-            F.count("*").cast("long").alias("sz")
+    rungs = (2, 3, 5)
+    sh = (
+        docs.select(
+            "doc_id",
+            F.explode(word_shingles_multi(F.col("text"), rungs)).alias("g"),
         )
-        a = sh.select(F.col("doc_id").alias("ida"), "s")
-        b = sh.select(F.col("doc_id").alias("idb"), "s")
-        common = (
-            a.join(b, "s")
-            .where(F.col("ida") < F.col("idb"))
-            .groupBy("ida", "idb")
-            .agg(F.count("*").cast("long").alias("common"))
+        .select("doc_id", F.col("g.n").alias("n"), F.col("g.s").alias("s"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sizes = sh.groupBy("n", "doc_id").agg(
+        F.count("*").cast("long").alias("sz")
+    )
+    a = sh.select("n", F.col("doc_id").alias("ida"), "s")
+    b = sh.select("n", F.col("doc_id").alias("idb"), "s")
+    common = (
+        a.join(b, ["n", "s"])
+        .where(F.col("ida") < F.col("idb"))
+        .groupBy("n", "ida", "idb")
+        .agg(F.count("*").cast("long").alias("common"))
+    )
+    pairs = (
+        common.join(
+            F.broadcast(
+                sizes.select(
+                    "n",
+                    F.col("doc_id").alias("ida"),
+                    F.col("sz").alias("sza"),
+                )
+            ),
+            ["n", "ida"],
         )
-        pairs = (
-            common.join(
-                F.broadcast(sizes.select(F.col("doc_id").alias("ida"),
-                                         F.col("sz").alias("sza"))),
-                "ida",
-            )
-            .join(
-                F.broadcast(sizes.select(F.col("doc_id").alias("idb"),
-                                         F.col("sz").alias("szb"))),
-                "idb",
-            )
-            .select(
-                F.expr(
-                    "CAST(common * 1000000"
-                    " div (sza + szb - common) AS BIGINT)"
-                ).alias("jacc_ppm")
-            )
+        .join(
+            F.broadcast(
+                sizes.select(
+                    "n",
+                    F.col("doc_id").alias("idb"),
+                    F.col("sz").alias("szb"),
+                )
+            ),
+            ["n", "idb"],
         )
-        return pairs.agg(
-            F.lit(n).cast("long").alias("shingle_n"),
-            F.count("*").cast("long").alias("candidate_pairs"),
-            F.count_if(F.col("jacc_ppm") >= 500000)
-            .cast("long")
-            .alias("verified_pairs"),
+        .select(
+            "n",
             F.expr(
-                "CAST(count_if(jacc_ppm >= 500000) * 1000000"
-                " div greatest(count(*), 1) AS BIGINT)"
-            ).alias("precision_ppm"),
+                "CAST(common * 1000000"
+                " div (sza + szb - common) AS BIGINT)"
+            ).alias("jacc_ppm"),
         )
-
+    )
+    per_rung = pairs.groupBy("n").agg(
+        F.count("*").cast("long").alias("candidate_pairs"),
+        F.count_if(F.col("jacc_ppm") >= 500000)
+        .cast("long")
+        .alias("verified_pairs"),
+        F.expr(
+            "CAST(count_if(jacc_ppm >= 500000) * 1000000"
+            " div greatest(count(*), 1) AS BIGINT)"
+        ).alias("precision_ppm"),
+    )
+    spine = spark.createDataFrame(
+        [(n,) for n in rungs], "shingle_n bigint"
+    )
+    zero = F.lit(0).cast("long")
     return (
-        _rung(2).unionByName(_rung(3)).unionByName(_rung(5))
+        spine.join(
+            per_rung.withColumnRenamed("n", "shingle_n"), "shingle_n", "left"
+        )
+        .select(
+            "shingle_n",
+            F.coalesce("candidate_pairs", zero).alias("candidate_pairs"),
+            F.coalesce("verified_pairs", zero).alias("verified_pairs"),
+            F.coalesce("precision_ppm", zero).alias("precision_ppm"),
+        )
         .orderBy("shingle_n")
     )
 

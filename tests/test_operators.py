@@ -1288,3 +1288,39 @@ def test_media_byte_builders_match_scalar_reference():
     for w_, h, nf, seed in [(4, 4, 1, 0), (58, 60, 12, 77),
                             (6, 8, 3, 12345678901)]:
         assert y4m_bytes(w_, h, nf, seed) == y4m_ref(w_, h, nf, seed)
+
+
+def test_word_shingles_multi_matches_per_n(spark):
+    """word_shingles_multi(ns) must emit, per width, exactly
+    word_shingles(n)'s distinct grams — including the short-doc
+    whole-doc fallback and null/empty text corners."""
+    from adhesive_spark.operators.dedup import word_shingles, word_shingles_multi
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "one two"),          # shorter than n=3 and n=5: fallback
+        (2, "single"),           # shorter than every n
+        (3, ""),                 # empty text
+        (4, None),               # null text
+        (5, "a a a a a a"),      # heavy duplicate grams
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    ns = (2, 3, 5)
+    multi = (
+        df.select(
+            "doc_id",
+            F.explode(word_shingles_multi(F.col("text"), ns)).alias("g"),
+        )
+        .select("doc_id", F.col("g.n").alias("n"), F.col("g.s").alias("s"))
+        .collect()
+    )
+    got = {(r.doc_id, r.n, r.s) for r in multi}
+    want = set()
+    for n in ns:
+        for r in df.select(
+            "doc_id", F.explode(word_shingles(F.col("text"), n)).alias("s")
+        ).collect():
+            want.add((r.doc_id, n, r.s))
+    assert got == want
+    # per-width multiset equality too: multi must not duplicate grams
+    assert len(multi) == len(got)
