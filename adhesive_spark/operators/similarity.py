@@ -453,6 +453,12 @@ def build_ivf_index(
         centroids = cents.select(
             F.col("cid").alias("centroid_id"), F.col("cv").alias("cvec")
         )
+        # the final assignment scans the ALREADY-MATERIALIZED vector
+        # projection instead of re-reading (and re-casting) the corpus
+        # source — one fewer full corpus pass per index build
+        corpus = vectors.select(
+            F.col("vec_id").alias(id_col), F.col("v").alias(vec_col)
+        )
     else:
         # n_lists rows, but the subtree is a full TakeOrdered corpus
         # pass — materialize it once so each broadcast consumer (the
