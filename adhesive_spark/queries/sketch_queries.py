@@ -544,11 +544,15 @@ def q246_pq_ann(spark, sf_dir):
             )
         ).alias("e"),
     ).select("vec_id", F.col("e.s").alias("s"), F.col("e.sv").alias("sv"))
+    # centroids x subspaces rows; evaluated once for its two broadcast
+    # consumers (corpus coding + the per-query ADC table) instead of
+    # re-running the pruned scan + explode per consumer
     codebook = (
         sub.where(F.col("vec_id") < _PQ_CENTROIDS)
         .select(
             F.col("vec_id").alias("cid"), "s", F.col("sv").alias("cv")
         )
+        .localCheckpoint(eager=True)
     )
     l2sq = (
         "aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)),"
@@ -831,10 +835,16 @@ def q248_ivfpq_ann(spark, sf_dir):
         "aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)),"
         " CAST(0 AS BIGINT), (acc, d) -> acc + d)"
     )
-    coarse = emb.where(
-        (F.col("vec_id") >= _PQ_CENTROIDS)
-        & (F.col("vec_id") < _PQ_CENTROIDS + _IVFPQ_LISTS)
-    ).select(F.col("vec_id").alias("list_id"), F.col("mv").alias("lv"))
+    # n_lists rows; evaluated once for its two broadcast consumers
+    # (corpus coarse-assignment + query probing)
+    coarse = (
+        emb.where(
+            (F.col("vec_id") >= _PQ_CENTROIDS)
+            & (F.col("vec_id") < _PQ_CENTROIDS + _IVFPQ_LISTS)
+        )
+        .select(F.col("vec_id").alias("list_id"), F.col("mv").alias("lv"))
+        .localCheckpoint(eager=True)
+    )
     corpus = emb.where(F.col("vec_id") >= _PQ_CENTROIDS + _IVFPQ_LISTS)
     w_list = Window.partitionBy("vec_id").orderBy("ldist", "list_id")
     assigned = (
@@ -865,8 +875,11 @@ def q248_ivfpq_ann(spark, sf_dir):
             )
         ).alias("e"),
     ).select("vec_id", F.col("e.s").alias("s"), F.col("e.sv").alias("sv"))
-    codebook = sub.where(F.col("vec_id") < _PQ_CENTROIDS).select(
-        F.col("vec_id").alias("cid"), "s", F.col("sv").alias("cv")
+    # as q246: one evaluation for the coding + ADC broadcasts
+    codebook = (
+        sub.where(F.col("vec_id") < _PQ_CENTROIDS)
+        .select(F.col("vec_id").alias("cid"), "s", F.col("sv").alias("cv"))
+        .localCheckpoint(eager=True)
     )
     l2sq = l2full
     w_assign = Window.partitionBy("vec_id", "s").orderBy("dist", "cid")
