@@ -1596,9 +1596,14 @@ def q148_deletion_propagation(spark, sf_dir):
     shuffle of the big side."""
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
+    # ~1/16 of ids, but the md5 filter cannot push down, so each
+    # evaluation is a full scan + fingerprint pass; its two broadcast
+    # consumers (fp closure, embedding id list) share one evaluation
     deny = docs.where(
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) == "a"
-    ).select("doc_id", fingerprint(F.col("text")).alias("fp"))
+    ).select("doc_id", fingerprint(F.col("text")).alias("fp")).localCheckpoint(
+        eager=True
+    )
     deny_fp = deny.select("fp").distinct()
     docs_fp = docs.select(
         "doc_id", fingerprint(F.col("text")).alias("fp")

@@ -1742,17 +1742,23 @@ def q172_basket_lift(spark, sf_dir):
     wedge-join argument), never by the catalog²; support floor ≥ 3
     co-occurrences prunes noise pairs before the lift join.  Output:
     qualifying pairs with their support counts."""
+    # the distinct basket set feeds FIVE consumers (order count, two
+    # marginal joins, both self-join sides): materialize it once — the
+    # same bytes its distinct shuffle already wrote (the q250
+    # basket_affinity shape)
     li = (
         _t(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
+        .localCheckpoint(eager=True)
     )
     n_orders = li.select("l_orderkey").distinct().agg(
         F.count("*").alias("n_orders")
     )
+    # catalog-sized marginal, joined twice
     part_counts = li.groupBy("l_partkey").agg(
         F.count("*").alias("n_part")
-    )
+    ).localCheckpoint(eager=True)
     a, b = li.alias("a"), li.alias("b")
     pairs = (
         a.join(
