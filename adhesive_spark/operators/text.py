@@ -229,20 +229,10 @@ def tfidf_top_terms(
     """
     from pyspark.sql.window import Window
 
-    toks = (
-        df.select(
-            F.col(id_col).alias("id"),
-            F.explode(
-                F.array_distinct(
-                    F.filter(
-                        tokens(F.col(text_col)),
-                        lambda t: F.length(t) >= min_token_len,
-                    )
-                )
-            ).alias("token"),
-        )
-    )
-    # tf within doc needs non-distinct counts: recompute from raw tokens
+    # ONE tokenize+explode pass: tf is the (doc, token) grain, and the
+    # doc frequency is exactly one count per tf row (tf holds one row
+    # per distinct (doc, token)), so the former second explode over
+    # array_distinct tokens is a plain re-aggregation of tf
     raw = df.select(
         F.col(id_col).alias("id"),
         F.explode(
@@ -251,11 +241,18 @@ def tfidf_top_terms(
             )
         ).alias("token"),
     )
-    tf = raw.groupBy("id", "token").agg(F.count("*").alias("tf"))
+    # grain materialized once (the tokenize-family shape): both the
+    # scored side and the doc-frequency marginal read it back instead
+    # of re-running the explode kernel
+    tf = (
+        raw.groupBy("id", "token")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=True)
+    )
     # corpus size as a broadcast scalar relation — keeps the operator
     # fully lazy (no driver-side count() action in the plan build)
     n_docs = df.select(F.count("*").cast("double").alias("__n"))
-    dfreq = toks.groupBy("token").agg(F.count("*").alias("df"))
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
     scored = (
         tf.join(dfreq, "token")
         .crossJoin(F.broadcast(n_docs))

@@ -936,15 +936,30 @@ def q104_cohort_retention(spark, sf_dir):
     the distinct (user, week) activity set, and the final cell count
     (the cohort-size side is broadcast back)."""
     events = load_table(spark, sf_dir, "events")
-    firsts = events.groupBy("user_id").agg(
-        F.date_trunc("week", F.min("ts")).alias("cw")
+    # ONE corpus pass: the (user, week) grain carries the per-week min
+    # ts, from which first-seen (min of mins, groupBy keys keep null
+    # weeks exactly like the old distinct did) and the active set both
+    # derive — events was scanned three times (first-seen agg, distinct
+    # activity set, and the grain each consumer re-ran)
+    g = (
+        events.select(
+            "user_id",
+            "ts",
+            F.date_trunc("week", F.col("ts")).alias("aw"),
+        )
+        .groupBy("user_id", "aw")
+        .agg(F.min("ts").alias("mts"))
+        .localCheckpoint(eager=True)
+    )
+    # narrow re-agg over the checkpointed grain; its two consumers
+    # (cohort sizes, the cell join) re-run only this one exchange
+    firsts = g.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("mts")).alias("cw")
     )
     sizes = firsts.groupBy("cw").agg(
         F.count("*").alias("cohort_size")
     )
-    active = events.select(
-        "user_id", F.date_trunc("week", F.col("ts")).alias("aw")
-    ).distinct()
+    active = g.select("user_id", "aw")
     cells = (
         active.join(firsts, "user_id")
         .groupBy("cw", "aw")

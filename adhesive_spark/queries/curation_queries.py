@@ -2165,37 +2165,56 @@ def q167_boilerplate_position(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
 
     def _windows(toks):
+        # each element carries its slot AND the per-doc window count, so
+        # downstream only ever references the explode output (no second
+        # size()/count aggregate that would re-run the kernel)
         k = F.size(toks) - 4
         return F.when(
             k >= 1,
             F.transform(
                 F.sequence(F.lit(0), k - 1),
-                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 5)),
-            ),
-        ).otherwise(F.array(F.concat_ws(" ", toks)))
-
-    grams = docs.select(
-        "doc_id",
-        F.posexplode(
-            F.element_at(
-                F.transform(
-                    F.array(tokens(F.col("text"))), _windows
+                lambda i: F.struct(
+                    i.alias("idx"),
+                    k.alias("n"),
+                    F.concat_ws(" ", F.slice(toks, i + 1, 5)).alias("gram"),
                 ),
-                1,
+            ),
+        ).otherwise(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("idx"),
+                    F.lit(1).alias("n"),
+                    F.concat_ws(" ", toks).alias("gram"),
+                )
             )
-        ).alias("idx", "gram"),
+        )
+
+    # position bucket resolved BEFORE the explode stream is materialized
+    # once for its two consumers (doc-frequency + the final bucket
+    # rollup): the tokenize+window kernel runs exactly once (was 3x,
+    # plus a per-doc count aggregate now folded into the array build)
+    grams = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.element_at(
+                    F.transform(F.array(tokens(F.col("text"))), _windows), 1
+                )
+            ).alias("w"),
+        )
+        .select(
+            "doc_id",
+            F.col("w.gram").alias("gram"),
+            F.expr("(w.idx * 3) div w.n").alias("pos_bucket"),
+        )
+        .localCheckpoint(eager=True)
     )
-    n_win = grams.groupBy("doc_id").agg(F.count("*").alias("n_windows"))
     df_counts = grams.groupBy("gram").agg(
         F.countDistinct("doc_id").alias("gram_docs")
     )
-    placed = (
-        grams.join(n_win, "doc_id")
-        .join(df_counts, "gram")
-        .select(
-            F.expr("(idx * 3) div n_windows").alias("pos_bucket"),
-            (F.col("gram_docs") >= 2).alias("is_boiler"),
-        )
+    placed = grams.join(df_counts, "gram").select(
+        "pos_bucket",
+        (F.col("gram_docs") >= 2).alias("is_boiler"),
     )
     return placed.groupBy("pos_bucket").agg(
         F.count("*").alias("n_windows"),

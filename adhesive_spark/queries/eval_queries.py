@@ -1191,6 +1191,9 @@ def q267_negative_sampling(spark, sf_dir):
     user shuffle). No randomness, no collect.
     """
     ev = load_table(spark, sf_dir, "events")
+    # distinct (user, item) click set: three consumers (item vocabulary,
+    # user list, the anti-join) each re-ran the scan + props regexp —
+    # materialize it once (the q250 basket_affinity shape)
     clicks = (
         ev.where(F.col("event_type") == "click")
         .select(
@@ -1201,6 +1204,7 @@ def q267_negative_sampling(spark, sf_dir):
             ).alias("item"),
         )
         .distinct()
+        .localCheckpoint(eager=True)
     )
     items = clicks.select("item").distinct()
     users = clicks.select("user_id").where(F.col("user_id") < 20).distinct()

@@ -1105,12 +1105,14 @@ def q157_semantic_drift(spark, sf_dir):
     sums = comp.groupBy("label", "even", "pos").agg(
         F.sum("val").alias("s")
     )
+    # labels x 2 rows; materialized once so the even/odd split does not
+    # re-run the posexplode + double aggregation per side
     vecs = sums.groupBy("label", "even").agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("pos", "s"))),
             lambda t: t.s.cast("double"),
         ).alias("vec")
-    )
+    ).localCheckpoint(eager=True)
     e = vecs.where(F.col("even")).select("label", F.col("vec").alias("ve"))
     o = vecs.where(~F.col("even")).select("label", F.col("vec").alias("vo"))
     counts = emb.groupBy("label").agg(
