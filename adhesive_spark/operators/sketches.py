@@ -129,21 +129,73 @@ def hll_estimate(df: DataFrame, col: str) -> DataFrame:
     ``nonempty`` instead (documented, matches the oracle).
 
     Output: m, nonempty, s_scaled, est_hll, exact_distinct, err_ppm —
-    all BIGINT. ``exact_distinct`` is computed alongside (one extra
-    distinct agg) so the query doubles as its own error audit.
+    all BIGINT. ``exact_distinct`` is computed alongside so the query
+    doubles as its own error audit — and because rho is a pure function
+    of the key hash, BOTH halves derive from one distinct-key pass:
+    max(rho) over duplicate keys equals max(rho) over distinct keys, so
+    the register table and the exact count share the distinct exchange
+    the exact path needs anyway (one corpus scan, not two). The
+    pure-sketch single-aggregate path stays in :func:`hll_registers`
+    for callers that do not carry the audit.
     """
-    base = hll_estimate_from_registers(hll_registers(df, col))
-    exact = df.agg(
-        F.countDistinct(F.expr(f"CAST({col} AS STRING)"))
-        .cast("long")
-        .alias("exact_distinct")
+    # countDistinct skips NULL keys; the register table keeps the
+    # NULL-bucket row exactly as hll_registers does (groupBy retains the
+    # null group, max(rho)=NULL drops out of the sum) — so the per-row
+    # count() below must count keys, not rows.
+    keys = df.select(F.col(col).cast("string").alias("__k")).distinct()
+    h = hash60(F.col("__k"))
+    pre = keys.select(
+        "__k",
+        (h % F.lit(HLL_M)).alias("bucket"),
+        F.shiftright(h, HLL_P).alias("_rem"),
+    ).select(
+        "__k",
+        "bucket",
+        F.when(F.col("_rem") == 0, F.lit(HLL_SCALE).cast("long"))
+        .otherwise(
+            F.lit(HLL_SCALE).cast("long")
+            - F.length(F.bin(F.col("_rem"))).cast("long")
+        )
+        .alias("rho"),
     )
-    return base.crossJoin(F.broadcast(exact)).select(
+    per_bucket = pre.groupBy("bucket").agg(
+        F.max("rho").alias("m_j"),
+        F.count("__k").alias("__cnt"),
+    )
+    summed = per_bucket.agg(
+        F.count("*").cast("long").alias("nonempty"),
+        F.sum(
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), CAST({HLL_SCALE} - m_j AS INT))"
+            )
+        )
+        .cast("long")
+        .alias("s_nonempty"),
+        F.coalesce(F.sum("__cnt"), F.lit(0))
+        .cast("long")
+        .alias("exact_distinct"),
+    )
+    return summed.select(
+        F.lit(HLL_M).cast("long").alias("m"),
+        "nonempty",
+        (
+            F.col("s_nonempty")
+            + (F.lit(HLL_M) - F.col("nonempty"))
+            * F.lit(1 << HLL_SCALE).cast("long")
+        ).alias("s_scaled"),
+        "exact_distinct",
+    ).select(
         "m",
         "nonempty",
         "s_scaled",
-        "est_hll",
+        F.expr(
+            f"CAST(((CAST({HLL_ALPHA_PPM} AS DECIMAL(38,0))"
+            f" * {HLL_M} * {HLL_M} * {1 << HLL_SCALE})"
+            f" div s_scaled) div 1000000 AS BIGINT)"
+        ).alias("est_hll"),
         "exact_distinct",
+    ).select(
+        "*",
         F.expr(
             "CAST(abs(est_hll - exact_distinct) * 1000000"
             " div exact_distinct AS BIGINT)"
