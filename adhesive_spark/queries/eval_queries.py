@@ -838,10 +838,13 @@ def link_prediction_report(edges):
         F.count("*").cast("long").alias("pd")
     )
     small = part_deg.where(F.col("pd") <= _LP_MAX_PART_DEG)
+    # one row per supplier — the same bytes the two F.broadcast
+    # consumers below already collect; materialized once so the degree
+    # aggregate scans the edge set once instead of once per broadcast
     supp_deg = edges.groupBy("s").agg(
         F.count("*").cast("long").alias("sd")
-    )
-    # hub parts dropped BEFORE the pair join; merge-pinned (r12):
+    ).localCheckpoint(eager=True)
+    # hub parts dropped BEFORE pair generation; merge-pinned (r12):
     # part_deg is corpus-scaled (one row per part), so it is never
     # contractually broadcastable — yet its rows are narrow and
     # replication-compressible enough that AQE's compressed-size
