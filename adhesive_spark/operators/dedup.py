@@ -696,6 +696,8 @@ def dedup_incremental(
     index: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    *,
+    attach_payload: bool = True,
 ) -> DataFrame:
     """Incremental exact dedup: drop batch docs whose fingerprint is
     already in a persisted index, then min-id-survivor dedup WITHIN the
@@ -706,6 +708,13 @@ def dedup_incremental(
     narrow table, never rescanned as text). Scale shape: one anti
     equi-join on the 128-bit fingerprint (AQE broadcasts it when a day's
     index fits) + one hash agg; both shuffles carry (fp, id) pairs only.
+
+    ``attach_payload=False`` skips the final join-back onto ``batch``
+    and returns just (id_col, dup_count): the surviving ids are the
+    per-fingerprint min over batch ids, so every ``keep`` row matches
+    exactly one batch row and the join-back adds only payload columns —
+    callers that discard them (audits, counters) save a full batch
+    scan plus the id-keyed join shuffle.
     """
     fp = fingerprint(F.col(text_col)).alias("__fp")
     fresh = (
@@ -719,6 +728,8 @@ def dedup_incremental(
     keep = fresh.groupBy("__fp").agg(
         F.min(id_col).alias(id_col), F.count("*").alias("dup_count")
     )
+    if not attach_payload:
+        return keep.select(id_col, "dup_count")
     return batch.join(keep.select(id_col, "dup_count"), on=id_col, how="inner")
 
 
@@ -796,7 +807,16 @@ def bloom_membership_dedup(
     join on the full batch — done here so the output also witnesses that
     property per row — can in production be restricted to candidates.
     """
-    words = bloom_build(index, n_words=n_words, k=k)
+    # ONE evaluation of the index subtree: it used to run twice (once
+    # under the bloom build, once as the exact-verify side), each time
+    # re-running the upstream scan + fingerprint kernel. bit_or is
+    # idempotent, so a bloom built from the DISTINCT fingerprint set is
+    # bit-identical to one built from the raw stream — and the distinct
+    # set is exactly what the exact verify joins against, so a single
+    # eager materialization (the same bytes the verify's distinct
+    # shuffle writes anyway) now feeds both consumers.
+    idx_fp = index.select("doc_fp").distinct().localCheckpoint(eager=True)
+    words = bloom_build(idx_fp, n_words=n_words, k=k)
     n_bits = 32 * n_words
     b = batch.select(
         F.col(id_col), fingerprint(F.col(text_col)).alias("__fp")
@@ -834,8 +854,7 @@ def bloom_membership_dedup(
         (F.sum("hit") == k).alias("bloom_candidate")
     )
     idx = (
-        index.select(F.col("doc_fp").alias("__fp"))
-        .distinct()
+        idx_fp.select(F.col("doc_fp").alias("__fp"))
         .withColumn("__in_idx", F.lit(True))
     )
     return (

@@ -4223,6 +4223,11 @@ def q203_session_incident_overlap(spark, sf_dir):
     from adhesive_spark.operators.asof import interval_overlap_join
 
     ev = load_table(spark, sf_dir, "events")
+    # materialize the per-session table once: it feeds the overlap join
+    # AND the final per-user rollup, and each evaluation re-ran the
+    # events scan plus BOTH session windows (lag + running sum) — the
+    # expensive part of the query. The checkpoint holds the collapsed
+    # (user, session, start, end) rows only.
     sess = (
         ev.select("user_id", "ts", "event_id", _session_no_col())
         .groupBy("user_id", "session_no")
@@ -4230,6 +4235,7 @@ def q203_session_incident_overlap(spark, sf_dir):
             F.min(F.unix_micros("ts")).alias("s_start"),
             F.max(F.unix_micros("ts")).alias("s_end"),
         )
+        .localCheckpoint(eager=True)
     )
     incidents = ev.where(F.col("event_type") == "error").select(
         F.col("event_id").alias("incident_id"),

@@ -3241,8 +3241,14 @@ def q333_ingest_dedup_pressure(spark, sf_dir):
     from adhesive_spark.operators.text import fingerprint
     from adhesive_spark.sources.registry import ensure_parallelism
 
-    docs = ensure_parallelism(load_table(spark, sf_dir, "documents")).select(
-        "doc_id", fingerprint(F.col("text")).alias("fp")
+    # ONE fingerprint pass: the (doc_id, fp) grain used to be evaluated
+    # per consumer (first-arrival aggregate, max-id broadcast, and the
+    # probe side of the join) — three scan+md5 kernels for one corpus.
+    # The checkpoint stores the reduced 2-column projection, not text.
+    docs = (
+        ensure_parallelism(load_table(spark, sf_dir, "documents"))
+        .select("doc_id", fingerprint(F.col("text")).alias("fp"))
+        .localCheckpoint(eager=True)
     )
     first = docs.groupBy("fp").agg(F.min("doc_id").alias("first_id"))
     mx = F.broadcast(docs.agg(F.max("doc_id").alias("max_id")))

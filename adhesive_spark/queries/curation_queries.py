@@ -282,7 +282,12 @@ def q86_incremental_dedup(spark, sf_dir):
         fingerprint(F.col("text")).alias("doc_fp")
     )
     batch = docs.where(F.col("doc_id") >= 250)
-    out = dedup_incremental(batch, index, "text", "doc_id")
+    # attach_payload=False: this audit keeps only (doc_id, dup_count),
+    # so the operator's payload join-back was a third documents scan +
+    # an id-keyed join that contributed no columns to the output
+    out = dedup_incremental(
+        batch, index, "text", "doc_id", attach_payload=False
+    )
     return out.select("doc_id", "dup_count")
 
 
@@ -2785,15 +2790,28 @@ def q202_cohens_kappa(spark, sf_dir):
     pred = docs.select(
         F.col("lang").alias("a"), lang_id(F.col("text")).alias("b")
     )
-    totals = pred.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum((F.col("a") == F.col("b")).cast("long")).alias("agree"),
+    # ONE corpus pass: the lang_id kernel used to evaluate once per
+    # consumer (totals, both marginals — three scans). Every downstream
+    # quantity is an exact integer sum over the |langs|² contingency
+    # table, so that tiny table is materialized once and n / agree /
+    # marginals derive from it by associativity (identical counts).
+    cont = (
+        pred.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
     )
-    ma = pred.groupBy(F.col("a").alias("cat")).agg(
-        F.count(F.lit(1)).alias("na")
+    totals = cont.agg(
+        F.coalesce(F.sum("c"), F.lit(0).cast("long")).alias("n"),
+        F.coalesce(
+            F.sum(F.when(F.col("a") == F.col("b"), F.col("c"))),
+            F.lit(0).cast("long"),
+        ).alias("agree"),
     )
-    mb = pred.groupBy(F.col("b").alias("cat")).agg(
-        F.count(F.lit(1)).alias("nb")
+    ma = cont.groupBy(F.col("a").alias("cat")).agg(
+        F.sum("c").alias("na")
+    )
+    mb = cont.groupBy(F.col("b").alias("cat")).agg(
+        F.sum("c").alias("nb")
     )
     chance = (
         ma.join(mb, "cat")

@@ -680,8 +680,14 @@ def runs_test_report(docs):
     — shared with the stress harness (per-source window partitions grow
     N× wide under replication; the scan stays one pass)."""
     docs = docs.select("source", "doc_id", "n_chars")
-    cnts = docs.groupBy("source", "n_chars").agg(
-        F.count("*").cast("long").alias("c")
+    # materialize the collapsed (source, n_chars, c) value table once:
+    # its two consumers (cumulative median walk, per-source totals) each
+    # re-ran the full corpus aggregate; the table is bounded by the
+    # value domain, never the corpus
+    cnts = (
+        docs.groupBy("source", "n_chars")
+        .agg(F.count("*").cast("long").alias("c"))
+        .localCheckpoint(eager=True)
     )
     wcum = (
         Window.partitionBy("source")
@@ -4855,11 +4861,14 @@ def q401_dow_anova(spark, sf_dir):
         (F.dayofweek("ts") - 1).cast("long").alias("dow"),
         F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)").alias("c"),
     )
+    # materialize the 7-row moment table once: grand (used twice) and
+    # ssb each re-ran the full events aggregate — three corpus passes
+    # for one 7-row table
     per = ev.groupBy("dow").agg(
         F.count("*").cast("long").alias("n"),
         F.sum("c").cast("long").alias("s"),
         F.sum(F.col("c") * F.col("c")).cast("long").alias("ss"),
-    )
+    ).localCheckpoint(eager=True)
     grand = F.broadcast(
         per.agg(
             F.sum("n").cast("long").alias("nn"),

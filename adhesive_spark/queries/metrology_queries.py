@@ -2485,7 +2485,10 @@ def q355_diff_in_diff(spark, sf_dir):
         scaled_long(F.col("value"), 2).alias("c"),
         F.expr("unix_micros(ts) div 86400000000").alias("day"),
     )
-    days = ev.select("day").distinct()
+    # the distinct-day spine is calendar-bounded tiny but used TWICE
+    # (rank window + the nd count), each use re-running the full events
+    # distinct — materialize it once
+    days = ev.select("day").distinct().localCheckpoint(eager=True)
     # bounded-domain: distinct DAYS (calendar-bounded) — single-
     # partition window is intentional and safe
     wd = Window.orderBy("day")

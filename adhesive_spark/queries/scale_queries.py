@@ -721,8 +721,14 @@ def q225_exact_median_twophase(spark, sf_dir):
         ),
     )
     binned = li.withColumn("bin", F.expr("cents div 10000"))
-    hist = binned.groupBy("l_returnflag", "bin").agg(
-        F.count("*").alias("c")
+    # materialize the phase-1 histogram once (the q231 pattern): its two
+    # consumers (cumulative walk, totals) each re-ran the full lineitem
+    # scan + aggregate; the checkpoint is the collapsed (flag, bin, c)
+    # table — bounded by the bucket domain, never the corpus.
+    hist = (
+        binned.groupBy("l_returnflag", "bin")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=True)
     )
     w = Window.partitionBy("l_returnflag").orderBy("bin")
     cum = hist.withColumn("cum", F.sum("c").over(w)).withColumn(

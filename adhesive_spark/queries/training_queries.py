@@ -2504,7 +2504,10 @@ def q305_purged_time_split(spark, sf_dir):
         "event_type",
         F.expr("unix_micros(ts) div 86400000000").alias("day"),
     )
-    days = daily.select("day").distinct()
+    # the distinct-day spine is calendar-bounded tiny but used TWICE
+    # (rank window + the nd count), each use re-running the full events
+    # distinct — materialize it once
+    days = daily.select("day").distinct().localCheckpoint(eager=True)
     # exact 80th-percentile day: rank distinct days, take ceil(0.8*nd)
     # bounded-domain: distinct DAYS (calendar-bounded) — single-
     # partition WindowExec is intentional and safe
