@@ -533,6 +533,38 @@ def test_sketch_envelope_raw_estimates(spark, sf_dir):
         )
 
 
+def test_dedup_incremental_attach_payload_twin(spark):
+    """dedup_incremental(attach_payload=False) must return exactly the
+    (id, dup_count) projection of the payload version: the surviving id
+    is the per-fingerprint min over batch ids, so the skipped join-back
+    only ever attached payload columns, never changed the row set."""
+    from adhesive_spark.operators.dedup import dedup_incremental
+    from adhesive_spark.operators.text import fingerprint
+
+    idx_docs = spark.createDataFrame(
+        [(i, f"history doc {i}") for i in range(5)],
+        "doc_id long, text string",
+    )
+    index = idx_docs.select(fingerprint(F.col("text")).alias("doc_fp"))
+    batch = spark.createDataFrame(
+        # 2 already-indexed texts, plus a fresh text duplicated 3x
+        [(100, "history doc 0"), (101, "history doc 1")]
+        + [(200 + i, "fresh text") for i in range(3)]
+        + [(300, "another fresh")],
+        "doc_id long, text string",
+    )
+    full = dedup_incremental(batch, index, "text", "doc_id")
+    slim = dedup_incremental(
+        batch, index, "text", "doc_id", attach_payload=False
+    )
+    want = {(200, 3), (300, 1)}  # indexed texts dropped, min-id survives
+    assert {(r.doc_id, r.dup_count) for r in full.collect()} == want
+    assert {(r.doc_id, r.dup_count) for r in slim.collect()} == want
+    assert slim.columns == ["doc_id", "dup_count"]
+    # payload version still carries the batch columns
+    assert set(full.columns) == {"doc_id", "text", "dup_count"}
+
+
 def test_bloom_membership_no_false_negatives(spark):
     """Bloom dedup contract: every batch doc whose text IS in the index
     must come back bloom_candidate=true and is_dup=true (a Bloom filter
