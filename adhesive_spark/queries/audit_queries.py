@@ -2654,7 +2654,17 @@ def q328_cms_geometry_ladder(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events").select(
         F.col("user_id").cast("string").alias("key")
     )
-    exact = ev.groupBy("key").agg(F.count("*").cast("long").alias("true_cnt"))
+    # ONE stream pass (the q242 weighted-sketch discipline): the exact
+    # per-key counts are materialized once, and the counter table is
+    # built WEIGHTED from them — a lane's position depends only on the
+    # key, so Σ true_cnt per (cfg, r, c) is integer-identical to
+    # counting the raw stream, and the 10-way md5 lane fan-out now runs
+    # over the 150-key table instead of every stream row (twice).
+    exact = (
+        ev.groupBy("key")
+        .agg(F.count("*").cast("long").alias("true_cnt"))
+        .localCheckpoint(eager=True)
+    )
 
     lane_structs = []
     for ci, (d, w) in enumerate(_CMS_CONFIGS):
@@ -2678,9 +2688,11 @@ def q328_cms_geometry_ladder(spark, sf_dir):
                 )
             )
     counters = (
-        ev.select(F.explode(F.array(*lane_structs)).alias("l"))
+        exact.select(
+            "true_cnt", F.explode(F.array(*lane_structs)).alias("l")
+        )
         .groupBy("l.cfg", "l.r", "l.c")
-        .agg(F.count("*").cast("long").alias("cnt"))
+        .agg(F.sum("true_cnt").cast("long").alias("cnt"))
     )
     probes = exact.select(
         "key", "true_cnt", F.explode(F.array(*lane_structs)).alias("l")

@@ -1732,9 +1732,17 @@ def q150_drift_monitor(spark, sf_dir):
         (F.col("doc_id") % 2 == 0).alias("even"),
         F.explode(tokens(F.col("text"))).alias("word"),
     )
-    wc = tok.groupBy("source", "word").agg(
-        F.count_if(F.col("even")).alias("n_even"),
-        F.count_if(~F.col("even")).alias("n_odd"),
+    # materialize the collapsed (source, word, n_even, n_odd) table
+    # once: its two consumers (per-source totals, the ppm difference
+    # pass) each re-ran the full tokenize+explode — the corpus-sized
+    # kernel — where the word-count table is vocabulary-bounded
+    wc = (
+        tok.groupBy("source", "word")
+        .agg(
+            F.count_if(F.col("even")).alias("n_even"),
+            F.count_if(~F.col("even")).alias("n_odd"),
+        )
+        .localCheckpoint(eager=True)
     )
     per_source_tot = wc.groupBy("source").agg(
         F.sum("n_even").alias("t_even"), F.sum("n_odd").alias("t_odd")
@@ -2441,19 +2449,36 @@ def q186_bigram_familiarity(spark, sf_dir):
     the bigram key, and the per-doc fold — all narrow (bigram, count)
     rows. Corpus counts include the doc's own occurrences (n≥1 always;
     the score is a rank signal, not a probability)."""
+    from pyspark.sql.window import Window
+
     docs = load_table(spark, sf_dir, "documents")
     pairs = bigrams(tokens(F.col("text")))
     b = docs.select("doc_id", F.explode(pairs).alias("bg")).select(
         "doc_id", "bg.w1", "bg.w2"
     )
-    corpus = b.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
-    return (
-        b.join(corpus, ["w1", "w2"])
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
-            F.expr("(sum(c) * 1000) div count(*)").alias("familiarity_m"),
+    # ONE bigram-kernel evaluation (the q130/q280 single-exchange
+    # shape): the corpus-count aggregate and the count-back join each
+    # re-ran the tokenize+bigram explode. Occurrences pre-aggregate to
+    # the (w1, w2, doc_id, cnt) grain inside one bigram-keyed exchange
+    # (hash(w1, w2) clusters every (w1, w2, doc) group); the corpus
+    # frequency is a window sum over the same partitioning, and the
+    # per-doc fold re-weights by cnt — identical integers: Σ_rows c =
+    # Σ_groups c·cnt and N = Σ_groups cnt. w1/w2 are never null
+    # (bigrams of split() tokens), so window-vs-inner-join membership
+    # cannot differ.
+    occ = (
+        b.repartition("w1", "w2")
+        .groupBy("w1", "w2", "doc_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn(
+            "c", F.sum("cnt").over(Window.partitionBy("w1", "w2"))
         )
+    )
+    return occ.groupBy("doc_id").agg(
+        F.sum("cnt").cast("long").alias("n_bigrams"),
+        F.expr("(sum(c * cnt) * 1000) div sum(cnt)").alias(
+            "familiarity_m"
+        ),
     )
 
 

@@ -5113,17 +5113,27 @@ def q403_keep_policy_divergence(spark, sf_dir):
         tokens(F.col("text")).alias("toks"),
         scaled_long(quality_score(F.col("text")), 4).alias("q"),
     )
-    spans = scored.select(
-        "doc_id",
-        "q",
-        F.explode(
-            F.expr(
-                "transform(sequence(0, size(toks) div 20 - 1),"
-                " i -> md5(concat_ws(' ',"
-                " slice(toks, i * 20 + 1, 20))))"
-            )
-        ).alias("fp"),
-    ).where(F.size("toks") >= 20).distinct()
+    # materialize the distinct (doc, q, span-fp) stream once: both the
+    # survivor aggregate and the keep-first quality join-back re-ran
+    # tokenize + quality_score + the span-md5 explode — the query's
+    # whole kernel cost, twice. The checkpoint stores the same narrow
+    # rows the distinct's shuffle writes.
+    spans = (
+        scored.select(
+            "doc_id",
+            "q",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(toks) div 20 - 1),"
+                    " i -> md5(concat_ws(' ',"
+                    " slice(toks, i * 20 + 1, 20))))"
+                )
+            ).alias("fp"),
+        )
+        .where(F.size("toks") >= 20)
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     per = (
         spans.groupBy("fp")
         .agg(

@@ -869,6 +869,9 @@ def q342_dead_dimensions(spark, sf_dir):
             " AS BIGINT))"
         ).alias("q")
     )
+    # materialize the 64-row per-dimension moment table once: the
+    # variance-total broadcast and the final share pass each re-ran the
+    # quantize kernel + posexplode over the whole corpus
     per_dim = (
         quant.select(F.posexplode("q").alias("d", "x"))
         .groupBy("d")
@@ -877,6 +880,7 @@ def q342_dead_dimensions(spark, sf_dir):
             F.sum(F.col("x") * F.col("x")).cast("long").alias("s2"),
             F.count("*").cast("long").alias("n"),
         )
+        .localCheckpoint(eager=True)
     )
     var = per_dim.select(
         F.col("d").cast("long").alias("d"),

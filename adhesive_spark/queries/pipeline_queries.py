@@ -1638,10 +1638,14 @@ def q206_neardup_evidence(spark, sf_dir):
     pairs = ngram_jaccard_pairs(
         docs, "text", "doc_id", n=3, threshold=0.2
     ).select("id_a", "id_b")
+    # materialize the (doc, shingle) stream once: the global-df
+    # aggregate and BOTH pair-join sides each re-ran the tokenize +
+    # shingle explode (three kernel evaluations on top of the one
+    # inside ngram_jaccard_pairs)
     sh = docs.select(
         F.col("doc_id"),
         F.explode(word_shingles(F.col("text"), 3)).alias("shingle"),
-    )
+    ).localCheckpoint(eager=True)
     dfc = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("global_df"))
     shared = (
         pairs.join(sh.withColumnRenamed("doc_id", "id_a"), "id_a")

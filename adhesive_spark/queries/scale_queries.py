@@ -1776,6 +1776,9 @@ def q236_source_minhash_matrix(spark, sf_dir):
         [(i, a, b) for i, (a, b) in enumerate(_perm_coeffs(32))],
         "perm int, a long, b long",
     )
+    # materialize the signature table once: it is 20×32 rows by
+    # contract, but the perm-keyed SELF-join evaluated it twice — each
+    # evaluation re-running the corpus tokenize + distinct + 32-perm min
     sig = (
         base.crossJoin(F.broadcast(coeffs))
         .groupBy("source", "perm")
@@ -1783,6 +1786,7 @@ def q236_source_minhash_matrix(spark, sf_dir):
             F.min((F.col("h") * F.col("a") + F.col("b")) % F.lit(_MERSENNE))
             .alias("mh")
         )
+        .localCheckpoint(eager=True)
     )
     s2 = sig.select(
         F.col("source").alias("source_b"),

@@ -189,6 +189,10 @@ def q243_bm25_retrieval(spark, sf_dir):
     toked = docs.select(
         "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
     ).where(F.col("tok") != "")
+    # materialize the per-doc (dl, tf*) table once: the corpus-stats
+    # aggregate AND the scoring pass each re-ran the tokenize+explode
+    # kernel plus the doc aggregate; the checkpoint holds one narrow
+    # row per document (the same bytes its shuffle writes)
     per_doc = toked.groupBy("doc_id").agg(
         F.count("*").cast("long").alias("dl"),
         *[
@@ -197,7 +201,7 @@ def q243_bm25_retrieval(spark, sf_dir):
             .alias(f"tf{i}")
             for i, t in enumerate(_BM25_TERMS)
         ],
-    )
+    ).localCheckpoint(eager=True)
     stats = per_doc.agg(
         F.count("*").cast("long").alias("n_docs"),
         F.expr("CAST(sum(dl) * 1000 div count(*) AS BIGINT)").alias(
