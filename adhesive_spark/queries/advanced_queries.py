@@ -2333,9 +2333,11 @@ def q124_top_p_sources(spark, sf_dir):
     from adhesive_spark.operators.text import token_count
 
     docs = load_table(spark, sf_dir, "documents")
+    # materialize the |sources|-row token-mass table once: the rank
+    # window and the total broadcast each re-ran the corpus tokenize
     per = docs.groupBy("source").agg(
         F.sum(token_count(F.col("text"))).alias("tokens")
-    )
+    ).localCheckpoint(eager=True)
     w = Window.orderBy(F.col("tokens").desc(), "source")
     ranked = per.select(
         "source",
@@ -2465,19 +2467,28 @@ def q129_corpus_diff(spark, sf_dir):
     from adhesive_spark.operators.text import fingerprint
 
     docs = load_table(spark, sf_dir, "documents")
-    old = docs.where(F.col("doc_id") % 3 != 2).select(
-        "doc_id", fingerprint(F.col("text")).alias("fp_old")
-    )
-    new = docs.where(F.col("doc_id") % 3 != 0).select(
+    # ONE pass, ZERO joins: both snapshots are id-sliced projections of
+    # the SAME unique-keyed scan, so the full-outer join on doc_id is
+    # exactly a per-row merge of two conditional columns — the old plan
+    # scanned the corpus twice (one fingerprint kernel per side) and
+    # paid a corpus-wide doc_id sort-merge join; every id lands in at
+    # least one slice (0,1 mod 3 old; 1,2 mod 3 new), so no row filter
+    # is needed and null-slots reproduce the outer join's nulls.
+    j = docs.select(
         "doc_id",
-        fingerprint(
-            F.when(
-                F.col("doc_id") % 5 == 0,
-                F.concat(F.col("text"), F.lit(" [rev2]")),
-            ).otherwise(F.col("text"))
+        F.when(
+            F.col("doc_id") % 3 != 2, fingerprint(F.col("text"))
+        ).alias("fp_old"),
+        F.when(
+            F.col("doc_id") % 3 != 0,
+            fingerprint(
+                F.when(
+                    F.col("doc_id") % 5 == 0,
+                    F.concat(F.col("text"), F.lit(" [rev2]")),
+                ).otherwise(F.col("text"))
+            ),
         ).alias("fp_new"),
-    )
-    j = old.join(new, "doc_id", "full_outer").select(
+    ).select(
         "doc_id",
         F.when(F.col("fp_old").isNull(), "added")
         .when(F.col("fp_new").isNull(), "removed")

@@ -3144,17 +3144,17 @@ def q332_index_cost_ledger(spark, sf_dir):
     from adhesive_spark.operators.text import token_count
 
     docs = load_table(spark, sf_dir, "documents")
-    n_docs = docs.agg(F.count("*").cast("long").alias("n_docs"))
-    n_toks = docs.agg(
-        F.sum(token_count(F.col("text"))).cast("long").alias("n_toks")
+    # doc count and token mass come from ONE documents aggregate — the
+    # old plan ran two separate full scans for the two scalars
+    doc_stats = docs.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(token_count(F.col("text"))).cast("long").alias("n_toks"),
     )
     n_vecs = (
         load_table(spark, sf_dir, "embeddings")
         .agg(F.count("*").cast("long").alias("n_vecs"))
     )
-    base = n_docs.crossJoin(F.broadcast(n_toks)).crossJoin(
-        F.broadcast(n_vecs)
-    )
+    base = doc_stats.crossJoin(F.broadcast(n_vecs))
     rows = base.select(
         F.explode(
             F.array(

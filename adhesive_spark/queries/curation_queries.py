@@ -145,8 +145,25 @@ def q73_corpus_filter(spark, sf_dir):
         fingerprint(c).alias("fp"),
         token_count(c).alias("n_tokens"),
     ).where((F.col("lang_pred") == "en") & (F.col("q_s") >= 5000))
-    survivors = d.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
-    kept = d.join(survivors, ["fp", "doc_id"])
+    # argmin-as-aggregate (the q102 design): min over a doc_id-leading
+    # struct carries the survivor's columns out of ONE fp-keyed
+    # aggregate — the old min-id aggregate + join-back re-evaluated the
+    # whole kernel projection (lang_id, quality, fingerprint, tokens)
+    # a second time and paid a second corpus scan. doc_id is unique, so
+    # the struct min IS the min-id row.
+    kept = (
+        d.groupBy("fp")
+        .agg(
+            F.min(
+                F.struct("doc_id", "source", "q_s", "n_tokens")
+            ).alias("__srv")
+        )
+        .select(
+            F.col("__srv.source").alias("source"),
+            F.col("__srv.q_s").alias("q_s"),
+            F.col("__srv.n_tokens").alias("n_tokens"),
+        )
+    )
     return kept.groupBy("source").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
@@ -1238,9 +1255,11 @@ def q136_length_bucketing(spark, sf_dir):
 
     B = 32
     docs = load_table(spark, sf_dir, "documents")
+    # materialize the narrow (doc_id, n_tok) projection once: the two
+    # batching strategies each re-ran the corpus tokenize kernel
     toks = docs.select(
         "doc_id", token_count(F.col("text")).alias("n_tok")
-    )
+    ).localCheckpoint(eager=True)
 
     def plan(order_cols, label):
         w = Window.orderBy(*order_cols)
@@ -1442,7 +1461,17 @@ def q146_rarity_score(spark, sf_dir):
     tok = docs.select(
         "doc_id", "source", F.explode(tokens(F.col("text"))).alias("word")
     )
-    vocab = tok.groupBy("word").agg(F.count("*").alias("cnt"))
+    # ONE tokenize pass (the grain discipline): the vocabulary count and
+    # the rank join-back each re-ran the corpus explode. The
+    # (word, doc, source, cnt) grain is materialized once; the corpus
+    # word count is its sum (identical by associativity) and the
+    # per-doc fold re-weights by cnt (Σ_rows rank ≡ Σ_groups rank·cnt).
+    grain = (
+        tok.groupBy("word", "doc_id", "source")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    vocab = grain.groupBy("word").agg(F.sum("cnt").alias("cnt"))
     ranked = vocab.select(
         "word",
         F.row_number()
@@ -1450,11 +1479,11 @@ def q146_rarity_score(spark, sf_dir):
         .alias("rank"),
     )
     per_doc = (
-        tok.join(F.broadcast(ranked), "word")
+        grain.join(F.broadcast(ranked), "word")
         .groupBy("doc_id", "source")
         .agg(
-            F.count("*").alias("n_tok"),
-            F.sum("rank").alias("rank_sum"),
+            F.sum("cnt").alias("n_tok"),
+            F.sum(F.col("rank") * F.col("cnt")).alias("rank_sum"),
         )
         .select(
             "doc_id",
@@ -1533,23 +1562,23 @@ def q147_leakage_safe_split(spark, sf_dir):
         fingerprint(F.col("text")).alias("fp"),
         F.when(bucket < 90, "train").otherwise("test").alias("split"),
     )
-    leaks = (
-        tagged.groupBy("fp")
-        .agg(F.count_if(F.col("split") == "train").alias("n_train"),
-             F.count_if(F.col("split") == "test").alias("n_test"))
-        .where((F.col("n_train") > 0) & (F.col("n_test") > 0))
-        .select("fp")
-    )
-    fixed = tagged.join(
-        F.broadcast(leaks.withColumn("leaked", F.lit(True))), "fp", "left"
-    ).select(
+    # ONE fingerprint-keyed exchange (the q130 shape): per-fp train/test
+    # counts as window aggregates replace the leak aggregate + broadcast
+    # join-back — the fingerprint kernel used to evaluate twice (once
+    # under each consumer). leaked ≡ (n_train > 0 AND n_test > 0) over
+    # the fp group, exactly the old semi-join membership.
+    from pyspark.sql.window import Window
+
+    wfp = Window.partitionBy("fp")
+    leaked = (
+        F.count_if(F.col("split") == "train").over(wfp) > 0
+    ) & (F.count_if(F.col("split") == "test").over(wfp) > 0)
+    fixed = tagged.select(
         "source",
-        F.when(F.col("leaked"), "train").otherwise(F.col("split")).alias(
+        F.when(leaked, "train").otherwise(F.col("split")).alias(
             "final_split"
         ),
-        (F.col("leaked").isNotNull() & (F.col("split") == "test")).alias(
-            "moved"
-        ),
+        (leaked & (F.col("split") == "test")).alias("moved"),
     )
     return fixed.groupBy("source", "final_split").agg(
         F.count("*").alias("n_docs"),
@@ -1817,9 +1846,18 @@ def q156_oov_rate(spark, sf_dir):
     tok = docs.select(
         "source", F.explode(tokens(F.col("text"))).alias("word")
     )
+    # ONE tokenize pass (the grain discipline): the vocab count and the
+    # membership join-back each re-ran the corpus explode. The
+    # (source, word, cnt) grain is materialized once; the global word
+    # count is its sum and the per-source totals re-weight by cnt.
+    grain = (
+        tok.groupBy("source", "word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
     vocab = (
-        tok.groupBy("word")
-        .agg(F.count("*").alias("cnt"))
+        grain.groupBy("word")
+        .agg(F.sum("cnt").alias("cnt"))
         .withColumn(
             "rank",
             F.row_number().over(
@@ -1830,11 +1868,15 @@ def q156_oov_rate(spark, sf_dir):
         .select("word", F.lit(True).alias("in_vocab"))
     )
     return (
-        tok.join(F.broadcast(vocab), "word", "left")
+        grain.join(F.broadcast(vocab), "word", "left")
         .groupBy("source")
         .agg(
-            F.count("*").alias("total_tokens"),
-            F.count_if(F.col("in_vocab").isNull()).alias("oov_tokens"),
+            F.sum("cnt").alias("total_tokens"),
+            F.sum(
+                F.when(F.col("in_vocab").isNull(), F.col("cnt")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("oov_tokens"),
         )
         .withColumn(
             "oov_ppm",
@@ -2052,9 +2094,15 @@ def q164_quality_dup_deciles(spark, sf_dir):
         scaled_long(quality_score(F.col("text")), 4).alias("q_s"),
         fingerprint(F.col("text")).alias("fp"),
     )
-    sizes = scored.groupBy("fp").agg(F.count("*").alias("k"))
-    flagged = scored.join(sizes, "fp").select(
-        "doc_id", "q_s", (F.col("k") > 1).alias("is_dup")
+    # ONE fingerprint-keyed exchange: the cluster size is a count window
+    # over the fp group — the old size aggregate + join-back evaluated
+    # the quality+fingerprint kernel twice and shuffled scored twice
+    flagged = scored.select(
+        "doc_id",
+        "q_s",
+        (
+            F.count(F.lit(1)).over(Window.partitionBy("fp")) > 1
+        ).alias("is_dup"),
     )
     decile = F.ntile(10).over(Window.orderBy("q_s", "doc_id"))
     return (
@@ -2292,16 +2340,19 @@ def q178_syndication(spark, sf_dir):
     fps = docs.select(
         "source", fingerprint(F.col("text")).alias("fp")
     )
-    multi = (
-        fps.select("fp", "source")
-        .distinct()
-        .groupBy("fp")
-        .agg(F.countDistinct("source").alias("n_sources"))
-        .where(F.col("n_sources") >= 2)
-        .select("fp")
-    )
-    flagged = fps.join(
-        F.broadcast(multi.withColumn("syn", F.lit(True))), "fp", "left"
+    # ONE fingerprint-keyed exchange: the distinct-source count is a
+    # collect_set window over the fp group — the old distinct+aggregate
+    # + broadcast join-back evaluated the fingerprint kernel twice.
+    # syn ≡ (≥2 distinct sources share the fp), the old semi-join
+    # membership; count_if counts only TRUE rows either way.
+    from pyspark.sql.window import Window
+
+    flagged = fps.withColumn(
+        "syn",
+        F.size(
+            F.collect_set("source").over(Window.partitionBy("fp"))
+        )
+        >= 2,
     )
     return flagged.groupBy("source").agg(
         F.count("*").alias("n_docs"),
@@ -2678,10 +2729,20 @@ def q199_source_copy_matrix(spark, sf_dir):
             F.concat_ws(" ", F.slice(tokens(F.col("text")), 1, 20))
         ).alias("fp"),
     )
-    origin = fps.groupBy("fp").agg(
-        F.min_by("source", "doc_id").alias("origin_source")
+    # ONE head-fingerprint pass: the origin argmin and the holder set
+    # each re-ran the md5-of-head kernel. The (fp, source, min doc_id)
+    # grain is materialized once; the global argmin is the argmin over
+    # per-source minima (doc_id is unique, so minima are distinct) and
+    # the holder set is the grain's key pairs.
+    grain = (
+        fps.groupBy("fp", "source")
+        .agg(F.min("doc_id").alias("min_id"))
+        .localCheckpoint(eager=True)
     )
-    holders = fps.select("fp", "source").distinct()
+    origin = grain.groupBy("fp").agg(
+        F.min_by("source", "min_id").alias("origin_source")
+    )
+    holders = grain.select("fp", "source")
     return (
         holders.join(origin, "fp")
         .where(F.col("source") != F.col("origin_source"))

@@ -4732,14 +4732,18 @@ def q400_token_economics(spark, sf_dir):
         (quality_score(F.col("text")) >= 0.3).cast("long").alias("q_ok"),
         fingerprint(F.col("text")).alias("fp"),
     )
-    first = base.groupBy("fp").agg(F.min("doc_id").alias("keep_id"))
-    # fp-keyed shuffle join (NOT broadcast: the fingerprint table is
-    # corpus-sized — this is the standard dedup shuffle)
-    flagged = base.join(first, "fp").select(
+    # ONE fp-keyed exchange: first_copy is a min-window over the same
+    # shuffle the old aggregate + fp-join paid twice — and the heavy
+    # kernel projection (quality, fingerprint, tokens) evaluates once
+    # instead of once per join side
+    flagged = base.select(
         "toks",
         "len_ok",
         "q_ok",
-        (F.col("doc_id") == F.col("keep_id")).cast("long").alias("first_copy"),
+        (
+            F.col("doc_id")
+            == F.min("doc_id").over(Window.partitionBy("fp"))
+        ).cast("long").alias("first_copy"),
     )
     stride, chunk = 48, 64
     return flagged.agg(

@@ -1119,10 +1119,12 @@ def q266_abtest_srm(spark, sf_dir):
         .groupBy("user_id", "arm")
         .agg(F.sum("is_purch").cast("long").alias("purchases"))
     )
+    # materialize the 2-row arm table once: the a0/a1 pivot sides each
+    # re-ran the full per-user aggregate over the event stream
     arms = per_user.groupBy("arm").agg(
         F.count("*").cast("long").alias("users"),
         F.sum("purchases").cast("long").alias("purchases"),
-    )
+    ).localCheckpoint(eager=True)
     a0 = arms.where(F.col("arm") == 0).select(
         F.col("users").alias("u0"), F.col("purchases").alias("p0")
     )

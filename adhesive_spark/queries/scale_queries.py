@@ -304,16 +304,24 @@ def q220_epoch_shuffle(spark, sf_dir):
     keyed = docs.crossJoin(F.broadcast(epochs)).withColumn(
         "k", F.md5(F.concat_ws(":", F.col("epoch"), F.col("doc_id")))
     )
+    # ONE pass, no join-back: epoch 0's position for a doc is its rank
+    # under md5("0:"+id), and every epoch partition holds the SAME doc
+    # set — so pos0 is a second window over the same epoch exchange
+    # (one extra in-partition sort) instead of a self-join that
+    # re-evaluated the whole rank pass and shuffled the corpus by
+    # doc_id.
     w = Window.partitionBy("epoch").orderBy("k")
-    pos = keyed.withColumn("pos", F.row_number().over(w)).select(
-        "epoch", "doc_id", "pos"
+    w0 = Window.partitionBy("epoch").orderBy(
+        F.md5(F.concat_ws(":", F.lit(0), F.col("doc_id")))
     )
-    e0 = pos.where(F.col("epoch") == 0).select(
-        "doc_id", F.col("pos").alias("pos0")
+    pos = keyed.select(
+        "epoch",
+        "doc_id",
+        F.row_number().over(w).alias("pos"),
+        F.row_number().over(w0).alias("pos0"),
     )
     return (
-        pos.join(e0, "doc_id")
-        .groupBy("epoch")
+        pos.groupBy("epoch")
         .agg(
             F.max(F.when(F.col("pos") == 1, F.col("doc_id"))).alias(
                 "first_doc"
@@ -541,8 +549,12 @@ def q223_dedup_aware_mixture(spark, sf_dir):
             F.concat_ws(" ", F.slice(tokens(F.col("text")), 1, 20))
         ).alias("fp"),
     )
-    sizes = fp.groupBy("fp").agg(F.count("*").alias("cluster_n"))
-    joined = fp.join(sizes, "fp").select(
+    # ONE fingerprint-keyed exchange: the cluster size is a count window
+    # over the fp group — the old size aggregate + join-back evaluated
+    # the tokenize+md5 kernel twice and shuffled the stream twice
+    joined = fp.withColumn(
+        "cluster_n", F.count(F.lit(1)).over(Window.partitionBy("fp"))
+    ).select(
         "source",
         "n_tok",
         F.expr("n_tok * 1000 div cluster_n").cast("long").alias("eff_milli"),
@@ -648,14 +660,26 @@ def q224_tokenizer_apply(spark, sf_dir):
     words = docs.select(
         "lang", F.explode(tokens(F.col("text"))).alias("w")
     ).where(F.col("w") != "")
-    distinct_w = words.select("w").distinct()
+    # ONE tokenize pass (the grain discipline): the distinct-word side
+    # and the join-back each re-ran the corpus explode. The
+    # (lang, w, cnt) grain is materialized once; the greedy fold still
+    # runs once per DISTINCT word and the fertility fold re-weights by
+    # cnt (identical integer sums).
+    grain = (
+        words.groupBy("lang", "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    distinct_w = grain.select("w").distinct()
     seg = distinct_w.withColumn("n_pieces", n_pieces_col(F.col("w")))
     return (
-        words.join(F.broadcast(seg), "w")
+        grain.join(F.broadcast(seg), "w")
         .groupBy("lang")
         .agg(
-            F.count("*").alias("total_words"),
-            F.sum("n_pieces").cast("long").alias("total_pieces"),
+            F.sum("cnt").alias("total_words"),
+            F.sum(F.col("n_pieces") * F.col("cnt"))
+            .cast("long")
+            .alias("total_pieces"),
         )
         .select(
             "lang",

@@ -982,14 +982,6 @@ def q288_hrw_rebalance(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("string").alias("key")
     )
-    mod = docs.select(
-        (portable_hash32(F.col("key")) % 16 != portable_hash32(F.col("key")) % 20)
-        .cast("int")
-        .alias("moved")
-    ).agg(
-        F.count("*").cast("long").alias("n_keys"),
-        F.sum("moved").cast("long").alias("n_moved"),
-    )
     shards = spark.range(0, 20).select(F.col("id").cast("int").alias("s"))
     scored = docs.crossJoin(F.broadcast(shards)).select(
         "key",
@@ -1001,7 +993,11 @@ def q288_hrw_rebalance(spark, sf_dir):
             F.col("s").alias("s"),
         ).alias("cand"),
     )
-    hrw = (
+    # ONE corpus pass for BOTH policies: keys are unique (doc_id cast),
+    # so the mod policy's per-key flag folds into the HRW per-key
+    # aggregate's output row — the old plan scanned and hashed the key
+    # table once per policy and unioned two aggregates.
+    per_key = (
         scored.groupBy("key")
         .agg(
             F.max(F.when(F.col("s") < 16, F.col("cand"))).alias("best16"),
@@ -1009,18 +1005,23 @@ def q288_hrw_rebalance(spark, sf_dir):
         )
         .select(
             (F.col("best16.s") != F.col("best20.s")).cast("int").alias(
-                "moved"
-            )
-        )
-        .agg(
-            F.count("*").cast("long").alias("n_keys"),
-            F.sum("moved").cast("long").alias("n_moved"),
+                "hrw_moved"
+            ),
+            (
+                portable_hash32(F.col("key")) % 16
+                != portable_hash32(F.col("key")) % 20
+            ).cast("int").alias("mod_moved"),
         )
     )
-    out = mod.select(F.lit("mod").alias("policy"), "n_keys", "n_moved").unionByName(
-        hrw.select(F.lit("hrw").alias("policy"), "n_keys", "n_moved")
+    tot = per_key.agg(
+        F.count("*").cast("long").alias("n_keys"),
+        F.sum("hrw_moved").cast("long").alias("n_hrw"),
+        F.sum("mod_moved").cast("long").alias("n_mod"),
     )
-    return out.selectExpr(
+    return tot.selectExpr(
+        "stack(2, 'mod', n_keys, n_mod, 'hrw', n_keys, n_hrw)"
+        " AS (policy, n_keys, n_moved)"
+    ).selectExpr(
         "policy", "n_keys", "n_moved",
         "n_moved * 1000000 div n_keys AS moved_ppm",
     )
@@ -1467,11 +1468,14 @@ def q294_mixture_waterfill(spark, sf_dir):
     from adhesive_spark.operators.text import token_estimate_bpe
 
     docs = load_table(spark, sf_dir, "documents")
+    # materialize the |sources|-row supply table once: the bottleneck
+    # aggregate and the final allocation pass each re-ran the corpus
+    # token-estimate kernel
     supply = docs.groupBy("source").agg(
         F.sum(token_estimate_bpe(F.col("text"))).cast("long").alias(
             "supply_tokens"
         )
-    )
+    ).localCheckpoint(eager=True)
     recipe = spark.createDataFrame(
         sorted(_MIX_TARGET_PPM.items()), "source string, weight_ppm long"
     )
@@ -2320,11 +2324,17 @@ def token_gini_report(docs):
     over distinct values, one group rollup."""
     from adhesive_spark.operators.text import token_estimate_bpe
 
-    docs = docs.select(
+    # ONE token-estimate pass: the old union evaluated the kernel once
+    # per branch (per-source + the ALL rollup — two corpus scans); the
+    # kernel now computes below a 2-way explode that fans each row into
+    # its own source and the 'ALL' group — identical row multiset.
+    both = docs.select(
         "source", token_estimate_bpe(F.col("text")).alias("toks")
-    )
-    both = docs.unionByName(
-        docs.select(F.lit("ALL").alias("source"), "toks")
+    ).select(
+        F.explode(
+            F.array(F.col("source"), F.lit("ALL"))
+        ).alias("source"),
+        "toks",
     )
     per_val = both.groupBy("source", "toks").agg(
         F.count("*").cast("long").alias("c")
