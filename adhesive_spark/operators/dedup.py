@@ -715,6 +715,12 @@ def dedup_incremental(
     exactly one batch row and the join-back adds only payload columns —
     callers that discard them (audits, counters) save a full batch
     scan plus the id-keyed join shuffle.
+
+    Precondition: ``id_col`` must be UNIQUE within ``batch`` (implied
+    by the min-id-survivor contract, stated here explicitly).  With
+    duplicate ids the payload join-back would fan out each surviving
+    row once per id occurrence while the slim path would not — the
+    slim/full row-set equivalence holds only on unique ids.
     """
     fp = fingerprint(F.col(text_col)).alias("__fp")
     fresh = (
@@ -806,6 +812,17 @@ def bloom_membership_dedup(
     false negatives (every true dup probes only set bits), so the exact
     join on the full batch — done here so the output also witnesses that
     property per row — can in production be restricted to candidates.
+
+    Boundary tradeoff: the distinct index fingerprint set is
+    materialized once (localCheckpoint) so the bloom build and the
+    exact verify share ONE evaluation of the index subtree.  That pins
+    the distinct-fp working set to executor storage (serialized,
+    disk-spillable) and, like every localCheckpoint, truncates lineage
+    — an executor loss during the query fails the job instead of
+    recomputing.  Callers with an index too large to pin per-executor
+    or needing lineage-based recovery should pre-materialize the
+    ``doc_fp`` index to storage themselves and pass that table in; the
+    operator then checkpoints only the (already narrow) distinct set.
     """
     # ONE evaluation of the index subtree: it used to run twice (once
     # under the bloom build, once as the exact-verify side), each time

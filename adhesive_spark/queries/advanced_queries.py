@@ -2461,9 +2461,11 @@ def q129_corpus_diff(spark, sf_dir):
     The two snapshots here are deterministic slices of the documents
     table (old = ids ≡ 0,1 mod 3 with the text as-is; new = ids ≡ 1,2
     mod 3 with every 5th text rewritten), so the oracle sees the same
-    synthetic change stream.  One full-outer hash join on doc_id; the
-    classification is a null-pattern CASE, and the summary is a tiny
-    follow-up aggregate."""
+    synthetic change stream.  Both snapshots are id-sliced projections
+    of the same unique-keyed scan, so the outer-join semantics collapse
+    to a ZERO-JOIN single-pass conditional projection (two conditional
+    fingerprint columns per row); the classification is a null-pattern
+    CASE, and the summary is a tiny follow-up aggregate."""
     from adhesive_spark.operators.text import fingerprint
 
     docs = load_table(spark, sf_dir, "documents")

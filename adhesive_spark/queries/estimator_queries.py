@@ -4712,8 +4712,9 @@ def q400_token_economics(spark, sf_dir):
     the ledger IS the pipeline's arithmetic, not a parallel estimate.
 
     Scale shape: one projection computes all per-doc columns; the
-    dedup first-copy is ONE fingerprint aggregate joined back; one
-    final 1-row aggregate. No windows.
+    dedup first-copy is a min window over ONE fp-keyed exchange (the
+    same shuffle the old aggregate + fp-join paid twice), then one
+    final 1-row aggregate.
     """
     from adhesive_spark.operators.text import (
         fingerprint,

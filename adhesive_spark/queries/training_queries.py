@@ -974,9 +974,12 @@ def q288_hrw_rebalance(spark, sf_dir):
     policy would migrate — the number that decides whether a 100 TB
     keyed store can afford the resize.
 
-    Scale shape: the HRW side is a bounded 20× row blowup (key ×
-    shard-spine broadcast) collapsed by one argmax-as-aggregate per
-    key; the mod side is a projection.  One final 2-row rollup."""
+    Scale shape: ONE corpus pass computes both policies — a bounded
+    20× row blowup (key × shard-spine broadcast) collapses to one
+    per-key argmax aggregate that carries the mod policy's moved flag
+    in the same output row; one 1-row rollup is then unpivoted with
+    ``stack`` into the 2-row policy table.  No union, no second
+    scan."""
     from adhesive_spark.operators.dedup import portable_hash32
 
     docs = load_table(spark, sf_dir, "documents").select(
