@@ -411,14 +411,20 @@ def minhash_lsh_pairs(
     )
 
     sh = base.select("id", "shingles")
+    # |A∪B| = |A|+|B|-|A∩B| exactly: word_shingles emits array_distinct
+    # grams, so computing the union SIZE arithmetically skips
+    # materializing the union array per pair (~10% off the verify
+    # stage at the sf1 rung, r13) — same integer operands, same double
+    # division, same round.
     verified = (
         candidates.join(sh.withColumnsRenamed({"id": "id_a", "shingles": "sh_a"}), "id_a")
         .join(sh.withColumnsRenamed({"id": "id_b", "shingles": "sh_b"}), "id_b")
+        .withColumn("__i", F.size(F.array_intersect("sh_a", "sh_b")))
         .withColumn(
             "jaccard",
             F.round(
-                F.size(F.array_intersect("sh_a", "sh_b"))
-                / F.size(F.array_union("sh_a", "sh_b")),
+                F.col("__i")
+                / (F.size("sh_a") + F.size("sh_b") - F.col("__i")),
                 4,
             ),
         )
@@ -1159,11 +1165,14 @@ def probe_minhash_index(
     return (
         candidates.join(psh.hint("merge"), "id_a")
         .join(ish.hint("merge"), "id_b")
+        # union size arithmetically (shingle arrays are distinct) —
+        # same rewrite as minhash_lsh_pairs' verify, same values
+        .withColumn("__i", F.size(F.array_intersect("sh_a", "sh_b")))
         .withColumn(
             "jaccard",
             F.round(
-                F.size(F.array_intersect("sh_a", "sh_b"))
-                / F.size(F.array_union("sh_a", "sh_b")),
+                F.col("__i")
+                / (F.size("sh_a") + F.size("sh_b") - F.col("__i")),
                 4,
             ),
         )

@@ -90,30 +90,37 @@ def main() -> None:
 
     for name in sorted(KEYED):
         t = tables[name]
-        parts = []
+        # one FILE per copy inside a directory: a real N×-sized input
+        # arrives as many files, and a single ~100 MB file under the
+        # default 128 MB maxPartitionBytes scans as ONE task — the
+        # serialized-scan pitfall the r12 stress-fixture widening fixed
+        # (STRESS.md "Fixture protocol").  Spark and DuckDB both read
+        # the directory transparently.
+        d = os.path.join(out, f"{name}.parquet")
+        os.makedirs(d, exist_ok=True)
+        total = 0
         for copy in range(reps):
             if copy == 0:
-                parts.append(t)
-                continue
-            cols = []
-            for field in t.schema:
-                col = t[field.name]
-                owner = KEYED[name].get(field.name)
-                if owner is not None:
-                    off = pa.scalar(
-                        copy * bases[owner], type=field.type
-                    )
-                    col = pc.add_checked(col, off)
-                cols.append(col)
-            parts.append(pa.table(cols, schema=t.schema))
-        big = pa.concat_tables(parts)
-        # multiple row groups so Spark's scan can split the file
-        pq.write_table(
-            big,
-            os.path.join(out, f"{name}.parquet"),
-            row_group_size=max(4096, big.num_rows // 32),
-        )
-        print(f"{name}: {t.num_rows} -> {big.num_rows} rows")
+                part = t
+            else:
+                cols = []
+                for field in t.schema:
+                    col = t[field.name]
+                    owner = KEYED[name].get(field.name)
+                    if owner is not None:
+                        off = pa.scalar(
+                            copy * bases[owner], type=field.type
+                        )
+                        col = pc.add_checked(col, off)
+                    cols.append(col)
+                part = pa.table(cols, schema=t.schema)
+            pq.write_table(
+                part,
+                os.path.join(d, f"copy-{copy:03d}.parquet"),
+                row_group_size=max(4096, part.num_rows // 4),
+            )
+            total += part.num_rows
+        print(f"{name}: {t.num_rows} -> {total} rows ({reps} files)")
 
 
 if __name__ == "__main__":
