@@ -38,6 +38,9 @@ from pyspark.sql import functions as F
 #: and drops to the local finish only once the star rounds have
 #: contracted it below the gate (each round shrinks the edge set toward
 #: the star forest).  Parameterised for clusters with bigger drivers.
+#: String-keyed graphs are additionally BYTE-gated (see :func:`_cc_gate`):
+#: the count threshold assumes 16-byte long pairs, and 1M fat string
+#: keys can be far more than that budget.
 _CC_LOCAL_EDGES_DEFAULT = 1_000_000
 
 
@@ -50,6 +53,36 @@ def _cc_local_threshold() -> int:
         )
     except ValueError:
         return _CC_LOCAL_EDGES_DEFAULT
+
+
+def _cc_gate(e: DataFrame, max_edges: int) -> tuple[int, bool]:
+    """``(edge_count, fits_local)`` for a CACHED edge set.
+
+    The local-finish budget was always a BYTE budget in disguise: the
+    ``max_edges`` comment assumes long pairs (16 bytes/edge, ~16 MB at
+    the 1M default).  Numeric node ids really are 16 bytes/edge, so one
+    ``count()`` decides.  String ids can be arbitrarily wide (entity
+    resolution collects name keys), so for them ONE aggregate over the
+    cached set measures actual key bytes and the gate additionally
+    requires ``key_bytes + 16·n ≤ max_edges·16`` (the 16/edge term
+    covers Arrow offsets / Python object overhead) — a 1M-edge set of
+    fat string keys now correctly stays on the distributed loop.  Same
+    single job over the cached set either way."""
+    from pyspark.sql import types as T
+
+    node_t = e.schema[0].dataType
+    a, b = e.columns[0], e.columns[1]
+    if max_edges > 0 and isinstance(node_t, T.StringType):
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.sum(F.octet_length(a) + F.octet_length(b)), F.lit(0)
+            ).alias("kb"),
+        ).first()
+        n, kb = int(row[0]), int(row[1])
+        return n, n <= max_edges and kb + 16 * n <= max_edges * 16
+    n = e.count()
+    return n, max_edges > 0 and n <= max_edges
 
 
 def _solve_components_locally(e: DataFrame) -> DataFrame:
@@ -137,7 +170,8 @@ def connected_components(
         sym.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).distinct()
     sym = sym.localCheckpoint(eager=True)
-    if local_threshold > 0 and sym.count() <= 2 * local_threshold:
+    _, fits = _cc_gate(sym, 2 * local_threshold)
+    if fits:
         # one canonical direction (plus self-loops) is enough for the
         # union-find, and halves the bytes collected
         return _solve_components_locally(sym.where(F.col("a") >= F.col("b")))
@@ -438,7 +472,7 @@ def connected_components_star(
         .distinct()
     )
     e = canon.where(F.col("a") != F.col("b"))
-    n_e = e.count()  # cached scan — cheap
+    n_e, fits = _cc_gate(e, local_threshold)  # cached scan — cheap
 
     def _attach(labels: DataFrame, *, broadcast: bool) -> DataFrame:
         lab = F.broadcast(labels) if broadcast else labels
@@ -446,7 +480,7 @@ def connected_components_star(
             "node", F.coalesce("component", "node").alias("component")
         )
 
-    if local_threshold > 0 and n_e <= local_threshold:
+    if fits:
         return _attach(_solve_components_locally(e), broadcast=True)
 
     def _sym(df: DataFrame) -> DataFrame:
@@ -494,8 +528,8 @@ def connected_components_star(
             .distinct()
             .localCheckpoint(eager=True)
         )
-        n_new = new_e.count()  # cached scan — cheap
-        if local_threshold > 0 and n_new <= local_threshold:
+        n_new, fits = _cc_gate(new_e, local_threshold)  # cached scan
+        if fits:
             # the rounds so far contracted the graph below the gate;
             # star rounds preserve the component partition, so the
             # local finish over the current edge set is exact
