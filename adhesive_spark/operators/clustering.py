@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from adhesive_spark.operators.similarity import cosine
 from adhesive_spark.operators.text import fround
+from adhesive_spark.sources.registry import CORPUS_CKPT_LEVEL
 
 
 def label_centroids(
@@ -225,7 +226,7 @@ def kmeans(
     """
     vectors = df.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=True, storageLevel=CORPUS_CKPT_LEVEL)
     centroids = (
         vectors.orderBy("vec_id")
         .limit(k)

@@ -28,6 +28,7 @@ import os
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from adhesive_spark.sources.registry import CORPUS_CKPT_LEVEL
 
 #: Edge-count gate below which the component closure finishes on the
 #: driver (union-find over the collected edge list) instead of running
@@ -169,7 +170,7 @@ def connected_components(
     sym = sym.union(
         sym.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).distinct()
-    sym = sym.localCheckpoint(eager=True)
+    sym = sym.localCheckpoint(eager=True, storageLevel=CORPUS_CKPT_LEVEL)
     _, fits = _cc_gate(sym, 2 * local_threshold)
     if fits:
         # one canonical direction (plus self-loops) is enough for the
@@ -207,7 +208,7 @@ def connected_components(
                     F.col("component"), F.coalesce("nb_min", "component")
                 ).alias("component"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=True, storageLevel=CORPUS_CKPT_LEVEL)
         )
         changed = (
             new_labels.alias("n")
@@ -295,14 +296,14 @@ def pagerank_integer(
     cross-joined in (broadcast), not a driver collect.
     """
     e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
-    e = e.localCheckpoint(eager=True)
+    e = e.localCheckpoint(eager=True, storageLevel=CORPUS_CKPT_LEVEL)
     deg = e.groupBy("s").agg(F.count("*").alias("deg"))
-    ed = e.join(deg, "s").localCheckpoint(eager=True)
+    ed = e.join(deg, "s").localCheckpoint(eager=True, storageLevel=CORPUS_CKPT_LEVEL)
     nodes = (
         e.select(F.col("s").alias("node"))
         .union(e.select("d"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True, storageLevel=CORPUS_CKPT_LEVEL)
     )
     n_rel = nodes.agg(F.count("*").alias("n"))
     # init: 1/N, scaled; teleport base: (1-d)/N, scaled
@@ -335,7 +336,7 @@ def pagerank_integer(
                     )
                 ).alias("rank_scaled"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=True, storageLevel=CORPUS_CKPT_LEVEL)
         )
     return ranks
 
@@ -397,7 +398,7 @@ def triangle_count(
             F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("v"),
         )
     # the oriented edge list feeds three join sides — materialize once
-    e = e.localCheckpoint(eager=True)
+    e = e.localCheckpoint(eager=True, storageLevel=CORPUS_CKPT_LEVEL)
     e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
     return (
         e1.join(e2, F.col("e1.v") == F.col("e2.u"))
@@ -464,7 +465,7 @@ def connected_components_star(
             F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
         )
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True, storageLevel=CORPUS_CKPT_LEVEL)
     )
     nodes = (
         canon.select(F.col("a").alias("node"))
@@ -526,7 +527,7 @@ def connected_components_star(
             .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
             .where(F.col("a") != F.col("b"))
             .distinct()
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=True, storageLevel=CORPUS_CKPT_LEVEL)
         )
         n_new, fits = _cc_gate(new_e, local_threshold)  # cached scan
         if fits:

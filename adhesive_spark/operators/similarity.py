@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from adhesive_spark.sources.registry import ensure_parallelism
+from adhesive_spark.sources.registry import CORPUS_CKPT_LEVEL
 
 
 def dot(a, b):
@@ -440,7 +441,7 @@ def build_ivf_index(
 
         vectors = corpus.select(
             F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=True, storageLevel=CORPUS_CKPT_LEVEL)
         cents = (
             vectors.orderBy("vec_id")
             .limit(n_lists)
@@ -796,7 +797,7 @@ def embedding_neardup_pairs(
     # upstream scans, 0 reused), so an upstream pipeline (IVF
     # assignment, casts, the LSH bucket kernel) would run twice; the
     # checkpointed rows are exactly the bytes the join shuffle carries
-    base = base.localCheckpoint(eager=True)
+    base = base.localCheckpoint(eager=True, storageLevel=CORPUS_CKPT_LEVEL)
     if use_lsh:
         l, r = base.alias("l"), base.alias("r")
         cond = (F.col("l.__bucket") == F.col("r.__bucket")) & (

@@ -38,8 +38,20 @@ def salted_join(
         raise ValueError(f"salted_join supports inner/left, got {how!r}")
     keys = [on] if isinstance(on, str) else list(on)
 
+    # DETERMINISTIC salt (r13): the previous rand(seed)-derived salt is
+    # the SPARK-38388 hazard class — a fetch failure re-runs map tasks,
+    # re-run tasks can see rows in a different order, and rand() then
+    # assigns DIFFERENT salts, silently duplicating or dropping join
+    # rows.  Hashing the whole row is retry-stable (same row ⇒ same
+    # salt) and spreads a hot key exactly as well unless the hot key's
+    # rows are exact duplicates across every column — in which case
+    # they are one logical row and no salt scheme separates them.
     salted = skewed.withColumn(
-        "__salt", (F.rand(seed=7) * n_salts).cast("int")
+        "__salt",
+        F.pmod(
+            F.xxhash64(*[F.col(c) for c in skewed.columns]),
+            F.lit(n_salts),
+        ).cast("int"),
     )
     replicated = build.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))

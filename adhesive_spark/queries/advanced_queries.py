@@ -19,6 +19,7 @@ from adhesive_spark.operators.grouped import (
 )
 from adhesive_spark.operators.text import fround, lang_id, quality_score, scaled_long
 from adhesive_spark.sources.registry import load_table
+from adhesive_spark.sources.registry import CORPUS_CKPT_LEVEL
 
 
 def _session_no_col(gap_s: int = 1800):
@@ -949,7 +950,7 @@ def q104_cohort_retention(spark, sf_dir):
         )
         .groupBy("user_id", "aw")
         .agg(F.min("ts").alias("mts"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True, storageLevel=CORPUS_CKPT_LEVEL)
     )
     # narrow re-agg over the checkpointed grain; its two consumers
     # (cohort sizes, the cell join) re-run only this one exchange
@@ -2591,7 +2592,7 @@ def q131_triangle_count(spark, sf_dir):
         # re-derives the orderkey self-join per consumer (~21 shuffles
         # vs 7 with the boundary). At 100 TB this materialized edge
         # list IS the production artifact every graph pass starts from.
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True, storageLevel=CORPUS_CKPT_LEVEL)
     )
     deg = (
         edges.select(F.col("u").alias("node"))
@@ -4248,7 +4249,7 @@ def q203_session_incident_overlap(spark, sf_dir):
             F.min(F.unix_micros("ts")).alias("s_start"),
             F.max(F.unix_micros("ts")).alias("s_end"),
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True, storageLevel=CORPUS_CKPT_LEVEL)
     )
     incidents = ev.where(F.col("event_type") == "error").select(
         F.col("event_id").alias("incident_id"),

@@ -27,6 +27,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from adhesive_spark.sources.registry import load_table
+from adhesive_spark.sources.registry import CORPUS_CKPT_LEVEL
 
 AUDIT_QUERIES: dict = {}
 AUDIT_ORACLES: dict = {}
@@ -803,7 +804,7 @@ def q312_packing_policy_ladder(spark, sf_dir):
     # per consumer is then a broadcast crossJoin of longs, not the kernel
     docs = load_table(spark, sf_dir, "documents").select(
         token_estimate_bpe(F.col("text")).alias("l")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=True, storageLevel=CORPUS_CKPT_LEVEL)
     ctx = F.broadcast(
         spark.range(1).select(
             F.explode(
@@ -1862,7 +1863,7 @@ def q321_cluster_aware_sharding(spark, sf_dir):
         # materialization boundary: BOTH policies read this once —
         # without it each policy() aggregate re-executes the whole
         # pair-graph + closure tail
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True, storageLevel=CORPUS_CKPT_LEVEL)
     )
 
     def policy(col, name):
@@ -2328,7 +2329,7 @@ def q325_multiprobe_lsh(spark, sf_dir):
         "vec_id",
         "orig",
         F.round(cosine(F.col("cvec"), F.col("qvec")), 6).alias("sim"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=True, storageLevel=CORPUS_CKPT_LEVEL)
 
     def topk(df, mode):
         w = Window.partitionBy("query_id").orderBy(
@@ -2930,7 +2931,7 @@ def q330_ivf_nprobe_ladder(spark, sf_dir):
                 "sim"
             ),
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True, storageLevel=CORPUS_CKPT_LEVEL)
     )
     brute = knn_bruteforce(corpus, queries, k=5).select(
         "query_id", "vec_id"
@@ -3260,7 +3261,7 @@ def q333_ingest_dedup_pressure(spark, sf_dir):
     docs = (
         ensure_parallelism(load_table(spark, sf_dir, "documents"))
         .select("doc_id", fingerprint(F.col("text")).alias("fp"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True, storageLevel=CORPUS_CKPT_LEVEL)
     )
     first = docs.groupBy("fp").agg(F.min("doc_id").alias("first_id"))
     mx = F.broadcast(docs.agg(F.max("doc_id").alias("max_id")))

@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 
 from adhesive_spark.queries.metrology_queries import _NORM, _TOKS, _h32
 from adhesive_spark.sources.registry import load_table
+from adhesive_spark.sources.registry import CORPUS_CKPT_LEVEL
 
 ESTIMATOR_QUERIES: dict = {}
 ESTIMATOR_ORACLES: dict = {}
@@ -202,7 +203,7 @@ def tv_distance_report(docs):
         docs.select("source", F.explode(tokens(F.col("text"))).alias("w"))
         .groupBy("source", "w")
         .agg(F.count("*").cast("long").alias("c"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True, storageLevel=CORPUS_CKPT_LEVEL)
     )
     totals = cnt.groupBy("source").agg(F.sum("c").cast("long").alias("n"))
     # 190-row pair spine (20 sources), broadcast everywhere
@@ -403,7 +404,7 @@ def q363_bloom_geometry(spark, sf_dir):
     fps = (
         docs.select(fingerprint(F.col("text")).alias("fp"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True, storageLevel=CORPUS_CKPT_LEVEL)
     )
     geoms = spark.range(1).select(
         F.explode(
@@ -839,7 +840,7 @@ def q366_ngram_novelty(spark, sf_dir):
             F.explode(word_shingles(F.col("text"), 5)).alias("g"),
         )
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True, storageLevel=CORPUS_CKPT_LEVEL)
     )
     per_gram = grams.groupBy("g").agg(
         F.count("*").cast("long").alias("n_src")
@@ -1270,7 +1271,7 @@ def q369_contribution_bounding(spark, sf_dir):
         )
         .groupBy("event_type", "user_id")
         .agg(F.sum("cents").cast("long").alias("tot"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True, storageLevel=CORPUS_CKPT_LEVEL)
     )
     # exact lower p95 of per-user totals, per type (distinct-value cum)
     cnts = per_user.groupBy("event_type", "tot").agg(
@@ -1845,7 +1846,7 @@ def q374_birthday_collisions(spark, sf_dir):
         .select(
             portable_hash32(F.concat(F.lit("bd:"), F.col("fp"))).alias("h")
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True, storageLevel=CORPUS_CKPT_LEVEL)
     )
     bspine = spark.range(1).select(
         F.explode(
@@ -1949,7 +1950,7 @@ def q375_lorenz_deciles(spark, sf_dir):
         )
         .groupBy("o_custkey")
         .agg(F.sum("cents").cast("long").alias("tot"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True, storageLevel=CORPUS_CKPT_LEVEL)
     )
     by_val = per_cust.groupBy("tot").agg(
         F.count("*").cast("long").alias("cnt")
@@ -3285,7 +3286,7 @@ def rfm_report(orders):
             "freq",
             "monet",
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True, storageLevel=CORPUS_CKPT_LEVEL)
     )
     n_all = F.broadcast(
         per_cust.agg(F.count("*").cast("long").alias("n_cust_all"))
@@ -3595,7 +3596,7 @@ def q388_session_gap_sweep(spark, sf_dir):
     gaps = ev.select(
         "user_id",
         (F.col("es") - F.lag("es").over(wu)).alias("gap_s"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=True, storageLevel=CORPUS_CKPT_LEVEL)
     spine = spark.range(1).select(
         F.explode(
             F.array(
@@ -3973,7 +3974,7 @@ def q392_cohort_retention(spark, sf_dir):
             ).cast("long").alias("ym"),
         )
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True, storageLevel=CORPUS_CKPT_LEVEL)
     )
     cohorts = om.groupBy("o_custkey").agg(
         F.min("ym").cast("long").alias("cohort_ym")
@@ -5137,7 +5138,7 @@ def q403_keep_policy_divergence(spark, sf_dir):
         )
         .where(F.size("toks") >= 20)
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True, storageLevel=CORPUS_CKPT_LEVEL)
     )
     per = (
         spans.groupBy("fp")
@@ -5401,7 +5402,7 @@ def q406_degree_assortativity(spark, sf_dir):
         load_table(spark, sf_dir, "lineitem")
         .select("l_partkey", "l_suppkey")
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True, storageLevel=CORPUS_CKPT_LEVEL)
     )
     pdeg = edges.groupBy("l_partkey").agg(
         F.count("*").cast("long").alias("dp")
@@ -5508,7 +5509,7 @@ def q407_shingle_size_ladder(spark, sf_dir):
         )
         .select("doc_id", F.col("g.n").alias("n"), F.col("g.s").alias("s"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True, storageLevel=CORPUS_CKPT_LEVEL)
     )
     sizes = sh.groupBy("n", "doc_id").agg(
         F.count("*").cast("long").alias("sz")

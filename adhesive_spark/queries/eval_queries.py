@@ -24,6 +24,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from adhesive_spark.sources.registry import load_table
+from adhesive_spark.sources.registry import CORPUS_CKPT_LEVEL
 
 EVAL_QUERIES: dict = {}
 EVAL_ORACLES: dict = {}
@@ -843,7 +844,7 @@ def link_prediction_report(edges):
     # aggregate scans the edge set once instead of once per broadcast
     supp_deg = edges.groupBy("s").agg(
         F.count("*").cast("long").alias("sd")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=True, storageLevel=CORPUS_CKPT_LEVEL)
     # hub parts dropped BEFORE pair generation; merge-pinned (r12):
     # part_deg is corpus-scaled (one row per part), so it is never
     # contractually broadcastable — yet its rows are narrow and
@@ -1209,7 +1210,7 @@ def q267_negative_sampling(spark, sf_dir):
             ).alias("item"),
         )
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True, storageLevel=CORPUS_CKPT_LEVEL)
     )
     items = clicks.select("item").distinct()
     users = clicks.select("user_id").where(F.col("user_id") < 20).distinct()
@@ -1436,7 +1437,7 @@ def q269_vocab_coverage(spark, sf_dir):
         .alias("rank"),
         F.sum("cnt").over(w).alias("cum_cnt"),
     )
-    ranked = ranked.localCheckpoint(eager=True)  # feeds 2 consumers
+    ranked = ranked.localCheckpoint(eager=True, storageLevel=CORPUS_CKPT_LEVEL)  # feeds 2 consumers
     tot = ranked.agg(
         F.max("cum_cnt").alias("total_occ"),
         F.max("rank").cast("long").alias("n_types"),
@@ -2065,7 +2066,7 @@ def q276_bfs_frontier(spark, sf_dir):
         .where(F.col("a.s") != F.col("b.s"))
         .select(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
         .distinct()
-        .localCheckpoint(eager=True)  # feeds 3 BFS rounds + node count
+        .localCheckpoint(eager=True, storageLevel=CORPUS_CKPT_LEVEL)  # feeds 3 BFS rounds + node count
     )
     nodes = adj.select(F.col("u").alias("node")).distinct()
     src = nodes.agg(F.min("node").alias("node")).withColumn(
@@ -2083,7 +2084,7 @@ def q276_bfs_frontier(spark, sf_dir):
             dist.unionByName(frontier)
             .groupBy("node")
             .agg(F.min("dist").cast("long").alias("dist"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=True, storageLevel=CORPUS_CKPT_LEVEL)
         )
     reached = dist.groupBy("dist").agg(
         F.count("*").cast("long").alias("n_suppliers")

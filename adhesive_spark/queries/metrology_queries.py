@@ -28,6 +28,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from adhesive_spark.sources.registry import load_table
+from adhesive_spark.sources.registry import CORPUS_CKPT_LEVEL
 
 METROLOGY_QUERIES: dict = {}
 METROLOGY_ORACLES: dict = {}
@@ -1139,7 +1140,7 @@ def tfcos_allpairs_report(tf, df_cap: int = 50):
     """The q344 core over a caller-supplied ``(doc_id, tok, tf)`` table —
     split out so tools/stress.py can ladder the df-capped inverted-index
     join on replicated corpora without re-tokenizing through the query."""
-    tf = tf.localCheckpoint(eager=True)
+    tf = tf.localCheckpoint(eager=True, storageLevel=CORPUS_CKPT_LEVEL)
     norms = tf.groupBy("doc_id").agg(
         F.sum(F.col("tf") * F.col("tf")).cast("long").alias("nrm")
     )
@@ -1842,7 +1843,7 @@ def q349_style_affinity(spark, sf_dir):
         )
         .groupBy("source", "word")
         .agg(F.count("*").cast("long").alias("c"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True, storageLevel=CORPUS_CKPT_LEVEL)
     )
     tots = counts.groupBy("source").agg(
         F.sum("c").cast("long").alias("tot")
@@ -2080,7 +2081,7 @@ def q351_corpus_saturation(spark, sf_dir):
             .cast("long")
             .alias("novel"),
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True, storageLevel=CORPUS_CKPT_LEVEL)
     )
     mx = F.broadcast(per_doc.agg(F.max("doc_id").alias("max_id")))
     return (

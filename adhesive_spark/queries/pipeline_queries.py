@@ -34,6 +34,7 @@ from adhesive_spark.operators.similarity import (
 )
 from adhesive_spark.operators.text import LANG_MARKERS, STOPWORDS_EN, text_profile
 from adhesive_spark.sources.registry import load_table
+from adhesive_spark.sources.registry import CORPUS_CKPT_LEVEL
 
 # --- shared SQL fragments (DuckDB dialect) -----------------------------------
 
@@ -1645,7 +1646,7 @@ def q206_neardup_evidence(spark, sf_dir):
     sh = docs.select(
         F.col("doc_id"),
         F.explode(word_shingles(F.col("text"), 3)).alias("shingle"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=True, storageLevel=CORPUS_CKPT_LEVEL)
     dfc = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("global_df"))
     shared = (
         pairs.join(sh.withColumnRenamed("doc_id", "id_a"), "id_a")
@@ -2250,7 +2251,7 @@ def q279_media_reduction_pipeline(spark, sf_dir):
     )
 
     media = synthesize_real_media(load_table(spark, sf_dir, "documents"))
-    media = media.localCheckpoint(eager=True)  # feeds 3 transforms + input ledger
+    media = media.localCheckpoint(eager=True, storageLevel=CORPUS_CKPT_LEVEL)  # feeds 3 transforms + input ledger
     out = (
         resample_wav(media, factor=2)
         .unionByName(downscale_ppm(media, factor=2))

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from adhesive_spark.operators.text import tokens
 from adhesive_spark.sources.registry import load_table
+from adhesive_spark.sources.registry import CORPUS_CKPT_LEVEL
 
 SCALE_QUERIES: dict = {}
 SCALE_ORACLES: dict = {}
@@ -390,7 +391,7 @@ def q221_lang_token_affinity(spark, sf_dir):
     # corpus explode kernel
     lt = toks.groupBy("lang", "tok").agg(
         F.count("*").alias("n_lt")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=True, storageLevel=CORPUS_CKPT_LEVEL)
     lg = lt.groupBy("lang").agg(F.sum("n_lt").alias("n_l"))
     tk = lt.groupBy("tok").agg(F.sum("n_lt").alias("n_t"))
     grand = lt.agg(F.sum("n_lt").alias("n_all"))
@@ -475,7 +476,7 @@ def q222_source_tv_drift(spark, sf_dir):
     # (source, tok) grain once; the marginals are sums of it
     sc = toks.groupBy("source", "tok").agg(
         F.count("*").alias("n_st")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=True, storageLevel=CORPUS_CKPT_LEVEL)
     st = sc.groupBy("source").agg(F.sum("n_st").alias("n_s"))
     cc = sc.groupBy("tok").agg(F.sum("n_st").alias("n_c"))
     grand = sc.agg(F.sum("n_st").alias("n_all"))
@@ -668,7 +669,7 @@ def q224_tokenizer_apply(spark, sf_dir):
     grain = (
         words.groupBy("lang", "w")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True, storageLevel=CORPUS_CKPT_LEVEL)
     )
     distinct_w = grain.select("w").distinct()
     seg = distinct_w.withColumn("n_pieces", n_pieces_col(F.col("w")))
@@ -1022,7 +1023,7 @@ def q228_label_propagation(spark, sf_dir):
             ),
         )
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True, storageLevel=CORPUS_CKPT_LEVEL)
     )
     edges = pairs.union(
         pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
